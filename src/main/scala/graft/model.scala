@@ -1,0 +1,74 @@
+package graft
+
+/** Core configuration model.
+  *
+  * Mirrors the reference's declarative table properties so the semantics stay
+  * traceable to `/root/reference/batch-bootstrapper/tabular.py:58-64,75`:
+  *   - `cdc.key-column`   -> [[CdcConfig.keyCol]]
+  *   - `cdc.ts-column`    -> [[CdcConfig.tsCol]]
+  *   - `cdc.type=DMS`     -> the I/U/D op encoding in [[DmsEnvelope]]
+  *   - `dependent-tables` -> [[PipelineSpec.mirrorTable]]
+  */
+
+/** CDC merge parameterization (reference: tabular.py:39-64).
+  *
+  * @param keyCol  unique row identity ("tells tabular whether to update or
+  *                insert a row", tabular.py:44-45)
+  * @param tsCol   ordering column: latest value per key wins
+  *                (tabular.py:47-49). ISO-8601 strings sort lexicographically;
+  *                numeric sequence columns (prod default `transact_seq`,
+  *                batch_bootstrapper.py:21) sort numerically.
+  */
+final case class CdcConfig(keyCol: String, tsCol: String) {
+  require(keyCol.nonEmpty, "cdc.key-column must be a non-empty string")
+  require(tsCol.nonEmpty, "cdc.ts-column must be a non-empty string")
+}
+
+/** The DMS changelog envelope columns appended to every change record
+  * (reference: generate_sample_dms_parquet.py:20-24).
+  */
+object DmsEnvelope {
+  val SourceTableCol = "table"
+  val OpCol = "op"
+  val TsCol = "ts"
+  val Insert = "I"
+  val Update = "U"
+  val Delete = "D"
+  /** Envelope columns dropped when materializing the mirror's user-facing
+    * state. `ts` is retained internally for cross-batch latest-wins (T2).
+    */
+  val envelopeCols: Seq[String] = Seq(SourceTableCol, OpCol)
+}
+
+/** One monitored source prefix -> (changelog, mirror) pair
+  * (reference: batch_bootstrapper.py:49-88).
+  *
+  * @param sourcePath      the monitored directory (S3 prefix in the reference)
+  * @param changelogTable  append-only change stream table  (`{name}_changelog`)
+  * @param mirrorTable     upserted current-state table     (`{name}`)
+  * @param changelogExcludeGlob files excluded from the changelog load
+  *                             (`**&#47;LOAD*` — DMS initial-load files,
+  *                             batch_bootstrapper.py:69)
+  * @param mirrorExcludeGlob    files excluded from the mirror initial load
+  *                             (`**&#47;*-*` — changelog files,
+  *                             batch_bootstrapper.py:85)
+  */
+final case class PipelineSpec(
+    sourcePath: String,
+    changelogTable: String,
+    mirrorTable: String,
+    cdc: CdcConfig,
+    changelogExcludeGlob: String = "**/LOAD*",
+    mirrorExcludeGlob: String = "**/*-*",
+    autoLoad: Boolean = true)
+
+object PipelineSpec {
+  /** Derive table names from a source path the way the reference does
+    * (batch_bootstrapper.py:55-56): mirror = last path segment,
+    * changelog = `{mirror}_changelog`.
+    */
+  def forPrefix(sourcePath: String, cdc: CdcConfig): PipelineSpec = {
+    val mirror = sourcePath.stripSuffix("/").split('/').last
+    PipelineSpec(sourcePath, s"${mirror}_changelog", mirror, cdc)
+  }
+}

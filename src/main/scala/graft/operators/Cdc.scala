@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{CdcConfig, DmsEnvelope => E}
+
+/** The CDC fold: apply a DMS-style I/U/D changelog to a mirror table.
+  *
+  * Semantics pinned by the reference (behavior declared at tabular.py:39-64,
+  * record shape + expected final state defined by
+  * generate_sample_dms_parquet.py):
+  *   - latest record per `keyCol`, ordered by `tsCol`, wins (tabular.py:47-49)
+  *   - op `I`/`U` upserts the row, `D` removes it
+  *     (generate_sample_dms_parquet.py:16-55)
+  *   - late/out-of-order records with an older ts than the stored mirror row
+  *     lose — the merge is order-insensitive across batches (T2 in SURVEY §2.9)
+  *
+  * Scale design (100 TB): the whole fold is ONE hash aggregation keyed by
+  * `keyCol` — `groupBy(key).agg(max_by(...))` — which Spark executes with
+  * map-side partial aggregation, so the shuffle carries at most one candidate
+  * row per key per map partition instead of the raw changelog. No window sort
+  * is involved (a `row_number()` formulation would force a per-partition sort
+  * and carry every change record through the shuffle). Combined with a
+  * mirror stored hash-partitioned by `keyCol`, the merge shuffles only the
+  * (small) change side under AQE.
+  */
+object Cdc {
+
+  /** Internal tie-break column: position of the record in ingestion order.
+    * The reference leaves equal-`ts` ordering unspecified (tabular.py:47-49
+    * names only the ts column); we define file-order + row-position as the
+    * deterministic tie-break, with mirror rows losing to incoming changes at
+    * equal (ts, seq) so that re-applying a batch is idempotent.
+    */
+  val SeqCol = "_ingest_seq"
+
+  /** Attach the ingestion-order tie-break. `monotonically_increasing_id` is
+    * monotone in (partition index, row position) and Spark lists files in
+    * sorted order, so ids follow file order + row position within a static
+    * read. Streaming ingestion instead stamps `batchId << 40 | id`.
+    */
+  def withIngestSeq(changes: DataFrame): DataFrame =
+    if (changes.columns.contains(SeqCol)) changes
+    else changes.withColumn(SeqCol, monotonically_increasing_id())
+
+  /** Ordering key for latest-wins: (ts, ingest-seq). */
+  private def orderingStruct(cfg: CdcConfig, cols: Seq[String]): Column = {
+    val seq = if (cols.contains(SeqCol)) col(SeqCol) else lit(0L)
+    struct(col(cfg.tsCol), seq)
+  }
+
+  /** Latest record per key (SURVEY A1/W1). One hash-agg, no sort. */
+  def latestPerKey(changes: DataFrame, cfg: CdcConfig): DataFrame = {
+    val df = withIngestSeq(changes)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(cfg.keyCol).as("__k"))
+      .agg(max_by(payload, orderingStruct(cfg, df.columns)).as("__latest"))
+      .select(df.columns.map(c => col(s"__latest.`$c`")): _*)
+  }
+
+  /** Apply one changelog batch to the mirror (SURVEY A2/J1/P4).
+    *
+    * The mirror retains `tsCol` (and the tie-break seq) so a late-arriving
+    * change older than the stored row loses. Mirror rows re-enter the fold as
+    * synthetic `U` records with source-priority 0; incoming changes carry
+    * priority 1 and therefore win exact (ts, priority) ties — which makes
+    * re-applying the same batch a no-op (idempotent restart, SURVEY T4).
+    *
+    * Returns the new mirror state: data columns + `tsCol` + seq (envelope
+    * `table`/`op` dropped; see [[currentState]] for the user-facing view).
+    */
+  def applyBatch(mirror: DataFrame, changes: DataFrame, cfg: CdcConfig): DataFrame = {
+    val pri = "_src_priority"
+    val ch = withIngestSeq(changes)
+    val dataCols = ch.columns.filterNot(E.envelopeCols.contains) // incl. tsCol, SeqCol
+    val mirrorAsChanges = {
+      val m0 = if (mirror.columns.contains(SeqCol)) mirror
+               else mirror.withColumn(SeqCol, lit(0L))
+      m0.withColumn(E.OpCol, lit(E.Update)).withColumn(pri, lit(0))
+        .select((dataCols.map(col) :+ col(E.OpCol) :+ col(pri)): _*)
+    }
+    val incoming = ch.withColumn(pri, lit(1))
+      .select((dataCols.map(col) :+ col(E.OpCol) :+ col(pri)): _*)
+    val all = mirrorAsChanges.unionByName(incoming)
+    val payload = struct(all.columns.map(col): _*)
+    val ordering = struct(col(cfg.tsCol), col(pri), col(SeqCol))
+    val folded = all
+      .groupBy(col(cfg.keyCol).as("__k"))
+      .agg(max_by(payload, ordering).as("__latest"))
+      .select(all.columns.map(c => col(s"__latest.`$c`")): _*)
+    folded.filter(col(E.OpCol) =!= E.Delete).drop(E.OpCol, pri)
+  }
+
+  /** Apply a whole changelog in one shot (batch bootstrap path). */
+  def applyAll(changes: DataFrame, cfg: CdcConfig): DataFrame = {
+    val ch = withIngestSeq(changes)
+    val latest = latestPerKey(ch, cfg)
+    latest.filter(col(E.OpCol) =!= E.Delete)
+      .drop(E.OpCol, E.SourceTableCol)
+  }
+
+  /** User-facing mirror state: drop CDC bookkeeping columns. */
+  def currentState(mirror: DataFrame): DataFrame =
+    mirror.drop(SeqCol, E.OpCol, E.SourceTableCol)
+}

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+import graft.PipelineSpec
+import graft.operators.Cdc
+import graft.sources.Tables
+import graft.sources.Tables.Warehouse
+
+/** Control-plane orchestration: replicate the reference's per-prefix bootstrap
+  * loop (batch_bootstrapper.py:49-94) — in order:
+  *   1. bootstrap changelog table (auto-load, excluding `**&#47;LOAD*`)  :59-71
+  *   2. wire changelog -> mirror dependency                              :72
+  *   3. bootstrap mirror table (one-time load, excluding `**&#47;*-*`)   :75-87
+  *   4. configure the CDC merge (key/ts columns)                         :88
+  * with per-target fault isolation (:91-94): one failing target is logged and
+  * skipped, the loop continues.
+  */
+object Bootstrapper {
+
+  final case class Result(spec: PipelineSpec, createdChangelog: Boolean,
+                          createdMirror: Boolean, error: Option[Throwable])
+
+  /** Bootstrap a single source prefix. Idempotent: a second run is a no-op
+    * for tables that already exist (tabular.py:91-99).
+    */
+  def bootstrap(spark: SparkSession, wh: Warehouse, spec: PipelineSpec): Result = {
+    try {
+      // 1. changelog: load all non-initial-load files (the managed file
+      //    loader's CREATE_AUTO_LOAD mode, tabular.py:128; continuous ingest
+      //    is CdcStream's job).
+      val createdChangelog = Tables.bootstrapTable(
+        spark, wh, spec.changelogTable, spec.sourcePath,
+        spec.changelogExcludeGlob, load = true)
+
+      // 2. dependency wiring (tabular.py:72-75) is carried by `spec` itself —
+      //    PipelineSpec IS the `dependent-tables` + cdc.* property set.
+
+      // 3+4. mirror: initial load from non-changelog files (CREATE_LOAD mode)
+      //    if any exist, else materialize from the changelog via the CDC fold.
+      val createdMirror =
+        if (wh.exists(spec.mirrorTable)) false
+        else {
+          val initialFiles = Tables.listFilesExcluding(
+            spec.sourcePath, Some(spec.mirrorExcludeGlob))
+          Tables.readFiles(spark, initialFiles) match {
+            case Some(df) =>
+              wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
+            case None if wh.exists(spec.changelogTable) =>
+              val changelog = wh.read(spark, spec.changelogTable)
+              wh.overwrite(Cdc.applyAll(changelog, spec.cdc), spec.mirrorTable)
+              true
+            case None => false
+          }
+        }
+      Result(spec, createdChangelog, createdMirror, None)
+    } catch {
+      case e: Exception => Result(spec, createdChangelog = false,
+        createdMirror = false, error = Some(e))
+    }
+  }
+
+  /** The main loop over all monitored prefixes (batch_bootstrapper.py:49).
+    * Per-target try/continue keeps one bad prefix from halting the rest (T5).
+    */
+  def run(spark: SparkSession, wh: Warehouse, specs: Seq[PipelineSpec]): Seq[Result] =
+    specs.map { spec =>
+      val r = bootstrap(spark, wh, spec)
+      r.error.foreach(e => System.err.println(
+        s"[bootstrap] target '${spec.sourcePath}' failed, skipping: ${e.getMessage}"))
+      r
+    }
+}

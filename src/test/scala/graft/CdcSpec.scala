@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Cdc
+
+/** Golden-replay correctness of the CDC fold against the reference
+  * generator's expected final state (SURVEY §5.2), plus the edge cases the
+  * reference leaves implicit.
+  */
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = CdcConfig(keyCol = "id", tsCol = "ts")
+
+  private def toDf(logs: Seq[DmsGenerator.Log]): DataFrame =
+    logs.toDF().withColumnRenamed("modificationDate", "modification_date")
+
+  private def stateOf(df: DataFrame): Set[(Long, String, String)] =
+    Cdc.currentState(df).drop("ts")
+      .select("id", "name", "modification_date")
+      .as[(Long, String, String)].collect().toSet
+
+  private def expectedSet(g: DmsGenerator.Generated): Set[(Long, String, String)] =
+    g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet
+
+  test("golden replay: applyAll over the full changelog reproduces the generator's final state") {
+    for (seed <- Seq(1L, 42L, 2024L)) {
+      val g = DmsGenerator.generate(seed)
+      val all = toDf(g.batches.flatten)
+      assert(stateOf(Cdc.applyAll(all, cfg)) === expectedSet(g), s"seed=$seed")
+    }
+  }
+
+  test("golden replay: incremental applyBatch batch-by-batch equals batch applyAll") {
+    val g = DmsGenerator.generate(7L)
+    var mirror = Cdc.applyAll(toDf(g.batches.head), cfg)
+    g.batches.tail.foreach { b => mirror = Cdc.applyBatch(mirror, toDf(b), cfg) }
+    assert(stateOf(mirror) === expectedSet(g))
+  }
+
+  test("idempotence: re-applying the last batch is a no-op") {
+    val g = DmsGenerator.generate(11L)
+    var mirror = Cdc.applyAll(toDf(g.batches.head), cfg)
+    g.batches.tail.foreach { b => mirror = Cdc.applyBatch(mirror, toDf(b), cfg) }
+    val again = Cdc.applyBatch(mirror, toDf(g.batches.last), cfg)
+    assert(stateOf(again) === expectedSet(g))
+  }
+
+  test("order-insensitivity: late batch with older ts loses to stored mirror rows") {
+    val newer = Seq(DmsGenerator.Log(1L, "new", "m2", "test_table", "U", "2024-01-02T00:00:00"))
+    val older = Seq(DmsGenerator.Log(1L, "old", "m1", "test_table", "U", "2024-01-01T00:00:00"))
+    val mirror = Cdc.applyAll(toDf(newer), cfg)
+    val after = Cdc.applyBatch(mirror, toDf(older), cfg)
+    assert(stateOf(after) === Set((1L, "new", "m2")))
+  }
+
+  test("late delete with older ts does not remove a newer row; newer delete does") {
+    val upsert = Seq(DmsGenerator.Log(1L, "v", "m", "t", "U", "2024-01-02T00:00:00"))
+    val mirror = Cdc.applyAll(toDf(upsert), cfg)
+    val lateDelete = Seq(DmsGenerator.Log(1L, "v", "m", "t", "D", "2024-01-01T00:00:00"))
+    assert(stateOf(Cdc.applyBatch(mirror, toDf(lateDelete), cfg)) === Set((1L, "v", "m")))
+    val newDelete = Seq(DmsGenerator.Log(1L, "v", "m", "t", "D", "2024-01-03T00:00:00"))
+    assert(stateOf(Cdc.applyBatch(mirror, toDf(newDelete), cfg)).isEmpty)
+  }
+
+  test("delete then re-insert within one batch keeps the re-inserted row") {
+    val logs = Seq(
+      DmsGenerator.Log(1L, "first", "m1", "t", "I", "2024-01-01T00:00:01"),
+      DmsGenerator.Log(1L, "gone", "m2", "t", "D", "2024-01-01T00:00:02"),
+      DmsGenerator.Log(1L, "back", "m3", "t", "I", "2024-01-01T00:00:03"))
+    assert(stateOf(Cdc.applyAll(toDf(logs), cfg)) === Set((1L, "back", "m3")))
+  }
+
+  test("delete of a never-seen key is a no-op") {
+    val mirror = Cdc.applyAll(
+      toDf(Seq(DmsGenerator.Log(1L, "a", "m", "t", "I", "2024-01-01T00:00:01"))), cfg)
+    val del = Seq(DmsGenerator.Log(99L, "x", "m", "t", "D", "2024-01-01T00:00:02"))
+    assert(stateOf(Cdc.applyBatch(mirror, toDf(del), cfg)) === Set((1L, "a", "m")))
+  }
+
+  test("equal-ts tie-break: later ingestion order wins within a batch") {
+    val sameTs = "2024-01-01T00:00:00"
+    val logs = Seq(
+      DmsGenerator.Log(1L, "first", "m1", "t", "I", sameTs),
+      DmsGenerator.Log(1L, "second", "m2", "t", "U", sameTs))
+    assert(stateOf(Cdc.applyAll(toDf(logs), cfg)) === Set((1L, "second", "m2")))
+  }
+
+  test("non-default ts column name (prod shape: transact_seq)") {
+    val cfg2 = CdcConfig("id", "transact_seq")
+    val df = Seq(
+      (1L, "a", 10L, "U"), (1L, "b", 20L, "U"), (2L, "c", 5L, "I"), (2L, "d", 4L, "D")
+    ).toDF("id", "name", "transact_seq", "op")
+    val out = Cdc.applyAll(df, cfg2).select("id", "name")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "b"), (2L, "c")))
+  }
+}
