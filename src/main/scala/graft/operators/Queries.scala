@@ -1,33 +1,60 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The analytic / LLM-pipeline query surface (SURVEY §7.2 `queries`).
+import graft.CdcConfig
+
+/** The relational + streaming-semantics query surface (SURVEY §7.2 `queries`,
+  * operator IDs from SURVEY §2).
   *
-  * Every query here has a matching DuckDB oracle in [[Oracles]]; the pair is
-  * registered in [[graft.SparkEntry]]. Determinism rules shared by both
-  * sides (the driver hash-compares values):
+  * Every query here has a matching DuckDB oracle in [[Queries.oracles]]; the
+  * pair is registered in [[graft.SparkEntry]]. Determinism rules shared by
+  * both sides (the driver hash-compares values):
   *  - fractional SUMs go through exact DECIMAL accumulation and are cast to
   *    DOUBLE once at the end — bit-identical regardless of partial-agg order;
   *  - every top-k / rank uses row_number with a unique-id tie-break;
-  *  - timestamps are emitted as formatted strings (Spark truncates the
-  *    events table's ns timestamps to µs; strings sidestep unit mismatches);
+  *  - the events table's ns timestamps are reduced to epoch-microsecond longs
+  *    in BOTH engines (Spark reads TIMESTAMP(NANOS) via nanosAsLong; DuckDB
+  *    truncates to µs on read), so no timestamp-unit mismatch can leak in;
   *  - every result has a total deterministic ORDER BY.
+  *
+  * Scale notes are per-query; the common ones: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), small dimensions are
+  * broadcast explicitly, aggregations are partial+final hash aggs (map-side
+  * combine), and no query collects to the driver.
   */
 object Queries {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by default;
+    * read it as epoch-nanos long and expose epoch-µs (matches DuckDB's
+    * truncate-to-µs read). Column `ts_us` replaces `ts`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+  }
+
   /** Exact decimal sum emitted as double: order-insensitive, engine-portable. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** revenue = SUM(extendedprice * (1 - discount)) in exact decimal. */
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
 
   // --------------------------------------------------------------------
   // Relational core
   // --------------------------------------------------------------------
 
-  /** TPC-H Q1-style pricing summary: scan -> filter -> hash agg.
+  /** TPC-H Q1-style pricing summary: scan -> filter -> hash agg (SURVEY A3).
     * Filter + 7-column projection push into the parquet scan; the agg is
     * partial+final over 6 groups (map-side combine makes the shuffle tiny).
     */
@@ -38,10 +65,467 @@ object Queries {
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("sum_disc_price"),
+        revenue.as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** Selective scan -> projection -> global top-k (SURVEY §2.6). Planned as
+    * TakeOrderedAndProject: each task keeps 100 rows, no full sort/shuffle.
+    */
+  def q02FilterTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** TPC-H Q3-style: broadcast-filtered dim join + agg + top-k (SURVEY J1/A3).
+    * `customer` is explicitly broadcast (small dim at any SF relative to
+    * facts); orders⋈lineitem is a shuffle equi-join on l_orderkey that AQE
+    * plans as SMJ/shuffle-hash at scale.
+    */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(revenue.as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style multiway star join: two broadcast dims + two shuffle
+    * joins + agg (SURVEY J1/J3). region⋈nation collapses to a broadcast
+    * before touching facts, so only the fact-fact join shuffles.
+    */
+  def q04JoinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.join(broadcast(nation.join(broadcast(region),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Semi + anti join (SURVEY J2): customers with vs without orders, per
+    * market segment. Both sides broadcast the distinct-key set at scale.
+    */
+  def q05SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with_orders", "n_no_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Ranked window top-N per key (SURVEY W1): top-3 orders by price per
+    * customer, unique-key tie-break. One shuffle on o_custkey; the sort is
+    * per-partition.
+    */
+  def q06WindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Analytic window functions (SURVEY W2): lag + running sum with an
+    * explicit rows-frame over each customer's order history.
+    */
+  def q07WindowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("run_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wRun).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("prev_price"), col("run_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ROLLUP hierarchy aggregation (SURVEY A3). Null group markers are
+    * projected to 'ALL' so the oracle compare is label-stable.
+    */
+  def q08AggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** CUBE aggregation (SURVEY A3), same label-stabilization as q08. */
+  def q09AggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Multi-column DISTINCT aggregation (SURVEY A3): planned via expand +
+    * two-phase agg; distinct keys shuffle once.
+    */
+  def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations (SURVEY §2.7): customers ordering in 1995 vs 1996 via
+    * INTERSECT / EXCEPT, tagged and unioned.
+    */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    def keys(yr: Int) = ord.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    val a = keys(1995); val b = keys(1996)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1995")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Scalar-subquery pattern (TPC-H Q17-style, SURVEY §2.3 J1): per-part
+    * average quantity joined back against the fact; the per-part agg is tiny
+    * and broadcast.
+    */
+  def q12ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part").filter(col("p_size") < 20)
+    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+  }
+
+  /** Conditional aggregation (TPC-H Q12-style, SURVEY A3): CASE inside SUM
+    * over a fact-fact join.
+    */
+  def q13ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_priority"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_priority"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --------------------------------------------------------------------
+  // Events: JSON, time windows, sessionization, CDC-as-query
+  // --------------------------------------------------------------------
+
+  /** JSON extraction (SURVEY F3) + aggregation over events.props. */
+  def q14Json(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        dsum(col("value")).as("sum_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling event-time window (SURVEY T3) — the batch-mode shape of the
+    * streaming windowed agg; `window()` aligns to the epoch so the bucket is
+    * reproducible as integer µs arithmetic in the oracle.
+    */
+  def q15TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy(col("bucket_us"))
+
+  /** Session window (SURVEY T3): 30-minute-gap sessions per user via Spark's
+    * native session_window; span computed from min/max so the semantics are
+    * exactly reproducible in the oracle's lag+cumsum sessionization.
+    */
+  def q16SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+      .select("user_id", "session_start_us", "n_events", "span_us")
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** CDC A1 as a query: latest event per user via one hash agg (max_by) —
+    * the same latest-per-key kernel the CDC merge uses; no window sort.
+    */
+  def q17CdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val payload = struct(col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    ev.groupBy(col("user_id"))
+      .agg(max_by(payload, struct(col("ts_us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"), col("last.ts_us").as("last_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CDC A2 fold as a query: events re-labelled as a DMS-style changelog
+    * (errors = deletes) folded through the production [[Cdc.applyAll]]
+    * kernel — key=user_id, ordering=event_id (monotone with ts in this
+    * table). Proves the merge kernel itself under the DuckDB oracle gate.
+    */
+  def q18CdcFold(spark: SparkSession, dir: String): DataFrame = {
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+    Cdc.applyAll(ch, CdcConfig(keyCol = "user_id", tsCol = "event_id"))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles (identical column names + ordering)
+  // --------------------------------------------------------------------
+
+  /** Shared SQL fragments for the oracles. */
+  private val revSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  $revSql AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q03_join_agg" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  $revSql AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_join_multiway" ->
+      s"""SELECT r_name, n_name, $revSql AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA','EUROPE') AND year(o_orderdate) = 1996
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_semi_anti" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o
+        |  FROM customer c)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |  CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_no_orders
+        |FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q08_agg_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q09_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q12_scalar_subquery" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size < 20
+        |JOIN avgq ON l_partkey = a_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q13_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_tumbling_window" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin,
+
+    "q16_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  count(*) AS n_events, max(ts_us) - min(ts_us) AS span_us
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q17_cdc_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value, epoch_us(ts) AS last_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q18_cdc_fold" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+  )
+
+  /** Query registry slice for SparkEntry. */
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_topk" -> (q02FilterTopk _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_join_multiway" -> (q04JoinMultiway _),
+    "q05_semi_anti" -> (q05SemiAnti _),
+    "q06_window_topn" -> (q06WindowTopn _),
+    "q07_window_analytic" -> (q07WindowAnalytic _),
+    "q08_agg_rollup" -> (q08AggRollup _),
+    "q09_agg_cube" -> (q09AggCube _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_scalar_subquery" -> (q12ScalarSubquery _),
+    "q13_conditional_agg" -> (q13ConditionalAgg _),
+    "q14_json" -> (q14Json _),
+    "q15_tumbling_window" -> (q15TumblingWindow _),
+    "q16_session_window" -> (q16SessionWindow _),
+    "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
+    "q18_cdc_fold" -> (q18CdcFold _),
+  )
 }

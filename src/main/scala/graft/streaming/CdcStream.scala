@@ -47,11 +47,16 @@ object CdcStream {
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
     // Schema is pinned from existing files (the reference infers at
-    // table-creation time, tabular.py:130-139 carries no schema).
-    val schema = spark.read
-      .option("pathGlobFilter", "*.parquet")
-      .option("recursiveFileLookup", "true")
-      .parquet(spec.sourcePath).schema
+    // table-creation time, tabular.py:130-139 carries no schema). Inference
+    // must see only files that PASS the exclusion glob: initial-load
+    // `LOAD*` files carry the bare data schema without the CDC envelope
+    // (op/ts), and parquet inference reads one footer — picking a LOAD file
+    // would silently drop the envelope columns from the whole stream.
+    val schemaFiles = graft.sources.Tables.listFilesExcluding(
+      spec.sourcePath, Some(spec.changelogExcludeGlob))
+    require(schemaFiles.nonEmpty,
+      s"no loadable files under ${spec.sourcePath} to infer a schema from")
+    val schema = spark.read.parquet(schemaFiles: _*).schema
 
     val reader = spark.readStream
       .schema(schema)
