@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (driver north star):
+  * exact hash dedup, n-gram Jaccard near-dup, MinHash + LSH banding, and
+  * SimHash with banded candidate generation.
+  *
+  * All hashing is md5 (identical hex output in Spark and DuckDB), so every
+  * stage — shingling, minhash signatures, band buckets, simhash bits — is
+  * reproducible in the DuckDB oracles. Similarity values are ratios of
+  * integer counts (exact in both engines).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-agg on the content hash (map-side combine);
+  *  - the shingle inverted index (q31) shuffles (shingle -> doc) pairs; at
+  *    scale, hot shingles are capped (stopword-shingle skew) and q32's LSH
+  *    banding replaces the full index: candidates are generated from
+  *    band-bucket joins whose fanout is bounded by design, then verified
+  *    pairwise — the standard MinHash-LSH pipeline;
+  *  - SimHash (q33) reduces each doc to one 16-bit int; the banded
+  *    candidate join is a tiny equi-join, and verification is one XOR.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles from the `toks` column (positional, so built with
+    * an index transform; empty when the doc has fewer than 3 tokens).
+    */
+  val shingleExpr: Column = expr(
+    """CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(0, size(toks) - 3),
+      |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |  ELSE array() END""".stripMargin)
+
+  /** DuckDB equivalent of [[shingleExpr]] (expects list column `toks` in
+    * scope via `string_split(text, ' ')`).
+    */
+  val shingleSql: String =
+    "[string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] " +
+      "for i in generate_series(1, len(string_split(text,' ')) - 2)]"
+
+  /** (doc_id, shingle) distinct pairs — the shingle inverted index. */
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s", explode(array_distinct(shingleExpr)))
+      .select("doc_id", "s")
+
+  /** Per-doc distinct shingle sets (array form, for pairwise verification). */
+  private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(shingleExpr).as("sset"))
+
+  /** Exact deduplication: group by content hash, keep the smallest doc_id. */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  /** n-gram Jaccard near-duplicate pairs (threshold 0.8) via the shingle
+    * inverted index: intersection counts from a shingle self-join, union
+    * sizes from per-doc counts.
+    */
+  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(counts).as("na"), col("i") === col("na.doc_id"))
+      .join(broadcast(counts).as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na.ns") + col("nb.ns") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("i"), col("j"), col("inter"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** MinHash signature size and banding (4 bands x 3 rows). */
+  private val K = 12
+  private val Bands = 4
+  private val RowsPerBand = K / Bands
+
+  /** MinHash + LSH near-dup pairs: 12 md5-derived minhashes per doc, banded
+    * 4x3; pairs sharing any band bucket are candidates, verified with exact
+    * Jaccard >= 0.5 on the shingle sets.
+    */
+  def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val minhashes = (0 until K).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("sig"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val sets = shingleSets(spark, dir)
+    candidates
+      .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
+      .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Portable hex->int for the first 4 md5 hex chars of `e` (0..65535). */
+  private def hex4Sql(e: String): String = {
+    def hv(i: Int) = s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
+  }
+
+  /** DuckDB twin of [[hex4Sql]] (strpos == instr semantics). */
+  private def hex4Duck(e: String): String = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
+  }
+
+  /** SimHash near-dup pairs: 16-bit simhash over distinct tokens, banded
+    * (6+5+5 bits) candidate generation — hamming <= 2 guarantees a shared
+    * band — verified by popcount(xor).
+    */
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+      .withColumn("h", expr(hex4Sql("t")))
+    val bitSums = (0 until 16).map(b =>
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val fp = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("f", (0 until 16).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "f")
+    val banded = fp.select(col("doc_id"), col("f"), explode(array(
+      struct(lit(0).as("band"), expr("f & 63").as("v")),
+      struct(lit(1).as("band"), expr("(f >> 6) & 31").as("v")),
+      struct(lit(2).as("band"), expr("(f >> 11) & 31").as("v")))).as("bk"))
+      .select(col("doc_id"), col("f"), col("bk.band").as("band"), col("bk.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.f").as("fi"), col("b.f").as("fj"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fi ^ fj)").cast("long"))
+      .filter(col("hamming") <= 2)
+      .select("i", "j", "fi", "fj", "hamming")
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private def shinglesCte: String =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id, unnest($shingleSql) AS s
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  private def minhashCols: String =
+    (0 until K).map(k => s"min(md5('$k|' || s)) AS m$k").mkString(", ")
+
+  private def bandSelects: String = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private def simhashBitSums: String =
+    (0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+
+  private def simhashFp: String =
+    (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i, j, inter,
+        |  CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) AS jaccard
+        |FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8
+        |ORDER BY i, j""".stripMargin,
+
+    "q32_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+        |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+        |buckets AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
+        |verified AS (
+        |  SELECT i, j,
+        |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+        |    len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS uni
+        |  FROM cand JOIN sets sa ON sa.doc_id = i JOIN sets sb ON sb.doc_id = j)
+        |SELECT i, j, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+        |ORDER BY i, j""".stripMargin,
+
+    "q33_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ${hex4Duck("t")} AS h FROM tok),
+        |bits AS (SELECT doc_id,
+        |    $simhashBitSums
+        |  FROM h GROUP BY doc_id),
+        |fp AS (SELECT doc_id, CAST($simhashFp AS BIGINT) AS f FROM bits),
+        |banded AS (
+        |  SELECT doc_id, f, 0 AS band, f & 63 AS v FROM fp
+        |  UNION ALL SELECT doc_id, f, 1 AS band, (f >> 6) & 31 AS v FROM fp
+        |  UNION ALL SELECT doc_id, f, 2 AS band, (f >> 11) & 31 AS v FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.f AS fi, b.f AS fj
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT i, j, fi, fj, bit_count(xor(fi, fj)) AS hamming
+        |FROM cand WHERE bit_count(xor(fi, fj)) <= 2
+        |ORDER BY i, j""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_ngram_jaccard" -> (q31NgramJaccard _),
+    "q32_minhash_lsh" -> (q32MinhashLsh _),
+    "q33_simhash" -> (q33Simhash _),
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (driver north star): media as opaque `binary`
+  * columns with typed metadata, decode / feature-extract / frame-sample as
+  * distributed per-partition transforms.
+  *
+  * No image/audio codecs exist in this environment, so the DECODE step is a
+  * clearly-marked deterministic stub ([[decodeStub]]) — what is real and
+  * tested is the Spark-side shape: the binary+metadata schema, the
+  * `mapPartitions` batch transform (one decoder init per partition, the same
+  * shape a JNI/FFmpeg/pillow-equivalent decoder needs), the offset-based
+  * frame sampling, and the pure-SQL metadata path (q40) that never
+  * materializes the blob in a shuffle.
+  *
+  * Scale notes (100 TB of media): metadata extraction (q40) is a narrow
+  * projection — only byte length/hash flow into the agg, the blob column is
+  * pruned from the shuffle. Real decode work is partition-local
+  * (`mapPartitions`), so media bytes never cross the network; frame
+  * sampling emits (offset, length) pointers, not frame bytes.
+  */
+object Multimodal {
+
+  /** One decoded-media record: everything downstream needs, no raw bytes. */
+  final case class MediaMeta(
+      docId: Long,
+      nBytes: Long,
+      contentMd5: String,
+      // stubbed "decoded" fields — a real build fills these from the codec:
+      width: Int,
+      height: Int,
+      nFrames: Int)
+
+  /** Synthesize a media table from `documents`: the text bytes stand in for
+    * an opaque media blob (utf-8), with source-side metadata columns.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("media"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+
+  /** DECODE STUB — deterministic fake decoder. A production build replaces
+    * the body with a real codec call; the `mapPartitions` contract (batch
+    * iterator in, metadata iterator out, one decoder init per partition)
+    * is exactly what a native decoder needs and is what the test pins.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "decoder init" happens here (stub: a digest)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (docId, bytes) =>
+          digest.reset()
+          val md5Hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          // fake decode: dimensions derived deterministically from content
+          val w = 160 + (bytes.headOption.getOrElse(0: Byte) & 0x3f)
+          val h = 90 + (bytes.lastOption.getOrElse(0: Byte) & 0x3f)
+          MediaMeta(docId, bytes.length.toLong, md5Hex, w, h,
+            nFrames = math.max(1, bytes.length / 64))
+        }
+      }
+  }
+
+  /** Frame sampling as offset arithmetic: every `stride` bytes, an
+    * (offset, length) window — pointers, not bytes.
+    */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("doc_id"), col("n_bytes"),
+      explode(expr(s"sequence(0L, n_bytes - 1, $stride)")).as("frame_offset"))
+      .withColumn("frame_len", least(lit(stride.toLong), col("n_bytes") - col("frame_offset")))
+
+  /** Metadata extraction + per-source aggregation, blob-column pruned before
+    * the shuffle. The md5/first-byte path is the oracle-checkable slice of
+    * the decode pipeline.
+    */
+  def q40MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("source"), col("n_bytes"),
+        md5(col("media")).as("content_md5"),
+        expr("CAST((n_bytes + 255) div 256 AS BIGINT)").as("n_chunks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_chunks")).as("total_chunks"),
+        min(col("content_md5")).as("min_md5"))
+      .orderBy(col("source"))
+
+  val oracles: Map[String, String] = Map(
+    "q40_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    md5(text) AS content_md5,
+        |    (octet_length(encode(text)) + 255) // 256 AS n_chunks
+        |  FROM documents)
+        |SELECT source, count(*) AS n_media,
+        |  sum(n_bytes) AS total_bytes,
+        |  sum(n_chunks) AS total_chunks,
+        |  min(content_md5) AS min_md5
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_multimodal_meta" -> (q40MultimodalMeta _),
+  )
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (driver north star):
+  * brute-force cosine top-k, within-block near-dup pairs, random-hyperplane
+  * LSH bucketing, and centroid-distance scoring.
+  *
+  * Cross-engine determinism: embeddings are quantized to integers
+  * (`floor(x * 10000 + 0.5)`), so every dot product and norm is EXACT
+  * integer arithmetic in both engines (values stay far below 2^53, so
+  * DuckDB's double-valued list_dot_product is exact too). The only floating
+  * step is the final `dot / (sqrt(na) * sqrt(nb))`, evaluated identically
+  * from identical integers — IEEE sqrt/div are correctly rounded, so the
+  * doubles are bit-equal across engines.
+  *
+  * Scale design (100 TB): brute-force top-k (q35) is the per-partition
+  * baseline: one broadcast of the query vector, one codegen'd map, a
+  * TakeOrdered — no shuffle of the corpus. The LSH path (q36) is the scale
+  * path: bucket once (one narrow pass), store bucketed/partitioned by
+  * bucket id, and answer queries by scanning only the matching bucket
+  * (partition pruning); candidates per query are bounded by bucket size.
+  * Near-dup pairing (q34) blocks by a coarse key (label here; any
+  * clustering/LSH key in production) so the pair join is per-block, never
+  * all-pairs global.
+  */
+object Similarity {
+
+  /** Quantize a float embedding to exact integer space (half-up at 1e-4). */
+  private val quantize =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  /** Integer dot product of two quantized vectors (exact). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Quantized vectors + their integer squared norms. */
+  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "embeddings")
+      .withColumn("q", expr(quantize))
+      .withColumn("nq", expr(dotExpr("q", "q")))
+      .select("vec_id", "label", "q", "nq")
+
+  /** cos(a, b) from integer dot and norms — bit-identical across engines. */
+  private def cosCol(dot: String, na: String, nb: String) =
+    expr(s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))")
+
+  /** Embedding near-duplicate candidates: top-20 most-similar pairs within
+    * each label block (label = the blocking key; all-pairs only inside a
+    * block).
+    */
+  def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        expr(dotExpr("a.q", "b.q")).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .withColumn("cos", cosCol("dot", "na", "nb"))
+      .select("label", "i", "j", "cos")
+      .orderBy(col("cos").desc, col("i"), col("j"))
+      .limit(20)
+  }
+
+  /** Brute-force cosine top-k: query = vec 0's embedding, scanned against
+    * the whole corpus; planned as broadcast + TakeOrderedAndProject.
+    */
+  def q35AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"))
+      .withColumn("cos", cosCol("dot", "nq", "qn"))
+      .select("vec_id", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val Planes = 8
+
+  /** Deterministic ±1 hyperplanes: sign from the md5 parity of (plane,dim). */
+  private def planes(spark: SparkSession): DataFrame =
+    spark.range(Planes).select(col("id").as("j"))
+      .crossJoin(spark.range(64).select(col("id").as("i")))
+      .withColumn("sign", expr(
+        "CASE WHEN instr('02468ace', substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 32, 1)) > 0 THEN 1 ELSE -1 END"))
+
+  /** Sign-random-projection LSH buckets per vector: bit j = (v . h_j) >= 0. */
+  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val pos = qvecs(spark, dir)
+      .select(col("vec_id"), col("nq"), posexplode(col("q")).as(Seq("i", "qi")))
+    pos.join(broadcast(planes(spark)), Seq("i"))
+      .groupBy(col("vec_id"), col("nq"), col("j"))
+      .agg(sum(col("sign") * col("qi")).as("dj"))
+      .groupBy(col("vec_id"), col("nq"))
+      .agg(sum(when(col("dj") >= 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query vector's bucket; exact
+    * cosine re-rank inside the bucket only.
+    */
+  def q36AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
+    val e = qvecs(spark, dir).join(buckets.select("vec_id", "bucket"), Seq("vec_id"))
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"), col("bucket").as("qb"))
+    e.join(broadcast(query), col("bucket") === col("qb") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"))
+      .withColumn("cos", cosCol("dot", "nq", "qn"))
+      .select("vec_id", "bucket", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Centroid similarity / outlier scoring: per-label integer centroid sums
+    * (elementwise, exact), then the 2 least-central vectors per label.
+    */
+  def q37CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val pos = qvecs(spark, dir)
+      .select(col("vec_id"), col("label"), col("nq"), posexplode(col("q")).as(Seq("i", "qi")))
+    val centroid = pos.groupBy(col("label").as("c_label"), col("i"))
+      .agg(sum(col("qi")).as("ci"))
+    val cnorm = centroid.groupBy(col("c_label"))
+      .agg(sum(col("ci") * col("ci")).as("nc"))
+    val dots = pos.join(centroid,
+        pos("label") === centroid("c_label") && pos("i") === centroid("i"))
+      .groupBy(col("vec_id"), col("label"), col("nq"))
+      .agg(sum(col("qi") * col("ci")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))
+    dots.join(cnorm, col("label") === col("c_label"))
+      .withColumn("cos", cosCol("dot", "nq", "nc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("label", "vec_id", "cos", "rn")
+      .orderBy(col("label"), col("rn"))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private val qCte =
+    """qe AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+      |FROM embeddings),
+      |e AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nq FROM qe)""".stripMargin
+
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "q34_embedding_neardup" ->
+      s"""WITH $qCte
+        |SELECT a.label AS label, a.vec_id AS i, b.vec_id AS j,
+        |  ${cosSql("list_dot_product(a.q, b.q)", "a.nq", "b.nq")} AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cos DESC, i, j LIMIT 20""".stripMargin,
+
+    "q35_ann_bruteforce" ->
+      s"""WITH $qCte,
+        |query AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ${cosSql("list_dot_product(e.q, query.qq)", "e.nq", "query.qn")} AS cos
+        |FROM e, query WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q36_ann_lsh" ->
+      s"""WITH $qCte,
+        |planes AS (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('02468ace', substr(md5(j || '_' || i), 32, 1)) > 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM generate_series(0, ${Planes - 1}) AS tj(j),
+        |       generate_series(0, 63) AS ti(i)),
+        |pos AS (
+        |  SELECT vec_id, nq, g.i - 1 AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |dots AS (
+        |  SELECT vec_id, nq, j, sum(sign * qi) AS dj
+        |  FROM pos JOIN planes USING (i) GROUP BY vec_id, nq, j),
+        |buckets AS (
+        |  SELECT vec_id, nq,
+        |    CAST(sum(CASE WHEN dj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, nq),
+        |eb AS (SELECT e.vec_id, e.q, e.nq, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+        |query AS (SELECT q AS qq, nq AS qn, bucket AS qb FROM eb WHERE vec_id = 0)
+        |SELECT eb.vec_id, eb.bucket,
+        |  ${cosSql("list_dot_product(eb.q, query.qq)", "eb.nq", "query.qn")} AS cos
+        |FROM eb, query WHERE eb.bucket = query.qb AND eb.vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q37_centroid_outliers" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, label, nq, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |centroid AS (SELECT label, i, sum(qi) AS ci FROM pos GROUP BY label, i),
+        |cnorm AS (SELECT label, sum(ci * ci) AS nc FROM centroid GROUP BY label),
+        |dots AS (
+        |  SELECT p.vec_id, p.label, p.nq, sum(p.qi * c.ci) AS dot
+        |  FROM pos p JOIN centroid c ON p.label = c.label AND p.i = c.i
+        |  GROUP BY p.vec_id, p.label, p.nq),
+        |scored AS (
+        |  SELECT d.label, d.vec_id,
+        |    ${cosSql("d.dot", "d.nq", "cn.nc")} AS cos
+        |  FROM dots d JOIN cnorm cn ON d.label = cn.label),
+        |ranked AS (
+        |  SELECT label, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT label, vec_id, cos, rn FROM ranked WHERE rn <= 2
+        |ORDER BY label, rn""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_embedding_neardup" -> (q34EmbeddingNeardup _),
+    "q35_ann_bruteforce" -> (q35AnnBruteforce _),
+    "q36_ann_lsh" -> (q36AnnLsh _),
+    "q37_centroid_outliers" -> (q37CentroidOutliers _),
+  )
+}

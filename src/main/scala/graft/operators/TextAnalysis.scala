@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (driver north star:
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Cross-engine determinism: all metrics are integer counts, string hashes
+  * (md5), or doubles derived from integer division — each reproducible
+  * bit-for-bit in the DuckDB oracles. Tokenization is a plain
+  * split-on-space in both engines.
+  *
+  * Scale notes (100 TB): every query is a narrow per-row map (codegen'd
+  * higher-order functions on the tokens array, no UDFs, no shuffle except
+  * the final aggregate where present). Token explosion is avoided — counts
+  * come from `size(filter(...))`/`regexp_count` without generating rows.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents").withColumn("toks", split(col("text"), " "))
+
+  /** Per-document token statistics (token counting). */
+  def q20TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("toks"))).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** Language identification via stopword-hit voting (deterministic argmax
+    * with fixed tie order en > de > es > fr > und).
+    */
+  def q21LangId(spark: SparkSession, dir: String): DataFrame = {
+    val hits = langStops.map { case (lang, words) =>
+      expr(s"size(filter(toks, t -> t IN (${inList(words)})))").cast("long")
+        .as(s"${lang}_hits")
+    }
+    docs(spark, dir)
+      .select(col("doc_id") +: hits: _*)
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits") &&
+              col("de_hits") > 0, "de")
+        .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+        .when(col("fr_hits") > 0, "fr")
+        .otherwise("und"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle fragment mirroring [[q21LangId]]'s hit columns. */
+  private def langHitsSql: String = langStops.map { case (lang, words) =>
+    s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS ${lang}_hits"
+  }.mkString(",\n  ")
+
+  /** Quality scoring: distinct-token ratio, short-token ratio, length prior —
+    * combined into one double score + a bucket label.
+    */
+  def q22Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("short_ratio", col("n_short").cast("double") / col("n_tokens"))
+      .withColumn("score",
+        col("distinct_ratio") * lit(0.6) + (lit(1.0) - col("short_ratio")) * lit(0.4))
+      .withColumn("bucket",
+        when(col("score") >= 0.7, "high")
+          .when(col("score") >= 0.5, "medium").otherwise("low"))
+      .select("doc_id", "n_tokens", "distinct_ratio", "short_ratio", "score", "bucket")
+      .orderBy(col("doc_id"))
+
+  /** Regex token classes per source (BPE-ish segmentation counts): word runs,
+    * single-char tokens, aggregated per source.
+    */
+  def q23TokenClasses(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .select(col("source"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_runs"),
+        regexp_count(col("text"), lit("\\b[a-z]\\b")).cast("long").as("single_chars"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("alpha_runs")).as("sum_alpha_runs"),
+        sum(col("single_chars")).as("sum_single_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  /** Document fingerprinting: whole-content md5 + min-shingle fingerprint
+    * (the 1-hash MinHash special case used for content-defined chunk ids).
+    */
+  def q24Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("shingles", Dedup.shingleExpr)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        expr("array_min(transform(shingles, s -> md5(s)))").as("min_shingle_fp"),
+        size(col("shingles")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  length(text) AS n_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  $langHitsSql
+        |FROM t)
+        |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE
+        |    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |    WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |    WHEN fr_hits > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q22_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short
+        |FROM t),
+        |s AS (SELECT doc_id, n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio
+        |FROM m),
+        |sc AS (SELECT *, distinct_ratio * 0.6 + (1.0 - short_ratio) * 0.4 AS score FROM s)
+        |SELECT doc_id, n_tokens, distinct_ratio, short_ratio, score,
+        |  CASE WHEN score >= 0.7 THEN 'high'
+        |       WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q23_token_classes" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_runs,
+        |  sum(len(regexp_extract_all(text, '\b[a-z]\b'))) AS sum_single_chars,
+        |  sum(length(text)) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, ${Dedup.shingleSql} AS shingles FROM documents)
+        |SELECT doc_id, md5(text) AS content_md5,
+        |  list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_fp,
+        |  len(shingles) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_stats" -> (q20TextStats _),
+    "q21_lang_id" -> (q21LangId _),
+    "q22_quality" -> (q22Quality _),
+    "q23_token_classes" -> (q23TokenClasses _),
+    "q24_fingerprint" -> (q24Fingerprint _),
+  )
+}
