@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression for the hot vector kernel: exact integer dot
+  * product over two ArrayType(LongType) columns.
+  *
+  * Why a custom Expression and not `aggregate(zip_with(...))`: Spark's
+  * higher-order functions evaluate their lambda per element through the
+  * expression interpreter — fine for a handful of rows, but a pairwise
+  * similarity join evaluates millions of 64-element dots, where the
+  * interpreter overhead dominates. This expression participates in
+  * whole-stage codegen ([[LongDotProduct.doGenCode]]) as a tight primitive
+  * loop — the preference order from SURVEY §2.10: native codegen Expression
+  * over UDF over interpreted lambdas.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"long_dot requires two ARRAY<BIGINT> arguments, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var k = 0
+    while (k < n) { acc += x.getLong(k) * y.getLong(k); k += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $acc += $a.getLong($k) * $b.getLong($k);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of graft's SQL functions into a session's function
+  * registry (idempotent), so `expr("long_dot(a, b)")` parses anywhere.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_dot",
+      (children: Seq[Expression]) => LongDotProduct(children(0), children(1)),
+      "built-in")
+  }
+
+  /** Spark-side name for the registered dot kernel. */
+  val LongDotName = "long_dot"
+}

@@ -67,9 +67,17 @@ object Dedup {
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // Inverted-index pair generation: group each shingle's (sorted) posting
+    // list once and emit its pair combinations, instead of a self-join that
+    // shuffles the index twice. One shuffle on shingle, one on (i, j).
+    val inter = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, ix) ->
+          |  transform(slice(ds, ix + 2, size(ds) - ix - 1),
+          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(counts).as("na"), col("i") === col("na.doc_id"))
@@ -85,19 +93,26 @@ object Dedup {
   private val K = 12
   private val Bands = 4
   private val RowsPerBand = K / Bands
+  /** Largest prime below 2^32 — modulus for the double-hash family. */
+  private val P = 4294967291L
 
-  /** MinHash + LSH near-dup pairs: 12 md5-derived minhashes per doc, banded
-    * 4x3; pairs sharing any band bucket are candidates, verified with exact
-    * Jaccard >= 0.5 on the shingle sets.
+  /** MinHash + LSH near-dup pairs: 12 minhashes per doc via
+    * Kirsch-Mitzenmacher double hashing — ONE md5 per shingle yields
+    * (h1, h2), and hash k is (h1 + k*h2) mod p — banded 4x3; pairs sharing
+    * any band bucket are candidates, verified with exact Jaccard >= 0.5 on
+    * the shingle sets.
     */
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
+      .withColumn("md", md5(col("s")))
+      .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substr(md, 9, 8), 16, 10) AS BIGINT)"))
     val minhashes = (0 until K).map(k =>
-      min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k"))
+      min((col("h1") + lit(k.toLong) * col("h2")) % P).as(s"m$k"))
     val sigs = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("sig"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -118,15 +133,11 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Portable hex->int for the first 4 md5 hex chars of `e` (0..65535). */
-  private def hex4Sql(e: String): String = {
-    def hv(i: Int) = s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
-    s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
-  }
-
-  /** DuckDB twin of [[hex4Sql]] (strpos == instr semantics). */
-  private def hex4Duck(e: String): String = {
-    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+  /** Portable hex->int over a 4-hex-char column `m` (0..65535); the md5 is
+    * computed once upstream, not per nibble.
+    */
+  private def hex4FromCol(fn: String): String = {
+    def hv(i: Int) = s"($fn('0123456789abcdef', substr(m, $i, 1)) - 1)"
     s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
   }
 
@@ -138,7 +149,8 @@ object Dedup {
     val tok = Queries.t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
-      .withColumn("h", expr(hex4Sql("t")))
+      .withColumn("m", expr("substr(md5(t), 1, 4)"))
+      .withColumn("h", expr(hex4FromCol("instr")))
     val bitSums = (0 until 16).map(b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val fp = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -172,10 +184,11 @@ object Dedup {
       |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
 
   private def minhashCols: String =
-    (0 until K).map(k => s"min(md5('$k|' || s)) AS m$k").mkString(", ")
+    (0 until K).map(k => s"min((h1 + $k * h2) % $P) AS m$k").mkString(", ")
 
   private def bandSelects: String = (0 until Bands).map { b =>
-    val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || ")
+    val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+      .mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
@@ -206,7 +219,11 @@ object Dedup {
 
     "q32_minhash_lsh" ->
       s"""WITH $shinglesCte,
-        |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+        |shh AS (SELECT doc_id, s,
+        |  CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+        |FROM sh),
+        |sigs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
         |buckets AS (
         |  $bandSelects),
         |cand AS (
@@ -226,7 +243,8 @@ object Dedup {
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |h AS (SELECT doc_id, ${hex4Duck("t")} AS h FROM tok),
+        |hm AS (SELECT doc_id, substr(md5(t), 1, 4) AS m FROM tok),
+        |h AS (SELECT doc_id, ${hex4FromCol("strpos")} AS h FROM hm),
         |bits AS (SELECT doc_id,
         |    $simhashBitSums
         |  FROM h GROUP BY doc_id),

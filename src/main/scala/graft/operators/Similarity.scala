@@ -31,16 +31,19 @@ object Similarity {
   private val quantize =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
 
-  /** Integer dot product of two quantized vectors (exact). */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  /** Integer dot product of two quantized vectors (exact) — the codegen'd
+    * [[graft.functions.LongDotProduct]] kernel, not an interpreted lambda.
+    */
+  private def dotExpr(a: String, b: String): String = s"long_dot($a, $b)"
 
   /** Quantized vectors + their integer squared norms. */
-  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Queries.t(spark, dir, "embeddings")
       .withColumn("q", expr(quantize))
       .withColumn("nq", expr(dotExpr("q", "q")))
       .select("vec_id", "label", "q", "nq")
+  }
 
   /** cos(a, b) from integer dot and norms — bit-identical across engines. */
   private def cosCol(dot: String, na: String, nb: String) =
@@ -83,24 +86,27 @@ object Similarity {
 
   private val Planes = 8
 
-  /** Deterministic ±1 hyperplanes: sign from the md5 parity of (plane,dim). */
+  /** Deterministic ±1 hyperplanes in array form: sign from the md5 parity of
+    * (plane, dim). 8 rows of 64-element arrays, broadcast to the corpus.
+    */
   private def planes(spark: SparkSession): DataFrame =
     spark.range(Planes).select(col("id").as("j"))
-      .crossJoin(spark.range(64).select(col("id").as("i")))
-      .withColumn("sign", expr(
-        "CASE WHEN instr('02468ace', substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 32, 1)) > 0 THEN 1 ELSE -1 END"))
+      .withColumn("h", expr(
+        """transform(sequence(0, 63), i ->
+          |  CASE WHEN instr('02468ace',
+          |    substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 32, 1)) > 0
+          |  THEN 1L ELSE -1L END)""".stripMargin))
 
-  /** Sign-random-projection LSH buckets per vector: bit j = (v . h_j) >= 0. */
-  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val pos = qvecs(spark, dir)
-      .select(col("vec_id"), col("nq"), posexplode(col("q")).as(Seq("i", "qi")))
-    pos.join(broadcast(planes(spark)), Seq("i"))
-      .groupBy(col("vec_id"), col("nq"), col("j"))
-      .agg(sum(col("sign") * col("qi")).as("dj"))
+  /** Sign-random-projection LSH buckets per vector: bit j = (v . h_j) >= 0.
+    * One broadcast of 8 plane arrays, one codegen'd dot per (vector, plane).
+    */
+  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    qvecs(spark, dir)
+      .crossJoin(broadcast(planes(spark)))
+      .withColumn("dj", expr(dotExpr("q", "h")))
       .groupBy(col("vec_id"), col("nq"))
       .agg(sum(when(col("dj") >= 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
         .as("bucket"))
-  }
 
   /** LSH-bucketed ANN: candidates share the query vector's bucket; exact
     * cosine re-rank inside the bucket only.
