@@ -100,7 +100,7 @@ object Similarity {
   /** Sign-random-projection LSH buckets per vector: bit j = (v . h_j) >= 0.
     * One broadcast of 8 plane arrays, one codegen'd dot per (vector, plane).
     */
-  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     qvecs(spark, dir)
       .crossJoin(broadcast(planes(spark)))
       .withColumn("dj", expr(dotExpr("q", "h")))

