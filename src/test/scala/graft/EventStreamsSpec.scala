@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CdcStateful, EventStreams}
+import graft.streaming.CdcStateful.DmsChange
+
+/** Real StreamingQuery execution for the windowed aggregations and the
+  * stateful CDC path: streaming results must equal the batch results of the
+  * same transforms (incremental ≡ batch), and the state-store fold must
+  * reproduce the latest-wins semantics of the batch Cdc kernel.
+  */
+class EventStreamsSpec extends SparkTestBase {
+
+  /** events at sf0.001 with a proper TimestampType ts column (µs). */
+  private lazy val eventsTs: DataFrame = {
+    val ev = graft.operators.Queries.events(spark, "/root/testdata/sf0.001")
+    ev.withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
+
+  private def runStream(transform: DataFrame => DataFrame, name: String): DataFrame = {
+    val src = tmpDir("stream-src")
+    eventsTs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(eventsTs.schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val q = transform(EventStreams.watermarked(stream))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("streaming tumbling window == batch tumbling window") {
+    val streamed = runStream(EventStreams.tumblingCounts(_), "tumbling_out")
+    val batch = EventStreams.tumblingCounts(eventsTs)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming sliding window == batch; each event lands in width/slide windows") {
+    val streamed = runStream(EventStreams.slidingCounts(_), "sliding_out")
+    val batch = EventStreams.slidingCounts(eventsTs)
+    assert(canon(streamed) == canon(batch))
+    val total = streamed.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 2 * eventsTs.count(), "2-day/1-day slide duplicates each event once")
+  }
+
+  test("streaming session window == batch session window") {
+    val streamed = runStream(EventStreams.sessionCounts(_), "session_out")
+    val batch = EventStreams.sessionCounts(eventsTs)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("stateful CDC fold (flatMapGroupsWithState) applies latest-wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DmsChange]
+    val q = CdcStateful.latestStateStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("cdc_state_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("state-ckpt"))
+      .start()
+
+    // batch 1: insert two keys
+    input.addData(
+      DmsChange(1, "a", "2024-01-01T00:00:00", "I", "2024-01-01T00:00:00"),
+      DmsChange(2, "b", "2024-01-01T00:00:01", "I", "2024-01-01T00:00:01"))
+    q.processAllAvailable()
+    // batch 2: update key 1, delete key 2, late stale update for key 1 loses
+    input.addData(
+      DmsChange(1, "a2", "2024-01-02T00:00:00", "U", "2024-01-02T00:00:00"),
+      DmsChange(2, "b", "2024-01-02T00:00:01", "D", "2024-01-02T00:00:01"))
+    q.processAllAvailable()
+    // batch 3: stale change older than stored state -> no emission
+    input.addData(
+      DmsChange(1, "old", "2023-12-31T00:00:00", "U", "2023-12-31T00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("cdc_state_out").as[CdcStateful.KeyUpdate].collect()
+    assert(out.count(_.id == 1) == 2, "key 1: insert + update, stale drop emits nothing")
+    val last1 = out.filter(_.id == 1).maxBy(_.ts)
+    assert(last1.name == "a2" && !last1.deleted)
+    val last2 = out.filter(_.id == 2).maxBy(_.ts)
+    assert(last2.deleted, "key 2 ends as tombstone")
+  }
+}
