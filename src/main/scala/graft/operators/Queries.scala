@@ -325,6 +325,78 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join (SURVEY J3): each purchase matched to the user's most
+    * recent click at-or-before it. Spark-first shape: NO inequality join —
+    * union both streams and take a running `last(click)` window, which
+    * shuffles each row once and scales linearly; an inequality join would
+    * be quadratic per user. Oracle cross-validates against DuckDB's native
+    * ASOF JOIN.
+    */
+  def q19AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    // clicks sort before purchases at equal ts (no ties in data; defined anyway)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last(
+        when(col("is_click") === 1,
+          struct(col("ts_us"), col("value"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click.ts_us").as("click_ts_us"),
+        col("last_click.value").as("click_value"),
+        (col("ts_us") - col("last_click.ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Approximate distinct (SURVEY A3, HLL): no DuckDB oracle — HLL sketches
+    * are engine-specific — so the driver records a rows-only check; the
+    * exact twin q10 is the hash-checked variant.
+    */
+  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** Quantity bands for the range join (inclusive lo, exclusive hi). */
+  private val qtyBands: Seq[(String, Int, Int)] = Seq(
+    ("b0_10", 0, 10), ("b10_20", 10, 20), ("b20_30", 20, 30),
+    ("b30_40", 30, 40), ("b40_plus", 40, 1000000))
+
+  /** Range (non-equi) join (SURVEY J3): lineitem banded by quantity range
+    * against a broadcast band table — planned as BroadcastNestedLoopJoin,
+    * the right shape when one side is tiny; at scale the equivalent rewrite
+    * is a CASE projection (no join), which the oracle uses.
+    */
+  def q42RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(qtyBands).toDF("band", "lo", "hi")
+    t(spark, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+      .orderBy(col("band"))
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT (SURVEY A3): daily event counts pivoted to one column per event
+    * type (explicit value list keeps the schema static and oracle-stable).
+    */
+  def q43Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day_us", expr("(ts_us div 86400000000) * 86400000000"))
+      .groupBy(col("day_us"))
+      .pivot(col("event_type"), eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("day_us"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles (identical column names + ordering)
   // --------------------------------------------------------------------
@@ -505,6 +577,35 @@ object Queries {
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS click_ts_us, c.value AS click_value,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q42_range_join" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_10', 0, 10), ('b10_20', 10, 20), ('b20_30', 20, 30),
+        |  ('b30_40', 30, 40), ('b40_plus', 40, 1000000))
+        |SELECT band, count(*) AS n_items, $revSql AS revenue
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin,
   )
 
   /** Query registry slice for SparkEntry. */
@@ -527,5 +628,9 @@ object Queries {
     "q16_session_window" -> (q16SessionWindow _),
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
+    "q19_asof_join" -> (q19AsofJoin _),
+    "q41_approx_distinct" -> (q41ApproxDistinct _),
+    "q42_range_join" -> (q42RangeJoin _),
+    "q43_pivot" -> (q43Pivot _),
   )
 }
