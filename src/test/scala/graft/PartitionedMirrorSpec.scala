@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+import graft.plans.{Maintenance, PartitionedMirror}
+import graft.sources.Tables.Warehouse
+
+/** The partition-pruned mirror merge must (a) produce exactly the same
+  * state as the flat merge, (b) physically leave untouched buckets alone,
+  * and (c) remove a bucket directory when a batch deletes its last row.
+  */
+class PartitionedMirrorSpec extends SparkTestBase {
+
+  private val cfg = CdcConfig("id", "ts")
+  private val N = 8
+
+  private def changes(rows: (Long, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "op", "ts")
+  }
+
+  private def state(wh: Warehouse, name: String): Set[(Long, String)] =
+    PartitionedMirror.read(spark, wh, name)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("partitioned merge == flat merge; untouched bucket files are not rewritten") {
+    val wh = Warehouse(tmpDir("pmirror"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"), (6L, "f", "I", "t1"))
+    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
+
+    // snapshot per-bucket file listings before the batch
+    import scala.jdk.CollectionConverters._
+    def bucketFiles: Map[String, Set[String]] =
+      Files.list(Paths.get(wh.tablePath("m"))).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(PartitionedMirror.BucketCol))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala.map(_.getFileName.toString).toSet)
+        .toMap
+    val before = bucketFiles
+
+    // one batch: update id=1, delete id=2
+    val batch = changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2"))
+    PartitionedMirror.applyBatch(spark, wh, "m", batch, cfg, N)
+
+    // equivalence with the flat merge over the same history
+    val flat = Cdc.applyBatch(Cdc.applyAll(initial, cfg), batch, cfg)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(wh, "m") == flat)
+
+    // untouched buckets: identical file sets
+    val after = bucketFiles
+    val touched = Set(1L, 2L).map(id =>
+      s"${PartitionedMirror.BucketCol}=" + batch.sparkSession.range(1).select(
+        pmod(hash(lit(id)), lit(N))).collect()(0).getInt(0))
+    before.foreach { case (bucket, files) =>
+      if (!touched.contains(bucket))
+        assert(after(bucket) == files, s"untouched $bucket was rewritten")
+    }
+  }
+
+  test("deleting a bucket's last row removes its partition directory") {
+    val wh = Warehouse(tmpDir("pmirror-del"))
+    val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"))
+    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((1L, "a", "D", "t2")), cfg, N)
+    assert(state(wh, "m") == Set((2L, "b")))
+    val b1 = spark.range(1).select(pmod(hash(lit(1L)), lit(N))).collect()(0).getInt(0)
+    assert(!Files.exists(Paths.get(wh.tablePath("m"), s"${PartitionedMirror.BucketCol}=$b1")),
+      "emptied bucket dir must be dropped")
+  }
+
+  test("mirror scan with a key predicate prunes partitions") {
+    val wh = Warehouse(tmpDir("pmirror-prune"))
+    val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"))
+    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
+    val b = spark.range(1).select(pmod(hash(lit(2L)), lit(N))).collect()(0).getInt(0)
+    val scan = spark.read.parquet(wh.tablePath("m"))
+      .filter(col(PartitionedMirror.BucketCol) === b)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(PartitionedMirror.BucketCol),
+      s"expected partition pruning in:\n$plan")
+  }
+
+  test("compaction bounds file count and preserves data") {
+    val wh = Warehouse(tmpDir("compact"))
+    import spark.implicits._
+    (1 to 5).foreach { i =>
+      wh.append(Seq((i.toLong, s"n$i")).toDF("id", "name").repartition(3), "t")
+    }
+    val before = Maintenance.dataFiles(spark, wh, "t").size
+    assert(before >= 5, s"expected many small files, got $before")
+    val data = spark.read.parquet(wh.tablePath("t")).collect().toSet
+    Maintenance.compact(spark, wh, "t", targetFiles = 1)
+    assert(Maintenance.dataFiles(spark, wh, "t").size == 1)
+    assert(spark.read.parquet(wh.tablePath("t")).collect().toSet == data)
+  }
+}
