@@ -61,46 +61,60 @@ object Cdc {
 
   /** Apply one changelog batch to the mirror (SURVEY A2/J1/P4).
     *
-    * The mirror retains `tsCol` (and the tie-break seq) so a late-arriving
-    * change older than the stored row loses. Mirror rows re-enter the fold as
-    * synthetic `U` records with source-priority 0; incoming changes carry
-    * priority 1 and therefore win exact (ts, priority) ties — which makes
-    * re-applying the same batch a no-op (idempotent restart, SURVEY T4).
+    * The stored mirror retains `tsCol`, the tie-break seq, AND the op
+    * column — deleted keys persist as TOMBSTONES. Both retentions exist for
+    * the same reason (T2 order-insensitivity across late batches): a
+    * late-arriving change older than the stored row loses, and a
+    * late-arriving update older than a stored DELETE also loses — without
+    * the tombstone, an out-of-order batch would resurrect a deleted key.
+    * Mirror rows re-enter the fold with source-priority 0; incoming changes
+    * carry priority 1 and win exact (ts, priority) ties, making re-applying
+    * the same batch a no-op (idempotent restart, SURVEY T4).
     *
-    * Returns the new mirror state: data columns + `tsCol` + seq (envelope
-    * `table`/`op` dropped; see [[currentState]] for the user-facing view).
+    * Returns the new stored mirror: data columns + `tsCol` + seq + op
+    * (incl. tombstones). [[currentState]] is the user-facing view.
+    * Tombstones older than the lateness horizon are GC'd by
+    * [[graft.plans.Maintenance.expireTombstones]].
     */
   def applyBatch(mirror: DataFrame, changes: DataFrame, cfg: CdcConfig): DataFrame = {
     val pri = "_src_priority"
-    val ch = withIngestSeq(changes)
-    val dataCols = ch.columns.filterNot(E.envelopeCols.contains) // incl. tsCol, SeqCol
+    val ch = withIngestSeq(changes).drop(E.SourceTableCol)
+    val cols = ch.columns // data cols + op + tsCol + SeqCol
     val mirrorAsChanges = {
       val m0 = if (mirror.columns.contains(SeqCol)) mirror
                else mirror.withColumn(SeqCol, lit(0L))
-      m0.withColumn(E.OpCol, lit(E.Update)).withColumn(pri, lit(0))
-        .select((dataCols.map(col) :+ col(E.OpCol) :+ col(pri)): _*)
+      // a mirror bootstrapped from plain initial-load data has no op column
+      val m1 = if (m0.columns.contains(E.OpCol)) m0
+               else m0.withColumn(E.OpCol, lit(E.Update))
+      m1.withColumn(pri, lit(0)).select((cols.map(col) :+ col(pri)): _*)
     }
     val incoming = ch.withColumn(pri, lit(1))
-      .select((dataCols.map(col) :+ col(E.OpCol) :+ col(pri)): _*)
+      .select((cols.map(col) :+ col(pri)): _*)
     val all = mirrorAsChanges.unionByName(incoming)
     val payload = struct(all.columns.map(col): _*)
     val ordering = struct(col(cfg.tsCol), col(pri), col(SeqCol))
-    val folded = all
-      .groupBy(col(cfg.keyCol).as("__k"))
+    all.groupBy(col(cfg.keyCol).as("__k"))
       .agg(max_by(payload, ordering).as("__latest"))
       .select(all.columns.map(c => col(s"__latest.`$c`")): _*)
-    folded.filter(col(E.OpCol) =!= E.Delete).drop(E.OpCol, pri)
+      .drop(pri)
   }
 
-  /** Apply a whole changelog in one shot (batch bootstrap path). */
-  def applyAll(changes: DataFrame, cfg: CdcConfig): DataFrame = {
-    val ch = withIngestSeq(changes)
-    val latest = latestPerKey(ch, cfg)
-    latest.filter(col(E.OpCol) =!= E.Delete)
-      .drop(E.OpCol, E.SourceTableCol)
-  }
+  /** Fold a whole changelog into stored-mirror form: latest record per key
+    * INCLUDING delete tombstones (op retained). This is what gets persisted.
+    */
+  def fold(changes: DataFrame, cfg: CdcConfig): DataFrame =
+    latestPerKey(withIngestSeq(changes), cfg).drop(E.SourceTableCol)
 
-  /** User-facing mirror state: drop CDC bookkeeping columns. */
-  def currentState(mirror: DataFrame): DataFrame =
-    mirror.drop(SeqCol, E.OpCol, E.SourceTableCol)
+  /** Apply a whole changelog and return the VISIBLE state (tombstones
+    * dropped) — the one-shot query/bootstrap-compare path.
+    */
+  def applyAll(changes: DataFrame, cfg: CdcConfig): DataFrame =
+    fold(changes, cfg).filter(col(E.OpCol) =!= E.Delete).drop(E.OpCol)
+
+  /** User-facing mirror state: hide tombstones, drop CDC bookkeeping. */
+  def currentState(mirror: DataFrame): DataFrame = {
+    val visible = if (mirror.columns.contains(E.OpCol))
+      mirror.filter(col(E.OpCol) =!= E.Delete) else mirror
+    visible.drop(SeqCol, E.OpCol, E.SourceTableCol)
+  }
 }

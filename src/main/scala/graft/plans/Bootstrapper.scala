@@ -48,7 +48,8 @@ object Bootstrapper {
               wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
             case None if wh.exists(spec.changelogTable) =>
               val changelog = wh.read(spark, spec.changelogTable)
-              wh.overwrite(Cdc.applyAll(changelog, spec.cdc), spec.mirrorTable)
+              // stored form retains delete tombstones (T2 across late batches)
+              wh.overwrite(Cdc.fold(changelog, spec.cdc), spec.mirrorTable)
               true
             case None => false
           }

@@ -28,6 +28,26 @@ object Maintenance {
     fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
   }
 
+  /** Tombstone GC: drop delete markers whose ts is older than `horizon`
+    * (the maximum expected lateness). After the horizon no late change can
+    * legally lose to the tombstone anymore, so it carries no information.
+    * Preserves the key-bucket partitioning when present; a full-table
+    * rewrite here, per-partition on a schedule at scale.
+    */
+  def expireTombstones(
+      spark: SparkSession, wh: Warehouse, table: String,
+      cfg: graft.CdcConfig, horizon: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = wh.tablePath(table)
+    val df = spark.read.parquet(path)
+    val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
+      col(cfg.tsCol) < lit(horizon))).localCheckpoint(true)
+    val writer = kept.write.mode(SaveMode.Overwrite)
+    if (df.columns.contains(PartitionedMirror.BucketCol))
+      writer.partitionBy(PartitionedMirror.BucketCol).parquet(path)
+    else writer.parquet(path)
+  }
+
   /** Data files of a table (parquet parts, not markers). */
   def dataFiles(spark: SparkSession, wh: Warehouse, table: String): Seq[String] =
     graft.sources.Tables.listFilesExcluding(wh.tablePath(table), None)

@@ -38,9 +38,9 @@ object PartitionedMirror {
       .partitionBy(BucketCol)
       .parquet(wh.tablePath(name))
 
-  /** Read the full mirror (all buckets) without the bucket column. */
+  /** Read the mirror's VISIBLE state (tombstones hidden, bucket col dropped). */
   def read(spark: SparkSession, wh: Warehouse, name: String): DataFrame =
-    spark.read.parquet(wh.tablePath(name)).drop(BucketCol)
+    Cdc.currentState(spark.read.parquet(wh.tablePath(name)).drop(BucketCol))
 
   /** Apply one changelog batch, touching only the buckets present in it.
     *

@@ -37,14 +37,21 @@ object CdcStream {
     df.withColumn(Cdc.SeqCol,
       (lit(batchId) * lit(1L << 40)) + monotonically_increasing_id())
 
-  /** Start the auto-load + CDC stream for one pipeline spec. */
+  /** Start the auto-load + CDC stream for one pipeline spec.
+    *
+    * @param mirrorBuckets when set, the mirror uses the scale layout
+    *   ([[graft.plans.PartitionedMirror]]): key-hash-partitioned storage
+    *   with per-batch merges touching only the buckets the delta hits —
+    *   O(touched + delta) instead of the flat O(mirror) rewrite.
+    */
   def start(
       spark: SparkSession,
       wh: Warehouse,
       spec: PipelineSpec,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      mirrorBuckets: Option[Int] = None): StreamingQuery = {
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference
@@ -79,15 +86,27 @@ object CdcStream {
         try {
           if (stamped.limit(1).count() > 0) {
             wh.append(stamped, spec.changelogTable)
-            val mirror =
-              if (wh.exists(spec.mirrorTable)) wh.read(spark, spec.mirrorTable)
-              else Cdc.applyAll(stamped, spec.cdc).limit(0)
-            val merged = Cdc.applyBatch(
-              mirror, stamped.drop(graft.DmsEnvelope.SourceTableCol), spec.cdc)
-            // Write-ahead to a staging dir then swap would make this atomic on
-            // object stores; local parquet overwrite is the offline stand-in.
-            val staged = merged.localCheckpoint(true)
-            wh.overwrite(staged, spec.mirrorTable)
+            val changes = stamped.drop(graft.DmsEnvelope.SourceTableCol)
+            mirrorBuckets match {
+              case Some(n) =>
+                // first batch bootstraps the partitioned layout from its own
+                // fold (an empty partitioned dir has no readable schema)
+                if (!wh.exists(spec.mirrorTable))
+                  graft.plans.PartitionedMirror.initialize(wh, spec.mirrorTable,
+                    Cdc.fold(changes, spec.cdc), spec.cdc, n)
+                else graft.plans.PartitionedMirror.applyBatch(
+                  spark, wh, spec.mirrorTable, changes, spec.cdc, n)
+              case None =>
+                val mirror =
+                  if (wh.exists(spec.mirrorTable)) wh.read(spark, spec.mirrorTable)
+                  else Cdc.fold(changes, spec.cdc).limit(0)
+                val merged = Cdc.applyBatch(mirror, changes, spec.cdc)
+                // Write-ahead to a staging dir then swap would make this atomic
+                // on object stores; local parquet overwrite is the offline
+                // stand-in.
+                val staged = merged.localCheckpoint(true)
+                wh.overwrite(staged, spec.mirrorTable)
+            }
           }
         } finally stamped.unpersist()
         ()

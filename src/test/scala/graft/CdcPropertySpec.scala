@@ -1,0 +1,74 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Cdc
+
+/** Randomized model check (SURVEY §5.3): for arbitrary I/U/D op sequences,
+  * the Spark fold must equal a trivial in-memory latest-wins fold — applied
+  * all-at-once, batch-by-batch, batch-by-batch in shuffled batch order
+  * (distinct ts), and re-applying the last batch (idempotence). Seeded, so
+  * deterministic.
+  */
+final case class CdcOp(id: Long, name: String, op: String, ts: Long, seq: Long)
+
+class CdcPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = CdcConfig("id", "ts")
+  private type Op = CdcOp
+  private def Op(id: Long, name: String, op: String, ts: Long, seq: Long) =
+    CdcOp(id, name, op, ts, seq)
+
+  /** Reference model: latest (ts, seq) record per key wins; D hides the key. */
+  private def model(ops: Seq[Op]): Map[Long, String] =
+    ops.groupBy(_.id).flatMap { case (id, ks) =>
+      val latest = ks.maxBy(o => (o.ts, o.seq))
+      if (latest.op == "D") None else Some(id -> latest.name)
+    }
+
+  private def sparkState(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("id", "name").as[(Long, String)].collect().toMap
+
+  private def genOps(rnd: Random, n: Int, keys: Int, distinctTs: Boolean): Seq[Op] = {
+    val tss = if (distinctTs) rnd.shuffle((1L to n).toList) else List.fill(n)(rnd.nextInt(20).toLong)
+    (0 until n).map { i =>
+      val op = rnd.nextInt(10) match {
+        case x if x < 4 => "I"
+        case x if x < 8 => "U"
+        case _ => "D"
+      }
+      Op(rnd.nextInt(keys).toLong, s"v$i", op, tss(i), i.toLong)
+    }
+  }
+
+  test("applyAll == in-memory fold over 30 random scenarios (incl. ts ties)") {
+    val rnd = new Random(1234)
+    (1 to 30).foreach { _ =>
+      val ops = genOps(rnd, n = 60, keys = 12, distinctTs = rnd.nextBoolean())
+      val df = ops.toDF().withColumn("_ingest_seq", org.apache.spark.sql.functions.col("seq"))
+      val got = sparkState(Cdc.applyAll(df, cfg))
+      assert(got == model(ops), s"scenario ops=$ops")
+    }
+  }
+
+  test("incremental applyBatch over shuffled batches == applyAll (distinct ts)") {
+    val rnd = new Random(99)
+    (1 to 10).foreach { _ =>
+      val ops = genOps(rnd, n = 60, keys = 10, distinctTs = true)
+      val batches = rnd.shuffle(ops.grouped(15).toList)
+      var mirror = Cdc.fold(
+        batches.head.toDF().withColumn("_ingest_seq", org.apache.spark.sql.functions.col("seq")),
+        cfg)
+      batches.tail.foreach { b =>
+        mirror = Cdc.applyBatch(mirror,
+          b.toDF().withColumn("_ingest_seq", org.apache.spark.sql.functions.col("seq")), cfg)
+      }
+      assert(sparkState(Cdc.currentState(mirror)) == model(ops))
+      // idempotence: re-applying the last batch changes nothing
+      val again = Cdc.applyBatch(mirror,
+        batches.last.toDF().withColumn("_ingest_seq", org.apache.spark.sql.functions.col("seq")), cfg)
+      assert(sparkState(Cdc.currentState(again)) == model(ops))
+    }
+  }
+}

@@ -42,6 +42,33 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!mirror.exists(_._2 == "BOGUS"))
   }
 
+  test("streaming replay with the partitioned (bucketed) mirror equals the flat result") {
+    val g = DmsGenerator.generate(77L)
+    val src = tmpDir("stream-src-pm")
+    val ckpt = tmpDir("ckpt-pm")
+    val wh = Warehouse(tmpDir("stream-wh-pm"))
+    val spec = PipelineSpec(src, "pm_changelog", "pm", CdcConfig("id", "ts"))
+
+    // batch 1 bootstraps the partitioned layout; later files merge into it
+    writeParquet(g.batches.head, s"$src/dms_logs_1.parquet")
+    val q1 = CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8))
+    q1.awaitTermination()
+    g.batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 2}.parquet")
+    }
+    val q2 = CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8))
+    q2.awaitTermination()
+
+    val mirror = graft.plans.PartitionedMirror.read(spark, wh, "pm")
+      .select("id", "name", "modification_date")
+      .as[(Long, String, String)].collect().toSet
+    assert(mirror === g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet)
+    // the mirror directory really is bucket-partitioned
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(Paths.get(wh.tablePath("pm"))).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(graft.plans.PartitionedMirror.BucketCol)))
+  }
+
   test("restart with checkpoint ingests only new files (exactly-once file tracking)") {
     val g = DmsGenerator.generate(9L)
     val src = tmpDir("stream-src2")

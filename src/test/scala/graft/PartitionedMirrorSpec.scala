@@ -32,7 +32,7 @@ class PartitionedMirrorSpec extends SparkTestBase {
     val initial = changes(
       (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
       (4L, "d", "I", "t1"), (5L, "e", "I", "t1"), (6L, "f", "I", "t1"))
-    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
+    PartitionedMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
 
     // snapshot per-bucket file listings before the batch
     import scala.jdk.CollectionConverters._
@@ -48,8 +48,8 @@ class PartitionedMirrorSpec extends SparkTestBase {
     val batch = changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2"))
     PartitionedMirror.applyBatch(spark, wh, "m", batch, cfg, N)
 
-    // equivalence with the flat merge over the same history
-    val flat = Cdc.applyBatch(Cdc.applyAll(initial, cfg), batch, cfg)
+    // equivalence with the flat merge over the same history (visible state)
+    val flat = Cdc.currentState(Cdc.applyBatch(Cdc.fold(initial, cfg), batch, cfg))
       .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(state(wh, "m") == flat)
 
@@ -64,21 +64,29 @@ class PartitionedMirrorSpec extends SparkTestBase {
     }
   }
 
-  test("deleting a bucket's last row removes its partition directory") {
+  test("delete leaves a tombstone (late update loses); tombstone GC then empties the bucket") {
     val wh = Warehouse(tmpDir("pmirror-del"))
     val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"))
-    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
-    PartitionedMirror.applyBatch(spark, wh, "m", changes((1L, "a", "D", "t2")), cfg, N)
+    PartitionedMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((1L, "a", "D", "t3")), cfg, N)
+    assert(state(wh, "m") == Set((2L, "b")))
+    // out-of-order batch older than the delete must NOT resurrect the key
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((1L, "zombie", "U", "t2")), cfg, N)
+    assert(state(wh, "m") == Set((2L, "b")), "tombstone must block older updates")
+    // after the lateness horizon passes, GC drops the tombstone + its dir
+    Maintenance.expireTombstones(spark, wh, "m", cfg, horizon = "t9")
     assert(state(wh, "m") == Set((2L, "b")))
     val b1 = spark.range(1).select(pmod(hash(lit(1L)), lit(N))).collect()(0).getInt(0)
-    assert(!Files.exists(Paths.get(wh.tablePath("m"), s"${PartitionedMirror.BucketCol}=$b1")),
-      "emptied bucket dir must be dropped")
+    val b2 = spark.range(1).select(pmod(hash(lit(2L)), lit(N))).collect()(0).getInt(0)
+    if (b1 != b2)
+      assert(!Files.exists(Paths.get(wh.tablePath("m"), s"${PartitionedMirror.BucketCol}=$b1")),
+        "expired bucket dir must be dropped")
   }
 
   test("mirror scan with a key predicate prunes partitions") {
     val wh = Warehouse(tmpDir("pmirror-prune"))
     val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"))
-    PartitionedMirror.initialize(wh, "m", Cdc.applyAll(initial, cfg), cfg, N)
+    PartitionedMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
     val b = spark.range(1).select(pmod(hash(lit(2L)), lit(N))).collect()(0).getInt(0)
     val scan = spark.read.parquet(wh.tablePath("m"))
       .filter(col(PartitionedMirror.BucketCol) === b)
