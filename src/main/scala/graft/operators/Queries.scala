@@ -383,6 +383,35 @@ object Queries {
       .orderBy(col("band"))
   }
 
+  /** Distribution window functions (SURVEY W2): percent_rank / cume_dist /
+    * ntile over a ties-free ordering (unique orderkey tie-break makes every
+    * rank fraction an exact rational, identical across engines).
+    */
+  def q26WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Exact percentiles (SURVEY A3): median + interpolated p90 per group.
+    * Rounded to 4 decimals on both sides — Spark computes a + t*(b-a),
+    * DuckDB (1-t)*a + t*b; algebraically equal, 1-ulp apart in floating
+    * point, identical after rounding.
+    */
+  def q27Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("median(l_quantity)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** PIVOT (SURVEY A3): daily event counts pivoted to one column per event
@@ -590,6 +619,22 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q26_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q42_range_join" ->
       s"""WITH bands(band, lo, hi) AS (VALUES
         |  ('b0_10', 0, 10), ('b10_20', 10, 20), ('b20_30', 20, 30),
@@ -629,6 +674,8 @@ object Queries {
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
     "q19_asof_join" -> (q19AsofJoin _),
+    "q26_window_distribution" -> (q26WindowDistribution _),
+    "q27_percentiles" -> (q27Percentiles _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),

@@ -116,7 +116,30 @@ object TextAnalysis {
         size(col("shingles")).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** Edit-distance similarity (SURVEY F1 + dedup family): levenshtein over
+    * consecutive doc pairs (a defined, bounded pairing — full pairwise edit
+    * distance is O(n² · len²) and never the scale path; at 100 TB edit
+    * distance runs only on LSH/MinHash candidates).
+    */
+  def q25EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Queries.t(spark, dir, "documents").select("doc_id", "text")
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+        greatest(length(col("a.text")), length(col("b.text"))).cast("long").as("max_len"))
+      .withColumn("sim", lit(1.0) - col("lev").cast("double") / col("max_len"))
+      .orderBy(col("i"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q25_edit_distance" ->
+      """SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len,
+        |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |      / greatest(length(a.text), length(b.text)) AS sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY i""".stripMargin,
     "q20_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
@@ -172,6 +195,7 @@ object TextAnalysis {
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_edit_distance" -> (q25EditDistance _),
     "q20_text_stats" -> (q20TextStats _),
     "q21_lang_id" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
