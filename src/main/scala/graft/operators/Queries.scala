@@ -282,6 +282,19 @@ object Queries {
         col("n_events"), col("n_users"), col("sum_value"))
       .orderBy(col("bucket_us"))
 
+  /** Sliding event-time window (SURVEY T3): 2-day windows advancing 1 day —
+    * every event lands in exactly width/slide = 2 windows. The oracle
+    * reproduces the window set as the union of the 2 epoch-aligned buckets
+    * covering each event.
+    */
+  def q44SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_us"))
+
   /** Session window (SURVEY T3): 30-minute-gap sessions per user via Spark's
     * native session_window; span computed from min/max so the semantics are
     * exactly reproducible in the oracle's lag+cumsum sessionization.
@@ -575,6 +588,16 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin,
 
+    "q44_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+        |w AS (
+        |  SELECT (ts_us // 86400000000) * 86400000000 AS bucket_us, value FROM e
+        |  UNION ALL
+        |  SELECT (ts_us // 86400000000) * 86400000000 - 86400000000 AS bucket_us, value FROM e)
+        |SELECT bucket_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
+
     "q16_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |marked AS (
@@ -679,5 +702,6 @@ object Queries {
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),
+    "q44_sliding_window" -> (q44SlidingWindow _),
   )
 }

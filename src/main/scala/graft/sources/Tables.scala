@@ -78,6 +78,19 @@ object Tables {
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
   }
 
+  /** Save a DataFrame as a catalog table bucketed (hash-clustered) and
+    * sorted by `key` — the layout that makes repeated joins/aggregations on
+    * `key` shuffle-free: two tables bucketed the same way sort-merge join
+    * with NO exchange on either side (asserted in BucketedJoinSpec). This is
+    * the at-rest co-location strategy SCALE.md prescribes for the 100 TB
+    * mirror and fact tables.
+    */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Idempotent create (reference: tabular.py:91-99 probe + early return).
     * Returns true when the table was created by this call, false when it
     * already existed (no-op).
