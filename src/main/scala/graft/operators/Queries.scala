@@ -222,6 +222,47 @@ object Queries {
       .orderBy(col("tag"), col("o_custkey"))
   }
 
+  /** Multiset set operations (SURVEY §2.7): EXCEPT ALL / INTERSECT ALL keep
+    * duplicate cardinality — counts per key, not key existence.
+    */
+  def q45SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    def keys(yr: Int) = ord.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val a = keys(1995); val b = keys(1996)
+    a.exceptAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("intersect_all")))
+      .select("tag", "o_custkey", "n")
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Array aggregation (SURVEY F4): per-nation sorted key arrays —
+    * deterministic because the collected list is sorted before emission.
+    */
+  def q46ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
+  /** Unpivot / melt (SURVEY A3): wide metric columns to (metric, value)
+    * rows, re-aggregated per metric.
+    */
+  def q47Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** Scalar-subquery pattern (TPC-H Q17-style, SURVEY §2.3 J1): per-part
     * average quantity joined back against the fact; the per-part agg is tiny
     * and broadcast.
@@ -658,6 +699,36 @@ object Queries {
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q45_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995),
+        |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996),
+        |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+        |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        |SELECT 'except_all' AS tag, o_custkey, count(*) AS n FROM ea GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'intersect_all' AS tag, o_custkey, count(*) AS n FROM ia GROUP BY o_custkey
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q46_array_agg" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(c_custkey)) AS custkeys,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q47_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM long GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
     "q42_range_join" ->
       s"""WITH bands(band, lo, hi) AS (VALUES
         |  ('b0_10', 0, 10), ('b10_20', 10, 20), ('b20_30', 20, 30),
@@ -699,6 +770,9 @@ object Queries {
     "q19_asof_join" -> (q19AsofJoin _),
     "q26_window_distribution" -> (q26WindowDistribution _),
     "q27_percentiles" -> (q27Percentiles _),
+    "q45_set_ops_all" -> (q45SetOpsAll _),
+    "q46_array_agg" -> (q46ArrayAgg _),
+    "q47_unpivot" -> (q47Unpivot _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),

@@ -21,8 +21,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # round to 9 significant digits like a tolerant hash would
-        return f"{v:.9g}"
+        # exact: the engine is built so doubles are bit-identical across
+        # engines; a tolerant compare here could hide what the driver sees
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
