@@ -16,14 +16,17 @@ import graft.{CdcConfig, DmsEnvelope => E}
   *   - late/out-of-order records with an older ts than the stored mirror row
   *     lose — the merge is order-insensitive across batches (T2 in SURVEY §2.9)
   *
-  * Scale design (100 TB): the whole fold is ONE hash aggregation keyed by
-  * `keyCol` — `groupBy(key).agg(max_by(...))` — which Spark executes with
-  * map-side partial aggregation, so the shuffle carries at most one candidate
-  * row per key per map partition instead of the raw changelog. No window sort
-  * is involved (a `row_number()` formulation would force a per-partition sort
-  * and carry every change record through the shuffle). Combined with a
-  * mirror stored hash-partitioned by `keyCol`, the merge shuffles only the
-  * (small) change side under AQE.
+  * Scale design (100 TB): the whole fold is ONE aggregation keyed by
+  * `keyCol` — `groupBy(key).agg(max_by(...))` — executed with map-side
+  * partial aggregation (`partial_max_by` below the exchange, asserted in
+  * PlanContractSpec), so the shuffle carries at most one candidate row per
+  * key per map partition instead of the raw changelog. The struct-typed
+  * buffer makes Spark pick SortAggregate over HashAggregate for the final
+  * step, but the shuffle bound — the property that matters at scale — is
+  * the partial agg. A `row_number()` window formulation would carry every
+  * change record through the shuffle and then sort; strictly worse.
+  * Combined with a mirror stored hash-partitioned by `keyCol`
+  * (plans/PartitionedMirror.scala), only touched buckets merge.
   */
 object Cdc {
 
