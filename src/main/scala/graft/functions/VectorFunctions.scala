@@ -87,8 +87,14 @@ object GraftFunctions {
       "long_dot",
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "latest_row",
+      (children: Seq[Expression]) => LatestRow(children(0), children(1)),
+      "built-in")
   }
 
   /** Spark-side name for the registered dot kernel. */
   val LongDotName = "long_dot"
+  /** Spark-side name for the registered argmax aggregate. */
+  val LatestRowName = "latest_row"
 }

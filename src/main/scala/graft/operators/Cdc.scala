@@ -53,12 +53,18 @@ object Cdc {
     struct(col(cfg.tsCol), seq)
   }
 
-  /** Latest record per key (SURVEY A1/W1). One hash-agg, no sort. */
+  /** Latest record per key (SURVEY A1/W1): one ObjectHashAggregate via the
+    * custom [[graft.functions.LatestRow]] argmax (hash map of key -> best
+    * row, no sort — built-in max_by's struct buffer would degrade the plan
+    * to SortAggregate).
+    */
   def latestPerKey(changes: DataFrame, cfg: CdcConfig): DataFrame = {
+    graft.functions.GraftFunctions.register(changes.sparkSession)
     val df = withIngestSeq(changes)
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(col(cfg.keyCol).as("__k"))
-      .agg(max_by(payload, orderingStruct(cfg, df.columns)).as("__latest"))
+      .agg(call_function("latest_row", payload, orderingStruct(cfg, df.columns))
+        .as("__latest"))
       .select(df.columns.map(c => col(s"__latest.`$c`")): _*)
   }
 
@@ -93,11 +99,12 @@ object Cdc {
     }
     val incoming = ch.withColumn(pri, lit(1))
       .select((cols.map(col) :+ col(pri)): _*)
+    graft.functions.GraftFunctions.register(changes.sparkSession)
     val all = mirrorAsChanges.unionByName(incoming)
     val payload = struct(all.columns.map(col): _*)
     val ordering = struct(col(cfg.tsCol), col(pri), col(SeqCol))
     all.groupBy(col(cfg.keyCol).as("__k"))
-      .agg(max_by(payload, ordering).as("__latest"))
+      .agg(call_function("latest_row", payload, ordering).as("__latest"))
       .select(all.columns.map(c => col(s"__latest.`$c`")): _*)
       .drop(pri)
   }

@@ -38,13 +38,14 @@ class PlanContractSpec extends SparkTestBase {
     val p = plan(graft.operators.Cdc.latestPerKey(
       ev.withColumn("op", org.apache.spark.sql.functions.lit("U")),
       CdcConfig("user_id", "ts_us")))
-    // the scale property: map-side combine — the exchange carries at most
-    // one candidate per key per partition (max_by with a struct buffer
-    // plans as SortAggregate, but partial_max_by before the Exchange is
-    // what bounds the shuffle)
-    assert(p.contains("partial_max_by"), p.take(2000))
-    assert(p.indexOf("partial_max_by") > p.indexOf("Exchange"),
+    // the scale properties: ObjectHashAggregate (hash map, no sort) with
+    // map-side combine — the exchange carries at most one candidate per key
+    // per partition (built-in max_by would degrade to SortAggregate here)
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_latest_row"), p.take(2000))
+    assert(p.indexOf("partial_latest_row") > p.indexOf("Exchange"),
       "partial agg must run before (below) the exchange")
-    assert(!p.contains("Window"), "latest-per-key must not use a window sort")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"),
+      "latest-per-key must not sort")
   }
 }
