@@ -125,6 +125,60 @@ object Similarity {
       .limit(5)
   }
 
+  private val IvfK = 8
+  private val IvfIters = 2
+
+  /** One k-means assignment pass: each vector to its max-cosine centroid
+    * (tie-break: lowest cluster id). Centroids are INTEGER dim-sums, so
+    * every cosine is derived from exact ints — deterministic across engines.
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Recompute integer centroids from an assignment (exact dim-wise sums). */
+  private def update(vecs: DataFrame, assignment: DataFrame): DataFrame =
+    vecs.join(assignment, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("cid"), col("i")).agg(sum(col("qi")).as("ci"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("i"), col("ci")))).as("pairs"))
+      .withColumn("csum", expr("transform(pairs, p -> p.ci)"))
+      .withColumn("nc", expr(dotExpr("csum", "csum")))
+      .select("cid", "csum", "nc")
+
+  /** IVF ANN (the other scale path next to LSH): deterministic integer
+    * k-means (seeds = vec_id < K, 2 update iterations), then the query
+    * probes ONLY its own cluster (nprobe=1) and re-ranks exactly. At 100 TB
+    * the corpus is stored partitioned by cluster id, so a query scans
+    * 1/K of the data — same pruning story as the LSH buckets, with
+    * data-adaptive cells instead of fixed hyperplanes.
+    */
+  def q38AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir)
+    var centroids = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    for (_ <- 1 to IvfIters)
+      centroids = update(e, assign(e, centroids)).localCheckpoint(true)
+    val finalAssign = assign(e, centroids)
+    val withCid = e.join(finalAssign, Seq("vec_id"))
+    val query = withCid.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"), col("cid").as("qcid"))
+    withCid.join(broadcast(query), col("cid") === col("qcid") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cid"),
+        expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"))
+      .withColumn("cos", cosCol("dot", "nq", "qn"))
+      .select("vec_id", "cid", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
     */
@@ -161,6 +215,25 @@ object Similarity {
 
   private def cosSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  /** One oracle assignment CTE: vectors -> argmax-cosine centroid of `cent`. */
+  private def assignCte(name: String, cent: String): String =
+    s"""$name AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ${cosSql("list_dot_product(e.q, c.csum)", "e.nq", "c.nc")} DESC, c.cid) AS rn
+      |    FROM e, $cent c) WHERE rn = 1)""".stripMargin
+
+  /** One oracle centroid-update CTE pair from assignment `a`. */
+  private def updateCte(sums: String, cent: String, a: String): String =
+    s"""$sums AS (
+      |  SELECT cid, i, CAST(sum(qi) AS BIGINT) AS ci
+      |  FROM pos JOIN $a USING (vec_id) GROUP BY cid, i),
+      |$cent AS (
+      |  SELECT cid, list(ci ORDER BY i) AS csum,
+      |    CAST(sum(ci * ci) AS BIGINT) AS nc
+      |  FROM $sums GROUP BY cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q34_embedding_neardup" ->
@@ -203,6 +276,27 @@ object Similarity {
         |FROM eb, query WHERE eb.bucket = query.qb AND eb.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
 
+    "q38_ann_ivf" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $IvfK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qv AS (
+        |  SELECT e.q AS qq, e.nq AS qn, af.cid AS qcid
+        |  FROM e JOIN af ON e.vec_id = af.vec_id WHERE e.vec_id = 0)
+        |SELECT e.vec_id, af.cid,
+        |  ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos
+        |FROM e JOIN af ON e.vec_id = af.vec_id, qv
+        |WHERE af.cid = qv.qcid AND e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+
     "q37_centroid_outliers" ->
       s"""WITH $qCte,
         |pos AS (
@@ -231,5 +325,6 @@ object Similarity {
     "q35_ann_bruteforce" -> (q35AnnBruteforce _),
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q37_centroid_outliers" -> (q37CentroidOutliers _),
+    "q38_ann_ivf" -> (q38AnnIvf _),
   )
 }
