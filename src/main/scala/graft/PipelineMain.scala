@@ -15,10 +15,17 @@ import graft.streaming.CdcStream
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: PipelineMain <warehouseDir> <keyCol> <tsCol> <sourceDir> [sourceDir ...]")
-    val Array(whDir, keyCol, tsCol) = args.take(3)
-    val sources = args.drop(3).toSeq
+    // CLI args, or the reference-style env config when invoked bare
+    // (GRAFT_WAREHOUSE_DIR / GRAFT_CDC_KEY / GRAFT_CDC_TS / GRAFT_SOURCES)
+    val config =
+      if (args.isEmpty) PipelineConfig.fromEnv()
+      else {
+        require(args.length >= 4,
+          "usage: PipelineMain <warehouseDir> <keyCol> <tsCol> <sourceDir> [sourceDir ...]")
+        PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq)
+      }
+    val whDir = config.warehouseDir
+    val sources = config.sources
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-cdc-pipeline")
@@ -30,7 +37,7 @@ object PipelineMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val wh = Warehouse(whDir)
-    val cdc = CdcConfig(keyCol, tsCol)
+    val cdc = config.cdc
     // per-target fault isolation, same contract as batch_bootstrapper.py:91-94
     sources.foreach { src =>
       try {

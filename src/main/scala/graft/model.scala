@@ -72,3 +72,30 @@ object PipelineSpec {
     PipelineSpec(sourcePath, s"${mirror}_changelog", mirror, cdc)
   }
 }
+
+/** Environment-driven pipeline configuration — the engine's analog of the
+  * reference's env/config block (batch_bootstrapper.py:10-27: catalog
+  * coordinates, key/ts columns, monitored URI list).
+  *
+  * @param warehouseDir warehouse root (GRAFT_WAREHOUSE_DIR)
+  * @param cdc          key/ts columns (GRAFT_CDC_KEY / GRAFT_CDC_TS;
+  *                     defaults mirror the reference's production values
+  *                     `id`/`transact_seq`, batch_bootstrapper.py:20-21)
+  * @param sources      monitored prefixes (GRAFT_SOURCES, comma-separated —
+  *                     the reference's S3_URIS list, batch_bootstrapper.py:24-27)
+  */
+final case class PipelineConfig(
+    warehouseDir: String, cdc: CdcConfig, sources: Seq[String])
+
+object PipelineConfig {
+  def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
+    def need(k: String) = env.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required env var $k"))
+    PipelineConfig(
+      warehouseDir = need("GRAFT_WAREHOUSE_DIR"),
+      cdc = CdcConfig(
+        env.getOrElse("GRAFT_CDC_KEY", "id"),
+        env.getOrElse("GRAFT_CDC_TS", "transact_seq")),
+      sources = need("GRAFT_SOURCES").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+}

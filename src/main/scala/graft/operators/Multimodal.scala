@@ -42,10 +42,11 @@ object Multimodal {
         col("text").cast("binary").as("media"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
-  /** DECODE STUB — deterministic fake decoder. A production build replaces
-    * the body with a real codec call; the `mapPartitions` contract (batch
-    * iterator in, metadata iterator out, one decoder init per partition)
-    * is exactly what a native decoder needs and is what the test pins.
+  /** DECODE STUB — deterministic fake decoder for non-image payloads. A
+    * production build replaces the body with a codec call; the
+    * `mapPartitions` contract (batch iterator in, metadata iterator out,
+    * one decoder init per partition) is exactly what a native decoder needs
+    * and is what the test pins.
     */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -63,6 +64,79 @@ object Multimodal {
             nFrames = math.max(1, bytes.length / 64))
         }
       }
+  }
+
+  /** One decoded image record (real decode — `ok=false` rows carry the
+    * failure reason instead of dimensions; corrupt media must not kill the
+    * job, SURVEY T5 applied to the data plane).
+    */
+  final case class ImageMeta(
+      docId: Long, ok: Boolean, format: String,
+      width: Int, height: Int, nBytes: Long, error: String)
+
+  /** REAL image decode on the JVM — `javax.imageio` ships with the JDK
+    * (PNG/JPEG/GIF/BMP readers), no external codec needed. Executed as
+    * `mapPartitions`: reader lookup is per-partition, image bytes never
+    * leave the partition, and per-row failures degrade to error records.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        rows.map { case (docId, bytes) =>
+          try {
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext)
+              ImageMeta(docId, ok = false, "", 0, 0, bytes.length.toLong, "no reader")
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(in)
+                ImageMeta(docId, ok = true, r.getFormatName.toLowerCase,
+                  r.getWidth(0), r.getHeight(0), bytes.length.toLong, "")
+              } finally r.dispose()
+            }
+          } catch {
+            case e: Exception =>
+              ImageMeta(docId, ok = false, "", 0, 0, bytes.length.toLong,
+                String.valueOf(e.getMessage))
+          }
+        }
+      }
+  }
+
+  /** Real resize (feature-extract step): decode, scale to `maxDim` on the
+    * long edge, re-encode PNG — all JDK (`java.awt` headless). Returns
+    * (doc_id, resized bytes, new width, new height); failures are dropped.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
+                0, 0, null)
+              finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some((docId, bos.toByteArray, w, h))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF("doc_id", "resized", "width", "height")
   }
 
   /** Frame sampling as offset arithmetic: every `stride` bytes, an

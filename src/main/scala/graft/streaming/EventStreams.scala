@@ -51,4 +51,15 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
+  /** Streaming exact deduplication: at-most-one row per key, with dedup
+    * state EVICTED once the key's event time falls behind the watermark —
+    * the streaming half of the dedup family (batch half: Dedup.q30). At
+    * 100 TB/day the watermark horizon bounds state exactly like the
+    * windowed aggs; an unbounded `dropDuplicates` would grow state forever.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

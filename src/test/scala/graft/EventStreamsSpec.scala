@@ -59,6 +59,39 @@ class EventStreamsSpec extends SparkTestBase {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming dedup keeps one row per key; watermark bounds the state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val q = EventStreams.dedupStream(df, Seq("k"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dedup-ckpt"))
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
+    q.processAllAvailable()
+    input.addData((ts(3), 1L, "a-dup2"), (ts(4), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(out.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"duplicates within the watermark horizon must be dropped, got ${out.toSeq}")
+  }
+
+  test("env-based pipeline config parses the reference's config surface") {
+    val cfg = PipelineConfig.fromEnv(Map(
+      "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh",
+      "GRAFT_SOURCES" -> "/data/a, /data/b,",
+      "GRAFT_CDC_TS" -> "ts"))
+    assert(cfg.warehouseDir == "/tmp/wh")
+    assert(cfg.cdc == CdcConfig("id", "ts"), "key defaults to the reference's production value")
+    assert(cfg.sources == Seq("/data/a", "/data/b"))
+    intercept[IllegalArgumentException](PipelineConfig.fromEnv(Map.empty))
+  }
+
   test("stateful CDC fold (flatMapGroupsWithState) applies latest-wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -106,6 +106,38 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("real image decode: JDK ImageIO reads synthesized PNGs, corrupt bytes degrade gracefully") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(320, 180)), (2L, png(64, 64)),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val metas = graft.operators.Multimodal.decodeImages(spark, media)
+      .collect().sortBy(_.docId)
+    assert(metas(0).ok && metas(0).format == "png" &&
+      metas(0).width == 320 && metas(0).height == 180)
+    assert(metas(1).ok && metas(1).width == 64 && metas(1).height == 64)
+    assert(!metas(2).ok, "corrupt bytes must produce an error record, not a crash")
+
+    val resized = graft.operators.Multimodal.resizeImages(spark, media, maxDim = 100)
+      .collect().sortBy(_.getLong(0))
+    assert(resized.length == 2, "unreadable media dropped from resize")
+    assert(resized(0).getInt(2) == 100 && resized(0).getInt(3) == 56,
+      "320x180 scaled to long edge 100 is 100x56")
+    // resized bytes are themselves decodable PNGs
+    val rt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).getAs[Array[Byte]](1)))
+    assert(rt.getWidth == 100 && rt.getHeight == 56)
+  }
+
   test("frame sampling emits offset windows covering the blob exactly") {
     val media = Multimodal.mediaTable(spark, dir).limit(10)
     val frames = Multimodal.frameSample(media, stride = 100).collect()
