@@ -131,7 +131,41 @@ object TextAnalysis {
       .orderBy(col("i"))
   }
 
+  /** Polynomial rolling-hash fingerprinting (the task's "rolling hash"
+    * deliverable): whole-document hash h = fold((acc*31 + code) mod p) over
+    * char codes, plus the minimum 8-char-gram rolling hash (the winnowing
+    * min-fingerprint used for content-defined chunking). Pure integer
+    * arithmetic — identical in both engines (Spark's 0-seeded fold equals
+    * DuckDB's first-element-seeded list_reduce for this recurrence).
+    */
+  def q28RollingHash(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("codes",
+        expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .withColumn("full_hash",
+        expr("aggregate(codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"))
+      .withColumn("min_gram_hash", expr(
+        """array_min(transform(sequence(1, size(codes) - 7),
+          |  i -> aggregate(slice(codes, i, 8), 0L,
+          |       (acc, x) -> (acc * 31 + x) % 1000000007)))""".stripMargin))
+      .select(col("doc_id"), col("full_hash"), col("min_gram_hash"),
+        size(col("codes")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "q28_rolling_hash" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT)
+        |     for i in generate_series(1, length(text))] AS codes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(codes, (x, y) -> (x * 31 + y) % 1000000007) AS full_hash,
+        |  list_min([list_reduce(codes[i : i + 7], (x, y) -> (x * 31 + y) % 1000000007)
+        |            for i in generate_series(1, len(codes) - 7)]) AS min_gram_hash,
+        |  len(codes) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q25_edit_distance" ->
       """SELECT a.doc_id AS i, b.doc_id AS j,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
@@ -196,6 +230,7 @@ object TextAnalysis {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_edit_distance" -> (q25EditDistance _),
+    "q28_rolling_hash" -> (q28RollingHash _),
     "q20_text_stats" -> (q20TextStats _),
     "q21_lang_id" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
