@@ -152,7 +152,48 @@ object TextAnalysis {
         size(col("codes")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF term scoring: top-3 terms per document (first 50 docs) by
+    * tf * ln((N+1)/(df+1)), rounded to 6 decimals for cross-engine rank
+    * stability, tie-broken by term. Two shuffles: (doc, term) counts and
+    * per-term document frequencies; the df side is a broadcast at any SF
+    * (vocabulary-sized).
+    */
+  def q29Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Queries.t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .filter(col("doc_id") < 50)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rn")
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q29_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), n
+        |  WHERE tf.doc_id < 50),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rn FROM scored)
+        |SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "q28_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -231,6 +272,7 @@ object TextAnalysis {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_edit_distance" -> (q25EditDistance _),
     "q28_rolling_hash" -> (q28RollingHash _),
+    "q29_tfidf" -> (q29Tfidf _),
     "q20_text_stats" -> (q20TextStats _),
     "q21_lang_id" -> (q21LangId _),
     "q22_quality" -> (q22Quality _),
