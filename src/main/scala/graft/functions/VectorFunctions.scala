@@ -70,12 +70,18 @@ case class LongDotProduct(left: Expression, right: Expression)
   * did not build (the driver's Verify/Bench harnesses).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.LongDotName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LongDotProduct].getCanonicalName, GraftFunctions.LongDotName),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LatestRowName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
+      (children: Seq[Expression]) => LatestRow(children(0), children(1))))
+  }
 }
 
 /** Runtime registration of graft's SQL functions into a session's function

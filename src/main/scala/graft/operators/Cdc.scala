@@ -17,16 +17,18 @@ import graft.{CdcConfig, DmsEnvelope => E}
   *     lose — the merge is order-insensitive across batches (T2 in SURVEY §2.9)
   *
   * Scale design (100 TB): the whole fold is ONE aggregation keyed by
-  * `keyCol` — `groupBy(key).agg(max_by(...))` — executed with map-side
-  * partial aggregation (`partial_max_by` below the exchange, asserted in
-  * PlanContractSpec), so the shuffle carries at most one candidate row per
-  * key per map partition instead of the raw changelog. The struct-typed
-  * buffer makes Spark pick SortAggregate over HashAggregate for the final
-  * step, but the shuffle bound — the property that matters at scale — is
-  * the partial agg. A `row_number()` window formulation would carry every
-  * change record through the shuffle and then sort; strictly worse.
-  * Combined with a mirror stored hash-partitioned by `keyCol`
-  * (plans/PartitionedMirror.scala), only touched buckets merge.
+  * `keyCol` — `groupBy(key).agg(latest_row(payload, ordering))` using the
+  * custom [[graft.functions.LatestRow]] TypedImperativeAggregate, which
+  * runs under ObjectHashAggregateExec with map-side partial aggregation
+  * (`partial_latest_row` below the exchange and the absence of any sort,
+  * both asserted in PlanContractSpec). The shuffle carries at most one
+  * candidate row per key per map partition instead of the raw changelog.
+  * (Built-in `max_by` would compute the same answer but its struct-typed
+  * buffer degrades the plan to SortAggregate; a `row_number()` window
+  * formulation would carry every change record through the shuffle and
+  * then sort — both strictly worse.) Combined with a mirror stored
+  * hash-partitioned by `keyCol` (plans/PartitionedMirror.scala), only
+  * touched buckets merge.
   */
 object Cdc {
 

@@ -143,8 +143,10 @@ object Multimodal {
     * (offset, length) window — pointers, not bytes.
     */
   def frameSample(media: DataFrame, stride: Int): DataFrame =
-    media.select(col("doc_id"), col("n_bytes"),
-      explode(expr(s"sequence(0L, n_bytes - 1, $stride)")).as("frame_offset"))
+    media.filter(col("n_bytes") > 0) // empty media has no frames (and
+      // sequence(0, -1, +stride) would throw on illegal boundaries)
+      .select(col("doc_id"), col("n_bytes"),
+        explode(expr(s"sequence(0L, n_bytes - 1, $stride)")).as("frame_offset"))
       .withColumn("frame_len", least(lit(stride.toLong), col("n_bytes") - col("frame_offset")))
 
   /** Metadata extraction + per-source aggregation, blob-column pruned before

@@ -33,6 +33,12 @@ object Queries {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by default;
     * read it as epoch-nanos long and expose epoch-µs (matches DuckDB's
     * truncate-to-µs read). Column `ts_us` replaces `ts`.
+    *
+    * NOTE: `nanosAsLong` is a session-wide SQL conf and stays set for the
+    * session's lifetime — deliberately: the conf is consulted again at scan
+    * execution, so a set/restore scope around planning would break lazy
+    * execution. Effect on other reads: TIMESTAMP(NANOS) columns (which
+    * Spark would otherwise refuse outright) surface as epoch-nano longs.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -20,7 +20,12 @@ object Skew {
     * @param key    grouping column name
     * @param salts  fanout of the hot-key pre-aggregation (≈ number of tasks
     *               a hot key should spread across)
-    * @param aggs   (outCol -> column to SUM). Counts are sums of `lit(1L)`.
+    * @param aggs   (outCol -> FULL aggregate expression, e.g.
+    *               `"total" -> sum(col("v"))`; counts are `sum(lit(1L))`).
+    *               The final phase re-SUMS the per-salt partials, so only
+    *               sum-decomposable aggregates are valid here — an
+    *               `avg(...)` would be silently wrong (compose it from a
+    *               salted sum and a salted count instead).
     * @return one row per key with the summed aggregates — identical to
     *         `df.groupBy(key).agg(sum(...))`, but the first shuffle carries
     *         (key, salt) so no single task absorbs a hot key.

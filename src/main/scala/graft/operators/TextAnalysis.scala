@@ -145,9 +145,14 @@ object TextAnalysis {
       .withColumn("full_hash",
         expr("aggregate(codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"))
       .withColumn("min_gram_hash", expr(
-        """array_min(transform(sequence(1, size(codes) - 7),
-          |  i -> aggregate(slice(codes, i, 8), 0L,
-          |       (acc, x) -> (acc * 31 + x) % 1000000007)))""".stripMargin))
+        // docs shorter than the gram width have no gram hash (NULL) — and
+        // the guard matters: sequence(1, n) with n < 1 would generate a
+        // DESCENDING sequence (default step -1) and crash slice()
+        """CASE WHEN size(codes) >= 8 THEN
+          |  array_min(transform(sequence(1, size(codes) - 7),
+          |    i -> aggregate(slice(codes, i, 8), 0L,
+          |         (acc, x) -> (acc * 31 + x) % 1000000007)))
+          |ELSE NULL END""".stripMargin))
       .select(col("doc_id"), col("full_hash"), col("min_gram_hash"),
         size(col("codes")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))

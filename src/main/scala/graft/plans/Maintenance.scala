@@ -24,8 +24,17 @@ object Maintenance {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+    // rename-away swap: the table path is never absent-with-data-deleted —
+    // a crash leaves either the old dir or both dirs, never neither
+    val old = new org.apache.hadoop.fs.Path(s"$path._old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: could not stage-away $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), dst)) {
+      fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"compact: could not swap in $staged")
+    }
+    fs.delete(old, true)
   }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
@@ -40,6 +49,7 @@ object Maintenance {
     import org.apache.spark.sql.functions.{col, lit}
     val path = wh.tablePath(table)
     val df = spark.read.parquet(path)
+    if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
     val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
       col(cfg.tsCol) < lit(horizon))).localCheckpoint(true)
     val writer = kept.write.mode(SaveMode.Overwrite)

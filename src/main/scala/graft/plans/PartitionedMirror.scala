@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,9 +47,11 @@ object PartitionedMirror {
     * (bounded by nBuckets — partition METADATA, not data, so the driver
     * collect is safe); (3) read only those partitions of the mirror;
     * (4) run the standard latest-wins fold; (5) dynamic-partition-overwrite
-    * exactly the touched buckets; (6) drop partition dirs the merge emptied
-    * (all-deletes case — dynamic overwrite cannot express an empty
-    * partition).
+    * exactly the touched buckets. Deletes persist as tombstone rows, so a
+    * touched bucket always has output — buckets only become empty (and
+    * their directories removed) through
+    * [[graft.plans.Maintenance.expireTombstones]] after the lateness
+    * horizon.
     */
   def applyBatch(
       spark: SparkSession, wh: Warehouse, name: String,
@@ -73,18 +74,6 @@ object PartitionedMirror {
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-
-    // (6) buckets whose every key was deleted produce no output rows, so
-    // dynamic overwrite leaves their old directory — remove it explicitly.
-    val remaining = out.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
-    val emptied = touched.filterNot(remaining)
-    if (emptied.nonEmpty) {
-      val fs = new Path(wh.tablePath(name))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { b =>
-        fs.delete(new Path(wh.tablePath(name), s"$BucketCol=$b"), true)
-      }
     }
   }
 }

@@ -11,7 +11,8 @@ import graft.sources.Tables.Warehouse
 
 /** The partition-pruned mirror merge must (a) produce exactly the same
   * state as the flat merge, (b) physically leave untouched buckets alone,
-  * and (c) remove a bucket directory when a batch deletes its last row.
+  * and (c) keep deletes as tombstones (blocking older updates) until
+  * tombstone GC empties and removes the bucket directory.
   */
 class PartitionedMirrorSpec extends SparkTestBase {
 
