@@ -133,34 +133,36 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Portable hex->int over a 4-hex-char column `m` (0..65535); the md5 is
-    * computed once upstream, not per nibble.
+  /** SimHash width and band masks: 32 bits split 11+11+10 — hamming <= 2
+    * cannot corrupt all three bands (pigeonhole), so banded candidates are
+    * a superset of all qualifying pairs.
     */
-  private def hex4FromCol(fn: String): String = {
-    def hv(i: Int) = s"($fn('0123456789abcdef', substr(m, $i, 1)) - 1)"
-    s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
-  }
+  private val SimBits = 32
+  private val SimBands: Seq[(Int, Long)] = Seq((0, 2047L), (11, 2047L), (22, 1023L))
 
-  /** SimHash near-dup pairs: 16-bit simhash over distinct tokens, banded
-    * (6+5+5 bits) candidate generation — hamming <= 2 guarantees a shared
-    * band — verified by popcount(xor).
+  /** SimHash near-dup pairs: 32-bit term-frequency-weighted simhash (the
+    * classic formulation — each token OCCURRENCE votes ±1 per bit, so the
+    * fingerprint reflects the tf distribution, not just the token set;
+    * token hash = first 8 md5 hex chars as int), banded candidate
+    * generation, verified by popcount(xor). An unweighted 16-bit variant
+    * collides massively on a shared-vocabulary corpus (~2M candidate pairs
+    * at sf0.1); tf-weighted 32-bit keeps the result near-dup-sized.
     */
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Queries.t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
-      .withColumn("m", expr("substr(md5(t), 1, 4)"))
-      .withColumn("h", expr(hex4FromCol("instr")))
-    val bitSums = (0 until 16).map(b =>
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until SimBits).map(b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val fp = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("f", (0 until 16).map(b =>
+      .withColumn("f", (0 until SimBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "f")
-    val banded = fp.select(col("doc_id"), col("f"), explode(array(
-      struct(lit(0).as("band"), expr("f & 63").as("v")),
-      struct(lit(1).as("band"), expr("(f >> 6) & 31").as("v")),
-      struct(lit(2).as("band"), expr("(f >> 11) & 31").as("v")))).as("bk"))
+    val bandCols = SimBands.zipWithIndex.map { case ((shift, mask), i) =>
+      struct(lit(i).as("band"), expr(s"(f >> $shift) & $mask").as("v"))
+    }
+    val banded = fp.select(col("doc_id"), col("f"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("f"), col("bk.band").as("band"), col("bk.v").as("v"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
@@ -193,11 +195,16 @@ object Dedup {
   }.mkString("\n  UNION ALL\n  ")
 
   private def simhashBitSums: String =
-    (0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    (0 until SimBits).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n    ")
 
   private def simhashFp: String =
-    (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    (0 until SimBits).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+
+  private def simhashBandSelects: String =
+    SimBands.zipWithIndex.map { case ((shift, mask), i) =>
+      s"SELECT doc_id, f, $i AS band, (f >> $shift) & $mask AS v FROM fp"
+    }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -242,17 +249,14 @@ object Dedup {
 
     "q33_simhash" ->
       s"""WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |hm AS (SELECT doc_id, substr(md5(t), 1, 4) AS m FROM tok),
-        |h AS (SELECT doc_id, ${hex4FromCol("strpos")} AS h FROM hm),
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
         |bits AS (SELECT doc_id,
         |    $simhashBitSums
         |  FROM h GROUP BY doc_id),
         |fp AS (SELECT doc_id, CAST($simhashFp AS BIGINT) AS f FROM bits),
         |banded AS (
-        |  SELECT doc_id, f, 0 AS band, f & 63 AS v FROM fp
-        |  UNION ALL SELECT doc_id, f, 1 AS band, (f >> 6) & 31 AS v FROM fp
-        |  UNION ALL SELECT doc_id, f, 2 AS band, (f >> 11) & 31 AS v FROM fp),
+        |  $simhashBandSelects),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.f AS fi, b.f AS fj
         |  FROM banded a JOIN banded b
