@@ -101,7 +101,12 @@ object Cdc {
     }
     val incoming = ch.withColumn(pri, lit(1))
       .select((cols.map(col) :+ col(pri)): _*)
+    // register on BOTH sessions: inside foreachBatch the batch frame lives
+    // in a cloned session with its own function registry, while the mirror
+    // frame was read through the outer session — analysis of the combined
+    // plan resolves against the left (mirror) side's registry
     graft.functions.GraftFunctions.register(changes.sparkSession)
+    graft.functions.GraftFunctions.register(mirror.sparkSession)
     val all = mirrorAsChanges.unionByName(incoming)
     val payload = struct(all.columns.map(col): _*)
     val ordering = struct(col(cfg.tsCol), col(pri), col(SeqCol))

@@ -56,6 +56,7 @@ object PartitionedMirror {
   def applyBatch(
       spark: SparkSession, wh: Warehouse, name: String,
       changes: DataFrame, cfg: CdcConfig, nBuckets: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
     val ch = withBucket(Cdc.withIngestSeq(changes), cfg, nBuckets)
     val touched = ch.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted

@@ -64,6 +64,9 @@ object CdcStream {
     require(schemaFiles.nonEmpty,
       s"no loadable files under ${spec.sourcePath} to infer a schema from")
     val schema = spark.read.parquet(schemaFiles: _*).schema
+    // the merge's latest_row/long_dot must resolve in THIS session too (the
+    // micro-batch clone registers separately; see Cdc.applyBatch)
+    graft.functions.GraftFunctions.register(spark)
 
     val reader = spark.readStream
       .schema(schema)
