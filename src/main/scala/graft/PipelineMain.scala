@@ -43,6 +43,10 @@ object PipelineMain {
       try {
         val spec = PipelineSpec.forPrefix(src, cdc)
         println(s"[pipeline] target=$src changelog=${spec.changelogTable} mirror=${spec.mirrorTable}")
+        // the reference's second bootstrap_table call: initial-load (LOAD*)
+        // files seed the mirror before the change stream starts
+        val seeded = graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec)
+        if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
         val q = CdcStream.start(spark, wh, spec, s"$whDir/_checkpoints/${spec.mirrorTable}")
         q.awaitTermination()
         val state = Cdc.currentState(wh.read(spark, spec.mirrorTable))

@@ -92,12 +92,21 @@ object Cdc {
     val ch = withIngestSeq(changes).drop(E.SourceTableCol)
     val cols = ch.columns // data cols + op + tsCol + SeqCol
     val mirrorAsChanges = {
+      // align the mirror to the change schema: a mirror bootstrapped from
+      // plain initial-load files (DMS LOAD*) has NO envelope — no op, no
+      // tsCol. Missing op defaults to U; any other missing column (incl.
+      // tsCol) becomes a typed null. A null ts orders below every real ts
+      // (Catalyst ordering: nulls first), so initial-load rows lose to any
+      // change — and still survive when no change ever arrives for the key.
       val m0 = if (mirror.columns.contains(SeqCol)) mirror
                else mirror.withColumn(SeqCol, lit(0L))
-      // a mirror bootstrapped from plain initial-load data has no op column
       val m1 = if (m0.columns.contains(E.OpCol)) m0
                else m0.withColumn(E.OpCol, lit(E.Update))
-      m1.withColumn(pri, lit(0)).select((cols.map(col) :+ col(pri)): _*)
+      val m2 = cols.foldLeft(m1) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(ch.schema(c).dataType))
+      }
+      m2.withColumn(pri, lit(0)).select((cols.map(col) :+ col(pri)): _*)
     }
     val incoming = ch.withColumn(pri, lit(1))
       .select((cols.map(col) :+ col(pri)): _*)

@@ -100,20 +100,25 @@ object Similarity {
   /** Sign-random-projection LSH buckets per vector: bit j = (v . h_j) >= 0.
     * One broadcast of 8 plane arrays, one codegen'd dot per (vector, plane).
     */
-  private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    qvecs(spark, dir)
-      .crossJoin(broadcast(planes(spark)))
+  private[graft] def lshBucketsFor(spark: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(planes(spark)))
       .withColumn("dj", expr(dotExpr("q", "h")))
       .groupBy(col("vec_id"), col("nq"))
       .agg(sum(when(col("dj") >= 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
         .as("bucket"))
 
+  private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBucketsFor(spark, qvecs(spark, dir))
+
   /** LSH-bucketed ANN: candidates share the query vector's bucket; exact
-    * cosine re-rank inside the bucket only.
+    * cosine re-rank inside the bucket only. The quantized corpus is
+    * materialized once (localCheckpoint) — bucketing and re-ranking reuse
+    * it instead of re-scanning the parquet.
     */
   def q36AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = lshBuckets(spark, dir)
-    val e = qvecs(spark, dir).join(buckets.select("vec_id", "bucket"), Seq("vec_id"))
+    val vecs = qvecs(spark, dir).localCheckpoint(true)
+    val buckets = lshBucketsFor(spark, vecs)
+    val e = vecs.join(buckets.select("vec_id", "bucket"), Seq("vec_id"))
     val query = e.filter(col("vec_id") === 0)
       .select(col("q").as("qq"), col("nq").as("qn"), col("bucket").as("qb"))
     e.join(broadcast(query), col("bucket") === col("qb") && col("vec_id") =!= 0)
@@ -161,7 +166,7 @@ object Similarity {
     * data-adaptive cells instead of fixed hyperplanes.
     */
   def q38AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = qvecs(spark, dir)
+    val e = qvecs(spark, dir).localCheckpoint(true)
     var centroids = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
     for (_ <- 1 to IvfIters)

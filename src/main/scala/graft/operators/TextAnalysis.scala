@@ -140,8 +140,13 @@ object TextAnalysis {
     */
   def q28RollingHash(spark: SparkSession, dir: String): DataFrame =
     Queries.t(spark, dir, "documents")
-      .withColumn("codes",
-        expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .withColumn("codes", expr(
+        // empty-text guard: sequence(1, 0) would generate a DESCENDING
+        // [1, 0] (Spark defaults step to -1), not an empty array
+        """CASE WHEN length(text) > 0 THEN
+          |  transform(sequence(1, length(text)),
+          |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .withColumn("full_hash",
         expr("aggregate(codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"))
       .withColumn("min_gram_hash", expr(
@@ -206,7 +211,8 @@ object TextAnalysis {
         |     for i in generate_series(1, length(text))] AS codes
         |  FROM documents)
         |SELECT doc_id,
-        |  list_reduce(codes, (x, y) -> (x * 31 + y) % 1000000007) AS full_hash,
+        |  CASE WHEN len(codes) = 0 THEN 0
+        |       ELSE list_reduce(codes, (x, y) -> (x * 31 + y) % 1000000007) END AS full_hash,
         |  list_min([list_reduce(codes[i : i + 7], (x, y) -> (x * 31 + y) % 1000000007)
         |            for i in generate_series(1, len(codes) - 7)]) AS min_gram_hash,
         |  len(codes) AS n_chars

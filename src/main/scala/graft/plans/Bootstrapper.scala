@@ -21,6 +21,26 @@ object Bootstrapper {
   final case class Result(spec: PipelineSpec, createdChangelog: Boolean,
                           createdMirror: Boolean, error: Option[Throwable])
 
+  /** Mirror initial load only (the reference's second bootstrap_table call,
+    * batch_bootstrapper.py:75-87): if the mirror doesn't exist and the
+    * prefix holds non-changelog files (DMS LOAD* full loads — everything
+    * NOT matching the mirror exclusion glob), load them as the mirror's
+    * starting state. Returns true if the mirror was created. Used by the
+    * streaming pipeline before the changelog stream starts; initial-load
+    * rows carry no CDC envelope and lose to any subsequent change
+    * (null-ts alignment in Cdc.applyBatch).
+    */
+  def bootstrapMirrorInitialLoad(
+      spark: SparkSession, wh: Warehouse, spec: PipelineSpec): Boolean = {
+    if (wh.exists(spec.mirrorTable)) return false
+    val initialFiles = Tables.listFilesExcluding(
+      spec.sourcePath, Some(spec.mirrorExcludeGlob))
+    Tables.readFiles(spark, initialFiles) match {
+      case Some(df) => wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
+      case None => false
+    }
+  }
+
   /** Bootstrap a single source prefix. Idempotent: a second run is a no-op
     * for tables that already exist (tabular.py:91-99).
     */
@@ -28,10 +48,13 @@ object Bootstrapper {
     try {
       // 1. changelog: load all non-initial-load files (the managed file
       //    loader's CREATE_AUTO_LOAD mode, tabular.py:128; continuous ingest
-      //    is CdcStream's job).
+      //    is CdcStream's job). Stamped with the ingest seq so the batch
+      //    and streaming paths write the SAME changelog schema — a mixed
+      //    with/without-seq directory would read footer-dependently.
       val createdChangelog = Tables.bootstrapTable(
         spark, wh, spec.changelogTable, spec.sourcePath,
-        spec.changelogExcludeGlob, load = true)
+        spec.changelogExcludeGlob, load = true,
+        transform = Cdc.withIngestSeq)
 
       // 2. dependency wiring (tabular.py:72-75) is carried by `spec` itself —
       //    PipelineSpec IS the `dependent-tables` + cdc.* property set.

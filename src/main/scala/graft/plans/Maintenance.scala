@@ -18,9 +18,16 @@ object Maintenance {
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
     val path = wh.tablePath(table)
     val staged = s"$path._compact"
-    spark.read.parquet(path)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
+    // mergeSchema: batch subdirectories may straddle a schema evolution;
+    // preserve the key-bucket partitioning when present (a flat rewrite of
+    // a partitioned mirror would corrupt the layout for later dynamic
+    // partition overwrites)
+    val df = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(path)
+    val writer = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
+    if (df.columns.contains(PartitionedMirror.BucketCol))
+      writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+    else writer.parquet(staged)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

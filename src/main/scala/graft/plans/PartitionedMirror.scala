@@ -62,7 +62,16 @@ object PartitionedMirror {
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
 
-    val mirrorTouched = spark.read.parquet(wh.tablePath(name))
+    val raw = spark.read.parquet(wh.tablePath(name))
+    if (!raw.columns.contains(BucketCol)) {
+      // legacy/seeded flat mirror (e.g. LOAD-file initial load): migrate it
+      // into the bucketed layout wholesale on first merge — dynamic
+      // partition overwrite into a flat directory would mix layouts
+      val merged = Cdc.applyBatch(raw, ch.drop(BucketCol), cfg).localCheckpoint(true)
+      initialize(wh, name, merged, cfg, nBuckets)
+      return
+    }
+    val mirrorTouched = raw
       .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
       .drop(BucketCol)
     val merged = Cdc.applyBatch(mirrorTouched, ch.drop(BucketCol), cfg)

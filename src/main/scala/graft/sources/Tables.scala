@@ -63,11 +63,18 @@ object Tables {
     def tablePath(name: String): String = s"$root/$name"
     def exists(name: String): Boolean = {
       val p = Paths.get(tablePath(name))
-      Files.exists(p) && Files.list(p).iterator().asScala.exists(
-        f => f.getFileName.toString == "_SUCCESS" || f.toString.endsWith(".parquet"))
+      if (!Files.isDirectory(p)) return false
+      val stream = Files.list(p)
+      try stream.iterator().asScala.exists(f =>
+        f.getFileName.toString == "_SUCCESS" || f.toString.endsWith(".parquet") ||
+          Files.isDirectory(f)) // batch_N / partition subdirs count as data
+      finally stream.close()
     }
+    /** Read a (possibly batch-subdir-structured) flat table. NOT for
+      * partition-discovered layouts — PartitionedMirror reads its own path.
+      */
     def read(spark: SparkSession, name: String): DataFrame =
-      spark.read.parquet(tablePath(name))
+      spark.read.option("recursiveFileLookup", "true").parquet(tablePath(name))
     /** Overwrite-commit. Parquet dir rewrite is the offline stand-in for an
       * Iceberg transactional snapshot commit (tabular.py:69-70). At scale the
       * same merge writes through `MERGE INTO` on a transactional format.
@@ -76,6 +83,14 @@ object Tables {
       df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
     def append(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
+    /** Idempotent per-batch append: batch `id` lands in its own
+      * subdirectory via overwrite, so an at-least-once replay of the same
+      * micro-batch rewrites the same files instead of duplicating rows
+      * (foreachBatch reruns a batch when a crash precedes the checkpoint
+      * commit).
+      */
+    def appendBatch(df: DataFrame, name: String, batchId: Long): Unit =
+      overwrite(df, s"$name/batch_$batchId")
   }
 
   /** Save a DataFrame as a catalog table bucketed (hash-clustered) and
@@ -101,13 +116,14 @@ object Tables {
       name: String,
       sourceDir: String,
       excludeGlob: String,
-      load: Boolean): Boolean = {
+      load: Boolean,
+      transform: DataFrame => DataFrame = identity): Boolean = {
     if (wh.exists(name)) return false // tabular.py:93-99 — second run is a no-op
     val files = listFilesExcluding(sourceDir, Some(excludeGlob))
     readFiles(spark, files) match {
-      case Some(df) if load => wh.overwrite(df, name); true
+      case Some(df) if load => wh.overwrite(transform(df), name); true
       case Some(df) => // create empty table with the inferred schema only
-        wh.overwrite(df.limit(0), name); true
+        wh.overwrite(transform(df).limit(0), name); true
       case None => false // nothing to infer a schema from yet
     }
   }

@@ -29,13 +29,23 @@ import graft.sources.Tables.Warehouse
   */
 object CdcStream {
 
-  /** Stamp a batch-unique, ordered ingest sequence: (batchId << 40) | rowId.
-    * monotonically_increasing_id row ids stay < 2^40 per micro-batch under
-    * `maxFilesPerTrigger` bounds, so seqs are globally ordered by batch.
+  /** Stamp a batch-unique, ordered ingest sequence: batchId * 2^44 + rowId.
+    * monotonically_increasing_id is (partitionId << 33) + rowInPartition, so
+    * the intra-batch id stays below 2^44 iff the batch has < 2^11 = 2048
+    * input partitions — guarded explicitly, because an overflow would leak
+    * into the batch bits and INVERT cross-batch ordering for equal-ts rows.
+    * batchId itself fits the remaining 19 bits (~500k micro-batches).
     */
-  private def stampSeq(df: DataFrame, batchId: Long): DataFrame =
+  private def stampSeq(df: DataFrame, batchId: Long): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    require(parts < (1 << 11),
+      s"micro-batch has $parts partitions; ingest-seq encoding supports < 2048 — " +
+        "set maxFilesPerTrigger to bound batch size")
+    require(batchId < (1L << 19),
+      s"batchId $batchId exceeds the 19-bit budget of the ingest-seq encoding")
     df.withColumn(Cdc.SeqCol,
-      (lit(batchId) * lit(1L << 40)) + monotonically_increasing_id())
+      (lit(batchId) * lit(1L << 44)) + monotonically_increasing_id())
+  }
 
   /** Start the auto-load + CDC stream for one pipeline spec.
     *
@@ -88,7 +98,7 @@ object CdcStream {
         val stamped = stampSeq(batch, batchId).persist()
         try {
           if (stamped.limit(1).count() > 0) {
-            wh.append(stamped, spec.changelogTable)
+            wh.appendBatch(stamped, spec.changelogTable, batchId)
             val changes = stamped.drop(graft.DmsEnvelope.SourceTableCol)
             mirrorBuckets match {
               case Some(n) =>
@@ -119,24 +129,27 @@ object CdcStream {
 
   /** Translate a `**&#47;...` exclusion glob into a filter on the source file
     * path (same semantics as Tables.listFilesExcluding, but applied inside
-    * the streaming scan where driver-side list pre-filtering isn't available).
+    * the streaming scan where driver-side list pre-filtering isn't
+    * available). The glob tail may contain directory components; a file is
+    * excluded when the tail matches any contiguous segment span of its
+    * path — which also covers writer-produced `LOAD*.parquet/part-*`
+    * directory wrapping. Globs without a leading `**&#47;` are not part of
+    * the reference's config surface and are rejected loudly rather than
+    * silently ingesting files the listing side would have excluded.
     */
   private[streaming] def excludePredicate(glob: String) = {
-    glob match {
-      case g if g.startsWith("**/") && !g.drop(3).contains('/') =>
-        val tail = g.drop(3)
-        // translate the glob tail to a regex and exclude when ANY path
-        // segment matches — covers both leaf files named `LOAD*` (the DMS
-        // layout the reference targets) and writer-produced
-        // `LOAD*.parquet/part-*.parquet` directory wrapping.
-        val rx = "^" + tail.flatMap {
-          case '*' => ".*"
-          case '?' => "."
-          case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
-          case c => c.toString
-        } + "$"
-        exists(split(col("_src_file"), "/"), seg => seg.rlike(rx))
-      case _ => lit(false) // unsupported shapes fail open (keep the file)
+    require(glob.startsWith("**/"),
+      s"unsupported exclusion glob '$glob': expected '**/<tail>' " +
+        "(the reference's fileFilter shape, tabular.py:137)")
+    val tail = glob.drop(3)
+    val rx = tail.flatMap {
+      case '*' => "[^/]*"
+      case '?' => "[^/]"
+      case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
     }
+    // (^|/) tail ($|/) over the full path: matches the tail as a complete
+    // segment span anywhere in the file's path
+    col("_src_file").rlike(s"(^|/)$rx($$|/)")
   }
 }

@@ -69,6 +69,40 @@ class CdcStreamSpec extends SparkTestBase {
       .exists(_.getFileName.toString.startsWith(graft.plans.PartitionedMirror.BucketCol)))
   }
 
+  test("initial-load seeding: LOAD-only keys survive, changed keys are superseded") {
+    val src = tmpDir("stream-src-seed")
+    val wh = Warehouse(tmpDir("stream-wh-seed"))
+    val spec = PipelineSpec(src, "sd_changelog", "sd", CdcConfig("id", "ts"))
+    // DMS initial load: bare data schema, NO CDC envelope — written as a
+    // single dash-free FILE (the DMS layout; Spark's part-*-uuid names
+    // would themselves match the mirror's `**/*-*` exclusion glob)
+    val tmp = tmpDir("load-stage")
+    Seq((1L, "load1", "m0"), (2L, "load2", "m0"))
+      .toDF("id", "name", "modification_date")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    val partFile = {
+      import scala.jdk.CollectionConverters._
+      try part.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally () // stream closed with the JVM; single test-scoped use
+    }
+    Files.createDirectories(Paths.get(src))
+    Files.move(partFile, Paths.get(s"$src/LOAD00000001.parquet"))
+    // change stream: update key 1 only
+    writeParquet(Seq(DmsGenerator.Log(1L, "changed", "m1", "t", "U", "2024-01-02T00:00:00")),
+      s"$src/dms_logs_1.parquet")
+
+    assert(graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-seed")).awaitTermination()
+
+    val state = Cdc.currentState(wh.read(spark, "sd"))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "changed", 2L -> "load2"),
+      s"LOAD row without changes must survive; changed key must supersede: $state")
+    // idempotent: a second seeding attempt is a no-op
+    assert(!graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
+  }
+
   test("restart with checkpoint ingests only new files (exactly-once file tracking)") {
     val g = DmsGenerator.generate(9L)
     val src = tmpDir("stream-src2")
