@@ -137,7 +137,7 @@ object CdcStream {
     * the reference's config surface and are rejected loudly rather than
     * silently ingesting files the listing side would have excluded.
     */
-  private[streaming] def excludePredicate(glob: String) = {
+  private[graft] def excludePredicate(glob: String) = {
     require(glob.startsWith("**/"),
       s"unsupported exclusion glob '$glob': expected '**/<tail>' " +
         "(the reference's fileFilter shape, tabular.py:137)")

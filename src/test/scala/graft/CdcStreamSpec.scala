@@ -103,6 +103,27 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
   }
 
+  test("exclusion glob predicate: segment spans, directory tails, unsupported shapes") {
+    def excluded(glob: String, paths: String*): Seq[Boolean] = {
+      val df = paths.toSeq.toDF("_src_file")
+      val p = CdcStream.excludePredicate(glob)
+      df.select(p).collect().map(_.getBoolean(0)).toSeq
+    }
+    assert(excluded("**/LOAD*",
+      "/data/t/LOAD00000001.parquet",              // plain DMS file
+      "/data/t/LOAD0001.parquet/part-0-x.parquet", // writer-wrapped dir
+      "/data/t/dms_logs_1.parquet",                // change file: kept
+      "/data/t/RELOADED/f.parquet"                 // LOAD not a full segment prefix... RELOADED != LOAD*
+    ) == Seq(true, true, false, false))
+    assert(excluded("**/*-*",
+      "/data/t/2024-01-01.parquet",                // dash: excluded
+      "/data/t/LOAD0001.parquet") == Seq(true, false))
+    assert(excluded("**/init/LOAD*",
+      "/data/t/init/LOAD1.parquet",                // directory-component tail
+      "/data/t/other/LOAD1.parquet") == Seq(true, false))
+    intercept[IllegalArgumentException](CdcStream.excludePredicate("LOAD*"))
+  }
+
   test("restart with checkpoint ingests only new files (exactly-once file tracking)") {
     val g = DmsGenerator.generate(9L)
     val src = tmpDir("stream-src2")
