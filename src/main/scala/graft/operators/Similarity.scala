@@ -130,6 +130,28 @@ object Similarity {
       .limit(5)
   }
 
+  /** Embedding near-dup with LSH-bucket blocking (the production shape of
+    * q34: blocking key = data-derived LSH bucket instead of a label): pairs
+    * are generated only within a bucket, ranked by exact cosine. Global
+    * all-pairs never materializes; expected pair count is sum of squared
+    * bucket sizes (~n²/256 here).
+    */
+  def q39EmbeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = qvecs(spark, dir).localCheckpoint(true)
+    val e = vecs.join(
+      lshBucketsFor(spark, vecs).select("vec_id", "bucket"), Seq("vec_id"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        expr(dotExpr("a.q", "b.q")).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .withColumn("cos", cosCol("dot", "na", "nb"))
+      .select("bucket", "i", "j", "cos")
+      .orderBy(col("cos").desc, col("i"), col("j"))
+      .limit(20)
+  }
+
   private val IvfK = 8
   private val IvfIters = 2
 
@@ -221,6 +243,26 @@ object Similarity {
   private def cosSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
+  /** Shared oracle CTE block: sign-random-projection buckets -> `eb`. */
+  private def lshCtes: String =
+    s"""planes AS (
+      |  SELECT j, i,
+      |    CASE WHEN strpos('02468ace', substr(md5(j || '_' || i), 32, 1)) > 0
+      |         THEN 1 ELSE -1 END AS sign
+      |  FROM generate_series(0, ${Planes - 1}) AS tj(j),
+      |       generate_series(0, 63) AS ti(i)),
+      |pos AS (
+      |  SELECT vec_id, nq, g.i - 1 AS i, q[g.i] AS qi
+      |  FROM e, generate_series(1, 64) AS g(i)),
+      |dots AS (
+      |  SELECT vec_id, nq, j, sum(sign * qi) AS dj
+      |  FROM pos JOIN planes USING (i) GROUP BY vec_id, nq, j),
+      |buckets AS (
+      |  SELECT vec_id, nq,
+      |    CAST(sum(CASE WHEN dj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, nq),
+      |eb AS (SELECT e.vec_id, e.q, e.nq, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id)""".stripMargin
+
   /** One oracle assignment CTE: vectors -> argmax-cosine centroid of `cent`. */
   private def assignCte(name: String, cent: String): String =
     s"""$name AS (
@@ -258,28 +300,20 @@ object Similarity {
 
     "q36_ann_lsh" ->
       s"""WITH $qCte,
-        |planes AS (
-        |  SELECT j, i,
-        |    CASE WHEN strpos('02468ace', substr(md5(j || '_' || i), 32, 1)) > 0
-        |         THEN 1 ELSE -1 END AS sign
-        |  FROM generate_series(0, ${Planes - 1}) AS tj(j),
-        |       generate_series(0, 63) AS ti(i)),
-        |pos AS (
-        |  SELECT vec_id, nq, g.i - 1 AS i, q[g.i] AS qi
-        |  FROM e, generate_series(1, 64) AS g(i)),
-        |dots AS (
-        |  SELECT vec_id, nq, j, sum(sign * qi) AS dj
-        |  FROM pos JOIN planes USING (i) GROUP BY vec_id, nq, j),
-        |buckets AS (
-        |  SELECT vec_id, nq,
-        |    CAST(sum(CASE WHEN dj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM dots GROUP BY vec_id, nq),
-        |eb AS (SELECT e.vec_id, e.q, e.nq, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+        |$lshCtes,
         |query AS (SELECT q AS qq, nq AS qn, bucket AS qb FROM eb WHERE vec_id = 0)
         |SELECT eb.vec_id, eb.bucket,
         |  ${cosSql("list_dot_product(eb.q, query.qq)", "eb.nq", "query.qn")} AS cos
         |FROM eb, query WHERE eb.bucket = query.qb AND eb.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q39_embedding_neardup_lsh" ->
+      s"""WITH $qCte,
+        |$lshCtes
+        |SELECT a.bucket AS bucket, a.vec_id AS i, b.vec_id AS j,
+        |  ${cosSql("list_dot_product(a.q, b.q)", "a.nq", "b.nq")} AS cos
+        |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |ORDER BY cos DESC, i, j LIMIT 20""".stripMargin,
 
     "q38_ann_ivf" ->
       s"""WITH $qCte,
@@ -331,5 +365,6 @@ object Similarity {
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q37_centroid_outliers" -> (q37CentroidOutliers _),
     "q38_ann_ivf" -> (q38AnnIvf _),
+    "q39_embedding_neardup_lsh" -> (q39EmbeddingNeardupLsh _),
   )
 }

@@ -69,23 +69,33 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS ${lang}_hits"
   }.mkString(",\n  ")
 
-  /** Quality scoring: distinct-token ratio, short-token ratio, length prior —
-    * combined into one double score + a bucket label.
+  /** Quality scoring: distinct-token, short-token, punctuation, and
+    * stopword ratios combined into one double score + a bucket label (the
+    * length/punct/stopword signal set of a training-data quality filter).
     */
   def q22Quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"))
+        expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"size(filter(toks, t -> t IN (${inList(langStops.head._2)})))")
+          .cast("long").as("n_stop"))
       .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("short_ratio", col("n_short").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("score",
-        col("distinct_ratio") * lit(0.6) + (lit(1.0) - col("short_ratio")) * lit(0.4))
+        col("distinct_ratio") * lit(0.5) + (lit(1.0) - col("short_ratio")) * lit(0.3) +
+          (lit(1.0) - col("punct_ratio")) * lit(0.1) +
+          (lit(1.0) - col("stopword_ratio")) * lit(0.1))
       .withColumn("bucket",
-        when(col("score") >= 0.7, "high")
-          .when(col("score") >= 0.5, "medium").otherwise("low"))
-      .select("doc_id", "n_tokens", "distinct_ratio", "short_ratio", "score", "bucket")
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "medium").otherwise("low"))
+      .select("doc_id", "n_tokens", "distinct_ratio", "short_ratio",
+        "punct_ratio", "stopword_ratio", "score", "bucket")
       .orderBy(col("doc_id"))
 
   /** Regex token classes per source (BPE-ish segmentation counts): word runs,
@@ -249,20 +259,27 @@ object TextAnalysis {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q22_quality" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,
         |  len(toks) AS n_tokens,
         |  len(list_distinct(toks)) AS n_distinct,
-        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short
+        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
+        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+        |  length(text) AS n_chars,
+        |  len(list_filter(toks, t -> t IN (${inList(langStops.head._2)}))) AS n_stop
         |FROM t),
         |s AS (SELECT doc_id, n_tokens,
         |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
-        |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio
+        |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
         |FROM m),
-        |sc AS (SELECT *, distinct_ratio * 0.6 + (1.0 - short_ratio) * 0.4 AS score FROM s)
-        |SELECT doc_id, n_tokens, distinct_ratio, short_ratio, score,
-        |  CASE WHEN score >= 0.7 THEN 'high'
-        |       WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS bucket
+        |sc AS (SELECT *, distinct_ratio * 0.5 + (1.0 - short_ratio) * 0.3 +
+        |  (1.0 - punct_ratio) * 0.1 + (1.0 - stopword_ratio) * 0.1 AS score FROM s)
+        |SELECT doc_id, n_tokens, distinct_ratio, short_ratio, punct_ratio,
+        |  stopword_ratio, score,
+        |  CASE WHEN score >= 0.8 THEN 'high'
+        |       WHEN score >= 0.6 THEN 'medium' ELSE 'low' END AS bucket
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q23_token_classes" ->
