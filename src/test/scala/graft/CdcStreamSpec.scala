@@ -103,6 +103,32 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
   }
 
+  test("continuous tailing (ProcessingTime trigger) picks up files as they land") {
+    val src = tmpDir("stream-src-cont")
+    val wh = Warehouse(tmpDir("stream-wh-cont"))
+    val spec = PipelineSpec(src, "ct_changelog", "ct", CdcConfig("id", "ts"))
+    writeParquet(Seq(DmsGenerator.Log(1L, "first", "m1", "t", "I", "2024-01-01T00:00:00")),
+      s"$src/dms_logs_1.parquet")
+    val q = CdcStream.start(spark, wh, spec, tmpDir("ckpt-cont"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      def mirrorIds(): Set[Long] =
+        if (!wh.exists("ct")) Set.empty
+        else Cdc.currentState(wh.read(spark, "ct")).select("id")
+          .as[Long].collect().toSet
+      def await(expect: Set[Long]): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (mirrorIds() != expect && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(mirrorIds() == expect, s"timed out waiting for $expect, got ${mirrorIds()}")
+      }
+      await(Set(1L))
+      // a new file lands while the query keeps running
+      writeParquet(Seq(DmsGenerator.Log(2L, "second", "m2", "t", "I", "2024-01-01T00:00:01")),
+        s"$src/dms_logs_2.parquet")
+      await(Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("exclusion glob predicate: segment spans, directory tails, unsupported shapes") {
     def excluded(glob: String, paths: String*): Seq[Boolean] = {
       val df = paths.toSeq.toDF("_src_file")
