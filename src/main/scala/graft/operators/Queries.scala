@@ -385,6 +385,25 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** SCD Type-2 history (the CDC changelog materialized as a slowly-
+    * changing dimension instead of a latest-wins mirror): every change
+    * becomes a version row with [valid_from, valid_to) bounds from the next
+    * change's timestamp; open versions are marked current. One window
+    * shuffle on the key — the natural companion to the A2 fold when
+    * downstream needs time travel rather than current state.
+    */
+  def q48Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events(spark, dir)
+      .filter(col("user_id") < 20) // bounded key slice keeps output stable-size
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "event_id", "event_type", "value",
+        "valid_from_us", "valid_to_us", "is_current")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** As-of join (SURVEY J3): each purchase matched to the user's most
     * recent click at-or-before it. Spark-first shape: NO inequality join —
     * union both streams and take a running `last(click)` window, which
@@ -677,6 +696,14 @@ object Queries {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    "q48_scd2_history" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q19_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -783,5 +810,6 @@ object Queries {
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),
     "q44_sliding_window" -> (q44SlidingWindow _),
+    "q48_scd2_history" -> (q48Scd2History _),
   )
 }
