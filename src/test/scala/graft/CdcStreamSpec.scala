@@ -113,9 +113,14 @@ class CdcStreamSpec extends SparkTestBase {
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
     try {
       def mirrorIds(): Set[Long] =
-        if (!wh.exists("ct")) Set.empty
-        else Cdc.currentState(wh.read(spark, "ct")).select("id")
-          .as[Long].collect().toSet
+        // the flat-mirror overwrite is not atomic (documented offline
+        // stand-in for a transactional commit) — a read can race the
+        // rewrite; treat transient failures as "not yet"
+        try {
+          if (!wh.exists("ct")) Set.empty
+          else Cdc.currentState(wh.read(spark, "ct")).select("id")
+            .as[Long].collect().toSet
+        } catch { case _: Exception => Set(-1L) }
       def await(expect: Set[Long]): Unit = {
         val deadline = System.nanoTime() + 30L * 1000000000L
         while (mirrorIds() != expect && System.nanoTime() < deadline) Thread.sleep(250)
