@@ -60,7 +60,15 @@ final case class PipelineSpec(
     cdc: CdcConfig,
     changelogExcludeGlob: String = "**/LOAD*",
     mirrorExcludeGlob: String = "**/*-*",
-    autoLoad: Boolean = true)
+    autoLoad: Boolean = true,
+    /** Source file format — the reference's `fileLoaderConfig.fileFormat`
+      * (tabular.py:136, 'parquet' in the reference; DMS also emits csv/json
+      * change files, so the loader accepts all three).
+      */
+    format: String = "parquet") {
+  require(Set("parquet", "json", "csv").contains(format),
+    s"unsupported source format '$format' (parquet|json|csv)")
+}
 
 object PipelineSpec {
   /** Derive table names from a source path the way the reference does

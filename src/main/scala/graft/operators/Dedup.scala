@@ -89,6 +89,39 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Hot-shingle frequency cap for the capped inverted index (q49). */
+  private val ShingleDocCap = 50
+
+  /** Frequency-capped n-gram Jaccard (the 100 TB variant of q31): shingles
+    * appearing in more than [[ShingleDocCap]] documents are dropped from
+    * the inverted index BEFORE pair generation — they carry no
+    * discriminating signal and their posting lists are the quadratic cost.
+    * Similarity is then exact Jaccard over each pair's FULL shingle sets
+    * (only candidate generation is approximate, same contract as LSH).
+    */
+  def q49NgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val candidates = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= ShingleDocCap)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, ix) ->
+          |  transform(slice(ds, ix + 2, size(ds) - ix - 1),
+          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    val sets = shingleSets(spark, dir)
+    candidates
+      .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
+      .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** MinHash signature size and banding (4 bands x 3 rows). */
   private val K = 12
   private val Bands = 4
@@ -224,6 +257,23 @@ object Dedup {
         |WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8
         |ORDER BY i, j""".stripMargin,
 
+    "q49_ngram_jaccard_capped" ->
+      s"""WITH $shinglesCte,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.s IN (SELECT s FROM sh GROUP BY s
+        |                HAVING count(*) > 1 AND count(*) <= $ShingleDocCap)),
+        |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
+        |verified AS (
+        |  SELECT i, j,
+        |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+        |    len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS uni
+        |  FROM cand JOIN sets sa ON sa.doc_id = i JOIN sets sb ON sb.doc_id = j)
+        |SELECT i, j, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+        |ORDER BY i, j""".stripMargin,
+
     "q32_minhash_lsh" ->
       s"""WITH $shinglesCte,
         |shh AS (SELECT doc_id, s,
@@ -269,6 +319,7 @@ object Dedup {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
+    "q49_ngram_jaccard_capped" -> (q49NgramJaccardCapped _),
     "q32_minhash_lsh" -> (q32MinhashLsh _),
     "q33_simhash" -> (q33Simhash _),
   )

@@ -56,6 +56,25 @@ object Tables {
   def readFiles(spark: SparkSession, files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
 
+  /** Format-parameterized variant (the reference's
+    * `fileLoaderConfig.fileFormat`, tabular.py:136): parquet, json
+    * (newline-delimited), or headered csv with schema inference.
+    */
+  def readFilesAs(spark: SparkSession, format: String,
+      files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val r = spark.read
+      Some(format match {
+        case "parquet" => r.parquet(files: _*)
+        case "json" => r.json(files: _*)
+        case "csv" => r.option("header", "true").option("inferSchema", "true")
+          .csv(files: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported source format '$other'")
+      })
+    }
+
   /** Warehouse = a directory of `<table>` parquet dirs (offline stand-in for
     * the Iceberg catalog the reference talks to, tabular.py:92).
     */

@@ -73,17 +73,19 @@ object CdcStream {
       spec.sourcePath, Some(spec.changelogExcludeGlob))
     require(schemaFiles.nonEmpty,
       s"no loadable files under ${spec.sourcePath} to infer a schema from")
-    val schema = spark.read.parquet(schemaFiles: _*).schema
+    val schema = graft.sources.Tables
+      .readFilesAs(spark, spec.format, schemaFiles).get.schema
     // the merge's latest_row/long_dot must resolve in THIS session too (the
     // micro-batch clone registers separately; see Cdc.applyBatch)
     graft.functions.GraftFunctions.register(spark)
 
     val reader = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "*.parquet")
+      .option("pathGlobFilter", s"*.${spec.format}")
       .option("recursiveFileLookup", "true")
+    if (spec.format == "csv") reader.option("header", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(spec.sourcePath)
+    val stream = reader.format(spec.format).load(spec.sourcePath)
       // Exclusion glob (`**/LOAD*`): Spark's pathGlobFilter is inclusive, so
       // exclude by predicate on the provenance column — stays in the scan.
       .withColumn("_src_file", input_file_name())

@@ -103,6 +103,23 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
   }
 
+  test("json-format changelog source replays to the same final state") {
+    val g = DmsGenerator.generate(55L)
+    val src = tmpDir("stream-src-json")
+    g.batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF().withColumnRenamed("modificationDate", "modification_date")
+        .coalesce(1).write.mode("overwrite").json(s"$src/dms_logs_${i + 1}.json")
+    }
+    val wh = Warehouse(tmpDir("stream-wh-json"))
+    val spec = PipelineSpec(src, "js_changelog", "js", CdcConfig("id", "ts"),
+      format = "json")
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-json")).awaitTermination()
+    val mirror = Cdc.currentState(wh.read(spark, "js")).drop("ts")
+      .select("id", "name", "modification_date")
+      .as[(Long, String, String)].collect().toSet
+    assert(mirror === g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet)
+  }
+
   test("continuous tailing (ProcessingTime trigger) picks up files as they land") {
     val src = tmpDir("stream-src-cont")
     val wh = Warehouse(tmpDir("stream-wh-cont"))
