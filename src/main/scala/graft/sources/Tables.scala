@@ -22,7 +22,10 @@ object Tables {
     * `excludeGlob` — the exact `**&#47;...`-style semantics of the reference's
     * `fileFilter`. Listing order is sorted for deterministic ingestion order.
     */
-  def listFilesExcluding(dir: String, excludeGlob: Option[String]): Seq[String] = {
+  def listFilesExcluding(
+      dir: String,
+      excludeGlob: Option[String],
+      extension: Option[String] = None): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Seq.empty
     val matcher = excludeGlob.map(g => FileSystems.getDefault.getPathMatcher(s"glob:$g"))
@@ -32,6 +35,10 @@ object Tables {
         .filter(p => Files.isRegularFile(p))
         .filter(p => !p.getFileName.toString.startsWith("_") &&
                      !p.getFileName.toString.startsWith("."))
+        // a stray file of another format must not reach the reader
+        .filter(p => extension.forall(e =>
+          p.getFileName.toString.endsWith(s".$e") ||
+            p.getParent.getFileName.toString.endsWith(s".$e")))
         .filter { p =>
           // The reference's globs are matched against the key relative to the
           // monitored prefix (tabular.py:130-139 sends bucket+prefix and the

@@ -70,7 +70,8 @@ object CdcStream {
     // (op/ts), and parquet inference reads one footer — picking a LOAD file
     // would silently drop the envelope columns from the whole stream.
     val schemaFiles = graft.sources.Tables.listFilesExcluding(
-      spec.sourcePath, Some(spec.changelogExcludeGlob))
+      spec.sourcePath, Some(spec.changelogExcludeGlob),
+      extension = Some(spec.format))
     require(schemaFiles.nonEmpty,
       s"no loadable files under ${spec.sourcePath} to infer a schema from")
     val schema = graft.sources.Tables
