@@ -47,6 +47,8 @@ object PipelineMain {
         // files seed the mirror before the change stream starts
         val seeded = graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec)
         if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
+        // durable CDC wiring (the reference's table-property commits)
+        graft.plans.Bootstrapper.writeCdcProperties(wh, spec)
         val q = CdcStream.start(spark, wh, spec, s"$whDir/_checkpoints/${spec.mirrorTable}")
         q.awaitTermination()
         val state = Cdc.currentState(wh.read(spark, spec.mirrorTable))

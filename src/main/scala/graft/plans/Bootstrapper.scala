@@ -21,6 +21,30 @@ object Bootstrapper {
   final case class Result(spec: PipelineSpec, createdChangelog: Boolean,
                           createdMirror: Boolean, error: Option[Throwable])
 
+  /** Persist the CDC wiring as durable table properties — the reference's
+    * `update_changelog_table` / `update_mirror_table` commits
+    * (tabular.py:66-75): the mirror carries the merge parameterization, the
+    * changelog declares its dependent mirror. Idempotent (overwrite).
+    */
+  def writeCdcProperties(wh: Warehouse, spec: PipelineSpec): Unit = {
+    Tables.TableProps.write(wh, spec.mirrorTable, Map(
+      "etl.job-type" -> "cdc",
+      "cdc.type" -> "DMS",
+      "cdc.ts-column" -> spec.cdc.tsCol,
+      "cdc.key-column" -> spec.cdc.keyCol))
+    Tables.TableProps.write(wh, spec.changelogTable, Map(
+      "dependent-tables" -> spec.mirrorTable))
+  }
+
+  /** Read the merge parameterization back from the mirror's stored
+    * properties (None when the table was never configured).
+    */
+  def readCdcConfig(wh: Warehouse, mirrorTable: String): Option[graft.CdcConfig] = {
+    val p = Tables.TableProps.read(wh, mirrorTable)
+    for (k <- p.get("cdc.key-column"); t <- p.get("cdc.ts-column"))
+      yield graft.CdcConfig(k, t)
+  }
+
   /** Mirror initial load only (the reference's second bootstrap_table call,
     * batch_bootstrapper.py:75-87): if the mirror doesn't exist and the
     * prefix holds non-changelog files (DMS LOAD* full loads — everything
@@ -56,8 +80,9 @@ object Bootstrapper {
         spec.changelogExcludeGlob, load = true,
         transform = Cdc.withIngestSeq)
 
-      // 2. dependency wiring (tabular.py:72-75) is carried by `spec` itself —
-      //    PipelineSpec IS the `dependent-tables` + cdc.* property set.
+      // 2. dependency wiring (tabular.py:72-75): persisted as durable table
+      //    properties alongside the in-memory spec.
+      writeCdcProperties(wh, spec)
 
       // 3+4. mirror: initial load from non-changelog files (CREATE_LOAD mode)
       //    if any exist, else materialize from the changelog via the CDC fold.

@@ -119,6 +119,42 @@ object Tables {
       overwrite(df, s"$name/batch_$batchId")
   }
 
+  /** Durable table properties — the engine's analog of the reference's
+    * Iceberg table-property commits (`tabular.py:66-75`: `etl.job-type`,
+    * `cdc.type`, `cdc.ts-column`, `cdc.key-column`, `dependent-tables`).
+    * Stored under the warehouse's `_metadata/` dir — OUTSIDE the table's
+    * data directory, which data rewrites (overwrite commits) replace
+    * wholesale; at scale the same keys live in the catalog's TBLPROPERTIES.
+    */
+  object TableProps {
+    private def propsPath(wh: Warehouse, table: String): Path =
+      Paths.get(wh.root, "_metadata", s"$table.json")
+
+    def write(wh: Warehouse, table: String, props: Map[String, String]): Unit = {
+      val p = propsPath(wh, table)
+      Files.createDirectories(p.getParent)
+      val json = props.toSeq.sorted
+        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ", ", "}")
+      Files.writeString(p, json)
+    }
+
+    def read(wh: Warehouse, table: String): Map[String, String] = {
+      val p = propsPath(wh, table)
+      if (!Files.exists(p)) return Map.empty
+      val s = Files.readString(p)
+      // flat string->string object; fields were written escaped
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(s)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    }
+
+    private def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    private def unesc(s: String): String =
+      s.replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+
   /** Save a DataFrame as a catalog table bucketed (hash-clustered) and
     * sorted by `key` — the layout that makes repeated joins/aggregations on
     * `key` shuffle-free: two tables bucketed the same way sort-merge join
