@@ -96,22 +96,49 @@ object Dedup {
     * appearing in more than [[ShingleDocCap]] documents are dropped from
     * the inverted index BEFORE pair generation — they carry no
     * discriminating signal and their posting lists are the quadratic cost.
-    * Similarity is then exact Jaccard over each pair's FULL shingle sets
-    * (only candidate generation is approximate, same contract as LSH).
+    *
+    * Exactness is preserved by BOUNDED PRUNING: for a candidate pair, the
+    * true intersection is at most (capped-index intersection + the smaller
+    * doc's hot-shingle count), which upper-bounds the true Jaccard — pairs
+    * whose bound misses the threshold are pruned with integer arithmetic
+    * only; exact full-set verification runs on the tiny remainder.
     */
   def q49NgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val candidates = sh.groupBy(col("s"))
+    // the shingle index feeds four consumers (sizes, hot counts, pair
+    // counts, verification sets) — materialize it once instead of
+    // re-deriving the explode lineage per consumer
+    val sh = shingles(spark, dir).localCheckpoint(true)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val postings = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .localCheckpoint(true)
+    // per-doc count of HOT shingles (the ones the capped index drops)
+    val hot = postings.filter(size(col("ds")) > ShingleDocCap)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    // capped-index pairwise intersection counts
+    val cinter = postings
       .filter(size(col("ds")) > 1 && size(col("ds")) <= ShingleDocCap)
       .select(explode(expr(
         """flatten(transform(ds, (x, ix) ->
           |  transform(slice(ds, ix + 2, size(ds) - ix - 1),
           |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
-      .distinct()
-    val sets = shingleSets(spark, dir)
-    candidates
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("cinter"))
+    val pruned = cinter
+      .join(broadcast(counts).as("na"), col("i") === col("na.doc_id"))
+      .join(broadcast(counts).as("nb"), col("j") === col("nb.doc_id"))
+      .join(broadcast(hot).as("ha"), col("i") === col("ha.doc_id"), "left")
+      .join(broadcast(hot).as("hb"), col("j") === col("hb.doc_id"), "left")
+      .withColumn("ub_inter", col("cinter") +
+        least(coalesce(col("ha.h"), lit(0L)), coalesce(col("hb.h"), lit(0L))))
+      // true jaccard <= ub_inter / (na + nb - ub_inter); prune on integers:
+      // ub/(na+nb-ub) >= 0.8  <=>  1.8*ub >= 0.8*(na+nb)  <=>  9*ub >= 4*(na+nb)
+      .filter(col("ub_inter") * 9 >= (col("na.ns") + col("nb.ns")) * 4)
+      .select(col("i"), col("j"))
+    // rebuild sets from the materialized index (same distinct shingles)
+    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
+    pruned
       .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
       .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
@@ -259,17 +286,28 @@ object Dedup {
 
     "q49_ngram_jaccard_capped" ->
       s"""WITH $shinglesCte,
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+        |hot AS (
+        |  SELECT doc_id, count(*) AS h FROM sh JOIN freq USING (s)
+        |  WHERE c > $ShingleDocCap GROUP BY doc_id),
+        |cinter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS cinter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  WHERE a.s IN (SELECT s FROM sh GROUP BY s
-        |                HAVING count(*) > 1 AND count(*) <= $ShingleDocCap)),
+        |  JOIN freq f ON f.s = a.s AND f.c > 1 AND f.c <= $ShingleDocCap
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pruned AS (
+        |  SELECT i, j FROM cinter
+        |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |  LEFT JOIN hot ha ON ha.doc_id = i LEFT JOIN hot hb ON hb.doc_id = j
+        |  WHERE (cinter + least(coalesce(ha.h, 0), coalesce(hb.h, 0))) * 9
+        |        >= (na.ns + nb.ns) * 4),
         |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
         |verified AS (
         |  SELECT i, j,
         |    len(list_intersect(sa.sset, sb.sset)) AS inter,
         |    len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS uni
-        |  FROM cand JOIN sets sa ON sa.doc_id = i JOIN sets sb ON sb.doc_id = j)
+        |  FROM pruned JOIN sets sa ON sa.doc_id = i JOIN sets sb ON sb.doc_id = j)
         |SELECT i, j, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.8
         |ORDER BY i, j""".stripMargin,
