@@ -65,7 +65,7 @@ object Dedup {
     * sizes from per-doc counts.
     */
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingles(spark, dir).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     // Inverted-index pair generation: group each shingle's (sorted) posting
     // list once and emit its pair combinations, instead of a self-join that
@@ -163,7 +163,8 @@ object Dedup {
     * the shingle sets.
     */
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val shBase = shingles(spark, dir).localCheckpoint(true)
+    val sh = shBase
       .withColumn("md", md5(col("s")))
       .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(md, 9, 8), 16, 10) AS BIGINT)"))
@@ -181,7 +182,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val sets = shingleSets(spark, dir)
+    val sets = shBase.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
     candidates
       .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
       .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
