@@ -174,8 +174,8 @@ object Multimodal {
         |    (octet_length(encode(text)) + 255) // 256 AS n_chunks
         |  FROM documents)
         |SELECT source, count(*) AS n_media,
-        |  sum(n_bytes) AS total_bytes,
-        |  sum(n_chunks) AS total_chunks,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
         |  min(content_md5) AS min_md5
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
   )

@@ -247,12 +247,16 @@ object Queries {
 
   /** Array aggregation (SURVEY F4): per-nation sorted key arrays —
     * deterministic because the collected list is sorted before emission.
+    * The list is emitted joined as a string: the array shape exercises
+    * collect_list/sort_array, while the flat string keeps the result
+    * hashable by any downstream comparator (raw arrays are not).
     */
   def q46ArrayAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .filter(col("c_acctbal") > 9000)
       .groupBy(col("c_nationkey"))
-      .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+      .agg(concat_ws(",", sort_array(collect_list(col("c_custkey"))))
+          .as("custkeys"),
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
@@ -435,12 +439,44 @@ object Queries {
     * are engine-specific — so the driver records a rows-only check; the
     * exact twin q10 is the hash-checked variant.
     */
-  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  /** Approximate distinct via a deterministic KMV (k-minimum-values) sketch
+    * (SURVEY A3). Unlike HLL (whose register layout is engine-private), KMV
+    * is exactly reproducible in any engine: hash each key to a uniform
+    * 60-bit integer (first 15 hex chars of md5), keep the k smallest
+    * distinct hashes per group, and estimate |D| = (k-1) * 2^60 / kth_min.
+    * Groups with <= k distinct keys report the exact count.
+    *
+    * Scale notes: the distinct() is a partial+final hash agg on
+    * (event_type, h) — map-side combine collapses duplicates before the
+    * shuffle; the subsequent per-group top-k window only ever sees the
+    * distinct hash sets. At 100 TB the same sketch merges associatively
+    * (union the k-min sets, re-take k minima), so it can be maintained
+    * incrementally per partition/day and merged at read time.
+    */
+  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val two60 = 1.152921504606846976e18 // 2^60, exactly representable
+    val d = events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    d.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .withColumn("n_users",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") <= k)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(max(col("n_users")).as("nu"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+      .select(col("event_type"),
+        col("nu").as("exact_users"),
+        when(col("nu") <= k, col("nu").cast("double"))
+          .otherwise(round(
+            (lit((k - 1).toDouble) * lit(two60)) / col("kth").cast("double"), 4))
+          .as("approx_users"))
       .orderBy(col("event_type"))
+  }
 
   /** Quantity bands for the range join (inclusive lo, exclusive hi). */
   private val qtyBands: Seq[(String, Int, Int)] = Seq(
@@ -642,7 +678,7 @@ object Queries {
 
     "q14_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -744,7 +780,7 @@ object Queries {
 
     "q46_array_agg" ->
       """SELECT c_nationkey,
-        |  list_sort(list(c_custkey)) AS custkeys,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
         |  count(*) AS n
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
@@ -761,6 +797,25 @@ object Queries {
         |  count(*) AS n
         |FROM long GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q41_approx_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_users
+        |  FROM d)
+        |SELECT event_type,
+        |  CAST(max(n_users) AS BIGINT) AS exact_users,
+        |  CASE WHEN max(n_users) <= 64 THEN CAST(max(n_users) AS DOUBLE)
+        |       ELSE round((63.0 * 1152921504606846976.0) /
+        |                  CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 4)
+        |  END AS approx_users
+        |FROM r WHERE rn <= 64
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_range_join" ->
       s"""WITH bands(band, lo, hi) AS (VALUES

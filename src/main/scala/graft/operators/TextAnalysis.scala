@@ -284,9 +284,9 @@ object TextAnalysis {
 
     "q23_token_classes" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_runs,
-        |  sum(len(regexp_extract_all(text, '\b[a-z]\b'))) AS sum_single_chars,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha_runs,
+        |  CAST(sum(len(regexp_extract_all(text, '\b[a-z]\b'))) AS BIGINT) AS sum_single_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q24_fingerprint" ->
