@@ -102,6 +102,17 @@ object Dedup {
     * doc's hot-shingle count), which upper-bounds the true Jaccard — pairs
     * whose bound misses the threshold are pruned with integer arithmetic
     * only; exact full-set verification runs on the tiny remainder.
+    *
+    * RECALL PATH for all-hot intersections: a pair whose entire shingle
+    * overlap is hot never reaches the capped index (cinter = 0 emits no
+    * row), yet it can still pass the bound — exactly the dominant real
+    * dedup case of a large cluster of near-identical docs. For such a pair
+    * 9*min(ha,hb) >= 4*(na+nb) implies 9*h_d >= 4*n_d for BOTH docs (since
+    * h_d >= min and n_d <= na+nb), so pairing only the docs that are
+    * individually >= 4/9 hot is a correct candidate superset. That set is
+    * tiny by construction (hot shingles are stopword-dominated), and its
+    * quadratic pairing is the same work full verification would owe those
+    * clusters anyway.
     */
   def q49NgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
     // the shingle index feeds four consumers (sizes, hot counts, pair
@@ -136,9 +147,18 @@ object Dedup {
       // ub/(na+nb-ub) >= 0.8  <=>  1.8*ub >= 0.8*(na+nb)  <=>  9*ub >= 4*(na+nb)
       .filter(col("ub_inter") * 9 >= (col("na.ns") + col("nb.ns")) * 4)
       .select(col("i"), col("j"))
+    // recall path: pair the docs that are individually >= 4/9 hot (see
+    // Scaladoc) — catches pairs whose whole intersection the cap dropped
+    val hotDocs = counts.join(hot, "doc_id")
+      .filter(col("h") * 9 >= col("ns") * 4)
+      .select(col("doc_id"))
+    val recall = hotDocs.as("ra").join(broadcast(hotDocs.as("rb")),
+        col("ra.doc_id") < col("rb.doc_id"))
+      .select(col("ra.doc_id").as("i"), col("rb.doc_id").as("j"))
+    val candidates = pruned.unionByName(recall).distinct()
     // rebuild sets from the materialized index (same distinct shingles)
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
-    pruned
+    candidates
       .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
       .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
@@ -302,7 +322,12 @@ object Dedup {
         |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
         |  LEFT JOIN hot ha ON ha.doc_id = i LEFT JOIN hot hb ON hb.doc_id = j
         |  WHERE (cinter + least(coalesce(ha.h, 0), coalesce(hb.h, 0))) * 9
-        |        >= (na.ns + nb.ns) * 4),
+        |        >= (na.ns + nb.ns) * 4
+        |  UNION
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM (SELECT doc_id FROM n JOIN hot USING (doc_id) WHERE h * 9 >= ns * 4) a
+        |  JOIN (SELECT doc_id FROM n JOIN hot USING (doc_id) WHERE h * 9 >= ns * 4) b
+        |    ON a.doc_id < b.doc_id),
         |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
         |verified AS (
         |  SELECT i, j,

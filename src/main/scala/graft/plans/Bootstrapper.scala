@@ -57,9 +57,13 @@ object Bootstrapper {
   def bootstrapMirrorInitialLoad(
       spark: SparkSession, wh: Warehouse, spec: PipelineSpec): Boolean = {
     if (wh.exists(spec.mirrorTable)) return false
+    // format-aware: a csv/json pipeline's LOAD* files are csv/json too —
+    // a parquet read here would throw and take the whole target (including
+    // its stream) down with it
     val initialFiles = Tables.listFilesExcluding(
-      spec.sourcePath, Some(spec.mirrorExcludeGlob))
-    Tables.readFiles(spark, initialFiles) match {
+      spec.sourcePath, Some(spec.mirrorExcludeGlob),
+      extension = Some(spec.format))
+    Tables.readFilesAs(spark, spec.format, initialFiles) match {
       case Some(df) => wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
       case None => false
     }
@@ -78,7 +82,7 @@ object Bootstrapper {
       val createdChangelog = Tables.bootstrapTable(
         spark, wh, spec.changelogTable, spec.sourcePath,
         spec.changelogExcludeGlob, load = true,
-        transform = Cdc.withIngestSeq)
+        transform = Cdc.withIngestSeq, format = spec.format)
 
       // 2. dependency wiring (tabular.py:72-75): persisted as durable table
       //    properties alongside the in-memory spec.
@@ -90,8 +94,9 @@ object Bootstrapper {
         if (wh.exists(spec.mirrorTable)) false
         else {
           val initialFiles = Tables.listFilesExcluding(
-            spec.sourcePath, Some(spec.mirrorExcludeGlob))
-          Tables.readFiles(spark, initialFiles) match {
+            spec.sourcePath, Some(spec.mirrorExcludeGlob),
+            extension = Some(spec.format))
+          Tables.readFilesAs(spark, spec.format, initialFiles) match {
             case Some(df) =>
               wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
             case None if wh.exists(spec.changelogTable) =>

@@ -11,6 +11,18 @@ import graft.sources.Tables.Warehouse
   */
 object Maintenance {
 
+  /** True when `path` holds a key-bucket-partitioned layout (`_kb=N/`
+    * subdirectories). Partition discovery and `recursiveFileLookup` are
+    * mutually exclusive in Spark, so the layout decides how to read.
+    */
+  private def isBucketPartitioned(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory &&
+        s.getPath.getName.startsWith(s"${PartitionedMirror.BucketCol}="))
+  }
+
   /** Rewrite `table` into `targetFiles` files (atomically: stage + swap).
     * At scale this runs per partition on a schedule, bounded by a target
     * file size instead of a count; the stage-and-swap commit is the same.
@@ -18,16 +30,24 @@ object Maintenance {
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
     val path = wh.tablePath(table)
     val staged = s"$path._compact"
-    // mergeSchema: batch subdirectories may straddle a schema evolution;
-    // preserve the key-bucket partitioning when present (a flat rewrite of
-    // a partitioned mirror would corrupt the layout for later dynamic
-    // partition overwrites)
-    val df = spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true").parquet(path)
-    val writer = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
-    if (df.columns.contains(PartitionedMirror.BucketCol))
-      writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
-    else writer.parquet(staged)
+    // mergeSchema: batch subdirectories may straddle a schema evolution.
+    // A bucket-partitioned mirror must be read via partition discovery
+    // (recursiveFileLookup disables it and would silently flatten the
+    // layout); flat/batch-subdir tables need the recursive lookup instead.
+    val bucketed = isBucketPartitioned(spark, path)
+    val reader = spark.read.option("mergeSchema", "true")
+    val df =
+      if (bucketed) reader.parquet(path)
+      else reader.option("recursiveFileLookup", "true").parquet(path)
+    if (bucketed) {
+      // hash-repartition on the bucket column: each bucket lands in one
+      // task, so the rewrite emits one file per bucket directory
+      df.repartition(targetFiles, org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+    } else {
+      df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

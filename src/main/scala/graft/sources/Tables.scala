@@ -179,10 +179,12 @@ object Tables {
       sourceDir: String,
       excludeGlob: String,
       load: Boolean,
-      transform: DataFrame => DataFrame = identity): Boolean = {
+      transform: DataFrame => DataFrame = identity,
+      format: String = "parquet"): Boolean = {
     if (wh.exists(name)) return false // tabular.py:93-99 — second run is a no-op
-    val files = listFilesExcluding(sourceDir, Some(excludeGlob))
-    readFiles(spark, files) match {
+    val files = listFilesExcluding(sourceDir, Some(excludeGlob),
+      extension = Some(format))
+    readFilesAs(spark, format, files) match {
       case Some(df) if load => wh.overwrite(transform(df), name); true
       case Some(df) => // create empty table with the inferred schema only
         wh.overwrite(transform(df).limit(0), name); true

@@ -90,7 +90,7 @@ object CdcStream {
       // Exclusion glob (`**/LOAD*`): Spark's pathGlobFilter is inclusive, so
       // exclude by predicate on the provenance column — stays in the scan.
       .withColumn("_src_file", input_file_name())
-      .filter(!excludePredicate(spec.changelogExcludeGlob))
+      .filter(!excludePredicate(spec.changelogExcludeGlob, spec.sourcePath))
       .drop("_src_file")
 
     stream.writeStream
@@ -135,12 +135,16 @@ object CdcStream {
     * the streaming scan where driver-side list pre-filtering isn't
     * available). The glob tail may contain directory components; a file is
     * excluded when the tail matches any contiguous segment span of its
-    * path — which also covers writer-produced `LOAD*.parquet/part-*`
-    * directory wrapping. Globs without a leading `**&#47;` are not part of
-    * the reference's config surface and are rejected loudly rather than
+    * path RELATIVE to the monitored prefix — which also covers
+    * writer-produced `LOAD*.parquet/part-*` directory wrapping, and agrees
+    * with the listing side's prefix-relative matching: a parent directory
+    * of the monitored prefix that happens to match the tail (e.g. a source
+    * under `/mnt/LOADER/` with glob `**&#47;LOAD*`) must NOT exclude
+    * anything. Globs without a leading `**&#47;` are not part of the
+    * reference's config surface and are rejected loudly rather than
     * silently ingesting files the listing side would have excluded.
     */
-  private[graft] def excludePredicate(glob: String) = {
+  private[graft] def excludePredicate(glob: String, sourcePath: String) = {
     require(glob.startsWith("**/"),
       s"unsupported exclusion glob '$glob': expected '**/<tail>' " +
         "(the reference's fileFilter shape, tabular.py:137)")
@@ -151,8 +155,22 @@ object CdcStream {
       case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
       case c => c.toString
     }
-    // (^|/) tail ($|/) over the full path: matches the tail as a complete
-    // segment span anywhere in the file's path
-    col("_src_file").rlike(s"(^|/)$rx($$|/)")
+    // input_file_name() is an absolute URI (`file:///...`); the monitored
+    // prefix is config-shaped (maybe scheme-qualified, maybe with a
+    // trailing slash). Normalize the prefix to a `/`-rooted marker and cut
+    // everything up to and including its first occurrence.
+    val srcNorm = {
+      val p = sourcePath.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")
+        .stripSuffix("/")
+      if (p.startsWith("/")) p else s"/$p"
+    }
+    val marker = s"$srcNorm/"
+    val loc = locate(marker, col("_src_file"))
+    val rel = when(loc > 0,
+      col("_src_file").substr(loc + lit(marker.length), lit(1 << 30)))
+      .otherwise(col("_src_file"))
+    // (^|/) tail ($|/) over the prefix-relative path: matches the tail as a
+    // complete segment span at any depth below the monitored prefix
+    rel.rlike(s"(^|/)$rx($$|/)")
   }
 }

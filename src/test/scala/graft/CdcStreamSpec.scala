@@ -103,6 +103,28 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
   }
 
+  test("csv pipeline seeds the mirror from csv LOAD* files (format-aware bootstrap)") {
+    val src = tmpDir("stream-src-csvload")
+    val wh = Warehouse(tmpDir("stream-wh-csvload"))
+    val spec = PipelineSpec(src, "cl_changelog", "cl", CdcConfig("id", "ts"),
+      format = "csv")
+    // DMS csv initial load: bare schema, dash-free single file
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$src/LOAD00000001.csv"),
+      "id,name,modification_date\n1,load1,m0\n2,load2,m0\n".getBytes)
+    spark.createDataFrame(Seq((1L, "changed", "m1", "t", "U", "2024-01-02T00:00:00")))
+      .toDF("id", "name", "modification_date", "table", "op", "ts")
+      .coalesce(1).write.option("header", "true").csv(s"$src/dms_logs_1.csv")
+
+    assert(graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec))
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-csvload")).awaitTermination()
+    val state = Cdc.currentState(wh.read(spark, "cl"))
+      .selectExpr("CAST(id AS LONG)", "name").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "changed", 2L -> "load2"),
+      s"csv LOAD seeding must work like parquet seeding: $state")
+  }
+
   test("json-format changelog source replays to the same final state") {
     val g = DmsGenerator.generate(55L)
     val src = tmpDir("stream-src-json")
@@ -176,24 +198,36 @@ class CdcStreamSpec extends SparkTestBase {
   }
 
   test("exclusion glob predicate: segment spans, directory tails, unsupported shapes") {
-    def excluded(glob: String, paths: String*): Seq[Boolean] = {
+    def excluded(glob: String, src: String, paths: String*): Seq[Boolean] = {
       val df = paths.toSeq.toDF("_src_file")
-      val p = CdcStream.excludePredicate(glob)
+      val p = CdcStream.excludePredicate(glob, src)
       df.select(p).collect().map(_.getBoolean(0)).toSeq
     }
-    assert(excluded("**/LOAD*",
+    assert(excluded("**/LOAD*", "/data/t",
       "/data/t/LOAD00000001.parquet",              // plain DMS file
       "/data/t/LOAD0001.parquet/part-0-x.parquet", // writer-wrapped dir
       "/data/t/dms_logs_1.parquet",                // change file: kept
       "/data/t/RELOADED/f.parquet"                 // LOAD not a full segment prefix... RELOADED != LOAD*
     ) == Seq(true, true, false, false))
-    assert(excluded("**/*-*",
+    assert(excluded("**/*-*", "/data/t",
       "/data/t/2024-01-01.parquet",                // dash: excluded
       "/data/t/LOAD0001.parquet") == Seq(true, false))
-    assert(excluded("**/init/LOAD*",
+    assert(excluded("**/init/LOAD*", "/data/t",
       "/data/t/init/LOAD1.parquet",                // directory-component tail
       "/data/t/other/LOAD1.parquet") == Seq(true, false))
-    intercept[IllegalArgumentException](CdcStream.excludePredicate("LOAD*"))
+    // prefix-relative: a parent directory of the monitored prefix matching
+    // the tail must not exclude anything (glob semantics are relative to
+    // the prefix, like the listing side)
+    assert(excluded("**/LOAD*", "/mnt/LOADER/t",
+      "file:///mnt/LOADER/t/dms_logs_1.parquet",   // kept: LOADER is above the prefix
+      "file:///mnt/LOADER/t/LOAD001.parquet",      // excluded: below the prefix
+      "/mnt/LOADER/t/sub/LOAD001.parquet"          // excluded: nested below the prefix
+    ) == Seq(false, true, true))
+    // scheme-qualified and trailing-slash source configs normalize the same
+    assert(excluded("**/LOAD*", "file:///mnt/LOADER/t/",
+      "file:///mnt/LOADER/t/dms_logs_1.parquet",
+      "file:///mnt/LOADER/t/LOAD001.parquet") == Seq(false, true))
+    intercept[IllegalArgumentException](CdcStream.excludePredicate("LOAD*", "/data/t"))
   }
 
   test("restart with checkpoint ingests only new files (exactly-once file tracking)") {

@@ -46,6 +46,30 @@ class OperatorsSpec extends SparkTestBase {
       s"missed by LSH: ${exact.diff(lsh).take(5)}")
   }
 
+  test("capped jaccard equals exact jaccard when the whole intersection is hot") {
+    // A cluster of >ShingleDocCap near-identical docs makes every shared
+    // shingle hot: the capped index drops the entire intersection, so only
+    // the recall path (pairing individually hot-dominated docs) can keep
+    // q49 == q31 on the dominant real dedup shape.
+    import spark.implicits._
+    val dir = tmpDir("hot-cluster")
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs =
+      (1L to 55L).map(id => (id, base)) ++ // all-hot identical cluster
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+          (102L, "unrelated words entirely different content here now"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.q31NgramJaccard(spark, dir))
+    val capped = pairs(Dedup.q49NgramJaccardCapped(spark, dir))
+    assert(exact.size >= 55 * 54 / 2, s"expected the full cluster, got ${exact.size}")
+    assert(capped == exact,
+      s"missing: ${exact.diff(capped).take(5)}; spurious: ${capped.diff(exact).take(5)}")
+  }
+
   test("simhash pairs are symmetric-free (i<j), hamming bound holds") {
     val rows = Dedup.q33Simhash(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -96,6 +96,38 @@ class PartitionedMirrorSpec extends SparkTestBase {
       s"expected partition pruning in:\n$plan")
   }
 
+  test("compacting a partitioned mirror preserves the bucket layout") {
+    val wh = Warehouse(tmpDir("compact-pmirror"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"))
+    PartitionedMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    // several merge batches -> multiple small files per touched bucket
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((1L, "a2", "U", "t2")), cfg, N)
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((2L, "b2", "U", "t3")), cfg, N)
+    val expected = state(wh, "m")
+
+    import scala.jdk.CollectionConverters._
+    def bucketDirs: Set[String] =
+      Files.list(Paths.get(wh.tablePath("m"))).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(s"${PartitionedMirror.BucketCol}=")).toSet
+    val before = bucketDirs
+    assert(before.nonEmpty)
+
+    Maintenance.compact(spark, wh, "m", targetFiles = 1)
+
+    assert(bucketDirs == before, "compaction must not flatten the bucket layout")
+    assert(state(wh, "m") == expected)
+    // the layout must remain merge-able and partition-pruned after compaction
+    PartitionedMirror.applyBatch(spark, wh, "m", changes((3L, "c2", "U", "t4")), cfg, N)
+    assert(state(wh, "m") == expected - ((3L, "c")) + ((3L, "c2")))
+    val plan = spark.read.parquet(wh.tablePath("m"))
+      .filter(col(PartitionedMirror.BucketCol) === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(PartitionedMirror.BucketCol))
+  }
+
   test("compaction bounds file count and preserves data") {
     val wh = Warehouse(tmpDir("compact"))
     import spark.implicits._
