@@ -17,7 +17,13 @@ object Bench {
     catch { case _: Throwable => () }
     // a failed query reports -1 (never a silently-plausible elapsed time)
     // and is excluded from the total; failures also go to stderr
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name prefixes, for profiling single queries
+    // during development; the driver invokes with no args (all queries).
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter(q => wanted.exists(q._1.startsWith))
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
