@@ -29,7 +29,6 @@ object Maintenance {
     */
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
     val path = wh.tablePath(table)
-    val staged = s"$path._compact"
     // mergeSchema: batch subdirectories may straddle a schema evolution.
     // A bucket-partitioned mirror must be read via partition discovery
     // (recursiveFileLookup disables it and would silently flatten the
@@ -39,29 +38,21 @@ object Maintenance {
     val df =
       if (bucketed) reader.parquet(path)
       else reader.option("recursiveFileLookup", "true").parquet(path)
-    if (bucketed) {
-      // hash-repartition on the bucket column: each bucket lands in one
-      // task, so the rewrite emits one file per bucket directory
-      df.repartition(targetFiles, org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
-    } else {
-      df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    // atomic publish: the rewrite fills a fresh version dir reading from
+    // the still-live current version, then the pointer swaps (no window
+    // where the table is absent or half-written)
+    wh.commit(table) { staged =>
+      if (bucketed) {
+        // hash-repartition on the bucket column: each bucket lands in one
+        // task, so the rewrite emits one file per bucket directory
+        df.repartition(targetFiles,
+            org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+      } else {
+        df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+      }
     }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    // rename-away swap: the table path is never absent-with-data-deleted —
-    // a crash leaves either the old dir or both dirs, never neither
-    val old = new org.apache.hadoop.fs.Path(s"$path._old")
-    fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"compact: could not stage-away $dst")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), dst)) {
-      fs.rename(old, dst) // roll back
-      throw new java.io.IOException(s"compact: could not swap in $staged")
-    }
-    fs.delete(old, true)
   }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
@@ -79,10 +70,12 @@ object Maintenance {
     if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
     val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
       col(cfg.tsCol) < lit(horizon))).localCheckpoint(true)
-    val writer = kept.write.mode(SaveMode.Overwrite)
-    if (df.columns.contains(PartitionedMirror.BucketCol))
-      writer.partitionBy(PartitionedMirror.BucketCol).parquet(path)
-    else writer.parquet(path)
+    wh.commit(table) { staged =>
+      val writer = kept.write.mode(SaveMode.Overwrite)
+      if (df.columns.contains(PartitionedMirror.BucketCol))
+        writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+      else writer.parquet(staged)
+    }
   }
 
   /** Data files of a table (parquet parts, not markers). */

@@ -29,7 +29,9 @@ object Tables {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Seq.empty
     val matcher = excludeGlob.map(g => FileSystems.getDefault.getPathMatcher(s"glob:$g"))
-    val stream = Files.walk(root)
+    // FOLLOW_LINKS: versioned tables surface as a symlink pointer to the
+    // current version directory (Warehouse.commit)
+    val stream = Files.walk(root, java.nio.file.FileVisitOption.FOLLOW_LINKS)
     try {
       stream.iterator().asScala
         .filter(p => Files.isRegularFile(p))
@@ -101,22 +103,88 @@ object Tables {
       */
     def read(spark: SparkSession, name: String): DataFrame =
       spark.read.option("recursiveFileLookup", "true").parquet(tablePath(name))
-    /** Overwrite-commit. Parquet dir rewrite is the offline stand-in for an
-      * Iceberg transactional snapshot commit (tabular.py:69-70). At scale the
-      * same merge writes through `MERGE INTO` on a transactional format.
+
+    private def versionPattern(name: String) =
+      java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(name) + "\\.v(\\d+)")
+
+    /** Version directories of `name` currently present, ascending. */
+    private def versions(name: String): Seq[(Long, Path)] = {
+      val rootP = Paths.get(root)
+      if (!Files.isDirectory(rootP)) return Seq.empty
+      val pat = versionPattern(name)
+      val stream = Files.list(rootP)
+      try stream.iterator().asScala.flatMap { p =>
+        val m = pat.matcher(p.getFileName.toString)
+        if (m.matches()) Some((m.group(1).toLong, p)) else None
+      }.toSeq.sortBy(_._1)
+      finally stream.close()
+    }
+
+    /** Atomic snapshot commit — the offline analog of an Iceberg
+      * metadata-pointer swap (tabular.py:69-70): `write` fills a fresh
+      * `<name>.v<N>` version directory, then the table path (a symlink
+      * pointer) is swapped to it with one atomic rename. A reader resolves
+      * the pointer at open time and always sees a complete version — never
+      * a half-written table. The previous version is retained for in-flight
+      * readers; older ones are GC'd. At scale the same shape is the
+      * catalog's transactional snapshot commit (`MERGE INTO` / Iceberg).
+      *
+      * One caveat, documented not hidden: a table created by plain
+      * directory writes (legacy layout) is migrated on its first commit by
+      * renaming the real directory aside — that single migration has a
+      * sub-millisecond absence window; every subsequent commit is atomic.
       */
+    def commit(name: String)(write: String => Unit): Unit = {
+      require(!name.contains("/"),
+        s"commit is table-level; '$name' looks like a subdirectory")
+      Files.createDirectories(Paths.get(root))
+      val table = Paths.get(tablePath(name))
+      val next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
+      val versionDir = Paths.get(s"${tablePath(name)}.v$next")
+      write(versionDir.toString)
+      // legacy real-dir layout: move it aside (becomes the retained
+      // previous version) so the symlink can take the table path
+      if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !Files.isSymbolicLink(table))
+        Files.move(table, Paths.get(s"${tablePath(name)}.v${next - 1}"))
+      val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
+      Files.deleteIfExists(tmpLink)
+      // relative target keeps the warehouse relocatable
+      Files.createSymbolicLink(tmpLink, versionDir.getFileName)
+      Files.move(tmpLink, table,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // GC: keep the current and one previous version for in-flight readers
+      versions(name).dropRight(2).foreach { case (_, p) =>
+        deleteRecursively(p)
+      }
+    }
+
+    private def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.foreach(deleteRecursively)
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+
+    /** Overwrite via an atomic versioned commit (see [[commit]]). */
     def overwrite(df: DataFrame, name: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+      commit(name)(path => df.write.mode(SaveMode.Overwrite).parquet(path))
     def append(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
     /** Idempotent per-batch append: batch `id` lands in its own
-      * subdirectory via overwrite, so an at-least-once replay of the same
-      * micro-batch rewrites the same files instead of duplicating rows
-      * (foreachBatch reruns a batch when a crash precedes the checkpoint
-      * commit).
+      * subdirectory via an IN-PLACE overwrite, so an at-least-once replay
+      * of the same micro-batch rewrites the same files instead of
+      * duplicating rows (foreachBatch reruns a batch when a crash precedes
+      * the checkpoint commit). Deliberately not versioned: the subdir is
+      * append-granular, and replay idempotency is the invariant that
+      * matters here.
       */
     def appendBatch(df: DataFrame, name: String, batchId: Long): Unit =
-      overwrite(df, s"$name/batch_$batchId")
+      df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(name)}/batch_$batchId")
   }
 
   /** Durable table properties — the engine's analog of the reference's

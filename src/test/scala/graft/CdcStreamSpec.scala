@@ -176,14 +176,12 @@ class CdcStreamSpec extends SparkTestBase {
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
     try {
       def mirrorIds(): Set[Long] =
-        // the flat-mirror overwrite is not atomic (documented offline
-        // stand-in for a transactional commit) — a read can race the
-        // rewrite; treat transient failures as "not yet"
-        try {
-          if (!wh.exists("ct")) Set.empty
-          else Cdc.currentState(wh.read(spark, "ct")).select("id")
-            .as[Long].collect().toSet
-        } catch { case _: Exception => Set(-1L) }
+        // overwrites are atomic versioned commits (Warehouse.commit): a
+        // concurrent read must NEVER fail or see a half-written table, so
+        // no exception tolerance here — a throw is a real atomicity bug
+        if (!wh.exists("ct")) Set.empty
+        else Cdc.currentState(wh.read(spark, "ct")).select("id")
+          .as[Long].collect().toSet
       def await(expect: Set[Long]): Unit = {
         val deadline = System.nanoTime() + 30L * 1000000000L
         while (mirrorIds() != expect && System.nanoTime() < deadline) Thread.sleep(250)

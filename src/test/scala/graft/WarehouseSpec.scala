@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Tables.Warehouse
+
+/** The versioned-commit contract of the warehouse (the offline analog of an
+  * Iceberg metadata-pointer swap): overwrites publish atomically via a
+  * symlink pointer, old versions are retained-then-GC'd, and legacy
+  * real-directory tables migrate on their first commit.
+  */
+class WarehouseSpec extends SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private def entries(root: String): Set[String] = {
+    val s = Files.list(Paths.get(root))
+    try s.iterator().asScala.map(_.getFileName.toString).toSet
+    finally s.close()
+  }
+
+  test("overwrite publishes through a symlink pointer; GC keeps current + previous") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-commit"))
+    (1 to 3).foreach { v =>
+      wh.overwrite(Seq((v.toLong, s"v$v")).toDF("id", "name"), "t")
+      val table = Paths.get(wh.tablePath("t"))
+      assert(Files.isSymbolicLink(table), s"after commit $v the table is a pointer")
+      assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq(s"v$v"))
+    }
+    val vs = entries(wh.root).filter(_.startsWith("t.v"))
+    assert(vs == Set("t.v2", "t.v3"), s"GC keeps exactly current+previous: $vs")
+    // the pointer is relative: the warehouse stays relocatable
+    val target = Files.readSymbolicLink(Paths.get(wh.tablePath("t")))
+    assert(!target.isAbsolute && target.toString == "t.v3")
+  }
+
+  test("legacy real-directory table migrates to the pointer layout on first commit") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-legacy"))
+    // legacy layout: plain directory write, no pointer
+    Seq((1L, "old")).toDF("id", "name")
+      .write.parquet(wh.tablePath("t"))
+    assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("t"))))
+    wh.overwrite(Seq((2L, "new")).toDF("id", "name"), "t")
+    assert(Files.isSymbolicLink(Paths.get(wh.tablePath("t"))))
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("new"))
+    // the legacy directory was retained as the previous version
+    assert(entries(wh.root).filter(_.startsWith("t.v")) == Set("t.v0", "t.v1"))
+  }
+
+  test("commit rejects subdirectory paths; appendBatch stays in place") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-batch"))
+    intercept[IllegalArgumentException](wh.commit("t/batch_0")(_ => ()))
+    wh.appendBatch(Seq((1L, "a")).toDF("id", "name"), "c", 0L)
+    wh.appendBatch(Seq((2L, "b")).toDF("id", "name"), "c", 1L)
+    // replay of batch 1 must not duplicate
+    wh.appendBatch(Seq((2L, "b")).toDF("id", "name"), "c", 1L)
+    assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("c"))))
+    assert(wh.read(spark, "c").count() == 2)
+  }
+}
