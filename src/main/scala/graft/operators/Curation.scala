@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over the `documents` table — the
+  * pipeline stages a 100 TB pretraining-data build runs after dedup
+  * ([[Dedup]]) and quality scoring ([[TextAnalysis]]): near-duplicate
+  * CLUSTERING (not just pairs), stratified sampling, benchmark
+  * decontamination, sequence packing, chunking, vocabulary extraction, and
+  * intra-document repetition scoring.
+  *
+  * Same determinism contract as the rest of the surface: md5 for all
+  * hashing (identical hex in Spark and DuckDB), integer arithmetic for all
+  * thresholds, exact double division of integer counts, total ORDER BY.
+  */
+object Curation {
+
+  /** Positional word n-grams from the `toks` column (empty when the doc has
+    * fewer than `n` tokens). Generalizes [[Dedup.shingleExpr]].
+    */
+  private def wordNgramExpr(n: Int): Column = {
+    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    expr(
+      s"""CASE WHEN size(toks) >= $n
+         |  THEN transform(sequence(0, size(toks) - $n),
+         |                 i -> concat_ws(' ', $parts))
+         |  ELSE array() END""".stripMargin)
+  }
+
+  /** DuckDB equivalent of [[wordNgramExpr]] (expects `text` in scope;
+    * DuckDB lists are 1-indexed).
+    */
+  private def wordNgramSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"string_split(text,' ')[i+$k]")
+      .mkString(" || ' ' || ")
+    s"[$parts for i in generate_series(1, len(string_split(text,' ')) - ${n - 1})]"
+  }
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+
+  // ------------------------------------------------------------------
+  // q50: near-duplicate CLUSTERS (connected components over the pair graph)
+  // ------------------------------------------------------------------
+
+  /** Connected components over the Jaccard>=0.8 near-dup pair graph (q31),
+    * one row per cluster with its canonical keep (= min doc_id), size, and
+    * member list. Pair lists alone under-serve a dedup pipeline: A~B and
+    * B~C must collapse to ONE survivor even when A~C was never emitted.
+    *
+    * Algorithm: min-label propagation — every node starts labeled with its
+    * own id; each round takes the min over its neighborhood; fixpoint =
+    * components. Rounds = graph diameter, and near-dup clusters are
+    * near-cliques (every member overlaps most others), so 2-3 rounds close
+    * in practice. The per-round work is one equi-join + hash-agg on the
+    * EDGE list only — at 100 TB that is the standard shape (alternating
+    * large-star/small-star contraction would cut worst-case rounds to
+    * O(log n) for chain-shaped graphs; near-dup graphs are not
+    * chain-shaped). Convergence is tested on sum(label), which is
+    * monotonically non-increasing and cheap.
+    */
+  def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.q31NgramJaccard(spark, dir).select(col("i"), col("j"))
+      .localCheckpoint(true)
+    val edges = pairs
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint(true)
+    var prev = Long.MinValue
+    var cur = labels.agg(sum(col("lbl"))).first().getLong(0)
+    while (cur != prev) {
+      val nbrMin = edges.join(labels, edges("j") === labels("doc_id"))
+        .groupBy(edges("i").as("doc_id")).agg(min(col("lbl")).as("nmin"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      prev = cur
+      cur = labels.agg(sum(col("lbl"))).first().getLong(0)
+    }
+    labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string"))).as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // q51: deterministic stratified sampling
+  // ------------------------------------------------------------------
+
+  /** Hash-deterministic stratified sample: keep a doc when the first 32
+    * md5 bits of its id land under the per-language rate (en is
+    * down-sampled to 40%, every other language kept at 80% — the classic
+    * rebalance of an English-dominated crawl). Deterministic (same doc set
+    * in ==> same sample out, no RNG state), embarrassingly parallel, and
+    * the decision needs no shuffle at all — the filter runs inside the
+    * scan.
+    */
+  def q51StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(col("bucket") < when(col("lang") === "en", 40).otherwise(80))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // q52: benchmark decontamination (n-gram overlap with an eval set)
+  // ------------------------------------------------------------------
+
+  /** Test-set decontamination: docs with doc_id % 20 == 0 stand in for the
+    * benchmark/eval set; a training doc is CONTAMINATED when it shares any
+    * word 8-gram with any eval doc. Reports per-language counts.
+    *
+    * Scale shape: eval sets are tiny relative to the corpus, so the
+    * distinct eval-shingle set is broadcast and the contamination test is
+    * a map-side semi-join against the scan — the 100 TB corpus is read
+    * once, shuffles nothing, and only the (small) contaminated-id set
+    * aggregates.
+    */
+  def q52Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    val sh = d.select(col("doc_id"),
+      explode(array_distinct(wordNgramExpr(8))).as("s"))
+    val evalSh = sh.filter(col("doc_id") % 20 === 0).select("s").distinct()
+    val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalSh), "s")
+      .select("doc_id").distinct()
+    d.filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated.withColumn("c", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+      .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+
+  // ------------------------------------------------------------------
+  // q53: sequence packing (concatenate-and-chunk into context windows)
+  // ------------------------------------------------------------------
+
+  /** Context-window size for packing (tokens). */
+  private val WindowTokens = 512L
+
+  /** Sequence packing, LLM-training style: concatenate all documents in
+    * doc_id order into one token stream and chunk it into fixed
+    * [[WindowTokens]]-token context windows; each doc reports its global
+    * token offset and the first/last window it lands in.
+    *
+    * The global ordered prefix-sum is computed DISTRIBUTED, not with a
+    * single-task `Window.orderBy`: range-partition by doc_id, cumsum
+    * within each partition, then add per-partition totals' exclusive
+    * prefix (a tiny broadcast join). At 100 TB the heavy pass stays fully
+    * parallel; only the per-partition totals (one row per partition)
+    * serialize.
+    */
+  def q53PackWindows(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val parts = toks.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn("local_off",
+      coalesce(sum(col("n_toks")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // exclusive prefix of per-partition totals: one row per partition
+    val prefixes = local.groupBy(col("pid")).agg(sum(col("n_toks")).as("tot"))
+      .withColumn("prefix",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("prefix"))
+    local.join(broadcast(prefixes), "pid")
+      .withColumn("offset", col("local_off") + col("prefix"))
+      .withColumn("w_first", expr(s"offset div $WindowTokens"))
+      .withColumn("w_last", expr(s"(offset + n_toks - 1) div $WindowTokens"))
+      .select("doc_id", "lang", "n_toks", "offset", "w_first", "w_last")
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // q54: overlapping chunking
+  // ------------------------------------------------------------------
+
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  /** Overlapping character chunks (size 200, stride 150) for the first 100
+    * docs — the RAG/embedding-prep primitive. One `posexplode(sequence(...))`
+    * per doc: pure codegen row explosion, no shuffle; the chunk fingerprint
+    * keeps the output narrow.
+    */
+  def q54ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"sequence(0, length(text) - 1, $ChunkStride)")))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumn("chunk_start", col("col").cast("long"))
+      .withColumn("chunk_fp",
+        md5(expr(s"substring(text, col + 1, $ChunkSize)")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start"), col("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // ------------------------------------------------------------------
+  // q55: per-language vocabulary top-k
+  // ------------------------------------------------------------------
+
+  /** Top-10 tokens per language by frequency (vocabulary extraction).
+    * Explode -> two-level hash agg (map-side combine absorbs the token
+    * explosion) -> per-language top-k window over the small (lang, token)
+    * count table. Ties break on token ASC for determinism.
+    */
+  def q55VocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rnk") <= 10)
+      .select("lang", "token", "cnt", "rnk")
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
+  // q56: intra-document repetition (Gopher/C4-style quality rule)
+  // ------------------------------------------------------------------
+
+  /** Intra-document 5-gram repetition ratio: 1 - distinct/total 5-gram
+    * positions. The Gopher "repetition" quality signal — high ratio means
+    * the doc repeats itself (boilerplate, keyword stuffing) and should be
+    * filtered before training. Per-doc arithmetic only: no shuffle beyond
+    * the final order.
+    */
+  def q56Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("lang"), explode(wordNgramExpr(5)).as("g"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n5"), countDistinct(col("g")).as("d5"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("d5").cast("double") / col("n5"))
+      .select("doc_id", "lang", "n5", "d5", "rep_ratio")
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private def shingles8Cte: String =
+    s"""sh8 AS (
+       |  SELECT DISTINCT doc_id, unnest(${wordNgramSql(8)}) AS s
+       |  FROM documents WHERE len(string_split(text,' ')) >= 8)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q50_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS s
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT i, j FROM inter
+         |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION SELECT j, i FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+         |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+         |SELECT cluster_id, count(*) AS n_docs,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 40 ELSE 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_decontaminate" ->
+      s"""WITH $shingles8Cte,
+         |evals AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 20 = 0),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM sh8
+         |  WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM evals))
+         |SELECT lang, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(count(*) - sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN contam c ON c.doc_id = d.doc_id
+         |WHERE d.doc_id % 20 <> 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q53_pack_windows" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT doc_id, lang, n_toks,
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS "offset",
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $WindowTokens AS BIGINT) AS w_first,
+         |  CAST((coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_toks - 1)
+         |    // $WindowTokens AS BIGINT) AS w_last
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q54_chunk_overlap" ->
+      s"""SELECT doc_id,
+         |  CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS chunk_start,
+         |  md5(substr(text, CAST(start AS INTEGER) + 1, $ChunkSize)) AS chunk_fp
+         |FROM documents,
+         |  unnest(generate_series(0, length(text) - 1, $ChunkStride)) AS t(start)
+         |WHERE doc_id < 100 AND length(text) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q55_vocab_topk" ->
+      """WITH counts AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |agg AS (SELECT lang, token, count(*) AS cnt FROM counts GROUP BY lang, token),
+        |ranked AS (
+        |  SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+        |      AS INTEGER) AS rnk
+        |  FROM agg)
+        |SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q56_repetition" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, lang, unnest(${wordNgramSql(5)}) AS g
+         |  FROM documents WHERE len(string_split(text,' ')) >= 5)
+         |SELECT doc_id, lang, count(*) AS n5, count(DISTINCT g) AS d5,
+         |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
+         |FROM grams GROUP BY doc_id, lang
+         |ORDER BY rep_ratio DESC, doc_id""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_clusters" -> (q50DedupClusters _),
+    "q51_stratified_sample" -> (q51StratifiedSample _),
+    "q52_decontaminate" -> (q52Decontaminate _),
+    "q53_pack_windows" -> (q53PackWindows _),
+    "q54_chunk_overlap" -> (q54ChunkOverlap _),
+    "q55_vocab_topk" -> (q55VocabTopk _),
+    "q56_repetition" -> (q56Repetition _),
+  )
+}
