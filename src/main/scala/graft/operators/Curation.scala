@@ -62,13 +62,16 @@ object Curation {
     * monotonically non-increasing and cheap.
     */
   def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.q31NgramJaccard(spark, dir).select(col("i"), col("j"))
-      .localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(spark, dir).select(col("i"), col("j"))
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint(true)
+    // lazy checkpoints: the per-round sum() action materializes the new
+    // label table AND truncates its lineage in the same job, so each
+    // propagation round costs exactly one job (eager checkpointing doubles
+    // the job count for no added parallelism)
     var labels = edges.select(col("i").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint(true)
+      .withColumn("lbl", col("doc_id")).localCheckpoint(false)
     var prev = Long.MinValue
     var cur = labels.agg(sum(col("lbl"))).first().getLong(0)
     while (cur != prev) {
@@ -77,7 +80,7 @@ object Curation {
       labels = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       prev = cur
       cur = labels.agg(sum(col("lbl"))).first().getLong(0)
     }

@@ -73,7 +73,14 @@ object Dedup {
     * (i,j)); dictionary-encoding shingles to longs would bound the shuffle
     * width, at the cost of one extra distinct+join pass.
     */
-  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir).orderBy(col("i"), col("j"))
+
+  /** Unordered q31 core — (i, j, inter, jaccard) pairs above the 0.8
+    * threshold. Shared by q31 (which only adds the presentation sort) and
+    * q50's cluster builder (where a sort on the edge list is wasted work).
+    */
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -87,7 +94,6 @@ object Dedup {
         (col("na.ns") + col("nb.ns") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("i"), col("j"), col("inter"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
   }
 
   /** Hot-shingle frequency cap for the capped inverted index (q49). */

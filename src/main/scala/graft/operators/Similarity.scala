@@ -159,15 +159,15 @@ object Similarity {
     * (tie-break: lowest cluster id). Centroids are INTEGER dim-sums, so
     * every cosine is derived from exact ints — deterministic across engines.
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    // argmax via partial hash-agg on max(struct(ccos, -cid)) — same
+    // (max cosine, tie -> lowest cid) winner as a row_number window, but
+    // with map-side combine and no per-vector sort
     vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
   /** Recompute integer centroids from an assignment (exact dim-wise sums). */
   private def update(vecs: DataFrame, assignment: DataFrame): DataFrame =
@@ -191,8 +191,11 @@ object Similarity {
     val e = qvecs(spark, dir).localCheckpoint(true)
     var centroids = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    // lazy checkpoints: each iteration's centroid table materializes when
+    // the NEXT assign broadcasts it (one job per iteration, not two), and
+    // the lineage still truncates at each round
     for (_ <- 1 to IvfIters)
-      centroids = update(e, assign(e, centroids)).localCheckpoint(true)
+      centroids = update(e, assign(e, centroids)).localCheckpoint(false)
     val finalAssign = assign(e, centroids)
     val withCid = e.join(finalAssign, Seq("vec_id"))
     val query = withCid.filter(col("vec_id") === 0)
