@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Semantic invariants for the curation surface (q50–q56) that the DuckDB
+  * hash gate can't express: transitive closure of clustering, prefix-sum
+  * identity of packing, determinism of sampling, and brute-force agreement
+  * on small data.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Write a synthetic documents table compatible with the Curation ops. */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val d = tmpDir("curation-docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q50 clusters are transitively closed: A~B and B~C collapse even when A!~C") {
+    // B overlaps A and C at jaccard >= 0.8, but A vs C falls below the
+    // threshold; a pair list alone would keep A and C apart.
+    val a = (1 to 18).map(i => s"w$i").mkString(" ")                 // w1..w18
+    val b = (1 to 19).map(i => s"w$i").mkString(" ")                 // w1..w19
+    val c = (1 to 20).map(i => s"w$i").mkString(" ")                 // w1..w20
+    val d = writeDocs(Seq((1L, a), (2L, b), (3L, c),
+      (9L, "totally different content here nothing shared at all")))
+    val out = Curation.q50DedupClusters(spark, d).collect()
+    assert(out.length == 1, s"expected one cluster, got ${out.toSeq}")
+    assert(out(0).getLong(0) == 1L) // cluster_id = min member
+    assert(out(0).getString(2) == "1,2,3")
+  }
+
+  test("q50 cluster ids equal the min member and members are sorted") {
+    val out = Curation.q50DedupClusters(spark, dir).collect()
+    assert(out.nonEmpty, "expected near-dup clusters in testdata")
+    out.foreach { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      assert(members.min == r.getLong(0))
+      assert(members.sorted.sameElements(members))
+      assert(members.length == r.getLong(1))
+    }
+  }
+
+  test("q51 sampling is deterministic and respects the per-language rates") {
+    val s1 = Curation.q51StratifiedSample(spark, dir).collect()
+    val s2 = Curation.q51StratifiedSample(spark, dir).collect()
+    assert(s1.toSeq == s2.toSeq) // no RNG state anywhere
+    s1.foreach { r =>
+      val cap = if (r.getString(1) == "en") 40 else 80
+      assert(r.getLong(3) < cap)
+    }
+  }
+
+  test("q52 contamination agrees with a brute-force 8-gram overlap check") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams8(t: String): Set[String] =
+      t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 20 == 0).flatMap(d => grams8(d._3)).toSet
+    val expected = docs.filter(_._1 % 20 != 0)
+      .groupBy(_._2)
+      .map { case (lang, ds) =>
+        (lang, ds.length.toLong,
+          ds.count(d => grams8(d._3).exists(evalGrams.contains)).toLong)
+      }
+    val got = Curation.q52Decontaminate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected.toSet)
+  }
+
+  test("q53 offsets are the exact prefix sum in doc_id order") {
+    val rows = Curation.q53PackWindows(spark, dir).collect()
+    var run = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(3) == run, s"doc ${r.getLong(0)}: offset ${r.getLong(3)} != $run")
+      assert(r.getLong(4) == r.getLong(3) / 512)
+      assert(r.getLong(5) == (r.getLong(3) + r.getLong(2) - 1) / 512)
+      run += r.getLong(2)
+    }
+  }
+
+  test("q54 chunking covers the doc with the declared stride") {
+    val d = writeDocs(Seq((1L, "x" * 500)))
+    val out = Curation.q54ChunkOverlap(spark, d).collect()
+    // ceil(500 / 150) starts: 0, 150, 300, 450
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 150L, 300L, 450L))
+    val fp0 = org.apache.commons.codec.digest.DigestUtils.md5Hex("x" * 200)
+    assert(out(0).getString(3) == fp0)
+    // last chunk is the 50-char tail, not a full window
+    val fpLast = org.apache.commons.codec.digest.DigestUtils.md5Hex("x" * 50)
+    assert(out(3).getString(3) == fpLast)
+  }
+
+  test("q56 scores repetitive text above unique text") {
+    val rep = ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"a$i")
+      ++ (1 to 5).map(i => s"a$i")).mkString(" ") // 3x the same 5 tokens
+    val uniq = (1 to 15).map(i => s"u$i").mkString(" ")
+    val d = writeDocs(Seq((1L, rep), (2L, uniq)))
+    val out = Curation.q56Repetition(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(out(1L) > out(2L))
+    assert(out(2L) == 0.0) // all 5-grams distinct
+  }
+}
