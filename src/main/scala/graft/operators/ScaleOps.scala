@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: the three shapes that keep a 100 TB pipeline
+  * flat — mergeable sketches (pre-aggregate once, combine cheaply at read
+  * time), salted two-phase aggregation (skewed keys), and the equi+range
+  * interval join (time-proximity correlation without a cross product).
+  *
+  * Determinism contract as everywhere else: md5-derived integer hashes,
+  * decimal accumulation for fractional sums, total ORDER BY — every query
+  * here is bit-exact against its DuckDB oracle.
+  */
+object ScaleOps {
+
+  private val K = 64
+  /** 2^60 (exactly representable as a double) — KMV hash-space size. */
+  private val Two60 = 1.152921504606846976e18
+
+  /** KMV sketch MERGE (the algebra q41 only hints at): build a k-minimum-
+    * values distinct-users sketch PER DAY, then derive the global distinct
+    * estimate by merging the 30 tiny sketches — union their hash sets,
+    * re-take the k minima — without rescanning the raw table. Output: one
+    * row per day plus an 'ALL' row, each with the exact count to show the
+    * estimate lands close.
+    *
+    * Scale shape: the raw scan is consumed exactly once by the distinct
+    * (day, h) partial+final hash agg; everything after operates on
+    * <= days*k sketch rows. At 100 TB this is the nightly pattern — store
+    * per-partition sketches, answer "distinct over any date range" by
+    * merging k-row sets, never re-reading data. (The exact counts shown
+    * for comparison do cost a full distinct; a production rollup would
+    * drop them.)
+    */
+  def q57KmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = Queries.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val r = d
+      .withColumn("rn", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val sketch = r.filter(col("rn") <= K).localCheckpoint(false)
+    def estimate(nu: org.apache.spark.sql.Column, kth: org.apache.spark.sql.Column) =
+      when(nu <= K, nu.cast("double"))
+        .otherwise(round(lit((K - 1).toDouble) * lit(Two60) / kth.cast("double"), 4))
+    val dayRows = sketch.groupBy(col("day"))
+      .agg(max(col("nu")).as("nu"), max(when(col("rn") === K, col("h"))).as("kth"))
+      .select(col("day").cast("string").as("scope"),
+        col("nu").as("n_exact"), estimate(col("nu"), col("kth")).as("est_users"))
+    // merge: union of the per-day k-min sets -> distinct -> global k minima
+    val mr = sketch.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= K)
+    val merged = mr
+      .agg(count(lit(1)).as("ns"), max(when(col("rn") === K, col("h"))).as("kth"))
+      .crossJoin(d.agg(countDistinct(col("h")).as("nu")))
+      .select(lit("ALL").as("scope"),
+        col("nu").as("n_exact"), estimate(col("nu"), col("kth")).as("est_users"))
+    dayRows.unionByName(merged).orderBy(col("scope"))
+  }
+
+  /** Salt fan-out for the two-phase skewed aggregation. */
+  private val Salts = 8
+
+  /** Skew-salted two-phase aggregation: l_returnflag has only 3 values, so
+    * a direct groupBy at scale lands each flag's entire data on one
+    * reducer. Salting splits every flag into [[Salts]] sub-groups
+    * (phase 1: partial per (flag, salt)), then combines the tiny partials
+    * (phase 2: [[Salts]] rows per flag). The salt here is
+    * l_orderkey % 8 — in production it would be pmod(hash(anything), n);
+    * the key-derived salt keeps the DuckDB oracle able to replay the
+    * identical two-phase plan, and plays the same role (spreading one hot
+    * group across reducers). Decimal accumulation keeps both phases exact,
+    * so salted == unsalted to the bit.
+    */
+  def q58SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Queries.t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(Salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+        count(lit(1)).as("pn"))
+    partials.groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pn")).as("n_items"),
+        count(lit(1)).as("n_salts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Conversion window for the interval join (10 minutes in µs). */
+  private val ConvWindowUs = 600000000L
+
+  /** Interval join (equi + time-range): for every click that converts,
+    * the purchases by the same user within the next 10 minutes and the
+    * time-to-first-purchase. The join key is the EQUALITY on user_id —
+    * Spark plans a shuffle/sort-merge join on user with the range as a
+    * residual predicate, never a cross product. At 100 TB both event
+    * streams are bucketed by user_id, making this a co-located join; the
+    * range residual filters within each user's (small) event list.
+    */
+  def q59IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts_us") >= col("click_ts_us") &&
+          col("p_ts_us") < col("click_ts_us") + ConvWindowUs)
+      .groupBy(col("click_id"), col("user_id"), col("click_ts_us"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("p_ts_us") - col("click_ts_us")).as("min_gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q57_kmv_merge" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY day) AS nu
+         |  FROM d),
+         |sk AS (SELECT * FROM r WHERE rn <= $K),
+         |dayrows AS (
+         |  SELECT CAST(day AS VARCHAR) AS scope, CAST(max(nu) AS BIGINT) AS n_exact,
+         |    CASE WHEN max(nu) <= $K THEN CAST(max(nu) AS DOUBLE)
+         |         ELSE round(${K - 1}.0 * 1152921504606846976.0 /
+         |                    CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE), 4)
+         |    END AS est_users
+         |  FROM sk GROUP BY day),
+         |mr AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM sk)),
+         |merged AS (
+         |  SELECT 'ALL' AS scope,
+         |    CAST((SELECT count(DISTINCT h) FROM d) AS BIGINT) AS n_exact,
+         |    CASE WHEN (SELECT count(DISTINCT h) FROM d) <= $K
+         |         THEN CAST((SELECT count(DISTINCT h) FROM d) AS DOUBLE)
+         |         ELSE round(${K - 1}.0 * 1152921504606846976.0 /
+         |                    CAST((SELECT max(CASE WHEN rn = $K THEN h END) FROM mr)
+         |                         AS DOUBLE), 4)
+         |    END AS est_users)
+         |SELECT scope, n_exact, est_users FROM dayrows
+         |UNION ALL SELECT scope, n_exact, est_users FROM merged
+         |ORDER BY scope""".stripMargin,
+
+    "q58_salted_agg" ->
+      s"""WITH partials AS (
+         |  SELECT l_returnflag, l_orderkey % $Salts AS salt,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS pq, count(*) AS pn
+         |  FROM lineitem GROUP BY l_returnflag, l_orderkey % $Salts)
+         |SELECT l_returnflag, CAST(sum(pq) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(pn) AS BIGINT) AS n_items, count(*) AS n_salts
+         |FROM partials GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q59_interval_join" ->
+      s"""WITH c AS (
+         |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT user_id, epoch_us(ts) AS p_ts_us
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT click_id, c.user_id, click_ts_us,
+         |  count(*) AS n_purchases,
+         |  CAST(min(p_ts_us - click_ts_us) AS BIGINT) AS min_gap_us
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p_ts_us >= click_ts_us AND p_ts_us < click_ts_us + $ConvWindowUs
+         |GROUP BY click_id, c.user_id, click_ts_us
+         |ORDER BY click_id""".stripMargin,
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_kmv_merge" -> (q57KmvMerge _),
+    "q58_salted_agg" -> (q58SaltedAgg _),
+    "q59_interval_join" -> (q59IntervalJoin _),
+  )
+}
