@@ -62,4 +62,28 @@ object EventStreams {
       delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-stream interval join (SURVEY T3; the streaming twin of the
+    * oracle-checked q59): clicks inner-joined to purchases by the same user
+    * within the next 10 minutes. Both branches are watermarked, and the
+    * time-range condition is what lets Spark EVICT join state: a buffered
+    * click can be dropped once the purchase-side watermark passes
+    * click_ts + window. Without the range bound, stream-stream join state
+    * grows forever — the same state-size story as the windowed aggs.
+    * Works identically on a batch frame (watermark is a no-op there).
+    */
+  def conversionJoin(events: DataFrame, window: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") < col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("p_ts"))
+  }
 }

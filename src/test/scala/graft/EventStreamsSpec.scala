@@ -81,6 +81,24 @@ class EventStreamsSpec extends SparkTestBase {
       s"duplicates within the watermark horizon must be dropped, got ${out.toSeq}")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val src = tmpDir("ssj-src")
+    eventsTs.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(eventsTs.schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val q = EventStreams.conversionJoin(stream)
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ssj-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+    val batch = EventStreams.conversionJoin(eventsTs)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0, "expected conversions in testdata")
+  }
+
   test("env-based pipeline config parses the reference's config surface") {
     val cfg = PipelineConfig.fromEnv(Map(
       "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh",

@@ -48,4 +48,37 @@ class PlanContractSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("SortAggregate"),
       "latest-per-key must not sort")
   }
+
+  test("runtime bloom filter injects into a selective shuffle join (Spark-native, no hand-rolled bloom)") {
+    // At 100 TB the shape of q57/q59-style joins is "huge probe side,
+    // selective build side". Instead of hand-rolling a bloom pre-filter,
+    // the engine leans on Catalyst's runtime row-level filtering: when the
+    // join must shuffle and the creation side is selective, the optimizer
+    // plants bloom_filter_agg on the build side and might_contain on the
+    // probe side — pruning shuffle input before the exchange. This test
+    // pins that the optimization actually fires under our session settings.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Queries.t(spark, dir, "lineitem")
+      val ord = Queries.t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n${optimized.take(3000)}")
+      assert(optimized.contains("bloom_filter_agg"),
+        s"expected bloom_filter_agg on the build side:\n${optimized.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
