@@ -119,6 +119,49 @@ object ScaleOps {
       .orderBy(col("click_id"))
   }
 
+  /** Count-min sketch geometry: d hash rows x w counters. */
+  private val CmsRows = 4
+  private val CmsWidth = 1024
+
+  /** Count-min heavy hitters: estimate token frequencies from a d x w
+    * counter sketch and report the top-10 exact tokens with their CMS
+    * estimates (est >= exact always; the gap is the collision noise the
+    * epsilon-delta bound prices). Hash row r positions a token at
+    * md5(token + '#' + r) % w — deterministic, so the DuckDB oracle builds
+    * the identical sketch.
+    *
+    * Scale shape: the sketch is d*w integers REGARDLESS of corpus size and
+    * merges by elementwise addition — per-partition/per-day sketches
+    * combine without rescanning, the same store-sketches-not-data story as
+    * q57. Building it is one narrow pass: explode -> (row, pos) hash-agg
+    * with map-side combine; estimating is a broadcast lookup of d cells
+    * per queried token.
+    */
+  def q60CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Queries.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint(false)
+    def pos(r: Int) =
+      pmod(conv(substring(md5(concat_ws("#", col("token"), lit(r))), 1, 8), 16, 10)
+        .cast("long"), lit(CmsWidth))
+    val cells = counts.select((col("exact") +:
+      (0 until CmsRows).map(r => pos(r).as(s"p$r"))): _*)
+    val cms = cells.select(col("exact"),
+        posexplode(array((0 until CmsRows).map(r => col(s"p$r")): _*)).as(Seq("r", "p")))
+      .groupBy(col("r"), col("p")).agg(sum(col("exact")).as("cnt"))
+    val top = counts
+      .orderBy(col("exact").desc, col("token")).limit(10)
+    top.select((col("token") +: col("exact") +:
+        (0 until CmsRows).map(r => pos(r).as(s"p$r"))): _*)
+      .select(col("token"), col("exact"),
+        posexplode(array((0 until CmsRows).map(r => col(s"p$r")): _*)).as(Seq("r", "p")))
+      .join(broadcast(cms), Seq("r", "p"))
+      .groupBy(col("token"), col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -181,11 +224,35 @@ object ScaleOps {
          |  AND p_ts_us >= click_ts_us AND p_ts_us < click_ts_us + $ConvWindowUs
          |GROUP BY click_id, c.user_id, click_ts_us
          |ORDER BY click_id""".stripMargin,
+
+    "q60_count_min" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS exact FROM tok GROUP BY token),
+         |rs AS (SELECT unnest([${(0 until CmsRows).mkString(",")}]) AS r),
+         |cells AS (
+         |  SELECT rs.r,
+         |    ('0x' || substr(md5(counts.token || '#' || rs.r), 1, 8))::BIGINT
+         |      % $CmsWidth AS p,
+         |    sum(counts.exact) AS cnt
+         |  FROM counts CROSS JOIN rs GROUP BY 1, 2),
+         |top AS (SELECT token, exact FROM counts ORDER BY exact DESC, token LIMIT 10),
+         |probe AS (
+         |  SELECT top.token, top.exact, rs.r,
+         |    ('0x' || substr(md5(top.token || '#' || rs.r), 1, 8))::BIGINT
+         |      % $CmsWidth AS p
+         |  FROM top CROSS JOIN rs)
+         |SELECT probe.token, CAST(probe.exact AS BIGINT) AS exact,
+         |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
+         |FROM probe JOIN cells ON cells.r = probe.r AND cells.p = probe.p
+         |GROUP BY probe.token, probe.exact
+         |ORDER BY exact DESC, token""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_kmv_merge" -> (q57KmvMerge _),
     "q58_salted_agg" -> (q58SaltedAgg _),
     "q59_interval_join" -> (q59IntervalJoin _),
+    "q60_count_min" -> (q60CountMin _),
   )
 }
