@@ -268,8 +268,9 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q50_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
-         |  SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS s
-         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+         |  FROM (SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS g
+         |        FROM documents WHERE len(string_split(text,' ')) >= 3)),
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter

@@ -40,18 +40,23 @@ object Dedup {
     "[string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] " +
       "for i in generate_series(1, len(string_split(text,' ')) - 2)]"
 
-  /** (doc_id, shingle) distinct pairs — the shingle inverted index. */
+  /** (doc_id, shingle-id) distinct pairs — the shingle inverted index.
+    * Shingle ids are 60-bit md5 prefixes of the shingle text: the index and
+    * every downstream shuffle/join in the dedup family carries 8-byte longs
+    * instead of ~25-byte strings (the widest stage narrows ~3x — the
+    * "dictionary-encode the shuffle key" move, without the extra
+    * distinct+join pass a real dictionary would cost). Dedup happens on the
+    * STRINGS (per-row array_distinct, no shuffle); ids are then derived
+    * with codegen md5. A collision (~2^-61 per in-document pair) would
+    * merge two shingles identically in the DuckDB oracles, which hash the
+    * same strings the same way.
+    */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     Queries.t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("s", explode(array_distinct(shingleExpr)))
-      .select("doc_id", "s")
-
-  /** Per-doc distinct shingle sets (array form, for pairwise verification). */
-  private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Queries.t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), array_distinct(shingleExpr).as("sset"))
+      .withColumn("g", explode(array_distinct(shingleExpr)))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
 
   /** Exact deduplication: group by content hash, keep the smallest doc_id. */
   def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -192,7 +197,7 @@ object Dedup {
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val shBase = shingles(spark, dir).localCheckpoint(true)
     val sh = shBase
-      .withColumn("md", md5(col("s")))
+      .withColumn("md", md5(col("s").cast("string")))
       .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(md, 9, 8), 16, 10) AS BIGINT)"))
     val minhashes = (0 until K).map(k =>
@@ -268,10 +273,14 @@ object Dedup {
   // Oracles
   // ------------------------------------------------------------------
 
+  /** Mirrors [[shingles]]: distinct on the shingle STRINGS first, then the
+    * 60-bit md5-prefix id — identical collision behavior to the Spark side.
+    */
   private def shinglesCte: String =
     s"""sh AS (
-      |  SELECT DISTINCT doc_id, unnest($shingleSql) AS s
-      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+      |  FROM (SELECT DISTINCT doc_id, unnest($shingleSql) AS g
+      |        FROM documents WHERE len(string_split(text,' ')) >= 3))""".stripMargin
 
   private def minhashCols: String =
     (0 until K).map(k => s"min((h1 + $k * h2) % $P) AS m$k").mkString(", ")
@@ -348,8 +357,8 @@ object Dedup {
     "q32_minhash_lsh" ->
       s"""WITH $shinglesCte,
         |shh AS (SELECT doc_id, s,
-        |  CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
-        |  CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
         |FROM sh),
         |sigs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
         |buckets AS (
