@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.CdcConfig
+import graft.operators.Cdc
+
+/** Incremental materialized-aggregate maintenance over the CDC stream: keep
+  * `groupBy(g).agg(count, sum(v))` in sync with the mirror WITHOUT
+  * rescanning it. Per batch the maintenance cost is proportional to the
+  * CHANGED keys, not the table: the batch's keys are looked up in the
+  * stored mirror (a key-equality semi-join — partition-pruned when the
+  * mirror is bucketed by key, see PartitionedMirror), their before/after
+  * visible rows are folded through the standard CDC kernel, and the two
+  * tiny group-level deltas (retract before, add after) merge into the agg
+  * table with an outer join on the group key.
+  *
+  * At 100 TB this is the difference between "the dashboard aggregate is a
+  * nightly full scan" and "it's maintained by each micro-batch": the full
+  * scan shape is O(|mirror|) per refresh; this is O(|batch| + |groups
+  * touched|). Sums accumulate in decimal, so the maintained table is
+  * BIT-EXACT equal to a recompute at every step (asserted in
+  * IncrementalAggSpec) — no float drift ever accumulates.
+  *
+  * Reference tie-in: the reference's mirror (tabular.py:39-64) only
+  * materializes row state; this is the analytics layer a consumer of that
+  * mirror would bolt on, kept consistent by the same latest-wins fold.
+  */
+object IncrementalAgg {
+
+  /** Group/value extraction for the maintained aggregate. Expressions must
+    * be computable from a visible mirror row.
+    */
+  final case class Spec(group: Column, value: Column)
+
+  private def gv(df: DataFrame, spec: Spec): DataFrame =
+    df.select(spec.group.as("g"), spec.value.cast("decimal(18,2)").as("v"))
+
+  /** Full recompute — bootstrap path, and the oracle the incremental path
+    * must equal.
+    */
+  def full(visible: DataFrame, spec: Spec): DataFrame =
+    gv(visible, spec).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+
+  /** Fold one CDC batch into the maintained aggregate.
+    *
+    * @param agg          current aggregate table (g, n, s)
+    * @param mirrorBefore stored mirror BEFORE this batch (with tombstones)
+    * @param changes      the raw change batch (op + ts + data columns)
+    */
+  def applyDelta(agg: DataFrame, mirrorBefore: DataFrame, changes: DataFrame,
+      cfg: CdcConfig, spec: Spec): DataFrame = {
+    val touched = changes.select(col(cfg.keyCol)).distinct()
+    // key lookup, not a scan: only rows whose key appears in the batch
+    val before = mirrorBefore.join(touched, Seq(cfg.keyCol), "left_semi")
+    val after = Cdc.applyBatch(before, changes, cfg)
+    val minus = gv(Cdc.currentState(before), spec).groupBy(col("g"))
+      .agg((-count(lit(1))).as("dn"), (-sum(col("v"))).as("ds"))
+    val plus = gv(Cdc.currentState(after), spec).groupBy(col("g"))
+      .agg(count(lit(1)).as("dn"), sum(col("v")).as("ds"))
+    val delta = minus.unionByName(plus).groupBy(col("g"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    agg.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).cast("decimal(28,2)").as("s"))
+      .filter(col("n") > 0)
+  }
+}
