@@ -541,6 +541,43 @@ object Queries {
       .na.fill(0L, eventTypes)
       .orderBy(col("day_us"))
 
+  /** Full outer join (SURVEY J3 completion — both sides can dangle):
+    * positive-balance customers vs big orders. Customers with no big order
+    * and big orders whose customer fails the balance filter both survive
+    * with nulls; the group key coalesces the two sides. Same scale shape
+    * as any equi join — shuffle on custkey, AQE picks the strategy.
+    */
+  def q61OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"), col("o_totalprice"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nationkey"))
+      .agg(count(col("c_custkey")).as("n_cust_rows"),
+        count(col("o_custkey")).as("n_big_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Explicit GROUPING SETS (SURVEY A3 completion beyond rollup/cube):
+    * the three-level retail report — (flag, status), (flag), () — without
+    * computing the unwanted (status)-only set a cube would add. Spark
+    * plans one Expand + single hash agg; placeholders make the set
+    * structure visible without grouping_id (engine-portable).
+    */
+  def q62GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles (identical column names + ordering)
   // --------------------------------------------------------------------
@@ -798,6 +835,25 @@ object Queries {
         |FROM long GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
 
+    "q61_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 0),
+        |o AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000)
+        |SELECT CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
+        |  count(c_custkey) AS n_cust_rows,
+        |  count(o_custkey) AS n_big_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status""".stripMargin,
+
     "q41_approx_distinct" ->
       """WITH d AS (
         |  SELECT DISTINCT event_type,
@@ -866,5 +922,7 @@ object Queries {
     "q43_pivot" -> (q43Pivot _),
     "q44_sliding_window" -> (q44SlidingWindow _),
     "q48_scd2_history" -> (q48Scd2History _),
+    "q61_outer_join" -> (q61OuterJoin _),
+    "q62_grouping_sets" -> (q62GroupingSets _),
   )
 }
