@@ -28,7 +28,9 @@ object Maintenance {
     * file size instead of a count; the stage-and-swap commit is the same.
     */
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
-    val path = wh.tablePath(table)
+    // pin the current snapshot (resolved version dir): a stream commit
+    // landing mid-rewrite must not swap files out from under the read
+    val path = wh.snapshotPath(table)
     // mergeSchema: batch subdirectories may straddle a schema evolution.
     // A bucket-partitioned mirror must be read via partition discovery
     // (recursiveFileLookup disables it and would silently flatten the
@@ -65,7 +67,7 @@ object Maintenance {
       spark: SparkSession, wh: Warehouse, table: String,
       cfg: graft.CdcConfig, horizon: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val path = wh.tablePath(table)
+    val path = wh.snapshotPath(table)
     val df = spark.read.parquet(path)
     if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
     val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&

@@ -100,9 +100,28 @@ object Tables {
     }
     /** Read a (possibly batch-subdir-structured) flat table. NOT for
       * partition-discovered layouts — PartitionedMirror reads its own path.
+      *
+      * The version POINTER is resolved here, at open time, and the real
+      * version directory is what Spark scans: handing Spark the symlink
+      * path instead would let a commit swap the pointer between file
+      * listing and file reading, re-resolving listed v(N) part files
+      * against v(N+1) — FILE_NOT_EXIST mid-query. Pinning the real
+      * directory gives the reader snapshot isolation for as long as the
+      * version is retained (current + one previous, see [[commit]] GC).
       */
     def read(spark: SparkSession, name: String): DataFrame =
-      spark.read.option("recursiveFileLookup", "true").parquet(tablePath(name))
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(snapshotPath(name))
+
+    /** Current version directory of `name` (symlink resolved), or the
+      * plain table path for legacy/non-versioned layouts.
+      */
+    def snapshotPath(name: String): String = {
+      val p = Paths.get(tablePath(name))
+      if (Files.isSymbolicLink(p))
+        p.getParent.resolve(Files.readSymbolicLink(p)).toString
+      else tablePath(name)
+    }
 
     private def versionPattern(name: String) =
       java.util.regex.Pattern.compile(

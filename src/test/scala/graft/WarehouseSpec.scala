@@ -35,6 +35,20 @@ class WarehouseSpec extends SparkTestBase {
     assert(!target.isAbsolute && target.toString == "t.v3")
   }
 
+  test("a reader opened before a commit keeps its snapshot (pinned version dir)") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-snapshot"))
+    wh.overwrite(Seq((1L, "v1")).toDF("id", "name"), "t")
+    // open the reader BEFORE the next commit; the scan must pin t.v1
+    val pinned = wh.read(spark, "t")
+    wh.overwrite(Seq((2L, "v2")).toDF("id", "name"), "t")
+    // un-pinned symlink reads would now re-resolve v1 part files against
+    // v2 (FILE_NOT_EXIST) or silently see v2 rows; the pinned snapshot
+    // must still read v1, which GC retains as the previous version
+    assert(pinned.select("name").as[String].collect().toSeq == Seq("v1"))
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("v2"))
+  }
+
   test("legacy real-directory table migrates to the pointer layout on first commit") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("wh-legacy"))
