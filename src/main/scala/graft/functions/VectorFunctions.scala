@@ -81,6 +81,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
       (children: Seq[Expression]) => LatestRow(children(0), children(1))))
+    // plan-quality rule: naive max_by latest-per-key formulations get the
+    // ObjectHashAggregate kernel instead of degrading to SortAggregate
+    ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
   }
 }
 

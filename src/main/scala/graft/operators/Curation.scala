@@ -132,7 +132,7 @@ object Curation {
       explode(array_distinct(wordNgramExpr(8))).as("s"))
     val evalSh = sh.filter(col("doc_id") % 20 === 0).select("s").distinct()
     val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(evalSh), "s")
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
       .select("doc_id").distinct()
     d.filter(col("doc_id") % 20 =!= 0)
       .join(contaminated.withColumn("c", lit(1L)), Seq("doc_id"), "left")

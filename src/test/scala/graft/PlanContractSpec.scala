@@ -49,6 +49,52 @@ class PlanContractSpec extends SparkTestBase {
       "latest-per-key must not sort")
   }
 
+  test("q51: the sampling decision runs inside the scan - no join, no aggregate") {
+    val p = plan(graft.operators.Curation.q51StratifiedSample(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"stratified sampling must be a scan-local filter:\n${p.take(1500)}")
+  }
+
+  test("q52: the eval-shingle set is broadcast; the corpus is never shuffled wide") {
+    val p = plan(graft.operators.Curation.q52Decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("LeftSemi"), "contamination test must be a semi-join")
+  }
+
+  test("q59: the interval join is driven by the user_id equality, never a nested loop") {
+    val p = plan(graft.operators.ScaleOps.q59IntervalJoin(spark, dir))
+    assert(!p.contains("NestedLoop"),
+      s"equi+range join must not plan as a cross/nested-loop product:\n${p.take(1500)}")
+  }
+
+  test("RewriteMaxByToLatestRow: struct-payload max_by upgrades to ObjectHashAggregate") {
+    import org.apache.spark.sql.functions._
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ graft.functions.RewriteMaxByToLatestRow
+    try {
+      val ev = Queries.events(spark, dir)
+      // the naive latest-per-key formulation every user writes first
+      val naive = ev.groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("event_type")), col("ts_us")).as("last"))
+      val p = plan(naive)
+      assert(p.contains("ObjectHashAggregate") && p.contains("latest_row"),
+        s"struct max_by must rewrite to the latest_row kernel:\n${p.take(1500)}")
+      assert(!p.contains("SortAggregate"), "rewritten plan must not sort")
+      // semantics preserved: equals the un-rewritten max_by result
+      val want = {
+        spark.experimental.extraOptimizations = prior
+        try naive.collect().map(_.toString).sorted.toSeq
+        finally spark.experimental.extraOptimizations = prior :+ graft.functions.RewriteMaxByToLatestRow
+      }
+      assert(naive.collect().map(_.toString).sorted.toSeq == want)
+      // primitive payloads stay on the plain hash-agg fast path
+      val prim = ev.groupBy(col("user_id"))
+        .agg(max_by(col("event_id"), col("ts_us")).as("last"))
+      assert(!plan(prim).contains("latest_row"),
+        "primitive max_by must NOT be rewritten (HashAggregate already optimal)")
+    } finally spark.experimental.extraOptimizations = prior
+  }
+
   test("runtime bloom filter injects into a selective shuffle join (Spark-native, no hand-rolled bloom)") {
     // At 100 TB the shape of q57/q59-style joins is "huge probe side,
     // selective build side". Instead of hand-rolling a bloom pre-filter,
