@@ -578,6 +578,55 @@ object Queries {
         col("n"), col("sum_qty"))
       .orderBy(col("flag"), col("status"))
 
+  /** TPC-H Q14-style promo share (completes table coverage: `part`): the
+    * CASE-guarded decimal ratio over a lineitem⋈part join. `part` is a
+    * dimension — broadcast; at 100 TB the month filter prunes the fact
+    * scan before the join.
+    */
+  def q63PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val p = t(spark, dir, "part")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+        sum(rev).as("total"))
+      .select(round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 4).as("promo_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+  }
+
+  /** Supplier league table (completes table coverage: `supplier`):
+    * per-nation top suppliers by shipped revenue — fact-side aggregation
+    * FIRST (shrinks lineitem to one row per suppkey), then the tiny
+    * result joins the broadcast supplier/nation dims; ranking runs on the
+    * aggregate, never the fact table.
+    */
+  def q64SupplierRank(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("rnk"), col("s_suppkey"), col("s_name"),
+        round(col("revenue"), 2).as("revenue"), col("n_items"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
   // --------------------------------------------------------------------
   // DuckDB oracles (identical column names + ordering)
   // --------------------------------------------------------------------
@@ -854,6 +903,43 @@ object Queries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY flag, status""".stripMargin,
 
+    "q63_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'),
+        |s AS (
+        |  SELECT sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+        |         sum(rev) AS total
+        |  FROM j)
+        |SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4)
+        |    AS promo_pct,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue
+        |FROM s""".stripMargin,
+
+    "q64_supplier_rank" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS DOUBLE) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT n_name, s_suppkey, s_name, revenue, n_items,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rnk
+        |  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, rnk, s_suppkey, s_name, round(revenue, 2) AS revenue,
+        |  n_items
+        |FROM ranked WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+
     "q41_approx_distinct" ->
       """WITH d AS (
         |  SELECT DISTINCT event_type,
@@ -924,5 +1010,7 @@ object Queries {
     "q48_scd2_history" -> (q48Scd2History _),
     "q61_outer_join" -> (q61OuterJoin _),
     "q62_grouping_sets" -> (q62GroupingSets _),
+    "q63_promo_revenue" -> (q63PromoRevenue _),
+    "q64_supplier_rank" -> (q64SupplierRank _),
   )
 }
