@@ -89,8 +89,18 @@ object Cdc {
     */
   def applyBatch(mirror: DataFrame, changes: DataFrame, cfg: CdcConfig): DataFrame = {
     val pri = "_src_priority"
-    val ch = withIngestSeq(changes).drop(E.SourceTableCol)
-    val cols = ch.columns // data cols + op + tsCol + SeqCol
+    val ch0 = withIngestSeq(changes).drop(E.SourceTableCol)
+    // Schema alignment is SYMMETRIC (union of columns): a mirror column
+    // missing from the batch (additive schema evolution, or a legacy batch
+    // replayed after a column was added) must survive the merge as a typed
+    // null on incoming rows - aligning to the change schema alone would
+    // silently DROP the evolved column from the whole table.
+    val mirrorOnly = mirror.columns
+      .filterNot(c => ch0.columns.contains(c) || c == E.SourceTableCol)
+    val ch = mirrorOnly.foldLeft(ch0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(mirror.schema(c).dataType))
+    }
+    val cols = ch.columns // union of data cols + op + tsCol + SeqCol
     val mirrorAsChanges = {
       // align the mirror to the change schema: a mirror bootstrapped from
       // plain initial-load files (DMS LOAD*) has NO envelope — no op, no

@@ -32,6 +32,26 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("additive schema evolution: a mirror column missing from a batch survives the merge") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // mirror evolved to carry an email column
+    val mirror = Cdc.fold(
+      toDf(Seq(DmsGenerator.Log(1L, "a", "m1", "t", "I", "2024-01-01T00:00:01"),
+        DmsGenerator.Log(2L, "b", "m1", "t", "I", "2024-01-01T00:00:02"))), cfg)
+      .withColumn("email", concat(col("name"), lit("@x.com")))
+    // a batch WITHOUT the email column updates key 1 and inserts key 3
+    val batch = toDf(Seq(
+      DmsGenerator.Log(1L, "a2", "m2", "t", "U", "2024-01-02T00:00:00"),
+      DmsGenerator.Log(3L, "c", "m2", "t", "I", "2024-01-02T00:00:01")))
+    val out = Cdc.currentState(Cdc.applyBatch(mirror, batch, cfg))
+    assert(out.columns.contains("email"), "evolved column must not be dropped")
+    val emails = out.select("id", "email").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(emails(2L).contains("b@x.com"), "untouched row keeps its value")
+    assert(emails(1L).isEmpty && emails(3L).isEmpty,
+      "rows (re)written by the schema-poorer batch carry typed nulls")
+  }
+
   test("golden replay: incremental applyBatch batch-by-batch equals batch applyAll") {
     val g = DmsGenerator.generate(7L)
     var mirror = Cdc.applyAll(toDf(g.batches.head), cfg)
