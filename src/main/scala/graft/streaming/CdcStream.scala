@@ -54,6 +54,12 @@ object CdcStream {
     *   with per-batch merges touching only the buckets the delta hits —
     *   O(touched + delta) instead of the flat O(mirror) rewrite.
     */
+  /** Maintained-aggregate registration for [[start]]: `(aggTable, spec)` —
+    * the named table is kept equal to
+    * `IncrementalAgg.full(currentState(mirror), spec)` by per-batch deltas.
+    */
+  type MaintainedAgg = (String, graft.plans.IncrementalAgg.Spec)
+
   def start(
       spark: SparkSession,
       wh: Warehouse,
@@ -61,7 +67,10 @@ object CdcStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      mirrorBuckets: Option[Int] = None): StreamingQuery = {
+      mirrorBuckets: Option[Int] = None,
+      maintainedAggs: Seq[MaintainedAgg] = Seq.empty): StreamingQuery = {
+    require(maintainedAggs.isEmpty || mirrorBuckets.isEmpty,
+      "maintained aggregates are wired for the flat-mirror path")
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference
@@ -116,6 +125,30 @@ object CdcStream {
                 val mirror =
                   if (wh.exists(spec.mirrorTable)) wh.read(spark, spec.mirrorTable)
                   else Cdc.fold(changes, spec.cdc).limit(0)
+                // Maintained aggregates fold their delta from the
+                // BEFORE-state, so they run ahead of the mirror commit.
+                // Replay safety: each agg table records the last batch it
+                // absorbed (durable TableProps). A crash between the agg
+                // commit and the checkpoint commit replays the batch, the
+                // marker says "already applied", the delta is skipped —
+                // while the mirror merge itself is replay-idempotent.
+                maintainedAggs.foreach { case (aggTable, aspec) =>
+                  val marker = "ivm.last-batch-id"
+                  val applied = graft.sources.Tables.TableProps
+                    .read(wh, aggTable).get(marker).map(_.toLong)
+                  if (!applied.exists(_ >= batchId)) {
+                    val aggBefore =
+                      if (wh.exists(aggTable)) wh.read(spark, aggTable)
+                      else graft.plans.IncrementalAgg
+                        .full(Cdc.currentState(mirror), aspec)
+                    val updated = graft.plans.IncrementalAgg
+                      .applyDelta(aggBefore, mirror, changes, spec.cdc, aspec)
+                    wh.overwrite(updated.localCheckpoint(true), aggTable)
+                    graft.sources.Tables.TableProps.write(wh, aggTable,
+                      graft.sources.Tables.TableProps.read(wh, aggTable) +
+                        (marker -> batchId.toString))
+                  }
+                }
                 val merged = Cdc.applyBatch(mirror, changes, spec.cdc)
                 // Write-ahead to a staging dir then swap would make this atomic
                 // on object stores; local parquet overwrite is the offline

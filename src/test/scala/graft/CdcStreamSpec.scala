@@ -42,6 +42,35 @@ class CdcStreamSpec extends SparkTestBase {
     assert(!mirror.exists(_._2 == "BOGUS"))
   }
 
+  test("maintained aggregate tracks the mirror through the stream, incl. restart") {
+    import org.apache.spark.sql.functions.{col, length, pmod, lit}
+    val g = DmsGenerator.generate(13L)
+    val src = tmpDir("stream-src-ivm")
+    val ckpt = tmpDir("ckpt-ivm")
+    val wh = Warehouse(tmpDir("stream-wh-ivm"))
+    val spec = PipelineSpec(src, "mv_changelog", "mv", CdcConfig("id", "ts"))
+    val aspec = graft.plans.IncrementalAgg.Spec(pmod(col("id"), lit(4)), length(col("name")))
+    val agg = Seq("mv_agg" -> aspec)
+
+    writeParquet(g.batches.head, s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, ckpt, maintainedAggs = agg).awaitTermination()
+    // restart with the remaining batches: deltas continue from the checkpoint
+    g.batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 2}.parquet")
+    }
+    CdcStream.start(spark, wh, spec, ckpt, maintainedAggs = agg).awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("g").cast("long"), col("n"), col("s").cast("decimal(28,2)"))
+        .collect().map(_.toString).toSet
+    val want = canon(graft.plans.IncrementalAgg.full(
+      Cdc.currentState(wh.read(spark, "mv")), aspec))
+    assert(canon(wh.read(spark, "mv_agg")) == want,
+      "maintained aggregate must equal a recompute of the final mirror")
+    assert(graft.sources.Tables.TableProps.read(wh, "mv_agg")
+      .contains("ivm.last-batch-id"))
+  }
+
   test("streaming replay with the partitioned (bucketed) mirror equals the flat result") {
     val g = DmsGenerator.generate(77L)
     val src = tmpDir("stream-src-pm")
