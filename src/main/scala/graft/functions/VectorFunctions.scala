@@ -81,6 +81,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
       (children: Seq[Expression]) => LatestRow(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.WordNgramsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
+      GraftFunctions.wordNgramsBuilder _))
     // plan-quality rule: naive max_by latest-per-key formulations get the
     // ObjectHashAggregate kernel instead of degrading to SortAggregate
     ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
@@ -91,6 +96,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   * registry (idempotent), so `expr("long_dot(a, b)")` parses anywhere.
   */
 object GraftFunctions {
+
+  /** Builder for `word_ngrams(tokens, n)` — n must be an integer literal
+    * (it is baked into the generated code).
+    */
+  private[graft] def wordNgramsBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => WordNgrams(toks, n)
+      case _ => throw new IllegalArgumentException(
+        "word_ngrams(tokens, n) requires an integer literal n")
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot",
@@ -100,10 +117,14 @@ object GraftFunctions {
       "latest_row",
       (children: Seq[Expression]) => LatestRow(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WordNgramsName, wordNgramsBuilder _, "built-in")
   }
 
   /** Spark-side name for the registered dot kernel. */
   val LongDotName = "long_dot"
   /** Spark-side name for the registered argmax aggregate. */
   val LatestRowName = "latest_row"
+  /** Spark-side name for the registered n-gram generator. */
+  val WordNgramsName = "word_ngrams"
 }

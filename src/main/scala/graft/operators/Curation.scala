@@ -18,16 +18,10 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Positional word n-grams from the `toks` column (empty when the doc has
-    * fewer than `n` tokens). Generalizes [[Dedup.shingleExpr]].
+    * fewer than `n` tokens) — the codegen [[graft.functions.WordNgrams]]
+    * expression, same rationale as [[Dedup.shingleExpr]].
     */
-  private def wordNgramExpr(n: Int): Column = {
-    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
-    expr(
-      s"""CASE WHEN size(toks) >= $n
-         |  THEN transform(sequence(0, size(toks) - $n),
-         |                 i -> concat_ws(' ', $parts))
-         |  ELSE array() END""".stripMargin)
-  }
+  private def wordNgramExpr(n: Int): Column = expr(s"word_ngrams(toks, $n)")
 
   /** DuckDB equivalent of [[wordNgramExpr]] (expects `text` in scope;
     * DuckDB lists are 1-indexed).
@@ -38,8 +32,10 @@ object Curation {
     s"[$parts for i in generate_series(1, len(string_split(text,' ')) - ${n - 1})]"
   }
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // word_ngrams
     Queries.t(spark, dir, "documents")
+  }
 
   // ------------------------------------------------------------------
   // q50: near-duplicate CLUSTERS (connected components over the pair graph)

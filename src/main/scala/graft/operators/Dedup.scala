@@ -24,14 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-gram shingles from the `toks` column (positional, so built with
-    * an index transform; empty when the doc has fewer than 3 tokens).
+  /** Word 3-gram shingles from the `toks` column — the codegen
+    * [[graft.functions.WordNgrams]] expression (empty when the doc has
+    * fewer than 3 tokens). The interpreted-HOF formulation
+    * (`transform(sequence(...), i -> concat_ws(...))`) it replaced pays
+    * per-element lambda interpretation in the hottest pass of the dedup
+    * family; equivalence is spec-pinned in OperatorsSpec.
     */
-  val shingleExpr: Column = expr(
-    """CASE WHEN size(toks) >= 3
-      |  THEN transform(sequence(0, size(toks) - 3),
-      |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-      |  ELSE array() END""".stripMargin)
+  val shingleExpr: Column = expr("word_ngrams(toks, 3)")
 
   /** DuckDB equivalent of [[shingleExpr]] (expects list column `toks` in
     * scope via `string_split(text, ' ')`).
@@ -51,12 +51,14 @@ object Dedup {
     * merge two shingles identically in the DuckDB oracles, which hash the
     * same strings the same way.
     */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Queries.t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("g", explode(array_distinct(shingleExpr)))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
+  }
 
   /** Exact deduplication: group by content hash, keep the smallest doc_id. */
   def q30DedupExact(spark: SparkSession, dir: String): DataFrame =

@@ -32,6 +32,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("word_ngrams (codegen) == the interpreted HOF formulation it replaced") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(12))(s"w${rnd.nextInt(9)}").mkString(" ")) ++
+      Seq("", "one", "one two", "one two three", "a b c d e")
+    val df = docs.toDF("text").withColumn("toks", split(col("text"), " "))
+    for (n <- Seq(2, 3, 5, 8)) {
+      val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+      val hof =
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |                 i -> concat_ws(' ', $parts))
+           |  ELSE array() END""".stripMargin
+      val got = df.select(expr(s"word_ngrams(toks, $n)")).collect().map(_.getSeq[String](0))
+      val want = df.select(expr(hof)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"n=$n mismatch")
+    }
+    // codegen and interpreted paths agree (null array propagates)
+    val nullOut = spark.sql("SELECT word_ngrams(CAST(NULL AS ARRAY<STRING>), 3)").collect()(0)
+    assert(nullOut.isNullAt(0))
+  }
+
   test("minhash-LSH candidates are a superset of high-jaccard pairs (recall at threshold)") {
     // Every pair the exact n-gram query reports at >= 0.8 must also be
     // found by the banded MinHash query at >= 0.5 (4 bands x 3 rows makes
