@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end proof of the `spark.sql.extensions=graft.GraftExtensions`
+  * deployment path (the spark-submit configuration a user ships): a fresh
+  * session built WITH the extension must parse the injected functions from
+  * SQL with no runtime registration, and the injected optimizer rule must
+  * fire. Run forked (`sbt "runMain graft.ExtensionsCheck"`) so the JVM has
+  * no pre-existing session.
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-check")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    val ngrams = spark.sql("SELECT word_ngrams(array('a','b','c'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    require(ngrams == Seq("a b", "b c"), s"word_ngrams: $ngrams")
+
+    val dot = spark.sql("SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .collect()(0).getLong(0)
+    require(dot == 32L, s"long_dot: $dot")
+
+    val latest = Seq((1L, "old", 1L), (1L, "new", 2L)).toDF("k", "v", "ts")
+      .groupBy($"k").agg(expr("latest_row(v, ts)").as("v"))
+      .collect()(0).getString(1)
+    require(latest == "new", s"latest_row: $latest")
+
+    val plan = Seq((1L, "x", 1L)).toDF("k", "v", "ts")
+      .groupBy($"k").agg(max_by(struct($"v"), $"ts").as("last"))
+      .queryExecution.executedPlan.toString
+    require(plan.contains("latest_row"),
+      s"RewriteMaxByToLatestRow did not fire:\n$plan")
+
+    println("[extensions-check] OK: functions + optimizer rule injected via spark.sql.extensions")
+    spark.stop()
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.{GraftFunctions, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
+
+/** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
+  * to a session builder (or spark-submit conf) and graft's functions +
+  * optimizer rule are injected at session build — the standard deployment
+  * path (end-to-end checked by [[ExtensionsCheck]] in a fresh JVM). Runtime
+  * registration via [[graft.functions.GraftFunctions.register]] covers
+  * sessions the engine did not build (the driver's Verify/Bench harnesses).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LongDotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongDotProduct].getCanonicalName, GraftFunctions.LongDotName),
+      (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LatestRowName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
+      (children: Seq[Expression]) => LatestRow(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.WordNgramsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
+      GraftFunctions.wordNgramsBuilder _))
+    // plan-quality rule: naive max_by latest-per-key formulations get the
+    // ObjectHashAggregate kernel instead of degrading to SortAggregate
+    ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
+  }
+}

@@ -63,35 +63,6 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
-  * to a session builder (or spark-submit conf) and graft's functions are
-  * injected at session build — the standard deployment path. Runtime
-  * registration via [[GraftFunctions.register]] covers sessions the engine
-  * did not build (the driver's Verify/Bench harnesses).
-  */
-class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.LongDotName),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[LongDotProduct].getCanonicalName, GraftFunctions.LongDotName),
-      (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.LatestRowName),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
-      (children: Seq[Expression]) => LatestRow(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.WordNgramsName),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
-      GraftFunctions.wordNgramsBuilder _))
-    // plan-quality rule: naive max_by latest-per-key formulations get the
-    // ObjectHashAggregate kernel instead of degrading to SortAggregate
-    ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
-  }
-}
-
 /** Runtime registration of graft's SQL functions into a session's function
   * registry (idempotent), so `expr("long_dot(a, b)")` parses anywhere.
   */

@@ -100,7 +100,8 @@ object Bootstrapper {
             case Some(df) =>
               wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
             case None if wh.exists(spec.changelogTable) =>
-              val changelog = wh.read(spark, spec.changelogTable)
+              // batch subdirs may straddle a schema evolution - merge footers
+              val changelog = wh.read(spark, spec.changelogTable, mergeSchema = true)
               // stored form retains delete tombstones (T2 across late batches)
               wh.overwrite(Cdc.fold(changelog, spec.cdc), spec.mirrorTable)
               true

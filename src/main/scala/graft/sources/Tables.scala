@@ -109,8 +109,13 @@ object Tables {
       * directory gives the reader snapshot isolation for as long as the
       * version is retained (current + one previous, see [[commit]] GC).
       */
-    def read(spark: SparkSession, name: String): DataFrame =
+    def read(spark: SparkSession, name: String,
+        mergeSchema: Boolean = false): DataFrame =
       spark.read.option("recursiveFileLookup", "true")
+        // mergeSchema for multi-batch layouts that may straddle a schema
+        // evolution (the changelog); versioned single-write tables are
+        // uniform and skip the extra footer reads
+        .option("mergeSchema", mergeSchema.toString)
         .parquet(snapshotPath(name))
 
     /** Current version directory of `name` (symlink resolved), or the

@@ -63,6 +63,19 @@ class WarehouseSpec extends SparkTestBase {
     assert(entries(wh.root).filter(_.startsWith("t.v")) == Set("t.v0", "t.v1"))
   }
 
+  test("mergeSchema read unifies changelog batches that straddle a schema evolution") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-evolve"))
+    wh.appendBatch(Seq((1L, "a")).toDF("id", "name"), "c", 0L)
+    wh.appendBatch(Seq((2L, "b", "b@x.com")).toDF("id", "name", "email"), "c", 1L)
+    val merged = wh.read(spark, "c", mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "name", "email"),
+      "evolved column must appear in the unified schema")
+    val emails = merged.select("id", "email").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(emails(1L).isEmpty && emails(2L).contains("b@x.com"))
+  }
+
   test("commit rejects subdirectory paths; appendBatch stays in place") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("wh-batch"))
