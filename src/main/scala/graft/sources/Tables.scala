@@ -28,7 +28,24 @@ object Tables {
       extension: Option[String] = None): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Seq.empty
-    val matcher = excludeGlob.map(g => FileSystems.getDefault.getPathMatcher(s"glob:$g"))
+    // `**/<tail>` globs (the reference's fileFilter shape) match the tail
+    // against ANY contiguous segment span of the prefix-relative path —
+    // the same semantics as CdcStream.excludePredicate, so the driver-side
+    // listing and the streaming scan exclude the same files. In
+    // particular a writer-wrapped `LOAD*.parquet/part-*` directory is
+    // excluded here too (final-segment-only matching would let its part
+    // files through and poison schema inference with the LOAD schema).
+    val spanRx = excludeGlob.filter(_.startsWith("**/")).map { g =>
+      val rx = g.drop(3).flatMap {
+        case '*' => "[^/]*"
+        case '?' => "[^/]"
+        case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      ("(^|/)" + rx + "($|/)").r
+    }
+    val matcher = excludeGlob.filterNot(_.startsWith("**/"))
+      .map(g => FileSystems.getDefault.getPathMatcher(s"glob:$g"))
     // FOLLOW_LINKS: versioned tables surface as a symlink pointer to the
     // current version directory (Warehouse.commit)
     val stream = Files.walk(root, java.nio.file.FileVisitOption.FOLLOW_LINKS)
@@ -44,22 +61,16 @@ object Tables {
         .filter { p =>
           // The reference's globs are matched against the key relative to the
           // monitored prefix (tabular.py:130-139 sends bucket+prefix and the
-          // filter separately). `**/X` must also match `X` at depth 0.
+          // filter separately).
           val rel = root.relativize(p)
-          matcher.forall(m => !m.matches(rel) && !matchesAtRoot(excludeGlob.get, rel))
+          spanRx.forall(_.findFirstIn(rel.toString).isEmpty) &&
+            matcher.forall(m => !m.matches(rel))
         }
         .map(_.toString)
         .toSeq
         .sorted
     } finally stream.close()
   }
-
-  /** `**&#47;LOAD*` should exclude `LOAD0001.parquet` sitting directly at the
-    * prefix root too (Java glob `**&#47;X` requires >=1 directory level).
-    */
-  private def matchesAtRoot(glob: String, rel: Path): Boolean =
-    glob.startsWith("**/") && rel.getNameCount == 1 &&
-      FileSystems.getDefault.getPathMatcher(s"glob:${glob.drop(3)}").matches(rel)
 
   /** Read parquet from an explicit (already exclusion-filtered) file list. */
   def readFiles(spark: SparkSession, files: Seq[String]): Option[DataFrame] =
