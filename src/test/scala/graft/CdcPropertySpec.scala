@@ -52,6 +52,45 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("randomized schema evolution: batches with differing column sets fold to the union") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new Random(4242)
+    (1 to 10).foreach { _ =>
+      val ops = genOps(rnd, n = 40, keys = 8, distinctTs = true)
+      val batches = ops.grouped(10).toList
+      // every batch randomly carries or lacks an `extra` column; the model
+      // tracks (name, extra-or-None) per key with latest-wins
+      val withExtra = batches.map(_ => rnd.nextBoolean())
+      var mirror: org.apache.spark.sql.DataFrame = null
+      batches.zip(withExtra).foreach { case (b, hasExtra) =>
+        val df0 = b.toDF().withColumn("_ingest_seq", col("seq"))
+        val df = if (hasExtra)
+          df0.withColumn("extra", org.apache.spark.sql.functions.concat(lit("x"), col("name")))
+        else df0
+        mirror = if (mirror == null) Cdc.fold(df, cfg) else Cdc.applyBatch(mirror, df, cfg)
+      }
+      val modelState: Map[Long, (String, Option[String])] =
+        batches.zip(withExtra).flatMap { case (b, he) => b.map(o => (o, he)) }
+          .groupBy(_._1.id).flatMap { case (id, ks) =>
+            val (latest, he) = ks.maxBy { case (o, _) => (o.ts, o.seq) }
+            if (latest.op == "D") None
+            else Some(id -> (latest.name, if (he) Some("x" + latest.name) else None))
+          }
+      val out = Cdc.currentState(mirror)
+      if (withExtra.exists(identity)) {
+        assert(out.columns.contains("extra"),
+          "union schema must retain the evolved column once any batch carries it")
+        val got = out.select("id", "name", "extra").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+        assert(got == modelState, s"evolution scenario mismatch")
+      } else {
+        val got = out.select("id", "name").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), None: Option[String])).toMap
+        assert(got == modelState, s"no-evolution scenario mismatch")
+      }
+    }
+  }
+
   test("incremental applyBatch over shuffled batches == applyAll (distinct ts)") {
     val rnd = new Random(99)
     (1 to 10).foreach { _ =>
