@@ -162,6 +162,62 @@ object ScaleOps {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** Ordered-sequence funnel (MATCH_RECOGNIZE-lite): per user, the
+    * click -> view -> purchase progression where each stage must happen
+    * STRICTLY AFTER the previous one; reports how many users reach each
+    * stage. One hash-agg computes every user's first-click ts, the
+    * first view after that click, and the first purchase after that view
+    * (conditional mins over the SAME pass — no joins, no window sort);
+    * the tiny per-user stage table aggregates to three counters. At
+    * 100 TB this is one shuffle on user_id with map-side combine —
+    * the standard funnel shape.
+    */
+  def q65Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_u"), col("ts_us").as("v_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_u"), col("ts_us").as("p_ts"))
+    val stages = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("ts_us"))).as("t1"))
+      .join(views, col("v_u") === col("user_id") && col("v_ts") > col("t1"), "left")
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(col("v_ts")).as("t2"))
+      .join(purchases, col("p_u") === col("user_id") && col("p_ts") > col("t2"), "left")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(col("p_ts")).as("t3"))
+    stages.agg(
+        count(col("t1")).as("n_click"),
+        count(col("t2")).as("n_click_view"),
+        count(col("t3")).as("n_click_view_purchase"))
+  }
+
+  /** Cohort retention: users grouped by their FIRST-seen day; for each
+    * cohort, how many return in any later day-window 1..3. First-seen day
+    * is one hash-agg; retention flags are conditional maxes over the same
+    * (user x day) activity set joined back to the cohort — the shuffle
+    * unit is the distinct (user, day) pair, never raw events.
+    */
+  def q66Retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Queries.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    act.join(first, "user_id")
+      .groupBy(col("user_id"), col("d0"))
+      .agg(
+        max(when(col("day") === col("d0") + 1, 1).otherwise(0)).as("r1"),
+        max(when(col("day") === col("d0") + 2, 1).otherwise(0)).as("r2"),
+        max(when(col("day") === col("d0") + 3, 1).otherwise(0)).as("r3"))
+      .groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).as("retained_d1"),
+        sum(col("r2")).as("retained_d2"),
+        sum(col("r3")).as("retained_d3"))
+      .orderBy(col("cohort_day"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -225,6 +281,45 @@ object ScaleOps {
          |GROUP BY click_id, c.user_id, click_ts_us
          |ORDER BY click_id""".stripMargin,
 
+    "q65_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts_us END) AS t1
+        |  FROM e GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(v.ts_us) AS t2
+        |  FROM s1 LEFT JOIN e v ON v.user_id = s1.user_id
+        |    AND v.event_type = 'view' AND v.ts_us > s1.t1
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(p.ts_us) AS t3
+        |  FROM s2 LEFT JOIN e p ON p.user_id = s2.user_id
+        |    AND p.event_type = 'purchase' AND p.ts_us > s2.t2
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT count(t1) AS n_click, count(t2) AS n_click_view,
+        |  count(t3) AS n_click_view_purchase
+        |FROM s3""".stripMargin,
+
+    "q66_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |first AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id),
+        |flags AS (
+        |  SELECT act.user_id, d0,
+        |    max(CASE WHEN day = d0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN day = d0 + 2 THEN 1 ELSE 0 END) AS r2,
+        |    max(CASE WHEN day = d0 + 3 THEN 1 ELSE 0 END) AS r3
+        |  FROM act JOIN first ON act.user_id = first.user_id
+        |  GROUP BY act.user_id, d0)
+        |SELECT d0 AS cohort_day, count(*) AS n_users,
+        |  CAST(sum(r1) AS BIGINT) AS retained_d1,
+        |  CAST(sum(r2) AS BIGINT) AS retained_d2,
+        |  CAST(sum(r3) AS BIGINT) AS retained_d3
+        |FROM flags GROUP BY d0 ORDER BY cohort_day""".stripMargin,
+
     "q60_count_min" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -254,5 +349,7 @@ object ScaleOps {
     "q58_salted_agg" -> (q58SaltedAgg _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
+    "q65_funnel" -> (q65Funnel _),
+    "q66_retention" -> (q66Retention _),
   )
 }
