@@ -139,6 +139,50 @@ object Multimodal {
       }.toDF("doc_id", "resized", "width", "height")
   }
 
+  /** 64-bit perceptual average-hash (aHash) over REAL decoded images: scale
+    * to 8x8 grayscale, bit i = pixel_i >= mean. The image-side analog of
+    * SimHash (q33): near-duplicate images land within a small hamming
+    * radius and bucket-join exactly like the text fingerprints, so the
+    * whole dedup machinery (banding, hamming verification, clustering)
+    * reuses unchanged. Uniform brightness/contrast shifts preserve the
+    * hash exactly (bits are mean-relative); undecodable media is dropped.
+    * Runs as mapPartitions (decoder init per partition, bytes stay
+    * partition-local) — same contract as [[decodeImages]].
+    */
+  def imageAHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val small = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = small.createGraphics()
+              try g.drawImage(img.getScaledInstance(8, 8, java.awt.Image.SCALE_AREA_AVERAGING),
+                0, 0, null)
+              finally g.dispose()
+              val gray = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                val rgb = small.getRGB(i % 8, i / 8)
+                gray(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+                  (rgb & 0xff) * 114L) / 1000L
+                i += 1
+              }
+              val mean = gray.sum / 64L
+              var hash = 0L
+              i = 0
+              while (i < 64) { if (gray(i) >= mean) hash |= (1L << i); i += 1 }
+              Some((docId, hash))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
   /** Frame sampling as offset arithmetic: every `stride` bytes, an
     * (offset, length) window — pointers, not bytes.
     */

@@ -186,6 +186,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(rt.getWidth == 100 && rt.getHeight == 56)
   }
 
+  test("perceptual aHash: invariant to brightness shift, far for unrelated images") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach { y =>
+        val v = math.min(255, math.max(0, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, _) => x * 4)
+    val brighter = png((x, _) => x * 4 + 30)       // uniform shift
+    val noise = { val r = new scala.util.Random(5); png((_, _) => r.nextInt(256)) }
+    val media = Seq((1L, gradient), (2L, brighter), (3L, noise),
+      (4L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val h = Multimodal.imageAHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L), "undecodable media dropped")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 2,
+      s"brightness shift must preserve the mean-relative hash (got ${hamming(h(1L), h(2L))})")
+    assert(hamming(h(1L), h(3L)) >= 16,
+      s"unrelated noise must be far (got ${hamming(h(1L), h(3L))})")
+  }
+
   test("frame sampling emits offset windows covering the blob exactly") {
     val media = Multimodal.mediaTable(spark, dir).limit(10)
     val frames = Multimodal.frameSample(media, stride = 100).collect()
