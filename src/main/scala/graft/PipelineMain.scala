@@ -49,9 +49,14 @@ object PipelineMain {
         if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
         // durable CDC wiring (the reference's table-property commits)
         graft.plans.Bootstrapper.writeCdcProperties(wh, spec)
-        val q = CdcStream.start(spark, wh, spec, s"$whDir/_checkpoints/${spec.mirrorTable}")
+        val q = CdcStream.start(spark, wh, spec,
+          s"$whDir/_checkpoints/${spec.mirrorTable}",
+          mirrorBuckets = config.mirrorBuckets)
         q.awaitTermination()
-        val state = Cdc.currentState(wh.read(spark, spec.mirrorTable))
+        val state = config.mirrorBuckets match {
+          case Some(_) => graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
+          case None => Cdc.currentState(wh.read(spark, spec.mirrorTable))
+        }
         println(s"[pipeline] mirror=${spec.mirrorTable} rows=${state.count()}")
       } catch {
         case e: Exception =>

@@ -91,9 +91,13 @@ object PipelineSpec {
   *                     `id`/`transact_seq`, batch_bootstrapper.py:20-21)
   * @param sources      monitored prefixes (GRAFT_SOURCES, comma-separated —
   *                     the reference's S3_URIS list, batch_bootstrapper.py:24-27)
+  * @param mirrorBuckets optional key-hash bucket count for the partitioned
+  *                      mirror layout (GRAFT_MIRROR_BUCKETS; absent = flat
+  *                      mirror, the reference-faithful default)
   */
 final case class PipelineConfig(
-    warehouseDir: String, cdc: CdcConfig, sources: Seq[String])
+    warehouseDir: String, cdc: CdcConfig, sources: Seq[String],
+    mirrorBuckets: Option[Int] = None)
 
 object PipelineConfig {
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
@@ -104,6 +108,11 @@ object PipelineConfig {
       cdc = CdcConfig(
         env.getOrElse("GRAFT_CDC_KEY", "id"),
         env.getOrElse("GRAFT_CDC_TS", "transact_seq")),
-      sources = need("GRAFT_SOURCES").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      sources = need("GRAFT_SOURCES").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      mirrorBuckets = env.get("GRAFT_MIRROR_BUCKETS").map { v =>
+        val n = v.toInt
+        require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
+        n
+      })
   }
 }

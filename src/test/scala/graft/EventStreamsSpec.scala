@@ -107,6 +107,11 @@ class EventStreamsSpec extends SparkTestBase {
     assert(cfg.warehouseDir == "/tmp/wh")
     assert(cfg.cdc == CdcConfig("id", "ts"), "key defaults to the reference's production value")
     assert(cfg.sources == Seq("/data/a", "/data/b"))
+    assert(cfg.mirrorBuckets.isEmpty, "flat mirror is the reference-faithful default")
+    val bucketed = PipelineConfig.fromEnv(Map(
+      "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh", "GRAFT_SOURCES" -> "/data/a",
+      "GRAFT_MIRROR_BUCKETS" -> "128"))
+    assert(bucketed.mirrorBuckets.contains(128))
     intercept[IllegalArgumentException](PipelineConfig.fromEnv(Map.empty))
   }
 
