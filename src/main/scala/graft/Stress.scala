@@ -19,6 +19,9 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nChanges = if (args.length > 1) args(1).toLong else 150000L
+    // the strided change keys are distinct only while nChanges <= n; with
+    // wraparound the expected-rows formula below would be wrong
+    require(nChanges <= n, s"nChanges ($nChanges) must be <= nKeys ($n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

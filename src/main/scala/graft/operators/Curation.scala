@@ -68,8 +68,14 @@ object Curation {
     // the job count for no added parallelism)
     var labels = edges.select(col("i").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).localCheckpoint(false)
+    // sum over an EMPTY label table is null (no pairs at the threshold):
+    // converge immediately and emit the empty cluster table
+    def labelSum(): Long = {
+      val r = labels.agg(sum(col("lbl"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prev = Long.MinValue
-    var cur = labels.agg(sum(col("lbl"))).first().getLong(0)
+    var cur = labelSum()
     while (cur != prev) {
       val nbrMin = edges.join(labels, edges("j") === labels("doc_id"))
         .groupBy(edges("i").as("doc_id")).agg(min(col("lbl")).as("nmin"))
@@ -78,7 +84,7 @@ object Curation {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint(false)
       prev = cur
-      cur = labels.agg(sum(col("lbl"))).first().getLong(0)
+      cur = labelSum()
     }
     labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -118,14 +124,18 @@ object Curation {
     *
     * Scale shape: eval sets are tiny relative to the corpus, so the
     * distinct eval-shingle set is broadcast and the contamination test is
-    * a map-side semi-join against the scan — the 100 TB corpus is read
-    * once, shuffles nothing, and only the (small) contaminated-id set
-    * aggregates.
+    * a map-side semi-join against the shingle index — which is
+    * materialized ONCE (localCheckpoint) and feeds both the eval and the
+    * train branch; nothing corpus-sized shuffles, and only the (small)
+    * contaminated-id set aggregates. The final per-language counts are a
+    * second, column-pruned scan of (doc_id, lang) only — at 100 TB a
+    * metadata-cheap read next to the shingling pass.
     */
   def q52Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
     val sh = d.select(col("doc_id"),
       explode(array_distinct(wordNgramExpr(8))).as("s"))
+      .localCheckpoint(false)
     val evalSh = sh.filter(col("doc_id") % 20 === 0).select("s").distinct()
     val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(evalSh), Seq("s"), "left_semi")

@@ -454,27 +454,20 @@ object Queries {
     * incrementally per partition/day and merged at read time.
     */
   def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val k = 64
-    val two60 = 1.152921504606846976e18 // 2^60, exactly representable
     val d = events(spark, dir)
-      .select(col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+      .select(col("event_type"), Kmv.hash60(col("user_id")).as("h"))
       .distinct()
     d.withColumn("rn",
         row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h"))))
       .withColumn("n_users",
         count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= Kmv.K)
       .groupBy(col("event_type"))
       .agg(max(col("n_users")).as("nu"),
-        max(when(col("rn") === k, col("h"))).as("kth"))
+        max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
       .select(col("event_type"),
         col("nu").as("exact_users"),
-        when(col("nu") <= k, col("nu").cast("double"))
-          .otherwise(round(
-            (lit((k - 1).toDouble) * lit(two60)) / col("kth").cast("double"), 4))
-          .as("approx_users"))
+        Kmv.estimate(col("nu"), col("kth")).as("approx_users"))
       .orderBy(col("event_type"))
   }
 
@@ -941,9 +934,9 @@ object Queries {
         |FROM ranked WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
 
     "q41_approx_distinct" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT DISTINCT event_type,
-        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |    ${Kmv.hash60Sql("user_id")} AS h
         |  FROM events),
         |r AS (
         |  SELECT event_type, h,
@@ -952,11 +945,9 @@ object Queries {
         |  FROM d)
         |SELECT event_type,
         |  CAST(max(n_users) AS BIGINT) AS exact_users,
-        |  CASE WHEN max(n_users) <= 64 THEN CAST(max(n_users) AS DOUBLE)
-        |       ELSE round((63.0 * 1152921504606846976.0) /
-        |                  CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 4)
-        |  END AS approx_users
-        |FROM r WHERE rn <= 64
+        |  ${Kmv.estimateSql("max(n_users)", s"max(CASE WHEN rn = ${Kmv.K} THEN h END)")}
+        |    AS approx_users
+        |FROM r WHERE rn <= ${Kmv.K}
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_range_join" ->

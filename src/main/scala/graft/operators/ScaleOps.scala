@@ -15,10 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
-  private val K = 64
-  /** 2^60 (exactly representable as a double) — KMV hash-space size. */
-  private val Two60 = 1.152921504606846976e18
-
   /** KMV sketch MERGE (the algebra q41 only hints at): build a k-minimum-
     * values distinct-users sketch PER DAY, then derive the global distinct
     * estimate by merging the 30 tiny sketches — union their hash sets,
@@ -37,30 +33,26 @@ object ScaleOps {
   def q57KmvMerge(spark: SparkSession, dir: String): DataFrame = {
     val d = Queries.events(spark, dir)
       .select(expr("ts_us div 86400000000").as("day"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        Kmv.hash60(col("user_id")).as("h"))
       .distinct()
       .localCheckpoint(false)
     val r = d
       .withColumn("rn", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
       .withColumn("nu", count(lit(1)).over(Window.partitionBy(col("day"))))
-    val sketch = r.filter(col("rn") <= K).localCheckpoint(false)
-    def estimate(nu: org.apache.spark.sql.Column, kth: org.apache.spark.sql.Column) =
-      when(nu <= K, nu.cast("double"))
-        .otherwise(round(lit((K - 1).toDouble) * lit(Two60) / kth.cast("double"), 4))
+    val sketch = r.filter(col("rn") <= Kmv.K).localCheckpoint(false)
     val dayRows = sketch.groupBy(col("day"))
-      .agg(max(col("nu")).as("nu"), max(when(col("rn") === K, col("h"))).as("kth"))
+      .agg(max(col("nu")).as("nu"), max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
       .select(col("day").cast("string").as("scope"),
-        col("nu").as("n_exact"), estimate(col("nu"), col("kth")).as("est_users"))
+        col("nu").as("n_exact"), Kmv.estimate(col("nu"), col("kth")).as("est_users"))
     // merge: union of the per-day k-min sets -> distinct -> global k minima
     val mr = sketch.select(col("h")).distinct()
       .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
-      .filter(col("rn") <= K)
+      .filter(col("rn") <= Kmv.K)
     val merged = mr
-      .agg(count(lit(1)).as("ns"), max(when(col("rn") === K, col("h"))).as("kth"))
+      .agg(max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
       .crossJoin(d.agg(countDistinct(col("h")).as("nu")))
       .select(lit("ALL").as("scope"),
-        col("nu").as("n_exact"), estimate(col("nu"), col("kth")).as("est_users"))
+        col("nu").as("n_exact"), Kmv.estimate(col("nu"), col("kth")).as("est_users"))
     dayRows.unionByName(merged).orderBy(col("scope"))
   }
 
@@ -226,20 +218,18 @@ object ScaleOps {
     "q57_kmv_merge" ->
       s"""WITH d AS (
          |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
-         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |    ${Kmv.hash60Sql("user_id")} AS h
          |  FROM events),
          |r AS (
          |  SELECT day, h,
          |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
          |    count(*) OVER (PARTITION BY day) AS nu
          |  FROM d),
-         |sk AS (SELECT * FROM r WHERE rn <= $K),
+         |sk AS (SELECT * FROM r WHERE rn <= ${Kmv.K}),
          |dayrows AS (
          |  SELECT CAST(day AS VARCHAR) AS scope, CAST(max(nu) AS BIGINT) AS n_exact,
-         |    CASE WHEN max(nu) <= $K THEN CAST(max(nu) AS DOUBLE)
-         |         ELSE round(${K - 1}.0 * 1152921504606846976.0 /
-         |                    CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE), 4)
-         |    END AS est_users
+         |    ${Kmv.estimateSql("max(nu)", s"max(CASE WHEN rn = ${Kmv.K} THEN h END)")}
+         |      AS est_users
          |  FROM sk GROUP BY day),
          |mr AS (
          |  SELECT h, row_number() OVER (ORDER BY h) AS rn
@@ -247,12 +237,9 @@ object ScaleOps {
          |merged AS (
          |  SELECT 'ALL' AS scope,
          |    CAST((SELECT count(DISTINCT h) FROM d) AS BIGINT) AS n_exact,
-         |    CASE WHEN (SELECT count(DISTINCT h) FROM d) <= $K
-         |         THEN CAST((SELECT count(DISTINCT h) FROM d) AS DOUBLE)
-         |         ELSE round(${K - 1}.0 * 1152921504606846976.0 /
-         |                    CAST((SELECT max(CASE WHEN rn = $K THEN h END) FROM mr)
-         |                         AS DOUBLE), 4)
-         |    END AS est_users)
+         |    ${Kmv.estimateSql("(SELECT count(DISTINCT h) FROM d)",
+                s"(SELECT max(CASE WHEN rn = ${Kmv.K} THEN h END) FROM mr)")}
+         |      AS est_users)
          |SELECT scope, n_exact, est_users FROM dayrows
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,

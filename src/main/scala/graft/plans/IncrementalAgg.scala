@@ -62,8 +62,12 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("dn"), sum(col("v")).as("ds"))
     val delta = minus.unionByName(plus).groupBy(col("g"))
       .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
-    agg.join(delta, Seq("g"), "full_outer")
-      .select(col("g"),
+      .withColumnRenamed("g", "dg")
+    // null-safe equality on the group key: a nullable group expression
+    // produces a legitimate NULL group, and a plain full_outer on "g"
+    // would leave the stale row and the delta row dangling separately
+    agg.join(delta, agg("g") <=> delta("dg"), "full_outer")
+      .select(coalesce(agg("g"), delta("dg")).as("g"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s"), lit(0).cast("decimal(28,2)")) +
           coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).cast("decimal(28,2)").as("s"))

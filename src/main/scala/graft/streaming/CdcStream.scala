@@ -60,6 +60,29 @@ object CdcStream {
     */
   type MaintainedAgg = (String, graft.plans.IncrementalAgg.Spec)
 
+  /** Marker file inside each agg version directory recording the last
+    * micro-batch the aggregate absorbed. Written by the SAME versioned
+    * commit that publishes the data (underscore prefix keeps it invisible
+    * to parquet readers), so data+marker swap atomically — there is no
+    * crash window where one is committed without the other.
+    */
+  private val IvmMarkerFile = "_ivm_batch_id"
+
+  private def commitAgg(wh: Warehouse, table: String,
+      df: DataFrame, batchId: Long): Unit =
+    wh.commit(table) { dir =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, IvmMarkerFile), batchId.toString)
+    }
+
+  private def readAggMarker(wh: Warehouse, table: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(wh.snapshotPath(table), IvmMarkerFile)
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
   def start(
       spark: SparkSession,
       wh: Warehouse,
@@ -94,6 +117,28 @@ object CdcStream {
       .option("pathGlobFilter", s"*.${spec.format}")
       .option("recursiveFileLookup", "true")
     if (spec.format == "csv") reader.option("header", "true")
+    // Batch-id markers are per-checkpoint-LINEAGE: a lost/recreated
+    // checkpoint restarts numbering at 0, and a marker from the old
+    // lineage would wrongly skip a replay batch that contains genuinely
+    // NEW files. On a fresh lineage, resync each maintained aggregate to
+    // the CURRENT mirror before starting: replayed old changes then delta
+    // to zero against that mirror, and new changes delta normally.
+    if (maintainedAggs.nonEmpty) {
+      val offsets = java.nio.file.Paths.get(checkpointDir, "offsets")
+      val freshLineage = !java.nio.file.Files.isDirectory(offsets) || {
+        val s = java.nio.file.Files.list(offsets)
+        try !s.iterator().hasNext finally s.close()
+      }
+      if (freshLineage) maintainedAggs.foreach { case (aggTable, aspec) =>
+        if (wh.exists(aggTable) && wh.exists(spec.mirrorTable))
+          commitAgg(wh, aggTable,
+            graft.plans.IncrementalAgg
+              .full(Cdc.currentState(wh.read(spark, spec.mirrorTable)), aspec)
+              .localCheckpoint(true),
+            batchId = -1L)
+      }
+    }
+
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.format(spec.format).load(spec.sourcePath)
       // Exclusion glob (`**/LOAD*`): Spark's pathGlobFilter is inclusive, so
@@ -133,9 +178,7 @@ object CdcStream {
                 // marker says "already applied", the delta is skipped —
                 // while the mirror merge itself is replay-idempotent.
                 maintainedAggs.foreach { case (aggTable, aspec) =>
-                  val marker = "ivm.last-batch-id"
-                  val applied = graft.sources.Tables.TableProps
-                    .read(wh, aggTable).get(marker).map(_.toLong)
+                  val applied = readAggMarker(wh, aggTable)
                   if (!applied.exists(_ >= batchId)) {
                     val aggBefore =
                       if (wh.exists(aggTable)) wh.read(spark, aggTable)
@@ -143,10 +186,7 @@ object CdcStream {
                         .full(Cdc.currentState(mirror), aspec)
                     val updated = graft.plans.IncrementalAgg
                       .applyDelta(aggBefore, mirror, changes, spec.cdc, aspec)
-                    wh.overwrite(updated.localCheckpoint(true), aggTable)
-                    graft.sources.Tables.TableProps.write(wh, aggTable,
-                      graft.sources.Tables.TableProps.read(wh, aggTable) +
-                        (marker -> batchId.toString))
+                    commitAgg(wh, aggTable, updated.localCheckpoint(true), batchId)
                   }
                 }
                 val merged = Cdc.applyBatch(mirror, changes, spec.cdc)

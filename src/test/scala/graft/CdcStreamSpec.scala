@@ -67,8 +67,8 @@ class CdcStreamSpec extends SparkTestBase {
       Cdc.currentState(wh.read(spark, "mv")), aspec))
     assert(canon(wh.read(spark, "mv_agg")) == want,
       "maintained aggregate must equal a recompute of the final mirror")
-    assert(graft.sources.Tables.TableProps.read(wh, "mv_agg")
-      .contains("ivm.last-batch-id"))
+    assert(Files.exists(Paths.get(wh.snapshotPath("mv_agg"), "_ivm_batch_id")),
+      "the batch marker must publish atomically inside the agg version dir")
   }
 
   test("lost-checkpoint replay: mirror re-merge is idempotent, IVM markers skip double-apply") {
@@ -96,9 +96,26 @@ class CdcStreamSpec extends SparkTestBase {
     CdcStream.start(spark, wh, spec, ckpt, maintainedAggs = aggs).awaitTermination()
     val (mirror2, agg2) = snap()
     assert(mirror2 == mirror1, "mirror re-merge must be idempotent under full replay")
-    assert(agg2 == agg1, "IVM batch markers must suppress double-application")
+    assert(agg2 == agg1, "replay with no new data must leave the aggregate unchanged")
     assert(mirror1 == g.expectedFinal.map(r => (r.id, r.name)).toSet
       .map((t: (Long, String)) => t))
+
+    // checkpoint lost AGAIN and a genuinely NEW change arrives: the replay
+    // batch (old + new files under restarted batch ids) must still land
+    // the new change in BOTH the mirror and the maintained aggregate —
+    // a stale cross-lineage marker would silently skip the agg delta
+    writeParquet(Seq(DmsGenerator.Log(9991L, "fresh-after-loss", "m9", "t", "I",
+      "2024-12-31T00:00:00")), s"$src/dms_logs_99.parquet")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    CdcStream.start(spark, wh, spec, ckpt, maintainedAggs = aggs).awaitTermination()
+    val (mirror3, agg3) = snap()
+    assert(mirror3.contains((9991L, "fresh-after-loss")))
+    val want3 = graft.plans.IncrementalAgg.full(
+        Cdc.currentState(wh.read(spark, "rp")), aspec)
+      .select(col("g").cast("long"), col("n"), col("s").cast("decimal(28,2)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg3 == want3,
+      "new data in a replayed lineage must reach the maintained aggregate")
   }
 
   test("streaming replay with the partitioned (bucketed) mirror equals the flat result") {

@@ -73,20 +73,27 @@ class PlanContractSpec extends SparkTestBase {
     spark.experimental.extraOptimizations = prior :+ graft.functions.RewriteMaxByToLatestRow
     try {
       val ev = Queries.events(spark, dir)
-      // the naive latest-per-key formulation every user writes first
-      val naive = ev.groupBy(col("user_id"))
+      // the naive latest-per-key formulation every user writes first —
+      // built FRESH under each optimizer setting: a Dataset caches its
+      // QueryExecution, so reusing one frame across settings would compare
+      // the rewritten plan with itself
+      def naive() = ev.groupBy(col("user_id"))
         .agg(max_by(struct(col("event_id"), col("event_type")), col("ts_us")).as("last"))
-      val p = plan(naive)
+      val p = plan(naive())
       assert(p.contains("ObjectHashAggregate") && p.contains("latest_row"),
         s"struct max_by must rewrite to the latest_row kernel:\n${p.take(1500)}")
       assert(!p.contains("SortAggregate"), "rewritten plan must not sort")
-      // semantics preserved: equals the un-rewritten max_by result
+      // semantics preserved: equals the result of a genuinely un-rewritten run
       val want = {
         spark.experimental.extraOptimizations = prior
-        try naive.collect().map(_.toString).sorted.toSeq
-        finally spark.experimental.extraOptimizations = prior :+ graft.functions.RewriteMaxByToLatestRow
+        try {
+          val fresh = naive()
+          assert(!plan(fresh).contains("latest_row"), "oracle run must not be rewritten")
+          fresh.collect().map(_.toString).sorted.toSeq
+        } finally spark.experimental.extraOptimizations =
+          prior :+ graft.functions.RewriteMaxByToLatestRow
       }
-      assert(naive.collect().map(_.toString).sorted.toSeq == want)
+      assert(naive().collect().map(_.toString).sorted.toSeq == want)
       // primitive payloads stay on the plain hash-agg fast path
       val prim = ev.groupBy(col("user_id"))
         .agg(max_by(col("event_id"), col("ts_us")).as("last"))
