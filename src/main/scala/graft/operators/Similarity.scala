@@ -45,16 +45,24 @@ object Similarity {
       .select("vec_id", "label", "q", "nq")
   }
 
-  /** cos(a, b) from integer dot and norms — bit-identical across engines. */
+  /** cos(a, b) from integer dot and norms — bit-identical across engines.
+    * Zero-norm vectors (an embedding that quantizes to all-zero) define
+    * cos = 0 explicitly: Spark's non-ANSI divide would yield NULL while
+    * DuckDB's IEEE ops yield NaN, and the two sort differently — the one
+    * edge where "identical integers in, identical doubles out" breaks.
+    */
   private def cosCol(dot: String, na: String, nb: String) =
-    expr(s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))")
+    expr(s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END""".stripMargin)
 
   /** Embedding near-duplicate candidates: top-20 most-similar pairs within
     * each label block (label = the blocking key; all-pairs only inside a
     * block).
     */
   def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = qvecs(spark, dir)
+    // materialize once: the self-join would otherwise scan + re-quantize
+    // the embeddings table twice (q36/q38/q39 do the same)
+    val e = qvecs(spark, dir).localCheckpoint(true)
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
@@ -244,7 +252,8 @@ object Similarity {
       |e AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nq FROM qe)""".stripMargin
 
   private def cosSql(dot: String, na: String, nb: String): String =
-    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+    s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
+       |ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END""".stripMargin
 
   /** Shared oracle CTE block: sign-random-projection buckets -> `eb`. */
   private def lshCtes: String =

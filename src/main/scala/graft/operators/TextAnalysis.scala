@@ -85,7 +85,9 @@ object TextAnalysis {
           .cast("long").as("n_stop"))
       .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("short_ratio", col("n_short").cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("punct_ratio", // empty doc: 0, not NULL-vs-NaN across engines
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("n_punct").cast("double") / col("n_chars")))
       .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("score",
         col("distinct_ratio") * lit(0.5) + (lit(1.0) - col("short_ratio")) * lit(0.3) +
@@ -271,7 +273,8 @@ object TextAnalysis {
         |s AS (SELECT doc_id, n_tokens,
         |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
         |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
-        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
         |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
         |FROM m),
         |sc AS (SELECT *, distinct_ratio * 0.5 + (1.0 - short_ratio) * 0.3 +

@@ -29,7 +29,10 @@ object Maintenance {
     */
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
     // pin the current snapshot (resolved version dir): a stream commit
-    // landing mid-rewrite must not swap files out from under the read
+    // landing mid-rewrite must not swap files out from under the read;
+    // the commit below is conditional on this version still being current
+    // (optimistic CAS), so a concurrent stream merge wins over the rewrite
+    val expect = wh.currentVersion(table)
     val path = wh.snapshotPath(table)
     // mergeSchema: batch subdirectories may straddle a schema evolution.
     // A bucket-partitioned mirror must be read via partition discovery
@@ -37,13 +40,17 @@ object Maintenance {
     // layout); flat/batch-subdir tables need the recursive lookup instead.
     val bucketed = isBucketPartitioned(spark, path)
     val reader = spark.read.option("mergeSchema", "true")
-    val df =
+    // materialize BEFORE the commit: for a legacy (real-directory) table
+    // the commit migrates the directory aside first, so a lazy read
+    // through the old path would execute against moved files
+    val df = (
       if (bucketed) reader.parquet(path)
       else reader.option("recursiveFileLookup", "true").parquet(path)
+    ).localCheckpoint(true)
     // atomic publish: the rewrite fills a fresh version dir reading from
     // the still-live current version, then the pointer swaps (no window
     // where the table is absent or half-written)
-    wh.commit(table) { staged =>
+    wh.commit(table, expectCurrent = expect) { staged =>
       if (bucketed) {
         // hash-repartition on the bucket column: each bucket lands in one
         // task, so the rewrite emits one file per bucket directory
@@ -67,12 +74,16 @@ object Maintenance {
       spark: SparkSession, wh: Warehouse, table: String,
       cfg: graft.CdcConfig, horizon: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    val expect = wh.currentVersion(table)
     val path = wh.snapshotPath(table)
-    val df = spark.read.parquet(path)
+    // mergeSchema: bucket/batch dirs may straddle a schema evolution — a
+    // single-footer inference could silently drop an evolved column from
+    // the full-table rewrite below
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
     val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
       col(cfg.tsCol) < lit(horizon))).localCheckpoint(true)
-    wh.commit(table) { staged =>
+    wh.commit(table, expectCurrent = expect) { staged =>
       val writer = kept.write.mode(SaveMode.Overwrite)
       if (df.columns.contains(PartitionedMirror.BucketCol))
         writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)

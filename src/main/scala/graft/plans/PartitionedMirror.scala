@@ -25,21 +25,50 @@ object PartitionedMirror {
   /** Partition column: deterministic key-hash bucket. */
   val BucketCol = "_kb"
 
+  /** Durable table property pinning the layout's bucket count. The count
+    * is part of the DATA layout: merging with a different modulus would
+    * look up keys in buckets they were never written to and silently
+    * duplicate them — so the stored value always wins over the parameter.
+    */
+  val BucketsProp = "mirror.buckets"
+
   private def withBucket(df: DataFrame, cfg: CdcConfig, nBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(col(cfg.keyCol)), lit(nBuckets)))
 
-  /** Create the mirror from an initial state, partitioned by key bucket. */
+  /** Bucket count the stored layout was written with (None = not bucketed
+    * yet / legacy).
+    */
+  def storedBuckets(wh: Warehouse, name: String): Option[Int] =
+    graft.sources.Tables.TableProps.read(wh, name).get(BucketsProp).map(_.toInt)
+
+  /** Create the mirror from an initial state, partitioned by key bucket.
+    * If the table currently exists as a versioned (pointer) flat table —
+    * e.g. it was seeded from LOAD files via `Warehouse.overwrite` — the
+    * pointer layout is dissolved first: the partitioned mirror is managed
+    * by IN-PLACE dynamic partition overwrites, and writing through a
+    * symlink would orphan the version dirs and wedge later commits.
+    */
   def initialize(
       wh: Warehouse, name: String, state: DataFrame,
-      cfg: CdcConfig, nBuckets: Int): Unit =
-    withBucket(state, cfg, nBuckets)
-      .write.mode(SaveMode.Overwrite)
+      cfg: CdcConfig, nBuckets: Int): Unit = {
+    val staged = withBucket(state, cfg, nBuckets).localCheckpoint(true)
+    wh.dissolveVersioned(name)
+    staged.write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(wh.tablePath(name))
+    graft.sources.Tables.TableProps.write(wh, name,
+      graft.sources.Tables.TableProps.read(wh, name) +
+        (BucketsProp -> nBuckets.toString))
+  }
 
-  /** Read the mirror's VISIBLE state (tombstones hidden, bucket col dropped). */
+  /** Read the mirror's VISIBLE state (tombstones hidden, bucket col
+    * dropped). mergeSchema: bucket dirs may straddle a schema evolution
+    * (only touched buckets rewrite), so single-footer inference could hide
+    * an evolved column.
+    */
   def read(spark: SparkSession, wh: Warehouse, name: String): DataFrame =
-    Cdc.currentState(spark.read.parquet(wh.tablePath(name)).drop(BucketCol))
+    Cdc.currentState(spark.read.option("mergeSchema", "true")
+      .parquet(wh.tablePath(name)).drop(BucketCol))
 
   /** Apply one changelog batch, touching only the buckets present in it.
     *
@@ -57,25 +86,33 @@ object PartitionedMirror {
       spark: SparkSession, wh: Warehouse, name: String,
       changes: DataFrame, cfg: CdcConfig, nBuckets: Int): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val ch = withBucket(Cdc.withIngestSeq(changes), cfg, nBuckets)
+    // the STORED bucket count always wins: a config drift to a different
+    // modulus would probe buckets the keys were never written to and
+    // silently duplicate them
+    val buckets = storedBuckets(wh, name).getOrElse(nBuckets)
+    val ch = withBucket(Cdc.withIngestSeq(changes), cfg, buckets)
     val touched = ch.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
 
-    val raw = spark.read.parquet(wh.tablePath(name))
+    // read through the snapshot path: a seeded flat mirror is a versioned
+    // pointer table until the migration below dissolves it
+    val raw = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "false")
+      .parquet(wh.snapshotPath(name))
     if (!raw.columns.contains(BucketCol)) {
       // legacy/seeded flat mirror (e.g. LOAD-file initial load): migrate it
       // into the bucketed layout wholesale on first merge — dynamic
       // partition overwrite into a flat directory would mix layouts
       val merged = Cdc.applyBatch(raw, ch.drop(BucketCol), cfg).localCheckpoint(true)
-      initialize(wh, name, merged, cfg, nBuckets)
+      initialize(wh, name, merged, cfg, buckets)
       return
     }
     val mirrorTouched = raw
       .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
       .drop(BucketCol)
     val merged = Cdc.applyBatch(mirrorTouched, ch.drop(BucketCol), cfg)
-    val out = withBucket(merged, cfg, nBuckets).localCheckpoint(true)
+    val out = withBucket(merged, cfg, buckets).localCheckpoint(true)
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -139,6 +139,30 @@ object Tables {
       else tablePath(name)
     }
 
+    /** Version number the table pointer currently publishes (None for
+      * legacy / non-versioned layouts).
+      */
+    def currentVersion(name: String): Option[Long] = {
+      val p = Paths.get(tablePath(name))
+      if (!Files.isSymbolicLink(p)) return None
+      val m = versionPattern(name).matcher(
+        Files.readSymbolicLink(p).getFileName.toString)
+      if (m.matches()) Some(m.group(1).toLong) else None
+    }
+
+    /** Dissolve a versioned (pointer) layout back to a plain path — the
+      * one-way migration used when a table moves to an IN-PLACE-managed
+      * layout (the partitioned mirror's dynamic partition overwrites).
+      * Removes the pointer and retained version dirs; the caller writes
+      * the new layout to the now-plain `tablePath` afterwards. Must only
+      * run from the table's single writer.
+      */
+    def dissolveVersioned(name: String): Unit = {
+      val p = Paths.get(tablePath(name))
+      if (Files.isSymbolicLink(p)) Files.delete(p)
+      versions(name).foreach { case (_, dir) => deleteRecursively(dir) }
+    }
+
     private def versionPattern(name: String) =
       java.util.regex.Pattern.compile(
         java.util.regex.Pattern.quote(name) + "\\.v(\\d+)")
@@ -170,19 +194,42 @@ object Tables {
       * renaming the real directory aside — that single migration has a
       * sub-millisecond absence window; every subsequent commit is atomic.
       */
-    def commit(name: String)(write: String => Unit): Unit = {
+    def commit(name: String, expectCurrent: Option[Long] = None)
+        (write: String => Unit): Unit = {
       require(!name.contains("/"),
         s"commit is table-level; '$name' looks like a subdirectory")
       Files.createDirectories(Paths.get(root))
       val table = Paths.get(tablePath(name))
+      // legacy real-dir layout: move it aside FIRST (becomes a retained
+      // version) so a crash mid-commit can never wedge on a half-done
+      // migration — a crash here leaves only the documented one-time
+      // absence window, and the next commit proceeds normally
+      val legacyMoved =
+        if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+            !Files.isSymbolicLink(table)) {
+          val slot = versions(name).lastOption.map(_._1 + 1).getOrElse(0L)
+          Files.move(table, Paths.get(s"${tablePath(name)}.v$slot"))
+          true
+        } else false
       val next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
       val versionDir = Paths.get(s"${tablePath(name)}.v$next")
       write(versionDir.toString)
-      // legacy real-dir layout: move it aside (becomes the retained
-      // previous version) so the symlink can take the table path
-      if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-          !Files.isSymbolicLink(table))
-        Files.move(table, Paths.get(s"${tablePath(name)}.v${next - 1}"))
+      // optimistic concurrency for offline rewrites (compaction/GC): the
+      // swap only publishes if the version the rewriter read is still the
+      // current one — a stream commit that landed mid-rewrite wins, and
+      // the rewriter gets a retryable conflict instead of silently
+      // discarding that batch. (Check-then-swap; the window between them
+      // is microseconds vs the rewrite's seconds, and the single-stream-
+      // writer + single-maintenance-job deployment this stands in for
+      // resolves the rest. A real catalog does this as a CAS commit.)
+      expectCurrent.foreach { e =>
+        val cur = currentVersion(name)
+        if (!legacyMoved && cur != Some(e)) {
+          deleteRecursively(versionDir)
+          throw new java.util.ConcurrentModificationException(
+            s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
+        }
+      }
       val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
       Files.deleteIfExists(tmpLink)
       // relative target keeps the warehouse relocatable

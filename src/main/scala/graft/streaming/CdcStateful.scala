@@ -27,22 +27,38 @@ object CdcStateful {
   final case class KeyUpdate(
       id: Long, name: String, modification_date: String, ts: String, deleted: Boolean)
 
+  /** Ordering key for a change: null ts sorts below every real ts — the
+    * same alignment the batch path gives envelope-less initial-load rows
+    * (a null ts loses to any change), instead of NPE-ing the query.
+    */
+  private def tsKey(c: DmsChange): String = if (c.ts == null) "" else c.ts
+
   /** Latest-wins fold for one key over one micro-batch's changes plus the
     * stored state. ISO-8601 `ts` strings order lexicographically; ties keep
     * the later-seen record (matching Cdc's ingestion-order tie-break).
+    * Tombstones arm a processing-time timeout when `tombstoneTtl` is set:
+    * once no change for the key has arrived for the TTL (= the lateness
+    * horizon), the state entry is dropped — the state-store analog of
+    * [[graft.plans.Maintenance.expireTombstones]]. Without a TTL, a
+    * high-churn keyspace would grow tombstone state forever.
     */
-  private def foldKey(
+  private[graft] def foldKey(tombstoneTtl: Option[String])(
       id: Long,
       changes: Iterator[DmsChange],
       state: GroupState[DmsChange]): Iterator[KeyUpdate] = {
+    if (state.hasTimedOut) { // tombstone past the lateness horizon: GC
+      state.remove()
+      return Iterator.empty
+    }
     val incoming = changes.toSeq
     if (incoming.isEmpty) return Iterator.empty
     val start = state.getOption
     val latest = (start.toSeq ++ incoming).reduceLeft((a, b) =>
-      if (b.ts >= a.ts) b else a)
+      if (tsKey(b) >= tsKey(a)) b else a)
     if (start.contains(latest)) Iterator.empty // stale/late batch: no change
     else {
       state.update(latest)
+      if (latest.op == "D") tombstoneTtl.foreach(state.setTimeoutDuration)
       Iterator.single(KeyUpdate(id, latest.name, latest.modification_date,
         latest.ts, deleted = latest.op == "D"))
     }
@@ -50,11 +66,19 @@ object CdcStateful {
 
   /** Wire the stateful fold over a stream of changes. Output = one row per
     * key whose visible state changed in the micro-batch.
+    *
+    * @param tombstoneTtl processing-time retention for delete tombstones
+    *                     (e.g. "1 hour" = the max expected lateness); None
+    *                     retains them forever (bounded-keyspace workloads)
     */
-  def latestStateStream(spark: SparkSession, changes: Dataset[DmsChange]): Dataset[KeyUpdate] = {
+  def latestStateStream(spark: SparkSession, changes: Dataset[DmsChange],
+      tombstoneTtl: Option[String] = None): Dataset[KeyUpdate] = {
     import spark.implicits._
+    val timeout =
+      if (tombstoneTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     changes.groupByKey(_.id)
       .flatMapGroupsWithState[DmsChange, KeyUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldKey)
+        OutputMode.Append(), timeout)(foldKey(tombstoneTtl))
   }
 }

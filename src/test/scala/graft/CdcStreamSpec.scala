@@ -145,6 +145,39 @@ class CdcStreamSpec extends SparkTestBase {
       .exists(_.getFileName.toString.startsWith(graft.plans.PartitionedMirror.BucketCol)))
   }
 
+  test("seeded (versioned flat) mirror migrates cleanly into the bucketed layout") {
+    import scala.jdk.CollectionConverters._
+    val src = tmpDir("stream-src-mig")
+    val wh = Warehouse(tmpDir("stream-wh-mig"))
+    val spec = PipelineSpec(src, "sm_changelog", "sm", CdcConfig("id", "ts"))
+    // seed the mirror the way bootstrapMirrorInitialLoad does: a VERSIONED
+    // flat table behind a pointer symlink
+    wh.overwrite(Cdc.withIngestSeq(
+      Seq((1L, "load1", "m0"), (2L, "load2", "m0"))
+        .toDF("id", "name", "modification_date")), "sm")
+    assert(Files.isSymbolicLink(Paths.get(wh.tablePath("sm"))))
+    writeParquet(Seq(DmsGenerator.Log(1L, "changed", "m1", "t", "U", "2024-01-02T00:00:00")),
+      s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-mig"), mirrorBuckets = Some(4))
+      .awaitTermination()
+    // pointer layout fully dissolved: real dir, bucket subdirs, no orphans
+    assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("sm"))))
+    assert(Files.list(Paths.get(wh.tablePath("sm"))).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_kb=")))
+    assert(!Files.list(Paths.get(wh.root)).iterator().asScala
+      .exists(_.getFileName.toString.matches("sm\\.v\\d+")),
+      "stale version dirs must not survive the migration")
+    assert(graft.plans.PartitionedMirror.storedBuckets(wh, "sm").contains(4))
+    val state = graft.plans.PartitionedMirror.read(spark, wh, "sm")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "changed", 2L -> "load2"))
+    // a maintenance commit on the migrated table must not wedge
+    graft.plans.Maintenance.compact(spark, wh, "sm", targetFiles = 2)
+    val after = graft.plans.PartitionedMirror.read(spark, wh, "sm")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(after == state)
+  }
+
   test("initial-load seeding: LOAD-only keys survive, changed keys are superseded") {
     val src = tmpDir("stream-src-seed")
     val wh = Warehouse(tmpDir("stream-wh-seed"))

@@ -115,6 +115,43 @@ class EventStreamsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](PipelineConfig.fromEnv(Map.empty))
   }
 
+  test("stateful CDC: tombstone TTL evicts state; null ts loses to any real ts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DmsChange]
+    val q = CdcStateful.latestStateStream(spark, input.toDS(),
+        tombstoneTtl = Some("1 second"))
+      .writeStream.format("memory").queryName("cdc_ttl_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ttl-ckpt"))
+      .start()
+    // null ts orders below a real ts (batch-path alignment), no NPE
+    input.addData(
+      DmsChange(7, "real", "m", "I", "2024-01-01T00:00:00"),
+      DmsChange(7, "null-ts", "m", "U", null))
+    q.processAllAvailable()
+    // key 2: insert then delete -> tombstone armed with the 1s TTL
+    input.addData(DmsChange(2, "b", "m", "I", "2024-01-01T00:00:01"))
+    q.processAllAvailable()
+    input.addData(DmsChange(2, "b", "m", "D", "2024-01-02T00:00:00"))
+    q.processAllAvailable()
+    // let the TTL lapse, then trigger a batch so the timeout fires
+    Thread.sleep(1500)
+    input.addData(DmsChange(3, "c", "m", "I", "2024-01-03T00:00:00"))
+    q.processAllAvailable()
+    // a change OLDER than the (now evicted) tombstone: with the tombstone
+    // retained it would lose silently; after GC it re-establishes the key —
+    // the observable proof the state entry was removed
+    input.addData(DmsChange(2, "post-gc", "m", "U", "2024-01-01T12:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_ttl_out").as[CdcStateful.KeyUpdate].collect()
+    assert(out.filter(_.id == 7).map(_.name).toSeq == Seq("real"),
+      "null-ts change must lose without crashing the query")
+    assert(out.filter(_.id == 2).map(_.name).contains("post-gc"),
+      "after the TTL the tombstone must be gone from the state store")
+  }
+
   test("stateful CDC fold (flatMapGroupsWithState) applies latest-wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

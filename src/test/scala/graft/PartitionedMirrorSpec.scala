@@ -84,6 +84,24 @@ class PartitionedMirrorSpec extends SparkTestBase {
         "expired bucket dir must be dropped")
   }
 
+  test("stored bucket count wins over a drifted parameter (no duplicate keys)") {
+    val wh = Warehouse(tmpDir("pmirror-drift"))
+    val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"),
+      (3L, "c", "I", "t1"), (4L, "d", "I", "t1"))
+    PartitionedMirror.initialize(wh, "md", Cdc.fold(initial, cfg), cfg, N)
+    assert(PartitionedMirror.storedBuckets(wh, "md").contains(N))
+    // config drift: a later run passes a DIFFERENT modulus; the stored
+    // layout's count must be used, else updated keys land in fresh buckets
+    // while their old rows survive in the original ones
+    PartitionedMirror.applyBatch(spark, wh, "md",
+      changes((1L, "a2", "U", "t2"), (4L, "d2", "U", "t2")), cfg, nBuckets = N * 4)
+    val rows = PartitionedMirror.read(spark, wh, "md")
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"duplicate keys after modulus drift: ${rows.sorted.toSeq}")
+    assert(rows.toSet == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d2")))
+  }
+
   test("mirror scan with a key predicate prunes partitions") {
     val wh = Warehouse(tmpDir("pmirror-prune"))
     val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"))
