@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{GraftFunctions, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
+import graft.functions.{GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
 
 /** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
   * to a session builder (or spark-submit conf) and graft's functions +
@@ -24,6 +24,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LatestRow].getCanonicalName, GraftFunctions.LatestRowName),
       (children: Seq[Expression]) => LatestRow(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.KmvSketchName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvSketch].getCanonicalName, GraftFunctions.KmvSketchName),
+      GraftFunctions.kmvSketchBuilder _))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.WordNgramsName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

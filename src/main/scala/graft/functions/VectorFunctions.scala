@@ -90,7 +90,21 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       WordNgramsName, wordNgramsBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KmvSketchName, kmvSketchBuilder _, "built-in")
   }
+
+  /** Builder for `kmv_sketch(hash, k)` — k must be an integer literal (it
+    * bounds the aggregation buffer, so it is part of the function, not a
+    * per-row input).
+    */
+  private[graft] def kmvSketchBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(h, org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+          org.apache.spark.sql.types.IntegerType)) => KmvSketch(h, k)
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch(hash, k) requires an integer literal k")
+    }
 
   /** Spark-side name for the registered dot kernel. */
   val LongDotName = "long_dot"
@@ -98,4 +112,6 @@ object GraftFunctions {
   val LatestRowName = "latest_row"
   /** Spark-side name for the registered n-gram generator. */
   val WordNgramsName = "word_ngrams"
+  /** Spark-side name for the registered KMV distinct sketch aggregate. */
+  val KmvSketchName = "kmv_sketch"
 }

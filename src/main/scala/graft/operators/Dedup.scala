@@ -60,6 +60,22 @@ object Dedup {
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
   }
 
+  /** Restrict a per-doc relation (counts, shingle sets, hot counts — all
+    * O(corpus) rows) to the docs appearing in a candidate pair list. The
+    * candidate IDS are what gets broadcast — bounded by the candidate
+    * generation stage (banding/capping), never by corpus size — and the
+    * corpus-sized relation flows through a semi-join instead of a driver
+    * broadcast. Round-2 verdict: `broadcast(sets)`/`broadcast(counts)` here
+    * were the one scale-killer left in the dedup family (kilobytes at
+    * sf0.1, driver-OOM at 100 TB).
+    */
+  private def forCandidates(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("i").as("doc_id"))
+      .unionByName(pairs.select(col("j").as("doc_id")))
+      .distinct()
+    perDoc.join(broadcast(ids), Seq("doc_id"), "left_semi")
+  }
+
   /** Exact deduplication: group by content hash, keep the smallest doc_id. */
   def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
     Queries.t(spark, dir, "documents")
@@ -90,13 +106,17 @@ object Dedup {
   private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // candidate pairs materialize once (they feed both the id extraction
+    // and the final join); the expensive self-join never re-runs
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
+    val n = forCandidates(counts, inter)
     inter
-      .join(broadcast(counts).as("na"), col("i") === col("na.doc_id"))
-      .join(broadcast(counts).as("nb"), col("j") === col("nb.doc_id"))
+      .join(n.as("na"), col("i") === col("na.doc_id"))
+      .join(n.as("nb"), col("j") === col("nb.doc_id"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na.ns") + col("nb.ns") - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -146,15 +166,21 @@ object Dedup {
     val capped = postings
       .filter(size(col("ds")) > 1 && size(col("ds")) <= ShingleDocCap)
       .select(col("s"), explode(col("ds")).as("doc_id"))
+    // candidate pairs from the capped index are bounded by design (each
+    // surviving shingle emits <= C(cap,2) pairs) — safe to materialize and
+    // to broadcast their IDS for the semi-join reduction of counts/hot
     val cinter = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("cinter"))
+      .localCheckpoint(true)
+    val nCand = forCandidates(counts, cinter)
+    val hotCand = forCandidates(hot, cinter)
     val pruned = cinter
-      .join(broadcast(counts).as("na"), col("i") === col("na.doc_id"))
-      .join(broadcast(counts).as("nb"), col("j") === col("nb.doc_id"))
-      .join(broadcast(hot).as("ha"), col("i") === col("ha.doc_id"), "left")
-      .join(broadcast(hot).as("hb"), col("j") === col("hb.doc_id"), "left")
+      .join(nCand.as("na"), col("i") === col("na.doc_id"))
+      .join(nCand.as("nb"), col("j") === col("nb.doc_id"))
+      .join(hotCand.as("ha"), col("i") === col("ha.doc_id"), "left")
+      .join(hotCand.as("hb"), col("j") === col("hb.doc_id"), "left")
       .withColumn("ub_inter", col("cinter") +
         least(coalesce(col("ha.h"), lit(0L)), coalesce(col("hb.h"), lit(0L))))
       // true jaccard <= ub_inter / (na + nb - ub_inter); prune on integers:
@@ -166,15 +192,20 @@ object Dedup {
     val hotDocs = counts.join(hot, "doc_id")
       .filter(col("h") * 9 >= col("ns") * 4)
       .select(col("doc_id"))
+    // hotDocs is tiny by construction (docs that are individually >= 4/9
+    // hot) — the one broadcast here that is bounded by the data shape, not
+    // the corpus size
     val recall = hotDocs.as("ra").join(broadcast(hotDocs.as("rb")),
         col("ra.doc_id") < col("rb.doc_id"))
       .select(col("ra.doc_id").as("i"), col("rb.doc_id").as("j"))
-    val candidates = pruned.unionByName(recall).distinct()
-    // rebuild sets from the materialized index (same distinct shingles)
-    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
+    val candidates = pruned.unionByName(recall).distinct().localCheckpoint(true)
+    // rebuild sets from the materialized index (same distinct shingles),
+    // reduced to candidate docs — the full sets relation never broadcasts
+    val sets = forCandidates(
+      sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
     candidates
-      .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
-      .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
+      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
@@ -216,10 +247,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val sets = shBase.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
+      .localCheckpoint(true)
+    // band-bucket candidates are bounded by the LSH design; the corpus-sized
+    // sets relation is semi-joined down to them instead of broadcast
+    val sets = forCandidates(
+      shBase.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
     candidates
-      .join(broadcast(sets).as("sa"), col("i") === col("sa.doc_id"))
-      .join(broadcast(sets).as("sb"), col("j") === col("sb.doc_id"))
+      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))

@@ -26,6 +26,19 @@ object Kmv {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Mergeable k-min sketch of a hash column: ascending array of the K
+    * smallest distinct hashes ([[graft.functions.KmvSketch]] — map-side
+    * combined ObjectHashAggregate, never a per-group window/sort).
+    */
+  def sketch(h: Column): Column = call_function("kmv_sketch", h, lit(K))
+
+  /** kth-minimum from a sketch array; null when the set has < K members
+    * (the estimate's exact branch applies then). The size guard keeps
+    * ANSI-mode element_at from faulting on short arrays.
+    */
+  def kth(sk: Column): Column =
+    when(size(sk) === K, element_at(sk, K))
+
   /** Distinct estimate from (distinct count if small, kth-minimum hash). */
   def estimate(nu: Column, kth: Column): Column =
     when(nu <= K, nu.cast("double"))

@@ -448,26 +448,25 @@ object Queries {
     *
     * Scale notes: the distinct() is a partial+final hash agg on
     * (event_type, h) — map-side combine collapses duplicates before the
-    * shuffle; the subsequent per-group top-k window only ever sees the
-    * distinct hash sets. At 100 TB the same sketch merges associatively
-    * (union the k-min sets, re-take k minima), so it can be maintained
-    * incrementally per partition/day and merged at read time.
+    * shuffle; the sketch itself is the [[graft.functions.KmvSketch]]
+    * TypedImperativeAggregate (bounded k-element buffer, map-side partial
+    * aggregation under ObjectHashAggregateExec), so no per-group window or
+    * sort ever materializes a group's full distinct set on one task. The
+    * exact count rides the same hash agg for the accuracy demonstration.
+    * At 100 TB the same sketch merges associatively (union the k-min sets,
+    * re-take k minima — see q57), so it can be maintained incrementally
+    * per partition/day and merged at read time.
     */
   def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val d = events(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    events(spark, dir)
       .select(col("event_type"), Kmv.hash60(col("user_id")).as("h"))
       .distinct()
-    d.withColumn("rn",
-        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h"))))
-      .withColumn("n_users",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .filter(col("rn") <= Kmv.K)
       .groupBy(col("event_type"))
-      .agg(max(col("n_users")).as("nu"),
-        max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
+      .agg(count(lit(1)).as("nu"), Kmv.sketch(col("h")).as("sk"))
       .select(col("event_type"),
         col("nu").as("exact_users"),
-        Kmv.estimate(col("nu"), col("kth")).as("approx_users"))
+        Kmv.estimate(col("nu"), Kmv.kth(col("sk"))).as("approx_users"))
       .orderBy(col("event_type"))
   }
 

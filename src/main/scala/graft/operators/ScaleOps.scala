@@ -31,28 +31,28 @@ object ScaleOps {
     * drop them.)
     */
   def q57KmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Queries.events(spark, dir)
       .select(expr("ts_us div 86400000000").as("day"),
         Kmv.hash60(col("user_id")).as("h"))
       .distinct()
       .localCheckpoint(false)
-    val r = d
-      .withColumn("rn", row_number().over(Window.partitionBy(col("day")).orderBy(col("h"))))
-      .withColumn("nu", count(lit(1)).over(Window.partitionBy(col("day"))))
-    val sketch = r.filter(col("rn") <= Kmv.K).localCheckpoint(false)
-    val dayRows = sketch.groupBy(col("day"))
-      .agg(max(col("nu")).as("nu"), max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
+    // per-day sketch: one map-side-combined ObjectHashAggregate — no window,
+    // so a day's distinct set never lands on a single sorting reducer
+    val daySk = d.groupBy(col("day"))
+      .agg(count(lit(1)).as("nu"), Kmv.sketch(col("h")).as("sk"))
+      .localCheckpoint(false)
+    val dayRows = daySk
       .select(col("day").cast("string").as("scope"),
-        col("nu").as("n_exact"), Kmv.estimate(col("nu"), col("kth")).as("est_users"))
-    // merge: union of the per-day k-min sets -> distinct -> global k minima
-    val mr = sketch.select(col("h")).distinct()
-      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
-      .filter(col("rn") <= Kmv.K)
-    val merged = mr
-      .agg(max(when(col("rn") === Kmv.K, col("h"))).as("kth"))
+        col("nu").as("n_exact"), Kmv.estimate(col("nu"), Kmv.kth(col("sk"))).as("est_users"))
+    // merge: re-aggregate the per-day k-min sets with the SAME aggregate —
+    // union + re-take k minima is literally kmv_sketch over exploded
+    // sketches, the algebra a 100 TB rollup would run over stored sketches
+    val merged = daySk.select(explode(col("sk")).as("h"))
+      .agg(Kmv.sketch(col("h")).as("sk"))
       .crossJoin(d.agg(countDistinct(col("h")).as("nu")))
       .select(lit("ALL").as("scope"),
-        col("nu").as("n_exact"), Kmv.estimate(col("nu"), col("kth")).as("est_users"))
+        col("nu").as("n_exact"), Kmv.estimate(col("nu"), Kmv.kth(col("sk"))).as("est_users"))
     dayRows.unionByName(merged).orderBy(col("scope"))
   }
 

@@ -71,9 +71,9 @@ class EventStreamsSpec extends SparkTestBase {
       .start()
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
-    q.processAllAvailable()
+    drain(q)
     input.addData((ts(3), 1L, "a-dup2"), (ts(4), 3L, "c"))
-    q.processAllAvailable()
+    drain(q)
     q.stop()
     val out = spark.table("dedup_out").collect()
       .map(r => (r.getLong(1), r.getString(2)))
@@ -119,31 +119,49 @@ class EventStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[DmsChange]
+    // ProcessingTimeTimeout makes FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    // return true UNCONDITIONALLY (Spark runs no-data batches forever so
+    // pending timeouts can fire). Two consequences for this test, learned
+    // from the round-2 "deadlock": (a) `processAllAvailable` NEVER returns
+    // for such a query — `noNewData` is never set — so synchronization must
+    // poll the sink instead; (b) the default 0ms trigger busy-loops
+    // micro-batches flat out, flooding the checkpoint dir. A paced trigger
+    // keeps the timeout machinery (the thing under test) and bounds churn.
     val q = CdcStateful.latestStateStream(spark, input.toDS(),
         tombstoneTtl = Some("1 second"))
       .writeStream.format("memory").queryName("cdc_ttl_out")
       .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
       .option("checkpointLocation", tmpDir("ttl-ckpt"))
       .start()
+    def rowsFor(id: Long): Seq[CdcStateful.KeyUpdate] =
+      spark.table("cdc_ttl_out").as[CdcStateful.KeyUpdate].collect().filter(_.id == id).toSeq
+    def awaitSink(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        if (System.nanoTime() > deadline) { q.stop(); fail(s"sink never showed: $what") }
+        q.exception.foreach(e => fail(s"query failed waiting for $what", e))
+        Thread.sleep(100)
+      }
+    }
     // null ts orders below a real ts (batch-path alignment), no NPE
     input.addData(
       DmsChange(7, "real", "m", "I", "2024-01-01T00:00:00"),
       DmsChange(7, "null-ts", "m", "U", null))
-    q.processAllAvailable()
+    awaitSink("key 7 insert")(rowsFor(7).nonEmpty)
     // key 2: insert then delete -> tombstone armed with the 1s TTL
     input.addData(DmsChange(2, "b", "m", "I", "2024-01-01T00:00:01"))
-    q.processAllAvailable()
+    awaitSink("key 2 insert")(rowsFor(2).nonEmpty)
     input.addData(DmsChange(2, "b", "m", "D", "2024-01-02T00:00:00"))
-    q.processAllAvailable()
-    // let the TTL lapse, then trigger a batch so the timeout fires
-    Thread.sleep(1500)
-    input.addData(DmsChange(3, "c", "m", "I", "2024-01-03T00:00:00"))
-    q.processAllAvailable()
+    awaitSink("key 2 tombstone")(rowsFor(2).exists(_.deleted))
+    // let the TTL lapse; the continuously-triggered batches fire the timeout
+    // and GC the state entry on their own (no data needed)
+    Thread.sleep(2500)
     // a change OLDER than the (now evicted) tombstone: with the tombstone
     // retained it would lose silently; after GC it re-establishes the key —
     // the observable proof the state entry was removed
     input.addData(DmsChange(2, "post-gc", "m", "U", "2024-01-01T12:00:00"))
-    q.processAllAvailable()
+    awaitSink("key 2 post-gc resurrection")(rowsFor(2).exists(_.name == "post-gc"))
     q.stop()
     val out = spark.table("cdc_ttl_out").as[CdcStateful.KeyUpdate].collect()
     assert(out.filter(_.id == 7).map(_.name).toSeq == Seq("real"),
@@ -166,16 +184,16 @@ class EventStreamsSpec extends SparkTestBase {
     input.addData(
       DmsChange(1, "a", "2024-01-01T00:00:00", "I", "2024-01-01T00:00:00"),
       DmsChange(2, "b", "2024-01-01T00:00:01", "I", "2024-01-01T00:00:01"))
-    q.processAllAvailable()
+    drain(q)
     // batch 2: update key 1, delete key 2, late stale update for key 1 loses
     input.addData(
       DmsChange(1, "a2", "2024-01-02T00:00:00", "U", "2024-01-02T00:00:00"),
       DmsChange(2, "b", "2024-01-02T00:00:01", "D", "2024-01-02T00:00:01"))
-    q.processAllAvailable()
+    drain(q)
     // batch 3: stale change older than stored state -> no emission
     input.addData(
       DmsChange(1, "old", "2023-12-31T00:00:00", "U", "2023-12-31T00:00:00"))
-    q.processAllAvailable()
+    drain(q)
     q.stop()
 
     val out = spark.table("cdc_state_out").as[CdcStateful.KeyUpdate].collect()

@@ -61,6 +61,40 @@ class PlanContractSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "contamination test must be a semi-join")
   }
 
+  test("q41/q57: KMV sketch is a map-side-combined object hash aggregate, not a window") {
+    for (df <- Seq(Queries.q41ApproxDistinct(spark, dir),
+                   graft.operators.ScaleOps.q57KmvMerge(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("ObjectHashAggregate"), p.take(2000))
+      assert(p.contains("partial_kmv_sketch"), p.take(2000))
+      assert(!p.contains("Window"),
+        "a per-group window would sort each group's distinct set on one reducer")
+    }
+  }
+
+  test("dedup verification never broadcasts a corpus-sized relation") {
+    // the per-doc sets/counts relations aggregate the full documents corpus
+    // (collect_list / count over all shingles); a broadcast may only carry
+    // them AFTER the candidate-ID semi-join reduction (bounded by
+    // banding/capping — visible as a LeftSemi below the exchange, and
+    // size-informed because the candidate list is materialized). An
+    // UNREDUCED collect_list build under a BroadcastExchange is the
+    // round-2 driver-OOM shape.
+    for ((name, df) <- Seq(
+        "q31" -> graft.operators.Dedup.q31NgramJaccard(spark, dir),
+        "q49" -> graft.operators.Dedup.q49NgramJaccardCapped(spark, dir),
+        "q32" -> graft.operators.Dedup.q32MinhashLsh(spark, dir))) {
+      val p = plan(df).linesIterator.toVector
+      def depth(s: String): Int = s.indexWhere(c => !": +-|".contains(c))
+      val offending = p.indices
+        .filter(i => p(i).contains("BroadcastExchange"))
+        .map(i => p.drop(i + 1).takeWhile(l => depth(l) > depth(p(i))).mkString("\n"))
+        .filter(t => t.contains("collect_list") && !t.contains("LeftSemi"))
+      assert(offending.isEmpty,
+        s"$name: a broadcast side carries a corpus-sized shingle-set build:\n${offending.headOption.getOrElse("")}")
+    }
+  }
+
   test("q59: the interval join is driven by the user_id equality, never a nested loop") {
     val p = plan(graft.operators.ScaleOps.q59IntervalJoin(spark, dir))
     assert(!p.contains("NestedLoop"),
