@@ -58,6 +58,7 @@ object Curation {
     * monotonically non-increasing and cheap.
     */
   def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // kmv_sketch member sample
     val pairs = Dedup.jaccardPairs(spark, dir).select(col("i"), col("j"))
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
@@ -86,13 +87,29 @@ object Curation {
       prev = cur
       cur = labelSum()
     }
+    clusterSummary(labels)
+  }
+
+  /** How many member ids a cluster row reports. */
+  private[operators] val MemberSampleK = 20
+
+  /** Cluster rollup with a BOUNDED member sample: the [[MemberSampleK]]
+    * smallest doc_ids via the k-min aggregate ([[graft.functions.KmvSketch]]
+    * — a bounded TreeSet buffer with map-side combine), never a full
+    * `collect_list`. The dominant real dedup case is exactly one enormous
+    * near-identical cluster; an unbounded member list makes that cluster's
+    * row a single-task memory bomb (round-2 verdict #6), while the k-min
+    * buffer holds <= 20 longs per cluster no matter how many members flow
+    * in.
+    */
+  private[graft] def clusterSummary(labels: DataFrame): DataFrame =
     labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
+        call_function("kmv_sketch", col("doc_id"), lit(MemberSampleK)).as("m"))
+      .select(col("cluster_id"), col("n_docs"),
         concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))),
-            d => d.cast("string"))).as("members"))
+          transform(col("m"), d => d.cast("string"))).as("members_sample"))
       .orderBy(col("cluster_id"))
-  }
 
   // ------------------------------------------------------------------
   // q51: deterministic stratified sampling
@@ -223,16 +240,34 @@ object Curation {
   // q55: per-language vocabulary top-k
   // ------------------------------------------------------------------
 
+  /** Salt fan-out for the two-phase vocabulary top-k. */
+  private val VocabSalts = 8
+
   /** Top-10 tokens per language by frequency (vocabulary extraction).
     * Explode -> two-level hash agg (map-side combine absorbs the token
-    * explosion) -> per-language top-k window over the small (lang, token)
-    * count table. Ties break on token ASC for determinism.
+    * explosion) -> TWO-PHASE top-k: a web-scale vocabulary is tens of
+    * millions of (lang, token) rows per major language, so a single
+    * per-language window would sort each language's whole vocab on one
+    * reducer (round-2 verdict #7). Phase 1 ranks within (lang, salt-of-
+    * token) — [[VocabSalts]]× the parallelism, each group seeing ~1/8 of
+    * the vocab — and keeps 10 candidates per salt. Phase 2 ranks the
+    * <= 80 candidates per language. Exact under the strict total order
+    * (cnt DESC, token ASC): a global top-10 token outranks all but < 10
+    * tokens overall, hence < 10 within its own salt group. Ties break on
+    * token ASC for determinism.
     */
   def q55VocabTopk(spark: SparkSession, dir: String): DataFrame = {
     val counts = docs(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
-    counts.withColumn("rnk", row_number().over(
+    val candidates = counts
+      .withColumn("salt", pmod(xxhash64(col("token")), lit(VocabSalts)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("salt"))
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rn") <= 10)
+      .drop("salt", "rn")
+    candidates.withColumn("rnk", row_number().over(
         Window.partitionBy(col("lang"))
           .orderBy(col("cnt").desc, col("token"))))
       .filter(col("rnk") <= 10)
@@ -292,10 +327,15 @@ object Curation {
          |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
          |  UNION
          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-         |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+         |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+         |  FROM comp)
          |SELECT cluster_id, count(*) AS n_docs,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
-         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+         |  string_agg(CASE WHEN rn <= $MemberSampleK THEN CAST(doc_id AS VARCHAR) END,
+         |             ',' ORDER BY doc_id) AS members_sample
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q51_stratified_sample" ->
       """SELECT doc_id, lang, source,

@@ -39,15 +39,35 @@ class CurationSpec extends SparkTestBase {
     assert(out(0).getString(2) == "1,2,3")
   }
 
-  test("q50 cluster ids equal the min member and members are sorted") {
+  test("q50 cluster ids equal the min member and the member sample is sorted+bounded") {
     val out = Curation.q50DedupClusters(spark, dir).collect()
     assert(out.nonEmpty, "expected near-dup clusters in testdata")
     out.foreach { r =>
       val members = r.getString(2).split(",").map(_.toLong)
       assert(members.min == r.getLong(0))
       assert(members.sorted.sameElements(members))
-      assert(members.length == r.getLong(1))
+      assert(members.length == math.min(r.getLong(1), 20L))
     }
+  }
+
+  test("q50 member sample stays bounded when one cluster dwarfs the rest") {
+    import spark.implicits._
+    // one 10k-member mega-cluster (the dominant real dedup shape: a single
+    // huge near-identical cluster) next to a 3-member one; the rollup must
+    // report exact n_docs but only the 20 smallest member ids — unbounded
+    // collect_list here is a single-task memory bomb at corpus scale
+    val labels = ((1L to 10000L).map(d => (d, 1L)) ++
+      Seq((20001L, 20001L), (20002L, 20001L), (20003L, 20001L)))
+      .toDF("doc_id", "lbl")
+    graft.functions.GraftFunctions.register(spark)
+    val out = Curation.clusterSummary(labels).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 20001L))
+    val mega = out(0)
+    assert(mega.getLong(1) == 10000L, "n_docs stays exact")
+    assert(mega.getString(2) == (1L to 20L).mkString(","),
+      "sample = the 20 smallest member ids")
+    assert(out(1).getString(2) == "20001,20002,20003",
+      "clusters under the cap report every member")
   }
 
   test("q51 sampling is deterministic and respects the per-language rates") {

@@ -95,6 +95,17 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q55: the full vocab is ranked within (lang, salt); only candidates see the per-lang window") {
+    val p = plan(graft.operators.Curation.q55VocabTopk(spark, dir))
+    val specs = "windowspecdefinition\\(lang#\\d+L?(, salt#\\d+L?)?,".r
+      .findAllMatchIn(p).map(_.group(1) != null).toSeq
+    // bottom-up plan order: the window nearest the scan (= over the full
+    // vocabulary) must carry the salt; the unsalted per-lang window may only
+    // rank the <= 10*salts candidate rows above it
+    assert(specs.count(identity) >= 1, s"expected a salted phase-1 window:\n${p.take(2000)}")
+    assert(specs.count(!_) == 1, s"expected exactly one per-lang candidate window:\n${p.take(2000)}")
+  }
+
   test("q59: the interval join is driven by the user_id equality, never a nested loop") {
     val p = plan(graft.operators.ScaleOps.q59IntervalJoin(spark, dir))
     assert(!p.contains("NestedLoop"),
