@@ -38,6 +38,12 @@ object PipelineMain {
 
     val wh = Warehouse(whDir)
     val cdc = config.cdc
+    // control-plane seam: REST catalog (OAuth2 client-credentials) when
+    // configured, offline warehouse catalog otherwise
+    val catalog: Option[graft.sources.CatalogClient] =
+      config.catalog.map { case (url, ns, cred) =>
+        new graft.sources.RestCatalogClient(url, ns, cred)
+      }
     // per-target fault isolation, same contract as batch_bootstrapper.py:91-94
     sources.foreach { src =>
       try {
@@ -47,8 +53,15 @@ object PipelineMain {
         // files seed the mirror before the change stream starts
         val seeded = graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec)
         if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
-        // durable CDC wiring (the reference's table-property commits)
-        graft.plans.Bootstrapper.writeCdcProperties(wh, spec)
+        // With a REST catalog, register both tables up front — the
+        // reference's CREATE_AUTO_LOAD/CREATE_LOAD likewise create the
+        // catalog entry before ingest (tabular.py:128-141); re-registration
+        // is a tolerated 409. Then the durable CDC wiring (the reference's
+        // table-property commits) lands in whichever catalog is active.
+        catalog.foreach { c =>
+          c.tableCreated(spec.changelogTable); c.tableCreated(spec.mirrorTable)
+        }
+        graft.plans.Bootstrapper.writeCdcProperties(wh, spec, catalog)
         val q = CdcStream.start(spark, wh, spec,
           s"$whDir/_checkpoints/${spec.mirrorTable}",
           mirrorBuckets = config.mirrorBuckets)

@@ -94,10 +94,17 @@ object PipelineSpec {
   * @param mirrorBuckets optional key-hash bucket count for the partitioned
   *                      mirror layout (GRAFT_MIRROR_BUCKETS; absent = flat
   *                      mirror, the reference-faithful default)
+  * @param catalog      optional REST catalog endpoint: (baseUrl, namespace,
+  *                     credential) from GRAFT_CATALOG_URL /
+  *                     GRAFT_CATALOG_NAMESPACE / GRAFT_CATALOG_CREDENTIAL —
+  *                     the reference's TABULAR_BASE_URL + TABULAR_CREDENTIAL
+  *                     surface (batch_bootstrapper.py:21-23,42-47); absent =
+  *                     offline warehouse catalog
   */
 final case class PipelineConfig(
     warehouseDir: String, cdc: CdcConfig, sources: Seq[String],
-    mirrorBuckets: Option[Int] = None)
+    mirrorBuckets: Option[Int] = None,
+    catalog: Option[(String, String, String)] = None)
 
 object PipelineConfig {
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
@@ -113,6 +120,11 @@ object PipelineConfig {
         val n = v.toInt
         require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
         n
+      },
+      catalog = env.get("GRAFT_CATALOG_URL").map { url =>
+        (url,
+          env.getOrElse("GRAFT_CATALOG_NAMESPACE", "default"),
+          need("GRAFT_CATALOG_CREDENTIAL"))
       })
   }
 }

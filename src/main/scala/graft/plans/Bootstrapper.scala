@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.PipelineSpec
 import graft.operators.Cdc
-import graft.sources.Tables
+import graft.sources.{CatalogClient, Tables, WarehouseCatalog}
 import graft.sources.Tables.Warehouse
 
 /** Control-plane orchestration: replicate the reference's per-prefix bootstrap
@@ -25,22 +25,39 @@ object Bootstrapper {
     * `update_changelog_table` / `update_mirror_table` commits
     * (tabular.py:66-75): the mirror carries the merge parameterization, the
     * changelog declares its dependent mirror. Idempotent (overwrite).
+    * Property commits go through the [[CatalogClient]] seam (REST catalog
+    * at scale, warehouse metadata files offline).
     */
-  def writeCdcProperties(wh: Warehouse, spec: PipelineSpec): Unit = {
-    Tables.TableProps.write(wh, spec.mirrorTable, Map(
+  def writeCdcProperties(wh: Warehouse, spec: PipelineSpec,
+      catalog: Option[CatalogClient] = None): Unit = {
+    val cat = catalog.getOrElse(new WarehouseCatalog(wh))
+    writeMergeConfig(cat, spec)
+    writeChangelogWiring(cat, spec)
+  }
+
+  /** changelog -> mirror dependency (the reference's
+    * `update_changelog_table`, tabular.py:72-75 via batch_bootstrapper:72).
+    */
+  def writeChangelogWiring(cat: CatalogClient, spec: PipelineSpec): Unit =
+    cat.setProperties(spec.changelogTable, Map(
+      "dependent-tables" -> spec.mirrorTable))
+
+  /** CDC merge parameterization on the mirror (the reference's
+    * `update_mirror_table`, tabular.py:58-70 via batch_bootstrapper:88).
+    */
+  def writeMergeConfig(cat: CatalogClient, spec: PipelineSpec): Unit =
+    cat.setProperties(spec.mirrorTable, Map(
       "etl.job-type" -> "cdc",
       "cdc.type" -> "DMS",
       "cdc.ts-column" -> spec.cdc.tsCol,
       "cdc.key-column" -> spec.cdc.keyCol))
-    Tables.TableProps.write(wh, spec.changelogTable, Map(
-      "dependent-tables" -> spec.mirrorTable))
-  }
 
   /** Read the merge parameterization back from the mirror's stored
     * properties (None when the table was never configured).
     */
-  def readCdcConfig(wh: Warehouse, mirrorTable: String): Option[graft.CdcConfig] = {
-    val p = Tables.TableProps.read(wh, mirrorTable)
+  def readCdcConfig(wh: Warehouse, mirrorTable: String,
+      catalog: Option[CatalogClient] = None): Option[graft.CdcConfig] = {
+    val p = catalog.getOrElse(new WarehouseCatalog(wh)).properties(mirrorTable)
     for (k <- p.get("cdc.key-column"); t <- p.get("cdc.ts-column"))
       yield graft.CdcConfig(k, t)
   }
@@ -70,36 +87,48 @@ object Bootstrapper {
   }
 
   /** Bootstrap a single source prefix. Idempotent: a second run is a no-op
-    * for tables that already exist (tabular.py:91-99).
+    * for tables that already exist (tabular.py:91-99). Existence probes and
+    * property commits route through `catalog` ([[WarehouseCatalog]] by
+    * default); data writes stay on the warehouse.
     */
-  def bootstrap(spark: SparkSession, wh: Warehouse, spec: PipelineSpec): Result = {
+  def bootstrap(spark: SparkSession, wh: Warehouse, spec: PipelineSpec,
+      catalog: Option[CatalogClient] = None): Result = {
+    val cat = catalog.getOrElse(new WarehouseCatalog(wh))
     try {
       // 1. changelog: load all non-initial-load files (the managed file
       //    loader's CREATE_AUTO_LOAD mode, tabular.py:128; continuous ingest
       //    is CdcStream's job). Stamped with the ingest seq so the batch
       //    and streaming paths write the SAME changelog schema — a mixed
       //    with/without-seq directory would read footer-dependently.
-      val createdChangelog = Tables.bootstrapTable(
-        spark, wh, spec.changelogTable, spec.sourcePath,
-        spec.changelogExcludeGlob, load = true,
-        transform = Cdc.withIngestSeq, format = spec.format)
+      val createdChangelog =
+        if (cat.tableExists(spec.changelogTable)) false // tabular.py:93-99
+        else {
+          val created = Tables.bootstrapTable(
+            spark, wh, spec.changelogTable, spec.sourcePath,
+            spec.changelogExcludeGlob, load = true,
+            transform = Cdc.withIngestSeq, format = spec.format)
+          if (created) cat.tableCreated(spec.changelogTable)
+          created
+        }
 
-      // 2. dependency wiring (tabular.py:72-75): persisted as durable table
-      //    properties alongside the in-memory spec.
-      writeCdcProperties(wh, spec)
+      // 2. dependency wiring (tabular.py:72-75 via batch_bootstrapper:72):
+      //    AFTER the changelog exists — a strict (REST) catalog rejects
+      //    property commits on tables it has never seen.
+      if (createdChangelog || cat.tableExists(spec.changelogTable))
+        writeChangelogWiring(cat, spec)
 
-      // 3+4. mirror: initial load from non-changelog files (CREATE_LOAD mode)
+      // 3. mirror: initial load from non-changelog files (CREATE_LOAD mode)
       //    if any exist, else materialize from the changelog via the CDC fold.
       val createdMirror =
-        if (wh.exists(spec.mirrorTable)) false
+        if (cat.tableExists(spec.mirrorTable)) false
         else {
           val initialFiles = Tables.listFilesExcluding(
             spec.sourcePath, Some(spec.mirrorExcludeGlob),
             extension = Some(spec.format))
-          Tables.readFilesAs(spark, spec.format, initialFiles) match {
+          val created = Tables.readFilesAs(spark, spec.format, initialFiles) match {
             case Some(df) =>
               wh.overwrite(Cdc.withIngestSeq(df), spec.mirrorTable); true
-            case None if wh.exists(spec.changelogTable) =>
+            case None if cat.tableExists(spec.changelogTable) =>
               // batch subdirs may straddle a schema evolution - merge footers
               val changelog = wh.read(spark, spec.changelogTable, mergeSchema = true)
               // stored form retains delete tombstones (T2 across late batches)
@@ -107,7 +136,14 @@ object Bootstrapper {
               true
             case None => false
           }
+          if (created) cat.tableCreated(spec.mirrorTable)
+          created
         }
+
+      // 4. CDC merge configuration (batch_bootstrapper:88) — after the
+      //    mirror exists, same strict-catalog rule as step 2.
+      if (createdMirror || cat.tableExists(spec.mirrorTable))
+        writeMergeConfig(cat, spec)
       Result(spec, createdChangelog, createdMirror, None)
     } catch {
       case e: Exception => Result(spec, createdChangelog = false,
@@ -118,9 +154,10 @@ object Bootstrapper {
   /** The main loop over all monitored prefixes (batch_bootstrapper.py:49).
     * Per-target try/continue keeps one bad prefix from halting the rest (T5).
     */
-  def run(spark: SparkSession, wh: Warehouse, specs: Seq[PipelineSpec]): Seq[Result] =
+  def run(spark: SparkSession, wh: Warehouse, specs: Seq[PipelineSpec],
+      catalog: Option[CatalogClient] = None): Seq[Result] =
     specs.map { spec =>
-      val r = bootstrap(spark, wh, spec)
+      val r = bootstrap(spark, wh, spec, catalog)
       r.error.foreach(e => System.err.println(
         s"[bootstrap] target '${spec.sourcePath}' failed, skipping: ${e.getMessage}"))
       r

@@ -70,6 +70,28 @@ object PartitionedMirror {
     Cdc.currentState(spark.read.option("mergeSchema", "true")
       .parquet(wh.tablePath(name)).drop(BucketCol))
 
+  /** Stored mirror rows (tombstones INCLUDED, bucket col dropped) in the
+    * buckets the batch touches — the partition-pruned before-state for IVM
+    * deltas ([[IncrementalAgg.applyDelta]]): the delta's key semi-join only
+    * ever needs rows whose key-bucket appears in the batch, so the lookup
+    * reads k of N partition dirs instead of the whole mirror. Falls back to
+    * the full table while the layout is still flat (a seeded mirror before
+    * its first partitioned merge migrates it).
+    */
+  def touchedBefore(spark: SparkSession, wh: Warehouse, name: String,
+      changes: DataFrame, cfg: CdcConfig): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(wh.snapshotPath(name))
+    storedBuckets(wh, name) match {
+      case Some(n) if raw.columns.contains(BucketCol) =>
+        val touched = withBucket(changes, cfg, n)
+          .select(BucketCol).distinct().collect().map(_.getInt(0))
+        raw.filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+          .drop(BucketCol)
+      case _ => raw
+    }
+  }
+
   /** Apply one changelog batch, touching only the buckets present in it.
     *
     * Steps: (1) bucket the changes; (2) collect the touched bucket ids

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** REST catalog connector with OAuth2 client-credentials auth — the online
+  * implementation of the [[CatalogClient]] seam, covering the one reference
+  * behavior the offline warehouse stand-in could not (SURVEY C1/S8):
+  *
+  *  - token exchange (tabular.py:14-37): POST `{base}/ws/v1/oauth/tokens`,
+  *    form-encoded `grant_type=client_credentials` with client id/secret
+  *    split from a `id:secret` credential string, bearer token from the
+  *    JSON `access_token` field (RFC 6749 §4.4);
+  *  - table existence / properties / property commits against the Iceberg
+  *    REST catalog API (`/v1/namespaces/{ns}/tables/{t}`; property commits
+  *    as a `set-properties` update, the REST form of the reference's
+  *    `update_properties().set(...).commit()` at tabular.py:66-75).
+  *
+  * Deliberately control-plane only: data reads/writes stay on the engine's
+  * warehouse (the reference likewise delegates data to its managed
+  * service). No external HTTP library — java.net.http ships with the JDK.
+  * Behavior is spec-tested against an in-JVM stub server
+  * (RestCatalogSpec); this container has no egress, so no live endpoint is
+  * ever contacted in CI.
+  *
+  * @param baseUrl    catalog root, e.g. `https://api.example.com`
+  * @param namespace  catalog namespace holding the pipeline's tables
+  * @param credential `client_id:client_secret` (the reference's
+  *                   TABULAR_CREDENTIAL shape, batch_bootstrapper.py:43)
+  */
+final class RestCatalogClient(
+    baseUrl: String,
+    namespace: String,
+    credential: String,
+    http: HttpClient = HttpClient.newHttpClient()) extends CatalogClient {
+
+  private val base = baseUrl.stripSuffix("/")
+
+  /** Bearer token, fetched once per client (reference fetches per run,
+    * batch_bootstrapper.py:44); a 401-triggered refresh would hook here.
+    */
+  private lazy val token: String = RestCatalogClient.fetchToken(base, credential, http)
+
+  private def tableUri(name: String): URI =
+    URI.create(s"$base/v1/namespaces/${enc(namespace)}/tables/${enc(name)}")
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+
+  private def send(req: HttpRequest.Builder): HttpResponse[String] =
+    http.send(
+      req.header("Authorization", s"Bearer $token").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  override def tableExists(name: String): Boolean = {
+    val resp = send(HttpRequest.newBuilder(tableUri(name))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()))
+    resp.statusCode() match {
+      case 200 | 204 => true
+      case 404 => false
+      case s => throw new RuntimeException(
+        s"catalog HEAD ${tableUri(name)} failed: HTTP $s")
+    }
+  }
+
+  override def properties(name: String): Map[String, String] = {
+    val resp = send(HttpRequest.newBuilder(tableUri(name)).GET())
+    resp.statusCode() match {
+      case 200 => RestCatalogClient.objectFields(resp.body(), "properties")
+      case 404 => Map.empty
+      case s => throw new RuntimeException(
+        s"catalog GET ${tableUri(name)} failed: HTTP $s")
+    }
+  }
+
+  /** Register an engine-created table (Iceberg REST create-table). The
+    * engine owns the data plane (like the reference's managed loader), so
+    * registration carries a minimal schema; a production deployment would
+    * convert and send the table's Spark schema here. 409 = someone
+    * registered it concurrently — the desired end state, not an error.
+    */
+  override def tableCreated(name: String): Unit = {
+    val body =
+      s"""{"name": "${esc(name)}", "schema": {"type": "struct", "schema-id": 0, "fields": []}}"""
+    val resp = send(HttpRequest.newBuilder(
+        URI.create(s"$base/v1/namespaces/${enc(namespace)}/tables"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)))
+    if (resp.statusCode() / 100 != 2 && resp.statusCode() != 409)
+      throw new RuntimeException(
+        s"catalog create-table $name failed: HTTP ${resp.statusCode()} ${resp.body()}")
+  }
+
+  override def setProperties(name: String, props: Map[String, String]): Unit = {
+    val updates = props.toSeq.sorted
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    val body =
+      s"""{"requirements": [], "updates": [{"action": "set-properties", "updates": $updates}]}"""
+    val resp = send(HttpRequest.newBuilder(tableUri(name))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)))
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(
+        s"catalog commit ${tableUri(name)} failed: HTTP ${resp.statusCode()} ${resp.body()}")
+  }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+}
+
+object RestCatalogClient {
+
+  /** OAuth2 client-credentials exchange (tabular.py:25-37): form-encoded
+    * POST, token read from the response's `access_token`.
+    */
+  def fetchToken(baseUrl: String, credential: String, http: HttpClient): String = {
+    val (id, secret) = credential.split(":", 2) match {
+      case Array(i, s) => (i, s)
+      case _ => throw new IllegalArgumentException(
+        "credential must be 'client_id:client_secret'")
+    }
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> id,
+      "client_secret" -> secret)
+      .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+      .mkString("&")
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${baseUrl.stripSuffix("/")}/ws/v1/oauth/tokens"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"token exchange failed: HTTP ${resp.statusCode()} ${resp.body()}")
+    stringField(resp.body(), "access_token").getOrElse(
+      throw new RuntimeException(s"token response carries no access_token: ${resp.body()}"))
+  }
+
+  /** First string-valued `"field": "..."` in a JSON document. */
+  private[graft] def stringField(json: String, field: String): Option[String] =
+    (s""""${java.util.regex.Pattern.quote(field)}"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(json).map(m => unesc(m.group(1)))
+
+  /** Flat string->string fields of the named object in a JSON document —
+    * enough for Iceberg's `properties` map (always flat strings). Scans to
+    * the object's matching close brace so sibling objects don't bleed in.
+    */
+  private[graft] def objectFields(json: String, name: String): Map[String, String] = {
+    val start = (s""""${java.util.regex.Pattern.quote(name)}"\\s*:\\s*\\{""").r
+      .findFirstMatchIn(json).map(_.end - 1).getOrElse(return Map.empty)
+    var depth = 0
+    var i = start
+    var inStr = false
+    var end = -1
+    while (i < json.length && end < 0) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) return Map.empty
+    val body = json.substring(start + 1, end)
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+}

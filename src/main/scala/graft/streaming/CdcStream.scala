@@ -92,8 +92,6 @@ object CdcStream {
       maxFilesPerTrigger: Option[Int] = None,
       mirrorBuckets: Option[Int] = None,
       maintainedAggs: Seq[MaintainedAgg] = Seq.empty): StreamingQuery = {
-    require(maintainedAggs.isEmpty || mirrorBuckets.isEmpty,
-      "maintained aggregates are wired for the flat-mirror path")
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference
@@ -130,12 +128,17 @@ object CdcStream {
         try !s.iterator().hasNext finally s.close()
       }
       if (freshLineage) maintainedAggs.foreach { case (aggTable, aspec) =>
-        if (wh.exists(aggTable) && wh.exists(spec.mirrorTable))
+        if (wh.exists(aggTable) && wh.exists(spec.mirrorTable)) {
+          // layout-aware visible state: a bucketed mirror reads through
+          // PartitionedMirror (partition column + tombstone hiding)
+          val visible =
+            if (graft.plans.PartitionedMirror.storedBuckets(wh, spec.mirrorTable).isDefined)
+              graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
+            else Cdc.currentState(wh.read(spark, spec.mirrorTable))
           commitAgg(wh, aggTable,
-            graft.plans.IncrementalAgg
-              .full(Cdc.currentState(wh.read(spark, spec.mirrorTable)), aspec)
-              .localCheckpoint(true),
+            graft.plans.IncrementalAgg.full(visible, aspec).localCheckpoint(true),
             batchId = -1L)
+        }
       }
     }
 
@@ -157,44 +160,68 @@ object CdcStream {
           if (stamped.limit(1).count() > 0) {
             wh.appendBatch(stamped, spec.changelogTable, batchId)
             val changes = stamped.drop(graft.DmsEnvelope.SourceTableCol)
-            mirrorBuckets match {
+            val table = spec.mirrorTable
+            val exists = wh.exists(table)
+            // the STORED layout wins over the parameter (a bucketed table
+            // merged flat — or vice versa — would corrupt the layout)
+            val stored = graft.plans.PartitionedMirror.storedBuckets(wh, table)
+            val layout = stored.orElse(mirrorBuckets)
+            // Before-state for the IVM deltas, tombstones included. For the
+            // bucketed layout this is the partition-pruned touched-bucket
+            // read — O(touched + delta), the same pruning the mirror merge
+            // itself gets — NOT a full-mirror scan.
+            lazy val mirrorBefore: DataFrame =
+              if (!exists) Cdc.fold(changes, spec.cdc).limit(0)
+              else if (stored.isDefined) graft.plans.PartitionedMirror
+                .touchedBefore(spark, wh, table, changes, spec.cdc)
+              else wh.read(spark, table)
+            // Maintained aggregates fold their delta from the BEFORE-state,
+            // so they run ahead of the mirror commit. Replay safety: each
+            // agg table records the last batch it absorbed (durable
+            // TableProps). A crash between the agg commit and the
+            // checkpoint commit replays the batch, the marker says
+            // "already applied", the delta is skipped — while the mirror
+            // merge itself is replay-idempotent.
+            maintainedAggs.foreach { case (aggTable, aspec) =>
+              val applied = readAggMarker(wh, aggTable)
+              if (!applied.exists(_ >= batchId)) {
+                val aggBefore =
+                  if (wh.exists(aggTable)) wh.read(spark, aggTable)
+                  else {
+                    // bootstrap from the FULL visible mirror (not the
+                    // touched subset): the agg table must start equal to a
+                    // recompute before deltas can keep it that way
+                    val visible =
+                      if (!exists) Cdc.currentState(mirrorBefore)
+                      else if (stored.isDefined)
+                        graft.plans.PartitionedMirror.read(spark, wh, table)
+                      else Cdc.currentState(mirrorBefore)
+                    graft.plans.IncrementalAgg.full(visible, aspec)
+                  }
+                val updated = graft.plans.IncrementalAgg
+                  .applyDelta(aggBefore, mirrorBefore, changes, spec.cdc, aspec)
+                commitAgg(wh, aggTable, updated.localCheckpoint(true), batchId)
+              }
+            }
+            layout match {
               case Some(n) =>
                 // first batch bootstraps the partitioned layout from its own
                 // fold (an empty partitioned dir has no readable schema)
-                if (!wh.exists(spec.mirrorTable))
-                  graft.plans.PartitionedMirror.initialize(wh, spec.mirrorTable,
+                if (!exists)
+                  graft.plans.PartitionedMirror.initialize(wh, table,
                     Cdc.fold(changes, spec.cdc), spec.cdc, n)
                 else graft.plans.PartitionedMirror.applyBatch(
-                  spark, wh, spec.mirrorTable, changes, spec.cdc, n)
+                  spark, wh, table, changes, spec.cdc, n)
               case None =>
-                val mirror =
-                  if (wh.exists(spec.mirrorTable)) wh.read(spark, spec.mirrorTable)
-                  else Cdc.fold(changes, spec.cdc).limit(0)
-                // Maintained aggregates fold their delta from the
-                // BEFORE-state, so they run ahead of the mirror commit.
-                // Replay safety: each agg table records the last batch it
-                // absorbed (durable TableProps). A crash between the agg
-                // commit and the checkpoint commit replays the batch, the
-                // marker says "already applied", the delta is skipped —
-                // while the mirror merge itself is replay-idempotent.
-                maintainedAggs.foreach { case (aggTable, aspec) =>
-                  val applied = readAggMarker(wh, aggTable)
-                  if (!applied.exists(_ >= batchId)) {
-                    val aggBefore =
-                      if (wh.exists(aggTable)) wh.read(spark, aggTable)
-                      else graft.plans.IncrementalAgg
-                        .full(Cdc.currentState(mirror), aspec)
-                    val updated = graft.plans.IncrementalAgg
-                      .applyDelta(aggBefore, mirror, changes, spec.cdc, aspec)
-                    commitAgg(wh, aggTable, updated.localCheckpoint(true), batchId)
-                  }
-                }
-                val merged = Cdc.applyBatch(mirror, changes, spec.cdc)
-                // Write-ahead to a staging dir then swap would make this atomic
-                // on object stores; local parquet overwrite is the offline
-                // stand-in.
+                val merged = Cdc.applyBatch(mirrorBefore, changes, spec.cdc)
+                // Publication is ATOMIC: Warehouse.overwrite stages into a
+                // fresh version dir and swaps the table pointer with one
+                // atomic rename (Warehouse.commit) — a reader never sees a
+                // half-written mirror, and a crash mid-write leaves only an
+                // unpublished version dir for the next commit's GC
+                // (WarehouseSpec proves both).
                 val staged = merged.localCheckpoint(true)
-                wh.overwrite(staged, spec.mirrorTable)
+                wh.overwrite(staged, table)
             }
           }
         } finally stamped.unpersist()

@@ -71,6 +71,40 @@ class CdcStreamSpec extends SparkTestBase {
       "the batch marker must publish atomically inside the agg version dir")
   }
 
+  test("maintained aggregate + partitioned mirror together: IVM from the touched-bucket delta") {
+    import org.apache.spark.sql.functions.{col, length, pmod, lit}
+    val g = DmsGenerator.generate(23L)
+    val src = tmpDir("stream-src-ivmpm")
+    val ckpt = tmpDir("ckpt-ivmpm")
+    val wh = Warehouse(tmpDir("stream-wh-ivmpm"))
+    val spec = PipelineSpec(src, "pv_changelog", "pv", CdcConfig("id", "ts"))
+    val aspec = graft.plans.IncrementalAgg.Spec(pmod(col("id"), lit(4)), length(col("name")))
+    val agg = Seq("pv_agg" -> aspec)
+
+    writeParquet(g.batches.head, s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, ckpt,
+      mirrorBuckets = Some(8), maintainedAggs = agg).awaitTermination()
+    // restart with the remaining batches: deltas continue from the
+    // checkpoint, before-states read only the touched buckets
+    g.batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 2}.parquet")
+    }
+    CdcStream.start(spark, wh, spec, ckpt,
+      mirrorBuckets = Some(8), maintainedAggs = agg).awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("g").cast("long"), col("n"), col("s").cast("decimal(28,2)"))
+        .collect().map(_.toString).toSet
+    val visible = graft.plans.PartitionedMirror.read(spark, wh, "pv")
+    assert(canon(wh.read(spark, "pv_agg")) ==
+      canon(graft.plans.IncrementalAgg.full(visible, aspec)),
+      "maintained aggregate must equal a recompute of the partitioned mirror")
+    assert(visible.select("id", "name").as[(Long, String)].collect().toSet ==
+      g.expectedFinal.map(r => (r.id, r.name)).toSet)
+    // the mirror really took the bucketed layout while aggs were maintained
+    assert(graft.plans.PartitionedMirror.storedBuckets(wh, "pv").contains(8))
+  }
+
   test("lost-checkpoint replay: mirror re-merge is idempotent, IVM markers skip double-apply") {
     import org.apache.spark.sql.functions.{col, length, pmod, lit}
     val g = DmsGenerator.generate(31L)

@@ -112,6 +112,19 @@ class EventStreamsSpec extends SparkTestBase {
       "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh", "GRAFT_SOURCES" -> "/data/a",
       "GRAFT_MIRROR_BUCKETS" -> "128"))
     assert(bucketed.mirrorBuckets.contains(128))
+    assert(bucketed.catalog.isEmpty, "offline warehouse catalog is the default")
+    val rest = PipelineConfig.fromEnv(Map(
+      "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh", "GRAFT_SOURCES" -> "/data/a",
+      "GRAFT_CATALOG_URL" -> "https://cat.example.com",
+      "GRAFT_CATALOG_NAMESPACE" -> "db",
+      "GRAFT_CATALOG_CREDENTIAL" -> "id:secret"))
+    assert(rest.catalog.contains(("https://cat.example.com", "db", "id:secret")))
+    // a catalog URL without a credential must fail loudly, not silently
+    // fall back to the offline catalog (the reference requires
+    // TABULAR_CREDENTIAL, batch_bootstrapper.py:43)
+    intercept[IllegalArgumentException](PipelineConfig.fromEnv(Map(
+      "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh", "GRAFT_SOURCES" -> "/data/a",
+      "GRAFT_CATALOG_URL" -> "https://cat.example.com")))
     intercept[IllegalArgumentException](PipelineConfig.fromEnv(Map.empty))
   }
 

@@ -1,0 +1,162 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.plans.Bootstrapper
+import graft.sources.Tables.Warehouse
+import graft.sources.RestCatalogClient
+
+/** The REST catalog + OAuth2 connector (SURVEY C1/S8) against an in-JVM
+  * stub server: token exchange wire format, bearer auth on every catalog
+  * call, Iceberg-REST table probes and set-properties commits — and the
+  * whole Bootstrapper flow driven through it. No egress: the stub binds
+  * 127.0.0.1 inside the test JVM.
+  */
+class RestCatalogSpec extends SparkTestBase {
+
+  /** Minimal scripted catalog server capturing requests for assertion. */
+  private class StubCatalog {
+    val tokenRequests = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val authHeaders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // tables the catalog "knows", with properties
+    val tables = scala.collection.mutable.Map.empty[String, Map[String, String]]
+
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => handle(x))
+    server.start()
+    val baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+
+    private def body(x: HttpExchange): String = {
+      val out = new ByteArrayOutputStream()
+      x.getRequestBody.transferTo(out)
+      out.toString("UTF-8")
+    }
+    private def respond(x: HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes("UTF-8")
+      // HEAD responses must not carry a body; -1 = no content
+      if (x.getRequestMethod == "HEAD") x.sendResponseHeaders(code, -1)
+      else { x.sendResponseHeaders(code, bytes.length); x.getResponseBody.write(bytes) }
+      x.close()
+    }
+    private def handle(x: HttpExchange): Unit = {
+      val path = x.getRequestURI.getPath
+      if (path == "/ws/v1/oauth/tokens") {
+        tokenRequests += ((x.getRequestHeaders.getFirst("Content-Type"), body(x)))
+        respond(x, 200, """{"access_token": "tok-123", "token_type": "bearer"}""")
+      } else if (path == "/v1/namespaces/db/tables" && x.getRequestMethod == "POST") {
+        // Iceberg REST create-table: register by name from the payload
+        authHeaders += x.getRequestHeaders.getFirst("Authorization")
+        val name = RestCatalogClient.stringField(body(x), "name").get
+        if (tables.contains(name)) respond(x, 409, """{"error": "exists"}""")
+        else { tables(name) = Map.empty; respond(x, 200, """{"metadata": {}}""") }
+      } else if (path.startsWith("/v1/namespaces/db/tables/")) {
+        authHeaders += x.getRequestHeaders.getFirst("Authorization")
+        val table = path.stripPrefix("/v1/namespaces/db/tables/")
+        x.getRequestMethod match {
+          case "HEAD" =>
+            respond(x, if (tables.contains(table)) 200 else 404, "")
+          case "GET" =>
+            if (!tables.contains(table)) respond(x, 404, """{"error": "no such table"}""")
+            else {
+              val props = tables(table).toSeq.sorted
+                .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+              // location/schemas are siblings the parser must not bleed into
+              respond(x, 200,
+                s"""{"metadata": {"location": "s3://x/$table", "properties": $props,
+                   |  "schemas": [{"fields": [{"name": "id", "type": "long"}]}]}}""".stripMargin)
+            }
+          case "POST" =>
+            // STRICT like a real catalog: commits to unknown tables fail —
+            // this is what forces the control plane to register creations
+            if (!tables.contains(table)) respond(x, 404, """{"error": "no such table"}""")
+            else {
+              val b = body(x)
+              commits += ((table, b))
+              val updates = RestCatalogClient.objectFields(b, "updates")
+              tables(table) = tables(table) ++ updates
+              respond(x, 200, """{"metadata": {}}""")
+            }
+          case m => respond(x, 405, s"""{"error": "$m"}""")
+        }
+      } else respond(x, 404, """{"error": "unknown path"}""")
+    }
+  }
+
+  test("token exchange sends the reference's wire format and parses access_token") {
+    val stub = new StubCatalog
+    try {
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "my-id:my-secret")
+      assert(!cat.tableExists("t1")) // triggers the lazy token fetch
+      val (ctype, form) = stub.tokenRequests.head
+      assert(ctype == "application/x-www-form-urlencoded")
+      assert(form.split("&").toSet ==
+        Set("grant_type=client_credentials", "client_id=my-id", "client_secret=my-secret"))
+      assert(stub.tokenRequests.size == 1, "one exchange per client, then reuse")
+      assert(stub.authHeaders.forall(_ == "Bearer tok-123"),
+        "every catalog call must carry the exchanged bearer token")
+    } finally stub.stop()
+  }
+
+  test("properties round-trip through the Iceberg REST shapes") {
+    val stub = new StubCatalog
+    try {
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
+      // strict catalog: commits need a registered table; 409 re-register is benign
+      intercept[RuntimeException](cat.setProperties("t1", Map("x" -> "y")))
+      cat.tableCreated("t1")
+      cat.tableCreated("t1") // concurrent/duplicate registration: no error
+      cat.setProperties("t1", Map("cdc.key-column" -> "id", "cdc.ts-column" -> "ts"))
+      assert(cat.tableExists("t1"))
+      assert(cat.properties("t1") ==
+        Map("cdc.key-column" -> "id", "cdc.ts-column" -> "ts"))
+      assert(cat.properties("absent") == Map.empty)
+      val (_, commitBody) = stub.commits.head
+      assert(commitBody.contains(""""action": "set-properties""""),
+        "commit must use the Iceberg REST update action")
+      // merge, not replace: a second commit keeps earlier keys
+      cat.setProperties("t1", Map("etl.job-type" -> "cdc"))
+      assert(cat.properties("t1")("cdc.key-column") == "id")
+    } finally stub.stop()
+  }
+
+  test("malformed credential and failed exchange fail loudly") {
+    val stub = new StubCatalog
+    try {
+      intercept[IllegalArgumentException](
+        new RestCatalogClient(stub.baseUrl, "db", "no-colon").tableExists("t"))
+      val bad = new RestCatalogClient(s"${stub.baseUrl}/missing", "db", "a:b")
+      intercept[RuntimeException](bad.tableExists("t"))
+    } finally stub.stop()
+  }
+
+  test("Bootstrapper runs end-to-end against the REST catalog") {
+    import spark.implicits._
+    val stub = new StubCatalog
+    try {
+      val g = DmsGenerator.generate(19L)
+      val src = tmpDir("src-rest")
+      g.batches.flatten.toSeq.toDF()
+        .withColumnRenamed("modificationDate", "modification_date")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/dms_logs_1.parquet")
+      val wh = Warehouse(tmpDir("wh-rest"))
+      val spec = PipelineSpec(src, "rt_changelog", "rt", CdcConfig("id", "ts"))
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
+      val r1 = Bootstrapper.bootstrap(spark, wh, spec, Some(cat))
+      assert(r1.error.isEmpty && r1.createdChangelog && r1.createdMirror)
+      // the CDC wiring landed in the REMOTE catalog via set-properties
+      assert(stub.tables("rt")("cdc.key-column") == "id")
+      assert(stub.tables("rt_changelog")("dependent-tables") == "rt")
+      assert(Bootstrapper.readCdcConfig(wh, "rt", Some(cat))
+        .contains(CdcConfig("id", "ts")))
+      // existence probes answered by the catalog: it knows both tables now,
+      // so the second run is a no-op even though it never lists local dirs
+      val r2 = Bootstrapper.bootstrap(spark, wh, spec, Some(cat))
+      assert(r2.error.isEmpty && !r2.createdChangelog && !r2.createdMirror)
+    } finally stub.stop()
+  }
+}

@@ -35,6 +35,29 @@ class WarehouseSpec extends SparkTestBase {
     assert(!target.isAbsolute && target.toString == "t.v3")
   }
 
+  test("a commit killed between write and swap never publishes; the table stays whole") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-crash"))
+    wh.overwrite(Seq((1L, "good")).toDF("id", "name"), "t")
+    val v1 = wh.currentVersion("t")
+    // crash INSIDE the staging write: files are on disk, the pointer swap
+    // never runs — the foreachBatch mirror publish has exactly this window
+    intercept[RuntimeException](wh.commit("t") { dir =>
+      Seq((2L, "half")).toDF("id", "name").write.parquet(dir)
+      throw new RuntimeException("killed before swap")
+    })
+    assert(wh.currentVersion("t") == v1, "pointer must still name the old version")
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("good"),
+      "a reader after the crash sees the complete old table, never the staged write")
+    // the next commit proceeds normally past the orphaned staging dir and
+    // its GC eventually removes the orphan
+    wh.overwrite(Seq((3L, "after")).toDF("id", "name"), "t")
+    wh.overwrite(Seq((4L, "after2")).toDF("id", "name"), "t")
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("after2"))
+    val vs = entries(wh.root).filter(_.startsWith("t.v"))
+    assert(vs.size == 2, s"orphaned staging dir must be GC'd: $vs")
+  }
+
   test("a reader opened before a commit keeps its snapshot (pinned version dir)") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("wh-snapshot"))
