@@ -73,7 +73,10 @@ object Dedup {
     val ids = pairs.select(col("i").as("doc_id"))
       .unionByName(pairs.select(col("j").as("doc_id")))
       .distinct()
-    perDoc.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    // the reduced relation is joined twice (i side, j side): materialize it
+    // so the semi-join + upstream aggregate run once, and the join planner
+    // sees its TRUE (candidate-bounded) size instead of corpus estimates
+    perDoc.join(broadcast(ids), Seq("doc_id"), "left_semi").localCheckpoint(true)
   }
 
   /** Exact deduplication: group by content hash, keep the smallest doc_id. */
