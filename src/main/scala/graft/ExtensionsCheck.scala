@@ -34,6 +34,11 @@ object ExtensionsCheck {
       .collect()(0).getString(1)
     require(latest == "new", s"latest_row: $latest")
 
+    val sk = Seq(5L, 3L, 9L, 3L, 7L).toDF("h")
+      .agg(expr("kmv_sketch(h, 3)").as("sk"))
+      .collect()(0).getSeq[Long](0)
+    require(sk == Seq(3L, 5L, 7L), s"kmv_sketch: $sk")
+
     val plan = Seq((1L, "x", 1L)).toDF("k", "v", "ts")
       .groupBy($"k").agg(max_by(struct($"v"), $"ts").as("last"))
       .queryExecution.executedPlan.toString

@@ -183,6 +183,43 @@ class EventStreamsSpec extends SparkTestBase {
       "after the TTL the tombstone must be gone from the state store")
   }
 
+  test("stateful CDC runs unchanged on the RocksDB state store (the 100 TB state backend)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // At 100 TB the per-key CDC state does not fit executor heaps; Spark's
+    // RocksDB provider spills it to native memory + local SSD with
+    // changelog checkpointing. The fold's semantics must be
+    // provider-agnostic — same latest-wins outcome as the HDFS-backed
+    // default used by the other specs.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[DmsChange]
+      val q = CdcStateful.latestStateStream(spark, input.toDS())
+        .writeStream.format("memory").queryName("cdc_rocks_out")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("rocks-ckpt"))
+        .start()
+      input.addData(
+        DmsChange(1, "a", "m", "I", "2024-01-01T00:00:00"),
+        DmsChange(2, "b", "m", "I", "2024-01-01T00:00:01"))
+      drain(q)
+      input.addData(
+        DmsChange(1, "a2", "m", "U", "2024-01-02T00:00:00"),
+        DmsChange(1, "stale", "m", "U", "2023-01-01T00:00:00"))
+      drain(q)
+      q.stop()
+      val out = spark.table("cdc_rocks_out").as[CdcStateful.KeyUpdate].collect()
+      assert(out.filter(_.id == 1).map(_.name).sorted.toSeq == Seq("a", "a2"),
+        "latest-wins across batches; the stale change emits nothing")
+      assert(out.count(_.id == 2) == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful CDC fold (flatMapGroupsWithState) applies latest-wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
