@@ -276,6 +276,60 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q68: token-budget selection (data mixing under a budget)
+  // ------------------------------------------------------------------
+
+  /** Per-language token budget for q68. */
+  private val LangTokenBudget = 5000L
+
+  /** Token-budget selection — the data-mixing primitive: per language, take
+    * documents in quality order (type-token ratio DESC, doc_id ASC) until
+    * the language's token budget is exhausted; a doc is kept iff the budget
+    * was not already spent BEFORE it (greedy inclusion, so the boundary doc
+    * may overflow the budget — the standard mixing rule).
+    *
+    * Scale shape: the per-language ordered prefix sum is computed
+    * DISTRIBUTED, like q53 — range-partition on the selection order
+    * (lang, score DESC, doc_id), cumsum within each partition under
+    * (pid, lang), then add the per-(pid, lang) totals' exclusive per-lang
+    * prefix (rows = partitions × languages, a broadcast join). No single
+    * reducer ever sees one language's full corpus — a plain
+    * `Window.partitionBy(lang).orderBy(...)` would (the q55 lesson).
+    */
+  def q68TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      // type-token ratio: distinct/total — integer-derived, engine-exact
+      .withColumn("score",
+        size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score"))
+    val parts = scored
+      .repartitionByRange(col("lang"), col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn("local_off",
+      coalesce(sum(col("n_toks")).over(
+        Window.partitionBy(col("pid"), col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val prefixes = local.groupBy(col("pid"), col("lang"))
+      .agg(sum(col("n_toks")).as("tot"))
+      .withColumn("prefix",
+        coalesce(sum(col("tot")).over(
+          Window.partitionBy(col("lang")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("lang"), col("prefix"))
+    local.join(broadcast(prefixes), Seq("pid", "lang"))
+      .withColumn("spent_before", col("local_off") + col("prefix"))
+      .filter(col("spent_before") < LangTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score"),
+        col("spent_before"))
+      .orderBy(col("lang"), col("score").desc, col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // q56: intra-document repetition (Gopher/C4-style quality rule)
   // ------------------------------------------------------------------
 
@@ -400,6 +454,24 @@ object Curation {
         |SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
 
+    "q68_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS score
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |run AS (
+         |  SELECT doc_id, lang, n_toks, score,
+         |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS spent_before
+         |  FROM scored)
+         |SELECT doc_id, lang, n_toks, score, spent_before
+         |FROM run WHERE spent_before < $LangTokenBudget
+         |ORDER BY lang, score DESC, doc_id""".stripMargin,
+
     "q56_repetition" ->
       s"""WITH grams AS (
          |  SELECT doc_id, lang, unnest(${wordNgramSql(5)}) AS g
@@ -418,5 +490,6 @@ object Curation {
     "q54_chunk_overlap" -> (q54ChunkOverlap _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_repetition" -> (q56Repetition _),
+    "q68_token_budget" -> (q68TokenBudget _),
   )
 }

@@ -230,9 +230,12 @@ object Dedup {
     * any band bucket are candidates, verified with exact Jaccard >= 0.5 on
     * the shingle sets.
     */
-  def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val shBase = shingles(spark, dir).localCheckpoint(true)
-    val sh = shBase
+  /** Banded MinHash LSH buckets (doc_id, band, sig) from a shingle index —
+    * the probe structure shared by the batch self-join (q32) and the
+    * incremental new-vs-corpus probe (q67).
+    */
+  private def lshBuckets(shingleDf: DataFrame): DataFrame = {
+    val sh = shingleDf
       .withColumn("md", md5(col("s").cast("string")))
       .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(md, 9, 8), 16, 10) AS BIGINT)"))
@@ -243,8 +246,13 @@ object Dedup {
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val shBase = shingles(spark, dir).localCheckpoint(true)
+    val buckets = lshBuckets(shBase)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -264,6 +272,41 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("i"), col("j"), col("jaccard"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Incremental near-dup detection — dedup-at-ingest, the production
+    * shape: a freshly arrived batch (docs with doc_id % 10 == 0 stand in
+    * for a CDC micro-batch) is checked against the EXISTING corpus by
+    * probing the corpus's LSH band buckets. Cost is O(|new batch| +
+    * matching buckets), never a corpus self-join: the corpus-side bucket
+    * index is exactly what a 100 TB pipeline keeps materialized
+    * (partitioned by (band, sig)) and maintains per batch, so each
+    * micro-batch's probe is a partition-pruned equi-join, and the batch's
+    * own buckets then append to the index. Verification reads only the
+    * candidate docs' shingle sets (same semi-join reduction as q32).
+    */
+  def q67IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val shAll = shingles(spark, dir).localCheckpoint(true)
+    val isNew = col("doc_id") % 10 === 0
+    val corpusBk = lshBuckets(shAll.filter(!isNew))
+    val newBk = lshBuckets(shAll.filter(isNew))
+    // probe: new-batch buckets against corpus buckets — no self-join side
+    val candidates = newBk.as("n").join(corpusBk.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(col("n.doc_id").as("i"), col("c.doc_id").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    val sets = forCandidates(
+      shAll.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
+    candidates
+      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i").as("new_id"), col("j").as("old_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("old_id"))
   }
 
   /** SimHash width and band masks: 32 bits split 11+11+10 — hamming <= 2
@@ -417,6 +460,30 @@ object Dedup {
         |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY i, j""".stripMargin,
 
+    "q67_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+        |shh AS (SELECT doc_id, s,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+        |FROM sh),
+        |sigs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+        |buckets AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+        |  FROM buckets n JOIN buckets c
+        |    ON n.band = c.band AND n.sig = c.sig
+        |  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
+        |verified AS (
+        |  SELECT new_id, old_id,
+        |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+        |    len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS uni
+        |  FROM cand JOIN sets sa ON sa.doc_id = new_id JOIN sets sb ON sb.doc_id = old_id)
+        |SELECT new_id, old_id, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin,
+
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -442,5 +509,6 @@ object Dedup {
     "q49_ngram_jaccard_capped" -> (q49NgramJaccardCapped _),
     "q32_minhash_lsh" -> (q32MinhashLsh _),
     "q33_simhash" -> (q33Simhash _),
+    "q67_incremental_dedup" -> (q67IncrementalDedup _),
   )
 }

@@ -255,6 +255,49 @@ object Similarity {
     s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
        |ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END""".stripMargin
 
+  /** Per-vector int8 quantization: scale = max|x|/127, i8 = round-half-up
+    * (x/scale), clamped into [-127,127] by construction. Zero vectors
+    * quantize to zeros (guard against 0/0).
+    */
+  private val quantize8 =
+    """CASE WHEN sc = CAST(0.0 AS DOUBLE) THEN transform(embedding, x -> 0L)
+      |ELSE transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) END""".stripMargin
+
+  /** Storage-side compression for ANN at scale: int8 per-vector-scaled
+    * embeddings are 4x smaller than float32 (64 B vs 256 B per 64-dim
+    * vector) — at 100 TB that is the difference between the ANN index
+    * fitting executor storage memory or not. Cosine is scale-invariant, so
+    * the per-vector scale cancels and ranking quality depends only on the
+    * 8-bit rounding. This query REPORTS that quality: the brute-force
+    * top-10 (exact integer space, q35's frame) with the int8 cosine and
+    * its absolute error alongside — the measurement a pipeline runs before
+    * switching its index to int8.
+    */
+  def q69QuantizedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val i8 = Queries.t(spark, dir, "embeddings")
+      .withColumn("sc",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+      .withColumn("q8", expr(quantize8))
+      .withColumn("n8", expr(dotExpr("q8", "q8")))
+      .select("vec_id", "q8", "n8")
+    val e = qvecs(spark, dir).join(i8, "vec_id").localCheckpoint(true)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"),
+        col("q8").as("q8q"), col("n8").as("n8q"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"),
+        expr(dotExpr("q8", "q8q")).as("dot8"), col("n8"), col("n8q"))
+      .withColumn("cos", cosCol("dot", "nq", "qn"))
+      .withColumn("cos_i8", cosCol("dot8", "n8", "n8q"))
+      .withColumn("abs_err", abs(col("cos") - col("cos_i8")))
+      .select("vec_id", "cos", "cos_i8", "abs_err")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Shared oracle CTE block: sign-random-projection buckets -> `eb`. */
   private def lshCtes: String =
     s"""planes AS (
@@ -309,6 +352,28 @@ object Similarity {
         |  ${cosSql("list_dot_product(e.q, query.qq)", "e.nq", "query.qn")} AS cos
         |FROM e, query WHERE e.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q69_quantized_cosine" ->
+      s"""WITH $qCte,
+        |sc8 AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sc,
+        |  embedding FROM embeddings),
+        |i8 AS (SELECT vec_id,
+        |  CASE WHEN sc = CAST(0.0 AS DOUBLE)
+        |       THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) END AS q8
+        |  FROM sc8),
+        |e8 AS (SELECT e.vec_id, e.q, e.nq, i8.q8,
+        |  list_dot_product(i8.q8, i8.q8) AS n8 FROM e JOIN i8 ON e.vec_id = i8.vec_id),
+        |query AS (SELECT q AS qq, nq AS qn, q8 AS q8q, n8 AS n8q FROM e8 WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e8.vec_id,
+        |    ${cosSql("list_dot_product(e8.q, query.qq)", "e8.nq", "query.qn")} AS cos,
+        |    ${cosSql("list_dot_product(e8.q8, query.q8q)", "e8.n8", "query.n8q")} AS cos_i8
+        |  FROM e8, query WHERE e8.vec_id <> 0)
+        |SELECT vec_id, cos, cos_i8, abs(cos - cos_i8) AS abs_err
+        |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q36_ann_lsh" ->
       s"""WITH $qCte,
@@ -378,5 +443,6 @@ object Similarity {
     "q37_centroid_outliers" -> (q37CentroidOutliers _),
     "q38_ann_ivf" -> (q38AnnIvf _),
     "q39_embedding_neardup_lsh" -> (q39EmbeddingNeardupLsh _),
+    "q69_quantized_cosine" -> (q69QuantizedCosine _),
   )
 }

@@ -70,6 +70,57 @@ class OperatorsSpec extends SparkTestBase {
       s"missed by LSH: ${exact.diff(lsh).take(5)}")
   }
 
+  test("incremental dedup probes only new-vs-corpus and agrees with the batch LSH result") {
+    val inc = Dedup.q67IncrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // side discipline: left = freshly ingested batch, right = existing corpus
+    assert(inc.forall { case (n, o) => n % 10 == 0 && o % 10 != 0 },
+      "pairs must be (new batch) x (existing corpus) only")
+    // the incremental probe must find exactly the cross-side subset of the
+    // batch LSH result (same bands, same verification threshold)
+    val batch = Dedup.q32MinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossSide = batch.collect {
+      case (i, j) if i % 10 == 0 && j % 10 != 0 => (i, j)
+      case (i, j) if j % 10 == 0 && i % 10 != 0 => (j, i)
+    }
+    // q32 verifies at >= 0.5 like q67; orientation differs (i<j vs new,old)
+    assert(inc == crossSide,
+      s"incremental != batch cross-side: only-inc=${inc.diff(crossSide).take(5)} " +
+        s"only-batch=${crossSide.diff(inc).take(5)}")
+  }
+
+  test("token-budget selection: kept docs are a quality-prefix, budget respected per language") {
+    val rows = graft.operators.Curation.q68TokenBudget(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      // greedy rule: every kept doc started under the budget...
+      assert(docs.forall(_.getLong(4) < 5000L), s"$lang: doc kept past the budget")
+      // ...and spent_before is consistent: it equals the running token sum
+      // in (score DESC, doc_id) order — the kept set is a PREFIX, no gaps
+      val ordered = docs.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+      var spent = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(4) == spent,
+          s"$lang: spent_before mismatch at doc ${r.getLong(0)}: ${r.getLong(4)} != $spent")
+        spent += r.getLong(2)
+      }
+    }
+  }
+
+  test("int8 quantized cosine ranks like exact cosine within a small error") {
+    val rows = graft.operators.Similarity.q69QuantizedCosine(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (cos, cos8, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(cos8 >= -1.0001 && cos8 <= 1.0001, s"cos_i8 out of range: $cos8")
+      assert(err == math.abs(cos - cos8))
+      // 8-bit rounding on 64-dim unit-ish vectors: error stays small —
+      // the property that makes the 4x-smaller index usable at all
+      assert(err < 0.05, s"int8 cosine error too large: $err")
+    }
+  }
+
   test("capped jaccard equals exact jaccard when the whole intersection is hot") {
     // A cluster of >ShingleDocCap near-identical docs makes every shared
     // shingle hot: the capped index drops the entire intersection, so only
