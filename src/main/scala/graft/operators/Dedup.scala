@@ -53,12 +53,20 @@ object Dedup {
     */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Queries.t(spark, dir, "documents")
+    shinglesOf(Queries.t(spark, dir, "documents"))
+  }
+
+  /** [[shingles]] over an arbitrary (doc_id, text) frame — the streaming
+    * dedup path shingles each micro-batch with the same kernel. Caller
+    * must have registered `word_ngrams` on the frame's OWN session (a
+    * foreachBatch clone has its own registry).
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("g", explode(array_distinct(shingleExpr)))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
-  }
 
   /** Restrict a per-doc relation (counts, shingle sets, hot counts — all
     * O(corpus) rows) to the docs appearing in a candidate pair list. The
@@ -234,7 +242,7 @@ object Dedup {
     * the probe structure shared by the batch self-join (q32) and the
     * incremental new-vs-corpus probe (q67).
     */
-  private def lshBuckets(shingleDf: DataFrame): DataFrame = {
+  private[graft] def lshBuckets(shingleDf: DataFrame): DataFrame = {
     val sh = shingleDf
       .withColumn("md", md5(col("s").cast("string")))
       .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
