@@ -39,8 +39,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line: the driver captures a bounded stdout tail, and
-    // round 2's BENCH json lost its head to that truncation (verdict #8)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // round 2's BENCH json lost its head to that truncation (verdict #8).
+    // Path overridable for runs whose cwd is not the repo root (gitignored
+    // by default — a bench run must not dirty the checkout).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line + "\n")
     spark.stop()
   }
 }

@@ -53,19 +53,26 @@ object PipelineMain {
         // files seed the mirror before the change stream starts
         val seeded = graft.plans.Bootstrapper.bootstrapMirrorInitialLoad(spark, wh, spec)
         if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
-        // With a REST catalog, register both tables up front — the
-        // reference's CREATE_AUTO_LOAD/CREATE_LOAD likewise create the
-        // catalog entry before ingest (tabular.py:128-141); re-registration
-        // is a tolerated 409. Then the durable CDC wiring (the reference's
-        // table-property commits) lands in whichever catalog is active.
-        catalog.foreach { c =>
-          c.tableCreated(spec.changelogTable); c.tableCreated(spec.mirrorTable)
-        }
-        graft.plans.Bootstrapper.writeCdcProperties(wh, spec, catalog)
         val q = CdcStream.start(spark, wh, spec,
           s"$whDir/_checkpoints/${spec.mirrorTable}",
           mirrorBuckets = config.mirrorBuckets)
         q.awaitTermination()
+        // Catalog registration AFTER data exists: registering first would
+        // let a crash-before-ingest leave catalog entries for empty tables,
+        // and a later Bootstrapper run (which trusts the catalog's
+        // existence probe, like the reference) would skip materializing
+        // them entirely. Registration is idempotent (409-tolerated);
+        // property commits follow registration so a strict catalog
+        // accepts them.
+        val cat = catalog.getOrElse(new graft.sources.WarehouseCatalog(wh))
+        if (wh.exists(spec.changelogTable)) {
+          catalog.foreach(_.tableCreated(spec.changelogTable))
+          graft.plans.Bootstrapper.writeChangelogWiring(cat, spec)
+        }
+        if (wh.exists(spec.mirrorTable)) {
+          catalog.foreach(_.tableCreated(spec.mirrorTable))
+          graft.plans.Bootstrapper.writeMergeConfig(cat, spec)
+        }
         val state = config.mirrorBuckets match {
           case Some(_) => graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
           case None => Cdc.currentState(wh.read(spark, spec.mirrorTable))

@@ -34,7 +34,7 @@ final class RestCatalogClient(
     baseUrl: String,
     namespace: String,
     credential: String,
-    http: HttpClient = HttpClient.newHttpClient()) extends CatalogClient {
+    http: HttpClient = RestCatalogClient.defaultHttp) extends CatalogClient {
 
   private val base = baseUrl.stripSuffix("/")
 
@@ -49,7 +49,8 @@ final class RestCatalogClient(
 
   private def send(req: HttpRequest.Builder): HttpResponse[String] =
     http.send(
-      req.header("Authorization", s"Bearer $token").build(),
+      req.timeout(RestCatalogClient.RequestTimeout)
+        .header("Authorization", s"Bearer $token").build(),
       HttpResponse.BodyHandlers.ofString())
 
   override def tableExists(name: String): Boolean = {
@@ -105,11 +106,35 @@ final class RestCatalogClient(
         s"catalog commit ${tableUri(name)} failed: HTTP ${resp.statusCode()} ${resp.body()}")
   }
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def esc(s: String): String = RestCatalogClient.esc(s)
 }
 
 object RestCatalogClient {
+
+  /** Both connect and per-request deadline: an unresponsive catalog must
+    * surface as an exception the per-target fault isolation can catch, not
+    * wedge the control plane forever (java.net.http blocks indefinitely by
+    * default).
+    */
+  private val RequestTimeout = java.time.Duration.ofSeconds(30)
+
+  private[sources] def defaultHttp: HttpClient =
+    HttpClient.newBuilder().connectTimeout(RequestTimeout).build()
+
+  /** JSON string escape — quotes, backslashes, and ALL control chars
+    * (a newline smuggled in via an env-sourced property value must become
+    * \n in the payload, not an invalid raw byte a spec-compliant server
+    * rejects with an opaque 400).
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** OAuth2 client-credentials exchange (tabular.py:25-37): form-encoded
     * POST, token read from the response's `access_token`.
@@ -128,6 +153,7 @@ object RestCatalogClient {
       .mkString("&")
     val resp = http.send(
       HttpRequest.newBuilder(URI.create(s"${baseUrl.stripSuffix("/")}/ws/v1/oauth/tokens"))
+        .timeout(RequestTimeout)
         .header("Content-Type", "application/x-www-form-urlencoded")
         .POST(HttpRequest.BodyPublishers.ofString(form))
         .build(),

@@ -56,24 +56,29 @@ object DedupStream {
         val session = batch.sparkSession
         graft.functions.GraftFunctions.register(session)
         val sh = Dedup.shinglesOf(batch).localCheckpoint(true)
-        val bk = Dedup.lshBuckets(sh).localCheckpoint(true)
+        // index rows carry their writing batch id: the replay guard below
+        // excludes exactly the replayed batch's OWN entries — not every row
+        // sharing a doc_id, which would silently drop legitimate matches
+        // when a doc_id is re-ingested in a later batch (each stored
+        // version then matches independently, documented semantics)
+        val bk = Dedup.lshBuckets(sh)
+          .withColumn("src_batch", lit(batchId)).localCheckpoint(true)
         val sets = sh.groupBy(col("doc_id"))
-          .agg(collect_list(col("s")).as("sset")).localCheckpoint(true)
-        if (wh.exists(bucketsTable)) {
+          .agg(collect_list(col("s")).as("sset"))
+          .withColumn("src_batch", lit(batchId)).localCheckpoint(true)
+        // probe only when BOTH index tables exist: batch 0 appends sets
+        // first then buckets, so a crash between the two appends can never
+        // leave a later replay probing buckets with no sets to verify from
+        if (wh.exists(bucketsTable) && wh.exists(setsTable)) {
           val corpusBk = wh.read(session, bucketsTable)
-          // exclude THIS batch's own ids from the corpus side: on an
-          // at-least-once replay the index already holds the replayed
-          // batch's entries, and without the anti-join every doc would
-          // match itself (and its batch-mates) — replay must produce the
-          // same matches as the first run
-          val batchIds = bk.select(col("doc_id").as("old_id")).distinct()
+            .filter(col("src_batch") =!= batchId)
           val candidates = bk.as("n").join(corpusBk.as("c"),
               col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
             .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("old_id"))
-            .join(batchIds, Seq("old_id"), "left_anti")
             .distinct().localCheckpoint(true)
           val ids = candidates.select(col("old_id").as("doc_id")).distinct()
           val oldSets = wh.read(session, setsTable)
+            .filter(col("src_batch") =!= batchId)
             .join(broadcast(ids), Seq("doc_id"), "left_semi")
           val matches = candidates
             .join(sets.as("sa"), col("new_id") === col("sa.doc_id"))
@@ -86,8 +91,8 @@ object DedupStream {
             .select(col("new_id"), col("old_id"), col("jaccard"))
           wh.appendBatch(matches, matchesTable, batchId)
         }
-        wh.appendBatch(bk, bucketsTable, batchId)
         wh.appendBatch(sets, setsTable, batchId)
+        wh.appendBatch(bk, bucketsTable, batchId)
         ()
       }
       .start()

@@ -23,7 +23,15 @@ trait SparkTestBase extends AnyFunSuite {
     try fut.get(timeoutSec.toLong, TimeUnit.SECONDS)
     catch {
       case _: TimeoutException =>
-        try q.stop() finally ex.shutdownNow()
+        // stop() itself can block forever on a wedged execution thread
+        // (spark.sql.streaming.stopTimeout=0 means wait indefinitely), so
+        // the backstop must stop on ANOTHER thread with its own deadline —
+        // otherwise the helper written to prevent hangs would hang
+        val stopper = Executors.newSingleThreadExecutor()
+        try stopper.submit(new Runnable { def run(): Unit = q.stop() })
+          .get(15L, TimeUnit.SECONDS)
+        catch { case _: Exception => () }
+        finally { stopper.shutdownNow(); ex.shutdownNow() }
         fail(s"streaming query '${q.name}' did not drain within ${timeoutSec}s " +
           "(state-store commit stall?)")
     } finally ex.shutdown()
