@@ -183,6 +183,105 @@ object Multimodal {
       }.toDF("doc_id", "ahash")
   }
 
+  /** One decoded-audio record; `ok=false` rows carry the failure instead of
+    * features (corrupt media degrades, never kills the job).
+    */
+  final case class AudioMeta(
+      docId: Long, ok: Boolean, sampleRate: Int, nSamples: Long,
+      durationMs: Long, peak: Long, rms: Double, error: String)
+
+  /** Wrap raw 8-bit unsigned PCM in a RIFF/WAVE container (44-byte header,
+    * mono). The synth side of the audio round-trip: tests and q70 build
+    * real WAV files from deterministic payloads, then decode them with the
+    * real parser below.
+    */
+  def wavContainer(pcm: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)             // PCM
+      .putShort(1.toShort)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)              // byte rate (1 byte/sample)
+      .putShort(1.toShort)             // block align
+      .putShort(8.toShort)             // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** REAL audio decode on the JVM — `javax.sound.sampled.AudioSystem`
+    * ships with the JDK (WAV/AIFF/AU parsers), no external codec needed.
+    * The container header is genuinely parsed (sample rate, bit depth,
+    * channel count come from the file, not from assumptions), the PCM
+    * payload is streamed back out, and loudness features are integer
+    * arithmetic over the samples. Same `mapPartitions` contract as
+    * [[decodeImages]]: bytes never leave the partition, per-row failures
+    * degrade to error records.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+            try {
+              val fmt = in.getFormat
+              require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+                s"unsupported layout: ${fmt.getSampleSizeInBits}-bit/${fmt.getChannels}ch")
+              val pcm = in.readAllBytes()
+              var sumSq = 0L
+              var peak = 0L
+              var i = 0
+              while (i < pcm.length) {
+                val centered = (pcm(i) & 0xff) - 128L // unsigned PCM midpoint
+                sumSq += centered * centered
+                if (math.abs(centered) > peak) peak = math.abs(centered)
+                i += 1
+              }
+              val rate = fmt.getSampleRate.toInt
+              val n = pcm.length.toLong
+              AudioMeta(docId, ok = true, rate, n,
+                durationMs = if (rate == 0) 0L else n * 1000L / rate,
+                peak = peak,
+                rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+                error = "")
+            } finally in.close()
+          } catch {
+            case e: Exception =>
+              AudioMeta(docId, ok = false, 0, 0L, 0L, 0L, 0.0,
+                String.valueOf(e.getMessage))
+          }
+        }
+      }
+  }
+
+  /** Audio feature extraction as a query: each doc's text bytes stand in
+    * for an 8 kHz unsigned-PCM payload (the same blob-synthesis trick as
+    * q40), wrapped in a real WAV container and decoded by the REAL
+    * javax.sound parser — so header parsing, format negotiation, and the
+    * PCM round-trip are all exercised, while the features stay exact
+    * integer arithmetic the DuckDB oracle replays from character codes.
+    */
+  def q70AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Queries.t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, wavContainer(text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      }).toDF("doc_id", "media")
+    decodeAudio(spark, media)
+      .filter(col("ok"))
+      .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"), col("durationMs").as("duration_ms"),
+        col("peak"), col("rms"))
+      .orderBy(col("doc_id"))
+  }
   /** Frame sampling as offset arithmetic: every `stride` bytes, an
     * (offset, length) window — pointers, not bytes.
     */
@@ -222,9 +321,23 @@ object Multimodal {
         |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
         |  min(content_md5) AS min_md5
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q70_audio_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, ascii(substring(text, i, 1)) AS v
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+        |  WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  8000 AS sample_rate,
+        |  count(*) AS n_samples,
+        |  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(v - 128)) AS BIGINT) AS peak,
+        |  sqrt(CAST(sum((v - 128) * (v - 128)) AS DOUBLE) / count(*)) AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> (q40MultimodalMeta _),
+    "q70_audio_features" -> (q70AudioFeatures _),
   )
 }

@@ -265,6 +265,27 @@ class OperatorsSpec extends SparkTestBase {
       s"unrelated noise must be far (got ${hamming(h(1L), h(3L))})")
   }
 
+  test("real WAV decode: header parsed by javax.sound, features exact, corrupt bytes degrade") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 4 samples around the unsigned midpoint: 128±d -> peak=2, rms=sqrt(2.5)
+    val pcm = Array[Byte](128.toByte, 130.toByte, 126.toByte, 129.toByte)
+    val wav = Multimodal.wavContainer(pcm, sampleRate = 4000)
+    val media = Seq(
+      (1L, wav),
+      (2L, Array.fill[Byte](64)(42)), // no RIFF header: must error, not throw
+      (3L, wav.take(20))).toDF("doc_id", "media") // truncated header
+    val out = Multimodal.decodeAudio(spark, media).collect()
+      .map(m => m.docId -> m).toMap
+    val good = out(1L)
+    assert(good.ok && good.sampleRate == 4000, "rate must come from the parsed header")
+    assert(good.nSamples == 4L && good.durationMs == 1L) // 4/4000s = 1ms
+    assert(good.peak == 2L)
+    assert(math.abs(good.rms - math.sqrt((0 + 4 + 4 + 1) / 4.0)) < 1e-12)
+    assert(!out(2L).ok && out(2L).error.nonEmpty, "garbage must degrade to an error row")
+    assert(!out(3L).ok, "truncated header must degrade to an error row")
+  }
+
   test("frame sampling emits offset windows covering the blob exactly") {
     val media = Multimodal.mediaTable(spark, dir).limit(10)
     val frames = Multimodal.frameSample(media, stride = 100).collect()

@@ -106,6 +106,23 @@ class PlanContractSpec extends SparkTestBase {
     assert(specs.count(!_) == 1, s"expected exactly one per-lang candidate window:\n${p.take(2000)}")
   }
 
+  test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
+    val p = plan(graft.operators.Dedup.q67IncrementalDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"probe must never degrade to a product:\n${p.take(1500)}")
+  }
+
+  test("q68: the heavy cumsum window runs per (pid, lang); only partition totals see a per-lang window") {
+    val p = plan(graft.operators.Curation.q68TokenBudget(spark, dir))
+    val specs = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    // bottom-up: the full-corpus window keys on pid (scan-local); the
+    // per-lang window may only rank the one-row-per-(pid,lang) totals
+    assert(specs.count(_ == "pid") == 1,
+      s"expected exactly one pid-keyed full-data window, got $specs:\n${p.take(1500)}")
+    assert(specs.count(_ == "lang") == 1,
+      s"expected exactly one per-lang totals window, got $specs:\n${p.take(1500)}")
+  }
+
   test("q59: the interval join is driven by the user_id equality, never a nested loop") {
     val p = plan(graft.operators.ScaleOps.q59IntervalJoin(spark, dir))
     assert(!p.contains("NestedLoop"),
