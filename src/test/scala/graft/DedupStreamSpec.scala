@@ -66,6 +66,31 @@ class DedupStreamSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 7L, 10L))
   }
 
+  test("index compaction (small-file GC) preserves probe behavior for later batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val wh = Warehouse(tmpDir("dedup-compact-wh"))
+    val ckpt = tmpDir("dedup-compact-ckpt")
+    runBatch(input, wh, ckpt, (1L, doc(20)))
+    runBatch(input, wh, ckpt, (3L, doc(21)))
+    val before = matches(wh)
+    // per-micro-batch appends = one file tree per batch; at 100 TB the
+    // index would be millions of small files — compact to a bounded count
+    val filesBefore = graft.plans.Maintenance
+      .dataFiles(spark, wh, "dedup_index_buckets").size
+    graft.plans.Maintenance.compact(spark, wh, "dedup_index_buckets", 1)
+    graft.plans.Maintenance.compact(spark, wh, "dedup_index_sets", 1)
+    assert(graft.plans.Maintenance.dataFiles(spark, wh, "dedup_index_buckets").size
+      < filesBefore, "compaction must reduce the file count")
+    assert(matches(wh) == before, "compaction must not touch the matches table")
+    // the NEXT batch probes the compacted index and appends normally
+    runBatch(input, wh, ckpt, (9L, doc(22)))
+    assert(matches(wh) == before ++ Set((9L, 1L), (9L, 3L)),
+      s"post-compaction probe must still find both stored docs: ${matches(wh)}")
+    assert(wh.read(spark, "dedup_index_sets").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 9L))
+  }
+
   test("at-least-once replay of a batch leaves matches and index unchanged") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
