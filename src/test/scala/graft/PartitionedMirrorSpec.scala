@@ -65,6 +65,44 @@ class PartitionedMirrorSpec extends SparkTestBase {
     }
   }
 
+  test("partial bucket overwrite + replay converges (dynamic overwrite is per-bucket, not atomic)") {
+    import scala.jdk.CollectionConverters._
+    val wh = Warehouse(tmpDir("pmirror-crash"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"))
+    PartitionedMirror.initialize(wh, "mc", Cdc.fold(initial, cfg), cfg, N)
+    val batch = changes((1L, "a2", "U", "t2"), (2L, "b2", "U", "t2"))
+    // bucket dir of key 1 — we will roll exactly this one back, simulating
+    // a crash that committed some touched buckets' overwrites but not all
+    val b1 = s"${PartitionedMirror.BucketCol}=" + spark.range(1)
+      .select(pmod(hash(lit(1L)), lit(N))).collect()(0).getInt(0)
+    val b1Dir = Paths.get(wh.tablePath("mc"), b1)
+    val saved = Files.createTempDirectory("bucket-save")
+    Files.list(b1Dir).iterator().asScala.foreach(f =>
+      Files.copy(f, saved.resolve(f.getFileName.toString)))
+
+    PartitionedMirror.applyBatch(spark, wh, "mc", batch, cfg, N)
+    val want = state(wh, "mc")
+    assert(want == Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+
+    // crash simulation: key 1's bucket reverts to its pre-batch files (its
+    // overwrite "never happened"); key 2's bucket kept the new content
+    Files.list(b1Dir).iterator().asScala.foreach(Files.delete)
+    Files.list(saved).iterator().asScala.foreach(f =>
+      Files.copy(f, b1Dir.resolve(f.getFileName.toString)))
+    assert(state(wh, "mc") == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "half-applied batch visible before replay (the at-least-once window)")
+
+    // foreachBatch replays the SAME batch after the crash: latest-wins
+    // re-merge must converge both buckets — including the already-updated
+    // one — to the exact post-batch state
+    PartitionedMirror.applyBatch(spark, wh, "mc", batch, cfg, N)
+    assert(state(wh, "mc") == want, "replay must converge the partial write")
+    // and a further replay is a no-op (idempotent)
+    PartitionedMirror.applyBatch(spark, wh, "mc", batch, cfg, N)
+    assert(state(wh, "mc") == want)
+  }
+
   test("delete leaves a tombstone (late update loses); tombstone GC then empties the bucket") {
     val wh = Warehouse(tmpDir("pmirror-del"))
     val initial = changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1"))
