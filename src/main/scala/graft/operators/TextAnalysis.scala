@@ -199,7 +199,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Character-level Shannon entropy per document — the perplexity-proxy
+    * quality signal: near-zero entropy = degenerate repetition (aaaa…),
+    * unusually high = random junk/binary-in-text; both are filtered before
+    * training. Shape: explode to (doc, char), two-level hash agg — the
+    * per-doc alphabet is bounded (~100 symbols), so map-side combine
+    * collapses each doc to its histogram before anything shuffles. Entropy
+    * = log2(n) - Σ c·log2(c) / n over the integer histogram; log2 is the
+    * one step not guaranteed correctly-rounded across engines, so the
+    * result rounds to 6 decimals on both sides (the percentile precedent).
+    */
+  def q71CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clg"))
+      .withColumn("entropy",
+        round(log2(col("n_chars").cast("double")) - col("clg") / col("n_chars"), 6))
+      .select("doc_id", "lang", "n_chars", "n_distinct", "entropy")
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "q71_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |hist AS (
+        |  SELECT doc_id, lang, ch, count(*) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY doc_id, lang, ch)
+        |SELECT doc_id, lang,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct,
+        |  round(log2(CAST(sum(c) AS DOUBLE))
+        |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM hist GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
     "q29_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -309,5 +349,6 @@ object TextAnalysis {
     "q22_quality" -> (q22Quality _),
     "q23_token_classes" -> (q23TokenClasses _),
     "q24_fingerprint" -> (q24Fingerprint _),
+    "q71_char_entropy" -> (q71CharEntropy _),
   )
 }
