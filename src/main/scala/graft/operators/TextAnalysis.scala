@@ -225,7 +225,102 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_chars", "n_distinct", "entropy")
       .orderBy(col("doc_id"))
 
+  /** Deterministic PII/URL annotation of the synthetic corpus (the q70
+    * precedent: the testdata carries no emails/phones/URLs, so the INPUT
+    * side is synthesized identically in both engines — this one SQL snippet
+    * parses in Spark SQL and DuckDB — while the operator under test, the
+    * regex detect/redact/extract kernels, is fully real). Per doc:
+    * doc_id%4 identical emails, a phone when doc_id is odd, one shard-
+    * varied URL always, a mirror URL every 5th doc.
+    */
+  private val annotateSql: String =
+    """concat(text,
+      |  repeat(concat(' contact user', doc_id, '@example.org'),
+      |         cast(doc_id % 4 as int)),
+      |  case when doc_id % 2 = 1
+      |    then concat(' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'))
+      |    else '' end,
+      |  ' https://',
+      |  case cast(doc_id % 3 as int) when 0 then 'www' when 1 then 'cdn' else 'img' end,
+      |  '.', source, '.example.com/d/', doc_id,
+      |  case when doc_id % 5 = 0
+      |    then concat(' http://mirror.example.net/x/', doc_id)
+      |    else '' end)""".stripMargin
+
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+  private val urlRe   = "https?://[a-z0-9./-]+"
+
+  /** PII detection + redaction (emails, phone numbers) — the scrub pass a
+    * training pipeline runs before anything else. Counts via regexp_count,
+    * redaction via global regexp_replace; `redacted_md5` pins the full
+    * redacted text bit-for-bit across engines. Scale shape: a narrow
+    * per-row codegen map (RegExpReplace/RegExpCount are codegen'd Catalyst
+    * expressions), zero shuffle, zero UDFs — at 100 TB this runs entirely
+    * inside the scan stage.
+    */
+  def q72PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("full_text", expr(annotateSql))
+      .select(
+        col("doc_id"),
+        regexp_count(col("full_text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("full_text"), lit(phoneRe)).cast("long").as("n_phones"),
+        length(col("full_text")).cast("long").as("len_raw"),
+        regexp_replace(regexp_replace(col("full_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("len_raw"),
+        length(col("redacted")).cast("long").as("len_redacted"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  /** URL extraction + domain normalization + per-domain rollup — the
+    * provenance census of a web-scale corpus (which hosts feed the corpus,
+    * how many docs each touches, what share is https). Extract-all →
+    * explode (≲2 rows/doc here — bounded fanout), host parse, `www.`
+    * strip, hash-agg by domain. The explode is the only row multiplier and
+    * the final agg the only shuffle; domain cardinality is tiny relative
+    * to input so map-side combine collapses it.
+    */
+  def q73UrlDomains(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("full_text", expr(annotateSql))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(full_text, '$urlRe', 0)")).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("domain",
+        when(col("host").startsWith("www."), expr("substring(host, 5)"))
+          .otherwise(col("host")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("url").startsWith("https:"), 1L).otherwise(0L)).as("n_https"))
+      .orderBy(col("domain"))
+
   val oracles: Map[String, String] = Map(
+    "q72_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id, $annotateSql AS full_text FROM documents),
+        |r AS (SELECT doc_id, full_text,
+        |  regexp_replace(regexp_replace(full_text, '$emailRe', '<EMAIL>', 'g'),
+        |                 '$phoneRe', '<PHONE>', 'g') AS redacted FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(full_text, '$emailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(full_text, '$phoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(length(full_text) AS BIGINT) AS len_raw,
+        |  CAST(length(redacted) AS BIGINT) AS len_redacted,
+        |  md5(redacted) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q73_url_domains" ->
+      s"""WITH a AS (SELECT doc_id, $annotateSql AS full_text FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(full_text, '$urlRe')) AS url FROM a),
+        |h AS (SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+        |d AS (SELECT doc_id, url,
+        |  CASE WHEN host LIKE 'www.%' THEN substring(host, 5) ELSE host END AS domain FROM h)
+        |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(CASE WHEN url LIKE 'https:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
     "q71_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '')) AS ch
@@ -350,5 +445,7 @@ object TextAnalysis {
     "q23_token_classes" -> (q23TokenClasses _),
     "q24_fingerprint" -> (q24Fingerprint _),
     "q71_char_entropy" -> (q71CharEntropy _),
+    "q72_pii_scrub" -> (q72PiiScrub _),
+    "q73_url_domains" -> (q73UrlDomains _),
   )
 }

@@ -302,6 +302,46 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("PII scrub: redaction removes every detected match, lengths reconcile") {
+    import spark.implicits._
+    val out = TextAnalysis.q72PiiScrub(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_emails", "n_phones", "len_raw", "len_redacted", "redacted_md5"))
+    val rows = out.as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // construction: doc_id%4 emails, phone iff odd doc_id
+    rows.foreach { case (id, em, ph, _, _, _) =>
+      assert(em == id % 4, s"doc $id email count")
+      assert(ph == (id % 2), s"doc $id phone count")
+    }
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0), "annotation produced PII")
+    // every removed char is accounted for: len_raw - len_redacted equals
+    // (match chars - placeholder chars) per doc; placeholders are 7 chars each
+    rows.foreach { case (id, em, ph, raw, red, _) =>
+      val emailLen = s" contact user$id@example.org".length - " contact ".length
+      val phoneLen = 11 // +1-555-dddd
+      val expected = raw - em * emailLen - ph * phoneLen + em * "<EMAIL>".length + ph * "<PHONE>".length
+      assert(red == expected, s"doc $id redacted length")
+    }
+  }
+
+  test("URL domains: www stripped, every doc contributes, https share consistent") {
+    import spark.implicits._
+    val out = TextAnalysis.q73UrlDomains(spark, dir)
+    assert(out.columns.toSeq == Seq("domain", "n_urls", "n_docs", "n_https"))
+    val rows = out.as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_._1.startsWith("www.")), "www. must be stripped")
+    assert(rows.exists(_._1 == "mirror.example.net"), "mirror domain present")
+    // mirror URLs are all http; shard URLs all https
+    rows.foreach { case (d, urls, _, https) =>
+      if (d == "mirror.example.net") assert(https == 0L)
+      else assert(https == urls, s"domain $d should be all-https")
+    }
+    val nDocs = Queries.t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum >= nDocs, "at least one URL per doc")
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)
