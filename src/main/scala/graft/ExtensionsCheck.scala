@@ -39,6 +39,13 @@ object ExtensionsCheck {
       .collect()(0).getSeq[Long](0)
     require(sk == Seq(3L, 5L, 7L), s"kmv_sketch: $sk")
 
+    val bf = spark.sql(
+      "SELECT bloom_might_contain(bf, xxhash64(42L), 5) AS hit, " +
+        "bloom_might_contain(bf, xxhash64(43L), 5) AS miss FROM " +
+        "(SELECT bloom_build(xxhash64(42L), 1024, 5) AS bf)")
+      .collect()(0)
+    require(bf.getBoolean(0) && !bf.getBoolean(1), s"bloom_build/might_contain: $bf")
+
     val plan = Seq((1L, "x", 1L)).toDF("k", "v", "ts")
       .groupBy($"k").agg(max_by(struct($"v"), $"ts").as("last"))
       .queryExecution.executedPlan.toString

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
+import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
 
 /** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
   * to a session builder (or spark-submit conf) and graft's functions +
@@ -34,6 +34,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
       GraftFunctions.wordNgramsBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomBuildName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomBuild].getCanonicalName, GraftFunctions.BloomBuildName),
+      GraftFunctions.bloomBuildBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomMightContainName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomMightContain].getCanonicalName, GraftFunctions.BloomMightContainName),
+      GraftFunctions.bloomMightContainBuilder _))
     // plan-quality rule: naive max_by latest-per-key formulations get the
     // ObjectHashAggregate kernel instead of degrading to SortAggregate
     ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)

@@ -92,7 +92,36 @@ object GraftFunctions {
       WordNgramsName, wordNgramsBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       KmvSketchName, kmvSketchBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomBuildName, bloomBuildBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomMightContainName, bloomMightContainBuilder _, "built-in")
   }
+
+  /** Builder for `bloom_build(hash, numBits, numHashes)` — the shape
+    * literals size the aggregation buffer, so they are part of the
+    * function, not per-row inputs.
+    */
+  private[graft] def bloomBuildBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(h,
+          org.apache.spark.sql.catalyst.expressions.Literal(m: Int,
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+            org.apache.spark.sql.types.IntegerType)) => BloomBuild(h, m, k)
+      case _ => throw new IllegalArgumentException(
+        "bloom_build(hash, numBits, numHashes) requires integer literals for the shape")
+    }
+
+  /** Builder for `bloom_might_contain(filter, hash, numHashes)`. */
+  private[graft] def bloomMightContainBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(bits, h,
+          org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+            org.apache.spark.sql.types.IntegerType)) => BloomMightContain(bits, h, k)
+      case _ => throw new IllegalArgumentException(
+        "bloom_might_contain(filter, hash, numHashes) requires an integer literal numHashes")
+    }
 
   /** Builder for `kmv_sketch(hash, k)` — k must be an integer literal (it
     * bounds the aggregation buffer, so it is part of the function, not a
@@ -114,4 +143,8 @@ object GraftFunctions {
   val WordNgramsName = "word_ngrams"
   /** Spark-side name for the registered KMV distinct sketch aggregate. */
   val KmvSketchName = "kmv_sketch"
+  /** Spark-side name for the registered Bloom-filter build aggregate. */
+  val BloomBuildName = "bloom_build"
+  /** Spark-side name for the registered Bloom membership probe. */
+  val BloomMightContainName = "bloom_might_contain"
 }

@@ -210,11 +210,60 @@ object ScaleOps {
       .orderBy(col("cohort_day"))
   }
 
+  /** Bloom-filter shape for q74: 64 Kbit / 5 hashes ≈ 0.1% FP at ~3k keys;
+    * at 100 TB you'd size m ≈ 10·n_keys bits and still broadcast ~a few
+    * hundred MB at most — always ≪ the keys themselves.
+    */
+  private val BloomBits = 1 << 16
+  private val BloomHashes = 5
+
+  /** Explicit runtime-filter join (the 100 TB join-pruning pattern, made
+    * first-class): build a [[graft.functions.BloomBuild]] filter over the
+    * SELECTIVE dim side's join keys (urgent finished orders, ~2% of
+    * orders), broadcast the one-row bitset, and prune the fact scan with
+    * the codegen'd [[graft.functions.BloomMightContain]] probe BEFORE the
+    * join's shuffle — so ~98% of lineitem never crosses the wire. False
+    * positives pass the probe but die in the exact join that follows, so
+    * the result is identical to the plain join (which is exactly what the
+    * oracle runs). Spark's `injectRuntimeFilter` applies this trick
+    * opportunistically under AQE; owning the filter makes it deterministic,
+    * reusable (the bytes can be persisted and shipped to OTHER jobs over
+    * the same keys), and plan-testable ([[graft.PlanContractSpec]]).
+    */
+  def q74BloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = Queries.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = dim.agg(
+      expr(s"bloom_build(xxhash64(o_orderkey), $BloomBits, $BloomHashes)").as("bf"))
+    val pruned = Queries.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(bloom))
+      .filter(expr(s"bloom_might_contain(bf, xxhash64(l_orderkey), $BloomHashes)"))
+      .drop("bf")
+    pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q74_bloom_prune_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_kmv_merge" ->
       s"""WITH d AS (
          |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
@@ -338,5 +387,6 @@ object ScaleOps {
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),
     "q66_retention" -> (q66Retention _),
+    "q74_bloom_prune_join" -> (q74BloomPruneJoin _),
   )
 }

@@ -302,6 +302,32 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom filter: no false negatives, order-independent bytes, sane FP rate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val keys = (0L until 3000L).map(_ * 7919L)
+    val asc = keys.toDF("k").repartition(8)
+    val desc = keys.reverse.toDF("k").repartition(3)
+    def build(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.selectExpr("bloom_build(xxhash64(k), 65536, 5) as bf").as[Array[Byte]].head()
+    val a = build(asc)
+    val b = build(desc)
+    assert(java.util.Arrays.equals(a, b),
+      "bloom bytes must be identical regardless of row order and partitioning")
+    // no false negatives: every inserted key probes true
+    val misses = asc.selectExpr("k", s"bloom_might_contain(${hexLit(a)}, xxhash64(k), 5) as hit")
+      .filter(!col("hit")).count()
+    assert(misses == 0, "a bloom filter can never have false negatives")
+    // FP rate: 3k keys in 64Kbit/5 hashes ≈ 0.1%; allow 1%
+    val probes = (1L to 20000L).map(i => i * 7919L + 3L).toDF("k")
+    val fps = probes.selectExpr(s"bloom_might_contain(${hexLit(a)}, xxhash64(k), 5) as hit")
+      .filter(col("hit")).count()
+    assert(fps < 200, s"false-positive rate too high: $fps / 20000")
+  }
+
+  private def hexLit(bytes: Array[Byte]): String =
+    "X'" + bytes.map(b => f"$b%02X").mkString + "'"
+
   test("PII scrub: redaction removes every detected match, lengths reconcile") {
     import spark.implicits._
     val out = TextAnalysis.q72PiiScrub(spark, dir)

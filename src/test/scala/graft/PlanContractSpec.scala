@@ -164,6 +164,21 @@ class PlanContractSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = prior
   }
 
+  test("q74: owned bloom filter builds map-side-combined; the probe prunes the fact before its join") {
+    val df = graft.operators.ScaleOps.q74BloomPruneJoin(spark, dir)
+    val p = plan(df)
+    assert(p.contains("partial_bloom_build"),
+      s"bloom build must be a partial+final aggregate (one bitset per partition crosses the wire):\n${p.take(2000)}")
+    assert(p.contains("bloom_might_contain"), p.take(2000))
+    // the probe must run BELOW the exact orderkey join: in the plan tree the
+    // filter line is deeper than the last join line
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val probeLine = lines.indexWhere(_.contains("bloom_might_contain"))
+    val joinLine = lines.indexWhere(l => l.contains("Join") && l.contains("l_orderkey"))
+    assert(probeLine >= 0 && joinLine >= 0 && probeLine > joinLine,
+      "bloom probe must sit under (after, in printed order) the exact join it feeds")
+  }
+
   test("runtime bloom filter injects into a selective shuffle join (Spark-native, no hand-rolled bloom)") {
     // At 100 TB the shape of q57/q59-style joins is "huge probe side,
     // selective build side". Instead of hand-rolling a bloom pre-filter,
