@@ -39,6 +39,12 @@ object ExtensionsCheck {
       .collect()(0).getSeq[Long](0)
     require(sk == Seq(3L, 5L, 7L), s"kmv_sketch: $sk")
 
+    val topk = Seq(("a", 5L), ("b", 9L), ("c", 9L), ("d", 1L)).toDF("v", "c")
+      .agg(expr("top_k_by(v, c, 2)").as("t"))
+      .selectExpr("transform(t, e -> e.v) AS vs")
+      .collect()(0).getSeq[String](0)
+    require(topk == Seq("b", "c"), s"top_k_by: $topk")
+
     val bf = spark.sql(
       "SELECT bloom_might_contain(bf, xxhash64(42L), 5) AS hit, " +
         "bloom_might_contain(bf, xxhash64(43L), 5) AS miss FROM " +

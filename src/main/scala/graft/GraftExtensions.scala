@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, WordNgrams}
+import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, TopKBy, WordNgrams}
 
 /** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
   * to a session builder (or spark-submit conf) and graft's functions +
@@ -34,6 +34,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
       GraftFunctions.wordNgramsBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TopKByName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKBy].getCanonicalName, GraftFunctions.TopKByName),
+      GraftFunctions.topKByBuilder _))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.BloomBuildName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -93,10 +93,23 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       KmvSketchName, kmvSketchBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKByName, topKByBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomBuildName, bloomBuildBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomMightContainName, bloomMightContainBuilder _, "built-in")
   }
+
+  /** Builder for `top_k_by(value, key, k)` — k must be an integer literal
+    * (it bounds the aggregation buffer).
+    */
+  private[graft] def topKByBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(v, c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+          org.apache.spark.sql.types.IntegerType)) => TopKBy(v, c, k)
+      case _ => throw new IllegalArgumentException(
+        "top_k_by(value, key, k) requires an integer literal k")
+    }
 
   /** Builder for `bloom_build(hash, numBits, numHashes)` — the shape
     * literals size the aggregation buffer, so they are part of the
@@ -143,6 +156,8 @@ object GraftFunctions {
   val WordNgramsName = "word_ngrams"
   /** Spark-side name for the registered KMV distinct sketch aggregate. */
   val KmvSketchName = "kmv_sketch"
+  /** Spark-side name for the registered bounded top-k aggregate. */
+  val TopKByName = "top_k_by"
   /** Spark-side name for the registered Bloom-filter build aggregate. */
   val BloomBuildName = "bloom_build"
   /** Spark-side name for the registered Bloom membership probe. */

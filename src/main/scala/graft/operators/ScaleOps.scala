@@ -251,11 +251,56 @@ object ScaleOps {
       .orderBy(col("month"))
   }
 
+  /** Event-transition matrix with per-state top-k: for each event type, the
+    * 3 most common IMMEDIATELY-FOLLOWING event types (the Markov-chain view
+    * of user journeys — "what do users do after a `click`").
+    *
+    * Two windows could do this; only one survives scale. The per-user
+    * `lead` window is bounded by a single user's history — fine. The
+    * per-prev-event ranking window is NOT (an event type's transition list
+    * is corpus-sized), so the ranking runs as
+    * [[graft.functions.TopKBy]] — the mergeable bounded-heap aggregate:
+    * partials keep <= k entries per group per partition, the shuffle
+    * carries k-entry buffers, no group ever sorts on one reducer. That is
+    * the q55 two-phase top-k move packaged as a reusable one-call
+    * primitive (and the same ObjectHashAggregate contract as `latest_row`
+    * / `kmv_sketch`).
+    */
+  def q75Transitions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Queries.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("next_event", lead(col("event_type"), 1).over(w))
+      .filter(col("next_event").isNotNull)
+      .groupBy(col("event_type").as("prev_event"), col("next_event"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("prev_event"))
+      .agg(expr("top_k_by(next_event, cnt, 3)").as("top"))
+      .select(col("prev_event"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("prev_event"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.v").as("next_event"), col("e.c").as("cnt"))
+      .orderBy(col("prev_event"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q75_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_event
+        |  FROM events),
+        |p AS (SELECT event_type AS prev_event, next_event, count(*) AS cnt
+        |  FROM s WHERE next_event IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY prev_event
+        |    ORDER BY cnt DESC, next_event) AS BIGINT) AS rank FROM p)
+        |SELECT prev_event, rank, next_event, cnt FROM r WHERE rank <= 3
+        |ORDER BY prev_event, rank""".stripMargin,
+
     "q74_bloom_prune_join" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n_items,
@@ -388,5 +433,6 @@ object ScaleOps {
     "q65_funnel" -> (q65Funnel _),
     "q66_retention" -> (q66Retention _),
     "q74_bloom_prune_join" -> (q74BloomPruneJoin _),
+    "q75_transitions" -> (q75Transitions _),
   )
 }

@@ -302,6 +302,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("top_k_by: order- and partitioning-independent, ties break on value ascending") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (s"g${i % 5}", s"v$i", rnd.nextInt(50).toLong))
+    def run(data: Seq[(String, String, Long)], parts: Int): Map[String, Seq[(String, Long)]] =
+      data.toDF("g", "v", "c").repartition(parts)
+        .groupBy($"g").agg(expr("top_k_by(v, c, 4)").as("t"))
+        .select($"g", $"t").as[(String, Seq[(String, Long)])]
+        .collect().toMap
+    val a = run(rows, 7)
+    val b = run(rnd.shuffle(rows), 2)
+    assert(a == b, "top_k_by must not depend on row order or partitioning")
+    // reference: sort each group by (c desc, v asc), take 4
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy { case (v, c) => (-c, v) }.take(4)).toMap
+    assert(a == want)
+  }
+
   test("bloom filter: no false negatives, order-independent bytes, sane FP rate") {
     import spark.implicits._
     GraftFunctions.register(spark)

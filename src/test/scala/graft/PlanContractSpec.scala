@@ -164,6 +164,17 @@ class PlanContractSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = prior
   }
 
+  test("q75: per-state ranking is a map-side-combined top-k aggregate; only the per-user lead windows") {
+    val df = graft.operators.ScaleOps.q75Transitions(spark, dir)
+    val p = plan(df)
+    assert(p.contains("partial_top_k_by"),
+      s"top-k must partial-aggregate before the shuffle:\n${p.take(2000)}")
+    assert(!p.contains("row_number"),
+      "a per-group ranking window would sort each event type's transition list on one reducer")
+    // exactly one Window operator: the per-user lead (bounded by one user's history)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(2000))
+  }
+
   test("q74: owned bloom filter builds map-side-combined; the probe prunes the fact before its join") {
     val df = graft.operators.ScaleOps.q74BloomPruneJoin(spark, dir)
     val p = plan(df)
