@@ -240,38 +240,28 @@ object Curation {
   // q55: per-language vocabulary top-k
   // ------------------------------------------------------------------
 
-  /** Salt fan-out for the two-phase vocabulary top-k. */
-  private val VocabSalts = 8
-
   /** Top-10 tokens per language by frequency (vocabulary extraction).
     * Explode -> two-level hash agg (map-side combine absorbs the token
-    * explosion) -> TWO-PHASE top-k: a web-scale vocabulary is tens of
-    * millions of (lang, token) rows per major language, so a single
+    * explosion) -> bounded top-k AGGREGATE: a web-scale vocabulary is tens
+    * of millions of (lang, token) rows per major language, so a single
     * per-language window would sort each language's whole vocab on one
-    * reducer (round-2 verdict #7). Phase 1 ranks within (lang, salt-of-
-    * token) — [[VocabSalts]]× the parallelism, each group seeing ~1/8 of
-    * the vocab — and keeps 10 candidates per salt. Phase 2 ranks the
-    * <= 80 candidates per language. Exact under the strict total order
-    * (cnt DESC, token ASC): a global top-10 token outranks all but < 10
-    * tokens overall, hence < 10 within its own salt group. Ties break on
-    * token ASC for determinism.
+    * reducer (round-2 verdict #7). Round 2 fixed that with a hand-rolled
+    * two-phase salted window; [[graft.functions.TopKBy]] is that same move
+    * as a mergeable ObjectHashAggregate — partials keep <= 10 entries per
+    * language per partition, the shuffle carries 10-entry buffers, and no
+    * window (hence no per-group sort) exists anywhere in the plan. Ties
+    * break on token ASC, identical to the oracle's row_number order.
     */
   def q55VocabTopk(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docs(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
-    val candidates = counts
-      .withColumn("salt", pmod(xxhash64(col("token")), lit(VocabSalts)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang"), col("salt"))
-          .orderBy(col("cnt").desc, col("token"))))
-      .filter(col("rn") <= 10)
-      .drop("salt", "rn")
-    candidates.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("lang"))
-          .orderBy(col("cnt").desc, col("token"))))
-      .filter(col("rnk") <= 10)
-      .select("lang", "token", "cnt", "rnk")
+      .groupBy(col("lang"))
+      .agg(expr("top_k_by(token, cnt, 10)").as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.v").as("token"), col("e.c").as("cnt"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("lang"), col("rnk"))
   }
 

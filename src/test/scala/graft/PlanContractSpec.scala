@@ -95,15 +95,12 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
-  test("q55: the full vocab is ranked within (lang, salt); only candidates see the per-lang window") {
+  test("q55: the vocabulary is never window-sorted — top-k is a map-side-combined aggregate") {
     val p = plan(graft.operators.Curation.q55VocabTopk(spark, dir))
-    val specs = "windowspecdefinition\\(lang#\\d+L?(, salt#\\d+L?)?,".r
-      .findAllMatchIn(p).map(_.group(1) != null).toSeq
-    // bottom-up plan order: the window nearest the scan (= over the full
-    // vocabulary) must carry the salt; the unsalted per-lang window may only
-    // rank the <= 10*salts candidate rows above it
-    assert(specs.count(identity) >= 1, s"expected a salted phase-1 window:\n${p.take(2000)}")
-    assert(specs.count(!_) == 1, s"expected exactly one per-lang candidate window:\n${p.take(2000)}")
+    assert(p.contains("partial_top_k_by"),
+      s"per-language top-k must partial-aggregate before the shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      "no window may exist: a per-lang ranking window sorts each language's full vocab on one reducer")
   }
 
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
