@@ -341,6 +341,44 @@ object Curation {
       .select("doc_id", "lang", "n5", "d5", "rep_ratio")
       .orderBy(col("rep_ratio").desc, col("doc_id"))
 
+  /** Data-mixing allocation (q78): given per-source corpus sizes and a
+    * configured weight profile, compute each source's token allocation
+    * under a global budget — the "mixture weights" step every pretraining
+    * run executes after curation (upweight rare/high-quality sources,
+    * downweight the dominant crawl). Weights here are the deterministic
+    * arithmetic profile w_s = n_sources - rank(source) + 1 (a stand-in for
+    * a configured table; the allocation algebra is what is under test);
+    * budget = half the corpus tokens; alloc_s = min(own tokens,
+    * floor(budget * w_s / Σw)) — a source too small to absorb its share is
+    * capped (waterfilling's first iteration; leftover redistribution is a
+    * driver-side loop over S rows, not a data-plane concern).
+    *
+    * Everything is BIGINT arithmetic (bit-exact across engines); the one
+    * double, the sampling rate, is a 6-decimal round of an integer ratio.
+    * Scale: one hash-agg over the corpus to S source rows; the window +
+    * cross-join run on those S rows — sub-kilobyte at any corpus size.
+    */
+  def q78MixAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("source"))
+    val stats = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    // S-row relation from here on: the unpartitioned window is fine
+    val ranked = stats
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("weight", col("n_src") - col("rank") + 1)
+    val totals = ranked.agg(sum(col("n_tokens")).as("tot"), sum(col("weight")).as("den"))
+    ranked.crossJoin(totals)
+      .withColumn("alloc_tokens",
+        least(col("n_tokens"), expr("(tot DIV 2) * weight DIV den")))
+      .withColumn("rate",
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6))
+      .select("source", "n_docs", "n_tokens", "weight", "alloc_tokens", "rate")
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -470,6 +508,23 @@ object Curation {
          |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
          |FROM grams GROUP BY doc_id, lang
          |ORDER BY rep_ratio DESC, doc_id""".stripMargin,
+
+    "q78_mix_allocation" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_src
+        |  FROM s),
+        |w AS (SELECT *, n_src - rank + 1 AS weight FROM r),
+        |t AS (SELECT sum(n_tokens) AS tot, sum(weight) AS den FROM w),
+        |a AS (SELECT w.*, least(n_tokens, (tot // 2) * weight // den) AS alloc_tokens
+        |  FROM w, t)
+        |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
+        |  round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS rate
+        |FROM a ORDER BY source""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -480,6 +535,7 @@ object Curation {
     "q54_chunk_overlap" -> (q54ChunkOverlap _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_repetition" -> (q56Repetition _),
+    "q78_mix_allocation" -> (q78MixAllocation _),
     "q68_token_budget" -> (q68TokenBudget _),
   )
 }

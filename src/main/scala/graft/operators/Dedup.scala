@@ -360,6 +360,42 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Passage window width (tokens) for q76 — non-overlapping chunks. */
+  private val PassageTokens = 20
+
+  /** Passage-level exact dedup (q76): the sub-document granularity a
+    * pretraining corpus is actually deduplicated at — boilerplate repeats
+    * across pages whose full texts differ, so document-level hashing
+    * (q30) misses it. Each document is cut into non-overlapping
+    * [[PassageTokens]]-token windows (the tail keeps its remainder); each
+    * window is content-hashed, counted corpus-wide, and every document
+    * reports how much of it is corpus-duplicated passage text.
+    *
+    * Scale shape (100 TB): chunking + hashing are per-row codegen (no
+    * shuffle); the passage census is one hash-agg on the passage hash
+    * (map-side combine) and the lookup is a shuffle equi-join on the same
+    * key — the exchange feeding the census is reused for the join side, so
+    * the passage stream shuffles once. No window functions, no broadcast
+    * of anything corpus-sized, no driver collect.
+    */
+  def q76PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val p = PassageTokens
+    val passages = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $p.0) AS INT) - 1),
+           |          i -> md5(concat_ws(' ', slice(toks, i * $p + 1, $p))))""".stripMargin))
+        .as("ph"))
+    val census = passages.groupBy(col("ph")).agg(count(lit(1)).as("cnt"))
+    passages.join(census, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -492,6 +528,19 @@ object Dedup {
         |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY new_id, old_id""".stripMargin,
 
+    "q76_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  [md5(array_to_string(toks[i*$PassageTokens+1 : i*$PassageTokens+$PassageTokens], ' '))
+        |   for i in generate_series(0, CAST(ceil(len(toks) / $PassageTokens.0) AS INT) - 1)] AS phs
+        |FROM t),
+        |e AS (SELECT doc_id, unnest(phs) AS ph FROM c),
+        |g AS (SELECT ph, count(*) AS cnt FROM e GROUP BY ph)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |  round(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM e JOIN g USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -518,5 +567,6 @@ object Dedup {
     "q32_minhash_lsh" -> (q32MinhashLsh _),
     "q33_simhash" -> (q33Simhash _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
+    "q76_passage_dedup" -> (q76PassageDedup _),
   )
 }

@@ -225,6 +225,46 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_chars", "n_distinct", "entropy")
       .orderBy(col("doc_id"))
 
+  /** Bigram language-model scoring (q77) — the CCNet/KenLM-style quality
+    * filter: train bigram conditional frequencies ON the corpus, then score
+    * each document by its mean bigram log-probability
+    * avg(ln(c(w1 w2) / c(w1 ·))). Low scores = improbable token sequences
+    * (junk/garbled text); unusually high = degenerate repetition. Both
+    * tails are cut before training.
+    *
+    * Scale shape (100 TB): bigram explosion is the codegen
+    * [[graft.functions.WordNgrams]] kernel (no shuffle); the model is two
+    * hash-aggs (bigram counts, prefix counts — map-side combined); scoring
+    * joins the bigram stream against the model on the bigram/prefix keys —
+    * shuffle equi-joins whose build side is vocabulary²-bounded, with the
+    * exploded stream's exchange reused between the count and join
+    * consumers. No windows, no broadcast of anything corpus-sized.
+    *
+    * Determinism: per-bigram log-probs are summed as ROUNDED INTEGER
+    * nano-units (order-independent bigint sum), not doubles — float
+    * accumulation order would differ between Spark's partial aggregates
+    * and DuckDB; ln() 1-ulp differences are absorbed by the nano-round
+    * followed by the 6-decimal output round.
+    */
+  def q77BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bi = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr("word_ngrams(toks, 2)")).as("bg"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+    val cBi = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    bi.join(cBi, Seq("bg")).join(cW1, Seq("w1"))
+      .withColumn("lp_nano", expr(
+        "CAST(round(ln(CAST(cb AS DOUBLE) / cw) * 1000000000) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_nano")).as("nano"))
+      .withColumn("avg_logprob",
+        round(col("nano").cast("double") / col("n_bigrams") / 1e9, 6))
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic PII/URL annotation of the synthetic corpus (the q70
     * precedent: the testdata carries no emails/phones/URLs, so the INPUT
     * side is synthesized identically in both engines — this one SQL snippet
@@ -334,6 +374,21 @@ object TextAnalysis {
         |  round(log2(CAST(sum(c) AS DOUBLE))
         |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM hist GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q77_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1]
+        |          for i in generate_series(1, len(toks) - 1)]) AS bg FROM t),
+        |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |cb AS (SELECT bg, count(*) AS cb FROM b2 GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS cw FROM b2 GROUP BY w1),
+        |s AS (SELECT doc_id,
+        |  CAST(round(ln(CAST(cb.cb AS DOUBLE) / cw.cw) * 1000000000) AS BIGINT) AS lp_nano
+        |FROM b2 JOIN cb USING (bg) JOIN cw USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 1e9, 6) AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q29_tfidf" ->
       """WITH toks AS (
@@ -447,5 +502,6 @@ object TextAnalysis {
     "q71_char_entropy" -> (q71CharEntropy _),
     "q72_pii_scrub" -> (q72PiiScrub _),
     "q73_url_domains" -> (q73UrlDomains _),
+    "q77_bigram_lm" -> (q77BigramLm _),
   )
 }
