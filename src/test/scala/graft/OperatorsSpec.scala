@@ -387,6 +387,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.map(_._2).sum >= nDocs, "at least one URL per doc")
   }
 
+  test("passage dedup: every doc chunks to ceil(tokens/20) passages; ratios bounded") {
+    import spark.implicits._
+    val out = Dedup.q76PassageDedup(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_passages", "n_dup_passages", "dup_ratio"))
+    val got = out.as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val expected = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .as[(Long, Int)].collect()
+    assert(got.size == expected.length, "one row per document")
+    expected.foreach { case (id, nt) =>
+      val (_, np, nd, ratio) = got(id)
+      assert(np == math.ceil(nt / 20.0).toLong, s"doc $id passage count")
+      assert(nd >= 0 && nd <= np, s"doc $id dup count bounds")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id ratio bounds")
+    }
+  }
+
+  test("bigram LM: scores are non-positive; bigram counts reconcile with token counts") {
+    import spark.implicits._
+    val out = TextAnalysis.q77BigramLm(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "n_bigrams", "avg_logprob"))
+    val got = out.as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // conditional probability c(w1 w2) <= c(w1 ·) => every log-prob <= 0
+    got.foreach { case (id, nb, lp) =>
+      assert(lp <= 0.0, s"doc $id avg_logprob must be <= 0, got $lp")
+      assert(nb >= 1, s"doc $id bigram count")
+    }
+    val tokCounts = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (id, nb, _) =>
+      assert(nb == tokCounts(id) - 1L, s"doc $id: n_bigrams == n_tokens - 1")
+    }
+  }
+
+  test("mix allocation: weights are a rank permutation; allocations respect caps and budget") {
+    import spark.implicits._
+    val out = graft.operators.Curation.q78MixAllocation(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("source", "n_docs", "n_tokens", "weight", "alloc_tokens", "rate"))
+    val rows = out.as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    // sources sort ascending; weights descend n..1 in that order
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._4).toSeq == (n to 1L by -1L).toSeq)
+    val tot = rows.map(_._3).sum
+    rows.foreach { case (s, _, nt, _, alloc, rate) =>
+      assert(alloc <= nt, s"source $s allocation exceeds its corpus")
+      assert(rate >= 0.0 && rate <= 1.0, s"source $s rate bounds")
+    }
+    assert(rows.map(_._5).sum <= tot / 2, "total allocation within the budget")
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)

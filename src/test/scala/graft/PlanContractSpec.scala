@@ -103,6 +103,18 @@ class PlanContractSpec extends SparkTestBase {
       "no window may exist: a per-lang ranking window sorts each language's full vocab on one reducer")
   }
 
+  test("q76/q77: passage census and LM scoring never window-sort or cross-join") {
+    for ((name, df) <- Seq(
+        "q76" -> graft.operators.Dedup.q76PassageDedup(spark, dir),
+        "q77" -> graft.operators.TextAnalysis.q77BigramLm(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window ["),
+        s"$name: corpus-wide census/model must be hash-aggs, not windows:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$name: census lookup must stay an equi-join:\n${p.take(1500)}")
+    }
+  }
+
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
     val p = plan(graft.operators.Dedup.q67IncrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
