@@ -52,6 +52,12 @@ object ExtensionsCheck {
       .collect()(0)
     require(bf.getBoolean(0) && !bf.getBoolean(1), s"bloom_build/might_contain: $bf")
 
+    val hh = Seq("a", "b", "a", "c", "a", "b").toDF("t")
+      .agg(expr("heavy_hitters(t, 8)").as("hh"))
+      .selectExpr("transform(hh, e -> concat(e.item, ':', e.cnt)) AS s")
+      .collect()(0).getSeq[String](0)
+    require(hh == Seq("a:3", "b:2", "c:1"), s"heavy_hitters: $hh")
+
     val plan = Seq((1L, "x", 1L)).toDF("k", "v", "ts")
       .groupBy($"k").agg(max_by(struct($"v"), $"ts").as("last"))
       .queryExecution.executedPlan.toString

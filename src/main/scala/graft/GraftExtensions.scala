@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, TopKBy, WordNgrams}
+import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, HeavyHitters, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, TopKBy, WordNgrams}
 
 /** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
   * to a session builder (or spark-submit conf) and graft's functions +
@@ -49,6 +49,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomMightContain].getCanonicalName, GraftFunctions.BloomMightContainName),
       GraftFunctions.bloomMightContainBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.HeavyHittersName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HeavyHitters].getCanonicalName, GraftFunctions.HeavyHittersName),
+      GraftFunctions.heavyHittersBuilder _))
     // plan-quality rule: naive max_by latest-per-key formulations get the
     // ObjectHashAggregate kernel instead of degrading to SortAggregate
     ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)

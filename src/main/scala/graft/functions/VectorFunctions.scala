@@ -98,6 +98,8 @@ object GraftFunctions {
       BloomBuildName, bloomBuildBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomMightContainName, bloomMightContainBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HeavyHittersName, heavyHittersBuilder _, "built-in")
   }
 
   /** Builder for `top_k_by(value, key, k)` — k must be an integer literal
@@ -148,6 +150,17 @@ object GraftFunctions {
         "kmv_sketch(hash, k) requires an integer literal k")
     }
 
+  /** Builder for `heavy_hitters(item, m)` — m must be an integer literal
+    * (it bounds the aggregation buffer).
+    */
+  private[graft] def heavyHittersBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(item, org.apache.spark.sql.catalyst.expressions.Literal(m: Int,
+          org.apache.spark.sql.types.IntegerType)) => HeavyHitters(item, m)
+      case _ => throw new IllegalArgumentException(
+        "heavy_hitters(item, m) requires an integer literal m")
+    }
+
   /** Spark-side name for the registered dot kernel. */
   val LongDotName = "long_dot"
   /** Spark-side name for the registered argmax aggregate. */
@@ -162,4 +175,6 @@ object GraftFunctions {
   val BloomBuildName = "bloom_build"
   /** Spark-side name for the registered Bloom membership probe. */
   val BloomMightContainName = "bloom_might_contain"
+  /** Spark-side name for the registered Misra-Gries frequent-items aggregate. */
+  val HeavyHittersName = "heavy_hitters"
 }

@@ -360,8 +360,18 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Passage window width (tokens) for q76 — non-overlapping chunks. */
+  /** Passage window width (tokens) for q76/q80 — non-overlapping chunks. */
   private val PassageTokens = 20
+
+  /** md5 hashes of a doc's non-overlapping [[PassageTokens]]-token windows
+    * (the tail keeps its remainder) — expects a `toks` column in scope.
+    */
+  private def passageHashExpr: Column = {
+    val p = PassageTokens
+    expr(
+      s"""transform(sequence(0, CAST(ceil(size(toks) / $p.0) AS INT) - 1),
+         |          i -> md5(concat_ws(' ', slice(toks, i * $p + 1, $p))))""".stripMargin)
+  }
 
   /** Passage-level exact dedup (q76): the sub-document granularity a
     * pretraining corpus is actually deduplicated at — boilerplate repeats
@@ -379,13 +389,9 @@ object Dedup {
     * of anything corpus-sized, no driver collect.
     */
   def q76PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val p = PassageTokens
     val passages = Queries.t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, CAST(ceil(size(toks) / $p.0) AS INT) - 1),
-           |          i -> md5(concat_ws(' ', slice(toks, i * $p + 1, $p))))""".stripMargin))
-        .as("ph"))
+      .select(col("doc_id"), explode(passageHashExpr).as("ph"))
     val census = passages.groupBy(col("ph")).agg(count(lit(1)).as("cnt"))
     passages.join(census, Seq("ph"))
       .groupBy(col("doc_id"))
@@ -394,6 +400,40 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
       .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source contamination matrix (q80): for every source pair, how
+    * many distinct passages they share — the provenance question a corpus
+    * audit asks before mixing sources (shared boilerplate, mirrored sites,
+    * duplicated dumps inflate a source's apparent contribution).
+    *
+    * Scale shape: the per-(source, passage) census is one distinct on
+    * corpus-sized data (hash-agg, map-side combined). The overlap
+    * self-join's fanout per passage hash is bounded by S² (S = number of
+    * sources, a few hundred at most) because the census is DISTINCT on
+    * (source, ph) — a passage shared by every document still contributes
+    * at most C(S,2) pairs, never a corpus-quadratic blowup. The
+    * source-level size relation is S rows; its joins are trivially
+    * broadcast.
+    */
+  def q80SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), explode(passageHashExpr).as("ph"))
+      .distinct()
+    val n = sp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sp.as("a").join(sp.as("b"),
+        col("a.ph") === col("b.ph") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_passages"))
+    pairs
+      .join(broadcast(n.as("na")), col("src_a") === col("na.source"))
+      .join(broadcast(n.as("nb")), col("src_b") === col("nb.source"))
+      .select(col("src_a"), col("src_b"), col("shared_passages"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"),
+        round(col("shared_passages").cast("double") /
+          (col("na.n") + col("nb.n") - col("shared_passages")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   // ------------------------------------------------------------------
@@ -541,6 +581,22 @@ object Dedup {
         |  round(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
         |FROM e JOIN g USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q80_source_overlap" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT source,
+        |  [md5(array_to_string(toks[i*$PassageTokens+1 : i*$PassageTokens+$PassageTokens], ' '))
+        |   for i in generate_series(0, CAST(ceil(len(toks) / $PassageTokens.0) AS INT) - 1)] AS phs
+        |FROM t),
+        |e AS (SELECT DISTINCT source, unnest(phs) AS ph FROM c),
+        |n AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_passages
+        |      FROM e a JOIN e b ON a.ph = b.ph AND a.source < b.source
+        |      GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, shared_passages, na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(shared_passages AS DOUBLE) / (na.n + nb.n - shared_passages), 6) AS jaccard
+        |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -568,5 +624,6 @@ object Dedup {
     "q33_simhash" -> (q33Simhash _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q76_passage_dedup" -> (q76PassageDedup _),
+    "q80_source_overlap" -> (q80SourceOverlap _),
   )
 }

@@ -176,23 +176,28 @@ object TextAnalysis {
 
   /** TF-IDF term scoring: top-3 terms per document (first 50 docs) by
     * tf * ln((N+1)/(df+1)), rounded to 6 decimals for cross-engine rank
-    * stability, tie-broken by term. Two shuffles: (doc, term) counts and
-    * per-term document frequencies; the df side is a broadcast at any SF
-    * (vocabulary-sized).
+    * stability, tie-broken by term.
+    *
+    * Scale shape: the REQUESTED doc set (here `doc_id < 50`) is filtered
+    * BEFORE the vocabulary join and is the broadcast side — a web-scale
+    * vocabulary (typos, URLs, numerals) is corpus-sized and must flow
+    * through the join shuffled, never broadcast. The df aggregation still
+    * sees every (doc, term) pair once (that is what df means); its shuffle
+    * is the irreducible cost and is map-side combined.
     */
   def q29Tfidf(spark: SparkSession, dir: String): DataFrame = {
     val toks = Queries.t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = toks.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Queries.t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    dfreq.join(broadcast(tf), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
-      .filter(col("doc_id") < 50)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("doc_id", "term", "tf", "df", "score", "rn")
@@ -263,6 +268,30 @@ object TextAnalysis {
         round(col("nano").cast("double") / col("n_bigrams") / 1e9, 6))
       .select("doc_id", "n_bigrams", "avg_logprob")
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide frequent tokens (q79) via the mergeable Misra-Gries
+    * aggregate [[graft.functions.HeavyHitters]]: top-10 tokens with
+    * support counts, computed WITHOUT a full token census. The exact
+    * alternative (`groupBy(token).count()`) shuffles one row per distinct
+    * token — a skew hazard when the "vocabulary" is web-scale (URLs,
+    * typos, numbers). `heavy_hitters(tok, 64)` reduces every partition to
+    * <= 64 counters before the exchange and merges re-cap at 64; with the
+    * test corpus's 31-token vocabulary the buffer never overflows, so the
+    * counts are exact and the DuckDB census oracle matches bit-for-bit.
+    * The approx regime's error bound (<= n/(m+1) undercount) is
+    * spec-tested separately.
+    */
+  def q79HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Queries.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr("heavy_hitters(tok, 64)").as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("rank"))
   }
 
   /** Deterministic PII/URL annotation of the synthetic corpus (the q70
@@ -374,6 +403,13 @@ object TextAnalysis {
         |  round(log2(CAST(sum(c) AS DOUBLE))
         |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM hist GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q79_heavy_hitters" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY token),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+        |             token, cnt FROM g)
+        |SELECT rank, token, cnt FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q77_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -503,5 +539,6 @@ object TextAnalysis {
     "q72_pii_scrub" -> (q72PiiScrub _),
     "q73_url_domains" -> (q73UrlDomains _),
     "q77_bigram_lm" -> (q77BigramLm _),
+    "q79_heavy_hitters" -> (q79HeavyHitters _),
   )
 }

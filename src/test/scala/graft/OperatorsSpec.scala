@@ -443,6 +443,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.map(_._5).sum <= tot / 2, "total allocation within the budget")
   }
 
+  test("heavy_hitters: exact when under capacity regardless of partitioning; MG bound when over") {
+    import spark.implicits._
+    // exact regime: 4 distinct <= m, counts independent of partition layout
+    val data = (1 to 100).flatMap(i =>
+      Seq.fill(4)("alpha") ++ Seq.fill(3)("beta") ++ Seq.fill(2)("gamma") ++ Seq("delta"))
+    for (parts <- Seq(1, 3, 7)) {
+      val out = data.toDF("t").repartition(parts)
+        .agg(expr("heavy_hitters(t, 8)").as("hh"))
+        .selectExpr("transform(hh, e -> concat(e.item, ':', e.cnt)) AS s")
+        .collect()(0).getSeq[String](0)
+      assert(out == Seq("alpha:400", "beta:300", "gamma:200", "delta:100"),
+        s"parts=$parts: $out")
+    }
+    // approx regime: 1000 distinct singletons + one heavy item, m = 16.
+    // MG guarantee: the heavy item survives with count >= true - n/(m+1)
+    val n = 1000 + 500
+    val skewed = ((1 to 1000).map(i => s"junk$i") ++ Seq.fill(500)("heavy"))
+    val hh = skewed.toDF("t").repartition(4)
+      .agg(expr("heavy_hitters(t, 16)").as("hh"))
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(hh.contains("heavy"), s"true heavy hitter evicted: $hh")
+    assert(hh("heavy") <= 500L, "MG counts never overestimate")
+    assert(hh("heavy") >= 500L - n / 17L,
+      s"undercount exceeds n/(m+1): ${hh("heavy")}")
+  }
+
+  test("source overlap: symmetric-free pairs, shared counts bounded by the smaller census") {
+    import spark.implicits._
+    val out = Dedup.q80SourceOverlap(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("src_a", "src_b", "shared_passages", "n_a", "n_b", "jaccard"))
+    val rows = out.as[(String, String, Long, Long, Long, Double)].collect()
+    rows.foreach { case (a, b, shared, na, nb, j) =>
+      assert(a < b, "pairs must be ordered (no symmetric duplicates)")
+      assert(shared >= 1 && shared <= math.min(na, nb), s"($a,$b) shared bounds")
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) jaccard bounds")
+    }
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)

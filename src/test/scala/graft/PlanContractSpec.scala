@@ -103,6 +103,31 @@ class PlanContractSpec extends SparkTestBase {
       "no window may exist: a per-lang ranking window sorts each language's full vocab on one reducer")
   }
 
+  test("q79: token frequencies partial-aggregate to bounded summaries before the shuffle") {
+    val p = plan(graft.operators.TextAnalysis.q79HeavyHitters(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_heavy_hitters"),
+      s"heavy-hitter summary must map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Window ["), "no distinct-token census window/sort")
+  }
+
+  test("q29: the broadcast side is the filtered doc set, never the vocabulary") {
+    val p = plan(graft.operators.TextAnalysis.q29Tfidf(spark, dir))
+    assert(p.contains("LessThan(doc_id,50)"),
+      s"requested-doc filter must push into the scan:\n${p.take(2000)}")
+    val lines = p.linesIterator.toVector
+    def depth(s: String): Int = s.indexWhere(c => !": +-|".contains(c))
+    val offending = lines.indices
+      .filter(i => lines(i).contains("BroadcastExchange"))
+      .map(i => lines.drop(i + 1).takeWhile(l => depth(l) > depth(lines(i))).mkString("\n"))
+      // a legal broadcast subtree either carries the filtered 50-doc tf
+      // side (has the pushed doc filter) or the 1-row corpus count (no
+      // term column at all); the vocabulary side has term but no filter
+      .filter(t => t.contains("term") && !t.contains("LessThan(doc_id,50)"))
+    assert(offending.isEmpty,
+      s"a broadcast carries the corpus-wide vocabulary:\n${offending.headOption.getOrElse("")}")
+  }
+
   test("q76/q77: passage census and LM scoring never window-sort or cross-join") {
     for ((name, df) <- Seq(
         "q76" -> graft.operators.Dedup.q76PassageDedup(spark, dir),
