@@ -59,6 +59,19 @@ class EventStreamsSpec extends SparkTestBase {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming windowed heavy_hitters == batch (mergeable summary under incremental state)") {
+    graft.functions.GraftFunctions.register(spark)
+    def hh(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("heavy_hitters(event_type, 32)").as("hh"))
+      .select(col("window.start").as("day"),
+        expr("transform(hh, e -> concat(e.item, ':', e.cnt))").as("ranked"))
+    val streamed = runStream(hh(_), "hh_out")
+    val batch = hh(eventsTs)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup keeps one row per key; watermark bounds the state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
