@@ -294,6 +294,26 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Per-source frequent tokens (q81) — the grouped form of q79: one
+    * bounded Misra-Gries summary PER SOURCE under a single hash aggregate.
+    * This is the shape that matters operationally: a corpus audit wants
+    * per-provenance token profiles, and the grouped aggregate keeps state
+    * at (groups in partition) x m counters with map-side combine — no
+    * (source, token) census shuffle, no per-source ranking window.
+    */
+  def q81SourceTokens(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Queries.t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(expr("heavy_hitters(tok, 64)").as("hh"))
+      .select(col("source"), posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < 5)
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Deterministic PII/URL annotation of the synthetic corpus (the q70
     * precedent: the testdata carries no emails/phones/URLs, so the INPUT
     * side is synthesized identically in both engines — this one SQL snippet
@@ -403,6 +423,15 @@ object TextAnalysis {
         |  round(log2(CAST(sum(c) AS DOUBLE))
         |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM hist GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q81_source_tokens" ->
+      """WITH c AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT source, token, count(*) AS cnt FROM c GROUP BY source, token),
+        |r AS (SELECT source, token, cnt,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM g)
+        |SELECT source, rank, token, cnt FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     "q79_heavy_hitters" ->
       """WITH c AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -540,5 +569,6 @@ object TextAnalysis {
     "q73_url_domains" -> (q73UrlDomains _),
     "q77_bigram_lm" -> (q77BigramLm _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
+    "q81_source_tokens" -> (q81SourceTokens _),
   )
 }

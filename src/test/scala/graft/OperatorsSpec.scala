@@ -483,6 +483,32 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("KMV sketches survive a parquet round-trip: persisted per-day sketches merge to the direct answer") {
+    import graft.operators.Kmv
+    GraftFunctions.register(spark)
+    val ev = Queries.events(spark, dir)
+      .select(to_date(timestamp_micros(col("ts_us"))).as("day"),
+        Kmv.hash60(col("user_id")).as("h"))
+    // job 1: per-day sketches, persisted (the reusable rollup artifact)
+    val sketchDir = tmpDir("kmv-sketches")
+    ev.groupBy(col("day")).agg(Kmv.sketch(col("h")).as("sk"))
+      .write.mode("overwrite").parquet(sketchDir)
+    // job 2 (fresh lineage): merge the persisted sketches to a range
+    // estimate — union + re-take k minima == kmv_sketch over the elements
+    val merged = spark.read.parquet(sketchDir)
+      .select(explode(col("sk")).as("h"))
+      .agg(Kmv.sketch(col("h")).as("sk"))
+      .select(Kmv.estimate(size(col("sk")).cast("long"), Kmv.kth(col("sk"))).as("est"))
+      .collect()(0).getDouble(0)
+    val direct = ev.agg(Kmv.sketch(col("h")).as("sk"))
+      .select(Kmv.estimate(size(col("sk")).cast("long"), Kmv.kth(col("sk"))).as("est"))
+      .collect()(0).getDouble(0)
+    assert(merged == direct, s"persisted-merge $merged != direct $direct")
+    val exact = ev.select(col("h")).distinct().count()
+    assert(math.abs(merged - exact) / exact < 0.5,
+      s"estimate $merged implausible vs exact $exact")
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)
