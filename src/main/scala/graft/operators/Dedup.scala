@@ -160,10 +160,20 @@ object Dedup {
     * clusters anyway.
     */
   def q49NgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cappedJaccardOf(Queries.t(spark, dir, "documents"))
+  }
+
+  /** [[q49NgramJaccardCapped]]'s pipeline over an arbitrary (doc_id, text)
+    * frame — shared with the beyond-bench-SF harness
+    * ([[graft.DedupStress]]), which drives it on synthesized corpora far
+    * larger than the testdata. Caller registers `word_ngrams`.
+    */
+  private[graft] def cappedJaccardOf(docsDf: DataFrame): DataFrame = {
     // the shingle index feeds four consumers (sizes, hot counts, pair
     // counts, verification sets) — materialize it once instead of
     // re-deriving the explode lineage per consumer
-    val sh = shingles(spark, dir).localCheckpoint(true)
+    val sh = shinglesOf(docsDf).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val postings = sh.groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds")).localCheckpoint(true)
