@@ -162,6 +162,8 @@ object Similarity {
 
   private val IvfK = 8
   private val IvfIters = 2
+  /** Centroids probed by the multi-probe query path (q82). */
+  private val IvfProbes = 2
 
   /** One k-means assignment pass: each vector to its max-cosine centroid
     * (tie-break: lowest cluster id). Centroids are INTEGER dim-sums, so
@@ -195,8 +197,11 @@ object Similarity {
     * 1/K of the data — same pruning story as the LSH buckets, with
     * data-adaptive cells instead of fixed hyperplanes.
     */
-  def q38AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = qvecs(spark, dir).localCheckpoint(true)
+  /** Deterministic integer k-means centroids (seeds = vec_id < K,
+    * [[IvfIters]] update rounds) — shared by q38 (nprobe=1) and q82
+    * (multi-probe).
+    */
+  private def ivfCentroids(e: DataFrame): DataFrame = {
     var centroids = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
     // lazy checkpoints: each iteration's centroid table materializes when
@@ -204,11 +209,48 @@ object Similarity {
     // the lineage still truncates at each round
     for (_ <- 1 to IvfIters)
       centroids = update(e, assign(e, centroids)).localCheckpoint(false)
+    centroids
+  }
+
+  def q38AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val centroids = ivfCentroids(e)
     val finalAssign = assign(e, centroids)
     val withCid = e.join(finalAssign, Seq("vec_id"))
     val query = withCid.filter(col("vec_id") === 0)
       .select(col("q").as("qq"), col("nq").as("qn"), col("cid").as("qcid"))
     withCid.join(broadcast(query), col("cid") === col("qcid") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cid"),
+        expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"))
+      .withColumn("cos", cosCol("dot", "nq", "qn"))
+      .select("vec_id", "cid", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Multi-probe IVF ANN (q82) — the production recall fix for q38's
+    * nprobe=1: a query near a cell boundary misses neighbors assigned to
+    * the adjacent cell, so the query probes its `IvfProbes` nearest
+    * centroids instead of one. Cost scales as nprobe/K of the corpus
+    * (still partition-pruned cluster reads at 100 TB); the centroid
+    * ranking itself is a K-row computation. Everything else — integer
+    * k-means, exact re-rank inside the probed cells — is q38's machinery.
+    */
+  def q82AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val centroids = ivfCentroids(e)
+    val finalAssign = assign(e, centroids)
+    val withCid = e.join(finalAssign, Seq("vec_id"))
+    // the query's IvfProbes nearest centroids — a K-row ranking
+    val probes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
+      .select(col("q").as("qq"), col("nq").as("qn"), col("cid").as("pcid"),
+        col("ccos"))
+      .orderBy(col("ccos").desc, col("pcid"))
+      .limit(IvfProbes)
+    withCid.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= 0)
       .select(col("vec_id"), col("cid"),
         expr(dotExpr("q", "qq")).as("dot"), col("nq"), col("qn"))
       .withColumn("cos", cosCol("dot", "nq", "qn"))
@@ -413,6 +455,32 @@ object Similarity {
         |WHERE af.cid = qv.qcid AND e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
 
+    "q82_ann_ivf_multiprobe" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $IvfK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |pr AS (
+        |  SELECT c.cid,
+        |    row_number() OVER (ORDER BY
+        |      ${cosSql("list_dot_product(qv.qq, c.csum)", "qv.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qv, cent2 c)
+        |SELECT e.vec_id, af.cid,
+        |  ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos
+        |FROM e JOIN af ON e.vec_id = af.vec_id, qv
+        |WHERE af.cid IN (SELECT cid FROM pr WHERE rn <= $IvfProbes)
+        |  AND e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+
     "q37_centroid_outliers" ->
       s"""WITH $qCte,
         |pos AS (
@@ -444,5 +512,6 @@ object Similarity {
     "q38_ann_ivf" -> (q38AnnIvf _),
     "q39_embedding_neardup_lsh" -> (q39EmbeddingNeardupLsh _),
     "q69_quantized_cosine" -> (q69QuantizedCosine _),
+    "q82_ann_ivf_multiprobe" -> (q82AnnIvfMultiprobe _),
   )
 }

@@ -509,6 +509,19 @@ class OperatorsSpec extends SparkTestBase {
       s"estimate $merged implausible vs exact $exact")
   }
 
+  test("multi-probe IVF recall dominates nprobe=1 rank-for-rank") {
+    import spark.implicits._
+    val one = Similarity.q38AnnIvf(spark, dir)
+      .select("cos").as[Double].collect()
+    val multi = Similarity.q82AnnIvfMultiprobe(spark, dir)
+      .select("cos").as[Double].collect()
+    assert(multi.length == one.length)
+    // probing a superset of cells can only improve each ranked position
+    one.zip(multi).zipWithIndex.foreach { case ((c1, cm), r) =>
+      assert(cm >= c1, s"rank $r: multiprobe $cm < nprobe1 $c1")
+    }
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)
