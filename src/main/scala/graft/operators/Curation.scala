@@ -379,6 +379,56 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Quality threshold for the funnel's filter stage (the corpus median is
+    * ~0.715, so this cuts a meaningful fraction at test SF).
+    */
+  private val FunnelQualityMin = 0.7
+  /** Max tolerated corpus-duplicated passage fraction per doc. */
+  private val FunnelDupMax = 0.5
+
+  /** The curation funnel (q83): the full pre-training data pipeline run as
+    * ONE composed query — raw corpus -> exact dedup (keep min doc_id per
+    * content hash) -> quality filter ([[TextAnalysis.qualityScored]],
+    * score >= [[FunnelQualityMin]]) -> passage-dup filter
+    * ([[Dedup.passageDupStats]], dup fraction <= [[FunnelDupMax]]) — with
+    * per-stage document/token attrition counts, the acceptance report
+    * every corpus build publishes. The stages reuse the EXACT operator
+    * kernels of q30/q22/q76 (shared code, shared oracle fragments), so the
+    * funnel is also an integration test that the operators compose.
+    *
+    * Scale: each stage is a semi-join of the survivor set against a
+    * per-doc verdict relation — verdicts are hash-aggs/joins already
+    * argued scale-safe for their standalone queries; the stage counts are
+    * single-row aggregates. Nothing corpus-sized is broadcast or
+    * collected.
+    */
+  def q83CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("long").as("nt"))
+    val keepExact = base.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s2 = base.join(keepExact, Seq("doc_id"), "left_semi")
+    val passQuality = TextAnalysis.qualityScored(base)
+      .filter(col("score") >= FunnelQualityMin).select("doc_id")
+    val s3 = s2.join(passQuality, Seq("doc_id"), "left_semi")
+    val passDup = Dedup.passageDupStats(docs(spark, dir))
+      .filter(col("n_dup_passages").cast("double") <=
+        col("n_passages") * FunnelDupMax)
+      .select("doc_id")
+    val s4 = s3.join(passDup, Seq("doc_id"), "left_semi")
+    def stage(id: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(lit(id.toLong).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"))
+    stage(1, "raw", base)
+      .unionByName(stage(2, "exact_dedup", s2))
+      .unionByName(stage(3, "quality", s3))
+      .unionByName(stage(4, "passage_dedup", s4))
+      .orderBy(col("stage"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -509,6 +559,45 @@ object Curation {
          |FROM grams GROUP BY doc_id, lang
          |ORDER BY rep_ratio DESC, doc_id""".stripMargin,
 
+    "q83_curation_funnel" -> {
+      val p = Dedup.PassageTokens
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+        |s2 AS (SELECT b.* FROM base b JOIN keep1 USING (doc_id)),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
+        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+        |  length(text) AS n_chars,
+        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+        |FROM base),
+        |sc AS (SELECT doc_id,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 +
+        |  (1.0 - CAST(n_short AS DOUBLE) / n_tokens) * 0.3 +
+        |  (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.1 +
+        |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.1 AS score FROM m),
+        |s3 AS (SELECT s2.* FROM s2 JOIN sc USING (doc_id) WHERE sc.score >= $FunnelQualityMin),
+        |c AS (SELECT doc_id,
+        |  [md5(array_to_string(toks[i*$p+1 : i*$p+$p], ' '))
+        |   for i in generate_series(0, CAST(ceil(len(toks) / $p.0) AS INT) - 1)] AS phs
+        |FROM base),
+        |e AS (SELECT doc_id, unnest(phs) AS ph FROM c),
+        |g AS (SELECT ph, count(*) AS cnt FROM e GROUP BY ph),
+        |pd AS (SELECT doc_id, count(*) AS np,
+        |  sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS nd FROM e JOIN g USING (ph)
+        |GROUP BY doc_id),
+        |s4 AS (SELECT s3.* FROM s3 JOIN pd USING (doc_id)
+        |       WHERE CAST(nd AS DOUBLE) <= np * $FunnelDupMax)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS name, count(*) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM base
+        |  UNION ALL SELECT 2, 'exact_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'quality', count(*), CAST(sum(nt) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'passage_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM s4)
+        |ORDER BY stage""".stripMargin
+    },
+
     "q78_mix_allocation" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,
@@ -536,6 +625,7 @@ object Curation {
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_repetition" -> (q56Repetition _),
     "q78_mix_allocation" -> (q78MixAllocation _),
+    "q83_curation_funnel" -> (q83CurationFunnel _),
     "q68_token_budget" -> (q68TokenBudget _),
   )
 }

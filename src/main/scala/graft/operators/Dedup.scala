@@ -370,8 +370,8 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Passage window width (tokens) for q76/q80 — non-overlapping chunks. */
-  private val PassageTokens = 20
+  /** Passage window width (tokens) for q76/q80/q83 — non-overlapping chunks. */
+  private[operators] val PassageTokens = 20
 
   /** md5 hashes of a doc's non-overlapping [[PassageTokens]]-token windows
     * (the tail keeps its remainder) — expects a `toks` column in scope.
@@ -398,8 +398,17 @@ object Dedup {
     * the passage stream shuffles once. No window functions, no broadcast
     * of anything corpus-sized, no driver collect.
     */
-  def q76PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val passages = Queries.t(spark, dir, "documents")
+  def q76PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDupStats(Queries.t(spark, dir, "documents"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc (n_passages, n_dup_passages) against the corpus-wide passage
+    * census — q76's core, shared with the q83 curation funnel.
+    */
+  private[operators] def passageDupStats(docsDf: DataFrame): DataFrame = {
+    val passages = docsDf
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(passageHashExpr).as("ph"))
     val census = passages.groupBy(col("ph")).agg(count(lit(1)).as("cnt"))
@@ -407,9 +416,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
-      .withColumn("dup_ratio",
-        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
-      .orderBy(col("doc_id"))
   }
 
   /** Cross-source contamination matrix (q80): for every source pair, how

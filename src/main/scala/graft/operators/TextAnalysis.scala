@@ -74,8 +74,19 @@ object TextAnalysis {
     * length/punct/stopword signal set of a training-data quality filter).
     */
   def q22Quality(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
+    qualityScored(docs(spark, dir))
+      .withColumn("bucket",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "medium").otherwise("low"))
+      .select("doc_id", "n_tokens", "distinct_ratio", "short_ratio",
+        "punct_ratio", "stopword_ratio", "score", "bucket")
+      .orderBy(col("doc_id"))
+
+  /** The q22 ratio/score columns over a frame with (doc_id, text, toks) —
+    * shared with the q83 funnel so the two can never drift on the formula.
+    */
+  private[operators] def qualityScored(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"),
@@ -93,12 +104,6 @@ object TextAnalysis {
         col("distinct_ratio") * lit(0.5) + (lit(1.0) - col("short_ratio")) * lit(0.3) +
           (lit(1.0) - col("punct_ratio")) * lit(0.1) +
           (lit(1.0) - col("stopword_ratio")) * lit(0.1))
-      .withColumn("bucket",
-        when(col("score") >= 0.8, "high")
-          .when(col("score") >= 0.6, "medium").otherwise("low"))
-      .select("doc_id", "n_tokens", "distinct_ratio", "short_ratio",
-        "punct_ratio", "stopword_ratio", "score", "bucket")
-      .orderBy(col("doc_id"))
 
   /** Regex token classes per source (BPE-ish segmentation counts): word runs,
     * single-char tokens, aggregated per source.

@@ -70,6 +70,20 @@ class CurationSpec extends SparkTestBase {
       "clusters under the cap report every member")
   }
 
+  test("q83 funnel: stages monotonically shrink, stage 1 is the corpus, survivors respect every verdict") {
+    import spark.implicits._
+    val out = Curation.q83CurationFunnel(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._2).toSeq == Seq("raw", "exact_dedup", "quality", "passage_dedup"))
+    val corpus = graft.operators.Queries.t(spark, dir, "documents")
+    assert(out(0)._3 == corpus.count(), "stage 1 must count the whole corpus")
+    out.sliding(2).foreach { case Array((_, _, d1, t1), (s, n, d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, s"stage $s ($n) grew: $d1->$d2 docs, $t1->$t2 tokens")
+    }
+    assert(out(3)._3 > 0, "the funnel must not empty the corpus")
+  }
+
   test("q51 sampling is deterministic and respects the per-language rates") {
     val s1 = Curation.q51StratifiedSample(spark, dir).collect()
     val s2 = Curation.q51StratifiedSample(spark, dir).collect()
