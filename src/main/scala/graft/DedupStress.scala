@@ -29,6 +29,9 @@ object DedupStress {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(20000L)
     val clusterSize = if (args.length > 1) args(1).toInt else 4
+    require(nDocs % clusterSize == 0,
+      s"nDocs ($nDocs) must be a multiple of clusterSize ($clusterSize): " +
+        "a partial trailing cluster would break the expected-pair count")
     val docLen = 40
     val vocab = 5000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -46,18 +49,23 @@ object DedupStress {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // template token stream is hash((template, pos)); member m != 0
-    // overwrites position (m mod docLen) with a member-unique token, so
-    // within-cluster Jaccard ~= (docLen-3*2)/docLen >> 0.8 and
-    // cross-cluster overlap is the random-collision floor
+    // template token stream is hash((template, pos)); every member m != 0
+    // overwrites the SAME middle position with a member-unique token, so
+    // each perturbed doc loses the same 3 of its (docLen-2) word 3-grams:
+    // every within-cluster pair has Jaccard exactly
+    // (docLen-5)/(docLen-2+3) = 35/41 ~ 0.854 >= 0.8 INDEPENDENT of
+    // clusterSize (perturbing position m would let two members' destroyed
+    // shingle windows diverge and drop boundary pairs below threshold),
+    // while cross-cluster overlap stays at the random-collision floor
+    val perturbPos = docLen / 2
     val docs: DataFrame = spark.range(nDocs)
       .select(col("id").as("doc_id"),
         (col("id") - pmod(col("id"), lit(clusterSize.toLong))).as("template"),
         pmod(col("id"), lit(clusterSize.toLong)).cast("int").as("member"))
       .withColumn("text", expr(
         s"""concat_ws(' ', transform(sequence(0, ${docLen - 1}), p ->
-           |  CASE WHEN member != 0 AND p = member % $docLen
-           |       THEN concat('u', doc_id, '_', p)
+           |  CASE WHEN member != 0 AND p = $perturbPos
+           |       THEN concat('u', doc_id)
            |       ELSE concat('w', pmod(hash(template, p), $vocab)) END))""".stripMargin))
       .select(col("doc_id"), col("text"))
 
@@ -68,7 +76,7 @@ object DedupStress {
     val (nPairs, pairs) = out
 
     // every within-cluster pair must be found: C(clusterSize, 2) per
-    // cluster (perturbations only move ~6 of ~38 shingles per member)
+    // cluster (each pair's Jaccard is exactly 35/41, above the 0.8 bar)
     val nClusters = nDocs / clusterSize
     val expectedPairs = nClusters * clusterSize * (clusterSize - 1) / 2
     val within = pairs.filter(

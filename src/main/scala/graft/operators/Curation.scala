@@ -609,7 +609,8 @@ object Curation {
         |  FROM s),
         |w AS (SELECT *, n_src - rank + 1 AS weight FROM r),
         |t AS (SELECT sum(n_tokens) AS tot, sum(weight) AS den FROM w),
-        |a AS (SELECT w.*, least(n_tokens, (tot // 2) * weight // den) AS alloc_tokens
+        |a AS (SELECT w.*,
+        |  CAST(least(n_tokens, (tot // 2) * weight // den) AS BIGINT) AS alloc_tokens
         |  FROM w, t)
         |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
         |  round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS rate

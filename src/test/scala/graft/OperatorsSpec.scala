@@ -515,8 +515,10 @@ class OperatorsSpec extends SparkTestBase {
       .select("cos").as[Double].collect()
     val multi = Similarity.q82AnnIvfMultiprobe(spark, dir)
       .select("cos").as[Double].collect()
-    assert(multi.length == one.length)
-    // probing a superset of cells can only improve each ranked position
+    // probing a superset of cells can only add candidates and improve
+    // each ranked position (nprobe=1 may return fewer than k rows when
+    // the query's own cell is small)
+    assert(multi.length >= one.length)
     one.zip(multi).zipWithIndex.foreach { case ((c1, cm), r) =>
       assert(cm >= c1, s"rank $r: multiprobe $cm < nprobe1 $c1")
     }
