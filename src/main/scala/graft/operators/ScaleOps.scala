@@ -83,6 +83,34 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Salt fanout for the replicated skew join (q84). */
+  private val JoinSalts = 8
+
+  /** Salt-replicated skew join (q84): per-nation event rollup through a
+    * fact(events)-dim(customer) join executed as [[Skew.saltedJoin]] —
+    * the join keys carry (user_id, salt) so a hot user's events spread
+    * across [[JoinSalts]] tasks, with the customer side replicated 8x.
+    * Results are provably identical to the plain join (every fact row
+    * meets its dim match exactly once regardless of salt), which is
+    * exactly what the oracle — a plain SQL join — checks. The nation
+    * lookup is a true broadcast dim; the value sum is the exact-decimal
+    * [[Queries.dsum]].
+    */
+  def q84SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Queries.events(spark, dir)
+      .select(col("user_id"), col("value"))
+    val dim = Queries.t(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val nation = Queries.t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Skew.saltedJoin(fact, dim, "user_id", JoinSalts)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        Queries.dsum(col("value")).as("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
   /** Conversion window for the interval join (10 minutes in µs). */
   private val ConvWindowUs = 600000000L
 
@@ -338,6 +366,14 @@ object ScaleOps {
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,
 
+    "q84_salted_join" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
     "q58_salted_agg" ->
       s"""WITH partials AS (
          |  SELECT l_returnflag, l_orderkey % $Salts AS salt,
@@ -428,6 +464,7 @@ object ScaleOps {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_kmv_merge" -> (q57KmvMerge _),
     "q58_salted_agg" -> (q58SaltedAgg _),
+    "q84_salted_join" -> (q84SaltedJoin _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),

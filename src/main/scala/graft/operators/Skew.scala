@@ -38,4 +38,28 @@ object Skew {
       .agg(sum(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
   }
+
+  /** Salt-replicated skew join: the manual fix for a fact-side hot key in
+    * a shuffle join that AQE cannot rescue (its skew splitter only fires
+    * for sort-merge joins with split-able partitions, and not at all when
+    * the hot key's rows must still meet ALL matching dim rows on one
+    * task). Each fact row picks a salt in [0, salts); the dim side is
+    * replicated once per salt value; the join keys become (key, salt), so
+    * the hot key's rows spread across `salts` tasks while every fact row
+    * still meets its dim match exactly once. Result set is identical to
+    * the plain inner join for any salt assignment — the salt derivation
+    * below is deterministic only to keep runs reproducible.
+    *
+    * Cost: the dim shuffle inflates by `salts`x — the technique fits a
+    * skewed fact against a MID-SIZED dim (too big to broadcast, small
+    * enough that salts x dim beats one straggler task by orders of
+    * magnitude).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -524,6 +524,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("salted join is row-identical to the plain join and keys on (key, salt)") {
+    val fact = Queries.events(spark, dir).select(col("user_id"), col("value"))
+    val dim = Queries.t(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "user_id", 8)
+      .select("user_id", "value", "c_nationkey")
+    val plain = fact.join(dim, Seq("user_id"))
+      .select("user_id", "value", "c_nationkey")
+    assert(salted.count() == plain.count(), "row multiplicity must be preserved")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join must be multiset-identical to the plain join")
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), s"join must key on the salt:\n${p.take(1500)}")
+  }
+
   test("quantized cosine is exact: matches BigDecimal reference on a sample") {
     import spark.implicits._
     val e = Queries.t(spark, dir, "embeddings").limit(3)
