@@ -470,6 +470,55 @@ class OperatorsSpec extends SparkTestBase {
       s"undercount exceeds n/(m+1): ${hh("heavy")}")
   }
 
+  test("heavy_hitters buffer: randomized partition/merge trees are exact under capacity, MG-bounded over") {
+    import graft.functions.HeavyHittersBuffer
+    val rnd = new scala.util.Random(7)
+    def foldRandom(bufs: Seq[HeavyHittersBuffer], m: Int): HeavyHittersBuffer = {
+      // merge in a random tree order, as a shuffle's partial-merge would
+      var live = bufs.toBuffer
+      while (live.size > 1) {
+        val i = rnd.nextInt(live.size)
+        val a = live.remove(i)
+        val j = rnd.nextInt(live.size)
+        live(j).merge(a, m)
+      }
+      live.head
+    }
+    import scala.jdk.CollectionConverters._
+    for (_ <- 1 to 30) {
+      val n = 200 + rnd.nextInt(400)
+      val distinct = 5 + rnd.nextInt(20)
+      val items = Vector.fill(n)(s"t${rnd.nextInt(distinct)}")
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // random chunking stands in for arbitrary partitioning
+      val chunks = items.grouped(1 + rnd.nextInt(80)).toSeq
+      // under capacity (m >= distinct): any merge tree must be exact
+      val mBig = distinct + rnd.nextInt(10)
+      val bufsBig = chunks.map { c =>
+        val b = new HeavyHittersBuffer; c.foreach(b.add(_, mBig)); b
+      }
+      val mergedBig = foldRandom(bufsBig, mBig)
+      assert(mergedBig.counts.asScala.map { case (k, v) => k -> v.toLong }.toMap == exact)
+      // over capacity: every count within [exact - n/(m+1), exact], and
+      // every item above the error bound survives (the MG guarantee,
+      // preserved by the mergeable-summaries merge)
+      val mSmall = 2 + rnd.nextInt(math.max(1, distinct - 3))
+      val bufsSmall = chunks.map { c =>
+        val b = new HeavyHittersBuffer; c.foreach(b.add(_, mSmall)); b
+      }
+      val merged = foldRandom(bufsSmall, mSmall)
+      val err = n.toLong / (mSmall + 1)
+      merged.counts.asScala.foreach { case (k, c) =>
+        assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+        assert(c >= exact(k) - err, s"$k undercount beyond n/(m+1): $c vs ${exact(k)}")
+      }
+      exact.foreach { case (k, c) =>
+        if (c > err) assert(merged.counts.containsKey(k),
+          s"$k with count $c > $err must survive")
+      }
+    }
+  }
+
   test("source overlap: symmetric-free pairs, shared counts bounded by the smaller census") {
     import spark.implicits._
     val out = Dedup.q80SourceOverlap(spark, dir)
