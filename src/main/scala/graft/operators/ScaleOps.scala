@@ -111,6 +111,65 @@ object ScaleOps {
       .orderBy(col("n_name"))
   }
 
+  /** Calendar gap-fill + forward-fill (q85): daily rollup of a sparse
+    * series (errors of one user) joined onto the continuous day spine of
+    * the whole corpus — missing days appear with zero counts and the last
+    * known value carried forward. The time-series resampling every
+    * metrics pipeline needs; Spark has no native gap-fill, so the spine
+    * is `sequence(min_day, max_day)` exploded.
+    *
+    * Scale: the rollup is a hash-agg over the filtered series; the spine
+    * and the ordered forward-fill window operate on DAY-cardinality rows
+    * (bounded by the calendar — decades fit in thousands of rows), so the
+    * one unpartitioned window is structurally safe at any corpus size.
+    */
+  def q85GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val daily = ev
+      .filter(col("event_type") === "error" && col("user_id") === 7)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), Queries.dsum(col("value")).as("v"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_value",
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("is_gap", col("n").isNull)
+      .select("day", "n_events", "filled_value", "is_gap")
+      .orderBy(col("day"))
+  }
+
+  /** Cumulative distinct users per day (q86) via FIRST-TOUCH attribution:
+    * a windowed count(DISTINCT) does not exist in any engine at scale, so
+    * the running-distinct curve is computed as min(day) per user (one
+    * hash-agg over the corpus) -> new users per day -> running sum over
+    * the day-cardinality series. Daily actives come from the standard
+    * per-day distinct agg. The only window again runs on calendar-bounded
+    * rows.
+    */
+  def q86CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .select(col("day"), col("user_id"))
+    val newPerDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val activePerDay = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    activePerDay.join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select("day", "active_users", "new_users", "cum_users")
+      .orderBy(col("day"))
+  }
+
   /** Conversion window for the interval join (10 minutes in µs). */
   private val ConvWindowUs = 600000000L
 
@@ -366,6 +425,33 @@ object ScaleOps {
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,
 
+    "q85_gap_fill" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, user_id, value
+        |           FROM events),
+        |daily AS (
+        |  SELECT day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM ev WHERE event_type = 'error' AND user_id = 7 GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+        |j AS (SELECT s.day, daily.n, daily.v FROM spine s LEFT JOIN daily USING (day))
+        |SELECT day, coalesce(n, 0) AS n_events,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value,
+        |  n IS NULL AS is_gap
+        |FROM j ORDER BY day""".stripMargin,
+
+    "q86_cumulative_users" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |firstday AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+        |newu AS (SELECT day, count(*) AS new_users FROM firstday GROUP BY day),
+        |act AS (SELECT day, count(DISTINCT user_id) AS active_users FROM ev GROUP BY day)
+        |SELECT act.day, act.active_users,
+        |  coalesce(newu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(newu.new_users, 0)) OVER (ORDER BY act.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM act LEFT JOIN newu USING (day) ORDER BY act.day""".stripMargin,
+
     "q84_salted_join" ->
       """SELECT n.n_name, count(*) AS n_events,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -465,6 +551,8 @@ object ScaleOps {
     "q57_kmv_merge" -> (q57KmvMerge _),
     "q58_salted_agg" -> (q58SaltedAgg _),
     "q84_salted_join" -> (q84SaltedJoin _),
+    "q85_gap_fill" -> (q85GapFill _),
+    "q86_cumulative_users" -> (q86CumulativeUsers _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),

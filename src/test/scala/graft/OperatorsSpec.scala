@@ -573,6 +573,39 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("gap fill: contiguous spine, zero-count gaps, forward-filled values") {
+    import spark.implicits._
+    val out = graft.operators.ScaleOps.q85GapFill(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val days = out.map(_._1)
+    assert(days.toSeq == (days.head to days.last).toSeq, "spine must be contiguous")
+    out.foreach { case (d, n, filled, gap) =>
+      assert(gap == (n == 0L), s"day $d: gap flag must match the zero count")
+      assert(!filled.isNaN, s"day $d: forward fill must always produce a value")
+    }
+    // forward fill: a gap day repeats the previous day's filled value
+    out.sliding(2).foreach { case Array((_, _, prevV, _), (d, _, v, gap)) =>
+      if (gap) assert(v == prevV, s"gap day $d must carry the last value forward")
+    }
+  }
+
+  test("cumulative users: monotone, ends at the total distinct count, bounds actives") {
+    import spark.implicits._
+    val out = graft.operators.ScaleOps.q86CumulativeUsers(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.sliding(2).foreach { case Array((_, _, _, c1), (d, _, _, c2)) =>
+      assert(c2 >= c1, s"day $d: cumulative users decreased")
+    }
+    val total = Queries.events(spark, dir).select("user_id").distinct().count()
+    assert(out.last._4 == total, "final cumulative == corpus distinct users")
+    out.foreach { case (d, active, newU, cum) =>
+      assert(active <= cum, s"day $d: actives exceed cumulative")
+      assert(newU <= active, s"day $d: new users exceed actives")
+    }
+  }
+
   test("salted join is row-identical to the plain join and keys on (key, salt)") {
     val fact = Queries.events(spark, dir).select(col("user_id"), col("value"))
     val dim = Queries.t(spark, dir, "customer")
