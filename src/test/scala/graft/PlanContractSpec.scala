@@ -128,6 +128,26 @@ class PlanContractSpec extends SparkTestBase {
       s"a broadcast carries the corpus-wide vocabulary:\n${offending.headOption.getOrElse("")}")
   }
 
+  test("whole surface: no query plans a cartesian product or an unreduced broadcast build") {
+    def depth(s: String): Int = s.indexWhere(c => !": +-|".contains(c))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(1500)}")
+      // generalized round-2 dedup contract: a broadcast may carry a
+      // collect_list build only AFTER a candidate-reducing semi-join —
+      // an unreduced corpus-sized build under BroadcastExchange is the
+      // driver-OOM shape at 100 TB
+      val lines = p.linesIterator.toVector
+      val offending = lines.indices
+        .filter(i => lines(i).contains("BroadcastExchange"))
+        .map(i => lines.drop(i + 1).takeWhile(l => depth(l) > depth(lines(i))).mkString("\n"))
+        .filter(t => t.contains("collect_list") && !t.contains("LeftSemi"))
+      assert(offending.isEmpty,
+        s"$name broadcasts an unreduced collect_list build:\n${offending.headOption.getOrElse("")}")
+    }
+  }
+
   test("q76/q77: passage census and LM scoring never window-sort or cross-join") {
     for ((name, df) <- Seq(
         "q76" -> graft.operators.Dedup.q76PassageDedup(spark, dir),
