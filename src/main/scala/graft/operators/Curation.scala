@@ -429,6 +429,35 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** Sample size for the weighted draw (q87). */
+  private val WeightedSampleK = 50
+
+  /** Weighted sampling without replacement (q87) — Efraimidis-Spirakis:
+    * each doc draws key = ln(u)/w with u a deterministic uniform from its
+    * id hash and w its quality score ([[TextAnalysis.qualityScored]]);
+    * the k largest keys are the sample, giving inclusion probability
+    * proportional to weight without replacement — the quality-weighted
+    * corpus draw a pretraining mix uses after scoring. Keys round to 9
+    * decimals (the q29 precedent) so cross-engine ln() ulps cannot
+    * reorder ranks; ties break on doc_id.
+    *
+    * Scale: the key is a scan-local projection; the only non-map step is
+    * the global top-k, planned as TakeOrderedAndProject (per-partition
+    * k then merge — never a full sort).
+    */
+  def q87WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+      docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    scored
+      .withColumn("h", graft.operators.Kmv.hash60(col("doc_id")))
+      .withColumn("u", (col("h").cast("double") + 1.0) / lit(graft.operators.Kmv.Two60))
+      .withColumn("key", round(log(col("u")) / col("score"), 9))
+      .select(col("doc_id"), col("score"), col("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -559,6 +588,27 @@ object Curation {
          |FROM grams GROUP BY doc_id, lang
          |ORDER BY rep_ratio DESC, doc_id""".stripMargin,
 
+    "q87_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
+        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+        |  length(text) AS n_chars,
+        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+        |FROM t),
+        |sc AS (SELECT doc_id,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 +
+        |  (1.0 - CAST(n_short AS DOUBLE) / n_tokens) * 0.3 +
+        |  (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.1 +
+        |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.1 AS score FROM m),
+        |keyed AS (SELECT doc_id, score,
+        |  round(ln((CAST(${graft.operators.Kmv.hash60Sql("doc_id")} AS DOUBLE) + 1.0)
+        |        / 1152921504606846976.0) / score, 9) AS key
+        |FROM sc)
+        |SELECT doc_id, score, key FROM keyed
+        |ORDER BY key DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
+
     "q83_curation_funnel" -> {
       val p = Dedup.PassageTokens
       s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -627,6 +677,7 @@ object Curation {
     "q56_repetition" -> (q56Repetition _),
     "q78_mix_allocation" -> (q78MixAllocation _),
     "q83_curation_funnel" -> (q83CurationFunnel _),
+    "q87_weighted_sample" -> (q87WeightedSample _),
     "q68_token_budget" -> (q68TokenBudget _),
   )
 }
