@@ -573,6 +573,13 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("driver contract: entry() returns rows and every query has an oracle") {
+    assert(SparkEntry.entry(spark).count() > 0, "flagship query must return rows")
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries/oracles must pair up; only-query=${q -- o}, only-oracle=${o -- q}")
+  }
+
   test("gap fill: contiguous spine, zero-count gaps, forward-filled values") {
     import spark.implicits._
     val out = graft.operators.ScaleOps.q85GapFill(spark, dir)
