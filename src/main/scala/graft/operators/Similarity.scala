@@ -51,7 +51,7 @@ object Similarity {
     * DuckDB's IEEE ops yield NaN, and the two sort differently — the one
     * edge where "identical integers in, identical doubles out" breaks.
     */
-  private def cosCol(dot: String, na: String, nb: String) =
+  private[graft] def cosCol(dot: String, na: String, nb: String) =
     expr(s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
             |ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END""".stripMargin)
 
@@ -169,7 +169,7 @@ object Similarity {
     * (tie-break: lowest cluster id). Centroids are INTEGER dim-sums, so
     * every cosine is derived from exact ints — deterministic across engines.
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     // argmax via partial hash-agg on max(struct(ccos, -cid)) — same
     // (max cosine, tie -> lowest cid) winner as a row_number window, but
     // with map-side combine and no per-vector sort
@@ -180,7 +180,7 @@ object Similarity {
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
   /** Recompute integer centroids from an assignment (exact dim-wise sums). */
-  private def update(vecs: DataFrame, assignment: DataFrame): DataFrame =
+  private[graft] def update(vecs: DataFrame, assignment: DataFrame): DataFrame =
     vecs.join(assignment, Seq("vec_id"))
       .select(col("cid"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("cid"), col("i")).agg(sum(col("qi")).as("ci"))
