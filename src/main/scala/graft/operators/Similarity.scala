@@ -259,6 +259,33 @@ object Similarity {
       .limit(5)
   }
 
+  /** Incremental ANN ingest (q88) — the ANN analog of q67's
+    * dedup-at-ingest: a freshly arrived vector batch (vec_id % 10 == 0
+    * stands in for the micro-batch) is assigned to the FROZEN centroids
+    * trained on the existing corpus — one broadcast of K centroid rows,
+    * one codegen scan over the batch; no retraining, no corpus rescan.
+    * This is how a 100 TB IVF index absorbs new data between periodic
+    * re-trains: route each new vector to its cell (= its storage
+    * partition) and append. The output reports each new vector's cell and
+    * its centroid cosine (low values = drift — the retrain trigger).
+    */
+  def q88AnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val isNew = col("vec_id") % 10 === 0
+    val old = e.filter(!isNew)
+    // deterministic seeds: the first IvfK existing vectors by id
+    var centroids = old.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    for (_ <- 1 to IvfIters)
+      centroids = update(old, assign(old, centroids)).localCheckpoint(false)
+    e.filter(isNew).crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos").as("c"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("best.c").as("ccos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
     */
@@ -361,13 +388,13 @@ object Similarity {
       |eb AS (SELECT e.vec_id, e.q, e.nq, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id)""".stripMargin
 
   /** One oracle assignment CTE: vectors -> argmax-cosine centroid of `cent`. */
-  private def assignCte(name: String, cent: String): String =
+  private def assignCte(name: String, cent: String, src: String = "e"): String =
     s"""$name AS (
       |  SELECT vec_id, cid FROM (
-      |    SELECT e.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        ${cosSql("list_dot_product(e.q, c.csum)", "e.nq", "c.nc")} DESC, c.cid) AS rn
-      |    FROM e, $cent c) WHERE rn = 1)""".stripMargin
+      |    SELECT $src.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+      |        ${cosSql(s"list_dot_product($src.q, c.csum)", s"$src.nq", "c.nc")} DESC, c.cid) AS rn
+      |    FROM $src, $cent c) WHERE rn = 1)""".stripMargin
 
   /** One oracle centroid-update CTE pair from assignment `a`. */
   private def updateCte(sums: String, cent: String, a: String): String =
@@ -455,6 +482,27 @@ object Similarity {
         |WHERE af.cid = qv.qcid AND e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
 
+    "q88_ann_incremental" ->
+      s"""WITH $qCte,
+        |eo AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |en AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM eo ORDER BY vec_id LIMIT $IvfK),
+        |${assignCte("a1", "cent0", "eo")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1", "eo")},
+        |${updateCte("s2", "cent2", "a2")},
+        |scored AS (
+        |  SELECT en.vec_id, c.cid,
+        |    ${cosSql("list_dot_product(en.q, c.csum)", "en.nq", "c.nc")} AS ccos,
+        |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+        |      ${cosSql("list_dot_product(en.q, c.csum)", "en.nq", "c.nc")} DESC, c.cid) AS rn
+        |  FROM en, cent2 c)
+        |SELECT vec_id, cid, ccos FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "q82_ann_ivf_multiprobe" ->
       s"""WITH $qCte,
         |pos AS (
@@ -513,5 +561,6 @@ object Similarity {
     "q39_embedding_neardup_lsh" -> (q39EmbeddingNeardupLsh _),
     "q69_quantized_cosine" -> (q69QuantizedCosine _),
     "q82_ann_ivf_multiprobe" -> (q82AnnIvfMultiprobe _),
+    "q88_ann_incremental" -> (q88AnnIncremental _),
   )
 }
