@@ -29,21 +29,10 @@ object AnnStress {
     val nVecs = args.headOption.map(_.toLong).getOrElse(100000L)
     val nClusters = 64
     val ivfK = 16
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-ann-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session("graft-ann-stress")
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import Harness.timed
 
     // center(c, d) in [-100, 100] scaled 10x; per-vector noise in [-10, 10]
     val vecs: DataFrame = spark.range(nVecs)
@@ -65,12 +54,9 @@ object AnnStress {
     // that turns "filter on cid" into files never read
     val base = java.nio.file.Files.createTempDirectory("graft-ann").toString
     val (centroids, tTrain) = timed {
-      var centroids = vecs.filter(col("vec_id") < ivfK)
+      val seeds = vecs.filter(col("vec_id") < ivfK)
         .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
-      for (_ <- 1 to 2)
-        centroids = Similarity.update(vecs, Similarity.assign(vecs, centroids))
-          .localCheckpoint(false)
-      val c = centroids.localCheckpoint(true)
+      val c = Similarity.ivfCentroids(vecs, seeds).localCheckpoint(true)
       vecs.join(Similarity.assign(vecs, c), Seq("vec_id"))
         .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index")
       c

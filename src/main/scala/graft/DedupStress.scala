@@ -32,22 +32,18 @@ object DedupStress {
     require(nDocs % clusterSize == 0,
       s"nDocs ($nDocs) must be a multiple of clusterSize ($clusterSize): " +
         "a partial trailing cluster would break the expected-pair count")
+    // past the kernel's hot-shingle cap every shared shingle is "hot": the
+    // capped index drops them all and the all-hot recall path degenerates
+    // to quadratic corpus pairing — a different regime than this harness
+    // measures
+    require(clusterSize <= Dedup.ShingleDocCap,
+      s"clusterSize ($clusterSize) must be <= the kernel's hot-shingle cap " +
+        s"(${Dedup.ShingleDocCap})")
     val docLen = 40
     val vocab = 5000
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-dedup-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session("graft-dedup-stress")
     graft.functions.GraftFunctions.register(spark)
-
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import Harness.timed
 
     // template token stream is hash((template, pos)); every member m != 0
     // overwrites the SAME middle position with a member-unique token, so

@@ -23,21 +23,11 @@ object Stress {
     // wraparound the expected-rows formula below would be wrong
     require(nChanges <= n, s"nChanges ($nChanges) must be <= nKeys ($n)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session("graft-stress")
 
     val base = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val src = s"$base/src/test_table"
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import Harness.timed
 
     // initial load (no CDC envelope), written as a single dash-free FILE —
     // the DMS layout the reference's `**/*-*` mirror glob assumes (Spark's

@@ -413,7 +413,11 @@ object Curation {
     val passQuality = TextAnalysis.qualityScored(base)
       .filter(col("score") >= FunnelQualityMin).select("doc_id")
     val s3 = s2.join(passQuality, Seq("doc_id"), "left_semi")
-    val passDup = Dedup.passageDupStats(docs(spark, dir))
+    // the passage census runs over the STAGE-3 SURVIVORS, not the raw
+    // corpus: an exact-dup group's kept canonical would otherwise see its
+    // own removed copies in the census (dup_ratio 1.0) and stage 4 would
+    // drop the last copy of every duplicated document
+    val passDup = Dedup.passageDupStats(s3.select("doc_id", "text"))
       .filter(col("n_dup_passages").cast("double") <=
         col("n_passages") * FunnelDupMax)
       .select("doc_id")
@@ -590,18 +594,8 @@ object Curation {
 
     "q87_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
-        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
-        |  length(text) AS n_chars,
-        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
-        |FROM t),
-        |sc AS (SELECT doc_id,
-        |  CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 +
-        |  (1.0 - CAST(n_short AS DOUBLE) / n_tokens) * 0.3 +
-        |  (1.0 - CASE WHEN n_chars = 0 THEN 0.0
-        |              ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.1 +
-        |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.1 AS score FROM m),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS score FROM m),
         |keyed AS (SELECT doc_id, score,
         |  round(ln((CAST(${graft.operators.Kmv.hash60Sql("doc_id")} AS DOUBLE) + 1.0)
         |        / 1152921504606846976.0) / score, 9) AS key
@@ -615,23 +609,13 @@ object Curation {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
         |keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
         |s2 AS (SELECT b.* FROM base b JOIN keep1 USING (doc_id)),
-        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
-        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
-        |  length(text) AS n_chars,
-        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
-        |FROM base),
-        |sc AS (SELECT doc_id,
-        |  CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 +
-        |  (1.0 - CAST(n_short AS DOUBLE) / n_tokens) * 0.3 +
-        |  (1.0 - CASE WHEN n_chars = 0 THEN 0.0
-        |              ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.1 +
-        |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.1 AS score FROM m),
+        |${TextAnalysis.qualityMetricsCte("base")},
+        |sc AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS score FROM m),
         |s3 AS (SELECT s2.* FROM s2 JOIN sc USING (doc_id) WHERE sc.score >= $FunnelQualityMin),
         |c AS (SELECT doc_id,
         |  [md5(array_to_string(toks[i*$p+1 : i*$p+$p], ' '))
         |   for i in generate_series(0, CAST(ceil(len(toks) / $p.0) AS INT) - 1)] AS phs
-        |FROM base),
+        |FROM s3),
         |e AS (SELECT doc_id, unnest(phs) AS ph FROM c),
         |g AS (SELECT ph, count(*) AS cnt FROM e GROUP BY ph),
         |pd AS (SELECT doc_id, count(*) AS np,

@@ -135,7 +135,7 @@ object Dedup {
   }
 
   /** Hot-shingle frequency cap for the capped inverted index (q49). */
-  private val ShingleDocCap = 50
+  private[graft] val ShingleDocCap = 50
 
   /** Frequency-capped n-gram Jaccard (the 100 TB variant of q31): shingles
     * appearing in more than [[ShingleDocCap]] documents are dropped from

@@ -170,14 +170,19 @@ object Similarity {
     * every cosine is derived from exact ints — deterministic across engines.
     */
   private[graft] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    // argmax via partial hash-agg on max(struct(ccos, -cid)) — same
-    // (max cosine, tie -> lowest cid) winner as a row_number window, but
-    // with map-side combine and no per-vector sort
+    assignScored(vecs, centroids).select("vec_id", "cid")
+
+  /** [[assign]] + the winning centroid cosine — THE one copy of the
+    * argmax: partial hash-agg on max(struct(ccos, -cid)) — same
+    * (max cosine, tie -> lowest cid) winner as a row_number window, but
+    * with map-side combine and no per-vector sort.
+    */
+  private[graft] def assignScored(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("best.ccos").as("ccos"))
 
   /** Recompute integer centroids from an assignment (exact dim-wise sums). */
   private[graft] def update(vecs: DataFrame, assignment: DataFrame): DataFrame =
@@ -201,9 +206,15 @@ object Similarity {
     * [[IvfIters]] update rounds) — shared by q38 (nprobe=1) and q82
     * (multi-probe).
     */
-  private def ivfCentroids(e: DataFrame): DataFrame = {
-    var centroids = e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    ivfCentroids(e, e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc")))
+
+  /** The k-means loop with caller-chosen seeds (q88 trains on the OLD
+    * corpus only with old-id seeds).
+    */
+  private[graft] def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
+    var centroids = seeds
     // lazy checkpoints: each iteration's centroid table materializes when
     // the NEXT assign broadcasts it (one job per iteration, not two), and
     // the lineage still truncates at each round
@@ -274,16 +285,10 @@ object Similarity {
     val isNew = col("vec_id") % 10 === 0
     val old = e.filter(!isNew)
     // deterministic seeds: the first IvfK existing vectors by id
-    var centroids = old.orderBy(col("vec_id")).limit(IvfK)
+    val seeds = old.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
-    for (_ <- 1 to IvfIters)
-      centroids = update(old, assign(old, centroids)).localCheckpoint(false)
-    e.filter(isNew).crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos").as("c"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("best.c").as("ccos"))
-      .orderBy(col("vec_id"))
+    val centroids = ivfCentroids(old, seeds)
+    assignScored(e.filter(isNew), centroids).orderBy(col("vec_id"))
   }
 
   /** Centroid similarity / outlier scoring: per-label integer centroid sums

@@ -47,8 +47,18 @@ object Skew {
     * replicated once per salt value; the join keys become (key, salt), so
     * the hot key's rows spread across `salts` tasks while every fact row
     * still meets its dim match exactly once. Result set is identical to
-    * the plain inner join for any salt assignment — the salt derivation
-    * below is deterministic only to keep runs reproducible.
+    * the plain inner join for any salt assignment.
+    *
+    * The salt MUST be deterministic in row CONTENT (here: a hash of every
+    * fact column): it becomes a shuffle-join key, and a nondeterministic
+    * derivation (monotonically_increasing_id, rand) re-evaluated by a
+    * task retry would route recomputed rows to different reduce
+    * partitions than the already-fetched map outputs — silently
+    * duplicating or dropping rows. Identical rows sharing a salt is
+    * harmless (any assignment is correct); spreading only needs the hash
+    * to vary across the hot key's DISTINCT payloads, which is the skew
+    * case (a hot key with byte-identical rows is a dedup problem, not a
+    * join problem).
     *
     * Cost: the dim shuffle inflates by `salts`x — the technique fits a
     * skewed fact against a MID-SIZED dim (too big to broadcast, small
@@ -57,7 +67,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(salts)))
     val saltedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")

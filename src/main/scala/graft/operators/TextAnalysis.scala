@@ -69,6 +69,30 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS ${lang}_hits"
   }.mkString(",\n  ")
 
+  /** Oracle CTE mirroring [[qualityScored]]'s integer metrics over `src`
+    * (needs doc_id, text, toks in scope) — the ONE SQL copy of the q22
+    * metric definitions, interpolated by every oracle that scores quality
+    * (q22, q83, q87) so the engines and the oracles cannot drift.
+    */
+  private[operators] def qualityMetricsCte(src: String): String =
+    s"""m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+      |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+      |  length(text) AS n_chars,
+      |  len(list_filter(toks, t -> t IN (${inList(langStops.head._2)}))) AS n_stop
+      |FROM $src)""".stripMargin
+
+  /** Oracle expression for the q22 score over [[qualityMetricsCte]]'s
+    * columns — float-op-identical to [[qualityScored]] (ratio first, then
+    * the weighted sum).
+    */
+  private[operators] val qualityScoreSql: String =
+    """CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 +
+      |  (1.0 - CAST(n_short AS DOUBLE) / n_tokens) * 0.3 +
+      |  (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+      |              ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.1 +
+      |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.1""".stripMargin
+
   /** Quality scoring: distinct-token, short-token, punctuation, and
     * stopword ratios combined into one double score + a bucket label (the
     * length/punct/stopword signal set of a training-data quality filter).
@@ -522,14 +546,7 @@ object TextAnalysis {
 
     "q22_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id,
-        |  len(toks) AS n_tokens,
-        |  len(list_distinct(toks)) AS n_distinct,
-        |  len(list_filter(toks, t -> length(t) <= 2)) AS n_short,
-        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
-        |  length(text) AS n_chars,
-        |  len(list_filter(toks, t -> t IN (${inList(langStops.head._2)}))) AS n_stop
-        |FROM t),
+        |${qualityMetricsCte("t")},
         |s AS (SELECT doc_id, n_tokens,
         |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
         |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
