@@ -402,8 +402,16 @@ object Curation {
     * single-row aggregates. Nothing corpus-sized is broadcast or
     * collected.
     */
-  def q83CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
+  def q83CurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(docs(spark, dir))
+
+  /** [[q83CurationFunnel]] over an arbitrary (doc_id, text) frame — the
+    * spec drives it on corpora WITH exact duplicates (the testdata has
+    * none, which is exactly the input shape that once hid a census-scope
+    * bug here).
+    */
+  private[graft] def funnelOf(docsDf: DataFrame): DataFrame = {
+    val base = docsDf
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("text"), col("toks"),
         size(col("toks")).cast("long").as("nt"))

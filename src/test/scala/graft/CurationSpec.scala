@@ -84,6 +84,23 @@ class CurationSpec extends SparkTestBase {
     assert(out(3)._3 > 0, "the funnel must not empty the corpus")
   }
 
+  test("q83 funnel keeps the canonical of an exact-dup group (census over survivors)") {
+    import spark.implicits._
+    // the testdata has no exact duplicates, so this input shape is the
+    // one the oracle can never exercise: a raw-corpus passage census
+    // would see the canonical's own removed copies and drop it at stage 4
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "a a a a a a")).toDF("doc_id", "text")
+    val out = Curation.funnelOf(docs)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq(
+      ("raw", 4L), ("exact_dedup", 3L), ("quality", 2L), ("passage_dedup", 2L)),
+      s"funnel stages: ${out.toSeq}")
+  }
+
   test("q51 sampling is deterministic and respects the per-language rates") {
     val s1 = Curation.q51StratifiedSample(spark, dir).collect()
     val s2 = Curation.q51StratifiedSample(spark, dir).collect()
