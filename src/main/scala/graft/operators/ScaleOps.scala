@@ -170,6 +170,74 @@ object ScaleOps {
       .orderBy(col("day"))
   }
 
+  /** Bin count for the value histogram (q89). */
+  private val HistBins = 20
+
+  /** Equal-width histogram of `events.value` (q89) — the profiling
+    * primitive behind every "distribution looks wrong" check. Bin edges
+    * derive from one global min/max aggregate (a 1-row broadcast); the
+    * binning decision is a scan-local projection and the per-bin rollup a
+    * [[HistBins]]-row hash-agg. Empty bins are filled from an exploded
+    * bin spine so the histogram always has exactly [[HistBins]] rows.
+    * All edge arithmetic happens in doubles derived identically in both
+    * engines from the same min/width, so bin assignment cannot straddle.
+    */
+  def q89Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir).select(col("value"))
+    val stats = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .withColumn("width", (col("hi") - col("lo")) / HistBins)
+    val binned = ev.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        least(lit(HistBins - 1L),
+          floor((col("value") - col("lo")) / col("width"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), Queries.dsum(col("value")).as("sum_value"))
+    val spine = stats.select(explode(expr(s"sequence(0L, ${HistBins - 1}L)")).as("bin"),
+      col("lo"), col("width"))
+    spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("lo") + col("bin") * col("width")).as("bin_lo"),
+        (col("lo") + (col("bin") + 1) * col("width")).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("bin"))
+  }
+
+  /** Pearson correlation of event value vs hour-of-day per event type
+    * (q90) — computed from DECIMAL-EXACT moment sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²), not a streaming float accumulator: the built-in `corr`
+    * sums doubles in partition order and its result differs between
+    * engines (and between runs at different parallelism). Each moment is
+    * exact integer/decimal arithmetic (value has 2 decimals, hour is an
+    * integer), map-side combined; the one float step derives the
+    * coefficient from six exact numbers — bit-identical anywhere. At
+    * 100 TB the same shape holds; Σx² precision is decimal(38,4), good
+    * for ~10^16 rows of 4-decimal squares.
+    */
+  def q90CorrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,2)").as("x"),
+        expr("(ts_us div 3600000000) % 24").as("y"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_xy", expr(
+        """CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |AS DOUBLE)""".stripMargin))
+      .select(col("event_type"), col("n"),
+        col("sx").cast("double").as("sum_x"),
+        col("sy").cast("long").as("sum_y"),
+        col("corr_xy"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conversion window for the interval join (10 minutes in µs). */
   private val ConvWindowUs = 600000000L
 
@@ -425,6 +493,34 @@ object ScaleOps {
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,
 
+    "q89_histogram" ->
+      s"""WITH ev AS (SELECT value FROM events),
+        |stats AS (SELECT min(value) AS lo, max(value) AS hi,
+        |          (max(value) - min(value)) / $HistBins AS width FROM ev),
+        |binned AS (
+        |  SELECT least(${HistBins - 1}, CAST(floor((value - lo) / width) AS BIGINT)) AS bin,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev, stats GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, ${HistBins - 1})) AS bin, lo, width
+        |          FROM stats)
+        |SELECT s.bin, lo + s.bin * width AS bin_lo, lo + (s.bin + 1) * width AS bin_hi,
+        |  coalesce(b.n, 0) AS n, coalesce(b.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN binned b USING (bin) ORDER BY s.bin""".stripMargin,
+
+    "q90_corr_moments" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |            (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
+        |g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM ev GROUP BY event_type)
+        |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+        |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS DOUBLE) AS corr_xy
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "q85_gap_fill" ->
       """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, user_id, value
         |           FROM events),
@@ -553,6 +649,8 @@ object ScaleOps {
     "q84_salted_join" -> (q84SaltedJoin _),
     "q85_gap_fill" -> (q85GapFill _),
     "q86_cumulative_users" -> (q86CumulativeUsers _),
+    "q89_histogram" -> (q89Histogram _),
+    "q90_corr_moments" -> (q90CorrMoments _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),
