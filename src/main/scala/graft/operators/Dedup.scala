@@ -175,18 +175,22 @@ object Dedup {
     // re-deriving the explode lineage per consumer
     val sh = shinglesOf(docsDf).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val postings = sh.groupBy(col("s"))
-      .agg(collect_list(col("doc_id")).as("ds")).localCheckpoint(true)
+    // shingle document-frequency — COUNTS only, never collected posting
+    // lists: a hot shingle (stopword run) can appear in a constant
+    // fraction of the corpus, so a collect_list per shingle is an
+    // unbounded single-row array exactly where the data is most skewed.
+    // The frequency table is one map-side-combined hash-agg; hot/capped
+    // membership becomes an equi-join against it.
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("c")).localCheckpoint(true)
     // per-doc count of HOT shingles (the ones the capped index drops)
-    val hot = postings.filter(size(col("ds")) > ShingleDocCap)
-      .select(explode(col("ds")).as("doc_id"))
+    val hot = sh.join(freq.filter(col("c") > ShingleDocCap), Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
-    // capped-index pairwise intersection counts: re-explode the capped
-    // postings and pair with a codegen equi-self-join (measured faster
-    // than emitting pair combinations with interpreted transform lambdas)
-    val capped = postings
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= ShingleDocCap)
-      .select(col("s"), explode(col("ds")).as("doc_id"))
+    // capped index: shingles with 2..cap docs — pair generation via the
+    // codegen equi-self-join (measured faster than emitting pair
+    // combinations with interpreted transform lambdas)
+    val capped = sh
+      .join(freq.filter(col("c") > 1 && col("c") <= ShingleDocCap), Seq("s"))
+      .select(col("s"), col("doc_id"))
     // candidate pairs from the capped index are bounded by design (each
     // surviving shingle emits <= C(cap,2) pairs) — safe to materialize and
     // to broadcast their IDS for the semi-join reduction of counts/hot
