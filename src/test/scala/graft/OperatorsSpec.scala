@@ -613,6 +613,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("histogram: bins contiguous and exhaustive, counts reconcile with the corpus") {
+    import spark.implicits._
+    val out = graft.operators.ScaleOps.q89Histogram(spark, dir)
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(out.length == 20, "one row per bin, empty bins included")
+    assert(out.map(_._1).toSeq == (0L until 20L).toSeq)
+    out.sliding(2).foreach { case Array((_, _, hi1, _, _), (b, lo2, _, _, _)) =>
+      assert(math.abs(hi1 - lo2) < 1e-9, s"bin $b: edges must be contiguous")
+    }
+    val total = Queries.events(spark, dir).count()
+    assert(out.map(_._4).sum == total, "bin counts must cover every event")
+  }
+
+  test("corr from moments: coefficients bounded, counts reconcile") {
+    import spark.implicits._
+    val out = graft.operators.ScaleOps.q90CorrMoments(spark, dir)
+      .as[(String, Long, Double, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, _, _, c) =>
+      assert(n > 0, s"$t count")
+      assert(c.isNaN || (c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9),
+        s"$t: correlation $c out of [-1, 1]")
+    }
+    val total = Queries.events(spark, dir).count()
+    assert(out.map(_._2).sum == total, "per-type counts must cover every event")
+  }
+
   test("salted join is row-identical to the plain join and keys on (key, salt)") {
     val fact = Queries.events(spark, dir).select(col("user_id"), col("value"))
     val dim = Queries.t(spark, dir, "customer")
