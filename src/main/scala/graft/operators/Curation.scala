@@ -59,7 +59,15 @@ object Curation {
     */
   def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // kmv_sketch member sample
-    val pairs = Dedup.jaccardPairs(spark, dir).select(col("i"), col("j"))
+    clusterSummary(clusterLabels(
+      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j"))))
+  }
+
+  /** Min-label propagation over an (i, j) pair list — the (doc_id, lbl)
+    * component labeling shared by q50's rollup and q92's survivor
+    * selection.
+    */
+  private def clusterLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint(true)
@@ -87,7 +95,30 @@ object Curation {
       prev = cur
       cur = labelSum()
     }
-    clusterSummary(labels)
+    labels
+  }
+
+  /** Best-quality survivor per near-dup cluster (q92): production dedup
+    * keeps the HIGHEST-QUALITY member of each cluster, not the lowest id —
+    * a mirror site's cleaner copy should win over a truncated scrape. One
+    * hash-agg argmax (max over struct(score, -doc_id): highest score, tie
+    * to lowest id — the [[graft.functions.LatestRow]] plan shape, map-side
+    * combined) over the component labeling joined with the q22 quality
+    * scores. No windows, nothing unbounded per group.
+    */
+  def q92ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(
+      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+    val scores = TextAnalysis.qualityScored(
+      docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    labels.join(scores, Seq("doc_id"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.nid")).as("keep_doc_id"), col("best.score").as("keep_score"))
+      .orderBy(col("cluster_id"))
   }
 
   /** How many member ids a cluster row reports. */
@@ -474,6 +505,31 @@ object Curation {
   // Oracles
   // ------------------------------------------------------------------
 
+  /** The q50/q92 shared component CTEs: jaccard pairs -> recursive
+    * reachability -> (doc_id, cluster_id) as `comp`.
+    */
+  private def clusterCompCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+       |  FROM (SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS g
+       |        FROM documents WHERE len(string_split(text,' ')) >= 3)),
+       |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+       |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
+       |edges AS (SELECT i AS u, j AS v FROM pairs
+       |          UNION SELECT j, i FROM pairs),
+       |reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+       |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
   private def shingles8Cte: String =
     s"""sh8 AS (
        |  SELECT DISTINCT doc_id, unnest(${wordNgramSql(8)}) AS s
@@ -481,26 +537,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q50_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
-         |  FROM (SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS g
-         |        FROM documents WHERE len(string_split(text,' ')) >= 3)),
-         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT i, j FROM inter
-         |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-         |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
-         |edges AS (SELECT i AS u, j AS v FROM pairs
-         |          UNION SELECT j, i FROM pairs),
-         |reach AS (
-         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-         |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+      s"""WITH RECURSIVE $clusterCompCtes,
          |ranked AS (
          |  SELECT cluster_id, doc_id,
          |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
@@ -600,6 +637,21 @@ object Curation {
          |FROM grams GROUP BY doc_id, lang
          |ORDER BY rep_ratio DESC, doc_id""".stripMargin,
 
+    "q92_cluster_survivors" ->
+      s"""WITH RECURSIVE $clusterCompCtes,
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |${TextAnalysis.qualityMetricsCte("t")},
+         |sc AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS score FROM m),
+         |ranked AS (
+         |  SELECT comp.cluster_id, comp.doc_id, sc.score,
+         |    row_number() OVER (PARTITION BY comp.cluster_id
+         |      ORDER BY sc.score DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN sc USING (doc_id))
+         |SELECT cluster_id, count(*) AS n_docs,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+         |  max(CASE WHEN rn = 1 THEN score END) AS keep_score
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     "q87_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |${TextAnalysis.qualityMetricsCte("t")},
@@ -670,6 +722,7 @@ object Curation {
     "q78_mix_allocation" -> (q78MixAllocation _),
     "q83_curation_funnel" -> (q83CurationFunnel _),
     "q87_weighted_sample" -> (q87WeightedSample _),
+    "q92_cluster_survivors" -> (q92ClusterSurvivors _),
     "q68_token_budget" -> (q68TokenBudget _),
   )
 }
