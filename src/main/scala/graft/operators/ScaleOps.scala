@@ -238,6 +238,35 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Session gap for explicit sessionization (30 minutes in µs). */
+  private val SessionGapUs = 1800000000L
+
+  /** Explicit session-id assignment (q91) — the event-level complement of
+    * q16's session-window AGGREGATE: every event gets its user-relative
+    * session sequence number (new session when the gap to the previous
+    * event exceeds [[SessionGapUs]]), the label downstream joins hang off.
+    * The lag + running-sum-of-boundaries pattern; both windows partition
+    * by user and order by (ts, event_id) — per-user cardinality is
+    * bounded by one user's activity, the standard analytic-window shape
+    * (q07), never a global or per-corpus partition.
+    */
+  def q91SessionIds(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Queries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select("user_id", "event_id", "ts_us", "session_seq")
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** Conversion window for the interval join (10 minutes in µs). */
   private val ConvWindowUs = 600000000L
 
@@ -493,6 +522,17 @@ object ScaleOps {
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,
 
+    "q91_session_ids" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS prev_ts FROM ev),
+        |s AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $SessionGapUs
+        |                     THEN 1 ELSE 0 END AS is_new FROM l)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "q89_histogram" ->
       s"""WITH ev AS (SELECT value FROM events),
         |stats AS (SELECT min(value) AS lo, max(value) AS hi,
@@ -651,6 +691,7 @@ object ScaleOps {
     "q86_cumulative_users" -> (q86CumulativeUsers _),
     "q89_histogram" -> (q89Histogram _),
     "q90_corr_moments" -> (q90CorrMoments _),
+    "q91_session_ids" -> (q91SessionIds _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),
