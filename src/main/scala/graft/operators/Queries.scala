@@ -273,6 +273,34 @@ object Queries {
       .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Columns the q93 profiler covers. */
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Single-pass data profiling (q93): per-column non-null count, min,
+    * max, and exact-decimal sum for every profiled column of `lineitem` —
+    * the schema-driven audit a pipeline runs on arrival. The aggregation
+    * list is GENERATED from the column list (one wide agg, ONE scan of
+    * the table for all columns), then pivoted to one row per column —
+    * profiling N columns must not cost N scans at 100 TB.
+    */
+  def q93Profile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        dsum(col(c)).as(s"${c}__sum"))
+    }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', `${c}__n`, `${c}__min`, `${c}__max`, `${c}__sum`")
+      .mkString(", ")
+    t(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfileCols.length}, $stackArgs) " +
+        "AS (column_name, n_nonnull, min_v, max_v, sum_v)"))
+      .orderBy(col("column_name"))
+  }
+
   /** Scalar-subquery pattern (TPC-H Q17-style, SURVEY §2.3 J1): per-part
     * average quantity joined back against the fact; the per-part agg is tiny
     * and broadcast.
@@ -863,6 +891,21 @@ object Queries {
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    "q93_profile" ->
+      """SELECT 'l_quantity' AS column_name, count(l_quantity) AS n_nonnull,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice' AS column_name, count(l_extendedprice) AS n_nonnull,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_v, CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v FROM lineitem
+        |UNION ALL SELECT 'l_discount' AS column_name, count(l_discount) AS n_nonnull,
+        |  CAST(min(l_discount) AS DOUBLE) AS min_v, CAST(max(l_discount) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_v FROM lineitem
+        |UNION ALL SELECT 'l_tax' AS column_name, count(l_tax) AS n_nonnull,
+        |  CAST(min(l_tax) AS DOUBLE) AS min_v, CAST(max(l_tax) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_v FROM lineitem
+        |ORDER BY column_name""".stripMargin,
+
     "q47_unpivot" ->
       """WITH long AS (
         |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
@@ -993,6 +1036,7 @@ object Queries {
     "q45_set_ops_all" -> (q45SetOpsAll _),
     "q46_array_agg" -> (q46ArrayAgg _),
     "q47_unpivot" -> (q47Unpivot _),
+    "q93_profile" -> (q93Profile _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),
