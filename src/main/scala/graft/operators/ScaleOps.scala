@@ -183,13 +183,22 @@ object ScaleOps {
     * engines from the same min/width, so bin assignment cannot straddle.
     */
   def q89Histogram(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Queries.events(spark, dir).select(col("value"))
+    // NULL measurements are excluded up front: floor(NULL/width) is NULL
+    // and least() SKIPS nulls, which would silently count them in the
+    // top bin
+    val ev = Queries.events(spark, dir)
+      .select(col("value")).filter(col("value").isNotNull)
     val stats = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       .withColumn("width", (col("hi") - col("lo")) / HistBins)
     val binned = ev.crossJoin(broadcast(stats))
+      // width = 0 (constant column / single row) would make the division
+      // NaN in Spark but an error in other engines — pin the degenerate
+      // case to bin 0 explicitly
       .withColumn("bin",
-        least(lit(HistBins - 1L),
-          floor((col("value") - col("lo")) / col("width"))).cast("long"))
+        when(col("width") === 0.0, lit(0L))
+          .otherwise(least(lit(HistBins - 1L),
+            floor((col("value") - col("lo")) / col("width"))))
+        .cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), Queries.dsum(col("value")).as("sum_value"))
     val spine = stats.select(explode(expr(s"sequence(0L, ${HistBins - 1}L)")).as("bin"),
@@ -210,9 +219,15 @@ object ScaleOps {
     * engines (and between runs at different parallelism). Each moment is
     * exact integer/decimal arithmetic (value has 2 decimals, hour is an
     * integer), map-side combined; the one float step derives the
-    * coefficient from six exact numbers — bit-identical anywhere. At
-    * 100 TB the same shape holds; Σx² precision is decimal(38,4), good
-    * for ~10^16 rows of 4-decimal squares.
+    * coefficient from six exact numbers — bit-identical anywhere.
+    *
+    * Degenerate groups (n < 2, or zero variance on either side) emit
+    * NULL, not 0/0 = NaN. Caveat on the one float step: n·Σx² - (Σx)²
+    * cancels catastrophically when the mean dwarfs the variance by more
+    * than ~15 significant digits; a corpus in that regime needs the
+    * centered two-pass formulation (compute means first, sum squared
+    * deviations second) — the moment sums themselves stay the right
+    * mergeable shape either way.
     */
   def q90CorrMoments(spark: SparkSession, dir: String): DataFrame = {
     val ev = Queries.events(spark, dir)
@@ -226,11 +241,15 @@ object ScaleOps {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      .withColumn("varx", expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("vary", expr(
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
       .withColumn("corr_xy", expr(
-        """CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-          |AS DOUBLE)""".stripMargin))
+        """CASE WHEN n < 2 OR varx <= 0 OR vary <= 0 THEN NULL
+          |ELSE CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(varx) * sqrt(vary)) AS DOUBLE) END""".stripMargin))
       .select(col("event_type"), col("n"),
         col("sx").cast("double").as("sum_x"),
         col("sy").cast("long").as("sum_y"),
@@ -251,8 +270,7 @@ object ScaleOps {
     * (q07), never a global or per-corpus partition.
     */
   def q91SessionIds(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Queries.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
@@ -260,9 +278,8 @@ object ScaleOps {
         when(col("prev_ts").isNull ||
           col("ts_us") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_seq",
-        sum(col("is_new")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+        sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "event_id", "ts_us", "session_seq")
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
@@ -534,11 +551,13 @@ object ScaleOps {
         |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q89_histogram" ->
-      s"""WITH ev AS (SELECT value FROM events),
+      s"""WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
         |stats AS (SELECT min(value) AS lo, max(value) AS hi,
         |          (max(value) - min(value)) / $HistBins AS width FROM ev),
         |binned AS (
-        |  SELECT least(${HistBins - 1}, CAST(floor((value - lo) / width) AS BIGINT)) AS bin,
+        |  SELECT CASE WHEN width = 0 THEN 0
+        |         ELSE least(${HistBins - 1}, CAST(floor((value - lo) / width) AS BIGINT))
+        |         END AS bin,
         |    count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |  FROM ev, stats GROUP BY 1),
@@ -553,13 +572,16 @@ object ScaleOps {
         |            (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
         |g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
         |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-        |      FROM ev GROUP BY event_type)
+        |      FROM ev GROUP BY event_type),
+        |v AS (SELECT *,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        |FROM g)
         |SELECT event_type, n, CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
-        |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  AS DOUBLE) AS corr_xy
-        |FROM g ORDER BY event_type""".stripMargin,
+        |  CASE WHEN n < 2 OR varx <= 0 OR vary <= 0 THEN NULL
+        |  ELSE CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(varx) * sqrt(vary)) AS DOUBLE) END AS corr_xy
+        |FROM v ORDER BY event_type""".stripMargin,
 
     "q85_gap_fill" ->
       """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, user_id, value
