@@ -121,6 +121,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("capped jaccard == exact jaccard on randomized skewed corpora (fuzz)") {
+    // Random small-vocab corpora force partially-hot intersections — the
+    // regime where the bounded-pruning arithmetic and the recall path
+    // must hand off correctly. Reference = in-memory brute force.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = 6 + rnd.nextInt(6) // tiny vocab => many hot shingles
+      val docs = (0L until 40L).map { id =>
+        val n = 8 + rnd.nextInt(30)
+        // near-dup pairs: every 4th doc repeats the previous doc with a
+        // one-token tail perturbation
+        if (id % 4 == 1 && id > 0) {
+          val prev = (0 until (8 + ((id - 1) % 7).toInt * 3))
+            .map(k => s"w${(id - 1 + k * 7) % vocab}").mkString(" ")
+          (id, prev + s" u$id")
+        } else {
+          val len = 8 + (id % 7).toInt * 3
+          (id, (0 until len).map(k => s"w${(id + k * 7) % vocab}").mkString(" "))
+        }
+      }
+      val dir = tmpDir(s"fuzz-jaccard-$trial")
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      // in-memory exact reference over distinct 3-gram shingle sets
+      val sets = docs.map { case (id, text) =>
+        val toks = text.split(" ")
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val expected = (for {
+        i <- docs.map(_._1); j <- docs.map(_._1) if i < j
+        si = sets(i); sj = sets(j)
+        if si.nonEmpty && sj.nonEmpty
+        inter = (si & sj).size
+        uni = si.size + sj.size - inter
+        if uni > 0 && inter.toDouble / uni >= 0.8
+      } yield (i, j)).toSet
+      val got = Dedup.q49NgramJaccardCapped(spark, dir)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"trial $trial (vocab $vocab): missing=${expected.diff(got).take(5)} " +
+          s"spurious=${got.diff(expected).take(5)}")
+    }
+  }
+
   test("capped jaccard equals exact jaccard when the whole intersection is hot") {
     // A cluster of >ShingleDocCap near-identical docs makes every shared
     // shingle hot: the capped index drops the entire intersection, so only
