@@ -301,6 +301,25 @@ object Queries {
       .orderBy(col("column_name"))
   }
 
+  /** Referential-integrity audit (q94): documents without embeddings,
+    * embeddings without documents, and matched counts — the orphan check a
+    * multi-artifact corpus (text + vectors produced by separate jobs) runs
+    * before training. Two anti-join counts + one semi-join count, each a
+    * shuffle equi-join on the id (partition-prunable when both tables are
+    * bucketed by id); the audit emits three numbers, never row data.
+    */
+  def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"))
+    val e = t(spark, dir, "embeddings").select(col("vec_id"))
+    val docsOnly = d.join(e, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("docs_without_embedding").as("kind"), col("n"))
+    val vecsOnly = e.join(d, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("embeddings_without_doc").as("kind"), col("n"))
+    val matched = d.join(e, col("doc_id") === col("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("matched").as("kind"), col("n"))
+    docsOnly.unionByName(vecsOnly).unionByName(matched).orderBy(col("kind"))
+  }
+
   /** Scalar-subquery pattern (TPC-H Q17-style, SURVEY §2.3 J1): per-part
     * average quantity joined back against the fact; the per-part agg is tiny
     * and broadcast.
@@ -891,6 +910,18 @@ object Queries {
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    "q94_orphans" ->
+      """SELECT 'docs_without_embedding' AS kind,
+        |  (SELECT count(*) FROM documents d WHERE NOT EXISTS
+        |    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n
+        |UNION ALL SELECT 'embeddings_without_doc',
+        |  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+        |    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |UNION ALL SELECT 'matched',
+        |  (SELECT count(*) FROM documents d WHERE EXISTS
+        |    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+        |ORDER BY kind""".stripMargin,
+
     "q93_profile" ->
       """SELECT 'l_quantity' AS column_name, count(l_quantity) AS n_nonnull,
         |  CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v,
@@ -1037,6 +1068,7 @@ object Queries {
     "q46_array_agg" -> (q46ArrayAgg _),
     "q47_unpivot" -> (q47Unpivot _),
     "q93_profile" -> (q93Profile _),
+    "q94_orphans" -> (q94Orphans _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_pivot" -> (q43Pivot _),
