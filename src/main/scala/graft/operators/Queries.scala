@@ -321,8 +321,11 @@ object Queries {
   }
 
   /** Scalar-subquery pattern (TPC-H Q17-style, SURVEY §2.3 J1): per-part
-    * average quantity joined back against the fact; the per-part agg is tiny
-    * and broadcast.
+    * average quantity joined back against the fact. The per-part agg's
+    * cardinality is ∝ |part| (it grows with SF), so it may only broadcast
+    * AFTER the semi-join against the filtered dim bounds it by the
+    * `p_size < 20` part set — broadcasting the raw agg was only "tiny" at
+    * bench scale (round-3 verdict).
     */
   def q12ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -330,6 +333,7 @@ object Queries {
     val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1))).as("avg_qty"))
+      .join(part.select(col("p_partkey").as("a_partkey")), Seq("a_partkey"), "left_semi")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
@@ -643,26 +647,43 @@ object Queries {
   /** Supplier league table (completes table coverage: `supplier`):
     * per-nation top suppliers by shipped revenue — fact-side aggregation
     * FIRST (shrinks lineitem to one row per suppkey), then the tiny
-    * result joins the broadcast supplier/nation dims; ranking runs on the
-    * aggregate, never the fact table.
+    * result joins the broadcast supplier/nation dims.
+    *
+    * The per-nation ranking is the mergeable `top_k_by` aggregate (as in
+    * q55/q75), NOT a row_number window: partitionBy(n_name) would put each
+    * nation's full supplier list (∝ SF/25) on one reducer — partials now
+    * carry <= 3 entries per nation across the shuffle. The top-k KEY is
+    * revenue in exact 1e-4 units (the decimal sum's own scale, so the
+    * BIGINT is lossless); the VALUE string carries (zero-padded suppkey |
+    * name | item count), making value-ASC tie-break identical to the
+    * oracle's `ORDER BY revenue DESC, s_suppkey`.
     */
   def q64SupplierRank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val rev = t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("double").as("revenue"),
+        .as("rev_d"),
         count(lit(1)).as("n_items"))
     val s = t(spark, dir, "supplier")
     val n = t(spark, dir, "nation")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
     rev.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("n_name"), col("rnk"), col("s_suppkey"), col("s_name"),
-        round(col("revenue"), 2).as("revenue"), col("n_items"))
+      .groupBy(col("n_name"))
+      .agg(expr(
+        """top_k_by(
+          |  concat(lpad(cast(s_suppkey AS STRING), 12, '0'), '|', s_name, '|',
+          |         cast(n_items AS STRING)),
+          |  cast(rev_d * 10000 AS BIGINT), 3)""".stripMargin).as("top"))
+      .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("n_name"), (col("pos") + 1).cast("long").as("rnk"),
+        split(col("e.v"), "\\|").as("f"), col("e.c").as("units"))
+      .select(col("n_name"), col("rnk"),
+        col("f").getItem(0).cast("long").as("s_suppkey"),
+        col("f").getItem(1).as("s_name"),
+        round(col("units").cast("double") / 10000.0, 2).as("revenue"),
+        col("f").getItem(2).cast("long").as("n_items"))
       .orderBy(col("n_name"), col("rnk"))
   }
 

@@ -411,12 +411,18 @@ object ScaleOps {
       .orderBy(col("cohort_day"))
   }
 
-  /** Bloom-filter shape for q74: 64 Kbit / 5 hashes ≈ 0.1% FP at ~3k keys;
-    * at 100 TB you'd size m ≈ 10·n_keys bits and still broadcast ~a few
-    * hundred MB at most — always ≪ the keys themselves.
+  /** Bloom sizing for q74: m ≈ 10·n_keys bits (with 5 hashes ≈ 1% FP at
+    * any SF), floored at 64 Kbit and capped at 1 Gbit (a 128 MB broadcast —
+    * beyond that the filter should shard or the join should just shuffle).
+    * Round 3 hardcoded 64 Kbit, which silently saturated — zero pruning,
+    * pure overhead — once the build side grew ~100x past bench scale.
     */
-  private val BloomBits = 1 << 16
-  private val BloomHashes = 5
+  private[graft] def sizedBloomBits(nKeys: Long): Int = {
+    val want = 10L * math.max(nKeys, 1L)
+    val clamped = math.min(math.max(want, 1L << 16), 1L << 30)
+    ((clamped + 7L) & ~7L).toInt
+  }
+  private[graft] val BloomHashes = 5
 
   /** Explicit runtime-filter join (the 100 TB join-pruning pattern, made
     * first-class): build a [[graft.functions.BloomBuild]] filter over the
@@ -436,8 +442,11 @@ object ScaleOps {
     val dim = Queries.t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
+    // size the filter from the ACTUAL build-side cardinality — one cheap
+    // count job over the filtered dim scan (a driver scalar, not row data)
+    val bloomBits = sizedBloomBits(dim.count())
     val bloom = dim.agg(
-      expr(s"bloom_build(xxhash64(o_orderkey), $BloomBits, $BloomHashes)").as("bf"))
+      expr(s"bloom_build(xxhash64(o_orderkey), $bloomBits, $BloomHashes)").as("bf"))
     val pruned = Queries.t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(broadcast(bloom))

@@ -107,7 +107,9 @@ object Bootstrapper {
             spark, wh, spec.changelogTable, spec.sourcePath,
             spec.changelogExcludeGlob, load = true,
             transform = Cdc.withIngestSeq, format = spec.format)
-          if (created) cat.tableCreated(spec.changelogTable)
+          // registration carries the as-written schema (one footer read)
+          if (created) cat.tableCreated(spec.changelogTable,
+            wh.read(spark, spec.changelogTable).schema)
           created
         }
 
@@ -136,7 +138,8 @@ object Bootstrapper {
               true
             case None => false
           }
-          if (created) cat.tableCreated(spec.mirrorTable)
+          if (created) cat.tableCreated(spec.mirrorTable,
+            wh.read(spark, spec.mirrorTable).schema)
           created
         }
 

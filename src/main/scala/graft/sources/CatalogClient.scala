@@ -20,13 +20,17 @@ trait CatalogClient {
   def properties(name: String): Map[String, String]
   /** Merge `props` into the table's properties (create-if-absent). */
   def setProperties(name: String, props: Map[String, String]): Unit
-  /** Notify the catalog that the engine just created `name`. A no-op where
-    * creation is implicit (the warehouse directory IS the registration);
-    * a REST catalog registers the table here so later probes and property
-    * commits resolve. Called by the control plane right after each
-    * successful table bootstrap.
+  /** Notify the catalog that the engine just created `name`, carrying the
+    * table's schema so external readers resolving the table through the
+    * catalog see its actual columns. A no-op where creation is implicit
+    * (the warehouse directory IS the registration); a REST catalog
+    * registers the table here so later probes and property commits
+    * resolve. Called by the control plane right after each successful
+    * table bootstrap.
     */
-  def tableCreated(name: String): Unit = ()
+  def tableCreated(name: String,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()): Unit = ()
 }
 
 /** Offline default: table existence = warehouse directory probe, properties

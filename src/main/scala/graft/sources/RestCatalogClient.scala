@@ -74,15 +74,17 @@ final class RestCatalogClient(
     }
   }
 
-  /** Register an engine-created table (Iceberg REST create-table). The
-    * engine owns the data plane (like the reference's managed loader), so
-    * registration carries a minimal schema; a production deployment would
-    * convert and send the table's Spark schema here. 409 = someone
+  /** Register an engine-created table (Iceberg REST create-table),
+    * converting the table's Spark schema to Iceberg-REST fields so
+    * external readers resolving the table through the catalog see its
+    * actual columns (the reference's create path carries no schema at all,
+    * tabular.py:130-139 — bucket/prefix/format only). 409 = someone
     * registered it concurrently — the desired end state, not an error.
     */
-  override def tableCreated(name: String): Unit = {
+  override def tableCreated(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val body =
-      s"""{"name": "${esc(name)}", "schema": {"type": "struct", "schema-id": 0, "fields": []}}"""
+      s"""{"name": "${esc(name)}", "schema": ${RestCatalogClient.icebergSchemaJson(schema)}}"""
     val resp = send(HttpRequest.newBuilder(
         URI.create(s"$base/v1/namespaces/${enc(namespace)}/tables"))
       .header("Content-Type", "application/json")
@@ -162,6 +164,47 @@ object RestCatalogClient {
       throw new RuntimeException(s"token exchange failed: HTTP ${resp.statusCode()} ${resp.body()}")
     stringField(resp.body(), "access_token").getOrElse(
       throw new RuntimeException(s"token response carries no access_token: ${resp.body()}"))
+  }
+
+  /** Spark schema → Iceberg-REST schema JSON (Iceberg table spec: a
+    * `struct` type whose every field and nested collection element carries
+    * a unique field id — allocated here by a pre-order walk). Covers the
+    * types the engine's tables use: all scalars, decimals,
+    * timestamps (tz and ntz), arrays (embeddings), maps, and nested
+    * structs. Anything unmappable fails loudly rather than registering a
+    * lying schema.
+    */
+  private[graft] def icebergSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def typ(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case ByteType | ShortType | IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"binary\""
+      case DateType => "\"date\""
+      case TimestampType => "\"timestamptz\""
+      case TimestampNTZType => "\"timestamp\""
+      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+      case a: ArrayType =>
+        s"""{"type": "list", "element-id": ${id()}, "element": ${typ(a.elementType)}, "element-required": ${!a.containsNull}}"""
+      case m: MapType =>
+        s"""{"type": "map", "key-id": ${id()}, "key": ${typ(m.keyType)}, "value-id": ${id()}, "value": ${typ(m.valueType)}, "value-required": ${!m.valueContainsNull}}"""
+      case s: StructType =>
+        s"""{"type": "struct", "fields": ${fields(s)}}"""
+      case other => throw new IllegalArgumentException(
+        s"no Iceberg type mapping for ${other.sql}")
+    }
+    def fields(s: StructType): String =
+      s.fields.map { f =>
+        s"""{"id": ${id()}, "name": "${esc(f.name)}", "required": ${!f.nullable}, "type": ${typ(f.dataType)}}"""
+      }.mkString("[", ", ", "]")
+    s"""{"type": "struct", "schema-id": 0, "fields": ${fields(schema)}}"""
   }
 
   /** First string-valued `"field": "..."` in a JSON document. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{Bloom, GraftFunctions}
 import graft.operators.{Dedup, Multimodal, Queries, Similarity, TextAnalysis}
 
 /** Operator-level invariants for the analytics / LLM-pipeline surface, run
@@ -386,6 +386,52 @@ class OperatorsSpec extends SparkTestBase {
     val fps = probes.selectExpr(s"bloom_might_contain(${hexLit(a)}, xxhash64(k), 5) as hit")
       .filter(col("hit")).count()
     assert(fps < 200, s"false-positive rate too high: $fps / 20000")
+  }
+
+  test("capped kernel: a corpus-hot shingle emits zero candidate pairs") {
+    // 200 docs share one 3-token run but are otherwise disjoint — true
+    // Jaccard for every pair is tiny. The retired uncapped index emitted
+    // C(200,2) = 19900 intermediate pairs from the hot shingle alone; the
+    // capped kernel (now behind q31/q50/q92 too) generates none: the hot
+    // shingle is dropped from the index, no doc is >= 4/9 hot (1 hot of 9
+    // shingles), and the exact answer is empty.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"common run here u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    }.toDF("doc_id", "text")
+    val (_, _, candidates) = Dedup.cappedCandidatesOf(docs, materialize = false)
+    assert(candidates.count() == 0,
+      "hot-shingle-only overlap must never reach candidate generation")
+    assert(Dedup.cappedJaccardPairsOf(docs).count() == 0)
+  }
+
+  test("q74 bloom sizing: FP rate stays bounded at 10x the bench build cardinality") {
+    // splitmix64 — independent well-mixed 64-bit keys for the FP estimate
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 30000 // ~10x the sf0.1 build side (~3k urgent finished orders)
+    val bits = graft.operators.ScaleOps.sizedBloomBits(n.toLong)
+    assert(bits >= 10 * n && (bits & 7) == 0)
+    val sized = new Array[Byte](bits >>> 3)
+    val fixed = new Array[Byte](65536 >>> 3) // round 3's hardcoded 64 Kbit
+    (0 until n).foreach { i =>
+      Bloom.add(sized, mix(i.toLong), 5); Bloom.add(fixed, mix(i.toLong), 5)
+    }
+    val probes = 100000
+    def fpCount(buf: Array[Byte]): Int =
+      (0 until probes).count(i => Bloom.mightContain(buf, mix((n + i).toLong), 5))
+    val fpSized = fpCount(sized)
+    // m = 10n, k = 5 gives ~0.9% expected FP; 2% is generous headroom
+    assert(fpSized < probes / 50, s"sized filter FP rate too high: $fpSized / $probes")
+    // and the round-3 fixed filter demonstrably saturates at this scale
+    assert(fpCount(fixed) > probes / 3,
+      "the fixed 64 Kbit filter should be saturated at 10x bench cardinality " +
+        "(if not, the sized variant is unnecessary)")
   }
 
   private def hexLit(bytes: Array[Byte]): String =

@@ -95,6 +95,51 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard family: the only shingle self-join is frequency-capped — no uncapped quadratic plan") {
+    // q31/q49/q50/q92 all route through cappedJaccardPairsOf since round 4;
+    // materialize=false keeps the full lineage visible (localCheckpoint
+    // truncates the plan at LogicalRDD leaves, hiding upstream filters)
+    graft.functions.GraftFunctions.register(spark)
+    val full = graft.operators.Dedup.cappedJaccardPairsOf(
+      Queries.t(spark, dir, "documents"), materialize = false)
+    val p = full.queryExecution.optimizedPlan.toString
+    val lines = p.linesIterator.toVector
+    def depth(s: String): Int = s.indexWhere(c => !": +-|".contains(c))
+    // the pair-generating self-join: equality on the shingle id AND the
+    // doc_id < doc_id ordering conjunct (the freq equi-join also keys on s
+    // but has no ordering conjunct)
+    val selfJoins = lines.indices.filter { i =>
+      val l = lines(i)
+      l.contains("Join") && l.matches(".*\\bs#\\d+L? = s#\\d+L?.*") &&
+        l.matches(".*doc_id#\\d+L? < doc_id#\\d+L?.*")
+    }
+    assert(selfJoins.nonEmpty, s"expected a shingle self-join:\n${p.take(3000)}")
+    // without checkpoints the kernel subtree replicates per consumer — the
+    // contract is that EVERY copy of the self-join is frequency-capped
+    selfJoins.foreach { i =>
+      val subtree = lines.drop(i + 1)
+        .takeWhile(l => depth(l) > depth(lines(i))).mkString("\n")
+      assert(subtree.contains(s"<= ${graft.operators.Dedup.ShingleDocCap}"),
+        s"an uncapped shingle self-join survives in the plan:\n${lines(i)}\n${subtree.take(2000)}")
+    }
+  }
+
+  test("q64: supplier ranking is a map-side-combined top-k aggregate, not a window") {
+    val p = plan(Queries.q64SupplierRank(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"per-nation top-k must partial-aggregate before the shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      "no window: a per-nation ranking window sorts each nation's supplier list on one reducer")
+  }
+
+  test("q12: the per-part average is semi-join-bounded by the filtered dim before broadcast") {
+    val df = Queries.q12ScalarSubquery(spark, dir)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"),
+      s"avgQ must be reduced to the p_size-filtered part set before the broadcast hint:\n${p.take(2000)}")
+    assert(p.contains("LessThan(p_size,20)"), "part filter must push into the scan")
+  }
+
   test("q55: the vocabulary is never window-sorted — top-k is a map-side-combined aggregate") {
     val p = plan(graft.operators.Curation.q55VocabTopk(spark, dir))
     assert(p.contains("partial_top_k_by"),

@@ -22,6 +22,7 @@ class RestCatalogSpec extends SparkTestBase {
     val tokenRequests = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val authHeaders = scala.collection.mutable.ArrayBuffer.empty[String]
     val commits = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val creates = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // tables the catalog "knows", with properties
     val tables = scala.collection.mutable.Map.empty[String, Map[String, String]]
 
@@ -51,7 +52,9 @@ class RestCatalogSpec extends SparkTestBase {
       } else if (path == "/v1/namespaces/db/tables" && x.getRequestMethod == "POST") {
         // Iceberg REST create-table: register by name from the payload
         authHeaders += x.getRequestHeaders.getFirst("Authorization")
-        val name = RestCatalogClient.stringField(body(x), "name").get
+        val b = body(x)
+        val name = RestCatalogClient.stringField(b, "name").get
+        creates += ((name, b))
         if (tables.contains(name)) respond(x, 409, """{"error": "exists"}""")
         else { tables(name) = Map.empty; respond(x, 200, """{"metadata": {}}""") }
       } else if (path.startsWith("/v1/namespaces/db/tables/")) {
@@ -134,6 +137,36 @@ class RestCatalogSpec extends SparkTestBase {
     } finally stub.stop()
   }
 
+  test("create-table registers the table's ACTUAL schema, not an empty field list") {
+    import org.apache.spark.sql.types._
+    val stub = new StubCatalog
+    try {
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType),
+        StructField("price", DecimalType(18, 2)),
+        StructField("ts", TimestampType),
+        StructField("vec", ArrayType(FloatType, containsNull = false)),
+        StructField("meta", StructType(Seq(StructField("k", StringType))))))
+      cat.tableCreated("t9", schema)
+      val (_, body) = stub.creates.head
+      // every column lands in the payload with its Iceberg type
+      for (want <- Seq(
+          """"name": "id", "required": true, "type": "long"""",
+          """"name": "name", "required": false, "type": "string"""",
+          """"type": "decimal(18, 2)"""",
+          """"type": "timestamptz"""",
+          """"element": "float", "element-required": true""",
+          """"name": "meta", "required": false, "type": {"type": "struct""""))
+        assert(body.contains(want), s"create body missing [$want]:\n$body")
+      // field ids are unique and dense (Iceberg spec requirement)
+      val ids = """"(?:id|element-id|key-id|value-id)": (\d+)""".r
+        .findAllMatchIn(body).map(_.group(1).toInt).toSeq
+      assert(ids.sorted == (1 to ids.size).toList, s"field ids not unique/dense: $ids")
+    } finally stub.stop()
+  }
+
   test("Bootstrapper runs end-to-end against the REST catalog") {
     import spark.implicits._
     val stub = new StubCatalog
@@ -157,6 +190,45 @@ class RestCatalogSpec extends SparkTestBase {
       // so the second run is a no-op even though it never lists local dirs
       val r2 = Bootstrapper.bootstrap(spark, wh, spec, Some(cat))
       assert(r2.error.isEmpty && !r2.createdChangelog && !r2.createdMirror)
+      // registration carried the real changelog schema, not "fields": []
+      val (_, createBody) = stub.creates.find(_._1 == "rt_changelog").get
+      assert(createBody.contains(""""name": "id"""") && !createBody.contains(""""fields": []"""),
+        s"create must carry the as-written columns:\n$createBody")
+    } finally stub.stop()
+  }
+
+  test("env-selected REST catalog: fromEnv wires the C1 seam; Bootstrapper.run drives it") {
+    import spark.implicits._
+    val stub = new StubCatalog
+    try {
+      val cfg = PipelineConfig.fromEnv(Map(
+        "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh",
+        "GRAFT_SOURCES" -> "/data/a,/data/b",
+        "GRAFT_CATALOG_URL" -> stub.baseUrl,
+        "GRAFT_CATALOG_NAMESPACE" -> "db",
+        "GRAFT_CATALOG_CREDENTIAL" -> "id:sec"))
+      assert(cfg.catalog.contains((stub.baseUrl, "db", "id:sec")))
+      // offline default unchanged: no URL -> warehouse catalog
+      assert(PipelineConfig.fromEnv(Map(
+        "GRAFT_WAREHOUSE_DIR" -> "/tmp/wh", "GRAFT_SOURCES" -> "/x")).catalog.isEmpty)
+      // the env-built client drives the multi-target control loop (T5
+      // isolation: the broken prefix must not halt the healthy one)
+      val cat = cfg.catalog.map { case (u, ns, cr) => new RestCatalogClient(u, ns, cr) }
+      val g = DmsGenerator.generate(23L)
+      val src = tmpDir("src-run-rest")
+      g.batches.flatten.toSeq.toDF()
+        .withColumnRenamed("modificationDate", "modification_date")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/dms_logs_1.parquet")
+      val wh = Warehouse(tmpDir("wh-run-rest"))
+      val specs = Seq(
+        PipelineSpec(src, "ra_changelog", "ra", CdcConfig("id", "ts")),
+        PipelineSpec("/nonexistent-prefix", "rb_changelog", "rb", CdcConfig("id", "ts")))
+      val rs = Bootstrapper.run(spark, wh, specs, cat)
+      assert(rs.size == 2)
+      assert(rs.head.error.isEmpty && rs.head.createdChangelog && rs.head.createdMirror)
+      assert(stub.tables.contains("ra") && stub.tables.contains("ra_changelog"))
+      val (_, createBody) = stub.creates.find(_._1 == "ra_changelog").get
+      assert(createBody.contains(""""name": "id""""), createBody)
     } finally stub.stop()
   }
 }
