@@ -493,6 +493,12 @@ object Curation {
       docs(spark, dir).withColumn("toks", split(col("text"), " ")))
       .select(col("doc_id"), col("score"))
     scored
+      // degenerate weights are ineligible, not ordered: ln(u)/0 would be
+      // -Infinity (and NaN from pathological input), where Spark and
+      // DuckDB null/NaN ordering semantics differ — same precedent as
+      // q89/q90's degenerate-input handling; the oracle carries the
+      // identical predicate
+      .filter(col("score") > 0)
       .withColumn("h", graft.operators.Kmv.hash60(col("doc_id")))
       .withColumn("u", (col("h").cast("double") + 1.0) / lit(graft.operators.Kmv.Two60))
       .withColumn("key", round(log(col("u")) / col("score"), 9))
@@ -659,7 +665,7 @@ object Curation {
         |keyed AS (SELECT doc_id, score,
         |  round(ln((CAST(${graft.operators.Kmv.hash60Sql("doc_id")} AS DOUBLE) + 1.0)
         |        / 1152921504606846976.0) / score, 9) AS key
-        |FROM sc)
+        |FROM sc WHERE score > 0)
         |SELECT doc_id, score, key FROM keyed
         |ORDER BY key DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
 

@@ -43,12 +43,20 @@ object Queries {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", expr(floorDivSql("ts", 1000L)))
       .drop("ts")
   }
 
   /** Exact decimal sum emitted as double: order-insensitive, engine-portable. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Floor-based integer division, as SQL text, for epoch bucketing:
+    * matches DuckDB's `//` (floor) for ALL inputs — Spark's `div`
+    * truncates toward zero, so a pre-epoch (negative) timestamp would
+    * land one bucket too high and silently diverge from the oracles.
+    */
+  def floorDivSql(c: String, d: Long): String =
+    s"(($c - pmod($c, ${d}L)) div ${d}L)"
 
   /** revenue = SUM(extendedprice * (1 - discount)) in exact decimal. */
   private def revenue: Column =
@@ -577,7 +585,7 @@ object Queries {
     */
   def q43Pivot(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("day_us", expr("(ts_us div 86400000000) * 86400000000"))
+      .withColumn("day_us", expr("ts_us - pmod(ts_us, 86400000000L)"))
       .groupBy(col("day_us"))
       .pivot(col("event_type"), eventTypes)
       .agg(count(lit(1)))

@@ -33,7 +33,7 @@ object ScaleOps {
   def q57KmvMerge(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val d = Queries.events(spark, dir)
-      .select(expr("ts_us div 86400000000").as("day"),
+      .select(expr(Queries.floorDivSql("ts_us", 86400000000L)).as("day"),
         Kmv.hash60(col("user_id")).as("h"))
       .distinct()
       .localCheckpoint(false)
@@ -125,7 +125,7 @@ object ScaleOps {
     */
   def q85GapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Queries.events(spark, dir)
-      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("day", expr(Queries.floorDivSql("ts_us", 86400000000L)))
     val daily = ev
       .filter(col("event_type") === "error" && col("user_id") === 7)
       .groupBy(col("day"))
@@ -154,7 +154,7 @@ object ScaleOps {
     */
   def q86CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Queries.events(spark, dir)
-      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("day", expr(Queries.floorDivSql("ts_us", 86400000000L)))
       .select(col("day"), col("user_id"))
     val newPerDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
@@ -233,7 +233,7 @@ object ScaleOps {
     val ev = Queries.events(spark, dir)
       .select(col("event_type"),
         col("value").cast("decimal(18,2)").as("x"),
-        expr("(ts_us div 3600000000) % 24").as("y"))
+        expr(s"(${Queries.floorDivSql("ts_us", 3600000000L)} % 24)").as("y"))
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
@@ -394,7 +394,8 @@ object ScaleOps {
     */
   def q66Retention(spark: SparkSession, dir: String): DataFrame = {
     val act = Queries.events(spark, dir)
-      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .select(col("user_id"),
+        expr(Queries.floorDivSql("ts_us", 86400000000L)).as("day"))
       .distinct()
     val first = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
     act.join(first, "user_id")

@@ -55,10 +55,14 @@ object Skew {
     * task retry would route recomputed rows to different reduce
     * partitions than the already-fetched map outputs — silently
     * duplicating or dropping rows. Identical rows sharing a salt is
-    * harmless (any assignment is correct); spreading only needs the hash
-    * to vary across the hot key's DISTINCT payloads, which is the skew
-    * case (a hot key with byte-identical rows is a dedup problem, not a
-    * join problem).
+    * harmless (any assignment is correct), but the flip side is a real
+    * bound: a hot key spreads across AT MOST as many salts as it has
+    * DISTINCT payloads. Low payload diversity (e.g. a hot key whose rows
+    * differ only in one low-cardinality column) caps the spread at that
+    * distinct-payload count and can silently defeat the mitigation — if
+    * the fact carries a stable surrogate/event id, salt on a hash of THAT
+    * column for full spread (byte-identical rows under a hot key are a
+    * dedup problem, not a join problem).
     *
     * Cost: the dim shuffle inflates by `salts`x — the technique fits a
     * skewed fact against a MID-SIZED dim (too big to broadcast, small

@@ -388,6 +388,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(fps < 200, s"false-positive rate too high: $fps / 20000")
   }
 
+  test("q79/q81 oracle precondition: testdata vocabulary fits the heavy-hitter capacity") {
+    // heavy_hitters(tok, 64) is EXACT only while every partial buffer sees
+    // <= 64 distinct tokens; the exact-census DuckDB oracles rely on that.
+    // If the generated corpus ever outgrows the capacity, fail HERE with a
+    // clear message instead of as a confusing hash mismatch in the verify
+    // gate (headroom policy: capacity 64 = 2x the current 31-token vocab).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val v = Queries.t(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok"))).head().getLong(0)
+      assert(v <= 64, s"$sf vocabulary ($v tokens) exceeds heavy_hitters capacity 64 " +
+        "— q79/q81 exactness no longer holds; raise m or relax the oracles")
+    }
+  }
+
   test("capped kernel: a corpus-hot shingle emits zero candidate pairs") {
     // 200 docs share one 3-token run but are otherwise disjoint — true
     // Jaccard for every pair is tiny. The retired uncapped index emitted

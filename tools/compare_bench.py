@@ -31,11 +31,15 @@ def main(old_path, new_path, top_n=10):
     rows = sorted(((new[k] - old[k], k) for k in shared), reverse=True)
     print(f"shared queries: {len(shared)}  "
           f"sum {sum(old[k] for k in shared):.1f}s -> {sum(new[k] for k in shared):.1f}s")
-    print(f"\ntop {top_n} regressions:")
-    for d, k in rows[:top_n]:
+    # filter by delta sign so a small shared set never re-prints the same
+    # entries under both headings (or mislabels all-positive deltas)
+    regressions = [(d, k) for d, k in rows if d > 0]
+    improvements = [(d, k) for d, k in rows if d < 0]
+    print(f"\ntop {min(top_n, len(regressions))} regressions:")
+    for d, k in regressions[:top_n]:
         print(f"  {k}: {old[k]:.2f} -> {new[k]:.2f} ({d:+.2f})")
-    print(f"\ntop {top_n} improvements:")
-    for d, k in rows[-top_n:][::-1]:
+    print(f"\ntop {min(top_n, len(improvements))} improvements:")
+    for d, k in improvements[-top_n:][::-1]:
         print(f"  {k}: {old[k]:.2f} -> {new[k]:.2f} ({d:+.2f})")
     only_old, only_new = sorted(set(old) - set(new)), sorted(set(new) - set(old))
     if only_old:
