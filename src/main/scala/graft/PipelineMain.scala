@@ -24,8 +24,6 @@ object PipelineMain {
           "usage: PipelineMain <warehouseDir> <keyCol> <tsCol> <sourceDir> [sourceDir ...]")
         PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq)
       }
-    val whDir = config.warehouseDir
-    val sources = config.sources
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-cdc-pipeline")
@@ -35,7 +33,17 @@ object PipelineMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, config)
+    spark.stop()
+  }
 
+  /** The per-source control loop, separated from session lifecycle so the
+    * spec suite can drive the SHIPPED entry-point path (not a test-only
+    * twin) against a stub REST catalog.
+    */
+  def run(spark: SparkSession, config: PipelineConfig): Unit = {
+    val whDir = config.warehouseDir
+    val sources = config.sources
     val wh = Warehouse(whDir)
     val cdc = config.cdc
     // control-plane seam: REST catalog (OAuth2 client-credentials) when
@@ -65,12 +73,18 @@ object PipelineMain {
         // property commits follow registration so a strict catalog
         // accepts them.
         val cat = catalog.getOrElse(new graft.sources.WarehouseCatalog(wh))
+        // Register with the REAL materialized schema — the data exists at
+        // this point (registration deliberately happens after ingest), so
+        // external readers resolving through the catalog see the actual
+        // columns, not an empty field list.
         if (wh.exists(spec.changelogTable)) {
-          catalog.foreach(_.tableCreated(spec.changelogTable))
+          catalog.foreach(_.tableCreated(spec.changelogTable,
+            wh.read(spark, spec.changelogTable).schema))
           graft.plans.Bootstrapper.writeChangelogWiring(cat, spec)
         }
         if (wh.exists(spec.mirrorTable)) {
-          catalog.foreach(_.tableCreated(spec.mirrorTable))
+          catalog.foreach(_.tableCreated(spec.mirrorTable,
+            wh.read(spark, spec.mirrorTable).schema))
           graft.plans.Bootstrapper.writeMergeConfig(cat, spec)
         }
         val state = config.mirrorBuckets match {
@@ -83,6 +97,5 @@ object PipelineMain {
           System.err.println(s"[pipeline] target '$src' failed, skipping: ${e.getMessage}")
       }
     }
-    spark.stop()
   }
 }

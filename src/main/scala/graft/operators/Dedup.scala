@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    banding replaces the full index: candidates are generated from
   *    band-bucket joins whose fanout is bounded by design, then verified
   *    pairwise — the standard MinHash-LSH pipeline;
-  *  - SimHash (q33) reduces each doc to one 16-bit int; the banded
-  *    candidate join is a tiny equi-join, and verification is one XOR.
+  *  - SimHash (q33) reduces each doc to one 60-bit fingerprint; the banded
+  *    candidate join is an equi-join on 20-bit band values (bucket
+  *    occupancy independent of corpus size), verification one XOR.
   */
 object Dedup {
 
@@ -331,32 +332,43 @@ object Dedup {
       .orderBy(col("new_id"), col("old_id"))
   }
 
-  /** SimHash width and band masks: 32 bits split 11+11+10 — hamming <= 2
+  /** SimHash width and band masks: 60 bits split 20+20+20 — hamming <= 2
     * cannot corrupt all three bands (pigeonhole), so banded candidates are
-    * a superset of all qualifying pairs.
+    * a superset of all qualifying pairs. Width matters for scale: each
+    * band has 2^20 ≈ 1M distinct values, so band-bucket occupancy tracks
+    * true near-duplicate density, NOT corpus size — the 32-bit/11-bit-band
+    * predecessor put every corpus/2048th doc in the same bucket and its
+    * banded self-join emitted Θ(N²/2¹¹) candidates. 60 bits (not 64)
+    * because a 15-hex-char md5 prefix converts to BIGINT exactly and
+    * identically in both Spark (`conv`) and the DuckDB oracle (`'0x'||…`),
+    * with no unsigned-overflow edge — the same portability pattern as
+    * [[shinglesCte]].
     */
-  private val SimBits = 32
-  private val SimBands: Seq[(Int, Long)] = Seq((0, 2047L), (11, 2047L), (22, 1023L))
+  private[operators] val SimBits = 60
+  private[operators] val SimBands: Seq[(Int, Long)] =
+    Seq((0, 0xFFFFFL), (20, 0xFFFFFL), (40, 0xFFFFFL))
 
-  /** SimHash near-dup pairs: 32-bit term-frequency-weighted simhash (the
-    * classic formulation — each token OCCURRENCE votes ±1 per bit, so the
-    * fingerprint reflects the tf distribution, not just the token set;
-    * token hash = first 8 md5 hex chars as int), banded candidate
-    * generation, verified by popcount(xor). An unweighted 16-bit variant
-    * collides massively on a shared-vocabulary corpus (~2M candidate pairs
-    * at sf0.1); tf-weighted 32-bit keeps the result near-dup-sized.
+  /** 60-bit tf-weighted simhash fingerprint per doc_id — each token
+    * OCCURRENCE votes ±1 per bit (the classic Charikar formulation), so
+    * the fingerprint reflects the tf distribution, not just the token
+    * set. Input: (doc_id, t) one row per token occurrence.
     */
-  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Queries.t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .withColumn("h", expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+  private[graft] def simhashFingerprints(tok: DataFrame): DataFrame = {
+    val hashed = tok
+      .withColumn("h", expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
     val bitSums = (0 until SimBits).map(b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-    val fp = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("f", (0 until SimBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "f")
+  }
+
+  /** Banded candidate pairs (i, j, fi, fj) from fingerprints (doc_id, f).
+    * The self-join is on (band, 20-bit band value) — bucket occupancy is
+    * bounded by near-dup cluster size, not corpus size (see [[SimBands]]).
+    */
+  private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
     val bandCols = SimBands.zipWithIndex.map { case ((shift, mask), i) =>
       struct(lit(i).as("band"), expr(s"(f >> $shift) & $mask").as("v"))
     }
@@ -368,6 +380,21 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.f").as("fi"), col("b.f").as("fj"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs: 60-bit tf-weighted simhash (token hash =
+    * first 15 md5 hex chars as int), banded candidate generation over
+    * 3×20-bit bands, verified by popcount(xor). An unweighted 16-bit
+    * variant collides massively on a shared-vocabulary corpus (~2M
+    * candidate pairs at sf0.1); tf-weighting keeps the result
+    * near-dup-sized and 20-bit bands keep bucket occupancy
+    * corpus-size-independent (SimhashOccupancySpec measures both).
+    */
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+    simhashCandidates(simhashFingerprints(tok))
       .withColumn("hamming", expr("bit_count(fi ^ fj)").cast("long"))
       .filter(col("hamming") <= 2)
       .select("i", "j", "fi", "fj", "hamming")
@@ -620,7 +647,7 @@ object Dedup {
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
         |bits AS (SELECT doc_id,
         |    $simhashBitSums
         |  FROM h GROUP BY doc_id),

@@ -26,11 +26,13 @@ trait CatalogClient {
     * (the warehouse directory IS the registration); a REST catalog
     * registers the table here so later probes and property commits
     * resolve. Called by the control plane right after each successful
-    * table bootstrap.
+    * table bootstrap. The schema parameter deliberately has NO default:
+    * round 4 shipped a caller that silently registered `"fields": []`
+    * because the default empty StructType compiled — every caller must
+    * now say what columns it is registering.
     */
   def tableCreated(name: String,
-      schema: org.apache.spark.sql.types.StructType =
-        new org.apache.spark.sql.types.StructType()): Unit = ()
+      schema: org.apache.spark.sql.types.StructType): Unit = ()
 }
 
 /** Offline default: table existence = warehouse directory probe, properties

@@ -200,6 +200,40 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash banding: bucket occupancy is corpus-size-independent (20-bit bands)") {
+    // splitmix64 fingerprints stand in for a corpus of unrelated docs —
+    // EVERY candidate pair the banding emits on them is spurious, so the
+    // candidate count measures band-bucket collision load directly.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    import spark.implicits._
+    val n = 2000
+    val fps = (0 until n).map(i => (i.toLong, mix(i.toLong) & ((1L << 60) - 1)))
+    val fp = fps.toDF("doc_id", "f")
+    val spurious = Dedup.simhashCandidates(fp).count()
+    // expectation ≈ 3 * C(2000,2) / 2^20 ≈ 5.7 pairs; 200 is generous
+    assert(spurious <= 200, s"20-bit banding emitted $spurious spurious candidates")
+    // contrast: round-4's 32-bit/11+11+10 banding on the SAME fingerprints —
+    // expectation ≈ C(2000,2) * (2/2^11 + 1/2^10) ≈ 3900 pairs. This is the
+    // Θ(N²/2¹¹) growth the 20-bit bands remove.
+    val oldBands = Seq((0, 2047L), (11, 2047L), (22, 1023L))
+    val bandCols = oldBands.zipWithIndex.map { case ((shift, mask), i) =>
+      struct(lit(i).as("band"), expr(s"(f >> $shift) & $mask").as("v"))
+    }
+    val banded = fp.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.v").as("v"))
+    val oldSpurious = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    assert(oldSpurious >= 1000,
+      s"expected the narrow banding to collide heavily, got $oldSpurious")
+  }
+
   test("LSH buckets: one bucket per vector in [0, 256); bucket hits agree with brute force") {
     val buckets = Similarity.lshBuckets(spark, dir).collect()
     val nVecs = Queries.t(spark, dir, "embeddings").count()

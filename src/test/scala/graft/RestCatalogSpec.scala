@@ -111,8 +111,11 @@ class RestCatalogSpec extends SparkTestBase {
       val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
       // strict catalog: commits need a registered table; 409 re-register is benign
       intercept[RuntimeException](cat.setProperties("t1", Map("x" -> "y")))
-      cat.tableCreated("t1")
-      cat.tableCreated("t1") // concurrent/duplicate registration: no error
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      cat.tableCreated("t1", sch)
+      cat.tableCreated("t1", sch) // concurrent/duplicate registration: no error
       cat.setProperties("t1", Map("cdc.key-column" -> "id", "cdc.ts-column" -> "ts"))
       assert(cat.tableExists("t1"))
       assert(cat.properties("t1") ==
@@ -229,6 +232,40 @@ class RestCatalogSpec extends SparkTestBase {
       assert(stub.tables.contains("ra") && stub.tables.contains("ra_changelog"))
       val (_, createBody) = stub.creates.find(_._1 == "ra_changelog").get
       assert(createBody.contains(""""name": "id""""), createBody)
+    } finally stub.stop()
+  }
+
+  test("PipelineMain.run registers changelog AND mirror with materialized schemas") {
+    import spark.implicits._
+    val stub = new StubCatalog
+    try {
+      val g = DmsGenerator.generate(31L)
+      val src = tmpDir("pmsrc")
+      g.batches.flatten.toSeq.toDF()
+        .withColumnRenamed("modificationDate", "modification_date")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/dms_logs_1.parquet")
+      val cfg = PipelineConfig.fromEnv(Map(
+        "GRAFT_WAREHOUSE_DIR" -> tmpDir("pmwh"),
+        "GRAFT_SOURCES" -> src,
+        "GRAFT_CDC_KEY" -> "id",
+        "GRAFT_CDC_TS" -> "ts",
+        "GRAFT_CATALOG_URL" -> stub.baseUrl,
+        "GRAFT_CATALOG_NAMESPACE" -> "db",
+        "GRAFT_CATALOG_CREDENTIAL" -> "id:sec"))
+      // the SHIPPED control loop, not a test twin — this is the path that
+      // registered "fields": [] in round 4
+      PipelineMain.run(spark, cfg)
+      val mirror = src.stripSuffix("/").split('/').last
+      for (t <- Seq(s"${mirror}_changelog", mirror)) {
+        val (_, body) = stub.creates.find(_._1 == t)
+          .getOrElse(fail(s"no create-table call for $t; got ${stub.creates.map(_._1)}"))
+        assert(!body.contains(""""fields": []"""), s"$t registered an empty schema:\n$body")
+        for (c <- Seq("id", "name", "modification_date"))
+          assert(body.contains(s""""name": "$c""""), s"$t create body missing column $c:\n$body")
+      }
+      // the changelog keeps the CDC envelope; the mirror folds it away
+      val (_, clBody) = stub.creates.find(_._1 == s"${mirror}_changelog").get
+      assert(clBody.contains(""""name": "op""""), clBody)
     } finally stub.stop()
   }
 }
