@@ -134,7 +134,21 @@ object Dedup {
     cappedJaccardPairsOf(Queries.t(spark, dir, "documents"))
   }
 
-  /** Hot-shingle frequency cap for the capped inverted index (q49). */
+  /** Hot-shingle frequency cap for the capped inverted index (q49).
+    *
+    * Why 50 is corpus-independent: the cap bounds PER-SHINGLE pair fanout
+    * at C(cap, 2) regardless of corpus size — candidate volume is then
+    * (surviving shingles) x C(cap, 2), linear in corpus size, while the
+    * EXACTNESS of the kernel does not depend on the cap at all (the
+    * bounded-pruning + recall-path argument in [[q49NgramJaccardCapped]]
+    * holds for any value; DedupStress `sweep` demonstrates identical pair
+    * sets at cap 10/50/200). The value only trades constant factors:
+    * lower caps shrink the capped self-join but push more docs toward the
+    * all-hot recall path; higher caps admit up to C(cap,2) pairs per
+    * stopword-run shingle. 50 keeps worst-case per-shingle fanout at
+    * C(50,2) = 1225 (a bounded task, never a straggler) while leaving the
+    * recall path to genuinely near-identical clusters.
+    */
   private[graft] val ShingleDocCap = 50
 
   /** Frequency-capped n-gram Jaccard (the 100 TB variant of q31): shingles
@@ -183,8 +197,8 @@ object Dedup {
     * stays visible to plan assertions (a checkpoint truncates the plan at
     * a LogicalRDD leaf, hiding the capped filter from `.explain`).
     */
-  private[graft] def cappedCandidatesOf(docsDf: DataFrame, materialize: Boolean = true)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def cappedCandidatesOf(docsDf: DataFrame, materialize: Boolean = true,
+      cap: Int = ShingleDocCap): (DataFrame, DataFrame, DataFrame) = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // shingling (scan + word_ngrams explode + md5) is the hottest pass of
     // the family — materialize it once so the frequency agg, the repeated-
@@ -207,7 +221,7 @@ object Dedup {
       .select(col("doc_id"), col("s"), col("c")))
     // per-doc sizes (over ALL shingles) + hot-shingle counts (repeated
     // slice), one narrow row per doc; h is 0, never null
-    val hot = shRep.filter(col("c") > ShingleDocCap)
+    val hot = shRep.filter(col("c") > cap)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
     val perDoc = mat(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
       .join(hot, Seq("doc_id"), "left")
@@ -216,7 +230,7 @@ object Dedup {
     // codegen equi-self-join (measured faster than emitting pair
     // combinations with interpreted transform lambdas); fanout per
     // surviving shingle is <= C(cap, 2) by construction
-    val capped = shRep.filter(col("c") <= ShingleDocCap)
+    val capped = shRep.filter(col("c") <= cap)
       .select(col("s"), col("doc_id"))
     val cinter = mat(capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -250,8 +264,9 @@ object Dedup {
     * q50/q92's edge list.
     */
   private[graft] def cappedJaccardPairsOf(docsDf: DataFrame,
-                                          materialize: Boolean = true): DataFrame = {
-    val (sh, _, candidates) = cappedCandidatesOf(docsDf, materialize)
+                                          materialize: Boolean = true,
+                                          cap: Int = ShingleDocCap): DataFrame = {
+    val (sh, _, candidates) = cappedCandidatesOf(docsDf, materialize, cap)
     val sets = candidateSets(sh, candidates, materialize)
     verifyJaccard(candidates, sets, 0.8)
   }
@@ -388,7 +403,8 @@ object Dedup {
     * variant collides massively on a shared-vocabulary corpus (~2M
     * candidate pairs at sf0.1); tf-weighting keeps the result
     * near-dup-sized and 20-bit bands keep bucket occupancy
-    * corpus-size-independent (SimhashOccupancySpec measures both).
+    * corpus-size-independent (the banding occupancy test in OperatorsSpec
+    * measures the contrast against the old 11-bit bands).
     */
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Queries.t(spark, dir, "documents")
@@ -438,7 +454,7 @@ object Dedup {
   /** Per-doc (n_passages, n_dup_passages) against the corpus-wide passage
     * census — q76's core, shared with the q83 curation funnel.
     */
-  private[operators] def passageDupStats(docsDf: DataFrame): DataFrame = {
+  private[graft] def passageDupStats(docsDf: DataFrame): DataFrame = {
     val passages = docsDf
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(passageHashExpr).as("ph"))

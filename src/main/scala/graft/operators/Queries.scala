@@ -662,9 +662,13 @@ object Queries {
     * nation's full supplier list (∝ SF/25) on one reducer — partials now
     * carry <= 3 entries per nation across the shuffle. The top-k KEY is
     * revenue in exact 1e-4 units (the decimal sum's own scale, so the
-    * BIGINT is lossless); the VALUE string carries (zero-padded suppkey |
-    * name | item count), making value-ASC tie-break identical to the
-    * oracle's `ORDER BY revenue DESC, s_suppkey`.
+    * BIGINT is lossless) — overflow of that cast (revenue >= ~9.2e14)
+    * raises instead of nulling, because TopKBy skips null keys and the
+    * LARGEST supplier would silently vanish. The VALUE string carries
+    * (zero-padded suppkey | item count | name) — name LAST and re-parsed
+    * with a split LIMIT, so a '|' inside a supplier name cannot shift
+    * fields; zero-padded suppkey first keeps value-ASC tie-break identical
+    * to the oracle's `ORDER BY revenue DESC, s_suppkey`.
     */
   def q64SupplierRank(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -681,17 +685,19 @@ object Queries {
       .groupBy(col("n_name"))
       .agg(expr(
         """top_k_by(
-          |  concat(lpad(cast(s_suppkey AS STRING), 12, '0'), '|', s_name, '|',
-          |         cast(n_items AS STRING)),
-          |  cast(rev_d * 10000 AS BIGINT), 3)""".stripMargin).as("top"))
+          |  concat(lpad(cast(s_suppkey AS STRING), 12, '0'), '|',
+          |         cast(n_items AS STRING), '|', s_name),
+          |  coalesce(cast(rev_d * 10000 AS BIGINT),
+          |           cast(raise_error('q64: revenue overflows BIGINT 1e-4 units') AS BIGINT)),
+          |  3)""".stripMargin).as("top"))
       .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("n_name"), (col("pos") + 1).cast("long").as("rnk"),
-        split(col("e.v"), "\\|").as("f"), col("e.c").as("units"))
+        split(col("e.v"), "\\|", 3).as("f"), col("e.c").as("units"))
       .select(col("n_name"), col("rnk"),
         col("f").getItem(0).cast("long").as("s_suppkey"),
-        col("f").getItem(1).as("s_name"),
+        col("f").getItem(2).as("s_name"),
         round(col("units").cast("double") / 10000.0, 2).as("revenue"),
-        col("f").getItem(2).cast("long").as("n_items"))
+        col("f").getItem(1).cast("long").as("n_items"))
       .orderBy(col("n_name"), col("rnk"))
   }
 

@@ -109,7 +109,7 @@ object TextAnalysis {
   /** The q22 ratio/score columns over a frame with (doc_id, text, toks) —
     * shared with the q83 funnel so the two can never drift on the formula.
     */
-  private[operators] def qualityScored(d: DataFrame): DataFrame =
+  private[graft] def qualityScored(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
