@@ -22,7 +22,8 @@ object PipelineMain {
       else {
         require(args.length >= 4,
           "usage: PipelineMain <warehouseDir> <keyCol> <tsCol> <sourceDir> [sourceDir ...]")
-        PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq)
+        PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq,
+          catalog = PipelineConfig.catalogFromEnv())
       }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

@@ -121,10 +121,23 @@ object PipelineConfig {
         require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
         n
       },
-      catalog = env.get("GRAFT_CATALOG_URL").map { url =>
-        (url,
-          env.getOrElse("GRAFT_CATALOG_NAMESPACE", "default"),
-          need("GRAFT_CATALOG_CREDENTIAL"))
-      })
+      catalog = catalogFromEnv(env))
   }
+
+  /** REST-catalog coordinates from the environment, shared by [[fromEnv]]
+    * and the CLI-args entry path: like the reference (TABULAR_BASE_URL +
+    * TABULAR_CREDENTIAL, batch_bootstrapper.py:21-23), catalog endpoint
+    * and credentials are environment-shaped even when source paths come
+    * from argv — so `PipelineMain <wh> <key> <ts> <src>` with
+    * GRAFT_CATALOG_URL set still talks to the remote catalog.
+    */
+  def catalogFromEnv(env: Map[String, String] = sys.env)
+      : Option[(String, String, String)] =
+    env.get("GRAFT_CATALOG_URL").map { url =>
+      (url,
+        env.getOrElse("GRAFT_CATALOG_NAMESPACE", "default"),
+        env.getOrElse("GRAFT_CATALOG_CREDENTIAL",
+          throw new IllegalArgumentException(
+            "missing required env var GRAFT_CATALOG_CREDENTIAL")))
+    }
 }

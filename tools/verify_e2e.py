@@ -15,16 +15,24 @@ Checks:
   2. changelog row count == change-log rows only (LOAD* excluded)
   3. re-running the same command is a no-op (checkpoint: no re-ingest)
   4. a new batch dropped later is applied incrementally
+  5. the REST-catalog seam (C1): a stub Iceberg-REST server runs for the
+     whole session and the pipeline is driven with GRAFT_CATALOG_URL set —
+     after run 1 both tables must be registered with their REAL column
+     lists and carry the reference's CDC property wiring.
 
 Usage: python3 tools/verify_e2e.py [seed]
 """
 import glob
+import json
 import os
 import random
+import re
 import shutil
 import subprocess
 import sys
+import threading
 from datetime import datetime, timedelta
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import duckdb
 import pandas as pd
@@ -43,10 +51,97 @@ def ts():
     return (EPOCH + timedelta(seconds=_clock[0])).isoformat()
 
 
+# ---------------------------------------------------------------------
+# Stub Iceberg-REST catalog: the wire surface RestCatalogClient speaks —
+# token exchange, HEAD/GET table, create-table, commit set-properties.
+# Python twin of the Scala spec's StubCatalog so the SHIPPED CLI path is
+# exercised against the same protocol from outside the JVM.
+# ---------------------------------------------------------------------
+class StubCatalog:
+    def __init__(self):
+        self.tables = {}      # name -> properties dict
+        self.creates = []     # (name, raw create body)
+        self.token_calls = 0
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code, body=""):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                if data:
+                    self.wfile.write(data)
+
+            def _table(self):
+                m = re.fullmatch(r"/v1/namespaces/[^/]+/tables/([^/]+)",
+                                 self.path)
+                return m.group(1) if m else None
+
+            def do_HEAD(self):
+                t = self._table()
+                self._reply(204 if t in stub.tables else 404)
+
+            def do_GET(self):
+                t = self._table()
+                if t in stub.tables:
+                    self._reply(200, json.dumps(
+                        {"properties": stub.tables[t]}))
+                else:
+                    self._reply(404)
+
+            def do_POST(self):
+                body = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0))).decode()
+                if self.path == "/ws/v1/oauth/tokens":
+                    stub.token_calls += 1
+                    self._reply(200, json.dumps({"access_token": "tok-e2e"}))
+                    return
+                if re.fullmatch(r"/v1/namespaces/[^/]+/tables", self.path):
+                    name = json.loads(body)["name"]
+                    stub.creates.append((name, body))
+                    if name in stub.tables:
+                        self._reply(409)
+                    else:
+                        stub.tables[name] = {}
+                        self._reply(200, "{}")
+                    return
+                t = self._table()
+                if t is not None:  # commit-table set-properties
+                    if t not in stub.tables:
+                        self._reply(404)
+                        return
+                    for upd in json.loads(body)["updates"]:
+                        if upd.get("action") == "set-properties":
+                            stub.tables[t].update(upd["updates"])
+                    self._reply(200, "{}")
+                    return
+                self._reply(404)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.server.serve_forever,
+                         daemon=True).start()
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+
+    def stop(self):
+        self.server.shutdown()
+
+
+CATALOG = None  # set in main()
+
+
 def run_pipeline():
     cmd = ["sbt", "-batch", f"runMain graft.PipelineMain {WH} id ts {SRC}"]
+    env = dict(os.environ,
+               GRAFT_CATALOG_URL=CATALOG.url,
+               GRAFT_CATALOG_NAMESPACE="e2e",
+               GRAFT_CATALOG_CREDENTIAL="e2e-id:e2e-secret")
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
-                       timeout=600)
+                       timeout=600, env=env)
     if r.returncode != 0:
         print(r.stdout[-3000:])
         print(r.stderr[-3000:])
@@ -82,10 +177,37 @@ def compare_mirror(con, expected_df, label):
     print(f"PASS {label}: mirror == expected ({n} rows)")
 
 
+def check_catalog():
+    names = {n for n, _ in CATALOG.creates}
+    assert names >= {"test_table", "test_table_changelog"}, \
+        f"FAIL: catalog saw creates for {names}"
+    for name, body in CATALOG.creates:
+        fields = json.loads(body)["schema"]["fields"]
+        cols = {f["name"] for f in fields}
+        assert {"id", "name", "modification_date"} <= cols, \
+            f"FAIL: {name} registered without its real columns: {cols}"
+        if name.endswith("_changelog"):
+            assert "op" in cols and "ts" in cols, \
+                f"FAIL: changelog registered without the CDC envelope: {cols}"
+    props = CATALOG.tables["test_table"]
+    assert props.get("cdc.key-column") == "id" and \
+        props.get("cdc.ts-column") == "ts", \
+        f"FAIL: mirror CDC wiring missing from catalog: {props}"
+    assert CATALOG.tables["test_table_changelog"].get(
+        "dependent-tables", "").endswith("test_table"), \
+        f"FAIL: changelog dependent-tables wiring missing"
+    assert CATALOG.token_calls >= 1, "FAIL: no OAuth token exchange"
+    print(f"PASS catalog: both tables registered with real schemas + "
+          f"CDC wiring ({len(CATALOG.creates)} create calls, "
+          f"{CATALOG.token_calls} token exchanges)")
+
+
 def main():
+    global CATALOG
     rng = random.Random(SEED)
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(SRC)
+    CATALOG = StubCatalog()
 
     # initial full load — bare data schema, no envelope (DMS LOAD file)
     load_ts = ts()
@@ -153,6 +275,7 @@ def main():
         f"FAIL: changelog has {c1} rows, generated {n_log_rows} change rows " \
         "(LOAD* exclusion broken?)"
     print(f"PASS run1: changelog rows == {n_log_rows} (LOAD excluded)")
+    check_catalog()
 
     print("== run 2: same command, nothing new (checkpoint no-op) ==")
     run_pipeline()
@@ -168,6 +291,7 @@ def main():
     compare_mirror(con, expected(), "run3 (incremental)")
 
     print(f"\nALL PASS (seed={SEED})")
+    CATALOG.stop()
 
 
 if __name__ == "__main__":
