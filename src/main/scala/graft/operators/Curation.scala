@@ -541,6 +541,153 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q95: DSIR importance selection (hashed-n-gram importance resampling)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size for DSIR hashed bigram features. */
+  private val DsirBuckets = 1024
+  private val DsirTopK = 100
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023): score
+    * every document by how target-like its hashed-bigram distribution is,
+    * where the target is the corpus's `lang = 'en'` slice and the raw
+    * distribution is the whole corpus. Weight of bucket b is the
+    * Laplace-smoothed log-likelihood ratio ln(p_target(b) / p_raw(b));
+    * a document's importance weight is the sum over its bigram
+    * occurrences. Output: the top-100 most target-like documents.
+    *
+    * Scale shape: the bigram stream is materialized ONCE (localCheckpoint)
+    * and feeds three consumers — raw bucket counts, target bucket counts,
+    * and per-doc scoring. The bucket-weight table is exactly
+    * [[DsirBuckets]] rows regardless of corpus size, so the scoring join
+    * broadcasts it; both count passes are map-side-combined hash aggs on a
+    * 1024-value key. Nothing but the bigram stream is corpus-sized, and
+    * the final top-k plans as TakeOrderedAndProject (never a full sort).
+    *
+    * Determinism: per-bucket log-ratios are rounded to integer NANO units
+    * before the per-doc bigint sum (q77's precedent) — double accumulation
+    * order never reaches the result, and ln() 1-ulp differences are
+    * absorbed by the nano round followed by the 6-decimal output round.
+    */
+  def q95DsirSelection(spark: SparkSession, dir: String): DataFrame = {
+    val bk = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(wordNgramExpr(2)).as("g"))
+      .withColumn("b",
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)") % DsirBuckets)
+      .select("doc_id", "lang", "b")
+      .localCheckpoint(true)
+    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = bk.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tots = bk.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val weights = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tots))
+      // literal `1.0` parses as DECIMAL in Spark (and the whole ratio
+      // would compute in 6-digit decimal arithmetic) — every operand is
+      // cast to DOUBLE explicitly, with the parenthesization mirrored
+      // verbatim in the oracle so both engines run the same IEEE ops
+      .withColumn("lw", expr(
+        s"""CAST(round(ln(((coalesce(ct, 0) + CAST(1 AS DOUBLE)) / (tt + $DsirBuckets))
+           |  * ((tr + CAST($DsirBuckets AS DOUBLE)) / (cr + 1))) * 1000000000) AS BIGINT)""".stripMargin))
+      .select("b", "lw")
+    bk.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lw")).as("nano"))
+      .withColumn("dsir_weight",
+        round(col("nano").cast("double") / 1e9, 6))
+      .select("doc_id", "lang", "n_bigrams", "dsir_weight")
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  // ------------------------------------------------------------------
+  // q96: per-source n-gram novelty (corpus-diversity audit)
+  // ------------------------------------------------------------------
+
+  /** Per-source n-gram novelty: for each source, the fraction of its
+    * distinct 3-gram shingles that appear in NO other source — the
+    * "does this provenance add anything new?" signal a data-acquisition
+    * pipeline ranks candidate sources by.
+    *
+    * Scale shape: distinct (source, shingle-id) via hash agg on the 60-bit
+    * md5-prefix id (same id space as the dedup family — narrow shuffle
+    * keys, never shingle strings), then a per-shingle source count and one
+    * equi-join back. No self-join exists: source multiplicity per shingle
+    * is bounded by the number of sources, not the corpus.
+    */
+  def q96SourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(wordNgramExpr(3)).as("g"))
+      .withColumn("s",
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+      .select("source", "s").distinct()
+      .localCheckpoint(true)
+    val srcCnt = sh.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
+    sh.join(srcCnt, Seq("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
+  // q98: robust length outliers (median/MAD, census-based exact)
+  // ------------------------------------------------------------------
+
+  /** Per-source robust outlier documents: |n_chars - median| > 3 * MAD
+    * (median absolute deviation) — the scale-robust version of z-score
+    * filtering, immune to the exact heavy tails it is meant to catch.
+    *
+    * Exact medians WITHOUT sorting values into one reducer: `percentile()`
+    * collects every group value into executor memory — a straggler/OOM
+    * when one source holds a 100 TB corpus's bulk. Document LENGTH has
+    * bounded cardinality, so the interpolated median comes from a
+    * (source, n_chars) CENSUS instead: hash agg (map-side combined) to at
+    * most |sources| x |distinct lengths| rows, a cumulative window over
+    * that tiny census, and the two middle order statistics read off the
+    * cumulative counts. The same census trick runs again on the integer
+    * deviations |2x - med2| for the MAD.
+    *
+    * Everything stays in INTEGER space (med2 = 2*median, mad4 = 4*MAD are
+    * integers by construction), so the outlier predicate
+    * |4x - 2*med2| > 3*mad4 is exact in both engines — no float boundary.
+    */
+  def q98LengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source", "n_chars")
+    val cen = d.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+    val wTot = Window.partitionBy("source")
+    val cen2 = cen
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+    // med2 = v_floor((n-1)/2) + v_ceil((n-1)/2): value at 0-based index k
+    // is the smallest n_chars whose cumulative count exceeds k
+    val med = cen2.groupBy(col("source")).agg(
+      (min(when(expr("cum > ((tot - 1) div 2)"), col("n_chars"))) +
+        min(when(expr("cum > (tot div 2)"), col("n_chars")))).as("med2"))
+    val dd = d.join(med, Seq("source"))
+      .withColumn("d2", abs(col("n_chars") * 2 - col("med2")))
+    val cenD = dd.groupBy(col("source"), col("d2")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy("source").orderBy("d2")))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
+    val mad = cenD.groupBy(col("source")).agg(
+      (min(when(expr("cum > ((tot - 1) div 2)"), col("d2"))) +
+        min(when(expr("cum > (tot div 2)"), col("d2")))).as("mad4"))
+    dd.join(mad, Seq("source"))
+      .filter(abs(col("n_chars") * 4 - col("med2") * 2) > col("mad4") * 3)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("med2") / lit(2.0)).as("med"), (col("mad4") / lit(4.0)).as("mad"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
@@ -731,6 +878,52 @@ object Curation {
         |ORDER BY stage""".stripMargin
     },
 
+    "q95_dsir_selection" ->
+      s"""WITH bg AS (
+        |  SELECT doc_id, lang, unnest(${wordNgramSql(2)}) AS g
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bk AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(g), 1, 15))::BIGINT % $DsirBuckets AS b FROM bg),
+        |raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+        |tots AS (SELECT count(*) AS tr,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM bk),
+        |w AS (SELECT raw.b,
+        |  CAST(round(ln(((COALESCE(ct, 0) + CAST(1 AS DOUBLE)) / (tt + $DsirBuckets))
+        |    * ((tr + CAST($DsirBuckets AS DOUBLE)) / (cr + 1))) * 1000000000) AS BIGINT) AS lw
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+        |ds AS (SELECT bk.doc_id, bk.lang, count(*) AS n_bigrams, sum(w.lw) AS nano
+        |       FROM bk JOIN w USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_bigrams,
+        |  round(CAST(nano AS DOUBLE) / 1e9, 6) AS dsir_weight
+        |FROM ds ORDER BY dsir_weight DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+
+    "q96_source_novelty" ->
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+        |  FROM (SELECT source, unnest(${wordNgramSql(3)}) AS g FROM documents
+        |        WHERE len(string_split(text,' ')) >= 3)),
+        |sc AS (SELECT s, count(*) AS nsrc FROM sh GROUP BY s)
+        |SELECT source, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM sh JOIN sc USING (s) GROUP BY source ORDER BY source""".stripMargin,
+
+    "q98_length_outliers" ->
+      """WITH m AS (
+        |  SELECT source, CAST(round(2 * quantile_cont(n_chars, 0.5), 0) AS BIGINT) AS med2
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT dd.doc_id, dd.source, dd.n_chars, m.med2,
+        |        abs(2 * dd.n_chars - m.med2) AS d2
+        |      FROM documents dd JOIN m USING (source)),
+        |s AS (SELECT source, CAST(round(2 * quantile_cont(d2, 0.5), 0) AS BIGINT) AS mad4
+        |      FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, d.med2 / 2.0 AS med, s.mad4 / 4.0 AS mad
+        |FROM d JOIN s USING (source)
+        |WHERE abs(4 * d.n_chars - 2 * d.med2) > 3 * s.mad4
+        |ORDER BY d.source, d.doc_id""".stripMargin,
+
     "q78_mix_allocation" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,
@@ -763,5 +956,8 @@ object Curation {
     "q87_weighted_sample" -> (q87WeightedSample _),
     "q92_cluster_survivors" -> (q92ClusterSurvivors _),
     "q68_token_budget" -> (q68TokenBudget _),
+    "q95_dsir_selection" -> (q95DsirSelection _),
+    "q96_source_novelty" -> (q96SourceNovelty _),
+    "q98_length_outliers" -> (q98LengthOutliers _),
   )
 }

@@ -316,6 +316,52 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // q97: SemDeDup-style embedding-space pruning
+  // ------------------------------------------------------------------
+
+  /** Cosine threshold for the q97 prune. SemDeDup (Abbas et al. 2023)
+    * sweeps this epsilon per corpus; the synthetic embeddings carry no
+    * true duplicates (max within-bucket cosine ~0.41), so the bench value
+    * sits inside the observed similarity range to exercise the decision
+    * path — the knob, not the constant, is the operator.
+    */
+  private val SemDedupTau = 0.3
+
+  /** SemDeDup-shaped semantic pruning: bucket the corpus with the same
+    * sign-random-projection LSH as q36/q39, and inside each bucket remove
+    * every vector that has a more-canonical (lower vec_id) neighbor with
+    * cosine >= [[SemDedupTau]]. Where q39 REPORTS the most-similar pairs,
+    * q97 makes the DEDUP DECISION and audits it: per label, how much of
+    * the corpus the prune removes.
+    *
+    * Scale shape: candidate pairs exist only inside a bucket (the q39
+    * bound — E[pairs] ~ n^2/2^planes per corpus, and planes grows with
+    * corpus size in a real deployment); the removed set is a distinct on
+    * vec_id (semi-join shape), and the audit is one hash agg over the
+    * corpus with the removed set left-joined — nothing all-pairs, nothing
+    * collected.
+    */
+  def q97SemdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = qvecs(spark, dir).localCheckpoint(true)
+    val e = vecs.join(
+      lshBucketsFor(spark, vecs).select("vec_id", "bucket"), Seq("vec_id"))
+    val removed = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        cosCol(dotExpr("a.q", "b.q"), "a.nq", "b.nq"))
+      .filter(col("cos") >= SemDedupTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("rem", lit(1L))
+    vecs.join(removed, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("rem"), lit(0L))).as("n_removed"))
+      .withColumn("n_kept", col("n_vecs") - col("n_removed"))
+      .select("label", "n_vecs", "n_removed", "n_kept")
+      .orderBy(col("label"))
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
@@ -555,6 +601,19 @@ object Similarity {
         |  FROM scored)
         |SELECT label, vec_id, cos, rn FROM ranked WHERE rn <= 2
         |ORDER BY label, rn""".stripMargin,
+
+    "q97_semdedup_prune" ->
+      s"""WITH $qCte,
+        |$lshCtes,
+        |removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("list_dot_product(a.q, b.q)", "a.nq", "b.nq")} >= $SemDedupTau)
+        |SELECT e.label AS label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  count(*) - CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM e LEFT JOIN removed r ON e.vec_id = r.vec_id
+        |GROUP BY e.label ORDER BY label""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -567,5 +626,6 @@ object Similarity {
     "q69_quantized_cosine" -> (q69QuantizedCosine _),
     "q82_ann_ivf_multiprobe" -> (q82AnnIvfMultiprobe _),
     "q88_ann_incremental" -> (q88AnnIncremental _),
+    "q97_semdedup_prune" -> (q97SemdedupPrune _),
   )
 }

@@ -162,4 +162,73 @@ class CurationSpec extends SparkTestBase {
     assert(out(1L) > out(2L))
     assert(out(2L) == 0.0) // all 5-grams distinct
   }
+
+  /** documents table with controlled lang/source per row. */
+  private def writeDocsFull(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val d = tmpDir("curation-docs-full")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q95 DSIR ranks target-distribution docs above off-target docs") {
+    // 'en' docs are built from the `en-marker` bigram vocabulary, 'de'
+    // docs from a disjoint one; a mixed doc sits between. DSIR weights
+    // must order en > mixed > de regardless of doc length.
+    val enText = (1 to 20).map(_ => "alpha beta").mkString(" ")
+    val deText = (1 to 20).map(_ => "zeta omega").mkString(" ")
+    val mixed = "alpha beta alpha beta zeta omega zeta omega"
+    val d = writeDocsFull(Seq(
+      (1L, enText, "en", "s"), (2L, enText, "en", "s"),
+      (3L, deText, "de", "s"), (4L, deText, "de", "s"),
+      (5L, mixed, "de", "s")))
+    val out = Curation.q95DsirSelection(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) > out(5L), s"en doc must outrank mixed: $out")
+    assert(out(5L) > out(3L), s"mixed doc must outrank de: $out")
+    assert(out(1L) > 0 && out(3L) < 0,
+      s"log-ratio signs must separate target from off-target: $out")
+  }
+
+  test("q95 bucket-weight table joins as a broadcast (bounded build side)") {
+    val plan = Curation.q95DsirSelection(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the 1024-row weight table broadcast, got:\n$plan")
+  }
+
+  test("q96 novelty separates a duplicated source from a unique one") {
+    // sources A and B share all shingles (novelty 0); C is disjoint (1.0)
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"u$i").mkString(" ")
+    val d = writeDocsFull(Seq(
+      (1L, shared, "en", "A"), (2L, shared, "en", "B"), (3L, unique, "en", "C")))
+    val out = Curation.q96SourceNovelty(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((8L, 0L, 0.0)))
+    assert(out("B") == ((8L, 0L, 0.0)))
+    assert(out("C") == ((8L, 8L, 1.0)))
+  }
+
+  test("q98 census median/MAD matches hand-computed values, odd and even counts") {
+    // odd count + zero MAD: ten docs at 100 chars, one at 1000 — median
+    // 100, MAD 0, so ONLY the 1000-char doc deviates
+    val d1 = writeDocsFull(
+      (1L to 10L).map(i => (i, "x" * 100, "en", "s1")) :+
+        ((11L, "x" * 1000, "en", "s1")))
+    val out1 = Curation.q98LengthOutliers(spark, d1).collect()
+    assert(out1.map(_.getLong(0)).toSeq == Seq(11L), out1.toSeq.toString)
+    assert(out1(0).getDouble(3) == 100.0 && out1(0).getDouble(4) == 0.0)
+
+    // even count: lengths 1,2,3,1000 -> median 2.5 (interpolated), MAD
+    // over |x-2.5| = {1.5, 0.5, 0.5, 997.5} -> 1.0; only 1000 exceeds 3*MAD
+    val d2 = writeDocsFull(Seq(
+      (1L, "x", "en", "s2"), (2L, "xx", "en", "s2"),
+      (3L, "xxx", "en", "s2"), (4L, "x" * 1000, "en", "s2")))
+    val out2 = Curation.q98LengthOutliers(spark, d2).collect()
+    assert(out2.map(_.getLong(0)).toSeq == Seq(4L), out2.toSeq.toString)
+    assert(out2(0).getDouble(3) == 2.5 && out2(0).getDouble(4) == 1.0)
+  }
 }

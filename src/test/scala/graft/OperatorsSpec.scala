@@ -810,4 +810,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.columns.toSeq == Seq("label", "i", "j", "cos"))
     assert(!want.isNaN)
   }
+
+  test("q97 semdedup audit matches a brute-force within-bucket removal set") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("nq", expr("long_dot(q, q)"))
+    val e = emb.join(
+      Similarity.lshBuckets(spark, dir).select("vec_id", "bucket"), Seq("vec_id"))
+    val removed = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr(
+        """CASE WHEN a.nq = 0 OR b.nq = 0 THEN CAST(0.0 AS DOUBLE)
+          |ELSE CAST(long_dot(a.q, b.q) AS DOUBLE)
+          |  / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) END""".stripMargin))
+      .filter(col("cos") >= 0.3)
+      .select(col("b.vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    val out = Similarity.q97SemdedupPrune(spark, dir).collect()
+    assert(out.map(_.getLong(2)).sum == removed.size.toLong,
+      s"audit n_removed must equal the brute-force removal set (${removed.size})")
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"kept + removed != total for label ${r.get(0)}"))
+    assert(out.map(_.getLong(1)).sum == emb.count(), "audit must cover the corpus")
+  }
 }
