@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench/verify suite accumulates localCheckpoint
+  // blocks across ~100 queries, and an 8g heap showed multi-second GC
+  // stalls landing on whichever query was running (measured: one random
+  // query per full-suite run inflated 5-10x run-to-run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

