@@ -212,6 +212,106 @@ class CurationSpec extends SparkTestBase {
     assert(out("C") == ((8L, 8L, 1.0)))
   }
 
+  test("q95 DSIR == in-memory reference with identical arithmetic (fuzz)") {
+    // Reference mirrors the engine op for op: md5-prefix bucket, Laplace
+    // log-ratio in double, HALF_UP nano round, bigint sum, 6-decimal
+    // output round — any drift in the Spark expression chain (e.g. a
+    // literal silently parsing as DECIMAL) breaks exact equality here.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(15), 16) % 1024
+    def halfUp(x: Double, scale: Int): BigDecimal =
+      BigDecimal.decimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val vocab = 5 + rnd.nextInt(8)
+      val docs = (0L until 30L).map { id =>
+        val lang = if (rnd.nextBoolean()) "en" else "de"
+        val len = 2 + rnd.nextInt(15)
+        val base = if (lang == "en") 0 else vocab / 2 // overlapping vocabularies
+        val text = (0 until len)
+          .map(k => s"w${base + rnd.nextInt(vocab)}").mkString(" ")
+        (id, text, lang, "s")
+      }
+      val d = writeDocsFull(docs)
+      val bg = docs.flatMap { case (id, text, lang, _) =>
+        text.split(" ").toSeq.sliding(2).filter(_.length == 2)
+          .map(w => (id, lang, bucket(w.mkString(" "))))
+      }
+      val tr = bg.size.toLong
+      val tt = bg.count(_._2 == "en").toLong
+      val cr = bg.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+      val ct = bg.filter(_._2 == "en").groupBy(_._3)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val lw = cr.map { case (b, c) =>
+        val arg = ((ct.getOrElse(b, 0L) + 1.0d) / (tt + 1024)) *
+          ((tr + 1024.0d) / (c + 1))
+        b -> halfUp(math.log(arg) * 1e9, 0).toLong
+      }
+      val expected = bg.groupBy(x => (x._1, x._2)).map { case ((id, lang), xs) =>
+        val nano = xs.map(x => lw(x._3)).sum
+        (id, lang, xs.size.toLong, halfUp(nano.toDouble / 1e9, 6).toDouble)
+      }.toSeq.sortBy(x => (-x._4, x._1)).take(100)
+      val got = Curation.q95DsirSelection(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expected,
+        s"trial $trial (vocab $vocab): got=${got.take(3)} want=${expected.take(3)}")
+    }
+  }
+
+  test("q96 novelty == brute-force set reference on random corpora (fuzz)") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 25L).map { id =>
+        val src = s"s${rnd.nextInt(4)}"
+        val len = 3 + rnd.nextInt(10)
+        val text = (0 until len).map(k => s"w${rnd.nextInt(8)}").mkString(" ")
+        (id, text, "en", src)
+      }
+      val d = writeDocsFull(docs)
+      val bySrc = docs.groupBy(_._4).map { case (src, xs) =>
+        src -> xs.flatMap(_._2.split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" "))).toSet
+      }
+      val expected = bySrc.map { case (src, sh) =>
+        val others = bySrc.filter(_._1 != src).values.flatten.toSet
+        val unique = sh.diff(others).size.toLong
+        (src, sh.size.toLong, unique)
+      }.toSeq.sortBy(_._1)
+      val got = Curation.q96SourceNovelty(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"trial $trial: got=$got want=$expected")
+    }
+  }
+
+  test("q98 outliers == in-memory exact median/MAD reference (fuzz)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { id =>
+        val src = s"s${rnd.nextInt(3)}"
+        // small value domain forces ties and degenerate (zero) MADs
+        (id, "x" * (1 + rnd.nextInt(12)), "en", src)
+      }
+      val d = writeDocsFull(docs)
+      val expected = docs.groupBy(_._4).toSeq.flatMap { case (src, xs) =>
+        val vals = xs.map(_._2.length.toLong)
+        val s = vals.sorted
+        val n = s.length
+        val med2 = s((n - 1) / 2) + s(n / 2)
+        val d2 = vals.map(x => math.abs(2 * x - med2)).sorted
+        val mad4 = d2((n - 1) / 2) + d2(n / 2)
+        xs.filter(x => math.abs(4L * x._2.length - 2 * med2) > 3 * mad4)
+          .map(x => (x._1, src, x._2.length.toLong, med2 / 2.0, mad4 / 4.0))
+      }.sortBy(x => (x._2, x._1))
+      val got = Curation.q98LengthOutliers(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      assert(got == expected, s"trial $trial: got=$got want=$expected")
+    }
+  }
+
   test("q98 census median/MAD matches hand-computed values, odd and even counts") {
     // odd count + zero MAD: ten docs at 100 chars, one at 1000 — median
     // 100, MAD 0, so ONLY the 1000-char doc deviates
