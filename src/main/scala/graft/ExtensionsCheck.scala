@@ -64,7 +64,24 @@ object ExtensionsCheck {
     require(plan.contains("latest_row"),
       s"RewriteMaxByToLatestRow did not fire:\n$plan")
 
-    println("[extensions-check] OK: functions + optimizer rule injected via spark.sql.extensions")
+    // whole-operator strategy injected at session build: the as-of node
+    // must plan through its exec WITHOUT AsOf.ensureStrategy having run
+    val asofL = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+    val asofR = Seq((1L, 5L, "early"), (1L, 15L, "late")).toDF("rk", "rts", "p")
+    val asof = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoin(
+        asofL.queryExecution.analyzed, asofR.queryExecution.analyzed,
+        Seq(asofL.queryExecution.analyzed.output.head),
+        Seq(asofR.queryExecution.analyzed.output.head),
+        asofL.queryExecution.analyzed.output(1),
+        asofR.queryExecution.analyzed.output(1)))
+    val asofRows = asof.orderBy("ts").collect().map(r => (r.getLong(1), r.getString(4)))
+    require(asofRows.toSeq == Seq((10L, "early"), (20L, "late")),
+      s"as-of via injected strategy: ${asofRows.toSeq}")
+    require(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "AsOfJoinStrategy was not injected via spark.sql.extensions")
+
+    println("[extensions-check] OK: functions + optimizer rule + planner strategy injected via spark.sql.extensions")
     spark.stop()
   }
 }

@@ -57,5 +57,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // plan-quality rule: naive max_by latest-per-key formulations get the
     // ObjectHashAggregate kernel instead of degrading to SortAggregate
     ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
+    // whole-operator surface (§2.10(c)): the as-of join's logical node
+    // plans through its dedicated streaming-merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -494,6 +494,29 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** q19's semantics through the dedicated [[graft.plans.AsOfJoin]]
+    * operator — custom logical node, planner strategy, and streaming-merge
+    * physical exec (§2.10(c)) — instead of the union + running-window
+    * composition. Both run against the SAME DuckDB `ASOF JOIN` oracle, so
+    * the custom operator and the composed form cross-check each other
+    * every verify round. The merge pass needs no window state and no
+    * combined click+purchase sort — see [[graft.plans.AsOfJoinExec]].
+    */
+  def q99AsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("click_ts_us"),
+        col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftTsCol = "ts_us", rightTsCol = "click_ts_us")
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+      .orderBy(col("event_id"))
+  }
+
   /** Approximate distinct (SURVEY A3, HLL): no DuckDB oracle — HLL sketches
     * are engine-specific — so the driver records a rows-only check; the
     * exact twin q10 is the hash-checked variant.
@@ -912,6 +935,18 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q99_asof_custom" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS click_ts_us, c.value AS click_value,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q26_window_distribution" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  percent_rank() OVER w AS pr,
@@ -1097,6 +1132,7 @@ object Queries {
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
     "q19_asof_join" -> (q19AsofJoin _),
+    "q99_asof_custom" -> (q99AsofCustom _),
     "q26_window_distribution" -> (q26WindowDistribution _),
     "q27_percentiles" -> (q27Percentiles _),
     "q45_set_ops_all" -> (q45SetOpsAll _),

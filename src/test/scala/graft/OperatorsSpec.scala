@@ -811,6 +811,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(!want.isNaN)
   }
 
+  test("q99 custom as-of exec == q19 window composition on testdata") {
+    val composed = Queries.q19AsofJoin(spark, dir).collect().map(_.toSeq).toSeq
+    val custom = Queries.q99AsofCustom(spark, dir).collect().map(_.toSeq).toSeq
+    assert(custom.nonEmpty, "expected matched purchases in testdata")
+    assert(custom == composed,
+      s"custom exec diverges from the composition: " +
+        s"first diff=${custom.zip(composed).find(p => p._1 != p._2)}")
+  }
+
+  test("as-of exec == in-memory reference on random corpora incl. string payloads (fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    for (trial <- 1 to 3) {
+      // string payload: a retained-row bug (missing copy() of a reused
+      // unsafe buffer) corrupts variable-length fields, not longs
+      val leftRows = (0L until 200L).map { i =>
+        (i, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong)
+      } // (id, key, ts)
+      val rightRows = (0L until 150L).map { i =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(1000).toLong, s"p${i}_${rnd.nextInt(99)}")
+      } // (key, ts, payload) — keys 12/13 never match a left key
+      val expected = leftRows.flatMap { case (id, k, ts) =>
+        val ms = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        if (ms.isEmpty) None
+        else {
+          val best = ms.maxBy(_._2)
+          // mirror the exec's tie rule: latest in (ts, payload-free sort
+          // order) — make ties impossible instead (dedupe right on ts)
+          Some((id, k, ts, best._2))
+        }
+      }.sortBy(x => (x._1, x._2))
+      // dedupe right (key, ts) so ties cannot make the reference ambiguous
+      val rightDedup = rightRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expectedD = leftRows.flatMap { case (id, k, ts) =>
+        val ms = rightDedup.filter(r => r._1 == k && r._2 <= ts)
+        if (ms.isEmpty) None else {
+          val best = ms.maxBy(_._2)
+          Some((id, k, ts, best._2, best._3))
+        }
+      }.sortBy(x => (x._1, x._2))
+      val l = leftRows.toDF("id", "k", "ts")
+      val r = rightDedup.toDF("rk", "rts", "payload")
+      val got = graft.plans.AsOf.join(l, r, "k", "rk", "ts", "rts")
+        .select("id", "k", "ts", "rts", "payload")
+        .orderBy("id", "k")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getString(4))).toSeq
+      assert(got == expectedD,
+        s"trial $trial: first diff=${got.zip(expectedD).find(p => p._1 != p._2)} " +
+          s"sizes=${got.size}/${expectedD.size}")
+      assert(expected.nonEmpty) // the corpus genuinely exercises matching
+    }
+  }
+
   test("q97 semdedup audit matches a brute-force within-bucket removal set") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

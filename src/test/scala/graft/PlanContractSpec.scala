@@ -321,4 +321,18 @@ class PlanContractSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q99: as-of join plans through AsOfJoinExec — one exchange + sort per side, no window") {
+    val p = plan(Queries.q99AsofCustom(spark, dir))
+    assert(p.contains("AsOfJoin"), s"expected the custom exec:\n${p.take(2500)}")
+    assert(!p.contains("Window"),
+      "the dedicated operator must not fall back to the window composition")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "as-of must never plan as an inequality product")
+    // EnsureRequirements supplies the clustering + in-partition order
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      s"both sides must cluster on the key:\n${p.take(2500)}")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      "purchase filter must reach the scan below the custom node")
+  }
 }
