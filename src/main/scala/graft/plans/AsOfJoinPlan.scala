@@ -23,8 +23,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * partition: no joined-stream window state, no inequality join, no
   * per-user quadratic blowup. This is the standard merge formulation of
   * ASOF JOIN (DuckDB/Pandas `merge_asof` semantics: for each left row,
-  * the right row with the greatest ts <= left ts on the same key; rows
-  * with no match are dropped — inner as-of).
+  * the right row with the greatest ts <= left ts on the same key —
+  * backward — or the smallest ts >= left ts with `forward = true`, an
+  * optional `tolerance` bounding the gap; rows with no match are
+  * dropped — inner as-of).
   *
   * Scale shape: one hash exchange per side (same as any shuffled join),
   * in-partition sort, then an O(left + right) merge with O(1) state (the
@@ -39,7 +41,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -49,8 +53,8 @@ case class AsOfJoin(
 /** Planner strategy: [[AsOfJoin]] -> [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -65,6 +69,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -102,32 +108,59 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // O(1) per-partition state: the best (greatest-ts <= left ts)
-      // right row seen for the CURRENT key, retained as copies because
-      // projections and unsafe child rows reuse their buffers
-      var candidate: InternalRow = null
-      var candidateKey: UnsafeRow = null
-      lIter.flatMap { lRow =>
-        val lKey = lKeyProj(lRow)
-        val tl = lTsProj(lRow).getLong(0)
-        // consume right rows that can no longer match a later left row:
-        // keys strictly below lKey (left keys only ascend), and same-key
-        // rows with ts <= tl (each becomes the new best candidate — right
-        // ts only ascends within the key). Same-key rows with ts > tl
-        // stay buffered for later left rows of this key.
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-          if (cmp < 0) rBuf.next()
-          else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= tl) {
-            val r = rBuf.next()
-            candidate = r.copy()
-            candidateKey = rKeyProj(candidate).copy()
-          } else advance = false
+      val tol = tolerance.getOrElse(Long.MaxValue)
+      if (!forward) {
+        // BACKWARD (default): the best (greatest-ts <= left ts) right row
+        // for the CURRENT key, retained as a copy because projections and
+        // unsafe child rows reuse their buffers — O(1) per-partition state
+        var candidate: InternalRow = null
+        var candidateKey: UnsafeRow = null
+        var candidateTs = 0L
+        lIter.flatMap { lRow =>
+          val lKey = lKeyProj(lRow)
+          val tl = lTsProj(lRow).getLong(0)
+          // consume right rows that can no longer match a later left row:
+          // keys strictly below lKey (left keys only ascend), and same-key
+          // rows with ts <= tl (each becomes the new best candidate —
+          // right ts only ascends within the key). Same-key rows with
+          // ts > tl stay buffered for later left rows of this key.
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
+            if (cmp < 0) rBuf.next()
+            else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= tl) {
+              val r = rBuf.next()
+              candidate = r.copy()
+              candidateKey = rKeyProj(candidate).copy()
+              candidateTs = rTsProj(candidate).getLong(0)
+            } else advance = false
+          }
+          if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+              tl - candidateTs <= tol)
+            Some(outProj(joined(lRow, candidate)))
+          else None
         }
-        if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
-          Some(outProj(joined(lRow, candidate)))
-        else None
+      } else {
+        // FORWARD: the earliest right row with ts >= left ts. Right rows
+        // with ts < tl can never match this or any LATER left row (left
+        // ts ascends within the key), so they are consumed; the head — if
+        // on the same key — is the match and stays buffered because it
+        // may also be the forward match of later left rows.
+        lIter.flatMap { lRow =>
+          val lKey = lKeyProj(lRow)
+          val tl = lTsProj(lRow).getLong(0)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
+            if (cmp < 0 || (cmp == 0 && rTsProj(rBuf.head).getLong(0) < tl))
+              rBuf.next()
+            else advance = false
+          }
+          if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0 &&
+              rTsProj(rBuf.head).getLong(0) - tl <= tol)
+            Some(outProj(joined(lRow, rBuf.head)))
+          else None
+        }
       }
     }
   }
@@ -147,14 +180,19 @@ object AsOf {
       ex.extraStrategies = ex.extraStrategies :+ AsOfJoinStrategy
   }
 
-  /** Inner as-of join: for each `left` row, the `right` row with the
-    * greatest `rightTsCol` <= `leftTsCol` on equal keys; unmatched left
-    * rows are dropped. Key/ts columns are resolved by name on each side;
-    * the ts columns must be long-backed (BIGINT / epoch micros).
+  /** Inner as-of join (pandas `merge_asof` surface): for each `left` row,
+    * the `right` row on equal keys with the greatest `rightTsCol` <=
+    * `leftTsCol` (backward, default) or the smallest `rightTsCol` >=
+    * `leftTsCol` (`forward = true`); `tolerance` drops matches whose
+    * |ts gap| exceeds it. Unmatched left rows are dropped. Key/ts columns
+    * are resolved by name on each side; the ts columns must be
+    * long-backed (BIGINT / epoch micros).
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTsCol: String, rightTsCol: String): DataFrame = {
+           leftTsCol: String, rightTsCol: String,
+           forward: Boolean = false,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -164,6 +202,6 @@ object AsOf {
         s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTsCol), attr(rp, rightTsCol)))
+      attr(lp, leftTsCol), attr(rp, rightTsCol), forward, tolerance))
   }
 }

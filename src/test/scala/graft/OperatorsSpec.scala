@@ -862,6 +862,25 @@ class OperatorsSpec extends SparkTestBase {
         s"trial $trial: first diff=${got.zip(expectedD).find(p => p._1 != p._2)} " +
           s"sizes=${got.size}/${expectedD.size}")
       assert(expected.nonEmpty) // the corpus genuinely exercises matching
+
+      // forward direction + tolerance against the same reference corpus
+      val tol = 100L
+      val expectedF = leftRows.flatMap { case (id, k, ts) =>
+        val ms = rightDedup.filter(r => r._1 == k && r._2 >= ts)
+        if (ms.isEmpty) None else {
+          val best = ms.minBy(_._2)
+          if (best._2 - ts <= tol) Some((id, k, ts, best._2, best._3)) else None
+        }
+      }.sortBy(x => (x._1, x._2))
+      val gotF = graft.plans.AsOf.join(l, r, "k", "rk", "ts", "rts",
+          forward = true, tolerance = Some(tol))
+        .select("id", "k", "ts", "rts", "payload")
+        .orderBy("id", "k")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getString(4))).toSeq
+      assert(gotF == expectedF,
+        s"trial $trial forward: first diff=${gotF.zip(expectedF).find(p => p._1 != p._2)} " +
+          s"sizes=${gotF.size}/${expectedF.size}")
     }
   }
 
