@@ -266,4 +266,51 @@ class EventStreamsSpec extends SparkTestBase {
     val last2 = out.filter(_.id == 2).maxBy(_.ts)
     assert(last2.deleted, "key 2 ends as tombstone")
   }
+
+  test("streaming as-of enrichment == batch q99 (watermark-exact, out-of-order batches)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // replay the whole sf0.001 events table through MemoryStream in three
+    // CHRONOLOGICAL thirds, each internally SHUFFLED: disorder inside a
+    // batch (purchases before their matching click) is what the state
+    // buffer must absorb, while cross-batch order respects the lateness
+    // horizon — events jumping a whole batch back would be dropped by the
+    // watermark in any engine, that's the watermark contract, not a bug
+    val evRows = eventsTs
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._2.getTime)
+    val maxTs = evRows.map(_._2.getTime).max
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long, Double)]
+    val q = graft.streaming.AsOfStream.enrich(spark,
+        input.toDS().toDF("user_id", "ts", "event_type", "event_id", "value"))
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof-ckpt"))
+      .start()
+    val third = (evRows.length + 2) / 3
+    val rndOrder = new scala.util.Random(7)
+    evRows.grouped(third).foreach { slice =>
+      input.addData(rndOrder.shuffle(slice.toSeq))
+      drain(q)
+    }
+    // two future sentinel clicks for an unused user: the first advances
+    // the watermark past every purchase, the second triggers the
+    // event-time timeouts that flush still-pending purchases
+    for (k <- 1 to 2) {
+      input.addData(Seq((-1L,
+        new java.sql.Timestamp(maxTs + k * 3 * 3600 * 1000L), "click", -k.toLong, 0.0)))
+      drain(q)
+    }
+    q.stop()
+    val got = spark.table("asof_stream_out")
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+    val want = graft.operators.Queries.q99AsofCustom(spark, "/root/testdata/sf0.001")
+    assert(canon(got).nonEmpty, "expected enriched purchases")
+    assert(canon(got) == canon(want),
+      s"streaming as-of must equal the batch as-of join: " +
+        s"sizes ${canon(got).size}/${canon(want).size}")
+  }
 }
