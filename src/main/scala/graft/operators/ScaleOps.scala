@@ -257,6 +257,72 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** PSI bin count and the week bucket in µs. */
+  private val PsiBins = 10
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Week-over-week distribution drift per event type (q100): the
+    * Population Stability Index between each week's `value` distribution
+    * and the previous week's, over [[PsiBins]] fixed-width bins shared
+    * across all weeks of a type (bin edges from the type's GLOBAL
+    * min/max, the q89 binning). PSI = Σ_b (p_b - q_b)·ln(p_b/q_b) with
+    * Laplace smoothing (+1 per bin), so empty bins never divide by zero
+    * and a week's PSI is 0 iff its binned distribution matches the prior
+    * week exactly. This is the drift monitor a production pipeline runs
+    * continuously: PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken.
+    *
+    * Scale shape: one map-side-combined census to (type, week, bin) —
+    * everything after is week-count-sized (a self-join of weekly totals
+    * on week+1 and a 10-bin spine). Determinism: the per-bin PSI terms
+    * round to integer NANO units before the bigint sum (q77/q95's
+    * precedent), and the smoothed proportions are derived from integer
+    * counts with the expression text mirrored verbatim in the oracle.
+    */
+  def q100DriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("week", expr(Queries.floorDivSql("ts_us", WeekUs)))
+      .select("event_type", "week", "value")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .withColumn("width", (col("hi") - col("lo")) / PsiBins)
+    val binned = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("bin",
+        when(col("width") === 0.0, lit(0L))
+          .otherwise(least(lit(PsiBins - 1L),
+            floor((col("value") - col("lo")) / col("width"))))
+          .cast("long"))
+      .groupBy(col("event_type"), col("week"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = binned.groupBy(col("event_type"), col("week")).agg(sum(col("c")).as("n"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.week") + 1 === col("b.week"))
+      .select(col("a.event_type").as("event_type"), col("a.week").as("wprev"),
+        col("b.week").as("week"), col("a.n").as("nq"), col("b.n").as("np"))
+    val spine = pairs.select(col("event_type"), col("wprev"), col("week"),
+      col("nq"), col("np"),
+      explode(expr(s"sequence(0L, ${PsiBins - 1}L)")).as("bin"))
+    val bq = binned.select(col("event_type"), col("week").as("wprev"),
+      col("bin"), col("c").as("cq"))
+    val bp = binned.select(col("event_type"), col("week"),
+      col("bin"), col("c").as("cp"))
+    spine.join(bq, Seq("event_type", "wprev", "bin"), "left")
+      .join(bp, Seq("event_type", "week", "bin"), "left")
+      .withColumn("nano", expr(
+        s"""CAST(round(
+           |  ((coalesce(cp, 0) + CAST(1 AS DOUBLE)) / (np + $PsiBins)
+           |   - (coalesce(cq, 0) + CAST(1 AS DOUBLE)) / (nq + $PsiBins))
+           |  * ln(((coalesce(cp, 0) + CAST(1 AS DOUBLE)) / (np + $PsiBins))
+           |       / ((coalesce(cq, 0) + CAST(1 AS DOUBLE)) / (nq + $PsiBins)))
+           |  * 1000000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("event_type"), col("week"))
+      .agg(sum(col("nano")).as("nano"))
+      .withColumn("psi", round(col("nano").cast("double") / 1e9, 6))
+      .select("event_type", "week", "psi")
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** Session gap for explicit sessionization (30 minutes in µs). */
   private val SessionGapUs = 1800000000L
 
@@ -583,6 +649,41 @@ object ScaleOps {
         |  coalesce(b.n, 0) AS n, coalesce(b.sum_value, 0.0) AS sum_value
         |FROM spine s LEFT JOIN binned b USING (bin) ORDER BY s.bin""".stripMargin,
 
+    "q100_drift_psi" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) // $WeekUs AS week, value
+        |            FROM events WHERE value IS NOT NULL),
+        |stats AS (SELECT event_type, min(value) AS lo,
+        |          (max(value) - min(value)) / $PsiBins AS width
+        |          FROM ev GROUP BY event_type),
+        |binned AS (SELECT ev.event_type, week,
+        |    CASE WHEN width = 0 THEN 0
+        |    ELSE least(${PsiBins - 1}, CAST(floor((value - lo) / width) AS BIGINT))
+        |    END AS bin,
+        |    count(*) AS c
+        |  FROM ev JOIN stats USING (event_type) GROUP BY 1, 2, 3),
+        |totals AS (SELECT event_type, week, CAST(sum(c) AS BIGINT) AS n
+        |           FROM binned GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, a.week AS wprev, b.week AS week,
+        |            a.n AS nq, b.n AS np
+        |          FROM totals a JOIN totals b
+        |            ON a.event_type = b.event_type AND a.week + 1 = b.week),
+        |spine AS (SELECT event_type, wprev, week, nq, np,
+        |            unnest(generate_series(0, ${PsiBins - 1})) AS bin FROM pairs),
+        |scored AS (SELECT s.event_type, s.week,
+        |    CAST(round(
+        |      ((COALESCE(bp.c, 0) + CAST(1 AS DOUBLE)) / (np + $PsiBins)
+        |       - (COALESCE(bq.c, 0) + CAST(1 AS DOUBLE)) / (nq + $PsiBins))
+        |      * ln(((COALESCE(bp.c, 0) + CAST(1 AS DOUBLE)) / (np + $PsiBins))
+        |           / ((COALESCE(bq.c, 0) + CAST(1 AS DOUBLE)) / (nq + $PsiBins)))
+        |      * 1000000000) AS BIGINT) AS nano
+        |  FROM spine s
+        |  LEFT JOIN binned bq ON bq.event_type = s.event_type
+        |    AND bq.week = s.wprev AND bq.bin = s.bin
+        |  LEFT JOIN binned bp ON bp.event_type = s.event_type
+        |    AND bp.week = s.week AND bp.bin = s.bin)
+        |SELECT event_type, week, round(CAST(sum(nano) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q90_corr_moments" ->
       """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
         |            (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
@@ -730,6 +831,7 @@ object ScaleOps {
     "q89_histogram" -> (q89Histogram _),
     "q90_corr_moments" -> (q90CorrMoments _),
     "q91_session_ids" -> (q91SessionIds _),
+    "q100_drift_psi" -> (q100DriftPsi _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),
     "q65_funnel" -> (q65Funnel _),

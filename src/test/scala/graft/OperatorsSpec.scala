@@ -884,6 +884,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q100 PSI: identical weeks score exactly 0, a shifted week flags drift") {
+    import spark.implicits._
+    val weekNs = 7L * 86400L * 1000000000L
+    def rows(week: Long, vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (week * 10000 + i, week * weekNs + i * 1000000L, 1L, "a", v, "{}")
+    }
+    val flat = (1 to 100).map(_.toDouble)
+    val shifted = (1 to 100).map(i => 90.0 + (i % 10)) // mass into the top bin
+    val d = tmpDir("psi-events")
+    (rows(0, flat) ++ rows(1, flat) ++ rows(2, shifted))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = graft.operators.ScaleOps.q100DriftPsi(spark, d).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == 0.0,
+      s"identical binned distributions must score exactly 0 (smoothing cancels): $out")
+    assert(out(2L) > 0.25, s"a mass shift into one bin must flag drift: $out")
+  }
+
   test("q97 semdedup audit matches a brute-force within-bucket removal set") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
