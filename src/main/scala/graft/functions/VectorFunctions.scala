@@ -100,6 +100,13 @@ object GraftFunctions {
       BloomMightContainName, bloomMightContainBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HeavyHittersName, heavyHittersBuilder _, "built-in")
+    // the plan-quality rule travels WITH the functions: without it a
+    // session the engine did not build (the driver's Verify/Bench
+    // harnesses) plans struct-payload max_by as SortAggregate — measured
+    // as two extra per-partition sorts on q17's corpus-sized aggregation
+    if (!spark.experimental.extraOptimizations.contains(RewriteMaxByToLatestRow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteMaxByToLatestRow
   }
 
   /** Builder for `top_k_by(value, key, k)` — k must be an integer literal

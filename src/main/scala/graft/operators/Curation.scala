@@ -101,8 +101,8 @@ object Curation {
   /** Best-quality survivor per near-dup cluster (q92): production dedup
     * keeps the HIGHEST-QUALITY member of each cluster, not the lowest id —
     * a mirror site's cleaner copy should win over a truncated scrape. One
-    * hash-agg argmax (max over struct(score, -doc_id): highest score, tie
-    * to lowest id — the [[graft.functions.LatestRow]] plan shape, map-side
+    * [[graft.functions.LatestRow]] ObjectHashAggregate argmax (ordering
+    * struct(score, -doc_id): highest score, tie to lowest id, map-side
     * combined) over the component labeling joined with the q22 quality
     * scores. No windows, nothing unbounded per group.
     */
@@ -115,9 +115,13 @@ object Curation {
     labels.join(scores, Seq("doc_id"))
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+        // latest_row, not max(struct(...)): a struct buffer is not
+        // hash-aggregable and silently degrades to SortAggregate
+        call_function("latest_row",
+          struct(col("doc_id"), col("score")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
       .select(col("cluster_id"), col("n_docs"),
-        (-col("best.nid")).as("keep_doc_id"), col("best.score").as("keep_score"))
+        col("best.doc_id").as("keep_doc_id"), col("best.score").as("keep_score"))
       .orderBy(col("cluster_id"))
   }
 

@@ -423,6 +423,7 @@ object Queries {
     * the same latest-per-key kernel the CDC merge uses; no window sort.
     */
   def q17CdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // RewriteMaxByToLatestRow
     val ev = events(spark, dir)
     val payload = struct(col("event_id"), col("event_type"), col("value"), col("ts_us"))
     ev.groupBy(col("user_id"))

@@ -173,16 +173,22 @@ object Similarity {
     assignScored(vecs, centroids).select("vec_id", "cid")
 
   /** [[assign]] + the winning centroid cosine — THE one copy of the
-    * argmax: partial hash-agg on max(struct(ccos, -cid)) — same
-    * (max cosine, tie -> lowest cid) winner as a row_number window, but
-    * with map-side combine and no per-vector sort.
+    * argmax: the `latest_row` ObjectHashAggregate (max (ccos, -cid)
+    * ordering: max cosine, tie -> lowest cid), same winner as a
+    * row_number window but with map-side combine and no sort anywhere.
+    * (Built-in max(struct(...)) computes the same answer but a struct
+    * buffer is not hash-aggregable, so it silently degrades to
+    * SortAggregate — two per-partition sorts per assignment pass, caught
+    * by the round-5 plan audit.)
     */
   private[graft] def assignScored(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("best.ccos").as("ccos"))
+      .agg(call_function("latest_row",
+        struct(col("cid"), col("ccos")),
+        struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.ccos").as("ccos"))
 
   /** Recompute integer centroids from an assignment (exact dim-wise sums). */
   private[graft] def update(vecs: DataFrame, assignment: DataFrame): DataFrame =

@@ -244,9 +244,12 @@ class PlanContractSpec extends SparkTestBase {
       assert(p.contains("ObjectHashAggregate") && p.contains("latest_row"),
         s"struct max_by must rewrite to the latest_row kernel:\n${p.take(1500)}")
       assert(!p.contains("SortAggregate"), "rewritten plan must not sort")
-      // semantics preserved: equals the result of a genuinely un-rewritten run
+      // semantics preserved: equals the result of a genuinely un-rewritten
+      // run — the rule must be REMOVED explicitly (GraftFunctions.register
+      // installs it session-wide, so `prior` may already contain it)
       val want = {
-        spark.experimental.extraOptimizations = prior
+        spark.experimental.extraOptimizations =
+          prior.filterNot(_ == graft.functions.RewriteMaxByToLatestRow)
         try {
           val fresh = naive()
           assert(!plan(fresh).contains("latest_row"), "oracle run must not be rewritten")
@@ -319,6 +322,18 @@ class PlanContractSpec extends SparkTestBase {
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q17/q38/q92: struct argmax never degrades to SortAggregate (driver-session path)") {
+    // the rewrite rule / latest_row formulation must hold in a session the
+    // engine did NOT build via extensions — the exact shape Verify/Bench run
+    for (q <- Seq(Queries.q17CdcLatestPerKey(spark, dir),
+        graft.operators.Similarity.q38AnnIvf(spark, dir),
+        graft.operators.Curation.q92ClusterSurvivors(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"),
+        s"struct argmax degraded to SortAggregate:\n${p.take(2500)}")
     }
   }
 
