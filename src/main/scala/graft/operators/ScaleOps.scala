@@ -286,6 +286,10 @@ object ScaleOps {
     val stats = ev.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       .withColumn("width", (col("hi") - col("lo")) / PsiBins)
+    // the census is the ONE corpus-sized pass and it has three consumers
+    // (weekly totals, prev-week counts, current-week counts) — materialize
+    // the post-agg (type, week, bin) frame (tiny: |types|·|weeks|·10 rows)
+    // so the events scan runs once, not three times
     val binned = ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("bin",
         when(col("width") === 0.0, lit(0L))
@@ -294,6 +298,7 @@ object ScaleOps {
           .cast("long"))
       .groupBy(col("event_type"), col("week"), col("bin"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = binned.groupBy(col("event_type"), col("week")).agg(sum(col("c")).as("n"))
     val pairs = totals.as("a").join(totals.as("b"),
         col("a.event_type") === col("b.event_type") &&
