@@ -311,14 +311,28 @@ object Similarity {
         pos("label") === centroid("c_label") && pos("i") === centroid("i"))
       .groupBy(col("vec_id"), col("label"), col("nq"))
       .agg(sum(col("qi") * col("ci")).as("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))
-    dots.join(cnorm, col("label") === col("c_label"))
+    // the bottom-2 per label as TWO argmin hash-aggs (latest_row with the
+    // (-cos, -vec_id) ordering = min cos, tie min id) over the scored
+    // frame, minus-first-then-again — a per-label row_number window would
+    // sort each LABEL'S ENTIRE membership on one reducer, the q55/q75
+    // single-hot-group straggler this repo removes everywhere else; the
+    // scored frame is one narrow row per vector and feeds both passes
+    // from one materialization
+    val scored = dots.join(cnorm, col("label") === col("c_label"))
       .withColumn("cos", cosCol("dot", "nq", "nc"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 2)
-      .select("label", "vec_id", "cos", "rn")
-      .orderBy(col("label"), col("rn"))
+      .select("label", "vec_id", "cos")
+      .localCheckpoint(true)
+    def argmin(df: DataFrame, rn: Long): DataFrame =
+      df.groupBy(col("label"))
+        .agg(call_function("latest_row",
+          struct(col("vec_id"), col("cos")),
+          struct((-col("cos")).as("ncos"), (-col("vec_id")).as("nv"))).as("best"))
+        .select(col("label"), col("best.vec_id").as("vec_id"),
+          col("best.cos").as("cos"), lit(rn).as("rn"))
+    val m1 = argmin(scored, 1L)
+    val m2 = argmin(
+      scored.join(m1.select("label", "vec_id"), Seq("label", "vec_id"), "left_anti"), 2L)
+    m1.unionByName(m2).orderBy(col("label"), col("rn"))
   }
 
   // ------------------------------------------------------------------

@@ -335,6 +335,11 @@ class PlanContractSpec extends SparkTestBase {
       assert(!p.contains("SortAggregate"),
         s"struct argmax degraded to SortAggregate:\n${p.take(2500)}")
     }
+    // q37's bottom-2-per-label is the argmin aggregate, never a per-label
+    // ranking window (one hot label would own a sort task)
+    val p37 = plan(graft.operators.Similarity.q37CentroidOutliers(spark, dir))
+    assert(!p37.contains("Window") && !p37.contains("SortAggregate"),
+      s"q37 must rank via the argmin aggregate:\n${p37.take(2500)}")
   }
 
   test("q99: as-of join plans through AsOfJoinExec — one exchange + sort per side, no window") {
