@@ -86,7 +86,12 @@ object Tables {
     else {
       val r = spark.read
       Some(format match {
-        case "parquet" => r.parquet(files: _*)
+        // mergeSchema: the file set may straddle an upstream schema
+        // evolution (a column added in a later DMS batch); default
+        // inference reads ONE footer and would pin the stream to
+        // whichever file it sampled — restart then silently drops the
+        // new column (caught by CdcStreamSpec's evolution test)
+        case "parquet" => r.option("mergeSchema", "true").parquet(files: _*)
         case "json" => r.json(files: _*)
         case "csv" => r.option("header", "true").option("inferSchema", "true")
           .csv(files: _*)

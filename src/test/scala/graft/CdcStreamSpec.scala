@@ -399,4 +399,43 @@ class CdcStreamSpec extends SparkTestBase {
       .as[(Long, String, String)].collect().toSet
     assert(mirror === g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet)
   }
+
+  test("schema evolution mid-stream: a column added in a later batch lands after restart") {
+    import org.apache.spark.sql.functions._
+    val g = DmsGenerator.generate(31L)
+    val src = tmpDir("stream-src-evolve")
+    val ckpt = tmpDir("ckpt-evolve")
+    val wh = Warehouse(tmpDir("stream-wh-evolve"))
+    val spec = PipelineSpec(src, "tt3_changelog", "tt3", CdcConfig("id", "ts"))
+
+    writeParquet(g.batches.head, s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, ckpt).awaitTermination()
+
+    // the upstream source evolves: batch 2 carries a new `email` column
+    g.batches(1).toDF().withColumnRenamed("modificationDate", "modification_date")
+      .withColumn("email", concat(lit("u"), col("id"), lit("@example.com")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/dms_logs_2.parquet")
+    CdcStream.start(spark, wh, spec, ckpt).awaitTermination()
+
+    // changelog: evolved column present, old batch null-backfilled
+    val ch = wh.read(spark, "tt3_changelog", mergeSchema = true)
+    assert(ch.columns.contains("email"),
+      s"restart must pick up the widened schema, got ${ch.columns.toSeq}")
+    assert(ch.filter(col("email").isNotNull).count() === g.batches(1).size.toLong)
+    assert(ch.filter(col("email").isNull).count() === g.batches.head.size.toLong)
+
+    // mirror: latest-wins fold of batches 1-2 with email on batch-2 winners
+    val batch2Ts = g.batches(1).map(_.ts).toSet
+    val expected = g.batches.take(2).flatten.groupBy(_.id).flatMap { case (id, logs) =>
+      val last = logs.maxBy(_.ts)
+      if (last.op == "D") None
+      else Some((id, last.name,
+        if (batch2Ts.contains(last.ts)) s"u$id@example.com" else null))
+    }.toSet
+    val mirror = Cdc.currentState(wh.read(spark, "tt3", mergeSchema = true))
+      .select("id", "name", "email")
+      .as[(Long, String, String)].collect().toSet
+    assert(mirror === expected,
+      s"first diffs: ${(mirror -- expected).take(3)} / ${(expected -- mirror).take(3)}")
+  }
 }
