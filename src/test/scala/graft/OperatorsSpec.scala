@@ -884,6 +884,45 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF index persists to parquet and probes identically from a fresh lineage") {
+    // the index LIFECYCLE a production ANN deployment needs: train once,
+    // persist (centroids + assignment), probe later from a cold start —
+    // same claim the KMV sketches prove for distinct counts
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .select("vec_id", "label", "q", "nq").localCheckpoint(true)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = Similarity.ivfCentroids(e, seeds)
+    val assignment = Similarity.assign(e, centroids)
+    val idx = tmpDir("ivf-index")
+    centroids.write.parquet(s"$idx/centroids")
+    assignment.write.parquet(s"$idx/assignment")
+
+    // cold start: everything read back from parquet, no shared lineage
+    val assignBack = spark.read.parquet(s"$idx/assignment")
+    def probe(assign: org.apache.spark.sql.DataFrame) = {
+      val withCid = e.join(assign, Seq("vec_id"))
+      val query = withCid.filter(col("vec_id") === 0)
+        .select(col("q").as("qq"), col("nq").as("qn"), col("cid").as("qcid"))
+      withCid.join(broadcast(query), col("cid") === col("qcid") && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"),
+          expr("long_dot(q, qq)").as("dot"), col("nq"), col("qn"))
+        .withColumn("cos", expr(
+          """CASE WHEN nq = 0 OR qn = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) END""".stripMargin))
+        .select("vec_id", "cid", "cos")
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(probe(assignBack) == probe(assignment),
+      "persisted index must probe identically to the in-session index")
+    assert(probe(assignBack).nonEmpty)
+  }
+
   test("q100 PSI: identical weeks score exactly 0, a shifted week flags drift") {
     import spark.implicits._
     val weekNs = 7L * 86400L * 1000000000L
