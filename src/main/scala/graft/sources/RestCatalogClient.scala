@@ -83,15 +83,43 @@ final class RestCatalogClient(
     */
   override def tableCreated(name: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fp = RestCatalogClient.schemaFingerprint(schema)
     val body =
       s"""{"name": "${esc(name)}", "schema": ${RestCatalogClient.icebergSchemaJson(schema)}}"""
     val resp = send(HttpRequest.newBuilder(
         URI.create(s"$base/v1/namespaces/${enc(namespace)}/tables"))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body)))
-    if (resp.statusCode() / 100 != 2 && resp.statusCode() != 409)
-      throw new RuntimeException(
-        s"catalog create-table $name failed: HTTP ${resp.statusCode()} ${resp.body()}")
+    resp.statusCode() match {
+      case ok if ok / 100 == 2 =>
+        // stamp the registered shape so later runs can detect evolution
+        setProperties(name, Map(RestCatalogClient.SchemaFpProp -> fp))
+      case 409 =>
+        // already registered (this run or a concurrent one). If the
+        // MATERIALIZED schema no longer matches what the catalog knows
+        // (an upstream column arrived mid-stream and the restart widened
+        // the tables — CdcStreamSpec's evolution path), follow the
+        // Iceberg-REST evolution protocol: commit add-schema +
+        // set-current-schema(-1 = the schema just added). The comparison
+        // rides a fingerprint property rather than parsing the catalog's
+        // nested schema JSON; a table registered by another writer
+        // (no fingerprint) evolves once and is stamped from then on.
+        if (!properties(name).get(RestCatalogClient.SchemaFpProp).contains(fp)) {
+          val commit =
+            s"""{"requirements": [], "updates": [
+               |  {"action": "add-schema", "schema": ${RestCatalogClient.icebergSchemaJson(schema)}},
+               |  {"action": "set-current-schema", "schema-id": -1}]}""".stripMargin
+          val r = send(HttpRequest.newBuilder(tableUri(name))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(commit)))
+          if (r.statusCode() / 100 != 2)
+            throw new RuntimeException(
+              s"catalog schema evolution for $name failed: HTTP ${r.statusCode()} ${r.body()}")
+          setProperties(name, Map(RestCatalogClient.SchemaFpProp -> fp))
+        }
+      case s => throw new RuntimeException(
+        s"catalog create-table $name failed: HTTP $s ${resp.body()}")
+    }
   }
 
   override def setProperties(name: String, props: Map[String, String]): Unit = {
@@ -174,6 +202,22 @@ object RestCatalogClient {
     * structs. Anything unmappable fails loudly rather than registering a
     * lying schema.
     */
+  /** Property key stamping the last schema shape this engine registered —
+    * the cheap evolution detector [[RestCatalogClient.tableCreated]] uses.
+    */
+  private[graft] val SchemaFpProp = "graft.schema-fingerprint"
+
+  /** Order-sensitive fingerprint of (name, type, nullability) triples —
+    * any widening/retyping changes it.
+    */
+  private[graft] def schemaFingerprint(
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val repr = schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private[graft] def icebergSchemaJson(
       schema: org.apache.spark.sql.types.StructType): String = {
     import org.apache.spark.sql.types._

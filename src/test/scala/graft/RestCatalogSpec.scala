@@ -118,8 +118,10 @@ class RestCatalogSpec extends SparkTestBase {
       cat.tableCreated("t1", sch) // concurrent/duplicate registration: no error
       cat.setProperties("t1", Map("cdc.key-column" -> "id", "cdc.ts-column" -> "ts"))
       assert(cat.tableExists("t1"))
-      assert(cat.properties("t1") ==
-        Map("cdc.key-column" -> "id", "cdc.ts-column" -> "ts"))
+      val props = cat.properties("t1")
+      assert(props("cdc.key-column") == "id" && props("cdc.ts-column") == "ts")
+      // registration stamps the schema fingerprint alongside
+      assert(props.contains(RestCatalogClient.SchemaFpProp))
       assert(cat.properties("absent") == Map.empty)
       val (_, commitBody) = stub.commits.head
       assert(commitBody.contains(""""action": "set-properties""""),
@@ -127,6 +129,33 @@ class RestCatalogSpec extends SparkTestBase {
       // merge, not replace: a second commit keeps earlier keys
       cat.setProperties("t1", Map("etl.job-type" -> "cdc"))
       assert(cat.properties("t1")("cdc.key-column") == "id")
+    } finally stub.stop()
+  }
+
+  test("schema evolution: widened re-registration commits add-schema exactly once") {
+    import org.apache.spark.sql.types._
+    val stub = new StubCatalog
+    try {
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
+      val s1 = StructType(Seq(StructField("id", LongType)))
+      cat.tableCreated("tev", s1)
+      def evoCommits = stub.commits.filter { case (t, b) =>
+        t == "tev" && b.contains("add-schema")
+      }
+      // same shape again (a restart with no upstream change): no evolution
+      cat.tableCreated("tev", s1)
+      assert(evoCommits.isEmpty, s"unchanged schema must not evolve: $evoCommits")
+      // upstream added a column: the 409 path must commit the Iceberg
+      // evolution (add-schema + set-current-schema) with the new field
+      val s2 = s1.add(StructField("email", StringType))
+      cat.tableCreated("tev", s2)
+      assert(evoCommits.size == 1, s"expected one evolution commit: $evoCommits")
+      val body = evoCommits.head._2
+      assert(body.contains("email") && body.contains(""""action": "set-current-schema""""),
+        s"evolution commit must carry the new field and activate it:\n$body")
+      // idempotent from here: the fingerprint now matches
+      cat.tableCreated("tev", s2)
+      assert(evoCommits.size == 1, "re-registering the evolved shape must be a no-op")
     } finally stub.stop()
   }
 
