@@ -79,8 +79,12 @@ object PipelineMain {
         // external readers resolving through the catalog see the actual
         // columns, not an empty field list.
         if (wh.exists(spec.changelogTable)) {
+          // mergeSchema: the changelog's batch subdirs may straddle an
+          // upstream schema evolution — a single-footer read would
+          // register whichever batch's shape it sampled and the catalog
+          // would never see the widened column
           catalog.foreach(_.tableCreated(spec.changelogTable,
-            wh.read(spark, spec.changelogTable).schema))
+            wh.read(spark, spec.changelogTable, mergeSchema = true).schema))
           graft.plans.Bootstrapper.writeChangelogWiring(cat, spec)
         }
         if (wh.exists(spec.mirrorTable)) {

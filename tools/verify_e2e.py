@@ -61,6 +61,7 @@ class StubCatalog:
     def __init__(self):
         self.tables = {}      # name -> properties dict
         self.creates = []     # (name, raw create body)
+        self.evolutions = []  # (name, add-schema payload) commits
         self.token_calls = 0
         stub = self
 
@@ -118,6 +119,9 @@ class StubCatalog:
                     for upd in json.loads(body)["updates"]:
                         if upd.get("action") == "set-properties":
                             stub.tables[t].update(upd["updates"])
+                        elif upd.get("action") == "add-schema":
+                            stub.evolutions.append(
+                                (t, json.dumps(upd["schema"])))
                     self._reply(200, "{}")
                     return
                 self._reply(404)
@@ -222,7 +226,7 @@ def main():
 
     n_log_rows = 0
 
-    def write_batch(fname, n_upd, n_del, inserts=()):
+    def write_batch(fname, n_upd, n_del, inserts=(), extra_col=None):
         nonlocal table, n_log_rows
         logs = []
         for new_id in inserts:
@@ -251,10 +255,13 @@ def main():
             t = ts()
             last_ts.pop(row["id"], None)
             logs.append({**row, "table": "test_table", "op": "D", "ts": t})
-        df = pd.DataFrame(logs)[
-            ["id", "name", "modification_date", "table", "op", "ts"]]
+        cols = ["id", "name", "modification_date", "table", "op", "ts"]
+        df = pd.DataFrame(logs)[cols]
+        if extra_col:  # upstream schema evolution: a new column appears
+            df[extra_col] = df["id"].map(lambda k: f"u{int(k)}@example.com")
         df.to_parquet(f"{SRC}/{fname}", engine="pyarrow")
         n_log_rows += len(df)
+        return df
 
     for i in range(5):
         write_batch(f"dms_logs_{i + 1}.parquet", 5, 3)
@@ -289,6 +296,35 @@ def main():
     c3 = changelog_count(con)
     assert c3 == n_log_rows, f"FAIL: changelog {c3} != generated {n_log_rows}"
     compare_mirror(con, expected(), "run3 (incremental)")
+
+    print("== run 4: upstream schema evolution (new email column) ==")
+    b7 = write_batch("dms_logs_7.parquet", 4, 2, extra_col="email")
+    run_pipeline()
+    compare_mirror(con, expected(), "run4 (evolved)")
+    # changelog carries the new column; pre-evolution rows null-backfilled
+    real_ch = os.path.realpath(f"{WH}/test_table_changelog")
+    n_email = con.sql(
+        f"SELECT count(email) FROM parquet_scan('{real_ch}/**/*.parquet', "
+        f"union_by_name=true)").fetchone()[0]
+    assert n_email == len(b7), \
+        f"FAIL: changelog email non-nulls {n_email} != batch rows {len(b7)}"
+    # mirror winners from the evolved batch carry email; older winners null
+    b7_ts = set(b7["ts"])
+    mrows = con.sql(
+        f"SELECT id, email, ts FROM parquet_scan('{mirror_glob()}') "
+        f"WHERE op IS NULL OR op <> 'D'").df()
+    assert "email" in mrows.columns, "FAIL: mirror lost the evolved column"
+    for _, r in mrows.iterrows():
+        want = f"u{int(r['id'])}@example.com" if r["ts"] in b7_ts else None
+        got = None if pd.isna(r["email"]) else r["email"]
+        assert got == want, \
+            f"FAIL: mirror email for id {r['id']}: {got!r} != {want!r}"
+    # the catalog followed: one add-schema commit per table, carrying email
+    evolved = {t for t, payload in CATALOG.evolutions if "email" in payload}
+    assert {"test_table", "test_table_changelog"} <= evolved, \
+        f"FAIL: catalog evolutions missing email: {CATALOG.evolutions}"
+    print(f"PASS run4: schema evolution end-to-end "
+          f"(changelog+mirror+catalog, {len(b7)} evolved rows)")
 
     print(f"\nALL PASS (seed={SEED})")
     CATALOG.stop()
