@@ -16,6 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * rewrites mirror partitions. The reference's managed CDC semantics
   * (latest-wins by ts, D removes — tabular.py:47-49, sample generator) are
   * identical in both.
+  *
+  * Schema evolution: this path folds a FIXED record type ([[DmsChange]]) —
+  * a widened upstream schema means redeploying with the new type (state
+  * encoders pin the old shape). The micro-batch path ([[CdcStream]]) picks
+  * up widened schemas on restart without code changes (merged-footer
+  * inference + additive merge) — use it where the source schema drifts.
   */
 object CdcStateful {
 

@@ -882,6 +882,20 @@ class OperatorsSpec extends SparkTestBase {
         s"trial $trial forward: first diff=${gotF.zip(expectedF).find(p => p._1 != p._2)} " +
           s"sizes=${gotF.size}/${expectedF.size}")
     }
+    // extreme skew: EVERY row on one key — the whole corpus lands in one
+    // co-partition and the merge must stay a single linear pass with the
+    // candidate chain advancing correctly over a long same-key run
+    val lHot = (0L until 500L).map(i => (i, 1L, i * 3)).toDF("id", "k", "ts")
+    val rHot = (0L until 300L).map(i => (1L, i * 5, s"h$i")).toDF("rk", "rts", "payload")
+    val gotHot = graft.plans.AsOf.join(lHot, rHot, "k", "rk", "ts", "rts")
+      .select("id", "rts").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantHot = (0L until 500L).flatMap { i =>
+      val ts = i * 3
+      val cands = (0L until 300L).map(_ * 5).filter(_ <= ts)
+      if (cands.isEmpty) None else Some((i, cands.max))
+    }
+    assert(gotHot == wantHot, "single-hot-key merge must stay exact")
   }
 
   test("IVF index persists to parquet and probes identically from a fresh lineage") {
