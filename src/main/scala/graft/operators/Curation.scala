@@ -572,6 +572,11 @@ object Curation {
     * before the per-doc bigint sum (q77's precedent) — double accumulation
     * order never reaches the result, and ln() 1-ulp differences are
     * absorbed by the nano round followed by the 6-decimal output round.
+    *
+    * (Like the dedup kernel, the materialization runs at CONSTRUCTION —
+    * callers building-but-never-running the frame still pay the bigram
+    * pass; the documented trade for one corpus scan feeding three
+    * consumers.)
     */
   def q95DsirSelection(spark: SparkSession, dir: String): DataFrame =
     dsirScoresOf(docs(spark, dir))

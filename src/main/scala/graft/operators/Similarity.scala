@@ -173,22 +173,28 @@ object Similarity {
     assignScored(vecs, centroids).select("vec_id", "cid")
 
   /** [[assign]] + the winning centroid cosine — THE one copy of the
-    * argmax: the `latest_row` ObjectHashAggregate (max (ccos, -cid)
-    * ordering: max cosine, tie -> lowest cid), same winner as a
-    * row_number window but with map-side combine and no sort anywhere.
-    * (Built-in max(struct(...)) computes the same answer but a struct
-    * buffer is not hash-aggregable, so it silently degrades to
-    * SortAggregate — two per-partition sorts per assignment pass, caught
-    * by the round-5 plan audit.)
+    * argmax: max(struct(ccos, -cid)) (max cosine, tie -> lowest cid),
+    * same winner as a row_number window.
+    *
+    * Deliberately the struct-max SORTAGGREGATE, not the `latest_row`
+    * object aggregate the CDC/cluster argmaxes use — the aggregate choice
+    * follows the GROUP SHAPE. This grouping is the opposite of q17/q92's:
+    * per-VECTOR groups (corpus-cardinality keys) of exactly K rows that
+    * the preceding crossJoin emits CONTIGUOUSLY, so the partial sort is
+    * nearly a no-op and the streaming max touches each row once. The
+    * object aggregate measured 70% SLOWER here (AnnStress 100k-vector
+    * train 10.4 s -> 18.0 s): past the 128-keys-per-partition fallback
+    * threshold ObjectHashAggregate degenerates to the same sort plus a
+    * per-group buffer allocation per vector. latest_row remains the right
+    * kernel where groups are fewer and fatter (q17's per-user CDC fold,
+    * q92's per-cluster survivor, q37's per-label argmin).
     */
   private[graft] def assignScored(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosCol(dotExpr("q", "csum"), "nq", "nc"))
       .groupBy(col("vec_id"))
-      .agg(call_function("latest_row",
-        struct(col("cid"), col("ccos")),
-        struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("best.ccos").as("ccos"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("best.ccos").as("ccos"))
 
   /** Recompute integer centroids from an assignment (exact dim-wise sums). */
   private[graft] def update(vecs: DataFrame, assignment: DataFrame): DataFrame =

@@ -325,11 +325,13 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
-  test("q17/q38/q92: struct argmax never degrades to SortAggregate (driver-session path)") {
+  test("q17/q92: struct argmax never degrades to SortAggregate (driver-session path)") {
     // the rewrite rule / latest_row formulation must hold in a session the
-    // engine did NOT build via extensions — the exact shape Verify/Bench run
+    // engine did NOT build via extensions — the exact shape Verify/Bench
+    // run. (q38's per-vector assignment argmax deliberately stays on the
+    // struct-max SortAggregate: corpus-cardinality tiny groups measured
+    // 70% faster there — see Similarity.assignScored.)
     for (q <- Seq(Queries.q17CdcLatestPerKey(spark, dir),
-        graft.operators.Similarity.q38AnnIvf(spark, dir),
         graft.operators.Curation.q92ClusterSurvivors(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("SortAggregate"),
