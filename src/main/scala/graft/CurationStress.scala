@@ -36,8 +36,50 @@ import graft.operators.Curation
   */
 object CurationStress {
 
-  def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("novelty") =>
+      noveltyStress(args.drop(1).headOption.map(_.toLong).getOrElse(1000000L))
+    case _ => dsirStress(args.headOption.map(_.toLong).getOrElse(1000000L))
+  }
+
+  /** q96's scale claim, measured: per-shingle source multiplicity is
+    * bounded by |sources|, never the corpus — so novelty runs as two hash
+    * aggs and one equi-join at any size. The corpus makes the expected
+    * answer EXACT: every doc is a shared 5-token boilerplate prefix
+    * followed by tokens from its source's PRIVATE vocabulary, so the 3
+    * prefix-only shingles are the only non-unique shingles any source has
+    * (every other shingle contains a private token): for all sources,
+    * n_unique == n_shingles - 3.
+    */
+  private def noveltyStress(nDocs: Long): Unit = {
+    val nSources = 200
+    val docLen = 25
+    val spark = Harness.session("graft-novelty-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import Harness.timed
+    val docs = spark.range(nDocs).selectExpr(
+      "id AS doc_id",
+      s"concat('src', CAST(id % $nSources AS STRING)) AS source",
+      s"""concat('b0 b1 b2 b3 b4 ', concat_ws(' ', transform(sequence(0, ${docLen - 1}), i ->
+         |  concat('p', CAST(id % $nSources AS STRING), '_', CAST(
+         |    CAST(conv(substr(md5(concat(CAST(id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 30
+         |    AS STRING))))) AS text""".stripMargin.replaceAll("\n", " "))
+    val (rows, sec) = timed {
+      graft.operators.Curation.noveltyOf(docs).collect()
+    }
+    assert(rows.length == nSources, s"expected $nSources sources, got ${rows.length}")
+    rows.foreach { r =>
+      val (src, nSh, nUniq) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nUniq == nSh - 3,
+        s"$src: expected n_unique == n_shingles - 3, got $nUniq vs $nSh")
+    }
+    println(
+      s"""{"harness":"novelty-stress","n_docs":$nDocs,"n_sources":$nSources,""" +
+        f""""sec":$sec%.1f}""")
+    spark.stop()
+  }
+
+  private def dsirStress(nDocs: Long): Unit = {
     val docLen = 30
     val spark = Harness.session("graft-curation-stress")
     graft.functions.GraftFunctions.register(spark)

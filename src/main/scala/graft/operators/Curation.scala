@@ -637,8 +637,15 @@ object Curation {
     * equi-join back. No self-join exists: source multiplicity per shingle
     * is bounded by the number of sources, not the corpus.
     */
-  def q96SourceNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
+  def q96SourceNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyOf(docs(spark, dir))
+
+  /** [[q96SourceNovelty]] over an arbitrary (source, text) frame — shared
+    * with [[graft.CurationStress]]'s beyond-bench measurement. Caller
+    * registers `word_ngrams`.
+    */
+  private[graft] def noveltyOf(docsDf: DataFrame): DataFrame = {
+    val sh = docsDf
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(wordNgramExpr(3)).as("g"))
