@@ -23,9 +23,74 @@ import graft.operators.Similarity
   * Run: `sbt "runMain graft.AnnStress [nVecs]"` (default 100000). Prints
   * one JSON line with timings, probe fraction, and recall@10; requires
   * recall >= 0.9 and probe fraction <= 4/ivfK.
+  *
+  * `sbt "runMain graft.AnnStress lsh [nVecs]"` runs the SRP-LSH occupancy
+  * mode instead: the round-5 verdict's check that the corpus-derived plane
+  * count ([[graft.operators.Similarity.planesFor]]) actually bounds
+  * within-bucket candidate pairs where the old fixed 8-plane space would
+  * not. It buckets an unstructured corpus (iid hash-noise vectors — the
+  * honest occupancy law; clustered corpora co-bucket BY DESIGN) at the
+  * fixed floor p=8 and at the derived p, measures sum-of-C(sz,2) candidate
+  * pairs and occupancy per setting, and requires the derived setting to
+  * cut pairs by at least 2^(p-8)/4 and keep E[pairs] within 64n.
   */
 object AnnStress {
+
+  /** Within-bucket candidate-pair count + occupancy stats at one plane
+    * setting: never materializes pairs — a bucket census is enough, since
+    * pairs = sum over buckets of sz*(sz-1)/2.
+    */
+  private def lshOccupancy(vecs: DataFrame, nPlanes: Int): (Long, Long, Long) = {
+    import vecs.sparkSession.implicits._
+    val census = Similarity.lshBucketsFor(vecs.sparkSession, vecs, nPlanes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    val Seq((pairs, buckets, maxSz)) = census
+      .agg(sum(expr("sz * (sz - 1) / 2")).cast("long"),
+        count(lit(1)), max(col("sz")))
+      .as[(Long, Long, Long)].collect().toSeq
+    (pairs, buckets, maxSz)
+  }
+
+  private def lshMain(nVecs: Long): Unit = {
+    val spark = Harness.session("graft-lsh-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import Harness.timed
+    // iid noise vectors: no planted cluster structure, so bucket occupancy
+    // follows the plane count, not the data — the law under test
+    val vecs: DataFrame = spark.range(nVecs)
+      .select(col("id").as("vec_id"))
+      .withColumn("q", expr(
+        "transform(sequence(0, 63), d -> CAST(pmod(hash(vec_id, d), 201) - 100 AS BIGINT))"))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .localCheckpoint(true)
+    val pDerived = Similarity.planesFor(nVecs)
+    val ((pairs8, buckets8, max8), tFixed) = timed(lshOccupancy(vecs, Similarity.MinPlanes))
+    val ((pairsD, bucketsD, maxD), tDerived) = timed(lshOccupancy(vecs, pDerived))
+    val ratio = if (pairsD == 0) Double.PositiveInfinity else pairs8.toDouble / pairsD
+    // derived planes must (a) actually shrink the candidate space by a
+    // meaningful fraction of the 2^(p-8) bucket-space growth and (b) keep
+    // total candidates linear-ish in n (<= 64n; expectation is ~8n)
+    if (pDerived > Similarity.MinPlanes) {
+      val wantRatio = math.pow(2.0, (pDerived - Similarity.MinPlanes).toDouble) / 4.0
+      require(ratio >= wantRatio,
+        s"derived p=$pDerived cut pairs only ${ratio}x (want >= $wantRatio)")
+      require(pairsD <= 64L * nVecs,
+        s"derived-p candidate pairs $pairsD exceed 64n=${64L * nVecs}")
+    }
+    println(s"""{"harness":"lsh-stress","n_vecs":$nVecs,"planes_fixed":${Similarity.MinPlanes},""" +
+      s""""planes_derived":$pDerived,"pairs_fixed":$pairs8,"pairs_derived":$pairsD,""" +
+      s""""pair_ratio":${math.round(ratio * 10) / 10.0},""" +
+      s""""buckets_fixed":$buckets8,"buckets_derived":$bucketsD,""" +
+      s""""max_bucket_fixed":$max8,"max_bucket_derived":$maxD,""" +
+      s""""sec_fixed":${math.round(tFixed * 100) / 100.0},"sec_derived":${math.round(tDerived * 100) / 100.0}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lsh")) {
+      lshMain(args.lift(1).map(_.toLong).getOrElse(100000L))
+      return
+    }
     val nVecs = args.headOption.map(_.toLong).getOrElse(100000L)
     val nClusters = 64
     val ivfK = 16
