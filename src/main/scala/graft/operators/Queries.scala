@@ -518,6 +518,55 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Left-OUTER as-of (q99 with `outer = true` — the pandas `merge_asof`
+    * default): purchases with no prior click SURVIVE null-extended instead
+    * of vanishing, which is what an enrichment pipeline almost always
+    * wants (round-5 verdict gap #1). Same merge exec, same single
+    * exchange+sort per side; the oracle is DuckDB's native `ASOF LEFT
+    * JOIN`, so the null-extension semantics are cross-checked, not
+    * asserted.
+    */
+  def q101AsofOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("click_ts_us"),
+        col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftTsCol = "ts_us", rightTsCol = "click_ts_us", outer = true)
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+      .orderBy(col("event_id"))
+  }
+
+  /** Composite-key as-of (the `Seq[String]` key surface of
+    * [[graft.plans.AsOf.join]], round-5 verdict item #6): each purchase
+    * matched to the user's latest click THE SAME UTC DAY — equality on
+    * (user_id, day), as-of on ts. The day column is exact integer
+    * floor-div of epoch micros, so both engines bucket identically; the
+    * oracle is DuckDB ASOF JOIN with the two-predicate equality.
+    */
+  def q102AsofMultikey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts_us div 86400000000").as("day"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        expr("ts_us div 86400000000").as("c_day"),
+        col("ts_us").as("click_ts_us"), col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        leftKeys = Seq("user_id", "day"), rightKeys = Seq("c_user_id", "c_day"),
+        leftTsCol = "ts_us", rightTsCol = "click_ts_us",
+        forward = false, tolerance = None, outer = false)
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .select("event_id", "user_id", "day", "ts_us", "click_ts_us",
+        "click_value", "gap_us")
+      .orderBy(col("event_id"))
+  }
+
   /** Approximate distinct (SURVEY A3, HLL): no DuckDB oracle — HLL sketches
     * are engine-specific — so the driver records a rows-only check; the
     * exact twin q10 is the hash-checked variant.
@@ -948,6 +997,32 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q101_asof_outer" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS click_ts_us, c.value AS click_value,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q102_asof_multikey" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
+        |                  epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |                  epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.day, p.ts_us,
+        |  c.ts_us AS click_ts_us, c.value AS click_value,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.day = c.day AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q26_window_distribution" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  percent_rank() OVER w AS pr,
@@ -1134,6 +1209,8 @@ object Queries {
     "q18_cdc_fold" -> (q18CdcFold _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
+    "q101_asof_outer" -> (q101AsofOuter _),
+    "q102_asof_multikey" -> (q102AsofMultikey _),
     "q26_window_distribution" -> (q26WindowDistribution _),
     "q27_percentiles" -> (q27Percentiles _),
     "q45_set_ops_all" -> (q45SetOpsAll _),

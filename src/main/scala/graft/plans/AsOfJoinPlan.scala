@@ -25,8 +25,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * ASOF JOIN (DuckDB/Pandas `merge_asof` semantics: for each left row,
   * the right row with the greatest ts <= left ts on the same key —
   * backward — or the smallest ts >= left ts with `forward = true`, an
-  * optional `tolerance` bounding the gap; rows with no match are
-  * dropped — inner as-of).
+  * optional `tolerance` bounding the gap). `outer = false` drops
+  * unmatched left rows (DuckDB `ASOF JOIN`); `outer = true` emits them
+  * null-extended (pandas `merge_asof` / DuckDB `ASOF LEFT JOIN`). NULL
+  * never matches, as in SQL: a right row with a null key or null ts is
+  * discarded, and a left row with a null key or null ts is unmatched
+  * (dropped when inner, null-extended when outer).
   *
   * Scale shape: one hash exchange per side (same as any shuffled join),
   * in-partition sort, then an O(left + right) merge with O(1) state (the
@@ -43,8 +47,11 @@ case class AsOfJoin(
     leftTs: Expression,
     rightTs: Expression,
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    tolerance: Option[Long] = None,
+    outer: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -53,8 +60,9 @@ case class AsOfJoin(
 /** Planner strategy: [[AsOfJoin]] -> [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lts, rts, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd, tol, outer) =>
+      AsOfJoinExec(lk, rk, lts, rts, fwd, tol, outer,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -71,10 +79,13 @@ case class AsOfJoinExec(
     rightTs: Expression,
     forward: Boolean,
     tolerance: Option[Long],
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -109,6 +120,20 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       val tol = tolerance.getOrElse(Long.MaxValue)
+      val isOuter = outer
+      // the null extension for unmatched left rows under outer — one
+      // reusable all-null row of right arity
+      val rNulls: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOut.size)
+      def emit(lRow: InternalRow, rRow: InternalRow): Option[UnsafeRow] =
+        if (rRow != null) Some(outProj(joined(lRow, rRow)))
+        else if (isOuter) Some(outProj(joined(lRow, rNulls)))
+        else None
+      // SQL NULL-match semantics: a right row with a null key or null ts
+      // can never be anyone's match — discard it on sight (they sort to
+      // the front of their key group, so this stays one forward pass)
+      def rHeadNull: Boolean =
+        rKeyProj(rBuf.head).anyNull || rTsProj(rBuf.head).isNullAt(0)
       if (!forward) {
         // BACKWARD (default): the best (greatest-ts <= left ts) right row
         // for the CURRENT key, retained as a copy because projections and
@@ -118,27 +143,34 @@ case class AsOfJoinExec(
         var candidateTs = 0L
         lIter.flatMap { lRow =>
           val lKey = lKeyProj(lRow)
-          val tl = lTsProj(lRow).getLong(0)
-          // consume right rows that can no longer match a later left row:
-          // keys strictly below lKey (left keys only ascend), and same-key
-          // rows with ts <= tl (each becomes the new best candidate —
-          // right ts only ascends within the key). Same-key rows with
-          // ts > tl stay buffered for later left rows of this key.
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-            if (cmp < 0) rBuf.next()
-            else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= tl) {
-              val r = rBuf.next()
-              candidate = r.copy()
-              candidateKey = rKeyProj(candidate).copy()
-              candidateTs = rTsProj(candidate).getLong(0)
-            } else advance = false
+          val lTsRow = lTsProj(lRow)
+          if (lKey.anyNull || lTsRow.isNullAt(0)) emit(lRow, null)
+          else {
+            val tl = lTsRow.getLong(0)
+            // consume right rows that can no longer match a later left row:
+            // keys strictly below lKey (left keys only ascend), and same-key
+            // rows with ts <= tl (each becomes the new best candidate —
+            // right ts only ascends within the key). Same-key rows with
+            // ts > tl stay buffered for later left rows of this key.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              if (rHeadNull) rBuf.next()
+              else {
+                val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
+                if (cmp < 0) rBuf.next()
+                else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= tl) {
+                  val r = rBuf.next()
+                  candidate = r.copy()
+                  candidateKey = rKeyProj(candidate).copy()
+                  candidateTs = rTsProj(candidate).getLong(0)
+                } else advance = false
+              }
+            }
+            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+                tl - candidateTs <= tol)
+              emit(lRow, candidate)
+            else emit(lRow, null)
           }
-          if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
-              tl - candidateTs <= tol)
-            Some(outProj(joined(lRow, candidate)))
-          else None
         }
       } else {
         // FORWARD: the earliest right row with ts >= left ts. Right rows
@@ -148,18 +180,25 @@ case class AsOfJoinExec(
         // may also be the forward match of later left rows.
         lIter.flatMap { lRow =>
           val lKey = lKeyProj(lRow)
-          val tl = lTsProj(lRow).getLong(0)
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-            if (cmp < 0 || (cmp == 0 && rTsProj(rBuf.head).getLong(0) < tl))
-              rBuf.next()
-            else advance = false
+          val lTsRow = lTsProj(lRow)
+          if (lKey.anyNull || lTsRow.isNullAt(0)) emit(lRow, null)
+          else {
+            val tl = lTsRow.getLong(0)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              if (rHeadNull) rBuf.next()
+              else {
+                val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
+                if (cmp < 0 || (cmp == 0 && rTsProj(rBuf.head).getLong(0) < tl))
+                  rBuf.next()
+                else advance = false
+              }
+            }
+            if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0 &&
+                rTsProj(rBuf.head).getLong(0) - tl <= tol)
+              emit(lRow, rBuf.head)
+            else emit(lRow, null)
           }
-          if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0 &&
-              rTsProj(rBuf.head).getLong(0) - tl <= tol)
-            Some(outProj(joined(lRow, rBuf.head)))
-          else None
         }
       }
     }
@@ -180,19 +219,39 @@ object AsOf {
       ex.extraStrategies = ex.extraStrategies :+ AsOfJoinStrategy
   }
 
-  /** Inner as-of join (pandas `merge_asof` surface): for each `left` row,
-    * the `right` row on equal keys with the greatest `rightTsCol` <=
+  /** As-of join (pandas `merge_asof` surface): for each `left` row, the
+    * `right` row on equal keys with the greatest `rightTsCol` <=
     * `leftTsCol` (backward, default) or the smallest `rightTsCol` >=
     * `leftTsCol` (`forward = true`); `tolerance` drops matches whose
-    * |ts gap| exceeds it. Unmatched left rows are dropped. Key/ts columns
-    * are resolved by name on each side; the ts columns must be
-    * long-backed (BIGINT / epoch micros).
+    * |ts gap| exceeds it. Unmatched left rows are dropped when
+    * `outer = false` (DuckDB `ASOF JOIN`) and emitted null-extended when
+    * `outer = true` (the `merge_asof` default / `ASOF LEFT JOIN`). NULL
+    * keys/timestamps never match. Key/ts columns are resolved by name on
+    * each side; the ts columns must be long-backed (BIGINT / epoch
+    * micros).
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTsCol: String, rightTsCol: String,
            forward: Boolean = false,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           outer: Boolean = false): DataFrame =
+    join(left, right, Seq(leftKey), Seq(rightKey), leftTsCol, rightTsCol,
+      forward, tolerance, outer)
+
+  /** The composite-key form: equality on `leftKeys` zip `rightKeys`
+    * pairwise (same arity, compared in order), as-of on the ts columns.
+    * The plan always supported Seq keys; this exposes it
+    * (round-5 verdict item #6).
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTsCol: String, rightTsCol: String,
+           forward: Boolean,
+           tolerance: Option[Long],
+           outer: Boolean): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key arity mismatch: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -201,7 +260,7 @@ object AsOf {
       throw new IllegalArgumentException(
         s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
-      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTsCol), attr(rp, rightTsCol), forward, tolerance))
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTsCol), attr(rp, rightTsCol), forward, tolerance, outer))
   }
 }

@@ -898,6 +898,75 @@ class OperatorsSpec extends SparkTestBase {
     assert(gotHot == wantHot, "single-hot-key merge must stay exact")
   }
 
+  test("as-of outer/null-key/composite-key semantics == in-memory reference (fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 3) {
+      // ~10% null keys and null timestamps on BOTH sides: SQL semantics say
+      // NULL never matches, so null-keyed/null-ts left rows must surface
+      // null-extended under outer and vanish under inner
+      def mayNull(v: Long): Option[Long] = if (rnd.nextInt(10) == 0) None else Some(v)
+      val leftRows = (0L until 200L).map { i =>
+        (i, mayNull(rnd.nextInt(12).toLong), mayNull(rnd.nextInt(1000).toLong))
+      }
+      val rightRows = (0L until 150L).map { i =>
+        (mayNull(rnd.nextInt(14).toLong), mayNull(rnd.nextInt(1000).toLong), s"p$i")
+      }
+      // dedupe right on (key, ts) so ties cannot make the reference ambiguous
+      val rightDedup = rightRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = leftRows.map { case (id, k, ts) =>
+        val best = for {
+          kk <- k; tt <- ts
+          m <- rightDedup
+            .filter(r => r._1.contains(kk) && r._2.exists(_ <= tt))
+            .maxByOption(_._2.get)
+        } yield m
+        (id, best.flatMap(_._2), best.map(_._3))
+      }.sortBy(_._1)
+      val l = leftRows.toDF("id", "k", "ts")
+      val r = rightDedup.toDF("rk", "rts", "payload")
+      val got = graft.plans.AsOf.join(l, r, "k", "rk", "ts", "rts", outer = true)
+        .select("id", "rts", "payload").orderBy("id")
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)),
+          Option(x.getString(2)))).toSeq
+      assert(got.size == leftRows.size,
+        s"trial $trial: outer must emit every left row (${got.size}/${leftRows.size})")
+      assert(got == expected,
+        s"trial $trial outer: first diff=${got.zip(expected).find(p => p._1 != p._2)}")
+      // inner over the same corpus = the outer result minus the null-extended rows
+      val innerCount = graft.plans.AsOf.join(l, r, "k", "rk", "ts", "rts").count()
+      assert(innerCount == expected.count(_._2.nonEmpty),
+        s"trial $trial: inner row count must equal outer's matched count")
+    }
+    // composite (k1, k2) key through the Seq[String] API, fuzzed against
+    // the same reference shape
+    for (trial <- 1 to 2) {
+      val leftRows = (0L until 300L).map { i =>
+        (i, rnd.nextInt(5).toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong)
+      }
+      val rightRows = (0L until 200L).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, s"c$i")
+      }
+      val rightDedup = rightRows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+      val expected = leftRows.flatMap { case (id, k1, k2, ts) =>
+        rightDedup.filter(r => r._1 == k1 && r._2 == k2 && r._3 <= ts)
+          .maxByOption(_._3).map(m => (id, m._3, m._4))
+      }.sortBy(_._1)
+      val l = leftRows.toDF("id", "k1", "k2", "ts")
+      val r = rightDedup.toDF("rk1", "rk2", "rts", "payload")
+      val got = graft.plans.AsOf.join(l, r,
+          Seq("k1", "k2"), Seq("rk1", "rk2"), "ts", "rts",
+          forward = false, tolerance = None, outer = false)
+        .select("id", "rts", "payload").orderBy("id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+      assert(got == expected,
+        s"composite trial $trial: first diff=${got.zip(expected).find(p => p._1 != p._2)} " +
+          s"sizes=${got.size}/${expected.size}")
+      assert(expected.nonEmpty)
+    }
+  }
+
   test("IVF index persists to parquet and probes identically from a fresh lineage") {
     // the index LIFECYCLE a production ANN deployment needs: train once,
     // persist (centroids + assignment), probe later from a cold start —
