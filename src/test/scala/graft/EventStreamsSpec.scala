@@ -313,4 +313,118 @@ class EventStreamsSpec extends SparkTestBase {
       s"streaming as-of must equal the batch as-of join: " +
         s"sizes ${canon(got).size}/${canon(want).size}")
   }
+
+  test("streaming as-of survives crash-restart mid-stream: no lost or duplicated enrichments") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same replay shape as the equality test, but the query is KILLED after
+    // the first two thirds and restarted from its checkpoint — per-user
+    // state (compacted clicks + pending purchases) must come back from the
+    // state store, and the parquet sink's transaction log must keep the
+    // output exactly-once across the restart (CdcStreamSpec's T4 pattern)
+    val evRows = eventsTs
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._2.getTime)
+    val maxTs = evRows.map(_._2.getTime).max
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long, Double)]
+    val ckpt = tmpDir("asof-restart-ckpt")
+    val outPath = tmpDir("asof-restart-out")
+    def start() = graft.streaming.AsOfStream.enrich(spark,
+        input.toDS().toDF("user_id", "ts", "event_type", "event_id", "value"))
+      .toDF()
+      .writeStream.format("parquet").option("path", outPath)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val third = (evRows.length + 2) / 3
+    val slices = evRows.grouped(third).toSeq
+    val rndOrder = new scala.util.Random(11)
+    val q1 = start()
+    slices.take(2).foreach { slice =>
+      input.addData(rndOrder.shuffle(slice.toSeq))
+      drain(q1)
+    }
+    q1.stop() // crash: offsets + state live only in the checkpoint
+    val q2 = start()
+    slices.drop(2).foreach { slice =>
+      input.addData(rndOrder.shuffle(slice.toSeq))
+      drain(q2)
+    }
+    for (k <- 1 to 2) {
+      input.addData(Seq((-1L,
+        new java.sql.Timestamp(maxTs + k * 3 * 3600 * 1000L), "click", -k.toLong, 0.0)))
+      drain(q2)
+    }
+    q2.stop()
+    val got = spark.read.parquet(outPath)
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+    val want = graft.operators.Queries.q99AsofCustom(spark, "/root/testdata/sf0.001")
+    assert(canon(got).nonEmpty, "expected enriched purchases across the restart")
+    assert(got.count() == got.select("event_id").distinct().count(),
+      "restart must not duplicate an enrichment")
+    assert(canon(got) == canon(want),
+      s"restarted streaming as-of must still equal the batch join: " +
+        s"sizes ${canon(got).size}/${canon(want).size}")
+  }
+
+  test("streaming as-of lookback == batch tolerance; idle-user state drains") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evRows = eventsTs
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._2.getTime)
+    val maxTs = evRows.map(_._2.getTime).max
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long, Double)]
+    val q = graft.streaming.AsOfStream.enrich(spark,
+        input.toDS().toDF("user_id", "ts", "event_type", "event_id", "value"),
+        lookback = Some("6 hours"))
+      .writeStream.format("memory").queryName("asof_lookback_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof-lb-ckpt"))
+      .start()
+    val third = (evRows.length + 2) / 3
+    val rndOrder = new scala.util.Random(13)
+    evRows.grouped(third).foreach { slice =>
+      input.addData(rndOrder.shuffle(slice.toSeq))
+      drain(q)
+    }
+    // sentinels 12h/24h out: after the second, the watermark sits 23h past
+    // the last real event — every real click's ts + 6h lookback horizon is
+    // long expired, so ALL real users' state must have been evicted by the
+    // event-time timeouts (the round-5 advice: without this, one compacted
+    // click per user ever seen is retained forever)
+    for (k <- 1 to 2) {
+      input.addData(Seq((-1L,
+        new java.sql.Timestamp(maxTs + k * 12 * 3600 * 1000L), "click", -k.toLong, 0.0)))
+      drain(q)
+    }
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows <= 2,
+      s"idle users' state must drain under a lookback horizon, found $stateRows rows")
+    // semantics: identical to the batch custom exec with tolerance
+    val ev = graft.operators.Queries.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("click_ts_us"),
+        col("value").as("click_value"))
+    val want = graft.plans.AsOf.join(purchases, clicks,
+        "user_id", "c_user_id", "ts_us", "click_ts_us",
+        tolerance = Some(6L * 3600 * 1000000L))
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+    val got = spark.table("asof_lookback_out")
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value", "gap_us")
+    assert(canon(got).nonEmpty && canon(got) == canon(want),
+      s"lookback streaming as-of must equal batch tolerance as-of: " +
+        s"sizes ${canon(got).size}/${canon(want).size}")
+  }
 }
