@@ -100,21 +100,28 @@ final class RestCatalogClient(
         // (an upstream column arrived mid-stream and the restart widened
         // the tables — CdcStreamSpec's evolution path), follow the
         // Iceberg-REST evolution protocol: commit add-schema +
-        // set-current-schema(-1 = the schema just added). The comparison
-        // rides a fingerprint property rather than parsing the catalog's
-        // nested schema JSON; a table registered by another writer
-        // (no fingerprint) evolves once and is stamped from then on.
+        // set-current-schema(-1 = the schema just added). The fingerprint
+        // property is the cheap detector, but it is stamped AFTER the
+        // create commit, so the loser of a concurrent create race can see
+        // it missing while the winner registered this exact shape — the
+        // catalog's CURRENT schema is compared structurally (field ids
+        // ignored) before committing, so identical-schema races are a
+        // no-op stamp, never a redundant add-schema (round-5 advice).
         if (!properties(name).get(RestCatalogClient.SchemaFpProp).contains(fp)) {
-          val commit =
-            s"""{"requirements": [], "updates": [
-               |  {"action": "add-schema", "schema": ${RestCatalogClient.icebergSchemaJson(schema)}},
-               |  {"action": "set-current-schema", "schema-id": -1}]}""".stripMargin
-          val r = send(HttpRequest.newBuilder(tableUri(name))
-            .header("Content-Type", "application/json")
-            .POST(HttpRequest.BodyPublishers.ofString(commit)))
-          if (r.statusCode() / 100 != 2)
-            throw new RuntimeException(
-              s"catalog schema evolution for $name failed: HTTP ${r.statusCode()} ${r.body()}")
+          val wantShape =
+            RestCatalogClient.schemaShape(RestCatalogClient.icebergSchemaJson(schema))
+          if (!currentSchemaShape(name).exists(wantShape.contains)) {
+            val commit =
+              s"""{"requirements": [], "updates": [
+                 |  {"action": "add-schema", "schema": ${RestCatalogClient.icebergSchemaJson(schema)}},
+                 |  {"action": "set-current-schema", "schema-id": -1}]}""".stripMargin
+            val r = send(HttpRequest.newBuilder(tableUri(name))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(commit)))
+            if (r.statusCode() / 100 != 2)
+              throw new RuntimeException(
+                s"catalog schema evolution for $name failed: HTTP ${r.statusCode()} ${r.body()}")
+          }
           setProperties(name, Map(RestCatalogClient.SchemaFpProp -> fp))
         }
       case s => throw new RuntimeException(
@@ -134,6 +141,47 @@ final class RestCatalogClient(
     if (resp.statusCode() / 100 != 2)
       throw new RuntimeException(
         s"catalog commit ${tableUri(name)} failed: HTTP ${resp.statusCode()} ${resp.body()}")
+  }
+
+  /** Canonical shape of the catalog's CURRENT schema for `name`, if the
+    * load-table response carries one: `metadata.current-schema-id`
+    * resolved against `metadata.schemas` (falling back to a lone schema,
+    * or the v1 `metadata.schema`). None when the table is missing or the
+    * response has no parseable schema — callers treat unknown as
+    * "assume different".
+    */
+  private def currentSchemaShape(name: String): Option[String] = {
+    val resp = send(HttpRequest.newBuilder(tableUri(name)).GET())
+    if (resp.statusCode() != 200) return None
+    try {
+      val meta = RestCatalogClient.parseJson(resp.body()) match {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          m.get("metadata") match {
+            case Some(mm: Map[String @unchecked, Any @unchecked]) => mm
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val fromList = meta.get("schemas") match {
+        case Some(ss: List[Any @unchecked]) =>
+          val byId = for {
+            want <- meta.get("current-schema-id").collect { case n: BigDecimal => n }
+            s <- ss.collectFirst {
+              case sm: Map[String @unchecked, Any @unchecked]
+                if sm.get("schema-id").contains(want) => sm
+            }
+          } yield s
+          byId.orElse(ss.lastOption.collect {
+            case sm: Map[String @unchecked, Any @unchecked] => sm
+          })
+        case _ => None
+      }
+      fromList
+        .orElse(meta.get("schema").collect {
+          case sm: Map[String @unchecked, Any @unchecked] => sm
+        })
+        .map(RestCatalogClient.shapeOf)
+    } catch { case _: Exception => None }
   }
 
   private def esc(s: String): String = RestCatalogClient.esc(s)
@@ -289,4 +337,128 @@ object RestCatalogClient {
 
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Minimal recursive-descent JSON parser — objects as `Map[String, Any]`,
+    * arrays as `List[Any]`, numbers as `BigDecimal`, plus String / Boolean
+    * / null. Exists so schema comparison works against ANY spec-compliant
+    * catalog response (field order, whitespace, id assignment all vary by
+    * server); the regex helpers above remain for the flat fast paths.
+    */
+  private[graft] def parseJson(s: String): Any = {
+    var i = 0
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad JSON at $i: $msg")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) err(s"expected '$c'"); i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= s.length) err("dangling escape")
+          s.charAt(i) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              if (i + 4 >= s.length) err("short \\u")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => err(s"bad escape \\$other")
+          }
+        } else sb += c
+        i += 1
+      }
+      expect('"')
+      sb.toString
+    }
+    def value(): Any = {
+      ws()
+      if (i >= s.length) err("eof")
+      s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          if (i < s.length && s.charAt(i) == '}') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = str(); ws(); expect(':')
+              m(k) = value(); ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect('}'); more = false }
+            }
+          }
+          m.toMap
+        case '[' =>
+          i += 1; ws()
+          val b = List.newBuilder[Any]
+          if (i < s.length && s.charAt(i) == ']') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              b += value(); ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect(']'); more = false }
+            }
+          }
+          b.result()
+        case '"' => str()
+        case 't' => if (s.startsWith("true", i)) { i += 4; true } else err("t?")
+        case 'f' => if (s.startsWith("false", i)) { i += 5; false } else err("f?")
+        case 'n' => if (s.startsWith("null", i)) { i += 4; null } else err("n?")
+        case _ =>
+          val start = i
+          while (i < s.length && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+          if (i == start) err("unexpected char")
+          BigDecimal(s.substring(start, i))
+      }
+    }
+    val v = value(); ws()
+    if (i != s.length) err("trailing content")
+    v
+  }
+
+  /** Canonical shape string of a parsed Iceberg type: (name, required,
+    * type) per field in order, field IDS IGNORED — two registrations of
+    * the same Spark schema get different server-assigned ids but the same
+    * shape.
+    */
+  private[graft] def shapeOf(t: Any): String = t match {
+    case m: Map[String @unchecked, Any @unchecked] =>
+      m.get("type") match {
+        case Some("struct") =>
+          val fs = m.get("fields").collect { case l: List[Any @unchecked] => l }
+            .getOrElse(Nil)
+          fs.map {
+            case f: Map[String @unchecked, Any @unchecked] =>
+              val req = f.get("required").contains(true)
+              s"${f.getOrElse("name", "?")}:${if (req) "req" else "opt"}:" +
+                shapeOf(f.getOrElse("type", "?"))
+            case other => s"?$other"
+          }.mkString("struct<", ",", ">")
+        case Some("list") =>
+          val req = m.get("element-required").contains(true)
+          s"list<${shapeOf(m.getOrElse("element", "?"))},${if (req) "req" else "opt"}>"
+        case Some("map") =>
+          val req = m.get("value-required").contains(true)
+          s"map<${shapeOf(m.getOrElse("key", "?"))},${shapeOf(m.getOrElse("value", "?"))},${if (req) "req" else "opt"}>"
+        case other => s"?$other"
+      }
+    case s: String => s
+    case other => s"?$other"
+  }
+
+  /** [[shapeOf]] from schema JSON text; None when unparseable. */
+  private[graft] def schemaShape(json: String): Option[String] =
+    try Some(shapeOf(parseJson(json))) catch { case _: Exception => None }
 }

@@ -25,6 +25,26 @@ class RestCatalogSpec extends SparkTestBase {
     val creates = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // tables the catalog "knows", with properties
     val tables = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    // current schema JSON per table, as registered via create / add-schema
+    val schemas = scala.collection.mutable.Map.empty[String, String]
+
+    /** The `{...}` object following `"<key>": ` in `json`, brace-matched. */
+    private def objAfter(json: String, key: String): Option[String] =
+      (s""""$key"\\s*:\\s*\\{""").r.findFirstMatchIn(json).map(_.end - 1).map { start =>
+        var depth = 0; var i = start; var inStr = false; var end = -1
+        while (i < json.length && end < 0) {
+          val c = json.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+          else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        json.substring(start, end + 1)
+      }
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (x: HttpExchange) => handle(x))
@@ -56,7 +76,11 @@ class RestCatalogSpec extends SparkTestBase {
         val name = RestCatalogClient.stringField(b, "name").get
         creates += ((name, b))
         if (tables.contains(name)) respond(x, 409, """{"error": "exists"}""")
-        else { tables(name) = Map.empty; respond(x, 200, """{"metadata": {}}""") }
+        else {
+          tables(name) = Map.empty
+          objAfter(b, "schema").foreach(schemas(name) = _)
+          respond(x, 200, """{"metadata": {}}""")
+        }
       } else if (path.startsWith("/v1/namespaces/db/tables/")) {
         authHeaders += x.getRequestHeaders.getFirst("Authorization")
         val table = path.stripPrefix("/v1/namespaces/db/tables/")
@@ -68,10 +92,15 @@ class RestCatalogSpec extends SparkTestBase {
             else {
               val props = tables(table).toSeq.sorted
                 .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-              // location/schemas are siblings the parser must not bleed into
+              // location/schemas are siblings the parser must not bleed
+              // into; the schemas list carries the registered current
+              // schema like a real catalog (canned fallback otherwise)
+              val schemaJson = schemas.getOrElse(table,
+                """{"type": "struct", "schema-id": 0, "fields": [{"id": 1, "name": "id", "required": false, "type": "long"}]}""")
               respond(x, 200,
                 s"""{"metadata": {"location": "s3://x/$table", "properties": $props,
-                   |  "schemas": [{"fields": [{"name": "id", "type": "long"}]}]}}""".stripMargin)
+                   |  "current-schema-id": 0,
+                   |  "schemas": [$schemaJson]}}""".stripMargin)
             }
           case "POST" =>
             // STRICT like a real catalog: commits to unknown tables fail —
@@ -82,6 +111,8 @@ class RestCatalogSpec extends SparkTestBase {
               commits += ((table, b))
               val updates = RestCatalogClient.objectFields(b, "updates")
               tables(table) = tables(table) ++ updates
+              if (b.contains("\"add-schema\""))
+                objAfter(b, "schema").foreach(schemas(table) = _)
               respond(x, 200, """{"metadata": {}}""")
             }
           case m => respond(x, 405, s"""{"error": "$m"}""")
@@ -156,6 +187,46 @@ class RestCatalogSpec extends SparkTestBase {
       // idempotent from here: the fingerprint now matches
       cat.tableCreated("tev", s2)
       assert(evoCommits.size == 1, "re-registering the evolved shape must be a no-op")
+    } finally stub.stop()
+  }
+
+  test("create race: identical schema with missing fingerprint stamps without re-evolving") {
+    import org.apache.spark.sql.types._
+    val stub = new StubCatalog
+    try {
+      val cat = new RestCatalogClient(stub.baseUrl, "db", "id:sec")
+      val s1 = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType),
+        StructField("vec", ArrayType(FloatType, containsNull = false))))
+      // the WINNER of a concurrent create registered this exact schema but
+      // has not stamped the fingerprint property yet (round-5 advice race)
+      cat.tableCreated("race", s1)
+      stub.tables("race") = stub.tables("race") - RestCatalogClient.SchemaFpProp
+      def evoCommits = stub.commits.filter { case (t, b) =>
+        t == "race" && b.contains("add-schema")
+      }
+      // the LOSER sees 409 + no fingerprint, but the catalog's current
+      // schema matches structurally -> stamp only, no redundant evolution
+      cat.tableCreated("race", s1)
+      assert(evoCommits.isEmpty,
+        s"identical-schema race must not commit add-schema: $evoCommits")
+      assert(cat.properties("race").contains(RestCatalogClient.SchemaFpProp),
+        "the loser must stamp the fingerprint it verified")
+      // a GENUINELY different shape from a writer with no fingerprint
+      // still evolves (the pre-existing behavior the shortcut must not eat)
+      stub.tables("race") = stub.tables("race") - RestCatalogClient.SchemaFpProp
+      cat.tableCreated("race", s1.add(StructField("extra", StringType)))
+      assert(evoCommits.size == 1, s"real widening must evolve: $evoCommits")
+      // shape comparison ignores server-assigned field ids
+      val json = RestCatalogClient.icebergSchemaJson(s1)
+      val reIdd = """"(id|element-id|key-id|value-id)": \d+""".r
+        .replaceAllIn(json, m => s""""${m.group(1)}": ${900 + m.start % 7}""")
+      assert(RestCatalogClient.schemaShape(json) == RestCatalogClient.schemaShape(reIdd),
+        "field ids must not affect the canonical shape")
+      assert(RestCatalogClient.schemaShape(json) !=
+        RestCatalogClient.schemaShape(RestCatalogClient.icebergSchemaJson(
+          s1.add(StructField("extra", StringType)))))
     } finally stub.stop()
   }
 
