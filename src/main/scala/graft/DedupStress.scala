@@ -259,13 +259,34 @@ object DedupStress {
            |  concat('w', seed, 'p', pmod(hash(seed, p), 100000))))""".stripMargin))
       .select(col("doc_id"), col("text"))
 
-    val (nPairs, sec) = timed { Dedup.cappedJaccardOf(docs).count() }
+    val (out, sec) = timed {
+      val p = Dedup.cappedJaccardOf(docs).localCheckpoint(true)
+      p.count() -> p
+    }
+    val (nPairs, pairs) = out
     val expected = copies.toLong * (copies - 1) / 2
     require(nPairs == expected,
       s"giant cluster must yield exactly C($copies,2)=$expected pairs, got $nPairs")
+    // round-5 verdict #5: the q50 clustering on this worst case — a
+    // 5000-clique edge list — must close in the claimed 2-3 min-label
+    // rounds (a clique's diameter is 1; one round labels everyone with the
+    // canonical min id, the next observes the fixpoint), and the rollup
+    // must report exactly ONE cluster of `copies` members
+    val ((summary, rounds), secCluster) = timed {
+      val (labels, r) =
+        graft.operators.Curation.clusterLabelsWithRounds(pairs.select("i", "j"))
+      val s = graft.operators.Curation.clusterSummary(labels)
+        .select("cluster_id", "n_docs").collect()
+      (s, r)
+    }
+    require(summary.length == 1 && summary(0).getLong(1) == copies.toLong,
+      s"expected one $copies-member cluster, got ${summary.toSeq}")
+    require(rounds <= 3,
+      s"near-clique propagation must close in <=3 rounds, took $rounds")
     println(s"""{"harness":"giant-cluster-stress","copies":$copies,""" +
       s""""background":$nBackground,"pairs":$nPairs,""" +
-      s""""sec":${math.round(sec * 100) / 100.0}}""")
+      s""""sec":${math.round(sec * 100) / 100.0},""" +
+      s""""cluster_rounds":$rounds,"sec_cluster":${math.round(secCluster * 100) / 100.0}}""")
     spark.stop()
   }
 }

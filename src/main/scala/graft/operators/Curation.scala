@@ -67,7 +67,14 @@ object Curation {
     * component labeling shared by q50's rollup and q92's survivor
     * selection.
     */
-  private def clusterLabels(pairs: DataFrame): DataFrame = {
+  private def clusterLabels(pairs: DataFrame): DataFrame =
+    clusterLabelsWithRounds(pairs)._1
+
+  /** [[clusterLabels]] plus the number of propagation rounds to fixpoint —
+    * the observable DedupStress `giant` measures against the "near-cliques
+    * close in 2-3 rounds" claim above.
+    */
+  private[graft] def clusterLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint(true)
@@ -85,6 +92,7 @@ object Curation {
     }
     var prev = Long.MinValue
     var cur = labelSum()
+    var rounds = 0
     while (cur != prev) {
       val nbrMin = edges.join(labels, edges("j") === labels("doc_id"))
         .groupBy(edges("i").as("doc_id")).agg(min(col("lbl")).as("nmin"))
@@ -94,8 +102,9 @@ object Curation {
         .localCheckpoint(false)
       prev = cur
       cur = labelSum()
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
   /** Best-quality survivor per near-dup cluster (q92): production dedup
