@@ -39,7 +39,57 @@ object CurationStress {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("novelty") =>
       noveltyStress(args.drop(1).headOption.map(_.toLong).getOrElse(1000000L))
+    case Some("semdedup") =>
+      semdedupSweep(args.drop(1).headOption.map(_.toLong).getOrElse(50000L))
     case _ => dsirStress(args.headOption.map(_.toLong).getOrElse(1000000L))
+  }
+
+  /** q97 τ-sweep (round-5 verdict #7): the bench τ=0.3 sits inside the
+    * synthetic similarity range by design, so the operator's SENSITIVITY —
+    * how the removal rate responds to the knob — was asserted, not
+    * measured. This sweeps τ over a clustered corpus whose similarity
+    * structure is controlled (centers ~10x the per-vector noise in
+    * coordinate scale, noise wide enough that intra-cluster cosine spreads
+    * over ~[0.5, 0.95] instead of pinning at 1), printing the removal-rate
+    * curve, and pins the exact endpoints: at τ = -1 every pair qualifies,
+    * so exactly n - (distinct buckets) vectors are removed (each bucket
+    * keeps its canonical min id); past cos's upper bound nothing is. In
+    * between the rate must be monotone non-increasing in τ.
+    */
+  private def semdedupSweep(nVecs: Long): Unit = {
+    val nClusters = 64
+    val spark = Harness.session("graft-semdedup-sweep")
+    graft.functions.GraftFunctions.register(spark)
+    import Harness.timed
+    import graft.operators.Similarity
+    val vecs = spark.range(nVecs)
+      .select(col("id").as("vec_id"), (col("id") % nClusters).as("c"))
+      .withColumn("q", expr(
+        """transform(sequence(0, 63), d -> CAST(
+          |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(vec_id, d), 1001) - 500
+          |  AS BIGINT))""".stripMargin))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .select("vec_id", "q", "nq")
+      .localCheckpoint(true)
+    val p = Similarity.planesFor(nVecs)
+    val e = vecs.join(
+      Similarity.lshBucketsFor(spark, vecs, p).select("vec_id", "bucket"),
+      Seq("vec_id")).localCheckpoint(true)
+    val nBuckets = e.select("bucket").distinct().count()
+    val taus = Seq(-1.0, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 1.000001)
+    val removed = taus.map { tau =>
+      val (n, sec) = timed(Similarity.semdedupRemoved(e, tau).count())
+      println(s"""{"harness":"semdedup-sweep","n_vecs":$nVecs,"planes":$p,""" +
+        s""""tau":$tau,"n_removed":$n,""" +
+        f""""removal_rate":${n.toDouble / nVecs}%.4f,"sec":$sec%.1f}""")
+      n
+    }
+    assert(removed.head == nVecs - nBuckets,
+      s"tau=-1 must remove all but one per bucket: ${removed.head} vs ${nVecs - nBuckets}")
+    assert(removed.last == 0L, s"tau > 1 must remove nothing, got ${removed.last}")
+    assert(removed.zip(removed.tail).forall { case (a, b) => b <= a },
+      s"removal must be monotone non-increasing in tau: $removed")
+    spark.stop()
   }
 
   /** q96's scale claim, measured: per-shingle source multiplicity is

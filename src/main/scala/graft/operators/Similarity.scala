@@ -392,17 +392,25 @@ object Similarity {
     * corpus with the removed set left-joined — nothing all-pairs, nothing
     * collected.
     */
+  /** The q97 decision kernel, τ as the parameter it is (CurationStress
+    * `semdedup` sweeps it): vectors that lose to a more-canonical (lower
+    * vec_id) same-bucket neighbor at cosine >= `tau`. Input needs
+    * (vec_id, q, nq, bucket).
+    */
+  private[graft] def semdedupRemoved(e: DataFrame, tau: Double): DataFrame =
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        cosCol(dotExpr("a.q", "b.q"), "a.nq", "b.nq"))
+      .filter(col("cos") >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+
   def q97SemdedupPrune(spark: SparkSession, dir: String): DataFrame = {
     val vecs = qvecs(spark, dir).localCheckpoint(true)
     val e = vecs.join(
       lshBucketsFor(spark, vecs, planesFor(vecs.count()))
         .select("vec_id", "bucket"), Seq("vec_id"))
-    val removed = e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        cosCol(dotExpr("a.q", "b.q"), "a.nq", "b.nq"))
-      .filter(col("cos") >= SemDedupTau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+    val removed = semdedupRemoved(e, SemDedupTau)
       .withColumn("rem", lit(1L))
     vecs.join(removed, Seq("vec_id"), "left")
       .groupBy(col("label"))
