@@ -357,4 +357,19 @@ class PlanContractSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
       "purchase filter must reach the scan below the custom node")
   }
+
+  test("q101/q102: outer and composite-key as-of keep the q99 plan shape") {
+    for ((name, df) <- Seq(
+        "q101" -> Queries.q101AsofOuter(spark, dir),
+        "q102" -> Queries.q102AsofMultikey(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("AsOfJoin"), s"$name expected the custom exec:\n${p.take(2500)}")
+      assert(!p.contains("Window"),
+        s"$name must not fall back to the window composition")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$name must never plan as an inequality product")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+        s"$name: both sides must cluster on the key(s):\n${p.take(2500)}")
+    }
+  }
 }
