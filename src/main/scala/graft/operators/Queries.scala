@@ -567,6 +567,30 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the custom exec (q99's `forward = true` branch,
+    * previously fuzz-covered only): each purchase matched to the user's
+    * EARLIEST click at-or-after it — post-purchase engagement lead time.
+    * The oracle is DuckDB ASOF with the inequality flipped
+    * (`p.ts_us <= c.ts_us` selects the smallest click ts >= purchase ts),
+    * so the forward merge branch gets the same cross-engine gate as the
+    * backward one.
+    */
+  def q103AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("ts_us").as("next_click_ts_us"), col("value").as("next_click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftTsCol = "ts_us", rightTsCol = "next_click_ts_us", forward = true)
+      .withColumn("lead_us", col("next_click_ts_us") - col("ts_us"))
+      .select("event_id", "user_id", "ts_us", "next_click_ts_us",
+        "next_click_value", "lead_us")
+      .orderBy(col("event_id"))
+  }
+
   /** Approximate distinct (SURVEY A3, HLL): no DuckDB oracle — HLL sketches
     * are engine-specific — so the driver records a rows-only check; the
     * exact twin q10 is the hash-checked variant.
@@ -1023,6 +1047,18 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.day = c.day AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q103_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS next_click_ts_us, c.value AS next_click_value,
+        |  c.ts_us - p.ts_us AS lead_us
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q26_window_distribution" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  percent_rank() OVER w AS pr,
@@ -1211,6 +1247,7 @@ object Queries {
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
+    "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
     "q27_percentiles" -> (q27Percentiles _),
     "q45_set_ops_all" -> (q45SetOpsAll _),
