@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (driver north star):
@@ -500,6 +501,84 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q104: maximal duplicated substring spans (ExactSubstr, distributed)
+  // ------------------------------------------------------------------
+
+  /** Stride-1 window width (tokens) for q104 — overlapping, unlike the
+    * non-overlapping [[PassageTokens]] chunks.
+    */
+  private[operators] val SpanWindowTokens = 10
+
+  /** Maximal duplicated substring spans per document — the distributed
+    * analog of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a span is duplicated when every
+    * [[SpanWindowTokens]]-token window inside it occurs >= 2 times
+    * corpus-wide, and overlapping/adjacent duplicated windows are merged
+    * into maximal token intervals (the unit an ExactSubstr pipeline cuts
+    * out of a document, vs dropping the whole doc). Output: per document
+    * with at least one span, the span count, total duplicated tokens,
+    * longest span, and duplicated-token fraction.
+    *
+    * Windows at offsets i < j cover overlapping-or-adjacent token
+    * intervals [i, i+k-1], [j, j+k-1] iff j - i <= k, so islands break
+    * exactly where consecutive duplicated offsets differ by more than k;
+    * a merged island spanning offsets [s_i, e_i] covers tokens
+    * [s_i, e_i + k - 1].
+    *
+    * Scale shape (100 TB): the reference algorithm builds a corpus-wide
+    * suffix array — inherently single-machine. The distributed analog is a
+    * stride-1 window census: ~|corpus tokens| rows, but each carries only
+    * (doc_id, offset, 60-bit md5-prefix id) — the same narrow-key idiom as
+    * the shingle family, never window strings — so the census is one
+    * map-side-combined hash-agg and the dup lookup reuses that exchange.
+    * The island merge is a per-document window function (partitioned by
+    * doc_id, bounded by document length, no global sort), and only
+    * documents with duplicated windows reach it: the semi-join-shaped
+    * `cnt >= 2` filter drops the (typically dominant) unique mass before
+    * the doc_id shuffle. Nothing is collected, broadcast, or quadratic.
+    */
+  def q104DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    dupSpanStats(tok, SpanWindowTokens).orderBy(col("doc_id"))
+  }
+
+  /** [[q104DupSpans]]'s kernel over an arbitrary (doc_id, toks) frame with
+    * an explicit window width — shared with the beyond-bench stress
+    * harness ([[graft.DedupStress]]) and the spec's multi-span synthetic
+    * corpora.
+    */
+  private[graft] def dupSpanStats(tok: DataFrame, k: Int): DataFrame = {
+    val wins = tok.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> struct(i AS i,
+           |    CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $k))),
+           |      1, 15), 16, 10) AS BIGINT) AS wh))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.wh").as("wh"))
+    val census = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(census, Seq("wh")).filter(col("cnt") >= 2)
+      .select("doc_id", "i")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = dup
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(k - 1)).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span"))
+      .join(tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks")),
+        Seq("doc_id"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_toks"), 6))
+      .select("doc_id", "n_toks", "n_spans", "dup_tokens", "max_span",
+        "dup_ratio")
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
@@ -660,6 +739,32 @@ object Dedup {
         |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
 
+    "q104_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(
+        |      toks[i+1 : i+$SpanWindowTokens], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM t, unnest(range(len(toks) - $SpanWindowTokens + 1)) AS u(i)
+        |  WHERE len(toks) >= $SpanWindowTokens),
+        |census AS (SELECT wh, count(*) AS cnt FROM w GROUP BY wh),
+        |dup AS (SELECT doc_id, i FROM w JOIN census USING (wh) WHERE cnt >= 2),
+        |brk AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |      > $SpanWindowTokens THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (SELECT doc_id, i,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brk),
+        |spans AS (SELECT doc_id, g, min(i) AS s,
+        |    max(i) + $SpanWindowTokens - 1 AS e FROM isl GROUP BY doc_id, g),
+        |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |    CAST(max(e - s + 1) AS BIGINT) AS max_span
+        |  FROM spans GROUP BY doc_id)
+        |SELECT p.doc_id, len(t.toks) AS n_toks, p.n_spans, p.dup_tokens,
+        |  p.max_span,
+        |  round(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 6) AS dup_ratio
+        |FROM per_doc p JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -688,5 +793,6 @@ object Dedup {
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q76_passage_dedup" -> (q76PassageDedup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
+    "q104_dup_spans" -> (q104DupSpans _),
   )
 }

@@ -572,10 +572,74 @@ object ScaleOps {
   }
 
   // ------------------------------------------------------------------
+  // q106: bottom-k hash-sample quantiles (mergeable, oracle-exact)
+  // ------------------------------------------------------------------
+
+  /** Sample size for q106 — error is O(1/sqrt(k)) per quantile. */
+  private val SampleK = 64
+
+  /** Per-source length quantiles from a bottom-k-by-hash sample — the
+    * quantile estimator that survives 100 TB. Exact per-group percentiles
+    * (q27) materialize every value of a group on one reducer;
+    * `approx_percentile`'s sketch is engine-internal (no cross-engine
+    * oracle). The middle path: keep each group's k rows with the SMALLEST
+    * md5(doc_id) — a uniform sample without replacement that is
+    * deterministic, restart-stable, and MERGEABLE (the k smallest of a
+    * union are the k smallest of the parts' k-smallest — the KMV synopsis
+    * property, here carrying payload values), then read discrete quantiles
+    * off the sorted sample.
+    *
+    * Scale shape: the sample rides [[graft.functions.TopKBy]] (key = -h),
+    * so every partition reduces each group to <= k entries before the
+    * shuffle and no group ever sorts its full row set on one reducer —
+    * same contract as q75. The quantile extraction is array arithmetic on
+    * k-element arrays, one row per group. Determinism: quantile values are
+    * SELECTED sample elements (exact integers), never interpolated doubles;
+    * the oracle reproduces the identical sample via row_number over the
+    * same 60-bit hash.
+    */
+  def q106SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def pick(q: Double) =
+      expr(s"element_at(vals, greatest(1, CAST(ceil($q * size(vals)) AS INT)))")
+    Queries.t(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"top_k_by(CAST(n_chars AS STRING), -h, $SampleK)").as("smp"))
+      .withColumn("vals",
+        expr("array_sort(transform(smp, x -> CAST(x.v AS BIGINT)))"))
+      .select(col("source"), col("n_docs"),
+        size(col("vals")).cast("long").as("sample_n"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q106_sample_quantiles" ->
+      s"""WITH h AS (SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY h, CAST(n_chars AS VARCHAR)) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_docs
+        |  FROM h),
+        |s AS (SELECT source, n_docs, count(*) AS sample_n,
+        |    list(n_chars ORDER BY n_chars) AS vals
+        |  FROM r WHERE rn <= $SampleK GROUP BY source, n_docs)
+        |SELECT source, n_docs, sample_n,
+        |  vals[greatest(1, CAST(ceil(0.5 * sample_n) AS INT))] AS p50,
+        |  vals[greatest(1, CAST(ceil(0.9 * sample_n) AS INT))] AS p90,
+        |  vals[greatest(1, CAST(ceil(0.99 * sample_n) AS INT))] AS p99
+        |FROM s ORDER BY source""".stripMargin,
+
     "q75_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
@@ -843,5 +907,6 @@ object ScaleOps {
     "q66_retention" -> (q66Retention _),
     "q74_bloom_prune_join" -> (q74BloomPruneJoin _),
     "q75_transitions" -> (q75Transitions _),
+    "q106_sample_quantiles" -> (q106SampleQuantiles _),
   )
 }

@@ -415,7 +415,74 @@ object TextAnalysis {
         sum(when(col("url").startsWith("https:"), 1L).otherwise(0L)).as("n_https"))
       .orderBy(col("domain"))
 
+  // ------------------------------------------------------------------
+  // q105: hashed-feature linear classifier inference (fastText-style)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size for the q105 hashed bag-of-words classifier. */
+  private val ClassifierBuckets = 1024
+
+  /** Pretrained-classifier inference over the corpus — the fastText-shaped
+    * quality filter (Joulin et al. 2016; the CCNet/LLaMA-style "does this
+    * page look like a reference corpus" gate): each document's tokens are
+    * hashed into [[ClassifierBuckets]] bag-of-words buckets, dotted with a
+    * FIXED externally-supplied weight vector, and length-normalized into a
+    * logit; `kept` is the logit>0 decision. The weights here are derived
+    * deterministically from md5 of the bucket index — a stand-in for a
+    * model file, exercising the exact inference plumbing (hash, broadcast
+    * dot, normalize, threshold) a real weight table would ride.
+    *
+    * Contrast with q95 DSIR: there the weights are LEARNED from the corpus
+    * (two extra corpus passes to estimate target/raw distributions); here
+    * they arrive trained, so inference is a single scan — the common case
+    * for a production quality gate.
+    *
+    * Scale shape (100 TB): the weight table is exactly
+    * [[ClassifierBuckets]] rows, broadcast; scoring is the token stream
+    * joined map-side against it (zero shuffle) plus one map-side-combined
+    * per-doc hash-agg — the only exchange in the plan. Determinism: nano-
+    * int weights summed as BIGINT (order-free), one double division at the
+    * end, and the keep decision is the INTEGER predicate `nano > 0`, never
+    * a rounded-double compare.
+    */
+  def q105QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = ClassifierBuckets
+    val weights = spark.range(0, d.toLong).select(col("id").as("b"),
+      (expr("CAST(conv(substr(md5(concat('w:', CAST(id AS STRING))), 1, 15), " +
+        "16, 10) AS BIGINT)") % 2000000001L - 1000000000L).as("wnano"))
+    val tb = Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("b",
+        expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)") % d)
+    tb.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wnano")).as("nano"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("nano").cast("double") / col("n_toks") / 1e9, 6).as("logit"),
+        when(col("nano") > 0, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q105_quality_classifier" ->
+      s"""WITH w AS (SELECT b,
+        |    ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2000000001 - 1000000000 AS wnano
+        |  FROM (SELECT unnest(range($ClassifierBuckets)) AS b)),
+        |tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % $ClassifierBuckets AS b
+        |  FROM tok),
+        |sc AS (SELECT doc_id, source, count(*) AS n_toks,
+        |    CAST(sum(wnano) AS BIGINT) AS nano
+        |  FROM tb JOIN w USING (b) GROUP BY doc_id, source)
+        |SELECT doc_id, source, n_toks,
+        |  round(CAST(nano AS DOUBLE) / n_toks / 1e9, 6) AS logit,
+        |  CAST(CASE WHEN nano > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "q72_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $annotateSql AS full_text FROM documents),
         |r AS (SELECT doc_id, full_text,
@@ -592,5 +659,6 @@ object TextAnalysis {
     "q77_bigram_lm" -> (q77BigramLm _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
+    "q105_quality_classifier" -> (q105QualityClassifier _),
   )
 }

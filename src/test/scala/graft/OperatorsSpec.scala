@@ -544,6 +544,122 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dup spans: island merge splits at gap > k, merges at gap == k, spans cover blocks exactly") {
+    import spark.implicits._
+    def toks(parts: Seq[String]*): String = parts.flatten.mkString(" ")
+    def blk(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val A = blk("a", 12); val B = blk("b", 12)
+    val X = blk("x", 10); val Y = blk("y", 10)
+    val Xp = blk("xp", 10); val Yp = blk("yp", 10)
+    val docs = Seq(
+      // A at offset 20, B at offset 62 in doc 1; both blocks recur in doc 2
+      // at different offsets with different context -> two islands per doc
+      1L -> toks(blk("u", 20), A, blk("m", 30), B, blk("t", 5)),
+      2L -> toks(blk("v", 7), A, blk("n", 25), B),
+      3L -> toks(blk("q", 40)),
+      // X|Y adjacent in doc 4 (dup offsets 0 and 10, gap == k -> ONE span
+      // of 20 tokens) -- X recurs only in doc 5, Y only in doc 6, so the
+      // straddling windows 1..9 of doc 4 are corpus-unique
+      4L -> toks(X, Y),
+      5L -> toks(blk("r", 11), X),
+      6L -> toks(blk("s", 13), Y),
+      // X'|z|Y' in doc 7 (dup offsets 0 and 11, gap == k+1 -> TWO spans)
+      7L -> toks(Xp, Seq("z0"), Yp),
+      8L -> toks(blk("w", 11), Xp),
+      9L -> toks(blk("e", 13), Yp))
+    val tok = docs.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val out = Dedup.dupSpanStats(tok, 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // (doc_id, n_toks, n_spans, dup_tokens, max_span, dup_ratio)
+    def check(id: Long, want: (Long, Long, Long, Long), label: String): Unit = {
+      val (_, nt, ns, dt, ms, ratio) = out(id)
+      assert((nt, ns, dt, ms) == want, label)
+      assert(math.abs(ratio - dt.toDouble / nt) < 1e-6, s"$label ratio")
+    }
+    check(1L, (79L, 2L, 24L, 12L), "doc 1 two islands")
+    check(2L, (56L, 2L, 24L, 12L), "doc 2 two islands")
+    assert(!out.contains(3L), "fully unique doc emits no row")
+    check(4L, (20L, 1L, 20L, 20L),
+      "gap == k merges adjacent shared blocks into one span")
+    check(7L, (21L, 2L, 20L, 10L),
+      "gap == k+1 keeps the blocks as two spans")
+    // recurrence sites in docs 5/6/8/9: one span covering exactly the block
+    Seq(5L, 6L, 8L, 9L).foreach { id =>
+      assert(out(id)._3 == 1L && out(id)._4 == 10L && out(id)._5 == 10L,
+        s"doc $id single 10-token span")
+    }
+  }
+
+  private def md560(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = tmpDir("ops-docs")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("quality classifier: logit matches a hand-rolled md5 reference; kept is the sign of the nano sum") {
+    import spark.implicits._
+    def wnano(b: Long): Long = md560(s"w:$b") % 2000000001L - 1000000000L
+    val texts = Seq("alpha beta gamma delta", "zq zq zq zq zq",
+      "one two three four five six seven", "alpha beta gamma delta")
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "synth")
+    })
+    val out = TextAnalysis.q105QualityClassifier(spark, dir)
+      .as[(Long, String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ")
+      val nano = toks.map(tok => wnano(md560(tok) % 1024)).sum
+      val (_, _, nToks, logit, kept) = out(i.toLong)
+      assert(nToks == toks.length.toLong, s"doc $i token count")
+      assert(math.abs(logit - nano.toDouble / toks.length / 1e9) < 1e-6,
+        s"doc $i logit vs reference")
+      assert(kept == (if (nano > 0) 1L else 0L), s"doc $i keep decision")
+    }
+    // identical texts score identically (docs 0 and 3)
+    assert(out(0L)._4 == out(3L)._4 && out(0L)._5 == out(3L)._5)
+  }
+
+  test("sample quantiles: exact on small groups; k-smallest-hash subset on large ones") {
+    import spark.implicits._
+    // 'big' exceeds the k=64 sample cap; 'small' fits entirely
+    val big = (0L until 300L).map(i =>
+      (i, s"doc$i " + ("x " * ((i % 7) + 1).toInt).trim, "big"))
+    val small = (300L until 340L).map(i =>
+      (i, s"doc$i " + ("y " * ((i % 5) + 1).toInt).trim, "small"))
+    val dir = writeDocs(big ++ small)
+    val nChars = (big ++ small).map(r => r._1 -> r._2.length.toLong).toMap
+    def expected(ids: Seq[Long], k: Int): (Long, Seq[Long]) = {
+      val sampled = ids.sortBy(id => (md560(id.toString), nChars(id).toString))
+        .take(k).map(nChars).sorted
+      def pick(q: Double) = sampled(
+        math.max(1, math.ceil(q * sampled.size).toInt) - 1)
+      (sampled.size.toLong, Seq(pick(0.5), pick(0.9), pick(0.99)))
+    }
+    val out = graft.operators.ScaleOps.q106SampleQuantiles(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (bn, bq) = expected(big.map(_._1), 64)
+    val (sn, sq) = expected(small.map(_._1), 64)
+    assert(out("big") == (("big", 300L, bn, bq(0), bq(1), bq(2))),
+      "big source: quantiles of the 64 smallest-hash docs")
+    assert(bn == 64L, "big source sample is capped at k")
+    assert(out("small") == (("small", 40L, sn, sq(0), sq(1), sq(2))),
+      "small source: sample is the whole group, quantiles exact")
+  }
+
   test("bigram LM: scores are non-positive; bigram counts reconcile with token counts") {
     import spark.implicits._
     val out = TextAnalysis.q77BigramLm(spark, dir)
