@@ -34,7 +34,10 @@ import graft.operators.Dedup
   *    the whole cluster rides the all-hot recall path): the answer is
   *    inherently C(copies, 2) pairs, and the harness shows the kernel
   *    produces exactly that output-bounded result with no driver or
-  *    single-task blowup ([[giantClusterStress]]).
+  *    single-task blowup ([[giantClusterStress]]);
+  *  - `runMain graft.DedupStress spans [nDocs]` — q104 ExactSubstr spans
+  *    on a corpus with exactly-known span structure and deliberately hot
+  *    boilerplate blocks ([[spanStress]]).
   */
 object DedupStress {
   def main(args: Array[String]): Unit = {
@@ -47,6 +50,8 @@ object DedupStress {
         giantClusterStress(
           args.drop(1).headOption.map(_.toInt).getOrElse(5000),
           if (args.length > 2) args(2).toLong else 95000L)
+      case Some("spans") =>
+        spanStress(args.drop(1).headOption.map(_.toLong).getOrElse(200000L))
       case _ => kernelStress(args)
     }
   }
@@ -287,6 +292,65 @@ object DedupStress {
       s""""background":$nBackground,"pairs":$nPairs,""" +
       s""""sec":${math.round(sec * 100) / 100.0},""" +
       s""""cluster_rounds":$rounds,"sec_cluster":${math.round(secCluster * 100) / 100.0}}""")
+    spark.stop()
+  }
+
+  /** q104 ExactSubstr-span stress: a corpus where the exact span answer is
+    * known by construction, with boilerplate blocks HOT on purpose (one
+    * block recurs in nDocs/5 documents). The claim under test is the one
+    * that separates span dedup from pair dedup at 100 TB: output volume is
+    * LINEAR in duplicated text (one span row per occurrence), never
+    * C(occurrences, 2) — a block shared by 40k docs yields 40k rows where
+    * a pair formulation would yield 800M.
+    *
+    * Layout per doc (docLen 56, k = [[graft.operators.Dedup.SpanWindowTokens]]):
+    * unique filler everywhere except — for doc_id%10 IN (0,1) — a shared
+    * 14-token block `bp1` at offset 3+(doc_id%7), and — for doc_id%10 == 1
+    * only — a second shared 12-token block `bp2` at offset +26 (gap 22 > k,
+    * so the islands must NOT merge). Expected rows: exactly nDocs/10 docs
+    * with (1 span, 14 dup tokens) and nDocs/10 with (2 spans, 26).
+    */
+  private def spanStress(nDocs: Long): Unit = {
+    require(nDocs % 10 == 0, s"nDocs ($nDocs) must be a multiple of 10")
+    val k = Dedup.SpanWindowTokens
+    val docLen = 56
+    val spark = Harness.session("graft-span-stress")
+    import Harness.timed
+
+    val docs: DataFrame = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        pmod(col("id"), lit(10L)).as("cls"),
+        (pmod(col("id"), lit(7L)) + 3L).as("o1"))
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(0, ${docLen - 1}), p ->
+           |  CASE WHEN cls <= 1 AND p >= o1 AND p < o1 + 14
+           |         THEN concat('bp1_', p - o1)
+           |       WHEN cls = 1 AND p >= o1 + 26 AND p < o1 + 38
+           |         THEN concat('bp2_', p - o1 - 26)
+           |       ELSE concat('f', doc_id, '_', p) END))""".stripMargin))
+      .select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+
+    val (out, sec) = timed {
+      val s = Dedup.dupSpanStats(docs, k).localCheckpoint(true)
+      s.count() -> s
+    }
+    val (nRows, stats) = out
+    val one = stats.filter(col("n_spans") === 1 && col("dup_tokens") === 14L &&
+      col("max_span") === 14L).count()
+    val two = stats.filter(col("n_spans") === 2 && col("dup_tokens") === 26L &&
+      col("max_span") === 14L).count()
+    require(one == nDocs / 10, s"expected ${nDocs / 10} one-span docs, got $one")
+    require(two == nDocs / 10, s"expected ${nDocs / 10} two-span docs, got $two")
+    require(nRows == nDocs / 5,
+      s"expected ${nDocs / 5} rows total (only boilerplate docs), got $nRows")
+    val windowRows = nDocs * (docLen - k + 1)
+    // duplicated window occurrences: 5 bp1 windows in nDocs/5 docs + 3 bp2
+    // windows in nDocs/10 docs — the linear-output bound made concrete
+    val dupRows = (nDocs / 5) * 5 + (nDocs / 10) * 3
+    println(s"""{"harness":"span-stress","n_docs":$nDocs,""" +
+      s""""window_rows":$windowRows,"dup_window_rows":$dupRows,""" +
+      s""""span_rows":$nRows,"sec":${math.round(sec * 100) / 100.0}}""")
     spark.stop()
   }
 }

@@ -507,7 +507,7 @@ object Dedup {
   /** Stride-1 window width (tokens) for q104 — overlapping, unlike the
     * non-overlapping [[PassageTokens]] chunks.
     */
-  private[operators] val SpanWindowTokens = 10
+  private[graft] val SpanWindowTokens = 10
 
   /** Maximal duplicated substring spans per document — the distributed
     * analog of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
