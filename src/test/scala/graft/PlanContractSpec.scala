@@ -148,6 +148,42 @@ class PlanContractSpec extends SparkTestBase {
       "no window may exist: a per-lang ranking window sorts each language's full vocab on one reducer")
   }
 
+  test("q104: span census keys are 60-bit longs; island merge windows only per-doc") {
+    val p = plan(graft.operators.Dedup.q104DupSpans(spark, dir))
+    // the census aggregate must key on the bigint window id, not the
+    // window STRING — string keys would fatten every shuffle row
+    assert(p.contains("partial_count"),
+      s"window census must map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span detection is census+join, never a pairwise product")
+    // exactly the two per-doc windows (lag, running sum) — no global sort
+    // beyond the presentation ORDER BY
+    val winSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).length
+    assert(winSpecs >= 2 && !p.replaceAll("windowspecdefinition\\(doc_id[^)]*\\)", "")
+      .contains("windowspecdefinition"),
+      s"island merge must window ONLY per doc_id:\n${p.take(2000)}")
+  }
+
+  test("q105: weight table broadcasts; scoring has one exchange (the per-doc agg)") {
+    val p = plan(graft.operators.TextAnalysis.q105QualityClassifier(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row weight table must broadcast:\n${p.take(2000)}")
+    val exchanges = "\\bExchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"scoring must shuffle exactly once (per-doc agg), found $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("Window ["), "no window operator in the scoring path")
+  }
+
+  test("q106: the sample is a map-side-combined top-k aggregate, never a per-group sort") {
+    val p = plan(graft.operators.ScaleOps.q106SampleQuantiles(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"bottom-k sample must partial-aggregate before the shuffle:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window ["),
+      "no ranking window: a per-group row_number sorts each group's full rows on one reducer")
+    assert(!p.contains("SortAggregate"), "sample agg must not fall back to SortAggregate")
+  }
+
   test("q79: token frequencies partial-aggregate to bounded summaries before the shuffle") {
     val p = plan(graft.operators.TextAnalysis.q79HeavyHitters(spark, dir))
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
