@@ -549,13 +549,16 @@ object Dedup {
     * corpora.
     */
   private[graft] def dupSpanStats(tok: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(tok.sparkSession)
+    // stride-1 windows via the codegen word_ngrams expression (a
+    // transform(sequence...) lambda builds the same strings interpreted,
+    // one closure dispatch per element — measured 1.27x slower on the
+    // sf0.1 census leg, alternating reps in one JVM)
     val wins = tok.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $k),
-           |  i -> struct(i AS i,
-           |    CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $k))),
-           |      1, 15), 16, 10) AS BIGINT) AS wh))""".stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.i").as("i"), col("w.wh").as("wh"))
+      .select(col("doc_id"),
+        posexplode(expr(s"word_ngrams(toks, $k)")).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"),
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("wh"))
     val census = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
     val dup = wins.join(census, Seq("wh")).filter(col("cnt") >= 2)
       .select("doc_id", "i")
