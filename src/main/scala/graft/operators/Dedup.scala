@@ -549,19 +549,33 @@ object Dedup {
     * corpora.
     */
   private[graft] def dupSpanStats(tok: DataFrame, k: Int): DataFrame = {
+    val wins = windowsOf(tok, k)
+    val census = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(census, Seq("wh")).filter(col("cnt") >= 2)
+      .select("doc_id", "i")
+    spanStatsFromDup(dup, tok, k)
+  }
+
+  /** Stride-1 k-token windows of a (doc_id, toks) frame as
+    * (doc_id, offset, 60-bit id) — the codegen word_ngrams expression (a
+    * transform(sequence...) lambda builds the same strings interpreted,
+    * one closure dispatch per element — measured 1.27x slower on the
+    * sf0.1 census leg, alternating reps in one JVM).
+    */
+  private[graft] def windowsOf(tok: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(tok.sparkSession)
-    // stride-1 windows via the codegen word_ngrams expression (a
-    // transform(sequence...) lambda builds the same strings interpreted,
-    // one closure dispatch per element — measured 1.27x slower on the
-    // sf0.1 census leg, alternating reps in one JVM)
-    val wins = tok.filter(size(col("toks")) >= k)
+    tok.filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(expr(s"word_ngrams(toks, $k)")).as(Seq("i", "g")))
       .select(col("doc_id"), col("i"),
         expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("wh"))
-    val census = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
-    val dup = wins.join(census, Seq("wh")).filter(col("cnt") >= 2)
-      .select("doc_id", "i")
+  }
+
+  /** Island merge + per-doc rollup from duplicated (doc_id, offset) rows —
+    * shared by q104 (corpus self-census) and q107 (new-batch-vs-index
+    * probe).
+    */
+  private def spanStatsFromDup(dup: DataFrame, tok: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val spans = dup
       .withColumn("brk",
@@ -579,6 +593,44 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_toks"), 6))
       .select("doc_id", "n_toks", "n_spans", "dup_tokens", "max_span",
         "dup_ratio")
+  }
+
+  /** Incremental span dedup (q107): the daily-ingest form of q104 — which
+    * parts of TODAY's batch (doc_id % 10 == 0, q67's convention) duplicate
+    * text already in the corpus. A new doc's window is flagged iff it
+    * occurs in the EXISTING corpus (index side); intra-batch repeats alone
+    * are q104's job on the batch itself. Same island merge, same output
+    * shape, restricted to new docs.
+    *
+    * Scale shape (100 TB corpus, ~GB-scale daily batch): the probe is
+    * materialized ONCE (localCheckpoint — it feeds the count, the bloom
+    * build, and the join; construction pays that one batch-sized job, the
+    * q74 trade). The corpus-side window stream is pruned by a broadcast
+    * bloom built FROM the probe before anything shuffles — the index only
+    * pays a scan plus the tiny surviving fraction through distinct+join,
+    * never a corpus-wide shuffle (in a deployment the index census is a
+    * maintained table — see `plans/IncrementalAgg` — and this probe reads
+    * it pre-bucketed; the bloom prune is what keeps the COLD-path rebuild
+    * linear). The bloom is a prune, not a filter: the equi-join after it
+    * is exact, so false positives cost work, never correctness.
+    */
+  def q107IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanWindowTokens
+    val tok = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val isNew = col("doc_id") % 10 === 0
+    val newTok = tok.filter(isNew)
+    val probe = windowsOf(newTok, k).localCheckpoint(true)
+    val bloomBits = ScaleOps.sizedBloomBits(probe.count())
+    val bloom = probe.agg(expr(
+      s"bloom_build(xxhash64(wh), $bloomBits, ${ScaleOps.BloomHashes})").as("bf"))
+    val idx = windowsOf(tok.filter(!isNew), k)
+      .join(broadcast(bloom))
+      .filter(expr(
+        s"bloom_might_contain(bf, xxhash64(wh), ${ScaleOps.BloomHashes})"))
+      .select("wh").distinct()
+    val dup = probe.join(idx, Seq("wh")).select("doc_id", "i")
+    spanStatsFromDup(dup, newTok, k).orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------------
@@ -768,6 +820,33 @@ object Dedup {
         |  round(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 6) AS dup_ratio
         |FROM per_doc p JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q107_incremental_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(
+        |      toks[i+1 : i+$SpanWindowTokens], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM t, unnest(range(len(toks) - $SpanWindowTokens + 1)) AS u(i)
+        |  WHERE len(toks) >= $SpanWindowTokens),
+        |idx AS (SELECT DISTINCT wh FROM w WHERE doc_id % 10 <> 0),
+        |dup AS (SELECT doc_id, i FROM w JOIN idx USING (wh)
+        |        WHERE doc_id % 10 = 0),
+        |brk AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |      > $SpanWindowTokens THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |isl AS (SELECT doc_id, i,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brk),
+        |spans AS (SELECT doc_id, g, min(i) AS s,
+        |    max(i) + $SpanWindowTokens - 1 AS e FROM isl GROUP BY doc_id, g),
+        |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |    CAST(max(e - s + 1) AS BIGINT) AS max_span
+        |  FROM spans GROUP BY doc_id)
+        |SELECT p.doc_id, len(t.toks) AS n_toks, p.n_spans, p.dup_tokens,
+        |  p.max_span,
+        |  round(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 6) AS dup_ratio
+        |FROM per_doc p JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q33_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -797,5 +876,6 @@ object Dedup {
     "q76_passage_dedup" -> (q76PassageDedup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
     "q104_dup_spans" -> (q104DupSpans _),
+    "q107_incremental_spans" -> (q107IncrementalSpans _),
   )
 }

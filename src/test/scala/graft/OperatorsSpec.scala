@@ -608,6 +608,24 @@ class OperatorsSpec extends SparkTestBase {
     d
   }
 
+  test("incremental spans: only against-index duplication counts; intra-batch repeats do not") {
+    import spark.implicits._
+    def blk(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
+    val F = blk("f", 12); val G = blk("g", 12)
+    val dir = writeDocs(Seq(
+      3L -> s"${blk("i3u", 5)} $F ${blk("i3v", 5)}",   // index doc carrying F
+      7L -> blk("i7", 30),                              // unique index doc
+      10L -> s"${blk("n10", 6)} $F ${blk("n10b", 4)}",  // new: F hits the index
+      20L -> s"${blk("n20", 5)} $G",                    // new: G only intra-batch
+      40L -> s"$G ${blk("n40", 5)}",                    // new: G only intra-batch
+      50L -> blk("n50", 15)                             // new: unique
+    ).map { case (id, t) => (id, t, "synth") })
+    val out = Dedup.q107IncrementalSpans(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 22L, 1L, 12L, 12L, 0.545455)),
+      s"only the new doc whose block exists in the INDEX is flagged: ${out.toSeq}")
+  }
+
   test("quality classifier: logit matches a hand-rolled md5 reference; kept is the sign of the nano sum") {
     import spark.implicits._
     def wnano(b: Long): Long = md560(s"w:$b") % 2000000001L - 1000000000L
