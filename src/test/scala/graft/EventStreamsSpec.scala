@@ -72,6 +72,25 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("streaming bottom-k hash sample == batch (q106's sampling primitive under incremental state)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the q106 move on a stream: per-day uniform sample = the 8 rows with
+    // the smallest md5(event_id), kept incrementally by the mergeable
+    // top_k_by state (KMV property: k-smallest of a union = k-smallest of
+    // the parts' k-smallest), so streamed state == one-shot batch exactly
+    def smp(df: DataFrame): DataFrame = df
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("top_k_by(CAST(event_id AS STRING), -h, 8)").as("smp"))
+      .select(col("window.start").as("day"),
+        expr("transform(smp, e -> e.v)").as("sampled_ids"))
+    val streamed = runStream(smp(_), "smp_out")
+    val batch = smp(eventsTs)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup keeps one row per key; watermark bounds the state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
