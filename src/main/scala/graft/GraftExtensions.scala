@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, HeavyHitters, KmvSketch, LatestRow, LongDotProduct, RewriteMaxByToLatestRow, TopKBy, WordNgrams}
+import graft.functions.{BloomBuild, BloomMightContain, GraftFunctions, HeavyHitters, KmvSketch, LatestRow, LongDotProduct, Md5Prefix64, RewriteMaxByToLatestRow, TopKBy, WordNgrams}
 
 /** SparkSessionExtensions hook: add `spark.sql.extensions=graft.GraftExtensions`
   * to a session builder (or spark-submit conf) and graft's functions +
@@ -34,6 +34,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordNgrams].getCanonicalName, GraftFunctions.WordNgramsName),
       GraftFunctions.wordNgramsBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.Md5Prefix64Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Prefix64].getCanonicalName, GraftFunctions.Md5Prefix64Name),
+      (children: Seq[Expression]) => Md5Prefix64(children(0))))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.TopKByName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -83,3 +83,58 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
+
+/** Native 60-bit md5-prefix id: `md5_prefix64(s)` computes exactly
+  * `CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)` — the shuffle-key
+  * idiom of the whole dedup/shingle family — without materializing the
+  * 32-char hex string, substringing it, and re-parsing it per row: the top
+  * 60 bits are read straight off the digest bytes (first 7 bytes + the
+  * high nibble of byte 7 = the first 15 hex nibbles, big-endian — the
+  * same value `conv(..., 16, 10)` parses). Equivalence to the composed
+  * form is fuzz-pinned in OperatorsSpec, which is what licenses the DuckDB
+  * oracles to keep their `('0x' || substr(md5(..), 1, 15))::BIGINT`
+  * formulation unchanged.
+  *
+  * The digest itself is a per-thread reused MessageDigest — the composed
+  * form allocates a fresh one per row inside commons-codec, plus the hex
+  * string and the parsed substring.
+  */
+case class Md5Prefix64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 requires STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_prefix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix64.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix64.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
+object Md5Prefix64 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(utf8 bytes), big-endian — static forwarder is
+    * called from generated code.
+    */
+  def hash60(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+}

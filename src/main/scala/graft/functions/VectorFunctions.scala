@@ -91,6 +91,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       WordNgramsName, wordNgramsBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Md5Prefix64Name,
+      (children: Seq[Expression]) => Md5Prefix64(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       KmvSketchName, kmvSketchBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKByName, topKByBuilder _, "built-in")
@@ -174,6 +178,8 @@ object GraftFunctions {
   val LatestRowName = "latest_row"
   /** Spark-side name for the registered n-gram generator. */
   val WordNgramsName = "word_ngrams"
+  /** Spark-side name for the registered 60-bit md5-prefix id. */
+  val Md5Prefix64Name = "md5_prefix64"
   /** Spark-side name for the registered KMV distinct sketch aggregate. */
   val KmvSketchName = "kmv_sketch"
   /** Spark-side name for the registered bounded top-k aggregate. */

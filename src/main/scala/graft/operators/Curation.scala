@@ -605,8 +605,7 @@ object Curation {
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(wordNgramExpr(2)).as("g"))
-      .withColumn("b",
-        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)") % DsirBuckets)
+      .withColumn("b", expr("md5_prefix64(g)") % DsirBuckets)
       .select("doc_id", "lang", "b")
       .localCheckpoint(true)
     val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
@@ -658,8 +657,7 @@ object Curation {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(wordNgramExpr(3)).as("g"))
-      .withColumn("s",
-        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("s", expr("md5_prefix64(g)"))
       .select("source", "s").distinct()
       .localCheckpoint(true)
     val srcCnt = sh.groupBy(col("s")).agg(count(lit(1)).as("nsrc"))

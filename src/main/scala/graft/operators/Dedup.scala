@@ -63,12 +63,13 @@ object Dedup {
     * must have registered `word_ngrams` on the frame's OWN session (a
     * foreachBatch clone has its own registry).
     */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("g", explode(array_distinct(shingleExpr)))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("s"))
+      .select(col("doc_id"), expr("md5_prefix64(g)").as("s"))
+  }
 
   /** Per-doc shingle SETS for exact verification, restricted to the docs
     * appearing in a candidate pair list. The candidate IDS are what gets
@@ -370,8 +371,9 @@ object Dedup {
     * set. Input: (doc_id, t) one row per token occurrence.
     */
   private[graft] def simhashFingerprints(tok: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(tok.sparkSession)
     val hashed = tok
-      .withColumn("h", expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", expr("md5_prefix64(t)"))
     val bitSums = (0 until SimBits).map(b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -567,8 +569,7 @@ object Dedup {
     tok.filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(expr(s"word_ngrams(toks, $k)")).as(Seq("i", "g")))
-      .select(col("doc_id"), col("i"),
-        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("wh"))
+      .select(col("doc_id"), col("i"), expr("md5_prefix64(g)").as("wh"))
   }
 
   /** Island merge + per-doc rollup from duplicated (doc_id, offset) rows —

@@ -22,9 +22,13 @@ object Kmv {
   /** 2^60 (exactly representable as a double) — the hash-space size. */
   val Two60 = 1.152921504606846976e18
 
-  /** 60-bit uniform hash of a key (first 15 md5 hex chars as BIGINT). */
+  /** 60-bit uniform hash of a key (first 15 md5 hex chars as BIGINT — the
+    * native [[graft.functions.Md5Prefix64]]; callers register via
+    * [[graft.functions.GraftFunctions.register]], which they already need
+    * for `kmv_sketch`).
+    */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    call_function("md5_prefix64", c.cast("string"))
 
   /** Mergeable k-min sketch of a hash column: ascending array of the K
     * smallest distinct hashes ([[graft.functions.KmvSketch]] — map-side

@@ -604,8 +604,7 @@ object ScaleOps {
       expr(s"element_at(vals, greatest(1, CAST(ceil($q * size(vals)) AS INT)))")
     Queries.t(spark, dir, "documents")
       .select(col("source"), col("n_chars"),
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-          .as("h"))
+        expr("md5_prefix64(CAST(doc_id AS STRING))").as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr(s"top_k_by(CAST(n_chars AS STRING), -h, $SampleK)").as("smp"))

@@ -446,15 +446,15 @@ object TextAnalysis {
     * a rounded-double compare.
     */
   def q105QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = ClassifierBuckets
     val weights = spark.range(0, d.toLong).select(col("id").as("b"),
-      (expr("CAST(conv(substr(md5(concat('w:', CAST(id AS STRING))), 1, 15), " +
-        "16, 10) AS BIGINT)") % 2000000001L - 1000000000L).as("wnano"))
+      (expr("md5_prefix64(concat('w:', CAST(id AS STRING)))")
+        % 2000000001L - 1000000000L).as("wnano"))
     val tb = Queries.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("t"))
-      .withColumn("b",
-        expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)") % d)
+      .withColumn("b", expr("md5_prefix64(t)") % d)
     tb.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_toks"), sum(col("wnano")).as("nano"))

@@ -608,6 +608,32 @@ class OperatorsSpec extends SparkTestBase {
     d
   }
 
+  test("md5_prefix64 == CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT) on fuzzed strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq(
+      "abcdefghijklmnopqrstuvwxyz 0123456789",
+      "äöüßéèêñçπλΩ中文日本語한국어",  // multibyte UTF-8
+      " \t\n\"'\\|")         // control + escape chars
+    val fuzz = (1 to 2000).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until rnd.nextInt(80)).map(_ => a(rnd.nextInt(a.length))).mkString
+    } ++ Seq("", " ", "a", "0" * 10000)
+    val out = fuzz.toDF("s")
+      .select(
+        expr("md5_prefix64(s)").as("fast"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("ref"),
+        col("s"))
+      .filter(col("fast") =!= col("ref"))
+      .collect()
+    assert(out.isEmpty, s"divergence on: ${out.take(5).mkString(", ")}")
+    // null flows through as null, like the composed form
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(expr("md5_prefix64(s)")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("incremental spans: only against-index duplication counts; intra-batch repeats do not") {
     import spark.implicits._
     def blk(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
