@@ -503,6 +503,74 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q108: passage dedup with document reconstruction (C4/FineWeb-style)
+  // ------------------------------------------------------------------
+
+  /** Passage TEXTS of a doc's non-overlapping [[PassageTokens]]-token
+    * windows (the tail keeps its remainder) — the reconstructable twin of
+    * [[passageHashExpr]]; expects a `toks` column in scope.
+    */
+  private def passageTextExpr: Column = {
+    val p = PassageTokens
+    expr(
+      s"""transform(sequence(0, CAST(ceil(size(toks) / $p.0) AS INT) - 1),
+         |          i -> concat_ws(' ', slice(toks, i * $p + 1, $p)))""".stripMargin)
+  }
+
+  /** Passage dedup with reconstruction (q108): where q76 REPORTS how much
+    * of each document is corpus-duplicated passage text, this operator
+    * produces the cleaned corpus — the C4/FineWeb recipe of dropping every
+    * repeated passage except its first occurrence and re-concatenating
+    * what survives, so boilerplate (cookie banners, navigation, license
+    * headers) is cut out of every page that repeats it while the first
+    * page to carry it keeps it. "First" is the corpus-global minimum of
+    * (doc_id, passage offset), encoded as one BIGINT so the keeper choice
+    * is a plain `min` aggregate in both engines. Output per document: the
+    * passage counts and the reconstructed text (surviving passages in
+    * original order; empty string when everything was duplicated
+    * elsewhere).
+    *
+    * Scale shape (100 TB): chunking is per-row codegen; the keeper table
+    * is one map-side-combined hash-agg `min` on the passage hash (same
+    * exchange the lookup join reuses — the passage stream shuffles once,
+    * exactly q76's shape); reconstruction is a per-document hash-agg whose
+    * state is bounded by document length (collect_list of that doc's kept
+    * passages, sorted in-place by offset — no window function, no sort of
+    * the corpus, no driver collect). The rebuilt text column is the same
+    * order of magnitude as the input text it replaces.
+    */
+  def q108PassageClean(spark: SparkSession, dir: String): DataFrame =
+    passageClean(Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " ")))
+      .orderBy(col("doc_id"))
+
+  /** [[q108PassageClean]]'s kernel over an arbitrary (doc_id, toks) frame —
+    * shared with the spec's synthetic corpora.
+    */
+  private[graft] def passageClean(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = docs
+      .select(col("doc_id"), posexplode(passageTextExpr).as(Seq("i", "pt")))
+      .withColumn("ph", expr("md5_prefix64(pt)"))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("i"))
+    val keeper = p.groupBy(col("ph")).agg(min(col("ord")).as("keep_ord"))
+    p.join(keeper, Seq("ph"))
+      .withColumn("kept", col("ord") === col("keep_ord"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("i"), col("pt"))))),
+            x => x.getField("pt")),
+          " ").as("clean_text"))
+      .withColumn("n_removed", col("n_passages") - col("n_kept"))
+      .select("doc_id", "n_passages", "n_kept", "n_removed", "clean_text")
+  }
+
+  // ------------------------------------------------------------------
   // q104: maximal duplicated substring spans (ExactSubstr, distributed)
   // ------------------------------------------------------------------
 
@@ -795,6 +863,24 @@ object Dedup {
         |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
 
+    "q108_passage_clean" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, i,
+        |    array_to_string(toks[i*$PassageTokens+1 : i*$PassageTokens+$PassageTokens], ' ') AS pt
+        |  FROM t, unnest(range(CAST(ceil(len(toks) / $PassageTokens.0) AS INT))) AS u(i)),
+        |h AS (SELECT doc_id, i, pt,
+        |    ('0x' || substr(md5(pt), 1, 15))::BIGINT AS ph,
+        |    doc_id * 1000000 + i AS ord
+        |  FROM e),
+        |keeper AS (SELECT ph, min(ord) AS keep_ord FROM h GROUP BY ph)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN ord = keep_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN ord = keep_ord THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(pt, ' ' ORDER BY i) FILTER (WHERE ord = keep_ord), '')
+        |    AS clean_text
+        |FROM h JOIN keeper USING (ph)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q104_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w AS (SELECT doc_id, i,
@@ -876,6 +962,7 @@ object Dedup {
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q76_passage_dedup" -> (q76PassageDedup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
+    "q108_passage_clean" -> (q108PassageClean _),
     "q104_dup_spans" -> (q104DupSpans _),
     "q107_incremental_spans" -> (q107IncrementalSpans _),
   )

@@ -634,6 +634,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("passage clean: first occurrence survives, repeats are cut, text rebuilds in order") {
+    import spark.implicits._
+    def blk(p: String): String = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val A = blk("a"); val B = blk("b"); val C = blk("c")
+    val tail = "t1 t2 t3" // short remainder passage, unique
+    val dir = writeDocs(Seq(
+      0L -> s"$A $B",        // first carrier of A and B: keeps both
+      1L -> s"$A $C $tail",  // loses A, keeps C + its remainder tail
+      2L -> s"$B $A"         // repeats only: cleaned to empty
+    ).map { case (id, t) => (id, t, "synth") })
+    val out = Dedup.q108PassageClean(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 0L, s"$A $B"),
+      (1L, 3L, 2L, 1L, s"$C $tail"),
+      (2L, 2L, 0L, 2L, "")), out.toString)
+  }
+
   test("incremental spans: only against-index duplication counts; intra-batch repeats do not") {
     import spark.implicits._
     def blk(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
