@@ -92,6 +92,52 @@ object Similarity {
       .limit(10)
   }
 
+  /** Query-batch size and per-query k for q109 batch retrieval. */
+  private val BatchQueries = 20
+  private val BatchK = 5
+
+  /** Batch top-k retrieval (q109): a BATCH of query vectors (vec_id <
+    * [[BatchQueries]]) against the corpus, top-[[BatchK]] each — the
+    * retrieval shape of RAG indexing and hard-negative mining, where
+    * queries arrive thousands at a time, not one by one (q35's shape).
+    *
+    * The ranking is the mergeable `top_k_by` aggregate, NOT
+    * `row_number().over(partitionBy(qid))`: a window would shuffle all
+    * |corpus| x |queries| scored rows onto |queries| reducers and sort
+    * each query's full corpus ranking — one hot partition per query. The
+    * aggregate keeps <= k entries per query per partition before the
+    * shuffle, so the exchange carries |queries| x k x |partitions| rows
+    * no matter the corpus size. Ranking key: cosine in exact nano units
+    * (the DSIR nano-int precedent — floor(cos*1e9+0.5) on a
+    * bit-identical double is the same BIGINT in both engines); ties break
+    * on zero-padded vec_id ASC, matching the oracle's `ORDER BY ncos
+    * DESC, vec_id`.
+    *
+    * Scale shape (100 TB): queries broadcast once; the corpus is scanned
+    * once with B x 64 integer dots per row (codegen `long_dot`), no
+    * corpus-sized sort or window anywhere. Batching B queries amortizes
+    * the scan B ways — that, not per-query latency, is the throughput
+    * story an offline retrieval pass cares about.
+    */
+  def q109BatchAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nq").as("qn"))
+    e.filter(col("vec_id") >= BatchQueries)
+      .join(broadcast(queries))
+      .withColumn("cos", cosCol(dotExpr("q", "qq"), "nq", "qn"))
+      .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy(col("qid"))
+      .agg(expr(
+        s"top_k_by(lpad(CAST(vec_id AS STRING), 12, '0'), ncos, $BatchK)")
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit.v").cast("long").as("vec_id"),
+        (col("hit.c").cast("double") / 1e9).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Floor on the SRP-LSH plane count: 2^8 buckets minimum. */
   private[graft] val MinPlanes = 8
 
@@ -543,6 +589,20 @@ object Similarity {
         |FROM e, query WHERE e.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q109_batch_ann_topk" ->
+      s"""WITH $qCte,
+        |qs AS (SELECT vec_id AS qid, q AS qq, nq AS qn FROM e
+        |       WHERE vec_id < $BatchQueries),
+        |scored AS (SELECT qs.qid, e.vec_id,
+        |    CAST(floor((${cosSql("list_dot_product(e.q, qs.qq)", "e.nq", "qs.qn")})
+        |      * 1e9 + 0.5) AS BIGINT) AS ncos
+        |  FROM e, qs WHERE e.vec_id >= $BatchQueries),
+        |ranked AS (SELECT qid, vec_id, ncos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ncos DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, vec_id, CAST(ncos AS DOUBLE) / 1e9 AS cos
+        |FROM ranked WHERE rnk <= $BatchK ORDER BY qid, rnk""".stripMargin,
+
     "q69_quantized_cosine" ->
       s"""WITH $qCte,
         |sc8 AS (SELECT vec_id,
@@ -689,6 +749,7 @@ object Similarity {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_neardup" -> (q34EmbeddingNeardup _),
     "q35_ann_bruteforce" -> (q35AnnBruteforce _),
+    "q109_batch_ann_topk" -> (q109BatchAnnTopk _),
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q37_centroid_outliers" -> (q37CentroidOutliers _),
     "q38_ann_ivf" -> (q38AnnIvf _),

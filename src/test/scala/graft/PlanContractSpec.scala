@@ -132,6 +132,16 @@ class PlanContractSpec extends SparkTestBase {
       "no window: a per-nation ranking window sorts each nation's supplier list on one reducer")
   }
 
+  test("q109: batch retrieval broadcasts the queries and partial-aggregates the top-k — no window, no corpus sort") {
+    val p = plan(graft.operators.Similarity.q109BatchAnnTopk(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"per-query top-k must partial-aggregate before the shuffle:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the query batch must broadcast — the corpus side never shuffles for the join")
+    assert(!p.contains("Window ["),
+      "no ranking window: row_number over qid would sort each query's full corpus ranking on one reducer")
+  }
+
   test("q12: the per-part average is semi-join-bounded by the filtered dim before broadcast") {
     val df = Queries.q12ScalarSubquery(spark, dir)
     val p = plan(df)
