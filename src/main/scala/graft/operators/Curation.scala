@@ -281,6 +281,67 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   // ------------------------------------------------------------------
+  // q110: content-defined chunking (rolling-hash boundaries)
+  // ------------------------------------------------------------------
+
+  /** Rolling window width (tokens) for content-defined cut detection. */
+  private[graft] val CdcWindowTokens = 8
+  /** Boundary divisor: a cut fires when the window hash % this == 0, so
+    * the expected chunk length is ~[[CdcDivisor]] tokens.
+    */
+  private[graft] val CdcDivisor = 64
+
+  /** Content-defined chunking (q110): cut the token stream where the
+    * rolling [[CdcWindowTokens]]-token window hash is 0 mod
+    * [[CdcDivisor]] — the FastCDC/rsync recipe, applied token-wise. Where
+    * q54's fixed-stride chunks shift wholesale when a single token is
+    * inserted upstream (every downstream fingerprint changes), cut points
+    * here depend only on local CONTENT: after an insertion, chunks realign
+    * from the next surviving boundary on, so chunk-level dedup (the
+    * passage census, the q88 incremental index) keeps matching everything
+    * past the edit. The cut after window i lands at token offset
+    * i + [[CdcWindowTokens]]; a document with no firing window (or fewer
+    * than [[CdcWindowTokens]] tokens) is one chunk.
+    *
+    * Scale shape (100 TB): window hashing is the q104 census kernel
+    * (codegen word_ngrams + md5_prefix64, per-row); the only shuffle is
+    * the per-document cut-list rollup, whose state is bounded by document
+    * length (same bound as q108's reconstruction). Chunk slicing and
+    * fingerprinting are per-row codegen on the rebuilt intervals. No
+    * corpus-wide sort, no window function at all.
+    */
+  def q110CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[q110CdcChunks]]'s kernel over an arbitrary (doc_id, toks) frame —
+    * shared with the spec's shift-robustness corpus.
+    */
+  private[graft] def cdcChunks(tok: DataFrame): DataFrame = {
+    val k = CdcWindowTokens
+    val cuts = Dedup.windowsOf(tok, k)
+      .filter(pmod(col("wh"), lit(CdcDivisor.toLong)) === 0)
+      .select(col("doc_id"), (col("i") + lit(k)).as("c"))
+    val perDoc = cuts.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+    tok.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("bounds", concat(
+        array(lit(0)),
+        coalesce(col("cs"), expr("CAST(array() AS ARRAY<INT>)")),
+        array(size(col("toks")))))
+      // only the LAST interval can be empty (a cut exactly at the end);
+      // dropping it keeps chunk_id contiguous
+      .select(col("doc_id"), col("toks"), posexplode(expr(
+        "transform(sequence(0, size(bounds) - 2), j -> struct(bounds[j] AS s, bounds[j + 1] AS e))"))
+        .as(Seq("chunk_id", "b")))
+      .filter(col("b.e") > col("b.s"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("b.s").cast("long").as("start_tok"),
+        (col("b.e") - col("b.s")).cast("long").as("n_toks"),
+        md5(expr("concat_ws(' ', slice(toks, b.s + 1, b.e - b.s))")).as("chunk_fp"))
+  }
+
+  // ------------------------------------------------------------------
   // q55: per-language vocabulary top-k
   // ------------------------------------------------------------------
 
@@ -816,6 +877,26 @@ object Curation {
          |WHERE doc_id < 100 AND length(text) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "q110_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(
+        |      toks[i+1 : i+$CdcWindowTokens], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM t, unnest(range(len(toks) - $CdcWindowTokens + 1)) AS u(i)
+        |  WHERE len(toks) >= $CdcWindowTokens),
+        |cuts AS (SELECT doc_id, list(i + $CdcWindowTokens ORDER BY i) AS cs
+        |  FROM w WHERE wh % $CdcDivisor = 0 GROUP BY doc_id),
+        |b AS (SELECT t.doc_id, t.toks,
+        |    [0] || coalesce(cs, CAST([] AS BIGINT[])) || [len(t.toks)] AS bounds
+        |  FROM t LEFT JOIN cuts USING (doc_id)),
+        |ch AS (SELECT doc_id, toks, j - 1 AS chunk_id,
+        |    bounds[CAST(j AS INTEGER)] AS s, bounds[CAST(j AS INTEGER) + 1] AS e
+        |  FROM b, unnest(range(1, len(bounds))) AS u(j))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_tok, CAST(e - s AS BIGINT) AS n_toks,
+        |  md5(array_to_string(toks[CAST(s AS INTEGER)+1 : CAST(e AS INTEGER)], ' ')) AS chunk_fp
+        |FROM ch WHERE e > s ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q55_vocab_topk" ->
       """WITH counts AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token
@@ -982,6 +1063,7 @@ object Curation {
     "q52_decontaminate" -> (q52Decontaminate _),
     "q53_pack_windows" -> (q53PackWindows _),
     "q54_chunk_overlap" -> (q54ChunkOverlap _),
+    "q110_cdc_chunks" -> (q110CdcChunks _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_repetition" -> (q56Repetition _),
     "q78_mix_allocation" -> (q78MixAllocation _),

@@ -152,6 +152,36 @@ class CurationSpec extends SparkTestBase {
     assert(out(3).getString(3) == fpLast)
   }
 
+  test("q110 chunks partition each doc exactly; cuts realign after an upstream insertion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 400).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    val shifted = (1 to 37).map(i => s"p$i").mkString(" ") + " " + base
+    val d = writeDocs(Seq((1L, base), (2L, shifted), (3L, "tiny doc")))
+    val out = Curation.q110CdcChunks(spark, d)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // partition invariant: contiguous starts, token counts sum to doc length
+    for ((doc, chunks) <- out) {
+      val nToks = Map(1L -> 400, 2L -> 437, 3L -> 2)(doc)
+      assert(chunks.map(_._4).sum == nToks, s"doc $doc chunk sizes must sum to $nToks")
+      chunks.foldLeft(0L) { case (pos, (_, _, s, n, _)) =>
+        assert(s == pos, s"doc $doc chunk at $s expected $pos"); pos + n
+      }
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), s"doc $doc ids contiguous")
+    }
+    // a doc shorter than the window is one chunk
+    assert(out(3L).length == 1)
+    // shift robustness: every chunk of the base doc except (at most) its
+    // first appears verbatim in the shifted doc — cut points depend only
+    // on local content, so chunks realign after the inserted prefix
+    val baseFps = out(1L).map(_._5).toSeq
+    val shiftedFps = out(2L).map(_._5).toSet
+    assert(baseFps.size > 3, s"corpus too small to exercise cuts: ${baseFps.size} chunks")
+    assert(baseFps.tail.forall(shiftedFps.contains),
+      "all base chunks after the first must survive the upstream insertion")
+  }
+
   test("q56 scores repetitive text above unique text") {
     val rep = ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"a$i")
       ++ (1 to 5).map(i => s"a$i")).mkString(" ") // 3x the same 5 tokens
