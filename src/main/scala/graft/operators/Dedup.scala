@@ -503,6 +503,39 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q111: n-gram novelty growth curve (Heaps-law corpus saturation)
+  // ------------------------------------------------------------------
+
+  /** N-gram novelty growth (q111): how many NEW distinct 3-gram shingles
+    * each ingestion decile contributes, and the cumulative vocabulary
+    * curve — the Heaps-law diagnostic a corpus team reads before paying
+    * for another crawl: a flattening curve means new data is mostly
+    * restating what the corpus already has (the q96 per-source novelty
+    * question, asked of ingestion ORDER instead of provenance). Deciles
+    * are doc_id ranges (ingestion order); a shingle belongs to the decile
+    * of its corpus-global FIRST occurrence.
+    *
+    * Scale shape (100 TB): one map-side-combined hash-agg `min` over the
+    * shingle inverted index (60-bit ids — the family's narrow-key shuffle),
+    * then everything downstream is a 10-row frame; the cumulative window
+    * orders those 10 rows, never the corpus. The doc-count scalar joins
+    * as a broadcast of one row.
+    */
+  def q111NgramGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val nd = Queries.t(spark, dir, "documents")
+      .agg((max(col("doc_id")) + lit(1L)).as("ndocs"))
+    sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(nd))
+      .withColumn("decile", expr("CAST(first_doc * 10 div ndocs AS BIGINT)"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_ngrams"))
+      .withColumn("cum_ngrams",
+        sum(col("new_ngrams")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("decile"))
+  }
+
+  // ------------------------------------------------------------------
   // q108: passage dedup with document reconstruction (C4/FineWeb-style)
   // ------------------------------------------------------------------
 
@@ -863,6 +896,17 @@ object Dedup {
         |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
 
+    "q111_ngram_growth" ->
+      s"""WITH $shinglesCte,
+        |nd AS (SELECT max(doc_id) + 1 AS ndocs FROM documents),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+        |g AS (SELECT first_doc * 10 // ndocs AS decile, count(*) AS new_ngrams
+        |      FROM f, nd GROUP BY first_doc * 10 // ndocs)
+        |SELECT CAST(decile AS BIGINT) AS decile, new_ngrams,
+        |  CAST(sum(new_ngrams) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ngrams
+        |FROM g ORDER BY decile""".stripMargin,
+
     "q108_passage_clean" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |e AS (SELECT doc_id, i,
@@ -963,6 +1007,7 @@ object Dedup {
     "q76_passage_dedup" -> (q76PassageDedup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
     "q108_passage_clean" -> (q108PassageClean _),
+    "q111_ngram_growth" -> (q111NgramGrowth _),
     "q104_dup_spans" -> (q104DupSpans _),
     "q107_incremental_spans" -> (q107IncrementalSpans _),
   )

@@ -634,6 +634,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("ngram growth: novelty counts at first occurrence only; repeated docs add nothing") {
+    import spark.implicits._
+    // docs 5..9 are verbatim copies of 0..4 — with ndocs = 10 each doc is
+    // its own decile, so the curve must stop growing at decile 4
+    val uniq = (0 until 5).map(i => s"a$i b$i c$i d$i e$i")
+    val dir = writeDocs((uniq ++ uniq).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "synth")
+    })
+    val out = Dedup.q111NgramGrowth(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == (0 until 5).map(d => (d.toLong, 3L, 3L * (d + 1))),
+      s"each unique doc contributes its 3 shingles once, copies none: $out")
+  }
+
   test("passage clean: first occurrence survives, repeats are cut, text rebuilds in order") {
     import spark.implicits._
     def blk(p: String): String = (1 to 20).map(i => s"$p$i").mkString(" ")
