@@ -286,18 +286,27 @@ object Dedup {
     * any band bucket are candidates, verified with exact Jaccard >= 0.5 on
     * the shingle sets.
     */
-  /** Banded MinHash LSH buckets (doc_id, band, sig) from a shingle index —
-    * the probe structure shared by the batch self-join (q32) and the
-    * incremental new-vs-corpus probe (q67).
+  /** K-column minhash signatures (doc_id, m0..mK-1) from a shingle index —
+    * Kirsch-Mitzenmacher double hashing, one md5 per shingle. Shared by the
+    * banded buckets and the q112 calibration (which compares the raw
+    * components pairwise).
     */
-  private[graft] def lshBuckets(shingleDf: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(shingleDf: DataFrame): DataFrame = {
     val sh = shingleDf
       .withColumn("md", md5(col("s").cast("string")))
       .withColumn("h1", expr("CAST(conv(substr(md, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(md, 9, 8), 16, 10) AS BIGINT)"))
     val minhashes = (0 until K).map(k =>
       min((col("h1") + lit(k.toLong) * col("h2")) % P).as(s"m$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** Banded MinHash LSH buckets (doc_id, band, sig) from a shingle index —
+    * the probe structure shared by the batch self-join (q32) and the
+    * incremental new-vs-corpus probe (q67).
+    */
+  private[graft] def lshBuckets(shingleDf: DataFrame): DataFrame = {
+    val sigs = minhashSigs(shingleDf)
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig"))
@@ -319,6 +328,48 @@ object Dedup {
     // shingle index is semi-joined down to them BEFORE the sets aggregate
     verifyJaccard(candidates, candidateSets(shBase, candidates), 0.5)
       .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** MinHash estimator calibration (q112): for every LSH candidate pair,
+    * the SKETCH's Jaccard estimate (matching minhash components / K)
+    * against the exact Jaccard of the shingle sets, with the absolute
+    * error — the measurement that justifies (or indicts) the K=12 sketch
+    * before a 100 TB run trusts it: E[est] = J and sd = sqrt(J(1-J)/K)
+    * ≈ 0.14 at J=0.5, so per-pair errors up to ~0.3 are EXPECTED at this
+    * K, and this operator is how that's observed rather than asserted.
+    * Verification-side exactness (every q32 emission re-checks the real
+    * sets) is what makes the sketch error affordable; the estimate only
+    * steers candidate generation.
+    *
+    * Scale shape: candidates and exact verification are q32's machinery
+    * (banded buckets, semi-join-reduced sets); the component comparison
+    * adds one broadcast-sized join per side on the K-column signature
+    * table that already existed for bucketing — nothing new shuffles at
+    * corpus scale.
+    */
+  def q112MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val shBase = shingles(spark, dir).localCheckpoint(true)
+    val sigs = minhashSigs(shBase)
+      .select(col("doc_id"),
+        array((0 until K).map(c => col(s"m$c")): _*).as("sig"))
+      .localCheckpoint(true)
+    val buckets = lshBuckets(shBase)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    verifyJaccard(candidates, candidateSets(shBase, candidates), 0.0)
+      .join(sigs.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("n_match", expr(
+        """aggregate(zip_with(sa.sig, sb.sig,
+          |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, v) -> a + v)""".stripMargin))
+      .withColumn("est_jaccard", col("n_match").cast("double") / lit(K.toDouble))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .select("i", "j", "est_jaccard", "jaccard", "abs_err")
       .orderBy(col("i"), col("j"))
   }
 
@@ -757,6 +808,10 @@ object Dedup {
     s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
+  private def matchSql: String =
+    (0 until K).map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   private def simhashBitSums: String =
     (0 until SimBits).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n    ")
@@ -842,6 +897,36 @@ object Dedup {
         |SELECT i, j, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY i, j""".stripMargin,
+
+    "q112_minhash_calibration" ->
+      s"""WITH $shinglesCte,
+        |shh AS (SELECT doc_id, s,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+        |FROM sh),
+        |sigs AS (SELECT doc_id, $minhashCols FROM shh GROUP BY doc_id),
+        |buckets AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list(s) AS sset FROM sh GROUP BY doc_id),
+        |verified AS (
+        |  SELECT i, j,
+        |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+        |    len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS uni
+        |  FROM cand JOIN sets sa ON sa.doc_id = i JOIN sets sb ON sb.doc_id = j),
+        |m AS (
+        |  SELECT i, j, ($matchSql) AS n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = i JOIN sigs sb ON sb.doc_id = j)
+        |SELECT v.i, v.j,
+        |  CAST(m.n_match AS DOUBLE) / $K AS est_jaccard,
+        |  CAST(v.inter AS DOUBLE) / v.uni AS jaccard,
+        |  round(abs(CAST(m.n_match AS DOUBLE) / $K - CAST(v.inter AS DOUBLE) / v.uni), 6)
+        |    AS abs_err
+        |FROM verified v JOIN m ON m.i = v.i AND m.j = v.j
+        |ORDER BY v.i, v.j""".stripMargin,
 
     "q67_incremental_dedup" ->
       s"""WITH $shinglesCte,
@@ -1002,6 +1087,7 @@ object Dedup {
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q49_ngram_jaccard_capped" -> (q49NgramJaccardCapped _),
     "q32_minhash_lsh" -> (q32MinhashLsh _),
+    "q112_minhash_calibration" -> (q112MinhashCalibration _),
     "q33_simhash" -> (q33Simhash _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q76_passage_dedup" -> (q76PassageDedup _),

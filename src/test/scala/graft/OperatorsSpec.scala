@@ -634,6 +634,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("minhash calibration: identical docs estimate 1.0 with zero error; estimate stays within sketch bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (1 to 60).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    val near = base.split(" ").drop(6).mkString(" ") // high-overlap variant
+    val dir = writeDocs(Seq(
+      (1L, base, "synth"), (2L, base, "synth"), (3L, near, "synth")))
+    val out = Dedup.q112MinhashCalibration(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, est, exact, err) = out((1L, 2L))
+    assert(est == 1.0 && exact == 1.0 && err == 0.0,
+      "identical shingle sets must match on every component")
+    out.values.foreach { case (i, j, e, x, a) =>
+      assert(e >= 0.0 && e <= 1.0 && math.abs(a - math.abs(e - x)) < 1e-6,
+        s"($i,$j) est/err out of contract")
+    }
+  }
+
   test("ngram growth: novelty counts at first occurrence only; repeated docs add nothing") {
     import spark.implicits._
     // docs 5..9 are verbatim copies of 0..4 — with ndocs = 10 each doc is
