@@ -86,9 +86,81 @@ object AnnStress {
     spark.stop()
   }
 
+  /** q109's batch-retrieval kernel at beyond-bench scale: `nVecs` corpus
+    * vectors x `nQueries` queries, top-10 each, via the mergeable top-k
+    * aggregate. Two claims: (1) throughput — the corpus is scanned once
+    * and the aggregate's state is k entries per query per partition, so
+    * wall time tracks nVecs x nQueries dot products, not any sort; (2)
+    * exactness — for sampled queries the aggregate's ranking equals the
+    * brute-force sort of the same scored frame (the window formulation it
+    * replaces).
+    *
+    * Run: `sbt "runMain graft.AnnStress batch [nVecs] [nQueries]"`
+    * (defaults 1000000 / 256).
+    */
+  private def batchMain(nVecs: Long, nQueries: Int): Unit = {
+    val k = 10
+    val spark = Harness.session("graft-batch-ann-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import Harness.timed
+
+    val vecs: DataFrame = spark.range(nVecs)
+      .select(col("id").as("vec_id"))
+      .withColumn("q", expr(
+        "transform(sequence(0, 63), d -> CAST(pmod(hash(vec_id, d), 201) - 100 AS BIGINT))"))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .localCheckpoint(true)
+    val queries = spark.range(nQueries)
+      .select(col("id").as("qid"))
+      .withColumn("qq", expr(
+        "transform(sequence(0, 63), d -> CAST(pmod(hash(qid + 7, d, 13), 201) - 100 AS BIGINT))"))
+      .withColumn("qn", expr("long_dot(qq, qq)"))
+      .localCheckpoint(true)
+
+    val (top, sec) = timed {
+      val t = Similarity.batchTopk(vecs, queries, k).localCheckpoint(true)
+      t.count()
+      t
+    }
+    val nRows = top.count()
+    require(nRows == nQueries.toLong * k,
+      s"expected ${nQueries.toLong * k} result rows, got $nRows")
+
+    // exactness on sampled queries: the aggregate == the sort it replaces
+    for (sampleQ <- Seq(0L, nQueries / 2L, nQueries - 1L)) {
+      val qrow = queries.filter(col("qid") === sampleQ)
+        .select(col("qq"), col("qn")).as[(Array[Long], Long)].head()
+      val brute = vecs
+        .withColumn("dot", expr(
+          s"long_dot(q, array(${qrow._1.map(_ + "L").mkString(",")}))"))
+        .withColumn("cos", expr(
+          s"""CASE WHEN nq = 0 OR ${qrow._2} = 0 THEN CAST(0.0 AS DOUBLE)
+             |ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(${qrow._2} AS DOUBLE))) END""".stripMargin))
+        .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+        .orderBy(col("ncos").desc, col("vec_id")).limit(k)
+        .select(col("vec_id"), col("ncos")).as[(Long, Long)].collect().toSeq
+      val agg = top.filter(col("qid") === sampleQ).orderBy(col("rnk"))
+        .select(col("vec_id"), expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+        .as[(Long, Long)].collect().toSeq
+      require(agg == brute, s"query $sampleQ: aggregate != brute-force sort\n$agg\n$brute")
+    }
+    val dots = nVecs * nQueries
+    println(s"""{"harness":"batch-ann-stress","n_vecs":$nVecs,"n_queries":$nQueries,""" +
+      s""""k":$k,"rows":$nRows,"dots":$dots,""" +
+      s""""mdots_per_sec":${math.round(dots / sec / 1e6 * 10) / 10.0},""" +
+      s""""sec":${math.round(sec * 100) / 100.0}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lsh")) {
       lshMain(args.lift(1).map(_.toLong).getOrElse(100000L))
+      return
+    }
+    if (args.headOption.contains("batch")) {
+      batchMain(args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toInt).getOrElse(256))
       return
     }
     val nVecs = args.headOption.map(_.toLong).getOrElse(100000L)

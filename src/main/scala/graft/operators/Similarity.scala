@@ -123,19 +123,29 @@ object Similarity {
     val e = qvecs(spark, dir).localCheckpoint(true)
     val queries = e.filter(col("vec_id") < BatchQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("nq").as("qn"))
-    e.filter(col("vec_id") >= BatchQueries)
+    batchTopk(e.filter(col("vec_id") >= BatchQueries), queries, BatchK)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** [[q109BatchAnnTopk]]'s kernel over arbitrary corpus (vec_id, q, nq)
+    * and query (qid, qq, qn) frames — shared with the beyond-bench stress
+    * harness ([[graft.AnnStress]] `batch`).
+    */
+  private[graft] def batchTopk(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
       .join(broadcast(queries))
       .withColumn("cos", cosCol(dotExpr("q", "qq"), "nq", "qn"))
       .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
       .groupBy(col("qid"))
       .agg(expr(
-        s"top_k_by(lpad(CAST(vec_id AS STRING), 12, '0'), ncos, $BatchK)")
+        s"top_k_by(lpad(CAST(vec_id AS STRING), 12, '0'), ncos, $k)")
         .as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
         col("hit.v").cast("long").as("vec_id"),
         (col("hit.c").cast("double") / 1e9).as("cos"))
-      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Floor on the SRP-LSH plane count: 2^8 buckets minimum. */
