@@ -322,8 +322,12 @@ object Curation {
     val cuts = Dedup.windowsOf(tok, k)
       .filter(pmod(col("wh"), lit(CdcDivisor.toLong)) === 0)
       .select(col("doc_id"), (col("i") + lit(k)).as("c"))
+    // one cut-list row PER DOCUMENT — corpus-sized, so the join must
+    // shuffle on doc_id; tiny-SF stats would otherwise broadcast a build
+    // that is unbounded at 100 TB (the round-2 dedup contract)
     val perDoc = cuts.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .hint("shuffle_hash")
     tok.join(perDoc, Seq("doc_id"), "left")
       .withColumn("bounds", concat(
         array(lit(0)),
