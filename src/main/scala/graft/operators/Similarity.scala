@@ -383,6 +383,56 @@ object Similarity {
     assignScored(e.filter(isNew), centroids).orderBy(col("vec_id"))
   }
 
+  /** Cross-corpus ANN join (q113): for every probe vector, its nearest
+    * neighbor in a DIFFERENT corpus — the large-to-large retrieval shape of
+    * hard-negative mining and corpus alignment, where BOTH sides are
+    * corpus-sized and neither fits a broadcast (q109 broadcasts its query
+    * batch; this operator cannot). Even vec_ids stand in for the probe
+    * corpus A, odd for the index corpus B.
+    *
+    * The join is coordinated through a shared IVF partitioning: centroids
+    * train on B alone (q88's frozen-index recipe — seeds = first
+    * [[IvfK]] B vectors, [[IvfIters]] integer k-means rounds), then BOTH
+    * sides assign to their argmax-cosine cell and the pair generation is
+    * an equi-join on cell id. Per-probe argmax rides the mergeable
+    * `top_k_by` aggregate at k=1 (nano-int cosine, tie -> lowest b_id), so
+    * partials collapse each probe's candidates inside the cell partition
+    * and the final exchange carries one row per probe. A probe whose cell
+    * holds no B vectors is dropped (inner semantics — at scale those
+    * probes re-run against a wider probe set, q82's multi-probe move).
+    *
+    * Scale shape (100 TB): the only corpus-sized exchanges are the two
+    * cell-id shuffles (or none, when both corpora are STORED partitioned
+    * by cell — the IVF layout q38 describes); candidate pairs per cell are
+    * |A_cell| x |B_cell|, bounded by the cell occupancy the centroid count
+    * controls (a deployment sizes K ~ corpus/target-cell-size, the same
+    * knob as [[planesFor]]). No all-pairs product, no corpus-sized
+    * broadcast, no window.
+    */
+  def q113AnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val probes = e.filter(col("vec_id") % 2 === 0)
+    val index = e.filter(col("vec_id") % 2 === 1)
+    val seeds = index.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = ivfCentroids(index, seeds)
+    val aC = probes.join(assign(probes, centroids), Seq("vec_id"))
+    val bC = index.join(assign(index, centroids), Seq("vec_id"))
+    aC.as("a").join(bC.as("b"), col("a.cid") === col("b.cid"))
+      .select(col("a.vec_id").as("a_id"), col("a.cid").as("cid"),
+        col("b.vec_id").as("b_id"),
+        expr(dotExpr("a.q", "b.q")).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .withColumn("cos", cosCol("dot", "na", "nb"))
+      .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy(col("a_id"), col("cid"))
+      .agg(expr("top_k_by(lpad(CAST(b_id AS STRING), 12, '0'), ncos, 1)").as("top"))
+      .select(col("a_id"), col("cid"),
+        col("top")(0).getField("v").cast("long").as("b_id"),
+        (col("top")(0).getField("c").cast("double") / 1e9).as("cos"))
+      .orderBy(col("a_id"))
+  }
+
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
     */
@@ -720,6 +770,35 @@ object Similarity {
         |  AND e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
 
+    "q113_ann_join" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |ea AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |ex AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM ex ORDER BY vec_id LIMIT $IvfK),
+        |${assignCte("a1", "cent0", "ex")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1", "ex")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("afa", "cent2", "ea")},
+        |${assignCte("afb", "cent2", "ex")},
+        |pairs AS (
+        |  SELECT ea.vec_id AS a_id, afa.cid AS cid, ex.vec_id AS b_id,
+        |    CAST(floor((${cosSql("list_dot_product(ea.q, ex.q)", "ea.nq", "ex.nq")})
+        |      * 1e9 + 0.5) AS BIGINT) AS ncos
+        |  FROM ea JOIN afa ON ea.vec_id = afa.vec_id
+        |       JOIN afb ON afa.cid = afb.cid
+        |       JOIN ex ON ex.vec_id = afb.vec_id),
+        |ranked AS (
+        |  SELECT a_id, cid, b_id, ncos,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY ncos DESC, b_id) AS rn
+        |  FROM pairs)
+        |SELECT a_id, cid, b_id, CAST(ncos AS DOUBLE) / 1e9 AS cos
+        |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin,
+
     "q37_centroid_outliers" ->
       s"""WITH $qCte,
         |pos AS (
@@ -768,5 +847,6 @@ object Similarity {
     "q82_ann_ivf_multiprobe" -> (q82AnnIvfMultiprobe _),
     "q88_ann_incremental" -> (q88AnnIncremental _),
     "q97_semdedup_prune" -> (q97SemdedupPrune _),
+    "q113_ann_join" -> (q113AnnJoin _),
   )
 }

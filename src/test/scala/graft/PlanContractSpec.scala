@@ -142,6 +142,16 @@ class PlanContractSpec extends SparkTestBase {
       "no ranking window: row_number over qid would sort each query's full corpus ranking on one reducer")
   }
 
+  test("q113: the cross-corpus join pairs on cell id and partial-aggregates the argmax — no product, no window") {
+    val p = plan(graft.operators.Similarity.q113AnnJoin(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"per-probe argmax must partial-aggregate inside the cell partition:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      "no ranking window: row_number over a_id would sort each probe's candidate list on one reducer")
+    assert(!p.contains("CartesianProduct"),
+      "probe-index pairing must stay a cid equi-join, never an all-pairs product")
+  }
+
   test("q12: the per-part average is semi-join-bounded by the filtered dim before broadcast") {
     val df = Queries.q12ScalarSubquery(spark, dir)
     val p = plan(df)
