@@ -30,9 +30,13 @@ object Queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by default;
-    * read it as epoch-nanos long and expose epoch-µs (matches DuckDB's
-    * truncate-to-µs read). Column `ts_us` replaces `ts`.
+  /** events.ts arrives at whatever precision the generator wrote — parquet
+    * TIMESTAMP(NANOS) (Spark refuses by default; read as epoch-nano long via
+    * `nanosAsLong`), TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ), or an adjusted TIMESTAMP. All three are normalized to
+    * one epoch-microsecond long column `ts_us` replacing `ts` — the exact
+    * value DuckDB's `epoch_us(ts)` yields on the same file (DuckDB truncates
+    * nanos to µs on read; sessions run in UTC so NTZ wall-time == UTC).
     *
     * NOTE: `nanosAsLong` is a session-wide SQL conf and stays set for the
     * session's lifetime — deliberately: the conf is consulted again at scan
@@ -42,9 +46,12 @@ object Queries {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_us", expr(floorDivSql("ts", 1000L)))
-      .drop("ts")
+    val raw = t(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr(floorDivSql("ts", 1000L))
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
 
   /** Exact decimal sum emitted as double: order-insensitive, engine-portable. */
