@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Queries, ScaleOps, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, EmbedOps, Multimodal, Queries, ScaleOps, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry has a DuckDB-equivalent in `oracleSql` with
@@ -18,11 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ TextAnalysis.registry ++ Dedup.registry ++
       Similarity.registry ++ Multimodal.registry ++ Curation.registry ++
-      ScaleOps.registry
+      ScaleOps.registry ++ EmbedOps.registry
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Curation.oracles ++
-      ScaleOps.oracles
+      ScaleOps.oracles ++ EmbedOps.oracles
 }

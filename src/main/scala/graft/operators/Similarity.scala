@@ -531,13 +531,13 @@ object Similarity {
   // Oracles
   // ------------------------------------------------------------------
 
-  private val qCte =
+  private[operators] val qCte =
     """qe AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
       |FROM embeddings),
       |e AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nq FROM qe)""".stripMargin
 
-  private def cosSql(dot: String, na: String, nb: String): String =
+  private[operators] def cosSql(dot: String, na: String, nb: String): String =
     s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
        |ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END""".stripMargin
 
@@ -615,7 +615,7 @@ object Similarity {
       |eb AS (SELECT e.vec_id, e.q, e.nq, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id)""".stripMargin
 
   /** One oracle assignment CTE: vectors -> argmax-cosine centroid of `cent`. */
-  private def assignCte(name: String, cent: String, src: String = "e"): String =
+  private[operators] def assignCte(name: String, cent: String, src: String = "e"): String =
     s"""$name AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT $src.vec_id, c.cid,
@@ -624,7 +624,7 @@ object Similarity {
       |    FROM $src, $cent c) WHERE rn = 1)""".stripMargin
 
   /** One oracle centroid-update CTE pair from assignment `a`. */
-  private def updateCte(sums: String, cent: String, a: String): String =
+  private[operators] def updateCte(sums: String, cent: String, a: String): String =
     s"""$sums AS (
       |  SELECT cid, i, CAST(sum(qi) AS BIGINT) AS ci
       |  FROM pos JOIN $a USING (vec_id) GROUP BY cid, i),

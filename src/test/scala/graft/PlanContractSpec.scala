@@ -428,4 +428,21 @@ class PlanContractSpec extends SparkTestBase {
         s"$name: both sides must cluster on the key(s):\n${p.take(2500)}")
     }
   }
+
+  test("q115: the eval side broadcasts into a semi join — the train corpus is never shuffled or windowed") {
+    val p = plan(graft.operators.EmbedOps.q115SemanticDecontam(spark, dir))
+    // non-equi cosine predicate + small build side => BNLJ LeftSemi is THE
+    // right plan: per-train-row early-exit scan of the broadcast eval set
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftSemi"),
+      s"eval probe must be a broadcast semi join:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(2500))
+  }
+
+  test("q114: the cell profile is one hash agg over the assignment — no window, no product") {
+    val p = plan(graft.operators.EmbedOps.q114IvfCells(spark, dir))
+    assert(!p.contains("Window"), s"per-cell stats must not window:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // the K-centroid side of the assignment cross joins via broadcast only
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
 }
