@@ -90,6 +90,77 @@ object EmbedOps {
       .orderBy(col("label"))
   }
 
+  /** Candidate pool / selected-set sizes for q116. */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** nano-int cosine: floor(cos*1e9 + 0.5) as BIGINT — the summable /
+    * comparable integer form of a bit-identical double (q109's idiom).
+    */
+  private def nanoCos(d: String, na: String, nb: String) =
+    expr(s"""CAST(floor((CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0.0 AS DOUBLE)
+            |ELSE CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END)
+            |* 1e9 + 0.5) AS BIGINT)""".stripMargin)
+
+  /** MMR diverse retrieval (q116): maximal-marginal-relevance re-ranking
+    * (Carbonell & Goldstein 1998) — greedily pick [[MmrK]] results that
+    * balance relevance to the query against redundancy with what's already
+    * picked: argmax(rel(c) - max_{s in selected} sim(c, s)), i.e. λ = 1/2
+    * up to the monotone 2x scaling, which keeps the WHOLE score in exact
+    * nano-int BIGINT space — no float comparison can disagree across
+    * engines. A plain top-k returns 5 copies of the same near-duplicate
+    * answer; retrieval for RAG and hard-negative mining wants coverage.
+    *
+    * Scale shape: the corpus-sized work is exactly q35's — one broadcast
+    * of the query, one codegen scan, a TakeOrdered for the [[MmrPool]]
+    * candidate pool. Everything after operates on the POOL (pool self-join
+    * for pairwise sims, then [[MmrK]] greedy rounds of
+    * anti-join + max-agg + top-1 on <= pool-sized frames) — cost O(k·M²)
+    * on M = pool rows, independent of corpus size. The greedy loop is
+    * driver-side control flow over distributed ops, the
+    * [[Similarity.ivfCentroids]] precedent; nothing collects.
+    */
+  def q116MmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .withColumn("rel", nanoCos(s"long_dot(q, qq)", "nq", "qn"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .select("vec_id", "q", "nq", "rel")
+      .localCheckpoint(true)
+    val sims = cands.as("a").join(cands.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        nanoCos("long_dot(a.q, b.q)", "a.nq", "b.nq").as("s"))
+      .localCheckpoint(true)
+    // greedy: first pick is pure relevance (empty selected set -> maxsim 0)
+    var selected = cands.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(lit(1).as("step"), col("vec_id"), col("rel"), lit(0L).as("ms"))
+      .localCheckpoint(true)
+    for (step <- 2 to MmrK) {
+      val selIds = selected.select(col("vec_id").as("sid"))
+      val msAgg = sims.join(selIds, col("j") === col("sid"))
+        .groupBy(col("i")).agg(max(col("s")).as("msv"))
+      val pick = cands
+        .join(selIds, cands("vec_id") === selIds("sid"), "left_anti")
+        .join(msAgg, cands("vec_id") === msAgg("i"), "left")
+        .withColumn("ms", coalesce(col("msv"), lit(0L)))
+        .withColumn("score", col("rel") - col("ms"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(step).as("step"), col("vec_id"), col("rel"), col("ms"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+      .select(col("step"), col("vec_id"),
+        (col("rel").cast("double") / 1e9).as("rel_cos"),
+        (col("ms").cast("double") / 1e9).as("max_sim"))
+      .orderBy(col("step"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -140,10 +211,51 @@ object EmbedOps {
         |  count(*) - CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM tr LEFT JOIN removed r ON tr.vec_id = r.vec_id
         |GROUP BY tr.label ORDER BY label""".stripMargin,
+
+    // the greedy selection is a recursive CTE over the candidate pool;
+    // sims are a per-candidate list indexed by candidate RANK so the
+    // recursive term needs only list lookups (DuckDB disallows aggregates
+    // in the recursive part; list_max over a lambda is the workaround)
+    "q116_mmr_diverse" ->
+      s"""WITH RECURSIVE $qCte,
+        |query AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.q, e.nq,
+        |    CAST(floor((${cosSql("list_dot_product(e.q, query.qq)", "e.nq", "query.qn")})
+        |      * 1e9 + 0.5) AS BIGINT) AS rel
+        |  FROM e, query WHERE e.vec_id <> 0),
+        |cands AS (
+        |  SELECT row_number() OVER (ORDER BY rel DESC, vec_id) AS r,
+        |    vec_id, q, nq, rel
+        |  FROM scored ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+        |cs AS (
+        |  SELECT a.r, a.vec_id, a.rel,
+        |    list(CAST(floor((${cosSql("list_dot_product(a.q, b.q)", "a.nq", "b.nq")})
+        |      * 1e9 + 0.5) AS BIGINT) ORDER BY b.r) AS sims
+        |  FROM cands a JOIN cands b ON true GROUP BY a.r, a.vec_id, a.rel),
+        |sel AS (
+        |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS ids,
+        |    CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS rel,
+        |    CAST(NULL AS BIGINT) AS ms
+        |  UNION ALL
+        |  SELECT sel.step + 1, list_append(sel.ids, p.r), p.vec_id, p.rel, p.ms
+        |  FROM sel, LATERAL (
+        |    SELECT c.r, c.vec_id, c.rel,
+        |      coalesce(list_max(list_transform(sel.ids, s -> c.sims[s])), 0) AS ms
+        |    FROM cs c
+        |    WHERE NOT list_contains(sel.ids, c.r)
+        |    ORDER BY c.rel - coalesce(list_max(list_transform(sel.ids, s -> c.sims[s])), 0) DESC,
+        |      c.vec_id
+        |    LIMIT 1) p
+        |  WHERE sel.step < $MmrK)
+        |SELECT step, vec_id, CAST(rel AS DOUBLE) / 1e9 AS rel_cos,
+        |  CAST(ms AS DOUBLE) / 1e9 AS max_sim
+        |FROM sel WHERE step >= 1 ORDER BY step""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_ivf_cells" -> (q114IvfCells _),
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
+    "q116_mmr_diverse" -> (q116MmrDiverse _),
   )
 }
