@@ -736,6 +736,57 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q117: per-source unigram KL divergence vs the corpus (drift audit)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size for the q117 hashed-unigram distributions. */
+  private val KlBuckets = 512
+
+  /** Per-source KL divergence (q117): D_KL(source ‖ corpus) over
+    * Laplace-smoothed hashed-unigram distributions — the lexical drift
+    * score that ranks provenances by how far their token mix sits from
+    * the corpus blend. Complements q96 (novelty counts what's UNIQUE to a
+    * source; KL measures how its whole DISTRIBUTION deviates — a source
+    * of common words in weird proportions has low novelty but high KL)
+    * and q100 (PSI monitors the same distribution across TIME; this
+    * compares across PROVENANCE).
+    *
+    * Scale shape: the token stream collapses immediately into a
+    * (source, bucket) census — one map-side-combined hash agg on a
+    * [[KlBuckets]]-value key per source, the ONE corpus-sized pass
+    * (localCheckpoint: three consumers). Everything downstream is
+    * |sources| x [[KlBuckets]] rows: marginals, a bucket spine, and the
+    * term sum. Determinism: each smoothed term rounds to integer NANO
+    * units before the BIGINT sum (q100's precedent), expression text
+    * mirrored verbatim in the oracle.
+    */
+  def q117SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val bk = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", expr("md5_prefix64(tok)") % KlBuckets)
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ns = bk.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val cb = bk.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tot = bk.agg(sum(col("c")).as("nt"))
+    val spine = ns.select(col("source"), col("ns"),
+      explode(expr(s"sequence(0L, ${KlBuckets - 1}L)")).as("b"))
+    spine.join(bk, Seq("source", "b"), "left")
+      .join(broadcast(cb), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("nano", expr(
+        s"""CAST(round(((coalesce(c, 0) + CAST(1 AS DOUBLE)) / (ns + $KlBuckets))
+           |  * ln(((coalesce(c, 0) + CAST(1 AS DOUBLE)) / (ns + $KlBuckets))
+           |       / ((coalesce(cb, 0) + CAST(1 AS DOUBLE)) / (nt + $KlBuckets)))
+           |  * 1000000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"), col("ns"))
+      .agg(sum(col("nano")).as("nano"))
+      .withColumn("kl", round(col("nano").cast("double") / 1e9, 6))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
   // q98: robust length outliers (median/MAD, census-based exact)
   // ------------------------------------------------------------------
 
@@ -1016,6 +1067,29 @@ object Curation {
         |  round(CAST(nano AS DOUBLE) / 1e9, 6) AS dsir_weight
         |FROM ds ORDER BY dsir_weight DESC, doc_id LIMIT $DsirTopK""".stripMargin,
 
+    "q117_source_kl" ->
+      s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |bk AS (SELECT source,
+        |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % $KlBuckets AS b FROM tk),
+        |census AS (SELECT source, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM census GROUP BY 1),
+        |cbt AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM census GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM census),
+        |spine AS (SELECT ns.source, ns.ns, g.b
+        |          FROM ns, generate_series(0, ${KlBuckets - 1}) AS g(b)),
+        |terms AS (SELECT s.source, s.ns,
+        |  CAST(round(((coalesce(census.c, 0) + CAST(1 AS DOUBLE)) / (s.ns + $KlBuckets))
+        |    * ln(((coalesce(census.c, 0) + CAST(1 AS DOUBLE)) / (s.ns + $KlBuckets))
+        |         / ((coalesce(cbt.cb, 0) + CAST(1 AS DOUBLE)) / (tot.nt + $KlBuckets)))
+        |    * 1000000000) AS BIGINT) AS nano
+        |  FROM spine s
+        |  LEFT JOIN census ON s.source = census.source AND s.b = census.b
+        |  LEFT JOIN cbt ON s.b = cbt.b CROSS JOIN tot)
+        |SELECT source, ns AS n_tokens,
+        |  round(CAST(sum(nano) AS DOUBLE) / 1e9, 6) AS kl
+        |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
+
     "q96_source_novelty" ->
       s"""WITH sh AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
@@ -1078,5 +1152,6 @@ object Curation {
     "q95_dsir_selection" -> (q95DsirSelection _),
     "q96_source_novelty" -> (q96SourceNovelty _),
     "q98_length_outliers" -> (q98LengthOutliers _),
+    "q117_source_kl" -> (q117SourceKl _),
   )
 }
