@@ -787,6 +787,53 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q118: quality-ranked round-robin mix interleave
+  // ------------------------------------------------------------------
+
+  /** Mix size and per-source candidate depth for q118. */
+  private val MixTotal = 100
+  private val MixPerSource = 10
+
+  /** Round-robin mix construction (q118): build a training mix by
+    * interleaving each source's quality-ranked documents — every source's
+    * rank-1 doc first (alphabetical by source), then every rank-2, and so
+    * on to [[MixTotal]] rows. Where q78 ALLOCATES budgets per source and
+    * q87 draws a weighted global sample, this produces the deterministic
+    * ORDER a curriculum-style mix actually feeds the trainer: no single
+    * high-scoring source can monopolize a prefix of the mix.
+    *
+    * Scale shape: per-source ranking is the mergeable `top_k_by` aggregate
+    * (<= [[MixPerSource]] entries per source per partition before the
+    * shuffle) — NEVER a per-source window over full membership, which
+    * would sort a web-scale source on one reducer. The only window runs on
+    * the post-agg frame, bounded at |sources| x [[MixPerSource]] rows
+    * regardless of corpus size. Ranking key is the nano-int quality score
+    * (ties -> lowest doc_id), matching the oracle's row_number order
+    * exactly.
+    */
+  def q118InterleaveMix(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    val d = docs(spark, dir).select("doc_id", "source")
+      .join(scored, Seq("doc_id"))
+      .withColumn("nscore", expr("CAST(floor(score * 1e9 + 0.5) AS BIGINT)"))
+    val ranked = d.groupBy(col("source"))
+      .agg(expr(s"top_k_by(lpad(CAST(doc_id AS STRING), 12, '0'), nscore, $MixPerSource)")
+        .as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit.v").cast("long").as("doc_id"),
+        (col("hit.c").cast("double") / 1e9).as("score"))
+    ranked
+      .withColumn("seq", row_number().over(
+        Window.orderBy(col("rnk"), col("source"))).cast("long"))
+      .filter(col("seq") <= MixTotal)
+      .select("seq", "source", "rnk", "doc_id", "score")
+      .orderBy(col("seq"))
+  }
+
+  // ------------------------------------------------------------------
   // q98: robust length outliers (median/MAD, census-based exact)
   // ------------------------------------------------------------------
 
@@ -1090,6 +1137,23 @@ object Curation {
         |  round(CAST(sum(nano) AS DOUBLE) / 1e9, 6) AS kl
         |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
 
+    "q118_interleave_mix" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id,
+        |  CAST(floor((${TextAnalysis.qualityScoreSql}) * 1e9 + 0.5) AS BIGINT) AS nscore
+        |  FROM m),
+        |ranked AS (SELECT d.source, sc.doc_id, sc.nscore,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY sc.nscore DESC, sc.doc_id) AS BIGINT) AS rnk
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |mix AS (SELECT CAST(row_number() OVER (ORDER BY rnk, source) AS BIGINT) AS seq,
+        |    source, rnk, doc_id, CAST(nscore AS DOUBLE) / 1e9 AS score
+        |  FROM ranked WHERE rnk <= $MixPerSource)
+        |SELECT seq, source, rnk, doc_id, score FROM mix
+        |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
+
     "q96_source_novelty" ->
       s"""WITH sh AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
@@ -1153,5 +1217,6 @@ object Curation {
     "q96_source_novelty" -> (q96SourceNovelty _),
     "q98_length_outliers" -> (q98LengthOutliers _),
     "q117_source_kl" -> (q117SourceKl _),
+    "q118_interleave_mix" -> (q118InterleaveMix _),
   )
 }

@@ -429,6 +429,14 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q118: per-source ranking partial-aggregates; only the bounded interleave windows") {
+    val p = plan(graft.operators.Curation.q118InterleaveMix(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"per-source rank must be the mergeable aggregate:\n${p.take(2500)}")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"exactly one window (the |sources| x k interleave), never per-source membership:\n${p.take(2500)}")
+  }
+
   test("q115: the eval side broadcasts into a semi join — the train corpus is never shuffled or windowed") {
     val p = plan(graft.operators.EmbedOps.q115SemanticDecontam(spark, dir))
     // non-equi cosine predicate + small build side => BNLJ LeftSemi is THE
