@@ -554,6 +554,83 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q119: KMV-sketched source overlap, calibrated against the exact answer
+  // ------------------------------------------------------------------
+
+  /** Sketch-estimated source overlap (q119): q80 asks the contamination
+    * question EXACTLY, paying a distinct (source, passage) census plus a
+    * per-hash self-join; this operator answers it from per-source KMV
+    * bottom-k sketches alone — one corpus pass, 64 longs of state per
+    * source — and reports the exact answer alongside, so the estimator's
+    * error is MEASURED on every pair (the q112 calibration pattern, at
+    * source rather than document granularity).
+    *
+    * Estimators (Beyer et al. 2007): merge two sketches by union +
+    * re-take-K (the KMV merge property); with M the merged bottom-K,
+    * |A ∪ B| ~= (K-1)·2^60/kth(M) (exact when the union has < K members),
+    * J(A,B) ~= |{x ∈ M : x ∈ skA ∧ x ∈ skB}| / |M|, and the intersection
+    * estimate is their product.
+    *
+    * Scale shape: the sketch build is ONE map-side-combined
+    * ObjectHashAggregate over the raw shingle stream — kmv_sketch dedupes
+    * inside its bounded buffer, so the corpus never pays a distinct
+    * shuffle; per-source state is K longs. Pairing is a |sources|² join of
+    * K-long arrays (broadcast at any real source count). At 100 TB only
+    * the sketch side runs (sketches persist and merge across ingests);
+    * the exact side here is the calibration reference the synthetic
+    * corpus affords.
+    */
+  def q119KmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val K = Kmv.K
+    val sh = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(shingleExpr).as("g"))
+      .select(col("source"), expr("md5_prefix64(g)").as("s"))
+      .localCheckpoint(true)
+    val sk = sh.groupBy(col("source")).agg(Kmv.sketch(col("s")).as("sk"))
+    val shd = sh.distinct()
+    val n = shd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = shd.as("a").join(shd.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("mf", array_sort(array_distinct(concat(col("ska"), col("skb")))))
+      .withColumn("mk", slice(col("mf"), 1, K))
+      .filter(size(col("mk")) > 0)
+      .withColumn("m", expr(
+        "size(filter(mk, x -> array_contains(ska, x) AND array_contains(skb, x)))")
+        .cast("long"))
+      .withColumn("kth", element_at(col("mk"), size(col("mk"))))
+      .withColumn("u_est",
+        when(size(col("mf")) < K, size(col("mf")).cast("double"))
+          .otherwise(round(
+            lit((K - 1).toDouble) * lit(Kmv.Two60) / col("kth").cast("double"), 4)))
+      .withColumn("j_est", round(col("m").cast("double") / size(col("mk")), 6))
+      // an estimated count is an integer; floor(x + 0.5) instead of
+      // round(x, n) because the product of two already-rounded values
+      // lands exactly on decimal rounding boundaries, where Spark's
+      // exact-decimal HALF_UP and DuckDB's scale-multiply round() can
+      // disagree by one ulp — floor(+0.5) is pure IEEE ops, identical on
+      // identical doubles
+      .withColumn("inter_est", expr("CAST(floor(j_est * u_est + 0.5) AS BIGINT)"))
+      .join(broadcast(n.as("na")), col("src_a") === col("na.source"))
+      .join(broadcast(n.as("nb")), col("src_b") === col("nb.source"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .withColumn("j_exact", round(
+        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")), 6))
+      .withColumn("abs_err", round(abs(col("j_est") - col("j_exact")), 6))
+      .select(col("src_a"), col("src_b"), col("j_est"), col("j_exact"),
+        col("abs_err"), col("u_est"), col("inter_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ------------------------------------------------------------------
   // q111: n-gram novelty growth curve (Heaps-law corpus saturation)
   // ------------------------------------------------------------------
 
@@ -981,6 +1058,51 @@ object Dedup {
         |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
 
+    "q119_kmv_source_overlap" ->
+      s"""WITH sh AS (
+        |  SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+        |  FROM (SELECT source, unnest($shingleSql) AS g FROM documents
+        |        WHERE len(string_split(text,' ')) >= 3)),
+        |shd AS (SELECT DISTINCT source, s FROM sh),
+        |rk AS (SELECT source, s,
+        |  row_number() OVER (PARTITION BY source ORDER BY s) AS rn FROM shd),
+        |sk AS (SELECT source, list(s ORDER BY s) AS sk
+        |       FROM rk WHERE rn <= ${Kmv.K} GROUP BY source),
+        |n AS (SELECT source, count(*) AS n FROM shd GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+        |    list_sort(list_distinct(a.sk || b.sk)) AS mf
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |calc AS (
+        |  SELECT src_a, src_b, ska, skb, mf, mf[1:${Kmv.K}] AS mk FROM pairs),
+        |est AS (
+        |  SELECT src_a, src_b, mf, mk,
+        |    CAST(len(list_filter(mk,
+        |      x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS m,
+        |    mk[len(mk)] AS kth
+        |  FROM calc WHERE len(mk) > 0),
+        |est2 AS (
+        |  SELECT src_a, src_b, m,
+        |    CASE WHEN len(mf) < ${Kmv.K} THEN CAST(len(mf) AS DOUBLE)
+        |         ELSE round(${Kmv.K - 1}.0 * 1152921504606846976.0
+        |                    / CAST(kth AS DOUBLE), 4) END AS u_est,
+        |    round(CAST(m AS DOUBLE) / len(mk), 6) AS j_est
+        |  FROM est)
+        |SELECT e.src_a, e.src_b, e.j_est,
+        |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+        |        / (na.n + nb.n - coalesce(i.i, 0)), 6) AS j_exact,
+        |  round(abs(e.j_est - round(CAST(coalesce(i.i, 0) AS DOUBLE)
+        |        / (na.n + nb.n - coalesce(i.i, 0)), 6)), 6) AS abs_err,
+        |  e.u_est, CAST(floor(e.j_est * e.u_est + 0.5) AS BIGINT) AS inter_est
+        |FROM est2 e
+        |JOIN n na ON na.source = e.src_a
+        |JOIN n nb ON nb.source = e.src_b
+        |LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
+
     "q111_ngram_growth" ->
       s"""WITH $shinglesCte,
         |nd AS (SELECT max(doc_id) + 1 AS ndocs FROM documents),
@@ -1092,6 +1214,7 @@ object Dedup {
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q76_passage_dedup" -> (q76PassageDedup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
+    "q119_kmv_source_overlap" -> (q119KmvSourceOverlap _),
     "q108_passage_clean" -> (q108PassageClean _),
     "q111_ngram_growth" -> (q111NgramGrowth _),
     "q104_dup_spans" -> (q104DupSpans _),
