@@ -162,6 +162,101 @@ object EmbedOps {
   }
 
   // ------------------------------------------------------------------
+  // q120: product quantization + asymmetric distance computation
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims = [[PqSub]] subspaces x [[PqDim]] dims,
+    * [[PqCodes]] codes per subspace -> an 8-byte code per vector (32x
+    * smaller than float32, 8x smaller than q69's int8).
+    */
+  private val PqSub = 8
+  private val PqDim = 8
+  private val PqCodes = 8
+
+  /** Product-quantized ANN with ADC (q120) — Jégou et al. 2011, the
+    * production ANN compression beyond q69's scalar int8: train a
+    * per-subspace codebook (integer k-means on L2, seeds = vectors
+    * 0..[[PqCodes]]-1's subvectors, one update round), encode every vector
+    * as [[PqSub]] one-byte codes, and answer the query through a lookup
+    * table of [[PqSub]] x [[PqCodes]] partial dots — per-vector query cost
+    * is [[PqSub]] table lookups instead of a 64-dim dot. Output: the ADC
+    * top-10 with the exact cosine and absolute error alongside (q69's
+    * report shape) — the measurement a pipeline runs before switching its
+    * index to PQ codes.
+    *
+    * Determinism: EVERYTHING through the ADC dot is integer — the L2
+    * argmin is ncs - 2·dot (integers; the vector's own norm cancels),
+    * centroid means are per-element integer divisions that TRUNCATE
+    * toward zero in BOTH engines (Spark's `div` and DuckDB's integer `//`
+    * share that semantic — measured, not assumed: -7 // 2 = -3 in DuckDB,
+    * not the floored -4), reconstruction norms are Σ|c_s|² by subspace
+    * orthogonality, and the ONE float step is the final cosine from
+    * identical integers.
+    *
+    * Scale shape: codebooks are [[PqSub]] x [[PqCodes]] rows (broadcast
+    * everywhere — at production 8x256 they still are); training/encoding
+    * scans the subvector frame (corpus x [[PqSub]] narrow rows) with
+    * map-side-combined aggs; the ADC scan carries (vec_id, 8 codes) — the
+    * 32x storage cut IS the 100 TB story, it turns a memory-overflow
+    * index into a RAM-resident one.
+    */
+  def q120PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val subs = e
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqSub - 1})")).as("s"),
+        col("q"))
+      .withColumn("qs", expr(s"slice(q, s * $PqDim + 1, $PqDim)"))
+      .withColumn("nqs", expr("long_dot(qs, qs)"))
+      .select("vec_id", "s", "qs", "nqs")
+      .localCheckpoint(true)
+    val cb0 = subs.filter(col("vec_id") < PqCodes)
+      .select(col("s"), col("vec_id").as("code"), col("qs").as("cs"),
+        col("nqs").as("ncs"))
+    // argmin L2 over integers: |x-c|^2 = nx - 2<x,c> + nc and nx is
+    // constant per (vec, s), so the key is ncs - 2*dot — min(struct) is
+    // (smallest d2, tie -> smallest code), matching the oracle row_number
+    def assignTo(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d2", col("ncs") - lit(2L) * expr("long_dot(qs, cs)"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("s"), col("best.code").as("code"))
+    val a0 = assignTo(cb0)
+    val cb1 = subs.join(a0, Seq("vec_id", "s"))
+      .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("i", "xi")))
+      .groupBy(col("s"), col("code"), col("i"))
+      .agg(sum(col("xi")).as("si"), count(lit(1)).as("cnt"))
+      .groupBy(col("s"), col("code"))
+      .agg(sort_array(collect_list(struct(col("i"), col("si"), col("cnt")))).as("ps"))
+      .withColumn("cs",
+        expr("transform(ps, p -> p.si div p.cnt)"))
+      .withColumn("ncs", expr("long_dot(cs, cs)"))
+      .select("s", "code", "cs", "ncs")
+      .localCheckpoint(true)
+    val a1 = assignTo(cb1)
+    val lut = subs.filter(col("vec_id") === 0)
+      .select(col("s"), col("qs").as("q0s"))
+      .join(cb1, Seq("s"))
+      .select(col("s"), col("code"), expr("long_dot(q0s, cs)").as("ldot"),
+        col("ncs"))
+    val adc = a1.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ldot")).as("adot"), sum(col("ncs")).as("nrec"))
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+    adc.join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
+      .join(broadcast(query))
+      .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .withColumn("cos_exact",
+        Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+      .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
+      .select("vec_id", "cos_pq", "cos_exact", "abs_err")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
@@ -212,6 +307,51 @@ object EmbedOps {
         |FROM tr LEFT JOIN removed r ON tr.vec_id = r.vec_id
         |GROUP BY tr.label ORDER BY label""".stripMargin,
 
+    "q120_pq_adc" ->
+      s"""WITH $qCte,
+        |sub AS (
+        |  SELECT vec_id, g.s AS s, q[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |  FROM e, generate_series(0, ${PqSub - 1}) AS g(s)),
+        |sub2 AS (SELECT vec_id, s, qs,
+        |  CAST(list_dot_product(qs, qs) AS BIGINT) AS nqs FROM sub),
+        |cb0 AS (SELECT s, vec_id AS code, qs AS cs, nqs AS ncs
+        |        FROM sub2 WHERE vec_id < $PqCodes),
+        |a0 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN cb0 c ON sub2.s = c.s) WHERE rn = 1),
+        |pos AS (SELECT vec_id, s, g.i AS i, qs[g.i] AS xi
+        |        FROM sub2, generate_series(1, $PqDim) AS g(i)),
+        |s1 AS (SELECT a0.s, a0.code, pos.i, CAST(sum(pos.xi) AS BIGINT) AS si,
+        |         count(*) AS cnt
+        |       FROM pos JOIN a0 ON pos.vec_id = a0.vec_id AND pos.s = a0.s
+        |       GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT s, code, list(si // cnt ORDER BY i) AS cs,
+        |          CAST(sum((si // cnt) * (si // cnt)) AS BIGINT) AS ncs
+        |        FROM s1 GROUP BY s, code),
+        |a1 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN cb1 c ON sub2.s = c.s) WHERE rn = 1),
+        |q0 AS (SELECT s, qs FROM sub2 WHERE vec_id = 0),
+        |lut AS (SELECT c.s, c.code,
+        |          CAST(list_dot_product(q0.qs, c.cs) AS BIGINT) AS ldot, c.ncs
+        |        FROM cb1 c JOIN q0 ON c.s = q0.s),
+        |adc AS (SELECT a1.vec_id, CAST(sum(l.ldot) AS BIGINT) AS adot,
+        |          CAST(sum(l.ncs) AS BIGINT) AS nrec
+        |        FROM a1 JOIN lut l ON a1.s = l.s AND a1.code = l.code
+        |        WHERE a1.vec_id <> 0 GROUP BY a1.vec_id),
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |res AS (
+        |  SELECT adc.vec_id,
+        |    ${cosSql("adc.adot", "qv.qn", "adc.nrec")} AS cos_pq,
+        |    ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos_exact
+        |  FROM adc JOIN e ON adc.vec_id = e.vec_id, qv)
+        |SELECT vec_id, cos_pq, cos_exact, abs(cos_pq - cos_exact) AS abs_err
+        |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
+
     // the greedy selection is a recursive CTE over the candidate pool;
     // sims are a per-candidate list indexed by candidate RANK so the
     // recursive term needs only list lookups (DuckDB disallows aggregates
@@ -257,5 +397,6 @@ object EmbedOps {
     "q114_ivf_cells" -> (q114IvfCells _),
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
     "q116_mmr_diverse" -> (q116MmrDiverse _),
+    "q120_pq_adc" -> (q120PqAdc _),
   )
 }
