@@ -464,7 +464,85 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Candidates reported by q121. */
+  private val BpeTopK = 20
+
+  /** BPE merge candidates (q121): the most frequent adjacent token pairs
+    * — tokenizer training's first step is literally "find the most
+    * frequent pair and merge it" (Sennrich et al. 2016), and a corpus
+    * team reads this table before training to see what the vocabulary
+    * will absorb first. PMI is reported alongside: frequency finds
+    * candidates, pointwise mutual information separates true collocations
+    * from pairs that co-occur by chance because both words are common.
+    *
+    * Scale shape: pair counting is one map-side-combined hash agg over
+    * the bigram stream (occurrence counts, NOT the dedup family's
+    * distinct sets); the top-[[BpeTopK]] rides the mergeable `top_k_by`
+    * (never a vocabulary-wide sort), and the unigram census joins against
+    * the BROADCAST 20-row candidate set — the corpus-vocab-sized side is
+    * filtered by the tiny side, never shuffled wide. Totals are one-row
+    * broadcasts. Determinism: counts are exact ints; PMI's one ln() runs
+    * on a ratio derived from identical ints and rounds to nano before the
+    * 6-decimal output (q95's precedent).
+    */
+  def q121BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    val uni = d.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(explode(expr("word_ngrams(toks, 2)")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val nTok = uni.agg(sum(col("cu")).as("n"))
+    val nBi = bi.agg(sum(col("cb")).as("nb"))
+    val top = bi
+      .agg(expr(s"top_k_by(g, cb, $BpeTopK)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "hit")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("hit.v").as("pair"), col("hit.c").as("cnt"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+    uni.join(broadcast(top.select(col("w1"), col("rnk"))), col("t") === col("w1"))
+      .select(col("rnk"), col("cu").as("c1"))
+      .join(broadcast(top), Seq("rnk"))
+      .join(uni.withColumnRenamed("cu", "c2"), col("t") === col("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("nano", expr(
+        """CAST(round(ln((CAST(cnt AS DOUBLE) / nb)
+          |  / ((c1 / CAST(n AS DOUBLE)) * (c2 / CAST(n AS DOUBLE))))
+          |  * 1000000000) AS BIGINT)""".stripMargin))
+      .select(col("rnk"), col("pair"), col("cnt"), col("c1"), col("c2"),
+        round(col("nano").cast("double") / 1e9, 6).as("pmi"))
+      .orderBy(col("rnk"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q121_bpe_merges" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT u.t, count(*) AS cu
+        |        FROM (SELECT unnest(toks) AS t FROM t) u GROUP BY u.t),
+        |bi AS (SELECT g, count(*) AS cb
+        |       FROM (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |               for i in generate_series(1, len(toks) - 1)]) AS g
+        |             FROM t WHERE len(toks) >= 2) GROUP BY g),
+        |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |nbt AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bi),
+        |top AS (SELECT g AS pair, cb AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cb DESC, g) AS BIGINT) AS rnk
+        |  FROM bi ORDER BY cb DESC, g LIMIT $BpeTopK),
+        |sp AS (SELECT rnk, pair, cnt,
+        |    string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2
+        |  FROM top)
+        |SELECT sp.rnk, sp.pair, sp.cnt, u1.cu AS c1, u2.cu AS c2,
+        |  round(CAST(CAST(round(ln((CAST(sp.cnt AS DOUBLE) / nbt.nb)
+        |    / ((u1.cu / CAST(nt.n AS DOUBLE)) * (u2.cu / CAST(nt.n AS DOUBLE))))
+        |    * 1000000000) AS BIGINT) AS DOUBLE) / 1e9, 6) AS pmi
+        |FROM sp JOIN uni u1 ON u1.t = sp.w1 JOIN uni u2 ON u2.t = sp.w2,
+        |  nt, nbt
+        |ORDER BY sp.rnk""".stripMargin,
+
     "q105_quality_classifier" ->
       s"""WITH w AS (SELECT b,
         |    ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
@@ -660,5 +738,6 @@ object TextAnalysis {
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),
+    "q121_bpe_merges" -> (q121BpeMerges _),
   )
 }

@@ -1259,4 +1259,28 @@ class OperatorsSpec extends SparkTestBase {
       s"kept + removed != total for label ${r.get(0)}"))
     assert(out.map(_.getLong(1)).sum == emb.count(), "audit must cover the corpus")
   }
+
+  test("KMV sketch merge property: sketch of a union == merged part sketches") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // two overlapping halves of a deterministic id stream, hashed like q119
+    val ids = (0L until 5000L).toDF("id")
+      .withColumn("h", graft.operators.Kmv.hash60(col("id")))
+    val partA = ids.filter(col("id") < 3000L)
+    val partB = ids.filter(col("id") >= 2000L)
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.operators.Kmv.sketch(col("h")).as("sk"))
+        .collect()(0).getSeq[Long](0)
+    val whole = sk(ids)
+    // merge = re-sketch the concatenated part sketches (union + re-take K,
+    // exactly how per-day sketches roll up to a date range)
+    val merged = sk(
+      partA.agg(graft.operators.Kmv.sketch(col("h")).as("sk"))
+        .unionByName(partB.agg(graft.operators.Kmv.sketch(col("h")).as("sk")))
+        .select(explode(col("sk")).as("h")))
+    assert(whole == merged,
+      "bottom-K of the union must equal bottom-K of merged part sketches")
+    assert(whole.size == graft.operators.Kmv.K && whole == whole.sorted,
+      "sketch is the ascending bottom-K")
+  }
 }

@@ -437,6 +437,15 @@ class PlanContractSpec extends SparkTestBase {
       s"exactly one window (the |sources| x k interleave), never per-source membership:\n${p.take(2500)}")
   }
 
+  test("q121: pair top-k partial-aggregates; the vocab census joins the broadcast candidates") {
+    val p = plan(graft.operators.TextAnalysis.q121BpeMerges(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"pair ranking must be the mergeable aggregate, never a vocab sort:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram lookups must broadcast the 20-row candidate side:\n${p.take(2500)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(2500))
+  }
+
   test("q115: the eval side broadcasts into a semi join — the train corpus is never shuffled or windowed") {
     val p = plan(graft.operators.EmbedOps.q115SemanticDecontam(spark, dir))
     // non-equi cosine predicate + small build side => BNLJ LeftSemi is THE
