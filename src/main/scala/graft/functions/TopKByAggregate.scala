@@ -13,21 +13,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded buffer for [[TopKBy]]: the k largest (key, value) entries seen
-  * so far, ordered key DESC then value ASC (binary UTF8 — the same
-  * collation DuckDB applies to ASCII strings, so oracle row_number ties
-  * break identically). TreeSet gives ordered eviction in O(log k); state
-  * is k entries regardless of input size. Entries are deduplicated by
-  * (key, value) — callers feed pre-aggregated (group, value, count) rows,
-  * where the pair is unique per group by construction.
+  * so far, ordered key DESC then value ASC. `valueIsLong` selects the
+  * value collation: signed 64-bit numeric for BIGINT payloads, binary
+  * UTF8 for STRING payloads (the same collation DuckDB applies to ASCII
+  * strings, so oracle row_number ties break identically). TreeSet gives
+  * ordered eviction in O(log k); state is k entries regardless of input
+  * size. Entries are deduplicated by (key, value) — callers feed
+  * pre-aggregated (group, value, count) rows, where the pair is unique
+  * per group by construction.
   */
-final class TopKByBuffer {
-  val set = new java.util.TreeSet[(Long, UTF8String)](new Comparator[(Long, UTF8String)] {
-    override def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
+final class TopKByBuffer(valueIsLong: Boolean) {
+  val set = new java.util.TreeSet[(Long, Any)](new Comparator[(Long, Any)] {
+    override def compare(a: (Long, Any), b: (Long, Any)): Int = {
       val c = java.lang.Long.compare(b._1, a._1) // key DESC
-      if (c != 0) c else a._2.compareTo(b._2)    // value ASC
+      if (c != 0) c
+      else if (valueIsLong)                      // value ASC
+        java.lang.Long.compare(a._2.asInstanceOf[Long], b._2.asInstanceOf[Long])
+      else a._2.asInstanceOf[UTF8String].compareTo(b._2.asInstanceOf[UTF8String])
     }
   })
-  def add(key: Long, value: UTF8String, k: Int): Unit =
+  def add(key: Long, value: Any, k: Int): Unit =
     if (set.size < k) { set.add((key, value)); () }
     else if (set.comparator.compare((key, value), set.last) < 0 && set.add((key, value))) {
       set.pollLast(); ()
@@ -40,7 +45,14 @@ final class TopKByBuffer {
 
 /** `top_k_by(value, key, k)` — mergeable per-group top-k aggregate: the k
   * (value, key) entries with the largest keys, emitted as an ordered
-  * ARRAY<STRUCT<v: STRING, c: BIGINT>> (key desc, value asc on ties).
+  * ARRAY<STRUCT<v, c: BIGINT>> (key desc, value asc on ties). The value may
+  * be STRING or BIGINT; `v`'s output type follows it. The BIGINT overload
+  * exists because id payloads (vec_id, doc_id) otherwise had to ride
+  * through `lpad(CAST(id AS STRING), w, '0')` to make binary collation
+  * match numeric order — a per-candidate-row string allocation on the
+  * hottest stream of q109/q113/q118, and silently wrong for ids wider than
+  * the pad or negative (zero-padding mis-orders sign-magnitude text).
+  * Numeric payloads compare as the 64-bit integers they are.
   *
   * This is the aggregate form of `row_number().over(partitionBy(g)
   * .orderBy(key.desc)) <= k` — and the reason it exists is the same reason
@@ -61,17 +73,19 @@ case class TopKBy(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByBuffer] {
 
+  private def valueIsLong: Boolean = value.dataType == LongType
+
   override def children: Seq[Expression] = Seq(value, key)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("v", StringType), StructField("c", LongType))),
+    StructType(Seq(StructField("v", value.dataType), StructField("c", LongType))),
     containsNull = false)
   override def prettyName: String = "top_k_by"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (value.dataType != StringType)
+    if (value.dataType != StringType && value.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"top_k_by expects a STRING value, got ${value.dataType.sql}")
+        s"top_k_by expects a STRING or BIGINT value, got ${value.dataType.sql}")
     else if (key.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"top_k_by expects a BIGINT key, got ${key.dataType.sql}")
@@ -79,14 +93,19 @@ case class TopKBy(
       TypeCheckResult.TypeCheckFailure(s"top_k_by k must be positive, got $k")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer
+  override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer(valueIsLong)
 
   override def update(buf: TopKByBuffer, input: InternalRow): TopKByBuffer = {
     val v = value.eval(input)
     val c = key.eval(input)
-    // UTF8String may point into a reused row buffer — copy before retaining
-    if (v != null && c != null)
-      buf.add(c.asInstanceOf[Long], v.asInstanceOf[UTF8String].copy(), k)
+    if (v != null && c != null) {
+      // UTF8String may point into a reused row buffer — copy before retaining
+      val retained = v match {
+        case s: UTF8String => s.copy()
+        case other => other
+      }
+      buf.add(c.asInstanceOf[Long], retained, k)
+    }
     buf
   }
 
@@ -108,30 +127,46 @@ case class TopKBy(
   }
 
   override def serialize(buf: TopKByBuffer): Array[Byte] = {
-    var n = 4
-    val it0 = buf.set.iterator()
-    while (it0.hasNext) n += 12 + it0.next()._2.numBytes()
-    val bb = ByteBuffer.allocate(n)
-    bb.putInt(buf.set.size)
-    val it = buf.set.iterator()
-    while (it.hasNext) {
-      val (c, v) = it.next()
-      val bytes = v.getBytes
-      bb.putLong(c).putInt(bytes.length).put(bytes)
+    if (valueIsLong) {
+      val bb = ByteBuffer.allocate(4 + 16 * buf.set.size)
+      bb.putInt(buf.set.size)
+      val it = buf.set.iterator()
+      while (it.hasNext) {
+        val (c, v) = it.next()
+        bb.putLong(c).putLong(v.asInstanceOf[Long])
+      }
+      bb.array()
+    } else {
+      var n = 4
+      val it0 = buf.set.iterator()
+      while (it0.hasNext) n += 12 + it0.next()._2.asInstanceOf[UTF8String].numBytes()
+      val bb = ByteBuffer.allocate(n)
+      bb.putInt(buf.set.size)
+      val it = buf.set.iterator()
+      while (it.hasNext) {
+        val (c, v) = it.next()
+        val bytes = v.asInstanceOf[UTF8String].getBytes
+        bb.putLong(c).putInt(bytes.length).put(bytes)
+      }
+      bb.array()
     }
-    bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKByBuffer = {
-    val buf = new TopKByBuffer
+    val buf = new TopKByBuffer(valueIsLong)
     val bb = ByteBuffer.wrap(bytes)
     var n = bb.getInt
     while (n > 0) {
-      val c = bb.getLong
-      val len = bb.getInt
-      val arr = new Array[Byte](len)
-      bb.get(arr)
-      buf.add(c, UTF8String.fromBytes(arr), k)
+      if (valueIsLong) {
+        val c = bb.getLong
+        buf.add(c, bb.getLong, k)
+      } else {
+        val c = bb.getLong
+        val len = bb.getInt
+        val arr = new Array[Byte](len)
+        bb.get(arr)
+        buf.add(c, UTF8String.fromBytes(arr), k)
+      }
       n -= 1
     }
     buf

@@ -819,11 +819,10 @@ object Curation {
       .join(scored, Seq("doc_id"))
       .withColumn("nscore", expr("CAST(floor(score * 1e9 + 0.5) AS BIGINT)"))
     val ranked = d.groupBy(col("source"))
-      .agg(expr(s"top_k_by(lpad(CAST(doc_id AS STRING), 12, '0'), nscore, $MixPerSource)")
-        .as("top"))
+      .agg(expr(s"top_k_by(doc_id, nscore, $MixPerSource)").as("top"))
       .select(col("source"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
-        col("hit.v").cast("long").as("doc_id"),
+        col("hit.v").as("doc_id"),
         (col("hit.c").cast("double") / 1e9).as("score"))
     ranked
       .withColumn("seq", row_number().over(

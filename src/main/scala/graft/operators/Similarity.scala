@@ -110,8 +110,8 @@ object Similarity {
     * no matter the corpus size. Ranking key: cosine in exact nano units
     * (the DSIR nano-int precedent — floor(cos*1e9+0.5) on a
     * bit-identical double is the same BIGINT in both engines); ties break
-    * on zero-padded vec_id ASC, matching the oracle's `ORDER BY ncos
-    * DESC, vec_id`.
+    * on numeric vec_id ASC (the BIGINT `top_k_by` payload), matching the
+    * oracle's `ORDER BY ncos DESC, vec_id`.
     *
     * Scale shape (100 TB): queries broadcast once; the corpus is scanned
     * once with B x 64 integer dots per row (codegen `long_dot`), no
@@ -139,12 +139,10 @@ object Similarity {
       .withColumn("cos", cosCol(dotExpr("q", "qq"), "nq", "qn"))
       .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
       .groupBy(col("qid"))
-      .agg(expr(
-        s"top_k_by(lpad(CAST(vec_id AS STRING), 12, '0'), ncos, $k)")
-        .as("top"))
+      .agg(expr(s"top_k_by(vec_id, ncos, $k)").as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
-        col("hit.v").cast("long").as("vec_id"),
+        col("hit.v").as("vec_id"),
         (col("hit.c").cast("double") / 1e9).as("cos"))
   }
 
@@ -426,9 +424,9 @@ object Similarity {
       .withColumn("cos", cosCol("dot", "na", "nb"))
       .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
       .groupBy(col("a_id"), col("cid"))
-      .agg(expr("top_k_by(lpad(CAST(b_id AS STRING), 12, '0'), ncos, 1)").as("top"))
+      .agg(expr("top_k_by(b_id, ncos, 1)").as("top"))
       .select(col("a_id"), col("cid"),
-        col("top")(0).getField("v").cast("long").as("b_id"),
+        col("top")(0).getField("v").as("b_id"),
         (col("top")(0).getField("c").cast("double") / 1e9).as("cos"))
       .orderBy(col("a_id"))
   }
