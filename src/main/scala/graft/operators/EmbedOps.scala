@@ -200,29 +200,41 @@ object EmbedOps {
     * 32x storage cut IS the 100 TB story, it turns a memory-overflow
     * index into a RAM-resident one.
     */
-  def q120PqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
-    val subs = e
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqSub - 1})")).as("s"),
-        col("q"))
-      .withColumn("qs", expr(s"slice(q, s * $PqDim + 1, $PqDim)"))
-      .withColumn("nqs", expr("long_dot(qs, qs)"))
-      .select("vec_id", "s", "qs", "nqs")
-      .localCheckpoint(true)
+  /** The corpus as PQ subvector rows: (vec_id, s, qs, nqs) — [[PqSub]]
+    * narrow rows per vector, each an [[PqDim]]-dim slice with its integer
+    * squared norm. Checkpointed once; codebook training, encoding, and
+    * LUT construction all reuse it.
+    */
+  private def pqSubvectors(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), explode(expr(s"sequence(0, ${PqSub - 1})")).as("s"),
+      col("q"))
+    .withColumn("qs", expr(s"slice(q, s * $PqDim + 1, $PqDim)"))
+    .withColumn("nqs", expr("long_dot(qs, qs)"))
+    .select("vec_id", "s", "qs", "nqs")
+    .localCheckpoint(true)
+
+  /** Per-subspace argmin-L2 assignment of subvectors to codebook `cb`:
+    * |x-c|^2 = nx - 2<x,c> + nc and nx is constant per (vec, s), so the
+    * key is ncs - 2*dot — min(struct) is (smallest d2, tie -> smallest
+    * code), matching the oracle row_number.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", col("ncs") - lit(2L) * expr("long_dot(qs, cs)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+
+  /** Train the per-subspace codebook: seeds = vectors 0..[[PqCodes]]-1's
+    * subvectors, one integer k-means update round (per-element integer
+    * division truncating toward zero — the semantic Spark's `div` and
+    * DuckDB's `//` share).
+    */
+  private def pqCodebook(subs: DataFrame): DataFrame = {
     val cb0 = subs.filter(col("vec_id") < PqCodes)
       .select(col("s"), col("vec_id").as("code"), col("qs").as("cs"),
         col("nqs").as("ncs"))
-    // argmin L2 over integers: |x-c|^2 = nx - 2<x,c> + nc and nx is
-    // constant per (vec, s), so the key is ncs - 2*dot — min(struct) is
-    // (smallest d2, tie -> smallest code), matching the oracle row_number
-    def assignTo(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("s"))
-        .withColumn("d2", col("ncs") - lit(2L) * expr("long_dot(qs, cs)"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col("vec_id"), col("s"), col("best.code").as("code"))
-    val a0 = assignTo(cb0)
-    val cb1 = subs.join(a0, Seq("vec_id", "s"))
+    subs.join(pqAssign(subs, cb0), Seq("vec_id", "s"))
       .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("i", "xi")))
       .groupBy(col("s"), col("code"), col("i"))
       .agg(sum(col("xi")).as("si"), count(lit(1)).as("cnt"))
@@ -233,12 +245,25 @@ object EmbedOps {
       .withColumn("ncs", expr("long_dot(cs, cs)"))
       .select("s", "code", "cs", "ncs")
       .localCheckpoint(true)
-    val a1 = assignTo(cb1)
-    val lut = subs.filter(col("vec_id") === 0)
+  }
+
+  /** The query's ADC lookup table: partial dot of query subvector s against
+    * every code of subspace s, plus the code's reconstruction norm —
+    * [[PqSub]] x [[PqCodes]] rows, broadcast to the code scan.
+    */
+  private def pqLut(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.filter(col("vec_id") === 0)
       .select(col("s"), col("qs").as("q0s"))
-      .join(cb1, Seq("s"))
+      .join(cb, Seq("s"))
       .select(col("s"), col("code"), expr("long_dot(q0s, cs)").as("ldot"),
         col("ncs"))
+
+  def q120PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val subs = pqSubvectors(e)
+    val cb1 = pqCodebook(subs)
+    val a1 = pqAssign(subs, cb1)
+    val lut = pqLut(subs, cb1)
     val adc = a1.filter(col("vec_id") =!= 0)
       .join(broadcast(lut), Seq("s", "code"))
       .groupBy(col("vec_id"))
@@ -252,6 +277,76 @@ object EmbedOps {
         Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
       .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
       .select("vec_id", "cos_pq", "cos_exact", "abs_err")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Cells the composed q122 query probes — q82's multi-probe knob. */
+  private val PqProbes = 2
+
+  /** Composed IVF+PQ ANN (q122) — the index a production 100 TB vector
+    * store actually serves (Jégou et al. 2011's IVFADC): q38/q82's IVF
+    * cell pruning composed with q120's PQ compression. The query (a) ranks
+    * the K cell centroids and keeps its [[PqProbes]] nearest (a K-row
+    * computation), (b) scans ONLY vectors assigned to those cells —
+    * nprobe/K of the corpus via partition pruning when the codes are
+    * stored partitioned by cell — and (c) scores each survivor through
+    * the ADC lookup table over its [[PqSub]] one-byte codes, never
+    * touching the raw vectors. Output: the composed top-10 with the exact
+    * cosine and absolute error alongside (q120's report shape), so recall
+    * loss from cell pruning and code quantization is measured together.
+    *
+    * Scale shape: the pruned-scan cost is nprobe/K of the corpus AND each
+    * touched row is an 8-byte code instead of a 256-byte vector — the two
+    * savings MULTIPLY (probe 2/8 cells x 32x smaller rows = ~128x less
+    * data moved than brute force). Per-query joins are all broadcasts
+    * ([[PqProbes]] probe rows, [[PqSub]] x [[PqCodes]] LUT rows, one query
+    * row); the only corpus-sized work is the one-time index build (IVF
+    * k-means + codebook training + encoding), amortized across every
+    * query the index serves. Determinism: identical to q120 — everything
+    * through the ADC dot is integer; the IVF side is q38's exact integer
+    * k-means.
+    */
+  def q122IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    // IVF index: q38's recipe (seeds = vec_id < CellK, 2 integer rounds)
+    val seeds = e.filter(col("vec_id") < CellK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = Similarity.ivfCentroids(e, seeds)
+    val cells = Similarity.assign(e, centroids)
+    // PQ index: q120's codebook + per-vector codes
+    val subs = pqSubvectors(e)
+    val cb1 = pqCodebook(subs)
+    val codes = pqAssign(subs, cb1)
+    // query side: probe ranking over K centroids, ADC LUT over the codebook
+    val probes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.cosCol(dot("q", "csum"), "nq", "nc"))
+      .select(col("cid").as("pcid"), col("ccos"))
+      .orderBy(col("ccos").desc, col("pcid"))
+      .limit(PqProbes)
+    val lut = pqLut(subs, cb1)
+    // the pruned scan: cell assignment filtered to the probed cells (the
+    // partition prune at scale), then codes of the survivors through the
+    // broadcast LUT — raw vectors are only read back for the top-10
+    // error report, never in the scored scan
+    val probedVecs = cells
+      .join(broadcast(probes.select("pcid")), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "cid")
+    val adc = codes.join(probedVecs, Seq("vec_id"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("ldot")).as("adot"), sum(col("ncs")).as("nrec"))
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+    adc.join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
+      .join(broadcast(query))
+      .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .withColumn("cos_exact",
+        Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+      .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
+      .select("vec_id", "cid", "cos_pq", "cos_exact", "abs_err")
       .orderBy(col("cos_pq").desc, col("vec_id"))
       .limit(10)
   }
@@ -352,6 +447,71 @@ object EmbedOps {
         |SELECT vec_id, cos_pq, cos_exact, abs(cos_pq - cos_exact) AS abs_err
         |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q122_ivf_pq" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $CellK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |pr AS (
+        |  SELECT c.cid,
+        |    row_number() OVER (ORDER BY
+        |      ${cosSql("list_dot_product(qv.qq, c.csum)", "qv.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qv, cent2 c),
+        |sub2 AS (SELECT vec_id, s, qs,
+        |    CAST(list_dot_product(qs, qs) AS BIGINT) AS nqs
+        |  FROM (SELECT vec_id, g.s AS s,
+        |          q[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |        FROM e, generate_series(0, ${PqSub - 1}) AS g(s))),
+        |pcb0 AS (SELECT s, vec_id AS code, qs AS cs, nqs AS ncs
+        |         FROM sub2 WHERE vec_id < $PqCodes),
+        |pa0 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb0 c ON sub2.s = c.s) WHERE rn = 1),
+        |ppos AS (SELECT vec_id, s, g.i AS i, qs[g.i] AS xi
+        |         FROM sub2, generate_series(1, $PqDim) AS g(i)),
+        |ps1 AS (SELECT pa0.s, pa0.code, ppos.i, CAST(sum(ppos.xi) AS BIGINT) AS si,
+        |          count(*) AS cnt
+        |        FROM ppos JOIN pa0 ON ppos.vec_id = pa0.vec_id AND ppos.s = pa0.s
+        |        GROUP BY 1, 2, 3),
+        |pcb1 AS (SELECT s, code, list(si // cnt ORDER BY i) AS cs,
+        |           CAST(sum((si // cnt) * (si // cnt)) AS BIGINT) AS ncs
+        |         FROM ps1 GROUP BY s, code),
+        |pa1 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb1 c ON sub2.s = c.s) WHERE rn = 1),
+        |q0 AS (SELECT s, qs FROM sub2 WHERE vec_id = 0),
+        |lut AS (SELECT c.s, c.code,
+        |          CAST(list_dot_product(q0.qs, c.cs) AS BIGINT) AS ldot, c.ncs
+        |        FROM pcb1 c JOIN q0 ON c.s = q0.s),
+        |adc AS (SELECT pa1.vec_id, af.cid, CAST(sum(l.ldot) AS BIGINT) AS adot,
+        |          CAST(sum(l.ncs) AS BIGINT) AS nrec
+        |        FROM pa1 JOIN lut l ON pa1.s = l.s AND pa1.code = l.code
+        |             JOIN af ON pa1.vec_id = af.vec_id
+        |        WHERE pa1.vec_id <> 0
+        |          AND af.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)
+        |        GROUP BY pa1.vec_id, af.cid),
+        |res AS (
+        |  SELECT adc.vec_id, adc.cid,
+        |    ${cosSql("adc.adot", "qv.qn", "adc.nrec")} AS cos_pq,
+        |    ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos_exact
+        |  FROM adc JOIN e ON adc.vec_id = e.vec_id, qv)
+        |SELECT vec_id, cid, cos_pq, cos_exact,
+        |  abs(cos_pq - cos_exact) AS abs_err
+        |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
+
     // the greedy selection is a recursive CTE over the candidate pool;
     // sims are a per-candidate list indexed by candidate RANK so the
     // recursive term needs only list lookups (DuckDB disallows aggregates
@@ -398,5 +558,6 @@ object EmbedOps {
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
     "q116_mmr_diverse" -> (q116MmrDiverse _),
     "q120_pq_adc" -> (q120PqAdc _),
+    "q122_ivf_pq" -> (q122IvfPq _),
   )
 }

@@ -261,6 +261,21 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q122: the composed IVF+PQ scan is cell-pruned, code-only, window-free") {
+    val p = plan(graft.operators.EmbedOps.q122IvfPq(spark, dir))
+    // probe prune + LUT are broadcasts into the code scan; the argmaxes
+    // (k-means assign, per-vector ADC sum) are all hash aggs — a window
+    // anywhere would sort corpus-sized frames on one reducer
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed cells and ADC LUT must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      s"composed index scan must stay window-free:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded product anywhere in the composed plan:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-10 must be a TakeOrdered, not a global sort:\n${p.take(2000)}")
+  }
+
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
     val p = plan(graft.operators.Dedup.q67IncrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
