@@ -153,9 +153,201 @@ object AnnStress {
     spark.stop()
   }
 
+  /** Codes per subspace for the stress-scale PQ codebook — the production
+    * 8-bit setting (q120's oracle-checked 8 is sized for the bench SF;
+    * recall at 1M vectors needs the full code space).
+    */
+  private val PqStressCodes = 256
+
+  /** IVF+PQ at beyond-bench scale — the q122 composition measured where it
+    * matters: `nVecs` clustered vectors, exact vs IVF (probe 2/16, raw
+    * vectors) vs IVF+PQ (same probe, 8-byte packed codes through the ADC
+    * table, optional exact re-rank of the ADC shortlist — the production
+    * IVFADC serving shape). Claims under test: (1) the PQ index is an
+    * order of magnitude smaller on disk than the raw-vector index (the
+    * RAM-residency story at 100 TB); (2) ADC shortlist + exact re-rank
+    * recovers recall@10 >= 0.9 while still scanning only codes for the
+    * bulk of the probed cells; (3) wall time of the PQ probe tracks the
+    * IVF probe (same pruning) with the cheaper per-row scoring.
+    *
+    * Codes are PACKED: 8 subspaces x 1 byte = ONE BIGINT per vector (the
+    * ADC scan reads 16 bytes/row: vec_id + packed), unpacked in the scan
+    * via shiftrightunsigned — no array allocation per row.
+    *
+    * Run: `sbt "runMain graft.AnnStress pq [nVecs]"` (default 1000000).
+    */
+  private def pqMain(nVecs: Long): Unit = {
+    val nClusters = 64
+    val ivfK = 16
+    // shortlist depth scales with probed occupancy: ADC error is constant
+    // while candidate density grows with the corpus, so a FIXED shortlist
+    // gets relatively shallower as cells fill (measured: R=500 gives
+    // recall 1.0 at 100k vecs but 0.5 at 1M) — production IVFADC tunes
+    // R as a fraction of the scanned cells for exactly this reason
+    def rerankR(probed: Long): Int = math.max(500L, probed / 8L).toInt
+    val spark = Harness.session("graft-pq-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import Harness.timed
+
+    val vecs: DataFrame = spark.range(nVecs)
+      .select(col("id").as("vec_id"), (col("id") % nClusters).as("c"))
+      .withColumn("q", expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(vec_id, d), 21) - 10
+           |  AS BIGINT))""".stripMargin))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .select("vec_id", "q", "nq")
+      .localCheckpoint(true)
+    val query = vecs.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    // IVF index (shared by both variants): corpus stored partitioned by cell
+    val (centroids, tIvfTrain) = timed {
+      val seeds = vecs.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+      val c = Similarity.ivfCentroids(vecs, seeds).localCheckpoint(true)
+      vecs.join(Similarity.assign(vecs, c), Seq("vec_id"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index_raw")
+      c
+    }
+    val raw = spark.read.parquet(s"$base/index_raw")
+
+    // PQ index — RESIDUAL encoding (Jégou et al. 2011's IVFADC): codes
+    // quantize r = x - mean(cell), not x itself. A global non-residual
+    // codebook spends its whole code space separating the 64 cluster
+    // centers and maps every member of a cell to the SAME codes — the ADC
+    // ranking inside the probed cell collapses to a tie (measured: recall
+    // 0.6 via vec_id tie-break luck). Residuals put all 256 codes per
+    // subspace on within-cell detail. Codes packed 8x1B into one BIGINT,
+    // stored partitioned by the SAME cells.
+    val cmean = raw.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
+      .join(centroids, Seq("cid"))
+      .withColumn("cm", expr("transform(csum, x -> x div cn)"))
+      .select("cid", "cm")
+      .localCheckpoint(true)
+    val (cb, tPqTrain) = timed {
+      val resid = raw.join(broadcast(cmean), Seq("cid"))
+        .withColumn("q", expr("zip_with(q, cm, (a, b) -> a - b)"))
+        .select("vec_id", "q")
+      val subs = operators.EmbedOps.pqSubvectors(resid)
+      val cb1 = operators.EmbedOps.pqCodebook(subs, PqStressCodes, rounds = 2)
+      operators.EmbedOps.pqAssign(subs, cb1)
+        .groupBy(col("vec_id"))
+        // bit ops, not arithmetic: the top byte's shifted value exceeds
+        // Long.Max as a signed number (the packed word may be "negative")
+        .agg(expr("bit_or(shiftleft(code, CAST(8 * s AS INT)))").as("packed"))
+        .join(raw.select("vec_id", "cid"), Seq("vec_id"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index_pq")
+      cb1
+    }
+    val pq = spark.read.parquet(s"$base/index_pq")
+
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val bytesRaw = dirBytes(s"$base/index_raw")
+    val bytesPq = dirBytes(s"$base/index_pq")
+
+    // ground truth + full-scan cost
+    val (bruteTop, tBrute) = timed {
+      raw.filter(col("vec_id") =!= 0).join(broadcast(query))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id").as[Long].collect().toSet
+    }
+    val probeCids = query.crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.cosCol("long_dot(qq, csum)", "qn", "nc"))
+      .orderBy(col("ccos").desc, col("cid")).limit(2)
+      .select("cid").as[Long].collect()
+
+    // IVF probe over raw vectors (the q82 shape)
+    val (ivfTop, tIvf) = timed {
+      raw.filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
+        .join(broadcast(query))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id").as[Long].collect().toSet
+    }
+
+    // IVF+PQ probe: pruned code scan -> broadcast ADC tables -> shortlist,
+    // then exact re-rank of the R-row shortlist against the raw index.
+    // Reconstruction is x̂ = cmean_cell + r̂, so the ADC decomposes into
+    //   dot(q, x̂)  = dot(q, cmean_c)        [per-cell, 16 rows]
+    //              + Σ_s dot(q_s, cs[s,k])  [per-(s,code), the classic LUT]
+    //   |x̂|²      = |cmean_c|²
+    //              + Σ_s (|cs[s,k]|² + 2·dot(cmean_c[s], cs[s,k]))
+    // — the cross term extends the LUT key by cell id: K x 8 x 256 rows,
+    // still a broadcast at any corpus size.
+    val ((adcTop, rerankTop, shortlistN), tPq) = timed {
+      val lutQ = operators.EmbedOps.pqLut(operators.EmbedOps.pqSubvectors(
+        vecs.filter(col("vec_id") === 0)), cb)
+      val adcTab = cmean
+        .select(col("cid"), explode(expr("sequence(0, 7)")).as("s"), col("cm"))
+        .withColumn("cms", expr("slice(cm, s * 8 + 1, 8)"))
+        .join(cb, Seq("s"))
+        .withColumn("w", col("ncs") + lit(2L) * expr("long_dot(cms, cs)"))
+        .join(lutQ.select("s", "code", "ldot"), Seq("s", "code"))
+        .select("cid", "s", "code", "ldot", "w")
+      val qdotc = cmean.crossJoin(broadcast(query))
+        .select(col("cid"), expr("long_dot(qq, cm)").as("qdot"),
+          expr("long_dot(cm, cm)").as("ncm"))
+      val scored = pq.filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"),
+          explode(expr("sequence(0, 7)")).as("s"), col("packed"))
+        .withColumn("code",
+          expr("shiftrightunsigned(packed, CAST(8 * s AS INT)) & 255"))
+        .join(broadcast(adcTab), Seq("cid", "s", "code"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("ldot")).as("sl"), sum(col("w")).as("sw"))
+        .join(broadcast(qdotc), Seq("cid"))
+        .join(broadcast(query.select("qn")))
+        .withColumn("adot", col("qdot") + col("sl"))
+        .withColumn("nrec", col("ncm") + col("sw"))
+        .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      val probed = pq.filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0).count()
+      val shortlist = scored.orderBy(col("cos_pq").desc, col("vec_id"))
+        .limit(rerankR(probed)).select("vec_id").as[Long].collect()
+      val adc10 = shortlist.take(10).toSet
+      val rr = raw.filter(col("vec_id").isin(shortlist: _*))
+        .join(broadcast(query))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id").as[Long].collect().toSet
+      (adc10, rr, shortlist.length)
+    }
+
+    val recallIvf = (bruteTop & ivfTop).size / 10.0
+    val recallAdc = (bruteTop & adcTop).size / 10.0
+    val recallRerank = (bruteTop & rerankTop).size / 10.0
+    val storageRatio = bytesRaw.toDouble / bytesPq
+    println(s"[pq-stress] recall ivf=$recallIvf adc=$recallAdc rerank=$recallRerank ratio=$storageRatio")
+    require(recallRerank >= 0.9,
+      s"ADC+rerank recall@10 $recallRerank below 0.9")
+    require(storageRatio >= 8.0,
+      s"PQ index only ${storageRatio}x smaller (want >= 8x)")
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    println(s"""{"harness":"pq-stress","n_vecs":$nVecs,"ivf_k":$ivfK,""" +
+      s""""pq_codes":$PqStressCodes,"rerank_r":$shortlistN,""" +
+      s""""recall_ivf":$recallIvf,"recall_adc":$recallAdc,"recall_adc_rerank":$recallRerank,""" +
+      s""""bytes_raw":$bytesRaw,"bytes_pq":$bytesPq,"storage_ratio":${r2(storageRatio)},""" +
+      s""""sec_brute":${r2(tBrute)},"sec_ivf_probe":${r2(tIvf)},"sec_pq_probe":${r2(tPq)},""" +
+      s""""sec_ivf_train":${r2(tIvfTrain)},"sec_pq_train":${r2(tPqTrain)}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lsh")) {
       lshMain(args.lift(1).map(_.toLong).getOrElse(100000L))
+      return
+    }
+    if (args.headOption.contains("pq")) {
+      pqMain(args.lift(1).map(_.toLong).getOrElse(1000000L))
       return
     }
     if (args.headOption.contains("batch")) {

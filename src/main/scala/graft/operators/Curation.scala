@@ -404,6 +404,15 @@ object Curation {
       .withColumn("score",
         size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score"))
+    budgetSelect(scored, LangTokenBudget)
+  }
+
+  /** The distributed greedy budget selection shared by q68 and q124:
+    * per-language ordered prefix sums over a (doc_id, lang, n_toks, score)
+    * frame, selection order (score DESC, doc_id), keep while
+    * spent_before < budget.
+    */
+  private def budgetSelect(scored: DataFrame, budget: Long): DataFrame = {
     val parts = scored
       .repartitionByRange(col("lang"), col("score").desc, col("doc_id"))
       .sortWithinPartitions(col("lang"), col("score").desc, col("doc_id"))
@@ -422,10 +431,38 @@ object Curation {
       .select(col("pid"), col("lang"), col("prefix"))
     local.join(broadcast(prefixes), Seq("pid", "lang"))
       .withColumn("spent_before", col("local_off") + col("prefix"))
-      .filter(col("spent_before") < LangTokenBudget)
+      .filter(col("spent_before") < budget)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score"),
         col("spent_before"))
       .orderBy(col("lang"), col("score").desc, col("doc_id"))
+  }
+
+  /** Subword-aware token budgeting (q124): q68's greedy per-language
+    * selection re-costed in MERGED-vocab tokens — after q123's BPE rounds
+    * each merged occurrence counts as ONE token, which is how a trained
+    * tokenizer (and therefore a training-compute budget) actually counts.
+    * A doc full of the merged collocations "costs" fewer budget units than
+    * its whitespace count suggests, so the same 5000-token budget admits
+    * MORE documents per language; quality order (raw-token TTR) is
+    * unchanged — only the cost function moves.
+    *
+    * Scale shape: the BPE passes are q123's (linear, shuffle-free merges);
+    * the join attaching merged counts to scores is doc_id-keyed; selection
+    * is q68's distributed prefix-sum (no per-language full sort on one
+    * reducer).
+    */
+  def q124SubwordBudget(spark: SparkSession, dir: String): DataFrame = {
+    val merged = TextAnalysis.bpeTrainLoop(spark, dir, TextAnalysis.BpeRounds)._2
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    val scored = docs(spark, dir)
+      .withColumn("rtoks", split(col("text"), " "))
+      .filter(size(col("rtoks")) > 0)
+      .withColumn("score",
+        size(array_distinct(col("rtoks"))).cast("double") / size(col("rtoks")))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .join(merged, Seq("doc_id"))
+      .select("doc_id", "lang", "n_toks", "score")
+    budgetSelect(scored, LangTokenBudget)
   }
 
   // ------------------------------------------------------------------
@@ -1011,6 +1048,28 @@ object Curation {
         |SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
 
+    "q124_subword_budget" ->
+      s"""WITH ${TextAnalysis.bpeChainCtes(TextAnalysis.BpeRounds)},
+         |raw AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS rtoks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT r.doc_id, r.lang,
+         |    CAST(len(m.toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(r.rtoks)) AS DOUBLE) / len(r.rtoks) AS score
+         |  FROM raw r JOIN d${TextAnalysis.BpeRounds} m ON r.doc_id = m.doc_id
+         |  WHERE len(r.rtoks) > 0),
+         |run AS (
+         |  SELECT doc_id, lang, n_toks, score,
+         |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS spent_before
+         |  FROM scored)
+         |SELECT doc_id, lang, n_toks, score, spent_before
+         |FROM run WHERE spent_before < $LangTokenBudget
+         |ORDER BY lang, score DESC, doc_id""".stripMargin,
+
     "q68_token_budget" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
@@ -1217,5 +1276,6 @@ object Curation {
     "q98_length_outliers" -> (q98LengthOutliers _),
     "q117_source_kl" -> (q117SourceKl _),
     "q118_interleave_mix" -> (q118InterleaveMix _),
+    "q124_subword_budget" -> (q124SubwordBudget _),
   )
 }

@@ -205,7 +205,7 @@ object EmbedOps {
     * squared norm. Checkpointed once; codebook training, encoding, and
     * LUT construction all reuse it.
     */
-  private def pqSubvectors(e: DataFrame): DataFrame = e
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame = e
     .select(col("vec_id"), explode(expr(s"sequence(0, ${PqSub - 1})")).as("s"),
       col("q"))
     .withColumn("qs", expr(s"slice(q, s * $PqDim + 1, $PqDim)"))
@@ -215,43 +215,53 @@ object EmbedOps {
 
   /** Per-subspace argmin-L2 assignment of subvectors to codebook `cb`:
     * |x-c|^2 = nx - 2<x,c> + nc and nx is constant per (vec, s), so the
-    * key is ncs - 2*dot — min(struct) is (smallest d2, tie -> smallest
-    * code), matching the oracle row_number.
+    * key is ncs - 2*dot, tie -> smallest code — packed into ONE BIGINT
+    * (d2 * 512 + code, exact while |d2| < 2^53 and code < 512; quantized
+    * embeddings keep d2 under ~2^32) so the argmin is a codegen'd
+    * `min(BIGINT)` HashAggregate. The struct-min formulation computes the
+    * identical winner but min-of-struct is not hash-aggregable — Spark
+    * falls back to SortAggregate, a full sort of the |subvectors| x
+    * |codes| joined frame (measured 3x the whole training time at the
+    * stress SF). floorMod recovers the code for negative d2.
     */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("s"))
-      .withColumn("d2", col("ncs") - lit(2L) * expr("long_dot(qs, cs)"))
+      .withColumn("key",
+        (col("ncs") - lit(2L) * expr("long_dot(qs, cs)")) * lit(512L) + col("code"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+      .agg(min(col("key")).as("best"))
+      .select(col("vec_id"), col("s"), pmod(col("best"), lit(512L)).as("code"))
 
   /** Train the per-subspace codebook: seeds = vectors 0..[[PqCodes]]-1's
     * subvectors, one integer k-means update round (per-element integer
     * division truncating toward zero — the semantic Spark's `div` and
     * DuckDB's `//` share).
     */
-  private def pqCodebook(subs: DataFrame): DataFrame = {
-    val cb0 = subs.filter(col("vec_id") < PqCodes)
+  private[graft] def pqCodebook(
+      subs: DataFrame, codes: Int = PqCodes, rounds: Int = 1): DataFrame = {
+    var cb = subs.filter(col("vec_id") < codes)
       .select(col("s"), col("vec_id").as("code"), col("qs").as("cs"),
         col("nqs").as("ncs"))
-    subs.join(pqAssign(subs, cb0), Seq("vec_id", "s"))
-      .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("i", "xi")))
-      .groupBy(col("s"), col("code"), col("i"))
-      .agg(sum(col("xi")).as("si"), count(lit(1)).as("cnt"))
-      .groupBy(col("s"), col("code"))
-      .agg(sort_array(collect_list(struct(col("i"), col("si"), col("cnt")))).as("ps"))
-      .withColumn("cs",
-        expr("transform(ps, p -> p.si div p.cnt)"))
-      .withColumn("ncs", expr("long_dot(cs, cs)"))
-      .select("s", "code", "cs", "ncs")
-      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      cb = subs.join(pqAssign(subs, cb), Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("i", "xi")))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(sum(col("xi")).as("si"), count(lit(1)).as("cnt"))
+        .groupBy(col("s"), col("code"))
+        .agg(sort_array(collect_list(struct(col("i"), col("si"), col("cnt")))).as("ps"))
+        .withColumn("cs",
+          expr("transform(ps, p -> p.si div p.cnt)"))
+        .withColumn("ncs", expr("long_dot(cs, cs)"))
+        .select("s", "code", "cs", "ncs")
+        .localCheckpoint(true)
+    cb
   }
 
   /** The query's ADC lookup table: partial dot of query subvector s against
     * every code of subspace s, plus the code's reconstruction norm —
     * [[PqSub]] x [[PqCodes]] rows, broadcast to the code scan.
     */
-  private def pqLut(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqLut(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.filter(col("vec_id") === 0)
       .select(col("s"), col("qs").as("q0s"))
       .join(cb, Seq("s"))

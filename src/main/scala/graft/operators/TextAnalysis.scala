@@ -518,7 +518,151 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** Merge rounds applied by q123. */
+  private[operators] val BpeRounds = 4
+
+  /** One greedy left-to-right BPE merge pass over a (doc_id, toks) frame:
+    * every non-overlapping occurrence of the adjacent pair (t1, t2) —
+    * scalar columns from the broadcast 1-row winner — collapses into the
+    * single token `t1 + " " + t2`. A fold, not a window: the per-row
+    * `aggregate` lambda carries (emitted-prefix, pending-token) state, so
+    * a run of overlapping matches ("a a a" under pair (a,a)) merges at
+    * positions 1 and 3 exactly like sequential BPE. No shuffle — the pass
+    * is a per-document map.
+    */
+  private def bpeMergePass(d: DataFrame, top1: DataFrame): DataFrame =
+    d.crossJoin(broadcast(top1))
+      .withColumn("toks", expr(
+        """aggregate(toks,
+          |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
+          |               'prev', CAST(NULL AS STRING)),
+          |  (s, x) -> CASE
+          |    WHEN s.prev IS NULL THEN named_struct('acc', s.acc, 'prev', x)
+          |    WHEN s.prev = t1 AND x = t2
+          |      THEN named_struct('acc', array_append(s.acc, concat(t1, ' ', t2)),
+          |                        'prev', CAST(NULL AS STRING))
+          |    ELSE named_struct('acc', array_append(s.acc, s.prev), 'prev', x)
+          |  END,
+          |  s -> CASE WHEN s.prev IS NULL THEN s.acc
+          |       ELSE array_append(s.acc, s.prev) END)""".stripMargin))
+      .select("doc_id", "toks")
+
+  /** Iterative BPE merge training (q123): where q121 RANKS first-round
+    * merge candidates, this RUNS the tokenizer-training loop (Sennrich et
+    * al. 2016) — [[BpeRounds]] rounds of (count adjacent pairs, pick the
+    * most frequent, apply the merge corpus-wide, re-count). Later rounds
+    * see pairs q121 cannot: a merged token pairing with its neighbor. The
+    * output is the merge TABLE (round, t1, t2, count) — the artifact a
+    * tokenizer ships; q124 re-costs token budgets under it.
+    *
+    * Scale shape per round: pair counting is one map-side-combined hash
+    * agg over the bigram stream; the winner rides the mergeable
+    * `top_k_by` at k=1 (pair-key ties break on the chr(1)-joined key —
+    * binary UTF8 in both engines — never a vocabulary-wide sort); the
+    * merge pass is a broadcast of ONE row plus a per-document fold, no
+    * shuffle. k rounds = k linear corpus passes, the honest distributed
+    * baseline (production incrementalizes the pair-count delta — only
+    * documents containing the merged pair change counts — but the
+    * per-round plan shape is identical). The greedy loop is driver-side
+    * control flow over distributed ops, the `ivfCentroids`/q116
+    * precedent; nothing collects.
+    */
+  def q123BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(spark, dir, BpeRounds)._1.orderBy(col("rnd"))
+
+  /** The shared BPE training loop: returns (merge table, merged corpus
+    * after `rounds` passes). q123 publishes the table; q124 re-costs
+    * token budgets over the merged corpus.
+    */
+  private[graft] def bpeTrainLoop(
+      spark: SparkSession, dir: String, rounds: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    var d = docs(spark, dir).select(col("doc_id"), col("toks"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val counted = d.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> named_struct('t1', element_at(toks, i),
+            |                    't2', element_at(toks, i + 1)))""".stripMargin)).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+      val top1 = counted
+        .agg(expr("top_k_by(concat(t1, chr(1), t2), cnt, 1)").as("top"))
+        .select(col("top")(0).getField("v").as("pk"),
+          col("top")(0).getField("c").as("cnt"))
+        .select(expr("split_part(pk, chr(1), 1)").as("t1"),
+          expr("split_part(pk, chr(1), 2)").as("t2"), col("cnt"))
+        .localCheckpoint(true)
+      val row = top1.select(lit(r).cast("long").as("rnd"),
+        col("t1"), col("t2"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      d = bpeMergePass(d, top1).localCheckpoint(true)
+    }
+    (out, d)
+  }
+
+  /** DuckDB CTE chain for one oracle BPE round: pair census -> winner ->
+    * greedy-merge selection via run parity (positions i of matches,
+    * grouped into consecutive runs, every ODD member selected — exactly
+    * the left-to-right fold: a merge consumes position i+1, and in a run
+    * of overlapping matches, which requires t1 = t2, the next eligible
+    * start is i+2) -> rebuilt token lists.
+    */
+  private def bpeRoundCte(r: Int): String = {
+    val prev = s"d${r - 1}"
+    // list comprehensions, not lateral generate_series: DuckDB's table-
+    // function form rejects column arguments (len(toks)); the scalar/
+    // comprehension form accepts them (q121's pattern). chr(1) joins the
+    // pair key — tokens never contain it (merged tokens join with ' ').
+    s"""c$r AS (
+       |  SELECT string_split(g, chr(1))[1] AS t1,
+       |         string_split(g, chr(1))[2] AS t2, count(*) AS cnt
+       |  FROM (SELECT unnest([toks[i] || chr(1) || toks[i + 1]
+       |                       for i in generate_series(1, len(toks) - 1)]) AS g
+       |        FROM $prev WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2),
+       |top$r AS (SELECT t1, t2, cnt FROM c$r
+       |          ORDER BY cnt DESC, t1 || chr(1) || t2 LIMIT 1),
+       |m$r AS (
+       |  SELECT doc_id, unnest([i for i in generate_series(1, len(toks) - 1)
+       |                         if toks[i] = t.t1 AND toks[i + 1] = t.t2]) AS i
+       |  FROM $prev, top$r t),
+       |r$r AS (SELECT doc_id, i,
+       |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM m$r),
+       |s$r AS (SELECT doc_id, i FROM (
+       |          SELECT doc_id, i, row_number() OVER
+       |            (PARTITION BY doc_id, grp ORDER BY i) AS rn FROM r$r)
+       |        WHERE rn % 2 = 1),
+       |d$r AS (
+       |  SELECT pp.doc_id,
+       |    list(CASE WHEN sel.i IS NOT NULL THEN t.t1 || ' ' || t.t2
+       |         ELSE pp.t END ORDER BY pp.i) AS toks
+       |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+       |               unnest(toks) AS t
+       |        FROM $prev) pp
+       |  CROSS JOIN top$r t
+       |  LEFT JOIN s$r sel ON pp.doc_id = sel.doc_id AND pp.i = sel.i
+       |  LEFT JOIN s$r sc ON pp.doc_id = sc.doc_id AND pp.i = sc.i + 1
+       |  WHERE sc.i IS NULL
+       |  GROUP BY pp.doc_id)""".stripMargin
+  }
+
+  /** The full oracle BPE chain `d0 .. d<rounds>` plus `top1..top<rounds>`. */
+  private[operators] def bpeChainCtes(rounds: Int): String =
+    ("d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+      +: (1 to rounds).map(bpeRoundCte)).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q123_bpe_train" ->
+      s"""WITH ${bpeChainCtes(BpeRounds)}
+        |${(1 to BpeRounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS rnd, t1, t2, cnt FROM top$r")
+            .mkString("\nUNION ALL\n")}
+        |ORDER BY rnd""".stripMargin,
+
     "q121_bpe_merges" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |uni AS (SELECT u.t, count(*) AS cu
@@ -739,5 +883,6 @@ object TextAnalysis {
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),
     "q121_bpe_merges" -> (q121BpeMerges _),
+    "q123_bpe_train" -> (q123BpeTrain _),
   )
 }

@@ -25,6 +25,26 @@ class CurationSpec extends SparkTestBase {
     d
   }
 
+  test("q123 BPE merge pass is greedy left-to-right: overlapping matches merge at odd positions only") {
+    // "a a a a a" under winning pair (a, a): greedy merges positions 1-2
+    // and 3-4, leaving the 5th alone -> ["a a", "a a", "a"]; a naive
+    // merge-all would also fuse the overlap. "b c b c" has non-adjacent
+    // matches -> both merge. The corpus is weighted so (a, a) wins round 1.
+    val d = writeDocs(Seq(
+      1L -> "a a a a a",
+      2L -> "b c b c",
+      3L -> "a a x a a"))
+    val (table, merged) = graft.operators.TextAnalysis.bpeTrainLoop(spark, d, 1)
+    val row = table.collect().head
+    assert((row.getAs[String]("t1"), row.getAs[String]("t2")) == ("a", "a"),
+      s"expected (a, a) to win round 1: $row")
+    val toks = merged.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[String](1).toList).toMap
+    assert(toks(1L) == List("a a", "a a", "a"), s"doc 1: ${toks(1L)}")
+    assert(toks(2L) == List("b", "c", "b", "c"), s"doc 2: ${toks(2L)}")
+    assert(toks(3L) == List("a a", "x", "a a"), s"doc 3: ${toks(3L)}")
+  }
+
   test("q50 clusters are transitively closed: A~B and B~C collapse even when A!~C") {
     // B overlaps A and C at jaccard >= 0.8, but A vs C falls below the
     // threshold; a pair list alone would keep A and C apart.
