@@ -36,14 +36,19 @@ object Similarity {
     */
   private def dotExpr(a: String, b: String): String = s"long_dot($a, $b)"
 
-  /** Quantized vectors + their integer squared norms. */
-  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Queries.t(spark, dir, "embeddings")
-      .withColumn("q", expr(quantize))
+  /** Quantize an `embedding` column to exact integer space on any frame —
+    * shared with the streaming ingest twin ([[graft.streaming.AnnStream]]).
+    */
+  private[graft] def quantized(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("q", expr(quantize))
       .withColumn("nq", expr(dotExpr("q", "q")))
-      .select("vec_id", "label", "q", "nq")
   }
+
+  /** Quantized vectors + their integer squared norms. */
+  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame =
+    quantized(Queries.t(spark, dir, "embeddings"))
+      .select("vec_id", "label", "q", "nq")
 
   /** cos(a, b) from integer dot and norms — bit-identical across engines.
     * Zero-norm vectors (an embedding that quantizes to all-zero) define
