@@ -57,26 +57,37 @@ object EmbedOps {
     */
   private val DecontamTau = 0.3
 
+  /** Absolute id ceiling for the q115 synthetic eval split: at most
+    * [[EvalIdCap]]/50 = 200 eval vectors at ANY corpus size.
+    */
+  private val EvalIdCap = 10000L
+
   /** Embedding-space decontamination (q115): remove from the TRAINING
     * corpus every vector whose cosine to ANY held-out eval vector reaches
     * [[DecontamTau]] — the semantic analog of q52's n-gram decontamination
     * (which only catches verbatim leakage; a paraphrased eval item needs
-    * the embedding test). Eval set = vec_id % 50 == 0.
+    * the embedding test). Eval set = vec_id % 50 == 0 AND vec_id <
+    * [[EvalIdCap]] — the id ceiling makes the split's size an ABSOLUTE
+    * constant (<= 200 rows), not a corpus fraction; a %-only split grows
+    * linearly and would eventually overflow the broadcast this operator's
+    * scale story depends on (round-7 advice).
     *
     * Scale shape: an eval benchmark is small and FIXED-size (thousands of
-    * items) regardless of corpus scale, so the eval side broadcasts and
-    * the train side streams through ONE BroadcastNestedLoopJoin LeftSemi —
-    * per-row work is |eval| integer dots with early-exit on first match,
-    * and nothing corpus-sized shuffles (contrast q97, whose within-corpus
-    * pairing needs LSH bucketing because BOTH sides are the corpus). The
-    * audit agg mirrors q97's: per label, how much of the train split the
-    * prune removes.
+    * items) regardless of corpus scale — the fixture now holds that by
+    * construction — so the eval side broadcasts and the train side
+    * streams through ONE BroadcastNestedLoopJoin LeftSemi — per-row work
+    * is |eval| integer dots with early-exit on first match, and nothing
+    * corpus-sized shuffles (contrast q97, whose within-corpus pairing
+    * needs LSH bucketing because BOTH sides are the corpus). The audit
+    * agg mirrors q97's: per label, how much of the train split the prune
+    * removes.
     */
   def q115SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
-    val eval = e.filter(col("vec_id") % 50 === 0)
+    val isEval = col("vec_id") % 50 === 0 && col("vec_id") < EvalIdCap
+    val eval = e.filter(isEval)
       .select(col("q").as("qq"), col("nq").as("qn"))
-    val train = e.filter(col("vec_id") % 50 =!= 0)
+    val train = e.filter(!isEval)
     val removed = train
       .join(broadcast(eval),
         Similarity.cosCol(dot("q", "qq"), "nq", "qn") >= DecontamTau, "left_semi")
@@ -399,8 +410,10 @@ object EmbedOps {
 
     "q115_semantic_decontam" ->
       s"""WITH $qCte,
-        |ev AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id % 50 = 0),
-        |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |ev AS (SELECT q AS qq, nq AS qn FROM e
+        |       WHERE vec_id % 50 = 0 AND vec_id < $EvalIdCap),
+        |tr AS (SELECT * FROM e
+        |       WHERE NOT (vec_id % 50 = 0 AND vec_id < $EvalIdCap)),
         |removed AS (
         |  SELECT DISTINCT tr.vec_id
         |  FROM tr, ev

@@ -48,11 +48,68 @@ object Queries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr(floorDivSql("ts", 1000L))
+      case org.apache.spark.sql.types.LongType if longTsIsNanos(spark, dir, raw) =>
+        expr(floorDivSql("ts", 1000L))
+      case org.apache.spark.sql.types.LongType => col("ts")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
     raw.withColumn("ts_us", tsUs).drop("ts")
   }
+
+  /** Whether a LongType-surfaced `ts` holds epoch-NANOS. LongType alone is
+    * ambiguous — TIMESTAMP(NANOS) under `nanosAsLong` AND a plain
+    * unannotated INT64 both surface as LongType, and assuming nanos would
+    * silently floor-divide a generator that ships raw epoch-micros (the
+    * same corruption class the round-7 precision fix closed). The parquet
+    * footer's logical-type annotation is authoritative when present; an
+    * unannotated column falls back to a bounded magnitude probe:
+    * |ts| >= 1e17 can only be nanos (1e17 µs is year 5138; 1e17 ns is
+    * March 1973 — any modern instant separates cleanly). The probe reads
+    * at most 100 rows once at plan time; an empty table defaults to the
+    * historical nanos reading.
+    */
+  private def longTsIsNanos(
+      spark: SparkSession, dir: String, raw: DataFrame): Boolean =
+    footerTsUnit(spark, dir) match {
+      case Some(unit) => unit == "NANOS"
+      case None =>
+        val m = raw.select(col("ts")).limit(100)
+          .agg(max(abs(col("ts")))).head()
+        m.isNullAt(0) || m.getLong(0) >= 100000000000000000L
+    }
+
+  /** The parquet footer's logical-type unit for `events.ts` ("NANOS" /
+    * "MICROS" / "MILLIS"), or None when the column is unannotated INT64,
+    * absent, or the footer is unreadable.
+    */
+  private def footerTsUnit(spark: SparkSession, dir: String): Option[String] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      def firstDataFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) {
+          if (p.getName.startsWith("_") || p.getName.startsWith(".")) None
+          else Some(p)
+        } else fs.listStatus(p).sortBy(_.getPath.getName).iterator
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .flatMap(s => firstDataFile(s.getPath)).nextOption()
+      }
+      firstDataFile(root).flatMap { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = rd.getFooter.getFileMetaData.getSchema
+          if (!schema.containsField("ts")) None
+          else Option(schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation).collect {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit.toString
+          }
+        } finally rd.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Exact decimal sum emitted as double: order-insensitive, engine-portable. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")

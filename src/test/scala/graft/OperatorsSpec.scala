@@ -1220,8 +1220,13 @@ class OperatorsSpec extends SparkTestBase {
   test("q100 PSI: identical weeks score exactly 0, a shifted week flags drift") {
     import spark.implicits._
     val weekNs = 7L * 86400L * 1000000000L
+    // modern-era instants (≈2025), not weeks 0-2 of 1970: the events
+    // loader classifies unannotated INT64 by magnitude, and epoch-adjacent
+    // nanos are genuinely indistinguishable from 2008-era micros — real
+    // generator data is modern, so the fixture must be too
+    val baseWeek = 2869L
     def rows(week: Long, vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
-      (week * 10000 + i, week * weekNs + i * 1000000L, 1L, "a", v, "{}")
+      (week * 10000 + i, (baseWeek + week) * weekNs + i * 1000000L, 1L, "a", v, "{}")
     }
     val flat = (1 to 100).map(_.toDouble)
     val shifted = (1 to 100).map(i => 90.0 + (i % 10)) // mass into the top bin
@@ -1231,9 +1236,10 @@ class OperatorsSpec extends SparkTestBase {
       .write.parquet(s"$d/events.parquet")
     val out = graft.operators.ScaleOps.q100DriftPsi(spark, d).collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toMap
-    assert(out(1L) == 0.0,
+    assert(out(baseWeek + 1L) == 0.0,
       s"identical binned distributions must score exactly 0 (smoothing cancels): $out")
-    assert(out(2L) > 0.25, s"a mass shift into one bin must flag drift: $out")
+    assert(out(baseWeek + 2L) > 0.25,
+      s"a mass shift into one bin must flag drift: $out")
   }
 
   test("q97 semdedup audit matches a brute-force within-bucket removal set") {
