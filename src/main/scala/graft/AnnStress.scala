@@ -127,6 +127,33 @@ object AnnStress {
     require(nRows == nQueries.toLong * k,
       s"expected ${nQueries.toLong * k} result rows, got $nRows")
 
+    // paired run of the round-7 formulation — the SAME kernel with the id
+    // payload as a zero-padded STRING (the lpad workaround the BIGINT
+    // top_k_by overload deleted): isolates the per-candidate-row string
+    // allocation cost on this hottest stream
+    val (_, secLpad) = timed {
+      // checkpoint, not bare count: count() alone lets the optimizer PRUNE
+      // the unused top_k_by expression out of the aggregate and the "run"
+      // times an empty row count (measured: 1s vs the real 23s)
+      val t = vecs.join(broadcast(queries))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+        .groupBy(col("qid"))
+        .agg(expr(s"top_k_by(lpad(CAST(vec_id AS STRING), 12, '0'), ncos, $k)")
+          .as("top"))
+        .localCheckpoint(true)
+      t.count()
+      t
+    }
+
+    // second long-payload run AFTER the lpad run: separates JVM/codegen
+    // warmup (paid by whichever variant runs first) from the variant cost
+    val (_, secLong2) = timed {
+      val t = Similarity.batchTopk(vecs, queries, k).localCheckpoint(true)
+      t.count()
+      t
+    }
+
     // exactness on sampled queries: the aggregate == the sort it replaces
     for (sampleQ <- Seq(0L, nQueries / 2L, nQueries - 1L)) {
       val qrow = queries.filter(col("qid") === sampleQ)
@@ -149,6 +176,8 @@ object AnnStress {
     println(s"""{"harness":"batch-ann-stress","n_vecs":$nVecs,"n_queries":$nQueries,""" +
       s""""k":$k,"rows":$nRows,"dots":$dots,""" +
       s""""mdots_per_sec":${math.round(dots / sec / 1e6 * 10) / 10.0},""" +
+      s""""sec_lpad":${math.round(secLpad * 100) / 100.0},""" +
+      s""""sec_long2":${math.round(secLong2 * 100) / 100.0},""" +
       s""""sec":${math.round(sec * 100) / 100.0}}""")
     spark.stop()
   }

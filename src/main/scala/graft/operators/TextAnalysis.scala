@@ -532,7 +532,14 @@ object TextAnalysis {
     */
   private def bpeMergePass(d: DataFrame, top1: DataFrame): DataFrame =
     d.crossJoin(broadcast(top1))
-      .withColumn("toks", expr(
+      // cheap containment guard: a doc lacking either token of the pair
+      // cannot change, so the fold (with its per-step array building) runs
+      // only over docs that might merge — the production delta-update
+      // insight (only documents containing the pair have work) applied at
+      // row granularity; the result is identical by construction
+      .withColumn("toks", when(
+        !(expr("array_contains(toks, t1)") && expr("array_contains(toks, t2)")),
+        col("toks")).otherwise(expr(
         """aggregate(toks,
           |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
           |               'prev', CAST(NULL AS STRING)),
@@ -544,7 +551,7 @@ object TextAnalysis {
           |    ELSE named_struct('acc', array_append(s.acc, s.prev), 'prev', x)
           |  END,
           |  s -> CASE WHEN s.prev IS NULL THEN s.acc
-          |       ELSE array_append(s.acc, s.prev) END)""".stripMargin))
+          |       ELSE array_append(s.acc, s.prev) END)""".stripMargin)))
       .select("doc_id", "toks")
 
   /** Iterative BPE merge training (q123): where q121 RANKS first-round
