@@ -372,6 +372,49 @@ object EmbedOps {
       .limit(10)
   }
 
+  /** Anchor batch size / negatives per anchor / false-negative ceiling
+    * for q125.
+    */
+  private val NegAnchors = 10
+  private val NegK = 5
+  private val FnTau = 0.35
+
+  /** Hard-negative mining (q125): for each anchor in a batch, the [[NegK]]
+    * most-similar vectors with a DIFFERENT label — the negatives that
+    * actually teach a contrastive embedding model (random negatives are
+    * too easy; the loss gradient lives near the decision boundary). The
+    * standard false-negative guard is part of the operator: a cross-label
+    * candidate at cosine >= [[FnTau]] is more likely a MISLABELED
+    * near-duplicate than a hard negative (SimCSE/DPR mining practice) and
+    * is excluded in-scan, so the miner never ships poison pairs to the
+    * trainer.
+    *
+    * Scale shape: q109's retrieval frame with the label-mismatch predicate
+    * pushed into the broadcast join and the FN ceiling into the scan
+    * filter — one broadcast of [[NegAnchors]] anchor rows, one codegen
+    * pass over the corpus, per-anchor ranking via the mergeable BIGINT
+    * `top_k_by` (<= k entries per anchor per partition before the one
+    * exchange). No window, no product, nothing corpus-sized moves.
+    */
+  def q125HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val anchors = e.filter(col("vec_id") < NegAnchors)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("q").as("aq"), col("nq").as("an"))
+    e.filter(col("vec_id") >= NegAnchors)
+      .join(broadcast(anchors), col("label") =!= col("alabel"))
+      .withColumn("cos", Similarity.cosCol(dot("q", "aq"), "nq", "an"))
+      .filter(col("cos") < FnTau)
+      .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy(col("aid"))
+      .agg(expr(s"top_k_by(vec_id, ncos, $NegK)").as("top"))
+      .select(col("aid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("aid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit.v").as("neg_id"),
+        (col("hit.c").cast("double") / 1e9).as("cos"))
+      .orderBy(col("aid"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
@@ -469,6 +512,27 @@ object EmbedOps {
         |  FROM adc JOIN e ON adc.vec_id = e.vec_id, qv)
         |SELECT vec_id, cos_pq, cos_exact, abs(cos_pq - cos_exact) AS abs_err
         |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q125_hard_negatives" ->
+      s"""WITH $qCte,
+        |anchors AS (SELECT vec_id AS aid, label AS alabel, q AS aq,
+        |              nq AS an
+        |            FROM e WHERE vec_id < $NegAnchors),
+        |scored AS (
+        |  SELECT a.aid, e.vec_id,
+        |    ${cosSql("list_dot_product(e.q, a.aq)", "e.nq", "a.an")} AS cos
+        |  FROM e JOIN anchors a ON e.label <> a.alabel
+        |  WHERE e.vec_id >= $NegAnchors),
+        |kept AS (SELECT aid, vec_id,
+        |           CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ncos
+        |         FROM scored WHERE cos < $FnTau),
+        |ranked AS (
+        |  SELECT aid, vec_id, ncos,
+        |    row_number() OVER (PARTITION BY aid ORDER BY ncos DESC, vec_id)
+        |      AS rnk
+        |  FROM kept)
+        |SELECT aid, rnk, vec_id AS neg_id, CAST(ncos AS DOUBLE) / 1e9 AS cos
+        |FROM ranked WHERE rnk <= $NegK ORDER BY aid, rnk""".stripMargin,
 
     "q122_ivf_pq" ->
       s"""WITH $qCte,
@@ -582,5 +646,6 @@ object EmbedOps {
     "q116_mmr_diverse" -> (q116MmrDiverse _),
     "q120_pq_adc" -> (q120PqAdc _),
     "q122_ivf_pq" -> (q122IvfPq _),
+    "q125_hard_negatives" -> (q125HardNegatives _),
   )
 }

@@ -261,6 +261,16 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q125: negative mining broadcasts anchors, filters the FN ceiling in-scan, ranks via the aggregate") {
+    val p = plan(graft.operators.EmbedOps.q125HardNegatives(spark, dir))
+    assert(p.contains("partial_top_k_by"),
+      s"per-anchor ranking must map-side partial-aggregate:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the anchor batch must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      s"no per-anchor window over corpus rankings:\n${p.take(2000)}")
+  }
+
   test("q122: the composed IVF+PQ scan is cell-pruned, code-only, window-free") {
     val p = plan(graft.operators.EmbedOps.q122IvfPq(spark, dir))
     // probe prune + LUT are broadcasts into the code scan; the argmaxes
