@@ -8,8 +8,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for positional word n-grams over a token
-  * array: `word_ngrams(tokens, n)` returns the `size - n + 1` space-joined
-  * n-grams (empty array when the document is shorter than `n`).
+  * array: `word_ngrams(tokens, n[, sep])` returns the `size - n + 1`
+  * sep-joined n-grams (default separator: space; empty array when the
+  * document is shorter than `n`). The separator argument exists for the
+  * BPE family, whose MERGED tokens contain spaces — a space-joined pair
+  * key would be ambiguous there, so the pair census joins with a
+  * character tokens cannot contain (chr(1)).
   *
   * Why not `transform(sequence(...), i -> concat_ws(' ', toks[i], ...))`:
   * higher-order functions run their lambda through the expression
@@ -23,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null semantics match the `concat_ws` formulation it replaces: null
   * elements are skipped inside a gram; a null array yields null.
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, n: Int, sep: String = " ")
+    extends UnaryExpression {
 
   require(n >= 1, s"word_ngrams needs n >= 1, got $n")
 
@@ -35,7 +40,7 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  @transient private lazy val space = UTF8String.fromString(" ")
+  @transient private lazy val space = UTF8String.fromString(sep)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]

@@ -75,8 +75,15 @@ object GraftFunctions {
     children match {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
           org.apache.spark.sql.types.IntegerType)) => WordNgrams(toks, n)
+      case Seq(toks,
+          org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)) =>
+        WordNgrams(toks, n, s.toString)
       case _ => throw new IllegalArgumentException(
-        "word_ngrams(tokens, n) requires an integer literal n")
+        "word_ngrams(tokens, n[, sep]) requires an integer literal n (and a string literal sep)")
     }
 
   def register(spark: SparkSession): Unit = {

@@ -588,15 +588,15 @@ object TextAnalysis {
       .localCheckpoint(true)
     var out: DataFrame = null
     for (r <- 1 to rounds) {
+      // pair census in whole-stage codegen: word_ngrams with the chr(1)
+      // separator (merged tokens contain spaces, so a space-joined key
+      // would be ambiguous) — replaces an interpreted per-element
+      // struct-transform lambda on the hottest stream of the loop
       val counted = d.filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> named_struct('t1', element_at(toks, i),
-            |                    't2', element_at(toks, i + 1)))""".stripMargin)).as("p"))
-        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+        .select(explode(expr("word_ngrams(toks, 2, '\u0001')")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       val top1 = counted
-        .agg(expr("top_k_by(concat(t1, chr(1), t2), cnt, 1)").as("top"))
+        .agg(expr("top_k_by(g, cnt, 1)").as("top"))
         .select(col("top")(0).getField("v").as("pk"),
           col("top")(0).getField("c").as("cnt"))
         .select(expr("split_part(pk, chr(1), 1)").as("t1"),
