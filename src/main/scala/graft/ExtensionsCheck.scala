@@ -45,6 +45,18 @@ object ExtensionsCheck {
       .collect()(0).getSeq[String](0)
     require(topk == Seq("b", "c"), s"top_k_by: $topk")
 
+    // round-8 overloads through the SAME injected builders: custom
+    // separator n-grams, BIGINT top_k_by payloads (numeric tie order)
+    val ngrams3 = spark.sql("SELECT word_ngrams(array('a','b','c'), 2, '|') AS g")
+      .collect()(0).getSeq[String](0)
+    require(ngrams3 == Seq("a|b", "b|c"), s"word_ngrams sep: $ngrams3")
+
+    val topkL = Seq((100L, 5L), (2L, 9L), (10L, 9L), (7L, 1L)).toDF("v", "c")
+      .agg(expr("top_k_by(v, c, 3)").as("t"))
+      .selectExpr("transform(t, e -> e.v) AS vs")
+      .collect()(0).getSeq[Long](0)
+    require(topkL == Seq(2L, 10L, 100L), s"top_k_by bigint: $topkL")
+
     val bf = spark.sql(
       "SELECT bloom_might_contain(bf, xxhash64(42L), 5) AS hit, " +
         "bloom_might_contain(bf, xxhash64(43L), 5) AS miss FROM " +
