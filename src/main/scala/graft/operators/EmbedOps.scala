@@ -327,6 +327,14 @@ object EmbedOps {
     * query the index serves. Determinism: identical to q120 — everything
     * through the ADC dot is integer; the IVF side is q38's exact integer
     * k-means.
+    *
+    * Deliberately NON-residual codes (x quantized directly, q120's
+    * recipe) to keep the cross-engine oracle exact and single-codebook;
+    * the production refinement — residual encoding r = x - mean(cell),
+    * which re-spends the code space on within-cell detail, plus an
+    * ADC-shortlist exact re-rank sized to probed occupancy — is
+    * implemented and MEASURED in `AnnStress pq` (recall@10 1.0 at 1M
+    * vectors, 10x smaller stored index; SCALE.md round-8).
     */
   def q122IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
