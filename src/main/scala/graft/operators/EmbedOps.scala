@@ -3,9 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 embedding-pipeline operators on top of [[Similarity]]'s exact
-  * integer-cosine machinery: IVF index health profiling (q114) and
-  * embedding-space train/eval decontamination (q115).
+/** Embedding-pipeline operators on top of [[Similarity]]'s exact
+  * integer-cosine machinery: IVF index health profiling (q114),
+  * embedding-space train/eval decontamination (q115), MMR diverse
+  * retrieval (q116), product quantization with ADC (q120), the composed
+  * IVF+PQ index (q122), and hard-negative mining (q125).
   *
   * Shares [[Similarity]]'s determinism contract: quantized integer vectors,
   * exact integer dots/norms, one IEEE-rounded division per cosine, and
@@ -337,6 +339,24 @@ object EmbedOps {
     * vectors, 10x smaller stored index; SCALE.md round-8).
     */
   def q122IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (adc, e, query) = ivfPqAdc(spark, dir)
+    adc.join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
+      .join(broadcast(query))
+      .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .withColumn("cos_exact",
+        Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+      .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
+      .select("vec_id", "cid", "cos_pq", "cos_exact", "abs_err")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** The composed index build + pruned ADC scan shared by q122 and q126:
+    * returns (adc frame (vec_id, cid, adot, nrec) over the probed cells,
+    * the quantized corpus, the one-row query frame).
+    */
+  private def ivfPqAdc(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
     // IVF index: q38's recipe (seeds = vec_id < CellK, 2 integer rounds)
     val seeds = e.filter(col("vec_id") < CellK)
@@ -357,8 +377,7 @@ object EmbedOps {
     val lut = pqLut(subs, cb1)
     // the pruned scan: cell assignment filtered to the probed cells (the
     // partition prune at scale), then codes of the survivors through the
-    // broadcast LUT — raw vectors are only read back for the top-10
-    // error report, never in the scored scan
+    // broadcast LUT — raw vectors never enter the scored scan
     val probedVecs = cells
       .join(broadcast(probes.select("pcid")), col("cid") === col("pcid"))
       .filter(col("vec_id") =!= 0)
@@ -369,14 +388,42 @@ object EmbedOps {
       .agg(sum(col("ldot")).as("adot"), sum(col("ncs")).as("nrec"))
     val query = e.filter(col("vec_id") === 0)
       .select(col("q").as("qq"), col("nq").as("qn"))
-    adc.join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
-      .join(broadcast(query))
+    (adc, e, query)
+  }
+
+  /** ADC shortlist depth for the q126 re-rank. */
+  private val RerankR = 20
+
+  /** IVF+PQ with exact re-rank (q126) — the COMPLETE production serving
+    * path: q122's cell-pruned code-only ADC scan produces a [[RerankR]]
+    * shortlist, and only those R rows read their raw vectors back for an
+    * exact-cosine re-rank of the final top-10. This is the step that
+    * makes PQ deployable when code quantization error approaches the
+    * within-cell similarity spread — measured in `AnnStress pq`: ADC-only
+    * recall@10 was 0.1 at 1M vectors, shortlist + re-rank restored 1.0
+    * while reading raw vectors for only the shortlist. Output ranks by
+    * the EXACT cosine (ties vec_id), with the ADC estimate alongside.
+    *
+    * Scale shape: everything through the shortlist is q122's (broadcast
+    * probes + LUT, code-only rows); the re-rank joins the R-row shortlist
+    * against the vector store — R is a constant knob (scaled to probed
+    * occupancy in production, the AnnStress finding), so the raw-vector
+    * read volume is independent of corpus size.
+    */
+  def q126IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (adc, e, query) = ivfPqAdc(spark, dir)
+    val shortlist = adc
+      .join(broadcast(query.select("qn")))
       .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(RerankR)
+      .select("vec_id", "cid", "cos_pq")
+    shortlist.join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
+      .join(broadcast(query))
       .withColumn("cos_exact",
         Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
-      .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
-      .select("vec_id", "cid", "cos_pq", "cos_exact", "abs_err")
-      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .select("vec_id", "cid", "cos_pq", "cos_exact")
+      .orderBy(col("cos_exact").desc, col("vec_id"))
       .limit(10)
   }
 
@@ -607,6 +654,71 @@ object EmbedOps {
         |  abs(cos_pq - cos_exact) AS abs_err
         |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q126_ivf_pq_rerank" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $CellK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |pr AS (
+        |  SELECT c.cid,
+        |    row_number() OVER (ORDER BY
+        |      ${cosSql("list_dot_product(qv.qq, c.csum)", "qv.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qv, cent2 c),
+        |sub2 AS (SELECT vec_id, s, qs,
+        |    CAST(list_dot_product(qs, qs) AS BIGINT) AS nqs
+        |  FROM (SELECT vec_id, g.s AS s,
+        |          q[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |        FROM e, generate_series(0, ${PqSub - 1}) AS g(s))),
+        |pcb0 AS (SELECT s, vec_id AS code, qs AS cs, nqs AS ncs
+        |         FROM sub2 WHERE vec_id < $PqCodes),
+        |pa0 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb0 c ON sub2.s = c.s) WHERE rn = 1),
+        |ppos AS (SELECT vec_id, s, g.i AS i, qs[g.i] AS xi
+        |         FROM sub2, generate_series(1, $PqDim) AS g(i)),
+        |ps1 AS (SELECT pa0.s, pa0.code, ppos.i, CAST(sum(ppos.xi) AS BIGINT) AS si,
+        |          count(*) AS cnt
+        |        FROM ppos JOIN pa0 ON ppos.vec_id = pa0.vec_id AND ppos.s = pa0.s
+        |        GROUP BY 1, 2, 3),
+        |pcb1 AS (SELECT s, code, list(si // cnt ORDER BY i) AS cs,
+        |           CAST(sum((si // cnt) * (si // cnt)) AS BIGINT) AS ncs
+        |         FROM ps1 GROUP BY s, code),
+        |pa1 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb1 c ON sub2.s = c.s) WHERE rn = 1),
+        |q0 AS (SELECT s, qs FROM sub2 WHERE vec_id = 0),
+        |lut AS (SELECT c.s, c.code,
+        |          CAST(list_dot_product(q0.qs, c.cs) AS BIGINT) AS ldot, c.ncs
+        |        FROM pcb1 c JOIN q0 ON c.s = q0.s),
+        |adc AS (SELECT pa1.vec_id, af.cid, CAST(sum(l.ldot) AS BIGINT) AS adot,
+        |          CAST(sum(l.ncs) AS BIGINT) AS nrec
+        |        FROM pa1 JOIN lut l ON pa1.s = l.s AND pa1.code = l.code
+        |             JOIN af ON pa1.vec_id = af.vec_id
+        |        WHERE pa1.vec_id <> 0
+        |          AND af.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)
+        |        GROUP BY pa1.vec_id, af.cid),
+        |sl AS (
+        |  SELECT adc.vec_id, adc.cid,
+        |    ${cosSql("adc.adot", "qv.qn", "adc.nrec")} AS cos_pq
+        |  FROM adc, qv ORDER BY cos_pq DESC, vec_id LIMIT $RerankR)
+        |SELECT sl.vec_id, sl.cid, sl.cos_pq,
+        |  ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos_exact
+        |FROM sl JOIN e ON sl.vec_id = e.vec_id, qv
+        |ORDER BY cos_exact DESC, sl.vec_id LIMIT 10""".stripMargin,
+
     // the greedy selection is a recursive CTE over the candidate pool;
     // sims are a per-candidate list indexed by candidate RANK so the
     // recursive term needs only list lookups (DuckDB disallows aggregates
@@ -655,5 +767,6 @@ object EmbedOps {
     "q120_pq_adc" -> (q120PqAdc _),
     "q122_ivf_pq" -> (q122IvfPq _),
     "q125_hard_negatives" -> (q125HardNegatives _),
+    "q126_ivf_pq_rerank" -> (q126IvfPqRerank _),
   )
 }

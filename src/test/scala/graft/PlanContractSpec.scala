@@ -271,19 +271,23 @@ class PlanContractSpec extends SparkTestBase {
       s"no per-anchor window over corpus rankings:\n${p.take(2000)}")
   }
 
-  test("q122: the composed IVF+PQ scan is cell-pruned, code-only, window-free") {
-    val p = plan(graft.operators.EmbedOps.q122IvfPq(spark, dir))
-    // probe prune + LUT are broadcasts into the code scan; the argmaxes
-    // (k-means assign, per-vector ADC sum) are all hash aggs — a window
-    // anywhere would sort corpus-sized frames on one reducer
-    assert(p.contains("BroadcastHashJoin"),
-      s"probed cells and ADC LUT must broadcast:\n${p.take(2000)}")
-    assert(!p.contains("Window ["),
-      s"composed index scan must stay window-free:\n${p.take(2000)}")
-    assert(!p.contains("CartesianProduct"),
-      s"no unbounded product anywhere in the composed plan:\n${p.take(2000)}")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"final top-10 must be a TakeOrdered, not a global sort:\n${p.take(2000)}")
+  test("q122/q126: the composed IVF+PQ scans are cell-pruned, code-only, window-free") {
+    for ((name, df) <- Seq(
+        "q122" -> graft.operators.EmbedOps.q122IvfPq(spark, dir),
+        "q126" -> graft.operators.EmbedOps.q126IvfPqRerank(spark, dir))) {
+      val p = plan(df)
+      // probe prune + LUT are broadcasts into the code scan; the argmaxes
+      // (k-means assign, per-vector ADC sum) are all hash aggs — a window
+      // anywhere would sort corpus-sized frames on one reducer
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: probed cells and ADC LUT must broadcast:\n${p.take(2000)}")
+      assert(!p.contains("Window ["),
+        s"$name: composed index scan must stay window-free:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no unbounded product in the composed plan:\n${p.take(2000)}")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must be a TakeOrdered, not a global sort:\n${p.take(2000)}")
+    }
   }
 
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
