@@ -662,7 +662,47 @@ object TextAnalysis {
     ("d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
       +: (1 to rounds).map(bpeRoundCte)).mkString(",\n")
 
+  /** Tokenizer application report (q127): apply the q123-trained merge
+    * table to the corpus and report per-source token compression — the
+    * acceptance measurement after tokenizer training (how many tokens a
+    * source actually costs under the new vocab vs whitespace counting;
+    * the per-source ratio is the number that re-prices mixing budgets,
+    * q124's input). Counts are exact integers; the one double is a
+    * 6-decimal round of an integer ratio.
+    *
+    * Scale shape: the merge passes are q123's (linear, shuffle-free); the
+    * report is one doc_id-keyed join plus one map-side-combined hash agg
+    * to |sources| rows.
+    */
+  def q127TokenizerApply(spark: SparkSession, dir: String): DataFrame = {
+    val merged = bpeTrainLoop(spark, dir, BpeRounds)._2
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nm"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("nr"))
+      .join(merged, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nr")).as("tok_raw"), sum(col("nm")).as("tok_merged"))
+      .withColumn("ratio",
+        round(col("tok_merged").cast("double") / col("tok_raw"), 6))
+      .select("source", "n_docs", "tok_raw", "tok_merged", "ratio")
+      .orderBy(col("source"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q127_tokenizer_apply" ->
+      s"""WITH ${bpeChainCtes(BpeRounds)},
+        |raw AS (SELECT doc_id, source,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nr
+        |        FROM documents)
+        |SELECT r.source, count(*) AS n_docs,
+        |  CAST(sum(r.nr) AS BIGINT) AS tok_raw,
+        |  CAST(sum(len(m.toks)) AS BIGINT) AS tok_merged,
+        |  round(CAST(sum(len(m.toks)) AS DOUBLE) / sum(r.nr), 6) AS ratio
+        |FROM raw r JOIN d$BpeRounds m ON r.doc_id = m.doc_id
+        |GROUP BY r.source ORDER BY r.source""".stripMargin,
+
     "q123_bpe_train" ->
       s"""WITH ${bpeChainCtes(BpeRounds)}
         |${(1 to BpeRounds).map(r =>
@@ -891,5 +931,6 @@ object TextAnalysis {
     "q105_quality_classifier" -> (q105QualityClassifier _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q123_bpe_train" -> (q123BpeTrain _),
+    "q127_tokenizer_apply" -> (q127TokenizerApply _),
   )
 }
