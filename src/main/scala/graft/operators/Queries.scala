@@ -61,43 +61,54 @@ object Queries {
     * unannotated INT64 both surface as LongType, and assuming nanos would
     * silently floor-divide a generator that ships raw epoch-micros (the
     * same corruption class the round-7 precision fix closed). The parquet
-    * footer's logical-type annotation is authoritative when present; an
-    * unannotated column falls back to a bounded magnitude probe:
-    * |ts| >= 1e17 can only be nanos (1e17 µs is year 5138; 1e17 ns is
-    * March 1973 — any modern instant separates cleanly). The probe reads
-    * at most 100 rows once at plan time; an empty table defaults to the
-    * historical nanos reading.
+    * footers' logical-type annotations are authoritative when present
+    * (ALL data files are checked and must agree — a table whose files
+    * disagree mid-generator-flip fails loudly instead of dividing half
+    * its timestamps); an unannotated column falls back to a magnitude
+    * probe over max(|ts|) of the WHOLE column: |ts| >= 1e17 can only be
+    * nanos (1e17 µs is year 5138; 1e17 ns is March 1973 — any modern
+    * instant separates cleanly). The full-column max makes the probe
+    * deterministic across file layouts — a limit(100) sample reads
+    * whichever 100 rows the scan happens to order first, and a table
+    * mixing magnitudes into that window would be misclassified (round-8
+    * advice). One plan-time scan of a single BIGINT column, once per
+    * load; an empty table defaults to the historical nanos reading.
     */
   private def longTsIsNanos(
       spark: SparkSession, dir: String, raw: DataFrame): Boolean =
     footerTsUnit(spark, dir) match {
       case Some(unit) => unit == "NANOS"
       case None =>
-        val m = raw.select(col("ts")).limit(100)
-          .agg(max(abs(col("ts")))).head()
+        val m = raw.agg(max(abs(col("ts")))).head()
         m.isNullAt(0) || m.getLong(0) >= 100000000000000000L
     }
 
-  /** The parquet footer's logical-type unit for `events.ts` ("NANOS" /
+  /** The parquet footers' logical-type unit for `events.ts` ("NANOS" /
     * "MICROS" / "MILLIS"), or None when the column is unannotated INT64,
-    * absent, or the footer is unreadable.
+    * absent, or no footer is readable. ALL data files' footers are read
+    * (footer reads are O(KB) metadata, once per load): files that
+    * DISAGREE on the annotation throw — classifying a heterogeneous
+    * table by one file would silently mis-scale every row the other
+    * files hold. A footer-read failure logs the degradation to the
+    * magnitude heuristic instead of swallowing it (round-8 advice).
     */
-  private def footerTsUnit(spark: SparkSession, dir: String): Option[String] =
+  private def footerTsUnit(spark: SparkSession, dir: String): Option[String] = {
+    def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) {
+        if (p.getName.startsWith("_") || p.getName.startsWith(".")) Nil
+        else Seq(p)
+      } else fs.listStatus(p).sortBy(_.getPath.getName).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s => dataFiles(fs, s.getPath))
+    }
     try {
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
       val fs = root.getFileSystem(conf)
-      def firstDataFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
-        val st = fs.getFileStatus(p)
-        if (st.isFile) {
-          if (p.getName.startsWith("_") || p.getName.startsWith(".")) None
-          else Some(p)
-        } else fs.listStatus(p).sortBy(_.getPath.getName).iterator
-          .filterNot(s => s.getPath.getName.startsWith("_") ||
-            s.getPath.getName.startsWith("."))
-          .flatMap(s => firstDataFile(s.getPath)).nextOption()
-      }
-      firstDataFile(root).flatMap { f =>
+      val units = dataFiles(fs, root).flatMap { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
         try {
@@ -108,8 +119,20 @@ object Queries {
               t.getUnit.toString
           }
         } finally rd.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      }.distinct
+      if (units.length > 1) throw new IllegalStateException(
+        s"events.ts parquet files disagree on timestamp unit: ${units.sorted.mkString(", ")}" +
+          s" under $dir/events.parquet — refusing to guess; rewrite the table with one precision")
+      units.headOption
+    } catch {
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"events.ts footer read failed under $dir/events.parquet — " +
+            s"falling back to the magnitude heuristic: $e")
+        None
+    }
+  }
 
   /** Exact decimal sum emitted as double: order-insensitive, engine-portable. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
