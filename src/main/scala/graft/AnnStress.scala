@@ -211,9 +211,11 @@ object AnnStress {
     // shortlist depth scales with probed occupancy: ADC error is constant
     // while candidate density grows with the corpus, so a FIXED shortlist
     // gets relatively shallower as cells fill (measured: R=500 gives
-    // recall 1.0 at 100k vecs but 0.5 at 1M) — production IVFADC tunes
-    // R as a fraction of the scanned cells for exactly this reason
-    def rerankR(probed: Long): Int = math.max(500L, probed / 8L).toInt
+    // recall 1.0 at 100k vecs but 0.5 at 1M) — the rule now lives in the
+    // ENGINE path (EmbedOps.rerankDepth, q126); the harness shares it
+    // with a deeper floor for the 1M-vector sweep
+    def rerankR(probed: Long): Int =
+      operators.EmbedOps.rerankDepth(probed, floor = 500L)
     val spark = Harness.session("graft-pq-stress")
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -262,7 +264,7 @@ object AnnStress {
         .select("vec_id", "q")
       val subs = operators.EmbedOps.pqSubvectors(resid)
       val cb1 = operators.EmbedOps.pqCodebook(subs, PqStressCodes, rounds = 2)
-      operators.EmbedOps.pqAssign(subs, cb1)
+      operators.EmbedOps.pqAssign(subs, cb1, PqStressCodes)
         .groupBy(col("vec_id"))
         // bit ops, not arithmetic: the top byte's shifted value exceeds
         // Long.Max as a signed number (the packed word may be "negative")

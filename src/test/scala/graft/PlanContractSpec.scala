@@ -290,6 +290,28 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q128: the stored-index serve scans only the probed cell directories") {
+    val root = graft.operators.EmbedOps.buildStoredIndex(spark, dir)
+    val df = graft.operators.EmbedOps.serveFromIndex(spark, dir, root)
+    val p = plan(df)
+    // the codes scan must prune STATICALLY on the cid partition column —
+    // this is the "query touches nprobe/K of the corpus" claim as a
+    // planner contract, not scaladoc
+    val scanLine = p.linesIterator
+      .find(l => l.contains("graft_ann_index") && l.contains("PartitionFilters"))
+    assert(scanLine.isDefined,
+      s"expected a partition-filtered scan of the stored codes:\n${p.take(3000)}")
+    assert(scanLine.get.matches(".*PartitionFilters:.*cid.*IN \\(.*"),
+      s"cid IN (probed...) must reach PartitionFilters:\n${scanLine.get}")
+    assert(!p.contains("Window ["), "serving must stay window-free")
+    // and the served answer IS q122's answer (same index recipe)
+    val served = df.collect().map(_.toString).toSeq
+    val inflight = graft.operators.EmbedOps.q122IvfPq(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(served == inflight,
+      "the stored-index serve must return exactly the in-flight q122 top-10")
+  }
+
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
     val p = plan(graft.operators.Dedup.q67IncrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
