@@ -452,7 +452,7 @@ object Curation {
     * reducer).
     */
   def q124SubwordBudget(spark: SparkSession, dir: String): DataFrame = {
-    val merged = TextAnalysis.bpeTrainLoop(spark, dir, TextAnalysis.BpeRounds)._2
+    val merged = TextAnalysis.bpeTrained(spark, dir, TextAnalysis.BpeRounds)._2
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
     val scored = docs(spark, dir)
       .withColumn("rtoks", split(col("text"), " "))

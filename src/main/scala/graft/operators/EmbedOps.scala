@@ -564,6 +564,97 @@ object EmbedOps {
       .limit(10)
   }
 
+  // ------------------------------------------------------------------
+  // q129: RESIDUAL product quantization — the production encoding
+  // ------------------------------------------------------------------
+
+  /** Residual IVF+PQ with ADC (q129) — the encoding a deployed IVFADC
+    * index actually ships (Jégou et al. 2011 §III): codes quantize the
+    * RESIDUAL r = x − mean(cell) instead of x itself, re-spending the
+    * whole code space on within-cell detail. q122 deliberately encodes x
+    * directly and documents why; `AnnStress pq` then measured what that
+    * costs at scale — non-residual ADC ranking collapses inside a cell
+    * once quantization error reaches the within-cell similarity spread
+    * (recall@10 0.6 at 100k vectors), while residual encoding restores
+    * 1.0 at a 10x smaller stored index. This query promotes the measured
+    * winner from the stress harness into the oracle-checked engine path.
+    *
+    * The reconstruction is x̂ = cm(cell) + r̂, so the ADC cosine needs
+    * three integer tables instead of q120's one:
+    * dot(q, x̂) = dot(q, cm) + Σ_s dot(q_s, ĉ_s)          (qcm + LUT)
+    * |x̂|²     = |cm|² + 2·Σ_s dot(cm_s, ĉ_s) + Σ_s |ĉ_s|²  (cdot table)
+    * — every term exact integer arithmetic (cell means are truncating
+    * integer divisions, the semantic Spark's `div` and DuckDB's `//`
+    * share), one IEEE division at the end, so the oracle reproduces the
+    * doubles bit-for-bit.
+    *
+    * Scale shape: identical to q122 — the residual subtraction is one
+    * zip_with against a BROADCAST K-row mean table inside the (one-time,
+    * amortized) encode pass; at query time the extra cdot/qcm tables are
+    * nprobe x [[PqSub]] x [[PqCodes]] and nprobe rows, broadcast like the
+    * LUT. The scored scan still touches only probed-cell code rows.
+    */
+  def q129IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val seeds = e.filter(col("vec_id") < CellK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = Similarity.ivfCentroids(e, seeds)
+    val cells = Similarity.assign(e, centroids).localCheckpoint(true)
+    // integer cell means from the SUM centroids + occupancy counts
+    val cmean = centroids
+      .join(cells.groupBy(col("cid")).agg(count(lit(1)).as("cn")), Seq("cid"))
+      .withColumn("cm", expr("transform(csum, x -> x div cn)"))
+      .withColumn("ncm", expr("long_dot(cm, cm)"))
+      .select("cid", "cm", "ncm")
+      .localCheckpoint(true)
+    val resid = e.join(cells, Seq("vec_id")).join(broadcast(cmean), Seq("cid"))
+      .withColumn("q", expr("zip_with(q, cm, (a, b) -> a - b)"))
+      .select("vec_id", "q")
+    val rsubs = pqSubvectors(resid)
+    val rcb = pqCodebook(rsubs)
+    val rcodes = pqAssign(rsubs, rcb)
+    val probes = centroids.crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("q").as("qq"), col("nq").as("qn"))))
+      .withColumn("ccos", Similarity.cosCol(dot("csum", "qq"), "nc", "qn"))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(PqProbes)
+      .select("cid")
+    // the three broadcast ADC tables
+    val lut = pqLut(pqSubvectors(e.filter(col("vec_id") === 0)), rcb)
+    val cms = cmean.join(broadcast(probes), Seq("cid"))
+      .select(col("cid"), explode(expr(s"sequence(0, ${PqSub - 1})")).as("s"),
+        col("cm"))
+      .withColumn("cms", expr(s"slice(cm, s * $PqDim + 1, $PqDim)"))
+    val cdot = cms.join(rcb, Seq("s"))
+      .select(col("cid"), col("s"), col("code"),
+        expr("long_dot(cms, cs)").as("cdot"))
+    val qcm = cmean.join(broadcast(probes), Seq("cid"))
+      .crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("q").as("qq"))))
+      .select(col("cid"), col("ncm"), expr("long_dot(qq, cm)").as("qdotcm"))
+    val probedVecs = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "cid")
+    val adc = rcodes.join(probedVecs, Seq("vec_id"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .join(broadcast(cdot), Seq("cid", "s", "code"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("ldot")).as("rdot"), sum(col("cdot")).as("crec"),
+        sum(col("ncs")).as("nrs"))
+    adc.join(broadcast(qcm), Seq("cid"))
+      .withColumn("adot", col("qdotcm") + col("rdot"))
+      .withColumn("nrec", col("ncm") + lit(2L) * col("crec") + col("nrs"))
+      .join(e.select("vec_id", "q", "nq"), Seq("vec_id"))
+      .join(broadcast(
+        e.filter(col("vec_id") === 0).select(col("q").as("qq"), col("nq").as("qn"))))
+      .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .withColumn("cos_exact", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+      .withColumn("abs_err", abs(col("cos_pq") - col("cos_exact")))
+      .select("vec_id", "cid", "cos_pq", "cos_exact", "abs_err")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Anchor batch size / negatives per anchor / false-negative ceiling
     * for q125.
     */
@@ -733,6 +824,99 @@ object EmbedOps {
     "q128_ivf_pq_served" -> ivfPqOracleSql,
 
     "q126_ivf_pq_rerank" -> rerankOracleSql,
+
+    "q129_ivf_pq_residual" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $CellK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |cnt AS (SELECT cid, count(*) AS cn FROM af GROUP BY cid),
+        |cmean AS (SELECT c.cid, [x // n.cn FOR x IN c.csum] AS cm
+        |          FROM cent2 c JOIN cnt n ON c.cid = n.cid),
+        |cmean2 AS (SELECT cid, cm,
+        |             CAST(list_dot_product(cm, cm) AS BIGINT) AS ncm
+        |           FROM cmean),
+        |rv AS (SELECT e.vec_id,
+        |         [e.q[i] - m.cm[i] FOR i IN generate_series(1, 64)] AS rq
+        |       FROM e JOIN af USING (vec_id) JOIN cmean2 m ON af.cid = m.cid),
+        |rsub2 AS (SELECT vec_id, s, qs,
+        |    CAST(list_dot_product(qs, qs) AS BIGINT) AS nqs
+        |  FROM (SELECT vec_id, g.s AS s,
+        |          rq[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |        FROM rv, generate_series(0, ${PqSub - 1}) AS g(s))),
+        |rcb0 AS (SELECT s, vec_id AS code, qs AS cs, nqs AS ncs
+        |         FROM rsub2 WHERE vec_id < $PqCodes),
+        |ra0 AS (SELECT vec_id, s, code FROM (
+        |  SELECT rsub2.vec_id, rsub2.s, c.code,
+        |    row_number() OVER (PARTITION BY rsub2.vec_id, rsub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(rsub2.qs, c.cs), c.code) AS rn
+        |  FROM rsub2 JOIN rcb0 c ON rsub2.s = c.s) WHERE rn = 1),
+        |rpos AS (SELECT vec_id, s, g.i AS i, qs[g.i] AS xi
+        |         FROM rsub2, generate_series(1, $PqDim) AS g(i)),
+        |rs1 AS (SELECT ra0.s, ra0.code, rpos.i, CAST(sum(rpos.xi) AS BIGINT) AS si,
+        |          count(*) AS cnt
+        |        FROM rpos JOIN ra0 ON rpos.vec_id = ra0.vec_id AND rpos.s = ra0.s
+        |        GROUP BY 1, 2, 3),
+        |rcb1 AS (SELECT s, code, list(si // cnt ORDER BY i) AS cs,
+        |           CAST(sum((si // cnt) * (si // cnt)) AS BIGINT) AS ncs
+        |         FROM rs1 GROUP BY s, code),
+        |ra1 AS (SELECT vec_id, s, code FROM (
+        |  SELECT rsub2.vec_id, rsub2.s, c.code,
+        |    row_number() OVER (PARTITION BY rsub2.vec_id, rsub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(rsub2.qs, c.cs), c.code) AS rn
+        |  FROM rsub2 JOIN rcb1 c ON rsub2.s = c.s) WHERE rn = 1),
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |pr AS (
+        |  SELECT c.cid,
+        |    row_number() OVER (ORDER BY
+        |      ${cosSql("list_dot_product(qv.qq, c.csum)", "qv.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qv, cent2 c),
+        |qsub AS (SELECT g.s AS s, q[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |         FROM e, generate_series(0, ${PqSub - 1}) AS g(s)
+        |         WHERE vec_id = 0),
+        |lut AS (SELECT c.s, c.code,
+        |          CAST(list_dot_product(q0.qs, c.cs) AS BIGINT) AS ldot, c.ncs
+        |        FROM rcb1 c JOIN qsub q0 ON c.s = q0.s),
+        |cms AS (SELECT m.cid, g.s AS s,
+        |          m.cm[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS cms
+        |        FROM cmean2 m, generate_series(0, ${PqSub - 1}) AS g(s)
+        |        WHERE m.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)),
+        |cd AS (SELECT cms.cid, cms.s, c.code,
+        |         CAST(list_dot_product(cms.cms, c.cs) AS BIGINT) AS cdot
+        |       FROM cms JOIN rcb1 c ON cms.s = c.s),
+        |qcm AS (SELECT m.cid, m.ncm,
+        |          CAST(list_dot_product(qv.qq, m.cm) AS BIGINT) AS qdotcm
+        |        FROM cmean2 m, qv
+        |        WHERE m.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)),
+        |adc AS (SELECT ra1.vec_id, af.cid,
+        |          CAST(sum(l.ldot) AS BIGINT) AS rdot,
+        |          CAST(sum(cd.cdot) AS BIGINT) AS crec,
+        |          CAST(sum(l.ncs) AS BIGINT) AS nrs
+        |        FROM ra1 JOIN lut l ON ra1.s = l.s AND ra1.code = l.code
+        |             JOIN af ON ra1.vec_id = af.vec_id
+        |             JOIN cd ON cd.cid = af.cid AND cd.s = ra1.s
+        |                    AND cd.code = ra1.code
+        |        WHERE ra1.vec_id <> 0
+        |          AND af.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)
+        |        GROUP BY ra1.vec_id, af.cid),
+        |res AS (
+        |  SELECT adc.vec_id, adc.cid,
+        |    ${cosSql("(qc.qdotcm + adc.rdot)", "qv.qn",
+                      "(qc.ncm + 2 * adc.crec + adc.nrs)")} AS cos_pq,
+        |    ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos_exact
+        |  FROM adc JOIN qcm qc ON adc.cid = qc.cid
+        |       JOIN e ON adc.vec_id = e.vec_id, qv)
+        |SELECT vec_id, cid, cos_pq, cos_exact,
+        |  abs(cos_pq - cos_exact) AS abs_err
+        |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin,
   ) ++ mmrOracle
 
   /** q122/q128's shared oracle: the composed IVF+PQ top-10. */
@@ -924,5 +1108,6 @@ object EmbedOps {
     "q125_hard_negatives" -> (q125HardNegatives _),
     "q126_ivf_pq_rerank" -> (q126IvfPqRerank _),
     "q128_ivf_pq_served" -> (q128IvfPqServed _),
+    "q129_ivf_pq_residual" -> (q129IvfPqResidual _),
   )
 }
