@@ -38,17 +38,26 @@ object Queries {
     * value DuckDB's `epoch_us(ts)` yields on the same file (DuckDB truncates
     * nanos to µs on read; sessions run in UTC so NTZ wall-time == UTC).
     *
-    * NOTE: `nanosAsLong` is a session-wide SQL conf and stays set for the
-    * session's lifetime — deliberately: the conf is consulted again at scan
-    * execution, so a set/restore scope around planning would break lazy
-    * execution. Effect on other reads: TIMESTAMP(NANOS) columns (which
-    * Spark would otherwise refuse outright) surface as epoch-nano longs.
+    * NOTE on `nanosAsLong`: the conf is session-wide and, once set, stays
+    * set for the session's lifetime — a set/restore scope around planning
+    * would break lazy execution because the conf is consulted again at
+    * scan time. Spark exposes no per-read option for it (the parquet
+    * schema converter reads SQLConf, not datasource options — checked
+    * against the 4.x reader), so the honest scoping is CONDITIONAL: the
+    * footer is probed first (no conf needed) and the mutation happens
+    * ONLY when the table actually carries TIMESTAMP(NANOS), i.e. exactly
+    * when Spark would otherwise refuse the read outright. A session that
+    * never loads a NANOS table never sees the conf change
+    * (spec-asserted); one that does gets the only setting under which
+    * the table is readable at all.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val unit = footerTsUnit(spark, dir)
+    if (unit.contains("NANOS"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType if longTsIsNanos(spark, dir, raw) =>
+      case org.apache.spark.sql.types.LongType if longTsIsNanos(unit, raw) =>
         expr(floorDivSql("ts", 1000L))
       case org.apache.spark.sql.types.LongType => col("ts")
       case _ => unix_micros(col("ts").cast("timestamp"))
@@ -74,10 +83,9 @@ object Queries {
     * advice). One plan-time scan of a single BIGINT column, once per
     * load; an empty table defaults to the historical nanos reading.
     */
-  private def longTsIsNanos(
-      spark: SparkSession, dir: String, raw: DataFrame): Boolean =
-    footerTsUnit(spark, dir) match {
-      case Some(unit) => unit == "NANOS"
+  private def longTsIsNanos(unit: Option[String], raw: DataFrame): Boolean =
+    unit match {
+      case Some(u) => u == "NANOS"
       case None =>
         val m = raw.agg(max(abs(col("ts")))).head()
         m.isNullAt(0) || m.getLong(0) >= 100000000000000000L

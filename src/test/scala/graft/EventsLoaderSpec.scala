@@ -103,6 +103,29 @@ class EventsLoaderSpec extends SparkTestBase {
     assert(loadTsUs(dir) === expected)
   }
 
+  test("nanosAsLong mutates the session ONLY for genuine TIMESTAMP(NANOS) tables") {
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val ntzDir = tmpDir("ev_conf_ntz")
+    val rawDir = tmpDir("ev_conf_raw")
+    val nanoDir = tmpDir("ev_conf_nanos")
+    write(ntzDir, TimestampNTZType,
+      us => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+    write(rawDir, LongType, us => us)
+    writeNanosParquet(nanoDir,
+      micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) })
+    spark.conf.unset(confKey)
+    // sessions that never read a NANOS table keep their conf untouched
+    loadTsUs(ntzDir)
+    loadTsUs(rawDir)
+    assert(!spark.conf.get(confKey, "false").toBoolean,
+      "non-NANOS loads must not mutate the session conf")
+    // a NANOS table is unreadable without it — the one case that sets it
+    loadTsUs(nanoDir)
+    assert(spark.conf.get(confKey, "false").toBoolean)
+  }
+
   test("sub-microsecond nanos floor toward negative infinity like DuckDB") {
     val dir = tmpDir("ev_floor")
     // -1 ns is inside microsecond -1 (floor), not 0 (truncate); the
