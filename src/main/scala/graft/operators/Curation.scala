@@ -870,6 +870,78 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q131: leakage-safe train/val/test splits (cluster-granular hashing)
+  // ------------------------------------------------------------------
+
+  /** Split-bucket boundaries: hash bucket < 90 -> train, < 95 -> val,
+    * else test (90/5/5).
+    */
+  private val TrainBuckets = 90
+  private val ValBuckets = 95
+
+  /** Hash bucket 0..99 from a column's md5 prefix — the q51 determinism
+    * recipe (identical hex and conv semantics in Spark and DuckDB).
+    */
+  private def hashBucket(c: String): Column =
+    expr(s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  private def splitOf(b: Column): Column =
+    when(b < TrainBuckets, "train").when(b < ValBuckets, "val").otherwise("test")
+
+  /** Leakage-safe train/val/test assignment (q131): the split every
+    * pretraining/eval pipeline must get right — hashing DOCUMENTS into
+    * splits leaks near-duplicates across the train/test boundary (a test
+    * doc's near-identical twin trains, and the eval is contaminated by
+    * construction). The unit of assignment must be the near-dup CLUSTER:
+    * every member of a connected component lands in the same split.
+    *
+    * Clusters come from the q50 min-label components over the Jaccard>=0.8
+    * pair graph; singletons (docs in no pair) are their own cluster. The
+    * split is a deterministic md5-bucket of the CLUSTER id (90/5/5), so
+    * assignment is reproducible run-over-run and portable across engines.
+    * The report quantifies exactly the leakage the operator prevents:
+    * `straddle_clusters` counts this split's clusters whose members a
+    * naive doc-id hash would have scattered across >1 split — each one a
+    * train/test contamination the cluster-granular hash closed.
+    *
+    * Scale shape (100 TB): the label table is pair-graph-sized (near-dup
+    * docs only — tiny next to the corpus), so the left join is a
+    * broadcast-able dimension against one corpus scan; both rollups are
+    * map-side-combined hash aggs whose outputs are |clusters| and 3 rows.
+    * No windows, no corpus-sized sort.
+    */
+  /** Doc-level split assignment feeding [[q131LeakageSplits]]'s rollup —
+    * exposed for the spec's cluster-granularity and hash-arithmetic
+    * assertions: (doc_id, n_toks, cluster_id, split, naive_split).
+    */
+  private[graft] def leakageSplitAssignments(
+      spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(
+      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("split", splitOf(hashBucket("cluster_id")))
+      .withColumn("naive_split", splitOf(hashBucket("doc_id")))
+      .drop("lbl")
+  }
+
+  def q131LeakageSplits(spark: SparkSession, dir: String): DataFrame = {
+    val perCluster = leakageSplitAssignments(spark, dir)
+      .groupBy(col("cluster_id"), col("split"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("nt"),
+        countDistinct(col("naive_split")).as("nns"))
+    perCluster.groupBy(col("split"))
+      .agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("nns") > 1, 1L).otherwise(0L)).as("straddle_clusters"))
+      .orderBy(col("split"))
+  }
+
+  // ------------------------------------------------------------------
   // q98: robust length outliers (median/MAD, census-based exact)
   // ------------------------------------------------------------------
 
@@ -954,6 +1026,35 @@ object Curation {
        |  FROM documents WHERE len(string_split(text,' ')) >= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q131_leakage_splits" ->
+      s"""WITH RECURSIVE $clusterCompCtes,
+         |alld AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |b AS (SELECT *,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS cb,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS nb
+         |  FROM alld),
+         |s AS (SELECT *,
+         |    CASE WHEN cb < $TrainBuckets THEN 'train'
+         |         WHEN cb < $ValBuckets THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN nb < $TrainBuckets THEN 'train'
+         |         WHEN nb < $ValBuckets THEN 'val' ELSE 'test' END AS naive_split
+         |  FROM b),
+         |cl AS (SELECT cluster_id, split, count(*) AS nd, sum(n_toks) AS nt,
+         |    count(DISTINCT naive_split) AS nns
+         |  FROM s GROUP BY cluster_id, split)
+         |SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS straddle_clusters
+         |FROM cl GROUP BY split ORDER BY split""".stripMargin,
+
     "q50_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCompCtes,
          |ranked AS (
@@ -1258,6 +1359,7 @@ object Curation {
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_leakage_splits" -> (q131LeakageSplits _),
     "q50_dedup_clusters" -> (q50DedupClusters _),
     "q51_stratified_sample" -> (q51StratifiedSample _),
     "q52_decontaminate" -> (q52Decontaminate _),

@@ -441,7 +441,12 @@ object EmbedOps {
     val codes = pqAssign(subs, cb1)
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
     cb1.write.mode("overwrite").parquet(s"$root/codebook")
+    // attribute columns ride the stored codes (here: `label`) — the
+    // filtered-search contract (q133): a metadata predicate lands in the
+    // SAME scan the cid pruning already narrowed, so the two prunings
+    // compose without a join back to the vector store
     codes.join(cells, Seq("vec_id"))
+      .join(e.select("vec_id", "label"), Seq("vec_id"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$root/codes")
     root
   }
@@ -455,7 +460,8 @@ object EmbedOps {
     * touched solely for the 10-row exact-cosine report column.
     */
   private[graft] def serveFromIndex(
-      spark: SparkSession, dir: String, root: String): DataFrame = {
+      spark: SparkSession, dir: String, root: String,
+      labelFilter: Option[Int] = None): DataFrame = {
     val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
     val query = e.filter(col("vec_id") === 0)
       .select(col("q").as("qq"), col("nq").as("qn"))
@@ -465,10 +471,13 @@ object EmbedOps {
       .orderBy(col("ccos").desc, col("cid"))
       .limit(PqProbes)
       .select("cid").collect().map(_.getLong(0)).toSeq.sorted
-    val codes = spark.read.parquet(s"$root/codes")
+    val codes0 = spark.read.parquet(s"$root/codes")
       .filter(col("cid").isin(probedCids: _*))
       .filter(col("vec_id") =!= 0)
       .withColumn("cid", col("cid").cast("long"))
+    // metadata predicate INSIDE the pruned scan: directory pruning (cid)
+    // and row-group pushdown (label) compose in one FileSourceScan
+    val codes = labelFilter.fold(codes0)(l => codes0.filter(col("label") === l))
     val lut = pqLut(pqSubvectors(e.filter(col("vec_id") === 0)),
       spark.read.parquet(s"$root/codebook"))
     val adc = codes.join(broadcast(lut), Seq("s", "code"))
@@ -498,6 +507,32 @@ object EmbedOps {
     */
   def q128IvfPqServed(spark: SparkSession, dir: String): DataFrame =
     serveFromIndex(spark, dir, buildStoredIndex(spark, dir))
+
+  /** The q133 metadata predicate: serve the top-k among vectors whose
+    * stored `label` equals this value.
+    */
+  private val FilterLabel = 1
+
+  /** Filtered (hybrid) vector search (q133): the production query shape
+    * "nearest neighbors WHERE label = X" — a metadata predicate composed
+    * with the ANN probe. Served from the same stored index as q128, with
+    * the label column riding the codes table, so the predicate evaluates
+    * INSIDE the cid-pruned scan: PartitionFilters narrows to nprobe
+    * directories, PushedFilters narrows to matching row groups, and only
+    * surviving code rows reach the ADC aggregation (plan-asserted in
+    * PlanContractSpec).
+    *
+    * The alternative — post-filtering an unfiltered top-k — is WRONG at
+    * low selectivity (a top-10 of the whole corpus may contain zero
+    * label-X rows even when thousands exist); pre-filtering inside the
+    * probe keeps recall governed by nprobe alone, independent of the
+    * predicate's selectivity. Scale shape identical to q128: per-query
+    * cost is nprobe directories of 1-byte codes (now further cut by the
+    * predicate), all joins broadcast.
+    */
+  def q133FilteredAnn(spark: SparkSession, dir: String): DataFrame =
+    serveFromIndex(spark, dir, buildStoredIndex(spark, dir),
+      labelFilter = Some(FilterLabel))
 
   /** Floor of the q126 re-rank shortlist — the depth a near-empty probe
     * still re-ranks.
@@ -823,6 +858,10 @@ object EmbedOps {
     // one oracle, two engine paths (in-flight build vs stored serving)
     "q128_ivf_pq_served" -> ivfPqOracleSql,
 
+    // same composed index, restricted to the label predicate — the
+    // filtered-search semantics: rank among matching vectors, then top-10
+    "q133_filtered_ann" -> ivfPqOracle(s"WHERE label = $FilterLabel"),
+
     "q126_ivf_pq_rerank" -> rerankOracleSql,
 
     "q129_ivf_pq_residual" ->
@@ -920,7 +959,12 @@ object EmbedOps {
   ) ++ mmrOracle
 
   /** q122/q128's shared oracle: the composed IVF+PQ top-10. */
-  private lazy val ivfPqOracleSql: String =
+  private lazy val ivfPqOracleSql: String = ivfPqOracle("")
+
+  /** The composed IVF+PQ oracle, optionally restricted by a final WHERE
+    * over `res` (q133 injects the label predicate; q122/q128 pass none).
+    */
+  private def ivfPqOracle(labelWhere: String): String =
       s"""WITH $qCte,
         |pos AS (
         |  SELECT vec_id, g.i AS i, q[g.i] AS qi
@@ -977,13 +1021,13 @@ object EmbedOps {
         |          AND af.cid IN (SELECT cid FROM pr WHERE rn <= $PqProbes)
         |        GROUP BY pa1.vec_id, af.cid),
         |res AS (
-        |  SELECT adc.vec_id, adc.cid,
+        |  SELECT adc.vec_id, adc.cid, e.label,
         |    ${cosSql("adc.adot", "qv.qn", "adc.nrec")} AS cos_pq,
         |    ${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")} AS cos_exact
         |  FROM adc JOIN e ON adc.vec_id = e.vec_id, qv)
         |SELECT vec_id, cid, cos_pq, cos_exact,
         |  abs(cos_pq - cos_exact) AS abs_err
-        |FROM res ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin
+        |FROM res $labelWhere ORDER BY cos_pq DESC, vec_id LIMIT 10""".stripMargin
 
   /** q126's oracle: the shortlist + exact re-rank. */
   private lazy val rerankOracleSql: String =
@@ -1109,5 +1153,6 @@ object EmbedOps {
     "q126_ivf_pq_rerank" -> (q126IvfPqRerank _),
     "q128_ivf_pq_served" -> (q128IvfPqServed _),
     "q129_ivf_pq_residual" -> (q129IvfPqResidual _),
+    "q133_filtered_ann" -> (q133FilteredAnn _),
   )
 }

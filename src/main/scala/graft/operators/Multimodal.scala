@@ -374,6 +374,131 @@ object Multimodal {
         col("peak"), col("rms"))
       .orderBy(col("doc_id"))
   }
+  // ------------------------------------------------------------------
+  // q132: video container parse + frame sampling (the missing modality)
+  // ------------------------------------------------------------------
+
+  /** q132 video geometry: 8x8 single-channel frames, 64 bytes each. */
+  private val FrameBytes = 64
+  /** Frames per second stamped in the container header. */
+  private val VideoFps = 4
+  /** Keep every [[VideoStride]]-th frame (frame 0, 2, 4, ...). */
+  private val VideoStride = 2
+  /** Container header: magic "GVID" + u16 width/height/fps/n_frames, LE. */
+  private val VideoHeaderBytes = 12
+
+  /** Synthesize a deterministic video container per document — the video
+    * analog of [[imageTable]]/q70's WAV fixture: a 12-byte parsed header
+    * (magic, dimensions, fps, frame count) followed by n_frames x 64
+    * bytes of 8x8 grayscale frames, pixel (f, i) = text byte
+    * ((f*64 + i) mod len). n_frames = ceil(len/64), so every text byte
+    * appears and DuckDB can replay the exact pixel stream from
+    * `documents.text` with modular substring arithmetic.
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Queries.t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+        val bb = java.nio.ByteBuffer
+          .allocate(VideoHeaderBytes + nFrames * FrameBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("GVID".getBytes("US-ASCII"))
+          .putShort(8.toShort).putShort(8.toShort)
+          .putShort(VideoFps.toShort).putShort(nFrames.toShort)
+        var p = 0
+        while (p < nFrames * FrameBytes) {
+          bb.put(payload(p % payload.length)); p += 1
+        }
+        (docId, bb.array())
+      }).toDF("doc_id", "media")
+  }
+
+  /** One decoded-video record; `ok=false` rows carry the failure (corrupt
+    * containers degrade to error rows, never kill the job — T5 on the
+    * data plane, same contract as [[decodeImages]]/[[decodeAudio]]).
+    */
+  final case class VideoMeta(
+      docId: Long, ok: Boolean, width: Int, height: Int, fps: Int,
+      nFrames: Long, nSampled: Long, durationMs: Long,
+      meanLuma: Long, peak: Long, error: String)
+
+  /** REAL container parse + strided frame sampling as `mapPartitions`:
+    * the header is genuinely read (magic validated, dimensions/fps/count
+    * from the bytes, not assumptions), frames are fixed-stride slices of
+    * the payload, and only every [[VideoStride]]-th frame is touched —
+    * the sampled-decode shape a real video pipeline runs (decode
+    * keyframes, skip the rest). Features are exact integer arithmetic
+    * over sampled pixels (mean luma as a truncating div, peak), so the
+    * DuckDB oracle replays them bit-for-bit from the text fixture.
+    * Bytes never leave the partition; only 10 small columns shuffle.
+    */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        try {
+          require(bytes.length >= VideoHeaderBytes, "truncated header")
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GVID", "bad magic")
+          val w = bb.getShort & 0xffff
+          val h = bb.getShort & 0xffff
+          val fps = bb.getShort & 0xffff
+          val nFrames = bb.getShort & 0xffff
+          require(fps > 0 && w * h > 0, "bad geometry")
+          require(bytes.length >= VideoHeaderBytes + nFrames * w * h,
+            "truncated payload")
+          var f = 0
+          var sampled = 0L
+          var lumaSum = 0L
+          var peak = 0L
+          while (f < nFrames) {
+            if (f % VideoStride == 0) {
+              sampled += 1
+              val base = VideoHeaderBytes + f * w * h
+              var i = 0
+              while (i < w * h) {
+                val v = bytes(base + i) & 0xff
+                lumaSum += v
+                if (v > peak) peak = v
+                i += 1
+              }
+            }
+            f += 1
+          }
+          VideoMeta(docId, ok = true, w, h, fps, nFrames.toLong, sampled,
+            durationMs = nFrames.toLong * 1000L / fps,
+            meanLuma = if (sampled == 0) 0L else lumaSum / (sampled * w * h),
+            peak = peak, error = "")
+        } catch {
+          case e: Exception =>
+            VideoMeta(docId, ok = false, 0, 0, 0, 0L, 0L, 0L, 0L, 0L,
+              String.valueOf(e.getMessage))
+        }
+      })
+  }
+
+  /** Video frame-sample features as a query (q132): synthesize the
+    * container ([[videoTable]]), parse and sample it with the REAL binary
+    * decoder ([[decodeVideo]]) — header parse, strided frame decode, and
+    * integer luma features all exercised end-to-end, oracle-replayed by
+    * DuckDB from character codes (the q70/q130 fixture recipe applied to
+    * the last missing modality).
+    */
+  def q132VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    decodeVideo(spark, videoTable(spark, dir))
+      .filter(col("ok"))
+      .select(col("docId").as("doc_id"), col("nFrames").as("n_frames"),
+        col("nSampled").as("n_sampled"), col("durationMs").as("duration_ms"),
+        col("meanLuma").as("mean_luma"), col("peak"))
+      .orderBy(col("doc_id"))
+
   /** Frame sampling as offset arithmetic: every `stride` bytes, an
     * (offset, length) window — pointers, not bytes.
     */
@@ -464,11 +589,38 @@ object Multimodal {
         |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
         |SELECT cluster_id, count(*) AS n_imgs
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // pixel (f, i) = text byte ((f*64 + i) mod len) — the videoTable
+    // synthesis replayed with modular substring arithmetic; only every
+    // VideoStride-th frame contributes, exactly as the decoder samples
+    "q132_video_frames" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    (length(text) + ${FrameBytes - 1}) // $FrameBytes AS n_frames
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id, len, n_frames, f
+        |  FROM s, unnest(generate_series(0, n_frames - 1)) AS t(f)
+        |  WHERE f % $VideoStride = 0),
+        |px AS (
+        |  SELECT fr.doc_id, fr.n_frames, fr.f,
+        |    ascii(substring(s.text,
+        |      CAST((fr.f * $FrameBytes + p.i) % fr.len AS INTEGER) + 1, 1)) AS v
+        |  FROM fr JOIN s USING (doc_id),
+        |       unnest(generate_series(0, ${FrameBytes - 1})) AS p(i))
+        |SELECT doc_id,
+        |  CAST(max(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+        |  CAST(max(n_frames) * 1000 // $VideoFps AS BIGINT) AS duration_ms,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS mean_luma,
+        |  CAST(max(v) AS BIGINT) AS peak
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> (q40MultimodalMeta _),
     "q70_audio_features" -> (q70AudioFeatures _),
     "q130_image_neardup" -> (q130ImageNeardup _),
+    "q132_video_frames" -> (q132VideoFrames _),
   )
 }

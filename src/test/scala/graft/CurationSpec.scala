@@ -381,4 +381,68 @@ class CurationSpec extends SparkTestBase {
     assert(out2.map(_.getLong(0)).toSeq == Seq(4L), out2.toSeq.toString)
     assert(out2(0).getDouble(3) == 2.5 && out2(0).getDouble(4) == 1.0)
   }
+
+  /** The q51/q131 md5 bucket, recomputed independently of Spark/DuckDB. */
+  private def refBucket(key: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 100
+  }
+
+  private def refSplit(key: Long): String = {
+    val b = refBucket(key)
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+  }
+
+  test("q131 splits are cluster-granular: near-dup members share a split, singletons hash alone") {
+    // docs 1-3 form one near-dup cluster (the q50 transitive shape);
+    // 9 and 10 are unrelated singletons
+    val a = (1 to 18).map(i => s"w$i").mkString(" ")
+    val b = (1 to 19).map(i => s"w$i").mkString(" ")
+    val c = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = writeDocs(Seq((1L, a), (2L, b), (3L, c),
+      (9L, "totally different content here nothing shared at all"),
+      (10L, "another unrelated island of text with zero overlap")))
+    val rows = Curation.leakageSplitAssignments(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"),
+          r.getAs[String]("naive_split"))).toMap
+    // one cluster {1,2,3} labeled by its min member; all three share the
+    // CLUSTER hash's split regardless of their own doc hashes
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).toSet == Set(refSplit(1L)))
+    // singletons: cluster = own id, split = own hash, naive == safe
+    Seq(9L, 10L).foreach { id =>
+      assert(rows(id)._1 == id)
+      assert(rows(id)._2 == refSplit(id) && rows(id)._3 == refSplit(id))
+    }
+    // every naive_split matches the reference md5 arithmetic doc-by-doc
+    rows.foreach { case (id, (_, _, naive)) => assert(naive == refSplit(id)) }
+  }
+
+  test("q131 straddle count equals the brute-force leakage of the naive doc-hash split") {
+    val out = Curation.q131LeakageSplits(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // reference: recompute per-doc assignments and the straddle censuses
+    val asg = Curation.leakageSplitAssignments(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("cluster_id"), r.getAs[String]("split"),
+        r.getAs[String]("naive_split")))
+    val byCluster = asg.groupBy(_._3)
+    val refRows = byCluster.toSeq.groupBy(_._2.head._4).map {
+      case (split, clusters) =>
+        split -> (
+          clusters.map(_._2.size).sum.toLong,
+          clusters.size.toLong,
+          clusters.flatMap(_._2.map(_._2)).sum,
+          clusters.count(_._2.map(_._5).distinct.size > 1).toLong)
+    }
+    assert(out == refRows, s"engine $out vs reference $refRows")
+    // the splits partition the corpus
+    assert(out.values.map(_._1).sum == asg.length.toLong)
+    // clusters never straddle the engine split (granularity invariant)
+    byCluster.values.foreach(ms => assert(ms.map(_._4).distinct.size == 1))
+  }
 }

@@ -312,6 +312,35 @@ class PlanContractSpec extends SparkTestBase {
       "the stored-index serve must return exactly the in-flight q122 top-10")
   }
 
+  test("q133: the filtered serve composes cid pruning with label pushdown in one scan") {
+    val root = graft.operators.EmbedOps.buildStoredIndex(spark, dir)
+    val df = graft.operators.EmbedOps.serveFromIndex(spark, dir, root,
+      labelFilter = Some(1))
+    val p = plan(df)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("graft_ann_index") && l.contains("PartitionFilters"))
+    assert(scanLine.isDefined,
+      s"expected a partition-filtered scan of the stored codes:\n${p.take(3000)}")
+    assert(scanLine.get.matches(".*PartitionFilters:.*cid.*IN \\(.*"),
+      s"cid IN (probed...) must reach PartitionFilters:\n${scanLine.get}")
+    assert(scanLine.get.matches(".*PushedFilters:.*EqualTo\\(label,1\\).*"),
+      s"label predicate must push into the SAME pruned scan:\n${scanLine.get}")
+    // every served row satisfies the predicate, and the ranking is the
+    // filtered ranking (not a post-filter of the unfiltered top-10):
+    // the result must contain MORE matching rows than the unfiltered
+    // top-10 does whenever matches exist beyond it
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = df.collect().map(_.getLong(0))
+    assert(served.nonEmpty && served.forall(labels(_) == 1),
+      s"filtered serve returned non-matching rows: ${served.toSeq}")
+    val unfiltered = graft.operators.EmbedOps.serveFromIndex(spark, dir, root)
+      .collect().map(_.getLong(0)).filter(labels(_) == 1)
+    assert(served.length >= unfiltered.length,
+      "pre-filtering must never return fewer matches than post-filtering")
+  }
+
   test("q67: the incremental probe is an equi-join on (band, sig) — no corpus product") {
     val p = plan(graft.operators.Dedup.q67IncrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
