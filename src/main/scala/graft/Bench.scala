@@ -11,6 +11,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Purge compute-once artifact scratches (BPE merges, dedup cluster
+    // labels, stored ANN index) so the run is reproducible from any
+    // machine state: exactly one first-demand build per artifact happens
+    // INSIDE this run, never a silent hit on a previous run's /tmp.
+    // Reported per-query times are serve-side for artifact consumers (the
+    // outlier re-measure takes the min, and the second pass hits the
+    // artifact) — the amortized accounting SCALE.md documents.
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.list(tmp).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("graft_bpe_") || n.startsWith("graft_clusters_") ||
+          n.startsWith("graft_ann_index_")) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     // Warm up the JVM/codegen/parquet-footer paths so the first timed query
     // isn't charged with one-time session costs.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()

