@@ -970,6 +970,71 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q135: deterministic corpus shuffle + shard assignment
+  // ------------------------------------------------------------------
+
+  /** Number of training shards q135 deals the corpus into. */
+  private val NShards = 16
+
+  /** Deterministic global shuffle + shard assignment (q135): the step
+    * between curation and training — documents must reach the trainer in
+    * a reproducible pseudo-random order (adjacent-doc correlation from
+    * crawl/source locality poisons SGD), dealt into fixed shards whose
+    * sizes are balanced enough that data-parallel workers finish
+    * together. The shuffle key is md5(doc_id) (the q51 determinism
+    * recipe): order by hash = a seeded permutation any engine
+    * reproduces; shard = hash-bucket, so assignment is stable under
+    * corpus growth (a new doc changes one shard, never a reshuffle).
+    *
+    * Output is the per-shard manifest: sizes for the balance check plus
+    * each shard's first/last documents in shuffle order (struct-min/max
+    * argmaxes — hash ties broken by doc_id, no windows). The actual
+    * export is [[writeTrainShards]]: one directory per shard, rows in
+    * shuffle order.
+    *
+    * Scale shape: one corpus scan into a map-side-combined agg keyed by
+    * [[NShards]] values; nothing sorts globally — the ORDER BY lives
+    * inside each shard's write ([[writeTrainShards]] range-partitions by
+    * (shard, h), so each output task sorts only its shard slice).
+    */
+  def q135ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("h", hashBucket64("doc_id"))
+      .withColumn("shard", pmod(col("h"), lit(NShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"),
+        max(struct(col("h"), col("doc_id"))).getField("doc_id").as("last_doc"))
+      .orderBy(col("shard"))
+
+  /** 64-bit md5-prefix hash of a column (Spark side of the DuckDB
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` pairing — 15 hex digits
+    * keep the value positive in both engines).
+    */
+  private def hashBucket64(c: String): Column =
+    expr(s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+
+  /** The q135 export: one directory per shard, rows stored in shuffle
+    * order. `repartitionByRange(shard, h)` + `sortWithinPartitions` keeps
+    * the global sort OUT of the plan — each write task orders only its
+    * own shard slice, the 100 TB shape (a global ORDER BY would funnel
+    * the corpus through one range exchange boundary computation, fine,
+    * but the subsequent single-direction write is what shard-parallel
+    * trainers cannot consume).
+    */
+  def writeTrainShards(spark: SparkSession, dir: String, outDir: String): Unit =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .withColumn("h", hashBucket64("doc_id"))
+      .withColumn("shard", pmod(col("h"), lit(NShards.toLong)))
+      .repartitionByRange(NShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  // ------------------------------------------------------------------
   // q98: robust length outliers (median/MAD, census-based exact)
   // ------------------------------------------------------------------
 
@@ -1082,6 +1147,21 @@ object Curation {
          |  CAST(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS straddle_clusters
          |FROM cl GROUP BY split ORDER BY split""".stripMargin,
+
+    "q135_shuffle_shard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT h % $NShards AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  struct_extract(min({'h': h, 'doc_id': doc_id}), 'doc_id')
+         |    AS first_doc,
+         |  struct_extract(max({'h': h, 'doc_id': doc_id}), 'doc_id')
+         |    AS last_doc
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q50_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCompCtes,
@@ -1388,6 +1468,7 @@ object Curation {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_leakage_splits" -> (q131LeakageSplits _),
+    "q135_shuffle_shard" -> (q135ShuffleShard _),
     "q50_dedup_clusters" -> (q50DedupClusters _),
     "q51_stratified_sample" -> (q51StratifiedSample _),
     "q52_decontaminate" -> (q52Decontaminate _),

@@ -299,6 +299,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Reference source whose bigrams train the q134 held-out LM. */
+  private val LmRefSource = "src0"
+
+  /** Rounded avg-logprob at or below which q134 flags a doc off-domain. */
+  private val OffDomainTau = -3.5
+
+  /** Held-out LM scoring (q134) — the CCNet selection recipe: train a
+    * bigram LM on a REFERENCE source only ([[LmRefSource]], standing in
+    * for the curated "clean" corpus CCNet trains its KenLM on), then
+    * score EVERY document — including other sources the model never saw —
+    * by add-one-smoothed per-bigram log-probability
+    * ln((c(w1,w2)+1) / (c(w1)+V)). Unlike q77 (self-trained, a fluency
+    * signal), the held-out model measures DOMAIN MISMATCH: a source
+    * whose usage diverges from the reference scores low and is flagged
+    * for review/filtering — the production gate that keeps a pretraining
+    * mix anchored to a quality reference.
+    *
+    * Determinism is q77's recipe (nano-int log-prob sums, 6-decimal
+    * output round). Scale shape: the model tables (bigram and unigram
+    * censuses of the REFERENCE source) are vocabulary-sized, not
+    * corpus-sized — the production contract is a bounded shipped model
+    * (CCNet's fixed KenLM); the scoring pass joins the corpus bigram
+    * stream against them keyed on the bigram string, a narrow shuffle
+    * Spark broadcasts when the model is small. The bigram stream is
+    * checkpointed once and feeds both the training censuses and the
+    * scoring pass.
+    */
+  def q134CrossLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bi = Queries.t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("word_ngrams(toks, 2)")).as("bg"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .localCheckpoint(false)
+    val ref = bi.filter(col("source") === LmRefSource)
+    val cBi = ref.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cW1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val vocab = ref.agg(countDistinct(col("w1")).as("v"))
+    bi.join(cBi, Seq("bg"), "left")
+      .join(cW1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_nano", expr(
+        """CAST(round(ln(CAST(coalesce(cb, 0L) + 1 AS DOUBLE)
+          |  / CAST(coalesce(cw, 0L) + v AS DOUBLE)) * 1000000000) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_nano")).as("nano"))
+      .withColumn("avg_logprob",
+        round(col("nano").cast("double") / col("n_bigrams") / 1e9, 6))
+      .withColumn("off_domain", col("avg_logprob") < OffDomainTau)
+      .select("doc_id", "source", "n_bigrams", "avg_logprob", "off_domain")
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide frequent tokens (q79) via the mergeable Misra-Gries
     * aggregate [[graft.functions.HeavyHitters]]: top-10 tokens with
     * support counts, computed WITHOUT a full token census. The exact
@@ -851,6 +907,29 @@ object TextAnalysis {
         |  round(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 1e9, 6) AS avg_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q134_cross_lm" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bi AS (SELECT doc_id, source,
+        |  unnest([toks[i] || ' ' || toks[i+1]
+        |          for i in generate_series(1, len(toks) - 1)]) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |b2 AS (SELECT doc_id, source, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |ref AS (SELECT bg, w1 FROM b2 WHERE source = '$LmRefSource'),
+        |cb AS (SELECT bg, count(*) AS cb FROM ref GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS cw FROM ref GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM ref),
+        |s AS (SELECT b2.doc_id, b2.source,
+        |  CAST(round(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(cw.cw, 0) + v.v AS DOUBLE)) * 1000000000)
+        |    AS BIGINT) AS lp_nano
+        |FROM b2 LEFT JOIN cb USING (bg) LEFT JOIN cw USING (w1), v)
+        |SELECT doc_id, source, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 1e9, 6) AS avg_logprob,
+        |  round(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 1e9, 6) < $OffDomainTau
+        |    AS off_domain
+        |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+
     "q29_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -957,6 +1036,7 @@ object TextAnalysis {
     "q72_pii_scrub" -> (q72PiiScrub _),
     "q73_url_domains" -> (q73UrlDomains _),
     "q77_bigram_lm" -> (q77BigramLm _),
+    "q134_cross_lm" -> (q134CrossLm _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),

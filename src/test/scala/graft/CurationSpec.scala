@@ -445,4 +445,50 @@ class CurationSpec extends SparkTestBase {
     // clusters never straddle the engine split (granularity invariant)
     byCluster.values.foreach(ms => assert(ms.map(_._4).distinct.size == 1))
   }
+
+  /** The q135 64-bit shuffle hash, recomputed independently. */
+  private def refHash64(key: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("q135 shards partition the corpus, match the md5 permutation, and stay balanced") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val out = Curation.q135ShuffleShard(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    // reference assignment doc-by-doc
+    val ref = docs.groupBy(id => refHash64(id) % 16)
+    assert(out.keySet == ref.keySet && out.keySet.size == 16)
+    ref.foreach { case (s, ids) =>
+      assert(out(s)._1 == ids.length.toLong, s"shard $s count")
+      assert(out(s)._2 == ids.minBy(id => (refHash64(id), id)), s"shard $s first")
+      assert(out(s)._3 == ids.maxBy(id => (refHash64(id), id)), s"shard $s last")
+    }
+    // balance: data-parallel workers must finish together
+    val counts = out.values.map(_._1)
+    assert(counts.max <= 2 * counts.min,
+      s"shard skew exceeds 2x: min ${counts.min}, max ${counts.max}")
+  }
+
+  test("q135 export writes one directory per shard with rows in shuffle order") {
+    val outDir = tmpDir("shards")
+    Curation.writeTrainShards(spark, dir, s"$outDir/t")
+    val dirs = new java.io.File(s"$outDir/t").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == 16, s"expected 16 shard dirs, got ${dirs.toSeq}")
+    val back = spark.read.parquet(s"$outDir/t")
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    assert(back.count() == corpus.count())
+    // within every shard file, rows are stored in ascending hash order
+    dirs.foreach { sd =>
+      val rows = spark.read.parquet(s"$outDir/t/$sd")
+        .select("h", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"$sd not in shuffle order")
+    }
+  }
 }
