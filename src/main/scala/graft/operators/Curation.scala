@@ -899,6 +899,93 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q138: per-domain retention cap (Gopher/RefinedWeb-style)
+  // ------------------------------------------------------------------
+
+  /** Max documents retained per source under the q138 cap. */
+  private val DomainCap = 15
+
+  /** Per-domain retention cap audit (q138): the curation stage that stops
+    * any single domain from dominating the corpus — RefinedWeb and Gopher
+    * both cap per-host volume because crawl frequency, not quality, drives
+    * raw per-domain counts. Each source keeps at most [[DomainCap]] docs,
+    * chosen by quality score (q22's kernel, nano-int key, ties -> lowest
+    * doc_id); the report shows what the cap costs each source in docs and
+    * tokens — the number reviewed before the cap ships.
+    *
+    * Scale shape (100 TB): selection is the mergeable `top_k_by` per
+    * source (<= cap entries per partition pre-shuffle, the q118 recipe —
+    * NEVER a per-source window, which would sort a web-scale domain's
+    * full membership on one reducer). The kept set is |sources| x cap
+    * rows — broadcast back for the token accounting; totals are one
+    * map-side-combined hash agg over the same checkpointed scored frame.
+    */
+  def q138DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val d = docs(spark, dir).select("doc_id", "source")
+      .join(scored, Seq("doc_id"))
+      .withColumn("nscore", expr("CAST(floor(score * 1e9 + 0.5) AS BIGINT)"))
+      .localCheckpoint(true)
+    val kept = d.groupBy(col("source"))
+      .agg(expr(s"top_k_by(doc_id, nscore, $DomainCap)").as("top"))
+      .select(col("source"), explode(expr("transform(top, x -> x.v)")).as("doc_id"))
+    val keptStats = d.join(broadcast(kept), Seq("source", "doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("total_tokens"))
+      .join(keptStats, Seq("source"))
+      .withColumn("dropped_docs", col("docs") - col("kept_docs"))
+      .select("source", "docs", "kept_docs", "dropped_docs", "kept_tokens",
+        "total_tokens")
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
+  // q140: temperature-scaled mixing weights (alpha sampling)
+  // ------------------------------------------------------------------
+
+  /** Token budget the q140 temperature weights re-price. */
+  private val TempBudget = 1000000L
+
+  /** Temperature-scaled mixing weights (q140): the multilingual/multi-
+    * source sampling rule (mT5/XLM-R's alpha-sampling, alpha = 0.5 —
+    * w_i proportional to c_i^0.5) next to the proportional baseline.
+    * Flattening the source distribution upweights small sources; the
+    * `epochs_temp` column is the honest cost — how many times a small
+    * source repeats at the [[TempBudget]] token budget (repetition >
+    * ~4 epochs is where memorization risk starts, the number this report
+    * surfaces per source).
+    *
+    * Determinism: per-source sqrt is rounded to a micro-int BIGINT, the
+    * normalizer is an INTEGER sum of those (order-independent — the q117
+    * nano-int recipe), and the published doubles are round(-,6) of
+    * identical float ops in both engines.
+    *
+    * Scale shape: one map-side-combined token census per source, a
+    * |sources|-row scalar broadcast, and per-row float math — nothing
+    * corpus-sized past the first agg.
+    */
+  def q140TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val s = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("nsqrt",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+    val tot = s.agg(sum(col("n_tokens")).as("totc"), sum(col("nsqrt")).as("tots"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("w_prop", round(col("n_tokens").cast("double") / col("totc"), 6))
+      .withColumn("w_temp", round(col("nsqrt").cast("double") / col("tots"), 6))
+      .withColumn("epochs_temp",
+        round(lit(TempBudget) * (col("nsqrt").cast("double") / col("tots")) /
+          col("n_tokens").cast("double"), 6))
+      .select("source", "n_tokens", "w_prop", "w_temp", "epochs_temp")
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
   // q131: leakage-safe train/val/test splits (cluster-granular hashing)
   // ------------------------------------------------------------------
 
@@ -1421,6 +1508,43 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q138_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id, n_tokens,
+        |  CAST(floor((${TextAnalysis.qualityScoreSql}) * 1e9 + 0.5) AS BIGINT) AS nscore
+        |  FROM m),
+        |ranked AS (SELECT d.source, sc.doc_id, sc.n_tokens,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY sc.nscore DESC, sc.doc_id) AS rnk
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN rnk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  count(*) - CAST(sum(CASE WHEN rnk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_docs,
+        |  CAST(sum(CASE WHEN rnk <= $DomainCap THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "q140_temperature_mix" ->
+      s"""WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nsqrt
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS totc,
+        |    CAST(sum(nsqrt) AS BIGINT) AS tots FROM s)
+        |SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / totc, 6) AS w_prop,
+        |  round(CAST(nsqrt AS DOUBLE) / tots, 6) AS w_temp,
+        |  round($TempBudget * (CAST(nsqrt AS DOUBLE) / tots)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS epochs_temp
+        |FROM s, tot ORDER BY source""".stripMargin,
+
     "q96_source_novelty" ->
       s"""WITH sh AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
@@ -1488,5 +1612,7 @@ object Curation {
     "q117_source_kl" -> (q117SourceKl _),
     "q118_interleave_mix" -> (q118InterleaveMix _),
     "q124_subword_budget" -> (q124SubwordBudget _),
+    "q138_domain_cap" -> (q138DomainCap _),
+    "q140_temperature_mix" -> (q140TemperatureMix _),
   )
 }

@@ -126,6 +126,36 @@ object Dedup {
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir).orderBy(col("i"), col("j"))
 
+  /** Cross-source duplicate transfer matrix (q139): the q31 near-dup pair
+    * graph rolled up by SOURCE pair — which corpora duplicate into which.
+    * The report behind two curation decisions: when two sources share
+    * heavy near-dup mass, their mixing weights double-count the same
+    * content (q78/q140's budgets overstate diversity), and a dedup pass
+    * ordered by this matrix removes the most redundant volume first.
+    * Pair order is normalized (src_a <= src_b lexicographically) so each
+    * unordered source pair is one row; `max_jaccard` gives the severity
+    * ceiling alongside the count.
+    *
+    * Scale shape (100 TB): the pair list is the capped-kernel output —
+    * bounded by banding/frequency caps, NEVER corpus-quadratic — and is
+    * the broadcast side of both source lookups; the rollup is a hash agg
+    * over |pairs| rows on a <=|sources|^2 key space. Nothing corpus-sized
+    * moves after the shingle index the q31 kernel already builds.
+    */
+  def q139DupTransfer(spark: SparkSession, dir: String): DataFrame = {
+    val src = Queries.t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = jaccardPairs(spark, dir)
+      .select("i", "j", "jaccard").localCheckpoint(true)
+    src.join(broadcast(pairs), col("doc_id") === col("i"))
+      .select(col("source").as("src_i"), col("j"), col("jaccard"))
+      .join(src.withColumnRenamed("source", "src_j"), col("j") === col("doc_id"))
+      .withColumn("src_a", least(col("src_i"), col("src_j")))
+      .withColumn("src_b", greatest(col("src_i"), col("src_j")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Unordered q31 core — (i, j, inter, jaccard) pairs above the 0.8
     * threshold, from the capped kernel. Shared by q31 (which only adds the
     * presentation sort) and q50/q92's cluster builder (where a sort on the
@@ -919,6 +949,25 @@ object Dedup {
         |WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8
         |ORDER BY i, j""".stripMargin,
 
+    "q139_dup_transfer" ->
+      s"""WITH $shinglesCte,
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT i, j,
+        |    CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) AS jaccard
+        |  FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b,
+        |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
+        |FROM pairs JOIN documents da ON da.doc_id = pairs.i
+        |     JOIN documents db ON db.doc_id = pairs.j
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
     "q49_ngram_jaccard_capped" ->
       s"""WITH $shinglesCte,
         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
@@ -1207,6 +1256,7 @@ object Dedup {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
+    "q139_dup_transfer" -> (q139DupTransfer _),
     "q49_ngram_jaccard_capped" -> (q49NgramJaccardCapped _),
     "q32_minhash_lsh" -> (q32MinhashLsh _),
     "q112_minhash_calibration" -> (q112MinhashCalibration _),

@@ -558,6 +558,71 @@ object EmbedOps {
     serveFromIndex(spark, dir, buildStoredIndex(spark, dir),
       labelFilter = Some(FilterLabel))
 
+  /** q141 split trigger, as a percentage of mean occupancy: a cell holding
+    * more than [[SplitPct]]% of the mean is split. A deployment tunes this
+    * against its probe-latency SLO (the knob is the operator; 110 makes
+    * the fixture exercise the split path — at 2x mean the synthetic
+    * corpus's near-uniform cells never split and the query would only
+    * ever demonstrate the no-op branch).
+    */
+  private val SplitPct = 110
+
+  /** IVF cell-split maintenance (q141): the rebalancing half of the index
+    * lifecycle — q114 DETECTS the hot cell that breaks the "probe scans
+    * nprobe/K of the corpus" bound; this query FIXES it. Each cell whose
+    * occupancy exceeds [[SplitPct]]% of the mean is split by a
+    * deterministic 2-means step (seeds = the cell's min/max vec_id
+    * members; each member routes to its higher-cosine seed, ties to part
+    * 0), and the report is the resulting cell table: per surviving cell
+    * its parent, part, occupancy, and whether it came from a split — the
+    * exact table a deployment turns into the next index version's
+    * partition layout (the `AnnStream` v2-swap precedent consumes it).
+    *
+    * Scale shape (100 TB): occupancy census and oversized detection are
+    * K-row aggregates; split seeds are one min/max agg over the oversized
+    * cells' members; the re-assignment touches ONLY oversized cells'
+    * rows (partition-pruned reads when the codes are stored by cid —
+    * q128's layout), each against a broadcast 2-row seed table. Cost is
+    * proportional to the hot cells being fixed, not the corpus.
+    */
+  def q141CellSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val seeds = e.filter(col("vec_id") < CellK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = Similarity.ivfCentroids(e, seeds)
+    val cells = Similarity.assign(e, centroids).localCheckpoint(true)
+    val occ = cells.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+      .localCheckpoint(true)
+    val tot = cells.agg(count(lit(1)).as("n"))
+    val oversized = occ.crossJoin(broadcast(tot))
+      .filter(col("occ") * CellK * 100 > col("n") * SplitPct)
+      .select("cid")
+    val splitSeeds = cells.join(broadcast(oversized), Seq("cid"))
+      .groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("s0"), max(col("vec_id")).as("s1"))
+    val seedVecs = splitSeeds
+      .join(e.select(col("vec_id").as("s0"), col("q").as("q0"),
+        col("nq").as("n0")), Seq("s0"))
+      .join(e.select(col("vec_id").as("s1"), col("q").as("q1"),
+        col("nq").as("n1")), Seq("s1"))
+      .select("cid", "q0", "n0", "q1", "n1")
+    val splitParts = e.join(cells, Seq("vec_id"))
+      .join(broadcast(seedVecs), Seq("cid"))
+      .withColumn("cos0", Similarity.cosCol(dot("q", "q0"), "nq", "n0"))
+      .withColumn("cos1", Similarity.cosCol(dot("q", "q1"), "nq", "n1"))
+      .withColumn("part",
+        when(col("cos0") >= col("cos1"), 0L).otherwise(1L))
+      .groupBy(col("cid"), col("part"))
+      .agg(count(lit(1)).as("occupancy"))
+      .withColumn("was_split", lit(1L))
+    val unsplit = occ.join(oversized, Seq("cid"), "left_anti")
+      .select(col("cid"), lit(0L).as("part"), col("occ").as("occupancy"),
+        lit(0L).as("was_split"))
+    splitParts.select("cid", "part", "occupancy", "was_split")
+      .unionByName(unsplit)
+      .orderBy(col("cid"), col("part"))
+  }
+
   /** Floor of the q126 re-rank shortlist — the depth a near-empty probe
     * still re-ranks.
     */
@@ -792,6 +857,43 @@ object EmbedOps {
         |  round(CAST(snano AS DOUBLE) / n_vecs / 1e9, 6) AS avg_ccos,
         |  CAST(mnano AS DOUBLE) / 1e9 AS min_ccos
         |FROM agg ORDER BY cid""".stripMargin,
+
+    "q141_cell_split" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $CellK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |occ AS (SELECT cid, count(*) AS occ FROM af GROUP BY cid),
+        |tot AS (SELECT count(*) AS n FROM af),
+        |osz AS (SELECT occ.cid FROM occ, tot
+        |        WHERE occ.occ * $CellK * 100 > tot.n * $SplitPct),
+        |ss AS (SELECT af.cid, min(af.vec_id) AS s0, max(af.vec_id) AS s1
+        |       FROM af JOIN osz ON af.cid = osz.cid GROUP BY af.cid),
+        |sv AS (SELECT ss.cid, e0.q AS q0, e0.nq AS n0, e1.q AS q1, e1.nq AS n1
+        |       FROM ss JOIN e e0 ON e0.vec_id = ss.s0
+        |            JOIN e e1 ON e1.vec_id = ss.s1),
+        |parts AS (
+        |  SELECT af.cid,
+        |    CASE WHEN ${cosSql("list_dot_product(e.q, sv.q0)", "e.nq", "sv.n0")}
+        |      >= ${cosSql("list_dot_product(e.q, sv.q1)", "e.nq", "sv.n1")}
+        |    THEN 0 ELSE 1 END AS part
+        |  FROM e JOIN af ON e.vec_id = af.vec_id JOIN sv ON af.cid = sv.cid),
+        |sp AS (SELECT cid, CAST(part AS BIGINT) AS part,
+        |         count(*) AS occupancy, CAST(1 AS BIGINT) AS was_split
+        |       FROM parts GROUP BY cid, part),
+        |un AS (SELECT occ.cid, CAST(0 AS BIGINT) AS part,
+        |         occ.occ AS occupancy, CAST(0 AS BIGINT) AS was_split
+        |       FROM occ WHERE occ.cid NOT IN (SELECT cid FROM osz))
+        |SELECT cid, part, occupancy, was_split
+        |FROM (SELECT * FROM sp UNION ALL SELECT * FROM un)
+        |ORDER BY cid, part""".stripMargin,
 
     "q115_semantic_decontam" ->
       s"""WITH $qCte,
@@ -1169,6 +1271,7 @@ object EmbedOps {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_ivf_cells" -> (q114IvfCells _),
+    "q141_cell_split" -> (q141CellSplit _),
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
     "q116_mmr_diverse" -> (q116MmrDiverse _),
     "q120_pq_adc" -> (q120PqAdc _),

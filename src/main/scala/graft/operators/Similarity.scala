@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (driver north star):
@@ -436,6 +437,64 @@ object Similarity {
       .orderBy(col("a_id"))
   }
 
+  /** ANN recall tuning curve (q136): recall@10 of the IVF index as a
+    * function of nprobe, 1..[[IvfK]] — the measurement every ANN
+    * deployment runs BEFORE picking its nprobe, and the companion to
+    * q114's cell profile (occupancy says what a probe COSTS; this says
+    * what it BUYS). For each nprobe n, the candidate set is every vector
+    * whose cell ranks within the query's top-n centroids; recall@10 is
+    * the overlap of the candidate top-10 with the unrestricted
+    * brute-force top-10 (both ranked by the q109 nano-int cosine, ties
+    * vec_id ASC, so the ranking is bit-identical across engines).
+    * Output: one row per nprobe with the probed-row cost alongside the
+    * recall — the cost/recall frontier read directly.
+    *
+    * Scale shape (100 TB): the corpus is scored ONCE (one codegen scan:
+    * cell rank via an [[IvfK]]-row broadcast, cosine via a 1-row query
+    * broadcast) and checkpointed; the sweep re-reads that narrow
+    * (vec_id, rn, ncos) frame [[IvfK]] times through a broadcast
+    * nested-loop join on `rn <= nprobe` with per-nprobe `top_k_by`
+    * partials collapsing map-side — no corpus-sized sort or window
+    * anywhere (the one row_number runs over K centroid rows). A
+    * deployment runs this on a uniform sample: recall-vs-nprobe is a
+    * property of the cell geometry, not the corpus cardinality.
+    */
+  def q136RecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    val centroids = ivfCentroids(e)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("nq").as("qn"))
+    val pr = centroids.crossJoin(broadcast(query))
+      .withColumn("ccos", cosCol(dotExpr("csum", "qq"), "nc", "qn"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ccos").desc, col("cid"))).cast("long"))
+      .select(col("cid"), col("rn"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .join(assign(e, centroids), Seq("vec_id"))
+      .join(broadcast(pr), Seq("cid"))
+      .join(broadcast(query))
+      .withColumn("cos", cosCol(dotExpr("q", "qq"), "nq", "qn"))
+      .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+      .select("vec_id", "rn", "ncos")
+      .localCheckpoint(true)
+    val exact = scored.groupBy()
+      .agg(expr("top_k_by(vec_id, ncos, 10)").as("etop"))
+      .select(expr("transform(etop, x -> x.v)").as("exact_ids"))
+    val ns = spark.range(1, IvfK + 1).select(col("id").as("nprobe"))
+    scored.join(broadcast(ns), col("rn") <= col("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("probed_rows"),
+        expr("top_k_by(vec_id, ncos, 10)").as("top"))
+      .withColumn("top_ids", expr("transform(top, x -> x.v)"))
+      .crossJoin(broadcast(exact))
+      .withColumn("recall_at_10",
+        size(array_intersect(col("top_ids"), col("exact_ids")))
+          .cast("double") / 10.0)
+      .select("nprobe", "probed_rows", "recall_at_10")
+      .orderBy(col("nprobe"))
+  }
+
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
     */
@@ -802,6 +861,45 @@ object Similarity {
         |SELECT a_id, cid, b_id, CAST(ncos AS DOUBLE) / 1e9 AS cos
         |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin,
 
+    "q136_recall_sweep" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $IvfK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qv AS (SELECT q AS qq, nq AS qn FROM e WHERE vec_id = 0),
+        |pr AS (
+        |  SELECT c.cid,
+        |    row_number() OVER (ORDER BY
+        |      ${cosSql("list_dot_product(qv.qq, c.csum)", "qv.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qv, cent2 c),
+        |scored AS (
+        |  SELECT e.vec_id, pr.rn,
+        |    CAST(floor((${cosSql("list_dot_product(e.q, qv.qq)", "e.nq", "qv.qn")})
+        |      * 1e9 + 0.5) AS BIGINT) AS ncos
+        |  FROM e JOIN af ON e.vec_id = af.vec_id JOIN pr ON af.cid = pr.cid, qv
+        |  WHERE e.vec_id <> 0),
+        |exact10 AS (SELECT vec_id FROM scored ORDER BY ncos DESC, vec_id LIMIT 10),
+        |sweep AS (
+        |  SELECT n.n AS nprobe, s.vec_id, s.ncos,
+        |    row_number() OVER (PARTITION BY n.n ORDER BY s.ncos DESC, s.vec_id) AS r2
+        |  FROM generate_series(1, $IvfK) AS n(n) JOIN scored s ON s.rn <= n.n)
+        |SELECT p.nprobe, p.probed_rows,
+        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT nprobe, count(*) AS probed_rows FROM sweep GROUP BY nprobe) p
+        |LEFT JOIN (SELECT nprobe, count(*) AS hits FROM sweep
+        |           WHERE r2 <= 10
+        |             AND vec_id IN (SELECT vec_id FROM exact10)
+        |           GROUP BY nprobe) h USING (nprobe)
+        |ORDER BY nprobe""".stripMargin,
+
     "q37_centroid_outliers" ->
       s"""WITH $qCte,
         |pos AS (
@@ -851,5 +949,6 @@ object Similarity {
     "q88_ann_incremental" -> (q88AnnIncremental _),
     "q97_semdedup_prune" -> (q97SemdedupPrune _),
     "q113_ann_join" -> (q113AnnJoin _),
+    "q136_recall_sweep" -> (q136RecallSweep _),
   )
 }

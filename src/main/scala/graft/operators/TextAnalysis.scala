@@ -472,6 +472,67 @@ object TextAnalysis {
       .orderBy(col("domain"))
 
   // ------------------------------------------------------------------
+  // q137: corpus-frequency boilerplate removal (CCNet/RefinedWeb-style)
+  // ------------------------------------------------------------------
+
+  /** A bigram is boilerplate when it appears in at least this percentage
+    * of all documents. Relative, not absolute: the threshold tracks corpus
+    * size across SFs, the way CCNet's duplicated-paragraph filter and
+    * RefinedWeb's line-dedup are tuned as document-share fractions.
+    */
+  private val BoilerplatePct = 8
+
+  /** Corpus-frequency boilerplate removal report (q137): the cleaning
+    * stage between exact dedup (whole-doc copies, q30) and passage dedup
+    * (long repeated spans, q76) — SHORT token runs repeated across a
+    * large share of documents (headers, footers, navigation chrome,
+    * license blurbs) that survive both. A bigram occurring in >=
+    * [[BoilerplatePct]]% of all docs is marked boilerplate; every token
+    * position covered by a marked bigram is removal-eligible; the report
+    * is the per-source retained-token ratio — the number that shows which
+    * source's volume is chrome before it inflates a mixing budget.
+    *
+    * Scale shape (100 TB): the doc-frequency census is one map-side-
+    * combined hash agg over per-doc DISTINCT bigrams (the q30/q49 shingle
+    * recipe — `array_distinct` per row, no distinct-aggregate shuffle).
+    * The frequent set is corpus-size-INDEPENDENT by construction: grams
+    * with df >= p·N number at most (total grams)/(p·N) ≈ avg_len/p, so
+    * it always broadcasts. Coverage marking is then a broadcast semi-join
+    * on the positional gram stream (codegen `word_ngrams`), a bounded
+    * 2x position explode, and a per-doc distinct count — doc-keyed
+    * groups, no hot keys, no window.
+    */
+  def q137Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).localCheckpoint(true)
+    val tot = d.agg(count(lit(1)).as("n"))
+    val fq = d.select(col("doc_id"),
+        explode(array_distinct(expr("word_ngrams(toks, 2)"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * 100 >= col("n") * BoilerplatePct)
+      .select("g")
+    val cov = d.select(col("doc_id"),
+        posexplode(expr("word_ngrams(toks, 2)")).as(Seq("p", "g")))
+      .join(broadcast(fq), Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("p2"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p2")).as("covered"))
+    d.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("nt"))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("covered_tokens"))
+      .withColumn("retained_ratio",
+        lit(1.0) - col("covered_tokens").cast("double") / col("total_tokens"))
+      .select("source", "docs", "total_tokens", "covered_tokens",
+        "retained_ratio")
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
   // q105: hashed-feature linear classifier inference (fastText-style)
   // ------------------------------------------------------------------
 
@@ -790,6 +851,29 @@ object TextAnalysis {
         |FROM raw r JOIN d$BpeRounds m ON r.doc_id = m.doc_id
         |GROUP BY r.source ORDER BY r.source""".stripMargin,
 
+    "q137_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |             FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |gl AS (SELECT doc_id, unnest([{'i': i, 'g': t[i] || ' ' || t[i+1]}
+        |                              for i in generate_series(1, len(t) - 1)]) AS u
+        |       FROM toks),
+        |g AS (SELECT doc_id, u.i AS i, u.g AS g FROM gl),
+        |fq AS (SELECT g
+        |       FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g), tot
+        |       WHERE df * 100 >= tot.n * $BoilerplatePct),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS covered
+        |        FROM (SELECT g.doc_id, unnest([g.i, g.i + 1]) AS p
+        |              FROM g JOIN fq USING (g))
+        |        GROUP BY doc_id)
+        |SELECT toks.source, count(*) AS docs,
+        |  CAST(sum(len(toks.t)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(cov.covered, 0)) AS BIGINT) AS covered_tokens,
+        |  1.0 - CAST(sum(coalesce(cov.covered, 0)) AS DOUBLE) / sum(len(toks.t))
+        |    AS retained_ratio
+        |FROM toks LEFT JOIN cov USING (doc_id)
+        |GROUP BY toks.source ORDER BY toks.source""".stripMargin,
+
     "q123_bpe_train" ->
       s"""WITH ${bpeChainCtes(BpeRounds)}
         |${(1 to BpeRounds).map(r =>
@@ -1037,6 +1121,7 @@ object TextAnalysis {
     "q73_url_domains" -> (q73UrlDomains _),
     "q77_bigram_lm" -> (q77BigramLm _),
     "q134_cross_lm" -> (q134CrossLm _),
+    "q137_boilerplate" -> (q137Boilerplate _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, EmbedOps, Similarity, TextAnalysis}
+
+/** Semantic invariants for the round-9 curation/ANN additions (q136–q141)
+  * that the DuckDB hash gate can't express: monotonicity of the recall
+  * sweep, cross-formulation agreement (aggregate top-k vs window ranking,
+  * positional coverage vs an independent recomputation), conservation of
+  * occupancy under cell splits, and normalization of the mixing weights.
+  */
+class Round9OpsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q136 recall sweep: monotone in nprobe, exact at full probe depth") {
+    val rows = Similarity.q136RecallSweep(spark, dir)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.length >= 2)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val probed = rows.map(_.getAs[Long]("probed_rows"))
+    // more probes never lose recall, and each probe level costs more rows
+    recalls.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    probed.sliding(2).foreach { case Array(a, b) => assert(b > a) }
+    // at nprobe = K every cell is probed: candidates == corpus minus the
+    // query vector, and the "approximate" top-10 IS the exact top-10
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(probed.last == n - 1)
+    assert(recalls.last == 1.0)
+  }
+
+  test("q137 boilerplate coverage matches an independent per-doc recomputation") {
+    val report = TextAnalysis.q137Boilerplate(spark, dir)
+      .orderBy(col("source")).collect()
+    // independent reference: recompute covered positions per document in
+    // Scala from the raw corpus (sf0.001 is 50 docs — driver-side is fine
+    // in a test), with the same relative-df threshold
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val nDocs = docs.length
+    val df = docs.flatMap { case (_, _, t) => t.sliding(2).map(_.mkString(" ")).toSet }
+      .groupBy(identity).map { case (g, occ) => (g, occ.length) }
+    val frequent = df.collect { case (g, c) if c * 100 >= nDocs * 8 => g }.toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val total = ds.map(_._3.size.toLong).sum
+      val covered = ds.map { case (_, _, t) =>
+        t.sliding(2).zipWithIndex.collect {
+          case (w, i) if w.size == 2 && frequent(w.mkString(" ")) => Seq(i, i + 1)
+        }.flatten.toSet.size.toLong
+      }.sum
+      src -> ((ds.length.toLong, total, covered))
+    }
+    assert(report.length == expected.size)
+    report.foreach { r =>
+      val (d, t, c) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("docs") == d)
+      assert(r.getAs[Long]("total_tokens") == t)
+      assert(r.getAs[Long]("covered_tokens") == c)
+      assert(r.getAs[Double]("retained_ratio") == 1.0 - c.toDouble / t)
+    }
+  }
+
+  test("q138 domain cap: aggregate top-k selection == window-rank reference") {
+    val report = Curation.q138DomainCap(spark, dir).collect()
+    report.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") == math.min(r.getAs[Long]("docs"), 15L))
+      assert(r.getAs[Long]("dropped_docs") ==
+        r.getAs[Long]("docs") - r.getAs[Long]("kept_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+    // cross-formulation: kept token mass must equal what a row_number
+    // window over the same nano-int score keeps (the formulation the
+    // aggregate path exists to avoid at scale)
+    val scored = TextAnalysis.qualityScored(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").join(scored, Seq("doc_id"))
+      .withColumn("nscore", expr("CAST(floor(score * 1e9 + 0.5) AS BIGINT)"))
+    val winKept = d.withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("nscore").desc, col("doc_id"))))
+      .filter(col("rnk") <= 15)
+      .groupBy("source").agg(sum("n_tokens").as("kt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    report.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") == winKept(r.getAs[String]("source")))
+    }
+  }
+
+  test("q139 transfer matrix: normalized pair order, conserves the q31 pair count") {
+    val m = Dedup.q139DupTransfer(spark, dir).collect()
+    m.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("max_jaccard") >= 0.8)
+    }
+    val pairTotal = Dedup.q31NgramJaccard(spark, dir).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == pairTotal)
+  }
+
+  test("q140 temperature weights: normalized, and flatten toward small sources") {
+    val rows = Curation.q140TemperatureMix(spark, dir).collect()
+    val wProp = rows.map(_.getAs[Double]("w_prop")).sum
+    val wTemp = rows.map(_.getAs[Double]("w_temp")).sum
+    assert(math.abs(wProp - 1.0) < 1e-4)
+    assert(math.abs(wTemp - 1.0) < 1e-4)
+    // alpha < 1 upweights the smallest source relative to proportional
+    // sampling and downweights the largest
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(smallest.getAs[Double]("w_temp") > smallest.getAs[Double]("w_prop"))
+    assert(largest.getAs[Double]("w_temp") < largest.getAs[Double]("w_prop"))
+  }
+
+  test("q141 cell split conserves occupancy against the q114 census") {
+    val split = EmbedOps.q141CellSplit(spark, dir).collect()
+    val census = EmbedOps.q114IvfCells(spark, dir).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_vecs")).toMap
+    // per parent cell: occupancies of the (1 or 2) resulting cells sum to
+    // the parent's census count — no vector lost or duplicated by the split
+    val byCid = split.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.keySet == census.keySet)
+    byCid.foreach { case (cid, parts) =>
+      assert(parts.map(_.getAs[Long]("occupancy")).sum == census(cid))
+      if (parts.head.getAs[Long]("was_split") == 1L) {
+        // a split produced two non-empty halves (each seed routes to itself)
+        assert(parts.length == 2)
+        parts.foreach(p => assert(p.getAs[Long]("occupancy") > 0))
+      } else assert(parts.length == 1)
+    }
+    assert(split.map(_.getAs[Long]("occupancy")).sum == census.values.sum)
+  }
+}
