@@ -22,7 +22,7 @@ object Bench {
     java.nio.file.Files.list(tmp).forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("graft_bpe_") || n.startsWith("graft_clusters_") ||
-          n.startsWith("graft_ann_index_")) {
+          n.startsWith("graft_ann_index_") || n.startsWith("graft_dedup_pairs_")) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))

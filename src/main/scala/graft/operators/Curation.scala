@@ -92,8 +92,10 @@ object Curation {
       val root = s"${sys.props("java.io.tmpdir")}/graft_clusters_$key"
       val marker = java.nio.file.Paths.get(root, "_LABELED")
       if (!java.nio.file.Files.exists(marker)) {
+        // edges come from the kernel-level pairs artifact (one capped-
+        // kernel run per corpus feeds labels AND q139's transfer matrix)
         clusterLabels(
-          Dedup.jaccardPairs(spark, dir).select(col("i"), col("j")))
+          Dedup.jaccardPairsCached(spark, dir).select(col("i"), col("j")))
           .write.mode("overwrite").parquet(s"$root/labels")
         java.nio.file.Files.createFile(marker)
       }
