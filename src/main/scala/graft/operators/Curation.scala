@@ -988,6 +988,46 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q142: quality-band x duplication calibration
+  // ------------------------------------------------------------------
+
+  /** Quality-band duplication calibration (q142): cross the q22 quality
+    * score with q31 near-dup membership — the report that answers "does
+    * the quality filter already catch the duplicates, or are the two
+    * filters independent?" If dup_rate falls with quality, a quality
+    * threshold silently double-acts as a weak dedup (and vice versa); if
+    * flat, the pipeline genuinely needs both stages. Bands are FIXED
+    * score bins (floor(score*10), capped at 9) — never ntile, whose
+    * global sort is a corpus-sized single-reducer window.
+    *
+    * Scale shape: quality is a per-row map; dup membership is the ids of
+    * the stored pair artifact ([[Dedup.jaccardPairsCached]]) — pair-graph-
+    * sized, broadcast as a semi-join probe; the rollup is a <=10-key hash
+    * agg with map-side combine.
+    */
+  def q142QualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val pairs = Dedup.jaccardPairsCached(spark, dir)
+    val dupIds = pairs.select(col("i").as("doc_id"))
+      .unionByName(pairs.select(col("j").as("doc_id")))
+      .distinct()
+    scored
+      .withColumn("band",
+        least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .join(broadcast(dupIds.withColumn("is_dup", lit(1L))), Seq("doc_id"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .select("band", "n_docs", "n_tokens", "n_dup_docs", "dup_rate")
+      .orderBy(col("band"))
+  }
+
+  // ------------------------------------------------------------------
   // q131: leakage-safe train/val/test splits (cluster-granular hashing)
   // ------------------------------------------------------------------
 
@@ -1510,6 +1550,39 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q142_quality_dup_calibration" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id, n_tokens,
+        |         (${TextAnalysis.qualityScoreSql}) AS score FROM m),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
+        |  FROM (SELECT DISTINCT doc_id, unnest(${Dedup.shingleSql}) AS g
+        |        FROM documents WHERE len(string_split(text,' ')) >= 3)),
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT i, j FROM inter
+        |  JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
+        |dup AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT i AS doc_id FROM pairs UNION ALL SELECT j FROM pairs)),
+        |banded AS (
+        |  SELECT sc.doc_id,
+        |    least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS band,
+        |    sc.n_tokens,
+        |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |  FROM sc LEFT JOIN dup d ON sc.doc_id = d.doc_id)
+        |SELECT band, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM banded GROUP BY band ORDER BY band""".stripMargin,
+
     "q138_domain_cap" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -1616,5 +1689,6 @@ object Curation {
     "q124_subword_budget" -> (q124SubwordBudget _),
     "q138_domain_cap" -> (q138DomainCap _),
     "q140_temperature_mix" -> (q140TemperatureMix _),
+    "q142_quality_dup_calibration" -> (q142QualityDupCalibration _),
   )
 }

@@ -502,22 +502,40 @@ object TextAnalysis {
     * 2x position explode, and a per-doc distinct count — doc-keyed
     * groups, no hot keys, no window.
     */
-  def q137Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val d = docs(spark, dir).localCheckpoint(true)
+  /** The q137 frequent-bigram census over a (doc_id, toks) frame: bigrams
+    * whose document frequency reaches [[BoilerplatePct]]% of `total`
+    * docs. Shared with the streaming twin ([[graft.streaming
+    * .CleanStream]]), which freezes this set from its seed batch. Caller
+    * must have registered `word_ngrams` on the frame's own session.
+    */
+  private[graft] def boilerplateGramsOf(d: DataFrame): DataFrame = {
     val tot = d.agg(count(lit(1)).as("n"))
-    val fq = d.select(col("doc_id"),
+    d.select(col("doc_id"),
         explode(array_distinct(expr("word_ngrams(toks, 2)"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tot))
       .filter(col("df") * 100 >= col("n") * BoilerplatePct)
       .select("g")
-    val cov = d.select(col("doc_id"),
+  }
+
+  /** Per-document covered-position counts against a frequent-gram set:
+    * (doc_id, covered) for docs with at least one covered token. The
+    * coverage kernel shared by q137 and the streaming twin — a broadcast
+    * semi-join on the positional gram stream plus a bounded 2x position
+    * explode, never a corpus-sized sort.
+    */
+  private[graft] def coveredPerDoc(d: DataFrame, fq: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         posexplode(expr("word_ngrams(toks, 2)")).as(Seq("p", "g")))
       .join(broadcast(fq), Seq("g"), "left_semi")
       .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("p2"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("p2")).as("covered"))
+
+  def q137Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).localCheckpoint(true)
+    val cov = coveredPerDoc(d, boilerplateGramsOf(d))
     d.select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("nt"))
       .join(cov, Seq("doc_id"), "left")
