@@ -988,6 +988,44 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q143: duplicate-discounted effective source sizes
+  // ------------------------------------------------------------------
+
+  /** Effective token counts per source (q143): raw per-source token mass
+    * next to the mass that SURVIVES near-dup cluster dedup (one canonical
+    * representative — the min-id member — per q50 component; singletons
+    * keep themselves). Raw counts overstate what a source contributes to
+    * training: a source that is 30% internal near-dups delivers 30% fewer
+    * novel tokens than its census claims, and a mixing budget (q78/q140)
+    * priced on raw counts over-samples it. `effective_ratio` is the
+    * per-source discount — the correction factor applied before any
+    * mixing decision, and the cross-source companion to q96's novelty.
+    *
+    * Scale shape: consumes the SAME labels artifact as q50/q92/q131 (one
+    * clustering per corpus snapshot); the label table is pair-graph-
+    * sized, broadcast into one left join against a single corpus scan,
+    * then a |sources|-key hash agg with map-side combine.
+    */
+  def q143EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabelsCached(spark, dir)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("doc_id") === col("lbl"), lit(true)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).as("raw_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("nt")).otherwise(0L)).as("effective_tokens"))
+      .withColumn("effective_ratio",
+        round(col("effective_tokens").cast("double") / col("raw_tokens"), 6))
+      .select("source", "docs", "raw_tokens", "kept_docs",
+        "effective_tokens", "effective_ratio")
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------
   // q142: quality-band x duplication calibration
   // ------------------------------------------------------------------
 
@@ -1550,6 +1588,24 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q143_effective_tokens" ->
+      s"""WITH RECURSIVE $clusterCompCtes,
+        |d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |      FROM documents),
+        |k AS (SELECT d.source, d.nt,
+        |        CASE WHEN c.doc_id IS NULL OR c.cluster_id = d.doc_id
+        |             THEN 1 ELSE 0 END AS kept
+        |      FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(kept) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT)
+        |    AS effective_tokens,
+        |  round(CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS DOUBLE)
+        |    / sum(nt), 6) AS effective_ratio
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
     "q142_quality_dup_calibration" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -1690,5 +1746,6 @@ object Curation {
     "q138_domain_cap" -> (q138DomainCap _),
     "q140_temperature_mix" -> (q140TemperatureMix _),
     "q142_quality_dup_calibration" -> (q142QualityDupCalibration _),
+    "q143_effective_tokens" -> (q143EffectiveTokens _),
   )
 }

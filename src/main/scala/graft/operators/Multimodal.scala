@@ -240,8 +240,18 @@ object Multimodal {
     * joins touch only the EDGE list. Banding at radius <= bands-1 is
     * exact, so the scan never needs a recall-repair pass.
     */
-  def q130ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = imageAHash(spark, imageTable(spark, dir)).localCheckpoint(true)
+  def q130ImageNeardup(spark: SparkSession, dir: String): DataFrame =
+    hammingClusters(
+      imageAHash(spark, imageTable(spark, dir)).localCheckpoint(true), "n_imgs")
+
+  /** The shared 64-bit-fingerprint clustering pipeline behind q130
+    * (images) and q144 (audio): band the hash into [[AHashBands]] 16-bit
+    * keys, equi-join band collisions into candidates (never all-pairs),
+    * verify with one codegen `bit_count` at radius [[HamTau]] (exact —
+    * pigeonhole over the bands), and label connected components with the
+    * q50 min-label kernel. One row per non-singleton cluster.
+    */
+  private def hammingClusters(hashes: DataFrame, sizeCol: String): DataFrame = {
     val banded = hashes
       .select(col("doc_id"), col("ahash"),
         explode(expr(s"sequence(0, ${AHashBands - 1})")).as("b"))
@@ -257,7 +267,7 @@ object Multimodal {
       .select("i", "j")
     Curation.clusterLabelsWithRounds(pairs)._1
       .groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_imgs"))
+      .agg(count(lit(1)).as(sizeCol))
       .orderBy(col("cluster_id"))
   }
 
@@ -374,6 +384,92 @@ object Multimodal {
         col("peak"), col("rms"))
       .orderBy(col("doc_id"))
   }
+  // ------------------------------------------------------------------
+  // q144: audio near-duplicate clusters (energy-profile fingerprints)
+  // ------------------------------------------------------------------
+
+  /** Samples fingerprinted per clip — the fixed prefix window. */
+  private val AudioFpSamples = 256
+  /** Samples per energy window (=> [[AudioFpSamples]]/this = 64 bits). */
+  private val AudioFpWin = 4
+
+  /** 64-bit energy-profile fingerprint over REAL decoded audio: the first
+    * [[AudioFpSamples]] PCM samples (cycled when the clip is shorter — the
+    * q130 pixel-synthesis stability trick) split into 64 windows of
+    * [[AudioFpWin]], bit w = window mean |amplitude| above the prefix
+    * mean, compared by exact integer cross-multiplication. A FIXED prefix,
+    * not n-proportional windows: proportional boundaries shift under any
+    * insertion and near-identical clips land ~10+ bits apart (measured on
+    * the fixture corpus — the alignment fragility every audio fingerprint
+    * fights); a fixed sample grid keeps an edit localized to the windows
+    * it touches. Volume scaling flips no bits (mean-relative), which is
+    * the property that makes it a perceptual hash rather than a checksum.
+    * Undecodable or sub-64-sample clips are dropped. Same `mapPartitions`
+    * contract as [[decodeAudio]]: bytes never leave the partition.
+    */
+  def audioEnergyHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+            try {
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+              else {
+                val pcm = in.readAllBytes()
+                val n = pcm.length
+                if (n < 64) None
+                else {
+                  val sums = new Array[Long](64)
+                  var total = 0L
+                  var i = 0
+                  while (i < AudioFpSamples) {
+                    val e = math.abs((pcm(i % n) & 0xff) - 128L)
+                    sums(i / AudioFpWin) += e
+                    total += e
+                    i += 1
+                  }
+                  var hash = 0L
+                  var w = 0
+                  while (w < 64) {
+                    // avg_w > avg_all <=> sw/AudioFpWin > total/AudioFpSamples
+                    if (sums(w) * 64L > total) hash |= (1L << w)
+                    w += 1
+                  }
+                  Some((docId, hash))
+                }
+              }
+            } finally in.close()
+          } catch { case _: Exception => None }
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
+  /** Audio near-duplicate clusters (q144): the dedup step for the audio
+    * modality, completing the near-dup trio (text q31/q50, image q130,
+    * audio here). Each doc's WAV payload ([[q70AudioFeatures]]'s real
+    * container + real javax.sound decode) is fingerprinted by
+    * [[audioEnergyHash]], then the SAME banding/Hamming/clustering
+    * pipeline as q130 runs unchanged — the payoff of fingerprint-shaped
+    * dedup: one downstream machine serves every modality that can hash
+    * itself into 64 bits. Scale shape identical to q130: partition-local
+    * decode, banded equi-join candidates, edge-list-sized clustering.
+    */
+  def q144AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Queries.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, wavContainer(text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      }).toDF("doc_id", "media")
+    hammingClusters(
+      audioEnergyHash(spark, media).localCheckpoint(true), "n_clips")
+  }
+
   // ------------------------------------------------------------------
   // q132: video container parse + frame sampling (the missing modality)
   // ------------------------------------------------------------------
@@ -591,6 +687,46 @@ object Multimodal {
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // pixel (f, i) = text byte ((f*64 + i) mod len) — the videoTable
+    // the audio fingerprint replayed from character codes: sample i of the
+    // cycled 256-sample prefix is text byte (i mod len), energy = distance
+    // from the unsigned-PCM midpoint; banding/Hamming/clustering identical
+    // to q130's oracle
+    "q144_audio_neardup" ->
+      s"""WITH RECURSIVE s AS (
+        |  SELECT doc_id, g.i AS i,
+        |    abs((ascii(substring(text, (g.i % length(text)) + 1, 1)) % 256) - 128) AS e
+        |  FROM documents, generate_series(0, ${AudioFpSamples - 1}) AS g(i)
+        |  WHERE length(text) >= 64),
+        |win AS (SELECT doc_id, i // $AudioFpWin AS w, sum(e) AS sw
+        |        FROM s GROUP BY doc_id, i // $AudioFpWin),
+        |tot AS (SELECT doc_id, sum(e) AS te FROM s GROUP BY doc_id),
+        |bits AS (SELECT w.doc_id, w.w AS i,
+        |           CASE WHEN w.sw * 64 > t.te THEN 1 ELSE 0 END AS bit
+        |         FROM win w JOIN tot t USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, i // 16 AS b,
+        |    CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bk
+        |  FROM bits GROUP BY doc_id, i // 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.i, c.j, sum(bit_count(xor(ba.bk, bb.bk))) AS hamming
+        |  FROM cand c JOIN bands ba ON ba.doc_id = c.i
+        |       JOIN bands bb ON bb.doc_id = c.j AND ba.b = bb.b
+        |  GROUP BY c.i, c.j),
+        |pairs AS (SELECT i, j FROM ham WHERE hamming <= $HamTau),
+        |edges AS (SELECT i AS u, j AS v FROM pairs
+        |          UNION SELECT j, i FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        |comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT cluster_id, count(*) AS n_clips
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // synthesis replayed with modular substring arithmetic; only every
     // VideoStride-th frame contributes, exactly as the decoder samples
     "q132_video_frames" ->
@@ -622,5 +758,6 @@ object Multimodal {
     "q70_audio_features" -> (q70AudioFeatures _),
     "q130_image_neardup" -> (q130ImageNeardup _),
     "q132_video_frames" -> (q132VideoFrames _),
+    "q144_audio_neardup" -> (q144AudioNeardup _),
   )
 }

@@ -542,4 +542,39 @@ class PlanContractSpec extends SparkTestBase {
     // the K-centroid side of the assignment cross joins via broadcast only
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
   }
+
+  test("q137: the frequent-gram set broadcasts into a semi join; coverage never windows") {
+    val p = plan(graft.operators.TextAnalysis.q137Boilerplate(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the corpus-size-independent frequent set must be the broadcast probe:\n${p.take(2500)}")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"coverage marking is scan + broadcast semi-join + doc-keyed aggs only:\n${p.take(2500)}")
+  }
+
+  test("q136/q138: sweep and cap rankings are mergeable top-k aggregates, never corpus windows") {
+    // q136's one Window runs over K centroid rows (the probe ranking);
+    // the corpus-side per-nprobe top-10 and q138's per-source selection
+    // must partial-aggregate map-side
+    val p136 = plan(graft.operators.Similarity.q136RecallSweep(spark, dir))
+    assert(p136.contains("partial_top_k_by"),
+      s"per-nprobe top-k must map-side partial-aggregate:\n${p136.take(2500)}")
+    // the K-row centroid ranking window lives behind the checkpoint (the
+    // scored frame truncates lineage), so the serving plan may show zero
+    // windows; anything more than one is a corpus-sized ranking creeping in
+    assert("Window".r.findAllIn(p136).size <= 1,
+      s"at most one window (the K-row centroid ranking):\n${p136.take(2500)}")
+    val p138 = plan(graft.operators.Curation.q138DomainCap(spark, dir))
+    assert(p138.contains("partial_top_k_by"),
+      s"per-source cap selection must map-side partial-aggregate:\n${p138.take(2500)}")
+    assert(!p138.contains("Window"),
+      s"never a per-source window over full domain membership:\n${p138.take(2500)}")
+  }
+
+  test("q141: split re-assignment broadcasts the per-cell seed pair — no product, no window") {
+    val p = plan(graft.operators.EmbedOps.q141CellSplit(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"oversized-cell seed vectors must broadcast to their members:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(2500))
+  }
 }

@@ -115,6 +115,45 @@ class Round9OpsSpec extends SparkTestBase {
     assert(largest.getAs[Double]("w_temp") < largest.getAs[Double]("w_prop"))
   }
 
+  test("q144 audio banding is exact at Hamming<=3: banded pairs == brute-force all-pairs") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // same media synthesis as q144: text bytes as unsigned PCM in a real
+    // WAV container, really decoded before fingerprinting
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, Multimodal.wavContainer(
+          text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      }).toDF("doc_id", "media")
+    val hashes = Multimodal.audioEnergyHash(spark, media).localCheckpoint(true)
+    val brute = hashes.as("a").join(hashes.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.ahash ^ b.ahash)") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup audio clips")
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bk", expr("(ahash >> (b * 16)) & 65535"))
+    val bandedPairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.ahash").as("hi"), col("b.ahash").as("hj"))
+      .distinct()
+      .filter(expr("bit_count(hi ^ hj)") <= 3)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedPairs == brute,
+      s"banding lost ${(brute -- bandedPairs).size} pairs / invented ${(bandedPairs -- brute).size}")
+    // the clusters aggregate at least the paired clips
+    val sizes = Multimodal.q144AudioNeardup(spark, dir)
+      .collect().map(_.getAs[Long]("n_clips"))
+    assert(sizes.sum >= 2 && sizes.forall(_ >= 2))
+  }
+
   test("q141 cell split conserves occupancy against the q114 census") {
     val split = EmbedOps.q141CellSplit(spark, dir).collect()
     val census = EmbedOps.q114IvfCells(spark, dir).collect()
