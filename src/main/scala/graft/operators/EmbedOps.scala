@@ -558,6 +558,74 @@ object EmbedOps {
     serveFromIndex(spark, dir, buildStoredIndex(spark, dir),
       labelFilter = Some(FilterLabel))
 
+  /** Queries in the q145 served batch (vec_id < this); the corpus is the
+    * rest.
+    */
+  private val ServeBatch = 5L
+
+  /** Per-query result depth for q145. */
+  private val ServeK = 5
+
+  /** Batch serving from the stored index (q145): q109's throughput story
+    * composed with q128's materialized store — B queries answered in ONE
+    * pass over the stored IVF+PQ index. Per query the centroid ranking
+    * keeps [[PqProbes]] cells (a B x K computation); the scan then prunes
+    * to the UNION of all probed cells, so directory reads the queries
+    * share are paid once — batching amortizes exactly the IO that
+    * dominates serving (with B queries and heavy probe overlap the
+    * per-query cost approaches (union size)/B directories). Scoring is
+    * code-only ADC through a broadcast B x [[PqSub]] x [[PqCodes]]-row
+    * LUT; per-query ranking is the mergeable `top_k_by` (nano-int cosine,
+    * ties vec_id) — no corpus-sized sort or window, raw vectors never
+    * read. This is the offline-retrieval shape (hard-negative mining,
+    * RAG indexing) run the way a deployment runs it: against the stored
+    * index, not an in-flight build.
+    */
+  def q145BatchServedAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = buildStoredIndex(spark, dir)
+    val e = Similarity.qvecs(spark, dir).localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < ServeBatch)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nq").as("qn"))
+      .localCheckpoint(true)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val probes = centroids.crossJoin(broadcast(queries))
+      .withColumn("ccos", Similarity.cosCol(dot("csum", "qq"), "nc", "qn"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rn") <= PqProbes)
+      .select(col("qid"), col("cid").as("pcid"))
+      .localCheckpoint(true)
+    // nprobe x B literals -> the scan prunes STATICALLY to the union of
+    // probed directories (the q128 bounded-action precedent)
+    val probedCids = probes.select("pcid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val codes = spark.read.parquet(s"$root/codes")
+      .filter(col("cid").isin(probedCids: _*))
+      .filter(col("vec_id") >= ServeBatch)
+      .withColumn("cid", col("cid").cast("long"))
+    val lut = pqSubvectors(e.filter(col("vec_id") < ServeBatch))
+      .select(col("vec_id").as("qid"), col("s"), col("qs").as("q0s"))
+      .join(spark.read.parquet(s"$root/codebook"), Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        expr("long_dot(q0s, cs)").as("ldot"), col("ncs"))
+    codes.join(broadcast(probes), col("cid") === col("pcid"))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("ldot")).as("adot"), sum(col("ncs")).as("nrec"))
+      .join(broadcast(queries.select("qid", "qn")), Seq("qid"))
+      .withColumn("cos_pq", Similarity.cosCol("adot", "qn", "nrec"))
+      .withColumn("ncos", expr("CAST(floor(cos_pq * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy(col("qid"))
+      .agg(expr(s"top_k_by(vec_id, ncos, $ServeK)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit.v").as("vec_id"),
+        (col("hit.c").cast("double") / 1e9).as("cos_pq"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q141 split trigger, as a percentage of mean occupancy: a cell holding
     * more than [[SplitPct]]% of the mean is split. A deployment tunes this
     * against its probe-latency SLO (the knob is the operator; 110 makes
@@ -857,6 +925,76 @@ object EmbedOps {
         |  round(CAST(snano AS DOUBLE) / n_vecs / 1e9, 6) AS avg_ccos,
         |  CAST(mnano AS DOUBLE) / 1e9 AS min_ccos
         |FROM agg ORDER BY cid""".stripMargin,
+
+    "q145_batch_served_ann" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, g.i AS i, q[g.i] AS qi
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |cent0 AS (SELECT vec_id AS cid, q AS csum, CAST(nq AS BIGINT) AS nc
+        |          FROM e WHERE vec_id < $CellK),
+        |${assignCte("a1", "cent0")},
+        |${updateCte("s1", "cent1", "a1")},
+        |${assignCte("a2", "cent1")},
+        |${updateCte("s2", "cent2", "a2")},
+        |${assignCte("af", "cent2")},
+        |qs5 AS (SELECT vec_id AS qid, q AS qq, CAST(nq AS BIGINT) AS qn
+        |        FROM e WHERE vec_id < $ServeBatch),
+        |pr AS (
+        |  SELECT qs5.qid, c.cid,
+        |    row_number() OVER (PARTITION BY qs5.qid ORDER BY
+        |      ${cosSql("list_dot_product(qs5.qq, c.csum)", "qs5.qn", "c.nc")} DESC,
+        |      c.cid) AS rn
+        |  FROM qs5, cent2 c),
+        |probes AS (SELECT qid, cid FROM pr WHERE rn <= $PqProbes),
+        |sub2 AS (SELECT vec_id, s, qs,
+        |    CAST(list_dot_product(qs, qs) AS BIGINT) AS nqs
+        |  FROM (SELECT vec_id, g.s AS s,
+        |          q[g.s * $PqDim + 1 : g.s * $PqDim + $PqDim] AS qs
+        |        FROM e, generate_series(0, ${PqSub - 1}) AS g(s))),
+        |pcb0 AS (SELECT s, vec_id AS code, qs AS cs, nqs AS ncs
+        |         FROM sub2 WHERE vec_id < $PqCodes),
+        |pa0 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb0 c ON sub2.s = c.s) WHERE rn = 1),
+        |ppos AS (SELECT vec_id, s, g.i AS i, qs[g.i] AS xi
+        |         FROM sub2, generate_series(1, $PqDim) AS g(i)),
+        |ps1 AS (SELECT pa0.s, pa0.code, ppos.i, CAST(sum(ppos.xi) AS BIGINT) AS si,
+        |          count(*) AS cnt
+        |        FROM ppos JOIN pa0 ON ppos.vec_id = pa0.vec_id AND ppos.s = pa0.s
+        |        GROUP BY 1, 2, 3),
+        |pcb1 AS (SELECT s, code, list(si // cnt ORDER BY i) AS cs,
+        |           CAST(sum((si // cnt) * (si // cnt)) AS BIGINT) AS ncs
+        |         FROM ps1 GROUP BY s, code),
+        |pa1 AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub2.vec_id, sub2.s, c.code,
+        |    row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+        |      ORDER BY c.ncs - 2 * list_dot_product(sub2.qs, c.cs), c.code) AS rn
+        |  FROM sub2 JOIN pcb1 c ON sub2.s = c.s) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS qid, c.s, c.code,
+        |          CAST(list_dot_product(q.qs, c.cs) AS BIGINT) AS ldot, c.ncs
+        |        FROM pcb1 c JOIN sub2 q ON c.s = q.s
+        |        WHERE q.vec_id < $ServeBatch),
+        |adc AS (SELECT p.qid, pa1.vec_id, CAST(sum(l.ldot) AS BIGINT) AS adot,
+        |          CAST(sum(l.ncs) AS BIGINT) AS nrec
+        |        FROM pa1 JOIN af ON pa1.vec_id = af.vec_id
+        |             JOIN probes p ON af.cid = p.cid
+        |             JOIN lut l ON l.qid = p.qid AND pa1.s = l.s
+        |                      AND pa1.code = l.code
+        |        WHERE pa1.vec_id >= $ServeBatch
+        |        GROUP BY p.qid, pa1.vec_id),
+        |res AS (SELECT adc.qid, adc.vec_id,
+        |    CAST(floor((${cosSql("adc.adot", "q.qn", "adc.nrec")}) * 1e9 + 0.5)
+        |      AS BIGINT) AS ncos
+        |  FROM adc JOIN qs5 q ON adc.qid = q.qid),
+        |ranked AS (SELECT qid, vec_id, ncos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ncos DESC, vec_id) AS rnk
+        |  FROM res)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+        |  CAST(ncos AS DOUBLE) / 1e9 AS cos_pq
+        |FROM ranked WHERE rnk <= $ServeK ORDER BY qid, rnk""".stripMargin,
 
     "q141_cell_split" ->
       s"""WITH $qCte,
@@ -1272,6 +1410,7 @@ object EmbedOps {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_ivf_cells" -> (q114IvfCells _),
     "q141_cell_split" -> (q141CellSplit _),
+    "q145_batch_served_ann" -> (q145BatchServedAnn _),
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
     "q116_mmr_diverse" -> (q116MmrDiverse _),
     "q120_pq_adc" -> (q120PqAdc _),

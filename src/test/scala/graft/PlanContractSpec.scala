@@ -543,6 +543,20 @@ class PlanContractSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
   }
 
+  test("q145: batch serving prunes the stored scan to the UNION of probed cells, ranks via the aggregate") {
+    val p = plan(graft.operators.EmbedOps.q145BatchServedAnn(spark, dir))
+    val scanLine = p.linesIterator
+      .find(l => l.contains("graft_ann_index") && l.contains("PartitionFilters"))
+    assert(scanLine.isDefined,
+      s"expected a partition-filtered scan of the stored codes:\n${p.take(3000)}")
+    assert(scanLine.get.matches(".*PartitionFilters:.*cid.*IN \\(.*"),
+      s"cid IN (union of probed...) must reach PartitionFilters:\n${scanLine.get}")
+    assert(p.contains("partial_top_k_by"),
+      s"per-query ranking must map-side partial-aggregate:\n${p.take(2500)}")
+    assert(!p.contains("Window ["),
+      s"batch serving must stay window-free (the probe ranking is behind a checkpoint):\n${p.take(2500)}")
+  }
+
   test("q137: the frequent-gram set broadcasts into a semi join; coverage never windows") {
     val p = plan(graft.operators.TextAnalysis.q137Boilerplate(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
