@@ -593,7 +593,7 @@ object Curation {
     * none, which is exactly the input shape that once hid a census-scope
     * bug here).
     */
-  private[graft] def funnelOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def funnelFlagsOf(docsDf: DataFrame): DataFrame = {
     val base = docsDf
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("text"), col("toks"),
@@ -636,6 +636,12 @@ object Curation {
       .select(col("doc_id"), lit(1L).as("f_dup"))
     flags.join(passDup, Seq("doc_id"), "left")
       .withColumn("s4", col("s3") * coalesce(col("f_dup"), lit(0L)))
+      .select(col("doc_id"), col("nt"), col("s2"), col("s3"), col("s4"))
+  }
+
+  /** [[funnelFlagsOf]] rolled up to q83's corpus-level stage table. */
+  private[graft] def funnelOf(docsDf: DataFrame): DataFrame =
+    funnelFlagsOf(docsDf)
       .agg(
         count(lit(1)).as("n1"), sum(col("nt")).as("t1"),
         sum(col("s2")).as("n2"), sum(col("nt") * col("s2")).as("t2"),
@@ -649,7 +655,32 @@ object Curation {
           |  CAST(4 AS BIGINT), 'passage_dedup', n4, t4)
           |AS (stage, name, n_docs, n_tokens)""".stripMargin)
       .orderBy(col("stage"))
-  }
+
+  /** Per-source funnel attrition (q146): q83's curation funnel broken
+    * out by source — which corpus loses how much volume at which stage.
+    * Corpus-level stage counts (q83) say the pipeline is healthy; this
+    * table says WHO pays: a source with low `retention` is dominated by
+    * duplicates or junk, and its raw-count mixing weight (q78/q140)
+    * overstates its contribution — the per-source number a curation
+    * review reads next to q143's effective sizes.
+    *
+    * Scale shape: identical to q83 (the same [[funnelFlagsOf]] flag
+    * frame — narrow per-doc longs, stage verdicts computed once), plus
+    * one broadcast-able source lookup and a |sources|-key hash agg.
+    */
+  def q146SourceFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFlagsOf(docs(spark, dir))
+      .join(docs(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("nt")).as("t_raw"),
+        sum(col("s2")).as("n_exact"),
+        sum(col("s3")).as("n_quality"),
+        sum(col("s4")).as("n_final"),
+        sum(col("nt") * col("s4")).as("t_final"))
+      .withColumn("retention",
+        round(col("n_final").cast("double") / col("n_raw"), 6))
+      .orderBy(col("source"))
 
   /** Sample size for the weighted draw (q87). */
   private val WeightedSampleK = 50
@@ -1528,6 +1559,45 @@ object Curation {
         |ORDER BY stage""".stripMargin
     },
 
+    "q146_source_funnel" -> {
+      val p = Dedup.PassageTokens
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+        |s2 AS (SELECT b.* FROM base b JOIN keep1 USING (doc_id)),
+        |${TextAnalysis.qualityMetricsCte("base")},
+        |sc AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS score FROM m),
+        |s3 AS (SELECT s2.* FROM s2 JOIN sc USING (doc_id) WHERE sc.score >= $FunnelQualityMin),
+        |c AS (SELECT doc_id,
+        |  [md5(array_to_string(toks[i*$p+1 : i*$p+$p], ' '))
+        |   for i in generate_series(0, CAST(ceil(len(toks) / $p.0) AS INT) - 1)] AS phs
+        |FROM s3),
+        |e AS (SELECT doc_id, unnest(phs) AS ph FROM c),
+        |g AS (SELECT ph, count(*) AS cnt FROM e GROUP BY ph),
+        |pd AS (SELECT doc_id, count(*) AS np,
+        |  sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS nd FROM e JOIN g USING (ph)
+        |GROUP BY doc_id),
+        |s4 AS (SELECT s3.* FROM s3 JOIN pd USING (doc_id)
+        |       WHERE CAST(nd AS DOUBLE) <= np * $FunnelDupMax)
+        |SELECT d.source, count(*) AS n_raw,
+        |  CAST(sum(b.nt) AS BIGINT) AS t_raw,
+        |  CAST(sum(CASE WHEN m2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN m3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(sum(CASE WHEN m4.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_final,
+        |  CAST(sum(CASE WHEN m4.doc_id IS NOT NULL THEN b.nt ELSE 0 END) AS BIGINT)
+        |    AS t_final,
+        |  round(CAST(sum(CASE WHEN m4.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS retention
+        |FROM base b JOIN documents d USING (doc_id)
+        |LEFT JOIN (SELECT doc_id FROM s2) m2 ON b.doc_id = m2.doc_id
+        |LEFT JOIN (SELECT doc_id FROM s3) m3 ON b.doc_id = m3.doc_id
+        |LEFT JOIN (SELECT doc_id FROM s4) m4 ON b.doc_id = m4.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
     "q95_dsir_selection" ->
       s"""WITH bg AS (
         |  SELECT doc_id, lang, unnest(${wordNgramSql(2)}) AS g
@@ -1738,6 +1808,7 @@ object Curation {
     "q92_cluster_survivors" -> (q92ClusterSurvivors _),
     "q68_token_budget" -> (q68TokenBudget _),
     "q95_dsir_selection" -> (q95DsirSelection _),
+    "q146_source_funnel" -> (q146SourceFunnel _),
     "q96_source_novelty" -> (q96SourceNovelty _),
     "q98_length_outliers" -> (q98LengthOutliers _),
     "q117_source_kl" -> (q117SourceKl _),
