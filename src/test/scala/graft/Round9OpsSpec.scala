@@ -41,7 +41,8 @@ class Round9OpsSpec extends SparkTestBase {
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
     val nDocs = docs.length
-    val df = docs.flatMap { case (_, _, t) => t.sliding(2).map(_.mkString(" ")).toSet }
+    val df = docs.flatMap { case (_, _, t) =>
+      t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet }
       .groupBy(identity).map { case (g, occ) => (g, occ.length) }
     val frequent = df.collect { case (g, c) if c * 100 >= nDocs * 8 => g }.toSet
     val expected = docs.groupBy(_._2).map { case (src, ds) =>
@@ -152,6 +153,38 @@ class Round9OpsSpec extends SparkTestBase {
     val sizes = Multimodal.q144AudioNeardup(spark, dir)
       .collect().map(_.getAs[Long]("n_clips"))
     assert(sizes.sum >= 2 && sizes.forall(_ >= 2))
+  }
+
+  test("q145 batch serve: full per-query depth, descending ADC ranking, corpus-only hits") {
+    val rows = EmbedOps.q145BatchServedAnn(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (qid, hits) =>
+      assert(hits.length == 5, s"query $qid returned ${hits.length} hits")
+      val ordered = hits.sortBy(_.getAs[Long]("rnk"))
+      // ranking is by the nano-int ADC cosine, strictly rank-ordered
+      ordered.map(_.getAs[Double]("cos_pq")).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"query $qid ranking out of order")
+      }
+      // hits come from the corpus, never from the query batch itself
+      ordered.foreach(h => assert(h.getAs[Long]("vec_id") >= 5L))
+    }
+  }
+
+  test("q146 source funnel: stage counts monotone per source, totals == q83 stages") {
+    val perSource = Curation.q146SourceFunnel(spark, dir).collect()
+    perSource.foreach { r =>
+      val (raw, ex, q, fin) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_final"))
+      assert(raw >= ex && ex >= q && q >= fin && fin >= 0,
+        s"${r.getAs[String]("source")}: funnel stages must only shrink")
+    }
+    val corpus = Curation.q83CurationFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("n_docs")).toMap
+    assert(perSource.map(_.getAs[Long]("n_raw")).sum == corpus("raw"))
+    assert(perSource.map(_.getAs[Long]("n_exact")).sum == corpus("exact_dedup"))
+    assert(perSource.map(_.getAs[Long]("n_quality")).sum == corpus("quality"))
+    assert(perSource.map(_.getAs[Long]("n_final")).sum == corpus("passage_dedup"))
   }
 
   test("q141 cell split conserves occupancy against the q114 census") {
