@@ -86,6 +86,119 @@ object AnnStress {
     spark.stop()
   }
 
+  /** q145's batch-serving claim at beyond-bench scale: a stored
+    * cid-partitioned IVF index at `nVecs`, served with a `nQueries`-query
+    * batch two ways — (a) one probe query at a time, each its own pruned
+    * scan job (the per-query latency path), and (b) the q145 shape: ONE
+    * scan pruned to the UNION of all probed cells, per-query fanout via a
+    * broadcast (qid, cid) probe table, ranking via the mergeable
+    * `top_k_by`. Claims: (1) both return identical per-query top-10
+    * (checked exactly); (2) batch wall-clock beats the per-query loop —
+    * the B-way amortization of job overhead + shared directory reads that
+    * turns a latency path into an offline-retrieval throughput path.
+    *
+    * Run: `sbt "runMain graft.AnnStress serve [nVecs] [nQueries]"`
+    * (defaults 1000000 / 32).
+    */
+  private def serveMain(nVecs: Long, nQueries: Int): Unit = {
+    val nClusters = 64
+    val ivfK = 16
+    val nprobe = 2
+    val k = 10
+    val spark = Harness.session("graft-serve-ann-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import Harness.timed
+
+    // clustered corpus (the default-mode generator): queries drawn near
+    // cluster centers so probe sets overlap — the realistic batch shape
+    val vecs: DataFrame = spark.range(nVecs)
+      .select(col("id").as("vec_id"), (col("id") % nClusters).as("c"))
+      .withColumn("q", expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(vec_id, d), 21) - 10
+           |  AS BIGINT))""".stripMargin))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .select("vec_id", "q", "nq")
+      .localCheckpoint(true)
+    val queries = spark.range(nQueries)
+      .select(col("id").as("qid"), (col("id") % nClusters).as("c"))
+      .withColumn("qq", expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(qid + 7, d, 13), 21) - 10
+           |  AS BIGINT))""".stripMargin))
+      .withColumn("qn", expr("long_dot(qq, qq)"))
+      .select("qid", "qq", "qn")
+      .localCheckpoint(true)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    val (centroids, tBuild) = timed {
+      val seeds = vecs.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+      val c = Similarity.ivfCentroids(vecs, seeds).localCheckpoint(true)
+      vecs.join(Similarity.assign(vecs, c), Seq("vec_id"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index")
+      c
+    }
+    val index = spark.read.parquet(s"$base/index")
+
+    // per-query probe sets (B x K rows — driver-side is the bounded-action
+    // precedent; these literals are what make both scans prune statically)
+    val probeRows = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.cosCol("long_dot(qq, csum)", "qn", "nc"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    val byQuery = probeRows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    // (a) one pruned scan per query — B jobs
+    val (seqTop, tSeq) = timed {
+      (0 until nQueries).map { qi =>
+        val cids = byQuery(qi.toLong)
+        val one = queries.filter(col("qid") === qi.toLong)
+        val top = index.filter(col("cid").isin(cids: _*))
+          .join(broadcast(one))
+          .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(k).select("vec_id").as[Long].collect().toSeq
+        qi.toLong -> top
+      }.toMap
+    }
+
+    // (b) the q145 shape: one union-pruned scan, broadcast fanout, top_k_by
+    val (batchTop, tBatch) = timed {
+      val union = probeRows.map(_._2).distinct.sorted
+      val probes = probeRows.toSeq.toDF("pqid", "pcid")
+      index.filter(col("cid").isin(union: _*))
+        .join(broadcast(probes), col("cid") === col("pcid"))
+        .join(broadcast(queries), col("pqid") === col("qid"))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .withColumn("ncos", expr("CAST(floor(cos * 1e9 + 0.5) AS BIGINT)"))
+        .groupBy(col("qid"))
+        .agg(expr(s"top_k_by(vec_id, ncos, $k)").as("top"))
+        .select(col("qid"), expr("transform(top, x -> x.v)").as("ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+
+    (0 until nQueries).foreach { qi =>
+      require(seqTop(qi.toLong) == batchTop(qi.toLong),
+        s"query $qi: batch serve diverged from per-query serve")
+    }
+    val speedup = tSeq / tBatch
+    require(speedup >= 2.0,
+      s"batch serving speedup ${speedup}x below 2x over the per-query loop")
+    val unionCells = probeRows.map(_._2).distinct.length
+    println(s"""{"harness":"serve-stress","n_vecs":$nVecs,"n_queries":$nQueries,""" +
+      s""""ivf_k":$ivfK,"nprobe":$nprobe,"union_cells":$unionCells,""" +
+      s""""sec_build":${math.round(tBuild * 100) / 100.0},""" +
+      s""""sec_per_query_loop":${math.round(tSeq * 100) / 100.0},""" +
+      s""""sec_batch":${math.round(tBatch * 100) / 100.0},""" +
+      s""""speedup":${math.round(speedup * 10) / 10.0}}""")
+    spark.stop()
+  }
+
   /** q109's batch-retrieval kernel at beyond-bench scale: `nVecs` corpus
     * vectors x `nQueries` queries, top-10 each, via the mergeable top-k
     * aggregate. Two claims: (1) throughput — the corpus is scanned once
@@ -384,6 +497,11 @@ object AnnStress {
     if (args.headOption.contains("batch")) {
       batchMain(args.lift(1).map(_.toLong).getOrElse(1000000L),
         args.lift(2).map(_.toInt).getOrElse(256))
+      return
+    }
+    if (args.headOption.contains("serve")) {
+      serveMain(args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toInt).getOrElse(32))
       return
     }
     val nVecs = args.headOption.map(_.toLong).getOrElse(100000L)
