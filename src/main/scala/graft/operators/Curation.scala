@@ -260,7 +260,17 @@ object Curation {
     * parallel; only the per-partition totals (one row per partition)
     * serialize.
     */
-  def q53PackWindows(spark: SparkSession, dir: String): DataFrame = {
+  def q53PackWindows(spark: SparkSession, dir: String): DataFrame =
+    packedOffsets(spark, dir)
+      .withColumn("w_first", expr(s"offset div $WindowTokens"))
+      .withColumn("w_last", expr(s"(offset + n_toks - 1) div $WindowTokens"))
+      .select("doc_id", "lang", "n_toks", "offset", "w_first", "w_last")
+      .orderBy(col("doc_id"))
+
+  /** q53's distributed ordered prefix sum over doc token counts —
+    * (doc_id, lang, n_toks, offset), shared with q148's context sweep.
+    */
+  private def packedOffsets(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -280,10 +290,45 @@ object Curation {
       .select(col("pid"), col("prefix"))
     local.join(broadcast(prefixes), "pid")
       .withColumn("offset", col("local_off") + col("prefix"))
-      .withColumn("w_first", expr(s"offset div $WindowTokens"))
-      .withColumn("w_last", expr(s"(offset + n_toks - 1) div $WindowTokens"))
-      .select("doc_id", "lang", "n_toks", "offset", "w_first", "w_last")
-      .orderBy(col("doc_id"))
+      .select("doc_id", "lang", "n_toks", "offset")
+  }
+
+  /** Context sizes swept by q148. */
+  private val CtxSweep = Seq(256L, 512L, 1024L)
+
+  /** Context-length boundary-cost sweep (q148): the q136-style tuning
+    * curve for sequence packing — at each candidate context size C, how
+    * many windows the concat-and-chunk layout produces and how many
+    * documents STRADDLE a window boundary (the rows whose attention is
+    * split mid-document; the cost that shrinks as C grows, while
+    * per-step compute grows with C). Read next to q53 (which commits to
+    * one size), this is the table that picks the size: straddle_frac is
+    * the packing-quality axis of the context-length decision.
+    *
+    * Scale shape: ONE distributed prefix-sum pass ([[packedOffsets]])
+    * feeds every swept size; the sweep itself is a |C|-way broadcast
+    * explode of a narrow (n_toks, offset) frame into a |C|-key hash agg
+    * — the q136 recipe applied to packing.
+    */
+  def q148ContextSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offs = packedOffsets(spark, dir).localCheckpoint(true)
+    val sizes = CtxSweep.toDF("ctx")
+    offs.crossJoin(broadcast(sizes))
+      .withColumn("straddle",
+        when(expr("offset div ctx") =!= expr("(offset + n_toks - 1) div ctx"), 1L)
+          .otherwise(0L))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("straddle")).as("straddle_docs"))
+      .withColumn("n_windows",
+        expr("CAST(ceil(CAST(n_tokens AS DOUBLE) / ctx) AS BIGINT)"))
+      .withColumn("straddle_frac",
+        round(col("straddle_docs").cast("double") / col("n_docs"), 6))
+      .select("ctx", "n_docs", "n_tokens", "n_windows", "straddle_docs",
+        "straddle_frac")
+      .orderBy(col("ctx"))
   }
 
   // ------------------------------------------------------------------
@@ -1658,6 +1703,29 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q148_context_sweep" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM toks),
+        |sw AS (
+        |  SELECT c.ctx, o.doc_id, o.n_toks,
+        |    CASE WHEN o.off // c.ctx <> (o.off + o.n_toks - 1) // c.ctx
+        |         THEN 1 ELSE 0 END AS straddle
+        |  FROM offs o, (VALUES (${CtxSweep.mkString("), (")})) AS c(ctx))
+        |SELECT CAST(ctx AS BIGINT) AS ctx, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / ctx) AS BIGINT) AS n_windows,
+        |  CAST(sum(straddle) AS BIGINT) AS straddle_docs,
+        |  round(CAST(sum(straddle) AS DOUBLE) / count(*), 6) AS straddle_frac
+        |FROM sw GROUP BY ctx ORDER BY ctx""".stripMargin,
+
     "q143_effective_tokens" ->
       s"""WITH RECURSIVE $clusterCompCtes,
         |d AS (SELECT doc_id, source,
@@ -1818,5 +1886,6 @@ object Curation {
     "q140_temperature_mix" -> (q140TemperatureMix _),
     "q142_quality_dup_calibration" -> (q142QualityDupCalibration _),
     "q143_effective_tokens" -> (q143EffectiveTokens _),
+    "q148_context_sweep" -> (q148ContextSweep _),
   )
 }

@@ -550,6 +550,44 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Boilerplate REMOVAL as an export (q147): where q137 reports the
+    * per-source cost, this produces the cleaned corpus itself — each
+    * document's tokens with every covered position dropped, emitted as a
+    * verification digest (md5 of the cleaned text + before/after counts;
+    * the full-text export is the same frame without the hash). The
+    * removal is positional, not token-identity-based: a word that
+    * appears both inside a boilerplate bigram and in novel context keeps
+    * its novel occurrences — the property that distinguishes
+    * position-marked cleaning from naive stopword deletion.
+    *
+    * Scale shape: q137's census + coverage kernels (broadcast frequent
+    * set), with the covered positions aggregated to a per-doc LIST
+    * (bounded by document length, the one per-group state) and the
+    * cleaned text rebuilt by a codegen filter over the token array — no
+    * extra shuffle beyond the doc-keyed coverage agg q137 already pays.
+    */
+  def q147BoilerplateClean(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).localCheckpoint(true)
+    val fq = boilerplateGramsOf(d)
+    val covered = d.select(col("doc_id"),
+        posexplode(expr("word_ngrams(toks, 2)")).as(Seq("p", "g")))
+      .join(broadcast(fq), Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("p2"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(array_distinct(collect_list(col("p2")))).as("cov"))
+    d.select(col("doc_id"), col("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT array_contains(cov, i))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // q105: hashed-feature linear classifier inference (fastText-style)
   // ------------------------------------------------------------------
@@ -892,6 +930,30 @@ object TextAnalysis {
         |FROM toks LEFT JOIN cov USING (doc_id)
         |GROUP BY toks.source ORDER BY toks.source""".stripMargin,
 
+    "q147_boilerplate_clean" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |gl AS (SELECT doc_id, unnest([{'i': i, 'g': t[i] || ' ' || t[i+1]}
+        |                              for i in generate_series(1, len(t) - 1)]) AS u
+        |       FROM toks),
+        |g AS (SELECT doc_id, u.i AS i, u.g AS g FROM gl),
+        |fq AS (SELECT g
+        |       FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g), tot
+        |       WHERE df * 100 >= tot.n * $BoilerplatePct),
+        |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+        |        FROM (SELECT g.doc_id, unnest([g.i, g.i + 1]) AS p
+        |              FROM g JOIN fq USING (g))
+        |        GROUP BY doc_id),
+        |clean AS (SELECT toks.doc_id,
+        |    len(toks.t) AS n_before,
+        |    [toks.t[j] for j in generate_series(1, len(toks.t))
+        |     if NOT list_contains(coalesce(cov.cov, []), j)] AS kept
+        |  FROM toks LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  md5(array_to_string(kept, ' ')) AS cleaned_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
     "q123_bpe_train" ->
       s"""WITH ${bpeChainCtes(BpeRounds)}
         |${(1 to BpeRounds).map(r =>
@@ -1140,6 +1202,7 @@ object TextAnalysis {
     "q77_bigram_lm" -> (q77BigramLm _),
     "q134_cross_lm" -> (q134CrossLm _),
     "q137_boilerplate" -> (q137Boilerplate _),
+    "q147_boilerplate_clean" -> (q147BoilerplateClean _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),
