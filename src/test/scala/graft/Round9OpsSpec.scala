@@ -187,6 +187,51 @@ class Round9OpsSpec extends SparkTestBase {
     assert(perSource.map(_.getAs[Long]("n_final")).sum == corpus("passage_dedup"))
   }
 
+  test("audio fingerprint is volume-invariant and locality-preserving (property)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // base clips: 300 samples of moderate amplitude around the unsigned
+    // midpoint, so a 2x volume scale stays clip-free
+    val base = (0 until 20).map { i =>
+      i.toLong -> Array.fill(300)((128 + rnd.nextInt(61) - 30).toByte)
+    }
+    def hashes(clips: Seq[(Long, Array[Byte])]): Map[Long, Long] = {
+      val media = clips.map { case (id, pcm) =>
+        (id, Multimodal.wavContainer(pcm))
+      }.toDF("doc_id", "media")
+      Multimodal.audioEnergyHash(spark, media).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val h0 = hashes(base)
+    // volume scale x2 (mean-relative bits must not move)
+    val scaled = base.map { case (id, pcm) =>
+      id -> pcm.map(b => (128 + 2 * ((b & 0xff) - 128)).toByte)
+    }
+    val h2 = hashes(scaled)
+    base.foreach { case (id, _) =>
+      assert(h0(id) == h2(id), s"clip $id: volume scaling flipped bits")
+    }
+    // locality: a small edit beyond the fingerprinted prefix changes
+    // nothing; a large rewrite inside it moves many bits
+    val tailEdit = base.map { case (id, pcm) =>
+      val c = pcm.clone(); c(280) = (c(280) ^ 0x55).toByte; id -> c
+    }
+    hashes(tailEdit).foreach { case (id, h) =>
+      assert(h == h0(id), s"clip $id: edit beyond the 256-sample prefix moved bits")
+    }
+    val rewrite = base.map { case (id, pcm) =>
+      val c = pcm.clone()
+      (0 until 128).foreach(j => c(j) = (128 + rnd.nextInt(61) - 30).toByte)
+      id -> c
+    }
+    val moved = hashes(rewrite).map { case (id, h) =>
+      java.lang.Long.bitCount(h ^ h0(id))
+    }
+    assert(moved.sum >= 20 * 4,
+      s"half-prefix rewrites should move many bits (got ${moved.sum} total)")
+  }
+
   test("q141 cell split conserves occupancy against the q114 census") {
     val split = EmbedOps.q141CellSplit(spark, dir).collect()
     val census = EmbedOps.q114IvfCells(spark, dir).collect()
