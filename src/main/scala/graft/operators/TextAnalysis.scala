@@ -479,6 +479,12 @@ object TextAnalysis {
     * of all documents. Relative, not absolute: the threshold tracks corpus
     * size across SFs, the way CCNet's duplicated-paragraph filter and
     * RefinedWeb's line-dedup are tuned as document-share fractions.
+    * Degenerate-corpus caveat: below ceil(100/pct) documents the
+    * threshold floors at df >= 1 and EVERY bigram is "boilerplate" (a
+    * 1-doc corpus would clean itself empty) — a df-share census is
+    * meaningless on a handful of docs, which is exactly why the
+    * streaming twin refuses to train below [[graft.streaming.CleanStream
+    * .MinSeedDocs]]; batch callers own the same precondition.
     */
   private val BoilerplatePct = 8
 

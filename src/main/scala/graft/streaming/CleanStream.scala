@@ -39,7 +39,12 @@ import graft.sources.Tables.Warehouse
 object CleanStream {
 
   /** Minimum staged documents before the frequent-gram census trains —
-    * a df-threshold census over a handful of docs is noise.
+    * a df-threshold census over a handful of docs is noise (below
+    * ~13 docs the 8% threshold floors at df >= 1 and everything is
+    * "boilerplate"). Consequence a deployment must know: a stream whose
+    * LIFETIME volume stays under this floor stages forever and emits no
+    * reports — by design (no degenerate set is ever committed); the
+    * operator remedy is lowering the floor, not removing the guard.
     */
   val MinSeedDocs = 20
 
