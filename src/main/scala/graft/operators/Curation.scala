@@ -1102,6 +1102,46 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q150: balanced eval-set sampling (per-stratum quotas)
+  // ------------------------------------------------------------------
+
+  /** Docs drawn per (source, quality-bucket) stratum in q150. */
+  private val EvalQuota = 3
+
+  /** Balanced eval-set construction (q150): a fixed [[EvalQuota]]-doc
+    * draw from EVERY (source, quality bucket) stratum — where q51
+    * samples proportionally (strata keep their population shares), an
+    * EVAL set wants equal representation so per-stratum metrics carry
+    * equal statistical weight; rare strata are not allowed to vanish.
+    * The draw is deterministic: rank by a 60-bit md5 prefix of the
+    * doc_id (the q51 hash recipe), ties to the lower id — re-runs and
+    * engines agree on the exact member list.
+    *
+    * Scale shape: per-stratum selection is the mergeable `top_k_by`
+    * (quota entries per partition pre-shuffle), NEVER a per-stratum
+    * window over full membership; output is |sources| x 3 x quota rows.
+    */
+  def q150BalancedEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        docs(spark, dir).withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    docs(spark, dir).select("doc_id", "source")
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "medium").otherwise("low"))
+      .withColumn("hkey", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(expr(s"top_k_by(doc_id, hkey, $EvalQuota)").as("top"))
+      .select(col("source"), col("bucket"),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("source"), col("bucket"),
+        (col("pos") + 1).cast("long").as("rnk"), col("hit.v").as("doc_id"))
+      .orderBy(col("source"), col("bucket"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
   // q142: quality-band x duplication calibration
   // ------------------------------------------------------------------
 
@@ -1703,6 +1743,25 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q150_balanced_eval" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id, (${TextAnalysis.qualityScoreSql}) AS score FROM m),
+        |d AS (SELECT doc.doc_id, doc.source,
+        |        CASE WHEN sc.score >= 0.8 THEN 'high'
+        |             WHEN sc.score >= 0.6 THEN 'medium' ELSE 'low' END AS bucket,
+        |        ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          AS hkey
+        |      FROM documents doc JOIN sc ON doc.doc_id = sc.doc_id),
+        |r AS (SELECT source, bucket, doc_id,
+        |        row_number() OVER (PARTITION BY source, bucket
+        |          ORDER BY hkey DESC, doc_id) AS rnk
+        |      FROM d)
+        |SELECT source, bucket, CAST(rnk AS BIGINT) AS rnk, doc_id
+        |FROM r WHERE rnk <= $EvalQuota
+        |ORDER BY source, bucket, rnk""".stripMargin,
+
     "q148_context_sweep" ->
       s"""WITH toks AS (
         |  SELECT doc_id,
@@ -1887,5 +1946,6 @@ object Curation {
     "q142_quality_dup_calibration" -> (q142QualityDupCalibration _),
     "q143_effective_tokens" -> (q143EffectiveTokens _),
     "q148_context_sweep" -> (q148ContextSweep _),
+    "q150_balanced_eval" -> (q150BalancedEval _),
   )
 }

@@ -158,6 +158,44 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Near-dup pair arbitration (q151): the explainability report behind
+    * q92's survivor selection — for every stored pair, WHICH side a
+    * quality-first dedup keeps and the scores that decided it (higher
+    * q22 score wins, exact-tie to the lower id). q92 answers per
+    * CLUSTER; this answers per PAIR, which is what a reviewer audits
+    * when a dedup decision looks wrong ("why did the truncated scrape
+    * survive?" — because its pair partner scored lower, and here are
+    * both numbers).
+    *
+    * Scale shape: the stored pair artifact broadcasts into two lookups
+    * against one scored corpus scan; per-row CASE arithmetic, no agg
+    * beyond the presentation sort.
+    */
+  def q151PairArbitration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        Queries.t(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    broadcast(jaccardPairsCached(spark, dir).select("i", "j", "jaccard"))
+      .join(scored.select(col("doc_id").as("i"), col("score").as("score_i")),
+        Seq("i"))
+      .join(scored.select(col("doc_id").as("j"), col("score").as("score_j")),
+        Seq("j"))
+      .withColumn("keep_id",
+        when(col("score_i") > col("score_j"), col("i"))
+          .when(col("score_j") > col("score_i"), col("j"))
+          .otherwise(least(col("i"), col("j"))))
+      .withColumn("drop_id",
+        when(col("keep_id") === col("i"), col("j")).otherwise(col("i")))
+      .withColumn("score_keep",
+        when(col("keep_id") === col("i"), col("score_i")).otherwise(col("score_j")))
+      .withColumn("score_drop",
+        when(col("keep_id") === col("i"), col("score_j")).otherwise(col("score_i")))
+      .select("i", "j", "jaccard", "keep_id", "drop_id", "score_keep",
+        "score_drop")
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Unordered q31 core — (i, j, inter, jaccard) pairs above the 0.8
     * threshold, from the capped kernel. Shared by q31 (which only adds the
     * presentation sort) and q50/q92's cluster builder (where a sort on the
@@ -983,6 +1021,35 @@ object Dedup {
         |WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8
         |ORDER BY i, j""".stripMargin,
 
+    "q151_pair_arbitration" ->
+      s"""WITH $shinglesCte,
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT i, j,
+        |    CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) AS jaccard
+        |  FROM inter JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+        |  WHERE CAST(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |      FROM documents),
+        |${TextAnalysis.qualityMetricsCte("t")},
+        |sc AS (SELECT doc_id, (${TextAnalysis.qualityScoreSql}) AS score FROM m),
+        |arb AS (
+        |  SELECT p.i, p.j, p.jaccard, si.score AS score_i, sj.score AS score_j,
+        |    CASE WHEN si.score > sj.score THEN p.i
+        |         WHEN sj.score > si.score THEN p.j
+        |         ELSE least(p.i, p.j) END AS keep_id
+        |  FROM pairs p JOIN sc si ON si.doc_id = p.i
+        |       JOIN sc sj ON sj.doc_id = p.j)
+        |SELECT i, j, jaccard, keep_id,
+        |  CASE WHEN keep_id = i THEN j ELSE i END AS drop_id,
+        |  CASE WHEN keep_id = i THEN score_i ELSE score_j END AS score_keep,
+        |  CASE WHEN keep_id = i THEN score_j ELSE score_i END AS score_drop
+        |FROM arb ORDER BY i, j""".stripMargin,
+
     "q139_dup_transfer" ->
       s"""WITH $shinglesCte,
         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
@@ -1291,6 +1358,7 @@ object Dedup {
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_ngram_jaccard" -> (q31NgramJaccard _),
     "q139_dup_transfer" -> (q139DupTransfer _),
+    "q151_pair_arbitration" -> (q151PairArbitration _),
     "q49_ngram_jaccard_capped" -> (q49NgramJaccardCapped _),
     "q32_minhash_lsh" -> (q32MinhashLsh _),
     "q112_minhash_calibration" -> (q112MinhashCalibration _),

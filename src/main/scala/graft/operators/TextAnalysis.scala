@@ -471,6 +471,31 @@ object TextAnalysis {
         sum(when(col("url").startsWith("https:"), 1L).otherwise(0L)).as("n_https"))
       .orderBy(col("domain"))
 
+  /** Text normalization export (q149): the canonicalization pass that
+    * runs before any hashing/dedup stage — markup-bearing raw text (the
+    * q72 annotated fixture: emails, phones, URLs riding real documents)
+    * is folded to the token alphabet: every non-[a-z0-9 ] character
+    * becomes a space, runs of spaces collapse, edges trim. Emitted as a
+    * per-doc digest (before/after lengths + md5 of the normalized text);
+    * the digest column is what makes normalization auditable — two
+    * pipelines agree on normalization iff the md5 columns agree.
+    *
+    * Scale shape: three codegen regexp passes + a hash, entirely inside
+    * the scan stage — zero shuffle, the cheapest possible operator class
+    * (q72's contract). Order matters and is part of the definition:
+    * punctuation->space BEFORE collapse, trim last.
+    */
+  def q149Normalize(spark: SparkSession, dir: String): DataFrame =
+    Queries.t(spark, dir, "documents")
+      .withColumn("full_text", expr(annotateSql))
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(col("full_text"), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("full_text")).cast("long").as("len_raw"),
+        length(col("norm")).cast("long").as("len_norm"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------
   // q137: corpus-frequency boilerplate removal (CCNet/RefinedWeb-style)
   // ------------------------------------------------------------------
@@ -936,6 +961,19 @@ object TextAnalysis {
         |FROM toks LEFT JOIN cov USING (doc_id)
         |GROUP BY toks.source ORDER BY toks.source""".stripMargin,
 
+    "q149_normalize" ->
+      s"""WITH a AS (SELECT doc_id, $annotateSql AS full_text FROM documents),
+        |n AS (SELECT doc_id, full_text,
+        |        trim(regexp_replace(
+        |          regexp_replace(full_text, '[^a-z0-9 ]', ' ', 'g'),
+        |          ' +', ' ', 'g')) AS norm
+        |      FROM a)
+        |SELECT doc_id,
+        |  CAST(length(full_text) AS BIGINT) AS len_raw,
+        |  CAST(length(norm) AS BIGINT) AS len_norm,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "q147_boilerplate_clean" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tot AS (SELECT count(*) AS n FROM documents),
@@ -1209,6 +1247,7 @@ object TextAnalysis {
     "q134_cross_lm" -> (q134CrossLm _),
     "q137_boilerplate" -> (q137Boilerplate _),
     "q147_boilerplate_clean" -> (q147BoilerplateClean _),
+    "q149_normalize" -> (q149Normalize _),
     "q79_heavy_hitters" -> (q79HeavyHitters _),
     "q81_source_tokens" -> (q81SourceTokens _),
     "q105_quality_classifier" -> (q105QualityClassifier _),
