@@ -187,6 +187,53 @@ class Round9OpsSpec extends SparkTestBase {
     assert(perSource.map(_.getAs[Long]("n_final")).sum == corpus("passage_dedup"))
   }
 
+  test("q149 normalization is a fixed point: normalizing twice == normalizing once") {
+    import spark.implicits._
+    val raw = Seq("  Hello,  world!! a+b=c  ", "already clean text",
+      "tabs\tand\nnewlines?", "trailing... ", "a  b   c", "",
+      "@#$%", "mixed CASE and 123 nums").toDF("t")
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", " "), " +", " "))
+    val rows = raw.select(norm(col("t")).as("once"))
+      .select(col("once"), norm(col("once")).as("twice")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("q150 balanced sampling honors per-stratum quotas without padding") {
+    val sample = Curation.q150BalancedEval(spark, dir).collect()
+    // population per stratum, from the same scoring kernel
+    val scored = TextAnalysis.qualityScored(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("toks", split(col("text"), " ")))
+      .select(col("doc_id"), col("score"))
+    val pop = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").join(scored, Seq("doc_id"))
+      .withColumn("bucket", when(col("score") >= 0.8, "high")
+        .when(col("score") >= 0.6, "medium").otherwise("low"))
+      .groupBy("source", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byStratum = sample.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[String]("bucket")))
+    // every populated stratum is represented with min(3, population) rows
+    assert(byStratum.keySet == pop.keySet)
+    byStratum.foreach { case (k, rows) =>
+      assert(rows.length == math.min(3L, pop(k)),
+        s"stratum $k: ${rows.length} of pop ${pop(k)}")
+      assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    }
+  }
+
+  test("q151 arbitration: the kept side never scores below the dropped side") {
+    val rows = Dedup.q151PairArbitration(spark, dir).collect()
+    assert(rows.length == Dedup.q31NgramJaccard(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score_keep") >= r.getAs[Double]("score_drop"))
+      val pair = Set(r.getAs[Long]("i"), r.getAs[Long]("j"))
+      assert(pair == Set(r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id")))
+    }
+  }
+
   test("audio fingerprint is volume-invariant and locality-preserving (property)") {
     import graft.operators.Multimodal
     import spark.implicits._
