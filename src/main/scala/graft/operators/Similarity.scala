@@ -495,6 +495,52 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
+  /** Embedding dimension-correlation diagnostics (q152): exact Pearson
+    * correlation for every dimension pair of the quantized embedding
+    * space, top-10 by |r| — the whitening/PCA pre-check an embedding
+    * pipeline runs before trusting per-dimension quantization or
+    * subspace splits (q120's PQ subspaces assume dimensions carry
+    * roughly independent signal; a highly correlated pair says the
+    * split wastes bits). Moment sums are exact BIGINTs (the q90
+    * recipe); the one float step is the final n-sigma formula, so both
+    * engines derive bit-identical r from identical integers.
+    *
+    * Scale shape: per-row codegen expansion to d(d-1)/2 pair products,
+    * collapsed by map-side combine into a d^2-bounded hash agg — state
+    * is 2016 groups regardless of corpus size; at 100 TB this runs on a
+    * uniform sample (correlation estimates converge long before
+    * corpus scale). No window, no join.
+    */
+  def q152DimCorrelation(spark: SparkSession, dir: String): DataFrame =
+    qvecs(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 62), a ->
+          |  transform(sequence(a + 1, 63), b ->
+          |    named_struct('a', a, 'b', b, 'va', q[a], 'vb', q[b]))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").cast("long").as("a"), col("p.b").cast("long").as("b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va")).as("sa"), sum(col("vb")).as("sb"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"),
+        sum(col("va") * col("vb")).as("sab"))
+      .withColumn("vara", expr(
+        "CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"))
+      .withColumn("varb", expr(
+        "CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"))
+      .withColumn("corr", expr(
+        """CASE WHEN n < 2 OR vara <= 0 OR varb <= 0 THEN NULL
+          |ELSE (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+          |  / (sqrt(vara) * sqrt(varb)) END""".stripMargin))
+      .filter(col("corr").isNotNull)
+      .withColumn("abs_corr", abs(col("corr")))
+      .select("a", "b", "n", "corr", "abs_corr")
+      .orderBy(col("abs_corr").desc, col("a"), col("b"))
+      .limit(10)
+
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
     */
@@ -861,6 +907,35 @@ object Similarity {
         |SELECT a_id, cid, b_id, CAST(ncos AS DOUBLE) / 1e9 AS cos
         |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin,
 
+    "q152_dim_correlation" ->
+      s"""WITH $qCte,
+        |pos AS (
+        |  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS i, q[g.i] AS v
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |pm AS (
+        |  SELECT pa.i AS a, pb.i AS b, count(*) AS n,
+        |    CAST(sum(pa.v) AS BIGINT) AS sa, CAST(sum(pb.v) AS BIGINT) AS sb,
+        |    CAST(sum(pa.v * pa.v) AS BIGINT) AS saa,
+        |    CAST(sum(pb.v * pb.v) AS BIGINT) AS sbb,
+        |    CAST(sum(pa.v * pb.v) AS BIGINT) AS sab
+        |  FROM pos pa JOIN pos pb
+        |    ON pa.vec_id = pb.vec_id AND pa.i < pb.i
+        |  GROUP BY pa.i, pb.i),
+        |cc AS (
+        |  SELECT a, b, n,
+        |    CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa AS vara,
+        |    CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb AS varb,
+        |    CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb AS cov
+        |  FROM pm),
+        |r AS (
+        |  SELECT a, b, n,
+        |    CASE WHEN n < 2 OR vara <= 0 OR varb <= 0 THEN NULL
+        |         ELSE cov / (sqrt(vara) * sqrt(varb)) END AS corr
+        |  FROM cc)
+        |SELECT a, b, n, corr, abs(corr) AS abs_corr
+        |FROM r WHERE corr IS NOT NULL
+        |ORDER BY abs_corr DESC, a, b LIMIT 10""".stripMargin,
+
     "q136_recall_sweep" ->
       s"""WITH $qCte,
         |pos AS (
@@ -950,5 +1025,6 @@ object Similarity {
     "q97_semdedup_prune" -> (q97SemdedupPrune _),
     "q113_ann_join" -> (q113AnnJoin _),
     "q136_recall_sweep" -> (q136RecallSweep _),
+    "q152_dim_correlation" -> (q152DimCorrelation _),
   )
 }
