@@ -52,6 +52,8 @@ object DedupStress {
           if (args.length > 2) args(2).toLong else 95000L)
       case Some("spans") =>
         spanStress(args.drop(1).headOption.map(_.toLong).getOrElse(200000L))
+      case Some("boiler") =>
+        boilerStress(args.drop(1).headOption.map(_.toLong).getOrElse(250000L))
       case _ => kernelStress(args)
     }
   }
@@ -310,6 +312,65 @@ object DedupStress {
     * so the islands must NOT merge). Expected rows: exactly nDocs/10 docs
     * with (1 span, 14 dup tokens) and nDocs/10 with (2 spans, 26).
     */
+  /** q137's scale claim measured: the frequent-bigram set is
+    * corpus-size-INDEPENDENT. Corpus: every 5th doc carries a planted
+    * 5-token boilerplate prefix (4 bigrams whose df = 20% of docs, above
+    * the 8% bar); all other bigrams are hash-unique filler over a
+    * 100k-word vocabulary, so their df stays at the collision floor. At
+    * nDocs and 4x nDocs the census must return EXACTLY the 4 planted
+    * bigrams (|fq| flat while the corpus quadruples — the bound that
+    * lets the set broadcast at any scale), and total covered positions
+    * must equal the planted count (5 per boilerplate doc = nDocs when
+    * nDocs % 5 == 0).
+    *
+    * Run: `sbt "runMain graft.DedupStress boiler [nDocs]"` (default
+    * 250000; measures nDocs and 4x nDocs).
+    */
+  private def boilerStress(nDocs: Long): Unit = {
+    require(nDocs % 5 == 0, s"nDocs ($nDocs) must be a multiple of 5")
+    val docLen = 40
+    val vocab = 100000
+    val spark = Harness.session("graft-boiler-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import Harness.timed
+
+    def corpus(n: Long): DataFrame = spark.range(n)
+      .select(col("id").as("doc_id"))
+      .withColumn("text", expr(
+        s"""CASE WHEN pmod(doc_id, 5) = 0
+           |THEN concat('b0 b1 b2 b3 b4 ', concat_ws(' ',
+           |  transform(sequence(0, ${docLen - 6}), p ->
+           |    concat('w', pmod(hash(doc_id, p), $vocab)))))
+           |ELSE concat_ws(' ', transform(sequence(0, ${docLen - 1}), p ->
+           |  concat('w', pmod(hash(doc_id, p), $vocab))))
+           |END""".stripMargin))
+      .withColumn("toks", split(col("text"), " "))
+
+    def run(n: Long): (Long, Long, Double) = {
+      val d = corpus(n).localCheckpoint(true)
+      val ((fqCount, covered), sec) = timed {
+        val fq = graft.operators.TextAnalysis.boilerplateGramsOf(d)
+          .localCheckpoint(true)
+        val cov = graft.operators.TextAnalysis.coveredPerDoc(d, fq)
+          .agg(sum(col("covered"))).first().getLong(0)
+        (fq.count(), cov)
+      }
+      (fqCount, covered, sec)
+    }
+
+    val (fq1, cov1, sec1) = run(nDocs)
+    val (fq4, cov4, sec4) = run(nDocs * 4)
+    require(fq1 == 4 && fq4 == 4,
+      s"frequent set must be exactly the 4 planted bigrams at both sizes: $fq1 / $fq4")
+    require(cov1 == nDocs && cov4 == nDocs * 4,
+      s"covered positions must equal the planted count: $cov1 / $cov4")
+    println(s"""{"harness":"boiler-stress","n_docs":$nDocs,""" +
+      s""""fq_small":$fq1,"fq_4x":$fq4,"covered_small":$cov1,"covered_4x":$cov4,""" +
+      s""""sec_small":${math.round(sec1 * 100) / 100.0},""" +
+      s""""sec_4x":${math.round(sec4 * 100) / 100.0}}""")
+    spark.stop()
+  }
+
   private def spanStress(nDocs: Long): Unit = {
     require(nDocs % 10 == 0, s"nDocs ($nDocs) must be a multiple of 10")
     val k = Dedup.SpanWindowTokens

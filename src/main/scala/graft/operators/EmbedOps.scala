@@ -626,6 +626,42 @@ object EmbedOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Bytes per float32 dimension, int8 dimension, and PQ code in the
+    * q153 footprint model.
+    */
+  private val Dim = 64
+
+  /** ANN storage footprint model (q153): logical bytes per index
+    * representation at the CURRENT corpus size — float32 raw vectors,
+    * per-vector-scaled int8 (q69), and PQ codes (q120/q122) with their
+    * [[CellK]]-centroid + [[PqSub]]x[[PqCodes]] codebook overheads —
+    * each with its compression ratio vs raw. This is the capacity-
+    * planning arithmetic behind every storage decision this engine's
+    * ANN family encodes: at 100 TB of raw float32, int8 is 25 TB and PQ
+    * codes are ~3 TB + constant overheads, which decides what fits in
+    * executor storage memory. Counts come from the corpus (one count
+    * plus constants), so the model re-prices itself per corpus snapshot.
+    */
+  def q153IndexFootprint(spark: SparkSession, dir: String): DataFrame = {
+    val n = Queries.t(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.functions.{expr => e2}
+    n.select(
+      e2(s"""stack(5,
+        |  'raw_f32',   n, n * ${Dim}L * 4L,
+        |  'int8',      n, n * ${Dim}L * 1L,
+        |  'pq_codes',  n, n * ${PqSub}L * 1L,
+        |  'centroids', ${CellK}L, ${CellK}L * ${Dim}L * 8L,
+        |  'codebook',  ${PqSub}L * ${PqCodes}L,
+        |    ${PqSub}L * ${PqCodes}L * ${PqDim}L * 8L)
+        |AS (component, n_rows, bytes_logical)""".stripMargin))
+      .crossJoin(broadcast(n.select(col("n").as("nn"))))
+      .withColumn("ratio_vs_raw",
+        round(col("bytes_logical").cast("double") /
+          (col("nn") * Dim * 4L).cast("double"), 6))
+      .select("component", "n_rows", "bytes_logical", "ratio_vs_raw")
+      .orderBy(col("component"))
+  }
+
   /** q141 split trigger, as a percentage of mean occupancy: a cell holding
     * more than [[SplitPct]]% of the mean is split. A deployment tunes this
     * against its probe-latency SLO (the knob is the operator; 110 makes
@@ -925,6 +961,22 @@ object EmbedOps {
         |  round(CAST(snano AS DOUBLE) / n_vecs / 1e9, 6) AS avg_ccos,
         |  CAST(mnano AS DOUBLE) / 1e9 AS min_ccos
         |FROM agg ORDER BY cid""".stripMargin,
+
+    "q153_index_footprint" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |c AS (
+        |  SELECT 'raw_f32' AS component, n AS n_rows,
+        |         CAST(n * ${Dim}::BIGINT * 4 AS BIGINT) AS bytes_logical FROM n
+        |  UNION ALL SELECT 'int8', n, CAST(n * ${Dim}::BIGINT AS BIGINT) FROM n
+        |  UNION ALL SELECT 'pq_codes', n, CAST(n * ${PqSub}::BIGINT AS BIGINT) FROM n
+        |  UNION ALL SELECT 'centroids', ${CellK}::BIGINT,
+        |    CAST(${CellK}::BIGINT * ${Dim} * 8 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'codebook', ${PqSub}::BIGINT * ${PqCodes},
+        |    CAST(${PqSub}::BIGINT * ${PqCodes} * ${PqDim} * 8 AS BIGINT) FROM n)
+        |SELECT c.component, CAST(c.n_rows AS BIGINT) AS n_rows, c.bytes_logical,
+        |  round(CAST(c.bytes_logical AS DOUBLE)
+        |    / CAST(n.n * ${Dim}::BIGINT * 4 AS DOUBLE), 6) AS ratio_vs_raw
+        |FROM c, n ORDER BY component""".stripMargin,
 
     "q145_batch_served_ann" ->
       s"""WITH $qCte,
@@ -1411,6 +1463,7 @@ object EmbedOps {
     "q114_ivf_cells" -> (q114IvfCells _),
     "q141_cell_split" -> (q141CellSplit _),
     "q145_batch_served_ann" -> (q145BatchServedAnn _),
+    "q153_index_footprint" -> (q153IndexFootprint _),
     "q115_semantic_decontam" -> (q115SemanticDecontam _),
     "q116_mmr_diverse" -> (q116MmrDiverse _),
     "q120_pq_adc" -> (q120PqAdc _),
