@@ -1102,6 +1102,113 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q154: data-constrained mix (epoch-capped waterfall allocation)
+  // ------------------------------------------------------------------
+
+  /** Fixpoint rounds unrolled in the q154 oracle and iterated by the
+    * engine — strictly more than the source count, and extra rounds are
+    * no-ops once the capped set stabilizes.
+    */
+  private val WaterfallRounds = 24
+
+  /** Per-source epoch cap, in tenths: 21 -> no source repeats more than
+    * 2.1x its own token mass.
+    */
+  private val EpochCapPct = 21
+
+  /** Data-constrained mixing allocation (q154): the budget split a
+    * repetition-aware pipeline actually ships — temperature weights
+    * (alpha = 0.25, flattening harder than q140's 0.5) propose each
+    * source's share of a 2x-total-tokens budget, but no source may
+    * exceed [[EpochCapPct]]/10 epochs of its own mass (the
+    * data-constrained-scaling rule: repetition beyond a few epochs stops
+    * buying loss). Sources whose proposal exceeds the cap are frozen AT
+    * the cap and their surplus re-flows to the uncapped remainder —
+    * iterated to fixpoint (the classic waterfall / water-filling
+    * allocation). All arithmetic is exact BIGINT (micro-int weights,
+    * floor division), so the engine loop and the oracle's unrolled CTE
+    * chain derive identical allocations; floor rounding under-allocates
+    * by < |sources| tokens and never exceeds the budget (spec-pinned).
+    *
+    * Scale shape: the corpus-sized work is one token census; the
+    * waterfall itself is an O(|sources|^2) computation on a
+    * |sources|-row table, done driver-side (the bounded-action
+    * precedent) exactly as a deployment computes its mix config.
+    */
+  def q154DataConstrainedMix(spark: SparkSession, dir: String): DataFrame = {
+    val census = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("c"))
+      .withColumn("nw", expr(
+        "CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("cap", expr(s"(c * $EpochCapPct) div 10"))
+      .localCheckpoint(true)
+    val rows = census.select("source", "c", "nw", "cap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budget = 2L * rows.map(_._2).sum
+    var capped = rows.map(_ => false)
+    var prov = {
+      val sumW = rows.map(_._3).sum
+      rows.map(t => Math.floorDiv(t._3 * budget, sumW))
+    }
+    for (_ <- 1 to WaterfallRounds) {
+      capped = capped.zip(rows.zip(prov)).map { case (cp, (t, p)) => cp || p > t._4 }
+      val rem = budget - rows.zip(capped).collect { case (t, true) => t._4 }.sum
+      val sumW = rows.zip(capped).collect { case (t, false) => t._3 }.sum
+      prov = rows.zip(capped).map { case (t, cp) =>
+        if (cp) t._4 else if (sumW == 0L) 0L else Math.floorDiv(t._3 * rem, sumW)
+      }
+    }
+    import spark.implicits._
+    val allocDf = rows.indices.map { ix =>
+      (rows(ix)._1, prov(ix), if (capped(ix)) 1L else 0L)
+    }.toDF("source", "alloc_tokens", "capped")
+    census.join(broadcast(allocDf), Seq("source"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("c"), 6))
+      .select(col("source"), col("c").as("n_tokens"), col("cap").as("cap_tokens"),
+        col("alloc_tokens"), col("capped"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** The q154 oracle's unrolled waterfall: `rounds` chained
+    * (capped-update, re-allocate) CTE pairs — the [[graft.operators
+    * .TextAnalysis]] bpeChainCtes recipe applied to the allocation
+    * fixpoint. Extra rounds past convergence are identity.
+    */
+  private def waterfallCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""base AS MATERIALIZED (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |b AS MATERIALIZED (SELECT CAST(2 * sum(c) AS BIGINT) AS budget FROM base),
+        |w AS MATERIALIZED (SELECT source, c,
+        |    CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS nw,
+        |    CAST((c * $EpochCapPct) // 10 AS BIGINT) AS cap
+        |  FROM base),
+        |p0 AS MATERIALIZED (SELECT w.source, w.c, w.nw, w.cap, FALSE AS capped,
+        |    CAST(w.nw * b.budget // (SELECT sum(nw) FROM w) AS BIGINT) AS prov
+        |  FROM w, b)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        |a$k AS MATERIALIZED (SELECT source, c, nw, cap,
+        |        capped OR prov > cap AS capped
+        |        FROM p${k - 1}),
+        |p$k AS MATERIALIZED (SELECT t.source, t.c, t.nw, t.cap, t.capped,
+        |    CAST(CASE WHEN t.capped THEN t.cap
+        |      ELSE t.nw *
+        |        (SELECT (SELECT budget FROM b)
+        |           - coalesce(sum(CASE WHEN capped THEN cap END), 0) FROM a$k)
+        |        // nullif((SELECT sum(CASE WHEN NOT capped THEN nw END)
+        |                   FROM a$k), 0)
+        |      END AS BIGINT) AS prov
+        |  FROM a$k t)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
   // q150: balanced eval-set sampling (per-stratum quotas)
   // ------------------------------------------------------------------
 
@@ -1743,6 +1850,13 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q154_data_constrained_mix" ->
+      s"""WITH ${waterfallCtes(WaterfallRounds)}
+        |SELECT source, c AS n_tokens, cap AS cap_tokens, prov AS alloc_tokens,
+        |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        |  round(CAST(prov AS DOUBLE) / c, 6) AS epochs
+        |FROM p$WaterfallRounds ORDER BY source""".stripMargin,
+
     "q150_balanced_eval" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -1947,5 +2061,6 @@ object Curation {
     "q143_effective_tokens" -> (q143EffectiveTokens _),
     "q148_context_sweep" -> (q148ContextSweep _),
     "q150_balanced_eval" -> (q150BalancedEval _),
+    "q154_data_constrained_mix" -> (q154DataConstrainedMix _),
   )
 }

@@ -582,6 +582,10 @@ class PlanContractSpec extends SparkTestBase {
       s"per-source cap selection must map-side partial-aggregate:\n${p138.take(2500)}")
     assert(!p138.contains("Window"),
       s"never a per-source window over full domain membership:\n${p138.take(2500)}")
+    // q150's per-stratum draw rides the same aggregate contract
+    val p150 = plan(graft.operators.Curation.q150BalancedEval(spark, dir))
+    assert(p150.contains("partial_top_k_by") && !p150.contains("Window"),
+      s"per-stratum quota draw must partial-aggregate, never window:\n${p150.take(2500)}")
   }
 
   test("q141: split re-assignment broadcasts the per-cell seed pair — no product, no window") {

