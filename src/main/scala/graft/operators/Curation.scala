@@ -1102,6 +1102,68 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // q155: near-dup cluster size distribution
+  // ------------------------------------------------------------------
+
+  /** Cluster-size distribution (q155): the census of the near-dup
+    * cluster table by power-of-two size bucket — the shape every dedup
+    * review checks first, because the TAIL decides the strategy: a
+    * heavy tail (few giant clusters holding most duplicate mass) means
+    * template/mirror content that one targeted rule could remove before
+    * the pairwise kernel ever runs; a flat head of 2-doc clusters means
+    * organic near-dups that need the full pipeline. Singletons are
+    * reported as bucket 0 (the complement the cluster table omits).
+    *
+    * Scale shape: consumes the shared labels artifact; two hash aggs
+    * (per-cluster size, then per-bucket census) over pair-graph-sized
+    * data, plus one corpus count for the singleton row.
+    */
+  def q155ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabelsCached(spark, dir)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val clustered = sizes.agg(
+      count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val buckets = sizes
+      // integer bit-length, not float log2 (whose power-of-two outputs
+      // can land an ULP below the integer in one engine): bucket =
+      // len(bin(sz)) - 1 is exact in both
+      .withColumn("bucket",
+        expr("CAST(length(bin(sz)) - 1 AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val singletons = total.crossJoin(broadcast(clustered))
+      .select(lit(0L).as("bucket"),
+        (col("n") - col("n_docs")).as("n_clusters"),
+        (col("n") - col("n_docs")).as("n_docs"))
+    buckets.unionByName(singletons)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_clusters")).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  // ------------------------------------------------------------------
+  // q156: per-document funnel verdict trail
+  // ------------------------------------------------------------------
+
+  /** Per-document verdict trail (q156): q83's stage flags emitted per
+    * DOCUMENT — the row a reviewer pulls to answer "why is doc X not in
+    * the training set?" (dropped as an exact copy, below the quality
+    * bar, or passage-duplicated — the first zero in the flag sequence
+    * is the answer). q83 aggregates these flags corpus-wide, q146 by
+    * source; this is the ungrouped trail the other two roll up, and the
+    * export a curation UI indexes. Same [[funnelFlagsOf]] kernel — the
+    * three views can never disagree.
+    */
+  def q156DocVerdicts(spark: SparkSession, dir: String): DataFrame =
+    funnelFlagsOf(docs(spark, dir))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        col("s2").as("pass_exact"), col("s3").as("pass_quality"),
+        col("s4").as("pass_final"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
   // q154: data-constrained mix (epoch-capped waterfall allocation)
   // ------------------------------------------------------------------
 
@@ -1850,6 +1912,58 @@ object Curation {
         |SELECT seq, source, rnk, doc_id, score FROM mix
         |WHERE seq <= $MixTotal ORDER BY seq""".stripMargin,
 
+    "q155_cluster_sizes" ->
+      s"""WITH RECURSIVE $clusterCompCtes,
+        |sz AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id),
+        |cl AS (SELECT count(*) AS n_clusters,
+        |         CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs FROM sz),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |bk AS (SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+        |         count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+        |       FROM sz GROUP BY 1),
+        |sing AS (SELECT CAST(0 AS BIGINT) AS bucket,
+        |    CAST(tot.n - cl.n_docs AS BIGINT) AS n_clusters,
+        |    CAST(tot.n - cl.n_docs AS BIGINT) AS n_docs
+        |  FROM tot, cl)
+        |SELECT bucket, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM (SELECT * FROM bk UNION ALL SELECT * FROM sing)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q156_doc_verdicts" -> {
+      val p = Dedup.PassageTokens
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+        |s2 AS (SELECT b.* FROM base b JOIN keep1 USING (doc_id)),
+        |${TextAnalysis.qualityMetricsCte("base")},
+        |sc AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS score FROM m),
+        |s3 AS (SELECT s2.* FROM s2 JOIN sc USING (doc_id) WHERE sc.score >= $FunnelQualityMin),
+        |c AS (SELECT doc_id,
+        |  [md5(array_to_string(toks[i*$p+1 : i*$p+$p], ' '))
+        |   for i in generate_series(0, CAST(ceil(len(toks) / $p.0) AS INT) - 1)] AS phs
+        |FROM s3),
+        |e AS (SELECT doc_id, unnest(phs) AS ph FROM c),
+        |g AS (SELECT ph, count(*) AS cnt FROM e GROUP BY ph),
+        |pd AS (SELECT doc_id, count(*) AS np,
+        |  sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS nd FROM e JOIN g USING (ph)
+        |GROUP BY doc_id),
+        |s4 AS (SELECT s3.* FROM s3 JOIN pd USING (doc_id)
+        |       WHERE CAST(nd AS DOUBLE) <= np * $FunnelDupMax)
+        |SELECT b.doc_id, b.nt AS n_tokens,
+        |  CAST(CASE WHEN m2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pass_exact,
+        |  CAST(CASE WHEN m3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pass_quality,
+        |  CAST(CASE WHEN m4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pass_final
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id FROM s2) m2 ON b.doc_id = m2.doc_id
+        |LEFT JOIN (SELECT doc_id FROM s3) m3 ON b.doc_id = m3.doc_id
+        |LEFT JOIN (SELECT doc_id FROM s4) m4 ON b.doc_id = m4.doc_id
+        |ORDER BY b.doc_id""".stripMargin
+    },
+
     "q154_data_constrained_mix" ->
       s"""WITH ${waterfallCtes(WaterfallRounds)}
         |SELECT source, c AS n_tokens, cap AS cap_tokens, prov AS alloc_tokens,
@@ -2062,5 +2176,7 @@ object Curation {
     "q148_context_sweep" -> (q148ContextSweep _),
     "q150_balanced_eval" -> (q150BalancedEval _),
     "q154_data_constrained_mix" -> (q154DataConstrainedMix _),
+    "q155_cluster_sizes" -> (q155ClusterSizes _),
+    "q156_doc_verdicts" -> (q156DocVerdicts _),
   )
 }
