@@ -355,6 +355,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-signal agreement (q157): per-source Pearson correlation
+    * between the two quality signals this engine computes — the q22
+    * heuristic (length/punct/stopword ratios) and the q134 held-out LM
+    * score. The calibration every filter stack needs before combining
+    * signals: strong agreement means the cheap heuristic can gate ahead
+    * of the LM pass (CCNet's architecture); near-zero agreement means
+    * the signals measure different things and BOTH belong in the funnel.
+    * Per-source, because a signal pair can agree on one corpus register
+    * and disagree on another — the aggregate number hides exactly the
+    * sources where the cheap gate would misfire.
+    *
+    * Determinism: both scores quantize to micro-ints, moments are exact
+    * BIGINT sums (the q90/q152 recipe — micro not nano, so squared sums
+    * stay far under 2^63), and the one float step is the final formula.
+    * Docs too short for a bigram LM score (< 2 tokens) are excluded from
+    * both sides by the inner join.
+    */
+  def q157QualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lm = q134CrossLm(spark, dir).select(col("doc_id"), col("avg_logprob"))
+    val heur = qualityScored(docs(spark, dir)).select(col("doc_id"), col("score"))
+    Queries.t(spark, dir, "documents").select("doc_id", "source")
+      .join(heur, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .withColumn("hn", expr("CAST(floor(score * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("lmn", expr("CAST(floor(avg_logprob * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("hn")).as("sh"), sum(col("lmn")).as("sl"),
+        sum(col("hn") * col("hn")).as("shh"),
+        sum(col("lmn") * col("lmn")).as("sll"),
+        sum(col("hn") * col("lmn")).as("shl"))
+      .withColumn("varh", expr(
+        "CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)"))
+      .withColumn("varl", expr(
+        "CAST(n AS DOUBLE) * CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)"))
+      .withColumn("corr", expr(
+        """CASE WHEN n < 2 OR varh <= 0 OR varl <= 0 THEN NULL
+          |ELSE (CAST(n AS DOUBLE) * CAST(shl AS DOUBLE)
+          |      - CAST(sh AS DOUBLE) * CAST(sl AS DOUBLE))
+          |  / (sqrt(varh) * sqrt(varl)) END""".stripMargin))
+      .select("source", "n", "corr")
+      .orderBy(col("source"))
+  }
+
   /** Corpus-wide frequent tokens (q79) via the mergeable Misra-Gries
     * aggregate [[graft.functions.HeavyHitters]]: top-10 tokens with
     * support counts, computed WITHOUT a full token census. The exact
@@ -1138,6 +1181,51 @@ object TextAnalysis {
         |    AS off_domain
         |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
+    "q157_quality_agreement" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bi AS (SELECT doc_id, source,
+        |  unnest([toks[i] || ' ' || toks[i+1]
+        |          for i in generate_series(1, len(toks) - 1)]) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |b2 AS (SELECT doc_id, source, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |ref AS (SELECT bg, w1 FROM b2 WHERE source = '$LmRefSource'),
+        |cb AS (SELECT bg, count(*) AS cb FROM ref GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS cw FROM ref GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM ref),
+        |s AS (SELECT b2.doc_id, b2.source,
+        |  CAST(round(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(cw.cw, 0) + v.v AS DOUBLE)) * 1000000000)
+        |    AS BIGINT) AS lp_nano
+        |FROM b2 LEFT JOIN cb USING (bg) LEFT JOIN cw USING (w1), v),
+        |lm AS (SELECT doc_id,
+        |  round(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 1e9, 6) AS avg_logprob
+        |FROM s GROUP BY doc_id),
+        |tq AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |       FROM documents),
+        |${qualityMetricsCte("tq")},
+        |hq AS (SELECT doc_id, ($qualityScoreSql) AS score FROM m),
+        |j AS (SELECT d.source,
+        |    CAST(floor(hq.score * 1e6 + 0.5) AS BIGINT) AS hn,
+        |    CAST(floor(lm.avg_logprob * 1e6 + 0.5) AS BIGINT) AS lmn
+        |  FROM documents d JOIN hq ON d.doc_id = hq.doc_id
+        |       JOIN lm ON d.doc_id = lm.doc_id),
+        |mo AS (SELECT source, count(*) AS n,
+        |    CAST(sum(hn) AS BIGINT) AS sh, CAST(sum(lmn) AS BIGINT) AS sl,
+        |    CAST(sum(hn * hn) AS BIGINT) AS shh,
+        |    CAST(sum(lmn * lmn) AS BIGINT) AS sll,
+        |    CAST(sum(hn * lmn) AS BIGINT) AS shl
+        |  FROM j GROUP BY source),
+        |cc AS (SELECT source, n,
+        |    CAST(n AS DOUBLE) * shh - CAST(sh AS DOUBLE) * sh AS varh,
+        |    CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl AS varl,
+        |    CAST(n AS DOUBLE) * shl - CAST(sh AS DOUBLE) * sl AS cov
+        |  FROM mo)
+        |SELECT source, n,
+        |  CASE WHEN n < 2 OR varh <= 0 OR varl <= 0 THEN NULL
+        |       ELSE cov / (sqrt(varh) * sqrt(varl)) END AS corr
+        |FROM cc ORDER BY source""".stripMargin,
+
     "q29_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1245,6 +1333,7 @@ object TextAnalysis {
     "q73_url_domains" -> (q73UrlDomains _),
     "q77_bigram_lm" -> (q77BigramLm _),
     "q134_cross_lm" -> (q134CrossLm _),
+    "q157_quality_agreement" -> (q157QualityAgreement _),
     "q137_boilerplate" -> (q137Boilerplate _),
     "q147_boilerplate_clean" -> (q147BoilerplateClean _),
     "q149_normalize" -> (q149Normalize _),
