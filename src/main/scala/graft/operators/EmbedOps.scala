@@ -644,9 +644,8 @@ object EmbedOps {
     */
   def q153IndexFootprint(spark: SparkSession, dir: String): DataFrame = {
     val n = Queries.t(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
-    import org.apache.spark.sql.functions.{expr => e2}
     n.select(
-      e2(s"""stack(5,
+      expr(s"""stack(5,
         |  'raw_f32',   n, n * ${Dim}L * 4L,
         |  'int8',      n, n * ${Dim}L * 1L,
         |  'pq_codes',  n, n * ${PqSub}L * 1L,
