@@ -88,6 +88,25 @@ class CleanStreamSpec extends SparkTestBase {
     }
   }
 
+  test("report compaction (small-file GC) preserves the rows and later batches append normally") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val wh = Warehouse(tmpDir("clean-compact-wh"))
+    val ckpt = tmpDir("clean-compact-ckpt")
+    runBatch(input, wh, ckpt, (0L until 25L).map(i => (i, "s0", doc(i))): _*)
+    runBatch(input, wh, ckpt, (25L until 30L).map(i => (i, "s1", doc(i))): _*)
+    val before = report(wh)
+    val filesBefore = graft.plans.Maintenance
+      .dataFiles(spark, wh, "clean_report").size
+    graft.plans.Maintenance.compact(spark, wh, "clean_report", 1)
+    assert(graft.plans.Maintenance.dataFiles(spark, wh, "clean_report").size
+      < filesBefore, "compaction must reduce the file count")
+    assert(report(wh) == before, "compaction must not change report rows")
+    // next batch scores against the unchanged frozen set and appends
+    runBatch(input, wh, ckpt, (100L, "s2", "nav home nav"))
+    assert(report(wh)(100L) == ((3L, 3L)))
+  }
+
   test("replay is a no-op: same checkpoint + same input changes nothing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]

@@ -588,6 +588,23 @@ class PlanContractSpec extends SparkTestBase {
       s"per-stratum quota draw must partial-aggregate, never window:\n${p150.take(2500)}")
   }
 
+  test("curation calibration reports: hash-aggs and broadcasts only — no windows, no products") {
+    // the q142/q143/q146/q155/q157 family consumes artifacts + one corpus
+    // scan each; none may regress into a window or cartesian shape
+    for ((name, df) <- Seq(
+        "q142" -> graft.operators.Curation.q142QualityDupCalibration(spark, dir),
+        "q143" -> graft.operators.Curation.q143EffectiveTokens(spark, dir),
+        "q146" -> graft.operators.Curation.q146SourceFunnel(spark, dir),
+        "q155" -> graft.operators.Curation.q155ClusterSizes(spark, dir),
+        "q157" -> graft.operators.TextAnalysis.q157QualityAgreement(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window ["),
+        s"$name: calibration rollups must not window:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no cartesian product:\n${p.take(1500)}")
+    }
+  }
+
   test("q141: split re-assignment broadcasts the per-cell seed pair — no product, no window") {
     val p = plan(graft.operators.EmbedOps.q141CellSplit(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
