@@ -1208,6 +1208,15 @@ object Curation {
     val rows = census.select("source", "c", "nw", "cap").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val budget = 2L * rows.map(_._2).sum
+    // the micro-int weight x budget product must stay inside a signed 64:
+    // fails loudly (the pqCodebook require precedent) instead of silently
+    // wrapping — at corpus scales where this trips, drop the weight
+    // precision a digit (1e5 micro-weights) and the allocation is
+    // unchanged beyond that digit
+    val maxW = rows.map(_._3).max
+    require(maxW <= Long.MaxValue / math.max(budget, 1L),
+      s"q154 weight*budget would overflow 64 bits (maxW=$maxW, budget=$budget): " +
+        "reduce the micro-weight scale")
     var capped = rows.map(_ => false)
     var prov = {
       val sumW = rows.map(_._3).sum
