@@ -1208,28 +1208,8 @@ object Curation {
     val rows = census.select("source", "c", "nw", "cap").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val budget = 2L * rows.map(_._2).sum
-    // the micro-int weight x budget product must stay inside a signed 64:
-    // fails loudly (the pqCodebook require precedent) instead of silently
-    // wrapping — at corpus scales where this trips, drop the weight
-    // precision a digit (1e5 micro-weights) and the allocation is
-    // unchanged beyond that digit
-    val maxW = rows.map(_._3).max
-    require(maxW <= Long.MaxValue / math.max(budget, 1L),
-      s"q154 weight*budget would overflow 64 bits (maxW=$maxW, budget=$budget): " +
-        "reduce the micro-weight scale")
-    var capped = rows.map(_ => false)
-    var prov = {
-      val sumW = rows.map(_._3).sum
-      rows.map(t => Math.floorDiv(t._3 * budget, sumW))
-    }
-    for (_ <- 1 to WaterfallRounds) {
-      capped = capped.zip(rows.zip(prov)).map { case (cp, (t, p)) => cp || p > t._4 }
-      val rem = budget - rows.zip(capped).collect { case (t, true) => t._4 }.sum
-      val sumW = rows.zip(capped).collect { case (t, false) => t._3 }.sum
-      prov = rows.zip(capped).map { case (t, cp) =>
-        if (cp) t._4 else if (sumW == 0L) 0L else Math.floorDiv(t._3 * rem, sumW)
-      }
-    }
+    val (prov, capped) =
+      waterfall(rows.map(t => (t._3, t._4)), budget, WaterfallRounds)
     import spark.implicits._
     val allocDf = rows.indices.map { ix =>
       (rows(ix)._1, prov(ix), if (capped(ix)) 1L else 0L)
@@ -1240,6 +1220,41 @@ object Curation {
       .select(col("source"), col("c").as("n_tokens"), col("cap").as("cap_tokens"),
         col("alloc_tokens"), col("capped"), col("epochs"))
       .orderBy(col("source"))
+  }
+
+  /** The q154 fixpoint as a pure function over (weight, cap) rows: the
+    * exact-integer waterfall, `rounds` iterations (extra rounds past
+    * convergence are identity). Returns (allocation, capped) aligned
+    * with the input. Factored out so the randomized spec can fuzz the
+    * allocation invariants (budget conservation, cap exactness, budget
+    * monotonicity) without a SparkSession.
+    */
+  private[graft] def waterfall(
+      rows: Seq[(Long, Long)], budget: Long,
+      rounds: Int): (Seq[Long], Seq[Boolean]) = {
+    // the micro-int weight x budget product must stay inside a signed 64:
+    // fails loudly (the pqCodebook require precedent) instead of silently
+    // wrapping — at corpus scales where this trips, drop the weight
+    // precision a digit (1e5 micro-weights) and the allocation is
+    // unchanged beyond that digit
+    val maxW = rows.map(_._1).max
+    require(maxW <= Long.MaxValue / math.max(budget, 1L),
+      s"waterfall weight*budget would overflow 64 bits (maxW=$maxW, " +
+        s"budget=$budget): reduce the micro-weight scale")
+    var capped = rows.map(_ => false)
+    var prov = {
+      val sumW = rows.map(_._1).sum
+      rows.map(t => Math.floorDiv(t._1 * budget, sumW))
+    }
+    for (_ <- 1 to rounds) {
+      capped = capped.zip(rows.zip(prov)).map { case (cp, (t, p)) => cp || p > t._2 }
+      val rem = budget - rows.zip(capped).collect { case (t, true) => t._2 }.sum
+      val sumW = rows.zip(capped).collect { case (t, false) => t._1 }.sum
+      prov = rows.zip(capped).map { case (t, cp) =>
+        if (cp) t._2 else if (sumW == 0L) 0L else Math.floorDiv(t._1 * rem, sumW)
+      }
+    }
+    (prov, capped)
   }
 
   /** The q154 oracle's unrolled waterfall: `rounds` chained

@@ -257,6 +257,40 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("capped") == 0L))
   }
 
+  test("waterfall invariants hold on random censuses (fuzz)") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 200) {
+      val n = 2 + rnd.nextInt(30)
+      val rows = Seq.fill(n) {
+        val w = 1L + rnd.nextInt(1000000)
+        val cap = 1L + rnd.nextInt(500000)
+        (w, cap)
+      }
+      val budget = 1L + rnd.nextInt(2000000)
+      val rounds = n + 2
+      val (alloc, capped) = Curation.waterfall(rows, budget, rounds)
+      val total = alloc.sum
+      assert(total <= budget, s"trial $trial: allocated $total > budget $budget")
+      rows.indices.foreach { i =>
+        if (capped(i)) assert(alloc(i) == rows(i)._2,
+          s"trial $trial: capped source $i not at its cap")
+        else assert(alloc(i) <= rows(i)._2,
+          s"trial $trial: uncapped source $i above its cap")
+        assert(alloc(i) >= 0L, s"trial $trial: negative allocation")
+      }
+      // fixpoint: more rounds change nothing
+      val (alloc2, capped2) = Curation.waterfall(rows, budget, rounds + 5)
+      assert(alloc2 == alloc && capped2 == capped,
+        s"trial $trial: allocation not a fixpoint")
+      // budget monotonicity: a bigger budget never shrinks any source
+      val (alloc3, _) = Curation.waterfall(rows, budget + 1 + rnd.nextInt(100000), rounds)
+      rows.indices.foreach { i =>
+        assert(alloc3(i) >= alloc(i),
+          s"trial $trial: source $i lost allocation under a larger budget")
+      }
+    }
+  }
+
   test("audio fingerprint is volume-invariant and locality-preserving (property)") {
     import graft.operators.Multimodal
     import spark.implicits._
