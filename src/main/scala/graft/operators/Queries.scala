@@ -636,6 +636,37 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Gap bound for the q158 tolerance as-of: 1 hour in µs. */
+  private val AsofTolUs = 3600000000L
+
+  /** Tolerance as-of (q158): q101's outer backward enrichment with the
+    * exec's THIRD semantic axis exercised against an oracle — a match
+    * counts only when the gap is within [[AsofTolUs]] (a click 1h+1µs
+    * old attributes nothing; pandas merge_asof's `tolerance`). Backward
+    * nearest is the maximal-ts match, so beyond-tolerance means NO
+    * in-tolerance match exists and the outer row null-extends — which is
+    * exactly how the DuckDB oracle expresses it (native ASOF LEFT JOIN,
+    * then the CASE that nulls beyond-gap matches). The fuzz spec covers
+    * tolerance on random corpora; this pins it to the DuckDB gate on the
+    * real fixture. Same streaming-merge scale shape as q19/q101.
+    */
+  def q158AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts_us").as("click_ts_us"),
+        col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftTsCol = "ts_us", rightTsCol = "click_ts_us",
+        tolerance = Some(AsofTolUs), outer = true)
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+      .select("event_id", "user_id", "ts_us", "click_ts_us", "click_value",
+        "gap_us")
+      .orderBy(col("event_id"))
+  }
+
   /** Composite-key as-of (the `Seq[String]` key surface of
     * [[graft.plans.AsOf.join]], round-5 verdict item #6): each purchase
     * matched to the user's latest click THE SAME UTC DAY — equality on
@@ -1116,6 +1147,22 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q158_asof_tolerance" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - c.ts_us <= $AsofTolUs THEN c.ts_us END
+        |    AS click_ts_us,
+        |  CASE WHEN p.ts_us - c.ts_us <= $AsofTolUs THEN c.value END
+        |    AS click_value,
+        |  CASE WHEN p.ts_us - c.ts_us <= $AsofTolUs THEN p.ts_us - c.ts_us END
+        |    AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q101_asof_outer" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1341,6 +1388,7 @@ object Queries {
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),
+    "q158_asof_tolerance" -> (q158AsofTolerance _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
