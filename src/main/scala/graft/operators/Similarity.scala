@@ -511,21 +511,32 @@ object Similarity {
     * uniform sample (correlation estimates converge long before
     * corpus scale). No window, no join.
     */
-  def q152DimCorrelation(spark: SparkSession, dir: String): DataFrame =
-    qvecs(spark, dir)
-      .select(explode(expr(
+  def q152DimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = qvecs(spark, dir).localCheckpoint(true)
+    // per-dimension moments need NO pair expansion: sum_a and sum_aa of a
+    // pair (a, b) depend on a alone — a 64-row census from one posexplode
+    val dims = e.select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("i").cast("long").as("i"), col("n"), col("s"), col("ss"))
+    // only the cross-products pay the d(d-1)/2 expansion, and they ride a
+    // FLAT long array (8 bytes/pair), not per-pair structs — the (k->a,b)
+    // decode is a 2016-row broadcast map
+    val sab = e.select(posexplode(expr(
         """flatten(transform(sequence(0, 62), a ->
-          |  transform(sequence(a + 1, 63), b ->
-          |    named_struct('a', a, 'b', b, 'va', q[a], 'vb', q[b]))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.a").cast("long").as("a"), col("p.b").cast("long").as("b"),
-        col("p.va").as("va"), col("p.vb").as("vb"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("va")).as("sa"), sum(col("vb")).as("sb"),
-        sum(col("va") * col("va")).as("saa"),
-        sum(col("vb") * col("vb")).as("sbb"),
-        sum(col("va") * col("vb")).as("sab"))
+          |  transform(sequence(a + 1, 63), b -> q[a] * q[b])))""".stripMargin))
+        .as(Seq("k", "prod")))
+      .groupBy(col("k")).agg(sum(col("prod")).as("sab"))
+    val kMap = (for (a <- 0 until 63; b <- a + 1 until 64)
+      yield ((a * (127 - a)) / 2 + (b - a - 1), a.toLong, b.toLong))
+      .toDF("k", "a", "b")
+    sab.join(broadcast(kMap), Seq("k"))
+      .join(broadcast(dims.select(col("i").as("a"), col("n"),
+        col("s").as("sa"), col("ss").as("saa"))), Seq("a"))
+      .join(broadcast(dims.select(col("i").as("b"),
+        col("s").as("sb"), col("ss").as("sbb"))), Seq("b"))
       .withColumn("vara", expr(
         "CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"))
       .withColumn("varb", expr(
@@ -540,6 +551,7 @@ object Similarity {
       .select("a", "b", "n", "corr", "abs_corr")
       .orderBy(col("abs_corr").desc, col("a"), col("b"))
       .limit(10)
+  }
 
   /** Centroid similarity / outlier scoring: per-label integer centroid sums
     * (elementwise, exact), then the 2 least-central vectors per label.
