@@ -411,6 +411,38 @@ object Queries {
     * shuffle equi-join on the id (partition-prunable when both tables are
     * bucketed by id); the audit emits three numbers, never row data.
     */
+  /** Dormant high-balance customers (q159) — the TPC-H Q22 shape: a
+    * scalar-subquery threshold (average positive balance), an anti join
+    * (customers with no RECENT orders — nothing since 1999; the fixture
+    * has no fully orderless customers, so dormancy is the non-degenerate
+    * variant), and a per-nation rollup of who's leaving money on the
+    * table. Composes three shapes the surface already proves separately
+    * (q12 scalar, q05/q94 anti, q03 rollup) into the classic
+    * decision-support query.
+    *
+    * Determinism: the threshold and the balance totals are DECIMAL(18,2)
+    * sums (exact, partial-order-independent — the q90 recipe for the
+    * double-typed fixture column), cast to double once at the end.
+    * Plan: the 1-row threshold broadcasts, the anti join keys on
+    * customer id, the rollup is a |nations|-key hash agg.
+    */
+  def q159DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy(col("nation"))
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1147,6 +1179,20 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q159_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0),
+        |cand AS (SELECT c.* FROM customer c, thr WHERE c.c_acctbal > thr.thr),
+        |noord AS (SELECT * FROM cand
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_custkey = cand.c_custkey
+        |                              AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM noord GROUP BY 1 ORDER BY nation""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1389,6 +1435,7 @@ object Queries {
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),
     "q158_asof_tolerance" -> (q158AsofTolerance _),
+    "q159_dormant_customers" -> (q159DormantCustomers _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
