@@ -443,6 +443,32 @@ object Queries {
       .orderBy(col("nation"))
   }
 
+  /** Large-volume orders (q160) — the TPC-H Q18 shape: a HAVING
+    * aggregate over the fact table (orders whose line quantities sum
+    * past 300), then the enrichment joins. The Q18 lesson is operator
+    * ORDER: the corpus-sized lineitem scan reduces to the rare big
+    * orders BEFORE any join touches it, so both joins carry the
+    * filtered aggregate (broadcastable) instead of raw line items —
+    * aggregate-then-join, the dual of q64's join-then-rank. Quantities
+    * are integer-valued doubles, so the per-order sums are exact in
+    * any partial order; the final top-100 plans as
+    * TakeOrderedAndProject.
+    */
+  def q160LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = t(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1179,6 +1205,16 @@ object Queries {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q160_large_orders" ->
+      """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT * FROM s WHERE total_qty > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date, b.total_qty
+        |FROM b JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |     JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
     "q159_dormant_customers" ->
       """WITH thr AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -1436,6 +1472,7 @@ object Queries {
     "q101_asof_outer" -> (q101AsofOuter _),
     "q158_asof_tolerance" -> (q158AsofTolerance _),
     "q159_dormant_customers" -> (q159DormantCustomers _),
+    "q160_large_orders" -> (q160LargeOrders _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
