@@ -355,6 +355,37 @@ object ScaleOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Sessionized conversion rates (q161): q91's session labeling rolled
+    * into the product-analytics question it exists to answer — do longer
+    * sessions convert more? Each (user, session) collapses to its event
+    * count and a purchased-flag, then sessions roll up by power-of-two
+    * length bucket (exact bit-length, the q155 recipe — never float
+    * log2) with the conversion rate per bucket. The session window is
+    * q91's per-user analytic shape (bounded by one user's activity);
+    * everything after is two hash aggs, the second on <=7 keys.
+    */
+  def q161SessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Queries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("bucket", expr("CAST(length(bin(n_events)) - 1 AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_sessions"), 6))
+      .orderBy(col("bucket"))
+  }
+
   /** Conversion window for the interval join (10 minutes in µs). */
   private val ConvWindowUs = 600000000L
 
@@ -689,6 +720,26 @@ object ScaleOps {
          |UNION ALL SELECT scope, n_exact, est_users FROM merged
          |ORDER BY scope""".stripMargin,
 
+    "q161_session_conversion" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |            FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS prev_ts FROM ev),
+        |s AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $SessionGapUs
+        |                     THEN 1 ELSE 0 END AS is_new FROM l),
+        |labeled AS (SELECT user_id, event_type,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM s),
+        |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM labeled GROUP BY user_id, session_seq)
+        |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM sess GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q91_session_ids" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
@@ -899,6 +950,7 @@ object ScaleOps {
     "q89_histogram" -> (q89Histogram _),
     "q90_corr_moments" -> (q90CorrMoments _),
     "q91_session_ids" -> (q91SessionIds _),
+    "q161_session_conversion" -> (q161SessionConversion _),
     "q100_drift_psi" -> (q100DriftPsi _),
     "q59_interval_join" -> (q59IntervalJoin _),
     "q60_count_min" -> (q60CountMin _),

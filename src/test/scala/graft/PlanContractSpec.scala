@@ -588,6 +588,30 @@ class PlanContractSpec extends SparkTestBase {
       s"per-stratum quota draw must partial-aggregate, never window:\n${p150.take(2500)}")
   }
 
+  test("q160: the fact table aggregates BEFORE the joins; top-100 is TakeOrderedAndProject") {
+    val p = plan(Queries.q160LargeOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not plan a full sort:\n${p.take(2000)}")
+    // the HAVING aggregate must sit BELOW the first join in the plan tree
+    // (aggregate-then-join): lineitem rows never reach a join un-reduced
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join"))
+    val aggBelowJoin = lines.drop(joinIdx)
+      .exists(l => l.contains("HashAggregate") && l.contains("l_orderkey"))
+    assert(joinIdx >= 0 && aggBelowJoin,
+      s"the per-order aggregate must feed the join, not follow it:\n${p.take(2500)}")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q159: the threshold is a broadcast scalar and the anti join never shuffles the dim side wide") {
+    val p = plan(Queries.q159DormantCustomers(spark, dir))
+    assert(p.contains("LeftAnti"),
+      s"dormancy must plan an anti join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row threshold must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(2000))
+  }
+
   test("curation calibration reports: hash-aggs and broadcasts only — no windows, no products") {
     // the q142/q143/q146/q155/q157 family consumes artifacts + one corpus
     // scan each; none may regress into a window or cartesian shape
