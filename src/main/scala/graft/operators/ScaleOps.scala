@@ -329,7 +329,7 @@ object ScaleOps {
   }
 
   /** Session gap for explicit sessionization (30 minutes in µs). */
-  private val SessionGapUs = 1800000000L
+  private[graft] val SessionGapUs = 1800000000L
 
   /** Explicit session-id assignment (q91) — the event-level complement of
     * q16's session-window AGGREGATE: every event gets its user-relative

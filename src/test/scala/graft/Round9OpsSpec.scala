@@ -257,6 +257,57 @@ class Round9OpsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("capped") == 0L))
   }
 
+  test("session labeling == in-memory reference on random streams incl. ties and exact-gap boundaries (fuzz)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    val gap = graft.operators.ScaleOps.SessionGapUs
+    val rnd = new scala.util.Random(99)
+    // random per-user streams with deliberate TIE timestamps (ordering
+    // falls to event_id) and gaps exactly AT the boundary (== gap must
+    // NOT open a session; > gap must)
+    val rows = (for {
+      u <- 1L to 12L
+      _ <- 1 to (5 + rnd.nextInt(40))
+    } yield u).zipWithIndex.map { case (u, idx) =>
+      val step = rnd.nextInt(4) match {
+        case 0 => 0L                       // tie with previous event
+        case 1 => gap                      // exactly at the boundary
+        case 2 => gap + 1L + rnd.nextInt(1000) // just past it
+        case _ => rnd.nextInt(100000).toLong   // well inside a session
+      }
+      (u, idx.toLong, step)
+    }
+    // cumulative per-user timestamps from the steps
+    val byUser = rows.groupBy(_._1).view.mapValues { es =>
+      var t = 1000000L
+      es.map { case (u, id, step) => t += step; (u, id, t) }
+    }.toMap
+    val events = byUser.values.flatten.toSeq
+    val df = events.toDF("user_id", "event_id", "ts_us")
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val labeled = df
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent reference: a plain fold per user
+    byUser.foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var seq = 0L
+      var prev = Long.MinValue / 4
+      sorted.foreach { case (_, id, t) =>
+        if (t - prev > gap) seq += 1
+        prev = t
+        assert(labeled((u, id)) == seq,
+          s"user $u event $id: spark ${labeled((u, id))} != reference $seq")
+      }
+    }
+  }
+
   test("waterfall invariants hold on random censuses (fuzz)") {
     val rnd = new scala.util.Random(777)
     for (trial <- 1 to 200) {
