@@ -92,6 +92,37 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("pair artifact: concurrent first-demands build once and serve identical frames") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    // force a fresh build by orphaning any existing scratch for this
+    // corpus (delete is safe: the artifact is a derived cache)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#jacpairs08".getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_dedup_pairs_$key")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val pool = Executors.newFixedThreadPool(3)
+    try {
+      val futures = (1 to 3).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Set[String]] {
+          def call(): Set[String] =
+            Dedup.q31NgramJaccard(spark, dir).collect().map(_.toString).toSet
+        })
+      }
+      val results = futures.map(_.get(300, TimeUnit.SECONDS))
+      assert(results.forall(_ == results.head),
+        "concurrent consumers must read the same stored pairs")
+      assert(results.head.nonEmpty)
+      // exactly one completed build exists on disk
+      assert(java.nio.file.Files.exists(root.resolve("_BUILT")))
+    } finally pool.shutdownNow()
+  }
+
   test("q139 transfer matrix: normalized pair order, conserves the q31 pair count") {
     val m = Dedup.q139DupTransfer(spark, dir).collect()
     m.foreach { r =>
