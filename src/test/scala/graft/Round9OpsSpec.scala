@@ -265,6 +265,34 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q148's distributed prefix sum == naive global window; straddles agree with q53") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // naive reference: one global-window cumsum (the single-reducer shape
+    // the distributed two-phase pass exists to avoid)
+    val naive = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("off", coalesce(sum(col("nt")).over(
+        W.orderBy(col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // q53 exposes the same offsets through its window columns
+    val q53 = Curation.q53PackWindows(spark, dir).collect()
+    q53.foreach { r =>
+      val (nt, off) = naive(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_toks") == nt)
+      assert(r.getAs[Long]("offset") == off,
+        s"doc ${r.getAs[Long]("doc_id")}: two-phase offset != naive cumsum")
+    }
+    // q148's 512-context straddle count equals the count derived from
+    // q53's (w_first != w_last) at the same size — two formulations of
+    // one quantity, from the same shared prefix-sum core
+    val fromQ53 = q53.count(r => r.getAs[Long]("w_first") != r.getAs[Long]("w_last"))
+    val fromQ148 = Curation.q148ContextSweep(spark, dir).collect()
+      .find(_.getAs[Long]("ctx") == 512L).get.getAs[Long]("straddle_docs")
+    assert(fromQ148 == fromQ53.toLong,
+      s"q148 straddles at 512 ($fromQ148) != q53-derived ($fromQ53)")
+  }
+
   test("q154 waterfall: budget never exceeded, caps respected exactly, surplus re-flows") {
     val rows = Curation.q154DataConstrainedMix(spark, dir).collect()
     val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
