@@ -147,6 +147,43 @@ class Round9OpsSpec extends SparkTestBase {
     assert(largest.getAs[Double]("w_temp") < largest.getAs[Double]("w_prop"))
   }
 
+  test("hamming banding exactness at radius 3 on random 64-bit fingerprints (fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    // random fingerprints plus planted near-pairs at every radius 0..4:
+    // radius <= 3 must be found by banding (pigeonhole over 4x16 bits),
+    // radius 4 pairs are allowed to appear only via genuine band collision
+    val base = (0L until 150L).map(i => i -> rnd.nextLong())
+    val planted = (0 until 40).map { k =>
+      val (srcId, h) = base(rnd.nextInt(base.length))
+      val flips = k % 5
+      var h2 = h
+      rnd.shuffle((0 until 64).toList).take(flips).foreach(b => h2 ^= (1L << b))
+      (1000L + k, h2)
+    }
+    val hashes = (base ++ planted).toDF("doc_id", "ahash").localCheckpoint(true)
+    val brute = hashes.as("a").join(hashes.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.ahash ^ b.ahash)") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded0 = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bk", expr("(ahash >> (b * 16)) & 65535"))
+    val bandedPairs = banded0.as("a").join(banded0.as("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.ahash").as("hi"), col("b.ahash").as("hj"))
+      .distinct()
+      .filter(expr("bit_count(hi ^ hj)") <= 3)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "planted pairs must exist")
+    assert(bandedPairs == brute,
+      s"banding lost ${(brute -- bandedPairs).size} / invented ${(bandedPairs -- brute).size}")
+  }
+
   test("q144 audio banding is exact at Hamming<=3: banded pairs == brute-force all-pairs") {
     import graft.operators.Multimodal
     import spark.implicits._
