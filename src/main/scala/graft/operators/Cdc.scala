@@ -49,6 +49,28 @@ object Cdc {
     if (changes.columns.contains(SeqCol)) changes
     else changes.withColumn(SeqCol, monotonically_increasing_id())
 
+  /** Stamp a batch-unique, globally ordered ingest sequence:
+    * `batchId * 2^44 + rowId`. `monotonically_increasing_id` is
+    * `(partitionId << 33) + rowInPartition`, so the intra-batch id stays
+    * below 2^44 iff the batch has < 2^11 = 2048 input partitions — guarded
+    * explicitly, because an overflow would leak into the batch bits and
+    * INVERT cross-batch ordering for equal-ts rows. batchId itself fits
+    * the remaining 19 bits (~500k micro-batches). Shared by the streaming
+    * ingest ([[graft.streaming.CdcStream]]) and the merge-on-read mirror
+    * ([[graft.plans.MorMirror]]): one encoding contract means a (ts, seq)
+    * ordering resolves cross-batch ties identically everywhere.
+    */
+  def stampBatchSeq(df: DataFrame, batchId: Long): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    require(parts < (1 << 11),
+      s"micro-batch has $parts partitions; ingest-seq encoding supports < 2048 — " +
+        "bound the batch size (e.g. maxFilesPerTrigger)")
+    require(batchId < (1L << 19),
+      s"batchId $batchId exceeds the 19-bit budget of the ingest-seq encoding")
+    df.withColumn(SeqCol,
+      (lit(batchId) * lit(1L << 44)) + monotonically_increasing_id())
+  }
+
   /** Ordering key for latest-wins: (ts, ingest-seq). */
   private def orderingStruct(cfg: CdcConfig, cols: Seq[String]): Column = {
     val seq = if (cols.contains(SeqCol)) col(SeqCol) else lit(0L)

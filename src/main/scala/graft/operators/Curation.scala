@@ -90,14 +90,12 @@ object Curation {
         .digest(s"$dir#jaccard08".getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
       val root = s"${sys.props("java.io.tmpdir")}/graft_clusters_$key"
-      val marker = java.nio.file.Paths.get(root, "_LABELED")
-      if (!java.nio.file.Files.exists(marker)) {
+      ArtifactCache.ensure(root, "_LABELED") { staging =>
         // edges come from the kernel-level pairs artifact (one capped-
         // kernel run per corpus feeds labels AND q139's transfer matrix)
         clusterLabels(
           Dedup.jaccardPairsCached(spark, dir).select(col("i"), col("j")))
-          .write.mode("overwrite").parquet(s"$root/labels")
-        java.nio.file.Files.createFile(marker)
+          .write.mode("overwrite").parquet(s"$staging/labels")
       }
       spark.read.parquet(s"$root/labels")
     }
@@ -1122,8 +1120,12 @@ object Curation {
     val labels = clusterLabelsCached(spark, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
       .localCheckpoint(true)
+    // coalesce: on a corpus with ZERO near-dup clusters sum over the empty
+    // sizes frame is null, and the singleton row must be (0, n, n), not
+    // (0, null, null) — mirroring the oracle's coalesce (round-9 advice)
     val clustered = sizes.agg(
-      count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      count(lit(1)).as("n_clusters"),
+      coalesce(sum(col("sz")), lit(0L)).as("n_docs"))
     val total = docs(spark, dir).agg(count(lit(1)).as("n"))
     val buckets = sizes
       // integer bit-length, not float log2 (whose power-of-two outputs

@@ -226,10 +226,8 @@ object Dedup {
         .digest(s"$dir#jacpairs08".getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
       val root = s"${sys.props("java.io.tmpdir")}/graft_dedup_pairs_$key"
-      val marker = java.nio.file.Paths.get(root, "_BUILT")
-      if (!java.nio.file.Files.exists(marker)) {
-        jaccardPairs(spark, dir).write.mode("overwrite").parquet(s"$root/pairs")
-        java.nio.file.Files.createFile(marker)
+      ArtifactCache.ensure(root, "_BUILT") { staging =>
+        jaccardPairs(spark, dir).write.mode("overwrite").parquet(s"$staging/pairs")
       }
       spark.read.parquet(s"$root/pairs")
     }

@@ -446,12 +446,9 @@ object EmbedOps {
   private[graft] def buildStoredIndex(spark: SparkSession, dir: String): String =
     indexBuildLock.synchronized {
       val root = indexRoot(dir)
-      val marker = java.nio.file.Paths.get(root, "_BUILT")
-      if (!java.nio.file.Files.exists(marker)) {
-        buildStoredIndexInto(spark, dir, root)
-        java.nio.file.Files.createFile(marker)
+      ArtifactCache.ensure(root, "_BUILT") { staging =>
+        buildStoredIndexInto(spark, dir, staging)
       }
-      root
     }
 
   private def buildStoredIndexInto(
@@ -626,8 +623,9 @@ object EmbedOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Bytes per float32 dimension, int8 dimension, and PQ code in the
-    * q153 footprint model.
+  /** Embedding dimension count used by the q153 footprint model (the
+    * 4/1/1 byte widths per float32 / int8 / PQ code are the literals in
+    * the footprint expression itself).
     */
   private val Dim = 64
 

@@ -602,6 +602,52 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** q18's changelog driven through the MERGE-ON-READ mirror lifecycle
+    * ([[graft.plans.MorMirror]]): initialize from a first slice, commit
+    * three O(delta) delta batches (tombstones = equality deletes), then
+    * answer from the read-time bucket-pruned fold — under the SAME DuckDB
+    * oracle as q18, so MOR state == COW state == oracle on one changelog
+    * (the round-9 verdict's done-condition). Batches split by
+    * `event_id % 4`, so every batch spreads across all key buckets — the
+    * exact access pattern that degrades the COW rewrite to O(mirror) and
+    * that MOR commits without reading the base at all. The scratch
+    * warehouse is deleted after an eager checkpoint pins the result.
+    */
+  def q163MorMirror(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MorMirror
+    import graft.sources.Tables.Warehouse
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+      .withColumn("_b", pmod(col("event_id"), lit(4)).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor_q163")
+    val wh = Warehouse(tmp.toString)
+    try {
+      MorMirror.initialize(wh, "mirror",
+        Cdc.fold(ch.filter(col("_b") === 0).drop("_b"), cfg), cfg, nBuckets = 16)
+      (1 to 3).foreach { b =>
+        MorMirror.appendDelta(wh, "mirror",
+          ch.filter(col("_b") === b).drop("_b"), batchId = b.toLong)
+      }
+      MorMirror.read(spark, wh, "mirror")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.foreach(deleteDir)
+      finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** SCD Type-2 history (the CDC changelog materialized as a slowly-
     * changing dimension instead of a latest-wins mirror): every change
     * becomes a version row with [valid_from, valid_to) bounds from the next
@@ -1173,6 +1219,16 @@ object Queries {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    // the merge-on-read lifecycle answers the SAME question as q18's
+    // one-shot fold — one oracle, two engine paths cross-checking
+    "q163_mor_mirror" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
     "q48_scd2_history" ->
       """SELECT user_id, event_id, event_type, value,
         |  epoch_us(ts) AS valid_from_us,
@@ -1467,6 +1523,7 @@ object Queries {
     "q16_session_window" -> (q16SessionWindow _),
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
+    "q163_mor_mirror" -> (q163MorMirror _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),

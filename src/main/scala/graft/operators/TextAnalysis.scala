@@ -844,12 +844,10 @@ object TextAnalysis {
         .digest(s"$dir#$rounds".getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
       val root = s"${sys.props("java.io.tmpdir")}/graft_bpe_$key"
-      val marker = java.nio.file.Paths.get(root, "_TRAINED")
-      if (!java.nio.file.Files.exists(marker)) {
+      ArtifactCache.ensure(root, "_TRAINED") { staging =>
         val (merges, corpus) = bpeTrainLoop(spark, dir, rounds)
-        merges.write.mode("overwrite").parquet(s"$root/merges")
-        corpus.write.mode("overwrite").parquet(s"$root/merged")
-        java.nio.file.Files.createFile(marker)
+        merges.write.mode("overwrite").parquet(s"$staging/merges")
+        corpus.write.mode("overwrite").parquet(s"$staging/merged")
       }
       (spark.read.parquet(s"$root/merges"),
         spark.read.parquet(s"$root/merged"))

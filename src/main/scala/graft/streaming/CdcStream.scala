@@ -29,23 +29,11 @@ import graft.sources.Tables.Warehouse
   */
 object CdcStream {
 
-  /** Stamp a batch-unique, ordered ingest sequence: batchId * 2^44 + rowId.
-    * monotonically_increasing_id is (partitionId << 33) + rowInPartition, so
-    * the intra-batch id stays below 2^44 iff the batch has < 2^11 = 2048
-    * input partitions — guarded explicitly, because an overflow would leak
-    * into the batch bits and INVERT cross-batch ordering for equal-ts rows.
-    * batchId itself fits the remaining 19 bits (~500k micro-batches).
+  /** Batch-unique ordered ingest sequence — see [[Cdc.stampBatchSeq]]
+    * (one encoding contract shared with the merge-on-read mirror).
     */
-  private def stampSeq(df: DataFrame, batchId: Long): DataFrame = {
-    val parts = df.rdd.getNumPartitions
-    require(parts < (1 << 11),
-      s"micro-batch has $parts partitions; ingest-seq encoding supports < 2048 — " +
-        "set maxFilesPerTrigger to bound batch size")
-    require(batchId < (1L << 19),
-      s"batchId $batchId exceeds the 19-bit budget of the ingest-seq encoding")
-    df.withColumn(Cdc.SeqCol,
-      (lit(batchId) * lit(1L << 44)) + monotonically_increasing_id())
-  }
+  private def stampSeq(df: DataFrame, batchId: Long): DataFrame =
+    Cdc.stampBatchSeq(df, batchId)
 
   /** Start the auto-load + CDC stream for one pipeline spec.
     *

@@ -90,6 +90,13 @@ object CleanStream {
                 withToks(staged).localCheckpoint(true))
               wh.overwrite(fq.withColumn("trained_batch", lit(batchId)),
                 gramsTable)
+              // durable marker OUTSIDE the data rows: a corpus with no
+              // frequent bigram trains an EMPTY set (legitimate — "no
+              // boilerplate"), and max(trained_batch) over zero rows is
+              // null — the marker must not live only in the data
+              graft.sources.Tables.TableProps.write(wh, gramsTable,
+                graft.sources.Tables.TableProps.read(wh, gramsTable) +
+                  ("trained_batch" -> batchId.toString))
               // the training batch reports the WHOLE staged backlog —
               // every doc ingested so far gets its coverage row
               wh.appendBatch(reportOf(staged,
@@ -99,7 +106,13 @@ object CleanStream {
           }
         } else {
           val grams = wh.read(session, gramsTable)
-          val marker = grams.select(max(col("trained_batch"))).head().getLong(0)
+          // props marker first (survives an empty trained set); null-safe
+          // column fallback for tables written before the props marker
+          val marker = graft.sources.Tables.TableProps.read(wh, gramsTable)
+            .get("trained_batch").map(_.toLong).getOrElse {
+              val r = grams.select(max(col("trained_batch"))).head()
+              if (r.isNullAt(0)) -1L else r.getLong(0)
+            }
           if (marker == batchId) {
             // at-least-once replay of the batch that trained: re-report
             // the identical staged set (deterministic -> same bytes into

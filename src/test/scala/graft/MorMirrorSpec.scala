@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+import graft.plans.{MorMirror, PartitionedMirror}
+import graft.sources.Tables.Warehouse
+
+/** The merge-on-read mirror must (a) reproduce the COW merge exactly on the
+  * same changelog, (b) write O(delta) per batch — the base is physically
+  * untouched by an append, (c) keep the T2 tombstone/late-data semantics
+  * across delta batches, and (d) survive compaction (including a crash
+  * between the base swap and the delta GC) read-equivalent.
+  */
+class MorMirrorSpec extends SparkTestBase {
+
+  private val cfg = CdcConfig("id", "ts")
+  private val N = 8
+
+  private def changes(rows: (Long, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "op", "ts")
+  }
+
+  private def state(wh: Warehouse, name: String): Set[(Long, String)] =
+    MorMirror.read(spark, wh, name)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("MOR state == sequential COW state on the same multi-batch changelog") {
+    val wh = Warehouse(tmpDir("mor-eq"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"))
+    val b1 = changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2"), (6L, "f", "I", "t2"))
+    val b2 = changes((3L, "c2", "U", "t3"), (6L, "f2", "U", "t3"))
+    // out-of-order batch: older ts than already-applied changes (T2)
+    val b3 = changes((1L, "zombie", "U", "t0"), (4L, "d2", "U", "t4"))
+
+    MorMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", b1, batchId = 1)
+    MorMirror.appendDelta(wh, "m", b2, batchId = 2)
+    MorMirror.appendDelta(wh, "m", b3, batchId = 3)
+
+    val cow = Seq(b1, b2, b3).foldLeft(Cdc.fold(initial, cfg)) {
+      (m, b) => Cdc.applyBatch(m, b, cfg)
+    }
+    val cowState = Cdc.currentState(cow)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(wh, "m") == cowState)
+    assert(state(wh, "m") == Set(
+      (1L, "a2"), (3L, "c2"), (4L, "d2"), (5L, "e"), (6L, "f2")))
+  }
+
+  test("equal-ts cross-batch tie resolves to the later batch (COW incoming-wins rule)") {
+    val wh = Warehouse(tmpDir("mor-tie"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "seed", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((1L, "x", "U", "t5")), batchId = 1)
+    MorMirror.appendDelta(wh, "m", changes((1L, "y", "U", "t5")), batchId = 2)
+    assert(state(wh, "m") == Set((1L, "y")),
+      "later batch must win an exact-ts tie, matching sequential COW")
+  }
+
+  test("appendDelta is O(delta): base files are physically untouched") {
+    val wh = Warehouse(tmpDir("mor-odelta"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"), (6L, "f", "I", "t1"),
+      (7L, "g", "I", "t1"), (8L, "h", "I", "t1"))
+    MorMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    val (baseBefore, deltasBefore) = MorMirror.fileCensus(wh, "m")
+    assert(deltasBefore.isEmpty)
+
+    // a batch spreading across MANY buckets — the COW worst case that
+    // degrades to O(mirror); MOR must still not touch the base
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a2", "U", "t2"), (3L, "c2", "U", "t2"), (5L, "e2", "U", "t2"),
+        (7L, "g2", "U", "t2"), (8L, "h", "D", "t2")), batchId = 1)
+
+    val (baseAfter, deltasAfter) = MorMirror.fileCensus(wh, "m")
+    assert(baseAfter == baseBefore, "append must not rewrite any base file")
+    assert(deltasAfter.nonEmpty && deltasAfter.forall(_.contains("batch_1")))
+    assert(state(wh, "m") == Set(
+      (1L, "a2"), (2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e2"),
+      (6L, "f"), (7L, "g2")))
+  }
+
+  test("at-least-once replay of a delta batch is idempotent") {
+    val wh = Warehouse(tmpDir("mor-replay"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    val batch = changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2"))
+    MorMirror.appendDelta(wh, "m", batch, batchId = 1)
+    val want = state(wh, "m")
+    assert(want == Set((1L, "a2")))
+    MorMirror.appendDelta(wh, "m", batch, batchId = 1) // foreachBatch rerun
+    assert(state(wh, "m") == want)
+    val (_, deltaFiles) = MorMirror.fileCensus(wh, "m")
+    assert(deltaFiles.forall(_.contains("batch_1")), "replay must not add a second delta")
+  }
+
+  test("delta tombstone is a seq-scoped equality delete: hides base row, loses to nothing older") {
+    val wh = Warehouse(tmpDir("mor-tomb"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((1L, "a", "D", "t3")), batchId = 1)
+    assert(state(wh, "m") == Set((2L, "b")))
+    // an out-of-order LATER batch with an OLDER ts must not resurrect the
+    // key — the tombstone's (ts, seq) ordering scopes it exactly like an
+    // Iceberg sequence-number-scoped delete file
+    MorMirror.appendDelta(wh, "m", changes((1L, "zombie", "U", "t2")), batchId = 2)
+    assert(state(wh, "m") == Set((2L, "b")), "tombstone must block older updates")
+    // but a genuinely newer change re-inserts
+    MorMirror.appendDelta(wh, "m", changes((1L, "reborn", "I", "t4")), batchId = 3)
+    assert(state(wh, "m") == Set((1L, "reborn"), (2L, "b")))
+  }
+
+  test("compaction folds deltas into a new base version, read-equivalent, and keeps pruning") {
+    val wh = Warehouse(tmpDir("mor-compact"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"))
+    MorMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2")), batchId = 1)
+    MorMirror.appendDelta(wh, "m", changes((3L, "c2", "U", "t3")), batchId = 2)
+    val want = state(wh, "m")
+    assert(want == Set((1L, "a2"), (3L, "c2"), (4L, "d")))
+
+    val nested = Warehouse(wh.tablePath("m"))
+    val vBefore = nested.currentVersion("base")
+    MorMirror.compact(spark, wh, "m")
+    assert(nested.currentVersion("base").exists(v => vBefore.forall(_ < v)),
+      "compaction must publish a NEW base version (atomic swap)")
+    val (_, deltaFiles) = MorMirror.fileCensus(wh, "m")
+    assert(deltaFiles.isEmpty, "folded deltas must be GC'd")
+    assert(state(wh, "m") == want, "read-equivalence must survive the fold")
+
+    // the compacted base keeps the bucket layout partition-pruned
+    val plan = spark.read.parquet(nested.snapshotPath("base"))
+      .filter(col(PartitionedMirror.BucketCol) === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(PartitionedMirror.BucketCol))
+
+    // and the table keeps accepting deltas after the fold
+    MorMirror.appendDelta(wh, "m", changes((4L, "d2", "U", "t4")), batchId = 3)
+    assert(state(wh, "m") == want - ((4L, "d")) + ((4L, "d2")))
+    // tombstone GC'd by the fold? No: the t2 delete is retained in base —
+    // a late update older than it must STILL lose after compaction
+    MorMirror.appendDelta(wh, "m", changes((2L, "zombie", "U", "t1")), batchId = 4)
+    assert(state(wh, "m") == want - ((4L, "d")) + ((4L, "d2")),
+      "compaction must not drop tombstones (T2 across the fold)")
+  }
+
+  test("crash between base swap and delta GC is benign: re-folding a folded delta is a no-op") {
+    val wh = Warehouse(tmpDir("mor-crash"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2")), batchId = 1)
+    val want = state(wh, "m")
+
+    // save the delta dir, compact, then restore it — exactly the state a
+    // crash after the base pointer swap but before the delta GC leaves
+    val deltaDir = Paths.get(wh.tablePath("m"), "deltas", "batch_1")
+    val saved = Files.createTempDirectory("mor-delta-save")
+    Files.list(deltaDir).iterator().asScala.foreach { f =>
+      if (Files.isRegularFile(f))
+        Files.copy(f, saved.resolve(f.getFileName.toString))
+    }
+    MorMirror.compact(spark, wh, "m")
+    Files.createDirectories(deltaDir)
+    Files.list(saved).iterator().asScala.foreach(f =>
+      Files.copy(f, deltaDir.resolve(f.getFileName.toString)))
+
+    assert(state(wh, "m") == want,
+      "already-folded delta re-merge must select byte-identical winners")
+    // the next compaction clears the leftover debt
+    MorMirror.compact(spark, wh, "m")
+    val (_, deltaFiles) = MorMirror.fileCensus(wh, "m")
+    assert(deltaFiles.isEmpty)
+    assert(state(wh, "m") == want)
+  }
+
+  test("read-side fold is bucket-pruned: contested base scan carries PartitionFilters") {
+    val wh = Warehouse(tmpDir("mor-prune"))
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"), (6L, "f", "I", "t1"))
+    MorMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((1L, "a2", "U", "t2")), batchId = 1)
+    val plan = MorMirror.read(spark, wh, "m").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(PartitionedMirror.BucketCol),
+      s"expected a bucket-pruned contested scan in:\n$plan")
+  }
+
+  test("stored layout config wins: appendDelta works without re-passing cfg or modulus") {
+    val wh = Warehouse(tmpDir("mor-cfg"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    assert(MorMirror.storedConfig(wh, "m").contains((cfg, N)))
+    // uninitialized table refuses appends loudly
+    val e = intercept[IllegalStateException] {
+      MorMirror.appendDelta(wh, "nope", changes((1L, "x", "U", "t2")), batchId = 1)
+    }
+    assert(e.getMessage.contains("not initialized"))
+  }
+}
