@@ -638,6 +638,33 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Changelog OF the mirror ([[graft.plans.MirrorChangelog]]): the
+    * row-level diff between two mirror snapshots — version N = the fold of
+    * changes up to the median event id, version M = the fold of all — as
+    * insert / delete / update_before / update_after rows with before/after
+    * images. The DuckDB oracle recomputes the same diff with a FULL OUTER
+    * JOIN of the two folds, hash-exact. One shuffle join on the key;
+    * unchanged keys emit zero rows (delta-sized output).
+    */
+  def q164MirrorChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MirrorChangelog
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+    // integer division: DuckDB's double->bigint cast ROUNDS, Spark's
+    // truncates — `div` agrees exactly in both engines
+    val cut = events(spark, dir).agg(expr("max(event_id) div 2").as("_cut"))
+    // drop the internal ingest-seq: it differs between the two folds and
+    // would fabricate updates for otherwise-identical rows
+    val oldV = Cdc.applyAll(
+      ch.crossJoin(broadcast(cut)).filter(col("event_id") <= col("_cut"))
+        .drop("_cut"), cfg).drop(Cdc.SeqCol)
+    val newV = Cdc.applyAll(ch, cfg).drop(Cdc.SeqCol)
+    MirrorChangelog.diff(oldV, newV, "user_id")
+      .orderBy(col("user_id"), col(MirrorChangelog.ChangeTypeCol))
+  }
+
   private def deleteDir(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
@@ -1219,6 +1246,36 @@ object Queries {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    "q164_mirror_changelog" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY event_id DESC) AS rn
+        |    FROM events
+        |    WHERE event_id <= (SELECT max(event_id) // 2 FROM events))
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |n AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |j AS (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.user_id IS NOT NULL AS has_o, n.user_id IS NOT NULL AS has_n,
+        |    o.event_id AS o_eid, o.event_type AS o_et, o.value AS o_v,
+        |    n.event_id AS n_eid, n.event_type AS n_et, n.value AS n_v
+        |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id),
+        |changed AS (
+        |  SELECT * FROM j WHERE has_o AND has_n AND
+        |    (o_eid IS DISTINCT FROM n_eid OR o_et IS DISTINCT FROM n_et
+        |     OR o_v IS DISTINCT FROM n_v))
+        |SELECT user_id, n_eid AS event_id, n_et AS event_type, n_v AS value,
+        |       'insert' AS _change_type FROM j WHERE NOT has_o
+        |UNION ALL SELECT user_id, o_eid, o_et, o_v, 'delete' FROM j WHERE NOT has_n
+        |UNION ALL SELECT user_id, o_eid, o_et, o_v, 'update_before' FROM changed
+        |UNION ALL SELECT user_id, n_eid, n_et, n_v, 'update_after' FROM changed
+        |ORDER BY user_id, _change_type""".stripMargin,
+
     // the merge-on-read lifecycle answers the SAME question as q18's
     // one-shot fold — one oracle, two engine paths cross-checking
     "q163_mor_mirror" ->
@@ -1524,6 +1581,7 @@ object Queries {
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
     "q163_mor_mirror" -> (q163MorMirror _),
+    "q164_mirror_changelog" -> (q164MirrorChangelog _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),

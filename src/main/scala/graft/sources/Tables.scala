@@ -102,8 +102,16 @@ object Tables {
 
   /** Warehouse = a directory of `<table>` parquet dirs (offline stand-in for
     * the Iceberg catalog the reference talks to, tabular.py:92).
+    *
+    * `retain` = number of versions kept per table INCLUDING the current one
+    * (default 2: current + one previous for in-flight readers — the round-9
+    * behavior). Deeper retention is what makes multi-hop time travel
+    * ([[readVersion]]) and incremental changelog consumption
+    * ([[graft.plans.MirrorChangelog]]) work across more than one commit —
+    * the capability the reference's users get from Iceberg's snapshot log.
     */
-  final case class Warehouse(root: String) {
+  final case class Warehouse(root: String, retain: Int = 2) {
+    require(retain >= 1, s"retain must keep at least the current version, got $retain")
     def tablePath(name: String): String = s"$root/$name"
     def exists(name: String): Boolean = {
       val p = Paths.get(tablePath(name))
@@ -242,10 +250,29 @@ object Tables {
       Files.move(tmpLink, table,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // GC: keep the current and one previous version for in-flight readers
-      versions(name).dropRight(2).foreach { case (_, p) =>
+      // GC: keep the `retain` newest versions (current + history depth)
+      versions(name).dropRight(retain).foreach { case (_, p) =>
         deleteRecursively(p)
       }
+    }
+
+    /** Version numbers of `name` currently retained, ascending. */
+    def listVersions(name: String): Seq[Long] = versions(name).map(_._1)
+
+    /** Time-travel read of a specific retained version. Fails loudly when
+      * the version was GC'd (or never existed) — silently serving a
+      * different snapshot would corrupt every incremental consumer
+      * downstream.
+      */
+    def readVersion(spark: SparkSession, name: String, version: Long,
+        mergeSchema: Boolean = false): DataFrame = {
+      val p = versions(name).collectFirst { case (`version`, dir) => dir }
+        .getOrElse(throw new NoSuchElementException(
+          s"$name has no retained version $version " +
+            s"(retained: ${listVersions(name).mkString(", ")}; retain=$retain)"))
+      spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", mergeSchema.toString)
+        .parquet(p.toString)
     }
 
     private def deleteRecursively(p: Path): Unit = {

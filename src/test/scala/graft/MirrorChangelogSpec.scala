@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MirrorChangelog
+import graft.plans.MirrorChangelog._
+import graft.sources.Tables.Warehouse
+
+/** The mirror changelog must (a) classify inserts/deletes/updates with
+  * faithful before/after images, (b) emit NOTHING for unchanged keys
+  * (null fields included — struct equality is null-safe), and (c) satisfy
+  * the replay contract: applying `diff(N, M)` onto snapshot N reproduces
+  * snapshot M exactly — including across retained Warehouse versions,
+  * which is what makes it an incremental feed and not a report.
+  */
+class MirrorChangelogSpec extends SparkTestBase {
+
+  private def snap(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Any, String)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("name")),
+      r.get(r.fieldIndex("score")),
+      r.getString(r.fieldIndex(ChangeTypeCol)))).toSet
+
+  test("diff classifies insert/delete/update with before+after images; unchanged emit nothing") {
+    val oldV = snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val newV = snap((1L, "a", 1.0), (2L, "b2", 2.5), (4L, "d", 4.0))
+    val d = MirrorChangelog.diff(oldV, newV, "id")
+    assert(rowsOf(d) == Set(
+      (2L, "b", 2.0, UpdateBefore),
+      (2L, "b2", 2.5, UpdateAfter),
+      (3L, "c", 3.0, Delete),
+      (4L, "d", 4.0, Insert)))
+  }
+
+  test("null fields compare null-safe: a key with an unchanged null emits no change") {
+    import spark.implicits._
+    val oldV = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "name")
+    val newV = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "name")
+    val d = MirrorChangelog.diff(oldV, newV, "id")
+    val types = d.select("id", ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(types == Set((2L, UpdateBefore), (2L, UpdateAfter)),
+      "null==null must not fabricate a change; x->null must emit one")
+  }
+
+  test("additive schema evolution: new column joins as null on before-images") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a")).toDF("id", "name")
+    val newV = Seq((1L, "a", 9L)).toDF("id", "name", "added")
+    val d = MirrorChangelog.diff(oldV, newV, "id").collect()
+    val byType = d.map(r => r.getString(r.fieldIndex(ChangeTypeCol)) -> r).toMap
+    assert(byType.keySet == Set(UpdateBefore, UpdateAfter))
+    assert(byType(UpdateBefore).isNullAt(byType(UpdateBefore).fieldIndex("added")))
+    assert(byType(UpdateAfter).getLong(byType(UpdateAfter).fieldIndex("added")) == 9L)
+  }
+
+  test("replay contract: diff applied to N reproduces M (fuzzed)") {
+    val rnd = new scala.util.Random(163)
+    (1 to 5).foreach { trial =>
+      val keys = 1L to 40L
+      def randomSnap(): DataFrame = snap(keys.flatMap { k =>
+        if (rnd.nextDouble() < 0.7)
+          Some((k, s"v${rnd.nextInt(3)}", rnd.nextInt(5).toDouble))
+        else None
+      }: _*)
+      val a = randomSnap().localCheckpoint(true)
+      val b = randomSnap().localCheckpoint(true)
+      val replayed = MirrorChangelog.replay(
+        a, MirrorChangelog.diff(a, b, "id"), "id")
+      val want = b.collect().map(_.toSeq).toSet
+      val got = replayed.select("id", "name", "score").collect().map(_.toSeq).toSet
+      assert(got == want, s"trial $trial: replay(N, diff) != M")
+    }
+  }
+
+  test("between two retained versions + replay across the warehouse snapshot log") {
+    val wh = Warehouse(tmpDir("chlog"), retain = 3)
+    wh.overwrite(snap((1L, "a", 1.0), (2L, "b", 2.0)), "m") // v1
+    wh.overwrite(snap((1L, "a", 1.0), (2L, "b2", 2.0), (3L, "c", 3.0)), "m") // v2
+    wh.overwrite(snap((2L, "b3", 2.0), (3L, "c", 3.0)), "m") // v3
+    assert(wh.listVersions("m") == Seq(1L, 2L, 3L))
+
+    // multi-hop incremental consumption: v1 -> v3 directly
+    val d13 = MirrorChangelog.between(spark, wh, "m", 1L, 3L, "id")
+    assert(rowsOf(d13) == Set(
+      (1L, "a", 1.0, Delete),
+      (2L, "b", 2.0, UpdateBefore), (2L, "b3", 2.0, UpdateAfter),
+      (3L, "c", 3.0, Insert)))
+    val replayed = MirrorChangelog.replay(
+      wh.readVersion(spark, "m", 1L), d13, "id")
+    assert(replayed.collect().map(_.toSeq).toSet ==
+      wh.readVersion(spark, "m", 3L).collect().map(_.toSeq).toSet,
+      "diff replayed onto v1 must reproduce v3")
+
+    // chained single hops compose to the same state
+    val hop = MirrorChangelog.replay(
+      MirrorChangelog.replay(wh.readVersion(spark, "m", 1L),
+        MirrorChangelog.between(spark, wh, "m", 1L, 2L, "id"), "id"),
+      MirrorChangelog.between(spark, wh, "m", 2L, 3L, "id"), "id")
+    assert(hop.collect().map(_.toSeq).toSet ==
+      wh.readVersion(spark, "m", 3L).collect().map(_.toSeq).toSet)
+  }
+
+  test("retention matrix: GC keeps exactly `retain` versions; a GC'd read fails loudly") {
+    val deep = Warehouse(tmpDir("chlog-deep"), retain = 4)
+    (1 to 6).foreach(i => deep.overwrite(snap((1L, s"v$i", i.toDouble)), "t"))
+    assert(deep.listVersions("t") == Seq(3L, 4L, 5L, 6L))
+    assert(deep.currentVersion("t").contains(6L))
+    // every retained version is readable (snapshot isolation across k)
+    (3L to 6L).foreach { v =>
+      assert(deep.readVersion(spark, "t", v).collect()
+        .map(_.getString(1)).toSeq == Seq(s"v$v"))
+    }
+    val e = intercept[NoSuchElementException] {
+      deep.readVersion(spark, "t", 2L)
+    }
+    assert(e.getMessage.contains("no retained version 2"))
+
+    // default retention is unchanged round-9 behavior: current + one
+    val shallow = Warehouse(tmpDir("chlog-shallow"))
+    (1 to 3).foreach(i => shallow.overwrite(snap((1L, s"v$i", i.toDouble)), "t"))
+    assert(shallow.listVersions("t") == Seq(2L, 3L))
+  }
+}
