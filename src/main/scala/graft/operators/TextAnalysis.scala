@@ -64,6 +64,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Char-n-gram language profiles for [[q162CharLangId]]: per language, a
+    * small set of high-frequency character trigram markers (linguistic
+    * anchors — German function-word cores, Spanish/French clitic+article
+    * patterns, common hanzi for zh). A linear score over char-n-gram
+    * counts is exactly the fastText/CCNet langid model shape reduced to a
+    * literal profile table; character level (unlike [[q21LangId]]'s word
+    * votes) needs no tokenizer and survives noisy web text. Public anchor:
+    * Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data" (2019).
+    */
+  private[graft] val CharLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "und", "ich"),
+    "en" -> Seq("the", " th", "ing", " of", "and"),
+    "es" -> Seq(" de", "que", "ión", " la", "los"),
+    "fr" -> Seq(" le", "les", "eur", "ait", "aux"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Char-n-gram language identification (q162) — the pipeline stage that
+    * PRODUCES a language label (q68/q117/q140 consume one): per document,
+    * an integer marker-occurrence score per language, argmax with
+    * smallest-lang tie-break, `und` when no marker fires. Output is the
+    * (actual, predicted) confusion census against the corpus's stored
+    * `lang` column. NOTE the testdata labels are synthetic (the text is a
+    * uniform token soup regardless of label), so the census measures the
+    * scorer's determinism under the oracle, not recall — the spec's
+    * bilingual corpus with real sentences is where identification itself
+    * is proven.
+    *
+    * Scale shape: occurrence counting is `length − length(replace(..))`
+    * per marker — pure codegen'd per-row expressions, NO token explosion,
+    * no cross join, no shuffle except the final bounded confusion-matrix
+    * aggregate (≤ |langs|² rows). The profile table is compiled into the
+    * plan as literals — the 100 TB form ships a broadcast weight table
+    * exactly like q105's classifier.
+    */
+  def q162CharLangId(spark: SparkSession, dir: String): DataFrame =
+    withCharLangPred(docs(spark, dir))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Attach `lang_pred` to any frame with a `text` column — the reusable
+    * langid kernel ([[q162CharLangId]] is its confusion census; a pipeline
+    * would call this right after ingest to produce the `lang` column).
+    * Per-row codegen expressions only; adds no shuffle to the input plan.
+    */
+  private[graft] def withCharLangPred(df: DataFrame): DataFrame = {
+    // integer occurrences of marker m: (len(text) - len(replace(text, m))) / len(m)
+    def occ(m: String): org.apache.spark.sql.Column = {
+      val esc = m.replace("\\", "\\\\").replace("'", "\\'")
+      expr(s"(length(text) - length(replace(text, '$esc', ''))) div ${m.length}")
+    }
+    val scores = CharLangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(occ).reduce(_ + _).cast("long")
+    }
+    // argmax by (score, tie-priority): priority DESCENDS in lang order, so
+    // an equal-score tie resolves to the lexicographically smallest lang —
+    // the same rule the oracle's (score DESC, lang ASC) row_number applies
+    val candidates = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("s"), lit(CharLangMarkers.size - i).as("p"), lit(lang).as("l"))
+    }
+    val best = array_max(array(candidates: _*))
+    df.withColumn("lang_pred",
+      when(best.getField("s") === 0L, lit("und")).otherwise(best.getField("l")))
+  }
+
   /** Oracle fragment mirroring [[q21LangId]]'s hit columns. */
   private def langHitsSql: String = langStops.map { case (lang, words) =>
     s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS ${lang}_hits"
@@ -1284,6 +1350,26 @@ object TextAnalysis {
         |    ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // marker table interpolated from CharLangMarkers — the engine and the
+    // oracle read the SAME profile constants, so they cannot drift
+    "q162_char_lang_id" -> {
+      val vals = CharLangMarkers.flatMap { case (l, ms) =>
+        ms.map(m => s"('$l', '${m.replace("'", "''")}')")
+      }.mkString(", ")
+      s"""WITH mk(lang_m, g) AS (VALUES $vals),
+        |s AS (SELECT d.doc_id, d.lang, mk.lang_m,
+        |        sum((length(d.text) - length(replace(d.text, mk.g, '')))
+        |            // length(mk.g)) AS score
+        |      FROM documents d CROSS JOIN mk GROUP BY 1, 2, 3),
+        |b AS (SELECT doc_id, lang,
+        |        CASE WHEN score = 0 THEN 'und' ELSE lang_m END AS lang_pred,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, lang_m ASC) AS rn
+        |      FROM s)
+        |SELECT lang, lang_pred, count(*) AS n_docs FROM b WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "q22_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |${qualityMetricsCte("t")},
@@ -1323,6 +1409,7 @@ object TextAnalysis {
     "q29_tfidf" -> (q29Tfidf _),
     "q20_text_stats" -> (q20TextStats _),
     "q21_lang_id" -> (q21LangId _),
+    "q162_char_lang_id" -> (q162CharLangId _),
     "q22_quality" -> (q22Quality _),
     "q23_token_classes" -> (q23TokenClasses _),
     "q24_fingerprint" -> (q24Fingerprint _),
