@@ -485,7 +485,114 @@ object AnnStress {
     spark.stop()
   }
 
+  /** Single-query serve LATENCY profile from a stored cid-partitioned
+    * index — the complement of [[serveMain]]'s batch THROUGHPUT claim:
+    * cold first query (file listing + footer reads + codegen + broadcast
+    * build all on the critical path), then a warm loop (FileIndex listing
+    * cached, code JIT'd), then the same warm loop with the code store
+    * RESIDENT (`persist`) — the memory-vs-object-store axis a deployment
+    * tunes. The 100 TB guidance this measures (SCALE.md "serving
+    * latency"): centroids + codebooks always resident (KB–MB), codes on
+    * object store for throughput serving, codes resident (or on NVMe
+    * cache) when single-query latency matters.
+    *
+    * Run: `sbt "runMain graft.AnnStress latency [nVecs] [nQueries]"`
+    * (defaults 1000000 / 24).
+    */
+  private def latencyMain(nVecs: Long, nQueries: Int): Unit = {
+    val nClusters = 64
+    val ivfK = 16
+    val nprobe = 2
+    val k = 10
+    val spark = Harness.session("graft-latency-ann-stress")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import Harness.timed
+
+    val vecs: DataFrame = spark.range(nVecs)
+      .select(col("id").as("vec_id"), (col("id") % nClusters).as("c"))
+      .withColumn("q", expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(vec_id, d), 21) - 10
+           |  AS BIGINT))""".stripMargin))
+      .withColumn("nq", expr("long_dot(q, q)"))
+      .select("vec_id", "q", "nq")
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft-latency").toString
+    val seeds = vecs.filter(col("vec_id") < ivfK)
+      .select(col("vec_id").as("cid"), col("q").as("csum"), col("nq").as("nc"))
+    val centroids = Similarity.ivfCentroids(vecs, seeds).localCheckpoint(true)
+    vecs.join(Similarity.assign(vecs, centroids), Seq("vec_id"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index")
+
+    val queries = (0 until nQueries).map { qi =>
+      spark.range(1).select(lit(qi.toLong).as("qid"), lit(qi % nClusters).as("c"))
+        .withColumn("qq", expr(
+          s"""transform(sequence(0, 63), d -> CAST(
+             |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(qid + 7, d, 13), 21) - 10
+             |  AS BIGINT))""".stripMargin))
+        .withColumn("qn", expr("long_dot(qq, qq)"))
+        .select("qid", "qq", "qn").localCheckpoint(true)
+    }
+    // centroids resident (broadcast-sized): ranking is driver-adjacent in
+    // every regime — the part a deployment never re-reads per query
+    val centRows = centroids.collect()
+
+    def serveOne(index: DataFrame, one: DataFrame): Seq[Long] = {
+      val oneRow = one.head()
+      val qq = oneRow.getSeq[Long](oneRow.fieldIndex("qq"))
+      val qn = oneRow.getLong(oneRow.fieldIndex("qn"))
+      val cids = centRows.map { r =>
+        val cs = r.getSeq[Long](r.fieldIndex("csum"))
+        val nc = r.getLong(r.fieldIndex("nc"))
+        val dot = cs.zip(qq).map { case (a, b) => a * b }.sum
+        val cos = if (nc == 0 || qn == 0) 0.0
+          else dot.toDouble / (math.sqrt(nc.toDouble) * math.sqrt(qn.toDouble))
+        (cos, r.getLong(r.fieldIndex("cid")))
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(nprobe).map(_._2).sorted
+      index.filter(col("cid").isin(cids: _*))
+        .join(broadcast(one))
+        .withColumn("cos", Similarity.cosCol("long_dot(q, qq)", "nq", "qn"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k).select("vec_id").as[Long].collect().toSeq
+    }
+
+    def profile(index: DataFrame): (Double, Seq[Double]) = {
+      val (_, cold) = timed(serveOne(index, queries.head))
+      val warm = queries.tail.map { q => timed(serveOne(index, q))._2 }
+      (cold, warm)
+    }
+    def stats(xs: Seq[Double]): (Double, Double) = {
+      val s = xs.sorted
+      (s(s.length / 2), s(math.min(s.length - 1, (s.length * 95) / 100)))
+    }
+    def ms(x: Double): Double = math.round(x * 100000) / 100.0
+
+    // regime 1: fresh session-state scan path — codes on "object store"
+    val coldIndex = spark.read.parquet(s"$base/index")
+    val (cold1, warm1) = profile(coldIndex)
+    val (med1, p951) = stats(warm1)
+    // regime 2: codes RESIDENT
+    val resident = spark.read.parquet(s"$base/index").persist()
+    resident.count() // materialize before measuring
+    val (cold2, warm2) = profile(resident)
+    val (med2, p952) = stats(warm2)
+
+    println(s"""{"harness":"latency-stress","n_vecs":$nVecs,"n_queries":$nQueries,""" +
+      s""""ivf_k":$ivfK,"nprobe":$nprobe,""" +
+      s""""store_cold_ms":${ms(cold1)},"store_warm_median_ms":${ms(med1)},""" +
+      s""""store_warm_p95_ms":${ms(p951)},""" +
+      s""""resident_first_ms":${ms(cold2)},"resident_warm_median_ms":${ms(med2)},""" +
+      s""""resident_warm_p95_ms":${ms(p952)}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("latency")) {
+      latencyMain(args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toInt).getOrElse(24))
+      return
+    }
     if (args.headOption.contains("lsh")) {
       lshMain(args.lift(1).map(_.toLong).getOrElse(100000L))
       return
