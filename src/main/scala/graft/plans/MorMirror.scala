@@ -96,6 +96,12 @@ object MorMirror {
     val st = if (state.columns.contains(graft.DmsEnvelope.OpCol)) state
              else state.withColumn(graft.DmsEnvelope.OpCol, lit(graft.DmsEnvelope.Update))
     val staged = withBucket(st, cfg.keyCol, nBuckets).localCheckpoint(true)
+    // a table previously seeded as a versioned FLAT table (LOAD bootstrap
+    // via Warehouse.overwrite) migrates here: the pointer layout is
+    // dissolved AFTER the state is eagerly materialized above, so the MOR
+    // directory tree owns the path (the PartitionedMirror.initialize
+    // migration contract)
+    wh.dissolveVersioned(name)
     nw.commit(BaseTable) { path =>
       staged.write.mode(SaveMode.Overwrite)
         .partitionBy(PartitionedMirror.BucketCol).parquet(path)
@@ -118,7 +124,11 @@ object MorMirror {
     val (cfg, buckets) = storedConfig(wh, name).getOrElse(
       throw new IllegalStateException(
         s"MOR mirror '$name' not initialized — no stored layout props"))
-    val folded = Cdc.fold(Cdc.stampBatchSeq(changes, batchId), cfg)
+    // a streaming caller has already stamped the batch (CdcStream) — the
+    // seq encoding contract is shared, so never re-stamp
+    val stamped = if (changes.columns.contains(Cdc.SeqCol)) changes
+                  else Cdc.stampBatchSeq(changes, batchId)
+    val folded = Cdc.fold(stamped, cfg)
     withBucket(folded, cfg.keyCol, buckets)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
@@ -179,6 +189,49 @@ object MorMirror {
     Cdc.currentState(
       storedState(spark, wh, name, deltaDirs(wh, name))
         .drop(PartitionedMirror.BucketCol))
+
+  /** Stored rows (tombstones INCLUDED) in the buckets an incoming batch
+    * touches — the partition-pruned before-state the IVM deltas consume
+    * ([[graft.plans.IncrementalAgg.applyDelta]]), mirroring
+    * [[PartitionedMirror.touchedBefore]]: base partitions AND delta rows
+    * are both filtered to the incoming batch's bucket set before the
+    * read-time fold, so the lookup is O(touched + deltas_touched), not
+    * O(mirror).
+    */
+  def touchedBefore(spark: SparkSession, wh: Warehouse, name: String,
+      changes: DataFrame): DataFrame = {
+    val (cfg, buckets) = storedConfig(wh, name).getOrElse(
+      throw new IllegalStateException(
+        s"MOR mirror '$name' not initialized — no stored layout props"))
+    val kb = PartitionedMirror.BucketCol
+    val touched = withBucket(changes, cfg.keyCol, buckets)
+      .select(kb).distinct().collect().map(_.getInt(0)).sorted
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(nested(wh, name).snapshotPath(BaseTable))
+      .filter(col(kb).isin(touched.map(Integer.valueOf): _*))
+    val dd = deltaDirs(wh, name)
+    val all0 =
+      if (dd.isEmpty) base
+      else base.unionByName(
+        spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true")
+          .parquet(dd.map(_.toString): _*)
+          .filter(col(kb).isin(touched.map(Integer.valueOf): _*)),
+        allowMissingColumns = true)
+    // a LOAD-seed base with no deltas yet has no ts/seq — align from the
+    // incoming batch's types so the fold analyzes (null ts loses to all)
+    val all = Seq(cfg.tsCol, Cdc.SeqCol).foldLeft(all0) { (df, c) =>
+      if (df.columns.contains(c) || !changes.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
+    Cdc.fold(all, cfg).drop(kb)
+  }
+
+  /** Number of un-compacted delta batches currently pending — the
+    * observable a compaction policy triggers on.
+    */
+  def pendingDeltas(wh: Warehouse, name: String): Int =
+    deltaDirs(wh, name).size
 
   /** Fold accumulated deltas into a fresh base version, clearing the
     * read-time merge debt. Sequence: (1) pin the delta list; (2)

@@ -79,7 +79,22 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
       mirrorBuckets: Option[Int] = None,
-      maintainedAggs: Seq[MaintainedAgg] = Seq.empty): StreamingQuery = {
+      maintainedAggs: Seq[MaintainedAgg] = Seq.empty,
+      /** Merge-on-read mirror mode ([[graft.plans.MorMirror]]): batches
+        * commit O(delta) delta files instead of rewriting touched buckets;
+        * reads merge. Requires `mirrorBuckets`. The STORED layout always
+        * wins over this flag — a table that already exists as a COW
+        * bucketed mirror stays COW, and an existing MOR table stays MOR
+        * even when the flag is off (the bucket-modulus-drift rule applied
+        * to the layout choice itself).
+        */
+      mirrorMor: Boolean = false,
+      /** Compact the MOR mirror when this many delta batches accumulate —
+        * bounds read-time merge debt; the fold is atomic and replay-safe.
+        */
+      morCompactEvery: Int = 8): StreamingQuery = {
+    require(!mirrorMor || mirrorBuckets.isDefined,
+      "mirrorMor requires mirrorBuckets (the MOR layout is bucketed)")
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference
@@ -122,6 +137,8 @@ object CdcStream {
           val visible =
             if (graft.plans.PartitionedMirror.storedBuckets(wh, spec.mirrorTable).isDefined)
               graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
+            else if (graft.plans.MorMirror.storedConfig(wh, spec.mirrorTable).isDefined)
+              graft.plans.MorMirror.read(spark, wh, spec.mirrorTable)
             else Cdc.currentState(wh.read(spark, spec.mirrorTable))
           commitAgg(wh, aggTable,
             graft.plans.IncrementalAgg.full(visible, aspec).localCheckpoint(true),
@@ -154,6 +171,8 @@ object CdcStream {
             // merged flat — or vice versa — would corrupt the layout)
             val stored = graft.plans.PartitionedMirror.storedBuckets(wh, table)
             val layout = stored.orElse(mirrorBuckets)
+            val morStored = graft.plans.MorMirror.storedConfig(wh, table).isDefined
+            val useMor = morStored || (mirrorMor && stored.isEmpty)
             // Before-state for the IVM deltas, tombstones included. For the
             // bucketed layout this is the partition-pruned touched-bucket
             // read — O(touched + delta), the same pruning the mirror merge
@@ -162,6 +181,8 @@ object CdcStream {
               if (!exists) Cdc.fold(changes, spec.cdc).limit(0)
               else if (stored.isDefined) graft.plans.PartitionedMirror
                 .touchedBefore(spark, wh, table, changes, spec.cdc)
+              else if (morStored) graft.plans.MorMirror
+                .touchedBefore(spark, wh, table, changes)
               else wh.read(spark, table)
             // Maintained aggregates fold their delta from the BEFORE-state,
             // so they run ahead of the mirror commit. Replay safety: each
@@ -183,6 +204,9 @@ object CdcStream {
                       if (!exists) Cdc.currentState(mirrorBefore)
                       else if (stored.isDefined)
                         graft.plans.PartitionedMirror.read(spark, wh, table)
+                      else if (morStored)
+                        // FULL visible state, not the pruned before-view
+                        graft.plans.MorMirror.read(spark, wh, table)
                       else Cdc.currentState(mirrorBefore)
                     graft.plans.IncrementalAgg.full(visible, aspec)
                   }
@@ -191,7 +215,23 @@ object CdcStream {
                 commitAgg(wh, aggTable, updated.localCheckpoint(true), batchId)
               }
             }
-            layout match {
+            if (useMor) {
+              val n = mirrorBuckets.getOrElse(64)
+              if (!morStored) {
+                // first MOR commit: fold the batch (merging any pre-seeded
+                // flat state — a LOAD-bootstrapped table migrates here) and
+                // initialize the layout; later batches are O(delta) appends
+                val seedState =
+                  if (exists) Cdc.applyBatch(mirrorBefore, changes, spec.cdc)
+                  else Cdc.fold(changes, spec.cdc)
+                graft.plans.MorMirror.initialize(wh, table, seedState, spec.cdc, n)
+              } else {
+                graft.plans.MorMirror.appendDelta(wh, table, changes, batchId)
+                // bound read-time merge debt; compact is atomic + replay-safe
+                if (graft.plans.MorMirror.pendingDeltas(wh, table) >= morCompactEvery)
+                  graft.plans.MorMirror.compact(spark, wh, table)
+              }
+            } else layout match {
               case Some(n) =>
                 // first batch bootstraps the partitioned layout from its own
                 // fold (an empty partitioned dir has no readable schema)

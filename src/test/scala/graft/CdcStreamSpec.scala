@@ -212,6 +212,127 @@ class CdcStreamSpec extends SparkTestBase {
     assert(after == state)
   }
 
+  test("streaming replay with the merge-on-read mirror equals the flat result") {
+    val g = DmsGenerator.generate(91L)
+    val src = tmpDir("stream-src-mor")
+    val ckpt = tmpDir("ckpt-mor")
+    val wh = Warehouse(tmpDir("stream-wh-mor"))
+    val spec = PipelineSpec(src, "mor_changelog", "mor", CdcConfig("id", "ts"))
+
+    // one file per micro-batch: batch 1 initializes the MOR layout, every
+    // later batch must land as an O(delta) delta file
+    g.batches.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 1}.parquet")
+    }
+    CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8),
+      mirrorMor = true, maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    assert(graft.plans.MorMirror.storedConfig(wh, "mor")
+      .contains((CdcConfig("id", "ts"), 8)))
+    val mirror = graft.plans.MorMirror.read(spark, wh, "mor")
+      .select("id", "name", "modification_date")
+      .as[(Long, String, String)].collect().toSet
+    assert(mirror === g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet)
+    // deltas really accumulated (no bucket rewrites happened per batch)
+    assert(graft.plans.MorMirror.pendingDeltas(wh, "mor") == g.batches.size - 1,
+      "every post-init batch must be a delta commit, not a base rewrite")
+    // a restart with no new files is a checkpointed no-op
+    CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8),
+      mirrorMor = true, maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(graft.plans.MorMirror.pendingDeltas(wh, "mor") == g.batches.size - 1)
+  }
+
+  test("MOR compaction triggers mid-stream at the delta threshold and preserves state") {
+    val g = DmsGenerator.generate(92L)
+    val src = tmpDir("stream-src-morc")
+    val wh = Warehouse(tmpDir("stream-wh-morc"))
+    val spec = PipelineSpec(src, "morc_changelog", "morc", CdcConfig("id", "ts"))
+    g.batches.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 1}.parquet")
+    }
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-morc"), mirrorBuckets = Some(8),
+      mirrorMor = true, maxFilesPerTrigger = Some(1),
+      morCompactEvery = 2).awaitTermination()
+    assert(graft.plans.MorMirror.pendingDeltas(wh, "morc") < 2,
+      "the delta-count policy must have folded the debt")
+    val mirror = graft.plans.MorMirror.read(spark, wh, "morc")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(mirror === g.expectedFinal.map(r => (r.id, r.name)).toSet)
+  }
+
+  test("seeded (versioned flat) mirror migrates into the MOR layout; stored COW layout wins over the flag") {
+    import scala.jdk.CollectionConverters._
+    val src = tmpDir("stream-src-mormig")
+    val wh = Warehouse(tmpDir("stream-wh-mormig"))
+    val spec = PipelineSpec(src, "morm_changelog", "morm", CdcConfig("id", "ts"))
+    wh.overwrite(Cdc.withIngestSeq(
+      Seq((1L, "load1", "m0"), (2L, "load2", "m0"))
+        .toDF("id", "name", "modification_date")), "morm")
+    writeParquet(Seq(DmsGenerator.Log(1L, "changed", "m1", "t", "U", "2024-01-02T00:00:00")),
+      s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, tmpDir("ckpt-mormig"),
+      mirrorBuckets = Some(4), mirrorMor = true).awaitTermination()
+    assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("morm"))),
+      "the flat pointer layout must be dissolved by the MOR migration")
+    assert(!Files.list(Paths.get(wh.root)).iterator().asScala
+      .exists(_.getFileName.toString.matches("morm\\.v\\d+")),
+      "stale version dirs must not survive the migration")
+    assert(graft.plans.MorMirror.storedConfig(wh, "morm").isDefined)
+    val state = graft.plans.MorMirror.read(spark, wh, "morm")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "changed", 2L -> "load2"),
+      "LOAD-seeded keys must survive; changed keys must supersede")
+
+    // stored-layout-wins: a COW bucketed table streamed with mirrorMor=true
+    // stays COW — no deltas directory ever appears
+    val src2 = tmpDir("stream-src-coww")
+    val spec2 = PipelineSpec(src2, "coww_changelog", "coww", CdcConfig("id", "ts"))
+    writeParquet(Seq(DmsGenerator.Log(5L, "a", "m1", "t", "U", "2024-01-01T00:00:00")),
+      s"$src2/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec2, tmpDir("ckpt-coww1"),
+      mirrorBuckets = Some(4)).awaitTermination()
+    assert(graft.plans.PartitionedMirror.storedBuckets(wh, "coww").contains(4))
+    writeParquet(Seq(DmsGenerator.Log(6L, "b", "m2", "t", "U", "2024-01-02T00:00:00")),
+      s"$src2/dms_logs_2.parquet")
+    CdcStream.start(spark, wh, spec2, tmpDir("ckpt-coww1"),
+      mirrorBuckets = Some(4), mirrorMor = true).awaitTermination()
+    assert(!Files.isDirectory(Paths.get(wh.tablePath("coww"), "deltas")),
+      "an existing COW layout must win over the mirrorMor flag")
+    assert(graft.plans.PartitionedMirror.read(spark, wh, "coww")
+      .select("id", "name").as[(Long, String)].collect().toSet ==
+      Set((5L, "a"), (6L, "b")))
+  }
+
+  test("maintained aggregate + MOR mirror: IVM from the bucket-pruned merge-on-read before-state") {
+    import org.apache.spark.sql.functions.{col, length, pmod, lit}
+    val g = DmsGenerator.generate(29L)
+    val src = tmpDir("stream-src-ivmmor")
+    val ckpt = tmpDir("ckpt-ivmmor")
+    val wh = Warehouse(tmpDir("stream-wh-ivmmor"))
+    val spec = PipelineSpec(src, "mvr_changelog", "mvr", CdcConfig("id", "ts"))
+    val aspec = graft.plans.IncrementalAgg.Spec(pmod(col("id"), lit(4)), length(col("name")))
+    val agg = Seq("mvr_agg" -> aspec)
+
+    writeParquet(g.batches.head, s"$src/dms_logs_1.parquet")
+    CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8),
+      mirrorMor = true, maintainedAggs = agg).awaitTermination()
+    g.batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeParquet(b, s"$src/dms_logs_${i + 2}.parquet")
+    }
+    CdcStream.start(spark, wh, spec, ckpt, mirrorBuckets = Some(8),
+      mirrorMor = true, maintainedAggs = agg).awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("g").cast("long"), col("n"), col("s").cast("decimal(28,2)"))
+        .collect().map(_.toString).toSet
+    val visible = graft.plans.MorMirror.read(spark, wh, "mvr")
+    assert(canon(wh.read(spark, "mvr_agg")) ==
+      canon(graft.plans.IncrementalAgg.full(visible, aspec)),
+      "maintained aggregate must equal a recompute of the MOR mirror")
+    assert(visible.select("id", "name").as[(Long, String)].collect().toSet ==
+      g.expectedFinal.map(r => (r.id, r.name)).toSet)
+  }
+
   test("initial-load seeding: LOAD-only keys survive, changed keys are superseded") {
     val src = tmpDir("stream-src-seed")
     val wh = Warehouse(tmpDir("stream-wh-seed"))
