@@ -469,6 +469,111 @@ object Queries {
       .limit(100)
   }
 
+  /** Blamed sole supplier (q165) — the TPC-H Q21 shape: correlated
+    * EXISTS + NOT-EXISTS over the fact table ("returned lines on
+    * multi-supplier F-orders where NO other supplier's line was
+    * returned"; the fixture has no commit/receipt dates, so lateness is
+    * re-expressed as `l_returnflag = 'R'` — the join topology is Q21's).
+    * Spark-first move: DECORRELATE — the two correlated subqueries
+    * become one per-order aggregate (distinct-supplier count, distinct
+    * returned-supplier count) joined back, so the fact table is scanned
+    * twice total instead of once per outer row; the DuckDB oracle runs
+    * the textbook correlated form, cross-checking the decorrelation.
+    * Both joins key on l_orderkey (co-partitioned shuffle), the final
+    * census is a |suppliers|-key hash agg, top-20 plans as
+    * TakeOrderedAndProject.
+    */
+  def q165BlamedSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val fOrders = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val perOrder = li
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+    val blamedLines = li.filter(col("l_returnflag") === "R")
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+    blamedLines
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** National market share (q166) — the TPC-H Q8 shape: the share of
+    * PROMO-part revenue supplied by NATION_0, per order year. Two exact
+    * DECIMAL revenue sums per year (nation slice and total) from ONE
+    * aggregation pass — a conditional aggregate instead of Q8's CASE
+    * inside sum-over-window or a self-join — then one double division
+    * at the end (exact partial-order-independent sums, the q159/q90
+    * recipe). Join order: lineitem reduces against the broadcast PROMO
+    * part list and the broadcast supplier->nation map BEFORE the
+    * orders join carries the year in.
+    */
+  def q166MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val promo = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("n_name") === "NATION_0", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_rev"),
+        sum(rev).as("total_rev"))
+      .select(col("o_year"),
+        (col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Cross-nation trade volume (q167) — the TPC-H Q7 shape: revenue
+    * shipped between two nations, both directions, per order year
+    * (customer's nation vs supplier's nation; the fixture has no
+    * l_shipdate-year restriction need — all years reported). Both
+    * nation maps broadcast; the only corpus-sized shuffles are the two
+    * fact joins on their natural keys; exact DECIMAL sums, one cast at
+    * the end.
+    */
+  def q167TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_0", "NATION_1")
+    val n = t(spark, dir, "nation").select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(nations: _*))
+    val suppN = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(rev).cast("double").as("volume"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1342,6 +1447,59 @@ object Queries {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM noord GROUP BY 1 ORDER BY nation""".stripMargin,
 
+    // the oracle runs the TEXTBOOK correlated Q21 form; the engine runs
+    // the decorrelated per-order aggregate — each cross-checks the other
+    "q165_blamed_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q166_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_0'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS total_rev
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q167_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS volume,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_0', 'NATION_1')
+        |  AND cn.n_name IN ('NATION_0', 'NATION_1')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1588,6 +1746,9 @@ object Queries {
     "q158_asof_tolerance" -> (q158AsofTolerance _),
     "q159_dormant_customers" -> (q159DormantCustomers _),
     "q160_large_orders" -> (q160LargeOrders _),
+    "q165_blamed_supplier" -> (q165BlamedSupplier _),
+    "q166_market_share" -> (q166MarketShare _),
+    "q167_trade_volume" -> (q167TradeVolume _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
