@@ -84,6 +84,64 @@ object MirrorChangelog {
     diff(wh.readVersion(spark, name, fromV, mergeSchema = true),
       wh.readVersion(spark, name, toV, mergeSchema = true), keyCol)
 
+  /** Durable consumer cursor: the last mirror version whose diff was
+    * emitted into the view table.
+    */
+  private val CursorProp = "changelog.last-version"
+
+  /** Materialize the incremental feed: emit one diff per un-consumed
+    * mirror version hop into `viewTable` and advance a durable cursor —
+    * the Iceberg incremental-read consumer pattern (the reader tracks its
+    * snapshot position; the table just retains snapshots). Designed to
+    * run AFTER a stream drain or on a maintenance schedule, deliberately
+    * decoupled from the ingest stream's crash semantics: each hop's rows
+    * are deterministic given the two snapshots and land in a
+    * per-destination-version subdir via an overwrite, so a crashed or
+    * repeated run re-emits identical bytes and the cursor only advances
+    * after its hops are down. Returns the (from, to) hops emitted.
+    *
+    * First call establishes the cursor at the current version and emits
+    * nothing (a consumer starts "now"; history before its registration
+    * was never retained FOR it). A cursor that points at a GC'd version
+    * fails loudly via [[graft.sources.Tables.Warehouse.readVersion]] —
+    * the operator remedy is `Warehouse(root, retain = k)` deep enough
+    * for the consumer's cadence, not a silent skip that would corrupt
+    * every downstream incremental state.
+    *
+    * Rows carry `_from_version`/`_to_version` so a consumer can order
+    * and resume mid-stream; the view table itself is append-only and
+    * compactable by [[Maintenance.compact]].
+    */
+  def emitPending(spark: SparkSession, wh: Warehouse, name: String,
+      viewTable: String, keyCol: String): Seq[(Long, Long)] = {
+    import graft.sources.Tables.TableProps
+    val cur = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(
+        s"$name is not a versioned table — the changelog feed needs " +
+          "Warehouse-committed snapshots"))
+    val stored = TableProps.read(wh, viewTable).get(CursorProp).map(_.toLong)
+    stored match {
+      case None =>
+        TableProps.write(wh, viewTable,
+          TableProps.read(wh, viewTable) + (CursorProp -> cur.toString))
+        Seq.empty
+      case Some(last) if last >= cur => Seq.empty
+      case Some(last) =>
+        val hops = (last until cur).map(v => (v, v + 1))
+        hops.foreach { case (from, to) =>
+          val d = between(spark, wh, name, from, to, keyCol)
+            .withColumn("_from_version", lit(from))
+            .withColumn("_to_version", lit(to))
+          // per-hop subdir keyed by the DESTINATION version: re-runs
+          // overwrite with identical bytes (appendBatch contract)
+          wh.appendBatch(d, viewTable, batchId = to)
+        }
+        TableProps.write(wh, viewTable,
+          TableProps.read(wh, viewTable) + (CursorProp -> cur.toString))
+        hops
+    }
+  }
+
   /** Apply a diff to the FROM snapshot, reproducing the TO snapshot:
     * retract `delete`/`update_before` keys (one key anti-join), then add
     * `insert`/`update_after` images. The round-trip

@@ -109,6 +109,88 @@ class MirrorChangelogSpec extends SparkTestBase {
       wh.readVersion(spark, "m", 3L).collect().map(_.toSeq).toSet)
   }
 
+  test("emitPending: cursor registers, hops emit once, re-runs are no-ops, replay reproduces the mirror") {
+    val wh = Warehouse(tmpDir("chlog-feed"), retain = 5)
+    wh.overwrite(snap((1L, "a", 1.0), (2L, "b", 2.0)), "m") // v1
+    // consumer registers at v1: cursor set, nothing emitted
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_changes", "id").isEmpty)
+    val origin = wh.readVersion(spark, "m", 1L).localCheckpoint(true)
+
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0)), "m") // v2
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c2", 3.5), (4L, "d", 4.0)), "m") // v3
+    val hops = MirrorChangelog.emitPending(spark, wh, "m", "m_changes", "id")
+    assert(hops == Seq((1L, 2L), (2L, 3L)))
+    // idempotent: nothing new pending
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_changes", "id").isEmpty)
+
+    // replaying the feed in hop order from the registration-time state
+    // reproduces the current mirror exactly
+    val feed = wh.read(spark, "m_changes", mergeSchema = true)
+    val replayed = (2L to 3L).foldLeft(origin) { (st, v) =>
+      MirrorChangelog.replay(st,
+        feed.filter(col("_to_version") === v)
+          .drop("_from_version", "_to_version"), "id")
+    }
+    assert(replayed.collect().map(_.toSeq).toSet ==
+      wh.read(spark, "m").collect().map(_.toSeq).toSet,
+      "the emitted feed must reproduce the mirror from the consumer's origin")
+  }
+
+  test("emitPending fails loudly when the cursor's snapshot was GC'd (retention too shallow)") {
+    val wh = Warehouse(tmpDir("chlog-gc"), retain = 2)
+    wh.overwrite(snap((1L, "a", 1.0)), "t") // v1
+    assert(MirrorChangelog.emitPending(spark, wh, "t", "t_changes", "id").isEmpty)
+    // three more commits: v1 (the cursor) falls out of the retain=2 window
+    (2 to 4).foreach(i => wh.overwrite(snap((1L, s"a$i", i.toDouble)), "t"))
+    val e = intercept[NoSuchElementException] {
+      MirrorChangelog.emitPending(spark, wh, "t", "t_changes", "id")
+    }
+    assert(e.getMessage.contains("no retained version"),
+      s"GC'd cursor must fail loudly, got: ${e.getMessage}")
+  }
+
+  test("stream-then-feed: the changelog view of a streamed flat mirror tracks every commit") {
+    import spark.implicits._
+    val g = DmsGenerator.generate(51L)
+    val src = tmpDir("feed-src")
+    val ckpt = tmpDir("feed-ckpt")
+    val wh = Warehouse(tmpDir("feed-wh"), retain = 16)
+    val spec = PipelineSpec(src, "fm_changelog", "fm", CdcConfig("id", "ts"))
+    def writeBatch(logs: Seq[DmsGenerator.Log], path: String): Unit =
+      logs.toDF().withColumnRenamed("modificationDate", "modification_date")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+    // first drain commits v1; the consumer registers on it
+    writeBatch(g.batches.head, s"$src/dms_logs_1.parquet")
+    graft.streaming.CdcStream.start(spark, wh, spec, ckpt).awaitTermination()
+    assert(MirrorChangelog.emitPending(spark, wh, "fm", "fm_changes", "id").isEmpty)
+    val origin = wh.read(spark, "fm").localCheckpoint(true)
+
+    // each later file is its own micro-batch -> its own mirror version
+    g.batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeBatch(b, s"$src/dms_logs_${i + 2}.parquet")
+    }
+    graft.streaming.CdcStream.start(spark, wh, spec, ckpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val hops = MirrorChangelog.emitPending(spark, wh, "fm", "fm_changes", "id")
+    assert(hops.size == g.batches.size - 1, s"one hop per commit, got $hops")
+
+    // the feed diffs STORED mirror states (tombstones + bookkeeping
+    // included) — replay over the stored origin, compare visible states
+    val feed = wh.read(spark, "fm_changes", mergeSchema = true)
+    val replayed = hops.foldLeft(origin) { case (st, (_, to)) =>
+      MirrorChangelog.replay(st,
+        feed.filter(col("_to_version") === to)
+          .drop("_from_version", "_to_version"), "id")
+    }
+    val want = graft.operators.Cdc.currentState(wh.read(spark, "fm"))
+      .select("id", "name").collect().map(_.toSeq).toSet
+    assert(graft.operators.Cdc.currentState(replayed)
+      .select("id", "name").collect().map(_.toSeq).toSet == want,
+      "incremental consumption must reconstruct the streamed mirror")
+    assert(want == g.expectedFinal.map(r => Seq(r.id, r.name)).toSet)
+  }
+
   test("retention matrix: GC keeps exactly `retain` versions; a GC'd read fails loudly") {
     val deep = Warehouse(tmpDir("chlog-deep"), retain = 4)
     (1 to 6).foreach(i => deep.overwrite(snap((1L, s"v$i", i.toDouble)), "t"))
