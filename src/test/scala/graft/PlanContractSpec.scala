@@ -249,6 +249,34 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("q165/q166/q167: the TPC-H compositions broadcast their dims and never nested-loop") {
+    // q165: the decorrelated Q21 — both fact joins key on l_orderkey
+    // (co-partitioned shuffle), the top-20 is TakeOrderedAndProject,
+    // and decorrelation must not have introduced a nested loop
+    val p165 = plan(Queries.q165BlamedSupplier(spark, dir))
+    assert(p165.contains("TakeOrderedAndProject"), p165.take(1500))
+    assert(!p165.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must not plan a nested loop:\n${p165.take(1500)}")
+    // q166: PROMO part list and supplier->nation map both broadcast;
+    // exactly one aggregation keyed by year
+    val p166 = plan(Queries.q166MarketShare(spark, dir))
+    assert(p166.contains("BroadcastHashJoin"), p166.take(1500))
+    assert(p166.contains("EqualTo(p_type,PROMO)"), "part-type filter must push down")
+    // q167: both nation maps broadcast, nation filter pushed to the scans
+    val p167 = plan(Queries.q167TradeVolume(spark, dir))
+    assert(p167.contains("BroadcastHashJoin"), p167.take(1500))
+    assert(!p167.contains("CartesianProduct") && !p167.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q164: the mirror diff is one key-equality full-outer join — no window") {
+    val p = plan(Queries.q164MirrorChangelog(spark, dir))
+    assert(!p.contains("Window"), s"diff must not window:\n${p.take(1500)}")
+    assert(p.contains("FullOuter"), s"diff must full-outer join on the key:\n${p.take(1500)}")
+    // the only nested-loop allowed is the one-row scalar-cutoff broadcast
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the scalar broadcast may nested-loop ($bnlj found)")
+  }
+
   test("q76/q77: passage census and LM scoring never window-sort or cross-join") {
     for ((name, df) <- Seq(
         "q76" -> graft.operators.Dedup.q76PassageDedup(spark, dir),
