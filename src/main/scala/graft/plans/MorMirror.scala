@@ -129,7 +129,14 @@ object MorMirror {
     val stamped = if (changes.columns.contains(Cdc.SeqCol)) changes
                   else Cdc.stampBatchSeq(changes, batchId)
     val folded = Cdc.fold(stamped, cfg)
+    // cluster the delta by bucket before writing: the fold's key-hash
+    // shuffle scatters each bucket across all partitions, which would
+    // write every file spanning every bucket — min/max stats useless and
+    // the read-side bucket filter scans every delta file. One extra
+    // DELTA-sized shuffle makes each file cover few buckets, so the
+    // touched-bucket read skips whole files on footer stats.
     withBucket(folded, cfg.keyCol, buckets)
+      .repartition(col(PartitionedMirror.BucketCol))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
   }
