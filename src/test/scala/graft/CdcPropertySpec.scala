@@ -110,4 +110,39 @@ class CdcPropertySpec extends SparkTestBase {
       assert(sparkState(Cdc.currentState(again)) == model(ops))
     }
   }
+
+  test("merge-on-read over random batched histories == in-memory model == sequential COW") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(6301)
+    (1 to 8).foreach { trial =>
+      // ts ties allowed in half the trials: the (ts, seq) ordering must
+      // resolve them identically across all three evaluations
+      val ops = genOps(rnd, n = 50, keys = 10, distinctTs = rnd.nextBoolean())
+      val sizes = Iterator.continually(1 + rnd.nextInt(20))
+      val batches = {
+        var rest = ops; val out = Seq.newBuilder[Seq[Op]]
+        while (rest.nonEmpty) { val k = sizes.next(); out += rest.take(k); rest = rest.drop(k) }
+        out.result()
+      }
+      def bdf(b: Seq[Op]) = b.toDF().withColumn("_ingest_seq", col("seq"))
+
+      val wh = graft.sources.Tables.Warehouse(tmpDir(s"mor-prop-$trial"))
+      graft.plans.MorMirror.initialize(wh, "m",
+        Cdc.fold(bdf(batches.head), cfg), cfg, nBuckets = 8)
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        graft.plans.MorMirror.appendDelta(wh, "m", bdf(b), batchId = i + 1L)
+      }
+      // compact a random prefix of trials mid-history equivalence is
+      // separately proven; here compaction must not change the answer
+      if (rnd.nextBoolean()) graft.plans.MorMirror.compact(spark, wh, "m")
+
+      val morState = sparkState(graft.plans.MorMirror.read(spark, wh, "m"))
+      val cow = batches.tail.foldLeft(Cdc.fold(bdf(batches.head), cfg)) {
+        (m, b) => Cdc.applyBatch(m, bdf(b), cfg)
+      }
+      assert(morState == model(ops), s"trial $trial: MOR != model")
+      assert(morState == sparkState(Cdc.currentState(cow)),
+        s"trial $trial: MOR != sequential COW")
+    }
+  }
 }
