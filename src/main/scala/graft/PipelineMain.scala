@@ -64,7 +64,8 @@ object PipelineMain {
         if (seeded) println(s"[pipeline] mirror=${spec.mirrorTable} seeded from initial-load files")
         val q = CdcStream.start(spark, wh, spec,
           s"$whDir/_checkpoints/${spec.mirrorTable}",
-          mirrorBuckets = config.mirrorBuckets)
+          mirrorBuckets = config.mirrorBuckets,
+          mirrorMor = config.mirrorMor)
         q.awaitTermination()
         // Catalog registration AFTER data exists: registering first would
         // let a crash-before-ingest leave catalog entries for empty tables,

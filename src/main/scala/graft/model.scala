@@ -104,7 +104,12 @@ object PipelineSpec {
 final case class PipelineConfig(
     warehouseDir: String, cdc: CdcConfig, sources: Seq[String],
     mirrorBuckets: Option[Int] = None,
-    catalog: Option[(String, String, String)] = None)
+    catalog: Option[(String, String, String)] = None,
+    /** Merge-on-read mirror commits (GRAFT_MIRROR_MOR=true) — requires
+      * `mirrorBuckets`; the stored layout wins over the flag (see
+      * [[graft.streaming.CdcStream.start]]).
+      */
+    mirrorMor: Boolean = false)
 
 object PipelineConfig {
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
@@ -121,7 +126,8 @@ object PipelineConfig {
         require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
         n
       },
-      catalog = catalogFromEnv(env))
+      catalog = catalogFromEnv(env),
+      mirrorMor = env.get("GRAFT_MIRROR_MOR").exists(_.toBoolean))
   }
 
   /** REST-catalog coordinates from the environment, shared by [[fromEnv]]

@@ -141,15 +141,48 @@ object MorMirror {
       .parquet(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
   }
 
-  /** Delta batch directories currently present, ascending by batch id. */
-  private def deltaDirs(wh: Warehouse, name: String): Seq[Path] = {
+  /** Marker file INSIDE a base version dir recording the highest delta
+    * batch id folded into that base. It swaps atomically WITH the base
+    * pointer (written during the version's staging), so a reader that
+    * resolved base vN sees exactly vN's fold horizon — never a horizon
+    * from a concurrent compaction. `_`-prefixed, so parquet scans and the
+    * file census ignore it.
+    */
+  private val FoldedMarker = "_folded_through"
+
+  /** Highest delta batch id already folded into the CURRENT base version
+    * (-1 when none): live deltas are those above it.
+    */
+  private def foldedThrough(wh: Warehouse, name: String): Long = {
+    val p = Paths.get(nested(wh, name).snapshotPath(BaseTable), FoldedMarker)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  private def deltaId(p: Path): Long =
+    p.getFileName.toString.stripPrefix("batch_").toLong
+
+  /** ALL delta batch directories physically present, ascending by id —
+    * including ones already folded into the base but retained one
+    * compaction generation for in-flight readers.
+    */
+  private def deltaDirsAll(wh: Warehouse, name: String): Seq[Path] = {
     val d = Paths.get(wh.tablePath(name), DeltasDir)
     if (!Files.isDirectory(d)) return Seq.empty
     val s = Files.list(d)
     try s.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("batch_"))
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("batch_").toLong)
+      .toSeq.sortBy(deltaId)
     finally s.close()
+  }
+
+  /** LIVE delta batch directories (not yet folded into the current base),
+    * ascending by batch id — what reads merge. Batch ids must be
+    * monotonically increasing across commits (the streaming path's
+    * batchIds are; a static caller owns the same contract).
+    */
+  private def deltaDirs(wh: Warehouse, name: String): Seq[Path] = {
+    val horizon = foldedThrough(wh, name)
+    deltaDirsAll(wh, name).filter(deltaId(_) > horizon)
   }
 
   /** Stored rows (tombstones INCLUDED) merged at read time from an
@@ -240,19 +273,26 @@ object MorMirror {
   def pendingDeltas(wh: Warehouse, name: String): Int =
     deltaDirs(wh, name).size
 
-  /** Fold accumulated deltas into a fresh base version, clearing the
-    * read-time merge debt. Sequence: (1) pin the delta list; (2)
-    * materialize the merged state (localCheckpoint — the commit below
-    * must not lazily re-read files it is about to supersede); (3) commit
-    * the new base via the nested warehouse's atomic versioned swap,
-    * CAS-guarded against a concurrent compaction; (4) GC exactly the
-    * pinned delta dirs — a delta landing after (1) survives untouched and
-    * keeps merging at read. A crash between (3) and (4) is benign:
-    * re-folding an already-folded delta re-selects byte-identical winners
-    * (the argmax is deterministic and both copies are the same row).
+  /** Fold live deltas into a fresh base version, clearing the read-time
+    * merge debt WITHOUT breaking in-flight readers. Sequence: (1) pin the
+    * live delta list; (2) materialize the merged state (localCheckpoint —
+    * the commit below must not lazily re-read files it is about to
+    * supersede); (3) commit the new base via the nested warehouse's
+    * atomic versioned swap (CAS-guarded against a concurrent compaction),
+    * with the [[FoldedMarker]] fold horizon staged INSIDE the version so
+    * horizon and pointer swap together; (4) GC only the PREVIOUS
+    * generation's folded deltas. The just-folded deltas stay on disk one
+    * more generation: a reader that resolved the old base + old delta
+    * list mid-compaction keeps every file it pinned — the same
+    * current-plus-one-previous retention [[Warehouse.commit]] gives base
+    * versions. A delta landing after (1) has a higher batch id than the
+    * new horizon and keeps merging at read. A crash anywhere re-runs
+    * idempotently: the horizon excludes folded deltas from reads, and a
+    * crash before the swap leaves the old horizon + all files intact.
     */
   def compact(spark: SparkSession, wh: Warehouse, name: String): Unit = {
     val nw = nested(wh, name)
+    val prevHorizon = foldedThrough(wh, name)
     val pinned = deltaDirs(wh, name)
     if (pinned.isEmpty) return
     val expect = nw.currentVersion(BaseTable)
@@ -260,10 +300,13 @@ object MorMirror {
     val (cfg, buckets) = storedConfig(wh, name).get
     val merged = storedState(spark, wh, name, pinned).drop(kb)
     val staged = withBucket(merged, cfg.keyCol, buckets).localCheckpoint(true)
+    val horizon = pinned.map(deltaId).max
     nw.commit(BaseTable, expectCurrent = expect) { path =>
       staged.write.mode(SaveMode.Overwrite).partitionBy(kb).parquet(path)
+      Files.writeString(Paths.get(path, FoldedMarker), horizon.toString)
     }
-    pinned.foreach(deleteRecursively)
+    deltaDirsAll(wh, name).filter(deltaId(_) <= prevHorizon)
+      .foreach(deleteRecursively)
   }
 
   /** Data files currently making up the table, split (base, deltas) — the

@@ -156,34 +156,74 @@ class MorMirrorSpec extends SparkTestBase {
       "compaction must not drop tombstones (T2 across the fold)")
   }
 
-  test("crash between base swap and delta GC is benign: re-folding a folded delta is a no-op") {
+  test("crash between base swap and previous-generation GC is benign (fold horizon excludes)") {
     val wh = Warehouse(tmpDir("mor-crash"))
     MorMirror.initialize(wh, "m",
       Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
     MorMirror.appendDelta(wh, "m",
       changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2")), batchId = 1)
+    MorMirror.compact(spark, wh, "m") // horizon 1; batch_1 retained a generation
     val want = state(wh, "m")
+    assert(want == Set((1L, "a2")))
 
-    // save the delta dir, compact, then restore it — exactly the state a
-    // crash after the base pointer swap but before the delta GC leaves
+    // save batch_1 (previous generation), run the second cycle, then
+    // restore it — exactly the state a crash after the base swap but
+    // before the previous-generation GC leaves behind
     val deltaDir = Paths.get(wh.tablePath("m"), "deltas", "batch_1")
     val saved = Files.createTempDirectory("mor-delta-save")
     Files.list(deltaDir).iterator().asScala.foreach { f =>
       if (Files.isRegularFile(f))
         Files.copy(f, saved.resolve(f.getFileName.toString))
     }
-    MorMirror.compact(spark, wh, "m")
+    MorMirror.appendDelta(wh, "m", changes((3L, "c", "I", "t3")), batchId = 2)
+    MorMirror.compact(spark, wh, "m") // horizon 2; batch_1 GC'd
+    assert(!Files.exists(deltaDir))
     Files.createDirectories(deltaDir)
     Files.list(saved).iterator().asScala.foreach(f =>
       Files.copy(f, deltaDir.resolve(f.getFileName.toString)))
 
-    assert(state(wh, "m") == want,
-      "already-folded delta re-merge must select byte-identical winners")
-    // the next compaction clears the leftover debt
+    // the fold horizon (swapped atomically with the base) excludes BOTH
+    // retained generations — the resurrected dir changes nothing
+    val want2 = want + ((3L, "c"))
+    assert(state(wh, "m") == want2,
+      "stale folded deltas below the horizon must be invisible to reads")
+    assert(MorMirror.pendingDeltas(wh, "m") == 0)
+    // the next full cycle sweeps the leftovers
+    MorMirror.appendDelta(wh, "m", changes((3L, "c2", "U", "t4")), batchId = 3)
     MorMirror.compact(spark, wh, "m")
-    val (_, deltaFiles) = MorMirror.fileCensus(wh, "m")
-    assert(deltaFiles.isEmpty)
+    assert(!Files.exists(deltaDir), "leftover generations must be swept")
+    assert(state(wh, "m") == want2 - ((3L, "c")) + ((3L, "c2")))
+  }
+
+  test("in-flight reader survives compaction: folded deltas retained one generation") {
+    val wh = Warehouse(tmpDir("mor-snap"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a2", "U", "t2"), (3L, "c", "I", "t2")), batchId = 1)
+    // reader opens BEFORE compaction: its plan pins the old base version
+    // and the live delta files
+    val reader = MorMirror.read(spark, wh, "m")
+    val want = Set((1L, "a2"), (2L, "b"), (3L, "c"))
+
+    MorMirror.compact(spark, wh, "m")
+    // post-compaction: new readers see the folded base, zero live deltas
+    assert(MorMirror.pendingDeltas(wh, "m") == 0)
     assert(state(wh, "m") == want)
+    // the folded delta PHYSICALLY survives one generation for the pinned
+    // reader, which must still produce the pre-compaction answer
+    assert(Files.isDirectory(Paths.get(wh.tablePath("m"), "deltas", "batch_1")),
+      "folded delta must be retained one compaction generation")
+    assert(reader.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want,
+      "a reader opened before compaction must keep its snapshot")
+
+    // the NEXT compaction GCs the previous generation
+    MorMirror.appendDelta(wh, "m", changes((2L, "b2", "U", "t3")), batchId = 2)
+    MorMirror.compact(spark, wh, "m")
+    assert(!Files.exists(Paths.get(wh.tablePath("m"), "deltas", "batch_1")),
+      "previous generation must be GC'd by the next compaction")
+    assert(state(wh, "m") == want - ((2L, "b")) + ((2L, "b2")))
   }
 
   test("read-side fold is bucket-pruned: contested base scan carries PartitionFilters") {
