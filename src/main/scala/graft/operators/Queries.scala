@@ -574,6 +574,63 @@ object Queries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
   }
 
+  /** Top supplier(s) (q168) — the TPC-H Q15 shape: a revenue view per
+    * supplier over a time slice, then the suppliers whose revenue EQUALS
+    * the scalar maximum (ties kept, the part of Q15 that trips naive
+    * LIMIT 1 rewrites). Exact DECIMAL revenue sums make the equality
+    * well-defined across engines — a double-summed revenue could differ
+    * in the last ulp between partial orders and drop a tied winner. One
+    * corpus aggregation, a broadcast scalar max, a broadcast supplier
+    * enrichment.
+    */
+  def q168TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1998)
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Disjunctive-predicate revenue (q169) — the TPC-H Q19 shape: an OR
+    * of conjunctive (brand, quantity-band) clauses across a fact-dim
+    * join. The optimizer shape under test: Catalyst must extract the
+    * common `p_brand IN (...)` superset for pushdown into the part scan
+    * while the full disjunction evaluates post-join — an engine that
+    * can't decompose the OR reads every part row. The part side
+    * broadcasts; one aggregation, one row out.
+    */
+  def q169DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val clause =
+      (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#22" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#33" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1500,6 +1557,34 @@ object Queries {
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    "q168_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE year(o_orderdate) = 1998)
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q169_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1749,6 +1834,8 @@ object Queries {
     "q165_blamed_supplier" -> (q165BlamedSupplier _),
     "q166_market_share" -> (q166MarketShare _),
     "q167_trade_volume" -> (q167TradeVolume _),
+    "q168_top_supplier" -> (q168TopSupplier _),
+    "q169_disjunctive_revenue" -> (q169DisjunctiveRevenue _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),

@@ -268,6 +268,16 @@ class PlanContractSpec extends SparkTestBase {
     assert(!p167.contains("CartesianProduct") && !p167.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q169: the common brand/size superset of the disjunction pushes into the part scan") {
+    val p = plan(Queries.q169DisjunctiveRevenue(spark, dir))
+    // Catalyst must extract `p_brand IN (...)` (or per-clause Or of
+    // EqualTo) from the OR-of-ANDs and push it to the part scan — an
+    // engine that can't decompose the disjunction reads every part row
+    assert(p.contains("Brand#11") && p.contains("PushedFilters"),
+      s"brand superset must reach the scan:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q164: the mirror diff is one key-equality full-outer join — no window") {
     val p = plan(Queries.q164MirrorChangelog(spark, dir))
     assert(!p.contains("Window"), s"diff must not window:\n${p.take(1500)}")
