@@ -84,4 +84,41 @@ class E2eCurationSpec extends SparkTestBase {
     assert(funnelRows(mirrorDocs(wh)) == afterChurn,
       "an idle pipeline re-run must be a funnel no-op")
   }
+
+  test("the same composition through the MERGE-ON-READ mirror: funnel(MOR mirror) tracks churn") {
+    val src = tmpDir("e2e-mor-src")
+    val docsDir = s"$src/docs"
+    val wh = Warehouse(tmpDir("e2e-mor-wh"))
+    // the CLI surface: GRAFT_MIRROR_MOR + GRAFT_MIRROR_BUCKETS
+    val config = PipelineConfig(wh.root, CdcConfig("id", "ts"), Seq(s"$docsDir/"),
+      mirrorBuckets = Some(4), mirrorMor = true)
+    def morDocs(): DataFrame =
+      graft.plans.MorMirror.read(spark, wh, "docs")
+        .select(col("id").as("doc_id"), col("text"))
+
+    val texts0 = Map(
+      1L -> clean(1), 2L -> clean(1), 3L -> junk,
+      4L -> clean(4), 5L -> clean(5), 6L -> clean(6))
+    writeLogs(s"$docsDir/dms_logs_1.parquet",
+      texts0.toSeq.sortBy(_._1).map { case (id, t) => (id, t, "I") })
+    PipelineMain.run(spark, config)
+    assert(graft.plans.MorMirror.storedConfig(wh, "docs").isDefined,
+      "the pipeline must have taken the MOR layout")
+    assert(funnelRows(morDocs()) == funnelRows(texts0.toSeq.toDF("doc_id", "text")))
+
+    writeLogs(s"$docsDir/dms_logs_2.parquet", Seq(
+      (3L, clean(3), "U"),
+      (5L, texts0(5L), "D")))
+    PipelineMain.run(spark, config)
+    assert(graft.plans.MorMirror.pendingDeltas(wh, "docs") >= 1,
+      "the churn batch must have landed as an O(delta) commit")
+    val texts1 = texts0 - 5L + (3L -> clean(3))
+    val afterChurn = funnelRows(morDocs())
+    assert(afterChurn == funnelRows(texts1.toSeq.toDF("doc_id", "text")),
+      "funnel(MOR mirror) must track CDC churn exactly")
+    // compaction mid-pipeline must not move the funnel either
+    graft.plans.MorMirror.compact(spark, wh, "docs")
+    assert(funnelRows(morDocs()) == afterChurn,
+      "compaction must be invisible to the curation pass")
+  }
 }
