@@ -28,6 +28,13 @@ object Maintenance {
     * file size instead of a count; the stage-and-swap commit is the same.
     */
   def compact(spark: SparkSession, wh: Warehouse, table: String, targetFiles: Int): Unit = {
+    // a merge-on-read table has its OWN compaction (delta fold + horizon
+    // swap); a naive recursive rewrite here would union base versions
+    // with delta files and destroy the layout — delegate instead
+    if (MorMirror.storedConfig(wh, table).isDefined) {
+      MorMirror.compact(spark, wh, table)
+      return
+    }
     // pin the current snapshot (resolved version dir): a stream commit
     // landing mid-rewrite must not swap files out from under the read;
     // the commit below is conditional on this version still being current

@@ -238,6 +238,18 @@ class MorMirrorSpec extends SparkTestBase {
       s"expected a bucket-pruned contested scan in:\n$plan")
   }
 
+  test("Maintenance.compact on a MOR table delegates to the delta fold (layout preserved)") {
+    val wh = Warehouse(tmpDir("mor-maint"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((1L, "a2", "U", "t2")), batchId = 1)
+    val want = state(wh, "m")
+    graft.plans.Maintenance.compact(spark, wh, "m", targetFiles = 1)
+    assert(MorMirror.storedConfig(wh, "m").isDefined, "layout must survive")
+    assert(MorMirror.pendingDeltas(wh, "m") == 0, "the delegate must fold the deltas")
+    assert(state(wh, "m") == want)
+  }
+
   test("stored layout config wins: appendDelta works without re-passing cfg or modulus") {
     val wh = Warehouse(tmpDir("mor-cfg"))
     MorMirror.initialize(wh, "m",
