@@ -631,6 +631,25 @@ object Queries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Customer order-count distribution (q170) — the TPC-H Q13 shape:
+    * LEFT OUTER join customers to their orders (zero-order customers must
+    * appear with count 0 — the part an inner join silently loses), count
+    * per customer, then the histogram of counts. Two hash aggs; the
+    * second is |distinct counts|-sized. The outer-join agg is the classic
+    * skew shape: one mega-customer would hot-spot a single reducer — at
+    * skew the salted two-phase agg (q84's kernel) replaces phase one.
+    */
+  def q170CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count skips the outer nulls
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1585,6 +1604,13 @@ object Queries {
         |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30
         |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
 
+    "q170_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1836,6 +1862,7 @@ object Queries {
     "q167_trade_volume" -> (q167TradeVolume _),
     "q168_top_supplier" -> (q168TopSupplier _),
     "q169_disjunctive_revenue" -> (q169DisjunctiveRevenue _),
+    "q170_custdist" -> (q170CustDist _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),

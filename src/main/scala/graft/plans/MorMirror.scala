@@ -273,6 +273,28 @@ object MorMirror {
   def pendingDeltas(wh: Warehouse, name: String): Int =
     deltaDirs(wh, name).size
 
+  /** Incremental consumption FOR FREE on the MOR layout: each committed
+    * delta already is the latest-per-key changelog of its batch
+    * (tombstones = deletes), so a downstream consumer just reads delta
+    * batches above its cursor — no diff computation, no snapshot reads,
+    * the direct analog of [[MirrorChangelog.emitPending]] for the COW/flat
+    * mirror. Returns (rows, highest batch id included) — the caller
+    * persists the id as its next cursor. Deltas already folded into the
+    * base are NOT re-served (a new consumer starts from compacted state +
+    * live deltas); a consumer slower than one compaction generation must
+    * bootstrap from the base — the same retention contract as version GC.
+    */
+  def changesSince(spark: SparkSession, wh: Warehouse, name: String,
+      sinceBatch: Long): (Option[DataFrame], Long) = {
+    val live = deltaDirs(wh, name).filter(deltaId(_) > sinceBatch)
+    if (live.isEmpty) return (None, sinceBatch)
+    val df = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(live.map(_.toString): _*)
+      .drop(PartitionedMirror.BucketCol)
+    (Some(df), live.map(deltaId).max)
+  }
+
   /** Fold live deltas into a fresh base version, clearing the read-time
     * merge debt WITHOUT breaking in-flight readers. Sequence: (1) pin the
     * live delta list; (2) materialize the merged state (localCheckpoint —

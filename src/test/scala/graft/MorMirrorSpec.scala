@@ -238,6 +238,31 @@ class MorMirrorSpec extends SparkTestBase {
       s"expected a bucket-pruned contested scan in:\n$plan")
   }
 
+  test("changesSince: the delta files ARE the incremental feed (cursor-gated, fold-exact)") {
+    val wh = Warehouse(tmpDir("mor-feed"))
+    val seed = Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg)
+      .localCheckpoint(true)
+    MorMirror.initialize(wh, "m", seed, cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2")), batchId = 1)
+    MorMirror.appendDelta(wh, "m", changes((3L, "c", "I", "t3")), batchId = 2)
+
+    val (d, cursor) = MorMirror.changesSince(spark, wh, "m", sinceBatch = -1L)
+    assert(cursor == 2L)
+    // the served changes applied to the consumer's base state reproduce
+    // the mirror exactly — the feed is the changelog, not a report
+    val replayed = Cdc.currentState(Cdc.applyBatch(seed, d.get, cfg))
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == state(wh, "m"))
+    // cursor-gated: nothing new -> None; a later batch serves alone
+    assert(MorMirror.changesSince(spark, wh, "m", cursor)._1.isEmpty)
+    MorMirror.appendDelta(wh, "m", changes((4L, "d", "I", "t4")), batchId = 3)
+    val (d3, c3) = MorMirror.changesSince(spark, wh, "m", cursor)
+    assert(c3 == 3L)
+    assert(d3.get.select("id").collect().map(_.getLong(0)).toSet == Set(4L),
+      "only batches above the cursor may be served")
+  }
+
   test("Maintenance.compact on a MOR table delegates to the delta fold (layout preserved)") {
     val wh = Warehouse(tmpDir("mor-maint"))
     MorMirror.initialize(wh, "m",
