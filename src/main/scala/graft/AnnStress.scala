@@ -526,7 +526,11 @@ object AnnStress {
       .write.partitionBy("cid").mode("overwrite").parquet(s"$base/index")
 
     val queries = (0 until nQueries).map { qi =>
-      spark.range(1).select(lit(qi.toLong).as("qid"), lit(qi % nClusters).as("c"))
+      // LONG cluster literal: Spark's hash() is type-dependent, and the
+      // data side hashes a LongType cluster id — an Int literal here
+      // would draw queries from a different pattern family than the
+      // indexed corpus (out-of-distribution probes)
+      spark.range(1).select(lit(qi.toLong).as("qid"), lit((qi % nClusters).toLong).as("c"))
         .withColumn("qq", expr(
           s"""transform(sequence(0, 63), d -> CAST(
              |  (pmod(hash(c, d), 201) - 100) * 10 + pmod(hash(qid + 7, d, 13), 21) - 10

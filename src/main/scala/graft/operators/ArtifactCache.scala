@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Cross-process-safe build-once / read-many publication for the
   * compute-once artifacts (Jaccard pair list, cluster labels, BPE merges,
@@ -39,32 +38,30 @@ object ArtifactCache {
     try {
       build(staging.toString)
       Files.createFile(staging.resolve(markerName))
-      // tmpdir staging and root share a filesystem, so ATOMIC_MOVE holds
-      Files.move(staging, rootP, StandardCopyOption.ATOMIC_MOVE)
     } catch {
-      case _: FileAlreadyExistsException
-           | _: java.nio.file.DirectoryNotEmptyException
-           | _: java.nio.file.AccessDeniedException =>
-        // another process published first (or a stale root is in the
-        // way); keep theirs only if it is complete
-        deleteRecursively(staging)
-        if (!Files.exists(marker))
-          throw new IllegalStateException(
-            s"artifact root $root exists without $markerName — stale " +
-              "directory from a crashed pre-staging build; remove it")
       case t: Throwable =>
         deleteRecursively(staging) // never leave a half-built staging dir
         throw t
     }
+    // publish: tmpdir staging and root share a filesystem, so ATOMIC_MOVE
+    // holds. Rename-onto-existing surfaces differently per platform —
+    // Linux rename(2) gives ENOTEMPTY/EEXIST which the JDK wraps as a
+    // PLAIN FileSystemException (verified on this host); other paths give
+    // FileAlreadyExists/DirectoryNotEmpty/AccessDenied, all subtypes of
+    // FileSystemException. Catch the parent ON THE PUBLISH STEP ONLY and
+    // decide by the marker: complete winner -> use theirs; else loud.
+    try Files.move(staging, rootP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case fse: java.nio.file.FileSystemException =>
+        deleteRecursively(staging)
+        if (!Files.exists(marker))
+          throw new IllegalStateException(
+            s"artifact root $root exists without $markerName — stale " +
+              "directory from a crashed pre-staging build; remove it", fse)
+    }
     root
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.sources.Tables.deleteRecursively(p)
 }

@@ -846,15 +846,8 @@ object Queries {
       .orderBy(col("user_id"), col(MirrorChangelog.ChangeTypeCol))
   }
 
-  private def deleteDir(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.foreach(deleteDir)
-      finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    graft.sources.Tables.deleteRecursively(p)
 
   /** SCD Type-2 history (the CDC changelog materialized as a slowly-
     * changing dimension instead of a latest-wins mirror): every change

@@ -96,12 +96,29 @@ object MorMirror {
     val st = if (state.columns.contains(graft.DmsEnvelope.OpCol)) state
              else state.withColumn(graft.DmsEnvelope.OpCol, lit(graft.DmsEnvelope.Update))
     val staged = withBucket(st, cfg.keyCol, nBuckets).localCheckpoint(true)
+    // the seed's ingest seq must stay inside batch 0's band (< 2^44):
+    // stampBatchSeq guards its own encoding, but a seed folded from a
+    // >=2048-partition frame carries raw monotonic ids above the band and
+    // would WIN equal-ts ties against genuine later deltas. One bounded
+    // agg over the already-materialized checkpoint keeps the check exact.
+    if (st.columns.contains(Cdc.SeqCol)) {
+      val mx = staged.agg(max(col(Cdc.SeqCol))).head()
+      require(mx.isNullAt(0) || mx.getLong(0) < (1L << 44),
+        s"seed ingest-seq ${mx.getLong(0)} overflows batch 0's 2^44 band — " +
+          "fold the seed from fewer than 2048 partitions (or re-stamp it), " +
+          "else equal-ts ties would resolve to the SEED over later deltas")
+    }
     // a table previously seeded as a versioned FLAT table (LOAD bootstrap
     // via Warehouse.overwrite) migrates here: the pointer layout is
     // dissolved AFTER the state is eagerly materialized above, so the MOR
     // directory tree owns the path (the PartitionedMirror.initialize
     // migration contract)
     wh.dissolveVersioned(name)
+    // re-initializing an existing MOR table is a RESEED: stale delta
+    // batches must not survive it — the fresh base has no fold horizon,
+    // so leftover deltas would resurrect as live and merge old changes
+    // over the new seed state
+    deltaDirsAll(wh, name).foreach(deleteRecursively)
     nw.commit(BaseTable) { path =>
       staged.write.mode(SaveMode.Overwrite)
         .partitionBy(PartitionedMirror.BucketCol).parquet(path)
@@ -286,6 +303,17 @@ object MorMirror {
     */
   def changesSince(spark: SparkSession, wh: Warehouse, name: String,
       sinceBatch: Long): (Option[DataFrame], Long) = {
+    // loud failure, not a silent skip: a cursor behind the fold horizon
+    // means compaction already folded (and will GC) batches the consumer
+    // never saw — serving only the live tail would silently corrupt every
+    // downstream incremental state (the readVersion/emitPending contract)
+    val horizon = foldedThrough(wh, name)
+    if (sinceBatch < horizon)
+      throw new NoSuchElementException(
+        s"$name consumer cursor $sinceBatch is behind the compaction fold " +
+          s"horizon $horizon — batches (${sinceBatch + 1}..$horizon) were " +
+          "folded into the base; re-bootstrap from the base state, or " +
+          "compact less often than the slowest consumer's cadence")
     val live = deltaDirs(wh, name).filter(deltaId(_) > sinceBatch)
     if (live.isEmpty) return (None, sinceBatch)
     val df = spark.read.option("mergeSchema", "true")
@@ -344,12 +372,6 @@ object MorMirror {
     (baseFiles, deltaFiles)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.sources.Tables.deleteRecursively(p)
 }

@@ -275,15 +275,6 @@ object Tables {
         .parquet(p.toString)
     }
 
-    private def deleteRecursively(p: Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.foreach(deleteRecursively)
-        finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-
     /** Overwrite via an atomic versioned commit (see [[commit]]). */
     def overwrite(df: DataFrame, name: String): Unit =
       commit(name)(path => df.write.mode(SaveMode.Overwrite).parquet(path))
@@ -299,6 +290,19 @@ object Tables {
       */
     def appendBatch(df: DataFrame, name: String, batchId: Long): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(name)}/batch_$batchId")
+  }
+
+  /** Recursive delete that never follows symlinks (a version-pointer link
+    * is deleted as a link, not traversed) — THE one copy shared by the
+    * warehouse GC, the MOR delta GC, and the artifact cache.
+    */
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Durable table properties — the engine's analog of the reference's

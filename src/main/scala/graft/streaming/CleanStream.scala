@@ -88,15 +88,20 @@ object CleanStream {
             if (staged.count() >= MinSeedDocs) {
               val fq = TextAnalysis.boilerplateGramsOf(
                 withToks(staged).localCheckpoint(true))
-              wh.overwrite(fq.withColumn("trained_batch", lit(batchId)),
-                gramsTable)
               // durable marker OUTSIDE the data rows: a corpus with no
               // frequent bigram trains an EMPTY set (legitimate — "no
               // boilerplate"), and max(trained_batch) over zero rows is
-              // null — the marker must not live only in the data
+              // null — the marker must not live only in the data. Written
+              // BEFORE the grams commit: a crash between the two replays
+              // into the table-absent branch (marker harmlessly
+              // re-written); the reverse order would replay into the
+              // marker=-1 branch and permanently skip the staged
+              // backlog's coverage report.
               graft.sources.Tables.TableProps.write(wh, gramsTable,
                 graft.sources.Tables.TableProps.read(wh, gramsTable) +
                   ("trained_batch" -> batchId.toString))
+              wh.overwrite(fq.withColumn("trained_batch", lit(batchId)),
+                gramsTable)
               // the training batch reports the WHOLE staged backlog —
               // every doc ingested so far gets its coverage row
               wh.appendBatch(reportOf(staged,

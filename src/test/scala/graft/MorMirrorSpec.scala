@@ -261,6 +261,28 @@ class MorMirrorSpec extends SparkTestBase {
     assert(c3 == 3L)
     assert(d3.get.select("id").collect().map(_.getLong(0)).toSet == Set(4L),
       "only batches above the cursor may be served")
+
+    // a cursor behind the fold horizon fails LOUDLY — serving only the
+    // live tail would silently corrupt the consumer's incremental state
+    MorMirror.compact(spark, wh, "m")
+    val e = intercept[NoSuchElementException] {
+      MorMirror.changesSince(spark, wh, "m", sinceBatch = 1L)
+    }
+    assert(e.getMessage.contains("fold horizon"))
+    // an up-to-date cursor keeps working across the compaction
+    assert(MorMirror.changesSince(spark, wh, "m", c3)._1.isEmpty)
+  }
+
+  test("re-initialize is a reseed: stale deltas cannot resurrect over the fresh base") {
+    val wh = Warehouse(tmpDir("mor-reseed"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((2L, "stale", "I", "t2")), batchId = 1)
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "fresh", "I", "t9")), cfg), cfg, N)
+    assert(state(wh, "m") == Set((1L, "fresh")),
+      "pre-reseed deltas must not merge over the new seed")
+    assert(MorMirror.pendingDeltas(wh, "m") == 0)
   }
 
   test("Maintenance.compact on a MOR table delegates to the delta fold (layout preserved)") {
