@@ -62,15 +62,45 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("dn"), sum(col("v")).as("ds"))
     val delta = minus.unionByName(plus).groupBy(col("g"))
       .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
-      .withColumnRenamed("g", "dg")
-    // null-safe equality on the group key: a nullable group expression
-    // produces a legitimate NULL group, and a plain full_outer on "g"
-    // would leave the stale row and the delta row dangling separately
+    merge(agg, delta)
+  }
+
+  /** Merge a (g, dn, ds) group-level delta into the aggregate table —
+    * null-safe equality on the group key: a nullable group expression
+    * produces a legitimate NULL group, and a plain full_outer on "g"
+    * would leave the stale row and the delta row dangling separately.
+    */
+  private def merge(agg: DataFrame, delta0: DataFrame): DataFrame = {
+    val delta = delta0.withColumnRenamed("g", "dg")
     agg.join(delta, agg("g") <=> delta("dg"), "full_outer")
       .select(coalesce(agg("g"), delta("dg")).as("g"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s"), lit(0).cast("decimal(28,2)")) +
           coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).cast("decimal(28,2)").as("s"))
       .filter(col("n") > 0)
+  }
+
+  /** Retraction-based maintenance from MIRROR-CHANGELOG rows (the Flink
+    * changelog-stream pattern): `update_before`/`delete` rows retract
+    * their group contribution, `update_after`/`insert` rows add theirs.
+    * Because diff rows carry full before/after IMAGES
+    * ([[MirrorChangelog.diff]]), the consumer needs NO access to the
+    * mirror at all — an aggregate is maintainable from the feed alone
+    * (`emitPending` hops applied in order), which is exactly what makes
+    * the changelog view a sufficient contract for downstream teams. One
+    * hash agg over the delta-sized change set + the group-key outer
+    * merge; cost is O(|changes| + |groups touched|), mirror-size-free.
+    */
+  def applyChangelog(agg: DataFrame, changeRows: DataFrame, spec: Spec): DataFrame = {
+    import MirrorChangelog._
+    val sign = when(
+      col(ChangeTypeCol).isin(Insert, UpdateAfter), lit(1)).otherwise(lit(-1))
+    val delta = changeRows
+      .select(spec.group.as("g"), sign.as("sgn"),
+        spec.value.cast("decimal(18,2)").as("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("sgn").cast("long")).as("dn"),
+        sum(col("sgn") * col("v")).as("ds"))
+    merge(agg, delta)
   }
 }

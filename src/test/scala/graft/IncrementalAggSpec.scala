@@ -64,4 +64,33 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(rows == Set((1L, 1L, new java.math.BigDecimal("6.00"))),
       s"group 1 keeps only the updated id=1 (len 6): $rows")
   }
+
+  test("changelog-driven maintenance: the emitPending feed alone keeps a downstream aggregate exact") {
+    import graft.plans.MirrorChangelog
+    import graft.sources.Tables.Warehouse
+    def snap(rows: (Long, String)*): DataFrame = rows.toDF("id", "name")
+    val wh = Warehouse(tmpDir("ivm-feed"), retain = 8)
+
+    wh.overwrite(snap((1L, "aaaa"), (2L, "bb"), (5L, "ccc")), "m") // v1
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_changes", "id").isEmpty)
+    // the downstream consumer bootstraps its aggregate from v1 and from
+    // then on NEVER touches the mirror — only the feed
+    var agg = IncrementalAgg.full(wh.readVersion(spark, "m", 1L), spec)
+      .localCheckpoint(true)
+
+    // churn across three commits: update moving a value, delete emptying
+    // nothing, insert opening a new group; one multi-hop emit
+    wh.overwrite(snap((1L, "aaaaaa"), (2L, "bb"), (5L, "ccc")), "m")            // v2: update
+    wh.overwrite(snap((1L, "aaaaaa"), (5L, "ccc"), (7L, "dddd")), "m")          // v3: delete+insert
+    val hops = MirrorChangelog.emitPending(spark, wh, "m", "m_changes", "id")
+    assert(hops == Seq((1L, 2L), (2L, 3L)))
+    val feed = wh.read(spark, "m_changes", mergeSchema = true)
+    hops.foreach { case (_, to) =>
+      agg = IncrementalAgg.applyChangelog(agg,
+        feed.filter(col("_to_version") === to), spec).localCheckpoint(true)
+    }
+    assert(canon(agg) == canon(
+      IncrementalAgg.full(wh.readVersion(spark, "m", 3L), spec)),
+      "feed-maintained aggregate must equal a recompute of the final mirror")
+  }
 }
