@@ -650,6 +650,28 @@ object Queries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Trailing-30-day customer revenue (q171) — the VALUE-based window
+    * frame (`rangeBetween`), the one frame kind the surface's
+    * `rowsBetween` queries don't cover: orders are irregularly spaced,
+    * so "the last 30 days" is a RANGE over the ordering VALUE (epoch
+    * day), not a row count — a row frame would silently include
+    * arbitrarily old orders for sparse customers. One window shuffle on
+    * the customer key; the frame is evaluated by Catalyst's sliding
+    * range-frame executor (each partition sorted once, two moving
+    * pointers — O(n) per customer, never O(n²) re-aggregation).
+    */
+  def q171TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("d", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-29, 0)
+    o.withColumn("trail30",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("d").as("epoch_day"),
+        col("trail30").cast("double").as("trail30_total"))
+      .orderBy(col("o_custkey"), col("epoch_day"), col("o_orderkey"))
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1604,6 +1626,17 @@ object Queries {
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
+    "q171_trailing_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS epoch_day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trail30_total
+        |FROM orders
+        |ORDER BY o_custkey, epoch_day, o_orderkey""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1856,6 +1889,7 @@ object Queries {
     "q168_top_supplier" -> (q168TopSupplier _),
     "q169_disjunctive_revenue" -> (q169DisjunctiveRevenue _),
     "q170_custdist" -> (q170CustDist _),
+    "q171_trailing_window" -> (q171TrailingWindow _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),
