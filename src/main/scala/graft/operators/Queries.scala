@@ -672,6 +672,28 @@ object Queries {
       .orderBy(col("o_custkey"), col("epoch_day"), col("o_orderkey"))
   }
 
+  /** Order-priority checking (q172) — the TPC-H Q4 shape: a CORRELATED
+    * EXISTS whose predicate is part-equi, part-INEQUALITY (a line shipped
+    * strictly after the order date), then the priority census. The
+    * non-equi conjunct rides the equi semi-join as a residual condition —
+    * Spark plans the orderkey equality as the join key and evaluates the
+    * date comparison inside the join, so this stays a hash/SMJ semi-join,
+    * never a nested loop (the surface's other semi-joins are pure equi;
+    * this pins the mixed form).
+    */
+  def q172PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def q94Orphans(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"))
     val e = t(spark, dir, "embeddings").select(col("vec_id"))
@@ -1637,6 +1659,14 @@ object Queries {
         |FROM orders
         |ORDER BY o_custkey, epoch_day, o_orderkey""".stripMargin,
 
+    "q172_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q158_asof_tolerance" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
@@ -1890,6 +1920,7 @@ object Queries {
     "q169_disjunctive_revenue" -> (q169DisjunctiveRevenue _),
     "q170_custdist" -> (q170CustDist _),
     "q171_trailing_window" -> (q171TrailingWindow _),
+    "q172_priority_check" -> (q172PriorityCheck _),
     "q102_asof_multikey" -> (q102AsofMultikey _),
     "q103_asof_forward" -> (q103AsofForward _),
     "q26_window_distribution" -> (q26WindowDistribution _),

@@ -278,6 +278,13 @@ class PlanContractSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q172: the mixed equi+inequality EXISTS plans as a semi-join, never a nested loop") {
+    val p = plan(Queries.q172PriorityCheck(spark, dir))
+    assert(p.contains("LeftSemi"), s"expected a semi-join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the inequality must ride the equi key as a residual condition:\n${p.take(1500)}")
+  }
+
   test("q164: the mirror diff is one key-equality full-outer join — no window") {
     val p = plan(Queries.q164MirrorChangelog(spark, dir))
     assert(!p.contains("Window"), s"diff must not window:\n${p.take(1500)}")
