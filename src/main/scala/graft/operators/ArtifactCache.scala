@@ -52,7 +52,12 @@ object ArtifactCache {
     // decide by the marker: complete winner -> use theirs; else loud.
     try Files.move(staging, rootP, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case fse: java.nio.file.FileSystemException =>
+      // only a move that failed BECAUSE THE TARGET EXISTS is the
+      // race/stale-root case; any other FileSystemException (parent went
+      // read-only, I/O error) must not destroy the finished build or be
+      // misattributed to a stale directory — rethrow with staging intact
+      case fse: java.nio.file.FileSystemException
+          if Files.exists(rootP, java.nio.file.LinkOption.NOFOLLOW_LINKS) =>
         deleteRecursively(staging)
         if (!Files.exists(marker))
           throw new IllegalStateException(

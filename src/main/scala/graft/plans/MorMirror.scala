@@ -96,37 +96,57 @@ object MorMirror {
     val st = if (state.columns.contains(graft.DmsEnvelope.OpCol)) state
              else state.withColumn(graft.DmsEnvelope.OpCol, lit(graft.DmsEnvelope.Update))
     val staged = withBucket(st, cfg.keyCol, nBuckets).localCheckpoint(true)
-    // the seed's ingest seq must stay inside batch 0's band (< 2^44):
-    // stampBatchSeq guards its own encoding, but a seed folded from a
-    // >=2048-partition frame carries raw monotonic ids above the band and
-    // would WIN equal-ts ties against genuine later deltas. One bounded
-    // agg over the already-materialized checkpoint keeps the check exact.
-    if (st.columns.contains(Cdc.SeqCol)) {
-      val mx = staged.agg(max(col(Cdc.SeqCol))).head()
-      require(mx.isNullAt(0) || mx.getLong(0) < (1L << 44),
-        s"seed ingest-seq ${mx.getLong(0)} overflows batch 0's 2^44 band — " +
-          "fold the seed from fewer than 2048 partitions (or re-stamp it), " +
-          "else equal-ts ties would resolve to the SEED over later deltas")
-    }
+    // Record the seed's highest ingest seq (one bounded agg over the
+    // already-materialized checkpoint): later deltas must carry a seq
+    // BAND at or above it, else an equal-ts tie would resolve to the
+    // seed over a genuinely newer change. The check itself lives in
+    // [[appendDelta]] against the incoming batch id — a flat-to-MOR
+    // migration legitimately seeds from batch k's merge (seq band k), so
+    // a fixed "below 2^44" bound here would reject every migration after
+    // batch 0.
+    val seedMaxSeq: Long =
+      if (!st.columns.contains(Cdc.SeqCol)) -1L
+      else {
+        val mx = staged.agg(max(col(Cdc.SeqCol))).head()
+        if (mx.isNullAt(0)) -1L else mx.getLong(0)
+      }
     // a table previously seeded as a versioned FLAT table (LOAD bootstrap
     // via Warehouse.overwrite) migrates here: the pointer layout is
     // dissolved AFTER the state is eagerly materialized above, so the MOR
     // directory tree owns the path (the PartitionedMirror.initialize
     // migration contract)
     wh.dissolveVersioned(name)
-    // re-initializing an existing MOR table is a RESEED: stale delta
-    // batches must not survive it — the fresh base has no fold horizon,
-    // so leftover deltas would resurrect as live and merge old changes
-    // over the new seed state
-    deltaDirsAll(wh, name).foreach(deleteRecursively)
+    // Re-initializing an existing MOR table is a RESEED: stale delta
+    // batches must not survive it as live. Deleting them BEFORE the base
+    // commit would open a crash window where the OLD base stays current
+    // but its un-folded deltas are destroyed (silent rollback) — so the
+    // reseed uses compact's protocol instead: stamp the new base's fold
+    // horizon at the highest pre-existing delta id (staged inside the
+    // version, swaps atomically with the pointer), which (a) makes the
+    // stale deltas invisible the instant the new base publishes, (b)
+    // leaves every file an in-flight reader of the old incarnation
+    // pinned, and (c) invalidates stale consumer cursors LOUDLY — a
+    // cursor below the new horizon fails in changesSince instead of
+    // silently skipping the new incarnation's batches. The stale dirs
+    // themselves are swept by the next compaction's previous-generation
+    // GC ([[compact]]).
+    val staleHorizon = deltaDirsAll(wh, name).map(deltaId).maxOption.getOrElse(-1L)
     nw.commit(BaseTable) { path =>
       staged.write.mode(SaveMode.Overwrite)
         .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+      if (staleHorizon >= 0L)
+        Files.writeString(Paths.get(path, FoldedMarker), staleHorizon.toString)
     }
     TableProps.write(nw, BaseTable, TableProps.read(nw, BaseTable) ++ Map(
       BucketsProp -> nBuckets.toString,
-      KeyProp -> cfg.keyCol, TsProp -> cfg.tsCol))
+      KeyProp -> cfg.keyCol, TsProp -> cfg.tsCol,
+      SeedMaxSeqProp -> seedMaxSeq.toString))
   }
+
+  /** Highest ingest seq carried by the seed state — the floor later delta
+    * batch ids must clear (see [[appendDelta]]'s band check).
+    */
+  private val SeedMaxSeqProp = "mor.seed-max-seq"
 
   /** Commit one changelog micro-batch as a delta file set — O(delta):
     * the batch is folded latest-per-key (tombstones retained — they are
@@ -141,6 +161,30 @@ object MorMirror {
     val (cfg, buckets) = storedConfig(wh, name).getOrElse(
       throw new IllegalStateException(
         s"MOR mirror '$name' not initialized — no stored layout props"))
+    // a batch id at or below the fold horizon would be INVISIBLE to every
+    // read (the horizon filter excludes it) — silent data loss; the
+    // shapes that reach here are a checkpoint lineage reset on a
+    // compacted table, or a post-reseed caller reusing old ids
+    val horizon = foldedThrough(wh, name)
+    require(batchId > horizon,
+      s"$name delta batch $batchId is at or below the fold horizon $horizon " +
+        "and would be invisible to reads — batch ids must keep increasing " +
+        "across compactions/reseeds (a reset checkpoint lineage on a " +
+        "compacted MOR table must not restart numbering; keep the " +
+        "checkpoint, or reseed the mirror)")
+    // band check against the SEED's recorded max seq: the batch's seq
+    // band (batchId * 2^44) must be at or above the seed's band, else an
+    // equal-ts tie would resolve to the seed over this newer change.
+    // Band EQUALITY is allowed — it is exactly the at-least-once replay
+    // of the batch whose merge seeded the table (identical rows,
+    // tie-break immaterial). Applies to pre-stamped streaming batches
+    // too: CdcStream stamps with this same batchId.
+    val seedMax = TableProps.read(nested(wh, name), BaseTable)
+      .get(SeedMaxSeqProp).map(_.toLong).getOrElse(-1L)
+    require((batchId + 1) * (1L << 44) > seedMax,
+      s"$name delta batch $batchId has a seq band below the seed's max " +
+        s"ingest seq $seedMax — an equal-ts tie would wrongly keep the " +
+        "seed row; use a batch id at or above the seed's band")
     // a streaming caller has already stamped the batch (CdcStream) — the
     // seq encoding contract is shared, so never re-stamp
     val stamped = if (changes.columns.contains(Cdc.SeqCol)) changes

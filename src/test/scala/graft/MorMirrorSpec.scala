@@ -273,7 +273,7 @@ class MorMirrorSpec extends SparkTestBase {
     assert(MorMirror.changesSince(spark, wh, "m", c3)._1.isEmpty)
   }
 
-  test("re-initialize is a reseed: stale deltas cannot resurrect over the fresh base") {
+  test("re-initialize is a reseed: stale deltas cannot resurrect; stale ids and cursors fail loudly") {
     val wh = Warehouse(tmpDir("mor-reseed"))
     MorMirror.initialize(wh, "m",
       Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
@@ -283,6 +283,22 @@ class MorMirrorSpec extends SparkTestBase {
     assert(state(wh, "m") == Set((1L, "fresh")),
       "pre-reseed deltas must not merge over the new seed")
     assert(MorMirror.pendingDeltas(wh, "m") == 0)
+    // the reseed stamped its fold horizon at the stale ids, so (a) a
+    // pre-reseed consumer cursor fails loudly instead of silently
+    // skipping the new incarnation's batches, and (b) a caller reusing
+    // an old batch id fails loudly instead of committing an invisible
+    // delta — both guards from the round-10 review
+    val e1 = intercept[NoSuchElementException] {
+      MorMirror.changesSince(spark, wh, "m", sinceBatch = 0L)
+    }
+    assert(e1.getMessage.contains("fold horizon"))
+    val e2 = intercept[IllegalArgumentException] {
+      MorMirror.appendDelta(wh, "m", changes((3L, "x", "I", "t10")), batchId = 1)
+    }
+    assert(e2.getMessage.contains("invisible to reads"))
+    // ids above the horizon proceed normally
+    MorMirror.appendDelta(wh, "m", changes((3L, "c", "I", "t10")), batchId = 2)
+    assert(state(wh, "m") == Set((1L, "fresh"), (3L, "c")))
   }
 
   test("Maintenance.compact on a MOR table delegates to the delta fold (layout preserved)") {
