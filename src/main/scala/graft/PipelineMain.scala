@@ -22,8 +22,12 @@ object PipelineMain {
       else {
         require(args.length >= 4,
           "usage: PipelineMain <warehouseDir> <keyCol> <tsCol> <sourceDir> [sourceDir ...]")
+        // mirror layout + catalog stay environment-shaped even when the
+        // source paths come from argv (the reference's TABULAR_* pattern)
         PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq,
-          catalog = PipelineConfig.catalogFromEnv())
+          mirrorBuckets = PipelineConfig.mirrorBucketsFromEnv(),
+          catalog = PipelineConfig.catalogFromEnv(),
+          mirrorMor = PipelineConfig.mirrorMorFromEnv())
       }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -93,10 +97,14 @@ object PipelineMain {
             wh.read(spark, spec.mirrorTable).schema))
           graft.plans.Bootstrapper.writeMergeConfig(cat, spec)
         }
-        val state = config.mirrorBuckets match {
-          case Some(_) => graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
-          case None => Cdc.currentState(wh.read(spark, spec.mirrorTable))
-        }
+        // the STORED layout decides how to read (config may lag a table
+        // created under a different layout — the stored-wins rule)
+        val state =
+          if (graft.plans.PartitionedMirror.storedBuckets(wh, spec.mirrorTable).isDefined)
+            graft.plans.PartitionedMirror.read(spark, wh, spec.mirrorTable)
+          else if (graft.plans.MorMirror.storedConfig(wh, spec.mirrorTable).isDefined)
+            graft.plans.MorMirror.read(spark, wh, spec.mirrorTable)
+          else Cdc.currentState(wh.read(spark, spec.mirrorTable))
         println(s"[pipeline] mirror=${spec.mirrorTable} rows=${state.count()}")
       } catch {
         case e: Exception =>

@@ -121,14 +121,24 @@ object PipelineConfig {
         env.getOrElse("GRAFT_CDC_KEY", "id"),
         env.getOrElse("GRAFT_CDC_TS", "transact_seq")),
       sources = need("GRAFT_SOURCES").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-      mirrorBuckets = env.get("GRAFT_MIRROR_BUCKETS").map { v =>
-        val n = v.toInt
-        require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
-        n
-      },
+      mirrorBuckets = mirrorBucketsFromEnv(env),
       catalog = catalogFromEnv(env),
-      mirrorMor = env.get("GRAFT_MIRROR_MOR").exists(_.toBoolean))
+      mirrorMor = mirrorMorFromEnv(env))
   }
+
+  /** GRAFT_MIRROR_BUCKETS — shared by [[fromEnv]] and the CLI-args entry
+    * path (layout config is environment-shaped like the catalog's).
+    */
+  def mirrorBucketsFromEnv(env: Map[String, String] = sys.env): Option[Int] =
+    env.get("GRAFT_MIRROR_BUCKETS").map { v =>
+      val n = v.toInt
+      require(n > 0, s"GRAFT_MIRROR_BUCKETS must be positive, got $v")
+      n
+    }
+
+  /** GRAFT_MIRROR_MOR — merge-on-read sink mode. */
+  def mirrorMorFromEnv(env: Map[String, String] = sys.env): Boolean =
+    env.get("GRAFT_MIRROR_MOR").exists(_.toBoolean)
 
   /** REST-catalog coordinates from the environment, shared by [[fromEnv]]
     * and the CLI-args entry path: like the reference (TABULAR_BASE_URL +

@@ -132,7 +132,13 @@ object Cdc {
       // change — and still survive when no change ever arrives for the key.
       val m0 = if (mirror.columns.contains(SeqCol)) mirror
                else mirror.withColumn(SeqCol, lit(0L))
-      val m1 = if (m0.columns.contains(E.OpCol)) m0
+      // coalesce, not just column-presence: a seed built from MIXED files
+      // (LOAD rows + change rows under one mergeSchema read) carries an op
+      // COLUMN whose LOAD rows are null — they are present rows and must
+      // re-enter as updates, not as null ops that downstream visibility
+      // filters would silently drop
+      val m1 = if (m0.columns.contains(E.OpCol))
+                 m0.withColumn(E.OpCol, coalesce(col(E.OpCol), lit(E.Update)))
                else m0.withColumn(E.OpCol, lit(E.Update))
       val m2 = cols.foldLeft(m1) { (df, c) =>
         if (df.columns.contains(c)) df
@@ -167,12 +173,20 @@ object Cdc {
     * dropped) — the one-shot query/bootstrap-compare path.
     */
   def applyAll(changes: DataFrame, cfg: CdcConfig): DataFrame =
-    fold(changes, cfg).filter(col(E.OpCol) =!= E.Delete).drop(E.OpCol)
+    fold(changes, cfg)
+      .filter(col(E.OpCol).isNull || col(E.OpCol) =!= E.Delete)
+      .drop(E.OpCol)
 
-  /** User-facing mirror state: hide tombstones, drop CDC bookkeeping. */
+  /** User-facing mirror state: hide tombstones, drop CDC bookkeeping.
+    * Null-SAFE on the op: a stored row with a null op (a LOAD-seeded row
+    * that predates the envelope) is a present row — `op =!= 'D'` alone
+    * evaluates to null there and would silently hide it (found by the
+    * independent MOR-layout checker, tools/verify_mor_layout.py).
+    */
   def currentState(mirror: DataFrame): DataFrame = {
     val visible = if (mirror.columns.contains(E.OpCol))
-      mirror.filter(col(E.OpCol) =!= E.Delete) else mirror
+      mirror.filter(col(E.OpCol).isNull || col(E.OpCol) =!= E.Delete)
+    else mirror
     visible.drop(SeqCol, E.OpCol, E.SourceTableCol)
   }
 }

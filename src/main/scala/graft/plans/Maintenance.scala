@@ -80,7 +80,7 @@ object Maintenance {
   def expireTombstones(
       spark: SparkSession, wh: Warehouse, table: String,
       cfg: graft.CdcConfig, horizon: String): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val expect = wh.currentVersion(table)
     val path = wh.snapshotPath(table)
     // mergeSchema: bucket/batch dirs may straddle a schema evolution — a
@@ -88,8 +88,11 @@ object Maintenance {
     // the full-table rewrite below
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
-    val kept = df.filter(!(col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
-      col(cfg.tsCol) < lit(horizon))).localCheckpoint(true)
+    // null-safe: a null-op (LOAD-seeded) row must be KEPT — the bare
+    // conjunction evaluates to null for it and filter(!null) drops it
+    val kept = df.filter(!coalesce(
+      col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
+        col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
     wh.commit(table, expectCurrent = expect) { staged =>
       val writer = kept.write.mode(SaveMode.Overwrite)
       if (df.columns.contains(PartitionedMirror.BucketCol))

@@ -24,6 +24,39 @@ class CdcSpec extends SparkTestBase {
   private def expectedSet(g: DmsGenerator.Generated): Set[(Long, String, String)] =
     g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet
 
+  test("mixed seed with a null-op column: rows stay visible through merge, state, and tombstone GC") {
+    import org.apache.spark.sql.functions.col
+    // a seed read from MIXED files (LOAD rows + change rows under one
+    // mergeSchema read) carries an op COLUMN whose LOAD rows are null —
+    // the shape the independent MOR-layout checker caught: the rows were
+    // silently dropped by every op filter downstream
+    val seed = Seq(
+      (1L, "load1", None: Option[String], None: Option[String]),
+      (2L, "load2", None, None),
+      (3L, "changed", Some("U"), Some("t1")))
+      .toDF("id", "name", "op", "ts")
+    val merged = Cdc.applyBatch(seed, Cdc.withIngestSeq(
+      Seq((2L, "upd2", "U", "t2")).toDF("id", "name", "op", "ts")), cfg)
+    // the merge must coalesce the seed's null ops to U (present rows)
+    assert(merged.filter(col("op").isNull).count() == 0,
+      "null ops must not survive a merge")
+    val visible = Cdc.currentState(merged)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(visible == Set((1L, "load1"), (2L, "upd2"), (3L, "changed")),
+      "LOAD-seeded rows must stay visible")
+    // currentState directly over a null-op frame (no merge ran) is
+    // null-safe too
+    val direct = Cdc.currentState(seed)
+      .select("id").as[Long].collect().toSet
+    assert(direct == Set(1L, 2L, 3L))
+    // and tombstone GC must not sweep null-op rows
+    val wh = graft.sources.Tables.Warehouse(tmpDir("nullop-gc"))
+    wh.overwrite(seed, "t")
+    graft.plans.Maintenance.expireTombstones(spark, wh, "t", cfg, horizon = "t9")
+    assert(wh.read(spark, "t").count() == 3,
+      "tombstone GC must keep null-op rows")
+  }
+
   test("golden replay: applyAll over the full changelog reproduces the generator's final state") {
     for (seed <- Seq(1L, 42L, 2024L)) {
       val g = DmsGenerator.generate(seed)
