@@ -893,6 +893,33 @@ object Queries {
   private def deleteDir(p: java.nio.file.Path): Unit =
     graft.sources.Tables.deleteRecursively(p)
 
+  /** Seeded fold with a null-op seed column (q173): the q18 changelog
+    * split at the median event id into a SNAPSHOT seed (visible state,
+    * envelope stripped, then an op column of NULLS re-attached — the
+    * mixed-file seed shape `tools/verify_mor_layout.py` exposed) merged
+    * with the remaining changes through the production [[Cdc.applyBatch]].
+    * Equals q18's full fold under the SAME oracle: seed rows re-enter
+    * with their true ordering value and null ops coalesce to U — the
+    * round-10 null-op visibility fix held under the driver's permanent
+    * gate, not just a spec.
+    */
+  def q173MixedSeedFold(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+    val cut = events(spark, dir).agg(expr("max(event_id) div 2").as("_cut"))
+    val chC = ch.crossJoin(broadcast(cut))
+    val seed = Cdc.applyAll(chC.filter(col("event_id") <= col("_cut")).drop("_cut"), cfg)
+      .drop(Cdc.SeqCol)
+      .withColumn("op", lit(null).cast("string")) // the mixed-seed shape
+    val late = chC.filter(col("event_id") > col("_cut")).drop("_cut")
+    Cdc.currentState(Cdc.applyBatch(seed, late, cfg))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD Type-2 history (the CDC changelog materialized as a slowly-
     * changing dimension instead of a latest-wins mirror): every change
     * becomes a version row with [valid_from, valid_to) bounds from the next
@@ -1494,6 +1521,17 @@ object Queries {
         |UNION ALL SELECT user_id, n_eid, n_et, n_v, 'update_after' FROM changed
         |ORDER BY user_id, _change_type""".stripMargin,
 
+    // the snapshot-seed + late-changes merge answers the SAME question as
+    // q18's one-shot fold — with the seed's op column all-null, pinning
+    // the null-op coalescing under the permanent gate
+    "q173_mixed_seed_fold" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
     // the merge-on-read lifecycle answers the SAME question as q18's
     // one-shot fold — one oracle, two engine paths cross-checking
     "q163_mor_mirror" ->
@@ -1907,6 +1945,7 @@ object Queries {
     "q18_cdc_fold" -> (q18CdcFold _),
     "q163_mor_mirror" -> (q163MorMirror _),
     "q164_mirror_changelog" -> (q164MirrorChangelog _),
+    "q173_mixed_seed_fold" -> (q173MixedSeedFold _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),
