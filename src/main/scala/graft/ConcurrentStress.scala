@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Cdc
+import graft.plans.{Maintenance, MorMirror}
+import graft.sources.Tables.Warehouse
+
+/** Forked-JVM role player for `tools/verify_concurrent.py` — the
+  * cross-PROCESS twin of ConcurrentCommitSpec: one JVM plays the ingest
+  * stream (sequential appendDelta commits), a second independent JVM
+  * plays the scheduled maintenance job (compaction loop), both on the
+  * same warehouse path with no coordination beyond the commit protocol
+  * itself. The python driver then reconstructs the final state OUTSIDE
+  * the JVM (DuckDB over the raw layout) and compares against the known
+  * change history — zero lost updates is the pass condition.
+  *
+  * Batch i inserts key i (`v<i>`) and updates key i-1 (`u<i>`), both at
+  * ts `t<i%02d>` — so the expected final state is pure arithmetic for
+  * the independent checker, no shared code.
+  *
+  * Roles:
+  *   init      <wh> <table> <buckets>          seed key 0
+  *   writer    <wh> <table> <fromBatch> <toBatch> [sleepMs]
+  *   compactor <wh> <table> <stopFile> [sleepMs]  loop until stopFile
+  *     exists, then one final drain compact
+  */
+object ConcurrentStress {
+
+  private val cfg = CdcConfig("id", "ts")
+
+  def main(args: Array[String]): Unit = {
+    val spark = Harness.session("graft-concurrent-stress", defaultCpus = "4")
+    import spark.implicits._
+
+    def changes(rows: (Long, String, String, String)*): DataFrame =
+      rows.toDF("id", "name", "op", "ts")
+
+    args.toList match {
+      case "init" :: wh :: table :: buckets :: Nil =>
+        MorMirror.initialize(Warehouse(wh), table,
+          Cdc.fold(changes((0L, "seed", "I", "t00")), cfg), cfg, buckets.toInt)
+        println(s"[concurrent] init $table buckets=$buckets")
+
+      case "writer" :: wh :: table :: from :: to :: rest =>
+        val sleepMs = rest.headOption.map(_.toLong).getOrElse(30L)
+        val w = Warehouse(wh)
+        (from.toInt to to.toInt).foreach { i =>
+          MorMirror.appendDelta(w, table,
+            changes((i.toLong, s"v$i", "I", f"t$i%02d"),
+              ((i - 1).toLong, s"u$i", "U", f"t$i%02d")), batchId = i.toLong)
+          Thread.sleep(sleepMs)
+        }
+        println(s"[concurrent] writer done $from..$to")
+
+      case "compactor" :: wh :: table :: stopFile :: rest =>
+        val sleepMs = rest.headOption.map(_.toLong).getOrElse(40L)
+        val w = Warehouse(wh)
+        var runs = 0
+        var conflicts = 0
+        while (!Files.exists(Paths.get(stopFile))) {
+          try { Maintenance.compact(spark, w, table, targetFiles = 1); runs += 1 }
+          catch {
+            // a run that loses every retry is lossless — the next run
+            // picks the deltas up; count it so the driver can assert the
+            // contended path actually ran
+            case _: java.util.ConcurrentModificationException => conflicts += 1
+            case scala.util.control.NonFatal(e)
+                if graft.sources.Tables.isSnapshotRace(e) => conflicts += 1
+          }
+          Thread.sleep(sleepMs)
+        }
+        Maintenance.compact(spark, w, table, targetFiles = 1) // drain the tail
+        println(s"[concurrent] compactor done runs=${runs + 1} abandoned=$conflicts")
+
+      case other =>
+        System.err.println(s"unknown role/args: ${other.mkString(" ")}")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -86,14 +86,44 @@ object MirrorStress {
     val speedup = tCow / tMor
     require(speedup >= 2.0,
       s"MOR append speedup ${speedup}x below 2x over the COW rewrite")
+
+    // Read-cost-vs-tail-length curve (round-11 verdict item 4): how fast
+    // does read debt actually grow per pending delta, and what does
+    // auto-compaction buy? Small batches (delta-sized, full bucket
+    // spread) are appended one by one; read wall-clock is sampled at
+    // tail lengths 2/8/16/32, then maybeCompact(threshold=32) must fire
+    // and restore base-scan cost. This is the measurement behind the
+    // morCompactEvery guidance in SCALE.md.
+    val curvePoints = Seq(2, 8, 16, 32)
+    val tailSec = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    var nextId = nBatches.toLong
+    (1 to curvePoints.max).foreach { i =>
+      val b = payload(spark.range(batchRows / 10)
+          .select(pmod(hash(col("id") + lit(i.toLong * 104729L)), lit(nRows))
+            .cast("long").as("id")).distinct())
+        .withColumn("op", lit("U"))
+        .withColumn("ts", lit(f"t${nBatches + i + 1}%03d"))
+        .localCheckpoint(true)
+      MorMirror.appendDelta(whMor, "m", b, batchId = nextId); nextId += 1
+      if (curvePoints.contains(i))
+        tailSec(i) = timed(MorMirror.read(spark, whMor, "m").count())._2
+    }
+    val fired = MorMirror.maybeCompact(spark, whMor, "m", maxPending = curvePoints.max)
+    require(fired, "auto-compact must fire at the threshold")
+    val (_, tReadAfterAuto) = timed(MorMirror.read(spark, whMor, "m").count())
+
     def r(x: Double): Double = math.round(x * 100) / 100.0
+    val curveJson = tailSec.map { case (k, v) => s""""$k":${r(v)}""" }
+      .mkString("{", ",", "}")
     println(s"""{"harness":"mirror-stress","n_rows":$nRows,"n_batches":$nBatches,""" +
       s""""batch_rows":$batchRows,"buckets":$buckets,""" +
       s""""sec_cow_total":${r(tCow)},"sec_mor_total":${r(tMor)},""" +
       s""""write_speedup":${math.round(speedup * 10) / 10.0},""" +
       s""""sec_read_${nBatches}_deltas":${r(tReadDebt)},""" +
       s""""sec_compact":${r(tCompact)},"sec_read_compacted":${r(tReadClean)},""" +
-      s""""sec_read_cow":${r(tReadCow)},"states_equal":true}""")
+      s""""sec_read_cow":${r(tReadCow)},""" +
+      s""""sec_read_by_tail":$curveJson,""" +
+      s""""sec_read_after_auto_compact":${r(tReadAfterAuto)},"states_equal":true}""")
     spark.stop()
   }
 }

@@ -481,6 +481,51 @@ object Curation {
     budgetSelect(scored, LangTokenBudget)
   }
 
+  /** q68's greedy token-budget selection driven by the PREDICTED language
+    * ([[TextAnalysis.withCharLangPred]]) instead of the stored metadata
+    * label (q175) — the langid kernel as an actual pipeline stage: real
+    * corpora have no trustworthy `lang` column, so the mixing budget must
+    * run on the model's own output. One parameter swaps the column; the
+    * selection machinery (distributed per-language ordered prefix sums,
+    * no single-reducer window) is byte-identical to q68's. The oracle
+    * recomputes lang_pred from the SAME marker profile
+    * ([[TextAnalysis.langPredCte]]) and then the same greedy rule.
+    */
+  def q175BudgetPredLang(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.withCharLangPred(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("score",
+        size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+      .select(col("doc_id"), col("lang_pred").as("lang"), col("n_toks"), col("score"))
+    budgetSelect(scored, LangTokenBudget)
+      .withColumnRenamed("lang", "lang_pred")
+  }
+
+  /** q140's temperature-mix weights per PREDICTED language (q176): the
+    * sqrt-temperature sampling weights a multilingual pretraining mix
+    * actually uses are computed over langid output, not metadata — same
+    * integer-exact sqrt scaling as q140, grouping key swapped to
+    * `lang_pred`. Bounded output (≤ |langs|+1 rows incl. `und`).
+    */
+  def q176TemperaturePredLang(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextAnalysis.withCharLangPred(docs(spark, dir))
+      .select(col("lang_pred"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("lang_pred")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("nsqrt",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+    val tot = s.agg(sum(col("n_tokens")).as("totc"), sum(col("nsqrt")).as("tots"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("w_prop", round(col("n_tokens").cast("double") / col("totc"), 6))
+      .withColumn("w_temp", round(col("nsqrt").cast("double") / col("tots"), 6))
+      .withColumn("epochs_temp",
+        round(lit(TempBudget) * (col("nsqrt").cast("double") / col("tots")) /
+          col("n_tokens").cast("double"), 6))
+      .select("lang_pred", "n_tokens", "w_prop", "w_temp", "epochs_temp")
+      .orderBy(col("lang_pred"))
+  }
+
   /** The distributed greedy budget selection shared by q68 and q124:
     * per-language ordered prefix sums over a (doc_id, lang, n_toks, score)
     * frame, selection order (score DESC, doc_id), keep while
@@ -2127,6 +2172,47 @@ object Curation {
         |    / CAST(n_tokens AS DOUBLE), 6) AS epochs_temp
         |FROM s, tot ORDER BY source""".stripMargin,
 
+    // q68's greedy budget re-keyed on the PREDICTED language — lang_pred
+    // recomputed in SQL from the same marker profile (langPredCte), so
+    // scorer + selection are both cross-checked in one query
+    "q175_budget_predlang" ->
+      s"""WITH ${TextAnalysis.langPredCte},
+        |scored AS (
+        |  SELECT d.doc_id, p.lang_pred,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+        |      / len(string_split(d.text, ' ')) AS score
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  WHERE len(string_split(d.text, ' ')) > 0),
+        |run AS (
+        |  SELECT doc_id, lang_pred, n_toks, score,
+        |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang_pred
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS spent_before
+        |  FROM scored)
+        |SELECT doc_id, lang_pred, n_toks, score, spent_before
+        |FROM run WHERE spent_before < $LangTokenBudget
+        |ORDER BY lang_pred, score DESC, doc_id""".stripMargin,
+
+    // q140's temperature mix re-keyed on the predicted language
+    "q176_temperature_predlang" ->
+      s"""WITH ${TextAnalysis.langPredCte},
+        |c AS (SELECT p.lang_pred,
+        |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1),
+        |s AS (SELECT lang_pred, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nsqrt
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS totc,
+        |    CAST(sum(nsqrt) AS BIGINT) AS tots FROM s)
+        |SELECT lang_pred, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / totc, 6) AS w_prop,
+        |  round(CAST(nsqrt AS DOUBLE) / tots, 6) AS w_temp,
+        |  round($TempBudget * (CAST(nsqrt AS DOUBLE) / tots)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS epochs_temp
+        |FROM s, tot ORDER BY lang_pred""".stripMargin,
+
     "q96_source_novelty" ->
       s"""WITH sh AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS s
@@ -2197,6 +2283,8 @@ object Curation {
     "q124_subword_budget" -> (q124SubwordBudget _),
     "q138_domain_cap" -> (q138DomainCap _),
     "q140_temperature_mix" -> (q140TemperatureMix _),
+    "q175_budget_predlang" -> (q175BudgetPredLang _),
+    "q176_temperature_predlang" -> (q176TemperaturePredLang _),
     "q142_quality_dup_calibration" -> (q142QualityDupCalibration _),
     "q143_effective_tokens" -> (q143EffectiveTokens _),
     "q148_context_sweep" -> (q148ContextSweep _),

@@ -920,6 +920,96 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Non-additive schema evolution under the oracle gate (q174): the q18
+    * changelog split into two SCHEMA EPOCHS — epoch 1 carries the event
+    * type as `name` and an INT score, epoch 2 RENAMES it to `etype`
+    * (declared through [[graft.sources.SchemaEvolution.declareRename]],
+    * the externalized Iceberg field-id table) and WIDENS the score to
+    * BIGINT — folded through the merge-on-read mirror. The read-side
+    * normalize + widened scan must make both epochs one history: the
+    * DuckDB oracle computes the same latest-per-key over the UN-split
+    * changelog, so any fork (renamed column not rejoining) or width
+    * mismatch hash-fails. Mechanism of record for a CDC source (DMS
+    * included) renaming columns mid-stream.
+    */
+  def q174SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MorMirror
+    import graft.sources.{SchemaEvolution, Tables}
+    import Tables.Warehouse
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ev = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val cut = events(spark, dir).agg(expr("max(event_id) div 2").as("_cut"))
+    val evC = ev.crossJoin(broadcast(cut))
+    val epoch1 = evC.filter(col("event_id") <= col("_cut"))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("name"),
+        pmod(col("event_id"), lit(997)).cast("int").as("score"), col("op"))
+    val epoch2 = evC.filter(col("event_id") > col("_cut"))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("etype"),
+        pmod(col("event_id"), lit(997)).cast("long").as("score"), col("op"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_se_q174")
+    val wh = Warehouse(tmp.toString)
+    try {
+      MorMirror.initialize(wh, "mirror", Cdc.fold(epoch1, cfg), cfg, nBuckets = 16)
+      SchemaEvolution.declareRename(wh, "mirror", "name", "etype")
+      MorMirror.appendDelta(wh, "mirror", epoch2, batchId = 1)
+      MorMirror.read(spark, wh, "mirror")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("etype").as("last_etype"),
+          col("score").cast("long").as("last_score"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
+  /** Feed-driven incremental view maintenance under the oracle gate
+    * (q177): the q18 mirror committed as THREE versions (folds of
+    * successively longer changelog prefixes), with a downstream
+    * `groupBy(event_type).agg(count, sum(value))` maintained ONLY from
+    * the materialized changelog feed —
+    * [[graft.plans.MirrorChangelog.maintainAggregate]] bootstraps one
+    * snapshot at the feed cursor, then folds each version hop's
+    * retraction rows; the mirror is never rescanned. The DuckDB oracle
+    * recomputes the aggregate from the FINAL fold directly, so any
+    * double-apply, missed hop, or tombstone-visibility slip hash-fails.
+    * This is the IVM analog of the streaming==batch contracts: the feed
+    * is proven to DRIVE a downstream state, not just describe changes.
+    */
+  def q177FeedIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{IncrementalAgg, MirrorChangelog}
+    import graft.sources.Tables.Warehouse
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+    val cuts = events(spark, dir).agg(
+      expr("max(event_id) div 3").as("_c1"),
+      expr("2 * (max(event_id) div 3)").as("_c2"))
+    val chC = ch.crossJoin(broadcast(cuts))
+    def fold(pred: org.apache.spark.sql.Column): DataFrame =
+      Cdc.fold(chC.filter(pred).drop("_c1", "_c2"), cfg)
+        .drop(Cdc.SeqCol).localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_q177")
+    val wh = Warehouse(tmp.toString, retain = 4)
+    val spec = IncrementalAgg.Spec(col("event_type"), col("value"))
+    try {
+      wh.overwrite(fold(col("event_id") <= col("_c1")), "mirror")
+      MirrorChangelog.maintainAggregate(spark, wh, "mirror", "feed", "agg",
+        "user_id", spec) // bootstrap at v1
+      wh.overwrite(fold(col("event_id") <= col("_c2")), "mirror")
+      wh.overwrite(fold(lit(true)), "mirror")
+      MirrorChangelog.maintainAggregate(spark, wh, "mirror", "feed", "agg",
+        "user_id", spec) // two hops absorbed in one pass
+      wh.read(spark, "agg")
+        .select(col("g").as("event_type"), col("n").as("n_users"),
+          col("s").cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** SCD Type-2 history (the CDC changelog materialized as a slowly-
     * changing dimension instead of a latest-wins mirror): every change
     * becomes a version row with [valid_from, valid_to) bounds from the next
@@ -1532,6 +1622,31 @@ object Queries {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    // the two-schema-epoch fold (rename declared mid-history, score
+    // widened int->bigint) answers the SAME question as the un-split
+    // fold: the oracle sees one continuous history, so a renamed column
+    // forking — or a width mismatch — hash-fails
+    "q174_schema_evolution" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_etype,
+        |  CAST(event_id % 997 AS BIGINT) AS last_score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // the feed-maintained aggregate must equal a direct recompute over
+    // the FINAL fold — any double-apply, missed hop, or tombstone-
+    // visibility slip in the incremental path hash-fails
+    "q177_feed_ivm" ->
+      """WITH last AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM last GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the merge-on-read lifecycle answers the SAME question as q18's
     // one-shot fold — one oracle, two engine paths cross-checking
     "q163_mor_mirror" ->
@@ -1946,6 +2061,8 @@ object Queries {
     "q163_mor_mirror" -> (q163MorMirror _),
     "q164_mirror_changelog" -> (q164MirrorChangelog _),
     "q173_mixed_seed_fold" -> (q173MixedSeedFold _),
+    "q174_schema_evolution" -> (q174SchemaEvolution _),
+    "q177_feed_ivm" -> (q177FeedIvm _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q99_asof_custom" -> (q99AsofCustom _),
     "q101_asof_outer" -> (q101AsofOuter _),

@@ -35,41 +35,65 @@ object Maintenance {
       MorMirror.compact(spark, wh, table)
       return
     }
-    // pin the current snapshot (resolved version dir): a stream commit
-    // landing mid-rewrite must not swap files out from under the read;
-    // the commit below is conditional on this version still being current
-    // (optimistic CAS), so a concurrent stream merge wins over the rewrite
-    val expect = wh.currentVersion(table)
-    val path = wh.snapshotPath(table)
-    // mergeSchema: batch subdirectories may straddle a schema evolution.
-    // A bucket-partitioned mirror must be read via partition discovery
-    // (recursiveFileLookup disables it and would silently flatten the
-    // layout); flat/batch-subdir tables need the recursive lookup instead.
-    val bucketed = isBucketPartitioned(spark, path)
-    val reader = spark.read.option("mergeSchema", "true")
-    // materialize BEFORE the commit: for a legacy (real-directory) table
-    // the commit migrates the directory aside first, so a lazy read
-    // through the old path would execute against moved files
-    val df = (
-      if (bucketed) reader.parquet(path)
-      else reader.option("recursiveFileLookup", "true").parquet(path)
-    ).localCheckpoint(true)
-    // atomic publish: the rewrite fills a fresh version dir reading from
-    // the still-live current version, then the pointer swaps (no window
-    // where the table is absent or half-written)
-    wh.commit(table, expectCurrent = expect) { staged =>
-      if (bucketed) {
-        // hash-repartition on the bucket column: each bucket lands in one
-        // task, so the rewrite emits one file per bucket directory
-        df.repartition(targetFiles,
-            org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
-      } else {
-        df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    var attempt = 0
+    while (true) {
+      // pin the current snapshot (resolved version dir): a stream commit
+      // landing mid-rewrite must not swap files out from under the read;
+      // the commit below is conditional on this version still being
+      // current (optimistic CAS), so a concurrent stream merge wins over
+      // the rewrite — and the loop re-reads the stream's NEW version and
+      // re-applies (Iceberg optimistic conflict retry), so a shared-
+      // warehouse deployment (ingest JVM + scheduled maintenance JVM)
+      // needs no external serialization
+      val expect = wh.currentVersion(table)
+      val path = wh.snapshotPath(table)
+      try {
+        // mergeSchema: batch subdirectories may straddle a schema
+        // evolution. A bucket-partitioned mirror must be read via
+        // partition discovery (recursiveFileLookup disables it and would
+        // silently flatten the layout); flat/batch-subdir tables need the
+        // recursive lookup.
+        val bucketed = isBucketPartitioned(spark, path)
+        // widened read: batch/bucket dirs may straddle a numeric widening
+        // (mergeSchema refuses mixed widths) on top of additive evolution.
+        // materialize BEFORE the commit: for a legacy (real-directory)
+        // table the commit migrates the directory aside first, so a lazy
+        // read through the old path would execute against moved files
+        val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
+          .localCheckpoint(true)
+        // atomic publish: the rewrite fills a fresh version dir reading
+        // from the still-live current version, then the pointer swaps (no
+        // window where the table is absent or half-written)
+        wh.commit(table, expectCurrent = expect) { staged =>
+          if (bucketed) {
+            // hash-repartition on the bucket column: each bucket lands in
+            // one task, so the rewrite emits one file per bucket directory
+            df.repartition(targetFiles,
+                org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+          } else {
+            df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+          }
+        }
+        return
+      } catch {
+        // CAS conflict at commit time, or the pinned snapshot aged out
+        // mid-read under a fast committer — both mean "a rival landed;
+        // re-read and re-apply" (Iceberg optimistic retry)
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if graft.sources.Tables.isSnapshotRace(e) =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
       }
     }
   }
+
+  /** Conflict-retry bound (see [[MorMirror.compact]]'s rationale). */
+  private val MaxRetries = 3
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
     * (the maximum expected lateness). After the horizon no late change can
@@ -81,23 +105,45 @@ object Maintenance {
       spark: SparkSession, wh: Warehouse, table: String,
       cfg: graft.CdcConfig, horizon: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val expect = wh.currentVersion(table)
-    val path = wh.snapshotPath(table)
-    // mergeSchema: bucket/batch dirs may straddle a schema evolution — a
-    // single-footer inference could silently drop an evolved column from
-    // the full-table rewrite below
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
-    if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
-    // null-safe: a null-op (LOAD-seeded) row must be KEPT — the bare
-    // conjunction evaluates to null for it and filter(!null) drops it
-    val kept = df.filter(!coalesce(
-      col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
-        col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
-    wh.commit(table, expectCurrent = expect) { staged =>
-      val writer = kept.write.mode(SaveMode.Overwrite)
-      if (df.columns.contains(PartitionedMirror.BucketCol))
-        writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
-      else writer.parquet(staged)
+    // merge-on-read tables have their own tombstone expiry (fold deltas,
+    // rewrite the base minus expired markers); the naive recursive rewrite
+    // below would union base versions with delta files and legacy-move the
+    // whole MOR tree into a version dir — same guard as compact
+    if (MorMirror.storedConfig(wh, table).isDefined) {
+      MorMirror.expireTombstones(spark, wh, table, horizon)
+      return
+    }
+    var attempt = 0
+    while (true) {
+      val expect = wh.currentVersion(table)
+      val path = wh.snapshotPath(table)
+      try {
+        // widened read: bucket/batch dirs may straddle additive evolution
+        // (single-footer inference would drop the evolved column) or a
+        // numeric widening (mergeSchema refuses mixed widths)
+        val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
+        if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
+        // null-safe: a null-op (LOAD-seeded) row must be KEPT — the bare
+        // conjunction evaluates to null for it and filter(!null) drops it
+        val kept = df.filter(!coalesce(
+          col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
+            col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
+        wh.commit(table, expectCurrent = expect) { staged =>
+          val writer = kept.write.mode(SaveMode.Overwrite)
+          if (df.columns.contains(PartitionedMirror.BucketCol))
+            writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+          else writer.parquet(staged)
+        }
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if graft.sources.Tables.isSnapshotRace(e) =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+      }
     }
   }
 
@@ -105,4 +151,107 @@ object Maintenance {
   def dataFiles(spark: SparkSession, wh: Warehouse, table: String): Seq[String] =
     graft.sources.Tables.listFilesExcluding(wh.tablePath(table), None)
       .filter(_.endsWith(".parquet"))
+
+  /** Orphan-file GC — the engine's `remove_orphan_files` (Iceberg ships
+    * it for exactly this reason: object stores accumulate files written
+    * by crashed stages that never committed, invisible to every reader
+    * but billed forever). Reachability model: files reachable from the
+    * published pointer chain (current + retained versions), from live
+    * MOR deltas, and from batch subdirs are LIVE; everything else in the
+    * table's namespace is a candidate:
+    *
+    *  - version dirs ABOVE the published version (a crashed commit's
+    *    stage — [[graft.sources.Tables.Warehouse.commit]]'s GC
+    *    deliberately never reaches up there because a live rival may
+    *    still be writing; here an AGE GUARD arbitrates instead),
+    *  - leftover `.ptr*` temp links and stale `.commitlock` files,
+    *  - MOR: crashed delta stages (`deltas/.batch_*.staging`) and
+    *    crashed nested base stages,
+    *  - Spark task-attempt debris (`_temporary`) inside batch subdirs.
+    *
+    * The age guard (newest mtime in the candidate TREE must be older
+    * than `olderThanMs`) is what makes deletion safe against in-flight
+    * work: an active writer keeps touching its stage; an in-flight
+    * reader only ever pins files reachable from a pointer that existed
+    * when it planned, and those are never candidates. A COMPLETE
+    * migration stage is never garbage — [[MorMirror.recoverMigration]]
+    * adopts it first.
+    *
+    * @return the paths deleted (for the operator's audit log)
+    */
+  def removeOrphans(wh: Warehouse, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+
+    def newestMtime(p: Path): Long = {
+      // a DANGLING symlink (temp pointer whose stage is gone) carries no
+      // recoverable meaning — infinitely old, swept on sight
+      if (Files.isSymbolicLink(p) && !Files.exists(p)) return Long.MinValue
+      val self =
+        try Files.getLastModifiedTime(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished: treat as fresh
+      if (!Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) self
+      else {
+        val s = Files.list(p)
+        try (Iterator(self) ++ s.iterator().asScala.map(newestMtime))
+          .foldLeft(Long.MinValue)(math.max)
+        finally s.close()
+      }
+    }
+    def sweep(p: Path): Unit =
+      if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          now - newestMtime(p) > olderThanMs) {
+        deleted += p.toString
+        graft.sources.Tables.deleteRecursively(p)
+      }
+    def sweepIn(wh2: Warehouse, name: String): Unit = {
+      // crashed commit stages above the published pointer
+      wh2.stagedAbove(name).foreach(sweep)
+      // leftover temp links / stale locks from killed committers
+      val rootP = Paths.get(wh2.root)
+      if (Files.isDirectory(rootP)) {
+        val s = Files.list(rootP)
+        try s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(s"$name.ptr") || n == s"$name.commitlock"
+          }.toSeq.foreach(sweep)
+        finally s.close()
+      }
+    }
+
+    // a COMPLETE migration stage is recoverable data — adopt it; an
+    // INCOMPLETE one may still be under its writer — age-guard it
+    MorMirror.stagedMigration(wh, table).foreach {
+      case (_, true) => MorMirror.recoverMigration(wh, table)
+      case (p, false) => sweep(p)
+    }
+    sweepIn(wh, table)
+    if (MorMirror.storedConfig(wh, table).isDefined) {
+      val nested = Warehouse(wh.tablePath(table))
+      sweepIn(nested, "base")
+      // crashed delta publications (the atomic rename never happened)
+      val dd = Paths.get(wh.tablePath(table), "deltas")
+      if (Files.isDirectory(dd)) {
+        val s = Files.list(dd)
+        try s.iterator().asScala
+          .filter(!_.getFileName.toString.startsWith("batch_"))
+          .toSeq.foreach(sweep)
+        finally s.close()
+      }
+    }
+    // Spark task-attempt debris inside batch subdirs (crashed appendBatch)
+    val tableP = Paths.get(wh.tablePath(table))
+    if (Files.isDirectory(tableP)) {
+      val walk = Files.walk(tableP, 3)
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString == "_temporary").toSeq.foreach(sweep)
+      finally walk.close()
+    }
+    deleted.toSeq
+  }
 }

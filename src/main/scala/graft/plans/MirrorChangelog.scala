@@ -80,9 +80,15 @@ object MirrorChangelog {
     * version fails loudly in [[Warehouse.readVersion]].
     */
   def between(spark: SparkSession, wh: Warehouse, name: String,
-      fromV: Long, toV: Long, keyCol: String): DataFrame =
-    diff(wh.readVersion(spark, name, fromV, mergeSchema = true),
-      wh.readVersion(spark, name, toV, mergeSchema = true), keyCol)
+      fromV: Long, toV: Long, keyCol: String): DataFrame = {
+    // normalize BOTH snapshots to the current schema before diffing: a
+    // version written before a declared rename would otherwise make every
+    // row of the renamed column look updated (old name dropped from the
+    // diff, new name null on the before-image)
+    val n = graft.sources.SchemaEvolution.normalize(_: DataFrame, wh, name)
+    diff(n(wh.readVersion(spark, name, fromV, mergeSchema = true)),
+      n(wh.readVersion(spark, name, toV, mergeSchema = true)), keyCol)
+  }
 
   /** Durable consumer cursor: the last mirror version whose diff was
     * emitted into the view table.
@@ -138,6 +144,83 @@ object MirrorChangelog {
         }
         TableProps.write(wh, viewTable,
           TableProps.read(wh, viewTable) + (CursorProp -> cur.toString))
+        hops
+    }
+  }
+
+  /** End-to-end incremental consumer of the materialized feed (round-10
+    * verdict item 6): keep `aggTable` equal to
+    * `IncrementalAgg.full(currentState(mirror))` using ONLY the
+    * changelog view — after the one-time bootstrap snapshot, the mirror
+    * itself is NEVER rescanned; each call materializes pending hops via
+    * [[emitPending]] and folds their retraction rows through
+    * [[IncrementalAgg.applyChangelog]]. The signed group deltas are
+    * additive, so all pending hops fold in ONE pass regardless of how
+    * many versions elapsed between calls.
+    *
+    * Durability/restart: the consumer's cursor (last absorbed destination
+    * version) is committed in the SAME versioned commit as the aggregate
+    * data (marker file inside the version dir — the CdcStream IVM
+    * pattern), so a crash between the feed emit and the agg commit
+    * simply re-reads the already-materialized hops next call (the feed's
+    * per-hop subdirs are deterministic; re-application starts from the
+    * unadvanced cursor — exactly-once effect).
+    *
+    * This is the IVM analog of the streaming==batch contracts: the view
+    * feed is proven to DRIVE a downstream state, not just describe
+    * changes. Returns the (from, to) version hops absorbed this call.
+    */
+  def maintainAggregate(spark: SparkSession, wh: Warehouse, name: String,
+      viewTable: String, aggTable: String, keyCol: String,
+      spec: IncrementalAgg.Spec): Seq[(Long, Long)] = {
+    import graft.sources.Tables.TableProps
+    val CursorMarker = "_feed_cursor"
+    def readCursor: Option[Long] = {
+      val p = java.nio.file.Paths.get(wh.snapshotPath(aggTable), CursorMarker)
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim.toLong)
+      else None
+    }
+    def commitAgg(df: DataFrame, cursor: Long): Unit =
+      wh.commit(aggTable) { dir =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, CursorMarker), cursor.toString)
+      }
+    emitPending(spark, wh, name, viewTable, keyCol)
+    val feedCursor = TableProps.read(wh, viewTable)(CursorProp).toLong
+    readCursor match {
+      case None =>
+        // bootstrap: ONE snapshot read establishes the state the feed
+        // then maintains. Read the EXACT version the feed cursor names —
+        // reading "current" would race a mirror commit landing between
+        // emitPending and this read, and the later hop for that commit
+        // would then double-apply
+        val visible = graft.operators.Cdc.currentState(
+          graft.sources.SchemaEvolution.normalize(
+            wh.readVersion(spark, name, feedCursor, mergeSchema = true),
+            wh, name))
+        commitAgg(IncrementalAgg.full(visible, spec).localCheckpoint(true),
+          feedCursor)
+        Seq.empty
+      case Some(cur) if cur >= feedCursor => Seq.empty
+      case Some(cur) =>
+        val hops = ((cur + 1) to feedCursor).map(v => (v - 1, v))
+        // the feed's per-hop batch subdirs above the cursor — delta-sized
+        val rows = graft.sources.SchemaEvolution.readWidened(spark,
+          hops.map { case (_, to) => s"${wh.tablePath(viewTable)}/batch_$to" })
+        // the feed diffs STORED rows (tombstones included, T2 semantics);
+        // the aggregate is over VISIBLE state — drop change rows whose
+        // image is a tombstone, null-safe (the currentState predicate):
+        // visible->tombstone then contributes only its retraction,
+        // tombstone->visible only its addition
+        val visRows =
+          if (!rows.columns.contains(graft.DmsEnvelope.OpCol)) rows
+          else rows.filter(col(graft.DmsEnvelope.OpCol).isNull ||
+            col(graft.DmsEnvelope.OpCol) =!= graft.DmsEnvelope.Delete)
+        val agg = wh.read(spark, aggTable)
+        val updated = IncrementalAgg.applyChangelog(agg, visRows, spec)
+        commitAgg(updated.localCheckpoint(true), feedCursor)
         hops
     }
   }

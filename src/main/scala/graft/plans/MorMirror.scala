@@ -88,7 +88,7 @@ object MorMirror {
       wh: Warehouse, name: String, state: DataFrame,
       cfg: CdcConfig, nBuckets: Int): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val nw = nested(wh, name)
+    recoverMigration(wh, name) // finish any interrupted flat->MOR swap first
     // a LOAD seed has no envelope: default op to U so the read-time
     // tombstone filter (op <> D) keeps the rows instead of dropping them
     // on a null comparison; missing ts / seq stay absent — the read-side
@@ -110,37 +110,127 @@ object MorMirror {
         val mx = staged.agg(max(col(Cdc.SeqCol))).head()
         if (mx.isNullAt(0)) -1L else mx.getLong(0)
       }
-    // a table previously seeded as a versioned FLAT table (LOAD bootstrap
-    // via Warehouse.overwrite) migrates here: the pointer layout is
-    // dissolved AFTER the state is eagerly materialized above, so the MOR
-    // directory tree owns the path (the PartitionedMirror.initialize
-    // migration contract)
-    wh.dissolveVersioned(name)
-    // Re-initializing an existing MOR table is a RESEED: stale delta
-    // batches must not survive it as live. Deleting them BEFORE the base
-    // commit would open a crash window where the OLD base stays current
-    // but its un-folded deltas are destroyed (silent rollback) — so the
-    // reseed uses compact's protocol instead: stamp the new base's fold
-    // horizon at the highest pre-existing delta id (staged inside the
-    // version, swaps atomically with the pointer), which (a) makes the
-    // stale deltas invisible the instant the new base publishes, (b)
-    // leaves every file an in-flight reader of the old incarnation
-    // pinned, and (c) invalidates stale consumer cursors LOUDLY — a
-    // cursor below the new horizon fails in changesSince instead of
-    // silently skipping the new incarnation's batches. The stale dirs
-    // themselves are swept by the next compaction's previous-generation
-    // GC ([[compact]]).
-    val staleHorizon = deltaDirsAll(wh, name).map(deltaId).maxOption.getOrElse(-1L)
-    nw.commit(BaseTable) { path =>
-      staged.write.mode(SaveMode.Overwrite)
-        .partitionBy(PartitionedMirror.BucketCol).parquet(path)
-      if (staleHorizon >= 0L)
-        Files.writeString(Paths.get(path, FoldedMarker), staleHorizon.toString)
-    }
-    TableProps.write(nw, BaseTable, TableProps.read(nw, BaseTable) ++ Map(
+    // LastDeltaProp resets with the seed: a post-reseed caller reusing a
+    // pre-reseed batch id must stay LOUD in appendDelta (the replay no-op
+    // only covers ids this incarnation itself committed)
+    val props = Map(
       BucketsProp -> nBuckets.toString,
       KeyProp -> cfg.keyCol, TsProp -> cfg.tsCol,
-      SeedMaxSeqProp -> seedMaxSeq.toString))
+      SeedMaxSeqProp -> seedMaxSeq.toString,
+      LastDeltaProp -> "-1")
+    val tableP = Paths.get(wh.tablePath(name))
+    if (Files.isSymbolicLink(tableP)) {
+      // A table previously seeded as a versioned FLAT table (LOAD
+      // bootstrap via Warehouse.overwrite) migrates here. Round-10 ADVICE:
+      // dissolving the pointer BEFORE the new base commits opened a crash
+      // window where the table is simply absent and a streaming replay
+      // silently reseeds from one batch. Instead the COMPLETE MOR tree
+      // (base version + pointer + layout props) is built in a stage dir
+      // beside the table, stamped `_stage_complete`, and only then swapped
+      // in: unlink the old pointer + one atomic rename — a two-syscall
+      // window instead of a full parquet write. A crash inside even that
+      // window is recoverable, not silent: [[recoverMigration]] (run by
+      // every initialize and by the streaming sink before its layout
+      // probe) adopts a complete stage, and deletes an incomplete one
+      // while the old table is still intact.
+      val stageP = Paths.get(stagePath(wh, name))
+      graft.sources.Tables.deleteRecursively(stageP)
+      val sw = Warehouse(stageP.toString)
+      sw.commit(BaseTable) { path =>
+        staged.write.mode(SaveMode.Overwrite)
+          .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+      }
+      TableProps.write(sw, BaseTable, props)
+      Files.writeString(stageP.resolve(StageCompleteMarker), "")
+      Files.delete(tableP)
+      Files.move(stageP, tableP,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(tableP.resolve(StageCompleteMarker))
+      // old flat version dirs are garbage now the MOR tree owns the path
+      wh.dissolveVersioned(name)
+    } else {
+      val nw = nested(wh, name)
+      // Re-initializing an existing MOR table is a RESEED: stale delta
+      // batches must not survive it as live. Deleting them BEFORE the base
+      // commit would open a crash window where the OLD base stays current
+      // but its un-folded deltas are destroyed (silent rollback) — so the
+      // reseed uses compact's protocol instead: stamp the new base's fold
+      // horizon at the highest pre-existing delta id (staged inside the
+      // version, swaps atomically with the pointer), which (a) makes the
+      // stale deltas invisible the instant the new base publishes, (b)
+      // leaves every file an in-flight reader of the old incarnation
+      // pinned, and (c) invalidates stale consumer cursors LOUDLY — a
+      // cursor below the new horizon fails in changesSince instead of
+      // silently skipping the new incarnation's batches. The stale dirs
+      // themselves are swept by the next compaction's previous-generation
+      // GC ([[compact]]).
+      val staleHorizon = deltaDirsAll(wh, name).map(deltaId).maxOption.getOrElse(-1L)
+      nw.commit(BaseTable) { path =>
+        staged.write.mode(SaveMode.Overwrite)
+          .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+        if (staleHorizon >= 0L)
+          Files.writeString(Paths.get(path, FoldedMarker), staleHorizon.toString)
+      }
+      TableProps.write(nw, BaseTable, TableProps.read(nw, BaseTable) ++ props)
+    }
+  }
+
+  /** Stage directory for the flat-to-MOR migration swap (built complete,
+    * then renamed over the table path) and its completeness stamp.
+    */
+  private def stagePath(wh: Warehouse, name: String): String =
+    s"${wh.tablePath(name)}.morstage"
+  private val StageCompleteMarker = "_stage_complete"
+
+  /** Finish (or clean up) an interrupted flat-to-MOR migration swap.
+    * Idempotent and cheap when there is nothing to do (one existence
+    * check). Called by [[initialize]] and by the streaming sink before it
+    * probes the table's layout — readers never mutate, so a pure reader
+    * racing a crashed migration still sees either the intact old flat
+    * table (stage incomplete) or nothing (the two-syscall window), never
+    * a half-table.
+    *
+    * Cases: stage incomplete -> the old table is still intact (the swap
+    * never started), delete the junk stage; stage complete + table still
+    * the old pointer -> crash before the unlink, redo the swap; stage
+    * complete + table absent -> crash between unlink and rename, adopt
+    * the stage; stage complete + table already a real dir -> the move
+    * happened, sweep the impossible leftover.
+    *
+    * @return true when a completed stage was swapped into place
+    */
+  /** (stage dir, isComplete) when a flat->MOR migration stage exists —
+    * lets [[Maintenance.removeOrphans]] adopt a complete stage (it is
+    * recoverable data) but only age-guard-sweep an incomplete one (its
+    * writer may still be staging; the WRITER's own recoverMigration may
+    * delete it unconditionally because migration is single-writer).
+    */
+  private[graft] def stagedMigration(
+      wh: Warehouse, name: String): Option[(Path, Boolean)] = {
+    val p = Paths.get(stagePath(wh, name))
+    if (!Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) None
+    else Some((p, Files.exists(p.resolve(StageCompleteMarker))))
+  }
+
+  def recoverMigration(wh: Warehouse, name: String): Boolean = {
+    val stageP = Paths.get(stagePath(wh, name))
+    if (!Files.isDirectory(stageP,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) return false
+    val complete = Files.exists(stageP.resolve(StageCompleteMarker))
+    val tableP = Paths.get(wh.tablePath(name))
+    if (!complete) { graft.sources.Tables.deleteRecursively(stageP); return false }
+    if (Files.exists(tableP, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.isSymbolicLink(tableP)) {
+      // real dir at the table path: the rename already happened; the
+      // "stage" here can only be a stray re-creation — sweep it
+      graft.sources.Tables.deleteRecursively(stageP)
+      return false
+    }
+    if (Files.isSymbolicLink(tableP)) Files.delete(tableP)
+    Files.move(stageP, tableP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(tableP.resolve(StageCompleteMarker))
+    wh.dissolveVersioned(name)
+    true
   }
 
   /** Highest ingest seq carried by the seed state — the floor later delta
@@ -162,10 +252,18 @@ object MorMirror {
       throw new IllegalStateException(
         s"MOR mirror '$name' not initialized — no stored layout props"))
     // a batch id at or below the fold horizon would be INVISIBLE to every
-    // read (the horizon filter excludes it) — silent data loss; the
-    // shapes that reach here are a checkpoint lineage reset on a
-    // compacted table, or a post-reseed caller reusing old ids
+    // read (the horizon filter excludes it) — silent data loss... UNLESS
+    // it is the at-least-once REPLAY of the very batch whose appendDelta
+    // already durably committed and whose inline compaction then advanced
+    // the horizon to it: a crash between that compaction and the streaming
+    // checkpoint commit replays the batch with the same id, and throwing
+    // here would wedge the stream permanently (round-10 ADVICE, medium).
+    // The durable [[LastDeltaProp]] distinguishes the two: equal to the
+    // replayed id -> the data is already in the base fold, no-op; anything
+    // else at-or-below the horizon is a checkpoint lineage reset or a
+    // post-reseed caller reusing old ids -> still loud.
     val horizon = foldedThrough(wh, name)
+    if (batchId <= horizon && batchId == lastCommittedDelta(wh, name)) return
     require(batchId > horizon,
       s"$name delta batch $batchId is at or below the fold horizon $horizon " +
         "and would be invisible to reads — batch ids must keep increasing " +
@@ -196,11 +294,47 @@ object MorMirror {
     // the read-side bucket filter scans every delta file. One extra
     // DELTA-sized shuffle makes each file cover few buckets, so the
     // touched-bucket read skips whole files on footer stats.
-    withBucket(folded, cfg.keyCol, buckets)
-      .repartition(col(PartitionedMirror.BucketCol))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
+    //
+    // ATOMIC publication: a concurrent compactor (the shared-warehouse
+    // deployment: ingest JVM + maintenance JVM) lists delta dirs at any
+    // moment — writing into `batch_<id>` directly would expose a dir
+    // whose part files are still landing, and a fold over that half
+    // batch stamps a horizon that hides the missing rows FOREVER (caught
+    // by ConcurrentCommitSpec). So the batch is written to a dot-
+    // prefixed staging dir (invisible to the `batch_` listing) and
+    // renamed in with one atomic move: a visible delta dir is complete
+    // by construction. A replay that finds the target already present
+    // keeps it — the visible dir is complete and deterministically
+    // identical to what the replay would write.
+    val target = Paths.get(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
+    if (!Files.exists(target)) {
+      val tmp = Paths.get(
+        s"${wh.tablePath(name)}/$DeltasDir/.batch_$batchId.staging")
+      graft.sources.Tables.deleteRecursively(tmp)
+      withBucket(folded, cfg.keyCol, buckets)
+        .repartition(col(PartitionedMirror.BucketCol))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // durable AFTER the data: a crash between the two replays the batch,
+    // which rewrites identical bytes (per-batch-subdir overwrite) and then
+    // lands the marker — the replay-after-compact no-op above only ever
+    // skips a batch whose delta file set is provably on disk (or folded)
+    val nw = nested(wh, name)
+    TableProps.write(nw, BaseTable,
+      TableProps.read(nw, BaseTable) + (LastDeltaProp -> batchId.toString))
   }
+
+  /** Highest delta batch id ever durably committed by [[appendDelta]]
+    * (-1 when none since the last initialize/reseed) — what lets a
+    * replayed batch id at the fold horizon be recognized as already
+    * applied instead of wedging the stream.
+    */
+  private val LastDeltaProp = "mor.last-delta-batch"
+
+  private def lastCommittedDelta(wh: Warehouse, name: String): Long =
+    TableProps.read(nested(wh, name), BaseTable)
+      .get(LastDeltaProp).map(_.toLong).getOrElse(-1L)
 
   /** Marker file INSIDE a base version dir recording the highest delta
     * batch id folded into that base. It swaps atomically WITH the base
@@ -258,14 +392,18 @@ object MorMirror {
       throw new IllegalStateException(
         s"MOR mirror '$name' not initialized — no stored layout props"))
     val kb = PartitionedMirror.BucketCol
-    // mergeSchema on BOTH sides: base versions and delta batches may
-    // straddle an additive schema evolution
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(nested(wh, name).snapshotPath(BaseTable))
+    // widened reads + rename normalization on BOTH sides: base versions
+    // and delta batches may straddle an additive evolution (mergeSchema-
+    // style union), a numeric widening (mergeSchema refuses those — the
+    // explicit-widened-schema read is the replacement), or a declared
+    // rename (normalize folds the old name back into its history)
+    val base = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readTableWidened(
+        spark, nested(wh, name).snapshotPath(BaseTable)), wh, name)
     if (deltas.isEmpty) return base
-    val delta = spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true")
-      .parquet(deltas.map(_.toString): _*)
+    val delta = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readWidened(
+        spark, deltas.map(_.toString)), wh, name)
     // touched-bucket list: bounded by the bucket modulus (partition
     // METADATA, not data), same driver-collect contract as the COW path
     val touched = delta.select(kb).distinct().collect()
@@ -307,16 +445,17 @@ object MorMirror {
     val kb = PartitionedMirror.BucketCol
     val touched = withBucket(changes, cfg.keyCol, buckets)
       .select(kb).distinct().collect().map(_.getInt(0)).sorted
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(nested(wh, name).snapshotPath(BaseTable))
+    val base = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readTableWidened(
+        spark, nested(wh, name).snapshotPath(BaseTable)), wh, name)
       .filter(col(kb).isin(touched.map(Integer.valueOf): _*))
     val dd = deltaDirs(wh, name)
     val all0 =
       if (dd.isEmpty) base
       else base.unionByName(
-        spark.read.option("mergeSchema", "true")
-          .option("recursiveFileLookup", "true")
-          .parquet(dd.map(_.toString): _*)
+        graft.sources.SchemaEvolution.normalize(
+          graft.sources.SchemaEvolution.readWidened(
+            spark, dd.map(_.toString)), wh, name)
           .filter(col(kb).isin(touched.map(Integer.valueOf): _*)),
         allowMissingColumns = true)
     // a LOAD-seed base with no deltas yet has no ts/seq — align from the
@@ -334,6 +473,85 @@ object MorMirror {
   def pendingDeltas(wh: Warehouse, name: String): Int =
     deltaDirs(wh, name).size
 
+  /** Auto-compaction trigger — THE mechanism that bounds read-time merge
+    * debt: every read merges the whole live delta tail, so a slow (or
+    * absent) compaction cadence lets read cost grow without bound
+    * (MirrorStress measures the curve: ~linear in tail length). Call
+    * after commits (the streaming sink does, `morCompactEvery`); static
+    * writers own the same contract. Returns true when a compaction ran.
+    * Choosing `maxPending`: the tail's read overhead is roughly
+    * (tail rows / base rows) extra scan plus one fold over touched
+    * buckets per delta file — single-digit thresholds keep reads within
+    * ~2x of a clean base scan at the measured scales (SCALE.md round-11
+    * table); raise it only when write latency matters more than read
+    * latency.
+    */
+  def maybeCompact(spark: SparkSession, wh: Warehouse, name: String,
+      maxPending: Int): Boolean = {
+    if (pendingDeltas(wh, name) < maxPending) return false
+    compact(spark, wh, name)
+    true
+  }
+
+  /** Fold horizon of the CURRENT base version: the highest delta batch id
+    * already folded in (-1 when none). PUBLIC because it is the bootstrap
+    * cursor for a new incremental consumer on a compacted table — the
+    * pattern is `val cur = foldHorizon(wh, name); read(...)` for the
+    * initial state, then `changesSince(spark, wh, name, cur)` for every
+    * increment after it; any guessed cursor below the horizon fails
+    * loudly in [[changesSince]] by design.
+    */
+  def foldHorizon(wh: Warehouse, name: String): Long = foldedThrough(wh, name)
+
+  /** Tombstone GC for the MOR layout — the [[Maintenance.expireTombstones]]
+    * semantics (drop delete markers older than the max expected lateness
+    * `horizon`; after it no late change can legally lose to them) applied
+    * without destroying the delta/base tree: first [[compact]] folds every
+    * live delta (their tombstones have done their merge work), then the
+    * base alone is rewritten minus the expired markers via the nested
+    * warehouse's CAS-guarded atomic commit, preserving the bucket
+    * partitioning and the fold-horizon marker. Null-op (LOAD-seeded) rows
+    * are kept — the round-10 visibility contract.
+    */
+  def expireTombstones(spark: SparkSession, wh: Warehouse, name: String,
+      horizon: String): Unit = {
+    val (cfg, _) = storedConfig(wh, name).getOrElse(
+      throw new IllegalStateException(
+        s"MOR mirror '$name' not initialized — no stored layout props"))
+    compact(spark, wh, name)
+    val nw = nested(wh, name)
+    var attempt = 0
+    while (true) {
+      val expect = nw.currentVersion(BaseTable)
+      val fold = foldedThrough(wh, name)
+      try {
+        val df = graft.sources.SchemaEvolution.readTableWidened(
+          spark, nw.snapshotPath(BaseTable))
+        if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return
+        val kept = df.filter(!coalesce(
+          col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
+            col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
+        nw.commit(BaseTable, expectCurrent = expect) { path =>
+          kept.write.mode(SaveMode.Overwrite)
+            .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+          if (fold >= 0L)
+            Files.writeString(Paths.get(path, FoldedMarker), fold.toString)
+        }
+        return
+      } catch {
+        // same optimistic retry as compact: re-read the rival's base and
+        // re-apply the expiry to it (CAS conflict or snapshot aged out)
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if graft.sources.Tables.isSnapshotRace(e) =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+      }
+    }
+  }
+
   /** Incremental consumption FOR FREE on the MOR layout: each committed
     * delta already is the latest-per-key changelog of its batch
     * (tombstones = deletes), so a downstream consumer just reads delta
@@ -344,6 +562,8 @@ object MorMirror {
     * base are NOT re-served (a new consumer starts from compacted state +
     * live deltas); a consumer slower than one compaction generation must
     * bootstrap from the base — the same retention contract as version GC.
+    * The valid starting cursor on a compacted table is [[foldHorizon]]:
+    * bootstrap = `read()` + `changesSince(foldHorizon(wh, name))`.
     */
   def changesSince(spark: SparkSession, wh: Warehouse, name: String,
       sinceBatch: Long): (Option[DataFrame], Long) = {
@@ -360,9 +580,9 @@ object MorMirror {
           "compact less often than the slowest consumer's cadence")
     val live = deltaDirs(wh, name).filter(deltaId(_) > sinceBatch)
     if (live.isEmpty) return (None, sinceBatch)
-    val df = spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true")
-      .parquet(live.map(_.toString): _*)
+    val df = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readWidened(spark, live.map(_.toString)),
+      wh, name)
       .drop(PartitionedMirror.BucketCol)
     (Some(df), live.map(deltaId).max)
   }
@@ -386,22 +606,60 @@ object MorMirror {
     */
   def compact(spark: SparkSession, wh: Warehouse, name: String): Unit = {
     val nw = nested(wh, name)
-    val prevHorizon = foldedThrough(wh, name)
-    val pinned = deltaDirs(wh, name)
-    if (pinned.isEmpty) return
-    val expect = nw.currentVersion(BaseTable)
-    val kb = PartitionedMirror.BucketCol
-    val (cfg, buckets) = storedConfig(wh, name).get
-    val merged = storedState(spark, wh, name, pinned).drop(kb)
-    val staged = withBucket(merged, cfg.keyCol, buckets).localCheckpoint(true)
-    val horizon = pinned.map(deltaId).max
-    nw.commit(BaseTable, expectCurrent = expect) { path =>
-      staged.write.mode(SaveMode.Overwrite).partitionBy(kb).parquet(path)
-      Files.writeString(Paths.get(path, FoldedMarker), horizon.toString)
+    var attempt = 0
+    while (true) {
+      val prevHorizon = foldedThrough(wh, name)
+      val pinned = deltaDirs(wh, name)
+      if (pinned.isEmpty) return
+      val expect = nw.currentVersion(BaseTable)
+      val kb = PartitionedMirror.BucketCol
+      val (cfg, buckets) = storedConfig(wh, name).get
+      val horizon = pinned.map(deltaId).max
+      try {
+        val merged = storedState(spark, wh, name, pinned).drop(kb)
+        val staged = withBucket(merged, cfg.keyCol, buckets).localCheckpoint(true)
+        beforeBaseCommit()
+        nw.commit(BaseTable, expectCurrent = expect) { path =>
+          staged.write.mode(SaveMode.Overwrite).partitionBy(kb).parquet(path)
+          Files.writeString(Paths.get(path, FoldedMarker), horizon.toString)
+        }
+        deltaDirsAll(wh, name).filter(deltaId(_) <= prevHorizon)
+          .foreach(deleteRecursively)
+        return
+      } catch {
+        // Iceberg-style optimistic conflict retry: another committer (a
+        // second compaction, or a tombstone expiry) swapped the base
+        // between our pin and our commit — surfacing either as the CAS
+        // CME at commit time or as the pinned snapshot aging out during
+        // the fold read. The loop re-reads the NEW current state and
+        // re-validates from scratch: if the rival already folded our
+        // pinned deltas, the re-pin comes back empty and this call
+        // becomes a no-op; if fresh deltas remain, they are re-folded
+        // against the rival's base. Bounded attempts: livelock under
+        // pathological contention fails loudly rather than spinning.
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if graft.sources.Tables.isSnapshotRace(e) =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+      }
     }
-    deltaDirsAll(wh, name).filter(deltaId(_) <= prevHorizon)
-      .foreach(deleteRecursively)
   }
+
+  /** Conflict-retry bound for base commits — generous: each retry means a
+    * whole rival commit landed inside our fold window, so >3 in a row is
+    * a deployment running compaction far too hot, worth failing loudly.
+    */
+  private val MaxCommitRetries = 3
+
+  /** Test seam: runs between a compaction's fold/stage and its base
+    * commit — lets a spec deterministically land a RIVAL commit inside
+    * the conflict window to exercise the retry path. A no-op in
+    * production.
+    */
+  private[graft] var beforeBaseCommit: () => Unit = () => ()
 
   /** Data files currently making up the table, split (base, deltas) — the
     * observable the O(delta) write-cost spec asserts on.

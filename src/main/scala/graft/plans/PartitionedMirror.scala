@@ -62,13 +62,16 @@ object PartitionedMirror {
   }
 
   /** Read the mirror's VISIBLE state (tombstones hidden, bucket col
-    * dropped). mergeSchema: bucket dirs may straddle a schema evolution
-    * (only touched buckets rewrite), so single-footer inference could hide
-    * an evolved column.
+    * dropped). Widened per-bucket read + rename normalization: bucket
+    * dirs may straddle a schema evolution (only touched buckets
+    * rewrite) — additive columns union in, numeric widenings resolve to
+    * the wide type (plain mergeSchema refuses those), declared renames
+    * rejoin their history.
     */
   def read(spark: SparkSession, wh: Warehouse, name: String): DataFrame =
-    Cdc.currentState(spark.read.option("mergeSchema", "true")
-      .parquet(wh.tablePath(name)).drop(BucketCol))
+    Cdc.currentState(graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readTableWidened(spark, wh.tablePath(name)),
+      wh, name).drop(BucketCol))
 
   /** Stored mirror rows (tombstones INCLUDED, bucket col dropped) in the
     * buckets the batch touches — the partition-pruned before-state for IVM
@@ -80,8 +83,9 @@ object PartitionedMirror {
     */
   def touchedBefore(spark: SparkSession, wh: Warehouse, name: String,
       changes: DataFrame, cfg: CdcConfig): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(wh.snapshotPath(name))
+    val raw = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readTableWidened(
+        spark, wh.snapshotPath(name)), wh, name)
     storedBuckets(wh, name) match {
       case Some(n) if raw.columns.contains(BucketCol) =>
         val touched = withBucket(changes, cfg, n)
@@ -118,10 +122,11 @@ object PartitionedMirror {
     if (touched.isEmpty) return
 
     // read through the snapshot path: a seeded flat mirror is a versioned
-    // pointer table until the migration below dissolves it
-    val raw = spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "false")
-      .parquet(wh.snapshotPath(name))
+    // pointer table until the migration below dissolves it; widened +
+    // normalized so a mid-stream rename/widening merges instead of forking
+    val raw = graft.sources.SchemaEvolution.normalize(
+      graft.sources.SchemaEvolution.readTableWidened(
+        spark, wh.snapshotPath(name)), wh, name)
     if (!raw.columns.contains(BucketCol)) {
       // legacy/seeded flat mirror (e.g. LOAD-file initial load): migrate it
       // into the bucketed layout wholesale on first merge — dynamic

@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables.{TableProps, Warehouse}
+
+/** Non-additive schema evolution for the plain-parquet warehouse —
+  * the capability the reference inherits from Iceberg's field IDs
+  * (columns are tracked by stable numeric id, so a rename is a metadata
+  * edit and old data files keep resolving; `tabular.py`'s tables get
+  * this transparently, and a real CDC source — DMS included — does
+  * rename columns mid-stream).
+  *
+  * Plain parquet has only names, so the field-id table is externalized:
+  * a durable registry in the warehouse `_metadata` ([[TableProps]])
+  * records declared renames (`schema.rename.<old> = <new>`) and drops
+  * (`schema.drop.<col>`). [[normalize]] is the read-side resolver that
+  * makes files written under an OLD name rejoin the CURRENT column —
+  * the same role Iceberg's id->name mapping plays at scan time.
+  * Renames are DECLARED, not guessed: silently matching `name` to
+  * `full_name` by position or similarity would corrupt tables on any
+  * coincidental add+drop.
+  *
+  * Type WIDENING (int->long, float->double) needs no declaration — it
+  * is resolved structurally. Spark 4's parquet reader promotes narrow
+  * files to a wider requested schema natively; what breaks is
+  * `mergeSchema` inference across mixed-width files
+  * (CANNOT_MERGE_SCHEMAS — measured, not assumed). [[readWidened]] is
+  * the replacement: infer per file GROUP (each group is one uniform
+  * commit), merge with numeric widening, and read everything under one
+  * explicit widened schema — missing columns come back as typed nulls
+  * exactly like mergeSchema's union.
+  */
+object SchemaEvolution {
+
+  private def renameKey(from: String) = s"schema.rename.$from"
+  private val RenamePrefix = "schema.rename."
+  private def dropKey(c: String) = s"schema.drop.$c"
+  private val DropPrefix = "schema.drop."
+
+  /** Declare that source column `from` is now called `to` — a metadata
+    * commit, no data rewritten (old files resolve through [[normalize]]).
+    * The CDC key and ts columns cannot be renamed: every stored layout
+    * (bucket hashes, fold config) is keyed on them.
+    */
+  def declareRename(wh: Warehouse, table: String, from: String, to: String): Unit = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"bad rename '$from' -> '$to'")
+    val props = TableProps.read(wh, table)
+    Seq("cdc.key-column", "cdc.ts-column").foreach { k =>
+      props.get(k).foreach(v => require(v != from && v != to,
+        s"cannot rename the CDC $k ('$v') — stored layouts are keyed on it"))
+    }
+    val updated = props + (renameKey(from) -> to)
+    // reject cycles loudly (a->b, b->a would make resolution spin)
+    val rn = rawRenames(updated)
+    var seen = Set.empty[String]
+    var cur = from
+    while (rn.contains(cur)) {
+      require(!seen.contains(cur), s"rename cycle through '$cur'")
+      seen += cur; cur = rn(cur)
+    }
+    TableProps.write(wh, table, updated)
+  }
+
+  /** Declare column `c` dropped: it disappears from every read-side view
+    * (old files keep the bytes; a compaction rewrite sheds them).
+    */
+  def declareDrop(wh: Warehouse, table: String, c: String): Unit = {
+    val props = TableProps.read(wh, table)
+    Seq("cdc.key-column", "cdc.ts-column").foreach { k =>
+      props.get(k).foreach(v => require(v != c,
+        s"cannot drop the CDC $k ('$v')"))
+    }
+    TableProps.write(wh, table, props + (dropKey(c) -> "true"))
+  }
+
+  private def rawRenames(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(RenamePrefix) =>
+      k.stripPrefix(RenamePrefix) -> v
+    }
+
+  /** Declared renames resolved TRANSITIVELY to the current name
+    * (a->b then b->c yields a->c and b->c).
+    */
+  def renames(wh: Warehouse, table: String): Map[String, String] = {
+    val raw = rawRenames(TableProps.read(wh, table))
+    raw.keys.map { from =>
+      var cur = from
+      var hops = 0
+      while (raw.contains(cur) && hops <= raw.size) { cur = raw(cur); hops += 1 }
+      from -> cur
+    }.toMap
+  }
+
+  def drops(wh: Warehouse, table: String): Set[String] =
+    TableProps.read(wh, table).keySet
+      .filter(_.startsWith(DropPrefix)).map(_.stripPrefix(DropPrefix))
+
+  /** Resolve a frame (possibly read from files written under old names)
+    * to the CURRENT schema: renamed columns rejoin their history (when a
+    * mergeSchema-style union surfaced BOTH the old and new name, the new
+    * one wins row-wise via coalesce — a single physical row only ever
+    * carries one of them), dropped columns disappear. Idempotent; a
+    * frame already current passes through untouched.
+    */
+  def normalize(df: DataFrame, wh: Warehouse, table: String): DataFrame =
+    normalizeWith(df, renames(wh, table), drops(wh, table))
+
+  def normalizeWith(df: DataFrame, renames: Map[String, String],
+      drops: Set[String]): DataFrame = {
+    var out = df
+    renames.foreach { case (from, to) =>
+      if (out.columns.contains(from)) {
+        out =
+          if (out.columns.contains(to))
+            out.withColumn(to,
+              coalesce(col(to), col(from).cast(out.schema(to).dataType)))
+              .drop(from)
+          else out.withColumnRenamed(from, to)
+      }
+    }
+    drops.foreach { c => if (out.columns.contains(c)) out = out.drop(c) }
+    out
+  }
+
+  /** Merge schemas by name with NUMERIC WIDENING where plain merge would
+    * refuse: integral types widen to the widest present, float widens to
+    * double. Anything structurally incompatible still fails loudly — a
+    * string-vs-long conflict is a data bug, not an evolution.
+    */
+  def mergeWidened(schemas: Seq[StructType]): StructType = {
+    require(schemas.nonEmpty, "no schemas to merge")
+    val order = Seq.empty[String] ++ schemas.flatMap(_.fieldNames).distinct
+    val byName = new scala.collection.mutable.HashMap[String, DataType]()
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if integral(x) && integral(y) =>
+        if (x.defaultSize >= y.defaultSize) x else y
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (x, DoubleType) if integral(x) => DoubleType // int file vs double file
+      case (DoubleType, y) if integral(y) => DoubleType
+      case (x: StructType, y: StructType) =>
+        val yf = y.fields.map(f => f.name -> f).toMap
+        StructType(
+          x.fields.map(f => yf.get(f.name).fold(f)(g =>
+            f.copy(dataType = widen(f.dataType, g.dataType),
+              nullable = f.nullable || g.nullable))) ++
+            y.fields.filterNot(f => x.fieldNames.contains(f.name)))
+      case (ArrayType(x, n1), ArrayType(y, n2)) =>
+        ArrayType(widen(x, y), n1 || n2)
+      case (x, y) => throw new IllegalArgumentException(
+        s"cannot widen $x vs $y — not a supported schema evolution")
+    }
+    schemas.foreach(_.fields.foreach { f =>
+      byName(f.name) = byName.get(f.name).fold(f.dataType)(widen(_, f.dataType))
+    })
+    StructType(order.map(n => StructField(n, byName(n), nullable = true)))
+  }
+
+  /** Read a set of file GROUPS (each group one uniform commit: a version
+    * dir, a delta batch dir, a changelog batch subdir) that may straddle
+    * renames and widenings: per-group single-footer inference, widened
+    * merge, one explicit-schema scan over all of them. Spark's parquet
+    * reader fills missing columns with nulls and promotes narrow
+    * numerics natively, so the result is exactly the mergeSchema union
+    * mergeSchema itself cannot produce across widths.
+    */
+  def readWidened(spark: SparkSession, groups: Seq[String],
+      recursive: Boolean = true): DataFrame = {
+    require(groups.nonEmpty, "no paths to read")
+    val schemas = groups.map(g =>
+      spark.read.option("recursiveFileLookup", recursive.toString).parquet(g).schema)
+    spark.read.schema(mergeWidened(schemas))
+      .option("recursiveFileLookup", recursive.toString)
+      .parquet(groups: _*)
+  }
+
+  /** [[readWidened]] for a TABLE directory: a `_kb=`-partitioned layout
+    * infers per bucket dir (partial bucket rewrites leave mixed widths
+    * across buckets) and keeps partition discovery; a flat/batch-subdir
+    * layout infers per immediate subdir.
+    */
+  def readTableWidened(spark: SparkSession, root: String): DataFrame = {
+    val rootP = Paths.get(root)
+    val allDirs: Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(rootP)) Seq.empty
+      else {
+        // FOLLOW the pointer symlink, then list real subdirs
+        val s = Files.list(rootP.toRealPath())
+        try s.iterator().asScala.filter(p => Files.isDirectory(p)).toSeq
+        finally s.close()
+      }
+    // partition dirs (`_kb=3`) legitimately start with `_` — classify on
+    // the `=` FIRST, and only treat underscore/dot dirs as hidden among
+    // the rest
+    val bucketDirs = allDirs.filter(_.getFileName.toString.contains("="))
+    val subdirs = allDirs.filterNot(_.getFileName.toString.contains("="))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+    if (bucketDirs.nonEmpty) {
+      // per-bucket inference (data cols only), then read the ROOT so
+      // partition discovery restores the bucket column
+      val schemas = bucketDirs.map(d =>
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(d.toString).schema)
+      val partCol = bucketDirs.head.getFileName.toString.split("=")(0)
+      val full = StructType(mergeWidened(schemas).fields :+
+        StructField(partCol, IntegerType, nullable = true))
+      spark.read.schema(full).parquet(root)
+    } else if (subdirs.nonEmpty) {
+      readWidened(spark, subdirs.map(_.toString))
+    } else {
+      spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true").parquet(root)
+    }
+  }
+
+  /** Widening-tolerant schema inference over an explicit FILE list (the
+    * streaming source's pin-at-start schema): one footer per file,
+    * merged with widening — restart after an upstream widening then
+    * reads every old narrow file under the new wide schema.
+    */
+  def inferWidened(spark: SparkSession, files: Seq[String]): StructType =
+    mergeWidened(files.map(f => spark.read.parquet(f).schema))
+}

@@ -206,6 +206,12 @@ object Tables {
       * directory writes (legacy layout) is migrated on its first commit by
       * renaming the real directory aside — that single migration has a
       * sub-millisecond absence window; every subsequent commit is atomic.
+      *
+      * `write` receives an EXISTING empty staging directory (pre-created
+      * atomically to make the allocation race-free across processes) —
+      * parquet writes into it must use Overwrite mode, as every caller in
+      * this engine does. A `write` that throws has its stage deleted
+      * immediately (no orphan).
       */
     def commit(name: String, expectCurrent: Option[Long] = None)
         (write: String => Unit): Unit = {
@@ -224,40 +230,110 @@ object Tables {
           Files.move(table, Paths.get(s"${tablePath(name)}.v$slot"))
           true
         } else false
-      val next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
-      val versionDir = Paths.get(s"${tablePath(name)}.v$next")
-      write(versionDir.toString)
-      // optimistic concurrency for offline rewrites (compaction/GC): the
-      // swap only publishes if the version the rewriter read is still the
-      // current one — a stream commit that landed mid-rewrite wins, and
-      // the rewriter gets a retryable conflict instead of silently
-      // discarding that batch. (Check-then-swap; the window between them
-      // is microseconds vs the rewrite's seconds, and the single-stream-
-      // writer + single-maintenance-job deployment this stands in for
-      // resolves the rest. A real catalog does this as a CAS commit.)
-      expectCurrent.foreach { e =>
-        val cur = currentVersion(name)
-        if (!legacyMoved && cur != Some(e)) {
-          deleteRecursively(versionDir)
-          throw new java.util.ConcurrentModificationException(
-            s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
+      // UNIQUE version-dir allocation: two INDEPENDENT committers (an
+      // ingest stream's JVM and a scheduled maintenance JVM sharing the
+      // warehouse) must never stage into the same directory — before this
+      // existed, both would pick the same `next`, and the CAS loser's
+      // cleanup deleted the winner's committed files (a lost update).
+      // createDirectory is atomic (O_EXCL on every POSIX fs): on
+      // collision, bump and retry — each writer ends up sole owner of its
+      // stage dir, so the data write itself needs no lock at all.
+      var next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
+      var versionDir: Path = null
+      while (versionDir == null) {
+        val cand = Paths.get(s"${tablePath(name)}.v$next")
+        try { Files.createDirectory(cand); versionDir = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
+      }
+      try write(versionDir.toString)
+      catch { case t: Throwable => deleteRecursively(versionDir); throw t }
+      // The decide-and-swap is the only contended region, and it is
+      // microseconds long — serialize it with an exclusive lock file so
+      // the CAS is a real compare-and-swap across PROCESSES, not a
+      // check-then-act with a window. A real catalog does exactly this as
+      // its transactional commit (the Iceberg optimistic-concurrency
+      // commit underlying the reference's table.transaction(),
+      // tabular.py:69-70); the lock file is the offline stand-in.
+      withCommitLock(name) {
+        // optimistic concurrency for offline rewrites (compaction/GC):
+        // the swap only publishes if the version the rewriter read is
+        // still the current one — a stream commit that landed mid-rewrite
+        // wins, and the rewriter gets a retryable conflict (re-read,
+        // re-validate, re-commit — the callers' retry loops) instead of
+        // silently discarding that batch.
+        expectCurrent.foreach { e =>
+          val cur = currentVersion(name)
+          if (!legacyMoved && cur != Some(e)) {
+            deleteRecursively(versionDir)
+            throw new java.util.ConcurrentModificationException(
+              s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
+          }
+        }
+        val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
+        Files.deleteIfExists(tmpLink)
+        // relative target keeps the warehouse relocatable
+        Files.createSymbolicLink(tmpLink, versionDir.getFileName)
+        Files.move(tmpLink, table,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // GC: keep the `retain` newest versions at or below the one just
+        // published. Versions ABOVE it are another writer's in-flight
+        // stage (allocated but not yet swapped) — deleting those would
+        // pull a concurrent commit's files out from under it; if their
+        // writer crashes they become age-guarded removeOrphans work, not
+        // GC work.
+        versions(name).filter(_._1 <= next).dropRight(retain)
+          .foreach { case (_, p) => deleteRecursively(p) }
+      }
+    }
+
+    /** Serialize the pointer swap across processes. The lock file is
+      * created O_EXCL; a holder crashing between create and delete would
+      * deadlock every later committer, so a lock older than
+      * [[Tables.CommitLockStaleMs]] is broken — safe because the guarded
+      * region is a validate + one atomic rename (no partial state to
+      * protect), so a breaker can at worst race a STALLED-not-crashed
+      * holder, which then fails its own delete harmlessly (deleteIfExists).
+      */
+    private def withCommitLock[T](name: String)(body: => T): T = {
+      val lock = Paths.get(s"${tablePath(name)}.commitlock")
+      val deadline = System.nanoTime() + CommitLockTimeoutMs * 1000000L
+      var acquired = false
+      while (!acquired) {
+        try { Files.createFile(lock); acquired = true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val stale =
+              try Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - CommitLockStaleMs
+              catch { case _: java.io.IOException => false } // holder just released
+            if (stale) Files.deleteIfExists(lock)
+            else if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"timed out waiting for commit lock $lock — a committer is " +
+                  "stalled (not crashed: crashed holders age out after " +
+                  s"${CommitLockStaleMs}ms)")
+            else Thread.sleep(2)
         }
       }
-      val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
-      Files.deleteIfExists(tmpLink)
-      // relative target keeps the warehouse relocatable
-      Files.createSymbolicLink(tmpLink, versionDir.getFileName)
-      Files.move(tmpLink, table,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // GC: keep the `retain` newest versions (current + history depth)
-      versions(name).dropRight(retain).foreach { case (_, p) =>
-        deleteRecursively(p)
-      }
+      try body finally Files.deleteIfExists(lock)
     }
 
     /** Version numbers of `name` currently retained, ascending. */
     def listVersions(name: String): Seq[Long] = versions(name).map(_._1)
+
+    /** Version directories ABOVE the currently published version —
+      * another writer's in-flight stage, or a crashed commit's leftover.
+      * Never GC'd by [[commit]] (the writer may still be alive); exposed
+      * for [[graft.plans.Maintenance.removeOrphans]]'s age-guarded sweep.
+      * For a table with no published pointer, every version dir is a
+      * leftover (e.g. flat version dirs surviving a crashed MOR
+      * migration's dissolve step).
+      */
+    private[graft] def stagedAbove(name: String): Seq[Path] = {
+      val cur = currentVersion(name)
+      versions(name).collect { case (v, p) if cur.forall(_ < v) => p }
+    }
 
     /** Time-travel read of a specific retained version. Fails loudly when
       * the version was GC'd (or never existed) — silently serving a
@@ -292,6 +368,41 @@ object Tables {
       df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(name)}/batch_$batchId")
   }
 
+  /** True for failures caused by a pinned snapshot aging out mid-read
+    * under a concurrent committer: the reader resolved version vN, a
+    * rival committed twice before the lazy read materialized, and the
+    * retention GC removed vN. For a MAINTENANCE caller this is exactly a
+    * CAS conflict that surfaced during the read instead of the commit —
+    * retryable by re-resolving the current snapshot (the callers' retry
+    * loops). Pure readers keep the documented contract instead: snapshot
+    * isolation holds for as long as the version is retained, then fails
+    * loudly.
+    */
+  private[graft] def isSnapshotRace(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    chain.exists { e =>
+      val m = Option(e.getMessage).getOrElse("")
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+        m.contains("PATH_NOT_FOUND") ||
+        m.contains("UNABLE_TO_INFER_SCHEMA") ||
+        m.contains("FileNotFoundException") ||
+        m.contains("does not exist") ||
+        m.contains("FAILED_READ_FILE") ||
+        // a localCheckpoint whose source files were GC'd mid-materialize
+        // fails block puts, then surfaces as a missing checkpoint block
+        m.contains("Checkpoint block")
+    }
+  }
+
+  /** Commit-lock tuning: the guarded region is a validate + one atomic
+    * rename, so a healthy holder releases in single-digit milliseconds;
+    * 30 s of age means the holder is gone. The acquisition timeout is
+    * deliberately much longer than the stale threshold so a waiter always
+    * gets to break a crashed holder's lock before giving up.
+    */
+  private val CommitLockStaleMs = 30000L
+  private val CommitLockTimeoutMs = 120000L
+
   /** Recursive delete that never follows symlinks (a version-pointer link
     * is deleted as a link, not traversed) — THE one copy shared by the
     * warehouse GC, the MOR delta GC, and the artifact cache.
@@ -322,7 +433,18 @@ object Tables {
       val json = props.toSeq.sorted
         .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
         .mkString("{", ", ", "}")
-      Files.writeString(p, json)
+      // write-temp + atomic rename: a reader in another process must never
+      // see a truncated/half-written props file (a torn read of the MOR
+      // layout props would mis-parse the bucket modulus). Read-modify-
+      // write races on the SAME key remain excluded by contract — each
+      // prop key has a single writer (stream batch markers, changelog
+      // cursor, layout props each belong to exactly one role).
+      val tmp = p.resolveSibling(
+        s".${p.getFileName}.tmp${ProcessHandle.current().pid()}")
+      Files.writeString(tmp, json)
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     def read(wh: Warehouse, table: String): Map[String, String] = {

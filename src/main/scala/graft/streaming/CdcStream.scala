@@ -107,8 +107,20 @@ object CdcStream {
       extension = Some(spec.format))
     require(schemaFiles.nonEmpty,
       s"no loadable files under ${spec.sourcePath} to infer a schema from")
-    val schema = graft.sources.Tables
-      .readFilesAs(spark, spec.format, schemaFiles).get.schema
+    val schema =
+      try graft.sources.Tables
+        .readFilesAs(spark, spec.format, schemaFiles).get.schema
+      catch {
+        // files straddling an upstream numeric WIDENING (int->long,
+        // float->double): mergeSchema inference refuses mixed widths, so
+        // fall back to per-footer inference merged with widening — the
+        // stream then reads every old narrow file under the wide schema
+        // (Spark 4 parquet promotes natively)
+        case e: org.apache.spark.SparkException
+            if spec.format == "parquet" &&
+              Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+          graft.sources.SchemaEvolution.inferWidened(spark, schemaFiles)
+      }
     // the merge's latest_row/long_dot must resolve in THIS session too (the
     // micro-batch clone registers separately; see Cdc.applyBatch)
     graft.functions.GraftFunctions.register(spark)
@@ -164,8 +176,19 @@ object CdcStream {
         try {
           if (stamped.limit(1).count() > 0) {
             wh.appendBatch(stamped, spec.changelogTable, batchId)
-            val changes = stamped.drop(graft.DmsEnvelope.SourceTableCol)
+            // the changelog keeps the RAW batch (historical record); the
+            // MERGE consumes the normalized view — declared renames fold
+            // into their history, dropped columns disappear
+            val changes = graft.sources.SchemaEvolution.normalize(
+              stamped.drop(graft.DmsEnvelope.SourceTableCol),
+              wh, spec.mirrorTable)
             val table = spec.mirrorTable
+            // a crashed flat->MOR migration swap must be finished BEFORE
+            // the layout probe: an adopted stage makes exists/morStored
+            // true and the replayed batch flows through appendDelta's
+            // band-equality replay contract instead of reseeding from one
+            // batch (round-10 ADVICE); cheap no-op when nothing is staged
+            graft.plans.MorMirror.recoverMigration(wh, table)
             val exists = wh.exists(table)
             // the STORED layout wins over the parameter (a bucketed table
             // merged flat — or vice versa — would corrupt the layout)
@@ -183,7 +206,8 @@ object CdcStream {
                 .touchedBefore(spark, wh, table, changes, spec.cdc)
               else if (morStored) graft.plans.MorMirror
                 .touchedBefore(spark, wh, table, changes)
-              else wh.read(spark, table)
+              else graft.sources.SchemaEvolution.normalize(
+                wh.read(spark, table), wh, table)
             // Maintained aggregates fold their delta from the BEFORE-state,
             // so they run ahead of the mirror commit. Replay safety: each
             // agg table records the last batch it absorbed (durable
@@ -228,8 +252,7 @@ object CdcStream {
               } else {
                 graft.plans.MorMirror.appendDelta(wh, table, changes, batchId)
                 // bound read-time merge debt; compact is atomic + replay-safe
-                if (graft.plans.MorMirror.pendingDeltas(wh, table) >= morCompactEvery)
-                  graft.plans.MorMirror.compact(spark, wh, table)
+                graft.plans.MorMirror.maybeCompact(spark, wh, table, morCompactEvery)
               }
             } else layout match {
               case Some(n) =>

@@ -521,6 +521,51 @@ class CdcStreamSpec extends SparkTestBase {
     assert(mirror === g.expectedFinal.map(r => (r.id, r.name, r.modificationDate)).toSet)
   }
 
+  test("NON-additive evolution mid-stream: declared rename + numeric widening land after restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def batch1 = Seq((1L, "a", 10, "I", "t1"), (2L, "b", 20, "I", "t1"))
+      .toDF("id", "name", "v", "op", "ts")
+    def batch2 = Seq((1L, "a2", 100L, "U", "t2"), (3L, "c", 30L, "I", "t2"))
+      .toDF("id", "full_name", "v", "op", "ts")
+    val expected = Set((1L, "a2", 100L), (2L, "b", 20L), (3L, "c", 30L))
+
+    for ((tag, mor) <- Seq(("flat", false), ("mor", true))) {
+      val src = tmpDir(s"stream-src-nonadd-$tag")
+      val ckpt = tmpDir(s"ckpt-nonadd-$tag")
+      val wh = Warehouse(tmpDir(s"stream-wh-nonadd-$tag"))
+      val spec = PipelineSpec(src, s"t9_changelog", "t9", CdcConfig("id", "ts"))
+      batch1.coalesce(1).write.parquet(s"$src/dms_logs_1.parquet")
+      CdcStream.start(spark, wh, spec, ckpt,
+        mirrorBuckets = if (mor) Some(8) else None, mirrorMor = mor)
+        .awaitTermination()
+      // upstream renames name->full_name (DECLARED — the operator's
+      // ALTER, never guessed) and widens v int->bigint (structural);
+      // restart inference must fall back past CANNOT_MERGE_SCHEMAS
+      graft.sources.SchemaEvolution.declareRename(wh, "t9", "name", "full_name")
+      batch2.coalesce(1).write.parquet(s"$src/dms_logs_2.parquet")
+      CdcStream.start(spark, wh, spec, ckpt,
+        mirrorBuckets = if (mor) Some(8) else None, mirrorMor = mor)
+        .awaitTermination()
+
+      val mirror =
+        if (mor) graft.plans.MorMirror.read(spark, wh, "t9")
+        else Cdc.currentState(graft.sources.SchemaEvolution.normalize(
+          wh.read(spark, "t9", mergeSchema = true), wh, "t9"))
+      assert(!mirror.columns.contains("name"),
+        s"[$tag] the renamed column must rejoin its history, not fork")
+      val got = mirror.select(col("id"), col("full_name"), col("v").cast("long"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === expected, s"[$tag] got $got")
+      // the changelog keeps the RAW history (both epochs' shapes)
+      val ch = graft.sources.SchemaEvolution.readWidened(spark,
+        Seq(s"${wh.tablePath("t9_changelog")}/batch_0",
+          s"${wh.tablePath("t9_changelog")}/batch_1"))
+      assert(ch.columns.contains("name") && ch.columns.contains("full_name"),
+        s"[$tag] the changelog is the raw historical record")
+    }
+  }
+
   test("schema evolution mid-stream: a column added in a later batch lands after restart") {
     import org.apache.spark.sql.functions._
     val g = DmsGenerator.generate(31L)

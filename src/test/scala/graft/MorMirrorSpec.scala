@@ -313,6 +313,104 @@ class MorMirrorSpec extends SparkTestBase {
     assert(state(wh, "m") == want)
   }
 
+  test("replay of the batch that triggered an inline compaction no-ops (no wedge)") {
+    val wh = Warehouse(tmpDir("mor-wedge"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    val batch = changes((2L, "b", "I", "t2"))
+    MorMirror.appendDelta(wh, "m", batch, batchId = 1)
+    MorMirror.compact(spark, wh, "m") // horizon = 1; crash before the
+    val want = state(wh, "m")         // streaming checkpoint commits here
+    // the restart replays batch 1 with the same id: the data is provably
+    // in the base fold, so this must be a silent no-op — throwing would
+    // wedge the stream on every restart (round-10 ADVICE, medium)
+    MorMirror.appendDelta(wh, "m", batch, batchId = 1)
+    assert(state(wh, "m") == want)
+    assert(MorMirror.pendingDeltas(wh, "m") == 0,
+      "a replayed folded batch must not commit a new live delta")
+    // but a DIFFERENT id at/below the horizon is still loud: that shape is
+    // a reset checkpoint lineage, not a replay
+    val e = intercept[IllegalArgumentException] {
+      MorMirror.appendDelta(wh, "m", changes((3L, "x", "I", "t3")), batchId = 0)
+    }
+    assert(e.getMessage.contains("invisible to reads"))
+  }
+
+  test("flat->MOR migration is staged: old mirror survives every crash window") {
+    val wh = Warehouse(tmpDir("mor-migrate"))
+    // versioned FLAT mirror — the LOAD-bootstrap shape CdcStream migrates
+    val flat = Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg)
+      .localCheckpoint(true)
+    wh.overwrite(flat, "m")
+    assert(Files.isSymbolicLink(Paths.get(wh.tablePath("m"))))
+    // crash mid-staging: an INCOMPLETE stage is junk; old table intact
+    val stage = Paths.get(wh.tablePath("m") + ".morstage")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("partial.parquet"), "junk")
+    assert(!MorMirror.recoverMigration(wh, "m"))
+    assert(!Files.exists(stage), "incomplete stage must be swept")
+    assert(Files.isSymbolicLink(Paths.get(wh.tablePath("m"))),
+      "old flat table must be untouched by an incomplete stage")
+    // the real migration: merged state (old + batch) through initialize
+    val merged = Cdc.applyBatch(flat, changes((3L, "c", "I", "t2")), cfg)
+    MorMirror.initialize(wh, "m", merged, cfg, N)
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!Files.exists(stage))
+    assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("m"))))
+    assert(wh.listVersions("m").isEmpty, "old flat version dirs must be GC'd")
+    // crash between unlink and rename (the residual two-syscall window):
+    // table absent, stage complete -> recovery ADOPTS instead of letting a
+    // replay reseed from one batch
+    val tableP = Paths.get(wh.tablePath("m"))
+    Files.move(tableP, stage)
+    Files.writeString(stage.resolve("_stage_complete"), "")
+    assert(MorMirror.recoverMigration(wh, "m"), "complete stage must be adopted")
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(MorMirror.storedConfig(wh, "m").isDefined)
+  }
+
+  test("expireTombstones on MOR folds deltas, drops expired markers, keeps the layout") {
+    val wh = Warehouse(tmpDir("mor-expire"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((1L, "a", "D", "t2"), (3L, "c", "I", "t5")), batchId = 1)
+    assert(state(wh, "m") == Set((2L, "b"), (3L, "c")))
+    // horizon t4: the t2 tombstone is past max expected lateness — the
+    // Maintenance entry point must DELEGATE (the naive rewrite would
+    // legacy-move the whole MOR tree into a version dir, round-10 ADVICE)
+    graft.plans.Maintenance.expireTombstones(spark, wh, "m", cfg, horizon = "t4")
+    assert(MorMirror.storedConfig(wh, "m").isDefined, "layout must survive")
+    assert(MorMirror.pendingDeltas(wh, "m") == 0)
+    assert(state(wh, "m") == Set((2L, "b"), (3L, "c")))
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(Warehouse(wh.tablePath("m")).snapshotPath("base"))
+    assert(stored.filter(col("op") === "D").count() == 0,
+      "the expired tombstone must be physically gone from the base")
+    // and the table keeps accepting deltas afterwards
+    MorMirror.appendDelta(wh, "m", changes((2L, "b2", "U", "t6")), batchId = 2)
+    assert(state(wh, "m") == Set((2L, "b2"), (3L, "c")))
+  }
+
+  test("foldHorizon is the public bootstrap cursor for a compacted table") {
+    val wh = Warehouse(tmpDir("mor-horizon"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    assert(MorMirror.foldHorizon(wh, "m") == -1L)
+    MorMirror.appendDelta(wh, "m", changes((2L, "b", "I", "t2")), batchId = 1)
+    MorMirror.appendDelta(wh, "m", changes((3L, "c", "I", "t3")), batchId = 2)
+    MorMirror.compact(spark, wh, "m")
+    assert(MorMirror.foldHorizon(wh, "m") == 2L)
+    // the documented consumer bootstrap: read() for the initial state,
+    // changesSince(foldHorizon) for everything after it
+    val cur = MorMirror.foldHorizon(wh, "m")
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    MorMirror.appendDelta(wh, "m", changes((4L, "d", "I", "t4")), batchId = 3)
+    val (d, c2) = MorMirror.changesSince(spark, wh, "m", cur)
+    assert(c2 == 3L)
+    assert(d.get.select("id").collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("stored layout config wins: appendDelta works without re-passing cfg or modulus") {
     val wh = Warehouse(tmpDir("mor-cfg"))
     MorMirror.initialize(wh, "m",

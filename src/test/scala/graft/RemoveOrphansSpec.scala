@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Cdc
+import graft.plans.{Maintenance, MorMirror}
+import graft.sources.Tables.Warehouse
+
+/** Orphan-file GC (round-10 verdict item 3): crashed stages accumulate
+  * invisibly in object stores — Iceberg ships `remove_orphan_files` for
+  * exactly this. The contract under test: everything reachable from the
+  * published pointer chain survives (including what an in-flight reader
+  * pinned), crashed debris older than the age guard is swept, and
+  * anything YOUNG — possibly still under an active writer — is left
+  * alone regardless of reachability.
+  */
+class RemoveOrphansSpec extends SparkTestBase {
+
+  private val cfg = CdcConfig("id", "ts")
+
+  private def changes(rows: (Long, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "op", "ts")
+  }
+
+  /** Backdate a whole tree past the age guard. */
+  private def age(p: Path): Unit = {
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    val s = Files.walk(p)
+    try s.iterator().asScala.foreach(f => Files.setLastModifiedTime(f, old))
+    finally s.close()
+  }
+
+  private val Guard = 60000L
+
+  test("flat table: crashed stages above the pointer are swept; pinned reader survives") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("og-flat"))
+    wh.overwrite(Seq((1L, "v1")).toDF("id", "name"), "t")
+    wh.overwrite(Seq((2L, "v2")).toDF("id", "name"), "t")
+    // reader pinned on the PREVIOUS retained version
+    val pinned = wh.readVersion(spark, "t", 1)
+    // crashed committer debris: an old stage above the pointer, a temp
+    // link, a dead holder's lock — and one FRESH stage (writer may be alive)
+    val oldStage = Paths.get(s"${wh.tablePath("t")}.v99")
+    Files.createDirectories(oldStage)
+    Files.writeString(oldStage.resolve("part-junk.parquet"), "crashed")
+    age(oldStage)
+    // a dangling temp pointer (its stage long gone) is swept on sight —
+    // symlink mtimes can't be aged portably, and it carries no data
+    val ptr = Paths.get(s"${wh.tablePath("t")}.ptr7")
+    Files.createSymbolicLink(ptr, Paths.get("t.v7"))
+    val lock = Paths.get(s"${wh.tablePath("t")}.commitlock")
+    Files.createFile(lock); age(lock)
+    val freshStage = Paths.get(s"${wh.tablePath("t")}.v98")
+    Files.createDirectories(freshStage)
+    Files.writeString(freshStage.resolve("part-live.parquet"), "in flight")
+
+    val deleted = Maintenance.removeOrphans(wh, "t", olderThanMs = Guard)
+    assert(deleted.exists(_.endsWith("t.v99")), s"old stage must be swept: $deleted")
+    assert(!Files.exists(oldStage))
+    assert(!Files.exists(ptr) && !Files.exists(lock))
+    assert(Files.exists(freshStage),
+      "a YOUNG stage may belong to a live writer — the age guard must keep it")
+    // reachable chain untouched: current + previous versions, pinned read ok
+    assert(wh.listVersions("t") == Seq(1L, 2L, 98L) ||
+      wh.listVersions("t") == Seq(1L, 2L),
+      s"retained versions must survive: ${wh.listVersions("t")}")
+    assert(pinned.select("name").as[String].collect().toSeq == Seq("v1"),
+      "an in-flight reader's pinned files must survive the sweep")
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("MOR table: crashed delta stages and nested base stages swept, live layout intact") {
+    val wh = Warehouse(tmpDir("og-mor"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg), cfg, 8)
+    MorMirror.appendDelta(wh, "m", changes((1L, "a2", "U", "t2")), batchId = 1)
+    val want = MorMirror.read(spark, wh, "m").select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // crashed delta publication (the atomic rename never ran)
+    val staging = Paths.get(wh.tablePath("m"), "deltas", ".batch_9.staging")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("part-half.parquet"), "half")
+    age(staging)
+    // crashed nested base stage + Spark task debris
+    val baseStage = Paths.get(wh.tablePath("m"), "base.v99")
+    Files.createDirectories(baseStage)
+    Files.writeString(baseStage.resolve("part-junk.parquet"), "crashed")
+    age(baseStage)
+    val tmpDirP = Paths.get(wh.tablePath("m"), "deltas", "batch_1", "_temporary")
+    Files.createDirectories(tmpDirP); age(tmpDirP)
+
+    val deleted = Maintenance.removeOrphans(wh, "m", olderThanMs = Guard)
+    assert(!Files.exists(staging), s"crashed delta stage must be swept: $deleted")
+    assert(!Files.exists(baseStage))
+    assert(!Files.exists(tmpDirP))
+    assert(MorMirror.pendingDeltas(wh, "m") == 1, "the LIVE delta must survive")
+    assert(MorMirror.read(spark, wh, "m").select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want,
+      "visible state must be unchanged by the sweep")
+  }
+
+  test("migration stages: complete -> adopted, incomplete+old -> swept, incomplete+fresh -> kept") {
+    import spark.implicits._
+    // incomplete + fresh: may still be under its writer
+    val wh1 = Warehouse(tmpDir("og-mig1"))
+    wh1.overwrite(Seq((1L, "flat")).toDF("id", "name"), "m")
+    val s1 = Paths.get(s"${wh1.tablePath("m")}.morstage")
+    Files.createDirectories(s1)
+    Files.writeString(s1.resolve("part-half.parquet"), "half")
+    Maintenance.removeOrphans(wh1, "m", olderThanMs = Guard)
+    assert(Files.exists(s1), "a fresh incomplete stage may be live — keep it")
+    // incomplete + old: crashed mid-staging, old table intact -> sweep
+    age(s1)
+    Maintenance.removeOrphans(wh1, "m", olderThanMs = Guard)
+    assert(!Files.exists(s1), "an aged incomplete stage is garbage")
+    assert(wh1.read(spark, "m").select("name").as[String].collect().toSeq == Seq("flat"))
+    // complete: recoverable data — ADOPTED, never deleted
+    val wh2 = Warehouse(tmpDir("og-mig2"))
+    val flat = Cdc.fold(changes((1L, "a", "I", "t1")), cfg).localCheckpoint(true)
+    wh2.overwrite(flat, "m")
+    MorMirror.initialize(wh2, "m", flat, cfg, 8)
+    // reconstruct the crashed-between-unlink-and-rename state
+    val tableP = Paths.get(wh2.tablePath("m"))
+    val s2 = Paths.get(s"${wh2.tablePath("m")}.morstage")
+    Files.move(tableP, s2)
+    Files.writeString(s2.resolve("_stage_complete"), "")
+    age(s2)
+    Maintenance.removeOrphans(wh2, "m", olderThanMs = Guard)
+    assert(!Files.exists(s2) && Files.isDirectory(tableP),
+      "a complete stage must be adopted into place, not deleted")
+    assert(MorMirror.read(spark, wh2, "m").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+}

@@ -43,19 +43,22 @@ class WarehouseSpec extends SparkTestBase {
     // crash INSIDE the staging write: files are on disk, the pointer swap
     // never runs — the foreachBatch mirror publish has exactly this window
     intercept[RuntimeException](wh.commit("t") { dir =>
-      Seq((2L, "half")).toDF("id", "name").write.parquet(dir)
+      Seq((2L, "half")).toDF("id", "name")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
       throw new RuntimeException("killed before swap")
     })
     assert(wh.currentVersion("t") == v1, "pointer must still name the old version")
     assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("good"),
       "a reader after the crash sees the complete old table, never the staged write")
-    // the next commit proceeds normally past the orphaned staging dir and
-    // its GC eventually removes the orphan
+    // a write that THROWS has its stage swept immediately (no orphan);
+    // only a hard JVM kill leaves one, which is removeOrphans work
+    assert(entries(wh.root).filter(_.startsWith("t.v")).size == 1,
+      "a failed write's staging dir must be swept at once")
     wh.overwrite(Seq((3L, "after")).toDF("id", "name"), "t")
     wh.overwrite(Seq((4L, "after2")).toDF("id", "name"), "t")
     assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("after2"))
     val vs = entries(wh.root).filter(_.startsWith("t.v"))
-    assert(vs.size == 2, s"orphaned staging dir must be GC'd: $vs")
+    assert(vs.size == 2, s"GC must keep exactly current + previous: $vs")
   }
 
   test("a reader opened before a commit keeps its snapshot (pinned version dir)") {
