@@ -18,6 +18,7 @@ can read parquet and sort can consume it. Dev tool only.
 
 Usage: python3 tools/verify_mor_layout.py [seed]
 """
+import json
 import os
 import random
 import shutil
@@ -54,9 +55,43 @@ def run_pipeline():
     return r.stdout
 
 
+def rename_map():
+    """Declared renames from the warehouse `_metadata` registry — part of
+    the on-disk contract: old-name files must rejoin the current column
+    (the externalized Iceberg field-id table). Resolved transitively."""
+    p = f"{WH}/_metadata/test_table.json"
+    if not os.path.exists(p):
+        return {}
+    props = json.load(open(p))
+    raw = {k[len("schema.rename."):]: v for k, v in props.items()
+           if k.startswith("schema.rename.")}
+    out = {}
+    for frm in raw:
+        cur = frm
+        for _ in range(len(raw) + 1):
+            if cur in raw:
+                cur = raw[cur]
+            else:
+                break
+        out[frm] = cur
+    return out
+
+
+def declare_rename(old, new):
+    """Write the registry directly (merge-preserving) — the checker's
+    independence: it speaks the props-file contract, not the Scala API."""
+    p = f"{WH}/_metadata/test_table.json"
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    props = json.load(open(p)) if os.path.exists(p) else {}
+    props[f"schema.rename.{old}"] = new
+    json.dump(props, open(p, "w"))
+
+
 def mor_state_sql():
     """The independent read protocol: returns SQL selecting the visible
-    state (id, name, modification_date, ts) from the raw layout."""
+    state (id, <name col>, modification_date, ts) from the raw layout,
+    applying any declared renames (coalesce new over old — a physical row
+    only ever carries one of them)."""
     table = f"{WH}/test_table"
     base = os.path.realpath(f"{table}/base")
     assert os.path.isdir(base), f"no MOR base under {table}"
@@ -72,7 +107,21 @@ def mor_state_sql():
     scans += [f"SELECT * FROM parquet_scan('{d}/*.parquet', union_by_name=true)"
               for d in deltas]
     allrows = " UNION ALL BY NAME ".join(scans)
-    return (f"SELECT id, name, modification_date, ts FROM ("
+    rn_map = rename_map()
+    avail = [r[0] for r in duckdb.sql(
+        f"DESCRIBE SELECT * FROM ({allrows})").fetchall()]
+
+    def colexpr(logical):
+        cur = rn_map.get(logical, logical)
+        olds = [o for o, n in rn_map.items() if n == cur and o in avail]
+        if cur in avail and olds:
+            return f"coalesce({cur}, {', '.join(olds)}) AS {cur}"
+        if cur not in avail and olds:
+            return f"{olds[0]} AS {cur}"
+        return cur
+
+    sel = ", ".join(colexpr(c) for c in ("id", "name", "modification_date", "ts"))
+    return (f"SELECT {sel} FROM ("
             f"  SELECT *, row_number() OVER (PARTITION BY id "
             f"    ORDER BY ts DESC NULLS LAST, _ingest_seq DESC NULLS LAST) AS rn"
             f"  FROM ({allrows}))"
@@ -107,12 +156,17 @@ def main():
     table.to_parquet(f"{SRC}/LOAD00000001.parquet", engine="pyarrow")
     last_ts = {i: None for i in table["id"]}
 
+    # logical "name" column — run 4 renames it upstream; the generator's
+    # batches then CARRY the new name while old files keep the old one
+    name_col = ["name"]
+
     def write_batch(fname, n_upd, n_del, inserts=()):
         nonlocal table
+        nc = name_col[0]
         logs = []
         for new_id in inserts:
             t = ts()
-            row = {"id": new_id, "name": f"name{new_id}",
+            row = {"id": new_id, nc: f"name{new_id}",
                    "modification_date": t}
             table = pd.concat([table, pd.DataFrame([row])], ignore_index=True)
             last_ts[new_id] = t
@@ -120,7 +174,7 @@ def main():
         for _ in range(n_upd):
             idx = rng.choice(list(table.index))
             t = ts()
-            table.loc[idx, "name"] = f"updated_name{idx}"
+            table.loc[idx, nc] = f"updated_name{idx}"
             table.loc[idx, "modification_date"] = t
             row = table.loc[idx].to_dict()
             last_ts[row["id"]] = t
@@ -132,13 +186,13 @@ def main():
             t = ts()
             last_ts.pop(row["id"], None)
             logs.append({**row, "table": "test_table", "op": "D", "ts": t})
-        cols = ["id", "name", "modification_date", "table", "op", "ts"]
+        cols = ["id", nc, "modification_date", "table", "op", "ts"]
         pd.DataFrame(logs)[cols].to_parquet(f"{SRC}/{fname}", engine="pyarrow")
 
     def expected():
         df = table.reset_index(drop=True).copy()
         df["ts"] = df["id"].map(lambda k: last_ts.get(k))
-        return df[["id", "name", "modification_date", "ts"]]
+        return df[["id", name_col[0], "modification_date", "ts"]]
 
     con = duckdb.connect()
 
@@ -161,6 +215,18 @@ def main():
     assert before == after, "FAIL: the incremental batch rewrote the base"
     print("PASS run3: base untouched by the delta commit")
     compare(con, expected(), "run3 (incremental)")
+
+    print("== run 4: declared rename name->full_name lands mid-stream ==")
+    # the rename is a METADATA commit (registry write), no data rewritten;
+    # upstream batches from here on carry the new column name while the
+    # base and all earlier deltas keep the old one — the independent read
+    # must fold both into ONE history via the registry
+    declare_rename("name", "full_name")
+    name_col[0] = "full_name"
+    table = table.rename(columns={"name": "full_name"})
+    write_batch("dms_logs_5.parquet", 4, 1, inserts=(63,))
+    run_pipeline()
+    compare(con, expected(), "run4 (renamed column rejoins history)")
 
     print(f"\nALL PASS (seed={SEED})")
 
