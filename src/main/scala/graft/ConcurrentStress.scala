@@ -75,6 +75,57 @@ object ConcurrentStress {
         Maintenance.compact(spark, w, table, targetFiles = 1) // drain the tail
         println(s"[concurrent] compactor done runs=${runs + 1} abandoned=$conflicts")
 
+      case "consumer" :: wh :: table :: stopFile :: outFile :: rest =>
+        // Live incremental consumer: polls changesSince against its
+        // cursor while the writer and compactor run in OTHER JVMs,
+        // maintaining a latest-wins replica in memory (an independent
+        // reimplementation of the fold — tombstones delete, (ts, seq)
+        // orders). When a compaction outruns the cursor (loud
+        // NoSuchElementException by contract) it re-bootstraps from
+        // read() + foldHorizon — the documented recovery. At stop it
+        // drains once more and dumps the replica for the python driver
+        // to compare against the arithmetic expectation.
+        val sleepMs = rest.headOption.map(_.toLong).getOrElse(50L)
+        val w = Warehouse(wh)
+        val replica = scala.collection.mutable.HashMap[Long, (String, String, Long, String)]()
+        var cursor = -1L
+        var rebootstraps = 0
+        def bootstrap(): Unit = {
+          cursor = MorMirror.foldHorizon(w, table)
+          replica.clear()
+          MorMirror.read(spark, w, table)
+            .select("id", "name", "ts").collect().foreach { r =>
+              replica(r.getLong(0)) = (r.getString(1), r.getString(2), -1L, "U")
+            }
+        }
+        def applyRows(df: org.apache.spark.sql.DataFrame): Unit =
+          df.select("id", "name", "ts", Cdc.SeqCol, graft.DmsEnvelope.OpCol)
+            .collect().foreach { r =>
+              val (id, name, ts) = (r.getLong(0), r.getString(1), r.getString(2))
+              val seq = if (r.isNullAt(3)) 0L else r.getLong(3)
+              val op = if (r.isNullAt(4)) "U" else r.getString(4)
+              val newer = replica.get(id).forall { case (_, oldTs, oldSeq, _) =>
+                ts > oldTs || (ts == oldTs && seq >= oldSeq)
+              }
+              if (newer) replica(id) = (name, ts, seq, op)
+            }
+        def poll(): Unit =
+          try {
+            val (d, c) = MorMirror.changesSince(spark, w, table, cursor)
+            d.foreach(applyRows); cursor = c
+          } catch {
+            case _: NoSuchElementException => rebootstraps += 1; bootstrap()
+          }
+        bootstrap()
+        while (!Files.exists(Paths.get(stopFile))) { poll(); Thread.sleep(sleepMs) }
+        poll() // drain the tail
+        val rows = replica.toSeq.collect {
+          case (id, (name, _, _, op)) if op != "D" => s"$id,$name"
+        }.sorted
+        Files.writeString(Paths.get(outFile), rows.mkString("\n"))
+        println(s"[concurrent] consumer done rows=${rows.size} " +
+          s"cursor=$cursor rebootstraps=$rebootstraps")
+
       case other =>
         System.err.println(s"unknown role/args: ${other.mkString(" ")}")
         sys.exit(2)

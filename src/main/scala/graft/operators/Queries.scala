@@ -506,6 +506,191 @@ object Queries {
       .limit(20)
   }
 
+  /** Cheapest-supplier-per-part (q178) — the TPC-H Q2 shape on the
+    * available tables (the fixture has no partsupp; unit cost =
+    * extendedprice/quantity per lineitem stands in for ps_supplycost):
+    * Q2's correlated scalar subquery ("the supplier whose cost equals
+    * the part's minimum within the region") DECORRELATED Spark-first
+    * into one per-(part,supplier) aggregate, a per-part min aggregate,
+    * and an equality join back — each shuffle keyed on the part, no
+    * correlated re-execution, all dimension hops broadcast. Double
+    * equality on the min is safe: both sides are the same IEEE value
+    * computed from the same rows. Ties keep ALL achieving suppliers
+    * (both engines), and the full ORDER BY makes the LIMIT
+    * deterministic.
+    */
+  def q178MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eu = t(spark, dir, "region").filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    val nEu = t(spark, dir, "nation")
+      .join(broadcast(eu), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sEu = t(spark, dir, "supplier")
+      .join(broadcast(nEu), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = t(spark, dir, "lineitem")
+      .join(broadcast(sEu.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supp_cost"))
+    val minPerPart = cost.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("supp_cost")).as("min_cost"))
+    cost
+      .join(minPerPart, col("l_partkey") === col("m_partkey") &&
+        col("supp_cost") === col("min_cost"))
+      .join(broadcast(sEu), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Forecast-revenue-change (q179) — the TPC-H Q6 shape: the pure
+    * pushdown showcase. One scan, THREE predicates all pushed to the
+    * parquet reader (PushedFilters carries shipdate bounds, discount
+    * bounds, quantity — asserted in Round11OpsSpec), a two-column read
+    * schema, and one partial+final agg: no join, no wide shuffle, the
+    * whole query is a codegen'd scan. Revenue sum in exact decimal.
+    */
+  def q179RevenueChange(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Product-line profit by nation and year (q180) — the TPC-H Q9
+    * shape: a part-name LIKE filter reduced to a broadcast semi-join
+    * BEFORE the fact scan fans out, supplier->nation broadcast, one
+    * orders join to carry the year in, then a small (nation x year)
+    * hash agg. Profit in exact decimal (no ps_supplycost in the
+    * fixture, so profit = revenue — the plan shape, 5-way join + year
+    * extraction, is what Q9 exercises).
+    */
+  def q180ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val widget = t(spark, dir, "part")
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(rev).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Returned-item revenue ranking (q181) — the TPC-H Q10 shape: a
+    * quarter of orders joins the returned lineitems, revenue aggregates
+    * per customer BEFORE the customer dimension joins in (agg-first
+    * keeps the big join's left side at |customers-with-returns|), the
+    * nation map broadcasts, and the final top-20 is a
+    * TakeOrderedAndProject (asserted in Round11OpsSpec), not a global
+    * sort. Revenue-desc ties break on the key for a deterministic
+    * LIMIT.
+    */
+  def q181ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val q = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(q, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(revenue.as("revenue"))
+    perCust
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Important-part value census (q182) — the TPC-H Q11 shape: a
+    * per-part value aggregate kept only when it exceeds a FRACTION of
+    * the global total — the scalar-subquery-in-HAVING pattern, realized
+    * as one 1-row broadcast cross join over the already-aggregated
+    * (small) per-part frame. Values accumulate in exact decimal; the
+    * threshold comparison happens in double on both engines (same
+    * decimal->double conversion, same IEEE multiply).
+    */
+  def q182ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val value = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("part_value"))
+    val total = value.agg(sum(col("part_value")).as("total_value"))
+    value.crossJoin(broadcast(total))
+      .filter(col("part_value").cast("double") >
+        col("total_value").cast("double") * 0.0002)
+      .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Supplier diversity census (q183) — the TPC-H Q16 shape: distinct
+    * suppliers per part attribute combo, EXCLUDING a supplier set (the
+    * NOT IN subquery becomes a broadcast anti-join before the count).
+    * countDistinct rides the (brand,type,size) hash agg — the expand +
+    * two-phase distinct-agg plan, no window.
+    */
+  def q183SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(t(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Front-loaded suppliers (q184) — the TPC-H Q20 shape: a semi-join
+    * CHAIN (parts by name -> their 1997 shipment volumes -> suppliers
+    * whose first-half volume exceeds half their year total -> supplier
+    * attributes), every level reducing before the next joins. The
+    * half-vs-total comparison is exact decimal (x2 on a decimal is
+    * exact), so the boundary cannot drift between engines.
+    */
+  def q184FrontLoadedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val bolts = t(spark, dir, "part")
+      .filter(col("p_name").contains("bolt")).select(col("p_partkey"))
+    val qty = t(spark, dir, "lineitem")
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"),
+        sum(when(col("l_shipdate") < lit("1997-07-01").cast("timestamp"),
+          col("l_quantity").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("h1_qty"))
+      .filter(col("h1_qty") * 2 > col("total_qty"))
+    t(spark, dir, "supplier")
+      .join(qty.select(col("l_suppkey")).distinct(),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -1622,6 +1807,105 @@ object Queries {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    // Q2 shape: the correlated min decorrelated; DuckDB recomputes the
+    // per-part min as a window and keeps all tie-achieving suppliers
+    "q178_min_cost_supplier" ->
+      """WITH eu AS (SELECT n_nationkey, n_name FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |se AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |    FROM supplier JOIN eu ON s_nationkey = n_nationkey),
+        |cost AS (SELECT l_partkey, l_suppkey,
+        |      min(l_extendedprice / l_quantity) AS supp_cost
+        |    FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM se)
+        |    GROUP BY 1, 2),
+        |m AS (SELECT *, min(supp_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        |    FROM cost)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+        |FROM m JOIN se ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE supp_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // Q6 shape: three pushed predicates, one decimal aggregate
+    "q179_revenue_change" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q9 shape: 5-way join, year extraction, decimal profit
+    "q180_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q10 shape: quarter of returned items, revenue-ranked customers
+    "q181_returned_revenue" ->
+      """WITH q AS (SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |      AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |pc AS (SELECT o_custkey,
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |        AS DOUBLE) AS revenue
+        |    FROM lineitem JOIN q ON l_orderkey = o_orderkey
+        |    WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q11 shape: group totals kept above a fraction of the global total
+    "q182_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv
+        |    FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(pv) AS tv FROM v)
+        |SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE CAST(pv AS DOUBLE) > CAST(tv AS DOUBLE) * 0.0002
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    // Q16 shape: distinct-supplier census with a NOT IN exclusion
+    "q183_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 shape: semi-join chain with an exact-decimal half-vs-total gate
+    "q184_front_loaded_suppliers" ->
+      """WITH q AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01'
+        |        THEN CAST(l_quantity AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS h1_qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |        WHERE p_name LIKE '%bolt%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q WHERE h1_qty * 2 > total_qty)
+        |ORDER BY s_name""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2070,6 +2354,13 @@ object Queries {
     "q159_dormant_customers" -> (q159DormantCustomers _),
     "q160_large_orders" -> (q160LargeOrders _),
     "q165_blamed_supplier" -> (q165BlamedSupplier _),
+    "q178_min_cost_supplier" -> (q178MinCostSupplier _),
+    "q179_revenue_change" -> (q179RevenueChange _),
+    "q180_product_profit" -> (q180ProductProfit _),
+    "q181_returned_revenue" -> (q181ReturnedRevenue _),
+    "q182_important_parts" -> (q182ImportantParts _),
+    "q183_supplier_diversity" -> (q183SupplierDiversity _),
+    "q184_front_loaded_suppliers" -> (q184FrontLoadedSuppliers _),
     "q166_market_share" -> (q166MarketShare _),
     "q167_trade_volume" -> (q167TradeVolume _),
     "q168_top_supplier" -> (q168TopSupplier _),

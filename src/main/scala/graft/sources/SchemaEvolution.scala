@@ -175,11 +175,27 @@ object SchemaEvolution {
   def readWidened(spark: SparkSession, groups: Seq[String],
       recursive: Boolean = true): DataFrame = {
     require(groups.nonEmpty, "no paths to read")
-    val schemas = groups.map(g =>
-      spark.read.option("recursiveFileLookup", recursive.toString).parquet(g).schema)
-    spark.read.schema(mergeWidened(schemas))
+    // FAST PATH first: plain mergeSchema handles the overwhelmingly
+    // common cases (uniform schema, additive columns, renames — which
+    // merge as distinct names) with one distributed footer pass;
+    // per-group driver-side inference costs ~a listing + footer per
+    // group and measurably taxed every MOR read when applied
+    // unconditionally (caught by the round-11 bench gate). Only an
+    // actual WIDTH conflict throws, and only then is the widened-merge
+    // path paid.
+    try spark.read.option("mergeSchema", "true")
       .option("recursiveFileLookup", recursive.toString)
       .parquet(groups: _*)
+    catch {
+      case e: org.apache.spark.SparkException
+          if Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+        val schemas = groups.map(g =>
+          spark.read.option("recursiveFileLookup", recursive.toString)
+            .parquet(g).schema)
+        spark.read.schema(mergeWidened(schemas))
+          .option("recursiveFileLookup", recursive.toString)
+          .parquet(groups: _*)
+    }
   }
 
   /** [[readWidened]] for a TABLE directory: a `_kb=`-partitioned layout
@@ -188,6 +204,25 @@ object SchemaEvolution {
     * layout infers per immediate subdir.
     */
   def readTableWidened(spark: SparkSession, root: String): DataFrame = {
+    // FAST PATH: resolve the layout and try one plain mergeSchema read —
+    // the pre-evolution behavior, byte-identical cost. Only a width
+    // conflict falls through to the per-group widened merge below.
+    try {
+      val rp = Paths.get(root)
+      val isBucketed = Files.isDirectory(rp) && {
+        val s = Files.list(rp.toRealPath())
+        try s.iterator().asScala.exists(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        finally s.close()
+      }
+      val reader = spark.read.option("mergeSchema", "true")
+      return if (isBucketed) reader.parquet(root)
+      else reader.option("recursiveFileLookup", "true").parquet(root)
+    } catch {
+      case e: org.apache.spark.SparkException
+          if Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+      // fall through to the widened path
+    }
     val rootP = Paths.get(root)
     val allDirs: Seq[java.nio.file.Path] =
       if (!Files.isDirectory(rootP)) Seq.empty

@@ -145,6 +145,22 @@ class Round11OpsSpec extends SparkTestBase {
     assert(maintained == recompute)
   }
 
+  test("q179 (Q6 shape) pushes all three predicates into the scan; q181 (Q10) takes ordered") {
+    val dir = "/root/testdata/sf0.001"
+    val p179 = graft.operators.Queries.q179RevenueChange(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p179.contains("PushedFilters"), p179)
+    val pushed = p179.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c must reach the parquet scan:\n$pushed"))
+    assert(!p179.contains("SortMergeJoin") && !p179.contains("BroadcastHashJoin"),
+      "Q6 is a pure scan+agg — no join may appear")
+    val p181 = graft.operators.Queries.q181ReturnedRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p181.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a TakeOrderedAndProject, not a global sort:\n$p181")
+  }
+
   test("pred-lang pipeline variants run and are consistent with the kernel") {
     // smoke the pipeline wiring on real testdata (the oracle gate checks
     // exact values at the driver's SF): every selected doc's lang_pred

@@ -22,7 +22,9 @@ import time
 
 import duckdb
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+# 48 default: long enough that the slow consumer's cursor usually falls
+# behind a fold at least once, exercising the re-bootstrap path
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 BASE = "/tmp/graft_concurrent_e2e"
 WH = f"{BASE}/wh"
 TABLE = "m"
@@ -69,13 +71,22 @@ def main():
 
     run("init", WH, TABLE, "8")
 
-    print(f"== two independent JVMs: writer (1..{N}) vs compactor ==")
+    consumer_out = f"{BASE}/consumer_rows.txt"
+    print(f"== three independent JVMs: writer (1..{N}) vs compactor vs consumer ==")
     writer = subprocess.Popen(java_cmd("writer", WH, TABLE, "1", str(N)),
                               stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                               text=True)
     compactor = subprocess.Popen(java_cmd("compactor", WH, TABLE, STOP),
                                  stdout=subprocess.PIPE,
                                  stderr=subprocess.DEVNULL, text=True)
+    # consumer polls SLOWLY (600ms) on purpose: several writer batches +
+    # a compaction land between polls, so the cursor falls behind the
+    # fold horizon and the loud-failure + foldHorizon re-bootstrap path
+    # actually runs (the printed rebootstraps count shows it)
+    consumer = subprocess.Popen(java_cmd("consumer", WH, TABLE, STOP,
+                                         consumer_out, "600"),
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True)
     wout, _ = writer.communicate(timeout=600)
     if writer.returncode != 0:
         raise SystemExit(f"writer JVM exited {writer.returncode}")
@@ -83,8 +94,12 @@ def main():
     cout, _ = compactor.communicate(timeout=600)
     if compactor.returncode != 0:
         raise SystemExit(f"compactor JVM exited {compactor.returncode}")
+    sout, _ = consumer.communicate(timeout=600)
+    if consumer.returncode != 0:
+        raise SystemExit(f"consumer JVM exited {consumer.returncode}")
     print(wout.strip())
     print(cout.strip())
+    print(sout.strip())
 
     # independent read of the final layout (verify_mor_layout protocol)
     table = f"{WH}/{TABLE}"
@@ -117,8 +132,24 @@ def main():
         raise SystemExit(
             f"LOST UPDATES across concurrent JVMs ({len(missing)} missing, "
             f"{len(extra)} extra)")
-    print(f"PASS: {len(got)} rows, zero lost updates across two JVMs "
+    print(f"PASS: {len(got)} rows, zero lost updates across writer+compactor JVMs "
           f"(horizon={horizon}, live deltas={len(deltas)})")
+
+    # the LIVE consumer's replica — maintained incrementally via
+    # changesSince (with foldHorizon re-bootstrap when compaction outran
+    # its cursor) while both other JVMs ran — must ALSO equal expectation
+    got_c = []
+    for line in open(consumer_out).read().splitlines():
+        if line.strip():
+            i, name = line.split(",", 1)
+            got_c.append((int(i), name))
+    missing_c = sorted(set(expected) - set(got_c))
+    extra_c = sorted(set(got_c) - set(expected))
+    if missing_c or extra_c:
+        print(f"consumer missing={missing_c[:10]} extra={extra_c[:10]}")
+        raise SystemExit("LIVE CONSUMER diverged from the mirror state")
+    print(f"PASS: live changesSince consumer replica exact "
+          f"({len(got_c)} rows) under concurrent writes + compactions")
 
 
 if __name__ == "__main__":
