@@ -115,6 +115,12 @@ object ConcurrentStress {
             d.foreach(applyRows); cursor = c
           } catch {
             case _: NoSuchElementException => rebootstraps += 1; bootstrap()
+            // the listed delta dirs are lazy-read; a second compaction
+            // can GC them between list and collect — same recovery as a
+            // cursor that fell behind (re-bootstrap from the new base)
+            case scala.util.control.NonFatal(e)
+                if graft.sources.Tables.isSnapshotRace(e) =>
+              rebootstraps += 1; bootstrap()
           }
         bootstrap()
         while (!Files.exists(Paths.get(stopFile))) { poll(); Thread.sleep(sleepMs) }

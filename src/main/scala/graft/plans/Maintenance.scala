@@ -35,65 +35,44 @@ object Maintenance {
       MorMirror.compact(spark, wh, table)
       return
     }
-    var attempt = 0
-    while (true) {
-      // pin the current snapshot (resolved version dir): a stream commit
-      // landing mid-rewrite must not swap files out from under the read;
-      // the commit below is conditional on this version still being
-      // current (optimistic CAS), so a concurrent stream merge wins over
-      // the rewrite — and the loop re-reads the stream's NEW version and
-      // re-applies (Iceberg optimistic conflict retry), so a shared-
-      // warehouse deployment (ingest JVM + scheduled maintenance JVM)
-      // needs no external serialization
+    // pin the current snapshot (resolved version dir): a stream commit
+    // landing mid-rewrite must not swap files out from under the read;
+    // the commit below is conditional on this version still being
+    // current (optimistic CAS), so a concurrent stream merge wins over
+    // the rewrite — and retryingConflicts re-reads the stream's NEW
+    // version and re-applies, so a shared-warehouse deployment (ingest
+    // JVM + scheduled maintenance JVM) needs no external serialization
+    wh.retryingConflicts() {
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
-      try {
-        // mergeSchema: batch subdirectories may straddle a schema
-        // evolution. A bucket-partitioned mirror must be read via
-        // partition discovery (recursiveFileLookup disables it and would
-        // silently flatten the layout); flat/batch-subdir tables need the
-        // recursive lookup.
-        val bucketed = isBucketPartitioned(spark, path)
-        // widened read: batch/bucket dirs may straddle a numeric widening
-        // (mergeSchema refuses mixed widths) on top of additive evolution.
-        // materialize BEFORE the commit: for a legacy (real-directory)
-        // table the commit migrates the directory aside first, so a lazy
-        // read through the old path would execute against moved files
-        val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
-          .localCheckpoint(true)
-        // atomic publish: the rewrite fills a fresh version dir reading
-        // from the still-live current version, then the pointer swaps (no
-        // window where the table is absent or half-written)
-        wh.commit(table, expectCurrent = expect) { staged =>
-          if (bucketed) {
-            // hash-repartition on the bucket column: each bucket lands in
-            // one task, so the rewrite emits one file per bucket directory
-            df.repartition(targetFiles,
-                org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
-              .write.mode(SaveMode.Overwrite)
-              .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
-          } else {
-            df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
-          }
+      // A bucket-partitioned mirror must be read via partition discovery
+      // (recursiveFileLookup disables it and would silently flatten the
+      // layout); flat/batch-subdir tables need the recursive lookup.
+      val bucketed = isBucketPartitioned(spark, path)
+      // widened read: batch/bucket dirs may straddle a numeric widening
+      // (mergeSchema refuses mixed widths) on top of additive evolution.
+      // materialize BEFORE the commit: for a legacy (real-directory)
+      // table the commit migrates the directory aside first, so a lazy
+      // read through the old path would execute against moved files
+      val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
+        .localCheckpoint(true)
+      // atomic publish: the rewrite fills a fresh version dir reading
+      // from the still-live current version, then the pointer swaps (no
+      // window where the table is absent or half-written)
+      wh.commit(table, expectCurrent = expect) { staged =>
+        if (bucketed) {
+          // hash-repartition on the bucket column: each bucket lands in
+          // one task, so the rewrite emits one file per bucket directory
+          df.repartition(targetFiles,
+              org.apache.spark.sql.functions.col(PartitionedMirror.BucketCol))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(PartitionedMirror.BucketCol).parquet(staged)
+        } else {
+          df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
         }
-        return
-      } catch {
-        // CAS conflict at commit time, or the pinned snapshot aged out
-        // mid-read under a fast committer — both mean "a rival landed;
-        // re-read and re-apply" (Iceberg optimistic retry)
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
-        case scala.util.control.NonFatal(e)
-            if graft.sources.Tables.isSnapshotRace(e) =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
       }
     }
   }
-
-  /** Conflict-retry bound (see [[MorMirror.compact]]'s rationale). */
-  private val MaxRetries = 3
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
     * (the maximum expected lateness). After the horizon no late change can
@@ -113,16 +92,14 @@ object Maintenance {
       MorMirror.expireTombstones(spark, wh, table, horizon)
       return
     }
-    var attempt = 0
-    while (true) {
+    wh.retryingConflicts() {
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
-      try {
-        // widened read: bucket/batch dirs may straddle additive evolution
-        // (single-footer inference would drop the evolved column) or a
-        // numeric widening (mergeSchema refuses mixed widths)
-        val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
-        if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return // no tombstones
+      // widened read: bucket/batch dirs may straddle additive evolution
+      // (single-footer inference would drop the evolved column) or a
+      // numeric widening (mergeSchema refuses mixed widths)
+      val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
+      if (df.columns.contains(graft.DmsEnvelope.OpCol)) { // else: no tombstones
         // null-safe: a null-op (LOAD-seeded) row must be KEPT — the bare
         // conjunction evaluates to null for it and filter(!null) drops it
         val kept = df.filter(!coalesce(
@@ -134,15 +111,6 @@ object Maintenance {
             writer.partitionBy(PartitionedMirror.BucketCol).parquet(staged)
           else writer.parquet(staged)
         }
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
-        case scala.util.control.NonFatal(e)
-            if graft.sources.Tables.isSnapshotRace(e) =>
-          attempt += 1
-          if (attempt > MaxRetries) throw e
       }
     }
   }
@@ -188,8 +156,10 @@ object Maintenance {
 
     def newestMtime(p: Path): Long = {
       // a DANGLING symlink (temp pointer whose stage is gone) carries no
-      // recoverable meaning — infinitely old, swept on sight
-      if (Files.isSymbolicLink(p) && !Files.exists(p)) return Long.MinValue
+      // recoverable meaning — "infinitely old", swept on sight. MinValue/2,
+      // NOT MinValue: `now - Long.MinValue` overflows negative and would
+      // make the link immortal instead (review finding)
+      if (Files.isSymbolicLink(p) && !Files.exists(p)) return Long.MinValue / 2
       val self =
         try Files.getLastModifiedTime(p,
           java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
@@ -209,8 +179,8 @@ object Maintenance {
         graft.sources.Tables.deleteRecursively(p)
       }
     def sweepIn(wh2: Warehouse, name: String): Unit = {
-      // crashed commit stages above the published pointer
-      wh2.stagedAbove(name).foreach(sweep)
+      // crashed commit stages: never-published version dirs at any number
+      wh2.unpublishedStages(name).foreach(sweep)
       // leftover temp links / stale locks from killed committers
       val rootP = Paths.get(wh2.root)
       if (Files.isDirectory(rootP)) {

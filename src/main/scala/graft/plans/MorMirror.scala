@@ -226,8 +226,26 @@ object MorMirror {
       graft.sources.Tables.deleteRecursively(stageP)
       return false
     }
-    if (Files.isSymbolicLink(tableP)) Files.delete(tableP)
-    Files.move(stageP, tableP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // TWO processes can reach here at once (the ingest JVM's per-batch
+    // recovery and a maintenance JVM's removeOrphans) — the loser's
+    // delete/move throws a benign filesystem race, not a failure: re-check
+    // and defer to the winner (review finding; "single-writer" holds for
+    // the MIGRATION, not for its crash recovery)
+    try {
+      if (Files.isSymbolicLink(tableP)) Files.delete(tableP)
+      Files.move(stageP, tableP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        // a rival adopted first: the table is (or is becoming) the real
+        // MOR dir; sweep any stray re-created stage and report recovered
+        if (Files.isDirectory(stageP,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+            Files.exists(tableP, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+            !Files.isSymbolicLink(tableP))
+          graft.sources.Tables.deleteRecursively(stageP)
+        return true
+    }
     Files.deleteIfExists(tableP.resolve(StageCompleteMarker))
     wh.dissolveVersioned(name)
     true
@@ -306,6 +324,18 @@ object MorMirror {
     // by construction. A replay that finds the target already present
     // keeps it — the visible dir is complete and deterministically
     // identical to what the replay would write.
+    // durable marker BEFORE the data becomes visible — the ordering is
+    // load-bearing (review finding): were the marker written after the
+    // rename, a crash between the two would leave the delta VISIBLE with
+    // a stale marker; a concurrent compactor could fold it and stamp the
+    // horizon, and the replay would then fail the marker test AND the
+    // horizon test — a permanent wedge. Marker-first is safe in the
+    // opposite window: marker says `batchId` but no delta dir exists, the
+    // replay finds the horizon below it and the target absent, and simply
+    // writes the batch (idempotent re-run of this very code).
+    val nw = nested(wh, name)
+    TableProps.write(nw, BaseTable,
+      TableProps.read(nw, BaseTable) + (LastDeltaProp -> batchId.toString))
     val target = Paths.get(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
     if (!Files.exists(target)) {
       val tmp = Paths.get(
@@ -316,13 +346,6 @@ object MorMirror {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    // durable AFTER the data: a crash between the two replays the batch,
-    // which rewrites identical bytes (per-batch-subdir overwrite) and then
-    // lands the marker — the replay-after-compact no-op above only ever
-    // skips a batch whose delta file set is provably on disk (or folded)
-    val nw = nested(wh, name)
-    TableProps.write(nw, BaseTable,
-      TableProps.read(nw, BaseTable) + (LastDeltaProp -> batchId.toString))
   }
 
   /** Highest delta batch id ever durably committed by [[appendDelta]]
@@ -520,14 +543,14 @@ object MorMirror {
         s"MOR mirror '$name' not initialized — no stored layout props"))
     compact(spark, wh, name)
     val nw = nested(wh, name)
-    var attempt = 0
-    while (true) {
+    // same optimistic retry as compact: on conflict, re-read the rival's
+    // base and re-apply the expiry to it
+    nw.retryingConflicts() {
       val expect = nw.currentVersion(BaseTable)
       val fold = foldedThrough(wh, name)
-      try {
-        val df = graft.sources.SchemaEvolution.readTableWidened(
-          spark, nw.snapshotPath(BaseTable))
-        if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return
+      val df = graft.sources.SchemaEvolution.readTableWidened(
+        spark, nw.snapshotPath(BaseTable))
+      if (df.columns.contains(graft.DmsEnvelope.OpCol)) {
         val kept = df.filter(!coalesce(
           col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
             col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
@@ -537,17 +560,6 @@ object MorMirror {
           if (fold >= 0L)
             Files.writeString(Paths.get(path, FoldedMarker), fold.toString)
         }
-        return
-      } catch {
-        // same optimistic retry as compact: re-read the rival's base and
-        // re-apply the expiry to it (CAS conflict or snapshot aged out)
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > MaxCommitRetries) throw e
-        case scala.util.control.NonFatal(e)
-            if graft.sources.Tables.isSnapshotRace(e) =>
-          attempt += 1
-          if (attempt > MaxCommitRetries) throw e
       }
     }
   }
@@ -606,16 +618,23 @@ object MorMirror {
     */
   def compact(spark: SparkSession, wh: Warehouse, name: String): Unit = {
     val nw = nested(wh, name)
-    var attempt = 0
-    while (true) {
+    // Iceberg-style optimistic conflict retry (Warehouse.retryingConflicts
+    // re-evaluates the whole body): another committer (a second
+    // compaction, or a tombstone expiry) swapping the base between our
+    // pin and our commit surfaces either as the CAS CME at commit time or
+    // as the pinned snapshot aging out during the fold read. Each attempt
+    // re-reads the NEW current state and re-validates from scratch: if
+    // the rival already folded our pinned deltas, the re-pin comes back
+    // empty and this call becomes a no-op; if fresh deltas remain, they
+    // re-fold against the rival's base.
+    nw.retryingConflicts() {
       val prevHorizon = foldedThrough(wh, name)
       val pinned = deltaDirs(wh, name)
-      if (pinned.isEmpty) return
-      val expect = nw.currentVersion(BaseTable)
-      val kb = PartitionedMirror.BucketCol
-      val (cfg, buckets) = storedConfig(wh, name).get
-      val horizon = pinned.map(deltaId).max
-      try {
+      if (pinned.nonEmpty) {
+        val expect = nw.currentVersion(BaseTable)
+        val kb = PartitionedMirror.BucketCol
+        val (cfg, buckets) = storedConfig(wh, name).get
+        val horizon = pinned.map(deltaId).max
         val merged = storedState(spark, wh, name, pinned).drop(kb)
         val staged = withBucket(merged, cfg.keyCol, buckets).localCheckpoint(true)
         beforeBaseCommit()
@@ -625,34 +644,9 @@ object MorMirror {
         }
         deltaDirsAll(wh, name).filter(deltaId(_) <= prevHorizon)
           .foreach(deleteRecursively)
-        return
-      } catch {
-        // Iceberg-style optimistic conflict retry: another committer (a
-        // second compaction, or a tombstone expiry) swapped the base
-        // between our pin and our commit — surfacing either as the CAS
-        // CME at commit time or as the pinned snapshot aging out during
-        // the fold read. The loop re-reads the NEW current state and
-        // re-validates from scratch: if the rival already folded our
-        // pinned deltas, the re-pin comes back empty and this call
-        // becomes a no-op; if fresh deltas remain, they are re-folded
-        // against the rival's base. Bounded attempts: livelock under
-        // pathological contention fails loudly rather than spinning.
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > MaxCommitRetries) throw e
-        case scala.util.control.NonFatal(e)
-            if graft.sources.Tables.isSnapshotRace(e) =>
-          attempt += 1
-          if (attempt > MaxCommitRetries) throw e
       }
     }
   }
-
-  /** Conflict-retry bound for base commits — generous: each retry means a
-    * whole rival commit landed inside our fold window, so >3 in a row is
-    * a deployment running compaction far too hot, worth failing loudly.
-    */
-  private val MaxCommitRetries = 3
 
   /** Test seam: runs between a compaction's fold/stage and its base
     * commit — lets a spec deterministically land a RIVAL commit inside

@@ -48,13 +48,30 @@ object SchemaEvolution {
     * The CDC key and ts columns cannot be renamed: every stored layout
     * (bucket hashes, fold config) is keyed on them.
     */
+  /** Columns every stored layout for `table` is keyed on — the set
+    * rename/drop must refuse. Sources: the reference-style CDC props in
+    * the table's own registry AND a merge-on-read mirror's nested layout
+    * props (`<table>/_metadata/base.json`, `mor.key-column`/`mor.ts-
+    * column`) — the review found the original guard only read the
+    * former, making it a no-op for exactly the layout keyed hardest on
+    * those columns.
+    */
+  private def protectedColumns(wh: Warehouse, table: String): Map[String, String] = {
+    val outer = TableProps.read(wh, table)
+    val nested = TableProps.read(Warehouse(s"${wh.root}/$table"), "base")
+    (Seq("cdc.key-column", "cdc.ts-column").flatMap(k =>
+      outer.get(k).map(k -> _)) ++
+      Seq("mor.key-column", "mor.ts-column").flatMap(k =>
+        nested.get(k).map(k -> _))).toMap
+  }
+
   def declareRename(wh: Warehouse, table: String, from: String, to: String): Unit = {
     require(from.nonEmpty && to.nonEmpty && from != to,
       s"bad rename '$from' -> '$to'")
     val props = TableProps.read(wh, table)
-    Seq("cdc.key-column", "cdc.ts-column").foreach { k =>
-      props.get(k).foreach(v => require(v != from && v != to,
-        s"cannot rename the CDC $k ('$v') — stored layouts are keyed on it"))
+    protectedColumns(wh, table).foreach { case (k, v) =>
+      require(v != from && v != to,
+        s"cannot rename the CDC $k ('$v') — stored layouts are keyed on it")
     }
     val updated = props + (renameKey(from) -> to)
     // reject cycles loudly (a->b, b->a would make resolution spin)
@@ -73,9 +90,8 @@ object SchemaEvolution {
     */
   def declareDrop(wh: Warehouse, table: String, c: String): Unit = {
     val props = TableProps.read(wh, table)
-    Seq("cdc.key-column", "cdc.ts-column").foreach { k =>
-      props.get(k).foreach(v => require(v != c,
-        s"cannot drop the CDC $k ('$v')"))
+    protectedColumns(wh, table).foreach { case (k, v) =>
+      require(v != c, s"cannot drop the CDC $k ('$v')")
     }
     TableProps.write(wh, table, props + (dropKey(c) -> "true"))
   }

@@ -227,7 +227,11 @@ object Tables {
         if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
             !Files.isSymbolicLink(table)) {
           val slot = versions(name).lastOption.map(_._1 + 1).getOrElse(0L)
-          Files.move(table, Paths.get(s"${tablePath(name)}.v$slot"))
+          val dest = Paths.get(s"${tablePath(name)}.v$slot")
+          Files.move(table, dest)
+          // the legacy dir WAS the published table — mark it so normal
+          // retention GC applies to it
+          Files.writeString(dest.resolve(PublishedMarker), "")
           true
         } else false
       // UNIQUE version-dir allocation: two INDEPENDENT committers (an
@@ -269,6 +273,15 @@ object Tables {
               s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
           }
         }
+        // stamp PUBLICATION before the swap: retention GC must only ever
+        // reason about versions that were actually published — numeric
+        // order says nothing about publication order (review finding: a
+        // slow rival's stage allocated at v3 can still be mid-write when
+        // the stream publishes v4 and v5; the old `<= next` rule deleted
+        // it out from under the rival). Unmarked dirs are untouchable
+        // here: a live rival cleans its own stage on CAS failure, a
+        // crashed one becomes age-guarded removeOrphans work.
+        Files.writeString(versionDir.resolve(PublishedMarker), "")
         val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
         Files.deleteIfExists(tmpLink)
         // relative target keeps the warehouse relocatable
@@ -276,13 +289,10 @@ object Tables {
         Files.move(tmpLink, table,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // GC: keep the `retain` newest versions at or below the one just
-        // published. Versions ABOVE it are another writer's in-flight
-        // stage (allocated but not yet swapped) — deleting those would
-        // pull a concurrent commit's files out from under it; if their
-        // writer crashes they become age-guarded removeOrphans work, not
-        // GC work.
-        versions(name).filter(_._1 <= next).dropRight(retain)
+        // GC: keep the `retain` newest PUBLISHED versions
+        versions(name)
+          .filter { case (_, p) => Files.exists(p.resolve(PublishedMarker)) }
+          .dropRight(retain)
           .foreach { case (_, p) => deleteRecursively(p) }
       }
     }
@@ -307,7 +317,22 @@ object Tables {
               try Files.getLastModifiedTime(lock).toMillis <
                 System.currentTimeMillis() - CommitLockStaleMs
               catch { case _: java.io.IOException => false } // holder just released
-            if (stale) Files.deleteIfExists(lock)
+            if (stale) {
+              // break by atomic RENAME, never by delete: with delete, two
+              // waiters could both judge the lock stale, waiter A delete +
+              // re-create it, and waiter B's delete then remove A's FRESH
+              // lock — two committers inside the critical section at once
+              // (review finding). Rename succeeds for exactly ONE breaker;
+              // everyone else sees FileNotFound and loops back to the
+              // create race.
+              try Files.move(lock,
+                lock.resolveSibling(
+                  s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.io.IOException => () } // another breaker won
+              Files.deleteIfExists(lock.resolveSibling(
+                s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"))
+            }
             else if (System.nanoTime() > deadline)
               throw new IllegalStateException(
                 s"timed out waiting for commit lock $lock — a committer is " +
@@ -319,21 +344,46 @@ object Tables {
       try body finally Files.deleteIfExists(lock)
     }
 
+    /** Run `body` with optimistic conflict retry — THE one copy of the
+      * maintenance callers' loop (compaction, tombstone expiry in both
+      * layouts). `body` must re-read all state it depends on at the top
+      * of each evaluation: a retry IS a fresh attempt against the
+      * rival's new current version. Retries on the commit CAS's
+      * ConcurrentModificationException and on a pinned snapshot aging
+      * out mid-read ([[Tables.isSnapshotRace]]); bounded — pathological
+      * contention fails loudly rather than spinning.
+      */
+    def retryingConflicts[T](maxAttempts: Int = 3)(body: => T): T = {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxAttempts) throw e
+          case scala.util.control.NonFatal(e) if isSnapshotRace(e) =>
+            attempt += 1
+            if (attempt > maxAttempts) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     /** Version numbers of `name` currently retained, ascending. */
     def listVersions(name: String): Seq[Long] = versions(name).map(_._1)
 
-    /** Version directories ABOVE the currently published version —
-      * another writer's in-flight stage, or a crashed commit's leftover.
-      * Never GC'd by [[commit]] (the writer may still be alive); exposed
-      * for [[graft.plans.Maintenance.removeOrphans]]'s age-guarded sweep.
-      * For a table with no published pointer, every version dir is a
-      * leftover (e.g. flat version dirs surviving a crashed MOR
-      * migration's dissolve step).
+    /** Version directories that were never PUBLISHED (no
+      * [[Tables.PublishedMarker]]) — another writer's in-flight stage, or
+      * a crashed commit's leftover at ANY version number (an overtaken
+      * slow rival's stage can sit numerically below the current
+      * version). Never GC'd by [[commit]] (the writer may still be
+      * alive); exposed for
+      * [[graft.plans.Maintenance.removeOrphans]]'s age-guarded sweep.
       */
-    private[graft] def stagedAbove(name: String): Seq[Path] = {
-      val cur = currentVersion(name)
-      versions(name).collect { case (v, p) if cur.forall(_ < v) => p }
-    }
+    private[graft] def unpublishedStages(name: String): Seq[Path] =
+      versions(name).collect {
+        case (_, p) if !Files.exists(p.resolve(PublishedMarker)) => p
+      }
 
     /** Time-travel read of a specific retained version. Fails loudly when
       * the version was GC'd (or never existed) — silently serving a
@@ -393,6 +443,14 @@ object Tables {
         m.contains("Checkpoint block")
     }
   }
+
+  /** Marker stamped into a version directory at PUBLICATION (just before
+    * its pointer swap): retention GC only deletes marked dirs, so a
+    * rival's still-being-written stage — at any version number — is never
+    * garbage-collected out from under it. `_`-prefixed: invisible to
+    * parquet scans.
+    */
+  private[graft] val PublishedMarker = "_published"
 
   /** Commit-lock tuning: the guarded region is a validate + one atomic
     * rename, so a healthy holder releases in single-digit milliseconds;

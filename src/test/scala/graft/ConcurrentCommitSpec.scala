@@ -189,6 +189,64 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(got == Set("A") || got == Set("B"), s"table must be whole, got $got")
   }
 
+  test("retention GC never deletes a rival's unpublished stage, even once overtaken") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("cc-stage-keep"))
+    wh.overwrite(Seq((1L, "v1")).toDF("id", "name"), "t")
+    wh.overwrite(Seq((2L, "v2")).toDF("id", "name"), "t")
+    // a slow rival allocated v3 and is STILL writing (no published marker)
+    val stage = Paths.get(s"${wh.tablePath("t")}.v3")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("part-inflight.parquet"), "mid-write")
+    // the stream overtakes it twice: the old numeric GC rule deleted the
+    // stage out from under the rival here (review finding)
+    wh.overwrite(Seq((4L, "v4")).toDF("id", "name"), "t")
+    wh.overwrite(Seq((5L, "v5")).toDF("id", "name"), "t")
+    assert(Files.isDirectory(stage),
+      "an unpublished in-flight stage must survive being overtaken")
+    assert(Files.exists(stage.resolve("part-inflight.parquet")))
+    // retention still applies to PUBLISHED versions: current + previous
+    val published = wh.listVersions("t").filter(v =>
+      Files.exists(Paths.get(s"${wh.tablePath("t")}.v$v", "_published")))
+    assert(published.size == 2, s"published retention must hold: $published")
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("v5"))
+    // a crashed (aged) stage is removeOrphans work, not GC work
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    Files.setLastModifiedTime(stage, old)
+    Files.setLastModifiedTime(stage.resolve("part-inflight.parquet"), old)
+    graft.plans.Maintenance.removeOrphans(wh, "t", olderThanMs = 60000)
+    assert(!Files.exists(stage), "an aged unpublished stage is orphan work")
+  }
+
+  test("a stale lock with a breaker storm admits exactly one committer chain (no lost update)") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("cc-lockstorm"))
+    wh.overwrite(Seq((0L, "seed")).toDF("id", "name"), "t")
+    val lock = Paths.get(s"${wh.tablePath("t")}.commitlock")
+    Files.createFile(lock) // crashed holder
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    // eight committers race the break: with delete-based breaking, two
+    // could end up inside the critical section at once (review finding);
+    // rename-based breaking admits exactly one at a time
+    @volatile var failure: Option[Throwable] = None
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try Warehouse(wh.root).overwrite(
+          Seq((i.toLong, s"w$i")).toDF("id", "name"), "t")
+        catch { case t: Throwable => failure = Some(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    failure.foreach(throw _)
+    val got = wh.read(spark, "t").select("name").as[String].collect().toSet
+    assert(got.size == 1 && got.head.startsWith("w"),
+      s"table must hold exactly one complete final write, got $got")
+    assert(!Files.exists(lock), "the lock must be released")
+  }
+
   test("a crashed holder's stale commit lock is broken; a released lock leaves no file") {
     val wh = Warehouse(tmpDir("cc-lock"))
     import spark.implicits._

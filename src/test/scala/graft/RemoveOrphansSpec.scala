@@ -63,7 +63,13 @@ class RemoveOrphansSpec extends SparkTestBase {
     val deleted = Maintenance.removeOrphans(wh, "t", olderThanMs = Guard)
     assert(deleted.exists(_.endsWith("t.v99")), s"old stage must be swept: $deleted")
     assert(!Files.exists(oldStage))
-    assert(!Files.exists(ptr) && !Files.exists(lock))
+    // NOFOLLOW: a dangling link makes plain Files.exists return false
+    // whether or not the link file itself was deleted — the original
+    // assertion here was vacuous (review finding)
+    assert(!Files.exists(ptr, java.nio.file.LinkOption.NOFOLLOW_LINKS),
+      "the dangling temp pointer itself must be deleted")
+    assert(deleted.exists(_.endsWith("t.ptr7")), s"ptr must be in the audit: $deleted")
+    assert(!Files.exists(lock))
     assert(Files.exists(freshStage),
       "a YOUNG stage may belong to a live writer — the age guard must keep it")
     // reachable chain untouched: current + previous versions, pinned read ok

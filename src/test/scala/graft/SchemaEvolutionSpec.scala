@@ -46,6 +46,18 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("probe: a WIDE file under a NARROW requested schema (mid-stream widening before restart)") {
+    import spark.implicits._
+    val d = tmpDir("se-narrow")
+    Seq((1L, 9000000000L)).toDF("id", "v").write.parquet(s"$d/wide")
+    val r = try {
+      val rows = spark.read.schema("id BIGINT, v INT").parquet(s"$d/wide").collect()
+      s"READ rows=${rows.toList}"
+    } catch { case e: Throwable => s"THROW ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}" }
+    info(s"narrow-on-wide: $r")
+    assert(r.startsWith("THROW"), s"silent demotion would corrupt data: $r")
+  }
+
   test("registry: transitive renames, cycle rejection, key/ts protection") {
     val wh = Warehouse(tmpDir("se-reg"))
     SE.declareRename(wh, "t", "a", "b")
@@ -58,6 +70,19 @@ class SchemaEvolutionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { SE.declareDrop(wh, "t2", "ts") }
     SE.declareDrop(wh, "t", "junk")
     assert(SE.drops(wh, "t") == Set("junk"))
+  }
+
+  test("rename/drop guard reads the MOR layout's nested key/ts props too") {
+    // the guard must not be a no-op for the layout keyed hardest on
+    // these columns: MOR stores its key/ts under the NESTED base props,
+    // not the outer cdc.* keys (review finding)
+    val wh = Warehouse(tmpDir("se-guard-mor"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(b1((1L, "a", 1, "I", "t1")), cfg), cfg, 8)
+    intercept[IllegalArgumentException] { SE.declareRename(wh, "m", "id", "uid") }
+    intercept[IllegalArgumentException] { SE.declareRename(wh, "m", "x", "ts") }
+    intercept[IllegalArgumentException] { SE.declareDrop(wh, "m", "ts") }
+    SE.declareRename(wh, "m", "name", "full_name") // payload columns stay legal
   }
 
   test("normalize: rename rejoins history, both-present coalesces, drop disappears") {
