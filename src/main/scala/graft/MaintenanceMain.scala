@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{Maintenance, MorMirror, PartitionedMirror}
+import graft.sources.Tables.{TableProps, Warehouse}
+
+/** CLI entry point for the SCHEDULED MAINTENANCE role — the second
+  * process of the deployment shape this engine's commit protocol exists
+  * for (ingest JVM + maintenance JVM sharing one warehouse, the split
+  * the reference gets from Tabular's managed background services:
+  * compaction, snapshot expiry, orphan cleanup). Runs, per table:
+  *
+  *  1. compaction ([[Maintenance.compact]] — MOR delta fold or flat/
+  *     bucketed file-count rewrite; optimistic conflict retry against a
+  *     live ingest stream is built in),
+  *  2. tombstone expiry when a lateness horizon is configured
+  *     (`GRAFT_TOMBSTONE_HORIZON` + the table's recorded cdc ts column),
+  *  3. orphan-file GC ([[Maintenance.removeOrphans]], age-guarded).
+  *
+  * Usage: MaintenanceMain <warehouseDir> [table ...]
+  * (no tables listed = every data table in the warehouse; `_`-prefixed
+  * names, checkpoints, and view/agg side tables are included too — every
+  * layout self-describes, so maintenance needs no per-table config).
+  * Env: GRAFT_COMPACT_TARGET_FILES (default 8),
+  *      GRAFT_TOMBSTONE_HORIZON (no default — expiry skipped unless set),
+  *      GRAFT_ORPHAN_AGE_MS (default 24h).
+  */
+object MaintenanceMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MaintenanceMain <warehouseDir> [table ...]")
+    val wh = Warehouse(args(0))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-maintenance")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val tables = if (args.length > 1) args.drop(1).toSeq else discover(wh)
+    run(spark, wh, tables,
+      targetFiles = sys.env.get("GRAFT_COMPACT_TARGET_FILES").map(_.toInt).getOrElse(8),
+      tombstoneHorizon = sys.env.get("GRAFT_TOMBSTONE_HORIZON"),
+      orphanAgeMs = sys.env.get("GRAFT_ORPHAN_AGE_MS").map(_.toLong)
+        .getOrElse(24L * 3600 * 1000))
+    spark.stop()
+  }
+
+  /** Data tables under the warehouse root: directories and version
+    * pointers, excluding checkpoints/metadata and version/stage dirs
+    * themselves (the per-table maintenance reaches into those).
+    */
+  def discover(wh: Warehouse): Seq[String] = {
+    val root = java.nio.file.Paths.get(wh.root)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("_"))
+        .filterNot(_.startsWith("."))
+        .filterNot(_.matches(".*\\.v\\d+$"))
+        .filterNot(_.matches(".*\\.(ptr\\d+|commitlock|morstage)(\\..*)?$"))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** Separated from session lifecycle so tools can drive the shipped
+    * path. Per-table fault isolation, same contract as the pipeline.
+    */
+  def run(spark: SparkSession, wh: Warehouse, tables: Seq[String],
+      targetFiles: Int, tombstoneHorizon: Option[String],
+      orphanAgeMs: Long): Unit = {
+    tables.foreach { table =>
+      try {
+        // a changelog-feed VIEW table's per-hop batch subdirs ARE its
+        // consumer contract (maintainAggregate reads batch_<version>
+        // directly) — compacting it would break every feed consumer, so
+        // maintenance leaves it alone (its rows are delta-sized anyway)
+        if (TableProps.read(wh, table).contains("changelog.last-version")) {
+          println(s"[maintenance] table=$table layout=feed skipped=true")
+        } else {
+        val layout =
+          if (MorMirror.storedConfig(wh, table).isDefined) "mor"
+          else if (PartitionedMirror.storedBuckets(wh, table).isDefined) "cow"
+          else "flat"
+        Maintenance.compact(spark, wh, table, targetFiles)
+        // tombstone expiry needs the table's CDC config: MOR self-
+        // describes (nested props); flat/COW tables record it in the
+        // reference-style cdc.* props when bootstrapped — absent either,
+        // the table has no CDC semantics and expiry is skipped
+        val cfg = MorMirror.storedConfig(wh, table).map(_._1).orElse {
+          val p = TableProps.read(wh, table)
+          for (k <- p.get("cdc.key-column"); t <- p.get("cdc.ts-column"))
+            yield CdcConfig(k, t)
+        }
+        (tombstoneHorizon, cfg) match {
+          case (Some(h), Some(c)) =>
+            Maintenance.expireTombstones(spark, wh, table, c, h)
+          case _ => ()
+        }
+        val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
+        println(s"[maintenance] table=$table layout=$layout " +
+          s"compacted=true expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
+          s"orphans_swept=${swept.size}")
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[maintenance] table '$table' failed, skipping: ${e.getMessage}")
+      }
+    }
+  }
+}

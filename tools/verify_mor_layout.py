@@ -228,6 +228,29 @@ def main():
     run_pipeline()
     compare(con, expected(), "run4 (renamed column rejoins history)")
 
+    print("== run 5: scheduled maintenance JVM (compact + tombstone horizon + orphan GC) ==")
+    # plant crashed-stage debris aged past the guard — the maintenance
+    # role must sweep it, fold the live deltas, and leave the visible
+    # state byte-identical
+    import time
+    staging = f"{WH}/test_table/deltas/.batch_99.staging"
+    os.makedirs(staging)
+    open(f"{staging}/part-half.parquet", "w").write("half")
+    old_t = time.time() - 120
+    os.utime(f"{staging}/part-half.parquet", (old_t, old_t))
+    os.utime(staging, (old_t, old_t))
+    env = dict(os.environ, GRAFT_ORPHAN_AGE_MS="60000")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.MaintenanceMain {WH}"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=600, env=env)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        raise SystemExit(f"maintenance exited {r.returncode}")
+    print("\n".join(l for l in r.stdout.splitlines() if "[maintenance]" in l))
+    assert not os.path.exists(staging), "aged crashed delta stage must be swept"
+    compare(con, expected(), "run5 (post-maintenance, deltas folded)")
+
     print(f"\nALL PASS (seed={SEED})")
 
 
