@@ -19,9 +19,11 @@ import graft.sources.Tables.{TableProps, Warehouse}
   *  3. orphan-file GC ([[Maintenance.removeOrphans]], age-guarded).
   *
   * Usage: MaintenanceMain <warehouseDir> [table ...]
-  * (no tables listed = every data table in the warehouse; `_`-prefixed
-  * names, checkpoints, and view/agg side tables are included too — every
-  * layout self-describes, so maintenance needs no per-table config).
+  * (no tables listed = every data table in the warehouse — `_`-prefixed
+  * entries such as `_checkpoints`/`_metadata` are infrastructure, not
+  * tables, and are excluded; every included table's layout
+  * self-describes, so maintenance needs no per-table config).
+  * Exits non-zero when any table's maintenance failed.
   * Env: GRAFT_COMPACT_TARGET_FILES (default 8),
   *      GRAFT_TOMBSTONE_HORIZON (no default — expiry skipped unless set),
   *      GRAFT_ORPHAN_AGE_MS (default 24h).
@@ -42,12 +44,15 @@ object MaintenanceMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val tables = if (args.length > 1) args.drop(1).toSeq else discover(wh)
-    run(spark, wh, tables,
+    val failed = run(spark, wh, tables,
       targetFiles = sys.env.get("GRAFT_COMPACT_TARGET_FILES").map(_.toInt).getOrElse(8),
       tombstoneHorizon = sys.env.get("GRAFT_TOMBSTONE_HORIZON"),
       orphanAgeMs = sys.env.get("GRAFT_ORPHAN_AGE_MS").map(_.toLong)
         .getOrElse(24L * 3600 * 1000))
     spark.stop()
+    // a scheduled job must not report success when tables failed — the
+    // orchestrator's alert is the operator's only signal
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Data tables under the warehouse root: directories and version
@@ -71,10 +76,12 @@ object MaintenanceMain {
 
   /** Separated from session lifecycle so tools can drive the shipped
     * path. Per-table fault isolation, same contract as the pipeline.
+    * @return the tables whose maintenance FAILED (empty = all clean)
     */
   def run(spark: SparkSession, wh: Warehouse, tables: Seq[String],
       targetFiles: Int, tombstoneHorizon: Option[String],
-      orphanAgeMs: Long): Unit = {
+      orphanAgeMs: Long): Seq[String] = {
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     tables.foreach { table =>
       try {
         // a changelog-feed VIEW table's per-hop batch subdirs ARE its
@@ -88,7 +95,13 @@ object MaintenanceMain {
           if (MorMirror.storedConfig(wh, table).isDefined) "mor"
           else if (PartitionedMirror.storedBuckets(wh, table).isDefined) "cow"
           else "flat"
-        Maintenance.compact(spark, wh, table, targetFiles)
+        // skip the full rewrite when the table is already within the
+        // file-count budget (MOR's own compact no-ops on an empty delta
+        // set; the flat/COW rewrite had no such guard — at scale an
+        // unconditional rewrite is a full-warehouse pass per cron tick)
+        val needsCompact = layout == "mor" ||
+          Maintenance.dataFiles(spark, wh, table).size > targetFiles
+        if (needsCompact) Maintenance.compact(spark, wh, table, targetFiles)
         // tombstone expiry needs the table's CDC config: MOR self-
         // describes (nested props); flat/COW tables record it in the
         // reference-style cdc.* props when bootstrapped — absent either,
@@ -105,14 +118,16 @@ object MaintenanceMain {
         }
         val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
         println(s"[maintenance] table=$table layout=$layout " +
-          s"compacted=true expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
+          s"compacted=$needsCompact expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
           s"orphans_swept=${swept.size}")
         }
       } catch {
         case e: Exception =>
+          failed += table
           System.err.println(
-            s"[maintenance] table '$table' failed, skipping: ${e.getMessage}")
+            s"[maintenance] table '$table' FAILED: ${e.getMessage}")
       }
     }
+    failed.toSeq
   }
 }

@@ -70,8 +70,35 @@ object Maintenance {
         } else {
           df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(staged)
         }
+        // CARRY the snapshot's marker files into the rewrite: the IVM agg
+        // tables keep their replay cursor (_ivm_batch_id) and the feed
+        // consumer its position (_feed_cursor) INSIDE the version dir so
+        // data+marker swap atomically — a rewrite that dropped them would
+        // silently reset replay idempotence and feed bootstrap state
+        // (review finding). `_SUCCESS` and the publication stamp are the
+        // commit machinery's own and are excluded.
+        copyRootMarkers(path, staged)
       }
     }
+  }
+
+  /** Copy root-level `_`-prefixed marker FILES (not dirs) from a snapshot
+    * into a staged rewrite, excluding the write/commit machinery's own.
+    */
+  private def copyRootMarkers(from: String, to: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(from)
+    if (!Files.isDirectory(src)) return
+    val s = Files.list(src)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(_.getFileName.toString.startsWith("_"))
+      .filterNot(p => Set("_SUCCESS", graft.sources.Tables.PublishedMarker)
+        .contains(p.getFileName.toString))
+      .foreach(p => Files.copy(p, Paths.get(to).resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    finally s.close()
   }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
@@ -188,7 +215,12 @@ object Maintenance {
         try s.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith(s"$name.ptr") || n == s"$name.commitlock"
+            // the startsWith also catches `<name>.commitlock.broken.<pid>`
+            // left by a breaker that crashed mid-break (review finding);
+            // `.vN.discardM` is a stage discard whose delete was cut short
+            n.startsWith(s"$name.ptr") || n.startsWith(s"$name.commitlock") ||
+              n.matches(java.util.regex.Pattern.quote(name) +
+                "\\.v\\d+\\.discard\\d+")
           }.toSeq.foreach(sweep)
         finally s.close()
       }

@@ -133,7 +133,16 @@ object MirrorChangelog {
         Seq.empty
       case Some(last) if last >= cur => Seq.empty
       case Some(last) =>
-        val hops = (last until cur).map(v => (v, v + 1))
+        // hop over PUBLISHED versions only — version NUMBERS may have
+        // gaps (a rival's stage that never published, or one whose CAS
+        // failed, occupies a number without ever being a snapshot);
+        // iterating raw numbers would either read a half-written stage
+        // or wedge on a missing one. Each hop diffs ADJACENT published
+        // snapshots, which is the feed's actual contract.
+        val pubs = wh.listVersions(name).filter(_ > last)
+        val hops = (last +: pubs).sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        }.toSeq
         hops.foreach { case (from, to) =>
           val d = between(spark, wh, name, from, to, keyCol)
             .withColumn("_from_version", lit(from))
@@ -143,7 +152,8 @@ object MirrorChangelog {
           wh.appendBatch(d, viewTable, batchId = to)
         }
         TableProps.write(wh, viewTable,
-          TableProps.read(wh, viewTable) + (CursorProp -> cur.toString))
+          TableProps.read(wh, viewTable) +
+            (CursorProp -> pubs.lastOption.getOrElse(last).toString))
         hops
     }
   }
@@ -205,8 +215,15 @@ object MirrorChangelog {
         Seq.empty
       case Some(cur) if cur >= feedCursor => Seq.empty
       case Some(cur) =>
-        val hops = ((cur + 1) to feedCursor).map(v => (v - 1, v))
-        // the feed's per-hop batch subdirs above the cursor — delta-sized
+        // the feed's per-hop batch subdirs above the cursor — delta-sized.
+        // Destination-version NUMBERS may have gaps (hops run between
+        // adjacent PUBLISHED versions), so consume the subdirs that
+        // exist rather than assuming contiguous numbering
+        val hops = ((cur + 1) to feedCursor)
+          .filter(v => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"${wh.tablePath(viewTable)}/batch_$v")))
+          .map(v => (v - 1, v))
+        if (hops.isEmpty) return Seq.empty
         val rows = graft.sources.SchemaEvolution.readWidened(spark,
           hops.map { case (_, to) => s"${wh.tablePath(viewTable)}/batch_$to" })
         // the feed diffs STORED rows (tombstones included, T2 semantics);

@@ -231,21 +231,45 @@ object MorMirror {
     // delete/move throws a benign filesystem race, not a failure: re-check
     // and defer to the winner (review finding; "single-writer" holds for
     // the MIGRATION, not for its crash recovery)
-    try {
-      if (Files.isSymbolicLink(tableP)) Files.delete(tableP)
-      Files.move(stageP, tableP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case _: java.nio.file.NoSuchFileException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        // a rival adopted first: the table is (or is becoming) the real
-        // MOR dir; sweep any stray re-created stage and report recovered
-        if (Files.isDirectory(stageP,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+    var adopted = false
+    var attempts = 0
+    while (!adopted && attempts < 3) {
+      attempts += 1
+      try {
+        if (Files.isSymbolicLink(tableP)) Files.delete(tableP)
+        Files.move(stageP, tableP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        adopted = true
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          // racing a rival adopter. If the table is a real dir now, the
+          // rival finished — sweep any stray stage and we're recovered.
+          // If the table is ABSENT while our stage still exists, the
+          // rival deleted the symlink and crashed (or we lost only the
+          // symlink delete) — the move must be RETRIED, not skipped:
+          // returning here with the table absent would falsely report
+          // recovery (review finding).
+          val tableReal =
             Files.exists(tableP, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-            !Files.isSymbolicLink(tableP))
-          graft.sources.Tables.deleteRecursively(stageP)
-        return true
+              !Files.isSymbolicLink(tableP)
+          val stageLeft = Files.isDirectory(stageP,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)
+          if (tableReal) {
+            if (stageLeft) graft.sources.Tables.deleteRecursively(stageP)
+            adopted = true
+          } else if (!stageLeft) {
+            // neither stage nor table: the rival holds the stage mid-move;
+            // brief wait, then re-check
+            Thread.sleep(20)
+            adopted = Files.exists(tableP,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS)
+          }
+          // else: stage present, table absent/symlink -> loop retries the move
+      }
     }
+    require(adopted || Files.exists(tableP,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS),
+      s"migration recovery for '$name' could not adopt the staged tree")
     Files.deleteIfExists(tableP.resolve(StageCompleteMarker))
     wh.dissolveVersioned(name)
     true

@@ -250,7 +250,7 @@ object Tables {
         catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
       }
       try write(versionDir.toString)
-      catch { case t: Throwable => deleteRecursively(versionDir); throw t }
+      catch { case t: Throwable => discardStage(versionDir); throw t }
       // The decide-and-swap is the only contended region, and it is
       // microseconds long — serialize it with an exclusive lock file so
       // the CAS is a real compare-and-swap across PROCESSES, not a
@@ -268,20 +268,16 @@ object Tables {
         expectCurrent.foreach { e =>
           val cur = currentVersion(name)
           if (!legacyMoved && cur != Some(e)) {
-            deleteRecursively(versionDir)
+            discardStage(versionDir)
             throw new java.util.ConcurrentModificationException(
               s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
           }
         }
-        // stamp PUBLICATION before the swap: retention GC must only ever
-        // reason about versions that were actually published — numeric
-        // order says nothing about publication order (review finding: a
-        // slow rival's stage allocated at v3 can still be mid-write when
-        // the stream publishes v4 and v5; the old `<= next` rule deleted
-        // it out from under the rival). Unmarked dirs are untouchable
-        // here: a live rival cleans its own stage on CAS failure, a
-        // crashed one becomes age-guarded removeOrphans work.
-        Files.writeString(versionDir.resolve(PublishedMarker), "")
+        // capture the pre-swap current target: if it is unmarked (a crash
+        // between a previous swap and its stamp, or a warehouse written
+        // by pre-marker code), it gets its stamp NOW — lazy migration
+        val prevTarget = currentVersion(name)
+          .map(v => Paths.get(s"${tablePath(name)}.v$v"))
         val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
         Files.deleteIfExists(tmpLink)
         // relative target keeps the warehouse relocatable
@@ -289,11 +285,59 @@ object Tables {
         Files.move(tmpLink, table,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // GC: keep the `retain` newest PUBLISHED versions
+        // stamp PUBLICATION — AFTER the swap, so a marked dir was
+        // provably current at some point (stamping before the swap
+        // created "zombie" published-never-current dirs that consumed a
+        // retention slot and pushed the real previous version out of
+        // GC's keep set — review finding). The crash window between swap
+        // and stamp is covered twice over: the CURRENT pointer target is
+        // implicitly published everywhere publication is consulted, and
+        // the next commit's lazy stamp above closes it durably.
+        // Retention GC reasons ONLY about published dirs: numeric order
+        // says nothing about publication order (a slow rival's stage
+        // allocated at v3 can still be mid-write when the stream
+        // publishes v4 and v5). Unmarked dirs are untouchable here — a
+        // live rival cleans its own stage on CAS failure, a crashed one
+        // becomes age-guarded removeOrphans work.
+        Files.writeString(versionDir.resolve(PublishedMarker), "")
+        prevTarget.filter(p => Files.isDirectory(p) &&
+            !Files.exists(p.resolve(PublishedMarker)))
+          .foreach(p => Files.writeString(p.resolve(PublishedMarker), ""))
+        // the CURRENT pointer target is excluded unconditionally, not
+        // assumed to be the numerically newest: racing no-CAS publishers
+        // can publish out of numeric order, and "keep the newest N
+        // published" would then GC the freshly-swapped current version
+        // itself, leaving the pointer dangling (caught by the
+        // breaker-storm spec)
+        val curName = Paths.get(snapshotPath(name)).getFileName.toString
         versions(name)
-          .filter { case (_, p) => Files.exists(p.resolve(PublishedMarker)) }
-          .dropRight(retain)
+          .filter { case (_, p) =>
+            Files.exists(p.resolve(PublishedMarker)) &&
+              p.getFileName.toString != curName
+          }
+          .dropRight(retain - 1)
           .foreach { case (_, p) => deleteRecursively(p) }
+      }
+    }
+
+    /** Discard an abandoned stage by atomic RENAME first, recursive
+      * delete second. A plain in-place recursive delete frees the
+      * version NUMBER the instant the directory unlinks while the
+      * child-walk may still be running — a rival allocating the reused
+      * number then races the tail of the walk, which deletes the
+      * rival's fresh `_temporary` out from under its write (caught by
+      * ConcurrentCommitSpec under the published-marker GC). The rename
+      * vacates the number atomically with nothing left behind at it.
+      */
+    private def discardStage(versionDir: Path): Unit = {
+      val trash = versionDir.resolveSibling(
+        s"${versionDir.getFileName}.discard${System.nanoTime()}")
+      try {
+        Files.move(versionDir, trash,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(trash)
+      } catch {
+        case _: java.io.IOException => deleteRecursively(versionDir)
       }
     }
 
@@ -308,9 +352,21 @@ object Tables {
     private def withCommitLock[T](name: String)(body: => T): T = {
       val lock = Paths.get(s"${tablePath(name)}.commitlock")
       val deadline = System.nanoTime() + CommitLockTimeoutMs * 1000000L
+      // ownership token: release must delete only ITS OWN lock — a
+      // holder stalled past the stale threshold whose lock was broken
+      // would otherwise blind-delete its SUCCESSOR's fresh lock and
+      // admit a third committer mid-swap (review finding). The stalled
+      // holder's own concurrent swap remains a documented residual (a
+      // >30s pause inside a millisecond region), but it no longer
+      // cascades.
+      val token = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
       var acquired = false
       while (!acquired) {
-        try { Files.createFile(lock); acquired = true }
+        try {
+          Files.createFile(lock)
+          Files.writeString(lock, token)
+          acquired = true
+        }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             val stale =
@@ -341,7 +397,12 @@ object Tables {
             else Thread.sleep(2)
         }
       }
-      try body finally Files.deleteIfExists(lock)
+      try body finally {
+        try {
+          if (Files.exists(lock) && Files.readString(lock) == token)
+            Files.deleteIfExists(lock)
+        } catch { case _: java.io.IOException => () } // successor owns it
+      }
     }
 
     /** Run `body` with optimistic conflict retry — THE one copy of the
@@ -369,8 +430,24 @@ object Tables {
       throw new IllegalStateException("unreachable")
     }
 
-    /** Version numbers of `name` currently retained, ascending. */
-    def listVersions(name: String): Seq[Long] = versions(name).map(_._1)
+    /** True when a version dir is PUBLISHED: it carries the marker, or
+      * it is the current pointer target (the swap-to-stamp crash window,
+      * and warehouses written by pre-marker code). Everything that reads
+      * or retains snapshots consults this — an unpublished dir is a
+      * rival's half-written stage and must never be served as a
+      * committed snapshot (review finding: emitPending diffing a
+      * mid-write stage would feed garbage rows downstream).
+      */
+    private def isPublishedDir(name: String, dir: Path): Boolean =
+      Files.exists(dir.resolve(PublishedMarker)) ||
+        dir.toAbsolutePath.normalize.toString ==
+          Paths.get(snapshotPath(name)).toAbsolutePath.normalize.toString
+
+    /** PUBLISHED version numbers of `name` currently retained, ascending.
+      * In-flight/crashed stages are excluded — they are not snapshots.
+      */
+    def listVersions(name: String): Seq[Long] =
+      versions(name).collect { case (v, p) if isPublishedDir(name, p) => v }
 
     /** Version directories that were never PUBLISHED (no
       * [[Tables.PublishedMarker]]) — another writer's in-flight stage, or
@@ -382,7 +459,7 @@ object Tables {
       */
     private[graft] def unpublishedStages(name: String): Seq[Path] =
       versions(name).collect {
-        case (_, p) if !Files.exists(p.resolve(PublishedMarker)) => p
+        case (_, p) if !isPublishedDir(name, p) => p
       }
 
     /** Time-travel read of a specific retained version. Fails loudly when
@@ -392,9 +469,11 @@ object Tables {
       */
     def readVersion(spark: SparkSession, name: String, version: Long,
         mergeSchema: Boolean = false): DataFrame = {
-      val p = versions(name).collectFirst { case (`version`, dir) => dir }
+      val p = versions(name).collectFirst {
+        case (`version`, dir) if isPublishedDir(name, dir) => dir
+      }
         .getOrElse(throw new NoSuchElementException(
-          s"$name has no retained version $version " +
+          s"$name has no retained version $version (published only) " +
             s"(retained: ${listVersions(name).mkString(", ")}; retain=$retain)"))
       spark.read.option("recursiveFileLookup", "true")
         .option("mergeSchema", mergeSchema.toString)

@@ -1,8 +1,11 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
+import graft.sources.Tables.Warehouse
 
 /** Round-11 operator specs. The headline: char-n-gram langid measured on
   * a larger REAL multilingual fixture with an explicit accuracy floor —
@@ -95,10 +98,37 @@ class Round11OpsSpec extends SparkTestBase {
       perLang.map { case (l, h, n) => s"$l $h/$n" }.mkString(", "))
   }
 
+  test("publication stamps: unpublished stages are never served; feed hops over gaps; markers survive compaction") {
+    import spark.implicits._
+    import graft.plans.{Maintenance, MirrorChangelog}
+    val wh = Warehouse(tmpDir("pub-stamp"), retain = 6)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "name"), "m") // v1
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "feed", "id").isEmpty)
+    wh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "m") // v2
+    // a rival's half-written stage occupies v3 — no publication stamp
+    val stage = Paths.get(s"${wh.tablePath("m")}.v3")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("part-half.parquet"), "half")
+    wh.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), "m") // v4
+    assert(wh.listVersions("m") == Seq(1L, 2L, 4L),
+      "an unpublished stage must never be listed as a snapshot")
+    intercept[NoSuchElementException] { wh.readVersion(spark, "m", 3L) }
+    // the incremental feed hops between adjacent PUBLISHED snapshots —
+    // iterating raw numbers would read the half-written stage
+    val hops = MirrorChangelog.emitPending(spark, wh, "m", "feed", "id")
+    assert(hops == Seq((1L, 2L), (2L, 4L)), s"got $hops")
+    // in-version marker files (the IVM cursor contract) survive a
+    // maintenance rewrite
+    Files.writeString(Paths.get(wh.snapshotPath("m"), "_ivm_batch_id"), "7")
+    Maintenance.compact(spark, wh, "m", targetFiles = 1)
+    val after = Paths.get(wh.snapshotPath("m"), "_ivm_batch_id")
+    assert(Files.exists(after) && Files.readString(after) == "7",
+      "markers must be carried through compaction")
+  }
+
   test("feed-driven IVM: maintained aggregate == recompute across hops, restart, and a crashed emit") {
     import spark.implicits._
     import graft.plans.{IncrementalAgg, MirrorChangelog}
-    import graft.sources.Tables.Warehouse
     val root = tmpDir("feed-ivm")
     val wh = Warehouse(root, retain = 6)
     val spec = IncrementalAgg.Spec(col("cat"), col("v"))
