@@ -111,6 +111,8 @@ object GraftFunctions {
       BloomMightContainName, bloomMightContainBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HeavyHittersName, heavyHittersBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_substr_count", multiSubstrCountBuilder _, "built-in")
     // the plan-quality rule travels WITH the functions: without it a
     // session the engine did not build (the driver's Verify/Bench
     // harnesses) plans struct-payload max_by as SortAggregate — measured
@@ -119,6 +121,24 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteMaxByToLatestRow
   }
+
+  /** Builder for `multi_substr_count(text, array('p', ...))` — the
+    * pattern list must be foldable (it compiles into the Aho-Corasick
+    * automaton at construction).
+    */
+  private[graft] def multiSubstrCountBuilder(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(text, arr) if arr.foldable &&
+          arr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        val data = arr.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until data.numElements())
+          .map(i => data.getUTF8String(i).toString)
+        MultiSubstrCount(text, pats)
+      case _ => throw new IllegalArgumentException(
+        "multi_substr_count(text, array('p', ...)) requires a foldable " +
+          "string-array pattern list")
+    }
 
   /** Builder for `top_k_by(value, key, k)` — k must be an integer literal
     * (it bounds the aggregation buffer).

@@ -117,13 +117,23 @@ object TextAnalysis {
     * Per-row codegen expressions only; adds no shuffle to the input plan.
     */
   private[graft] def withCharLangPred(df: DataFrame): DataFrame = {
-    // integer occurrences of marker m: (len(text) - len(replace(text, m))) / len(m)
-    def occ(m: String): org.apache.spark.sql.Column = {
-      val esc = m.replace("\\", "\\\\").replace("'", "\\'")
-      expr(s"(length(text) - length(replace(text, '$esc', ''))) div ${m.length}")
-    }
+    // ONE Aho-Corasick pass counts every marker at once
+    // ([[graft.functions.MultiSubstrCount]]) — the round-10 kernel's
+    // per-marker `length - replace` formulation scanned the document
+    // once PER marker (37 passes after the round-11 profile widening).
+    // Counts are provably identical (no marker self-overlaps; the
+    // expression enforces it), so the replace-based ORACLE is unchanged.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val flat = CharLangMarkers.flatMap(_._2)
+    val mc = call_function("multi_substr_count", col("text"),
+      array(flat.map(lit): _*))
+    var base = 0
     val scores = CharLangMarkers.map { case (lang, ms) =>
-      lang -> ms.map(occ).reduce(_ + _).cast("long")
+      val s = ms.indices
+        .map(j => element_at(col("_mc"), base + j + 1))
+        .reduce[org.apache.spark.sql.Column](_ + _)
+      base += ms.length
+      lang -> s.cast("long")
     }
     // argmax by (score, tie-priority): priority DESCENDS in lang order, so
     // an equal-score tie resolves to the lexicographically smallest lang —
@@ -132,8 +142,10 @@ object TextAnalysis {
       struct(s.as("s"), lit(CharLangMarkers.size - i).as("p"), lit(lang).as("l"))
     }
     val best = array_max(array(candidates: _*))
-    df.withColumn("lang_pred",
-      when(best.getField("s") === 0L, lit("und")).otherwise(best.getField("l")))
+    df.withColumn("_mc", mc)
+      .withColumn("lang_pred",
+        when(best.getField("s") === 0L, lit("und")).otherwise(best.getField("l")))
+      .drop("_mc")
   }
 
   /** Shared oracle CTE computing `pred(doc_id, lang_pred)` — the ONE SQL

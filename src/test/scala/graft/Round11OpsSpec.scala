@@ -191,6 +191,37 @@ class Round11OpsSpec extends SparkTestBase {
       s"the top-20 must be a TakeOrderedAndProject, not a global sort:\n$p181")
   }
 
+  test("multi_substr_count == the replace formulation on random text (and rejects self-overlap)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val markers = TextAnalysis.CharLangMarkers.flatMap(_._2)
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcdefghi thedran的是了 loquesichun"
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (1 to 400).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val mc = call_function("multi_substr_count", col("text"),
+      array(markers.map(lit): _*))
+    val viaReplace = markers.zipWithIndex.map { case (m, i) =>
+      val esc = m.replace("\\", "\\\\").replace("'", "\\'")
+      expr(s"(length(text) - length(replace(text, '$esc', ''))) div ${m.length}")
+        .cast("long").as(s"r$i")
+    }
+    val rows = docs.withColumn("_mc", mc).select(col("_mc") +: viaReplace: _*).collect()
+    rows.foreach { r =>
+      val ac = r.getSeq[Long](0)
+      markers.indices.foreach { i =>
+        assert(ac(i) == r.getLong(i + 1),
+          s"AC count diverged from replace count for marker '${markers(i)}'")
+      }
+    }
+    // the semantics guard: a self-overlapping pattern must be refused
+    intercept[IllegalArgumentException] {
+      graft.functions.MultiSubstrCount(
+        org.apache.spark.sql.catalyst.expressions.Literal("xxx"), Seq("aa"))
+    }
+  }
+
   test("pred-lang pipeline variants run and are consistent with the kernel") {
     // smoke the pipeline wiring on real testdata (the oracle gate checks
     // exact values at the driver's SF): every selected doc's lang_pred

@@ -10,6 +10,22 @@ bench close.
 Intentional changes go in tools/bench_allowlist.txt (one query name per
 line, '#' comments) — an allowlisted regression prints but doesn't fail.
 
+Noise handling, two defences (both observed necessary at round-11 close):
+
+1. The NEW side is one sample. Sub-second queries flutter 0.1-0.2s
+   run-to-run and the offender SET ROTATES (three consecutive runs each
+   flagged a disjoint set of untouched queries). A real regression
+   reproduces; flutter doesn't. So when the first run flags regressions,
+   the gate re-runs the bench once and gates on min(run1, run2) —
+   best-of-N — failing only reproducible regressions. --no-confirm
+   restores single-run gating (and --no-run implies it).
+2. The BASELINE side is ALSO one sample. q05 measured 0.92s in the
+   round-10 artifact, a lucky 0.39s in the round-11 close, then ~0.9s in
+   every subsequent run — "2.3x regression" against r11, 1.0x against
+   r10. So --baseline accepts MULTIPLE artifacts and gates each query
+   against its per-query MAX across them (any previously-accepted time
+   is acceptable). Pass the last two round artifacts.
+
 Usage:
   python3 tools/bench_gate.py --baseline BENCH_LOCAL_r10.json \
       [--out bench_out.json] [--ratio 1.5] [--floor 0.4] [--sf /root/testdata/sf0.1]
@@ -66,7 +82,7 @@ def run_bench(out_path, sf_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--baseline", required=True, nargs="+")
     ap.add_argument("--out", default=os.path.join(REPO, "bench_out.json"))
     ap.add_argument("--ratio", type=float, default=1.5)
     # ignore sub-floor times: a 0.05s -> 0.12s flutter is scheduler noise,
@@ -74,25 +90,47 @@ def main():
     ap.add_argument("--floor", type=float, default=0.4)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--no-run", action="store_true")
+    ap.add_argument("--no-confirm", action="store_true")
     a = ap.parse_args()
 
     if not a.no_run:
         run_bench(a.out, a.sf)
-    old, new = load(a.baseline), load(a.out)
+    # per-query max across baselines: any previously-accepted time passes
+    old = {}
+    for b in a.baseline:
+        for k, v in load(b).items():
+            old[k] = max(old.get(k, 0.0), v)
+    new = load(a.out)
     shared = sorted(set(old) & set(new))
     if not shared:
         raise SystemExit("no shared queries between baseline and run")
+
+    def over_gate(times):
+        return [k for k in shared
+                if times[k] > a.ratio * old[k] and times[k] > a.floor]
+
+    confirmed = ""
+    if over_gate(new) and not (a.no_run or a.no_confirm):
+        print(f"first run flagged {len(over_gate(new))} queries over gate; "
+              "re-running once to separate flutter from regression...")
+        run_bench(a.out + ".confirm", a.sf)
+        new2 = load(a.out + ".confirm")
+        # gate on best-of-two; keep the better complete run as the artifact
+        merged = {k: min(new[k], new2.get(k, new[k])) for k in shared}
+        if sum(new2.get(k, 1e9) for k in shared) < sum(new[k] for k in shared):
+            os.replace(a.out + ".confirm", a.out)
+        new = merged
+        confirmed = ", best-of-2 confirmed"
     allowed = allowlist()
     bad, waived = [], []
-    for k in shared:
-        if new[k] > a.ratio * old[k] and new[k] > a.floor:
-            (waived if k in allowed else bad).append(
-                f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s "
-                f"({new[k] / old[k]:.2f}x)")
+    for k in over_gate(new):
+        (waived if k in allowed else bad).append(
+            f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s "
+            f"({new[k] / old[k]:.2f}x)")
     tot_o, tot_n = sum(old[k] for k in shared), sum(new[k] for k in shared)
     print(f"bench gate: {len(shared)} carried queries, "
           f"{tot_o:.1f}s -> {tot_n:.1f}s ({tot_n / tot_o:.2f}x), "
-          f"ratio gate {a.ratio}x, floor {a.floor}s")
+          f"ratio gate {a.ratio}x, floor {a.floor}s{confirmed}")
     if waived:
         print("allowlisted regressions (intentional):")
         print("\n".join(waived))
