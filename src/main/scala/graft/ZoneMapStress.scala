@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Maintenance, ZoneMap}
+import graft.sources.Tables.Warehouse
+
+/** Beyond-bench-SF measurement of the zone-map read path (the numbers
+  * SCALE.md cites): an N-row two-dimensional fact table queried with a
+  * selective 2-D box, three ways —
+  *
+  *   1. full filtered scan of the UNclustered layout (the baseline every
+  *      engine pays without layout work),
+  *   2. full filtered scan of the z-CLUSTERED layout (parquet row-group
+  *      stats start pruning once values cluster — the free win),
+  *   3. [[ZoneMap.read]] on the clustered layout (file-level pruning from
+  *      the manifest BEFORE any footer is opened).
+  *
+  * All three must return identical aggregates (asserted). Also reports
+  * the manifest's own planning cost (census + survivor selection) and
+  * the file census (survivors/total) — the number that scales: locally a
+  * skipped footer is a page-cached open; on an object store it is a GET
+  * round-trip per file per query.
+  *
+  * Run: `sbt "runMain graft.ZoneMapStress [nRows] [files]"` (defaults
+  * 20M / 64). Prints one JSON line.
+  */
+object ZoneMapStress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val files = if (args.length > 1) args(1).toInt else 64
+    val spark = Harness.session("graft-zonemap-stress")
+    import Harness.timed
+
+    val base = java.nio.file.Files.createTempDirectory("graft-zm-stress").toString
+    val wh = Warehouse(base)
+
+    // two independent uniform dims (hash-scrambled so neither correlates
+    // with row order — the unclustered layout is genuinely unclustered)
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("x"),
+      pmod(hash(col("id") + 1234567), lit(100000)).cast("long").as("y"),
+      (col("id") % 97).cast("double").as("v"))
+
+    val (_, tWrite) = timed { wh.overwrite(df.repartition(files), "fact") }
+    val (_, tCluster) = timed {
+      Maintenance.cluster(spark, wh, "fact", Seq("x", "y"), targetFiles = files)
+    }
+    val path = wh.snapshotPath("fact")
+
+    // a ~1% x 1% box (each dim selects 1/100 of its domain)
+    val bounds = Seq(ZoneMap.Bound.between("x", 40000L, 40999L),
+      ZoneMap.Bound.between("y", 70000L, 70999L))
+    val rowPred = col("x").between(40000L, 40999L) &&
+      col("y").between(70000L, 70999L)
+
+    def agg(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = d.agg(count(lit(1)), sum(col("v"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+
+    // unclustered baseline: a separate plain-parquet copy
+    val flatPath = s"$base/flat"
+    df.repartition(files).write.parquet(flatPath)
+    val (aFlat, tFlat) = timed { agg(spark.read.parquet(flatPath).filter(rowPred)) }
+    val (aClustered, tClustered) = timed {
+      agg(spark.read.parquet(path).filter(rowPred))
+    }
+    val (plan, tPlan) = timed { ZoneMap.pruneStats(spark, path, bounds) }
+    val (aPruned, tPruned) = timed { agg(ZoneMap.read(spark, path, bounds)) }
+
+    assert(aFlat == aClustered && aClustered == aPruned,
+      s"layout/pruning changed results: $aFlat vs $aClustered vs $aPruned")
+
+    println(s"""{"metric":"zonemap_stress","rows":$n,"files":$files,""" +
+      s""""box_rows":${aPruned._1},""" +
+      s""""write_s":${f"$tWrite%.2f"},"cluster_s":${f"$tCluster%.2f"},""" +
+      s""""scan_flat_s":${f"$tFlat%.2f"},""" +
+      s""""scan_clustered_s":${f"$tClustered%.2f"},""" +
+      s""""plan_s":${f"$tPlan%.2f"},"scan_pruned_s":${f"$tPruned%.2f"},""" +
+      s""""files_survived":${plan._1},"files_total":${plan._2}}""")
+    graft.sources.Tables.deleteRecursively(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+}

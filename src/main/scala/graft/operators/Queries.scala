@@ -691,6 +691,68 @@ object Queries {
       .orderBy(col("s_name"))
   }
 
+  /** Clustered-rewrite + zone-map lifecycle (q185): lineitem lands in a
+    * scratch warehouse, [[graft.plans.Maintenance.cluster]] rewrites it
+    * z-ordered on (l_partkey, l_suppkey) and builds the `_zonemap`
+    * manifest inside the SAME atomic version commit, then the answer is
+    * computed through [[graft.plans.ZoneMap.read]] — file-level pruning
+    * from manifest min/max stats BEFORE any parquet footer is opened
+    * (the Iceberg manifest-stats contract on plain parquet; the
+    * reference's managed tables get it from Iceberg metadata). The
+    * oracle is the plain filter+aggregate: layout and pruning must
+    * never change results. Scratch warehouse deleted after an eager
+    * checkpoint pins the rows.
+    */
+  def q185ClusterZonemap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{Maintenance, ZoneMap}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_q185")
+    val wh = Warehouse(tmp.toString)
+    try {
+      wh.overwrite(t(spark, dir, "lineitem").select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice"), "li")
+      Maintenance.cluster(spark, wh, "li", Seq("l_partkey", "l_suppkey"),
+        targetFiles = 16)
+      ZoneMap.read(spark, wh.snapshotPath("li"),
+          Seq(ZoneMap.Bound.between("l_partkey", 40L, 90L),
+            ZoneMap.Bound.between("l_suppkey", 2L, 5L)))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy(col("l_suppkey"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
+  /** Single-dimension variant (q186): orders range-clustered on
+    * o_orderdate (any orderable type — no bit interleave on one dim),
+    * zone-map-pruned read of one year, priority census. The time-range
+    * scan over a date-clustered table is THE canonical warehouse access
+    * pattern this layout serves at 100 TB.
+    */
+  def q186DateClusterScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{Maintenance, ZoneMap}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_q186")
+    val wh = Warehouse(tmp.toString)
+    try {
+      wh.overwrite(t(spark, dir, "orders").select("o_orderkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice"), "ord")
+      Maintenance.cluster(spark, wh, "ord", Seq("o_orderdate"), targetFiles = 12)
+      ZoneMap.read(spark, wh.snapshotPath("ord"),
+          Seq(ZoneMap.Bound(
+            "o_orderdate",
+            Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+            Some(java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -1906,6 +1968,25 @@ object Queries {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM q WHERE h1_qty * 2 > total_qty)
         |ORDER BY s_name""".stripMargin,
 
+    // z-clustered rewrite + zone-map file pruning must never change
+    // results: the oracle is the plain filter+aggregate on the source
+    "q185_cluster_zonemap" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 40 AND 90 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    // date-range scan over the date-clustered table == plain year filter
+    "q186_date_cluster_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2361,6 +2442,8 @@ object Queries {
     "q182_important_parts" -> (q182ImportantParts _),
     "q183_supplier_diversity" -> (q183SupplierDiversity _),
     "q184_front_loaded_suppliers" -> (q184FrontLoadedSuppliers _),
+    "q185_cluster_zonemap" -> (q185ClusterZonemap _),
+    "q186_date_cluster_scan" -> (q186DateClusterScan _),
     "q166_market_share" -> (q166MarketShare _),
     "q167_trade_volume" -> (q167TradeVolume _),
     "q168_top_supplier" -> (q168TopSupplier _),

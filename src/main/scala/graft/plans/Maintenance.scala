@@ -82,6 +82,86 @@ object Maintenance {
     }
   }
 
+  /** Clustered rewrite + zone-map manifest — the engine's
+    * `rewrite_data_files(sort_order)` (Iceberg ships sort-order rewrites
+    * for the same reason: min/max stats only prune when values cluster).
+    * Rewrites `table` so each output file owns a narrow range of `dims`
+    * (one dim: range sort; several NUMERIC dims: min-max-scaled
+    * [[ZOrder]] interleave, every dim bounded per file), then builds the
+    * [[ZoneMap]] manifest INSIDE the same staged version dir — manifest
+    * and layout publish in one atomic pointer swap and time-travel
+    * together. Same optimistic-CAS skeleton as [[compact]], so a
+    * concurrent ingest commit wins and the rewrite retries on its output.
+    *
+    * Layout guards: a merge-on-read table's base and a key-bucketed COW
+    * mirror are PARTITIONED BY KEY BUCKET — that layout is the upsert
+    * contract (O(delta) bucket-pruned merges); silently re-clustering it
+    * by analytics dims would trade write cost for scan cost behind the
+    * operator's back. Both are refused loudly: materialize a clustered
+    * analytic PROJECTION of the mirror instead (read -> write to a new
+    * table -> cluster that).
+    */
+  def cluster(spark: SparkSession, wh: Warehouse, table: String,
+      dims: Seq[String], targetFiles: Int, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(dims.nonEmpty, "cluster needs at least one dimension")
+    if (MorMirror.storedConfig(wh, table).isDefined)
+      throw new UnsupportedOperationException(
+        s"'$table' is merge-on-read: its base layout is the key-bucket " +
+          "merge contract. Cluster a materialized projection instead.")
+    wh.retryingConflicts() {
+      val expect = wh.currentVersion(table)
+      val path = wh.snapshotPath(table)
+      if (isBucketPartitioned(spark, path))
+        throw new UnsupportedOperationException(
+          s"'$table' is key-bucket-partitioned (upsert layout). " +
+            "Cluster a materialized projection instead.")
+      val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
+        .localCheckpoint(true)
+      val missing = dims.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"cluster dims not in '$table': $missing")
+      val ordering: Seq[org.apache.spark.sql.Column] =
+        if (dims.size == 1) Seq(col(dims.head))
+        else {
+          dims.foreach { d =>
+            require(df.schema(d).dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType],
+              s"multi-dim clustering interleaves bits: '$d' must be numeric " +
+                "(single-dim range sort supports any orderable type)")
+          }
+          // min-max scale each dim into the bit domain so the interleave
+          // preserves locality for ANY numeric range (raw low-bit masking
+          // would scatter values wider than 2^bits); one 1-row agg
+          val st = df.agg(
+            org.apache.spark.sql.functions.min(col(dims.head)).cast("double"),
+            (dims.flatMap(d => Seq(
+              org.apache.spark.sql.functions.min(col(d)).cast("double"),
+              org.apache.spark.sql.functions.max(col(d)).cast("double"))).tail): _*)
+            .collect()(0)
+          val mask = (1L << bits) - 1
+          val scaled = dims.zipWithIndex.map { case (d, i) =>
+            // all-null dim / empty table: no stats, no locality to keep
+            def at(j: Int) = if (st.isNullAt(j)) 0.0 else st.getDouble(j)
+            val (lo, hi) = (at(2 * i), at(2 * i + 1))
+            if (hi <= lo) lit(0L)
+            else ((col(d).cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
+              .cast("long")
+          }
+          Seq(ZOrder.zValue(scaled, bits))
+        }
+      wh.commit(table, expectCurrent = expect) { staged =>
+        val zc = "_graft_cluster_key"
+        df.withColumn(zc, ordering.head)
+          .repartitionByRange(targetFiles, col(zc))
+          .sortWithinPartitions(col(zc))
+          .drop(zc)
+          .write.mode(SaveMode.Overwrite).parquet(staged)
+        copyRootMarkers(path, staged)
+        ZoneMap.buildAndSave(spark, staged, dims)
+      }
+    }
+  }
+
   /** Copy root-level `_`-prefixed marker FILES (not dirs) from a snapshot
     * into a staged rewrite, excluding the write/commit machinery's own.
     */

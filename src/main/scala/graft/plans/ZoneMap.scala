@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone map: a per-file min/max manifest enabling the reader
+  * to PRUNE FILES BEFORE OPENING THEM.
+  *
+  * Parquet already prunes row groups from footer stats — but only after
+  * the scan has listed and OPENED every footer. At 100 TB (~100k files of
+  * 1 GB) the footer round-trips are the scan floor: an object-store GET
+  * per file before a single data page is read. Iceberg/Delta answer with
+  * manifest-level column stats consumed at PLANNING time; the reference's
+  * managed tables get that for free (`/root/reference/batch_bootstrapper/
+  * tabular.py` delegates to Iceberg metadata). This is the same contract
+  * on plain parquet, Spark-first: the manifest is itself a tiny parquet
+  * table (one row per data file) living INSIDE the data directory as
+  * `_zonemap` — underscore-prefixed, so every normal read of the
+  * directory ignores it — and a pruned read turns interval predicates
+  * into a filter ON THE MANIFEST, then scans only the surviving files.
+  *
+  * Zone maps only help when values CLUSTER: a random layout gives every
+  * file the full value range and zero pruning. Pair with
+  * [[ZOrder.writeClustered]] (multi-dim) or a range sort (single dim) —
+  * [[Maintenance.cluster]] does both and builds the manifest in the same
+  * atomic commit.
+  *
+  * Soundness: pruning is file-granular and PURELY an optimization — the
+  * pruned read re-applies the interval predicate to the surviving rows,
+  * so `read(path, bounds) == fullScan.filter(bounds)` exactly, always.
+  * A file whose stats are null (all-null column) is never pruned. A
+  * manifest that no longer matches the directory's file census (a writer
+  * that didn't rebuild it) is detected and the read FALLS BACK to the
+  * full filtered scan — stale stats can cost speed, never rows.
+  */
+object ZoneMap {
+
+  val ManifestDir = "_zonemap"
+
+  /** Inclusive interval predicate on one column; `None` = unbounded.
+    * `lo`/`hi` must be literals of (or comparable to) the column type.
+    */
+  final case class Bound(column: String, lo: Option[Any], hi: Option[Any]) {
+    require(lo.isDefined || hi.isDefined, s"unbounded Bound($column) prunes nothing")
+    /** The exact row-level predicate this bound stands for. */
+    def rowPredicate: Column = {
+      val c = col(column)
+      (lo.map(v => c >= lit(v)) ++ hi.map(v => c <= lit(v))).reduce(_ && _)
+    }
+  }
+  object Bound {
+    def between(column: String, lo: Any, hi: Any): Bound =
+      Bound(column, Some(lo), Some(hi))
+    def atLeast(column: String, lo: Any): Bound = Bound(column, Some(lo), None)
+    def atMost(column: String, hi: Any): Bound = Bound(column, None, Some(hi))
+  }
+
+  /** Scheme-stripped absolute path (`file:///a/b` and `/a/b` -> `/a/b`),
+    * the normal form under which manifest entries and directory listings
+    * are compared.
+    */
+  private def normalize(uri: String): String =
+    uri.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** `dataPath` made absolute against its filesystem (a RELATIVE path
+    * would otherwise produce a scheme-less root that never prefixes
+    * `input_file_name()`'s absolute URI, silently breaking the
+    * relative-path computation).
+    */
+  private def qualified(spark: SparkSession, dataPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri.toString
+  }
+
+  /** Build the manifest for the parquet files under `dataPath` and write
+    * it to `dataPath/_zonemap`: one row per file with
+    * `(file, rows, min_<c>, max_<c> ...)`, `file` RELATIVE to `dataPath`
+    * so the manifest survives a directory rename (the warehouse commit
+    * publishes staged dirs by renaming them). One distributed scan of the
+    * stats columns only (column-pruned); the manifest is one row per data
+    * file — at 100 TB with 1 GB files, ~1e5 rows, a planning-time read.
+    */
+  def buildAndSave(spark: SparkSession, dataPath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one stats column")
+    val root = normalize(qualified(spark, dataPath))
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataPath)
+      .groupBy(regexp_replace(input_file_name(), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+        .as("_abs"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("file", expr(s"substring(_abs, ${root.length + 2})"))
+      .drop("_abs")
+      // one row per file: a single output file keeps the planning read
+      // to one footer; coalesce(1) not repartition — no shuffle
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataPath/$ManifestDir")
+  }
+
+  /** The manifest as a DataFrame (planning-time metadata, not row data). */
+  def manifest(spark: SparkSession, dataPath: String): DataFrame =
+    spark.read.parquet(s"$dataPath/$ManifestDir")
+
+  private def hasManifest(spark: SparkSession, dataPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dataPath, ManifestDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Data files currently under `dataPath` (non-recursive: zone maps
+    * target flat clustered layouts), normalized-relative, hidden files
+    * excluded — the census the manifest must match to be trusted.
+    */
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootLen = normalize(qualified(spark, dataPath)).length
+    fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(s => normalize(s.getPath.toUri.toString).substring(rootLen + 1))
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+  }
+
+  /** One planning pass over the manifest: every file RELATIVE path with
+    * its survive flag for `bounds`. A file is pruned only when its stats
+    * PROVE no row can satisfy a bound (`max < lo` or `min > hi`); null
+    * stats survive. A single tiny Spark job — the caller gets both the
+    * census (staleness check) and the survivor list from it.
+    */
+  private def planFiles(spark: SparkSession, dataPath: String,
+      bounds: Seq[Bound]): Seq[(String, Boolean)] = {
+    val keep = bounds.map { b =>
+      val (mn, mx) = (col(s"min_${b.column}"), col(s"max_${b.column}"))
+      val loOk = b.lo.map(v => coalesce(mx >= lit(v), lit(true))).getOrElse(lit(true))
+      val hiOk = b.hi.map(v => coalesce(mn <= lit(v), lit(true))).getOrElse(lit(true))
+      loOk && hiOk
+    }.reduce(_ && _)
+    manifest(spark, dataPath).select(col("file"), keep.as("_keep"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+  }
+
+  /** Read `dataPath` with file-level pruning for `bounds`, returning
+    * EXACTLY `spark.read.parquet(dataPath).filter(bounds)`:
+    *
+    *  - manifest present and matching the directory census: scan only the
+    *    surviving files (+ the row-level predicate on them);
+    *  - no manifest, or a stale one (file census mismatch — some writer
+    *    bypassed the maintenance path): full scan + filter, loud in the
+    *    plan but never wrong;
+    *  - zero survivors: an empty frame with the table schema.
+    */
+  def read(spark: SparkSession, dataPath: String, bounds: Seq[Bound]): DataFrame = {
+    require(bounds.nonEmpty, "use spark.read.parquet directly for unbounded reads")
+    val rowPred = bounds.map(_.rowPredicate).reduce(_ && _)
+    def full = spark.read.parquet(dataPath).filter(rowPred)
+    if (!hasManifest(spark, dataPath)) return full
+    val plan = planFiles(spark, dataPath, bounds)
+    if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
+      logStale(dataPath)
+      return full
+    }
+    val files = plan.collect { case (f, true) => s"$dataPath/$f" }
+    if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(rowPred)
+  }
+
+  /** Pruning census for measurement/specs: (surviving, total) file counts
+    * for `bounds` — the number the 100 TB claim stands on.
+    */
+  def pruneStats(spark: SparkSession, dataPath: String,
+      bounds: Seq[Bound]): (Int, Int) = {
+    val plan = planFiles(spark, dataPath, bounds)
+    (plan.count(_._2), plan.size)
+  }
+
+  private def logStale(dataPath: String): Unit =
+    System.err.println(
+      s"[zonemap] manifest at $dataPath/$ManifestDir does not match the " +
+        "directory file census; falling back to the full filtered scan " +
+        "(rebuild via Maintenance.cluster or ZoneMap.buildAndSave)")
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Maintenance, ZoneMap}
+import graft.plans.ZoneMap.Bound
+import graft.sources.Tables.Warehouse
+
+/** The zone-map contract: (a) a pruned read is EXACTLY the full filtered
+  * scan — on clustered data, on unclustered data, with nulls, with zero
+  * survivors, and through the staleness fallback; (b) on clustered data
+  * it actually prunes (the 100 TB point — file-level skipping before any
+  * footer is opened); (c) Maintenance.cluster preserves content, commits
+  * atomically through the version chain, and refuses the layouts whose
+  * partitioning IS the upsert contract.
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def li: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("pruned read == full filtered scan, and a 2-D box prunes most files") {
+    val wh = Warehouse(tmpDir("zm-exact"))
+    wh.overwrite(li, "li")
+    Maintenance.cluster(spark, wh, "li", Seq("l_partkey", "l_suppkey"),
+      targetFiles = 16)
+    val path = wh.snapshotPath("li")
+    // sf0.001 domains: l_partkey 0-199, l_suppkey 0-9 — a ~10%-of-space box
+    val bounds = Seq(Bound.between("l_partkey", 40L, 90L),
+      Bound.between("l_suppkey", 2L, 5L))
+    val pruned = ZoneMap.read(spark, path, bounds)
+    val full = wh.read(spark, "li")
+      .filter(col("l_partkey").between(40, 90) && col("l_suppkey").between(2, 5))
+    assert(pruned.count() > 0, "test box must select something")
+    assert(sortedRows(pruned) == sortedRows(full))
+    val (kept, total) = ZoneMap.pruneStats(spark, path, bounds)
+    assert(total >= 15, s"clustered rewrite should emit ~16 files, got $total")
+    assert(kept <= total / 2,
+      s"a narrow 2-D box on z-clustered data must prune most files " +
+        s"($kept/$total survived)")
+    // one-sided bounds are exact too
+    val oneSided = Seq(Bound.atLeast("l_partkey", 190L))
+    assert(sortedRows(ZoneMap.read(spark, path, oneSided)) ==
+      sortedRows(wh.read(spark, "li").filter(col("l_partkey") >= 190)))
+  }
+
+  test("single-dim range clustering prunes on that dim; content is preserved exactly") {
+    val wh = Warehouse(tmpDir("zm-1d"))
+    wh.overwrite(li, "li")
+    val before = sortedRows(wh.read(spark, "li"))
+    val v0 = wh.currentVersion("li")
+    Maintenance.cluster(spark, wh, "li", Seq("l_shipdate"), targetFiles = 12)
+    assert(wh.currentVersion("li").get > v0.get, "cluster commits a new version")
+    assert(sortedRows(wh.read(spark, "li")) == before,
+      "clustering is a layout rewrite: content must be byte-for-byte the same rows")
+    val path = wh.snapshotPath("li")
+    // string dim: range sort handles any orderable type
+    val bounds = Seq(Bound.between("l_shipdate", "1995-01-01", "1995-03-31"))
+    assert(sortedRows(ZoneMap.read(spark, path, bounds)) ==
+      sortedRows(wh.read(spark, "li")
+        .filter(col("l_shipdate").between("1995-01-01", "1995-03-31"))))
+    val (kept, total) = ZoneMap.pruneStats(spark, path, bounds)
+    assert(kept < total, s"a quarter-year slice must prune something ($kept/$total)")
+  }
+
+  test("nulls: all-null stats never prune; null rows never satisfy an interval") {
+    val dir = tmpDir("zm-null") + "/t"
+    val df = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) null else s"k$i"))
+      .toDF("id", "name")
+      .withColumn("v", when(col("id") <= 50, col("id")).otherwise(lit(null)))
+    // two files: one carries only null v (stats null -> must survive)
+    df.repartitionByRange(2, col("id")).write.parquet(dir)
+    ZoneMap.buildAndSave(spark, dir, Seq("v"))
+    val bounds = Seq(Bound.between("v", 10L, 20L))
+    val got = ZoneMap.read(spark, dir, bounds)
+    val want = spark.read.parquet(dir).filter(col("v").between(10, 20))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() == 11)
+  }
+
+  test("zero survivors returns an empty frame with the table schema") {
+    val wh = Warehouse(tmpDir("zm-empty"))
+    wh.overwrite(li, "li")
+    Maintenance.cluster(spark, wh, "li", Seq("l_partkey"), targetFiles = 4)
+    val path = wh.snapshotPath("li")
+    val got = ZoneMap.read(spark, path,
+      Seq(Bound.atLeast("l_partkey", 999999999L)))
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == li.columns.toSeq)
+  }
+
+  test("a stale manifest falls back to the full scan — extra rows are never lost") {
+    val dir = tmpDir("zm-stale") + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    ZoneMap.buildAndSave(spark, dir, Seq("id"))
+    // a writer that bypassed maintenance appends a file the manifest
+    // doesn't know about — with rows INSIDE the pruned-away range
+    Seq((1000L, 7L)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val got = ZoneMap.read(spark, dir, Seq(Bound.atLeast("id", 900L)))
+    assert(got.count() == 1, "the unmanifested file's row must be found")
+    // rebuild restores pruning
+    ZoneMap.buildAndSave(spark, dir, Seq("id"))
+    val (kept, total) = ZoneMap.pruneStats(spark, dir, Seq(Bound.atLeast("id", 900L)))
+    assert(kept == 1 && total == 5)
+  }
+
+  test("cluster refuses MOR and key-bucketed layouts (their partitioning is the upsert contract)") {
+    val cfg = CdcConfig(keyCol = "id", tsCol = "ts")
+    val seed = Seq((1L, 1L, "a", "U")).toDF("id", "ts", "x", "op")
+    val whM = Warehouse(tmpDir("zm-mor"))
+    graft.plans.MorMirror.initialize(whM, "m",
+      graft.operators.Cdc.fold(seed, cfg), cfg, nBuckets = 4)
+    intercept[UnsupportedOperationException] {
+      Maintenance.cluster(spark, whM, "m", Seq("ts"), 4)
+    }
+    val whB = Warehouse(tmpDir("zm-bucketed"))
+    graft.plans.PartitionedMirror.initialize(whB, "b",
+      graft.operators.Cdc.fold(seed, cfg), cfg, nBuckets = 4)
+    intercept[UnsupportedOperationException] {
+      Maintenance.cluster(spark, whB, "b", Seq("ts"), 4)
+    }
+  }
+
+  test("cluster carries root marker files through the rewrite (replay cursors survive)") {
+    val wh = Warehouse(tmpDir("zm-markers"))
+    wh.overwrite((1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "s"), "t")
+    val marker = Paths.get(wh.snapshotPath("t"), "_ivm_batch_id")
+    Files.write(marker, "7".getBytes)
+    Maintenance.cluster(spark, wh, "t", Seq("id"), targetFiles = 2)
+    val carried = Paths.get(wh.snapshotPath("t"), "_ivm_batch_id")
+    assert(Files.exists(carried) && new String(Files.readAllBytes(carried)) == "7",
+      "the rewrite must carry replay-cursor markers exactly like compact does")
+  }
+}
