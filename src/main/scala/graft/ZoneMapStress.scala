@@ -44,8 +44,15 @@ object ZoneMapStress {
       (col("id") % 97).cast("double").as("v"))
 
     val (_, tWrite) = timed { wh.overwrite(df.repartition(files), "fact") }
+    // bloom sized to ~10 bits per expected key per file (~1% FPP at 5
+    // hashes), rounded up to a byte multiple of 8 bits
+    val bloomBits = {
+      val perFile = math.max(1L, n / files) * 10L
+      math.min(1L << 24, java.lang.Long.highestOneBit(perFile) << 1).toInt
+    }
     val (_, tCluster) = timed {
-      Maintenance.cluster(spark, wh, "fact", Seq("x", "y"), targetFiles = files)
+      Maintenance.cluster(spark, wh, "fact", Seq("x", "y"),
+        targetFiles = files, bloomKeys = Seq("id"), bloomBits = bloomBits)
     }
     val path = wh.snapshotPath("fact")
 
@@ -73,13 +80,26 @@ object ZoneMapStress {
     assert(aFlat == aClustered && aClustered == aPruned,
       s"layout/pruning changed results: $aFlat vs $aClustered vs $aPruned")
 
+    // point lookup on the UNclustered key: manifest blooms vs full scan
+    val lookupKeys: Seq[Any] = Seq(42L, 424242L, 4242424L, 14242424L, n - 7)
+    val (cFull, tLookFull) = timed {
+      spark.read.parquet(path).filter(col("id").isin(lookupKeys: _*)).count()
+    }
+    val (cBloom, tLookBloom) = timed {
+      ZoneMap.lookupRead(spark, path, "id", lookupKeys).count()
+    }
+    assert(cFull == cBloom && cBloom == lookupKeys.size.toLong,
+      s"bloom lookup changed results: $cFull vs $cBloom")
+
     println(s"""{"metric":"zonemap_stress","rows":$n,"files":$files,""" +
       s""""box_rows":${aPruned._1},""" +
       s""""write_s":${f"$tWrite%.2f"},"cluster_s":${f"$tCluster%.2f"},""" +
       s""""scan_flat_s":${f"$tFlat%.2f"},""" +
       s""""scan_clustered_s":${f"$tClustered%.2f"},""" +
       s""""plan_s":${f"$tPlan%.2f"},"scan_pruned_s":${f"$tPruned%.2f"},""" +
-      s""""files_survived":${plan._1},"files_total":${plan._2}}""")
+      s""""files_survived":${plan._1},"files_total":${plan._2},""" +
+      s""""lookup_full_s":${f"$tLookFull%.2f"},""" +
+      s""""lookup_bloom_s":${f"$tLookBloom%.2f"}}""")
     graft.sources.Tables.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
   }

@@ -753,6 +753,33 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Bloom point-lookup lifecycle (q187): orders clustered by DATE with a
+    * per-file Bloom filter on o_orderkey in the `_zonemap` manifest —
+    * min/max stats serve the clustered dim, the bloom serves point
+    * lookups on the key the layout does NOT order (a date-clustered fact
+    * still answers "fetch order 42" from ~1 file instead of every file's
+    * footer). [[graft.plans.ZoneMap.lookupRead]] proves membership
+    * pruning never changes results: the oracle is the plain IN-list.
+    */
+  def q187BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{Maintenance, ZoneMap}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_q187")
+    val wh = Warehouse(tmp.toString)
+    try {
+      wh.overwrite(t(spark, dir, "orders").select("o_orderkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice"), "ord")
+      Maintenance.cluster(spark, wh, "ord", Seq("o_orderdate"),
+        targetFiles = 16, bloomKeys = Seq("o_orderkey"))
+      ZoneMap.lookupRead(spark, wh.snapshotPath("ord"), "o_orderkey",
+          Seq(7L, 1313L, 4033L))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -1978,6 +2005,14 @@ object Queries {
         |WHERE l_partkey BETWEEN 40 AND 90 AND l_suppkey BETWEEN 2 AND 5
         |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
 
+    // manifest-bloom point lookup == the plain IN-list filter
+    "q187_bloom_lookup" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (7, 1313, 4033)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // date-range scan over the date-clustered table == plain year filter
     "q186_date_cluster_scan" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -2444,6 +2479,7 @@ object Queries {
     "q184_front_loaded_suppliers" -> (q184FrontLoadedSuppliers _),
     "q185_cluster_zonemap" -> (q185ClusterZonemap _),
     "q186_date_cluster_scan" -> (q186DateClusterScan _),
+    "q187_bloom_lookup" -> (q187BloomLookup _),
     "q166_market_share" -> (q166MarketShare _),
     "q167_trade_volume" -> (q167TradeVolume _),
     "q168_top_supplier" -> (q168TopSupplier _),

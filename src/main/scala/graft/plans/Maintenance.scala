@@ -102,7 +102,8 @@ object Maintenance {
     * table -> cluster that).
     */
   def cluster(spark: SparkSession, wh: Warehouse, table: String,
-      dims: Seq[String], targetFiles: Int, bits: Int = 12): Unit = {
+      dims: Seq[String], targetFiles: Int, bits: Int = 12,
+      bloomKeys: Seq[String] = Nil, bloomBits: Int = 1 << 20): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(dims.nonEmpty, "cluster needs at least one dimension")
     if (MorMirror.storedConfig(wh, table).isDefined)
@@ -157,7 +158,7 @@ object Maintenance {
           .drop(zc)
           .write.mode(SaveMode.Overwrite).parquet(staged)
         copyRootMarkers(path, staged)
-        ZoneMap.buildAndSave(spark, staged, dims)
+        ZoneMap.buildAndSave(spark, staged, dims, bloomKeys, bloomBits)
       }
     }
   }

@@ -81,20 +81,37 @@ object ZoneMap {
     * stats columns only (column-pruned); the manifest is one row per data
     * file — at 100 TB with 1 GB files, ~1e5 rows, a planning-time read.
     */
-  def buildAndSave(spark: SparkSession, dataPath: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "zone map needs at least one stats column")
+  def buildAndSave(spark: SparkSession, dataPath: String, cols: Seq[String],
+      bloomKeys: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      bloomHashes: Int = 5): Unit = {
+    require(cols.nonEmpty || bloomKeys.nonEmpty,
+      "zone map needs at least one stats or bloom column")
+    if (bloomKeys.nonEmpty) graft.functions.GraftFunctions.register(spark)
     val root = normalize(qualified(spark, dataPath))
     val aggs = count(lit(1)).as("rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        // per-file Bloom bitset on each key column: min/max prunes RANGE
+        // predicates on the CLUSTERED dims; the bloom prunes POINT
+        // lookups on columns the layout does NOT cluster (a date-
+        // clustered fact still answers "fetch order 42" from ~1 file).
+        // Size bits ~10x the expected distinct keys per file for ~1% FPP
+        // at 5 hashes; false positives cost an extra file scan, never
+        // correctness (the row predicate re-applies).
+        bloomKeys.flatMap(k => Seq(
+          expr(s"bloom_build(xxhash64(`$k`), $bloomBits, $bloomHashes)")
+            .as(s"bloom_$k"),
+          lit(bloomHashes).as(s"bloomhashes_$k"))))
     spark.read.parquet(dataPath)
       .groupBy(regexp_replace(input_file_name(), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
         .as("_abs"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("file", expr(s"substring(_abs, ${root.length + 2})"))
       .drop("_abs")
-      // one row per file: a single output file keeps the planning read
-      // to one footer; coalesce(1) not repartition — no shuffle
-      .coalesce(1)
+      // min/max-only manifests are tiny: one output file, one planning
+      // footer. Bloom columns make rows heavy (bits/8 bytes each) — keep
+      // them spread so the planning probe reads the manifest in
+      // parallel instead of dragging one fat file through a single task
+      .coalesce(if (bloomKeys.isEmpty) 1 else 16)
       .write.mode("overwrite").parquet(s"$dataPath/$ManifestDir")
   }
 
@@ -171,6 +188,62 @@ object ZoneMap {
       bounds: Seq[Bound]): (Int, Int) = {
     val plan = planFiles(spark, dataPath, bounds)
     (plan.count(_._2), plan.size)
+  }
+
+  /** Point-lookup read through the manifest's per-file Bloom filters:
+    * `== spark.read.parquet(dataPath).filter(col(keyCol).isin(keys))`.
+    *
+    * Scale envelope: a bloom-bearing manifest carries bits/8 bytes per
+    * file per key column, so size bits to ~10x the expected keys per
+    * file (~1% FPP at 5 hashes) and keep the manifest spread across
+    * files (buildAndSave does) so the planning probe parallelizes.
+    * Manifest-level blooms fit ≲10k files or high-value keys; at larger
+    * file counts push membership bits into the parquet footers
+    * (parquet's native column blooms) and keep the manifest to min/max —
+    * the planning-time read must stay small relative to the scan it
+    * saves.
+    *
+    * Scans only files whose bloom might contain SOME key. This is
+    * the selective-fetch path at 100 TB — "get these 5 documents" opens
+    * ~5 files instead of listing-and-footer-probing 100k — on a column
+    * the clustering does NOT order (min/max stats are useless for a key
+    * scattered across every file; membership bits are not).
+    *
+    * Key values must be passed with the column's exact data type
+    * semantics — they are cast to the table's column type before
+    * hashing, because `xxhash64` is type-sensitive and the probe must
+    * hash exactly what the build hashed. Same staleness contract as
+    * [[read]]: census mismatch or a manifest without this bloom column
+    * falls back to the full filtered scan.
+    */
+  def lookupRead(spark: SparkSession, dataPath: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "lookupRead needs at least one key")
+    graft.functions.GraftFunctions.register(spark)
+    val table = spark.read.parquet(dataPath)
+    val keyType = table.schema(keyCol).dataType
+    val rowPred = col(keyCol).isin(keys: _*)
+    def full = table.filter(rowPred)
+    if (!hasManifest(spark, dataPath)) return full
+    val m = manifest(spark, dataPath)
+    if (!m.columns.contains(s"bloom_$keyCol")) return full
+    // the probe must use the hash count the BUILD used; it is stored in
+    // the manifest (constant across rows) and must be a plan-time
+    // literal for the probe expression — one tiny fetch
+    val nh = m.select(s"bloomhashes_$keyCol").head.getInt(0)
+    val probes = keys.map { v =>
+      call_function("bloom_might_contain", col(s"bloom_$keyCol"),
+        xxhash64(lit(v).cast(keyType)), lit(nh))
+    }.reduce(_ || _)
+    val plan = m.select(col("file"), probes.as("_keep"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
+      logStale(dataPath)
+      return full
+    }
+    val files = plan.collect { case (f, true) => s"$dataPath/$f" }
+    if (files.isEmpty) table.filter(lit(false))
+    else spark.read.parquet(files: _*).filter(rowPred)
   }
 
   private def logStale(dataPath: String): Unit =

@@ -114,6 +114,33 @@ class ZoneMapSpec extends SparkTestBase {
     assert(kept == 1 && total == 5)
   }
 
+  test("bloom point-lookup == plain isin filter, prunes to ~|keys| files, falls back when missing") {
+    val wh = Warehouse(tmpDir("zm-bloom"))
+    val ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    wh.overwrite(ords, "ord")
+    // clustered by DATE; the bloom serves the key the layout does NOT order
+    Maintenance.cluster(spark, wh, "ord", Seq("o_orderdate"), targetFiles = 16,
+      bloomKeys = Seq("o_orderkey"))
+    val path = wh.snapshotPath("ord")
+    val keys: Seq[Any] = Seq(7L, 1313L, 4033L)
+    val got = ZoneMap.lookupRead(spark, path, "o_orderkey", keys)
+    val want = wh.read(spark, "ord").filter(col("o_orderkey").isin(keys: _*))
+    assert(want.count() > 0, "test keys must exist in sf0.001 orders")
+    assert(sortedRows(got) == sortedRows(want))
+    // pruning: a date-clustered layout scatters keys, yet the lookup must
+    // open at most ~|keys| files (+ bloom false positives, ~1%)
+    val opened = got.select(input_file_name()).distinct().count()
+    assert(opened <= keys.size,
+      s"3-key lookup opened $opened files of 16 — bloom pruning not engaged")
+    // a manifest without this bloom column: loud-but-correct fallback
+    val wh2 = Warehouse(tmpDir("zm-bloomless"))
+    wh2.overwrite(ords, "ord")
+    Maintenance.cluster(spark, wh2, "ord", Seq("o_orderdate"), targetFiles = 8)
+    val got2 = ZoneMap.lookupRead(spark, wh2.snapshotPath("ord"), "o_orderkey", keys)
+    assert(sortedRows(got2) == sortedRows(want))
+  }
+
   test("cluster refuses MOR and key-bucketed layouts (their partitioning is the upsert contract)") {
     val cfg = CdcConfig(keyCol = "id", tsCol = "ts")
     val seed = Seq((1L, 1L, "a", "U")).toDF("id", "ts", "x", "op")
