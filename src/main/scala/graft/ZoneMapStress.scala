@@ -81,7 +81,8 @@ object ZoneMapStress {
       s"layout/pruning changed results: $aFlat vs $aClustered vs $aPruned")
 
     // point lookup on the UNclustered key: manifest blooms vs full scan
-    val lookupKeys: Seq[Any] = Seq(42L, 424242L, 4242424L, 14242424L, n - 7)
+    val lookupKeys: Seq[Any] =
+      Seq(42L, 424242L, 4242424L, 14242424L, n - 7).filter(_ < n).distinct
     val (cFull, tLookFull) = timed {
       spark.read.parquet(path).filter(col("id").isin(lookupKeys: _*)).count()
     }

@@ -121,6 +121,11 @@ object Maintenance {
         .localCheckpoint(true)
       val missing = dims.filterNot(df.columns.contains)
       require(missing.isEmpty, s"cluster dims not in '$table': $missing")
+      // an empty table has no layout to improve, and the manifest build
+      // cannot infer a schema from a rewrite that emits no files.
+      // (plain `if`, NOT a `return`: a non-local return from this
+      // by-name block would unwind retryingConflicts via exception)
+      if (!df.isEmpty) {
       val ordering: Seq[org.apache.spark.sql.Column] =
         if (dims.size == 1) Seq(col(dims.head))
         else {
@@ -159,6 +164,7 @@ object Maintenance {
           .write.mode(SaveMode.Overwrite).parquet(staged)
         copyRootMarkers(path, staged)
         ZoneMap.buildAndSave(spark, staged, dims, bloomKeys, bloomBits)
+      }
       }
     }
   }

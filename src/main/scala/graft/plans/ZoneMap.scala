@@ -232,8 +232,12 @@ object ZoneMap {
     // literal for the probe expression — one tiny fetch
     val nh = m.select(s"bloomhashes_$keyCol").head.getInt(0)
     val probes = keys.map { v =>
-      call_function("bloom_might_contain", col(s"bloom_$keyCol"),
-        xxhash64(lit(v).cast(keyType)), lit(nh))
+      // a key that cannot cast to the column type hashes to null and the
+      // probe returns null; such a key matches NO row (isin semantics),
+      // so its contribution is false — without the coalesce the null
+      // would poison the OR and crash the planning collect
+      coalesce(call_function("bloom_might_contain", col(s"bloom_$keyCol"),
+        xxhash64(lit(v).cast(keyType)), lit(nh)), lit(false))
     }.reduce(_ || _)
     val plan = m.select(col("file"), probes.as("_keep"))
       .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq

@@ -141,6 +141,40 @@ class ZoneMapSpec extends SparkTestBase {
     assert(sortedRows(got2) == sortedRows(want))
   }
 
+  test("review edges: empty-table cluster no-ops; an uncastable lookup key matches nothing") {
+    val wh = Warehouse(tmpDir("zm-edge"))
+    wh.overwrite(li.filter(lit(false)), "empty")
+    val v0 = wh.currentVersion("empty")
+    Maintenance.cluster(spark, wh, "empty", Seq("l_partkey"), targetFiles = 4)
+    assert(wh.currentVersion("empty") == v0,
+      "clustering an empty table must be a no-op, not a crash or an empty commit")
+    // an uncastable key: under ANSI (Spark 4 default) the PLAIN isin
+    // filter throws CAST_INVALID_INPUT at the scan — the lookup path
+    // must be exactly as loud, at planning, not quietly wrong. (With
+    // ANSI off the cast yields null; the probe's coalesce keeps a null
+    // from poisoning the planning OR — defense pinned by code review.)
+    val wh2 = Warehouse(tmpDir("zm-edge2"))
+    wh2.overwrite(spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderdate"), "ord")
+    Maintenance.cluster(spark, wh2, "ord", Seq("o_orderdate"), targetFiles = 4,
+      bloomKeys = Seq("o_orderkey"))
+    val mixed: Seq[Any] = Seq("not-a-number", 1313L)
+    val e1 = intercept[Exception] {
+      wh2.read(spark, "ord").filter(col("o_orderkey").isin(mixed: _*)).collect()
+    }
+    val e2 = intercept[Exception] {
+      ZoneMap.lookupRead(spark, wh2.snapshotPath("ord"), "o_orderkey", mixed)
+        .collect()
+    }
+    assert(e1.getMessage.contains("CAST_INVALID_INPUT") &&
+      e2.getMessage.contains("CAST_INVALID_INPUT"),
+      s"both paths must fail the ANSI cast identically: $e1 / $e2")
+    // well-typed keys keep working on the same table
+    assert(ZoneMap.lookupRead(spark, wh2.snapshotPath("ord"), "o_orderkey",
+      Seq(1313L)).count() ==
+      wh2.read(spark, "ord").filter(col("o_orderkey") === 1313L).count())
+  }
+
   test("cluster refuses MOR and key-bucketed layouts (their partitioning is the upsert contract)") {
     val cfg = CdcConfig(keyCol = "id", tsCol = "ts")
     val seed = Seq((1L, 1L, "a", "U")).toDF("id", "ts", "x", "op")

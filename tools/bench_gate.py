@@ -119,6 +119,8 @@ def main():
         merged = {k: min(new[k], new2.get(k, new[k])) for k in shared}
         if sum(new2.get(k, 1e9) for k in shared) < sum(new[k] for k in shared):
             os.replace(a.out + ".confirm", a.out)
+        else:
+            os.remove(a.out + ".confirm")
         new = merged
         confirmed = ", best-of-2 confirmed"
     allowed = allowlist()
