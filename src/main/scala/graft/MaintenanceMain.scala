@@ -18,6 +18,14 @@ import graft.sources.Tables.{TableProps, Warehouse}
   *     (`GRAFT_TOMBSTONE_HORIZON` + the table's recorded cdc ts column),
   *  3. orphan-file GC ([[Maintenance.removeOrphans]], age-guarded).
   *
+  * A flat table with a DECLARED clustering ([[Maintenance.declareClustering]])
+  * gets the sort-order rewrite + zone-map manifest instead of plain
+  * compaction, guarded by manifest freshness (a fresh census skips the
+  * rewrite; any interim commit staling it is exactly when re-clustering
+  * pays). A tombstone expiry on the same tick rewrites after the
+  * cluster and stales the manifest until the next tick — reads stay
+  * correct through the ZoneMap census fallback, by design.
+  *
   * Usage: MaintenanceMain <warehouseDir> [table ...]
   * (no tables listed = every data table in the warehouse — `_`-prefixed
   * entries such as `_checkpoints`/`_metadata` are infrastructure, not
@@ -95,13 +103,31 @@ object MaintenanceMain {
           if (MorMirror.storedConfig(wh, table).isDefined) "mor"
           else if (PartitionedMirror.storedBuckets(wh, table).isDefined) "cow"
           else "flat"
+        // a flat table may DECLARE a clustering layout
+        // (Maintenance.declareClustering); maintenance then keeps the
+        // sort-order rewrite + zone-map manifest fresh INSTEAD of plain
+        // compaction (clustering subsumes it: same targetFiles rewrite)
+        val declared =
+          if (layout == "flat") Maintenance.declaredClustering(wh, table) else None
         // skip the full rewrite when the table is already within the
         // file-count budget (MOR's own compact no-ops on an empty delta
         // set; the flat/COW rewrite had no such guard — at scale an
-        // unconditional rewrite is a full-warehouse pass per cron tick)
-        val needsCompact = layout == "mor" ||
-          Maintenance.dataFiles(spark, wh, table).size > targetFiles
-        if (needsCompact) Maintenance.compact(spark, wh, table, targetFiles)
+        // unconditional rewrite is a full-warehouse pass per cron tick).
+        // For a declared-clustered table the guard is manifest freshness:
+        // a writer that committed since the last rewrite leaves a stale
+        // census, which is exactly when re-clustering pays
+        val needsCompact = declared match {
+          case Some(_) =>
+            !graft.plans.ZoneMap.isFresh(spark, wh.snapshotPath(table))
+          case None => layout == "mor" ||
+            Maintenance.dataFiles(spark, wh, table).size > targetFiles
+        }
+        if (needsCompact) declared match {
+          case Some((dims, bloomKeys)) =>
+            Maintenance.cluster(spark, wh, table, dims, targetFiles,
+              bloomKeys = bloomKeys)
+          case None => Maintenance.compact(spark, wh, table, targetFiles)
+        }
         // tombstone expiry needs the table's CDC config: MOR self-
         // describes (nested props); flat/COW tables record it in the
         // reference-style cdc.* props when bootstrapped — absent either,
@@ -118,7 +144,8 @@ object MaintenanceMain {
         }
         val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
         println(s"[maintenance] table=$table layout=$layout " +
-          s"compacted=$needsCompact expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
+          s"${if (declared.isDefined) "clustered" else "compacted"}=$needsCompact " +
+          s"expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
           s"orphans_swept=${swept.size}")
         }
       } catch {

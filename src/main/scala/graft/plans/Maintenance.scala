@@ -169,6 +169,34 @@ object Maintenance {
     }
   }
 
+  /** Declare `table`'s clustering layout in its properties so the
+    * scheduled-maintenance role ([[graft.MaintenanceMain]]) maintains it:
+    * on each tick a stale-or-missing manifest triggers [[cluster]] with
+    * these dims (a fresh manifest skips the rewrite). The declaration is
+    * table metadata — the same self-describing pattern as the bucket and
+    * cdc.* props, so maintenance needs no per-table config of its own.
+    */
+  def declareClustering(wh: Warehouse, table: String, dims: Seq[String],
+      bloomKeys: Seq[String] = Nil): Unit = {
+    require(dims.nonEmpty, "declareClustering needs at least one dimension")
+    import graft.sources.Tables.TableProps
+    val base = TableProps.read(wh, table) + (ClusterDimsProp -> dims.mkString(","))
+    TableProps.write(wh, table,
+      if (bloomKeys.isEmpty) base - ClusterBloomProp
+      else base + (ClusterBloomProp -> bloomKeys.mkString(",")))
+  }
+
+  val ClusterDimsProp = "cluster.dims"
+  val ClusterBloomProp = "cluster.bloom-keys"
+
+  /** The declared clustering of `table`, if any: (dims, bloomKeys). */
+  def declaredClustering(wh: Warehouse, table: String): Option[(Seq[String], Seq[String])] = {
+    val p = graft.sources.Tables.TableProps.read(wh, table)
+    def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    p.get(ClusterDimsProp).map(split).filter(_.nonEmpty)
+      .map(dims => (dims, p.get(ClusterBloomProp).map(split).getOrElse(Nil)))
+  }
+
   /** Copy root-level `_`-prefixed marker FILES (not dirs) from a snapshot
     * into a staged rewrite, excluding the write/commit machinery's own.
     */

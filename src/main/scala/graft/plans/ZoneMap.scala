@@ -181,6 +181,19 @@ object ZoneMap {
     else spark.read.parquet(files: _*).filter(rowPred)
   }
 
+  /** True when a manifest exists AND matches the directory's current
+    * file census — the scheduled-maintenance guard: a fresh manifest
+    * means the clustered rewrite still describes the files on disk, so
+    * the cron tick can skip an (expensive, full-table) re-cluster. One
+    * tiny planning job + one directory listing.
+    */
+  def isFresh(spark: SparkSession, dataPath: String): Boolean =
+    hasManifest(spark, dataPath) && {
+      val listed = manifest(spark, dataPath).select("file")
+        .collect().map(_.getString(0)).sorted.toSeq
+      listed == listDataFiles(spark, dataPath).sorted
+    }
+
   /** Pruning census for measurement/specs: (surviving, total) file counts
     * for `bounds` — the number the 100 TB claim stands on.
     */

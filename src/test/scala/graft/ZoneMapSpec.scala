@@ -192,6 +192,72 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("declared clustering: the maintenance role clusters when stale, skips when fresh") {
+    val wh = Warehouse(tmpDir("zm-maint"))
+    wh.overwrite(li, "li")
+    Maintenance.declareClustering(wh, "li", Seq("l_partkey", "l_suppkey"),
+      bloomKeys = Seq("l_orderkey"))
+    // tick 1: no manifest yet -> clusters and builds it
+    assert(MaintenanceMain.run(spark, wh, Seq("li"), targetFiles = 8,
+      tombstoneHorizon = None, orphanAgeMs = Long.MaxValue).isEmpty)
+    val v1 = wh.currentVersion("li")
+    assert(ZoneMap.isFresh(spark, wh.snapshotPath("li")), "tick 1 built the manifest")
+    // the declared bloom key works through the maintained manifest
+    val k = li.select("l_orderkey").head.getLong(0)
+    assert(ZoneMap.lookupRead(spark, wh.snapshotPath("li"), "l_orderkey", Seq(k))
+      .count() == li.filter(col("l_orderkey") === k).count())
+    // tick 2: fresh manifest -> NO rewrite (version unchanged)
+    assert(MaintenanceMain.run(spark, wh, Seq("li"), targetFiles = 8,
+      tombstoneHorizon = None, orphanAgeMs = Long.MaxValue).isEmpty)
+    assert(wh.currentVersion("li") == v1,
+      "a fresh manifest must skip the (full-table) re-cluster")
+    // a new commit stales the census -> tick 3 re-clusters
+    wh.overwrite(li.limit(500), "li")
+    assert(MaintenanceMain.run(spark, wh, Seq("li"), targetFiles = 8,
+      tombstoneHorizon = None, orphanAgeMs = Long.MaxValue).isEmpty)
+    assert(wh.currentVersion("li").get > v1.get, "stale census must re-cluster")
+    assert(ZoneMap.isFresh(spark, wh.snapshotPath("li")))
+    assert(wh.read(spark, "li").count() == 500, "content follows the latest commit")
+  }
+
+  test("property fuzz: pruning never loses rows across random data, layouts and bounds") {
+    val rng = new scala.util.Random(11)
+    (1 to 6).foreach { trial =>
+      val n = 200 + rng.nextInt(1800)
+      val rows = (1 to n).map { i =>
+        (if (rng.nextInt(10) == 0) null else java.lang.Long.valueOf(rng.nextInt(1000).toLong),
+          rng.nextDouble() * 100 - 50,
+          if (rng.nextInt(12) == 0) null else f"s${rng.nextInt(500)}%04d")
+      }
+      val df = rows.toDF("a", "b", "c")
+      val dir = tmpDir(s"zm-fuzz$trial") + "/t"
+      val parts = 1 + rng.nextInt(7)
+      (rng.nextInt(3) match {
+        case 0 => df.repartitionByRange(parts, col("a"))
+        case 1 => df.repartitionByRange(parts, col("c"))
+        case _ => df.repartition(parts)
+      }).write.parquet(dir)
+      ZoneMap.buildAndSave(spark, dir, Seq("a", "b", "c"))
+      (1 to 4).foreach { _ =>
+        def side[T](v: => T): Option[Any] =
+          if (rng.nextBoolean()) Some(v) else None
+        val candidates = Seq[(String, Option[Any], Option[Any])](
+          ("a", side(rng.nextInt(1000).toLong), side(rng.nextInt(1000).toLong)),
+          ("b", side(rng.nextDouble() * 100 - 50), side(rng.nextDouble() * 100 - 50)),
+          ("c", side(f"s${rng.nextInt(500)}%04d"), side(f"s${rng.nextInt(500)}%04d")))
+          .filter(t => t._2.isDefined || t._3.isDefined)
+          .map(t => Bound(t._1, t._2, t._3))
+        if (candidates.nonEmpty) {
+          val bounds = rng.shuffle(candidates).take(1 + rng.nextInt(candidates.size))
+          val pred = bounds.map(_.rowPredicate).reduce(_ && _)
+          assert(sortedRows(ZoneMap.read(spark, dir, bounds)) ==
+            sortedRows(spark.read.parquet(dir).filter(pred)),
+            s"trial $trial diverged on bounds $bounds")
+        }
+      }
+    }
+  }
+
   test("cluster carries root marker files through the rewrite (replay cursors survive)") {
     val wh = Warehouse(tmpDir("zm-markers"))
     wh.overwrite((1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "s"), "t")
