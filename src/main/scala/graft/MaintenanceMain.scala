@@ -103,6 +103,24 @@ object MaintenanceMain {
           if (MorMirror.storedConfig(wh, table).isDefined) "mor"
           else if (PartitionedMirror.storedBuckets(wh, table).isDefined) "cow"
           else "flat"
+        // a MATERIALIZED PROJECTION refreshes from its declared source
+        // (stamp-guarded: an idle source costs two metadata reads) —
+        // this takes precedence over the plain re-cluster below, which
+        // would refresh the LAYOUT but not the content
+        val projSource = TableProps.read(wh, table)
+          .get(Maintenance.ProjectionSourceProp)
+        val declaredProj =
+          if (projSource.isDefined) Maintenance.declaredClustering(wh, table)
+          else None
+        if (declaredProj.isDefined) {
+          val (dims, bloomKeys) = declaredProj.get
+          val refreshed = Maintenance.materializeProjection(spark, wh,
+            projSource.get, table, dims, bloomKeys, targetFiles)
+          val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
+          println(s"[maintenance] table=$table layout=projection " +
+            s"source=${projSource.get} refreshed=$refreshed " +
+            s"orphans_swept=${swept.size}")
+        } else {
         // a flat table may DECLARE a clustering layout
         // (Maintenance.declareClustering); maintenance then keeps the
         // sort-order rewrite + zone-map manifest fresh INSTEAD of plain
@@ -147,6 +165,7 @@ object MaintenanceMain {
           s"${if (declared.isDefined) "clustered" else "compacted"}=$needsCompact " +
           s"expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
           s"orphans_swept=${swept.size}")
+        }
         }
       } catch {
         case e: Exception =>

@@ -780,6 +780,47 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Write/read-split lifecycle (q188): the q163 MOR mirror PLUS its
+    * materialized read-optimized projection
+    * ([[graft.plans.Maintenance.materializeProjection]]) — the mirror
+    * keeps the key-bucket upsert layout, analytics come from a derived
+    * flat table clustered on `value` with a user_id bloom, and the
+    * answer is a zone-map range read over the projection. Same fold
+    * oracle as q18/q163 plus the range filter: the whole derived chain
+    * (MOR fold -> projection -> clustered layout -> manifest pruning)
+    * must preserve row-level truth.
+    */
+  def q188MirrorProjection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{Maintenance, MorMirror, ZoneMap}
+    import graft.sources.Tables.Warehouse
+    val cfg = CdcConfig(keyCol = "user_id", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+      .withColumn("_b", pmod(col("event_id"), lit(4)).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_proj_q188")
+    val wh = Warehouse(tmp.toString)
+    try {
+      MorMirror.initialize(wh, "mirror",
+        Cdc.fold(ch.filter(col("_b") === 0).drop("_b"), cfg), cfg, nBuckets = 16)
+      (1 to 3).foreach { b =>
+        MorMirror.appendDelta(wh, "mirror",
+          ch.filter(col("_b") === b).drop("_b"), batchId = b.toLong)
+      }
+      Maintenance.materializeProjection(spark, wh, "mirror", "mirror_ro",
+        dims = Seq("value"), bloomKeys = Seq("user_id"), targetFiles = 8,
+        cols = Seq("user_id", "event_id", "event_type", "value"))
+      ZoneMap.read(spark, wh.snapshotPath("mirror_ro"),
+          Seq(ZoneMap.Bound.between("value", 10.0, 60.0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -2047,6 +2088,18 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM last GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the mirror's read-optimized projection answers the SAME fold as
+    // q18/q163 through the derived chain (projection + zone-map read)
+    "q188_mirror_projection" ->
+      """WITH last AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM last WHERE value BETWEEN 10.0 AND 60.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the merge-on-read lifecycle answers the SAME question as q18's
     // one-shot fold — one oracle, two engine paths cross-checking
     "q163_mor_mirror" ->
@@ -2480,6 +2533,7 @@ object Queries {
     "q185_cluster_zonemap" -> (q185ClusterZonemap _),
     "q186_date_cluster_scan" -> (q186DateClusterScan _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
+    "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
     "q167_trade_volume" -> (q167TradeVolume _),
     "q168_top_supplier" -> (q168TopSupplier _),

@@ -126,47 +126,149 @@ object Maintenance {
       // (plain `if`, NOT a `return`: a non-local return from this
       // by-name block would unwind retryingConflicts via exception)
       if (!df.isEmpty) {
-      val ordering: Seq[org.apache.spark.sql.Column] =
-        if (dims.size == 1) Seq(col(dims.head))
-        else {
-          dims.foreach { d =>
-            require(df.schema(d).dataType.isInstanceOf[
-                org.apache.spark.sql.types.NumericType],
-              s"multi-dim clustering interleaves bits: '$d' must be numeric " +
-                "(single-dim range sort supports any orderable type)")
-          }
-          // min-max scale each dim into the bit domain so the interleave
-          // preserves locality for ANY numeric range (raw low-bit masking
-          // would scatter values wider than 2^bits); one 1-row agg
-          val st = df.agg(
-            org.apache.spark.sql.functions.min(col(dims.head)).cast("double"),
-            (dims.flatMap(d => Seq(
-              org.apache.spark.sql.functions.min(col(d)).cast("double"),
-              org.apache.spark.sql.functions.max(col(d)).cast("double"))).tail): _*)
-            .collect()(0)
-          val mask = (1L << bits) - 1
-          val scaled = dims.zipWithIndex.map { case (d, i) =>
-            // all-null dim / empty table: no stats, no locality to keep
-            def at(j: Int) = if (st.isNullAt(j)) 0.0 else st.getDouble(j)
-            val (lo, hi) = (at(2 * i), at(2 * i + 1))
-            if (hi <= lo) lit(0L)
-            else ((col(d).cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
-              .cast("long")
-          }
-          Seq(ZOrder.zValue(scaled, bits))
+        wh.commit(table, expectCurrent = expect) { staged =>
+          writeClusteredStaged(spark, df, staged, dims, targetFiles, bits,
+            bloomKeys, bloomBits)
+          copyRootMarkers(path, staged)
         }
-      wh.commit(table, expectCurrent = expect) { staged =>
-        val zc = "_graft_cluster_key"
-        df.withColumn(zc, ordering.head)
-          .repartitionByRange(targetFiles, col(zc))
-          .sortWithinPartitions(col(zc))
-          .drop(zc)
-          .write.mode(SaveMode.Overwrite).parquet(staged)
-        copyRootMarkers(path, staged)
-        ZoneMap.buildAndSave(spark, staged, dims, bloomKeys, bloomBits)
-      }
       }
     }
+  }
+
+  /** The clustered-write kernel shared by [[cluster]] (rewrite in place)
+    * and [[materializeProjection]] (derived table): order `df` by the
+    * cluster key, write `targetFiles` range-owned files into `staged`,
+    * and build the [[ZoneMap]] manifest there — all inside the caller's
+    * staged commit, so layout + stats publish atomically.
+    */
+  private def writeClusteredStaged(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, staged: String, dims: Seq[String],
+      targetFiles: Int, bits: Int, bloomKeys: Seq[String],
+      bloomBits: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ordering: org.apache.spark.sql.Column =
+      if (dims.size == 1) col(dims.head)
+      else {
+        dims.foreach { d =>
+          require(df.schema(d).dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType],
+            s"multi-dim clustering interleaves bits: '$d' must be numeric " +
+              "(single-dim range sort supports any orderable type)")
+        }
+        // min-max scale each dim into the bit domain so the interleave
+        // preserves locality for ANY numeric range (raw low-bit masking
+        // would scatter values wider than 2^bits); one 1-row agg
+        val st = df.agg(
+          org.apache.spark.sql.functions.min(col(dims.head)).cast("double"),
+          (dims.flatMap(d => Seq(
+            org.apache.spark.sql.functions.min(col(d)).cast("double"),
+            org.apache.spark.sql.functions.max(col(d)).cast("double"))).tail): _*)
+          .collect()(0)
+        val mask = (1L << bits) - 1
+        val scaled = dims.zipWithIndex.map { case (d, i) =>
+          // all-null dim: no stats, no locality to keep
+          def at(j: Int) = if (st.isNullAt(j)) 0.0 else st.getDouble(j)
+          val (lo, hi) = (at(2 * i), at(2 * i + 1))
+          if (hi <= lo) lit(0L)
+          else ((col(d).cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
+            .cast("long")
+        }
+        ZOrder.zValue(scaled, bits)
+      }
+    val zc = "_graft_cluster_key"
+    df.withColumn(zc, ordering)
+      .repartitionByRange(targetFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    ZoneMap.buildAndSave(spark, staged, dims, bloomKeys, bloomBits)
+  }
+
+  val ProjectionSourceProp = "projection.source"
+  val ProjectionStampProp = "projection.source-stamp"
+
+  /** Visible state of ANY table, layout-dispatched: merge-on-read fold,
+    * key-bucketed COW read, or plain versioned/flat read.
+    */
+  def readState(spark: SparkSession, wh: Warehouse, table: String)
+      : org.apache.spark.sql.DataFrame =
+    if (MorMirror.storedConfig(wh, table).isDefined) MorMirror.read(spark, wh, table)
+    else if (PartitionedMirror.storedBuckets(wh, table).isDefined)
+      PartitionedMirror.read(spark, wh, table)
+    else wh.read(spark, table)
+
+  /** Cheap change fingerprint of `table`'s visible state, used to skip
+    * projection refreshes. MOR: (base version, fold horizon, pending
+    * delta count) — the horizon is monotone and deltas only accumulate
+    * between horizon advances, so the triple changes iff the state can
+    * have. Flat/versioned: the version pointer. Key-bucketed COW commits
+    * by IN-PLACE partition overwrite (no pointer), so it has no cheap
+    * stamp — `None` means "cannot prove unchanged, always refresh".
+    */
+  def sourceStamp(wh: Warehouse, table: String): Option[String] =
+    if (MorMirror.storedConfig(wh, table).isDefined) {
+      val base = Warehouse(wh.tablePath(table)).currentVersion("base")
+        .getOrElse(-1L)
+      Some(s"mor:$base:${MorMirror.foldHorizon(wh, table)}:" +
+        s"${MorMirror.pendingDeltas(wh, table)}")
+    } else if (PartitionedMirror.storedBuckets(wh, table).isDefined) None
+    else wh.currentVersion(table).map(v => s"flat:$v")
+
+  /** Materialized READ-OPTIMIZED projection of a write-optimized table —
+    * the deployment answer to [[cluster]]'s refusal on MOR/bucketed
+    * layouts: the mirror keeps its key-bucket layout for O(delta)
+    * upserts, and analytics reads come from a derived flat table,
+    * clustered on the query dims with a zone-map manifest, refreshed by
+    * the maintenance role. ONE staged commit per refresh: project ->
+    * clustered write -> manifest, published by the pointer swap (never a
+    * flat write followed by a second rewrite).
+    *
+    * Refresh is stamped: the source's [[sourceStamp]] is recorded in the
+    * projection's properties, and a refresh whose stamp matches (and
+    * whose manifest is still fresh) is a no-op — so a cron tick against
+    * an idle mirror costs two metadata reads, not an O(mirror) rewrite.
+    * The full rewrite per CHANGED refresh is the honest trade for a flat
+    * read-optimized layout; the incremental alternative (fold the
+    * mirror changelog into the projection) would re-introduce the very
+    * key-layout the projection exists to escape.
+    *
+    * @param cols  optional column projection (empty = all columns)
+    * @return true when a refresh ran, false when provably current
+    */
+  def materializeProjection(spark: SparkSession, wh: Warehouse,
+      source: String, dest: String, dims: Seq[String],
+      bloomKeys: Seq[String] = Nil, targetFiles: Int = 8,
+      cols: Seq[String] = Nil, bits: Int = 12,
+      bloomBits: Int = 1 << 20): Boolean = {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables.TableProps
+    require(source != dest, "a projection cannot shadow its source")
+    val stamp = sourceStamp(wh, source)
+    val props = TableProps.read(wh, dest)
+    val current = stamp.isDefined &&
+      props.get(ProjectionStampProp) == stamp &&
+      wh.currentVersion(dest).isDefined &&
+      ZoneMap.isFresh(spark, wh.snapshotPath(dest))
+    if (current) return false
+    val state0 = readState(spark, wh, source)
+    val state = (if (cols.nonEmpty) state0.select(cols.map(col): _*) else state0)
+      .localCheckpoint(true) // pin: the staged write must not re-read a
+                             // source a concurrent commit may be swapping
+    // an empty source has nothing to lay out (and a zero-file rewrite has
+    // no schema for the manifest build); the projection keeps its previous
+    // state — same contract as cluster's empty-table no-op
+    if (state.isEmpty) return false
+    wh.retryingConflicts() {
+      wh.commit(dest) { staged =>
+        writeClusteredStaged(spark, state, staged, dims, targetFiles, bits,
+          bloomKeys, bloomBits)
+      }
+    }
+    declareClustering(wh, dest, dims, bloomKeys)
+    TableProps.write(wh, dest, TableProps.read(wh, dest) +
+      (ProjectionSourceProp -> source) ++
+      stamp.map(ProjectionStampProp -> _))
+    true
   }
 
   /** Declare `table`'s clustering layout in its properties so the

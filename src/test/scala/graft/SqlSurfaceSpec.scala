@@ -179,4 +179,27 @@ class SqlSurfaceSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(sqlAnn == dfAnn)
   }
+
+  test("the Aho-Corasick marker counter runs as plain SQL, counts == replace formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    view("documents")
+    val markers = graft.operators.TextAnalysis.CharLangMarkers.flatMap(_._2)
+    val arr = markers.map(m => s"'${m.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    val viaReplace = markers.zipWithIndex.map { case (m, i) =>
+      val esc = m.replace("'", "''")
+      s"CAST((length(text) - length(replace(text, '$esc', ''))) div ${m.length} AS BIGINT) AS r$i"
+    }.mkString(", ")
+    val rows = spark.sql(
+      s"SELECT multi_substr_count(text, $arr) AS mc, $viaReplace FROM documents")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ac = r.getSeq[Long](0)
+      markers.indices.foreach { i =>
+        assert(ac(i) == r.getLong(i + 1),
+          s"SQL-surface AC count diverged from replace for '${markers(i)}'")
+      }
+    }
+  }
 }
