@@ -405,8 +405,15 @@ object Dedup {
     * the probe structure shared by the batch self-join (q32) and the
     * incremental new-vs-corpus probe (q67).
     */
-  private[graft] def lshBuckets(shingleDf: DataFrame): DataFrame = {
-    val sigs = minhashSigs(shingleDf)
+  private[graft] def lshBuckets(shingleDf: DataFrame): DataFrame =
+    lshBucketsOfSigs(minhashSigs(shingleDf))
+
+  /** Banded buckets from ALREADY-COMPUTED wide signatures — callers that
+    * also need the raw components (q112's calibration) compute the
+    * K-aggregation once and feed both uses from it instead of paying the
+    * corpus-sized minhash aggregation twice.
+    */
+  private[graft] def lshBucketsOfSigs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("sig"))
@@ -450,11 +457,12 @@ object Dedup {
     */
   def q112MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val shBase = shingles(spark, dir).localCheckpoint(true)
-    val sigs = minhashSigs(shBase)
-      .select(col("doc_id"),
-        array((0 until K).map(c => col(s"m$c")): _*).as("sig"))
-      .localCheckpoint(true)
-    val buckets = lshBuckets(shBase)
+    // ONE corpus-sized K-minhash aggregation feeds BOTH the banded
+    // buckets and the raw-component comparison (it used to run twice)
+    val sigWide = minhashSigs(shBase).localCheckpoint(true)
+    val sigs = sigWide.select(col("doc_id"),
+      array((0 until K).map(c => col(s"m$c")): _*).as("sig"))
+    val buckets = lshBucketsOfSigs(sigWide)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -232,6 +232,14 @@ object Maintenance {
     * mirror changelog into the projection) would re-introduce the very
     * key-layout the projection exists to escape.
     *
+    * Concurrency: two refreshers racing (or a source commit landing
+    * mid-refresh) can publish a projection one state behind its stamp —
+    * never corrupt, at worst stale by one hop — and the next tick's
+    * stamp mismatch repairs it; a crash between the data commit and the
+    * props write only loses the SKIP optimization (the refresh re-runs).
+    * Both lean on the props contract that each key has a single writer
+    * role (the maintenance role owns projection.*).
+    *
     * @param cols  optional column projection (empty = all columns)
     * @return true when a refresh ran, false when provably current
     */
