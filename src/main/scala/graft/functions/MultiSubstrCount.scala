@@ -59,11 +59,17 @@ case class MultiSubstrCount(child: Expression, patterns: Seq[String])
   override def prettyName: String = "multi_substr_count"
 
   /** Aho-Corasick tables, built once per expression instance:
-    * per-state goto maps, and the fail-chain-MERGED pattern-index hit
-    * array per state (the scan never walks fail chains to REPORT — only
-    * to transition on a miss).
+    * per-state goto maps, the fail-chain-MERGED pattern-index hit array
+    * per state (the scan never walks fail chains to REPORT — only to
+    * transition on a miss), and — the hot-path trick — the fail function
+    * PRE-RESOLVED into a dense DFA over the ASCII plane: for chars
+    * < 128, one `dfa(state)(c)` array load replaces the fail-walk loop
+    * entirely (states x 128 ints — ~60 KB for the langid profile).
+    * Non-ASCII chars (the CJK markers and any non-Latin text) take the
+    * map + fail-walk path, identical semantics.
     */
-  @transient private lazy val automaton: (Array[Map[Char, Int]], Array[Int], Array[Array[Int]]) = {
+  @transient private lazy val automaton
+      : (Array[Array[Int]], Array[Map[Char, Int]], Array[Int], Array[Array[Int]]) = {
     val gotos = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.HashMap.empty[Char, Int])
     val own = scala.collection.mutable.ArrayBuffer(List.empty[Int])
@@ -80,10 +86,12 @@ case class MultiSubstrCount(child: Expression, patterns: Seq[String])
     }
     val fail = new Array[Int](gotos.length)
     val merged = own.map(_.toArray).toArray
+    val bfs = scala.collection.mutable.ArrayBuffer.empty[Int]
     val queue = scala.collection.mutable.Queue.empty[Int]
     gotos(0).values.foreach { s => fail(s) = 0; queue += s }
     while (queue.nonEmpty) {
       val r = queue.dequeue()
+      bfs += r
       gotos(r).foreach { case (c, s) =>
         queue += s
         var f = fail(r)
@@ -93,11 +101,24 @@ case class MultiSubstrCount(child: Expression, patterns: Seq[String])
         merged(s) = merged(s) ++ merged(fail(s))
       }
     }
-    (gotos.map(_.toMap).toArray, fail, merged)
+    // dense ASCII DFA: dfa(s)(c) = goto(s, c), else dfa(fail(s))(c) —
+    // valid to fill in BFS order because fail(s) is strictly shallower
+    val dfa = Array.ofDim[Int](gotos.length, 128)
+    var c = 0
+    while (c < 128) {
+      dfa(0)(c) = gotos(0).getOrElse(c.toChar, 0); c += 1
+    }
+    bfs.foreach { s =>
+      var c = 0
+      while (c < 128) {
+        dfa(s)(c) = gotos(s).getOrElse(c.toChar, dfa(fail(s))(c)); c += 1
+      }
+    }
+    (dfa, gotos.map(_.toMap).toArray, fail, merged)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val (gotoMaps, fail, merged) = automaton
+    val (dfa, gotoMaps, fail, merged) = automaton
     val s = input.asInstanceOf[UTF8String].toString
     val counts = new Array[Long](patterns.length)
     var state = 0
@@ -105,9 +126,13 @@ case class MultiSubstrCount(child: Expression, patterns: Seq[String])
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      var st = state
-      while (st != 0 && !gotoMaps(st).contains(c)) st = fail(st)
-      state = gotoMaps(st).getOrElse(c, 0)
+      if (c < 128) {
+        state = dfa(state)(c)
+      } else {
+        var st = state
+        while (st != 0 && !gotoMaps(st).contains(c)) st = fail(st)
+        state = gotoMaps(st).getOrElse(c, 0)
+      }
       val h = merged(state)
       var k = 0
       while (k < h.length) { counts(h(k)) += 1; k += 1 }
