@@ -80,6 +80,17 @@ object ZoneMapStress {
     assert(aFlat == aClustered && aClustered == aPruned,
       s"layout/pruning changed results: $aFlat vs $aClustered vs $aPruned")
 
+    // manifest-credited COUNT: a 20%-of-domain box on one clustered dim
+    // (wide enough that many files are FULLY contained) — the count
+    // should come mostly from manifest rows, scanning only boundary files
+    val wideBounds = Seq(ZoneMap.Bound.between("x", 40000L, 59999L))
+    val widePred = col("x").between(40000L, 59999L)
+    val (cntScan, tCntScan) = timed {
+      spark.read.parquet(path).filter(widePred).count()
+    }
+    val (cntFast, tCntFast) = timed { ZoneMap.countFast(spark, path, wideBounds) }
+    assert(cntScan == cntFast, s"countFast diverged: $cntScan vs $cntFast")
+
     // point lookup on the UNclustered key: manifest blooms vs full scan
     val lookupKeys: Seq[Any] =
       Seq(42L, 424242L, 4242424L, 14242424L, n - 7).filter(_ < n).distinct
@@ -100,7 +111,9 @@ object ZoneMapStress {
       s""""plan_s":${f"$tPlan%.2f"},"scan_pruned_s":${f"$tPruned%.2f"},""" +
       s""""files_survived":${plan._1},"files_total":${plan._2},""" +
       s""""lookup_full_s":${f"$tLookFull%.2f"},""" +
-      s""""lookup_bloom_s":${f"$tLookBloom%.2f"}}""")
+      s""""lookup_bloom_s":${f"$tLookBloom%.2f"},""" +
+      s""""count_scan_s":${f"$tCntScan%.2f"},""" +
+      s""""count_fast_s":${f"$tCntFast%.2f"}}""")
     graft.sources.Tables.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
   }

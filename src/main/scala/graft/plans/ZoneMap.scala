@@ -89,7 +89,12 @@ object ZoneMap {
     if (bloomKeys.nonEmpty) graft.functions.GraftFunctions.register(spark)
     val root = normalize(qualified(spark, dataPath))
     val aggs = count(lit(1)).as("rows") +:
-      (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        // null census per stats column: [[countFast]] may only credit a
+        // file's rows WITHOUT scanning when no bound column has nulls
+        // there (min/max ignore nulls, so containment alone would
+        // wrongly count null rows that satisfy no interval)
+        count(when(col(c).isNull, lit(1))).as(s"nulls_$c"))) ++
         // per-file Bloom bitset on each key column: min/max prunes RANGE
         // predicates on the CLUSTERED dims; the bloom prunes POINT
         // lookups on columns the layout does NOT cluster (a date-
@@ -179,6 +184,55 @@ object ZoneMap {
     val files = plan.collect { case (f, true) => s"$dataPath/$f" }
     if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(files: _*).filter(rowPred)
+  }
+
+  /** Manifest-only COUNT for interval predicates — the planning-time
+    * aggregate: a file whose stats PROVE total containment (`min >= lo`
+    * and `max <= hi` on every bound, zero nulls in every bound column)
+    * contributes its manifest `rows` without being opened; only PARTIAL
+    * files (stats straddle a boundary) are scanned with the row
+    * predicate. At 100 TB a box aligned with the clustering answers
+    * mostly from the manifest — the Snowflake-style pruning+metadata
+    * count, exact by construction, never approximate: containment is
+    * proven, not sampled. Missing/stale manifest or a manifest from
+    * before the null census falls back to the full filtered count.
+    */
+  def countFast(spark: SparkSession, dataPath: String,
+      bounds: Seq[Bound]): Long = {
+    require(bounds.nonEmpty, "countFast needs at least one bound")
+    val rowPred = bounds.map(_.rowPredicate).reduce(_ && _)
+    def full = spark.read.parquet(dataPath).filter(rowPred).count()
+    if (!hasManifest(spark, dataPath)) return full
+    val m = manifest(spark, dataPath)
+    val needed = bounds.flatMap(b =>
+      Seq(s"min_${b.column}", s"max_${b.column}", s"nulls_${b.column}"))
+    if (!needed.forall(m.columns.contains)) return full
+    val survive = bounds.map { b =>
+      val (mn, mx) = (col(s"min_${b.column}"), col(s"max_${b.column}"))
+      val loOk = b.lo.map(v => coalesce(mx >= lit(v), lit(true))).getOrElse(lit(true))
+      val hiOk = b.hi.map(v => coalesce(mn <= lit(v), lit(true))).getOrElse(lit(true))
+      loOk && hiOk
+    }.reduce(_ && _)
+    val contained = bounds.map { b =>
+      val (mn, mx) = (col(s"min_${b.column}"), col(s"max_${b.column}"))
+      val loIn = b.lo.map(v => coalesce(mn >= lit(v), lit(false))).getOrElse(lit(true))
+      val hiIn = b.hi.map(v => coalesce(mx <= lit(v), lit(false))).getOrElse(lit(true))
+      loIn && hiIn && col(s"nulls_${b.column}") === 0L
+    }.reduce(_ && _)
+    val plan = m.select(col("file"), survive.as("_s"),
+        (survive && contained).as("_c"), col("rows"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3))).toSeq
+    if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
+      logStale(dataPath)
+      return full
+    }
+    val fromManifest = plan.collect { case (_, _, true, rows) => rows }.sum
+    val partial = plan.collect { case (f, true, false, _) => s"$dataPath/$f" }
+    val scanned =
+      if (partial.isEmpty) 0L
+      else spark.read.parquet(partial: _*).filter(rowPred).count()
+    fromManifest + scanned
   }
 
   /** True when a manifest exists AND matches the directory's current

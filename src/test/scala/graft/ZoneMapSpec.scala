@@ -192,6 +192,38 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("countFast: manifest-credited counts are exact — wide, narrow, nulls, fallback") {
+    val wh = Warehouse(tmpDir("zm-cf"))
+    wh.overwrite(li, "li")
+    Maintenance.cluster(spark, wh, "li", Seq("l_partkey", "l_suppkey"),
+      targetFiles = 16)
+    val path = wh.snapshotPath("li")
+    def fullCnt(b: Seq[Bound]): Long =
+      wh.read(spark, "li").filter(b.map(_.rowPredicate).reduce(_ && _)).count()
+    // wide box: every file fully contained -> the count IS the manifest sum
+    val wide = Seq(Bound.between("l_partkey", 0L, 999999L))
+    assert(ZoneMap.countFast(spark, path, wide) == fullCnt(wide))
+    // narrow 2-D box: mixed contained/partial files
+    val narrow = Seq(Bound.between("l_partkey", 40L, 90L),
+      Bound.between("l_suppkey", 2L, 5L))
+    assert(ZoneMap.countFast(spark, path, narrow) == fullCnt(narrow))
+    // nulls in the bound column: containment may never credit null rows
+    val dir = tmpDir("zm-cf-null") + "/t"
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, if (i % 4 == 0) null
+      else java.lang.Long.valueOf(i.toLong))).toDF("id", "v")
+      .repartitionByRange(2, col("id")).write.parquet(dir)
+    ZoneMap.buildAndSave(spark, dir, Seq("v"))
+    val nb = Seq(Bound.between("v", 1L, 100L)) // contains every NON-null v
+    assert(ZoneMap.countFast(spark, dir, nb) == 75,
+      "null rows satisfy no interval and must not be credited from the manifest")
+    // a pre-null-census manifest (no nulls_ columns): loud-safe fallback
+    val stripped = ZoneMap.manifest(spark, dir).drop("nulls_v").cache()
+    stripped.count()
+    stripped.write.mode("overwrite").parquet(s"$dir/${ZoneMap.ManifestDir}")
+    assert(ZoneMap.countFast(spark, dir, nb) == 75)
+  }
+
   test("declared clustering: the maintenance role clusters when stale, skips when fresh") {
     val wh = Warehouse(tmpDir("zm-maint"))
     wh.overwrite(li, "li")
@@ -250,9 +282,11 @@ class ZoneMapSpec extends SparkTestBase {
         if (candidates.nonEmpty) {
           val bounds = rng.shuffle(candidates).take(1 + rng.nextInt(candidates.size))
           val pred = bounds.map(_.rowPredicate).reduce(_ && _)
-          assert(sortedRows(ZoneMap.read(spark, dir, bounds)) ==
-            sortedRows(spark.read.parquet(dir).filter(pred)),
+          val want = spark.read.parquet(dir).filter(pred)
+          assert(sortedRows(ZoneMap.read(spark, dir, bounds)) == sortedRows(want),
             s"trial $trial diverged on bounds $bounds")
+          assert(ZoneMap.countFast(spark, dir, bounds) == want.count(),
+            s"trial $trial countFast diverged on bounds $bounds")
         }
       }
     }
