@@ -113,9 +113,10 @@ object MaintenanceMain {
           if (projSource.isDefined) Maintenance.declaredClustering(wh, table)
           else None
         if (declaredProj.isDefined) {
-          val (dims, bloomKeys) = declaredProj.get
+          val (dims, bloomKeys, declaredFiles) = declaredProj.get
           val refreshed = Maintenance.materializeProjection(spark, wh,
-            projSource.get, table, dims, bloomKeys, targetFiles)
+            projSource.get, table, dims, bloomKeys,
+            declaredFiles.getOrElse(targetFiles))
           val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
           println(s"[maintenance] table=$table layout=projection " +
             s"source=${projSource.get} refreshed=$refreshed " +
@@ -141,9 +142,9 @@ object MaintenanceMain {
             Maintenance.dataFiles(spark, wh, table).size > targetFiles
         }
         if (needsCompact) declared match {
-          case Some((dims, bloomKeys)) =>
-            Maintenance.cluster(spark, wh, table, dims, targetFiles,
-              bloomKeys = bloomKeys)
+          case Some((dims, bloomKeys, declaredFiles)) =>
+            Maintenance.cluster(spark, wh, table, dims,
+              declaredFiles.getOrElse(targetFiles), bloomKeys = bloomKeys)
           case None => Maintenance.compact(spark, wh, table, targetFiles)
         }
         // tombstone expiry needs the table's CDC config: MOR self-

@@ -272,7 +272,7 @@ object Maintenance {
           bloomKeys, bloomBits)
       }
     }
-    declareClustering(wh, dest, dims, bloomKeys)
+    declareClustering(wh, dest, dims, bloomKeys, Some(targetFiles))
     TableProps.write(wh, dest, TableProps.read(wh, dest) +
       (ProjectionSourceProp -> source) ++
       stamp.map(ProjectionStampProp -> _))
@@ -287,24 +287,36 @@ object Maintenance {
     * cdc.* props, so maintenance needs no per-table config of its own.
     */
   def declareClustering(wh: Warehouse, table: String, dims: Seq[String],
-      bloomKeys: Seq[String] = Nil): Unit = {
+      bloomKeys: Seq[String] = Nil, targetFiles: Option[Int] = None): Unit = {
     require(dims.nonEmpty, "declareClustering needs at least one dimension")
     import graft.sources.Tables.TableProps
     val base = TableProps.read(wh, table) + (ClusterDimsProp -> dims.mkString(","))
-    TableProps.write(wh, table,
+    val withBloom =
       if (bloomKeys.isEmpty) base - ClusterBloomProp
-      else base + (ClusterBloomProp -> bloomKeys.mkString(",")))
+      else base + (ClusterBloomProp -> bloomKeys.mkString(","))
+    TableProps.write(wh, table, targetFiles match {
+      // the file budget is part of the declared layout: without it the
+      // maintenance tick would re-cluster a 64-file table to ITS default
+      // and silently change read granularity
+      case Some(n) => withBloom + (ClusterFilesProp -> n.toString)
+      case None => withBloom
+    })
   }
 
   val ClusterDimsProp = "cluster.dims"
   val ClusterBloomProp = "cluster.bloom-keys"
+  val ClusterFilesProp = "cluster.target-files"
 
-  /** The declared clustering of `table`, if any: (dims, bloomKeys). */
-  def declaredClustering(wh: Warehouse, table: String): Option[(Seq[String], Seq[String])] = {
+  /** The declared clustering of `table`, if any:
+    * (dims, bloomKeys, declared file budget).
+    */
+  def declaredClustering(wh: Warehouse, table: String)
+      : Option[(Seq[String], Seq[String], Option[Int])] = {
     val p = graft.sources.Tables.TableProps.read(wh, table)
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     p.get(ClusterDimsProp).map(split).filter(_.nonEmpty)
-      .map(dims => (dims, p.get(ClusterBloomProp).map(split).getOrElse(Nil)))
+      .map(dims => (dims, p.get(ClusterBloomProp).map(split).getOrElse(Nil),
+        p.get(ClusterFilesProp).flatMap(_.toIntOption)))
   }
 
   /** Copy root-level `_`-prefixed marker FILES (not dirs) from a snapshot

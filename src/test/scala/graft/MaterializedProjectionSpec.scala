@@ -53,11 +53,14 @@ class MaterializedProjectionSpec extends SparkTestBase {
       dims = Seq("grp", "score"), bloomKeys = Seq("id"), targetFiles = 6))
     assert(wh.currentVersion("mirror_ro") == v1, "idle source must not rewrite")
 
-    // the mirror advances -> the MAINTENANCE ROLE refreshes the projection
+    // the mirror advances -> the MAINTENANCE ROLE refreshes the projection;
+    // the tick's own default (3) must NOT override the declared budget (6)
     MorMirror.appendDelta(wh, "mirror", changes(390 to 420, 3), batchId = 2L)
-    assert(MaintenanceMain.run(spark, wh, Seq("mirror_ro"), targetFiles = 6,
+    assert(MaintenanceMain.run(spark, wh, Seq("mirror_ro"), targetFiles = 3,
       tombstoneHorizon = None, orphanAgeMs = Long.MaxValue).isEmpty)
     assert(wh.currentVersion("mirror_ro").get > v1.get)
+    assert(ZoneMap.manifest(spark, wh.snapshotPath("mirror_ro")).count() >= 5,
+      "the refresh must keep the DECLARED file budget, not the tick default")
     assert(sortedRows(wh.read(spark, "mirror_ro")) ==
       sortedRows(MorMirror.read(spark, wh, "mirror")),
       "the refreshed projection must follow the mirror")
