@@ -296,8 +296,12 @@ object ZoneMap {
     if (!m.columns.contains(s"bloom_$keyCol")) return full
     // the probe must use the hash count the BUILD used; it is stored in
     // the manifest (constant across rows) and must be a plan-time
-    // literal for the probe expression — one tiny fetch
-    val nh = m.select(s"bloomhashes_$keyCol").head.getInt(0)
+    // literal for the probe expression — one tiny fetch. A zero-row
+    // manifest (not producible via the API, but disk is disk) degrades
+    // to the full scan rather than crashing the fetch
+    val nhRow = m.select(s"bloomhashes_$keyCol").head(1)
+    if (nhRow.isEmpty) return full
+    val nh = nhRow(0).getInt(0)
     val probes = keys.map { v =>
       // a key that cannot cast to the column type hashes to null and the
       // probe returns null; such a key matches NO row (isin semantics),
