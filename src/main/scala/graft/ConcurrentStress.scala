@@ -90,13 +90,31 @@ object ConcurrentStress {
         val replica = scala.collection.mutable.HashMap[Long, (String, String, Long, String)]()
         var cursor = -1L
         var rebootstraps = 0
+        // the bootstrap read is itself exposed to the same snapshot race
+        // it recovers FROM (read() resolves base + delta list lazily; two
+        // compactions landing before the collect GC the pinned files) —
+        // and it runs OUTSIDE poll()'s recovery: at startup and inside
+        // the catch. Un-retried, a race there killed the consumer JVM
+        // with no recovery (observed twice under machine load before the
+        // checker kept consumer stderr). Bounded retry, loud past it.
         def bootstrap(): Unit = {
-          cursor = MorMirror.foldHorizon(w, table)
-          replica.clear()
-          MorMirror.read(spark, w, table)
-            .select("id", "name", "ts").collect().foreach { r =>
-              replica(r.getLong(0)) = (r.getString(1), r.getString(2), -1L, "U")
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try {
+              cursor = MorMirror.foldHorizon(w, table)
+              replica.clear()
+              MorMirror.read(spark, w, table)
+                .select("id", "name", "ts").collect().foreach { r =>
+                  replica(r.getLong(0)) = (r.getString(1), r.getString(2), -1L, "U")
+                }
+              done = true
+            } catch {
+              case scala.util.control.NonFatal(e)
+                  if graft.sources.Tables.isSnapshotRace(e) && attempts < 20 =>
+                attempts += 1; Thread.sleep(100)
             }
+          }
         }
         def applyRows(df: org.apache.spark.sql.DataFrame): Unit =
           df.select("id", "name", "ts", Cdc.SeqCol, graft.DmsEnvelope.OpCol)

@@ -83,10 +83,14 @@ def main():
     # a compaction land between polls, so the cursor falls behind the
     # fold horizon and the loud-failure + foldHorizon re-bootstrap path
     # actually runs (the printed rebootstraps count shows it)
+    # consumer stderr is KEPT (unlike the chatty writer/compactor): when
+    # the consumer dies the exception is the whole diagnosis, and a
+    # devnull'd one cost a debugging session
     consumer = subprocess.Popen(java_cmd("consumer", WH, TABLE, STOP,
                                          consumer_out, "600"),
                                 stdout=subprocess.PIPE,
-                                stderr=subprocess.DEVNULL, text=True)
+                                stderr=open(f"{BASE}/consumer.stderr", "w"),
+                                text=True)
     wout, _ = writer.communicate(timeout=600)
     if writer.returncode != 0:
         raise SystemExit(f"writer JVM exited {writer.returncode}")
@@ -96,6 +100,8 @@ def main():
         raise SystemExit(f"compactor JVM exited {compactor.returncode}")
     sout, _ = consumer.communicate(timeout=600)
     if consumer.returncode != 0:
+        err = open(f"{BASE}/consumer.stderr").read()
+        print(err[-3000:])
         raise SystemExit(f"consumer JVM exited {consumer.returncode}")
     print(wout.strip())
     print(cout.strip())
