@@ -600,6 +600,17 @@ object MorMirror {
     * bootstrap from the base — the same retention contract as version GC.
     * The valid starting cursor on a compacted table is [[foldHorizon]]:
     * bootstrap = `read()` + `changesSince(foldHorizon(wh, name))`.
+    *
+    * The returned frame is LAZY over the pinned delta list; compaction
+    * retains just-folded deltas one extra generation, so a consumer that
+    * materializes promptly is safe, but one that lets TWO compactions
+    * land before collecting can lose its pinned files mid-read. The
+    * contract for a consumer racing compactions: collect promptly, and
+    * treat [[graft.sources.Tables.isSnapshotRace]] failures — on this OR
+    * on the bootstrap read — as retry-then-re-bootstrap (the engine's
+    * own consumer role in `ConcurrentStress` is the reference
+    * implementation; its unretried bootstrap was a real crash under
+    * load).
     */
   def changesSince(spark: SparkSession, wh: Warehouse, name: String,
       sinceBatch: Long): (Option[DataFrame], Long) = {

@@ -506,8 +506,15 @@ object Tables {
     * loops). Pure readers keep the documented contract instead: snapshot
     * isolation holds for as long as the version is retained, then fails
     * loudly.
+    *
+    * PUBLIC because incremental consumers outside the engine need the
+    * same classification: a feed reader racing compactions must treat
+    * exactly these failures as "retry, then re-bootstrap from
+    * `MorMirror.read` + `foldHorizon`" (the recovery the engine's own
+    * consumer role implements) rather than dying or retrying every
+    * unrelated error.
     */
-  private[graft] def isSnapshotRace(t: Throwable): Boolean = {
+  def isSnapshotRace(t: Throwable): Boolean = {
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
     chain.exists { e =>
       val m = Option(e.getMessage).getOrElse("")
