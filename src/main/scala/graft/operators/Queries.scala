@@ -1302,7 +1302,10 @@ object Queries {
     val cuts = events(spark, dir).agg(
       expr("max(event_id) div 3").as("_c1"),
       expr("2 * (max(event_id) div 3)").as("_c2"))
-    val chC = ch.crossJoin(broadcast(cuts))
+    // checkpoint ONCE: three folds share this frame, and without the pin
+    // each one re-scans events + re-joins the cut row (3x source reads
+    // for a lifecycle whose point is the downstream feed, not the scan)
+    val chC = ch.crossJoin(broadcast(cuts)).localCheckpoint(true)
     def fold(pred: org.apache.spark.sql.Column): DataFrame =
       Cdc.fold(chC.filter(pred).drop("_c1", "_c2"), cfg)
         .drop(Cdc.SeqCol).localCheckpoint(true)
