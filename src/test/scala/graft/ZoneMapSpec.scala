@@ -292,6 +292,32 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("declaration parsing survives junk props (empty dims, bad ints, stray spaces)") {
+    import graft.sources.Tables.TableProps
+    val wh = Warehouse(tmpDir("zm-props"))
+    wh.overwrite(li.limit(5), "t")
+    // junk written by hand (disk is disk): empty dims -> no declaration
+    TableProps.write(wh, "t", Map(
+      Maintenance.ClusterDimsProp -> " , ,",
+      Maintenance.ClusterFilesProp -> "not-a-number"))
+    assert(Maintenance.declaredClustering(wh, "t").isEmpty)
+    // spaces trimmed, bad file budget dropped rather than crashing the tick
+    TableProps.write(wh, "t", Map(
+      Maintenance.ClusterDimsProp -> " a , b ",
+      Maintenance.ClusterBloomProp -> " k ",
+      Maintenance.ClusterFilesProp -> "12x"))
+    assert(Maintenance.declaredClustering(wh, "t")
+      .contains((Seq("a", "b"), Seq("k"), None)))
+    // the declare API round-trips, including the optional budget
+    Maintenance.declareClustering(wh, "t", Seq("x"), Seq("id"), Some(24))
+    assert(Maintenance.declaredClustering(wh, "t")
+      .contains((Seq("x"), Seq("id"), Some(24))))
+    // re-declaring WITHOUT blooms clears the stale bloom prop
+    Maintenance.declareClustering(wh, "t", Seq("x"))
+    assert(Maintenance.declaredClustering(wh, "t")
+      .contains((Seq("x"), Seq.empty[String], Some(24))))
+  }
+
   test("cluster carries root marker files through the rewrite (replay cursors survive)") {
     val wh = Warehouse(tmpDir("zm-markers"))
     wh.overwrite((1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "s"), "t")
