@@ -76,7 +76,9 @@ object MaintenanceMain {
       s.iterator().asScala.map(_.getFileName.toString)
         .filterNot(_.startsWith("_"))
         .filterNot(_.startsWith("."))
-        .filterNot(_.matches(".*\\.v\\d+$"))
+        // `.vN` version dirs plus their machinery siblings: `.vN.stage`
+        // allocation markers and transient `.vN.discardM` trash dirs
+        .filterNot(_.matches(".*\\.v\\d+(\\..*)?$"))
         .filterNot(_.matches(".*\\.(ptr\\d+|commitlock|morstage)(\\..*)?$"))
         .toSeq.sorted
     } finally s.close()
@@ -114,9 +116,14 @@ object MaintenanceMain {
           else None
         if (declaredProj.isDefined) {
           val (dims, bloomKeys, declaredFiles) = declaredProj.get
+          // honor the creator's declared column projection — refreshing
+          // with all source columns would silently widen the schema
+          val declaredCols = TableProps.read(wh, table)
+            .get(Maintenance.ProjectionColsProp)
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           val refreshed = Maintenance.materializeProjection(spark, wh,
             projSource.get, table, dims, bloomKeys,
-            declaredFiles.getOrElse(targetFiles))
+            declaredFiles.getOrElse(targetFiles), cols = declaredCols)
           val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
           println(s"[maintenance] table=$table layout=projection " +
             s"source=${projSource.get} refreshed=$refreshed " +

@@ -1355,7 +1355,7 @@ object Dedup {
         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.f AS fi, b.f AS fj
         |  FROM banded a JOIN banded b
         |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-        |SELECT i, j, fi, fj, bit_count(xor(fi, fj)) AS hamming
+        |SELECT i, j, fi, fj, CAST(bit_count(xor(fi, fj)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(fi, fj)) <= 2
         |ORDER BY i, j""".stripMargin,
   )

@@ -718,8 +718,8 @@ object Queries {
             ZoneMap.Bound.between("l_suppkey", 2L, 5L)))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy(col("l_suppkey"))
         .localCheckpoint(true) // pin rows before the scratch files vanish
     } finally deleteDir(tmp)
@@ -747,7 +747,7 @@ object Queries {
             Some(java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
         .localCheckpoint(true)
     } finally deleteDir(tmp)
@@ -2043,8 +2043,8 @@ object Queries {
     // results: the oracle is the plain filter+aggregate on the source
     "q185_cluster_zonemap" ->
       """SELECT l_suppkey, count(*) AS n_items,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_partkey BETWEEN 40 AND 90 AND l_suppkey BETWEEN 2 AND 5
         |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
@@ -2060,7 +2060,7 @@ object Queries {
     // date-range scan over the date-clustered table == plain year filter
     "q186_date_cluster_scan" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'

@@ -56,6 +56,9 @@ object Maintenance {
       // read through the old path would execute against moved files
       val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
         .localCheckpoint(true)
+      // capture markers NOW — the commit may migrate a legacy directory
+      // aside before the callback runs (see readRootMarkers)
+      val markers = readRootMarkers(path)
       // atomic publish: the rewrite fills a fresh version dir reading
       // from the still-live current version, then the pointer swaps (no
       // window where the table is absent or half-written)
@@ -77,7 +80,7 @@ object Maintenance {
         // silently reset replay idempotence and feed bootstrap state
         // (review finding). `_SUCCESS` and the publication stamp are the
         // commit machinery's own and are excluded.
-        copyRootMarkers(path, staged)
+        writeRootMarkers(markers, staged)
       }
     }
   }
@@ -121,6 +124,7 @@ object Maintenance {
         .localCheckpoint(true)
       val missing = dims.filterNot(df.columns.contains)
       require(missing.isEmpty, s"cluster dims not in '$table': $missing")
+      val markers = readRootMarkers(path)
       // an empty table has no layout to improve, and the manifest build
       // cannot infer a schema from a rewrite that emits no files.
       // (plain `if`, NOT a `return`: a non-local return from this
@@ -129,7 +133,7 @@ object Maintenance {
         wh.commit(table, expectCurrent = expect) { staged =>
           writeClusteredStaged(spark, df, staged, dims, targetFiles, bits,
             bloomKeys, bloomBits)
-          copyRootMarkers(path, staged)
+          writeRootMarkers(markers, staged)
         }
       }
     }
@@ -186,6 +190,13 @@ object Maintenance {
 
   val ProjectionSourceProp = "projection.source"
   val ProjectionStampProp = "projection.source-stamp"
+  /** Declared column projection (comma-joined; absent = all columns).
+    * Persisted so a SCHEDULED refresh rebuilds the schema its creator
+    * declared — without it the maintenance tick passed no `cols` and the
+    * projection silently widened back to every source column (advice
+    * finding).
+    */
+  val ProjectionColsProp = "projection.cols"
 
   /** Visible state of ANY table, layout-dispatched: merge-on-read fold,
     * key-bucketed COW read, or plain versioned/flat read.
@@ -275,6 +286,8 @@ object Maintenance {
     declareClustering(wh, dest, dims, bloomKeys, Some(targetFiles))
     TableProps.write(wh, dest, TableProps.read(wh, dest) +
       (ProjectionSourceProp -> source) ++
+      (if (cols.nonEmpty) Some(ProjectionColsProp -> cols.mkString(","))
+       else None) ++
       stamp.map(ProjectionStampProp -> _))
     true
   }
@@ -319,24 +332,35 @@ object Maintenance {
         p.get(ClusterFilesProp).flatMap(_.toIntOption)))
   }
 
-  /** Copy root-level `_`-prefixed marker FILES (not dirs) from a snapshot
-    * into a staged rewrite, excluding the write/commit machinery's own.
+  /** Root-level `_`-prefixed marker FILES (not dirs) of a snapshot,
+    * excluding the write/commit machinery's own, read INTO MEMORY (they
+    * are cursor-sized). Captured BEFORE `wh.commit` because for a legacy
+    * (real-directory) table the commit migrates the directory aside
+    * first — a copy-from-path inside the commit callback was a silent
+    * no-op for exactly that first-compaction case (advice finding).
     */
-  private def copyRootMarkers(from: String, to: String): Unit = {
+  private def readRootMarkers(from: String): Seq[(String, Array[Byte])] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val src = Paths.get(from)
-    if (!Files.isDirectory(src)) return
+    if (!Files.isDirectory(src)) return Seq.empty
     val s = Files.list(src)
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .filter(_.getFileName.toString.startsWith("_"))
       .filterNot(p => Set("_SUCCESS", graft.sources.Tables.PublishedMarker)
         .contains(p.getFileName.toString))
-      .foreach(p => Files.copy(p, Paths.get(to).resolve(p.getFileName.toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
+      .toSeq
     finally s.close()
   }
+
+  /** Carry captured markers into a staged rewrite (see [[readRootMarkers]]). */
+  private def writeRootMarkers(markers: Seq[(String, Array[Byte])],
+      to: String): Unit =
+    markers.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(to).resolve(name), bytes)
+    }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
     * (the maximum expected lateness). After the horizon no late change can
@@ -457,7 +481,13 @@ object Maintenance {
             // `.vN.discardM` is a stage discard whose delete was cut short
             n.startsWith(s"$name.ptr") || n.startsWith(s"$name.commitlock") ||
               n.matches(java.util.regex.Pattern.quote(name) +
-                "\\.v\\d+\\.discard\\d+")
+                "\\.v\\d+\\.discard\\d+") ||
+              // a `.vN.stage` sibling whose version dir is GONE is debris
+              // from a discard whose final marker delete was cut short; a
+              // live stage's sibling (dir still present) is never touched
+              (n.matches(java.util.regex.Pattern.quote(name) +
+                  "\\.v\\d+\\.stage") &&
+                !Files.exists(p.resolveSibling(n.stripSuffix(".stage"))))
           }.toSeq.foreach(sweep)
         finally s.close()
       }

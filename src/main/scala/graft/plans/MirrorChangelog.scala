@@ -115,8 +115,13 @@ object MirrorChangelog {
     * every downstream incremental state.
     *
     * Rows carry `_from_version`/`_to_version` so a consumer can order
-    * and resume mid-stream; the view table itself is append-only and
-    * compactable by [[Maintenance.compact]].
+    * and resume mid-stream. The view table's per-hop `batch_<v>` subdirs
+    * ARE the consumer contract — it must NOT be compacted (compaction
+    * flattens the subdirs and strands every consumer cursor behind the
+    * feed cursor; [[Maintenance.MaintenanceMain]] skips feed tables for
+    * exactly this reason, and [[maintainAggregate]] fails loudly if it
+    * happens anyway). Bound its growth with cursor-aware hop retention
+    * ([[expireConsumedHops]]), not compaction.
     */
   def emitPending(spark: SparkSession, wh: Warehouse, name: String,
       viewTable: String, keyCol: String): Seq[(Long, Long)] = {
@@ -223,7 +228,18 @@ object MirrorChangelog {
           .filter(v => java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(s"${wh.tablePath(viewTable)}/batch_$v")))
           .map(v => (v - 1, v))
-        if (hops.isEmpty) return Seq.empty
+        // cur < feedCursor but NO hop subdirs: the pending hops were
+        // materialized once and have since vanished — the feed table was
+        // compacted (its scaladoc forbids it) or hand-deleted. Silently
+        // returning here would leave the aggregate permanently stale
+        // while claiming success (advice finding); fail loudly with the
+        // operator remedy instead.
+        if (hops.isEmpty) throw new IllegalStateException(
+          s"feed '$viewTable' has no batch subdirs for pending hops " +
+            s"(${cur + 1}..$feedCursor) — the feed table was compacted or " +
+            "its hop subdirs deleted. The aggregate cannot advance " +
+            "incrementally; rebuild it (drop the agg table and " +
+            "re-bootstrap) and stop compacting the feed table")
         val rows = graft.sources.SchemaEvolution.readWidened(spark,
           hops.map { case (_, to) => s"${wh.tablePath(viewTable)}/batch_$to" })
         // the feed diffs STORED rows (tombstones included, T2 semantics);

@@ -246,7 +246,20 @@ object Tables {
       var versionDir: Path = null
       while (versionDir == null) {
         val cand = Paths.get(s"${tablePath(name)}.v$next")
-        try { Files.createDirectory(cand); versionDir = cand }
+        try {
+          Files.createDirectory(cand)
+          // SIBLING stage marker (not inside the dir — Spark's Overwrite
+          // write clobbers the dir contents): while it exists, this dir
+          // is an in-flight/crashed stage, never a snapshot. Its absence
+          // is what lets isPublishedDir grandfather PRE-MARKER version
+          // dirs (which have neither marker) as published history
+          // instead of classifying them as orphan stages and losing
+          // retained snapshots on upgrade (advice finding). Truncate-
+          // write, not createFile: a discarded stage at a reused number
+          // may have left a stale sibling behind.
+          Files.writeString(stageMarkerPath(cand), "")
+          versionDir = cand
+        }
         catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
       }
       try write(versionDir.toString)
@@ -300,9 +313,24 @@ object Tables {
         // live rival cleans its own stage on CAS failure, a crashed one
         // becomes age-guarded removeOrphans work.
         Files.writeString(versionDir.resolve(PublishedMarker), "")
+        Files.deleteIfExists(stageMarkerPath(versionDir))
         prevTarget.filter(p => Files.isDirectory(p) &&
             !Files.exists(p.resolve(PublishedMarker)))
-          .foreach(p => Files.writeString(p.resolve(PublishedMarker), ""))
+          .foreach { p =>
+            Files.writeString(p.resolve(PublishedMarker), "")
+            Files.deleteIfExists(stageMarkerPath(p))
+          }
+        // durable grandfather: stamp every PRE-MARKER dir (no published
+        // marker, no stage sibling) at-or-below the freshly published
+        // version — on the first post-upgrade commit this migrates the
+        // whole retained history in one pass, so time travel and the
+        // changelog feed keep seeing it and removeOrphans never will
+        versions(name).foreach { case (v, p) =>
+          if (v <= next && Files.isDirectory(p) &&
+              !Files.exists(p.resolve(PublishedMarker)) &&
+              !Files.exists(stageMarkerPath(p)))
+            Files.writeString(p.resolve(PublishedMarker), "")
+        }
         // the CURRENT pointer target is excluded unconditionally, not
         // assumed to be the numerically newest: racing no-CAS publishers
         // can publish out of numeric order, and "keep the newest N
@@ -338,7 +366,7 @@ object Tables {
         deleteRecursively(trash)
       } catch {
         case _: java.io.IOException => deleteRecursively(versionDir)
-      }
+      } finally Files.deleteIfExists(stageMarkerPath(versionDir))
     }
 
     /** Serialize the pointer swap across processes. The lock file is
@@ -422,7 +450,7 @@ object Tables {
           case e: java.util.ConcurrentModificationException =>
             attempt += 1
             if (attempt > maxAttempts) throw e
-          case scala.util.control.NonFatal(e) if isSnapshotRace(e) =>
+          case scala.util.control.NonFatal(e) if isSnapshotRace(e, Some(root)) =>
             attempt += 1
             if (attempt > maxAttempts) throw e
         }
@@ -431,23 +459,33 @@ object Tables {
     }
 
     /** True when a version dir is PUBLISHED: it carries the marker, or
-      * it is the current pointer target (the swap-to-stamp crash window,
-      * and warehouses written by pre-marker code). Everything that reads
-      * or retains snapshots consults this — an unpublished dir is a
-      * rival's half-written stage and must never be served as a
-      * committed snapshot (review finding: emitPending diffing a
-      * mid-write stage would feed garbage rows downstream).
+      * it is the current pointer target (the swap-to-stamp crash window),
+      * or it is a GRANDFATHERED pre-marker snapshot — neither marker nor
+      * stage sibling, numerically at-or-below the current pointer target.
+      * The last clause is what keeps retained history written by
+      * pre-marker code visible (and un-GC-able) after an upgrade: those
+      * dirs have no `_published`, but they also provably lack the
+      * `.stage` sibling every marker-aware stage carries from allocation
+      * to publication, while a live overtaken rival's stage below
+      * current still has its sibling and stays unpublished (advice
+      * finding). Everything that reads or retains snapshots consults
+      * this — an unpublished dir is a rival's half-written stage and
+      * must never be served as a committed snapshot (review finding:
+      * emitPending diffing a mid-write stage would feed garbage rows
+      * downstream).
       */
-    private def isPublishedDir(name: String, dir: Path): Boolean =
+    private def isPublishedDir(name: String, version: Long, dir: Path): Boolean =
       Files.exists(dir.resolve(PublishedMarker)) ||
         dir.toAbsolutePath.normalize.toString ==
-          Paths.get(snapshotPath(name)).toAbsolutePath.normalize.toString
+          Paths.get(snapshotPath(name)).toAbsolutePath.normalize.toString ||
+        (!Files.exists(stageMarkerPath(dir)) &&
+          currentVersion(name).exists(version <= _))
 
     /** PUBLISHED version numbers of `name` currently retained, ascending.
       * In-flight/crashed stages are excluded — they are not snapshots.
       */
     def listVersions(name: String): Seq[Long] =
-      versions(name).collect { case (v, p) if isPublishedDir(name, p) => v }
+      versions(name).collect { case (v, p) if isPublishedDir(name, v, p) => v }
 
     /** Version directories that were never PUBLISHED (no
       * [[Tables.PublishedMarker]]) — another writer's in-flight stage, or
@@ -459,7 +497,7 @@ object Tables {
       */
     private[graft] def unpublishedStages(name: String): Seq[Path] =
       versions(name).collect {
-        case (_, p) if !isPublishedDir(name, p) => p
+        case (v, p) if !isPublishedDir(name, v, p) => p
       }
 
     /** Time-travel read of a specific retained version. Fails loudly when
@@ -470,7 +508,7 @@ object Tables {
     def readVersion(spark: SparkSession, name: String, version: Long,
         mergeSchema: Boolean = false): DataFrame = {
       val p = versions(name).collectFirst {
-        case (`version`, dir) if isPublishedDir(name, dir) => dir
+        case (`version`, dir) if isPublishedDir(name, version, dir) => dir
       }
         .getOrElse(throw new NoSuchElementException(
           s"$name has no retained version $version (published only) " +
@@ -514,18 +552,39 @@ object Tables {
     * consumer role implements) rather than dying or retrying every
     * unrelated error.
     */
-  def isSnapshotRace(t: Throwable): Boolean = {
+  def isSnapshotRace(t: Throwable, underRoot: Option[String] = None): Boolean = {
+    // when the caller knows its warehouse root, the missing path must lie
+    // UNDER it — a FileNotFound on some unrelated path (missing table,
+    // typo'd input dir) is a genuine misconfiguration that must fail
+    // fast, not be retried/re-bootstrapped into masking the real error
+    // (advice finding). Messages carry the absolute resolved path
+    // (Spark resolves against the same cwd this normalizes against).
+    val rootAbs = underRoot.map(r =>
+      java.nio.file.Paths.get(r).toAbsolutePath.normalize.toString)
+    def scoped(m: String): Boolean = rootAbs.forall(m.contains)
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
     chain.exists { e =>
       val m = Option(e.getMessage).getOrElse("")
-      e.isInstanceOf[java.io.FileNotFoundException] ||
-        m.contains("PATH_NOT_FOUND") ||
-        m.contains("UNABLE_TO_INFER_SCHEMA") ||
-        m.contains("FileNotFoundException") ||
-        m.contains("does not exist") ||
-        m.contains("FAILED_READ_FILE") ||
+      val sparkRaceClass = e match {
+        // narrow to the exact Spark error classes a vanished snapshot
+        // raises, not free-text substrings of arbitrary errors
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("FAILED_READ_FILE") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA"))
+        case _ => false
+      }
+      // executor-side FileNotFounds arrive as a SparkException whose
+      // MESSAGE embeds the remote stack trace (no typed cause) — the
+      // substring stays, but path-scoped like everything else
+      val fileGone = e.isInstanceOf[java.io.FileNotFoundException] ||
+        e.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        m.contains("FileNotFoundException")
+      ((sparkRaceClass || fileGone) && scoped(m)) ||
         // a localCheckpoint whose source files were GC'd mid-materialize
         // fails block puts, then surfaces as a missing checkpoint block
+        // (no path in the message — kept unscoped)
         m.contains("Checkpoint block")
     }
   }
@@ -537,6 +596,16 @@ object Tables {
     * parquet scans.
     */
   private[graft] val PublishedMarker = "_published"
+
+  /** Sibling `.stage` marker of a version dir: exists from stage
+    * allocation until publication (or discard). Lives NEXT TO the dir,
+    * not inside it, because the data write itself is a Spark Overwrite
+    * that replaces the dir's contents. Its presence is the proof a
+    * marker-aware writer owns the dir; its absence on an unmarked dir
+    * at-or-below the current pointer proves pre-marker legacy history.
+    */
+  private[graft] def stageMarkerPath(versionDir: java.nio.file.Path): java.nio.file.Path =
+    versionDir.resolveSibling(versionDir.getFileName.toString + ".stage")
 
   /** Commit-lock tuning: the guarded region is a validate + one atomic
     * rename, so a healthy holder releases in single-digit milliseconds;

@@ -197,6 +197,9 @@ class ConcurrentCommitSpec extends SparkTestBase {
     // a slow rival allocated v3 and is STILL writing (no published marker)
     val stage = Paths.get(s"${wh.tablePath("t")}.v3")
     Files.createDirectories(stage)
+    // the real allocation writes a sibling `.stage` marker — it is what
+    // distinguishes this live stage from grandfathered pre-marker history
+    Files.writeString(graft.sources.Tables.stageMarkerPath(stage), "")
     Files.writeString(stage.resolve("part-inflight.parquet"), "mid-write")
     // the stream overtakes it twice: the old numeric GC rule deleted the
     // stage out from under the rival here (review finding)

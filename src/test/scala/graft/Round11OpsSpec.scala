@@ -108,6 +108,8 @@ class Round11OpsSpec extends SparkTestBase {
     // a rival's half-written stage occupies v3 — no publication stamp
     val stage = Paths.get(s"${wh.tablePath("m")}.v3")
     Files.createDirectories(stage)
+    // real allocations carry a sibling `.stage` marker (protocol contract)
+    Files.writeString(graft.sources.Tables.stageMarkerPath(stage), "")
     Files.writeString(stage.resolve("part-half.parquet"), "half")
     wh.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), "m") // v4
     assert(wh.listVersions("m") == Seq(1L, 2L, 4L),

@@ -6,8 +6,9 @@ engine library itself never depends on this.
 
 Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir>
 """
-import json, math, sys, glob, os
+import json, math, sys, glob, os, re
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,6 +30,29 @@ def canon(v):
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+
+def type_key(t):
+    """Canonical arrow-type string for cross-engine compare. The driver's
+    hash is sensitive to the physical type (round-11 lesson: Spark
+    decimal(28,2) vs DuckDB DECIMAL(38,2) hashed differently with equal
+    values), so decimal precision/scale, int width and timestamp unit must
+    match exactly. Cosmetic differences that the driver does NOT see are
+    normalized away: large_string vs string, timestamp tz annotation,
+    dictionary encoding."""
+    s = str(t)
+    s = s.replace("large_string", "string").replace("large_binary", "binary")
+    s = re.sub(r"^dictionary<values=([^,>]+).*$", r"\1", s)
+    s = re.sub(r"^timestamp\[(\w+)[^\]]*\]$", r"timestamp[\1]", s)
+    s = s.replace("large_list", "list")
+    # list item types recurse through the same cosmetic cleanup
+    s = re.sub(r"<item: ([^>]+)>", lambda m: "<item: " + type_key(m.group(1)) + ">", s)
+    return s
+
+
+def schema_types(schema, cols):
+    by_name = {f.name.lower(): type_key(f.type) for f in schema}
+    return {c: by_name[c] for c in cols}
 
 
 def frame_key(cols, rows):
@@ -68,6 +92,19 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
             n_fail += 1
             continue
+        # arrow-level type compare: the driver's hash is type-sensitive,
+        # so equal values with mismatched physical types are still a FAIL
+        o_types = schema_types(o.arrow().schema, o_cols)
+        s_files = sorted(glob.glob(res_glob))
+        s_types = schema_types(pq.read_schema(s_files[0]), s_cols)
+        type_diff = {c: (s_types[c], o_types[c]) for c in o_types
+                     if s_types.get(c) != o_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: arrow type mismatch (spark vs oracle):")
+            for c, (a, b) in sorted(type_diff.items()):
+                print(f"   {c}: spark={a} oracle={b}")
+            n_fail += 1
+            continue
         ok = frame_key(o_cols, o_rows)
         sk = frame_key(s_cols, s_rows)
         if ok != sk:
@@ -77,7 +114,8 @@ def main(out_dir, sf_dir):
                 print(f"   spark : {a[:200]}\n   oracle: {b[:200]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_rows)} rows; types equal: "
+                  + ",".join(f"{c}={s_types[c]}" for c in sorted(s_types)) + ")")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
