@@ -99,7 +99,13 @@ object MaintenanceMain {
         // directly) — compacting it would break every feed consumer, so
         // maintenance leaves it alone (its rows are delta-sized anyway)
         if (TableProps.read(wh, table).contains("changelog.last-version")) {
-          println(s"[maintenance] table=$table layout=feed skipped=true")
+          // never compacted — but consumed-and-aged hops are sweepable
+          // once every REGISTERED consumer is past them (cursor-aware
+          // retention; unconsumed hops always survive)
+          val expired = graft.plans.MirrorChangelog.expireConsumedHops(
+            wh, table, orphanAgeMs)
+          println(s"[maintenance] table=$table layout=feed compacted=false " +
+            s"hops_expired=${expired.size}")
         } else {
         val layout =
           if (MorMirror.storedConfig(wh, table).isDefined) "mor"

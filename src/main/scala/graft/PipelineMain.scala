@@ -27,7 +27,9 @@ object PipelineMain {
         PipelineConfig(args(0), CdcConfig(args(1), args(2)), args.drop(3).toSeq,
           mirrorBuckets = PipelineConfig.mirrorBucketsFromEnv(),
           catalog = PipelineConfig.catalogFromEnv(),
-          mirrorMor = PipelineConfig.mirrorMorFromEnv())
+          mirrorMor = PipelineConfig.mirrorMorFromEnv(),
+          changelogTimePartition =
+            PipelineConfig.changelogTimePartitionFromEnv())
       }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -69,7 +71,8 @@ object PipelineMain {
         val q = CdcStream.start(spark, wh, spec,
           s"$whDir/_checkpoints/${spec.mirrorTable}",
           mirrorBuckets = config.mirrorBuckets,
-          mirrorMor = config.mirrorMor)
+          mirrorMor = config.mirrorMor,
+          changelogTimePartition = config.changelogTimePartition)
         q.awaitTermination()
         // Catalog registration AFTER data exists: registering first would
         // let a crash-before-ingest leave catalog entries for empty tables,

@@ -109,7 +109,16 @@ final case class PipelineConfig(
       * `mirrorBuckets`; the stored layout wins over the flag (see
       * [[graft.streaming.CdcStream.start]]).
       */
-    mirrorMor: Boolean = false)
+    mirrorMor: Boolean = false,
+    /** Hidden time partitioning for the changelog
+      * (GRAFT_CHANGELOG_TIME_PARTITION=true): batches land as
+      * `p_day=<date>` day partitions derived from the CDC ts column — the
+      * Iceberg `days(ts)` transform, so time-bounded replays and
+      * tombstone expiry prune whole days. Only meaningful when the ts
+      * column is a timestamp/date/ISO-string (a numeric sequence column
+      * derives no date).
+      */
+    changelogTimePartition: Boolean = false)
 
 object PipelineConfig {
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
@@ -123,8 +132,16 @@ object PipelineConfig {
       sources = need("GRAFT_SOURCES").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
       mirrorBuckets = mirrorBucketsFromEnv(env),
       catalog = catalogFromEnv(env),
-      mirrorMor = mirrorMorFromEnv(env))
+      mirrorMor = mirrorMorFromEnv(env),
+      changelogTimePartition = changelogTimePartitionFromEnv(env))
   }
+
+  /** GRAFT_CHANGELOG_TIME_PARTITION — hidden day partitioning of the
+    * changelog on the CDC ts column.
+    */
+  def changelogTimePartitionFromEnv(
+      env: Map[String, String] = sys.env): Boolean =
+    env.get("GRAFT_CHANGELOG_TIME_PARTITION").exists(_.toBoolean)
 
   /** GRAFT_MIRROR_BUCKETS — shared by [[fromEnv]] and the CLI-args entry
     * path (layout config is environment-shaped like the catalog's).

@@ -821,6 +821,47 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Hidden-time-partitioned changelog lifecycle (q189): events land in a
+    * scratch warehouse as an append-batch table declared
+    * `partition.time-column = ts` — three micro-batches lay out as
+    * `p_day=<date>/p_batch=<id>` day partitions (the Iceberg `days(ts)`
+    * transform on plain parquet, [[graft.sources.Tables.Warehouse.appendBatch]]) —
+    * then a TIME-BOUNDED replay reads an 11-day window through
+    * [[graft.sources.Tables.Warehouse.readTimePruned]]: the day predicate
+    * prunes whole out-of-range day dirs as real PartitionFilters
+    * (plan-asserted in TimePartitionSpec) and the residual ts bounds stay
+    * exact. At 100 TB this is THE changelog access pattern the layout
+    * exists for — late-data audits and feed bootstraps read days, not the
+    * table. The oracle is the plain time-range aggregate on the source:
+    * layout, batch splits, and pruning must never change results.
+    */
+  def q189TimePartitionedReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tp_q189")
+    val wh = Warehouse(tmp.toString)
+    try {
+      // the events loader normalizes ts to epoch-micros (ts_us); the
+      // partition transform needs the real timestamp back
+      val ev = events(spark, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      wh.declareTimePartition("ev_log", "ts")
+      (0 to 2).foreach { b =>
+        wh.appendBatch(ev.filter(pmod(col("event_id"), lit(3)) === b),
+          "ev_log", batchId = b.toLong)
+      }
+      wh.readTimePruned(spark, "ev_log",
+          fromTs = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+          toTs = Some(java.sql.Timestamp.valueOf("2024-01-20 23:59:59")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -2066,6 +2107,16 @@ object Queries {
         |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    // the day-partitioned layout + time-bounded pruned replay must equal
+    // the plain time-range aggregate on the un-partitioned source
+    "q189_time_partitioned_replay" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2535,6 +2586,7 @@ object Queries {
     "q184_front_loaded_suppliers" -> (q184FrontLoadedSuppliers _),
     "q185_cluster_zonemap" -> (q185ClusterZonemap _),
     "q186_date_cluster_scan" -> (q186DateClusterScan _),
+    "q189_time_partitioned_replay" -> (q189TimePartitionedReplay _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

@@ -35,6 +35,14 @@ object Maintenance {
       MorMirror.compact(spark, wh, table)
       return
     }
+    // a hidden-time-partitioned append table compacts WITHIN its
+    // (day, batch) partitions — the flat recursive rewrite would destroy
+    // the day layout (and with it every time-pruned read) and flatten the
+    // batch subdirs the replay contract depends on
+    if (wh.timePartitionCol(table).isDefined && wh.currentVersion(table).isEmpty) {
+      compactTimePartitioned(spark, wh, table)
+      return
+    }
     // pin the current snapshot (resolved version dir): a stream commit
     // landing mid-rewrite must not swap files out from under the read;
     // the commit below is conditional on this version still being
@@ -362,11 +370,40 @@ object Maintenance {
       java.nio.file.Files.write(java.nio.file.Paths.get(to).resolve(name), bytes)
     }
 
+  /** In-place small-file merge of a hidden-time-partitioned append table:
+    * every (p_day, p_batch) partition coalesces to one file via a hash
+    * repartition on the partition keys + dynamic partition overwrite.
+    * Partition BOUNDARIES are preserved exactly — day pruning keeps
+    * working and a replayed micro-batch still overwrites precisely its
+    * own partitions — so compaction here merges the many shuffle-width
+    * part files WITHIN each batch (32 -> 1 per partition), never across
+    * batches. In-place and idempotent: a crashed overwrite leaves the
+    * original partition intact (the dynamic-overwrite staging commit is
+    * per-partition) and a re-run heals.
+    */
+  private def compactTimePartitioned(spark: SparkSession, wh: Warehouse,
+      table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables.{PartBatchCol, PartDayCol}
+    val path = wh.snapshotPath(table)
+    val df = spark.read.option("basePath", path).option("mergeSchema", "true")
+      .parquet(path)
+      .repartition(col(PartDayCol), col(PartBatchCol))
+      .localCheckpoint(true) // materialize BEFORE overwriting the same dirs
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartDayCol, PartBatchCol)
+      .parquet(path)
+  }
+
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
     * (the maximum expected lateness). After the horizon no late change can
     * legally lose to the tombstone anymore, so it carries no information.
     * Preserves the key-bucket partitioning when present; a full-table
-    * rewrite here, per-partition on a schedule at scale.
+    * rewrite here, per-partition on a schedule at scale. A hidden-time-
+    * partitioned append table takes the PARTITION-PRUNED path instead:
+    * only day partitions wholly before the horizon are read and
+    * rewritten, so expiry cost tracks the expired span, not table size.
     */
   def expireTombstones(
       spark: SparkSession, wh: Warehouse, table: String,
@@ -378,6 +415,11 @@ object Maintenance {
     // whole MOR tree into a version dir — same guard as compact
     if (MorMirror.storedConfig(wh, table).isDefined) {
       MorMirror.expireTombstones(spark, wh, table, horizon)
+      return
+    }
+    if (wh.timePartitionCol(table).isDefined &&
+        wh.currentVersion(table).isEmpty) {
+      expireTombstonesPartitioned(spark, wh, table, cfg, horizon)
       return
     }
     wh.retryingConflicts() {
@@ -400,6 +442,82 @@ object Maintenance {
           else writer.parquet(staged)
         }
       }
+    }
+  }
+
+  /** Partition-pruned tombstone expiry for the hidden-time-partitioned
+    * append layout (the 100 TB changelog shape): only day partitions
+    * WHOLLY before the horizon are read — every in-horizon day dir is
+    * pruned at the scan, so expiry cost tracks the expired span. Day
+    * granular by construction: tombstones on the horizon's own day wait
+    * for the horizon to pass midnight (conservative — an unexpired
+    * tombstone is dead weight, never wrong). Surviving rows rewrite
+    * their partitions via dynamic overwrite; partitions whose rows ALL
+    * expired are deleted explicitly (a dynamic overwrite never touches a
+    * partition absent from its output). In-place and idempotent — the
+    * expiry predicate is deterministic, so a crashed run re-heals.
+    * Null-day rows (Hive default partition) are never candidates.
+    */
+  private def expireTombstonesPartitioned(spark: SparkSession,
+      wh: Warehouse, table: String, cfg: graft.CdcConfig,
+      horizon: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, to_date}
+    import graft.sources.Tables.{PartBatchCol, PartDayCol}
+    val path = wh.snapshotPath(table)
+    if (!Files.isDirectory(Paths.get(path))) return
+    val horizonDay = java.sql.Date.valueOf(
+      java.time.LocalDate.parse(horizon.take(10)))
+    // existing expirable (day, batch) partition dirs, from the listing —
+    // the survivors diff below decides which of these vanish entirely
+    def dayOf(n: String): Option[String] =
+      if (n.startsWith(s"$PartDayCol=")) Some(n.drop(PartDayCol.length + 1))
+      else None
+    val oldDayDirs = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.filter(p => dayOf(p.getFileName.toString)
+          .exists(d => d != "__HIVE_DEFAULT_PARTITION__" &&
+            java.sql.Date.valueOf(d).before(horizonDay)))
+        .toSeq
+      finally s.close()
+    }
+    if (oldDayDirs.isEmpty) return
+    val df = spark.read.option("basePath", path)
+      .option("mergeSchema", "true").parquet(path)
+    if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return
+    // PARTITION-PRUNED scan: the day predicate prunes in-horizon days
+    val old = df.filter(col(PartDayCol) < lit(horizonDay))
+    val kept = old.filter(!coalesce(
+      col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
+        col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
+    kept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartDayCol, PartBatchCol)
+      .parquet(path)
+    // partitions that lost every row: metadata-sized collect (distinct
+    // (day, batch) pairs of the expired span), then explicit deletes
+    val survivors = kept.select(col(PartDayCol).cast("string"),
+        col(PartBatchCol).cast("string"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    oldDayDirs.foreach { dayDir =>
+      val day = dayOf(dayDir.getFileName.toString).get
+      val s = Files.list(dayDir)
+      val batches =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$PartBatchCol="))
+          .toSeq
+        finally s.close()
+      batches.foreach { b =>
+        val batch = b.getFileName.toString.drop(PartBatchCol.length + 1)
+        if (!survivors.contains((day, batch)))
+          graft.sources.Tables.deleteRecursively(b)
+      }
+      // a day dir whose batches all vanished is itself empty debris
+      val s2 = Files.list(dayDir)
+      val empty = try !s2.iterator().hasNext finally s2.close()
+      if (empty) graft.sources.Tables.deleteRecursively(dayDir)
     }
   }
 
@@ -514,11 +632,16 @@ object Maintenance {
       }
     }
     // Spark task-attempt debris inside batch subdirs (crashed appendBatch)
+    // — plus `.spark-staging-*` roots left by a crashed DYNAMIC partition
+    // overwrite (the time-partitioned appendBatch layout)
     val tableP = Paths.get(wh.tablePath(table))
     if (Files.isDirectory(tableP)) {
       val walk = Files.walk(tableP, 3)
       try walk.iterator().asScala
-        .filter(_.getFileName.toString == "_temporary").toSeq.foreach(sweep)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "_temporary" || n.startsWith(".spark-staging")
+        }.toSeq.foreach(sweep)
       finally walk.close()
     }
     deleted.toSeq

@@ -217,6 +217,7 @@ object MirrorChangelog {
             wh, name))
         commitAgg(IncrementalAgg.full(visible, spec).localCheckpoint(true),
           feedCursor)
+        registerConsumer(wh, viewTable, aggTable, feedCursor)
         Seq.empty
       case Some(cur) if cur >= feedCursor => Seq.empty
       case Some(cur) =>
@@ -254,7 +255,85 @@ object MirrorChangelog {
         val agg = wh.read(spark, aggTable)
         val updated = IncrementalAgg.applyChangelog(agg, visRows, spec)
         commitAgg(updated.localCheckpoint(true), feedCursor)
+        registerConsumer(wh, viewTable, aggTable, feedCursor)
         hops
+    }
+  }
+
+  /** Feed-table prop key registering consumer `id`'s absorbed-through
+    * cursor. Single-writer-per-key contract: each consumer id has exactly
+    * one maintainer role writing its cursor.
+    */
+  private def consumerProp(id: String) = s"consumer.$id.cursor"
+
+  /** Advisory registration: consumer `id` has durably absorbed hops up
+    * to destination version `cursor`. Written AFTER the consumer's own
+    * state commit, so a crash leaves the registration stale-LOW and hop
+    * retention conservative (never deletes an unabsorbed hop). This is
+    * what makes [[expireConsumedHops]] safe: only hops every registered
+    * consumer is provably past become sweepable.
+    */
+  def registerConsumer(wh: Warehouse, viewTable: String, id: String,
+      cursor: Long): Unit = {
+    import graft.sources.Tables.TableProps
+    TableProps.write(wh, viewTable,
+      TableProps.read(wh, viewTable) + (consumerProp(id) -> cursor.toString))
+  }
+
+  /** Time-bounded feed retention (round-11 verdict item 7): a feed view
+    * table must never be compacted (its `batch_<v>` subdirs are the
+    * consumer contract), so with a slow consumer it grows unboundedly.
+    * This sweeps hop subdirs that (a) EVERY registered consumer has
+    * absorbed (destination version at-or-below the minimum registered
+    * cursor) and (b) pass the same age guard as
+    * [[Maintenance.removeOrphans]] — an in-flight reader of a
+    * just-consumed hop has `olderThanMs` to finish. With NO registered
+    * consumers nothing is provably consumed and nothing is swept; a
+    * permanently dead consumer blocks retention until the operator
+    * removes its `consumer.<id>.cursor` prop (loud and intentional —
+    * silently dropping hops is how downstream state forks).
+    *
+    * @return the hop paths deleted (operator audit log)
+    */
+  def expireConsumedHops(wh: Warehouse, viewTable: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Tables.TableProps
+    val ConsumerPat = "consumer\\.(.+)\\.cursor".r
+    val cursors = TableProps.read(wh, viewTable).collect {
+      case (ConsumerPat(_), v) => v.toLong
+    }
+    if (cursors.isEmpty) return Seq.empty
+    val consumedThrough = cursors.min
+    val dir = Paths.get(wh.tablePath(viewTable))
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    def newestMtime(p: Path): Long = {
+      val self =
+        try Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (!Files.isDirectory(p)) self
+      else {
+        val s = Files.list(p)
+        try (Iterator(self) ++ s.iterator().asScala.map(newestMtime))
+          .foldLeft(Long.MinValue)(math.max)
+        finally s.close()
+      }
+    }
+    val BatchPat = "batch_(\\d+)".r
+    val s = Files.list(dir)
+    val candidates =
+      try s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case BatchPat(v) if v.toLong <= consumedThrough => Some(p)
+          case _ => None
+        }
+      }.toSeq
+      finally s.close()
+    candidates.filter(p => now - newestMtime(p) > olderThanMs).map { p =>
+      graft.sources.Tables.deleteRecursively(p)
+      p.toString
     }
   }
 

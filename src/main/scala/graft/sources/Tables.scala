@@ -530,9 +530,85 @@ object Tables {
       * the checkpoint commit). Deliberately not versioned: the subdir is
       * append-granular, and replay idempotency is the invariant that
       * matters here.
+      *
+      * HIDDEN TIME PARTITIONING (the Iceberg `days(ts)` transform on plain
+      * parquet): when the table declares [[Tables.TimePartitionProp]], the
+      * batch lands as Hive-style `p_day=<date>/p_batch=<id>` partitions
+      * via a DYNAMIC partition overwrite — replaying the same batch
+      * rewrites exactly its own (day, batch) partitions, so the replay
+      * contract is preserved while every time-bounded reader
+      * ([[readTimePruned]], partitioned tombstone expiry) prunes whole
+      * day directories instead of scanning every batch subdir. Hidden:
+      * the partition columns are DERIVED (p_day = to_date(timeCol)) and
+      * never surface in the reader-facing schema — plain recursive reads
+      * ([[read]]) see the exact same columns as the flat layout.
       */
     def appendBatch(df: DataFrame, name: String, batchId: Long): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(name)}/batch_$batchId")
+      timePartitionCol(name) match {
+        case Some(tc) if df.columns.contains(tc) =>
+          require(!df.columns.contains(PartDayCol) &&
+              !df.columns.contains(PartBatchCol),
+            s"columns $PartDayCol/$PartBatchCol are reserved for the " +
+              "hidden time-partition layout")
+          df.withColumn(PartDayCol,
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col(tc)))
+            .withColumn(PartBatchCol,
+              org.apache.spark.sql.functions.lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PartDayCol, PartBatchCol)
+            .parquet(tablePath(name))
+        case _ =>
+          df.write.mode(SaveMode.Overwrite)
+            .parquet(s"${tablePath(name)}/batch_$batchId")
+      }
+
+    /** Declare hidden time partitioning for an append-batch table: every
+      * subsequent [[appendBatch]] lays out `p_day=to_date(timeCol)` day
+      * partitions. Declare BEFORE the first append (the engine does not
+      * rewrite existing flat batches — migration is a [[graft.plans.Maintenance.compact]]
+      * concern). The self-describing-props pattern shared with cdc.* and
+      * cluster.*: layout is table metadata, not caller configuration.
+      */
+    def declareTimePartition(name: String, timeCol: String): Unit = {
+      require(timeCol.nonEmpty, "partition.time-column must be non-empty")
+      TableProps.write(this, name,
+        TableProps.read(this, name) + (TimePartitionProp -> timeCol))
+    }
+
+    /** The declared hidden-time-partition column, if any. */
+    def timePartitionCol(name: String): Option[String] =
+      TableProps.read(this, name).get(TimePartitionProp)
+
+    /** Time-bounded read of a time-partitioned append table: the time
+      * predicate is REWRITTEN into a day-partition predicate (pruned by
+      * Spark as real PartitionFilters — whole day dirs never open) plus
+      * the exact residual on the declared column, and the hidden
+      * partition columns are dropped so the result schema equals the flat
+      * layout's. This is THE changelog access path the layout exists for:
+      * at 100 TB a time-bounded replay (late-data audit, feed bootstrap,
+      * tombstone-horizon work) reads days, not the table. Bounds are
+      * inclusive. Rows with a NULL time column live in the Hive default
+      * partition and are excluded by any bound — a time-bounded read of
+      * un-timestamped rows is meaningless by construction.
+      */
+    def readTimePruned(spark: SparkSession, name: String,
+        fromTs: Option[java.sql.Timestamp] = None,
+        toTs: Option[java.sql.Timestamp] = None): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val tc = timePartitionCol(name).getOrElse(throw new IllegalStateException(
+        s"$name has no $TimePartitionProp declared — time-pruned reads " +
+          "need the hidden-partition layout (declareTimePartition)"))
+      val base = snapshotPath(name)
+      var df = spark.read.option("basePath", base)
+        .option("mergeSchema", "true").parquet(base)
+      fromTs.foreach(f => df = df
+        .filter(col(PartDayCol) >= to_date(lit(f)) && col(tc) >= lit(f)))
+      toTs.foreach(t => df = df
+        .filter(col(PartDayCol) <= to_date(lit(t)) && col(tc) <= lit(t)))
+      df.drop(PartDayCol, PartBatchCol)
+    }
   }
 
   /** True for failures caused by a pinned snapshot aging out mid-read
@@ -596,6 +672,20 @@ object Tables {
     * parquet scans.
     */
   private[graft] val PublishedMarker = "_published"
+
+  /** Hidden time partitioning (the Iceberg `days(ts)` partition transform
+    * expressed on plain parquet): the table prop naming the timestamp
+    * column whose DATE derives the day partition of every appended batch.
+    */
+  val TimePartitionProp = "partition.time-column"
+  /** Derived day-partition directory column (`p_day=<date>`); hidden from
+    * readers. NOT `_`-prefixed: Spark ignores underscore-prefixed paths.
+    */
+  val PartDayCol = "p_day"
+  /** Batch-id partition directory column (`p_batch=<id>`) — the replay
+    * idempotency unit of the partitioned layout; hidden from readers.
+    */
+  val PartBatchCol = "p_batch"
 
   /** Sibling `.stage` marker of a version dir: exists from stage
     * allocation until publication (or discard). Lives NEXT TO the dir,

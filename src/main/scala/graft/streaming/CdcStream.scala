@@ -92,9 +92,21 @@ object CdcStream {
       /** Compact the MOR mirror when this many delta batches accumulate —
         * bounds read-time merge debt; the fold is atomic and replay-safe.
         */
-      morCompactEvery: Int = 8): StreamingQuery = {
+      morCompactEvery: Int = 8,
+      /** Declare hidden day partitioning on the changelog (the Iceberg
+        * `days(ts)` transform): batches land as `p_day=<date>/p_batch=<id>`
+        * so time-bounded replays and tombstone expiry prune whole day
+        * dirs ([[graft.sources.Tables.Warehouse.readTimePruned]]). The
+        * STORED layout wins: once the changelog exists, the declared
+        * prop (or its absence) is authoritative and the flag is ignored —
+        * flipping it mid-history would mix layouts.
+        */
+      changelogTimePartition: Boolean = false): StreamingQuery = {
     require(!mirrorMor || mirrorBuckets.isDefined,
       "mirrorMor requires mirrorBuckets (the MOR layout is bucketed)")
+    if (changelogTimePartition && !wh.exists(spec.changelogTable) &&
+        wh.timePartitionCol(spec.changelogTable).isEmpty)
+      wh.declareTimePartition(spec.changelogTable, spec.cdc.tsCol)
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference

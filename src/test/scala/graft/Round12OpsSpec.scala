@@ -153,6 +153,60 @@ class Round12OpsSpec extends SparkTestBase {
       "java.io.FileNotFoundException: /data/elsewhere/x"), Some(root)))
   }
 
+  test("feed retention: consumed-and-aged hops swept, lagging consumer's unconsumed hops survive") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("feed-retention"), retain = 8)
+    val spec = IncrementalAgg.Spec(col("cat"), col("v"))
+    def commit(rows: (Long, String, Double)*): Unit =
+      wh.overwrite(rows.toDF("id", "cat", "v").localCheckpoint(true), "m")
+    commit((1L, "a", 1.0))
+    // two independent consumers bootstrap at v1
+    MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg1", "id", spec)
+    MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg2", "id", spec)
+    commit((1L, "a", 2.0), (2L, "b", 1.0)) // v2
+    commit((2L, "b", 3.0))                 // v3
+    // agg1 absorbs through v3; agg2 lags at v1
+    MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg1", "id", spec)
+    def hopDirs: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(wh.tablePath("feed")))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_")).toSet
+      finally s.close()
+    }
+    assert(hopDirs == Set("batch_2", "batch_3"))
+    // age everything; min registered cursor is agg2's v1 → nothing ≤1
+    // exists, so the aged sweep must still keep agg2's pending hops
+    def ageAll(): Unit = {
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000)
+      Files.walk(Paths.get(wh.tablePath("feed"))).forEach(p =>
+        Files.setLastModifiedTime(p, old))
+    }
+    ageAll()
+    assert(MirrorChangelog.expireConsumedHops(wh, "feed", 60000L).isEmpty,
+      "a lagging consumer's unconsumed hops must survive retention")
+    // agg2 catches up; a NEW hop lands, consumed by both but FRESH
+    MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg2", "id", spec)
+    commit((3L, "c", 5.0), (2L, "b", 3.0)) // v4
+    assert(MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg1",
+      "id", spec).nonEmpty)
+    assert(MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg2",
+      "id", spec).nonEmpty)
+    // old+consumed hops sweep; the fresh one is inside the age guard
+    val swept = MirrorChangelog.expireConsumedHops(wh, "feed", 60000L)
+    assert(swept.map(_.split("/").last).toSet == Set("batch_2", "batch_3"),
+      s"only consumed-AND-aged hops sweep: $swept")
+    assert(hopDirs == Set("batch_4"),
+      "a consumed-but-fresh hop stays inside the age guard")
+    ageAll()
+    assert(MirrorChangelog.expireConsumedHops(wh, "feed", 60000L)
+      .map(_.split("/").last) == Seq("batch_4") && hopDirs.isEmpty)
+    val a1 = wh.read(spark, "agg1").collect().map(_.toSeq).toSet
+    val a2 = wh.read(spark, "agg2").collect().map(_.toSeq).toSet
+    assert(a1 == a2, "both consumers converge to the same state")
+  }
+
   test("first compaction of a LEGACY directory table carries its marker files (capture-before-migrate)") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("legacy-markers"))

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Maintenance
+import graft.sources.Tables
+import graft.sources.Tables.Warehouse
+
+/** Hidden time partitioning of append-batch tables (the Iceberg `days(ts)`
+  * partition transform on plain parquet — round-11 verdict item 3): the
+  * declared layout is invisible to plain readers, replay stays idempotent,
+  * time-bounded reads prune whole day partitions (plan-asserted
+  * PartitionFilters), and tombstone expiry touches only expired days.
+  */
+class TimePartitionSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def rows(n: Int, day0: Int = 1): Seq[(Long, Timestamp, String)] =
+    (0 until n).map { i =>
+      (i.toLong, ts(f"2024-01-${day0 + i % 3}%02d 0${i % 9}:00:00"), s"e$i")
+    }
+
+  private def mkTable(wh: Warehouse): Unit = {
+    import spark.implicits._
+    wh.declareTimePartition("log", "ts")
+    // two batches, three days each
+    wh.appendBatch(rows(9).toDF("id", "ts", "etype"), "log", 0L)
+    wh.appendBatch(rows(9, day0 = 3).map { case (i, t, e) => (i + 100, t, e) }
+      .toDF("id", "ts", "etype"), "log", 1L)
+  }
+
+  private def dirNames(p: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(p))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSet
+    finally s.close()
+  }
+
+  test("declared layout: day/batch dirs on disk, hidden from plain reads, replay idempotent") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-layout"))
+    mkTable(wh)
+    val days = dirNames(wh.tablePath("log"))
+    assert(days == Set("p_day=2024-01-01", "p_day=2024-01-02",
+      "p_day=2024-01-03", "p_day=2024-01-04", "p_day=2024-01-05"), days)
+    assert(dirNames(s"${wh.tablePath("log")}/p_day=2024-01-03") ==
+      Set("p_batch=0", "p_batch=1"), "day 3 straddles both batches")
+    // HIDDEN: the plain recursive read sees the flat-layout schema
+    val plain = wh.read(spark, "log")
+    assert(plain.columns.toSeq == Seq("id", "ts", "etype"))
+    assert(plain.count() == 18)
+    // replaying batch 1 (same deterministic rows) rewrites its own
+    // partitions — no duplicates (the appendBatch contract)
+    wh.appendBatch(rows(9, day0 = 3).map { case (i, t, e) => (i + 100, t, e) }
+      .toDF("id", "ts", "etype"), "log", 1L)
+    assert(wh.read(spark, "log").count() == 18,
+      "an at-least-once replay must not duplicate rows")
+  }
+
+  test("readTimePruned: real PartitionFilters prune whole days; bounds exact on the residual") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-pruned"))
+    mkTable(wh)
+    val pruned = wh.readTimePruned(spark, "log",
+      fromTs = Some(ts("2024-01-02 00:00:00")),
+      toTs = Some(ts("2024-01-03 05:30:00")))
+    // schema identical to the flat layout (hidden partitioning)
+    assert(pruned.columns.toSeq == Seq("id", "ts", "etype"))
+    val expected = (rows(9) ++ rows(9, day0 = 3).map { case (i, t, e) =>
+      (i + 100, t, e) })
+      .filter { case (_, t, _) =>
+        !t.before(ts("2024-01-02 00:00:00")) &&
+          !t.after(ts("2024-01-03 05:30:00")) }
+      .map(_._1).toSet
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet == expected)
+    // the day predicate must reach the scan as a PARTITION filter —
+    // whole out-of-range day dirs never open
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_day"),
+      s"day bounds must prune partitions:\n$plan")
+    val filesRead = pruned
+      .withColumn("_f", org.apache.spark.sql.functions.input_file_name())
+      .select("_f").distinct().collect().map(_.getString(0))
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => f.contains("p_day=2024-01-02") ||
+        f.contains("p_day=2024-01-03")),
+      s"only in-range day partitions may be read: ${filesRead.toSeq}")
+  }
+
+  test("compact merges files WITHIN (day,batch) partitions; pruning and replay unit survive") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-compact"))
+    wh.declareTimePartition("log", "ts")
+    // a wide shuffle writes many part files per partition
+    wh.appendBatch(rows(9).toDF("id", "ts", "etype").repartition(8), "log", 0L)
+    def partFiles(rel: String): Int = {
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(wh.tablePath("log"), rel)
+      val s = Files.list(d)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(partFiles("p_day=2024-01-01/p_batch=0") > 1,
+      "precondition: the wide write left multiple files per partition")
+    val before = wh.read(spark, "log").collect().map(_.toSeq).toSet
+    Maintenance.compact(spark, wh, "log", targetFiles = 1)
+    assert(partFiles("p_day=2024-01-01/p_batch=0") == 1,
+      "compaction coalesces within the partition")
+    assert(dirNames(wh.tablePath("log")).forall(_.startsWith("p_day=")),
+      "the day layout must survive compaction")
+    assert(wh.read(spark, "log").collect().map(_.toSeq).toSet == before)
+    // time pruning still works post-compact
+    assert(wh.readTimePruned(spark, "log",
+      fromTs = Some(ts("2024-01-02 00:00:00"))).count() ==
+      before.size - 3)
+  }
+
+  test("partitioned tombstone expiry reads and rewrites ONLY expired days; in-horizon files untouched") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-expire"))
+    wh.declareTimePartition("log", "ts")
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "D"),
+      (2L, ts("2024-01-01 11:00:00"), "I"),
+      (3L, ts("2024-01-02 10:00:00"), "D"), // whole partition expires
+      (4L, ts("2024-01-05 10:00:00"), "D"), // in horizon: kept
+      (5L, ts("2024-01-05 11:00:00"), "U"))
+    wh.appendBatch(data.toDF("id", "ts", "op"), "log", 0L)
+    import scala.jdk.CollectionConverters._
+    def filesUnder(rel: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val d = Paths.get(wh.tablePath("log"), rel)
+      if (!Files.isDirectory(d)) return Map.empty
+      val w = Files.walk(d)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+      finally w.close()
+    }
+    val freshBefore = filesUnder("p_day=2024-01-05")
+    Maintenance.expireTombstones(spark, wh, "log",
+      graft.CdcConfig("id", "ts"), horizon = "2024-01-03 00:00:00")
+    // expired-day tombstones gone, same-day non-tombstones kept
+    val ids = wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 4L, 5L), s"got $ids")
+    // the fully-expired day partition is deleted outright
+    assert(!Files.isDirectory(
+      Paths.get(wh.tablePath("log"), "p_day=2024-01-02")))
+    // in-horizon day files are BYTE-UNTOUCHED (pruned from the rewrite)
+    assert(filesUnder("p_day=2024-01-05") == freshBefore,
+      "in-horizon partitions must not be read or rewritten")
+    // idempotent: a second run changes nothing
+    Maintenance.expireTombstones(spark, wh, "log",
+      graft.CdcConfig("id", "ts"), horizon = "2024-01-03 00:00:00")
+    assert(wh.read(spark, "log").count() == 3)
+  }
+
+  test("CdcStream with changelogTimePartition lands a day-partitioned changelog; mirror unchanged") {
+    import spark.implicits._
+    val src = tmpDir("tp-src")
+    val wh = Warehouse(tmpDir("tp-wh"))
+    Seq((1L, "2024-01-01 10:00:00", "I", "a"),
+      (2L, "2024-01-02 10:00:00", "I", "b"),
+      (1L, "2024-01-03 10:00:00", "U", "a2"))
+      .toDF("id", "ts", "op", "v")
+      .write.parquet(s"$src/dms_logs_1.parquet")
+    val spec = PipelineSpec.forPrefix(src, CdcConfig("id", "ts"))
+    val q = graft.streaming.CdcStream.start(spark, wh, spec,
+      tmpDir("tp-ckpt"), changelogTimePartition = true)
+    drain(q); q.stop()
+    assert(wh.timePartitionCol(spec.changelogTable).contains("ts"))
+    assert(dirNames(wh.tablePath(spec.changelogTable))
+      .forall(_.startsWith("p_day=")),
+      "the changelog must land day-partitioned")
+    assert(wh.read(spark, spec.changelogTable).count() == 3)
+    val mirror = graft.operators.Cdc.currentState(
+      wh.read(spark, spec.mirrorTable))
+    assert(mirror.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    // and the time-pruned replay reads one day
+    assert(wh.readTimePruned(spark, spec.changelogTable,
+      fromTs = Some(ts("2024-01-03 00:00:00"))).count() == 1)
+  }
+}
