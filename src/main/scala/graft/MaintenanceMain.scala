@@ -154,10 +154,20 @@ object MaintenanceMain {
           case None => layout == "mor" ||
             Maintenance.dataFiles(spark, wh, table).size > targetFiles
         }
+        var clusterMode = "none"
         if (needsCompact) declared match {
           case Some((dims, bloomKeys, declaredFiles)) =>
-            Maintenance.cluster(spark, wh, table, dims,
-              declaredFiles.getOrElse(targetFiles), bloomKeys = bloomKeys)
+            // churn-proportional first: a census stale only from APPENDED
+            // files rewrites just the disordered region; anything the
+            // incremental path declines falls through to the full rewrite
+            clusterMode =
+              if (Maintenance.clusterIncremental(spark, wh, table, dims,
+                  bloomKeys)) "incremental"
+              else {
+                Maintenance.cluster(spark, wh, table, dims,
+                  declaredFiles.getOrElse(targetFiles), bloomKeys = bloomKeys)
+                "full"
+              }
           case None => Maintenance.compact(spark, wh, table, targetFiles)
         }
         // tombstone expiry needs the table's CDC config: MOR self-
@@ -177,6 +187,7 @@ object MaintenanceMain {
         val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
         println(s"[maintenance] table=$table layout=$layout " +
           s"${if (declared.isDefined) "clustered" else "compacted"}=$needsCompact " +
+          (if (declared.isDefined && needsCompact) s"mode=$clusterMode " else "") +
           s"expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
           s"orphans_swept=${swept.size}")
         }

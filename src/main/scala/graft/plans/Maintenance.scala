@@ -114,7 +114,8 @@ object Maintenance {
     */
   def cluster(spark: SparkSession, wh: Warehouse, table: String,
       dims: Seq[String], targetFiles: Int, bits: Int = 12,
-      bloomKeys: Seq[String] = Nil, bloomBits: Int = 1 << 20): Unit = {
+      bloomKeys: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(dims.nonEmpty, "cluster needs at least one dimension")
     if (MorMirror.storedConfig(wh, table).isDefined)
@@ -140,7 +141,7 @@ object Maintenance {
       if (!df.isEmpty) {
         wh.commit(table, expectCurrent = expect) { staged =>
           writeClusteredStaged(spark, df, staged, dims, targetFiles, bits,
-            bloomKeys, bloomBits)
+            bloomKeys, bloomBits, manifestBloomMaxFiles)
           writeRootMarkers(markers, staged)
         }
       }
@@ -152,11 +153,27 @@ object Maintenance {
     * cluster key, write `targetFiles` range-owned files into `staged`,
     * and build the [[ZoneMap]] manifest there — all inside the caller's
     * staged commit, so layout + stats publish atomically.
+    *
+    * Bloom keys live at TWO levels with a crossover:
+    *  - every data file carries parquet NATIVE footer blooms on each key
+    *    column (`parquet.bloom.filter.enabled#k`), sized to the expected
+    *    keys per file — row-group membership bits evaluated by the parquet
+    *    reader itself whenever an equality/IN predicate is pushed down, at
+    *    a few KB per footer;
+    *  - at or below `manifestBloomMaxFiles` files the manifest ALSO gets
+    *    per-file bloom bitsets, which [[ZoneMap.lookupRead]] probes at
+    *    planning time to skip whole files before any footer opens.
+    * Past the crossover the manifest stays min/max-only (bits × files
+    * makes manifest blooms planning-heavy — the documented ~10k-file
+    * ceiling) and point lookups ride the footer blooms instead: every
+    * footer is opened but only matching row groups read data pages —
+    * measured in [[graft.FooterBloomStress]].
     */
   private def writeClusteredStaged(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, staged: String, dims: Seq[String],
       targetFiles: Int, bits: Int, bloomKeys: Seq[String],
-      bloomBits: Int): Unit = {
+      bloomBits: Int,
+      manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val ordering: org.apache.spark.sql.Column =
       if (dims.size == 1) col(dims.head)
@@ -188,13 +205,167 @@ object Maintenance {
         ZOrder.zValue(scaled, bits)
       }
     val zc = "_graft_cluster_key"
-    df.withColumn(zc, ordering)
+    val base = df.withColumn(zc, ordering)
       .repartitionByRange(targetFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    ZoneMap.buildAndSave(spark, staged, dims, bloomKeys, bloomBits)
+      .write.mode(SaveMode.Overwrite)
+    val writer =
+      if (bloomKeys.isEmpty) base
+      else {
+        // expected distinct keys per file: row count is an upper bound
+        // (over-sizing only wastes footer bytes, never correctness);
+        // floored so tiny rewrites still get a usable filter
+        val ndvPerFile = math.max(1024L, df.count() / math.max(1, targetFiles))
+        bloomKeys.foldLeft(base) { (w, k) =>
+          w.option(s"parquet.bloom.filter.enabled#$k", "true")
+            .option(s"parquet.bloom.filter.expected.ndv#$k", ndvPerFile.toString)
+        }
+      }
+    writer.parquet(staged)
+    ZoneMap.buildAndSave(spark, staged, dims,
+      if (targetFiles <= manifestBloomMaxFiles) bloomKeys else Nil, bloomBits)
   }
+
+  /** Incremental re-cluster — the Iceberg `rewrite_data_files` file-filter
+    * analog: when a clustered table's manifest census is stale only
+    * because FILES WERE ADDED (a writer appended without re-sorting),
+    * rewriting the whole table ([[cluster]]) pays O(table) for O(churn)
+    * disorder. This rewrites ONLY the added files plus the existing files
+    * whose declared-dim range they overlap; every other file is carried
+    * into the new version UNTOUCHED (hard-linked — zero data movement;
+    * an object-store deployment would carry them by manifest reference
+    * instead) and keeps its manifest row verbatim, so maintenance cost
+    * tracks churn, not table size.
+    *
+    * Scope guards — each `false` return means "take the full
+    * [[cluster]] path", never "skip maintenance":
+    *  - single-dim clustering only (a z-order rewrite re-derives its
+    *    min-max scaling from global stats; splicing files sorted under a
+    *    DIFFERENT scaling would silently degrade locality);
+    *  - versioned tables only (the legacy-directory migration belongs to
+    *    the full path);
+    *  - no files removed since the manifest (a deletion invalidates
+    *    carried stats wholesale);
+    *  - added files must match the table schema, and the manifest must
+    *    carry the exact stats/bloom columns this rewrite extends.
+    *
+    * The rewrite region's output may still overlap an untouched file
+    * when an overlapping file's own span was wide — stats stay exact and
+    * pruning correct, just one notch less tight than a full re-sort; the
+    * periodic full [[cluster]] remains the perfect-layout reset. Commit
+    * is the same optimistic-CAS stage-and-swap as [[cluster]], manifest
+    * merged (carried rows + freshly computed rows for the rewritten
+    * region) inside the same atomic publish, root markers carried.
+    *
+    * @return true when the table is freshly clustered via the cheap path
+    *         (including "census already matches — nothing to do");
+    *         false when the caller must run the full rewrite
+    */
+  def clusterIncremental(spark: SparkSession, wh: Warehouse, table: String,
+      dims: Seq[String], bloomKeys: Seq[String] = Nil): Boolean = {
+    if (dims.size != 1 || MorMirror.storedConfig(wh, table).isDefined)
+      return false
+    var handled = false
+    wh.retryingConflicts() {
+      handled = attemptIncrementalCluster(spark, wh, table, dims.head, bloomKeys)
+    }
+    handled
+  }
+
+  private def attemptIncrementalCluster(spark: SparkSession, wh: Warehouse,
+      table: String, dim: String, bloomKeys: Seq[String]): Boolean = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
+    val expect = wh.currentVersion(table)
+    if (expect.isEmpty) return false
+    val path = wh.snapshotPath(table)
+    if (isBucketPartitioned(spark, path)) return false
+    if (!ZoneMap.hasManifest(spark, path)) return false
+    val m = ZoneMap.manifest(spark, path).localCheckpoint(true)
+    val mCols = m.columns.toSet
+    // the manifest must carry exactly the stats/bloom schema the merged
+    // manifest will extend — anything else (pre-bloom manifest, changed
+    // key declaration) re-derives cleanly via the full path
+    val manifestBlooms =
+      mCols.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+    val bloomMode = manifestBlooms.nonEmpty
+    if (bloomMode && manifestBlooms != bloomKeys.toSet) return false
+    if (!Set("file", "rows", s"min_$dim", s"max_$dim", s"nulls_$dim")
+        .subsetOf(mCols)) return false
+    val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
+    val disk = ZoneMap.listDataFiles(spark, path).toSet
+    if ((manifestFiles -- disk).nonEmpty) return false
+    val added = (disk -- manifestFiles).toSeq.sorted
+    if (added.isEmpty) return true // census matches: already fresh
+    val newData = spark.read.parquet(added.map(f => s"$path/$f"): _*)
+    if (!newData.columns.contains(dim)) return false
+    val untouchedSample = (disk -- added).headOption
+    if (untouchedSample.exists(f =>
+        spark.read.parquet(s"$path/$f").schema != newData.schema)) return false
+    // the disorder region: [min, max] of the added files on the cluster
+    // dim, plus every existing file whose range intersects it (all-null
+    // added files have no range and splice next to nothing)
+    val r = newData.agg(min(col(dim)), max(col(dim))).collect()(0)
+    val overlapFiles: Set[String] =
+      if (r.isNullAt(0)) Set.empty
+      else m.filter(coalesce(!(col(s"max_$dim") < lit(r.get(0)) ||
+          col(s"min_$dim") > lit(r.get(1))), lit(false)))
+        .select("file").collect().map(_.getString(0)).toSet
+    val rewriteRel = added.toSet ++ overlapFiles
+    val untouched = (disk -- rewriteRel).toSeq.sorted
+    // keep the table's established rows-per-file grain for the region
+    val g = m.agg(sum(col("rows")), count(lit(1))).collect()(0)
+    val grain = math.max(1L, g.getLong(0) / math.max(1L, g.getLong(1)))
+    val data = spark.read.parquet(rewriteRel.toSeq.sorted
+      .map(f => s"$path/$f"): _*).localCheckpoint(true)
+    val rewriteRows = data.count()
+    val outFiles = math.max(1L, (rewriteRows + grain - 1) / grain).toInt
+    val (bits, hashes) =
+      if (bloomMode)
+        ZoneMap.manifestBloomConfig(m, bloomKeys.head).getOrElse((1 << 20, 5))
+      else (1 << 20, 5)
+    val markers = readRootMarkers(path)
+    val carried = m.filter(col("file").isInCollection(untouched))
+    wh.commit(table, expectCurrent = expect) { staged =>
+      val base = data.repartitionByRange(outFiles, col(dim))
+        .sortWithinPartitions(col(dim))
+        .write.mode(SaveMode.Overwrite)
+      val writer =
+        if (bloomKeys.isEmpty) base
+        else {
+          val ndv = math.max(1024L, rewriteRows / outFiles)
+          bloomKeys.foldLeft(base) { (w, k) =>
+            w.option(s"parquet.bloom.filter.enabled#$k", "true")
+              .option(s"parquet.bloom.filter.expected.ndv#$k", ndv.toString)
+          }
+        }
+      writer.parquet(staged)
+      // census the rewrite outputs BEFORE the carried links land
+      val outAbs = ZoneMap.listDataFiles(spark, staged).map(f => s"$staged/$f")
+      val newRows = ZoneMap.statsRows(spark, staged,
+        spark.read.parquet(outAbs: _*), Seq(dim),
+        if (bloomMode) bloomKeys else Nil, bits, hashes)
+      untouched.foreach(rel =>
+        linkOrCopy(Paths.get(s"$path/$rel"), Paths.get(s"$staged/$rel")))
+      ZoneMap.writeManifest(carried.unionByName(newRows), staged,
+        spreadBlooms = bloomMode)
+      writeRootMarkers(markers, staged)
+    }
+    true
+  }
+
+  /** Zero-copy carry of an untouched data file into a staged version dir
+    * (same filesystem: a hard link; a filesystem that refuses gets a
+    * plain copy — correctness identical, cost O(bytes)).
+    */
+  private def linkOrCopy(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit =
+    try java.nio.file.Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(src, dst)
+    }
 
   val ProjectionSourceProp = "projection.source"
   val ProjectionStampProp = "projection.source-stamp"

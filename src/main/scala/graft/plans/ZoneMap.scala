@@ -37,6 +37,18 @@ object ZoneMap {
 
   val ManifestDir = "_zonemap"
 
+  /** Crossover between the two bloom tiers (see
+    * [[graft.plans.Maintenance]]'s clustered-write kernel): at or below
+    * this many files the manifest carries per-file bloom BITSETS probed
+    * at planning time ([[lookupRead]] opens only matching files); above
+    * it the manifest stays min/max-only and point lookups ride the
+    * parquet NATIVE footer blooms the cluster write always emits on the
+    * key columns — bits × files makes manifest blooms planning-heavy
+    * past ~10k files, while footer blooms stay a constant few KB per
+    * footer no matter the file count.
+    */
+  val ManifestBloomMaxFiles = 10000
+
   /** Inclusive interval predicate on one column; `None` = unbounded.
     * `lo`/`hi` must be literals of (or comparable to) the column type.
     */
@@ -86,8 +98,23 @@ object ZoneMap {
       bloomHashes: Int = 5): Unit = {
     require(cols.nonEmpty || bloomKeys.nonEmpty,
       "zone map needs at least one stats or bloom column")
+    writeManifest(
+      statsRows(spark, dataPath, spark.read.parquet(dataPath), cols,
+        bloomKeys, bloomBits, bloomHashes),
+      dataPath, spreadBlooms = bloomKeys.nonEmpty)
+  }
+
+  /** Manifest rows (one per data file, `file` relative to `rootPath`) for
+    * whatever files `data` scans — the whole directory for [[buildAndSave]],
+    * an explicit subset for [[graft.plans.Maintenance]]'s INCREMENTAL
+    * re-cluster (which merges these with the carried rows of untouched
+    * files instead of re-scanning the table).
+    */
+  private[plans] def statsRows(spark: SparkSession, rootPath: String,
+      data: DataFrame, cols: Seq[String], bloomKeys: Seq[String],
+      bloomBits: Int, bloomHashes: Int = 5): DataFrame = {
     if (bloomKeys.nonEmpty) graft.functions.GraftFunctions.register(spark)
-    val root = normalize(qualified(spark, dataPath))
+    val root = normalize(qualified(spark, rootPath))
     val aggs = count(lit(1)).as("rows") +:
       (cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         // null census per stats column: [[countFast]] may only credit a
@@ -106,25 +133,44 @@ object ZoneMap {
           expr(s"bloom_build(xxhash64(`$k`), $bloomBits, $bloomHashes)")
             .as(s"bloom_$k"),
           lit(bloomHashes).as(s"bloomhashes_$k"))))
-    spark.read.parquet(dataPath)
+    data
       .groupBy(regexp_replace(input_file_name(), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
         .as("_abs"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("file", expr(s"substring(_abs, ${root.length + 2})"))
       .drop("_abs")
+  }
+
+  /** Write `rows` as the manifest of `dataPath`. */
+  private[plans] def writeManifest(rows: DataFrame, dataPath: String,
+      spreadBlooms: Boolean): Unit =
+    rows
       // min/max-only manifests are tiny: one output file, one planning
       // footer. Bloom columns make rows heavy (bits/8 bytes each) — keep
       // them spread so the planning probe reads the manifest in
       // parallel instead of dragging one fat file through a single task
-      .coalesce(if (bloomKeys.isEmpty) 1 else 16)
+      .coalesce(if (spreadBlooms) 16 else 1)
       .write.mode("overwrite").parquet(s"$dataPath/$ManifestDir")
-  }
+
+  /** The (bits, hashes) sizing of the manifest's bloom bitsets for `key`,
+    * recovered from the stored rows themselves (bitset byte length and
+    * the recorded hash count) — what lets an incremental rewrite extend
+    * a manifest with EXACTLY the bloom geometry the original build used.
+    * None when the manifest carries no bloom for `key` (min/max-only
+    * layout) or is empty.
+    */
+  private[plans] def manifestBloomConfig(m: DataFrame,
+      key: String): Option[(Int, Int)] =
+    if (!m.columns.contains(s"bloom_$key")) None
+    else m.select(length(col(s"bloom_$key")) * lit(8),
+        col(s"bloomhashes_$key"))
+      .head(1).headOption.map(r => (r.getInt(0), r.getInt(1)))
 
   /** The manifest as a DataFrame (planning-time metadata, not row data). */
   def manifest(spark: SparkSession, dataPath: String): DataFrame =
     spark.read.parquet(s"$dataPath/$ManifestDir")
 
-  private def hasManifest(spark: SparkSession, dataPath: String): Boolean = {
+  private[plans] def hasManifest(spark: SparkSession, dataPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dataPath, ManifestDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -133,7 +179,7 @@ object ZoneMap {
     * target flat clustered layouts), normalized-relative, hidden files
     * excluded — the census the manifest must match to be trusted.
     */
-  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+  private[plans] def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootLen = normalize(qualified(spark, dataPath)).length
@@ -264,11 +310,15 @@ object ZoneMap {
     * file per key column, so size bits to ~10x the expected keys per
     * file (~1% FPP at 5 hashes) and keep the manifest spread across
     * files (buildAndSave does) so the planning probe parallelizes.
-    * Manifest-level blooms fit ≲10k files or high-value keys; at larger
-    * file counts push membership bits into the parquet footers
-    * (parquet's native column blooms) and keep the manifest to min/max —
-    * the planning-time read must stay small relative to the scan it
-    * saves.
+    * Manifest-level blooms fit ≲[[ManifestBloomMaxFiles]] files; past
+    * that crossover the cluster write keeps the manifest min/max-only
+    * and the membership bits live in the parquet footers instead
+    * (native column blooms, always written on the key columns) — this
+    * method's manifest-miss FALLBACK is then the fast path by
+    * construction: the full filtered scan pushes the IN predicate into
+    * the parquet reader, which opens every footer but bloom-skips every
+    * non-matching row group, so data pages are read from ~|keys| files
+    * only (measured in [[graft.FooterBloomStress]]).
     *
     * Scans only files whose bloom might contain SOME key. This is
     * the selective-fetch path at 100 TB — "get these 5 documents" opens

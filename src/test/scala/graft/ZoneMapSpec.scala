@@ -318,6 +318,58 @@ class ZoneMapSpec extends SparkTestBase {
       .contains((Seq("x"), Seq.empty[String], Some(24))))
   }
 
+  test("cluster writes parquet NATIVE footer blooms on the key columns; past the manifest ceiling lookups stay exact on them") {
+    import scala.jdk.CollectionConverters._
+    val wh = Warehouse(tmpDir("zm-footer-bloom"))
+    // high-cardinality keys (~200k distinct per output file): the parquet
+    // writer only MATERIALIZES a bloom once the column's dictionary page
+    // overflows (a fully-dict-encoded row group is exactly filterable from
+    // the dictionary itself, so a bloom would be redundant bytes) — this
+    // is the 100 TB file shape the footer-bloom tier exists for; tiny
+    // all-dict files are already covered by parquet dictionary filtering
+    val big = spark.range(400000).select(col("id"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("x"))
+    wh.overwrite(big.repartition(4), "t")
+    // targetFiles ABOVE the (test-sized) ceiling: manifest min/max-only
+    Maintenance.cluster(spark, wh, "t", Seq("x"), targetFiles = 2,
+      bloomKeys = Seq("id"), manifestBloomMaxFiles = 1)
+    val path = wh.snapshotPath("t")
+    val mCols = ZoneMap.manifest(spark, path).columns.toSeq
+    assert(!mCols.exists(_.startsWith("bloom_")),
+      s"above the ceiling the manifest must stay min/max-only: $mCols")
+    assert(mCols.contains("min_x"), "stats columns must remain")
+    // the membership bits moved into the parquet footers: assert with the
+    // parquet-mr reader that the key column has a bloom and others do not
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataFile = Files.list(Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile), conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val bfr = reader.getBloomFilterDataReader(block)
+      def bloomOf(c: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == c).map(bfr.readBloomFilter).orNull
+      assert(bloomOf("id") != null,
+        "the declared bloom key must carry a native footer bloom")
+      assert(bloomOf("x") == null,
+        "non-key columns must not pay footer-bloom bytes")
+    } finally reader.close()
+    // lookupRead above the ceiling: manifest-miss fallback, exact rows —
+    // the filtered scan the footer blooms row-group-prune
+    val keys: Seq[Any] = Seq(1L, 963L, 399999L, 999999999L)
+    val viaLookup = sortedRows(ZoneMap.lookupRead(spark, path, "id", keys))
+    val viaScan = sortedRows(
+      wh.read(spark, "t").filter(col("id").isin(keys: _*)))
+    assert(viaLookup == viaScan && viaLookup.size == 3)
+    // BELOW the ceiling the manifest keeps its planning-time bitsets
+    Maintenance.cluster(spark, wh, "t", Seq("x"), targetFiles = 2,
+      bloomKeys = Seq("id"), manifestBloomMaxFiles = 2)
+    assert(ZoneMap.manifest(spark, wh.snapshotPath("t")).columns
+      .contains("bloom_id"))
+  }
+
   test("cluster carries root marker files through the rewrite (replay cursors survive)") {
     val wh = Warehouse(tmpDir("zm-markers"))
     wh.overwrite((1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "s"), "t")
