@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-extck-wh").toString
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-extensions-check")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the catalog half of the spark-submit deployment path: registered
+      // STATICALLY like a user's conf file would, not via runtime conf
+      .config("spark.sql.catalog.graftck", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graftck.warehouse", whRoot)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -93,7 +98,24 @@ object ExtensionsCheck {
     require(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"),
       "AsOfJoinStrategy was not injected via spark.sql.extensions")
 
-    println("[extensions-check] OK: functions + optimizer rule + planner strategy injected via spark.sql.extensions")
+    // statically-configured catalog: SQL reads, time travel, and a CALL
+    // procedure against a warehouse this fresh JVM just wrote
+    val wh = graft.sources.Tables.Warehouse(whRoot, retain = 4)
+    wh.overwrite(Seq((1L, "v1")).toDF("id", "s").localCheckpoint(true), "t")
+    wh.overwrite(Seq((1L, "v2"), (2L, "w")).toDF("id", "s")
+      .localCheckpoint(true), "t")
+    val cur = spark.sql("SELECT s FROM graftck.t WHERE id = 1")
+      .collect()(0).getString(0)
+    require(cur == "v2", s"catalog current read: $cur")
+    val old = spark.sql("SELECT s FROM graftck.t VERSION AS OF 1")
+      .collect()(0).getString(0)
+    require(old == "v1", s"catalog VERSION AS OF: $old")
+    val snaps = spark.sql("CALL graftck.system.snapshots('t')").count()
+    require(snaps == 2L, s"snapshots(): $snaps")
+
+    println("[extensions-check] OK: functions + optimizer rule + planner " +
+      "strategy + SQL catalog (tables, time travel, CALL) injected via " +
+      "static session conf")
     spark.stop()
   }
 }

@@ -487,6 +487,27 @@ object Tables {
     def listVersions(name: String): Seq[Long] =
       versions(name).collect { case (v, p) if isPublishedDir(name, v, p) => v }
 
+    /** Retained PUBLISHED versions with their directories, ascending —
+      * the snapshot-log face consumed by the SQL catalog
+      * ([[GraftCatalog]]): `VERSION AS OF` resolves a number to its dir,
+      * `TIMESTAMP AS OF` scans the publish stamps.
+      */
+    def publishedVersions(name: String): Seq[(Long, Path)] =
+      versions(name).filter { case (v, p) => isPublishedDir(name, v, p) }
+
+    /** Publish stamp (epoch millis) of a published version dir: the
+      * `_published` marker's mtime (written at pointer-swap time). A
+      * GRANDFATHERED pre-marker dir has no marker yet — its own mtime
+      * stands in (the write-completion time, at or before publication,
+      * so `TIMESTAMP AS OF` stays conservative: it never serves a
+      * version as-of a time before that version existed).
+      */
+    def publishTimeMillis(dir: Path): Long = {
+      val marker = dir.resolve(PublishedMarker)
+      val p = if (Files.exists(marker)) marker else dir
+      Files.getLastModifiedTime(p).toMillis
+    }
+
     /** Version directories that were never PUBLISHED (no
       * [[Tables.PublishedMarker]]) — another writer's in-flight stage, or
       * a crashed commit's leftover at ANY version number (an overtaken

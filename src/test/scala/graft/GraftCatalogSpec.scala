@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Maintenance, ZoneMap}
+import graft.sources.{GraftCatalog, Tables}
+import graft.sources.Tables.Warehouse
+
+/** The SQL lifecycle surface (round-11 verdict item 5): a session-
+  * registered [[GraftCatalog]] serves warehouse tables to plain SQL,
+  * `VERSION AS OF`/`TIMESTAMP AS OF` time-travel through the stock
+  * analyzer, and `CALL graft.system.*` runs the storage lifecycle —
+  * including the MERGE INTO-shaped CDC fold with exactly the q18
+  * semantics the DataFrame API has.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Register a fresh catalog name over `root` (names are cached by the
+    * session's CatalogManager after first resolution, so each test gets
+    * its own).
+    */
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+  }
+
+  test("plain reads, VERSION AS OF, TIMESTAMP AS OF, and snapshots() agree with the warehouse API") {
+    val root = tmpDir("cat-tt")
+    val wh = Warehouse(root, retain = 8)
+    register("g1", root)
+    (1 to 3).foreach { v =>
+      wh.overwrite(Seq((v.toLong, s"state$v")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+      Thread.sleep(15) // distinct publish stamps for the as-of scan
+    }
+    // current read == warehouse read
+    assert(spark.sql("SELECT * FROM g1.t").collect().map(_.toString).toSeq ==
+      wh.read(spark, "t").collect().map(_.toString).toSeq)
+    // the default namespace spelling resolves too
+    assert(spark.sql("SELECT * FROM g1.default.t").count() == 1)
+    // snapshots() lists the retained published versions ascending
+    val snaps = spark.sql("CALL g1.system.snapshots('t')").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(snaps.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // VERSION AS OF == readVersion
+    (1 to 3).foreach { v =>
+      assert(spark.sql(s"SELECT s FROM g1.t VERSION AS OF $v").head.getString(0)
+        == s"state$v")
+    }
+    // TIMESTAMP AS OF the middle publish stamp serves the middle version
+    val asOf = snaps(1)._2.toString
+    assert(spark.sql(s"SELECT s FROM g1.t TIMESTAMP AS OF '$asOf'")
+      .head.getString(0) == "state2")
+    // a GC'd / never-published version fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g1.t VERSION AS OF 99").collect()
+    }
+  }
+
+  test("CALL merge_changes == the q18 fold; reruns are idempotent; MOR targets refused") {
+    val root = tmpDir("cat-merge")
+    val wh = Warehouse(root)
+    register("g2", root)
+    val changes = Seq(
+      (1L, "a1", "I", "2024-01-01T00:00:01"),
+      (2L, "b1", "I", "2024-01-01T00:00:02"),
+      (1L, "a2", "U", "2024-01-01T00:00:03"),
+      (3L, "c1", "I", "2024-01-01T00:00:04"),
+      (2L, "b1", "D", "2024-01-01T00:00:05"))
+      .toDF("id", "name", "op", "ts")
+    wh.overwrite(changes.localCheckpoint(true), "chg")
+    val res = spark.sql(
+      "CALL g2.system.merge_changes('chg', 'mirror', 'id', 'ts')").collect()
+    assert(res.head.getString(0) == "mirror")
+    // visible state == the DataFrame-API one-shot fold (q18 semantics)
+    val visible = spark.sql(
+      "SELECT id, name FROM g2.mirror WHERE op IS NULL OR op <> 'D' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oracle = graft.operators.Cdc
+      .applyAll(changes, CdcConfig("id", "ts"))
+      .select("id", "name").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(visible == oracle && visible == Seq((1L, "a2"), (3L, "c1")))
+    // re-applying the same batch is a no-op (latest-wins tie rules)
+    spark.sql("CALL g2.system.merge_changes('chg', 'mirror', 'id', 'ts')")
+    assert(spark.sql(
+      "SELECT id, name FROM g2.mirror WHERE op IS NULL OR op <> 'D' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == visible)
+    // late change folds incrementally
+    wh.overwrite(Seq((3L, "c2", "U", "2024-01-01T00:00:06"))
+      .toDF("id", "name", "op", "ts").localCheckpoint(true), "chg")
+    spark.sql("CALL g2.system.merge_changes('chg', 'mirror', 'id', 'ts')")
+    assert(spark.sql("SELECT name FROM g2.mirror WHERE id = 3").head.getString(0)
+      == "c2")
+    // MOR/bucketed layouts are refused as tables AND as merge targets
+    graft.plans.MorMirror.initialize(wh, "mor_m",
+      Seq((1L, "x", "U", "2024-01-01T00:00:00")).toDF("id", "s", "op", "ts")
+        .localCheckpoint(true),
+      CdcConfig("id", "ts"), 4)
+    intercept[Exception] { spark.sql("SELECT * FROM g2.mor_m").collect() }
+    intercept[Exception] {
+      spark.sql("CALL g2.system.merge_changes('chg', 'mor_m', 'id', 'ts')")
+    }
+  }
+
+  test("CALL compact/cluster/remove_orphans run the lifecycle; time-partitioned changelog serves day pruning in SQL") {
+    val root = tmpDir("cat-life")
+    val wh = Warehouse(root)
+    register("g3", root)
+    // many-file table -> compact
+    wh.overwrite(spark.range(1000).toDF("id").repartition(16)
+      .localCheckpoint(true), "t")
+    val c = spark.sql("CALL g3.system.compact('t', 2)").collect().head
+    assert(c.getLong(1) >= 16 && c.getLong(2) <= 2,
+      s"compact census: ${c.getLong(1)} -> ${c.getLong(2)}")
+    // declared clustering -> CALL cluster (full, then incremental no-op)
+    Maintenance.declareClustering(wh, "t", Seq("id"), targetFiles = Some(4))
+    assert(spark.sql("CALL g3.system.cluster('t')").head.getString(1) == "full")
+    assert(ZoneMap.isFresh(spark, wh.snapshotPath("t")))
+    assert(spark.sql("CALL g3.system.cluster('t')").head.getString(1)
+      == "incremental")
+    // orphan sweep on a clean table deletes nothing
+    assert(spark.sql("CALL g3.system.remove_orphans('t', 0)").count() == 0)
+    // time-partitioned changelog: day filters prune as PartitionFilters
+    wh.declareTimePartition("ev", "ts")
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 3.0))
+      .toDF("id", "ts", "v")
+    wh.appendBatch(ev, "ev", 0L)
+    val q = spark.sql(
+      "SELECT id FROM g3.ev WHERE p_day = DATE'2024-01-02'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_day"),
+      s"SQL day filter must prune as a partition filter:\n$plan")
+  }
+
+  test("CALL emit_changelog + the feed view table + expire_consumed_hops close the feed loop in SQL") {
+    val root = tmpDir("cat-feed")
+    val wh = Warehouse(root, retain = 8)
+    register("g4", root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "m")
+    // first call registers the cursor (no hops yet)
+    assert(spark.sql("CALL g4.system.emit_changelog('m', 'feed', 'id')")
+      .count() == 0)
+    wh.overwrite(Seq((1L, "a2"), (2L, "b")).toDF("id", "s")
+      .localCheckpoint(true), "m")
+    val hops = spark.sql("CALL g4.system.emit_changelog('m', 'feed', 'id')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hops.toSeq == Seq((1L, 2L)))
+    // the feed view table itself is queryable SQL
+    val ops = spark.sql(
+      "SELECT _change_type, id FROM g4.feed ORDER BY id, _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ops.contains(("insert", 2L)))
+    // nothing consumed -> nothing sweepable, even aged
+    assert(spark.sql("CALL g4.system.expire_consumed_hops('feed', 0)")
+      .count() == 0)
+  }
+}
