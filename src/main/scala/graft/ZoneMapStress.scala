@@ -103,6 +103,37 @@ object ZoneMapStress {
     assert(cFull == cBloom && cBloom == lookupKeys.size.toLong,
       s"bloom lookup changed results: $cFull vs $cBloom")
 
+    // --- incremental re-cluster: maintenance cost tracks churn, not size ---
+    // single-dim layout (the incremental path's scope), one planted
+    // out-of-order file of ~0.1% of the rows in a narrow x band — the
+    // "writer appended without sorting" shape
+    wh.overwrite(df.repartition(files), "fact1d")
+    val (_, tCluster1d) = timed {
+      Maintenance.cluster(spark, wh, "fact1d", Seq("x"), targetFiles = files)
+    }
+    val p1d = wh.snapshotPath("fact1d")
+    val nPlant = math.max(1000L, n / 1000)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val stagePlant = s"$base/plant"
+      spark.range(nPlant).select((col("id") + n).as("id"),
+          (lit(40000L) + pmod(col("id"), lit(500))).as("x"),
+          pmod(hash(col("id") + 7), lit(100000)).cast("long").as("y"),
+          (col("id") % 97).cast("double").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stagePlant)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stagePlant))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(p1d, "planted-0001.parquet"))
+    }
+    val (incOk, tIncremental) = timed {
+      Maintenance.clusterIncremental(spark, wh, "fact1d", Seq("x"))
+    }
+    assert(incOk, "append-only staleness must take the incremental path")
+    val n1d = spark.read.parquet(wh.snapshotPath("fact1d")).count()
+    assert(n1d == n + nPlant, s"incremental recluster lost rows: $n1d")
+
     println(s"""{"metric":"zonemap_stress","rows":$n,"files":$files,""" +
       s""""box_rows":${aPruned._1},""" +
       s""""write_s":${f"$tWrite%.2f"},"cluster_s":${f"$tCluster%.2f"},""" +
@@ -113,7 +144,9 @@ object ZoneMapStress {
       s""""lookup_full_s":${f"$tLookFull%.2f"},""" +
       s""""lookup_bloom_s":${f"$tLookBloom%.2f"},""" +
       s""""count_scan_s":${f"$tCntScan%.2f"},""" +
-      s""""count_fast_s":${f"$tCntFast%.2f"}}""")
+      s""""count_fast_s":${f"$tCntFast%.2f"},""" +
+      s""""cluster_1d_s":${f"$tCluster1d%.2f"},""" +
+      s""""incremental_recluster_s":${f"$tIncremental%.2f"}}""")
     graft.sources.Tables.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
   }

@@ -64,6 +64,51 @@ object MorMirror {
   private val KeyProp = "mor.key-column"
   private val TsProp = "mor.ts-column"
 
+  /** Marker file INSIDE a base version dir recording the bucket modulus
+    * its `_kb` values were computed with — the partition SPEC travels
+    * with the data it describes (the Iceberg spec-id-per-file idea), so
+    * it can never disagree with the rows the way a table-level prop
+    * could across a crash between commit and props write. Written by
+    * [[initialize]] and [[compact]]; absent on pre-resize tables, where
+    * the stored prop is by construction the only spec that ever existed.
+    */
+  private val BucketSpecMarker = "_bucket_spec"
+
+  /** Same idea per delta batch dir: the modulus its `_kb` was stamped
+    * with, written inside the staging dir BEFORE the atomic publish
+    * rename — a visible delta always carries its spec.
+    */
+  private val DeltaSpecMarker = "_spec"
+
+  /** The bucket spec of the CURRENT base version's data (falls back to
+    * the stored write spec for pre-marker tables, which never resized).
+    */
+  def baseBuckets(wh: Warehouse, name: String): Int = {
+    val p = Paths.get(nested(wh, name).snapshotPath(BaseTable), BucketSpecMarker)
+    if (Files.exists(p)) Files.readString(p).trim.toInt
+    else storedConfig(wh, name).map(_._2).getOrElse(
+      throw new IllegalStateException(s"MOR mirror '$name' not initialized"))
+  }
+
+  private def deltaSpec(wh: Warehouse, name: String, dir: Path): Int = {
+    val p = dir.resolve(DeltaSpecMarker)
+    if (Files.exists(p)) Files.readString(p).trim.toInt
+    else storedConfig(wh, name).map(_._2).getOrElse(
+      throw new IllegalStateException(s"MOR mirror '$name' not initialized"))
+  }
+
+  /** Map one touched bucket under `spec` to the base-spec bucket(s) its
+    * keys can live in. EXACT when one modulus divides the other
+    * (`hash % kN % N == hash % N`), None when the two moduli share no
+    * such relation — the caller then contests the whole base
+    * (correct, un-pruned; the next [[compact]] re-unifies the specs).
+    */
+  private def mapBucketToBase(j: Int, spec: Int, baseSpec: Int): Option[Seq[Int]] =
+    if (spec == baseSpec) Some(Seq(j))
+    else if (spec % baseSpec == 0) Some(Seq(j % baseSpec))
+    else if (baseSpec % spec == 0) Some((j until baseSpec by spec).toSeq)
+    else None
+
   private def nested(wh: Warehouse, name: String): Warehouse =
     Warehouse(wh.tablePath(name))
 
@@ -139,6 +184,7 @@ object MorMirror {
       sw.commit(BaseTable) { path =>
         staged.write.mode(SaveMode.Overwrite)
           .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+        Files.writeString(Paths.get(path, BucketSpecMarker), nBuckets.toString)
       }
       TableProps.write(sw, BaseTable, props)
       Files.writeString(stageP.resolve(StageCompleteMarker), "")
@@ -168,6 +214,7 @@ object MorMirror {
       nw.commit(BaseTable) { path =>
         staged.write.mode(SaveMode.Overwrite)
           .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+        Files.writeString(Paths.get(path, BucketSpecMarker), nBuckets.toString)
         if (staleHorizon >= 0L)
           Files.writeString(Paths.get(path, FoldedMarker), staleHorizon.toString)
       }
@@ -368,6 +415,11 @@ object MorMirror {
       withBucket(folded, cfg.keyCol, buckets)
         .repartition(col(PartitionedMirror.BucketCol))
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // the delta's bucket SPEC rides inside the dir it describes, so
+      // the atomic publish below makes data+spec visible together — what
+      // keeps a batch racing a concurrent resize readable (storedState
+      // maps each delta group's spec to the base's)
+      Files.writeString(tmp.resolve(DeltaSpecMarker), buckets.toString)
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
@@ -452,14 +504,32 @@ object MorMirror {
       graft.sources.SchemaEvolution.readWidened(
         spark, deltas.map(_.toString)), wh, name)
     // touched-bucket list: bounded by the bucket modulus (partition
-    // METADATA, not data), same driver-collect contract as the COW path
-    val touched = delta.select(kb).distinct().collect()
-      .map(_.getInt(0)).sorted
-    val untouchedBase =
-      base.filter(!col(kb).isin(touched.map(Integer.valueOf): _*))
-    val contested = base
-      .filter(col(kb).isin(touched.map(Integer.valueOf): _*))
-      .unionByName(delta, allowMissingColumns = true)
+    // METADATA, not data), same driver-collect contract as the COW path.
+    // SPEC-AWARE (bucket-layout evolution): each delta group's touched
+    // buckets — computed under the spec it was WRITTEN with — map to the
+    // base's spec before pruning. Exact when one modulus divides the
+    // other (the declared resize shape); any other pairing contests the
+    // whole base (un-pruned, still exact — the next compact re-unifies).
+    val baseSpec = baseBuckets(wh, name)
+    val groups = deltas.groupBy(deltaSpec(wh, name, _))
+    val baseTouched: Option[Seq[Int]] =
+      groups.foldLeft(Option(Seq.empty[Int])) { case (acc, (spec, dirs)) =>
+        acc.flatMap { seen =>
+          val touchedG = graft.sources.SchemaEvolution.readWidened(
+              spark, dirs.map(_.toString))
+            .select(kb).distinct().collect().map(_.getInt(0)).toSeq
+          val mapped = touchedG.map(mapBucketToBase(_, spec, baseSpec))
+          if (mapped.contains(None)) None
+          else Some(seen ++ mapped.flatten.flatten)
+        }
+      }.map(_.distinct.sorted)
+    val (untouchedBase, contestedBase) = baseTouched match {
+      case Some(t) =>
+        (base.filter(!col(kb).isin(t.map(Integer.valueOf): _*)),
+          base.filter(col(kb).isin(t.map(Integer.valueOf): _*)))
+      case None => (base.filter(lit(false)), base)
+    }
+    val contested = contestedBase.unionByName(delta, allowMissingColumns = true)
     // one argmax by (ts, seq): stampBatchSeq's global seq ordering makes
     // this fold reproduce the sequential COW merge exactly (later batches
     // carry strictly larger seq, so equal-ts ties resolve to the newest
@@ -492,19 +562,39 @@ object MorMirror {
     val kb = PartitionedMirror.BucketCol
     val touched = withBucket(changes, cfg.keyCol, buckets)
       .select(kb).distinct().collect().map(_.getInt(0)).sorted
-    val base = graft.sources.SchemaEvolution.normalize(
+    // spec-aware pruning (bucket-layout evolution): the incoming batch's
+    // touched set is under the WRITE spec; the base filter maps it to the
+    // base's own spec (exact for divides-pairs, whole base otherwise),
+    // and delta rows are only bucket-filtered while every live delta
+    // shares the write spec — a mid-resize transition reads un-pruned
+    // deltas rather than missing rows (the next compact re-unifies)
+    val baseSpec = baseBuckets(wh, name)
+    val dd = deltaDirs(wh, name)
+    val baseMapped: Option[Seq[Int]] = touched
+      .map(mapBucketToBase(_, buckets, baseSpec))
+      .foldLeft(Option(Seq.empty[Int])) { (acc, m) =>
+        acc.flatMap(seen => m.map(seen ++ _))
+      }.map(_.distinct.sorted)
+    val base0 = graft.sources.SchemaEvolution.normalize(
       graft.sources.SchemaEvolution.readTableWidened(
         spark, nested(wh, name).snapshotPath(BaseTable)), wh, name)
-      .filter(col(kb).isin(touched.map(Integer.valueOf): _*))
-    val dd = deltaDirs(wh, name)
+    val base = baseMapped match {
+      case Some(t) => base0.filter(col(kb).isin(t.map(Integer.valueOf): _*))
+      case None => base0
+    }
+    val deltasUniform = dd.forall(deltaSpec(wh, name, _) == buckets)
     val all0 =
       if (dd.isEmpty) base
-      else base.unionByName(
-        graft.sources.SchemaEvolution.normalize(
+      else {
+        val deltaAll = graft.sources.SchemaEvolution.normalize(
           graft.sources.SchemaEvolution.readWidened(
             spark, dd.map(_.toString)), wh, name)
-          .filter(col(kb).isin(touched.map(Integer.valueOf): _*)),
-        allowMissingColumns = true)
+        base.unionByName(
+          if (deltasUniform)
+            deltaAll.filter(col(kb).isin(touched.map(Integer.valueOf): _*))
+          else deltaAll,
+          allowMissingColumns = true)
+      }
     // a LOAD-seed base with no deltas yet has no ts/seq — align from the
     // incoming batch's types so the fold analyzes (null ts loses to all)
     val all = Seq(cfg.tsCol, Cdc.SeqCol).foldLeft(all0) { (df, c) =>
@@ -533,6 +623,47 @@ object MorMirror {
     * table); raise it only when write latency matters more than read
     * latency.
     */
+  /** Bucket-spec evolution — the Iceberg partition-spec-evolution shape
+    * for the mirror's key-bucket layout (round-11 verdict stretch item):
+    * change the bucket modulus WITHOUT a stop-the-world migration.
+    *
+    *  1. live deltas fold into the base under the old spec (one
+    *     [[compact]] — O(delta), not O(table));
+    *  2. the write spec flips: every subsequent delta buckets by the new
+    *     modulus and records it in its own dir ([[DeltaSpecMarker]]);
+    *  3. the base keeps its old layout and its own spec marker — reads
+    *     stay exact through the spec-aware bucket mapping in the fold
+    *     (a pre-marker base is stamped with its spec before the flip);
+    *  4. the NEXT compaction rebuilds the base under the new spec as a
+    *     side effect of its normal rewrite — the "background rewrite"
+    *     costs nothing extra.
+    *
+    * Pruning stays tight when one modulus divides the other (double/halve
+    * — `hash % kN % N == hash % N` makes the mapping exact); any other
+    * pairing is still correct but reads contest the whole base until
+    * that next compaction. Appends may continue throughout: a batch
+    * racing the flip carries whichever spec it read, declared in its own
+    * dir, and folds correctly either way.
+    */
+  def resize(spark: SparkSession, wh: Warehouse, name: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val (_, old) = storedConfig(wh, name).getOrElse(
+      throw new IllegalStateException(
+        s"MOR mirror '$name' not initialized — no stored layout props"))
+    if (old == newBuckets) return
+    compact(spark, wh, name) // fold the live tail under the old spec
+    // a pre-marker base never resized: its data is under `old` — stamp
+    // it so the flip below cannot orphan that knowledge (idempotent
+    // marker add, the same lazy-stamp pattern as _published)
+    val specP = Paths.get(
+      nested(wh, name).snapshotPath(BaseTable), BucketSpecMarker)
+    if (!Files.exists(specP)) Files.writeString(specP, old.toString)
+    val nw = nested(wh, name)
+    TableProps.write(nw, BaseTable,
+      TableProps.read(nw, BaseTable) + (BucketsProp -> newBuckets.toString))
+  }
+
   def maybeCompact(spark: SparkSession, wh: Warehouse, name: String,
       maxPending: Int): Boolean = {
     if (pendingDeltas(wh, name) < maxPending) return false
@@ -675,6 +806,10 @@ object MorMirror {
         beforeBaseCommit()
         nw.commit(BaseTable, expectCurrent = expect) { path =>
           staged.write.mode(SaveMode.Overwrite).partitionBy(kb).parquet(path)
+          // the rebuilt base re-buckets under the CURRENT write spec, so
+          // every compact after a resize IS the background spec rewrite;
+          // its marker swaps atomically with the data it describes
+          Files.writeString(Paths.get(path, BucketSpecMarker), buckets.toString)
           Files.writeString(Paths.get(path, FoldedMarker), horizon.toString)
         }
         deltaDirsAll(wh, name).filter(deltaId(_) <= prevHorizon)
