@@ -862,6 +862,45 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** The SQL catalog face under the driver's oracle gate (q190): events
+    * load into a scratch warehouse as TWO committed snapshots (v1 = the
+    * even-keyed half, v2 = everything), a [[graft.sources.GraftCatalog]]
+    * registers over it at runtime, and the WHOLE query — both snapshot
+    * reads via `VERSION AS OF`, the aggregation, the union — runs as one
+    * plain `spark.sql` statement. The oracle sees the same two states as
+    * deterministic predicates over the raw events table, so catalog
+    * resolution, version-dir routing, and the stock analyzer's time-travel
+    * hook must all agree with DuckDB to the hash.
+    */
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  def q190CatalogTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_q190")
+    // a session's CatalogManager caches instances by name, so each
+    // invocation registers a fresh name over its own scratch warehouse
+    val cat = s"gq190_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 4)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(
+        s"""SELECT 'v1' AS snap, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev VERSION AS OF 1 GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v2' AS snap, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev VERSION AS OF 2 GROUP BY event_type
+           |ORDER BY snap, event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -2107,6 +2146,18 @@ object Queries {
         |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    // the catalog's two VERSION AS OF snapshot reads must equal the
+    // deterministic predicates that defined those snapshots
+    "q190_catalog_time_travel" ->
+      """SELECT 'v1' AS snap, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v2' AS snap, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
+
     // the day-partitioned layout + time-bounded pruned replay must equal
     // the plain time-range aggregate on the un-partitioned source
     "q189_time_partitioned_replay" ->
@@ -2587,6 +2638,7 @@ object Queries {
     "q185_cluster_zonemap" -> (q185ClusterZonemap _),
     "q186_date_cluster_scan" -> (q186DateClusterScan _),
     "q189_time_partitioned_replay" -> (q189TimePartitionedReplay _),
+    "q190_catalog_time_travel" -> (q190CatalogTimeTravel _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
