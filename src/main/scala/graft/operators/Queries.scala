@@ -901,6 +901,48 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** The SQL WRITE lifecycle under the driver's oracle gate (q191): a
+    * fresh catalog over a scratch warehouse, then the whole mutation
+    * chain in plain SQL — `CREATE TABLE AS SELECT` (atomic versioned
+    * create), `INSERT INTO` ([[graft.sources.Tables.Warehouse.appendVersioned]]'s
+    * hard-link fast append), `DELETE FROM ... WHERE` (the copy-on-write
+    * row-level delete behind the commit CAS) — and the final aggregate
+    * read back through the catalog. The oracle replays the same three
+    * mutations as pure predicates over the raw events table, so the
+    * create/append/delete snapshots must compose to exactly the
+    * predicate algebra DuckDB computes, to the hash.
+    */
+  def q191SqlWriteLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_q191")
+    val n = catalogSeq.incrementAndGet()
+    val cat = s"gq191_$n"
+    val src = s"gq191_src_$n"
+    try {
+      events(spark, dir).select("event_id", "event_type", "value")
+        .createOrReplaceTempView(src)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(s"CREATE TABLE $cat.ev AS SELECT * FROM $src " +
+        "WHERE event_id % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.ev SELECT * FROM $src " +
+        "WHERE event_id % 2 = 1 AND event_id % 3 = 0")
+      // BETWEEN, not modulo: row-level deletes push as source filters by
+      // contract (canDeleteWhere), and range predicates are the shape
+      // that stays pushable at any scale
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_id BETWEEN 1000 AND 2999")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally {
+      spark.catalog.dropTempView(src)
+      deleteDir(tmp)
+    }
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -2158,6 +2200,16 @@ object Queries {
         |FROM events GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
 
+    // the CTAS+INSERT+DELETE snapshot chain must compose to the same
+    // predicate algebra the oracle evaluates directly
+    "q191_sql_write_lifecycle" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE (event_id % 2 = 0 OR (event_id % 2 = 1 AND event_id % 3 = 0))
+        |  AND event_id NOT BETWEEN 1000 AND 2999
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the day-partitioned layout + time-bounded pruned replay must equal
     // the plain time-range aggregate on the un-partitioned source
     "q189_time_partitioned_replay" ->
@@ -2639,6 +2691,7 @@ object Queries {
     "q186_date_cluster_scan" -> (q186DateClusterScan _),
     "q189_time_partitioned_replay" -> (q189TimePartitionedReplay _),
     "q190_catalog_time_travel" -> (q190CatalogTimeTravel _),
+    "q191_sql_write_lifecycle" -> (q191SqlWriteLifecycle _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

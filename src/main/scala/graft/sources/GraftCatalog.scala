@@ -4,16 +4,18 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,11 +54,29 @@ import graft.sources.Tables.{TableProps, Warehouse}
   * materialized projection ([[Maintenance.materializeProjection]], kept
   * fresh by maintenance), or the `merge_changes` procedure's flat target.
   *
-  * The catalog face is read-only by design (`CREATE/ALTER/DROP` refuse):
-  * writes go through the engine's committed paths — the pipeline, the
-  * warehouse API, and the `CALL graft.system.*` procedures below, which
-  * cover the storage lifecycle (merge, compact, cluster, expiry, orphan
-  * GC, feed emit/retention, snapshot listing).
+  * The DDL/DML face routes through the engine's committed paths, so a
+  * plain-SQL user gets the same atomicity the API gives:
+  *   - `CREATE TABLE` / `CREATE TABLE AS SELECT` — an atomic versioned
+  *     create (`PARTITIONED BY (days(ts))` declares the hidden
+  *     time-partition layout, the Iceberg transform spelling);
+  *   - `INSERT INTO` — [[Tables.Warehouse.appendVersioned]], the
+  *     hard-link fast append (O(new data), old snapshot retained);
+  *   - `INSERT OVERWRITE` — [[Tables.Warehouse.overwrite]]'s pointer CAS;
+  *   - `DELETE FROM ... WHERE` — copy-on-write rewrite behind the same
+  *     CAS (the Iceberg v2 row-level delete, COW flavor);
+  *   - `ALTER TABLE SET/UNSET TBLPROPERTIES` — the TableProps sidecar
+  *     (schema changes refuse, pointing at the declared-evolution
+  *     registry); `DROP TABLE` — [[Tables.Warehouse.drop]].
+  * Tables whose layout IS a contract refuse writes loudly: MOR and
+  * key-bucketed mirrors (fold inputs), changelog feeds (consumer hops),
+  * materialized projections (maintenance-owned), time-partitioned
+  * changelogs (batch-granular appendBatch), and version-pinned
+  * time-travel reads.
+  *
+  * Iceberg-style metadata tables ride the same identifiers:
+  * `SELECT * FROM graft.t.snapshots` (retained published versions +
+  * publish stamps) and `graft.t.files` (data-file census: path, bytes,
+  * footer row count).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
@@ -101,11 +121,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespaceExists(namespace)) java.util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
   override def createNamespace(namespace: Array[String],
-      metadata: JMap[String, String]): Unit = refuseWrite("CREATE NAMESPACE")
+      metadata: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "CREATE NAMESPACE is not supported: graft tables live in the root")
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = refuseWrite("ALTER NAMESPACE")
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported: graft tables live in the root")
   override def dropNamespace(namespace: Array[String],
-      cascade: Boolean): Boolean = refuseWrite("DROP NAMESPACE")
+      cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP NAMESPACE is not supported: graft tables live in the root")
 
   // ------------------------------------------------------------------
   // tables
@@ -138,7 +164,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     t
   }
 
-  private def mkTable(t: String, path: String): Table = {
+  /** How SQL writes to this table resolve: through the committed write
+    * paths, or a loud refusal naming the owning mechanism.
+    */
+  private def writePolicy(t: String): Either[String, Unit] = {
+    val props = TableProps.read(wh, t)
+    if (props.contains("changelog.last-version"))
+      Left(s"'$t' is a changelog feed view; its hop subdirs are the " +
+        "consumer contract (written only by emit_changelog)")
+    else if (props.contains(Maintenance.ProjectionSourceProp))
+      Left(s"'$t' is a materialized projection refreshed from " +
+        s"'${props(Maintenance.ProjectionSourceProp)}' by maintenance; " +
+        "write to the source instead")
+    else if (wh.timePartitionCol(t).isDefined)
+      Left(s"'$t' is a hidden-time-partitioned changelog; appends are " +
+        "batch-granular and replay-idempotent (Warehouse.appendBatch / " +
+        "the ingest pipeline), not row-level SQL inserts")
+    else Right(())
+  }
+
+  private def mkParquet(t: String, path: String): ParquetTable = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
     opts.put("mergeSchema", "true")
@@ -146,14 +191,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // (p_day/p_batch queryable, day filters prune as PartitionFilters);
     // every other layout reads recursively (batch subdirs, flat versions)
     if (wh.timePartitionCol(t).isEmpty) opts.put("recursiveFileLookup", "true")
+    // a just-created empty table has no footers to infer from: serve the
+    // declared schema recorded at CREATE TABLE time
+    val declared =
+      if (hasParquetFiles(path)) None
+      else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
     ParquetTable(t, spark, new CaseInsensitiveStringMap(opts), Seq(path),
-      None, classOf[ParquetFileFormat])
+      declared, classOf[ParquetFileFormat])
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val t = resolved(ident)
-    mkTable(t, wh.snapshotPath(t))
+  private def hasParquetFiles(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val s = java.nio.file.Files.walk(p)
+    try s.iterator().asScala.exists(f =>
+      f.getFileName.toString.endsWith(".parquet") &&
+        !f.getFileName.toString.startsWith("_") &&
+        !f.getFileName.toString.startsWith(".") &&
+        // a file under a hidden dir (_zonemap) is not table data
+        !p.relativize(f).iterator().asScala.exists(
+          c => c.toString.startsWith("_") || c.toString.startsWith(".")))
+    finally s.close()
   }
+
+  private def mkTable(t: String, path: String,
+      policy: Either[String, Unit]): Table =
+    new GraftTable(wh, t, mkParquet(t, path), policy)
+
+  override def loadTable(ident: Identifier): Table =
+    metaTable(ident).getOrElse {
+      val t = resolved(ident)
+      mkTable(t, wh.snapshotPath(t), writePolicy(t))
+    }
 
   /** `VERSION AS OF <v>` — served straight from the retained published
     * version dir (fails loudly when GC'd, same contract as
@@ -165,7 +235,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"graft versions are numbers; got VERSION AS OF '$version'"))
     val dir = wh.publishedVersions(t).collectFirst { case (`v`, p) => p }
       .getOrElse(throw new NoSuchTableException(ident))
-    mkTable(t, dir.toString)
+    mkTable(t, dir.toString,
+      Left(s"'$t' VERSION AS OF $v is a pinned historical snapshot"))
   }
 
   /** `TIMESTAMP AS OF <ts>` — the newest published version whose publish
@@ -179,23 +250,138 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .filter { case (_, p) => wh.publishTimeMillis(p) <= asOfMillis }
       .lastOption.map(_._2)
       .getOrElse(throw new NoSuchTableException(ident))
-    mkTable(t, dir.toString)
+    mkTable(t, dir.toString,
+      Left(s"'$t' TIMESTAMP AS OF is a pinned historical snapshot"))
   }
 
-  private def refuseWrite(what: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$what is not supported: the graft catalog is the READ/lifecycle " +
-        "face; writes go through the engine's committed paths (pipeline, " +
-        s"Warehouse API, CALL $catalogName.system.*)")
+  // ------------------------------------------------------------------
+  // metadata tables: graft.<table>.snapshots / graft.<table>.files —
+  // the Iceberg metadata-table shape on the plain-parquet substrate
+  // ------------------------------------------------------------------
+
+  /** Resolve `<table>.<meta>` identifiers (optionally under `default.`).
+    * Served as LocalScan rows: both tables are planning-scale by
+    * construction (one row per retained version / per data file — the
+    * same ~1e5-at-100TB census the zone-map planner already walks).
+    */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val baseNs = ident.namespace match {
+      case Array(t) => Some(t)
+      case Array("default", t) => Some(t)
+      case _ => None
+    }
+    baseNs.filter(wh.exists).flatMap { t =>
+      ident.name match {
+        case "snapshots" => Some(GraftCatalog.localTable(s"$t.snapshots",
+          StructType(Seq(StructField("version", LongType, nullable = false),
+            StructField("published_at", TimestampType),
+            StructField("path", StringType))),
+          () => wh.publishedVersions(t).map { case (v, p) =>
+            new GenericInternalRow(Array[Any](v,
+              wh.publishTimeMillis(p) * 1000L,
+              UTF8String.fromString(p.toString)))
+          }))
+        case "files" => Some(GraftCatalog.localTable(s"$t.files",
+          StructType(Seq(StructField("file_path", StringType, nullable = false),
+            StructField("size_bytes", LongType, nullable = false),
+            StructField("record_count", LongType, nullable = false))),
+          () => GraftCatalog.fileCensus(spark, wh.snapshotPath(t))))
+        case _ => None
+      }
+    }
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    refuseWrite("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    refuseWrite("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = refuseWrite("DROP TABLE")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (!isDataNs(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val t = ident.name
+    require(!t.contains("/") && !t.startsWith("_") && !t.startsWith("."),
+      s"illegal graft table name '$t'")
+    // the one supported partition transform: days(ts) — the hidden
+    // time-partition layout (Iceberg's transform, appendBatch's dirs)
+    val timeCol = partitions.toList match {
+      case Nil => None
+      case d :: Nil if d.name == "days" =>
+        val col = d.references.headOption.map(_.fieldNames.mkString("."))
+          .getOrElse(throw new IllegalArgumentException(
+            s"days() needs a column reference, got $d"))
+        require(schema.fieldNames.contains(col),
+          s"days($col) references no column of the declared schema")
+        Some(col)
+      case other => throw new UnsupportedOperationException(
+        s"graft partitioning is hidden time partitioning — " +
+          s"PARTITIONED BY (days(ts_col)); got ${other.mkString(", ")}. " +
+          "Key-bucketed layouts are pipeline-managed (Tables.saveBucketed / " +
+          "the MOR mirror), not DDL-declared.")
+    }
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external", "comment")
+    timeCol match {
+      case Some(tc) =>
+        // metadata-only creation: the appendBatch layout is IN-PLACE (day
+        // dirs under the plain table path), so there is no version to
+        // commit yet — record existence (_SUCCESS), the declared layout,
+        // and the declared schema (served until the first batch lands)
+        val dir = java.nio.file.Paths.get(wh.tablePath(t))
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
+        TableProps.write(wh, t, userProps +
+          (Tables.TimePartitionProp -> tc) +
+          (GraftCatalog.SqlSchemaProp -> schema.json))
+      case None =>
+        // an atomic versioned create: v1 is one empty part file carrying
+        // the declared schema (repartition(1) forces the file to exist)
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .repartition(1)
+        wh.overwrite(empty, t)
+        if (userProps.nonEmpty) TableProps.write(wh, t,
+          TableProps.read(wh, t) ++ userProps)
+    }
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — the TableProps sidecar.
+    * Schema changes refuse: column evolution is DECLARED through the
+    * [[SchemaEvolution]] registry (renames/drops/widening with history
+    * rejoin), not guessed from DDL. The layout prop
+    * (`partition.time-column`) is immutable after creation — flipping it
+    * under existing batches would corrupt every time-pruned read.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = resolved(ident)
+    val props = changes.foldLeft(TableProps.read(wh, t)) { (acc, c) =>
+      c match {
+        case s: TableChange.SetProperty =>
+          require(s.property != Tables.TimePartitionProp,
+            s"${Tables.TimePartitionProp} is the table's physical layout " +
+              "— declared at CREATE time, immutable after")
+          acc + (s.property -> s.value)
+        case r: TableChange.RemoveProperty =>
+          require(r.property != Tables.TimePartitionProp,
+            s"${Tables.TimePartitionProp} is the table's physical layout " +
+              "— declared at CREATE time, immutable after")
+          acc - r.property
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
+            "schema evolution is declared through the SchemaEvolution " +
+            "registry (renames/drops/widening with history rejoin)")
+      }
+    }
+    TableProps.write(wh, t, props)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!isDataNs(ident.namespace)) false
+    else wh.drop(ident.name)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    refuseWrite("RENAME TABLE")
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: version dirs, props, and feed " +
+        "cursors all key on the table name; rename is a catalog-level " +
+        "migration, not a pointer move")
 
   // ------------------------------------------------------------------
   // procedures: CALL graft.system.<name>(...)
@@ -374,4 +560,216 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     }
   ).map(p => p.name() -> p).toMap
+}
+
+object GraftCatalog {
+  /** Declared-schema sidecar prop: serves a just-created table's schema
+    * until its first data file exists (parquet has no footer to infer
+    * from). Never authoritative once files land — the files are.
+    */
+  val SqlSchemaProp = "sql.schema"
+
+  /** A planning-scale metadata table: rows computed at scan-build time,
+    * served via LocalScan (the procedures' result mechanism).
+    */
+  private[sources] def localTable(tname: String, outSchema: StructType,
+      compute: () => Seq[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = tname
+      override def schema(): StructType = outSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            private val out = compute().toArray
+            override def readSchema(): StructType = outSchema
+            override def rows(): Array[InternalRow] = out
+          }
+        }
+    }
+
+  /** One row per data file under `path`: absolute path, bytes, footer
+    * record count (exact, no data pages read). Hidden components
+    * (`_zonemap`, markers) are excluded — same listing contract as the
+    * reads.
+    */
+  private[sources] def fileCensus(spark: SparkSession,
+      path: String): Seq[InternalRow] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val s = java.nio.file.Files.walk(p)
+    val files =
+      try s.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .filterNot(f => p.relativize(f).iterator().asScala.exists(
+          c => c.toString.startsWith("_") || c.toString.startsWith(".")))
+        .toList
+      finally s.close()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      new GenericInternalRow(Array[Any](UTF8String.fromString(f.toString),
+        java.nio.file.Files.size(f), n))
+    }
+  }
+}
+
+/** A warehouse table served through the catalog: reads delegate to the
+  * stock parquet connector (vectorized scan, pushdown, pruning — all of
+  * Catalyst's machinery applies unchanged); writes route through the
+  * engine's COMMITTED paths, so plain SQL gets the same snapshot
+  * atomicity as the API:
+  *
+  *   - `INSERT INTO` → [[Tables.Warehouse.appendVersioned]] — the
+  *     hard-link fast append (O(new data); the old snapshot stays
+  *     readable through VERSION AS OF; conflicts CAS-retry);
+  *   - `INSERT OVERWRITE` → [[Tables.Warehouse.overwrite]]'s pointer CAS;
+  *   - `DELETE FROM ... WHERE` → copy-on-write rewrite behind the same
+  *     CAS (survivors = rows where the predicate is FALSE or NULL, the
+  *     SQL DELETE contract), pushed as a V2 [[SupportsDelete]] so the
+  *     analyzer plans it as a metadata operation, not a rewrite query.
+  *
+  * The write plumbing is Spark's V1 fallback ([[V1Write]]): the exec
+  * hands over the fully-resolved DataFrame and the engine's own write —
+  * a distributed parquet write into an exclusively-allocated stage dir,
+  * published by one atomic pointer swap — IS the physical plan. A custom
+  * per-task DataWriter would re-implement exactly that staging with no
+  * added parallelism: the data plane is already `df.write.parquet`.
+  *
+  * `policy` carries a refusal reason for tables whose layout is a
+  * contract (fold inputs, feed hops, projections, pinned snapshots);
+  * refusals surface at write-plan time with the owning mechanism named.
+  */
+private[sources] class GraftTable(wh: Warehouse, tableName: String,
+    delegate: ParquetTable, policy: Either[String, Unit])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    TableProps.read(wh, tableName).foreach { case (k, v) => m.put(k, v) }
+    m.put("provider", "parquet")
+    m
+  }
+
+  // write capabilities are declared even for refused tables: the
+  // analyzer's capability check runs before any writer is built, and a
+  // bare "does not support append" names no mechanism — declaring and
+  // then refusing in newWriteBuilder/deleteWhere puts the OWNING
+  // mechanism (feed contract, projection source, appendBatch) in the
+  // error the user actually sees
+  override def capabilities(): java.util.Set[TableCapability] = {
+    import TableCapability._
+    java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE, TRUNCATE)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  private def refused: String = policy.left.getOrElse("")
+  private def requireWritable(op: String): Unit = policy match {
+    case Left(reason) => throw new UnsupportedOperationException(
+      s"$op on '$tableName' refused: $reason")
+    case Right(_) => ()
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) wh.overwrite(data, tableName)
+              // a generous retry budget: SQL INSERTs are external writers
+              // with no coordination, so N-way contention where every
+              // rival wins once each is NORMAL, not pathological
+              else wh.retryingConflicts(maxAttempts = 10) {
+                wh.appendVersioned(data, tableName)
+              }
+          }
+      }
+    }
+  }
+
+  /** `DELETE FROM ... WHERE`: survivors rewrite as a new version behind
+    * the commit CAS — the read pins the pre-delete snapshot (versioned
+    * reads resolve the pointer at open), so the rewrite is consistent
+    * even while it reads the table it replaces. NULL predicate rows
+    * SURVIVE (SQL deletes only where the predicate is TRUE).
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable("DELETE")
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val spark = SparkSession.active
+    val pred = filters.map(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    wh.retryingConflicts(maxAttempts = 10) {
+      val survivors = wh.read(spark, tableName, mergeSchema = true)
+        .filter(not(coalesce(pred, lit(false))))
+      wh.commit(tableName, expectCurrent = wh.currentVersion(tableName)) {
+        staged => survivors.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+      }
+    }
+  }
+
+  // refused tables claim deletability so deleteWhere can name the owning
+  // mechanism (same reasoning as capabilities above)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    policy.isLeft || filters.forall(GraftTable.translatable)
+}
+
+private[sources] object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{sources => f}
+
+  private def translatable(flt: Filter): Boolean = flt match {
+    case a: f.And => translatable(a.left) && translatable(a.right)
+    case o: f.Or => translatable(o.left) && translatable(o.right)
+    case n: f.Not => translatable(n.child)
+    case _: f.EqualTo | _: f.EqualNullSafe | _: f.GreaterThan |
+         _: f.GreaterThanOrEqual | _: f.LessThan | _: f.LessThanOrEqual |
+         _: f.In | _: f.IsNull | _: f.IsNotNull | _: f.StringStartsWith |
+         _: f.StringEndsWith | _: f.StringContains | _: f.AlwaysTrue |
+         _: f.AlwaysFalse => true
+    case _ => false
+  }
+
+  /** V2 pushed-filter → Column, for the COW delete. Total over
+    * [[translatable]] filters; anything else was refused at
+    * `canDeleteWhere` and the analyzer fell back to an error, never a
+    * silent partial delete.
+    */
+  private def filterToColumn(flt: Filter): Column = flt match {
+    case f.EqualTo(a, v) => col(a) === lit(v)
+    case f.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case f.GreaterThan(a, v) => col(a) > lit(v)
+    case f.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case f.LessThan(a, v) => col(a) < lit(v)
+    case f.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case f.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case f.IsNull(a) => col(a).isNull
+    case f.IsNotNull(a) => col(a).isNotNull
+    case f.And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case f.Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case f.Not(c) => !filterToColumn(c)
+    case f.StringStartsWith(a, v) => col(a).startsWith(v)
+    case f.StringEndsWith(a, v) => col(a).endsWith(v)
+    case f.StringContains(a, v) => col(a).contains(v)
+    case _: f.AlwaysTrue => lit(true)
+    case _: f.AlwaysFalse => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"DELETE predicate $other is not translatable; rewrite the delete " +
+        "as INSERT OVERWRITE ... SELECT survivors")
+  }
 }

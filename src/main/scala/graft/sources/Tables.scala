@@ -544,6 +544,148 @@ object Tables {
       commit(name)(path => df.write.mode(SaveMode.Overwrite).parquet(path))
     def append(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
+
+    /** Atomic versioned APPEND: commit a new snapshot holding the previous
+      * version's files (zero-copy hard links) plus `df`'s rows — O(new
+      * data) cost with full snapshot semantics (the previous version stays
+      * readable through time travel; the publish is the same pointer CAS
+      * as [[overwrite]]). This is Iceberg's fast append (a new snapshot
+      * REFERENCES the old data files instead of rewriting them,
+      * `tabular.py:69-70`'s managed substrate) re-expressed on plain
+      * parquet, where a reference is a hard link. The SQL `INSERT INTO`
+      * path of [[graft.sources.GraftCatalog]] lands here.
+      *
+      * Carried along with the data: root marker files (the compaction
+      * paths' marker-carry contract) and a `_zonemap` manifest when one
+      * exists. The carried manifest is STALE BY CENSUS — the appended
+      * files are not in it — which is precisely the state
+      * [[graft.plans.Maintenance.clusterIncremental]] repairs with a
+      * churn-proportional re-sort instead of a full rewrite; zone-map
+      * reads detect the census mismatch and fall back loudly to the full
+      * scan until then.
+      *
+      * Concurrency: the carried previous version is resolved INSIDE the
+      * staged write (freshest published below the stage), and the pointer
+      * swap CAS-checks the version observed at entry — a rival landing
+      * mid-append surfaces as ConcurrentModificationException for
+      * [[retryingConflicts]], never as a lost update.
+      */
+    def appendVersioned(df: DataFrame, name: String): Unit = {
+      require(timePartitionCol(name).isEmpty,
+        s"$name is a hidden-time-partitioned append table; its appends " +
+          "are batch-granular (appendBatch), not versioned snapshots")
+      val expected = currentVersion(name)
+      commit(name, expectCurrent = expected) { staged =>
+        df.write.mode(SaveMode.Overwrite).parquet(staged)
+        val stagedP = Paths.get(staged)
+        val m = versionPattern(name).matcher(stagedP.getFileName.toString)
+        require(m.matches(), s"stage dir $staged outside the version layout")
+        val next = m.group(1).toLong
+        versions(name)
+          .filter { case (v, p) => v < next && isPublishedDir(name, v, p) }
+          .lastOption
+          .foreach { case (_, prev) => carryVersionInto(prev, stagedP) }
+      }
+    }
+
+    /** Zero-copy carry of a published version's contents into a staged
+      * append (see [[appendVersioned]]): data files hard-link under their
+      * own relative names (Spark part-file names are UUID-unique; a
+      * collision falls back to a prefixed name and drops the manifest
+      * carry, whose census could not cover the rename), the `_zonemap`
+      * manifest links under its own directory, root markers copy
+      * byte-for-byte. `_SUCCESS` and [[Tables.PublishedMarker]] are NOT
+      * carried — publication is the commit's own act on the new dir.
+      */
+    private def carryVersionInto(prev: Path, staged: Path): Unit = {
+      def linkOrCopy(src: Path, dst: Path): Unit =
+        try Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(src, dst)
+        }
+      var manifestSafe = true
+      def carryData(dir: Path, rel: String): Unit = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.foreach { p =>
+          val fn = p.getFileName.toString
+          if (fn.startsWith("_") || fn.startsWith(".")) ()
+          else if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+            Files.createDirectories(staged.resolve(rel).resolve(fn))
+            carryData(p, s"$rel$fn/")
+          } else {
+            val dst = staged.resolve(rel).resolve(fn)
+            if (Files.exists(dst)) { // UUID collision: vanishingly rare
+              linkOrCopy(p, staged.resolve(rel)
+                .resolve(s"carried-${System.nanoTime()}-$fn"))
+              manifestSafe = false
+            } else linkOrCopy(p, dst)
+          }
+        } finally s.close()
+      }
+      carryData(prev, "")
+      // root markers (_ivm_batch_id, _feed_cursor, ... — everything the
+      // compaction paths carry); publication/_SUCCESS excluded
+      val s = Files.list(prev)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(_.getFileName.toString.startsWith("_"))
+        .filterNot(p => Set("_SUCCESS", PublishedMarker)
+          .contains(p.getFileName.toString))
+        .foreach(p => Files.copy(p, staged.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      finally s.close()
+      val zm = prev.resolve("_zonemap")
+      if (manifestSafe && Files.isDirectory(zm)) {
+        val dst = staged.resolve("_zonemap")
+        Files.createDirectories(dst)
+        val zs = Files.list(zm)
+        try zs.iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach(p => linkOrCopy(p, dst.resolve(p.getFileName.toString)))
+        finally zs.close()
+      }
+    }
+
+    /** Drop `name` entirely: pointer (or legacy dir), every retained
+      * version, staged/discard debris, pointer temps, and the `_metadata`
+      * sidecar. Serialized against committers by the commit lock; a
+      * committer racing the drop fails loudly on its next file operation
+      * — the drop is the operator's explicit intent, not a conflict to
+      * retry. The SQL `DROP TABLE` path of [[graft.sources.GraftCatalog]].
+      * @return true when the table (or any version of it) existed
+      */
+    def drop(name: String): Boolean = {
+      require(!name.contains("/"), s"drop is table-level; got '$name'")
+      val existed = exists(name) || versions(name).nonEmpty
+      withCommitLock(name) {
+        val p = Paths.get(tablePath(name))
+        if (Files.isSymbolicLink(p)) Files.delete(p)
+        else if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          deleteRecursively(p)
+        versions(name).foreach { case (_, d) =>
+          Files.deleteIfExists(stageMarkerPath(d))
+          deleteRecursively(d)
+        }
+        // machinery siblings: `.vN.stage`/`.vN.discardM` leftovers of
+        // crashed stages, `.ptrN` temps, MOR staging dirs — everything
+        // the version walk above does not match
+        val rootP = Paths.get(root)
+        if (Files.isDirectory(rootP)) {
+          val pat = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(name) +
+              "\\.(v\\d+\\..+|ptr\\d+.*|morstage.*)")
+          val s = Files.list(rootP)
+          val debris =
+            try s.iterator().asScala
+              .filter(q => pat.matcher(q.getFileName.toString).matches())
+              .toList
+            finally s.close()
+          debris.foreach(deleteRecursively)
+        }
+        TableProps.delete(this, name)
+      }
+      existed
+    }
     /** Idempotent per-batch append: batch `id` lands in its own
       * subdirectory via an IN-PLACE overwrite, so an at-least-once replay
       * of the same micro-batch rewrites the same files instead of
@@ -780,6 +922,10 @@ object Tables {
         .findAllMatchIn(s)
         .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     }
+
+    /** Remove the sidecar entirely (table drop). */
+    def delete(wh: Warehouse, table: String): Unit =
+      Files.deleteIfExists(propsPath(wh, table))
 
     private def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }

@@ -1,0 +1,211 @@
+package graft
+
+import graft.plans.{Maintenance, MirrorChangelog, ZoneMap}
+import graft.sources.{GraftCatalog, Tables}
+import graft.sources.Tables.{TableProps, Warehouse}
+
+/** The SQL write surface: DDL/DML through [[GraftCatalog]] rides the
+  * engine's committed paths — CTAS/CREATE are atomic versioned creates,
+  * INSERT INTO is the hard-link fast append ([[Warehouse.appendVersioned]]:
+  * O(new data), prior snapshot retained for time travel), INSERT
+  * OVERWRITE and DELETE FROM are pointer-CAS rewrites, ALTER TABLE edits
+  * the TableProps sidecar, DROP TABLE removes the whole version history.
+  * Tables whose layout is a contract (feeds, projections, partitioned
+  * changelogs, pinned snapshots) refuse writes loudly.
+  */
+class GraftSqlWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+  }
+
+  test("CTAS + INSERT INTO: fast append retains the prior snapshot; files hard-link, not copy") {
+    val root = tmpDir("sqlw-ins")
+    val wh = Warehouse(root, retain = 8)
+    register("w1", root)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("src2")
+    spark.sql("CREATE TABLE w1.t AS SELECT * FROM src2")
+    assert(spark.sql("SELECT * FROM w1.t").count() == 2)
+    val vAfterCtas = wh.currentVersion("t").get
+
+    spark.sql("INSERT INTO w1.t VALUES (3, 'c'), (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM w1.t").head.getLong(0) == 4)
+    // the pre-insert snapshot is still served via time travel
+    assert(spark.sql(s"SELECT count(*) FROM w1.t VERSION AS OF $vAfterCtas")
+      .head.getLong(0) == 2)
+    // the append CARRIED the old files as hard links (nlink > 1), so the
+    // new version cost O(new data), not a rewrite
+    val prevDir = java.nio.file.Paths.get(s"$root/t.v$vAfterCtas")
+    val carried = java.nio.file.Files.list(prevDir).iterator()
+    var linked = 0
+    while (carried.hasNext) {
+      val f = carried.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        val n = java.nio.file.Files.getAttribute(f, "unix:nlink")
+          .asInstanceOf[Integer].intValue()
+        if (n > 1) linked += 1
+      }
+    }
+    assert(linked > 0, "expected the appended version to hard-link prior files")
+
+    // INSERT INTO ... SELECT from the table itself: the read pins the
+    // pre-append snapshot (no self-read corruption)
+    spark.sql("INSERT INTO w1.t SELECT id + 100, s FROM w1.t WHERE id <= 2")
+    assert(spark.sql("SELECT count(*) FROM w1.t").head.getLong(0) == 6)
+    assert(spark.sql("SELECT count(*) FROM w1.t WHERE id > 100").head.getLong(0) == 2)
+  }
+
+  test("INSERT OVERWRITE replaces atomically; DELETE FROM is a COW rewrite with SQL null semantics") {
+    val root = tmpDir("sqlw-ow")
+    val wh = Warehouse(root, retain = 8)
+    register("w2", root)
+    spark.sql("CREATE TABLE w2.t (id BIGINT, grp STRING, v DOUBLE)")
+    assert(spark.sql("SELECT * FROM w2.t").count() == 0) // empty create serves
+    spark.sql("INSERT INTO w2.t VALUES (1, 'a', 1.0), (2, 'b', 2.0), " +
+      "(3, NULL, 3.0), (4, 'a', 4.0)")
+    spark.sql("INSERT OVERWRITE w2.t VALUES (10, 'x', 1.0), (11, NULL, 2.0), " +
+      "(12, 'y', 3.0)")
+    assert(spark.sql("SELECT sum(id) FROM w2.t").head.getLong(0) == 33)
+
+    val before = wh.currentVersion("t").get
+    // DELETE WHERE grp = 'x': the NULL-grp row must SURVIVE (predicate
+    // NULL is not TRUE) — the SQL delete contract
+    spark.sql("DELETE FROM w2.t WHERE grp = 'x'")
+    assert(spark.sql("SELECT sum(id) FROM w2.t").head.getLong(0) == 23)
+    assert(spark.sql("SELECT count(*) FROM w2.t WHERE grp IS NULL")
+      .head.getLong(0) == 1)
+    // the delete committed a NEW version (COW), old one retained
+    assert(wh.currentVersion("t").get > before)
+    assert(spark.sql(s"SELECT count(*) FROM w2.t VERSION AS OF $before")
+      .head.getLong(0) == 3)
+  }
+
+  test("DROP TABLE removes pointer, versions, and props; ALTER TABLE edits the sidecar") {
+    val root = tmpDir("sqlw-ddl")
+    val wh = Warehouse(root, retain = 8)
+    register("w3", root)
+    spark.sql("CREATE TABLE w3.t (id BIGINT) TBLPROPERTIES ('team'='data')")
+    spark.sql("INSERT INTO w3.t VALUES (1)")
+    assert(TableProps.read(wh, "t")("team") == "data")
+
+    spark.sql("ALTER TABLE w3.t SET TBLPROPERTIES ('cdc.key-column'='id')")
+    assert(TableProps.read(wh, "t")("cdc.key-column") == "id")
+    spark.sql("ALTER TABLE w3.t UNSET TBLPROPERTIES ('team')")
+    assert(!TableProps.read(wh, "t").contains("team"))
+    // the layout prop is immutable through DDL
+    intercept[Exception] {
+      spark.sql("ALTER TABLE w3.t SET TBLPROPERTIES " +
+        "('partition.time-column'='ts')")
+    }
+
+    spark.sql("DROP TABLE w3.t")
+    assert(!wh.exists("t"))
+    assert(wh.listVersions("t").isEmpty)
+    assert(TableProps.read(wh, "t").isEmpty)
+    intercept[Exception] { spark.sql("SELECT * FROM w3.t").collect() }
+    // recreating after drop starts a fresh history
+    spark.sql("CREATE TABLE w3.t AS SELECT 7 AS id")
+    assert(spark.sql("SELECT id FROM w3.t").head.getInt(0) == 7)
+  }
+
+  test("CREATE TABLE PARTITIONED BY (days(ts)) declares the hidden time partition; inserts refuse toward appendBatch") {
+    val root = tmpDir("sqlw-part")
+    val wh = Warehouse(root, retain = 8)
+    register("w4", root)
+    spark.sql("CREATE TABLE w4.ev (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    assert(wh.timePartitionCol("ev").contains("ts"))
+    // empty partitioned table serves its declared schema
+    assert(spark.sql("SELECT * FROM w4.ev").schema.fieldNames.toSeq ==
+      Seq("id", "ts", "v"))
+    // row-level SQL inserts refuse (appends are batch-granular)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO w4.ev VALUES (1, TIMESTAMP '2026-01-02 03:04:05', 1.0)")
+    }
+    assert(e.getMessage.contains("appendBatch"))
+    // the pipeline path lands day dirs and SQL reads them with pruning
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-03 03:04:05"), 2.0))
+      .toDF("id", "ts", "v")
+    wh.appendBatch(df, "ev", 0L)
+    assert(spark.sql("SELECT count(*) FROM w4.ev WHERE p_day = DATE'2026-01-02'")
+      .head.getLong(0) == 1)
+    // only a days() transform is accepted
+    intercept[Exception] {
+      spark.sql("CREATE TABLE w4.bad (id BIGINT) PARTITIONED BY (bucket(4, id))")
+    }
+  }
+
+  test("metadata tables: t.snapshots matches the snapshot log, t.files the footer census") {
+    val root = tmpDir("sqlw-meta")
+    val wh = Warehouse(root, retain = 8)
+    register("w5", root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "t")
+    wh.retryingConflicts() {
+      wh.appendVersioned(Seq((2L, "b"), (3L, "c")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    val snaps = spark.sql("SELECT version, published_at FROM w5.t.snapshots " +
+      "ORDER BY version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == wh.publishedVersions("t").map(_._1))
+    assert(snaps.forall(_.getTimestamp(1) != null))
+    // the files census row count sums to the table count, byte sizes real
+    val files = spark.sql("SELECT file_path, size_bytes, record_count " +
+      "FROM w5.t.files").collect()
+    assert(files.map(_.getLong(2)).sum == 3)
+    assert(files.forall(_.getLong(1) > 0))
+    assert(files.forall(_.getString(0).endsWith(".parquet")))
+  }
+
+  test("write refusals name the owning mechanism: feed views, projections, MOR mirrors, pinned snapshots") {
+    val root = tmpDir("sqlw-refuse")
+    val wh = Warehouse(root, retain = 8)
+    register("w6", root)
+    // feed view: the first emit bootstraps the cursor, the second emits
+    // a real hop (and with it the view table's data dir)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "m")
+    MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id")
+    wh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .localCheckpoint(true), "m")
+    MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id")
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO w6.m_feed SELECT * FROM w6.m_feed")
+    }
+    assert(e1.getMessage.contains("consumer contract"))
+    // pinned snapshot writes don't even parse as a target — assert the
+    // policy directly
+    val pinned = intercept[Exception] {
+      spark.sql("DELETE FROM w6.m_feed WHERE id = 1")
+    }
+    assert(pinned.getMessage.contains("consumer contract"))
+    // a materialized projection refuses toward its source
+    wh.overwrite(Seq((1L, "a", 1.0)).toDF("id", "s", "v")
+      .localCheckpoint(true), "wide")
+    Maintenance.materializeProjection(spark, wh, "wide", "wide_ro",
+      dims = Seq("id"), bloomKeys = Nil, targetFiles = 1,
+      cols = Seq("id", "v"))
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO w6.wide_ro VALUES (9, 9.0)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("projection"))
+  }
+
+  test("concurrent SQL inserts: every row survives the append CAS (no lost updates)") {
+    val root = tmpDir("sqlw-conc")
+    register("w7", root)
+    spark.sql("CREATE TABLE w7.t (id BIGINT)")
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        spark.sql(s"INSERT INTO w7.t VALUES (${i * 2}), (${i * 2 + 1})")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val got = spark.sql("SELECT id FROM w7.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == (0L until 8L), s"lost update: $got")
+  }
+}
