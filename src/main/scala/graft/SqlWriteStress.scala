@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.Warehouse
+
+/** Measures the SQL write path's scale behavior beyond bench SF: the
+  * hard-link fast append ([[graft.sources.Tables.Warehouse.appendVersioned]],
+  * the INSERT INTO path) must cost O(new data) — NOT O(table) — or SQL
+  * appends to a 100 TB table are a rewrite per statement. Prints the
+  * measured append/rewrite ratio and the link census, plus the COW
+  * DELETE cost (which IS O(table) by design — the documented trade
+  * against the MOR mirror's delta path).
+  *
+  * Run: SPARK_GRAFT_ROWS=20000000 sbt "runMain graft.SqlWriteStress"
+  */
+object SqlWriteStress {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "20000000").toLong
+    val appendRows = math.max(1L, rows / 1000L) // 0.1%
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlw_stress")
+    val wh = Warehouse(root.toString, retain = 3)
+    def mk(n: Long, offset: Long) = spark.range(n)
+      .select((col("id") + offset).as("id"),
+        pmod(col("id") * 2654435761L, lit(1000)).as("grp"),
+        (col("id") % 97).cast("double").as("v"))
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val (_, tBase) = time(wh.overwrite(mk(rows, 0), "t"))
+      println(f"[sqlwrite-stress] base build: $rows rows in $tBase%.1f s")
+
+      // the INSERT INTO path: 0.1% append
+      val (_, tAppend) = time(
+        wh.retryingConflicts() {
+          wh.appendVersioned(mk(appendRows, rows), "t")
+        })
+      // the naive alternative: full rewrite with the rows unioned
+      val (_, tRewrite) = time(
+        wh.overwrite(wh.read(spark, "t"), "t"))
+      val total = wh.read(spark, "t").count()
+      assert(total == rows + appendRows, s"row loss: $total")
+
+      // link census of the appended version: carried files must be
+      // hard links (nlink > 1), fresh files single-linked
+      val vDirs = wh.listVersions("t")
+      val appendDir = java.nio.file.Paths.get(s"${root.toString}/t.v${vDirs(vDirs.length - 2)}")
+      var linked = 0L; var fresh = 0L
+      val s = java.nio.file.Files.list(appendDir)
+      try s.iterator().forEachRemaining { f =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          val n = java.nio.file.Files.getAttribute(f, "unix:nlink")
+            .asInstanceOf[Integer].intValue()
+          if (n > 1) linked += 1 else fresh += 1
+        }
+      } finally s.close()
+
+      println(f"[sqlwrite-stress] rows=$rows append=$appendRows (0.1%%) | " +
+        f"fast append $tAppend%.2f s vs full rewrite $tRewrite%.2f s " +
+        f"(${tRewrite / tAppend}%.1fx) | carried(linked)=$linked fresh=$fresh")
+
+      // COW DELETE of one grp (~0.1% of rows): O(table) by design
+      val (_, tDelete) = time {
+        wh.retryingConflicts() {
+          val expected = wh.currentVersion("t")
+          val survivors = wh.read(spark, "t").filter(col("grp") =!= 0)
+          wh.commit("t", expectCurrent = expected)(p =>
+            survivors.write.mode("overwrite").parquet(p))
+        }
+      }
+      println(f"[sqlwrite-stress] COW delete of grp=0: $tDelete%.2f s " +
+        "(O(table) rewrite by design; row-granular churn belongs on the MOR mirror)")
+    } finally {
+      graft.sources.Tables.deleteRecursively(root)
+      spark.stop()
+    }
+  }
+}

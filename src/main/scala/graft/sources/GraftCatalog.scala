@@ -713,9 +713,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val pred = filters.map(GraftTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     wh.retryingConflicts(maxAttempts = 10) {
+      // CAS expectation FIRST, read second: a rival landing between the
+      // two flips the CAS red (retry, re-read) — the reverse order would
+      // let the CAS pass while the survivors were read from the OLD
+      // snapshot, silently discarding the rival's rows (lost update)
+      val expected = wh.currentVersion(tableName)
       val survivors = wh.read(spark, tableName, mergeSchema = true)
         .filter(not(coalesce(pred, lit(false))))
-      wh.commit(tableName, expectCurrent = wh.currentVersion(tableName)) {
+      wh.commit(tableName, expectCurrent = expected) {
         staged => survivors.write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
       }

@@ -568,7 +568,13 @@ object Tables {
       * staged write (freshest published below the stage), and the pointer
       * swap CAS-checks the version observed at entry — a rival landing
       * mid-append surfaces as ConcurrentModificationException for
-      * [[retryingConflicts]], never as a lost update.
+      * [[retryingConflicts]], never as a lost update. One residual,
+      * documented not hidden: when the table does not exist yet (or is a
+      * legacy real-dir layout) there is no version to CAS against, so two
+      * concurrent FIRST appends follow [[overwrite]]'s last-wins — the
+      * catalog's SQL path never hits it (CREATE TABLE gates existence and
+      * refuses rivals), and direct API users own first-write coordination
+      * exactly as they do for overwrite.
       */
     def appendVersioned(df: DataFrame, name: String): Unit = {
       require(timePartitionCol(name).isEmpty,

@@ -81,6 +81,12 @@ class GraftSqlWriteSpec extends SparkTestBase {
     assert(wh.currentVersion("t").get > before)
     assert(spark.sql(s"SELECT count(*) FROM w2.t VERSION AS OF $before")
       .head.getLong(0) == 3)
+    // TRUNCATE TABLE rides the same path (delete-where-always-true);
+    // schema survives the empty rewrite
+    spark.sql("TRUNCATE TABLE w2.t")
+    assert(spark.sql("SELECT * FROM w2.t").count() == 0)
+    assert(spark.sql("SELECT * FROM w2.t").schema.fieldNames.toSeq ==
+      Seq("id", "grp", "v"))
   }
 
   test("DROP TABLE removes pointer, versions, and props; ALTER TABLE edits the sidecar") {
