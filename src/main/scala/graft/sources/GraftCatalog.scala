@@ -342,36 +342,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — the TableProps sidecar.
-    * Schema changes refuse: column evolution is DECLARED through the
-    * [[SchemaEvolution]] registry (renames/drops/widening with history
-    * rejoin), not guessed from DDL. The layout prop
-    * (`partition.time-column`) is immutable after creation — flipping it
-    * under existing batches would corrupt every time-pruned read.
+  /** `ALTER TABLE`: `SET/UNSET TBLPROPERTIES` edits the TableProps
+    * sidecar (the layout prop `partition.time-column` is immutable after
+    * creation — flipping it under existing batches would corrupt every
+    * time-pruned read). `RENAME COLUMN` / `DROP COLUMN` are the SQL face
+    * of the DECLARED-evolution registry: the change is registered in
+    * [[SchemaEvolution]] (so every fold/changelog/restart path rejoins
+    * old-name history exactly as API-declared evolution does — and
+    * protected key columns refuse there) and the CURRENT snapshot is
+    * rewritten normalized behind the commit CAS, so plain SQL reads see
+    * the new shape immediately. Plain parquet has no Iceberg field IDs —
+    * the metadata-only rename is not expressible; the registry + one COW
+    * rewrite of the current version is the honest equivalent (history
+    * versions keep their bytes and rejoin through the registry). Other
+    * schema changes (add/retype) refuse toward the structural-widening
+    * path.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = resolved(ident)
-    val props = changes.foldLeft(TableProps.read(wh, t)) { (acc, c) =>
-      c match {
-        case s: TableChange.SetProperty =>
-          require(s.property != Tables.TimePartitionProp,
-            s"${Tables.TimePartitionProp} is the table's physical layout " +
-              "— declared at CREATE time, immutable after")
-          acc + (s.property -> s.value)
-        case r: TableChange.RemoveProperty =>
-          require(r.property != Tables.TimePartitionProp,
-            s"${Tables.TimePartitionProp} is the table's physical layout " +
-              "— declared at CREATE time, immutable after")
-          acc - r.property
-        case other => throw new UnsupportedOperationException(
-          s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
-            "schema evolution is declared through the SchemaEvolution " +
-            "registry (renames/drops/widening with history rejoin)")
-      }
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        require(s.property != Tables.TimePartitionProp,
+          s"${Tables.TimePartitionProp} is the table's physical layout " +
+            "— declared at CREATE time, immutable after")
+        TableProps.write(wh, t, TableProps.read(wh, t) + (s.property -> s.value))
+      case r: TableChange.RemoveProperty =>
+        require(r.property != Tables.TimePartitionProp,
+          s"${Tables.TimePartitionProp} is the table's physical layout " +
+            "— declared at CREATE time, immutable after")
+        TableProps.write(wh, t, TableProps.read(wh, t) - r.property)
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "graft columns are top-level; nested renames are not supported")
+        requireEvolvable(t, "RENAME COLUMN")
+        SchemaEvolution.declareRename(wh, t, rc.fieldNames()(0), rc.newName)
+        rewriteNormalized(t)
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "graft columns are top-level; nested drops are not supported")
+        requireEvolvable(t, "DROP COLUMN")
+        SchemaEvolution.declareDrop(wh, t, dc.fieldNames()(0))
+        rewriteNormalized(t)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
+          "numeric widening is structural (write the widened rows; reads " +
+          "merge int->long/float->double), new columns arrive by writing " +
+          "them (mergeSchema), and key columns are protected by the " +
+          "evolution registry")
     }
-    TableProps.write(wh, t, props)
     loadTable(ident)
   }
+
+  private def requireEvolvable(t: String, what: String): Unit =
+    writePolicy(t) match {
+      case Left(reason) => throw new UnsupportedOperationException(
+        s"$what on '$t' refused: $reason")
+      case Right(_) => ()
+    }
+
+  /** One COW rewrite of the current snapshot through the evolution
+    * registry ([[SchemaEvolution.normalize]]), CAS-guarded — the step
+    * that makes a just-declared rename/drop visible to plain SQL reads
+    * immediately (fold paths re-normalize old batches on every read; a
+    * flat table's files ARE its read, so they rewrite once).
+    */
+  private def rewriteNormalized(t: String): Unit =
+    wh.retryingConflicts(maxAttempts = 10) {
+      val expected = wh.currentVersion(t)
+      val normalized = SchemaEvolution.normalize(
+        wh.read(spark, t, mergeSchema = true), wh, t)
+      wh.commit(t, expectCurrent = expected)(p =>
+        normalized.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+    }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!isDataNs(ident.namespace)) false

@@ -239,25 +239,35 @@ object Tables {
       // warehouse) must never stage into the same directory — before this
       // existed, both would pick the same `next`, and the CAS loser's
       // cleanup deleted the winner's committed files (a lost update).
-      // createDirectory is atomic (O_EXCL on every POSIX fs): on
-      // collision, bump and retry — each writer ends up sole owner of its
-      // stage dir, so the data write itself needs no lock at all.
+      // TWO exclusive checks, because neither alone covers both races:
+      //  - the SIBLING stage marker is the allocation token (createFile
+      //    is O_EXCL). The dir itself CANNOT be the token: Spark's
+      //    Overwrite write DELETES and recreates the staged dir mid-write,
+      //    and during that window a rival scanning versions() sees the
+      //    number free, re-creates the dir, and two writers interleave
+      //    part files into one stage — a lost update the breaker-storm
+      //    spec caught flaking under heavy load. The marker lives OUTSIDE
+      //    the dir and spans the whole stage lifetime, so it is immune to
+      //    the clobber. While it exists, the number is owned; its absence
+      //    on an unmarked dir is also what lets isPublishedDir grandfather
+      //    PRE-MARKER version dirs as published history (advice finding).
+      //  - createDirectory (O_EXCL too) still guards the number against
+      //    EXISTING dirs that carry no marker: published/retained
+      //    versions and pre-marker history have no sibling, and writing
+      //    into one of those would corrupt a live snapshot.
+      // On either collision: roll back only what this writer created,
+      // bump, retry — each writer ends up sole owner of its stage, so the
+      // data write itself needs no lock at all.
       var next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
       var versionDir: Path = null
       while (versionDir == null) {
         val cand = Paths.get(s"${tablePath(name)}.v$next")
         try {
-          Files.createDirectory(cand)
-          // SIBLING stage marker (not inside the dir — Spark's Overwrite
-          // write clobbers the dir contents): while it exists, this dir
-          // is an in-flight/crashed stage, never a snapshot. Its absence
-          // is what lets isPublishedDir grandfather PRE-MARKER version
-          // dirs (which have neither marker) as published history
-          // instead of classifying them as orphan stages and losing
-          // retained snapshots on upgrade (advice finding). Truncate-
-          // write, not createFile: a discarded stage at a reused number
-          // may have left a stale sibling behind.
-          Files.writeString(stageMarkerPath(cand), "")
+          Files.createFile(stageMarkerPath(cand))
+          try Files.createDirectory(cand)
+          catch { case e: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(stageMarkerPath(cand)); throw e
+          }
           versionDir = cand
         }
         catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }

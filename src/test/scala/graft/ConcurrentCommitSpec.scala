@@ -222,6 +222,41 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(!Files.exists(stage), "an aged unpublished stage is orphan work")
   }
 
+  test("allocation survives Spark's Overwrite delete window: a rival never reuses an in-flight stage number") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("cc-clobber"), retain = 8)
+    wh.overwrite(Seq((0L, "seed")).toDF("id", "name"), "t") // v1
+    var myStage: Long = -1
+    var rivalVersion: Long = -1
+    wh.commit("t") { staged =>
+      val p = Paths.get(staged)
+      myStage = p.getFileName.toString.stripPrefix("t.v").toLong
+      // simulate the mid-write state of a Spark Overwrite: the staged
+      // dir is DELETED before being recreated — with dir-as-allocation-
+      // token, a rival scanning now sees the number free, claims it, and
+      // two writers interleave into one stage (the breaker-storm flake)
+      graft.sources.Tables.deleteRecursively(p)
+      val rival = new Thread(() =>
+        Warehouse(wh.root, retain = 8).overwrite(
+          Seq((1L, "rival")).toDF("id", "name"), "t"))
+      rival.start(); rival.join(60000)
+      assert(!rival.isAlive, "rival must complete")
+      rivalVersion = wh.currentVersion("t").get
+      // the sibling stage marker kept the number owned through the window
+      assert(rivalVersion != myStage,
+        s"rival reused in-flight stage v$myStage")
+      Files.createDirectories(p)
+      Seq((2L, "mine")).toDF("id", "name").write
+        .mode(SaveMode.Overwrite).parquet(staged)
+    }
+    // both snapshots are complete and single-author: no mixed part files
+    import org.apache.spark.sql.functions.col
+    assert(wh.read(spark, "t").select("name").as[String].collect().toSeq
+      == Seq("mine"))
+    assert(wh.readVersion(spark, "t", rivalVersion).select("name")
+      .as[String].collect().toSeq == Seq("rival"))
+  }
+
   test("a stale lock with a breaker storm admits exactly one committer chain (no lost update)") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("cc-lockstorm"))

@@ -199,6 +199,43 @@ class GraftSqlWriteSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("projection"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN drives the declared-evolution registry + one COW rewrite") {
+    val root = tmpDir("sqlw-evol")
+    val wh = Warehouse(root, retain = 8)
+    register("w8", root)
+    spark.sql("CREATE TABLE w8.t AS SELECT * FROM VALUES " +
+      "(1, 'a', 1.5), (2, 'b', 2.5) AS v(id, s, x)")
+    val before = wh.currentVersion("t").get
+
+    spark.sql("ALTER TABLE w8.t RENAME COLUMN s TO label")
+    // plain SQL sees the new shape immediately (the COW rewrite)...
+    assert(spark.sql("SELECT * FROM w8.t").schema.fieldNames.toSeq ==
+      Seq("id", "label", "x"))
+    assert(spark.sql("SELECT label FROM w8.t WHERE id = 1").head.getString(0) == "a")
+    // ...the registry carries the declaration (fold/changelog paths
+    // rejoin old-name history through it)...
+    assert(graft.sources.SchemaEvolution.renames(wh, "t") == Map("s" -> "label"))
+    // ...and the pre-rename snapshot is retained under its own bytes
+    assert(spark.sql(s"SELECT * FROM w8.t VERSION AS OF $before")
+      .schema.fieldNames.toSeq == Seq("id", "s", "x"))
+
+    spark.sql("ALTER TABLE w8.t DROP COLUMN x")
+    assert(spark.sql("SELECT * FROM w8.t").schema.fieldNames.toSeq ==
+      Seq("id", "label"))
+    assert(graft.sources.SchemaEvolution.drops(wh, "t") == Set("x"))
+
+    // protected key columns refuse through the same registry guard
+    spark.sql("ALTER TABLE w8.t SET TBLPROPERTIES ('cdc.key-column'='id')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE w8.t RENAME COLUMN id TO pk")
+    }
+    assert(e.getMessage.contains("keyed on it"))
+    // add/retype changes refuse toward the structural paths
+    intercept[Exception] {
+      spark.sql("ALTER TABLE w8.t ADD COLUMN extra INT")
+    }
+  }
+
   test("concurrent SQL inserts: every row survives the append CAS (no lost updates)") {
     val root = tmpDir("sqlw-conc")
     register("w7", root)
