@@ -943,6 +943,53 @@ object Queries {
     }
   }
 
+  /** `MERGE INTO` under the driver's oracle gate (q192): a mirror CTAS'd
+    * from the even-keyed events slice, then ONE literal `MERGE INTO`
+    * statement applies a deterministic change batch — deletes where
+    * `event_id % 10 = 0`, value-doubling updates for the matched rest,
+    * inserts for unmatched — through Spark's group-based copy-on-write
+    * row-level operation ([[graft.sources.GraftCowBatchWrite]]: the
+    * post-merge rows stream into an exclusively-allocated stage published
+    * by pointer CAS). The oracle computes the same final state as pure
+    * predicate algebra over the raw events table, so the whole rewrite
+    * (scan-without-group-filter, conditional copy, merge semantics,
+    * snapshot publish) must agree with DuckDB to the hash.
+    */
+  def q192MergeIntoLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat_q192")
+    val n = catalogSeq.incrementAndGet()
+    val cat = s"gq192_$n"
+    val src = s"gq192_src_$n"
+    try {
+      events(spark, dir).select("event_id", "event_type", "value")
+        .createOrReplaceTempView(src)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(s"CREATE TABLE $cat.mirror AS SELECT * FROM $src " +
+        "WHERE event_id % 2 = 0")
+      spark.sql(
+        s"""MERGE INTO $cat.mirror t
+           |USING (SELECT event_id, event_type, value * 2 AS value,
+           |         event_id % 10 = 0 AS is_del
+           |       FROM $src WHERE event_id % 3 = 0) s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.is_del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED AND NOT s.is_del THEN
+           |  INSERT (event_id, event_type, value)
+           |  VALUES (s.event_id, s.event_type, s.value)""".stripMargin)
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.mirror GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true)
+    } finally {
+      spark.catalog.dropTempView(src)
+      deleteDir(tmp)
+    }
+  }
+
   /** National market share (q166) — the TPC-H Q8 shape: the share of
     * PROMO-part revenue supplied by NATION_0, per order year. Two exact
     * DECIMAL revenue sums per year (nation slice and total) from ONE
@@ -2200,6 +2247,22 @@ object Queries {
         |FROM events GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
 
+    // the MERGE INTO copy-on-write rewrite must equal the oracle's
+    // predicate algebra for kept / updated / inserted / deleted rows
+    "q192_merge_into_lifecycle" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT event_type, value AS v FROM events
+        |  WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value * 2 FROM events
+        |  WHERE event_id % 2 = 0 AND event_id % 3 = 0 AND event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value * 2 FROM events
+        |  WHERE event_id % 2 = 1 AND event_id % 3 = 0
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the CTAS+INSERT+DELETE snapshot chain must compose to the same
     // predicate algebra the oracle evaluates directly
     "q191_sql_write_lifecycle" ->
@@ -2692,6 +2755,7 @@ object Queries {
     "q189_time_partitioned_replay" -> (q189TimePartitionedReplay _),
     "q190_catalog_time_travel" -> (q190CatalogTimeTravel _),
     "q191_sql_write_lifecycle" -> (q191SqlWriteLifecycle _),
+    "q192_merge_into_lifecycle" -> (q192MergeIntoLifecycle _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -689,7 +689,8 @@ object GraftCatalog {
   */
 private[sources] class GraftTable(wh: Warehouse, tableName: String,
     delegate: ParquetTable, policy: Either[String, Unit])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
@@ -773,6 +774,57 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   // mechanism (same reasoning as capabilities above)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     policy.isLeft || filters.forall(GraftTable.translatable)
+
+  /** `MERGE INTO` / `UPDATE` (and the rewrite-flavor `DELETE`): Spark's
+    * group-based copy-on-write row-level operations, with the whole
+    * table as the one group — the analyzer reads the current snapshot
+    * through the operation's scan, applies the merge/update logic, and
+    * [[GraftCowBatchWrite]] streams the post-operation rows into an
+    * exclusively-allocated stage published by the pointer CAS. The CAS
+    * expectation binds HERE, before the scan is built (the deleteWhere
+    * ordering discipline): a rival landing mid-operation flips the
+    * publish into a conflict, never a lost update. Whole-table-as-group
+    * is the honest COW granularity for this layout (a version dir is
+    * one snapshot); per-file groups would need runtime group filtering
+    * against the zone-map census — named as the optimization path, not
+    * silently approximated. Row-granular churn belongs on the MOR
+    * mirror; this is the Iceberg-COW-flavor SQL correction tool.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(info.command.toString)
+    val expected = wh.currentVersion(tableName)
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command
+        // the operation's scan defines the REPLACED GROUPS: Spark pushes
+        // the command's condition into it as a group filter so only
+        // affected groups are read and rewritten (Iceberg's per-file
+        // granularity). Our group is the whole table — one version dir IS
+        // one snapshot — so the scan must NOT accept pushdown: a plain
+        // build()-only builder reads the full snapshot and the plan's
+        // conditional projection carries untouched rows through (the
+        // pushed-filter variant silently dropped them — caught by spec).
+        // Per-file groups against the zone-map census are the named
+        // optimization path, not silently approximated.
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder {
+            override def build(): Scan =
+              delegate.newScanBuilder(options).build()
+          }
+        // the TABLE schema, not winfo.schema: ReplaceData's projections
+        // reduce the physical rows to exactly the table's columns before
+        // they reach the writer (winfo.schema can carry the operation
+        // metadata column and would mis-size the row accessor)
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): org.apache.spark.sql.connector.write.Write =
+              new GraftCowBatchWrite(wh, tableName, GraftTable.this.schema(),
+                expected)
+          }
+      }
+    }
+  }
 }
 
 private[sources] object GraftTable {

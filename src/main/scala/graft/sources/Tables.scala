@@ -218,23 +218,41 @@ object Tables {
       require(!name.contains("/"),
         s"commit is table-level; '$name' looks like a subdirectory")
       Files.createDirectories(Paths.get(root))
+      val legacyMoved = migrateLegacy(name)
+      val versionDir = allocateStage(name)
+      try write(versionDir.toString)
+      catch { case t: Throwable => discardStage(versionDir); throw t }
+      publishStage(name, versionDir, expectCurrent, legacyMoved)
+    }
+
+    /** Legacy real-dir layout: move it aside FIRST (becomes a retained
+      * version) so a crash mid-commit can never wedge on a half-done
+      * migration — a crash here leaves only the documented one-time
+      * absence window, and the next commit proceeds normally.
+      * @return true when a legacy dir was migrated (the CAS skips its
+      *         expectation for exactly that first commit)
+      */
+    private[sources] def migrateLegacy(name: String): Boolean = {
       val table = Paths.get(tablePath(name))
-      // legacy real-dir layout: move it aside FIRST (becomes a retained
-      // version) so a crash mid-commit can never wedge on a half-done
-      // migration — a crash here leaves only the documented one-time
-      // absence window, and the next commit proceeds normally
-      val legacyMoved =
-        if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-            !Files.isSymbolicLink(table)) {
-          val slot = versions(name).lastOption.map(_._1 + 1).getOrElse(0L)
-          val dest = Paths.get(s"${tablePath(name)}.v$slot")
-          Files.move(table, dest)
-          // the legacy dir WAS the published table — mark it so normal
-          // retention GC applies to it
-          Files.writeString(dest.resolve(PublishedMarker), "")
-          true
-        } else false
-      // UNIQUE version-dir allocation: two INDEPENDENT committers (an
+      if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !Files.isSymbolicLink(table)) {
+        val slot = versions(name).lastOption.map(_._1 + 1).getOrElse(0L)
+        val dest = Paths.get(s"${tablePath(name)}.v$slot")
+        Files.move(table, dest)
+        // the legacy dir WAS the published table — mark it so normal
+        // retention GC applies to it
+        Files.writeString(dest.resolve(PublishedMarker), "")
+        true
+      } else false
+    }
+
+    /** Exclusive stage-dir allocation — [[commit]]'s first half, exposed
+      * separately for EXTERNALLY-DRIVEN writes (the catalog's V2
+      * BatchWrite path, where executor tasks write into the stage before
+      * the driver publishes). Every allocation MUST end in
+      * [[publishStage]] or [[discardStage]].
+      */
+    // UNIQUE version-dir allocation: two INDEPENDENT committers (an
       // ingest stream's JVM and a scheduled maintenance JVM sharing the
       // warehouse) must never stage into the same directory — before this
       // existed, both would pick the same `next`, and the CAS loser's
@@ -258,6 +276,10 @@ object Tables {
       // On either collision: roll back only what this writer created,
       // bump, retry — each writer ends up sole owner of its stage, so the
       // data write itself needs no lock at all.
+    private[sources] def allocateStage(name: String): Path = {
+      require(!name.contains("/"),
+        s"allocation is table-level; '$name' looks like a subdirectory")
+      Files.createDirectories(Paths.get(root))
       var next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
       var versionDir: Path = null
       while (versionDir == null) {
@@ -272,15 +294,26 @@ object Tables {
         }
         catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
       }
-      try write(versionDir.toString)
-      catch { case t: Throwable => discardStage(versionDir); throw t }
-      // The decide-and-swap is the only contended region, and it is
-      // microseconds long — serialize it with an exclusive lock file so
-      // the CAS is a real compare-and-swap across PROCESSES, not a
-      // check-then-act with a window. A real catalog does exactly this as
-      // its transactional commit (the Iceberg optimistic-concurrency
-      // commit underlying the reference's table.transaction(),
-      // tabular.py:69-70); the lock file is the offline stand-in.
+      versionDir
+    }
+
+    /** Publish an allocated-and-written stage — [[commit]]'s second half.
+      * The decide-and-swap is the only contended region, and it is
+      * microseconds long — serialize it with an exclusive lock file so
+      * the CAS is a real compare-and-swap across PROCESSES, not a
+      * check-then-act with a window. A real catalog does exactly this as
+      * its transactional commit (the Iceberg optimistic-concurrency
+      * commit underlying the reference's table.transaction(),
+      * tabular.py:69-70); the lock file is the offline stand-in.
+      */
+    private[sources] def publishStage(name: String, versionDir: Path,
+        expectCurrent: Option[Long], legacyMoved: Boolean): Unit = {
+      val table = Paths.get(tablePath(name))
+      val next = {
+        val m = versionPattern(name).matcher(versionDir.getFileName.toString)
+        require(m.matches(), s"$versionDir is not a stage of '$name'")
+        m.group(1).toLong
+      }
       withCommitLock(name) {
         // optimistic concurrency for offline rewrites (compaction/GC):
         // the swap only publishes if the version the rewriter read is
@@ -367,7 +400,7 @@ object Tables {
       * ConcurrentCommitSpec under the published-marker GC). The rename
       * vacates the number atomically with nothing left behind at it.
       */
-    private def discardStage(versionDir: Path): Unit = {
+    private[sources] def discardStage(versionDir: Path): Unit = {
       val trash = versionDir.resolveSibling(
         s"${versionDir.getFileName}.discard${System.nanoTime()}")
       try {

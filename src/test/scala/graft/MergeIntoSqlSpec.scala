@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Cdc
+import graft.sources.GraftCatalog
+import graft.sources.Tables.Warehouse
+
+/** `MERGE INTO` / `UPDATE` / rewrite-flavor `DELETE` — Spark's group-based
+  * copy-on-write row-level operations over [[GraftCatalog]] tables: the
+  * post-operation rows stream through [[graft.sources.GraftCowBatchWrite]]
+  * into an exclusively-allocated stage and publish by pointer CAS, so the
+  * row-level SQL face carries exactly the same snapshot atomicity and
+  * time-travel retention as every other committed write. The headline
+  * case is the reference's own workload: a CDC batch applied by literal
+  * `MERGE INTO` must equal the engine's fold ([[Cdc.applyBatch]], the q18
+  * semantics).
+  */
+class MergeIntoSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+  }
+
+  test("MERGE INTO applies a CDC batch == the engine's fold (q18 semantics)") {
+    val root = tmpDir("merge-cdc")
+    val wh = Warehouse(root, retain = 8)
+    register("m1", root)
+    val cfg = CdcConfig("id", "ts")
+    // seed: the fold of an initial insert batch; the SQL mirror holds the
+    // VISIBLE projection (MERGE maintains plain rows - tombstone
+    // retention for late arrivals is the engine fold's own concern)
+    val seed = Cdc.fold(Seq(
+      (1L, "alice", "I", "t01"), (2L, "bob", "I", "t02"),
+      (3L, "carol", "I", "t03")).toDF("id", "name", "op", "ts"), cfg)
+    wh.overwrite(Cdc.currentState(seed).select("id", "name")
+      .localCheckpoint(true), "mirror")
+    // one CDC batch: update 1, delete 2, insert 4 — pre-folded to
+    // latest-per-key (the changelog feed's hop shape)
+    val batch = Seq(
+      (1L, "alice2", "U", "t10"), (2L, "bob", "D", "t11"),
+      (4L, "dave", "I", "t12")).toDF("id", "name", "op", "ts")
+    batch.createOrReplaceTempView("cdc_batch")
+
+    spark.sql(
+      """MERGE INTO m1.mirror t USING cdc_batch s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *""".stripMargin)
+
+    val viaMerge = spark.sql("SELECT id, name FROM m1.mirror ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the engine's own fold of the same batch over the same seed
+    val viaFold = Cdc.currentState(Cdc.applyBatch(seed, batch, cfg))
+      .select("id", "name").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaMerge == viaFold)
+    assert(viaMerge == Seq((1L, "alice2"), (3L, "carol"), (4L, "dave")))
+  }
+
+  test("MERGE commits a retained snapshot: time travel sees the pre-merge state") {
+    val root = tmpDir("merge-tt")
+    val wh = Warehouse(root, retain = 8)
+    register("m2", root)
+    spark.sql("CREATE TABLE m2.t AS SELECT id, CAST(x AS DOUBLE) AS x " +
+      "FROM VALUES (1, 10.0), (2, 20.0) AS v(id, x)")
+    val before = wh.currentVersion("t").get
+    Seq((2, 99.0), (3, 30.0)).toDF("id", "x").createOrReplaceTempView("m2src")
+    spark.sql(
+      """MERGE INTO m2.t t USING m2src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT sum(x) FROM m2.t").head.getDouble(0) == 139.0)
+    assert(wh.currentVersion("t").get > before)
+    assert(spark.sql(s"SELECT sum(x) FROM m2.t VERSION AS OF $before")
+      .head.getDouble(0) == 30.0)
+  }
+
+  test("UPDATE and non-pushable DELETE ride the same COW rewrite") {
+    val root = tmpDir("merge-upd")
+    register("m3", root)
+    spark.sql("CREATE TABLE m3.t AS SELECT id, grp, CAST(x AS DOUBLE) AS x " +
+      "FROM VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0), (4, 'b', 4.0) " +
+      "AS v(id, grp, x)")
+    spark.sql("UPDATE m3.t SET x = x * 10 WHERE grp = 'a'")
+    assert(spark.sql("SELECT sum(x) FROM m3.t").head.getDouble(0) == 46.0)
+    // a modulo predicate is NOT expressible as a pushed source filter —
+    // before SupportsRowLevelOperations this delete could only error;
+    // now it rewrites
+    spark.sql("DELETE FROM m3.t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT id FROM m3.t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("row-level operations refuse on layout-contract tables with the owning mechanism named") {
+    val root = tmpDir("merge-refuse")
+    val wh = Warehouse(root, retain = 8)
+    register("m4", root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "m")
+    graft.plans.MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id")
+    wh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .localCheckpoint(true), "m")
+    graft.plans.MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE m4.m_feed SET s = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("consumer contract"))
+  }
+}
