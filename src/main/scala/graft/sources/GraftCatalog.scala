@@ -172,6 +172,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (props.contains("changelog.last-version"))
       Left(s"'$t' is a changelog feed view; its hop subdirs are the " +
         "consumer contract (written only by emit_changelog)")
+    // the reference's own changelog marker (dependent-tables, C2): its
+    // per-batch subdirs are the stream's replay-idempotence unit and its
+    // IN-PLACE layout must never migrate to a version pointer under the
+    // ingest stream's feet — a SQL INSERT would do exactly that
+    else if (props.contains("dependent-tables"))
+      Left(s"'$t' is a CDC changelog written by the ingest pipeline; " +
+        "appends are batch-granular and replay-idempotent " +
+        "(Warehouse.appendBatch)")
     else if (props.contains(Maintenance.ProjectionSourceProp))
       Left(s"'$t' is a materialized projection refreshed from " +
         s"'${props(Maintenance.ProjectionSourceProp)}' by maintenance; " +

@@ -197,6 +197,16 @@ class GraftSqlWriteSpec extends SparkTestBase {
       spark.sql("INSERT INTO w6.wide_ro VALUES (9, 9.0)")
     }
     assert(e2.getMessage.toLowerCase.contains("projection"))
+    // a CDC changelog (the reference's dependent-tables marker): its
+    // in-place batch layout must never migrate to a version pointer
+    // under the ingest stream's feet
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "chg")
+    TableProps.write(wh, "chg",
+      TableProps.read(wh, "chg") + ("dependent-tables" -> "m"))
+    val e3 = intercept[Exception] {
+      spark.sql("INSERT INTO w6.chg VALUES (2, 'b')")
+    }
+    assert(e3.getMessage.contains("appendBatch"))
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN drives the declared-evolution registry + one COW rewrite") {
