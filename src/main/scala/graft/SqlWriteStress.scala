@@ -82,6 +82,34 @@ object SqlWriteStress {
       }
       println(f"[sqlwrite-stress] COW delete of grp=0: $tDelete%.2f s " +
         "(O(table) rewrite by design; row-granular churn belongs on the MOR mirror)")
+
+      // file-granular row-level groups: the same single-group UPDATE on a
+      // CLUSTERED table must rewrite ~1/64th and hard-link the rest,
+      // vs the whole-table rewrite on the unclustered twin
+      spark.conf.set("spark.sql.catalog.gstress",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gstress.warehouse", root.toString)
+      wh.overwrite(mk(rows, 0), "tw") // unclustered twin (whole-table groups)
+      wh.overwrite(mk(rows, 0), "tc")
+      graft.plans.Maintenance.cluster(spark, wh, "tc", Seq("grp"), 64)
+      val (_, tWhole) = time(
+        spark.sql("UPDATE gstress.tw SET v = -1.0 WHERE grp = 7"))
+      val (_, tGrouped) = time(
+        spark.sql("UPDATE gstress.tc SET v = -1.0 WHERE grp = 7"))
+      val curC = wh.currentVersion("tc").get
+      var linkedC = 0
+      val sc = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"${root.toString}/tc.v$curC"))
+      try sc.iterator().forEachRemaining { f =>
+        if (f.getFileName.toString.endsWith(".parquet") &&
+            java.nio.file.Files.getAttribute(f, "unix:nlink")
+              .asInstanceOf[Integer].intValue() > 1) linkedC += 1
+      } finally sc.close()
+      val nUpd = spark.sql("SELECT count(*) FROM gstress.tc WHERE v = -1.0")
+        .head.getLong(0)
+      println(f"[sqlwrite-stress] single-group UPDATE at $rows rows: " +
+        f"whole-table ${tWhole}%.2f s vs file-granular ${tGrouped}%.2f s " +
+        f"(${tWhole / tGrouped}%.1fx) | carried(linked)=$linkedC rowsUpdated=$nUpd")
     } finally {
       graft.sources.Tables.deleteRecursively(root)
       spark.stop()

@@ -207,6 +207,36 @@ object ZoneMap {
       .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
   }
 
+  /** File-level survivor selection for an EXTERNAL planner (the SQL
+    * catalog's file-granular copy-on-write groups): the RELATIVE paths of
+    * files that may contain a row satisfying `bounds`, or None when there
+    * is no manifest or it is stale (census mismatch) — the caller falls
+    * back to whole-table granularity, never to a wrong subset. Same
+    * conservative contract as [[read]]: a file is excluded only when its
+    * stats PROVE no row can match.
+    */
+  def survivingFiles(spark: SparkSession, dataPath: String,
+      bounds: Seq[Bound]): Option[Seq[String]] = {
+    if (bounds.isEmpty || !hasManifest(spark, dataPath)) return None
+    // a bound on a column the manifest carries no stats for cannot
+    // select anything — whole-table fallback, never a guess
+    val m = manifest(spark, dataPath)
+    val needed = bounds.flatMap(b => Seq(s"min_${b.column}", s"max_${b.column}"))
+    if (!needed.forall(m.columns.contains)) return None
+    val plan = planFiles(spark, dataPath, bounds)
+    if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
+      logStale(dataPath)
+      return None
+    }
+    Some(plan.collect { case (f, true) => f })
+  }
+
+  /** The flat-layout data-file census (relative names), public for the
+    * SQL catalog's file-granular COW carry.
+    */
+  def dataFileCensus(spark: SparkSession, dataPath: String): Seq[String] =
+    listDataFiles(spark, dataPath)
+
   /** Read `dataPath` with file-level pruning for `bounds`, returning
     * EXACTLY `spark.read.parquet(dataPath).filter(bounds)`:
     *

@@ -43,7 +43,9 @@ import graft.sources.Tables.Warehouse
   * though it reads the table it replaces.
   */
 private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
-    schema: StructType, expectCurrent: Option[Long]) extends Write {
+    schema: StructType, expectCurrent: Option[Long],
+    baseDir: Option[String] = None,
+    carryFiles: () => Seq[String] = () => Nil) extends Write {
   self =>
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -78,6 +80,26 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
         if (n.endsWith(".parquet") && !committed.contains(n))
           java.nio.file.Files.delete(f)
       } finally s.close()
+      // FILE-GRANULAR groups: every base file the operation's scan
+      // excluded (stats proved no row matches) carries VERBATIM as a
+      // hard link — the Iceberg per-file COW rewrite where a "kept file
+      // reference" is a link. The base dir is the version the scan
+      // pinned (immutable), so the carry is consistent with the CAS.
+      // No manifest carry: rewritten files invalidate their manifest
+      // rows, so the next maintenance tick re-clusters (the appended-
+      // files-only incremental contract does not cover replacements).
+      baseDir.foreach { base =>
+        carryFiles().foreach { rel =>
+          val src = java.nio.file.Paths.get(base, rel)
+          val dst = stage.resolve(rel)
+          try java.nio.file.Files.createLink(dst, src)
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(src, dst)
+          }
+        }
+      }
       wh.publishStage(table, stage, expectCurrent, legacyMoved)
     }
 

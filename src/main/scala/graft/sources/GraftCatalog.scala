@@ -805,21 +805,56 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command
-        // the operation's scan defines the REPLACED GROUPS: Spark pushes
-        // the command's condition into it as a group filter so only
-        // affected groups are read and rewritten (Iceberg's per-file
-        // granularity). Our group is the whole table — one version dir IS
-        // one snapshot — so the scan must NOT accept pushdown: a plain
-        // build()-only builder reads the full snapshot and the plan's
-        // conditional projection carries untouched rows through (the
-        // pushed-filter variant silently dropped them — caught by spec).
-        // Per-file groups against the zone-map census are the named
-        // optimization path, not silently approximated.
+
+        /** The operation's scan defines the REPLACED GROUPS — Spark
+          * rewrites exactly what the scan read. Two granularities:
+          *
+          *  - FILE-GRANULAR (UPDATE/DELETE with literal predicates on a
+          *    table whose `_zonemap` manifest is fresh): the builder
+          *    RECORDS the pushed condition without pushing it (returned
+          *    whole as residual — pushing it would let the parquet
+          *    reader skip row groups whose rows must be copied
+          *    verbatim), conservatively selects the files whose stats
+          *    admit a match ([[graft.plans.ZoneMap.survivingFiles]]),
+          *    scans ONLY those in full, and the write hard-links every
+          *    excluded file into the new version — maintenance cost
+          *    tracks the matched region, not the table.
+          *  - WHOLE-TABLE otherwise (no/stale manifest, untranslatable
+          *    predicates, or MERGE, whose group filter is runtime
+          *    data-dependent — `SupportsRuntimeV2Filtering` against the
+          *    manifest is the named next step). The first pushed-filter
+          *    variant of this scan silently dropped untouched rows
+          *    (caught by spec): group semantics, not row semantics.
+          */
+        @volatile private var scannedRel: Option[Seq[String]] = None
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          new ScanBuilder {
-            override def build(): Scan =
-              delegate.newScanBuilder(options).build()
+          new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+            private var recorded: Array[Filter] = Array.empty
+            override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+              recorded = filters
+              filters // ALL residual: nothing is pushed into the reader
+            }
+            override def pushedFilters(): Array[Filter] = Array.empty
+            override def build(): Scan = {
+              scannedRel = GraftTable.selectCowGroups(
+                SparkSession.active, delegate.paths.head, recorded)
+              scannedRel match {
+                case Some(rel) =>
+                  val base = delegate.paths.head
+                  val opts = new java.util.HashMap[String, String]()
+                  opts.put("mergeSchema", "true")
+                  ParquetTable(tableName, SparkSession.active,
+                    new CaseInsensitiveStringMap(opts),
+                    rel.map(f => s"$base/$f"),
+                    Some(GraftTable.this.schema()),
+                    classOf[ParquetFileFormat])
+                    .newScanBuilder(options).build()
+                case None =>
+                  delegate.newScanBuilder(options).build()
+              }
+            }
           }
+
         // the TABLE schema, not winfo.schema: ReplaceData's projections
         // reduce the physical rows to exactly the table's columns before
         // they reach the writer (winfo.schema can carry the operation
@@ -828,7 +863,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           new WriteBuilder {
             override def build(): org.apache.spark.sql.connector.write.Write =
               new GraftCowBatchWrite(wh, tableName, GraftTable.this.schema(),
-                expected)
+                expected, Some(delegate.paths.head),
+                () => scannedRel match {
+                  case Some(scanned) =>
+                    val all = graft.plans.ZoneMap.dataFileCensus(
+                      SparkSession.active, delegate.paths.head)
+                    (all.toSet -- scanned.toSet).toSeq.sorted
+                  case None => Nil
+                })
           }
       }
     }
@@ -839,6 +881,49 @@ private[sources] object GraftTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.{sources => f}
+
+  /** Conservative file-group selection for a row-level rewrite: the
+    * recorded (NOT pushed) condition translates conjunct-wise into
+    * min/max [[graft.plans.ZoneMap.Bound]]s — a conjunct that cannot
+    * bound (OR, functions, nulls, unstatted columns) simply constrains
+    * nothing, which only ever KEEPS more files. Returns the relative
+    * paths of files that may contain a match, or None for whole-table
+    * granularity (no usable bound, no manifest, or a stale one).
+    */
+  private[sources] def selectCowGroups(spark: SparkSession, baseDir: String,
+      filters: Array[Filter]): Option[Seq[String]] = {
+    import graft.plans.ZoneMap
+    def statable(v: Any): Boolean = v match {
+      case null => false
+      case _: Number | _: String | _: java.math.BigDecimal |
+           _: java.sql.Date | _: java.sql.Timestamp |
+           _: java.time.LocalDate | _: java.time.Instant => true
+      case _ => false
+    }
+    def toBounds(flt: Filter): Seq[ZoneMap.Bound] = flt match {
+      case f.And(l, r) => toBounds(l) ++ toBounds(r)
+      case f.EqualTo(a, v) if statable(v) =>
+        Seq(ZoneMap.Bound(a, Some(v), Some(v)))
+      case f.GreaterThan(a, v) if statable(v) =>
+        Seq(ZoneMap.Bound(a, Some(v), None)) // >= is keep-conservative for >
+      case f.GreaterThanOrEqual(a, v) if statable(v) =>
+        Seq(ZoneMap.Bound(a, Some(v), None))
+      case f.LessThan(a, v) if statable(v) =>
+        Seq(ZoneMap.Bound(a, None, Some(v)))
+      case f.LessThanOrEqual(a, v) if statable(v) =>
+        Seq(ZoneMap.Bound(a, None, Some(v)))
+      case f.In(a, vs) if vs.nonEmpty && vs.forall(statable) &&
+          vs.forall(_.isInstanceOf[Comparable[_]]) &&
+          vs.map(_.getClass: Any).distinct.length == 1 =>
+        val sorted = vs.map(_.asInstanceOf[AnyRef]).sortWith((x, y) =>
+          x.asInstanceOf[Comparable[AnyRef]].compareTo(y) < 0)
+        Seq(ZoneMap.Bound(a, Some(sorted.head), Some(sorted.last)))
+      case _ => Nil // unbounded conjunct: conservative, keeps files
+    }
+    val bounds = filters.toSeq.flatMap(toBounds)
+    if (bounds.isEmpty) None
+    else ZoneMap.survivingFiles(spark, baseDir, bounds)
+  }
 
   private def translatable(flt: Filter): Boolean = flt match {
     case a: f.And => translatable(a.left) && translatable(a.right)

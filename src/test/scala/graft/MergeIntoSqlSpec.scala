@@ -93,6 +93,61 @@ class MergeIntoSqlSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("file-granular COW groups: UPDATE on a clustered table rewrites only the matched files") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("merge-groups")
+    val wh = Warehouse(root, retain = 8)
+    register("m5", root)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") % 10).as("grp"), (col("id") * 1.0).as("x"))
+      .localCheckpoint(true), "t")
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("grp"), 10)
+    val before = wh.currentVersion("t").get
+    val baseFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/t.v$before")).iterator()
+    var baseNames = Set.empty[String]
+    while (baseFiles.hasNext) {
+      val n = baseFiles.next().getFileName.toString
+      if (n.endsWith(".parquet")) baseNames += n
+    }
+    assert(baseNames.size >= 8, s"clustered layout expected, got $baseNames")
+
+    spark.sql("UPDATE m5.t SET x = -1.0 WHERE grp = 3")
+
+    // correctness first: exactly the grp-3 rows changed
+    assert(spark.sql("SELECT count(*) FROM m5.t").head.getLong(0) == 1000)
+    assert(spark.sql("SELECT count(*) FROM m5.t WHERE x = -1.0")
+      .head.getLong(0) == 100)
+    assert(spark.sql("SELECT CAST(sum(x) AS LONG) FROM m5.t WHERE grp <> 3")
+      .head.getLong(0) == (0 until 1000).filter(_ % 10 != 3).sum)
+    // the new version CARRIES the unmatched files verbatim (same names,
+    // hard-linked) and rewrote only the matched region
+    val cur = wh.currentVersion("t").get
+    val s = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/t.v$cur"))
+    var carried = 0; var fresh = 0
+    try s.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val links = java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Integer].intValue()
+        if (baseNames.contains(n) && links > 1) carried += 1 else fresh += 1
+      }
+    } finally s.close()
+    assert(carried >= baseNames.size - 2,
+      s"expected ~${baseNames.size - 1} carried files, got carried=$carried fresh=$fresh")
+    assert(fresh >= 1)
+    // time travel still serves the pre-update snapshot
+    assert(spark.sql(s"SELECT count(*) FROM m5.t VERSION AS OF $before " +
+      "WHERE x = -1.0").head.getLong(0) == 0)
+
+    // a zero-match UPDATE carries everything and rewrites nothing
+    spark.sql("UPDATE m5.t SET x = -2.0 WHERE grp = 99")
+    assert(spark.sql("SELECT count(*) FROM m5.t WHERE x = -2.0")
+      .head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM m5.t").head.getLong(0) == 1000)
+  }
+
   test("row-level operations refuse on layout-contract tables with the owning mechanism named") {
     val root = tmpDir("merge-refuse")
     val wh = Warehouse(root, retain = 8)
