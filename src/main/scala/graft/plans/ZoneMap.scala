@@ -366,39 +366,87 @@ object ZoneMap {
   def lookupRead(spark: SparkSession, dataPath: String, keyCol: String,
       keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "lookupRead needs at least one key")
-    graft.functions.GraftFunctions.register(spark)
     val table = spark.read.parquet(dataPath)
     val keyType = table.schema(keyCol).dataType
     val rowPred = col(keyCol).isin(keys: _*)
-    def full = table.filter(rowPred)
-    if (!hasManifest(spark, dataPath)) return full
+    keyedSurvivors(spark, dataPath, keyCol, keys, Some(keyType),
+      bloomOnly = true) match {
+      case None => table.filter(rowPred)
+      case Some(Nil) => table.filter(lit(false))
+      case Some(files) =>
+        spark.read.parquet(files.map(f => s"$dataPath/$f"): _*).filter(rowPred)
+    }
+  }
+
+  /** Per-key file-survivor selection — the planning kernel shared by
+    * [[lookupRead]] and the SQL catalog's RUNTIME row-level group filter
+    * (a MERGE's matched keys arrive at execution time and narrow the
+    * replaced-file set). Probes the manifest's per-file Bloom bitsets
+    * when the column carries them (the scattered-key case min/max cannot
+    * serve); falls back to a per-key min/max RANGE probe (OR across
+    * keys, null stats keep the file) when only interval stats exist;
+    * returns None — whole-table, never a guess — when there is no
+    * manifest, no stats for the column, or the census is stale.
+    * `bloomOnly` preserves [[lookupRead]]'s historical contract (no
+    * bloom declared = full scan).
+    */
+  def keyedSurvivors(spark: SparkSession, dataPath: String, keyCol: String,
+      keys: Seq[Any], keyTypeHint: Option[org.apache.spark.sql.types.DataType] = None,
+      bloomOnly: Boolean = false): Option[Seq[String]] = {
+    if (keys.isEmpty || !hasManifest(spark, dataPath)) return None
+    graft.functions.GraftFunctions.register(spark)
     val m = manifest(spark, dataPath)
-    if (!m.columns.contains(s"bloom_$keyCol")) return full
-    // the probe must use the hash count the BUILD used; it is stored in
-    // the manifest (constant across rows) and must be a plan-time
-    // literal for the probe expression — one tiny fetch. A zero-row
-    // manifest (not producible via the API, but disk is disk) degrades
-    // to the full scan rather than crashing the fetch
-    val nhRow = m.select(s"bloomhashes_$keyCol").head(1)
-    if (nhRow.isEmpty) return full
-    val nh = nhRow(0).getInt(0)
-    val probes = keys.map { v =>
-      // a key that cannot cast to the column type hashes to null and the
-      // probe returns null; such a key matches NO row (isin semantics),
-      // so its contribution is false — without the coalesce the null
-      // would poison the OR and crash the planning collect
-      coalesce(call_function("bloom_might_contain", col(s"bloom_$keyCol"),
-        xxhash64(lit(v).cast(keyType)), lit(nh)), lit(false))
-    }.reduce(_ || _)
+    val hasBloom = m.columns.contains(s"bloom_$keyCol")
+    val hasMinMax = m.columns.contains(s"min_$keyCol") &&
+      m.columns.contains(s"max_$keyCol")
+    if (!hasBloom && (bloomOnly || !hasMinMax)) return None
+    val probes =
+      if (hasBloom) {
+        // the probe must use the hash count the BUILD used; it is stored
+        // in the manifest (constant across rows) and must be a plan-time
+        // literal for the probe expression — one tiny fetch. A zero-row
+        // manifest (not producible via the API, but disk is disk)
+        // degrades to the fallback rather than crashing the fetch
+        val nhRow = m.select(s"bloomhashes_$keyCol").head(1)
+        if (nhRow.isEmpty) return None
+        val nh = nhRow(0).getInt(0)
+        val keyType = keyTypeHint.getOrElse(
+          spark.read.parquet(dataPath).schema(keyCol).dataType)
+        keys.map { v =>
+          // a key that cannot cast to the column type hashes to null and
+          // the probe returns null; such a key matches NO row (isin
+          // semantics), so its contribution is false — without the
+          // coalesce the null would poison the OR and crash the collect
+          coalesce(call_function("bloom_might_contain",
+            col(s"bloom_$keyCol"),
+            xxhash64(lit(v).cast(keyType)), lit(nh)), lit(false))
+        }.reduce(_ || _)
+      } else {
+        // range probe, keep-conservative: a file with null stats survives
+        val (mn, mx) = (col(s"min_$keyCol"), col(s"max_$keyCol"))
+        val anyKey = keys.map(v => mn <= lit(v) && mx >= lit(v))
+          .reduce(_ || _)
+        mn.isNull || mx.isNull || anyKey
+      }
     val plan = m.select(col("file"), probes.as("_keep"))
       .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
     if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
       logStale(dataPath)
-      return full
+      return None
     }
-    val files = plan.collect { case (f, true) => s"$dataPath/$f" }
-    if (files.isEmpty) table.filter(lit(false))
-    else spark.read.parquet(files: _*).filter(rowPred)
+    Some(plan.collect { case (f, true) => f })
+  }
+
+  /** Columns the manifest carries file-skipping evidence for (interval
+    * stats or Bloom bitsets) — the SQL catalog's runtime-filterable
+    * attribute set. Empty when no manifest exists.
+    */
+  def stattedColumns(spark: SparkSession, dataPath: String): Seq[String] = {
+    if (!hasManifest(spark, dataPath)) return Nil
+    val cols = manifest(spark, dataPath).columns
+    (cols.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") } ++
+      cols.collect { case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") })
+      .distinct.toSeq
   }
 
   private def logStale(dataPath: String): Unit =

@@ -836,22 +836,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             }
             override def pushedFilters(): Array[Filter] = Array.empty
             override def build(): Scan = {
+              // static selection (UPDATE/DELETE literal predicates);
+              // runtime narrowing (MERGE matched keys) arrives through
+              // the scan's SupportsRuntimeV2Filtering face
               scannedRel = GraftTable.selectCowGroups(
                 SparkSession.active, delegate.paths.head, recorded)
-              scannedRel match {
-                case Some(rel) =>
-                  val base = delegate.paths.head
-                  val opts = new java.util.HashMap[String, String]()
-                  opts.put("mergeSchema", "true")
-                  ParquetTable(tableName, SparkSession.active,
-                    new CaseInsensitiveStringMap(opts),
-                    rel.map(f => s"$base/$f"),
-                    Some(GraftTable.this.schema()),
-                    classOf[ParquetFileFormat])
-                    .newScanBuilder(options).build()
-                case None =>
-                  delegate.newScanBuilder(options).build()
-              }
+              new GroupCowScan(tableName, delegate.paths.head,
+                GraftTable.this.schema(), options, scannedRel,
+                sel => scannedRel = sel)
             }
           }
 
@@ -963,5 +955,117 @@ private[sources] object GraftTable {
     case other => throw new UnsupportedOperationException(
       s"DELETE predicate $other is not translatable; rewrite the delete " +
         "as INSERT OVERWRITE ... SELECT survivors")
+  }
+}
+
+/** The row-level operation's scan: serves the pinned snapshot restricted
+  * to the SELECTED group files, and narrows that selection at RUNTIME
+  * through [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  * — for a `MERGE INTO`, Spark's row-level group-filter rule executes
+  * the matching-keys subquery and hands the matched key VALUES here as
+  * an IN predicate; the keys probe the zone-map manifest's per-file
+  * Bloom bitsets ([[graft.plans.ZoneMap.keyedSurvivors]] — min/max
+  * ranges cannot serve scattered keys), so a MERGE rewrites only the
+  * files that can hold a matched row and the write hard-links the rest.
+  * Every fallback is whole-snapshot, never a wrong subset: no manifest,
+  * stale census, unstatted attribute, untranslatable predicate.
+  *
+  * The underlying parquet scan is (re)built lazily AFTER runtime
+  * filtering (`dirty` flag): BatchScanExec calls `filter(...)` and then
+  * re-plans partitions, so the batch must reflect the narrowed file set
+  * at `planInputPartitions` time, not at plan construction.
+  */
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
+
+private class GroupCowScan(tableName: String, baseDir: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    initial: Option[Seq[String]],
+    onSelection: Option[Seq[String]] => Unit)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  private var selected: Option[Seq[String]] = initial
+  @volatile private var cached: Batch = _
+  @volatile private var dirty = true
+
+  override def readSchema(): StructType = tableSchema
+  override def description(): String =
+    s"GroupCowScan($tableName, groups=${selected.fold("whole-table")(_.size + " files")})"
+
+  private def spark = SparkSession.active
+
+  private def underlying(): Batch = {
+    if (dirty || cached == null) {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("mergeSchema", "true")
+      val paths = selected match {
+        case Some(rel) => rel.map(f => s"$baseDir/$f")
+        case None => Seq(baseDir)
+      }
+      // an empty selection still needs a well-formed scan: zero paths
+      // with the declared schema plans zero partitions
+      cached = ParquetTable(tableName, spark,
+        new CaseInsensitiveStringMap(opts), paths, Some(tableSchema),
+        classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+      dirty = false
+    }
+    cached
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      underlying().planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      underlying().createReaderFactory()
+  }
+
+  /** Runtime-filterable attributes: exactly the columns the manifest
+    * carries file-skipping evidence for. Empty (rule skips) when the
+    * table has no zone map.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    graft.plans.ZoneMap.stattedColumns(spark, baseDir)
+      .filter(tableSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    predicates.foreach { p =>
+      val keyed: Option[(String, Seq[Any])] = p.name() match {
+        case "IN" | "in" => p.children() match {
+          case Array(ref: NamedReference, rest @ _*)
+              if ref.fieldNames.length == 1 &&
+                rest.nonEmpty && rest.forall(_.isInstanceOf[V2Literal[_]]) =>
+            Some((ref.fieldNames()(0), rest.map { lv =>
+              val l = lv.asInstanceOf[V2Literal[_]]
+              CatalystTypeConverters.convertToScala(l.value, l.dataType)
+            }.toSeq))
+          case _ => None
+        }
+        case "=" => p.children() match {
+          case Array(ref: NamedReference, l: V2Literal[_])
+              if ref.fieldNames.length == 1 =>
+            Some((ref.fieldNames()(0),
+              Seq(CatalystTypeConverters.convertToScala(l.value, l.dataType))))
+          case _ => None
+        }
+        case _ => None
+      }
+      keyed.filter { case (_, vs) => vs.forall(_ != null) }.foreach {
+        case (colName, values) =>
+          graft.plans.ZoneMap.keyedSurvivors(spark, baseDir, colName, values,
+            keyTypeHint = Some(tableSchema(colName).dataType))
+            .foreach { survivors =>
+              selected = Some(selected match {
+                case Some(prev) => prev.intersect(survivors)
+                case None => survivors
+              })
+              dirty = true
+              onSelection(selected)
+            }
+      }
+    }
   }
 }

@@ -148,6 +148,80 @@ class MergeIntoSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM m5.t").head.getLong(0) == 1000)
   }
 
+  test("runtime group filtering: MERGE probes matched keys against per-file blooms and carries the rest") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("merge-runtime")
+    val wh = Warehouse(root, retain = 8)
+    register("m6", root)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") % 10).as("grp"), (col("id") * 1.0).as("x"))
+      .localCheckpoint(true), "t")
+    // range-clustered by id into 10 files, with per-file id blooms
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 10,
+      bloomKeys = Seq("id"))
+    val before = wh.currentVersion("t").get
+    val baseNames = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$root/t.v$before"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    assert(baseNames.size >= 8)
+    // three keys from ONE id-range file: the runtime IN(matched keys)
+    // filter must narrow the replaced groups to that neighborhood
+    Seq((101L, -1.0), (102L, -2.0), (107L, -3.0)).toDF("id", "x")
+      .createOrReplaceTempView("m6src")
+    spark.sql(
+      """MERGE INTO m6.t t USING m6src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET x = s.x""".stripMargin)
+    // correctness: exactly those three rows changed
+    assert(spark.sql("SELECT count(*) FROM m6.t").head.getLong(0) == 1000)
+    assert(spark.sql("SELECT CAST(sum(x) AS LONG) FROM m6.t WHERE id IN (101,102,107)")
+      .head.getLong(0) == -6)
+    assert(spark.sql("SELECT count(*) FROM m6.t WHERE x < 0").head.getLong(0) == 3)
+    // the unmatched id-range files carried as hard links under their names
+    val cur = wh.currentVersion("t").get
+    var carried = 0; var fresh = 0
+    val s2 = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/t.v$cur"))
+    try s2.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val links = java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Integer].intValue()
+        if (baseNames.contains(n) && links > 1) carried += 1 else fresh += 1
+      }
+    } finally s2.close()
+    assert(carried >= baseNames.size - 3,
+      s"runtime group filter expected to carry most files: carried=$carried fresh=$fresh of ${baseNames.size}")
+  }
+
+  test("NOT MATCHED BY SOURCE clauses see the whole table (group filtering must not hide unmatched rows)") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("merge-nmbs")
+    val wh = Warehouse(root, retain = 8)
+    register("m7", root)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") * 1.0).as("x")).localCheckpoint(true), "t")
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 10,
+      bloomKeys = Seq("id"))
+    Seq((5L, 0.0), (900L, 0.0)).toDF("id", "x")
+      .createOrReplaceTempView("m7src")
+    // every target row NOT matched by the 2-key source must be deleted —
+    // those rows live in files a matched-keys group filter would exclude,
+    // so a filter applied here would silently keep 998 rows
+    spark.sql(
+      """MERGE INTO m7.t t USING m7src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET x = -1.0
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.sql("SELECT id, x FROM m7.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((5L, -1.0), (900L, -1.0)), s"got $rows")
+  }
+
   test("row-level operations refuse on layout-contract tables with the owning mechanism named") {
     val root = tmpDir("merge-refuse")
     val wh = Warehouse(root, retain = 8)
