@@ -113,9 +113,32 @@ object ExtensionsCheck {
     val snaps = spark.sql("CALL graftck.system.snapshots('t')").count()
     require(snaps == 2L, s"snapshots(): $snaps")
 
+    // transform-aware HIDDEN-partition pruning: a SQL filter on the TIME
+    // column of a day-partitioned changelog must prune day dirs as real
+    // PartitionFilters — the injected DeriveHiddenDayFilters rule runs
+    // before the pushdown batch only on the extensions path, so this
+    // fresh JVM is where the end-to-end plan is provable
+    wh.declareTimePartition("ev", "ts")
+    wh.appendBatch(Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-02 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-05 10:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2026-01-09 10:00:00"), 3.0))
+      .toDF("id", "ts", "v"), "ev", 0L)
+    val pruned = spark.sql("SELECT id FROM graftck.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-04 00:00:00' " +
+      "AND ts <= TIMESTAMP '2026-01-06 00:00:00'")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    require(prunedPlan.contains("PartitionFilters") &&
+        prunedPlan.contains("p_day"),
+      s"hidden-day pruning did not reach PartitionFilters:\n$prunedPlan")
+    require(!prunedPlan.matches("(?s).*PartitionFilters: \\[\\].*"),
+      s"PartitionFilters empty — day conjuncts were not derived:\n$prunedPlan")
+    val prunedIds = pruned.collect().map(_.getLong(0)).toSeq
+    require(prunedIds == Seq(2L), s"hidden-day pruned read: $prunedIds")
+
     println("[extensions-check] OK: functions + optimizer rule + planner " +
-      "strategy + SQL catalog (tables, time travel, CALL) injected via " +
-      "static session conf")
+      "strategy + SQL catalog (tables, time travel, CALL) + hidden-day " +
+      "partition pruning injected via static session conf")
     spark.stop()
   }
 }

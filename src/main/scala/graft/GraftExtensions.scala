@@ -62,6 +62,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // plan-quality rule: naive max_by latest-per-key formulations get the
     // ObjectHashAggregate kernel instead of degrading to SortAggregate
     ext.injectOptimizerRule(_ => RewriteMaxByToLatestRow)
+    // transform-aware day pruning for hidden-time-partitioned catalog
+    // tables: must be injected (pre-pushdown batch) to become real
+    // PartitionFilters; see DeriveHiddenDayFilters
+    ext.injectOptimizerRule(_ => graft.sources.DeriveHiddenDayFilters)
     // whole-operator surface (§2.10(c)): the as-of join's logical node
     // plans through its dedicated streaming-merge exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

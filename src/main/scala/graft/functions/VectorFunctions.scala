@@ -120,6 +120,13 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RewriteMaxByToLatestRow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteMaxByToLatestRow
+    // correctness-neutral here (the user batch runs after scan pushdown,
+    // so it cannot prune); the PRUNING wiring is the extensions path
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.DeriveHiddenDayFilters))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.DeriveHiddenDayFilters
   }
 
   /** Builder for `multi_substr_count(text, array('p', ...))` — the

@@ -702,6 +702,10 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
+  /** Declared hidden-time-partition column (drives
+    * [[DeriveHiddenDayFilters]]' transform-aware day pruning). */
+  private[sources] lazy val hiddenTimeColumn: Option[String] =
+    wh.timePartitionCol(tableName)
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     TableProps.read(wh, tableName).foreach { case (k, v) => m.put(k, v) }

@@ -139,6 +139,12 @@ class GraftSqlWriteSpec extends SparkTestBase {
     wh.appendBatch(df, "ev", 0L)
     assert(spark.sql("SELECT count(*) FROM w4.ev WHERE p_day = DATE'2026-01-02'")
       .head.getLong(0) == 1)
+    // plain TIME-column filters stay correct under the derived-day-filter
+    // rule (DeriveHiddenDayFilters; the PRUNING proof lives in the
+    // fresh-JVM ExtensionsCheck where the rule precedes pushdown)
+    assert(spark.sql("SELECT id FROM w4.ev " +
+      "WHERE ts >= TIMESTAMP '2026-01-03 00:00:00'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
     // only a days() transform is accepted
     intercept[Exception] {
       spark.sql("CREATE TABLE w4.bad (id BIGINT) PARTITIONED BY (bucket(4, id))")
