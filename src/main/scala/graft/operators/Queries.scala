@@ -862,6 +862,44 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Hidden-partition pruning through PLAIN SQL under the oracle gate
+    * (q193): the same day-partitioned changelog as q189, but the
+    * time-bounded read is one `spark.sql` statement over the catalog
+    * filtering ONLY on the time column — the user never names `p_day`.
+    * Correctness rides the catalog read + the derived-day-filter rule
+    * ([[graft.sources.DeriveHiddenDayFilters]], registered for this
+    * session by GraftFunctions.register; the pruning PLAN is proven in
+    * the fresh-JVM ExtensionsCheck where the rule precedes pushdown);
+    * the oracle is the plain time-range aggregate.
+    */
+  def q193SqlHiddenDayFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tp_q193")
+    val cat = s"gq193_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString)
+    try {
+      val ev = events(spark, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      wh.declareTimePartition("ev_log", "ts")
+      (0 to 2).foreach { b =>
+        wh.appendBatch(ev.filter(pmod(col("event_id"), lit(3)) === b),
+          "ev_log", batchId = b.toLong)
+      }
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev_log
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The SQL catalog face under the driver's oracle gate (q190): events
     * load into a scratch warehouse as TWO committed snapshots (v1 = the
     * even-keyed half, v2 = everything), a [[graft.sources.GraftCatalog]]
@@ -2283,6 +2321,16 @@ object Queries {
         |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // the catalog SQL read of the SAME layout, filtered only on the time
+    // column (hidden partitioning: the user never names p_day)
+    "q193_sql_hidden_day_filter" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2756,6 +2804,7 @@ object Queries {
     "q190_catalog_time_travel" -> (q190CatalogTimeTravel _),
     "q191_sql_write_lifecycle" -> (q191SqlWriteLifecycle _),
     "q192_merge_into_lifecycle" -> (q192MergeIntoLifecycle _),
+    "q193_sql_hidden_day_filter" -> (q193SqlHiddenDayFilter _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

@@ -55,8 +55,13 @@ object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
       case TimestampType | TimestampNTZType | DateType => l.value != null
       case _ => false
     }
-    def toDay(l: Literal): Expression =
-      Cast(l, DateType, Some(conf.sessionLocalTimeZone))
+    // fold the cast NOW: the optimizer would constant-fold a
+    // Cast(literal) anyway, and a folded conjunct no longer
+    // semanticEquals the unfolded derivation — the dedup below must see
+    // the exact shape later iterations will, or the fixed point re-adds
+    // a duplicate every pass
+    def toDay(l: Literal): Expression = Literal.create(
+      Cast(l, DateType, Some(conf.sessionLocalTimeZone)).eval(), DateType)
     def isTs(e: Expression): Boolean = e match {
       case a: Attribute => a.semanticEquals(ts)
       case _ => false
