@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
@@ -99,6 +101,23 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
               java.nio.file.Files.copy(src, dst)
           }
         }
+      }
+      // a version dir with ZERO parquet files is unreadable (no footer to
+      // infer from); a rewrite whose plan collapsed to zero tasks (or
+      // deleted every row with nothing carried) must still publish a
+      // schema-bearing snapshot — one empty part file, same as CREATE
+      val hasFiles = {
+        val s2 = java.nio.file.Files.list(stage)
+        try s2.iterator().asScala.exists(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally s2.close()
+      }
+      if (!hasFiles) {
+        val spark = SparkSession.active
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .repartition(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(stage.toString)
       }
       wh.publishStage(table, stage, expectCurrent, legacyMoved)
     }

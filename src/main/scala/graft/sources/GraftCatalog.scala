@@ -325,6 +325,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val userProps = properties.asScala.toMap --
       Seq("provider", "location", "owner", "external", "comment")
+    require(!userProps.contains(Tables.TimePartitionProp),
+      s"${Tables.TimePartitionProp} is a physical layout, not a free " +
+        "property - declare it as PARTITIONED BY (days(ts_col))")
     timeCol match {
       case Some(tc) =>
         // metadata-only creation: the appendBatch layout is IN-PLACE (day
@@ -999,7 +1002,7 @@ private class GroupCowScan(tableName: String, baseDir: String,
 
   private def spark = SparkSession.active
 
-  private def underlying(): Batch = {
+  private def underlying(): Batch = synchronized {
     if (dirty || cached == null) {
       val opts = new java.util.HashMap[String, String]()
       opts.put("mergeSchema", "true")

@@ -91,6 +91,12 @@ class MergeIntoSqlSpec extends SparkTestBase {
     spark.sql("DELETE FROM m3.t WHERE id % 2 = 0")
     assert(spark.sql("SELECT id FROM m3.t ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // rewrite-flavor delete-ALL: the published snapshot must stay
+    // readable (schema-bearing) even with zero surviving rows
+    spark.sql("DELETE FROM m3.t WHERE id % 1 = 0")
+    assert(spark.sql("SELECT * FROM m3.t").count() == 0)
+    assert(spark.sql("SELECT * FROM m3.t").schema.fieldNames.toSeq ==
+      Seq("id", "grp", "x"))
   }
 
   test("file-granular COW groups: UPDATE on a clustered table rewrites only the matched files") {
