@@ -601,6 +601,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .map { case (f, t) => row(f, t) }
     },
 
+    // The manifest-credited exact interval count (Snowflake-style
+    // pruning+metadata count): files whose stats PROVE containment
+    // contribute their manifest row counts without opening; only
+    // boundary-straddling files scan.
+    procedure("count_fast",
+      "Exact count of rows with LO <= col <= HI, answered from the " +
+        "zone-map manifest where containment is provable",
+      Seq(param("table", StringType), param("column", StringType),
+        param("lo", StringType), param("hi", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("rows", LongType)))) { in =>
+      val t = str(in, 0)
+      val path = wh.snapshotPath(t)
+      val dt = spark.read.parquet(path).schema(str(in, 1)).dataType
+      def parse(s: String): Any = {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        Cast(Literal(UTF8String.fromString(s), StringType), dt,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval() match {
+          case null => throw new IllegalArgumentException(
+            s"'$s' does not parse as $dt")
+          case v => org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(v, dt)
+        }
+      }
+      val n = graft.plans.ZoneMap.countFast(spark, path,
+        Seq(graft.plans.ZoneMap.Bound(str(in, 1),
+          Some(parse(str(in, 2))), Some(parse(str(in, 3))))))
+      Seq(row(t, n))
+    },
+
     // The snapshot log as rows — what VERSION AS OF / TIMESTAMP AS OF
     // resolve against.
     procedure("snapshots",

@@ -137,6 +137,9 @@ class GraftCatalogSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("p_day"),
       s"SQL day filter must prune as a partition filter:\n$plan")
+    // the manifest-credited exact interval count, from SQL
+    assert(spark.sql("CALL g3.system.count_fast('t', 'id', '100', '199')")
+      .head.getLong(1) == 100L)
   }
 
   test("CALL emit_changelog + the feed view table + expire_consumed_hops close the feed loop in SQL") {
