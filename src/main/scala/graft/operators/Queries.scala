@@ -900,6 +900,39 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** The manifest-credited count under the oracle gate (q194): lineitem
+    * clusters by quantity into a scratch warehouse, then THREE
+    * `CALL count_fast` interval counts — one fully manifest-contained,
+    * one boundary-straddling, one empty — run as plain SQL and must
+    * equal DuckDB's plain filtered counts. Exactness is the claim:
+    * containment is proven from per-file stats, never sampled.
+    */
+  def q194CountFastOracle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cf_q194")
+    val cat = s"gq194_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString)
+    try {
+      wh.overwrite(t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .localCheckpoint(true), "li")
+      graft.plans.Maintenance.cluster(spark, wh, "li",
+        Seq("l_quantity"), targetFiles = 8)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      def cf(label: String, lo: String, hi: String) =
+        spark.sql(s"CALL $cat.system.count_fast('li', 'l_quantity', " +
+          s"'$lo', '$hi')")
+          .select(lit(label).as("probe"), col("rows").as("n_rows"))
+      cf("contained", "10", "40")
+        .unionAll(cf("boundary", "3", "17"))
+        .unionAll(cf("empty", "900", "999"))
+        .orderBy("probe")
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** The SQL catalog face under the driver's oracle gate (q190): events
     * load into a scratch warehouse as TWO committed snapshots (v1 = the
     * even-keyed half, v2 = everything), a [[graft.sources.GraftCatalog]]
@@ -2321,6 +2354,19 @@ object Queries {
         |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // three manifest-credited interval counts must be EXACT vs the plain
+    // filtered counts (containment proven from stats, never sampled)
+    "q194_count_fast_oracle" ->
+      """SELECT 'boundary' AS probe,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 3 AND 17) AS n_rows
+        |UNION ALL
+        |SELECT 'contained',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 40)
+        |UNION ALL
+        |SELECT 'empty',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 900 AND 999)
+        |ORDER BY probe""".stripMargin,
+
     // the catalog SQL read of the SAME layout, filtered only on the time
     // column (hidden partitioning: the user never names p_day)
     "q193_sql_hidden_day_filter" ->
@@ -2805,6 +2851,7 @@ object Queries {
     "q191_sql_write_lifecycle" -> (q191SqlWriteLifecycle _),
     "q192_merge_into_lifecycle" -> (q192MergeIntoLifecycle _),
     "q193_sql_hidden_day_filter" -> (q193SqlHiddenDayFilter _),
+    "q194_count_fast_oracle" -> (q194CountFastOracle _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
