@@ -252,6 +252,51 @@ class GraftSqlWriteSpec extends SparkTestBase {
     }
   }
 
+  test("SQL inserts racing maintenance re-clustering: no lost rows, layout repairs") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("sqlw-race")
+    val wh = Warehouse(root, retain = 8)
+    register("w9", root)
+    wh.overwrite(spark.range(200).select(col("id"),
+      (col("id") % 7).as("grp")).localCheckpoint(true), "t")
+    graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
+      targetFiles = Some(4))
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 4)
+    // writer thread: five CAS-retried SQL appends; maintenance thread:
+    // three full/incremental re-cluster ticks — every row must survive
+    // every interleaving (the insert's CAS loses to a cluster commit and
+    // retries; the cluster's CAS loses to an insert and retries)
+    @volatile var failure: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (0 until 5).foreach { i =>
+        spark.sql(s"INSERT INTO w9.t VALUES (${1000 + i}, -1)")
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    val maint = new Thread(() => {
+      try (0 until 3).foreach { _ =>
+        wh.retryingConflicts(maxAttempts = 10) {
+          if (!graft.plans.Maintenance.clusterIncremental(
+              spark, wh, "t", Seq("id"), Nil))
+            graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 4)
+        }
+        Thread.sleep(30)
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    writer.start(); maint.start()
+    writer.join(120000); maint.join(120000)
+    failure.foreach(throw _)
+    assert(spark.sql("SELECT count(*) FROM w9.t").head.getLong(0) == 205)
+    assert(spark.sql("SELECT count(*) FROM w9.t WHERE id >= 1000")
+      .head.getLong(0) == 5, "an appended row was lost to a cluster rewrite")
+    // one more tick proves the layout converges back to fresh
+    wh.retryingConflicts(maxAttempts = 10) {
+      if (!graft.plans.Maintenance.clusterIncremental(
+          spark, wh, "t", Seq("id"), Nil))
+        graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 4)
+    }
+    assert(graft.plans.ZoneMap.isFresh(spark, wh.snapshotPath("t")))
+  }
+
   test("concurrent SQL inserts: every row survives the append CAS (no lost updates)") {
     val root = tmpDir("sqlw-conc")
     register("w7", root)

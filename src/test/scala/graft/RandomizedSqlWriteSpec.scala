@@ -1,0 +1,129 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.sources.GraftCatalog
+import graft.sources.Tables.Warehouse
+
+/** Randomized golden-model check of the SQL write surface: a seeded
+  * stream of mutations — INSERT INTO, UPDATE, pushable and
+  * rewrite-flavor DELETE, three-arm MERGE INTO, INSERT OVERWRITE,
+  * TRUNCATE — runs against a catalog table AND a driver-side model map;
+  * the table must equal the model after every few operations. Re-cluster
+  * ticks interleave so the file-granular COW paths (static zone-map
+  * selection, runtime bloom narrowing, carried hard links) are exercised
+  * mid-stream, not just on a pristine layout. Arithmetic sticks to
+  * binary fractions (0.25 steps) so double comparison is exact.
+  */
+class RandomizedSqlWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+  }
+
+  private val grps = Vector("a", "b", "c", "d", "e")
+
+  private def check(cat: String, model: mutable.Map[Long, (String, Double)],
+      step: String): Unit = {
+    val got = spark.sql(s"SELECT id, grp, x FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+      .toSeq
+    val want = model.toSeq.sortBy(_._1)
+    assert(got == want,
+      s"divergence after $step:\n table=${got.take(20)}...\n model=${want.take(20)}...")
+  }
+
+  private def run(seed: Int): Unit = {
+    val rng = new Random(seed)
+    val root = tmpDir(s"sqlw-fuzz-$seed")
+    val wh = Warehouse(root, retain = 4)
+    val cat = s"wf$seed"
+    register(cat, root)
+    val model = mutable.Map.empty[Long, (String, Double)]
+    var nextId = 0L
+    def freshRows(k: Int): Seq[(Long, String, Double)] = (0 until k).map { _ =>
+      val id = nextId; nextId += 1
+      (id, grps(rng.nextInt(grps.size)), rng.nextInt(64) * 0.25)
+    }
+    def valuesSql(rows: Seq[(Long, String, Double)]): String =
+      rows.map { case (i, g, x) => s"($i, '$g', CAST($x AS DOUBLE))" }
+        .mkString(", ")
+
+    // seed table
+    val seedRows = freshRows(20)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp STRING, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(seedRows)}")
+    seedRows.foreach { case (i, g, x) => model(i) = (g, x) }
+    graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
+      bloomKeys = Seq("id"), targetFiles = Some(4))
+
+    (1 to 24).foreach { step =>
+      rng.nextInt(8) match {
+        case 0 | 1 => // INSERT fresh rows
+          val rows = freshRows(1 + rng.nextInt(4))
+          spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(rows)}")
+          rows.foreach { case (i, g, x) => model(i) = (g, x) }
+        case 2 => // UPDATE by group
+          val g = grps(rng.nextInt(grps.size))
+          spark.sql(s"UPDATE $cat.t SET x = x + 0.25 WHERE grp = '$g'")
+          model.mapValuesInPlace { case (_, (mg, mx)) =>
+            if (mg == g) (mg, mx + 0.25) else (mg, mx) }
+        case 3 => // pushable DELETE (range)
+          val lo = rng.nextInt(nextId.toInt + 1).toLong
+          val hi = lo + rng.nextInt(10)
+          spark.sql(s"DELETE FROM $cat.t WHERE id BETWEEN $lo AND $hi")
+          model.filterInPlace { case (i, _) => i < lo || i > hi }
+        case 4 => // rewrite-flavor DELETE (modulo)
+          val m = 2 + rng.nextInt(5)
+          val r = rng.nextInt(m)
+          spark.sql(s"DELETE FROM $cat.t WHERE id % $m = $r AND x > 4.0")
+          model.filterInPlace { case (i, (_, x)) => !(i % m == r && x > 4.0) }
+        case 5 => // MERGE: update some existing, delete some, insert fresh
+          val existing = rng.shuffle(model.keys.toSeq).take(3)
+          val fresh = freshRows(2)
+          val src = existing.map(i => (i, grps(rng.nextInt(grps.size)),
+              rng.nextInt(64) * 0.25, i % 2 == 0)) ++
+            fresh.map { case (i, g, x) => (i, g, x, false) }
+          if (src.nonEmpty) {
+            src.toDF("id", "grp", "x", "is_del")
+              .createOrReplaceTempView(s"fuzz_src_$seed")
+            spark.sql(
+              s"""MERGE INTO $cat.t t USING fuzz_src_$seed s ON t.id = s.id
+                 |WHEN MATCHED AND s.is_del THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET grp = s.grp, x = s.x
+                 |WHEN NOT MATCHED AND NOT s.is_del THEN INSERT (id, grp, x)
+                 |  VALUES (s.id, s.grp, s.x)""".stripMargin)
+            src.foreach { case (i, g, x, del) =>
+              if (del) { if (model.contains(i)) model.remove(i) else () }
+              else model(i) = (g, x)
+            }
+          }
+        case 6 => // maintenance tick: incremental-first re-cluster
+          wh.retryingConflicts(maxAttempts = 10) {
+            if (!graft.plans.Maintenance.clusterIncremental(
+                spark, wh, "t", Seq("id"), Seq("id")))
+              graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 4,
+                bloomKeys = Seq("id"))
+          }
+        case 7 => // rare resets
+          if (rng.nextBoolean()) {
+            val rows = freshRows(5)
+            spark.sql(s"INSERT OVERWRITE $cat.t VALUES ${valuesSql(rows)}")
+            model.clear(); rows.foreach { case (i, g, x) => model(i) = (g, x) }
+          } else {
+            spark.sql(s"TRUNCATE TABLE $cat.t")
+            model.clear()
+          }
+      }
+      if (step % 4 == 0) check(cat, model, s"seed=$seed step=$step")
+    }
+    check(cat, model, s"seed=$seed final")
+  }
+
+  test("random SQL mutation stream equals the golden model (seed 7)") { run(7) }
+  test("random SQL mutation stream equals the golden model (seed 23)") { run(23) }
+}
