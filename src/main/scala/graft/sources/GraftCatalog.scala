@@ -691,14 +691,18 @@ object GraftCatalog {
           c => c.toString.startsWith("_") || c.toString.startsWith(".")))
         .toList
       finally s.close()
-    files.map { f =>
+    // footer reads are ~1ms each but the census is O(files): at the
+    // documented 1e5-file ceiling a serial walk is minutes of driver
+    // time, a parallel one is seconds (footers only — no data pages)
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toString), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val n = try r.getRecordCount finally r.close()
       new GenericInternalRow(Array[Any](UTF8String.fromString(f.toString),
-        java.nio.file.Files.size(f), n))
-    }
+        java.nio.file.Files.size(f), n)): InternalRow
+    }.toList.sortBy(_.getUTF8String(0).toString)
   }
 }
 
