@@ -703,6 +703,14 @@ object MorMirror {
     nw.retryingConflicts() {
       val expect = nw.currentVersion(BaseTable)
       val fold = foldedThrough(wh, name)
+      // the rewrite preserves the base's PHYSICAL layout (existing _kb
+      // values), so it must carry the base's spec marker too: after a
+      // resize with an empty delta tail the base still holds the OLD
+      // spec while the write props hold the NEW one, and an unmarked
+      // base falls back to the props — the fold would then map buckets
+      // under the wrong modulus and silently miss base rows (review
+      // finding, pinned by BucketResizeSpec's expire-mid-transition case)
+      val spec = baseBuckets(wh, name)
       val df = graft.sources.SchemaEvolution.readTableWidened(
         spark, nw.snapshotPath(BaseTable))
       if (df.columns.contains(graft.DmsEnvelope.OpCol)) {
@@ -712,6 +720,7 @@ object MorMirror {
         nw.commit(BaseTable, expectCurrent = expect) { path =>
           kept.write.mode(SaveMode.Overwrite)
             .partitionBy(PartitionedMirror.BucketCol).parquet(path)
+          Files.writeString(Paths.get(path, BucketSpecMarker), spec.toString)
           if (fold >= 0L)
             Files.writeString(Paths.get(path, FoldedMarker), fold.toString)
         }

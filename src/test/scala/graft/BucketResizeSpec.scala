@@ -113,4 +113,36 @@ class BucketResizeSpec extends SparkTestBase {
     MorMirror.resize(spark, wh, "m", 6)
     assert(MorMirror.storedConfig(wh, "m").map(_._2).contains(6))
   }
+
+  test("tombstone expiry mid-transition carries the base's spec (empty-tail resize window)") {
+    val wh = Warehouse(tmpDir("resize-expire"))
+    MorMirror.initialize(wh, "m",
+      df((1L, "a", "U", "t01"), (2L, "b", "U", "t02"), (3L, "c", "U", "t03"),
+        (4L, "d", "U", "t04"), (5L, "e", "U", "t05")), cfg, 4)
+    // a folded-in delete leaves a tombstone in the base
+    MorMirror.appendDelta(wh, "m", df((2L, "b", "D", "t06")), 1L)
+    MorMirror.compact(spark, wh, "m")
+    val want = Set((1L, "a"), (3L, "c"), (4L, "d"), (5L, "e"))
+    assert(visible(wh) == want)
+    // resize with an EMPTY delta tail: compact no-ops, the base stays
+    // under spec 4 while the write props flip to 8
+    MorMirror.resize(spark, wh, "m", 8)
+    assert(MorMirror.baseBuckets(wh, "m") == 4)
+    assert(MorMirror.storedConfig(wh, "m").map(_._2).contains(8))
+    // expiry rewrites the base in place (layout preserved) - the new
+    // base version must keep DECLARING spec 4, or the fold would map
+    // buckets under the props spec 8 and silently miss base rows
+    MorMirror.expireTombstones(spark, wh, "m", horizon = "t99")
+    assert(MorMirror.baseBuckets(wh, "m") == 4,
+      "expiry dropped the base's spec marker mid-transition")
+    assert(visible(wh) == want, "rows lost to a mis-specced fold")
+    assert(baseKbDirs(wh).forall(_ < 4), "physical layout must stay spec-4")
+    // appends under the new spec still fold exactly against the old base
+    MorMirror.appendDelta(wh, "m", df((6L, "f", "I", "t07")), 2L)
+    assert(visible(wh) == want + ((6L, "f")))
+    // and the next compaction completes the migration
+    MorMirror.compact(spark, wh, "m")
+    assert(MorMirror.baseBuckets(wh, "m") == 8)
+    assert(visible(wh) == want + ((6L, "f")))
+  }
 }
