@@ -28,8 +28,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
   private val grps = Vector("a", "b", "c", "d", "e")
 
   private def check(cat: String, model: mutable.Map[Long, (String, Double)],
-      step: String): Unit = {
-    val got = spark.sql(s"SELECT id, grp, x FROM $cat.t ORDER BY id")
+      step: String, grpCol: String = "grp"): Unit = {
+    val got = spark.sql(s"SELECT id, $grpCol, x FROM $cat.t ORDER BY id")
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
       .toSeq
     val want = model.toSeq.sortBy(_._1)
@@ -37,7 +37,7 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
       s"divergence after $step:\n table=${got.take(20)}...\n model=${want.take(20)}...")
   }
 
-  private def run(seed: Int): Unit = {
+  private def run(seed: Int, withEvolution: Boolean = false): Unit = {
     val rng = new Random(seed)
     val root = tmpDir(s"sqlw-fuzz-$seed")
     val wh = Warehouse(root, retain = 4)
@@ -61,7 +61,21 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
       bloomKeys = Seq("id"), targetFiles = Some(4))
 
+    var grpCol = "grp"
     (1 to 24).foreach { step =>
+      // mid-stream DECLARED schema evolution: the rename registers in the
+      // SchemaEvolution registry + one COW rewrite; every later mutation
+      // (and the model compare) speaks the new name, while the pre-rename
+      // snapshot keeps its bytes
+      if (withEvolution && step == 12) {
+        val before = wh.currentVersion("t").get
+        spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN grp TO label")
+        grpCol = "label"
+        assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $before")
+          .schema.fieldNames.contains("grp"),
+          "the pre-rename snapshot must keep its own schema")
+        check(cat, model, s"seed=$seed rename", grpCol)
+      }
       rng.nextInt(8) match {
         case 0 | 1 => // INSERT fresh rows
           val rows = freshRows(1 + rng.nextInt(4))
@@ -69,7 +83,7 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           rows.foreach { case (i, g, x) => model(i) = (g, x) }
         case 2 => // UPDATE by group
           val g = grps(rng.nextInt(grps.size))
-          spark.sql(s"UPDATE $cat.t SET x = x + 0.25 WHERE grp = '$g'")
+          spark.sql(s"UPDATE $cat.t SET x = x + 0.25 WHERE $grpCol = '$g'")
           model.mapValuesInPlace { case (_, (mg, mx)) =>
             if (mg == g) (mg, mx + 0.25) else (mg, mx) }
         case 3 => // pushable DELETE (range)
@@ -94,8 +108,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
             spark.sql(
               s"""MERGE INTO $cat.t t USING fuzz_src_$seed s ON t.id = s.id
                  |WHEN MATCHED AND s.is_del THEN DELETE
-                 |WHEN MATCHED THEN UPDATE SET grp = s.grp, x = s.x
-                 |WHEN NOT MATCHED AND NOT s.is_del THEN INSERT (id, grp, x)
+                 |WHEN MATCHED THEN UPDATE SET $grpCol = s.grp, x = s.x
+                 |WHEN NOT MATCHED AND NOT s.is_del THEN INSERT (id, $grpCol, x)
                  |  VALUES (s.id, s.grp, s.x)""".stripMargin)
             src.foreach { case (i, g, x, del) =>
               if (del) { if (model.contains(i)) model.remove(i) else () }
@@ -119,11 +133,14 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
             model.clear()
           }
       }
-      if (step % 4 == 0) check(cat, model, s"seed=$seed step=$step")
+      if (step % 4 == 0) check(cat, model, s"seed=$seed step=$step", grpCol)
     }
-    check(cat, model, s"seed=$seed final")
+    check(cat, model, s"seed=$seed final", grpCol)
   }
 
   test("random SQL mutation stream equals the golden model (seed 7)") { run(7) }
   test("random SQL mutation stream equals the golden model (seed 23)") { run(23) }
+  test("random SQL mutation stream with a mid-stream column rename (seed 41)") {
+    run(41, withEvolution = true)
+  }
 }
