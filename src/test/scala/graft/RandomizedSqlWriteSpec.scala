@@ -37,7 +37,7 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
       s"divergence after $step:\n table=${got.take(20)}...\n model=${want.take(20)}...")
   }
 
-  private def run(seed: Int, withEvolution: Boolean = false): Unit = {
+  protected def run(seed: Int, withEvolution: Boolean = false): Unit = {
     val rng = new Random(seed)
     val root = tmpDir(s"sqlw-fuzz-$seed")
     val wh = Warehouse(root, retain = 4)
