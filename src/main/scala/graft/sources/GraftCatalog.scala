@@ -247,16 +247,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       Left(s"'$t' VERSION AS OF $v is a pinned historical snapshot"))
   }
 
-  /** `TIMESTAMP AS OF <ts>` — the newest published version whose publish
-    * stamp is at or before the asked instant (micros, per the connector
-    * contract).
+  /** `TIMESTAMP AS OF <ts>` — the version with the LATEST PUBLISH STAMP
+    * at or before the asked instant (micros, per the connector contract).
+    * Latest-by-stamp, not highest-version-number: racing no-CAS
+    * publishers can publish out of numeric order (publishStage's own
+    * documented window), and the snapshot-log contract is "what was
+    * current at that time" (advice finding). Stamp ties break to the
+    * higher version — the one the pointer ended on.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = resolved(ident)
     val asOfMillis = timestamp / 1000L
     val dir = wh.publishedVersions(t)
       .filter { case (_, p) => wh.publishTimeMillis(p) <= asOfMillis }
-      .lastOption.map(_._2)
+      .maxByOption { case (v, p) => (wh.publishTimeMillis(p), v) }
+      .map(_._2)
       .getOrElse(throw new NoSuchTableException(ident))
     mkTable(t, dir.toString,
       Left(s"'$t' TIMESTAMP AS OF is a pinned historical snapshot"))
@@ -339,6 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
         TableProps.write(wh, t, userProps +
           (Tables.TimePartitionProp -> tc) +
+          (Tables.TimePartitionZoneProp -> "UTC") +
           (GraftCatalog.SqlSchemaProp -> schema.json))
       case None =>
         // an atomic versioned create: v1 is one empty part file carrying
@@ -506,15 +512,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         throw new UnsupportedOperationException(
           s"'$target' is a MOR/bucketed mirror maintained by the " +
             "streaming ingest path; merge_changes targets flat mirrors")
-      val changes = wh.read(spark, source, mergeSchema = true)
-      val stored =
-        if (wh.exists(target))
-          graft.operators.Cdc.applyBatch(
-            wh.read(spark, target, mergeSchema = true), changes, cfg)
-        else graft.operators.Cdc.fold(changes, cfg)
-      val pinned = stored.localCheckpoint(true)
-      wh.overwrite(pinned, target)
-      Seq(row(target, pinned.count()))
+      // CAS discipline (deleteWhere's ordering): capture the expected
+      // version BEFORE reading the target — a concurrent INSERT INTO the
+      // same target landing between the read and the publish flips the
+      // commit into a retryable conflict instead of a lost update (the
+      // old overwrite path was last-wins; advice finding)
+      wh.retryingConflicts(maxAttempts = 10) {
+        val expected = wh.currentVersion(target)
+        val changes = wh.read(spark, source, mergeSchema = true)
+        val stored =
+          if (wh.exists(target))
+            graft.operators.Cdc.applyBatch(
+              wh.read(spark, target, mergeSchema = true), changes, cfg)
+          else graft.operators.Cdc.fold(changes, cfg)
+        val pinned = stored.localCheckpoint(true)
+        wh.commit(target, expectCurrent = expected)(p => pinned.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+        Seq(row(target, pinned.count()))
+      }
     },
 
     procedure("compact",
@@ -743,6 +758,12 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     * [[DeriveHiddenDayFilters]]' transform-aware day pruning). */
   private[sources] lazy val hiddenTimeColumn: Option[String] =
     wh.timePartitionCol(tableName)
+  /** The zone the layout's day derivation was written in (`UTC` for
+    * zone-prop tables, None = legacy session-zone layout) — every
+    * read-side day-bound derivation must use the same zone or pruning
+    * can drop rows (advice finding). */
+  private[sources] lazy val hiddenTimeZone: Option[String] =
+    wh.timePartitionZone(tableName)
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     TableProps.read(wh, tableName).foreach { case (k, v) => m.put(k, v) }

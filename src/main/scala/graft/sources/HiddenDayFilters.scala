@@ -40,7 +40,8 @@ object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
             val tsAttr = rel.output.find(_.name.equalsIgnoreCase(tc))
             val dayAttr = rel.output.find(_.name == PartDayCol)
             (tsAttr, dayAttr) match {
-              case (Some(ts), Some(day)) => derive(f, cond, ts, day, rel)
+              case (Some(ts), Some(day)) =>
+                derive(f, cond, ts, day, rel, gt.hiddenTimeZone)
               case _ => f
             }
           case None => f
@@ -50,7 +51,8 @@ object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def derive(f: Filter, cond: Expression, ts: Attribute,
-      day: Attribute, rel: DataSourceV2Relation): LogicalPlan = {
+      day: Attribute, rel: DataSourceV2Relation,
+      layoutZone: Option[String]): LogicalPlan = {
     def timeLit(l: Literal): Boolean = l.dataType match {
       case TimestampType | TimestampNTZType | DateType => l.value != null
       case _ => false
@@ -59,9 +61,15 @@ object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
     // Cast(literal) anyway, and a folded conjunct no longer
     // semanticEquals the unfolded derivation — the dedup below must see
     // the exact shape later iterations will, or the fixed point re-adds
-    // a duplicate every pass
+    // a duplicate every pass.
+    // The cast's zone is the LAYOUT's declared derivation zone (UTC for
+    // zone-prop tables), not the reader session's: deriving in a
+    // different zone than the writer can prune a day dir that holds
+    // rows satisfying the ts predicate (advice finding). Legacy tables
+    // (no zone prop) keep the session zone — the documented hazard.
+    val castZone = layoutZone.getOrElse(conf.sessionLocalTimeZone)
     def toDay(l: Literal): Expression = Literal.create(
-      Cast(l, DateType, Some(conf.sessionLocalTimeZone)).eval(), DateType)
+      Cast(l, DateType, Some(castZone)).eval(), DateType)
     def isTs(e: Expression): Boolean = e match {
       case a: Attribute => a.semanticEquals(ts)
       case _ => false

@@ -367,11 +367,18 @@ object Tables {
         // marker, no stage sibling) at-or-below the freshly published
         // version — on the first post-upgrade commit this migrates the
         // whole retained history in one pass, so time travel and the
-        // changelog feed keep seeing it and removeOrphans never will
+        // changelog feed keep seeing it and removeOrphans never will.
+        // _SUCCESS required: a stage crashed under PRE-upgrade code is
+        // half-written with no completion marker, and stamping it would
+        // permanently publish garbage as history (advice finding) — the
+        // age-guarded orphan sweep owns it instead. Every legitimately
+        // published pre-marker dir was a completed Spark write and
+        // carries _SUCCESS.
         versions(name).foreach { case (v, p) =>
           if (v <= next && Files.isDirectory(p) &&
               !Files.exists(p.resolve(PublishedMarker)) &&
-              !Files.exists(stageMarkerPath(p)))
+              !Files.exists(stageMarkerPath(p)) &&
+              Files.exists(p.resolve("_SUCCESS")))
             Files.writeString(p.resolve(PublishedMarker), "")
         }
         // the CURRENT pointer target is excluded unconditionally, not
@@ -522,6 +529,10 @@ object Tables {
         dir.toAbsolutePath.normalize.toString ==
           Paths.get(snapshotPath(name)).toAbsolutePath.normalize.toString ||
         (!Files.exists(stageMarkerPath(dir)) &&
+          // _SUCCESS: a COMPLETED pre-marker Spark write — a stage
+          // crashed under pre-upgrade code is half-written without it
+          // and must never be served as a snapshot (advice finding)
+          Files.exists(dir.resolve("_SUCCESS")) &&
           currentVersion(name).exists(version <= _))
 
     /** PUBLISHED version numbers of `name` currently retained, ascending.
@@ -763,8 +774,8 @@ object Tables {
             s"columns $PartDayCol/$PartBatchCol are reserved for the " +
               "hidden time-partition layout")
           df.withColumn(PartDayCol,
-              org.apache.spark.sql.functions.to_date(
-                org.apache.spark.sql.functions.col(tc)))
+              dayOfTimeCol(org.apache.spark.sql.functions.col(tc),
+                timePartitionZone(name)))
             .withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
             .write.mode(SaveMode.Overwrite)
@@ -786,12 +797,28 @@ object Tables {
     def declareTimePartition(name: String, timeCol: String): Unit = {
       require(timeCol.nonEmpty, "partition.time-column must be non-empty")
       TableProps.write(this, name,
-        TableProps.read(this, name) + (TimePartitionProp -> timeCol))
+        TableProps.read(this, name) +
+          (TimePartitionProp -> timeCol) +
+          // day derivation is pinned to UTC (Iceberg defines days() in
+          // UTC for exactly this reason): a writer and a reader with
+          // different session timezones must derive the SAME day, or the
+          // derived day conjunct can prune a directory that holds
+          // matching rows (advice finding). Tables declared before the
+          // prop existed keep the legacy session-zone derivation.
+          (TimePartitionZoneProp -> "UTC"))
     }
 
     /** The declared hidden-time-partition column, if any. */
     def timePartitionCol(name: String): Option[String] =
       TableProps.read(this, name).get(TimePartitionProp)
+
+    /** The declared day-derivation zone: `Some("UTC")` for tables
+      * declared since the zone prop exists, `None` for legacy tables
+      * (session-zone derivation, the documented hazard when sessions
+      * differ). Only UTC is ever declared — [[declareTimePartition]].
+      */
+    def timePartitionZone(name: String): Option[String] =
+      TableProps.read(this, name).get(TimePartitionZoneProp)
 
     /** Time-bounded read of a time-partitioned append table: the time
       * predicate is REWRITTEN into a day-partition predicate (pruned by
@@ -812,13 +839,24 @@ object Tables {
       val tc = timePartitionCol(name).getOrElse(throw new IllegalStateException(
         s"$name has no $TimePartitionProp declared — time-pruned reads " +
           "need the hidden-partition layout (declareTimePartition)"))
+      // the day bound must be derived in the SAME zone the layout was
+      // written in — a session-zone derivation against a UTC layout can
+      // prune a day dir holding rows that satisfy the ts predicate
+      // (advice finding)
+      val zone = timePartitionZone(name)
+      def dayBound(b: java.sql.Timestamp): org.apache.spark.sql.Column =
+        zone match {
+          case Some(z) => lit(b.toInstant.atZone(java.time.ZoneId.of(z))
+            .toLocalDate)
+          case None => to_date(lit(b)) // legacy: session-zone layout
+        }
       val base = snapshotPath(name)
       var df = spark.read.option("basePath", base)
         .option("mergeSchema", "true").parquet(base)
       fromTs.foreach(f => df = df
-        .filter(col(PartDayCol) >= to_date(lit(f)) && col(tc) >= lit(f)))
+        .filter(col(PartDayCol) >= dayBound(f) && col(tc) >= lit(f)))
       toTs.foreach(t => df = df
-        .filter(col(PartDayCol) <= to_date(lit(t)) && col(tc) <= lit(t)))
+        .filter(col(PartDayCol) <= dayBound(t) && col(tc) <= lit(t)))
       df.drop(PartDayCol, PartBatchCol)
     }
   }
@@ -853,23 +891,26 @@ object Tables {
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
     chain.exists { e =>
       val m = Option(e.getMessage).getOrElse("")
-      val sparkRaceClass = e match {
-        // narrow to the exact Spark error classes a vanished snapshot
-        // raises, not free-text substrings of arbitrary errors
-        case st: org.apache.spark.SparkThrowable =>
-          Option(st.getCondition).exists(c =>
-            c.startsWith("PATH_NOT_FOUND") ||
-              c.startsWith("FAILED_READ_FILE") ||
-              c.startsWith("UNABLE_TO_INFER_SCHEMA"))
-        case _ => false
+      val cond = e match {
+        case st: org.apache.spark.SparkThrowable => Option(st.getCondition)
+        case _ => None
       }
+      // narrow to the exact Spark error classes a vanished snapshot
+      // raises, not free-text substrings of arbitrary errors
+      val sparkRaceClass = cond.exists(c =>
+        c.startsWith("PATH_NOT_FOUND") || c.startsWith("FAILED_READ_FILE"))
+      // UNABLE_TO_INFER_SCHEMA (snapshot GC'd between listing and schema
+      // inference) names only the FORMAT in its message, never a path —
+      // path-scoping it would un-classify that race entirely (advice
+      // finding). Kept unscoped, like the checkpoint-block case.
+      val inferRace = cond.exists(_.startsWith("UNABLE_TO_INFER_SCHEMA"))
       // executor-side FileNotFounds arrive as a SparkException whose
       // MESSAGE embeds the remote stack trace (no typed cause) — the
       // substring stays, but path-scoped like everything else
       val fileGone = e.isInstanceOf[java.io.FileNotFoundException] ||
         e.isInstanceOf[java.nio.file.NoSuchFileException] ||
         m.contains("FileNotFoundException")
-      ((sparkRaceClass || fileGone) && scoped(m)) ||
+      ((sparkRaceClass || fileGone) && scoped(m)) || inferRace ||
         // a localCheckpoint whose source files were GC'd mid-materialize
         // fails block puts, then surfaces as a missing checkpoint block
         // (no path in the message — kept unscoped)
@@ -890,6 +931,33 @@ object Tables {
     * column whose DATE derives the day partition of every appended batch.
     */
   val TimePartitionProp = "partition.time-column"
+  /** Zone the day derivation is pinned to (written as `UTC` by
+    * [[Warehouse.declareTimePartition]] — Iceberg's `days()` definition).
+    * Absent on legacy tables: those keep session-zone derivation.
+    */
+  val TimePartitionZoneProp = "partition.time-zone"
+
+  /** `p_day` derivation for one timestamp column: exact UTC epoch-day
+    * arithmetic when the table declares the UTC zone (zone-independent —
+    * `unix_micros` reads the stored instant directly, floor-division by
+    * a day of micros never consults any session zone), or the legacy
+    * session-zone `to_date` for pre-zone-prop tables. Integer-exact:
+    * the pmod subtraction makes the division exact for all instants,
+    * including pre-1970.
+    */
+  private[graft] def dayOfTimeCol(c: org.apache.spark.sql.Column,
+      zone: Option[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    zone match {
+      case Some(z) =>
+        require(z == "UTC",
+          s"only UTC day derivation is supported (Iceberg's days()); got $z")
+        val us = unix_micros(c.cast("timestamp"))
+        val day = lit(86400000000L)
+        date_from_unix_date(((us - pmod(us, day)) / day).cast("int"))
+      case None => to_date(c)
+    }
+  }
   /** Derived day-partition directory column (`p_day=<date>`); hidden from
     * readers. NOT `_`-prefixed: Spark ignores underscore-prefixed paths.
     */
