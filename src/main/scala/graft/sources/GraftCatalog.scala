@@ -646,6 +646,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       Seq(row(t, n))
     },
 
+    // The recovery move the retained history exists for: restore an old
+    // snapshot as current (Iceberg's rollback_to_snapshot). Roll-FORWARD
+    // semantics — a new version hard-links the target's content, so the
+    // snapshot log stays append-only and TIMESTAMP AS OF history never
+    // rewrites ([[Tables.Warehouse.rollbackTo]]).
+    procedure("rollback_to_version",
+      "Restore retained VERSION of TABLE as the current state (committed " +
+        "as a new roll-forward snapshot; history stays readable)",
+      Seq(param("table", StringType), param("version", LongType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("restored_version", LongType),
+        StructField("new_version", LongType)))) { in =>
+      val t = str(in, 0)
+      val v = in.getLong(1)
+      if (MorMirror.storedConfig(wh, t).isDefined ||
+          PartitionedMirror.storedBuckets(wh, t).isDefined ||
+          wh.timePartitionCol(t).isDefined)
+        throw new UnsupportedOperationException(
+          s"'$t' is a fold-input/in-place layout; rollback applies to " +
+            "versioned snapshot tables")
+      val rolled = wh.retryingConflicts(maxAttempts = 10) {
+        wh.rollbackTo(t, v)
+      }
+      Seq(row(t, v, rolled))
+    },
+
+    // Explicit retention: drop published snapshots beyond the newest
+    // keep_last (never the current one, whatever its number).
+    procedure("expire_snapshots",
+      "Delete retained published snapshots of TABLE beyond the newest " +
+        "KEEP_LAST; the current snapshot is always kept",
+      Seq(param("table", StringType),
+        paramDefault("keep_last", IntegerType, "2")),
+      StructType(Seq(StructField("expired_version", LongType)))) { in =>
+      wh.expireSnapshots(str(in, 0), in.getInt(1)).map(v => row(v))
+    },
+
     // The snapshot log as rows — what VERSION AS OF / TIMESTAMP AS OF
     // resolve against.
     procedure("snapshots",

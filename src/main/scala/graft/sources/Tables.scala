@@ -706,6 +706,67 @@ object Tables {
       }
     }
 
+    /** Restore a retained snapshot as the CURRENT table state — the
+      * recovery move the retained history exists for (Iceberg's
+      * `rollback_to_snapshot`). Implemented as a ROLL-FORWARD: a new
+      * version is committed whose content hard-links the target
+      * version's files ([[carryVersionInto]], zero-copy), so
+      *
+      *  - the snapshot log stays APPEND-ONLY: every old version keeps
+      *    its number and publish stamp, `TIMESTAMP AS OF` history never
+      *    rewrites, and "as of now" serves the restored state because
+      *    the roll-forward is the latest publication (a naive pointer
+      *    swap back to the old dir would leave `TIMESTAMP AS OF now`
+      *    resolving the bad write — the newest stamp — forever);
+      *  - the restored state is protected from retention GC the same
+      *    way every current version is: it IS the current version;
+      *  - concurrency is the plain commit CAS — a rival landing during
+      *    the rollback surfaces as a conflict, never a lost update.
+      *
+      * The bad versions stay retained (still readable via `VERSION AS
+      * OF` for forensics) until normal retention ages them out.
+      * @return the new current version number
+      */
+    def rollbackTo(name: String, version: Long): Long = {
+      val src = versions(name).collectFirst {
+        case (`version`, dir) if isPublishedDir(name, version, dir) => dir
+      }.getOrElse(throw new NoSuchElementException(
+        s"$name has no retained published version $version " +
+          s"(retained: ${listVersions(name).mkString(", ")})"))
+      val cur = currentVersion(name).getOrElse(
+        throw new IllegalStateException(
+          s"$name is not a versioned table — nothing to roll back"))
+      var rolled = -1L
+      commit(name, expectCurrent = Some(cur)) { staged =>
+        val stagedP = Paths.get(staged)
+        carryVersionInto(src, stagedP)
+        val m = versionPattern(name).matcher(stagedP.getFileName.toString)
+        require(m.matches(), s"stage dir $staged outside the version layout")
+        rolled = m.group(1).toLong
+      }
+      rolled
+    }
+
+    /** Explicit snapshot expiry (Iceberg's `expire_snapshots`): drop
+      * retained PUBLISHED versions beyond the newest `keepLast`,
+      * never the current pointer target (whatever its number — rollback
+      * and out-of-order publishes both make "current" independent of
+      * "newest"). Serialized with committers by the commit lock.
+      * @return the version numbers deleted
+      */
+    def expireSnapshots(name: String, keepLast: Int): Seq[Long] = {
+      require(keepLast >= 1, s"keepLast must retain the current version, got $keepLast")
+      withCommitLock(name) {
+        val curName = Paths.get(snapshotPath(name)).getFileName.toString
+        val expirable = versions(name)
+          .filter { case (v, p) => isPublishedDir(name, v, p) &&
+            p.getFileName.toString != curName }
+        val doomed = expirable.dropRight(keepLast - 1)
+        doomed.foreach { case (_, p) => deleteRecursively(p) }
+        doomed.map(_._1)
+      }
+    }
+
     /** Drop `name` entirely: pointer (or legacy dir), every retained
       * version, staged/discard debris, pointer temps, and the `_metadata`
       * sidecar. Serialized against committers by the commit lock; a

@@ -142,6 +142,55 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(1) == 100L)
   }
 
+  test("CALL rollback_to_version restores an old snapshot as current (roll-forward); expire_snapshots trims history") {
+    val root = tmpDir("cat-rb")
+    val wh = Warehouse(root, retain = 8)
+    register("g5", root)
+    // the catalog's commits must retain as deeply as the test's handle —
+    // its default retain=2 would GC v1 during the rollback commit itself
+    spark.conf.set("spark.sql.catalog.g5.retain", "8")
+    wh.overwrite(Seq((1L, "good")).toDF("id", "s").localCheckpoint(true), "t")
+    Thread.sleep(15)
+    wh.overwrite(Seq((1L, "bad"), (2L, "junk")).toDF("id", "s")
+      .localCheckpoint(true), "t") // the bad write
+    assert(spark.sql("SELECT s FROM g5.t WHERE id = 1").head.getString(0) == "bad")
+    Thread.sleep(15)
+    val r = spark.sql("CALL g5.system.rollback_to_version('t', 1)").head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L,
+      s"roll-forward must commit a NEW version: $r")
+    // plain reads serve the restored state; the bad write stays for forensics
+    assert(spark.sql("SELECT id, s FROM g5.t").collect().map(_.toString).toSeq
+      == Seq("[1,good]"))
+    assert(spark.sql("SELECT count(*) AS n FROM g5.t VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    // TIMESTAMP AS OF now = the restored state (the log is append-only;
+    // a pointer-swap rollback would keep resolving the bad write here)
+    val now = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now().plusMillis(5))
+    assert(spark.sql(s"SELECT s FROM g5.t TIMESTAMP AS OF '$now'")
+      .head.getString(0) == "good")
+    // the restored state is GC-protected exactly like any current version:
+    // later commits retain it as ordinary history
+    wh.overwrite(Seq((9L, "later")).toDF("id", "s").localCheckpoint(true), "t")
+    assert(spark.sql("SELECT s FROM g5.t VERSION AS OF 3").head.getString(0)
+      == "good")
+    // explicit expiry: keep_last=1 keeps only the current snapshot
+    val expired = spark.sql("CALL g5.system.expire_snapshots('t', 1)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expired == Seq(1L, 2L, 3L), s"expired: $expired")
+    assert(spark.sql("SELECT s FROM g5.t WHERE id = 9").head.getString(0)
+      == "later")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g5.t VERSION AS OF 1").collect()
+    }
+    // rolling back to an expired version fails loudly
+    intercept[Exception] {
+      spark.sql("CALL g5.system.rollback_to_version('t', 1)").collect()
+    }
+  }
+
   test("CALL emit_changelog + the feed view table + expire_consumed_hops close the feed loop in SQL") {
     val root = tmpDir("cat-feed")
     val wh = Warehouse(root, retain = 8)
