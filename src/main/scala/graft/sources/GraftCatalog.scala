@@ -820,7 +820,18 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    hiddenTimeColumn match {
+      // derive the implied p_day conjuncts at PUSHDOWN time — pruning is
+      // unconditional on session wiring (round-12 verdict item 3); only
+      // when the layout's partition column was actually discovered (an
+      // empty table's derived conjunct would be unresolvable residual)
+      case Some(tc) =>
+        val fsb = delegate.newScanBuilder(options)
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+        new DayDerivingScanBuilder(fsb, tc, hiddenTimeZone,
+          delegate.fileIndex.partitionSchema.names.contains(Tables.PartDayCol))
+      case None => delegate.newScanBuilder(options)
+    }
 
   private def refused: String = policy.left.getOrElse("")
   private def requireWritable(op: String): Unit = policy match {

@@ -11,70 +11,46 @@ import graft.sources.Tables.PartDayCol
 /** Transform-aware pruning for HIDDEN time partitioning — the read half
   * of the Iceberg `days(ts)` contract: a SQL user filters on the TIME
   * column and the day partitions prune without the user knowing `p_day`
-  * exists. For every time-column conjunct with a literal bound on a
-  * catalog-served time-partitioned table, derive the IMPLIED day-column
-  * conjunct (`ts >= T` implies `p_day >= date(T)` because
-  * `p_day = to_date(ts)` is monotone in `ts`; strict bounds relax to
-  * inclusive day bounds — conservative, never wrong) and AND it into the
-  * filter, where the stock V2 pushdown turns it into real
-  * PartitionFilters. Derived conjuncts already present are not re-added
-  * (fixed-point safe); rows with a NULL time column live in the default
-  * partition and are excluded by any time bound, exactly
+  * exists. For every time-column conjunct with a literal bound, the
+  * IMPLIED day-column conjunct is derived (`ts >= T` implies
+  * `p_day >= date(T)` because `p_day = to_date(ts)` is monotone in `ts`;
+  * strict bounds relax to inclusive day bounds — conservative, never
+  * wrong). Rows with a NULL time column live in the default partition
+  * and are excluded by any time bound, exactly
   * [[Tables.Warehouse.readTimePruned]]'s documented contract.
   *
-  * Injected by `graft.GraftExtensions` (the rule must run BEFORE the
-  * optimizer's early scan push-down batch to become PartitionFilters —
-  * `ExtensionsCheck` proves the end-to-end plan in a fresh JVM); also
-  * appended to `spark.experimental.extraOptimizations` for
-  * runtime-registered sessions, where it still guarantees the derived
-  * predicate (correctness-neutral) even when that batch runs too late
-  * to prune.
+  * TWO derivation sites share [[HiddenDayBounds.derive]]:
+  *
+  *  - [[GraftTable]]'s scan builder ([[DayDerivingScanBuilder]]) derives
+  *    at PUSHDOWN time, inside `pushFilters` — unconditional: every
+  *    session that reads through the catalog gets real PartitionFilters,
+  *    however the catalog was registered (the round-12 gap: the
+  *    rule-only path left runtime-registered sessions unpruned).
+  *  - [[DeriveHiddenDayFilters]], the injected optimizer rule
+  *    (`graft.GraftExtensions`, pre-pushdown batch) keeps the derived
+  *    conjunct visible in the OPTIMIZED LOGICAL plan too (join
+  *    reordering, IN-subquery pushdown and DPP reason over it there);
+  *    with the scan-builder derivation in place it is a belt over
+  *    braces for correctness, still the only path that lets OTHER
+  *    logical rules see the bound.
   */
-object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
+private[sources] object HiddenDayBounds extends PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, rel: DataSourceV2Relation) =>
-      rel.table match {
-        case gt: GraftTable => gt.hiddenTimeColumn match {
-          case Some(tc) =>
-            val tsAttr = rel.output.find(_.name.equalsIgnoreCase(tc))
-            val dayAttr = rel.output.find(_.name == PartDayCol)
-            (tsAttr, dayAttr) match {
-              case (Some(ts), Some(day)) =>
-                derive(f, cond, ts, day, rel, gt.hiddenTimeZone)
-              case _ => f
-            }
-          case None => f
-        }
-        case _ => f
-      }
-  }
-
-  private def derive(f: Filter, cond: Expression, ts: Attribute,
-      day: Attribute, rel: DataSourceV2Relation,
-      layoutZone: Option[String]): LogicalPlan = {
+  /** The implied day conjuncts of `conjuncts`' literal time bounds.
+    * `castZone` must be the LAYOUT's day-derivation zone (UTC for
+    * zone-prop tables) — deriving in a different zone than the writer
+    * can prune a day dir holding matching rows (advice finding).
+    * Literals are folded eagerly so repeated derivation is fixed-point
+    * stable (a folded conjunct `semanticEquals` later derivations).
+    */
+  def derive(conjuncts: Seq[Expression], isTs: Expression => Boolean,
+      day: Attribute, castZone: String): Seq[Expression] = {
     def timeLit(l: Literal): Boolean = l.dataType match {
       case TimestampType | TimestampNTZType | DateType => l.value != null
       case _ => false
     }
-    // fold the cast NOW: the optimizer would constant-fold a
-    // Cast(literal) anyway, and a folded conjunct no longer
-    // semanticEquals the unfolded derivation — the dedup below must see
-    // the exact shape later iterations will, or the fixed point re-adds
-    // a duplicate every pass.
-    // The cast's zone is the LAYOUT's declared derivation zone (UTC for
-    // zone-prop tables), not the reader session's: deriving in a
-    // different zone than the writer can prune a day dir that holds
-    // rows satisfying the ts predicate (advice finding). Legacy tables
-    // (no zone prop) keep the session zone — the documented hazard.
-    val castZone = layoutZone.getOrElse(conf.sessionLocalTimeZone)
     def toDay(l: Literal): Expression = Literal.create(
       Cast(l, DateType, Some(castZone)).eval(), DateType)
-    def isTs(e: Expression): Boolean = e match {
-      case a: Attribute => a.semanticEquals(ts)
-      case _ => false
-    }
-    val conjuncts = splitConjunctivePredicates(cond)
     val derived = conjuncts.flatMap {
       case GreaterThanOrEqual(a, l: Literal) if isTs(a) && timeLit(l) =>
         Some(GreaterThanOrEqual(day, toDay(l)))
@@ -98,8 +74,116 @@ object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(l: Literal, a) if isTs(a) && timeLit(l) =>
         Some(EqualTo(day, toDay(l)))
       case _ => None
-    }.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
-    if (derived.isEmpty) f
-    else Filter((conjuncts ++ derived).reduce(And), rel)
+    }
+    // dedup against conjuncts already carrying the bound (the rule and
+    // the scan builder both derive; the fixed point must not re-add) —
+    // by SHAPE (class, day column, literal), not exprId: the rule's day
+    // attribute and the builder's synthesized one differ by id
+    def shape(e: Expression): Option[(Class[_], Any)] = e match {
+      case GreaterThanOrEqual(d: Attribute, l: Literal) if d.name == day.name =>
+        Some((e.getClass, l.value))
+      case LessThanOrEqual(d: Attribute, l: Literal) if d.name == day.name =>
+        Some((e.getClass, l.value))
+      case EqualTo(d: Attribute, l: Literal) if d.name == day.name =>
+        Some((e.getClass, l.value))
+      case _ => None
+    }
+    val present = conjuncts.flatMap(shape).toSet
+    derived.filter(d => !present.contains(shape(d).get)).distinct
+  }
+}
+
+/** The scan-builder face (see [[HiddenDayBounds]]): wraps the stock
+  * parquet scan builder of a time-partitioned catalog table and derives
+  * the implied `p_day` conjuncts INSIDE `pushFilters`, where
+  * `FileScanBuilder` splits them off as real partition filters (the
+  * split and the later partition-value binding are both BY NAME, so a
+  * synthesized day attribute resolves). This makes hidden-day pruning
+  * UNCONDITIONAL — a runtime-registered catalog (no session extensions,
+  * q193's own configuration) prunes exactly like the extensions path.
+  * Derived conjuncts are only injected when the layout's `p_day`
+  * partition column was actually discovered (an empty just-created
+  * table has none, and an unconsumed derived conjunct would surface as
+  * an unresolvable residual). Aggregate pushdown forwards untouched.
+  */
+private[sources] class DayDerivingScanBuilder(
+    inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
+    timeCol: String, layoutZone: Option[String], dayDiscovered: Boolean)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with PredicateHelper {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val conjuncts = filters.flatMap(splitConjunctivePredicates)
+    val derived =
+      if (!dayDiscovered) Nil
+      else HiddenDayBounds.derive(conjuncts,
+        {
+          case a: Attribute => a.name.equalsIgnoreCase(timeCol)
+          case _ => false
+        },
+        AttributeReference(PartDayCol, DateType)(),
+        layoutZone.getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    inner.pushFilters(conjuncts ++ derived)
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.pushAggregation(aggregation)
+      case _ => false
+    }
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+}
+
+/** The injected-rule face (see [[HiddenDayBounds]]): ANDs the derived
+  * day conjuncts into every Filter directly over a catalog-served
+  * time-partitioned table, where the stock V2 pushdown turns them into
+  * real PartitionFilters. Injected by `graft.GraftExtensions` (must run
+  * BEFORE the optimizer's early scan push-down batch — `ExtensionsCheck`
+  * proves the end-to-end plan in a fresh JVM); also appended to
+  * `spark.experimental.extraOptimizations` for runtime-registered
+  * sessions, where the scan-builder derivation already prunes and this
+  * batch (running post-pushdown) stays correctness-neutral.
+  */
+object DeriveHiddenDayFilters extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: DataSourceV2Relation) =>
+      rel.table match {
+        case gt: GraftTable => gt.hiddenTimeColumn match {
+          case Some(tc) =>
+            val tsAttr = rel.output.find(_.name.equalsIgnoreCase(tc))
+            val dayAttr = rel.output.find(_.name == PartDayCol)
+            (tsAttr, dayAttr) match {
+              case (Some(ts), Some(day)) =>
+                val conjuncts = splitConjunctivePredicates(cond)
+                val derived = HiddenDayBounds.derive(conjuncts,
+                  e => e.isInstanceOf[Attribute] &&
+                    e.asInstanceOf[Attribute].semanticEquals(ts),
+                  day,
+                  gt.hiddenTimeZone.getOrElse(conf.sessionLocalTimeZone))
+                if (derived.isEmpty) f
+                else Filter((conjuncts ++ derived).reduce(And), rel)
+              case _ => f
+            }
+          case None => f
+        }
+        case _ => f
+      }
   }
 }

@@ -142,6 +142,46 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(1) == 100L)
   }
 
+  test("hidden-day pruning is UNCONDITIONAL: a runtime-registered catalog prunes ts-only SQL filters as PartitionFilters") {
+    val root = tmpDir("cat-sbprune")
+    val wh = Warehouse(root)
+    register("g6", root)
+    // this session has NO GraftExtensions (SparkTestBase builds plain);
+    // the pruning must come from the scan builder's pushFilters derivation
+    assert(!spark.sessionState.planner.strategies.exists(
+      _.getClass.getName.contains("AsOfJoinStrategy")) ||
+      spark.conf.getOption("spark.sql.extensions").isEmpty)
+    wh.declareTimePartition("ev", "ts")
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 3.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-04 10:00:00"), 4.0))
+      .toDF("id", "ts", "v")
+    wh.appendBatch(ev, "ev", 0L)
+    // the user names ONLY the time column — never p_day
+    val q = spark.sql(
+      """SELECT id FROM g6.ev
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        |ORDER BY id""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("p_day"),
+      s"ts-only filter must derive p_day PartitionFilters in a plain session:\n$plan")
+    // and the pruning is REAL: only the in-range day dirs are read
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
+      s"plan shape:\n$plan")
+    // an empty just-created time-partitioned table still plans (the
+    // derivation is guarded on the discovered partition column)
+    spark.sql(s"CREATE TABLE g6.empty_tp (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    assert(spark.sql(
+      "SELECT id FROM g6.empty_tp WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'")
+      .collect().isEmpty)
+  }
+
   test("CALL rollback_to_version restores an old snapshot as current (roll-forward); expire_snapshots trims history") {
     val root = tmpDir("cat-rb")
     val wh = Warehouse(root, retain = 8)
