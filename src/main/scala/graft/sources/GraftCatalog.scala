@@ -224,13 +224,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private def mkTable(t: String, path: String,
-      policy: Either[String, Unit]): Table =
+      policy: Either[String, Unit]): Table = {
+    GraftCatalog.tableBuilds.incrementAndGet() // spec counter: one per VERSION
     new GraftTable(wh, t, mkParquet(t, path), policy)
+  }
+
+  /** Resolved-table cache, keyed by (table, CURRENT version dir): the
+    * pointer path changes on every commit, so a CAS invalidates the
+    * entry for free, and a cached entry's lazy file listing + schema
+    * inference (the per-query `hasParquetFiles` walk and footer reads —
+    * round-12 verdict item 8) run once per VERSION instead of once per
+    * query. Only POINTER layouts cache: an in-place layout (time-
+    * partitioned / batch changelog, feed views) has a constant path but
+    * a live listing — caching it would hide freshly appended batches.
+    * DDL (create/alter/drop) evicts by name; stale-version entries of
+    * the same table evict on the next resolution.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Table]()
+
+  private def evictTable(t: String): Unit =
+    tableCache.keySet.removeIf(_._1 == t)
 
   override def loadTable(ident: Identifier): Table =
     metaTable(ident).getOrElse {
       val t = resolved(ident)
-      mkTable(t, wh.snapshotPath(t), writePolicy(t))
+      val snap = wh.snapshotPath(t)
+      if (wh.currentVersion(t).isDefined) {
+        val key = (t, snap)
+        val hit = tableCache.get(key)
+        if (hit != null) hit
+        else {
+          tableCache.keySet.removeIf(k => k._1 == t && k._2 != snap)
+          tableCache.computeIfAbsent(key,
+            _ => mkTable(t, snap, writePolicy(t)))
+        }
+      } else mkTable(t, snap, writePolicy(t))
     }
 
   /** `VERSION AS OF <v>` — served straight from the retained published
@@ -309,6 +338,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!isDataNs(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val t = ident.name
+    evictTable(t) // a re-created name must never serve the dropped table
     require(!t.contains("/") && !t.startsWith("_") && !t.startsWith("."),
       s"illegal graft table name '$t'")
     // the one supported partition transform: days(ts) — the hidden
@@ -377,6 +407,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = resolved(ident)
+    evictTable(t) // props/policy feed the cached table; re-resolve fresh
     changes.foreach {
       case s: TableChange.SetProperty =>
         require(s.property != Tables.TimePartitionProp,
@@ -434,7 +465,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def dropTable(ident: Identifier): Boolean =
     if (!isDataNs(ident.namespace)) false
-    else wh.drop(ident.name)
+    else {
+      evictTable(ident.name)
+      wh.drop(ident.name)
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -698,6 +732,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 }
 
 object GraftCatalog {
+  /** Table-build counter (one increment per [[GraftCatalog]] table
+    * materialization — the walk + schema-inference unit the
+    * version-pointer cache amortizes). Spec-facing.
+    */
+  private[graft] val tableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Declared-schema sidecar prop: serves a just-created table's schema
     * until its first data file exists (parquet has no footer to infer
     * from). Never authoritative once files land — the files are.

@@ -231,6 +231,42 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("loadTable caches per version pointer: one census walk per VERSION, evicted by commits and DDL") {
+    val root = tmpDir("cat-cache")
+    val wh = Warehouse(root)
+    register("g7", root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "t")
+    def builds = graft.sources.GraftCatalog.tableBuilds.get()
+    spark.sql("SELECT * FROM g7.t").collect() // first resolution builds
+    val afterFirst = builds
+    (1 to 3).foreach(_ => spark.sql("SELECT count(*) FROM g7.t").collect())
+    assert(builds == afterFirst,
+      "repeat queries on one version must reuse the cached resolution")
+    // a commit moves the pointer -> exactly one fresh build
+    wh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .localCheckpoint(true), "t")
+    assert(spark.sql("SELECT count(*) AS n FROM g7.t").head.getLong(0) == 2L,
+      "the cache must never serve a superseded version")
+    val afterCommit = builds
+    assert(afterCommit == afterFirst + 1)
+    spark.sql("SELECT * FROM g7.t").collect()
+    assert(builds == afterCommit)
+    // DDL evicts: ALTER props re-resolves even on the same version
+    spark.sql("ALTER TABLE g7.t SET TBLPROPERTIES ('note' = 'x')")
+    spark.sql("SELECT * FROM g7.t").collect()
+    assert(builds == afterCommit + 1)
+    // an IN-PLACE layout (time-partitioned changelog) never caches —
+    // its listing must stay live for freshly appended batches
+    wh.declareTimePartition("ev", "ts")
+    wh.appendBatch(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "ts"), "ev", 0L)
+    assert(spark.sql("SELECT count(*) FROM g7.ev").head.getLong(0) == 1L)
+    wh.appendBatch(Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("id", "ts"), "ev", 1L)
+    assert(spark.sql("SELECT count(*) FROM g7.ev").head.getLong(0) == 2L,
+      "a live changelog read must see the new batch immediately")
+  }
+
   test("CALL emit_changelog + the feed view table + expire_consumed_hops close the feed loop in SQL") {
     val root = tmpDir("cat-feed")
     val wh = Warehouse(root, retain = 8)
