@@ -900,6 +900,88 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Streaming THROUGH the SQL catalog under the oracle gate (q195): the
+    * events table lands in a scratch warehouse as a day-partitioned
+    * changelog (two appendBatch micro-batches), then the WHOLE loop runs
+    * by table name — `readStream.table` tails the changelog through the
+    * V1 file-stream fallback and `writeStream.toTable` commits every
+    * epoch as a snapshot of a second catalog table
+    * ([[graft.sources.GraftStreamingWrite]], epoch-marker exactly-once)
+    * — and the batch aggregate of the STREAMED table must hash-equal the
+    * plain aggregate DuckDB computes on the source. This is the
+    * reference's product shape end-to-end: continuous ingest into named
+    * tables (README.md:6-10), on the engine's committed paths.
+    */
+  def q195CatalogStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cs_q195")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_q195_ckpt")
+    val cat = s"gq195_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString)
+    try {
+      val ev = events(spark, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "ts", "event_type", "value")
+      wh.declareTimePartition("ev_log", "ts")
+      (0 to 1).foreach { b =>
+        wh.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === b),
+          "ev_log", batchId = b.toLong)
+      }
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(s"CREATE TABLE $cat.ev_mirror " +
+        "(event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)")
+      val q = spark.readStream.table(s"$cat.ev_log")
+        .drop(graft.sources.Tables.PartDayCol, graft.sources.Tables.PartBatchCol)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.ev_mirror")
+      q.awaitTermination()
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev_mirror
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally { deleteDir(tmp); deleteDir(ckpt) }
+  }
+
+  /** Snapshot rollback under the oracle gate (q196): v1 = the clean
+    * half of events, v2 = a corrupted overwrite (every value tripled),
+    * then `CALL rollback_to_version(t, 1)` restores v1 as current by a
+    * roll-forward commit and the PLAIN read's aggregate must equal the
+    * oracle's clean-subset aggregate — while the bad snapshot stays
+    * readable via `VERSION AS OF` (asserted by the row count carried in
+    * the output).
+    */
+  def q196Rollback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rb_q196")
+    val cat = s"gq196_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 4)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      val clean = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      wh.overwrite(clean.localCheckpoint(true), "ev")
+      wh.overwrite(ev.withColumn("value", col("value") * 3)
+        .localCheckpoint(true), "ev") // the bad write
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "4")
+      spark.sql(s"CALL $cat.system.rollback_to_version('ev', 1)").collect()
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF 2) AS n_bad_retained
+           |FROM $cat.ev
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2377,6 +2459,25 @@ object Queries {
         |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // the streamed-through-catalog mirror must equal the plain aggregate
+    // over the whole source: file-stream tailing, epoch snapshot commits
+    // and the batch read-back compose to an identity
+    "q195_catalog_streaming" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // after the rollback the PLAIN read serves exactly the clean half;
+    // the bad snapshot's full row count stays readable as history
+    "q196_rollback" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events) AS n_bad_retained
+        |FROM events
+        |WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2852,6 +2953,8 @@ object Queries {
     "q192_merge_into_lifecycle" -> (q192MergeIntoLifecycle _),
     "q193_sql_hidden_day_filter" -> (q193SqlHiddenDayFilter _),
     "q194_count_fast_oracle" -> (q194CountFastOracle _),
+    "q195_catalog_streaming" -> (q195CatalogStreaming _),
+    "q196_rollback" -> (q196Rollback _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

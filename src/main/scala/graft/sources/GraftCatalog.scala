@@ -827,7 +827,8 @@ object GraftCatalog {
 private[sources] class GraftTable(wh: Warehouse, tableName: String,
     delegate: ParquetTable, policy: Either[String, Unit])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.GraftV1FallbackTable {
 
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
@@ -856,7 +857,51 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   // error the user actually sees
   override def capabilities(): java.util.Set[TableCapability] = {
     import TableCapability._
-    java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE, TRUNCATE)
+    java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, STREAMING_WRITE)
+  }
+
+  /** `spark.readStream.table("graft.t")` — streaming reads ride Spark's
+    * V1 streaming fallback onto the stock file stream source, whose
+    * checkpointed file log gives new-file detection, exactly-once and
+    * restart/replay natively (the same machinery the ingest pipeline's
+    * own stream uses). Served for IN-PLACE append layouts, where the
+    * directory IS an append log and a file, once written, never
+    * rewrites: time-partitioned changelogs (partition-parsed, `p_day`/
+    * `p_batch` in the streamed schema exactly as in batch SQL),
+    * batch-subdir changelogs, and changelog FEED views — the
+    * subscribe-to-a-mirror's-changes surface. A VERSIONED snapshot
+    * table refuses loudly: its commits rewrite file sets atomically
+    * (overwrite, COW, compaction), which a file-tailing source would
+    * re-ingest as duplicate rows — its streaming face is the feed view
+    * (`CALL <cat>.system.emit_changelog` + readStream.table the view).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    if (wh.currentVersion(tableName).isDefined)
+      throw new UnsupportedOperationException(
+        s"streaming read of '$tableName' refused: a versioned snapshot " +
+          "table rewrites its file set atomically (overwrite/COW/" +
+          "compaction), which a file-tailing stream would re-ingest as " +
+          "duplicates. Subscribe to its changelog feed instead: CALL " +
+          "<catalog>.system.emit_changelog(source, view, key) and " +
+          "readStream.table the feed view.")
+    val path = delegate.paths.head
+    val props =
+      if (hiddenTimeColumn.isDefined) Map("mergeSchema" -> "true")
+      else Map("mergeSchema" -> "true", "recursiveFileLookup" -> "true")
+    CatalogTable(
+      // UnresolvedCatalogRelation asserts a database-qualified identifier;
+      // the fallback resolves entirely from this metadata (provider +
+      // location), never by name lookup, so "default" is a label only
+      identifier = TableIdentifier(tableName, Some("default")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat(
+        locationUri = Some(java.nio.file.Paths.get(path).toUri),
+        inputFormat = None, outputFormat = None, serde = None,
+        compressed = false, properties = props),
+      schema = delegate.schema,
+      provider = Some("parquet"))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -897,6 +942,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
                 wh.appendVersioned(data, tableName)
               }
           }
+        /** `df.writeStream.toTable("graft.t")`: every micro-batch is a
+          * committed snapshot ([[GraftStreamingWrite]] — epoch-marker
+          * exactly-once, hard-link fast append per epoch; complete mode
+          * overwrites).
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(wh, tableName, info.schema(),
+            info.queryId(), replace)
       }
     }
   }

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables.Warehouse
+
+/** `df.writeStream.toTable("graft.t")` — the V2 streaming write that
+  * makes every micro-batch a COMMITTED SNAPSHOT of a catalog table, so a
+  * continuously-fed table gets the exact guarantees the batch SQL face
+  * gives: atomic pointer-swap publication, `VERSION AS OF` history per
+  * epoch, CAS against rival writers, retention GC. This closes the
+  * round-12 seam between the engine's streaming face and its SQL
+  * catalog — the reference's whole product is continuous ingest into
+  * NAMED tables (`/root/reference/batch-bootstrapper/README.md:6-10`).
+  *
+  * Per epoch:
+  *  1. executor tasks stream rows into a deterministic per-(query,
+  *     epoch) staging dir through Spark's own parquet
+  *     `OutputWriterFactory` (attempt-unique file names; only files
+  *     named in committed messages survive — same discipline as
+  *     [[GraftCowBatchWrite]]);
+  *  2. `commit(epoch)` allocates an exclusive stage, hard-links the
+  *     committed epoch files in, carries the previous published version
+  *     ([[Warehouse.carryPreviousInto]] — the hard-link fast append, so
+  *     an epoch costs O(epoch data)), stamps the epoch MARKER inside
+  *     the stage, and publishes with the pointer CAS.
+  *
+  * EXACTLY-ONCE across restarts rides the marker: `_stream_epoch`
+  * records `(queryId, epochId)` inside the version dir — atomic with
+  * the snapshot, carried forward by every other committer (append,
+  * compaction) via the root-marker carry. A replayed epoch (crash
+  * between our commit and the checkpoint commit) reads the marker,
+  * sees itself already absorbed, and is a no-op. The queryId is the
+  * stream's PERSISTENT id (stable across restarts of one checkpoint;
+  * fresh checkpoint = fresh id, so a re-built lineage restarting at
+  * epoch 0 is never wrongly skipped.)
+  *
+  * Complete-mode (`truncate`) epochs overwrite instead of carrying —
+  * each epoch IS the table.
+  */
+private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
+    schema: StructType, queryId: String, truncate: Boolean)
+  extends StreamingWrite {
+
+  private def epochDir(epochId: Long): Path =
+    Paths.get(s"${wh.tablePath(table)}.streamepoch_${queryId}_$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = ParquetUtils.prepareWrite(spark.sessionState.conf, job,
+      schema, new ParquetOptions(Map.empty[String, String],
+        spark.sessionState.conf))
+    new GraftStreamingWriterFactory(
+      s"${wh.tablePath(table)}.streamepoch_$queryId", schema, factory,
+      new SerializableHadoopConf(job.getConfiguration))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case CowFileCommit(f) => f }.toSet
+    val epoch = epochDir(epochId)
+    wh.retryingConflicts(maxAttempts = 10) {
+      if (!alreadyApplied(epochId)) {
+        val expected = wh.currentVersion(table)
+        val legacyMoved = wh.migrateLegacy(table)
+        val stage = wh.allocateStage(table)
+        try {
+          committed.foreach { f =>
+            val src = epoch.resolve(f)
+            val dst = stage.resolve(f)
+            try Files.createLink(dst, src)
+            catch {
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException => Files.copy(src, dst)
+            }
+          }
+          if (!truncate) wh.carryPreviousInto(table, stage)
+          // a snapshot with zero parquet files is unreadable (no footer):
+          // an empty first/complete epoch still publishes a schema-bearing
+          // version, same as CREATE TABLE
+          val hasFiles = {
+            val s = Files.list(stage)
+            try s.iterator().asScala.exists(
+              _.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+          if (!hasFiles) {
+            SparkSession.active.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema).repartition(1).write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(stage.toString)
+          }
+          Files.writeString(stage.resolve(GraftStreamingWrite.EpochMarker),
+            s"$queryId\n$epochId")
+          wh.publishStage(table, stage, expected, legacyMoved)
+        } catch {
+          case t: Throwable =>
+            if (!t.isInstanceOf[java.util.ConcurrentModificationException])
+              wh.discardStage(stage)
+            throw t
+        }
+      }
+    }
+    Tables.deleteRecursively(epoch)
+  }
+
+  /** True when the CURRENT snapshot already absorbed this epoch of THIS
+    * query lineage (the replay window between our commit and the
+    * checkpoint commit).
+    */
+  private def alreadyApplied(epochId: Long): Boolean = {
+    val marker = Paths.get(wh.snapshotPath(table),
+      GraftStreamingWrite.EpochMarker)
+    if (!Files.exists(marker)) return false
+    Files.readString(marker).linesIterator.toList match {
+      case q :: e :: _ => q == queryId && e.trim.toLong >= epochId
+      case _ => false
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    Tables.deleteRecursively(epochDir(epochId))
+}
+
+private[sources] object GraftStreamingWrite {
+  /** Root marker recording the last (queryId, epoch) a snapshot absorbed
+    * — `_`-prefixed (invisible to scans), carried by every committer's
+    * root-marker carry, atomic with the pointer swap.
+    */
+  val EpochMarker = "_stream_epoch"
+}
+
+/** Per-epoch task writers: rows stream into
+  * `<epochRootPrefix>_<epochId>/<attempt-unique>.parquet`; the commit
+  * message names the file, and only named files publish.
+  */
+private class GraftStreamingWriterFactory(epochRootPrefix: String,
+    schema: StructType, factory: OutputWriterFactory,
+    conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val dir = s"${epochRootPrefix}_$epochId"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val fileName = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+    val ctx = new TaskAttemptContextImpl(conf.value,
+      new TaskAttemptID("graft-stream", 0, TaskType.MAP, partitionId,
+        (taskId % Int.MaxValue).toInt))
+    val writer = factory.newInstance(s"$dir/$fileName", schema, ctx)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = writer.write(row)
+      override def commit(): WriterCommitMessage = {
+        writer.close(); CowFileCommit(fileName)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, fileName))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

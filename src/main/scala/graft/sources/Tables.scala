@@ -637,15 +637,22 @@ object Tables {
       val expected = currentVersion(name)
       commit(name, expectCurrent = expected) { staged =>
         df.write.mode(SaveMode.Overwrite).parquet(staged)
-        val stagedP = Paths.get(staged)
-        val m = versionPattern(name).matcher(stagedP.getFileName.toString)
-        require(m.matches(), s"stage dir $staged outside the version layout")
-        val next = m.group(1).toLong
-        versions(name)
-          .filter { case (v, p) => v < next && isPublishedDir(name, v, p) }
-          .lastOption
-          .foreach { case (_, prev) => carryVersionInto(prev, stagedP) }
+        carryPreviousInto(name, Paths.get(staged))
       }
+    }
+
+    /** Zero-copy carry of the freshest published version BELOW a staged
+      * one into the stage — [[appendVersioned]]'s append half, exposed
+      * for externally-staged appends (the catalog's streaming write).
+      */
+    private[sources] def carryPreviousInto(name: String, stagedP: Path): Unit = {
+      val m = versionPattern(name).matcher(stagedP.getFileName.toString)
+      require(m.matches(), s"stage dir $stagedP outside the version layout")
+      val next = m.group(1).toLong
+      versions(name)
+        .filter { case (v, p) => v < next && isPublishedDir(name, v, p) }
+        .lastOption
+        .foreach { case (_, prev) => carryVersionInto(prev, stagedP) }
     }
 
     /** Zero-copy carry of a published version's contents into a staged
@@ -794,7 +801,7 @@ object Tables {
         if (Files.isDirectory(rootP)) {
           val pat = java.util.regex.Pattern.compile(
             java.util.regex.Pattern.quote(name) +
-              "\\.(v\\d+\\..+|ptr\\d+.*|morstage.*)")
+              "\\.(v\\d+\\..+|ptr\\d+.*|morstage.*|streamepoch.*)")
           val s = Files.list(rootP)
           val debris =
             try s.iterator().asScala

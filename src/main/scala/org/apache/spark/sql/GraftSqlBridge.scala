@@ -13,3 +13,12 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Second package-local hop, same rationale:
+  * [[connector.catalog.V2TableWithV1Fallback]] — the analyzer's V1
+  * streaming-read fallback hook (the mechanism `readStream.table` uses
+  * to serve file-stream semantics for tables without a native
+  * MicroBatchStream) — is `private[sql]`. Graft's catalog table extends
+  * this re-export to ride it.
+  */
+trait GraftV1FallbackTable extends connector.catalog.V2TableWithV1Fallback
