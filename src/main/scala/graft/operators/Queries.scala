@@ -982,6 +982,44 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Hour-grain hidden partitioning under the oracle gate (q197): the
+    * same lifecycle as q193 but at `hours(ts)` granularity — events land
+    * as `p_day/p_hour=<hours-since-epoch>/p_batch` partitions
+    * (Iceberg's hours transform) and one plain SQL statement with
+    * SUB-DAY time bounds reads through the catalog, pruning on BOTH the
+    * derived day and the derived hour index
+    * ([[graft.sources.DayDerivingScanBuilder]]). The oracle is the plain
+    * sub-day time-range aggregate: layout, nesting, and two-level
+    * pruning must never change results.
+    */
+  def q197HourGrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hg_q197")
+    val cat = s"gq197_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString)
+    try {
+      val ev = events(spark, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      wh.declareTimePartition("ev_log", "ts", granularity = "hour")
+      (0 to 1).foreach { b =>
+        wh.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === b),
+          "ev_log", batchId = b.toLong)
+      }
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev_log
+           |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
+           |  AND ts <= TIMESTAMP '2024-01-12 17:45:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2478,6 +2516,16 @@ object Queries {
         |WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the hour-grain layout + two-level hidden pruning must equal the
+    // plain sub-day time-range aggregate on the un-partitioned source
+    "q197_hour_grain" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
+        |  AND ts <= TIMESTAMP '2024-01-12 17:45:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the two-schema-epoch fold (rename declared mid-history, score
     // widened int->bigint) answers the SAME question as the un-split
     // fold: the oracle sees one continuous history, so a renamed column
@@ -2955,6 +3003,7 @@ object Queries {
     "q194_count_fast_oracle" -> (q194CountFastOracle _),
     "q195_catalog_streaming" -> (q195CatalogStreaming _),
     "q196_rollback" -> (q196Rollback _),
+    "q197_hour_grain" -> (q197HourGrain _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

@@ -555,16 +555,124 @@ object Maintenance {
   private def compactTimePartitioned(spark: SparkSession, wh: Warehouse,
       table: String): Unit = {
     import org.apache.spark.sql.functions.col
-    import graft.sources.Tables.{PartBatchCol, PartDayCol}
+    // a mid-evolution tree migrates FIRST (day-dir-atomic, churn =
+    // un-migrated days) so the unified-discovery read below sees one
+    // consistent partition schema — compaction IS the background rewrite
+    // Iceberg's spec evolution promises
+    migrateTimeGranularity(spark, wh, table)
+    val partCols = timeLayoutCols(wh, table)
     val path = wh.snapshotPath(table)
     val df = spark.read.option("basePath", path).option("mergeSchema", "true")
       .parquet(path)
-      .repartition(col(PartDayCol), col(PartBatchCol))
+      .repartition(partCols.map(col): _*)
       .localCheckpoint(true) // materialize BEFORE overwriting the same dirs
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartDayCol, PartBatchCol)
+      .partitionBy(partCols: _*)
       .parquet(path)
+  }
+
+  /** The hidden-time layout's partition columns per declared grain. */
+  private def timeLayoutCols(wh: Warehouse, table: String): Seq[String] = {
+    import graft.sources.Tables.{PartBatchCol, PartDayCol, PartHourCol, PartMonthCol}
+    wh.timeGranularity(table) match {
+      case "hour" => Seq(PartDayCol, PartHourCol, PartBatchCol)
+      case "month" => Seq(PartMonthCol, PartBatchCol)
+      case _ => Seq(PartDayCol, PartBatchCol)
+    }
+  }
+
+  /** The background rewrite of a day→hour spec evolution
+    * ([[graft.sources.Tables.Warehouse.evolveTimeGranularity]]): every
+    * day dir still in the OLD spec (direct `p_batch=` children) rewrites
+    * into `p_hour=<hours-since-epoch>/p_batch=` — cost tracks the
+    * un-migrated days, not the table. Day-dir-ATOMIC: the new layout
+    * stages into a hidden `_mig_` sibling (invisible to every scan),
+    * then two atomic renames swap it in; the only residual is a
+    * sub-millisecond absence window per day dir, the same documented
+    * class as the commit path's one-time legacy migration. A crash
+    * leaves either the intact old day plus a dead `_mig_` stage (healed
+    * by the next run) or a `_trash_` leftover (deleted by the next
+    * run); replayed micro-batches stay idempotent because a replay
+    * after the flip rewrites its own (day, hour, batch) partitions.
+    * @return number of day dirs migrated
+    */
+  def migrateTimeGranularity(spark: SparkSession, wh: Warehouse,
+      table: String): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables.{PartBatchCol, PartDayCol, PartHourCol}
+    if (wh.timeGranularity(table) != "hour") return 0
+    val tc = wh.timePartitionCol(table).getOrElse(return 0)
+    val base = wh.snapshotPath(table)
+    val baseP = Paths.get(base)
+    if (!Files.isDirectory(baseP)) return 0
+    // heal crashed leftovers first: a dead _mig_ stage re-stages below,
+    // a _trash_ leftover is an already-swapped old day
+    locally {
+      val s = Files.list(baseP)
+      val debris =
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_mig_") || n.startsWith("_trash_")
+        }.toList
+        finally s.close()
+      debris.foreach(graft.sources.Tables.deleteRecursively)
+    }
+    val (dayEra, _) = wh.classifyDayDirs(base)
+    dayEra.foreach { dayDir =>
+      val oldBatches = wh.childDirs(dayDir, s"$PartBatchCol=")
+      val hourDirs = wh.childDirs(dayDir, s"$PartHourCol=")
+      // a batch id present in BOTH specs of one day is a half-healed
+      // replay duplicate (appendBatch's delete-after-write window) —
+      // the next replay heals it; migrating now would have to pick a
+      // copy, so refuse loudly instead of guessing
+      val oldIds = oldBatches.map(_.getFileName.toString).toSet
+      val newIds = hourDirs.flatMap(wh.childDirs(_, s"$PartBatchCol="))
+        .map(_.getFileName.toString).toSet
+      val both = oldIds.intersect(newIds)
+      require(both.isEmpty,
+        s"$table/${dayDir.getFileName}: batches ${both.mkString(", ")} " +
+          "exist under BOTH specs (an un-healed replay window); re-run " +
+          "the ingest replay before migrating")
+      // stage the WHOLE day under the new spec: the old-era batches
+      // rewrite hour-partitioned, the already-hour-era children carry as
+      // zero-copy hard links — then one two-rename swap makes the day
+      // dir's spec flip atomic (sub-ms absence window, the same
+      // documented class as the commit path's legacy migration)
+      val stage = dayDir.resolveSibling(s"_mig_${dayDir.getFileName}")
+      spark.read.option("basePath", base).option("mergeSchema", "true")
+        .parquet(oldBatches.map(_.toString): _*)
+        .withColumn(PartHourCol, graft.sources.Tables.hourOfTimeCol(col(tc)))
+        .drop(PartDayCol) // the dir name IS the day; never in the files
+        .repartition(col(PartHourCol), col(PartBatchCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(PartHourCol, PartBatchCol)
+        .parquet(stage.toString)
+      def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.iterator().asScala.foreach { p =>
+          val fn = p.getFileName.toString
+          if (Files.isDirectory(p)) linkTree(p, dst.resolve(fn))
+          else if (!fn.startsWith("_") && !fn.startsWith(".")) {
+            try Files.createLink(dst.resolve(fn), p)
+            catch {
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+                Files.copy(p, dst.resolve(fn))
+            }
+          }
+        } finally s.close()
+      }
+      hourDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))
+      val trash = dayDir.resolveSibling(s"_trash_${dayDir.getFileName}")
+      Files.move(dayDir, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(stage, dayDir, StandardCopyOption.ATOMIC_MOVE)
+      graft.sources.Tables.deleteRecursively(trash)
+    }
+    dayEra.size
   }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`
@@ -632,63 +740,87 @@ object Maintenance {
   private def expireTombstonesPartitioned(spark: SparkSession,
       wh: Warehouse, table: String, cfg: graft.CdcConfig,
       horizon: String): Unit = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.functions.{coalesce, col, lit, to_date}
-    import graft.sources.Tables.{PartBatchCol, PartDayCol}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import graft.sources.Tables.{PartDayCol, PartMonthCol}
+    // a mid-evolution tree migrates first so the unified read + dynamic
+    // overwrite below see ONE consistent partition layout (rewriting a
+    // day-era day under the hour spec would leave its old batch dirs as
+    // duplicates — the overwrite only replaces hour-spec partitions)
+    migrateTimeGranularity(spark, wh, table)
+    val partCols = timeLayoutCols(wh, table)
+    val topCol = partCols.head // p_day, or p_month at month grain
     val path = wh.snapshotPath(table)
     if (!Files.isDirectory(Paths.get(path))) return
-    val horizonDay = java.sql.Date.valueOf(
-      java.time.LocalDate.parse(horizon.take(10)))
-    // existing expirable (day, batch) partition dirs, from the listing —
-    // the survivors diff below decides which of these vanish entirely
-    def dayOf(n: String): Option[String] =
-      if (n.startsWith(s"$PartDayCol=")) Some(n.drop(PartDayCol.length + 1))
+    val horizonDay = java.time.LocalDate.parse(horizon.take(10))
+    val horizonMonth = (horizonDay.getYear - 1970) * 12 +
+      (horizonDay.getMonthValue - 1)
+    // a top-level dir is expirable only when WHOLLY before the horizon —
+    // the horizon's own day/month waits (conservative: an unexpired
+    // tombstone is dead weight, never wrong)
+    def topWhollyBefore(v: String): Boolean =
+      v != "__HIVE_DEFAULT_PARTITION__" && (topCol match {
+        case PartMonthCol => v.toInt < horizonMonth
+        case _ => java.time.LocalDate.parse(v).isBefore(horizonDay)
+      })
+    def valueOf(n: String): Option[String] =
+      if (n.startsWith(s"$topCol=")) Some(n.drop(topCol.length + 1))
       else None
-    val oldDayDirs = {
+    val oldTopDirs = {
       val s = Files.list(Paths.get(path))
-      try s.iterator().asScala.filter(p => dayOf(p.getFileName.toString)
-          .exists(d => d != "__HIVE_DEFAULT_PARTITION__" &&
-            java.sql.Date.valueOf(d).before(horizonDay)))
-        .toSeq
+      try s.iterator().asScala.filter(p =>
+          valueOf(p.getFileName.toString).exists(topWhollyBefore)).toSeq
       finally s.close()
     }
-    if (oldDayDirs.isEmpty) return
+    if (oldTopDirs.isEmpty) return
     val df = spark.read.option("basePath", path)
       .option("mergeSchema", "true").parquet(path)
     if (!df.columns.contains(graft.DmsEnvelope.OpCol)) return
-    // PARTITION-PRUNED scan: the day predicate prunes in-horizon days
-    val old = df.filter(col(PartDayCol) < lit(horizonDay))
+    // PARTITION-PRUNED scan: only wholly-before top partitions open
+    val old = topCol match {
+      case PartMonthCol => df.filter(col(PartMonthCol) < lit(horizonMonth))
+      case _ => df.filter(col(PartDayCol) < lit(java.sql.Date.valueOf(horizonDay)))
+    }
     val kept = old.filter(!coalesce(
       col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
         col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
     kept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartDayCol, PartBatchCol)
+      .partitionBy(partCols: _*)
       .parquet(path)
     // partitions that lost every row: metadata-sized collect (distinct
-    // (day, batch) pairs of the expired span), then explicit deletes
-    val survivors = kept.select(col(PartDayCol).cast("string"),
-        col(PartBatchCol).cast("string"))
+    // partition tuples of the expired span), then explicit deletes — a
+    // dynamic overwrite never touches a partition absent from its output
+    val survivors = kept
+      .select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    oldDayDirs.foreach { dayDir =>
-      val day = dayOf(dayDir.getFileName.toString).get
-      val s = Files.list(dayDir)
-      val batches =
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(s"$PartBatchCol="))
-          .toSeq
-        finally s.close()
-      batches.foreach { b =>
-        val batch = b.getFileName.toString.drop(PartBatchCol.length + 1)
-        if (!survivors.contains((day, batch)))
-          graft.sources.Tables.deleteRecursively(b)
+      .map(r => partCols.indices.map(i =>
+        Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")).toList)
+      .toSet
+    // walk the partition levels under each expired top dir; delete leaf
+    // batch dirs whose full tuple lost every row, prune emptied parents
+    def sweep(dir: Path, key: List[String], depth: Int): Unit = {
+      if (depth == partCols.length) {
+        if (!survivors.contains(key))
+          graft.sources.Tables.deleteRecursively(dir)
+        return
       }
-      // a day dir whose batches all vanished is itself empty debris
-      val s2 = Files.list(dayDir)
+      val prefix = s"${partCols(depth)}="
+      val s = Files.list(dir)
+      val children =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+        finally s.close()
+      children.foreach { c =>
+        sweep(c, key :+ c.getFileName.toString.drop(prefix.length), depth + 1)
+      }
+      val s2 = Files.list(dir)
       val empty = try !s2.iterator().hasNext finally s2.close()
-      if (empty) graft.sources.Tables.deleteRecursively(dayDir)
+      if (empty) graft.sources.Tables.deleteRecursively(dir)
+    }
+    oldTopDirs.foreach { top =>
+      sweep(top, List(valueOf(top.getFileName.toString).get), 1)
     }
   }
 

@@ -192,6 +192,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private def mkParquet(t: String, path: String): ParquetTable = {
+    // a MID-EVOLUTION hour-grain tree has two partition schemas at once;
+    // unified discovery cannot serve it — refuse with the migration
+    // mechanism named (readTimePruned handles mixed exactly; SQL serves
+    // again once the background rewrite catches up)
+    if (wh.timeGranularity(t) == "hour") {
+      val (dayEra, hourEra) = wh.classifyDayDirs(path)
+      if (dayEra.nonEmpty && hourEra.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"'$t' is mid day->hour spec evolution (${dayEra.size} day dirs " +
+            s"still in the old spec): SQL serves a single partition " +
+            "schema. Run Maintenance.migrateTimeGranularity (or CALL " +
+            s"$catalogName.system.compact) to finish the rewrite, or read " +
+            "through Warehouse.readTimePruned meanwhile.")
+    }
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
     opts.put("mergeSchema", "true")
@@ -341,20 +355,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     evictTable(t) // a re-created name must never serve the dropped table
     require(!t.contains("/") && !t.startsWith("_") && !t.startsWith("."),
       s"illegal graft table name '$t'")
-    // the one supported partition transform: days(ts) — the hidden
-    // time-partition layout (Iceberg's transform, appendBatch's dirs)
-    val timeCol = partitions.toList match {
+    // the supported partition transforms: days/hours/months(ts) — the
+    // hidden time-partition layouts (Iceberg's transforms, appendBatch's
+    // dirs at the declared grain)
+    val grains = Map("days" -> "day", "hours" -> "hour", "months" -> "month")
+    val timeCol: Option[(String, String)] = partitions.toList match {
       case Nil => None
-      case d :: Nil if d.name == "days" =>
+      case d :: Nil if grains.contains(d.name) =>
         val col = d.references.headOption.map(_.fieldNames.mkString("."))
           .getOrElse(throw new IllegalArgumentException(
-            s"days() needs a column reference, got $d"))
+            s"${d.name}() needs a column reference, got $d"))
         require(schema.fieldNames.contains(col),
-          s"days($col) references no column of the declared schema")
-        Some(col)
+          s"${d.name}($col) references no column of the declared schema")
+        Some((col, grains(d.name)))
       case other => throw new UnsupportedOperationException(
         s"graft partitioning is hidden time partitioning — " +
-          s"PARTITIONED BY (days(ts_col)); got ${other.mkString(", ")}. " +
+          s"PARTITIONED BY (days(ts_col) | hours(ts_col) | months(ts_col)); " +
+          s"got ${other.mkString(", ")}. " +
           "Key-bucketed layouts are pipeline-managed (Tables.saveBucketed / " +
           "the MOR mirror), not DDL-declared.")
     }
@@ -364,7 +381,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"${Tables.TimePartitionProp} is a physical layout, not a free " +
         "property - declare it as PARTITIONED BY (days(ts_col))")
     timeCol match {
-      case Some(tc) =>
+      case Some((tc, grain)) =>
         // metadata-only creation: the appendBatch layout is IN-PLACE (day
         // dirs under the plain table path), so there is no version to
         // commit yet — record existence (_SUCCESS), the declared layout,
@@ -374,6 +391,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
         TableProps.write(wh, t, userProps +
           (Tables.TimePartitionProp -> tc) +
+          (Tables.TimeGranularityProp -> grain) +
           (Tables.TimePartitionZoneProp -> "UTC") +
           (GraftCatalog.SqlSchemaProp -> schema.json))
       case None =>
@@ -914,7 +932,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         val fsb = delegate.newScanBuilder(options)
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
         new DayDerivingScanBuilder(fsb, tc, hiddenTimeZone,
-          delegate.fileIndex.partitionSchema.names.contains(Tables.PartDayCol))
+          wh.timeGranularity(tableName), delegate.fileIndex.partitionSchema)
       case None => delegate.newScanBuilder(options)
     }
 

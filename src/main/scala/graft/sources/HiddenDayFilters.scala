@@ -91,6 +91,59 @@ private[sources] object HiddenDayBounds extends PredicateHelper {
     val present = conjuncts.flatMap(shape).toSet
     derived.filter(d => !present.contains(shape(d).get)).distinct
   }
+
+  /** The implied INDEX conjuncts (`p_hour` = hours since epoch,
+    * `p_month` = months since epoch — both monotone in ts, Iceberg's
+    * own transform definitions) of `conjuncts`' literal time bounds.
+    * `indexOf` maps an instant's UTC micros to the index value; strict
+    * bounds relax to inclusive index bounds, conservative as ever.
+    */
+  def deriveIndexed(conjuncts: Seq[Expression], isTs: Expression => Boolean,
+      idx: Attribute, indexOf: Long => Any): Seq[Expression] = {
+    def micros(l: Literal): Option[Long] = l.dataType match {
+      case TimestampType | TimestampNTZType if l.value != null =>
+        Some(l.value.asInstanceOf[Long])
+      case DateType if l.value != null =>
+        Some(l.value.asInstanceOf[Int].toLong * 86400000000L)
+      case _ => None
+    }
+    def toIdx(l: Literal): Option[Expression] =
+      micros(l).map(us => Literal(indexOf(us)))
+    val derived = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, l: Literal) if isTs(a) =>
+        toIdx(l).map(GreaterThanOrEqual(idx, _))
+      case GreaterThan(a, l: Literal) if isTs(a) =>
+        toIdx(l).map(GreaterThanOrEqual(idx, _))
+      case LessThanOrEqual(a, l: Literal) if isTs(a) =>
+        toIdx(l).map(LessThanOrEqual(idx, _))
+      case LessThan(a, l: Literal) if isTs(a) =>
+        toIdx(l).map(LessThanOrEqual(idx, _))
+      case EqualTo(a, l: Literal) if isTs(a) =>
+        toIdx(l).map(EqualTo(idx, _))
+      case GreaterThanOrEqual(l: Literal, a) if isTs(a) =>
+        toIdx(l).map(LessThanOrEqual(idx, _))
+      case GreaterThan(l: Literal, a) if isTs(a) =>
+        toIdx(l).map(LessThanOrEqual(idx, _))
+      case LessThanOrEqual(l: Literal, a) if isTs(a) =>
+        toIdx(l).map(GreaterThanOrEqual(idx, _))
+      case LessThan(l: Literal, a) if isTs(a) =>
+        toIdx(l).map(GreaterThanOrEqual(idx, _))
+      case EqualTo(l: Literal, a) if isTs(a) =>
+        toIdx(l).map(EqualTo(idx, _))
+      case _ => None
+    }
+    def shape(e: Expression): Option[(Class[_], Any)] = e match {
+      case GreaterThanOrEqual(d: Attribute, l: Literal) if d.name == idx.name =>
+        Some((e.getClass, l.value))
+      case LessThanOrEqual(d: Attribute, l: Literal) if d.name == idx.name =>
+        Some((e.getClass, l.value))
+      case EqualTo(d: Attribute, l: Literal) if d.name == idx.name =>
+        Some((e.getClass, l.value))
+      case _ => None
+    }
+    val present = conjuncts.flatMap(shape).toSet
+    derived.filter(d => !present.contains(shape(d).get)).distinct
+  }
 }
 
 /** The scan-builder face (see [[HiddenDayBounds]]): wraps the stock
@@ -108,7 +161,8 @@ private[sources] object HiddenDayBounds extends PredicateHelper {
   */
 private[sources] class DayDerivingScanBuilder(
     inner: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
-    timeCol: String, layoutZone: Option[String], dayDiscovered: Boolean)
+    timeCol: String, layoutZone: Option[String], granularity: String,
+    partitionSchema: org.apache.spark.sql.types.StructType)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -116,18 +170,50 @@ private[sources] class DayDerivingScanBuilder(
   with PredicateHelper {
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    import graft.sources.Tables.{PartHourCol, PartMonthCol}
     val conjuncts = filters.flatMap(splitConjunctivePredicates)
-    val derived =
-      if (!dayDiscovered) Nil
-      else HiddenDayBounds.derive(conjuncts,
-        {
-          case a: Attribute => a.name.equalsIgnoreCase(timeCol)
-          case _ => false
-        },
+    val isTs: Expression => Boolean = {
+      case a: Attribute => a.name.equalsIgnoreCase(timeCol)
+      case _ => false
+    }
+    // these expressions bypass the analyzer (they go straight into the
+    // partition-pruning binder), so attribute AND literal types must
+    // match the DISCOVERED partition schema exactly — discovery infers
+    // p_hour/p_month as int when the values fit, and a long literal
+    // against an int partition value is a raw ClassCastException
+    def discoveredType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      partitionSchema.fields.find(_.name == c).map(_.dataType)
+    def asDiscovered(v: Long, dt: org.apache.spark.sql.types.DataType): Any =
+      dt match {
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case org.apache.spark.sql.types.LongType => v
+        case _ => v
+      }
+    val dayDerived =
+      if (discoveredType(PartDayCol).isEmpty) Nil
+      else HiddenDayBounds.derive(conjuncts, isTs,
         AttributeReference(PartDayCol, DateType)(),
         layoutZone.getOrElse(
           org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-    inner.pushFilters(conjuncts ++ derived)
+    val hourDerived = discoveredType(PartHourCol) match {
+      case Some(dt) if granularity == "hour" =>
+        HiddenDayBounds.deriveIndexed(conjuncts, isTs,
+          AttributeReference(PartHourCol, dt)(),
+          us => asDiscovered(Math.floorDiv(us, 3600000000L), dt))
+      case _ => Nil
+    }
+    val monthDerived = discoveredType(PartMonthCol) match {
+      case Some(dt) if granularity == "month" =>
+        HiddenDayBounds.deriveIndexed(conjuncts, isTs,
+          AttributeReference(PartMonthCol, dt)(),
+          us => {
+            val d = java.time.LocalDate.ofEpochDay(
+              Math.floorDiv(us, 86400000000L))
+            asDiscovered((d.getYear - 1970) * 12 + (d.getMonthValue - 1), dt)
+          })
+      case _ => Nil
+    }
+    inner.pushFilters(conjuncts ++ dayDerived ++ hourDerived ++ monthDerived)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters

@@ -837,19 +837,57 @@ object Tables {
     def appendBatch(df: DataFrame, name: String, batchId: Long): Unit =
       timePartitionCol(name) match {
         case Some(tc) if df.columns.contains(tc) =>
-          require(!df.columns.contains(PartDayCol) &&
-              !df.columns.contains(PartBatchCol),
-            s"columns $PartDayCol/$PartBatchCol are reserved for the " +
+          val reserved = Seq(PartDayCol, PartHourCol, PartMonthCol, PartBatchCol)
+          require(!reserved.exists(df.columns.contains),
+            s"columns ${reserved.mkString("/")} are reserved for the " +
               "hidden time-partition layout")
-          df.withColumn(PartDayCol,
-              dayOfTimeCol(org.apache.spark.sql.functions.col(tc),
-                timePartitionZone(name)))
-            .withColumn(PartBatchCol,
+          val c = org.apache.spark.sql.functions.col(tc)
+          val zone = timePartitionZone(name)
+          val grain = timeGranularity(name)
+          require(grain == "day" || zone.contains("UTC"),
+            s"'$grain' granularity requires the UTC derivation zone " +
+              "(declareTimePartition since the zone prop); legacy " +
+              "session-zone layouts are day-grain only")
+          // layout per grain (all derivations UTC-exact for zone tables):
+          //  day:   p_day=<date>/p_batch
+          //  hour:  p_day=<date>/p_hour=<hours-since-epoch>/p_batch —
+          //         Iceberg's hours() (monotone in ts, so pruning is a
+          //         plain range conjunct); nested under p_day so day
+          //         pruning composes and day->hour evolution shares the
+          //         top-level structure
+          //  month: p_month=<months-since-epoch>/p_batch — months()
+          val partCols = grain match {
+            case "day" => Seq(PartDayCol, PartBatchCol)
+            case "hour" => Seq(PartDayCol, PartHourCol, PartBatchCol)
+            case "month" => Seq(PartMonthCol, PartBatchCol)
+          }
+          var out = df
+          if (partCols.contains(PartDayCol))
+            out = out.withColumn(PartDayCol, dayOfTimeCol(c, zone))
+          if (partCols.contains(PartHourCol))
+            out = out.withColumn(PartHourCol, hourOfTimeCol(c))
+          if (partCols.contains(PartMonthCol))
+            out = out.withColumn(PartMonthCol, monthOfTimeCol(c, zone))
+          out.withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PartDayCol, PartBatchCol)
+            .partitionBy(partCols: _*)
             .parquet(tablePath(name))
+          // replay across a day->hour flip: a PRE-flip batch replayed
+          // now lands hour-grain above, but its day-era dirs (direct
+          // p_batch=<id>) are different partition paths the dynamic
+          // overwrite never touches — delete them AFTER the write so the
+          // replay heals the spec instead of duplicating. Crash between
+          // write and delete self-heals: the checkpoint was not
+          // committed, so the batch replays and deletes again.
+          if (grain == "hour") {
+            val (dayEra, _) = classifyDayDirs(tablePath(name))
+            dayEra.foreach { d =>
+              val stale = d.resolve(s"$PartBatchCol=$batchId")
+              if (Files.isDirectory(stale)) deleteRecursively(stale)
+            }
+          }
         case _ =>
           df.write.mode(SaveMode.Overwrite)
             .parquet(s"${tablePath(name)}/batch_$batchId")
@@ -862,11 +900,16 @@ object Tables {
       * concern). The self-describing-props pattern shared with cdc.* and
       * cluster.*: layout is table metadata, not caller configuration.
       */
-    def declareTimePartition(name: String, timeCol: String): Unit = {
+    def declareTimePartition(name: String, timeCol: String,
+        granularity: String = "day"): Unit = {
       require(timeCol.nonEmpty, "partition.time-column must be non-empty")
+      require(TimeGranularities.contains(granularity),
+        s"granularity must be one of ${TimeGranularities.mkString("/")}, " +
+          s"got '$granularity'")
       TableProps.write(this, name,
         TableProps.read(this, name) +
           (TimePartitionProp -> timeCol) +
+          (TimeGranularityProp -> granularity) +
           // day derivation is pinned to UTC (Iceberg defines days() in
           // UTC for exactly this reason): a writer and a reader with
           // different session timezones must derive the SAME day, or the
@@ -874,6 +917,40 @@ object Tables {
           // matching rows (advice finding). Tables declared before the
           // prop existed keep the legacy session-zone derivation.
           (TimePartitionZoneProp -> "UTC"))
+    }
+
+    /** The declared time granularity (`day` when undeclared — every
+      * pre-granularity table is a day layout).
+      */
+    def timeGranularity(name: String): String =
+      TableProps.read(this, name).getOrElse(TimeGranularityProp, "day")
+
+    /** Partition-SPEC EVOLUTION on the time dimension (Iceberg's
+      * spec-versioned partitioning, the I13 pattern applied to time):
+      * flip a day-grain changelog to hour grain WITHOUT stop-the-world.
+      * Metadata-only — batches appended after the flip lay out
+      * `p_day/p_hour/p_batch`; existing day-grain days keep serving
+      * under their own recorded spec (the spec travels WITH the data:
+      * a day dir's grain is discoverable from its own structure —
+      * `p_hour=` children or direct `p_batch=` children — atomic with
+      * the dynamic overwrite that wrote it). Time-pruned reads handle
+      * the mixed tree exactly ([[readTimePruned]]); the background
+      * rewrite that migrates old days to the new spec is
+      * [[graft.plans.Maintenance]]'s migration pass, day-dir-atomic and
+      * churn-proportional. Only day→hour is defined: coarsening
+      * (hour→day) or re-basing months would merge dirs, not split them.
+      */
+    def evolveTimeGranularity(name: String): Unit = {
+      require(timePartitionCol(name).isDefined,
+        s"$name declares no time partitioning — nothing to evolve")
+      require(timeGranularity(name) == "day",
+        s"only day->hour evolution is defined; $name is " +
+          s"'${timeGranularity(name)}'")
+      require(timePartitionZone(name).contains("UTC"),
+        s"$name is a legacy session-zone layout; hour grain requires the " +
+          "UTC derivation (declareTimePartition since the zone prop)")
+      TableProps.write(this, name,
+        TableProps.read(this, name) + (TimeGranularityProp -> "hour"))
     }
 
     /** The declared hidden-time-partition column, if any. */
@@ -907,10 +984,9 @@ object Tables {
       val tc = timePartitionCol(name).getOrElse(throw new IllegalStateException(
         s"$name has no $TimePartitionProp declared — time-pruned reads " +
           "need the hidden-partition layout (declareTimePartition)"))
-      // the day bound must be derived in the SAME zone the layout was
-      // written in — a session-zone derivation against a UTC layout can
-      // prune a day dir holding rows that satisfy the ts predicate
-      // (advice finding)
+      // every partition bound must be derived in the SAME zone the
+      // layout was written in — a session-zone derivation against a UTC
+      // layout can prune a dir holding matching rows (advice finding)
       val zone = timePartitionZone(name)
       def dayBound(b: java.sql.Timestamp): org.apache.spark.sql.Column =
         zone match {
@@ -919,13 +995,118 @@ object Tables {
           case None => to_date(lit(b)) // legacy: session-zone layout
         }
       val base = snapshotPath(name)
-      var df = spark.read.option("basePath", base)
-        .option("mergeSchema", "true").parquet(base)
-      fromTs.foreach(f => df = df
-        .filter(col(PartDayCol) >= dayBound(f) && col(tc) >= lit(f)))
-      toTs.foreach(t => df = df
-        .filter(col(PartDayCol) <= dayBound(t) && col(tc) <= lit(t)))
-      df.drop(PartDayCol, PartBatchCol)
+      def bounded(df0: DataFrame, withHour: Boolean,
+          withMonth: Boolean): DataFrame = {
+        var df = df0
+        fromTs.foreach { f =>
+          var p = col(tc) >= lit(f)
+          if (df.columns.contains(PartDayCol)) p = p && col(PartDayCol) >= dayBound(f)
+          if (withHour) p = p && col(PartHourCol) >= lit(hourIndexOf(f))
+          if (withMonth) p = p && col(PartMonthCol) >= lit(monthIndexOf(f))
+          df = df.filter(p)
+        }
+        toTs.foreach { t =>
+          var p = col(tc) <= lit(t)
+          if (df.columns.contains(PartDayCol)) p = p && col(PartDayCol) <= dayBound(t)
+          if (withHour) p = p && col(PartHourCol) <= lit(hourIndexOf(t))
+          if (withMonth) p = p && col(PartMonthCol) <= lit(monthIndexOf(t))
+          df = df.filter(p)
+        }
+        df.drop(PartDayCol, PartHourCol, PartMonthCol, PartBatchCol)
+      }
+      timeGranularity(name) match {
+        case "month" =>
+          bounded(spark.read.option("basePath", base)
+            .option("mergeSchema", "true").parquet(base),
+            withHour = false, withMonth = true)
+        case "day" =>
+          bounded(spark.read.option("basePath", base)
+            .option("mergeSchema", "true").parquet(base),
+            withHour = false, withMonth = false)
+        case "hour" =>
+          // the spec travels WITH the data: a day dir's grain is its own
+          // structure. A PURE tree is one discovery-pruned scan; a MIXED
+          // tree (mid-evolution — a day can even straddle both specs)
+          // splits per spec at the LEAF level: each era scans a
+          // consistent partition schema, day dirs pre-pruned by the same
+          // bounds DRIVER-SIDE (the listing is planning-scale, and this
+          // IS partition pruning, done where the split must happen)
+          val (dayEra, hourEra) = classifyDayDirs(base)
+          def inBounds(dayDir: Path): Boolean = {
+            val day = dayDir.getFileName.toString.drop(PartDayCol.length + 1)
+            if (day == "__HIVE_DEFAULT_PARTITION__") return false
+            val d = java.time.LocalDate.parse(day)
+            fromTs.forall(f => !d.isBefore(
+              f.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)) &&
+              toTs.forall(t => !d.isAfter(
+                t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+          }
+          def scan(leafs: Seq[Path], withHour: Boolean): Option[DataFrame] =
+            if (leafs.isEmpty) None
+            else Some(bounded(spark.read.option("basePath", base)
+              .option("mergeSchema", "true")
+              .parquet(leafs.map(_.toString): _*),
+              withHour = withHour, withMonth = false))
+          if (dayEra.isEmpty)
+            bounded(spark.read.option("basePath", base)
+              .option("mergeSchema", "true").parquet(base),
+              withHour = true, withMonth = false)
+          else {
+            val dayLeafs = dayEra.filter(inBounds)
+              .flatMap(childDirs(_, s"$PartBatchCol="))
+            val hourLeafs = hourEra.filter(inBounds)
+              .flatMap(childDirs(_, s"$PartHourCol="))
+            (scan(hourLeafs, withHour = true),
+              scan(dayLeafs, withHour = false)) match {
+              case (Some(h), Some(d)) => h.unionByName(d)
+              case (Some(h), None) => h
+              case (None, Some(d)) => d
+              case (None, None) => // nothing in range: schema-stable empty
+                val anyLeaf = dayEra.flatMap(childDirs(_, s"$PartBatchCol="))
+                  .headOption
+                  .getOrElse(hourEra.flatMap(childDirs(_, s"$PartHourCol="))
+                    .head)
+                bounded(spark.read.option("basePath", base)
+                  .option("mergeSchema", "true").parquet(anyLeaf.toString),
+                  withHour = false, withMonth = false).limit(0)
+            }
+          }
+      }
+    }
+
+    /** Classify a (possibly mid-evolution) hour-grain table's day dirs
+      * by the spec of their CHILDREN: a day dir with direct `p_batch=`
+      * children carries day-era data, one with `p_hour=` children
+      * carries hour-era data — a day STRADDLING the flip appears in
+      * both lists. One planning-scale listing.
+      */
+    private[graft] def classifyDayDirs(base: String): (Seq[Path], Seq[Path]) = {
+      val baseP = Paths.get(base)
+      if (!Files.isDirectory(baseP)) return (Nil, Nil)
+      val s = Files.list(baseP)
+      val dayDirs =
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(s"$PartDayCol=") &&
+            Files.isDirectory(p))
+          .toList
+        finally s.close()
+      def childrenWith(d: Path, prefix: String): Boolean = {
+        val cs = Files.list(d)
+        try cs.iterator().asScala.exists(
+          _.getFileName.toString.startsWith(prefix))
+        finally cs.close()
+      }
+      (dayDirs.filter(childrenWith(_, s"$PartBatchCol=")),
+        dayDirs.filter(childrenWith(_, s"$PartHourCol=")))
+    }
+
+    /** Direct children of `dir` named `<prefix>...` (one listing). */
+    private[graft] def childDirs(dir: Path, prefix: String): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          Files.isDirectory(p)).toList
+      finally s.close()
     }
   }
 
@@ -1034,6 +1215,47 @@ object Tables {
     * idempotency unit of the partitioned layout; hidden from readers.
     */
   val PartBatchCol = "p_batch"
+  /** Hour partition column for `hours(ts)` grain: HOURS SINCE EPOCH
+    * (Iceberg's hours transform — monotone in ts, so time bounds prune
+    * as plain range conjuncts), nested under `p_day`. Hidden.
+    */
+  val PartHourCol = "p_hour"
+  /** Month partition column for `months(ts)` grain: MONTHS SINCE EPOCH
+    * (Iceberg's months transform). Hidden.
+    */
+  val PartMonthCol = "p_month"
+  /** Declared time granularity (`day` default / `hour` / `month`). */
+  val TimeGranularityProp = "partition.time-granularity"
+  private[sources] val TimeGranularities = Set("day", "hour", "month")
+
+  /** `p_hour` derivation: exact UTC floor-division of the instant's
+    * micros — hours since epoch, zone-free by construction.
+    */
+  private[graft] def hourOfTimeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val us = unix_micros(c.cast("timestamp"))
+    val hour = lit(3600000000L)
+    ((us - pmod(us, hour)) / hour).cast("long")
+  }
+
+  /** `p_month` derivation: calendar months since epoch of the UTC day
+    * (`months_between` on DATEs is zone-free and calendar-exact).
+    */
+  private[graft] def monthOfTimeCol(c: org.apache.spark.sql.Column,
+      zone: Option[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    floor(months_between(dayOfTimeCol(c, zone), lit("1970-01-01"))).cast("int")
+  }
+
+  /** Scala-side hour index of an instant (read-bound derivation). */
+  private[graft] def hourIndexOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.toInstant.toEpochMilli, 3600000L)
+
+  /** Scala-side month index of an instant's UTC day. */
+  private[graft] def monthIndexOf(t: java.sql.Timestamp): Int = {
+    val d = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
 
   /** Sibling `.stage` marker of a version dir: exists from stage
     * allocation until publication (or discard). Lives NEXT TO the dir,

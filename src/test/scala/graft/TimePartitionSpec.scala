@@ -159,6 +159,142 @@ class TimePartitionSpec extends SparkTestBase {
     assert(wh.read(spark, "log").count() == 3)
   }
 
+  test("hours(ts) grain: p_day/p_hour/p_batch layout, hour-index PartitionFilters, exact bounds") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-hour"))
+    wh.declareTimePartition("log", "ts", granularity = "hour")
+    val data = Seq(
+      (1L, ts("2024-01-01 05:10:00")),
+      (2L, ts("2024-01-01 06:10:00")),
+      (3L, ts("2024-01-01 07:10:00")),
+      (4L, ts("2024-01-02 05:10:00")))
+    wh.appendBatch(data.toDF("id", "ts"), "log", 0L)
+    val h6 = Tables.hourIndexOf(ts("2024-01-01 06:00:00"))
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-01-01", s"p_hour=$h6", "p_batch=0")),
+      "the hour layout nests hours-since-epoch under the day")
+    // plain read: layout hidden
+    assert(wh.read(spark, "log").columns.toSeq == Seq("id", "ts"))
+    // pruned read: exact, and the HOUR index reaches the scan as a
+    // partition filter — out-of-range hours never open
+    val pruned = wh.readTimePruned(spark, "log",
+      fromTs = Some(ts("2024-01-01 06:00:00")),
+      toTs = Some(ts("2024-01-01 07:59:00")))
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("p_hour"), s"hour bounds must prune:\n$plan")
+    val filesRead = pruned.withColumn("_f", input_file_name())
+      .select("_f").distinct().collect().map(_.getString(0))
+    assert(filesRead.forall(f => f.contains(s"p_hour=$h6") ||
+      f.contains(s"p_hour=${h6 + 1}")), s"read: ${filesRead.toSeq}")
+    // replay idempotence survives the hour grain
+    wh.appendBatch(data.toDF("id", "ts"), "log", 0L)
+    assert(wh.read(spark, "log").count() == 4)
+  }
+
+  test("months(ts) grain: p_month/p_batch layout, month-index pruning exact") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-month"))
+    wh.declareTimePartition("log", "ts", granularity = "month")
+    val data = Seq(
+      (1L, ts("2024-01-15 10:00:00")),
+      (2L, ts("2024-02-15 10:00:00")),
+      (3L, ts("2024-03-15 10:00:00")))
+    wh.appendBatch(data.toDF("id", "ts"), "log", 0L)
+    val feb = Tables.monthIndexOf(ts("2024-02-01 00:00:00"))
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      s"p_month=$feb", "p_batch=0")))
+    val pruned = wh.readTimePruned(spark, "log",
+      fromTs = Some(ts("2024-02-01 00:00:00")),
+      toTs = Some(ts("2024-02-29 23:59:59")))
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val filesRead = pruned.withColumn("_f", input_file_name())
+      .select("_f").distinct().collect().map(_.getString(0))
+    assert(filesRead.forall(_.contains(s"p_month=$feb")),
+      s"only the in-range month may open: ${filesRead.toSeq}")
+  }
+
+  test("day->hour spec evolution: mixed reads exact across the flip; migration is day-dir atomic; SQL refuses mid-flip with the mechanism named") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-evolve"))
+    wh.declareTimePartition("log", "ts") // day grain
+    val oldRows = Seq(
+      (1L, ts("2024-01-01 05:10:00")),
+      (2L, ts("2024-01-01 18:10:00")),
+      (3L, ts("2024-01-02 05:10:00")))
+    wh.appendBatch(oldRows.toDF("id", "ts"), "log", 0L)
+    // the flip is metadata-only; old days keep their recorded spec
+    wh.evolveTimeGranularity("log")
+    val newRows = Seq(
+      (4L, ts("2024-01-02 06:10:00")), // day 2 now straddles both specs
+      (5L, ts("2024-01-03 05:10:00")))
+    wh.appendBatch(newRows.toDF("id", "ts"), "log", 1L)
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-01-01", "p_batch=0")), "old day keeps the day spec")
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"), "p_day=2024-01-03",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-03 05:00:00"))}", "p_batch=1")),
+      "post-flip batches land hour-grain")
+    // MIXED reads: exact and schema-stable across the flip
+    def prunedIds(from: String, to: String): Set[Long] =
+      wh.readTimePruned(spark, "log",
+        fromTs = Some(ts(from)), toTs = Some(ts(to)))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(prunedIds("2024-01-01 00:00:00", "2024-01-03 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L))
+    assert(prunedIds("2024-01-02 00:00:00", "2024-01-02 23:59:59")
+      == Set(3L, 4L), "a day straddling both specs must read both eras")
+    assert(prunedIds("2024-01-01 06:00:00", "2024-01-02 06:59:00")
+      == Set(2L, 3L, 4L))
+    // SQL mid-flip: one partition schema cannot serve two specs — refuse
+    // loudly, naming the migration
+    val cat = "tpev1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Paths.get(wh.tablePath("log")).getParent.toString)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.log").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("migrateTimeGranularity"))),
+      s"mid-flip SQL must name the migration: ${e.getMessage}")
+    // the background rewrite migrates exactly the old-spec days
+    val migrated = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(migrated == 2, s"two day-era dirs expected, migrated $migrated")
+    assert(Maintenance.migrateTimeGranularity(spark, wh, "log") == 0,
+      "migration is idempotent")
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"), "p_day=2024-01-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 05:00:00"))}", "p_batch=0")))
+    assert(prunedIds("2024-01-01 00:00:00", "2024-01-03 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L), "migration must not change results")
+    // post-migration the SQL face serves again (pure tree)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.log").head.getLong(0) == 5L)
+    // and a REPLAYED pre-flip batch rewrites its own (day,hour,batch)
+    // partitions — still idempotent under the new spec
+    wh.appendBatch(oldRows.toDF("id", "ts"), "log", 0L)
+    assert(wh.read(spark, "log").count() == 5)
+  }
+
+  test("hour-grain tombstone expiry rewrites only expired days; hour dirs swept per tuple") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-hour-exp"))
+    wh.declareTimePartition("log", "ts", granularity = "hour")
+    val data = Seq(
+      (1L, ts("2024-01-01 05:00:00"), "D"),
+      (2L, ts("2024-01-01 06:00:00"), "I"),
+      (3L, ts("2024-01-05 05:00:00"), "D")) // in horizon: kept
+    wh.appendBatch(data.toDF("id", "ts", "op"), "log", 0L)
+    Maintenance.expireTombstones(spark, wh, "log",
+      graft.CdcConfig("id", "ts"), horizon = "2024-01-03 00:00:00")
+    assert(wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the fully-expired hour dir is gone; the surviving hour stays
+    assert(!Files.isDirectory(Paths.get(wh.tablePath("log"), "p_day=2024-01-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 05:00:00"))}")))
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"), "p_day=2024-01-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 06:00:00"))}")))
+  }
+
   test("CdcStream with changelogTimePartition lands a day-partitioned changelog; mirror unchanged") {
     import spark.implicits._
     val src = tmpDir("tp-src")
