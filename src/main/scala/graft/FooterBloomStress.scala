@@ -142,7 +142,42 @@ object FooterBloomStress {
     assert(cWide == keysB.size.toLong && cBitset == keysB.size.toLong,
       s"census B changed results: $cWide / $cBitset vs ${keysB.size}")
 
+    // ---- census C: NDV saturation (round-12 verdict item 5) ----
+    // key density that SATURATES a fixed 2^20 bitset: 500k distinct keys
+    // per file fill ~92% of the bits (FPP ~65% at 5 hashes), so nearly
+    // every file survives every probe and MERGE runtime narrowing
+    // degrades to whole-table. NDV-adaptive sizing picks 2^23 bits for
+    // the same files (~1% FPP) and the probe narrows to ~1 file again.
+    val satFiles = 8
+    val satRows = satFiles * 500000L
+    wh.overwrite(fact(satRows).repartition(satFiles), "sat")
+    val satPath = wh.snapshotPath("sat")
+    val keysC: Seq[Long] = Seq(7L, 123457L, 1234567L, satRows - 3)
+    def survivorsTotal(): Int = keysC.map { k =>
+      ZoneMap.keyedSurvivors(spark, satPath, "id", Seq(k),
+        bloomOnly = true).get.size
+    }.sum
+    // yesterday's fixed sizing, forced via the ceiling clamp
+    val (_, tSatFixed) = timed {
+      ZoneMap.buildAndSave(spark, satPath, Seq("x"), Seq("id"),
+        bloomBits = 1 << 20)
+    }
+    val satFixedSurvivors = survivorsTotal()
+    // NDV-adaptive (the default ceiling)
+    val (_, tSatAdaptive) = timed {
+      ZoneMap.buildAndSave(spark, satPath, Seq("x"), Seq("id"))
+    }
+    val satAdaptiveSurvivors = survivorsTotal()
+    assert(satAdaptiveSurvivors <= keysC.size * 2,
+      s"adaptive bitsets must narrow at saturating density: " +
+        s"$satAdaptiveSurvivors survivors for ${keysC.size} keys")
+
     println(s"""{"metric":"footer_bloom_stress",""" +
+      s""""satur_files":$satFiles,"satur_keys_per_file":500000,""" +
+      s""""satur_fixed_survivors":$satFixedSurvivors,""" +
+      s""""satur_adaptive_survivors":$satAdaptiveSurvivors,""" +
+      s""""satur_fixed_build_s":${f"$tSatFixed%.2f"},""" +
+      s""""satur_adaptive_build_s":${f"$tSatAdaptive%.2f"},""" +
       s""""bloom_rows":$bloomRows,"bloom_files":$bloomFiles,""" +
       s""""lookupA_nobloom_s":${f"$tNb%.2f"},"recsA_nobloom":$bNb,""" +
       s""""cluster_bloom_s":${f"$tClusterFb%.2f"},""" +

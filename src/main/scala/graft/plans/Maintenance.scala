@@ -114,7 +114,7 @@ object Maintenance {
     */
   def cluster(spark: SparkSession, wh: Warehouse, table: String,
       dims: Seq[String], targetFiles: Int, bits: Int = 12,
-      bloomKeys: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      bloomKeys: Seq[String] = Nil, bloomBits: Int = ZoneMap.DefaultBloomBitsCeiling,
       manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(dims.nonEmpty, "cluster needs at least one dimension")
@@ -321,10 +321,15 @@ object Maintenance {
       .map(f => s"$path/$f"): _*).localCheckpoint(true)
     val rewriteRows = data.count()
     val outFiles = math.max(1L, (rewriteRows + grain - 1) / grain).toInt
+    // the HASH COUNT must match the carried rows (one probe literal per
+    // manifest); bits are per-file NDV-adaptive, so mixed sizes across
+    // carried and fresh rows are by design — only the ceiling is fixed
     val (bits, hashes) =
       if (bloomMode)
-        ZoneMap.manifestBloomConfig(m, bloomKeys.head).getOrElse((1 << 20, 5))
-      else (1 << 20, 5)
+        ZoneMap.manifestBloomConfig(m, bloomKeys.head)
+          .map { case (_, h) => (ZoneMap.DefaultBloomBitsCeiling, h) }
+          .getOrElse((ZoneMap.DefaultBloomBitsCeiling, 5))
+      else (ZoneMap.DefaultBloomBitsCeiling, 5)
     val markers = readRootMarkers(path)
     val carried = m.filter(col("file").isInCollection(untouched))
     wh.commit(table, expectCurrent = expect) { staged =>
@@ -437,7 +442,7 @@ object Maintenance {
       source: String, dest: String, dims: Seq[String],
       bloomKeys: Seq[String] = Nil, targetFiles: Int = 8,
       cols: Seq[String] = Nil, bits: Int = 12,
-      bloomBits: Int = 1 << 20): Boolean = {
+      bloomBits: Int = ZoneMap.DefaultBloomBitsCeiling): Boolean = {
     import org.apache.spark.sql.functions.col
     import graft.sources.Tables.TableProps
     require(source != dest, "a projection cannot shadow its source")

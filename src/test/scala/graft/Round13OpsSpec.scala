@@ -96,6 +96,39 @@ class Round13OpsSpec extends SparkTestBase {
     assert(!Tables.isSnapshotRace(fnf, Some("/graft/warehouse/unrelated")))
   }
 
+  test("manifest bitsets size to each file's own key NDV; a dense file no longer saturates, a sparse file no longer over-pays") {
+    import spark.implicits._
+    import graft.plans.ZoneMap
+    import org.apache.spark.sql.functions.{col, length}
+    val dir = tmpDir("ndv-bloom")
+    // two files with wildly different key densities in one table
+    (0L until 200L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(dir)
+    (1000000L until 1300000L).toDF("k").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ZoneMap.buildAndSave(spark, dir, cols = Seq("k"), bloomKeys = Seq("k"))
+    val m = ZoneMap.manifest(spark, dir)
+    val sizes = m.select(col("rows"),
+        (length(col("bloom_k")) * 8).cast("long").as("bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes(200L) == (1 << 14).toLong,
+      s"the sparse file clamps to the floor: $sizes")
+    assert(sizes(300000L) == (1 << 22).toLong,
+      s"the dense file sizes to ~10x its NDV (3M -> 2^22): $sizes")
+    // and the probe narrows correctly across MIXED sizes: a sparse-file
+    // key opens one file, a dense-file key opens one file, a missing key
+    // opens none (modulo the ~1% FPP, impossible at these densities)
+    def survivors(key: Long) =
+      ZoneMap.keyedSurvivors(spark, dir, "k", Seq(key),
+        bloomOnly = true).get
+    assert(survivors(42L).size == 1)
+    assert(survivors(1000042L).size == 1)
+    assert(survivors(5555555L).isEmpty)
+    // exactness end-to-end
+    assert(ZoneMap.lookupRead(spark, dir, "k", Seq(42L, 1000042L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 1000042L))
+  }
+
   test("day derivation is pinned to UTC: writer and reader sessions in other timezones agree with the layout") {
     val wh = Warehouse(tmpDir("tz-utc"))
     wh.declareTimePartition("ev", "ts")
