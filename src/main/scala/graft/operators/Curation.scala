@@ -1780,16 +1780,25 @@ object Curation {
         |SELECT lang, token, cnt, rnk FROM ranked WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
 
+    // len(d4) = len(d3) - |s4|: the final merged length is arithmetic
+    // over the position CTEs, never d4's full list rebuild (the one
+    // materialization DuckDB could not fit at sf0.1 — exact, see q127)
     "q124_subword_budget" ->
       s"""WITH ${TextAnalysis.bpeChainCtes(TextAnalysis.BpeRounds)},
+         |mc AS (SELECT doc_id, count(*) AS cnt
+         |       FROM s${TextAnalysis.BpeRounds} GROUP BY doc_id),
+         |mlen AS (SELECT d.doc_id,
+         |           CAST(len(d.toks) - coalesce(mc.cnt, 0) AS BIGINT) AS nm
+         |         FROM d${TextAnalysis.BpeRounds - 1} d
+         |         LEFT JOIN mc USING (doc_id)),
          |raw AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS rtoks
          |  FROM documents),
          |scored AS (
          |  SELECT r.doc_id, r.lang,
-         |    CAST(len(m.toks) AS BIGINT) AS n_toks,
+         |    m.nm AS n_toks,
          |    CAST(len(list_distinct(r.rtoks)) AS DOUBLE) / len(r.rtoks) AS score
-         |  FROM raw r JOIN d${TextAnalysis.BpeRounds} m ON r.doc_id = m.doc_id
+         |  FROM raw r JOIN mlen m ON r.doc_id = m.doc_id
          |  WHERE len(r.rtoks) > 0),
          |run AS (
          |  SELECT doc_id, lang, n_toks, score,

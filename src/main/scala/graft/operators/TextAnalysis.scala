@@ -1006,27 +1006,33 @@ object TextAnalysis {
     // function form rejects column arguments (len(toks)); the scalar/
     // comprehension form accepts them (q121's pattern). chr(1) joins the
     // pair key — tokens never contain it (merged tokens join with ' ').
-    s"""c$r AS (
+    // AS MATERIALIZED throughout: each d_r is referenced three times
+    // (c_{r+1}, m_{r+1}, d_{r+1}) and DuckDB's inlining would otherwise
+    // expand the 4-round chain into 3^4 copies of the d0 pipeline — the
+    // plan explosion behind the round-12 sweep's two sf0.1 OOM skips
+    // (a ~270k-token corpus "out of memory" at a 48 GB budget; 1.2 s
+    // materialized).
+    s"""c$r AS MATERIALIZED (
        |  SELECT string_split(g, chr(1))[1] AS t1,
        |         string_split(g, chr(1))[2] AS t2, count(*) AS cnt
        |  FROM (SELECT unnest([toks[i] || chr(1) || toks[i + 1]
        |                       for i in generate_series(1, len(toks) - 1)]) AS g
        |        FROM $prev WHERE len(toks) >= 2)
        |  GROUP BY 1, 2),
-       |top$r AS (SELECT t1, t2, cnt FROM c$r
+       |top$r AS MATERIALIZED (SELECT t1, t2, cnt FROM c$r
        |          ORDER BY cnt DESC, t1 || chr(1) || t2 LIMIT 1),
-       |m$r AS (
+       |m$r AS MATERIALIZED (
        |  SELECT doc_id, unnest([i for i in generate_series(1, len(toks) - 1)
        |                         if toks[i] = t.t1 AND toks[i + 1] = t.t2]) AS i
        |  FROM $prev, top$r t),
-       |r$r AS (SELECT doc_id, i,
+       |r$r AS MATERIALIZED (SELECT doc_id, i,
        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
        |        FROM m$r),
-       |s$r AS (SELECT doc_id, i FROM (
+       |s$r AS MATERIALIZED (SELECT doc_id, i FROM (
        |          SELECT doc_id, i, row_number() OVER
        |            (PARTITION BY doc_id, grp ORDER BY i) AS rn FROM r$r)
        |        WHERE rn % 2 = 1),
-       |d$r AS (
+       |d$r AS MATERIALIZED (
        |  SELECT pp.doc_id,
        |    list(CASE WHEN sel.i IS NOT NULL THEN t.t1 || ' ' || t.t2
        |         ELSE pp.t END ORDER BY pp.i) AS toks
@@ -1042,7 +1048,7 @@ object TextAnalysis {
 
   /** The full oracle BPE chain `d0 .. d<rounds>` plus `top1..top<rounds>`. */
   private[operators] def bpeChainCtes(rounds: Int): String =
-    ("d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+    ("d0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
       +: (1 to rounds).map(bpeRoundCte)).mkString(",\n")
 
   /** Tokenizer application report (q127): apply the q123-trained merge
@@ -1074,16 +1080,26 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the final round's merged LENGTH is pure arithmetic over the
+    // position CTEs: len(d4) = len(d3) - |s4| (each selected merge
+    // shortens the list by one), so the oracle never materializes d4's
+    // full token lists — the one list-rebuild DuckDB could not fit at
+    // sf0.1 (the round-12 sweep's only skips). Exact, not approximate.
     "q127_tokenizer_apply" ->
       s"""WITH ${bpeChainCtes(BpeRounds)},
+        |mc AS (SELECT doc_id, count(*) AS cnt
+        |       FROM s$BpeRounds GROUP BY doc_id),
+        |mlen AS (SELECT d.doc_id,
+        |           CAST(len(d.toks) - coalesce(mc.cnt, 0) AS BIGINT) AS nm
+        |         FROM d${BpeRounds - 1} d LEFT JOIN mc USING (doc_id)),
         |raw AS (SELECT doc_id, source,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nr
         |        FROM documents)
         |SELECT r.source, count(*) AS n_docs,
         |  CAST(sum(r.nr) AS BIGINT) AS tok_raw,
-        |  CAST(sum(len(m.toks)) AS BIGINT) AS tok_merged,
-        |  round(CAST(sum(len(m.toks)) AS DOUBLE) / sum(r.nr), 6) AS ratio
-        |FROM raw r JOIN d$BpeRounds m ON r.doc_id = m.doc_id
+        |  CAST(sum(m.nm) AS BIGINT) AS tok_merged,
+        |  round(CAST(sum(m.nm) AS DOUBLE) / sum(r.nr), 6) AS ratio
+        |FROM raw r JOIN mlen m ON r.doc_id = m.doc_id
         |GROUP BY r.source ORDER BY r.source""".stripMargin,
 
     "q137_boilerplate" ->

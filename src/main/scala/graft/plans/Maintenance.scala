@@ -366,11 +366,7 @@ object Maintenance {
     */
   private def linkOrCopy(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit =
-    try java.nio.file.Files.createLink(dst, src)
-    catch {
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        java.nio.file.Files.copy(src, dst)
-    }
+    graft.sources.Tables.io.linkOrCopy(src, dst)
 
   val ProjectionSourceProp = "projection.source"
   val ProjectionStampProp = "projection.source-stamp"
@@ -661,14 +657,8 @@ object Maintenance {
         try s.iterator().asScala.foreach { p =>
           val fn = p.getFileName.toString
           if (Files.isDirectory(p)) linkTree(p, dst.resolve(fn))
-          else if (!fn.startsWith("_") && !fn.startsWith(".")) {
-            try Files.createLink(dst.resolve(fn), p)
-            catch {
-              case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException =>
-                Files.copy(p, dst.resolve(fn))
-            }
-          }
+          else if (!fn.startsWith("_") && !fn.startsWith("."))
+            graft.sources.Tables.io.linkOrCopy(p, dst.resolve(fn))
         } finally s.close()
       }
       hourDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))

@@ -92,14 +92,8 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
       // files-only incremental contract does not cover replacements).
       baseDir.foreach { base =>
         carryFiles().foreach { rel =>
-          val src = java.nio.file.Paths.get(base, rel)
-          val dst = stage.resolve(rel)
-          try java.nio.file.Files.createLink(dst, src)
-          catch {
-            case _: UnsupportedOperationException |
-                 _: java.nio.file.FileSystemException =>
-              java.nio.file.Files.copy(src, dst)
-          }
+          Tables.io.linkOrCopy(java.nio.file.Paths.get(base, rel),
+            stage.resolve(rel))
         }
       }
       // a version dir with ZERO parquet files is unreadable (no footer to

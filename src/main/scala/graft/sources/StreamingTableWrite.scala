@@ -81,13 +81,7 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
         val stage = wh.allocateStage(table)
         try {
           committed.foreach { f =>
-            val src = epoch.resolve(f)
-            val dst = stage.resolve(f)
-            try Files.createLink(dst, src)
-            catch {
-              case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException => Files.copy(src, dst)
-            }
+            Tables.io.linkOrCopy(epoch.resolve(f), stage.resolve(f))
           }
           if (!truncate) wh.carryPreviousInto(table, stage)
           // a snapshot with zero parquet files is unreadable (no footer):

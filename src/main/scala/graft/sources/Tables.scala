@@ -18,6 +18,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Tables {
 
+  /** The commit protocol's filesystem primitives — THE substitution
+    * point for an object-store deployment (see [[WarehouseIO]] and
+    * SCALE.md §"Object-store commit mapping"). Local by default.
+    */
+  private[graft] val io: WarehouseIO = LocalWarehouseIO
+
   /** List parquet files under `dir` (recursively), excluding paths that match
     * `excludeGlob` — the exact `**&#47;...`-style semantics of the reference's
     * `fileFilter`. Listing order is sorted for deterministic ingestion order.
@@ -285,8 +291,8 @@ object Tables {
       while (versionDir == null) {
         val cand = Paths.get(s"${tablePath(name)}.v$next")
         try {
-          Files.createFile(stageMarkerPath(cand))
-          try Files.createDirectory(cand)
+          io.createExclusive(stageMarkerPath(cand))
+          try io.createDirExclusive(cand)
           catch { case e: java.nio.file.FileAlreadyExistsException =>
             Files.deleteIfExists(stageMarkerPath(cand)); throw e
           }
@@ -334,13 +340,8 @@ object Tables {
         // by pre-marker code), it gets its stamp NOW — lazy migration
         val prevTarget = currentVersion(name)
           .map(v => Paths.get(s"${tablePath(name)}.v$v"))
-        val tmpLink = Paths.get(s"${tablePath(name)}.ptr$next")
-        Files.deleteIfExists(tmpLink)
-        // relative target keeps the warehouse relocatable
-        Files.createSymbolicLink(tmpLink, versionDir.getFileName)
-        Files.move(tmpLink, table,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        io.atomicPointerSwap(table, versionDir.getFileName,
+          scratch = Paths.get(s"${tablePath(name)}.ptr$next"))
         // stamp PUBLICATION — AFTER the swap, so a marked dir was
         // provably current at some point (stamping before the swap
         // created "zombie" published-never-current dirs that consumed a
@@ -411,8 +412,7 @@ object Tables {
       val trash = versionDir.resolveSibling(
         s"${versionDir.getFileName}.discard${System.nanoTime()}")
       try {
-        Files.move(versionDir, trash,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        io.atomicMove(versionDir, trash)
         deleteRecursively(trash)
       } catch {
         case _: java.io.IOException => deleteRecursively(versionDir)
@@ -441,7 +441,7 @@ object Tables {
       var acquired = false
       while (!acquired) {
         try {
-          Files.createFile(lock)
+          io.createExclusive(lock)
           Files.writeString(lock, token)
           acquired = true
         }
@@ -459,10 +459,9 @@ object Tables {
               // (review finding). Rename succeeds for exactly ONE breaker;
               // everyone else sees FileNotFound and loops back to the
               // create race.
-              try Files.move(lock,
+              try io.atomicMove(lock,
                 lock.resolveSibling(
-                  s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"),
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"))
               catch { case _: java.io.IOException => () } // another breaker won
               Files.deleteIfExists(lock.resolveSibling(
                 s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"))
@@ -665,12 +664,7 @@ object Tables {
       * carried — publication is the commit's own act on the new dir.
       */
     private def carryVersionInto(prev: Path, staged: Path): Unit = {
-      def linkOrCopy(src: Path, dst: Path): Unit =
-        try Files.createLink(dst, src)
-        catch {
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            Files.copy(src, dst)
-        }
+      def linkOrCopy(src: Path, dst: Path): Unit = io.linkOrCopy(src, dst)
       var manifestSafe = true
       def carryData(dir: Path, rel: String): Unit = {
         val s = Files.list(dir)

@@ -67,8 +67,12 @@ def main(out_dir, sf_dir, only=None):
     # UNDER the host's commit limit (no swap + overcommit heuristic
     # refuses near ~60GB on this 125GB box): a too-generous budget makes
     # duckdb allocate toward the OS wall and die on bad_alloc BEFORE its
-    # own spill logic engages; 40GB + a temp spill dir lets the heavy
-    # oracles complete out-of-core so the sweep grades the ENGINE
+    # own spill logic engages; a tight budget + a temp spill dir lets the
+    # heavy oracles complete out-of-core so the sweep grades the ENGINE.
+    # 24GB/16 threads (was 40GB/32): the round-12 sweep's two BPE-chain
+    # skips were exactly this — per-thread list-building overhead on 32
+    # threads pushed transient allocation past the wall before the 40GB
+    # budget ever bound; measured passing at 24GB/16.
     def fresh_con():
         # a just-OOMed instance releases its arenas asynchronously; an
         # immediate reconnect can catch the allocator mid-teardown
@@ -85,7 +89,8 @@ def main(out_dir, sf_dir, only=None):
 
     def _connect():
         c = duckdb.connect(config={
-            "memory_limit": "40GB",
+            "memory_limit": "24GB",
+            "threads": "16",
             "temp_directory": "/tmp/duckdb_spill_check",
         })
         for t in TABLES:
