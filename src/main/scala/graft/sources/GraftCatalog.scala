@@ -202,9 +202,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         throw new UnsupportedOperationException(
           s"'$t' is mid day->hour spec evolution (${dayEra.size} day dirs " +
             s"still in the old spec): SQL serves a single partition " +
-            "schema. Run Maintenance.migrateTimeGranularity (or CALL " +
-            s"$catalogName.system.compact) to finish the rewrite, or read " +
-            "through Warehouse.readTimePruned meanwhile.")
+            s"schema. CALL $catalogName.system.migrate_time_granularity" +
+            s"('$t') to finish the rewrite, or read through " +
+            "Warehouse.readTimePruned meanwhile.")
     }
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
@@ -618,6 +618,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "full"
         }
       Seq(row(t, mode))
+    },
+
+    // The background rewrite of a day->hour spec evolution, as SQL: the
+    // mid-flip refusal in table resolution names exactly this call.
+    procedure("migrate_time_granularity",
+      "Rewrite a day->hour-evolved changelog's remaining day-era dirs " +
+        "into the hour spec (day-dir-atomic, churn-proportional)",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("days_migrated", IntegerType)))) { in =>
+      val t = str(in, 0)
+      evictTable(t) // the mid-flip refusal may be cached
+      Seq(row(t, Maintenance.migrateTimeGranularity(spark, wh, t)))
     },
 
     procedure("expire_tombstones",

@@ -256,10 +256,13 @@ class TimePartitionSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM $cat.log").collect()
     }
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(x => Option(x.getMessage).exists(_.contains("migrateTimeGranularity"))),
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("migrate_time_granularity"))),
       s"mid-flip SQL must name the migration: ${e.getMessage}")
-    // the background rewrite migrates exactly the old-spec days
-    val migrated = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    // the background rewrite migrates exactly the old-spec days — driven
+    // through the SQL procedure the refusal names
+    val migrated = spark.sql(
+      s"CALL $cat.system.migrate_time_granularity('log')").head.getInt(1)
     assert(migrated == 2, s"two day-era dirs expected, migrated $migrated")
     assert(Maintenance.migrateTimeGranularity(spark, wh, "log") == 0,
       "migration is idempotent")
