@@ -998,8 +998,15 @@ object Queries {
     val cat = s"gq197_${catalogSeq.incrementAndGet()}"
     val wh = Warehouse(tmp.toString)
     try {
+      // hour grain is for HIGH-RATE feeds: a week of events, not months
+      // (hour-partitioning a 90-day span means thousands of tiny
+      // partitions — the wrong grain for that density, and 10x the
+      // bench cost for no extra coverage). The appended window strictly
+      // covers the queried range, so results are unchanged.
       val ev = events(spark, dir)
         .withColumn("ts", timestamp_micros(col("ts_us")))
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
         .select("event_id", "ts", "user_id", "event_type", "value")
       wh.declareTimePartition("ev_log", "ts", granularity = "hour")
       (0 to 1).foreach { b =>
