@@ -99,8 +99,9 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
               schema).repartition(1).write
               .mode(org.apache.spark.sql.SaveMode.Append).parquet(stage.toString)
           }
-          Files.writeString(stage.resolve(GraftStreamingWrite.EpochMarker),
-            s"$queryId\n$epochId")
+          Files.writeString(
+            stage.resolve(GraftStreamingWrite.markerName(queryId)),
+            epochId.toString)
           wh.publishStage(table, stage, expected, legacyMoved)
         } catch {
           case t: Throwable =>
@@ -119,12 +120,9 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
     */
   private def alreadyApplied(epochId: Long): Boolean = {
     val marker = Paths.get(wh.snapshotPath(table),
-      GraftStreamingWrite.EpochMarker)
+      GraftStreamingWrite.markerName(queryId))
     if (!Files.exists(marker)) return false
-    Files.readString(marker).linesIterator.toList match {
-      case q :: e :: _ => q == queryId && e.trim.toLong >= epochId
-      case _ => false
-    }
+    Files.readString(marker).trim.toLongOption.exists(_ >= epochId)
   }
 
   override def abort(epochId: Long,
@@ -133,11 +131,16 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
 }
 
 private[sources] object GraftStreamingWrite {
-  /** Root marker recording the last (queryId, epoch) a snapshot absorbed
-    * — `_`-prefixed (invisible to scans), carried by every committer's
-    * root-marker carry, atomic with the pointer swap.
+  /** Root marker recording the last epoch a snapshot absorbed FROM ONE
+    * query lineage — `_`-prefixed (invisible to scans), carried by every
+    * committer's root-marker carry, atomic with the pointer swap.
+    * PER-QUERY file name: two independent streams appending to one
+    * table must not clobber each other's replay protection (a shared
+    * single-slot marker would let stream A's commit erase stream B's
+    * position, and B's replayed epoch would double-append).
     */
-  val EpochMarker = "_stream_epoch"
+  def markerName(queryId: String): String =
+    s"_stream_epoch_${queryId.replaceAll("[^A-Za-z0-9-]", "_")}"
 }
 
 /** Per-epoch task writers: rows stream into
