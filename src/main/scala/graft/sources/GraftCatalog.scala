@@ -164,32 +164,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     t
   }
 
-  /** How SQL writes to this table resolve: through the committed write
-    * paths, or a loud refusal naming the owning mechanism.
+  /** Layout-CONTRACT refusals: tables whose files are owned by another
+    * mechanism outright — no write face at all, batch or streaming.
     */
-  private def writePolicy(t: String): Either[String, Unit] = {
+  private def contractRefusal(t: String): Option[String] = {
     val props = TableProps.read(wh, t)
     if (props.contains("changelog.last-version"))
-      Left(s"'$t' is a changelog feed view; its hop subdirs are the " +
+      Some(s"'$t' is a changelog feed view; its hop subdirs are the " +
         "consumer contract (written only by emit_changelog)")
     // the reference's own changelog marker (dependent-tables, C2): its
     // per-batch subdirs are the stream's replay-idempotence unit and its
     // IN-PLACE layout must never migrate to a version pointer under the
     // ingest stream's feet — a SQL INSERT would do exactly that
     else if (props.contains("dependent-tables"))
-      Left(s"'$t' is a CDC changelog written by the ingest pipeline; " +
+      Some(s"'$t' is a CDC changelog written by the ingest pipeline; " +
         "appends are batch-granular and replay-idempotent " +
         "(Warehouse.appendBatch)")
     else if (props.contains(Maintenance.ProjectionSourceProp))
-      Left(s"'$t' is a materialized projection refreshed from " +
+      Some(s"'$t' is a materialized projection refreshed from " +
         s"'${props(Maintenance.ProjectionSourceProp)}' by maintenance; " +
         "write to the source instead")
-    else if (wh.timePartitionCol(t).isDefined)
-      Left(s"'$t' is a hidden-time-partitioned changelog; appends are " +
-        "batch-granular and replay-idempotent (Warehouse.appendBatch / " +
-        "the ingest pipeline), not row-level SQL inserts")
-    else Right(())
+    else None
   }
+
+  /** How BATCH SQL writes resolve: contract refusals, plus the
+    * time-partitioned layout (its appends are batch-granular — exactly
+    * what a row-level INSERT is not, and exactly what a STREAMING write
+    * is: see [[GraftTable.newWriteBuilder]]'s streaming carve-out).
+    */
+  private def writePolicy(t: String): Either[String, Unit] =
+    contractRefusal(t).orElse {
+      if (wh.timePartitionCol(t).isDefined)
+        Some(s"'$t' is a hidden-time-partitioned changelog; appends are " +
+          "batch-granular and replay-idempotent (Warehouse.appendBatch / " +
+          "the ingest pipeline / writeStream.toTable), not row-level " +
+          "SQL inserts")
+      else None
+    }.toLeft(())
 
   private def mkParquet(t: String, path: String): ParquetTable = {
     // a MID-EVOLUTION hour-grain tree has two partition schemas at once;
@@ -237,10 +248,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     finally s.close()
   }
 
-  private def mkTable(t: String, path: String,
-      policy: Either[String, Unit]): Table = {
+  private def mkTable(t: String, path: String, policy: Either[String, Unit],
+      streamPolicy: Option[Either[String, Unit]] = None): Table = {
     GraftCatalog.tableBuilds.incrementAndGet() // spec counter: one per VERSION
-    new GraftTable(wh, t, mkParquet(t, path), policy)
+    new GraftTable(wh, t, mkParquet(t, path), policy,
+      streamPolicy.getOrElse(policy))
   }
 
   /** Resolved-table cache, keyed by (table, CURRENT version dir): the
@@ -264,6 +276,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     metaTable(ident).getOrElse {
       val t = resolved(ident)
       val snap = wh.snapshotPath(t)
+      // streaming writes into a time-partitioned table ride appendBatch
+      // (epochs ARE batches), so only the CONTRACT refusals apply there
+      def streamPol = Some(contractRefusal(t).toLeft(()))
       if (wh.currentVersion(t).isDefined) {
         val key = (t, snap)
         val hit = tableCache.get(key)
@@ -271,9 +286,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         else {
           tableCache.keySet.removeIf(k => k._1 == t && k._2 != snap)
           tableCache.computeIfAbsent(key,
-            _ => mkTable(t, snap, writePolicy(t)))
+            _ => mkTable(t, snap, writePolicy(t), streamPol))
         }
-      } else mkTable(t, snap, writePolicy(t))
+      } else mkTable(t, snap, writePolicy(t), streamPol)
     }
 
   /** `VERSION AS OF <v>` — served straight from the retained published
@@ -856,7 +871,8 @@ object GraftCatalog {
   * refusals surface at write-plan time with the owning mechanism named.
   */
 private[sources] class GraftTable(wh: Warehouse, tableName: String,
-    delegate: ParquetTable, policy: Either[String, Unit])
+    delegate: ParquetTable, policy: Either[String, Unit],
+    streamPolicy: Either[String, Unit])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations
   with org.apache.spark.sql.GraftV1FallbackTable {
@@ -957,12 +973,16 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    requireWritable("write")
+    // a table refused for BOTH faces fails at plan time with the owning
+    // mechanism named; a time-partitioned table (batch-refused only)
+    // must reach toStreaming — its streaming face IS appendBatch
+    if (streamPolicy.isLeft) requireWritable("write")
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): V1Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
+        override def toInsertableRelation: InsertableRelation = {
+          requireWritable("write") // batch face: time-partitioned refuses
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
               if (replace || overwrite) wh.overwrite(data, tableName)
@@ -973,14 +993,32 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
                 wh.appendVersioned(data, tableName)
               }
           }
+        }
         /** `df.writeStream.toTable("graft.t")`: every micro-batch is a
-          * committed snapshot ([[GraftStreamingWrite]] — epoch-marker
-          * exactly-once, hard-link fast append per epoch; complete mode
-          * overwrites).
+          * committed snapshot ([[GraftStreamingWrite]] — per-query
+          * epoch-marker exactly-once, hard-link fast append per epoch;
+          * complete mode overwrites) — or, for a hidden-time-partitioned
+          * table, an [[Tables.Warehouse.appendBatch]] whose batch id IS
+          * the epoch ([[GraftAppendBatchStreamingWrite]], replay-exact
+          * by the layout's own dynamic-overwrite contract).
           */
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftStreamingWrite(wh, tableName, info.schema(),
-            info.queryId(), replace)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          streamPolicy.left.foreach(reason =>
+            throw new UnsupportedOperationException(
+              s"streaming write to '$tableName' refused: $reason"))
+          hiddenTimeColumn match {
+            case Some(tc) if !replace =>
+              new GraftAppendBatchStreamingWrite(wh, tableName, tc,
+                info.schema(), info.queryId())
+            case Some(_) => throw new UnsupportedOperationException(
+              s"complete-mode streaming into time-partitioned " +
+                s"'$tableName' would overwrite only the LAST epoch's " +
+                "partitions; use append mode (the layout is an append log)")
+            case None =>
+              new GraftStreamingWrite(wh, tableName, info.schema(),
+                info.queryId(), replace)
+          }
+        }
       }
     }
   }

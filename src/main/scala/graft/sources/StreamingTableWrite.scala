@@ -143,6 +143,62 @@ private[sources] object GraftStreamingWrite {
     s"_stream_epoch_${queryId.replaceAll("[^A-Za-z0-9-]", "_")}"
 }
 
+/** `writeStream.toTable` into a HIDDEN-TIME-PARTITIONED table: each
+  * micro-batch lands through [[Tables.Warehouse.appendBatch]] with the
+  * EPOCH as the batch id — epochs ARE batches, so replay idempotence is
+  * the layout's own contract (a replayed epoch dynamically overwrites
+  * exactly its own (day[, hour], batch) partitions; no marker needed)
+  * and every time-pruned reader sees the stream's output exactly as the
+  * ingest pipeline's. This completes the SQL-first continuous-ingest
+  * story: `CREATE TABLE ... PARTITIONED BY (days(ts))` then feed it by
+  * name. Tasks stage parquet per epoch (same plumbing as the snapshot
+  * write); `commit(epoch)` re-reads the committed files and lands them
+  * partitioned — one extra read+write of the EPOCH's bytes, the price
+  * of the partitioned layout, O(epoch) like everything else here.
+  * Single-stream-per-table, the same contract as the ingest pipeline's
+  * changelog: two lineages would collide on batch ids.
+  */
+private[sources] class GraftAppendBatchStreamingWrite(wh: Warehouse,
+    table: String, timeCol: String, schema: StructType, queryId: String)
+  extends StreamingWrite {
+
+  require(schema.fieldNames.contains(timeCol),
+    s"streaming into time-partitioned '$table' needs its declared time " +
+      s"column '$timeCol' in the streamed schema " +
+      s"(got ${schema.fieldNames.mkString(", ")})")
+
+  private def epochDir(epochId: Long): Path =
+    Paths.get(s"${wh.tablePath(table)}.streamepoch_${queryId}_$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = ParquetUtils.prepareWrite(spark.sessionState.conf, job,
+      schema, new ParquetOptions(Map.empty[String, String],
+        spark.sessionState.conf))
+    new GraftStreamingWriterFactory(
+      s"${wh.tablePath(table)}.streamepoch_$queryId", schema, factory,
+      new SerializableHadoopConf(job.getConfiguration))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case CowFileCommit(f) => f }
+    val epoch = epochDir(epochId)
+    if (committed.nonEmpty) {
+      val df = SparkSession.active.read.schema(schema)
+        .parquet(committed.map(f => epoch.resolve(f).toString).toIndexedSeq: _*)
+      wh.appendBatch(df, table, epochId)
+    }
+    Tables.deleteRecursively(epoch)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    Tables.deleteRecursively(epochDir(epochId))
+}
+
 /** Per-epoch task writers: rows stream into
   * `<epochRootPrefix>_<epochId>/<attempt-unique>.parquet`; the commit
   * message names the file, and only named files publish.

@@ -130,7 +130,8 @@ class CatalogStreamingSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT id FROM $cat.sink_t ORDER BY id")
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L),
       "a replayed epoch must not double-append")
-    // layout-contract tables refuse streaming writes with the owner named
+    // a time-partitioned table's STREAMING face is appendBatch — but a
+    // streamed schema missing the declared time column refuses loudly
     wh.declareTimePartition("ev2", "ts")
     wh.appendBatch(Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts"),
       "ev2", 0L)
@@ -144,8 +145,64 @@ class CatalogStreamingSpec extends SparkTestBase {
     }
     val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
-    assert(msg.contains("appendBatch") || msg.contains("batch-granular"),
-      s"refusal must name the owning mechanism: $msg")
+    assert(msg.contains("declared time column"),
+      s"a schema without the time column must refuse loudly: $msg")
+  }
+
+  test("writeStream.toTable into a time-partitioned table: epochs land as batches, replay-exact, pruning intact") {
+    val root = tmpDir("cstr-tp")
+    val wh = Warehouse(root)
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val src = tmpDir("cstr-tp-src")
+    val ckpt = tmpDir("cstr-tp-ckpt")
+    Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")))
+      .toDF("id", "ts").write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.ev")
+      drain(q); q.stop()
+    }
+    run()
+    // the epoch landed as the layout's own batch unit
+    assert(Files.isDirectory(Paths.get(wh.tablePath("ev"),
+      "p_day=2024-01-01", "p_batch=0")),
+      "epoch 0 must land as p_batch=0 under its day")
+    assert(spark.sql(s"SELECT id FROM $cat.ev ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // more data -> epoch 1 appends its own batch
+    Seq((3L, ts("2024-01-03 10:00:00"))).toDF("id", "ts")
+      .write.mode("append").parquet(src)
+    run()
+    assert(spark.sql(s"SELECT id FROM $cat.ev ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // REPLAY the final epoch (drop its checkpoint commit): the dynamic
+    // overwrite rewrites exactly its own partitions — no duplicates
+    val commits = Paths.get(ckpt, "commits")
+    val last = {
+      val s = Files.list(commits)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally s.close()
+    }
+    Files.delete(last)
+    run()
+    assert(spark.sql(s"SELECT id FROM $cat.ev ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L),
+      "a replayed epoch must overwrite its own batch partitions, not append")
+    // the streamed layout serves ts-only pruning like any other
+    val q2 = spark.sql(s"SELECT id FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-03 00:00:00'")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(q2.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).exists(_.contains("p_day")),
+      "streamed time-partitioned data must prune from ts-only SQL filters")
   }
 
   test("the feed view streams: emit_changelog hops arrive through readStream.table") {
