@@ -9,10 +9,12 @@ import graft.sources.Tables.Warehouse
 /** Randomized golden-model check of the SQL write surface: a seeded
   * stream of mutations — INSERT INTO, UPDATE, pushable and
   * rewrite-flavor DELETE, three-arm MERGE INTO, INSERT OVERWRITE,
-  * TRUNCATE — runs against a catalog table AND a driver-side model map;
-  * the table must equal the model after every few operations. Re-cluster
-  * ticks interleave so the file-granular COW paths (static zone-map
-  * selection, runtime bloom narrowing, carried hard links) are exercised
+  * TRUNCATE, ROLLBACK to a random retained snapshot (restoring the
+  * model state that version held), and explicit snapshot expiry — runs
+  * against a catalog table AND a driver-side model map; the table must
+  * equal the model after every few operations. Re-cluster ticks
+  * interleave so the file-granular COW paths (static zone-map selection,
+  * runtime bloom narrowing, carried hard links) are exercised
   * mid-stream, not just on a pristine layout. Arithmetic sticks to
   * binary fractions (0.25 steps) so double comparison is exact.
   */
@@ -23,6 +25,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+    // deep enough retention that the rollback arm has history to restore
+    spark.conf.set(s"spark.sql.catalog.$name.retain", "4")
   }
 
   private val grps = Vector("a", "b", "c", "d", "e")
@@ -61,6 +65,13 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
       bloomKeys = Seq("id"), targetFiles = Some(4))
 
+    // per-version model snapshots: what the ROLLBACK arm restores; every
+    // committed version maps to the model state it held
+    val history = mutable.Map.empty[Long, Map[Long, (String, Double)]]
+    def snapshot(): Unit =
+      wh.currentVersion("t").foreach(v => history(v) = model.toMap)
+    snapshot()
+
     var grpCol = "grp"
     (1 to 24).foreach { step =>
       // mid-stream DECLARED schema evolution: the rename registers in the
@@ -76,7 +87,7 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           "the pre-rename snapshot must keep its own schema")
         check(cat, model, s"seed=$seed rename", grpCol)
       }
-      rng.nextInt(8) match {
+      rng.nextInt(10) match {
         case 0 | 1 => // INSERT fresh rows
           val rows = freshRows(1 + rng.nextInt(4))
           spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(rows)}")
@@ -132,7 +143,20 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
             spark.sql(s"TRUNCATE TABLE $cat.t")
             model.clear()
           }
+        case 8 => // ROLLBACK to a random retained snapshot (roll-forward)
+          // skipped after a rename: a pre-rename snapshot restores the old
+          // column name and the model compare speaks the new one
+          val vs = wh.listVersions("t").filter(history.contains)
+          if (vs.nonEmpty && grpCol == "grp") {
+            val v = vs(rng.nextInt(vs.size))
+            spark.sql(s"CALL $cat.system.rollback_to_version('t', $v)")
+            model.clear(); model ++= history(v)
+          }
+        case 9 => // explicit snapshot expiry mid-stream: data unchanged
+          spark.sql(
+            s"CALL $cat.system.expire_snapshots('t', ${2 + rng.nextInt(3)})")
       }
+      snapshot()
       if (step % 4 == 0) check(cat, model, s"seed=$seed step=$step", grpCol)
     }
     check(cat, model, s"seed=$seed final", grpCol)
@@ -143,4 +167,5 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
   test("random SQL mutation stream with a mid-stream column rename (seed 41)") {
     run(41, withEvolution = true)
   }
+  test("random SQL mutation stream equals the golden model (seed 97)") { run(97) }
 }
