@@ -291,14 +291,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       } else mkTable(t, snap, writePolicy(t), streamPol)
     }
 
-  /** `VERSION AS OF <v>` — served straight from the retained published
-    * version dir (fails loudly when GC'd, same contract as
-    * [[Tables.Warehouse.readVersion]]).
+  /** `VERSION AS OF <v|'tag'>` — served straight from the retained
+    * published version dir (fails loudly when GC'd, same contract as
+    * [[Tables.Warehouse.readVersion]]). A non-numeric version string
+    * resolves through the table's TAGS (named GC-pinned refs,
+    * `CALL <cat>.system.create_tag`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = resolved(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft versions are numbers; got VERSION AS OF '$version'"))
+    val v = version.toLongOption
+      .orElse(wh.tags(t).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a version number nor a tag of '$t' " +
+          s"(tags: ${wh.tags(t).keys.toSeq.sorted.mkString(", ")})"))
     val dir = wh.publishedVersions(t).collectFirst { case (`v`, p) => p }
       .getOrElse(throw new NoSuchTableException(ident))
     mkTable(t, dir.toString,
@@ -446,6 +451,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(s.property != Tables.TimePartitionProp,
           s"${Tables.TimePartitionProp} is the table's physical layout " +
             "— declared at CREATE time, immutable after")
+        require(!s.property.startsWith(Tables.TagPropPrefix),
+          "tags pin retained versions and must validate against the " +
+            s"snapshot log — CALL $catalogName.system.create_tag instead")
         TableProps.write(wh, t, TableProps.read(wh, t) + (s.property -> s.value))
       case r: TableChange.RemoveProperty =>
         require(r.property != Tables.TimePartitionProp,
@@ -761,6 +769,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         paramDefault("keep_last", IntegerType, "2")),
       StructType(Seq(StructField("expired_version", LongType)))) { in =>
       wh.expireSnapshots(str(in, 0), in.getInt(1)).map(v => row(v))
+    },
+
+    // Named snapshot refs (Iceberg tags): pin a retained version by
+    // name — protected from retention GC and explicit expiry until
+    // dropped; readable as VERSION AS OF '<tag>'.
+    procedure("create_tag",
+      "Pin retained VERSION of TABLE under TAG (GC-protected; read via " +
+        "VERSION AS OF '<tag>')",
+      Seq(param("table", StringType), param("tag", StringType),
+        param("version", LongType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("tag", StringType),
+        StructField("version", LongType)))) { in =>
+      val (t, tag, v) = (str(in, 0), str(in, 1), in.getLong(2))
+      wh.createTag(t, tag, v)
+      Seq(row(t, tag, v))
+    },
+
+    procedure("drop_tag",
+      "Drop TAG from TABLE: the pinned version re-enters the normal " +
+        "retention window",
+      Seq(param("table", StringType), param("tag", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("existed", BooleanType)))) { in =>
+      Seq(row(str(in, 0), wh.dropTag(str(in, 0), str(in, 1))))
+    },
+
+    procedure("tags",
+      "Tags of TABLE with their pinned versions",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("tag", StringType),
+        StructField("version", LongType)))) { in =>
+      wh.tags(str(in, 0)).toSeq.sortBy(_._1).map { case (tg, v) => row(tg, v) }
     },
 
     // The snapshot log as rows — what VERSION AS OF / TIMESTAMP AS OF

@@ -389,10 +389,15 @@ object Tables {
         // itself, leaving the pointer dangling (caught by the
         // breaker-storm spec)
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
+        val tagged = taggedVersions(name)
         versions(name)
-          .filter { case (_, p) =>
+          .filter { case (v, p) =>
             Files.exists(p.resolve(PublishedMarker)) &&
-              p.getFileName.toString != curName
+              p.getFileName.toString != curName &&
+              // a TAGGED snapshot is pinned by name (the Iceberg tag
+              // contract): retention never ages it out; drop_tag
+              // releases it back to the normal window
+              !tagged.contains(v)
           }
           .dropRight(retain - 1)
           .foreach { case (_, p) => deleteRecursively(p) }
@@ -759,14 +764,59 @@ object Tables {
       require(keepLast >= 1, s"keepLast must retain the current version, got $keepLast")
       withCommitLock(name) {
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
+        val tagged = taggedVersions(name)
         val expirable = versions(name)
           .filter { case (v, p) => isPublishedDir(name, v, p) &&
-            p.getFileName.toString != curName }
+            p.getFileName.toString != curName &&
+            !tagged.contains(v) } // tags pin; drop_tag releases
         val doomed = expirable.dropRight(keepLast - 1)
         doomed.foreach { case (_, p) => deleteRecursively(p) }
         doomed.map(_._1)
       }
     }
+
+    /** TAGS — Iceberg's named snapshot refs: a tag pins one published
+      * version by name, protects it from BOTH retention GC and explicit
+      * expiry for as long as it exists, and resolves in SQL as
+      * `VERSION AS OF '<tag>'`. Stored as `tag.<name>` table props (the
+      * same sidecar every other declaration uses); creating over an
+      * existing tag name refuses — retag is an explicit drop + create.
+      */
+    def createTag(name: String, tag: String, version: Long): Unit = {
+      require(tag.nonEmpty && !tag.forall(_.isDigit),
+        s"tag '$tag' must be non-empty and non-numeric (numbers are versions)")
+      val key = s"$TagPropPrefix$tag"
+      val props = TableProps.read(this, name)
+      require(!props.contains(key),
+        s"tag '$tag' already exists on '$name' (-> v${props(key)}); " +
+          "drop it first to retag")
+      require(listVersions(name).contains(version),
+        s"'$name' has no retained published version $version " +
+          s"(retained: ${listVersions(name).mkString(", ")})")
+      TableProps.write(this, name, props + (key -> version.toString))
+    }
+
+    /** Drop a tag: the pinned version re-enters the normal retention
+      * window (GC'd on the next commit if outside it).
+      * @return true when the tag existed
+      */
+    def dropTag(name: String, tag: String): Boolean = {
+      val key = s"$TagPropPrefix$tag"
+      val props = TableProps.read(this, name)
+      if (!props.contains(key)) return false
+      TableProps.write(this, name, props - key)
+      true
+    }
+
+    /** All tags of `name`: tag -> version. */
+    def tags(name: String): Map[String, Long] =
+      TableProps.read(this, name).collect {
+        case (k, v) if k.startsWith(TagPropPrefix) =>
+          k.drop(TagPropPrefix.length) -> v.toLong
+      }
+
+    private def taggedVersions(name: String): Set[Long] =
+      tags(name).values.toSet
 
     /** Drop `name` entirely: pointer (or legacy dir), every retained
       * version, staged/discard debris, pointer temps, and the `_metadata`
@@ -1220,6 +1270,10 @@ object Tables {
   val PartMonthCol = "p_month"
   /** Declared time granularity (`day` default / `hour` / `month`). */
   val TimeGranularityProp = "partition.time-granularity"
+  /** Tag props: `tag.<name> = <version>` — named, GC-pinned snapshot
+    * refs ([[Warehouse.createTag]]).
+    */
+  val TagPropPrefix = "tag."
   private[sources] val TimeGranularities = Set("day", "hour", "month")
 
   /** `p_hour` derivation: exact UTC floor-division of the instant's

@@ -267,6 +267,50 @@ class GraftCatalogSpec extends SparkTestBase {
       "a live changelog read must see the new batch immediately")
   }
 
+  test("tags pin snapshots by name: VERSION AS OF '<tag>' resolves, GC and expiry skip tagged versions, drop releases") {
+    val root = tmpDir("cat-tags")
+    val wh = Warehouse(root) // retain=2: tags must outlive the window
+    register("g8", root)
+    spark.conf.set("spark.sql.catalog.g8.retain", "2")
+    wh.overwrite(Seq((1L, "baseline")).toDF("id", "s").localCheckpoint(true), "t")
+    spark.sql("CALL g8.system.create_tag('t', 'audited', 1)")
+    // churn far past the retention window: the tagged version survives
+    (2 to 5).foreach { v =>
+      spark.sql(s"INSERT OVERWRITE g8.t VALUES (${v}L, 'state$v')")
+    }
+    assert(wh.listVersions("t").contains(1L),
+      "a tagged version must survive retention GC")
+    assert(spark.sql("SELECT s FROM g8.t VERSION AS OF 'audited'")
+      .head.getString(0) == "baseline")
+    // explicit expiry skips it too
+    val expired = spark.sql("CALL g8.system.expire_snapshots('t', 1)")
+      .collect().map(_.getLong(0)).toSet
+    assert(!expired.contains(1L) && wh.listVersions("t").contains(1L),
+      s"expiry must skip tagged versions (expired: $expired)")
+    assert(spark.sql("CALL g8.system.tags('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("audited", 1L)))
+    // free-form tag props refuse toward the validating procedure
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g8.t SET TBLPROPERTIES ('tag.x' = '99')")
+    }
+    // tagging a GC'd version refuses; duplicate tag names refuse
+    intercept[Exception] {
+      spark.sql("CALL g8.system.create_tag('t', 'gone', 2)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL g8.system.create_tag('t', 'audited', 5)").collect()
+    }
+    // drop releases the pin: the next commit's GC ages the version out
+    assert(spark.sql("CALL g8.system.drop_tag('t', 'audited')")
+      .head.getBoolean(1))
+    spark.sql("INSERT OVERWRITE g8.t VALUES (9L, 'final')")
+    assert(!wh.listVersions("t").contains(1L),
+      "an untagged version re-enters the retention window")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g8.t VERSION AS OF 'audited'").collect()
+    }
+  }
+
   test("CALL emit_changelog + the feed view table + expire_consumed_hops close the feed loop in SQL") {
     val root = tmpDir("cat-feed")
     val wh = Warehouse(root, retain = 8)
