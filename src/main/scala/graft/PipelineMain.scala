@@ -29,7 +29,9 @@ object PipelineMain {
           catalog = PipelineConfig.catalogFromEnv(),
           mirrorMor = PipelineConfig.mirrorMorFromEnv(),
           changelogTimePartition =
-            PipelineConfig.changelogTimePartitionFromEnv())
+            PipelineConfig.changelogTimePartitionFromEnv(),
+          changelogTimeGranularity =
+            PipelineConfig.changelogTimeGranularityFromEnv())
       }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -72,7 +74,8 @@ object PipelineMain {
           s"$whDir/_checkpoints/${spec.mirrorTable}",
           mirrorBuckets = config.mirrorBuckets,
           mirrorMor = config.mirrorMor,
-          changelogTimePartition = config.changelogTimePartition)
+          changelogTimePartition = config.changelogTimePartition,
+          changelogTimeGranularity = config.changelogTimeGranularity)
         q.awaitTermination()
         // Catalog registration AFTER data exists: registering first would
         // let a crash-before-ingest leave catalog entries for empty tables,

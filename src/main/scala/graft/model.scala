@@ -118,7 +118,15 @@ final case class PipelineConfig(
       * column is a timestamp/date/ISO-string (a numeric sequence column
       * derives no date).
       */
-    changelogTimePartition: Boolean = false)
+    changelogTimePartition: Boolean = false,
+    /** Granularity of the hidden time layout
+      * (GRAFT_CHANGELOG_TIME_GRANULARITY=day|hour|month, default day) —
+      * only read when `changelogTimePartition` is on. Hour grain is for
+      * HIGH-RATE feeds (the Iceberg hours() transform); a later
+      * day->hour flip is spec evolution, not a restart
+      * ([[graft.sources.Tables.Warehouse.evolveTimeGranularity]]).
+      */
+    changelogTimeGranularity: String = "day")
 
 object PipelineConfig {
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
@@ -133,7 +141,8 @@ object PipelineConfig {
       mirrorBuckets = mirrorBucketsFromEnv(env),
       catalog = catalogFromEnv(env),
       mirrorMor = mirrorMorFromEnv(env),
-      changelogTimePartition = changelogTimePartitionFromEnv(env))
+      changelogTimePartition = changelogTimePartitionFromEnv(env),
+      changelogTimeGranularity = changelogTimeGranularityFromEnv(env))
   }
 
   /** GRAFT_CHANGELOG_TIME_PARTITION — hidden day partitioning of the
@@ -142,6 +151,11 @@ object PipelineConfig {
   def changelogTimePartitionFromEnv(
       env: Map[String, String] = sys.env): Boolean =
     env.get("GRAFT_CHANGELOG_TIME_PARTITION").exists(_.toBoolean)
+
+  /** GRAFT_CHANGELOG_TIME_GRANULARITY — day (default) / hour / month. */
+  def changelogTimeGranularityFromEnv(
+      env: Map[String, String] = sys.env): String =
+    env.getOrElse("GRAFT_CHANGELOG_TIME_GRANULARITY", "day")
 
   /** GRAFT_MIRROR_BUCKETS — shared by [[fromEnv]] and the CLI-args entry
     * path (layout config is environment-shaped like the catalog's).

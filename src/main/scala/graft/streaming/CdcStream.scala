@@ -101,12 +101,20 @@ object CdcStream {
         * prop (or its absence) is authoritative and the flag is ignored —
         * flipping it mid-history would mix layouts.
         */
-      changelogTimePartition: Boolean = false): StreamingQuery = {
+      changelogTimePartition: Boolean = false,
+      /** Grain of the hidden time layout (day/hour/month) — declared
+        * with the layout on first ingest; the STORED grain wins
+        * thereafter (flipping day->hour mid-history is spec EVOLUTION,
+        * [[graft.sources.Tables.Warehouse.evolveTimeGranularity]], not
+        * a restart flag).
+        */
+      changelogTimeGranularity: String = "day"): StreamingQuery = {
     require(!mirrorMor || mirrorBuckets.isDefined,
       "mirrorMor requires mirrorBuckets (the MOR layout is bucketed)")
     if (changelogTimePartition && !wh.exists(spec.changelogTable) &&
         wh.timePartitionCol(spec.changelogTable).isEmpty)
-      wh.declareTimePartition(spec.changelogTable, spec.cdc.tsCol)
+      wh.declareTimePartition(spec.changelogTable, spec.cdc.tsCol,
+        granularity = changelogTimeGranularity)
 
     // Schema is pinned from existing files (the reference infers at
     // table-creation time, tabular.py:130-139 carries no schema). Inference

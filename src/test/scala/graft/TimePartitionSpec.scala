@@ -298,6 +298,32 @@ class TimePartitionSpec extends SparkTestBase {
       s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 06:00:00"))}")))
   }
 
+  test("CdcStream at hour granularity: the changelog lands p_day/p_hour/p_batch; pruned replay sub-day exact") {
+    import spark.implicits._
+    val src = tmpDir("tp-src-h")
+    val wh = Warehouse(tmpDir("tp-wh-h"))
+    Seq((1L, "2024-01-01 05:00:00", "I", "a"),
+      (2L, "2024-01-01 18:00:00", "I", "b"),
+      (3L, "2024-01-02 05:00:00", "I", "c"))
+      .toDF("id", "ts", "op", "v")
+      .write.parquet(s"$src/dms_logs_1.parquet")
+    val spec = PipelineSpec.forPrefix(src, CdcConfig("id", "ts"))
+    val q = graft.streaming.CdcStream.start(spark, wh, spec,
+      tmpDir("tp-ckpt-h"), changelogTimePartition = true,
+      changelogTimeGranularity = "hour")
+    drain(q); q.stop()
+    assert(wh.timeGranularity(spec.changelogTable) == "hour")
+    assert(Files.isDirectory(Paths.get(wh.tablePath(spec.changelogTable),
+      "p_day=2024-01-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 05:00:00"))}")),
+      "the streamed changelog must nest hour partitions")
+    // a sub-day pruned replay is exact
+    assert(wh.readTimePruned(spark, spec.changelogTable,
+        fromTs = Some(ts("2024-01-01 12:00:00")),
+        toTs = Some(ts("2024-01-02 00:00:00")))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("CdcStream with changelogTimePartition lands a day-partitioned changelog; mirror unchanged") {
     import spark.implicits._
     val src = tmpDir("tp-src")
