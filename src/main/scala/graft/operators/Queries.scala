@@ -1027,6 +1027,44 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Named snapshot tags under the oracle gate (q198): the clean half of
+    * events commits as v1 and is TAGGED; the table then churns THREE
+    * overwrites past the catalog's retention window (retain=2), so v1
+    * survives ONLY because the tag pins it against GC — and
+    * `VERSION AS OF 'clean'` must still equal the oracle's clean-subset
+    * aggregate. The current state rides along in the same statement, so
+    * the pin provably does not freeze the table itself.
+    */
+  def q198Tags(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tag_q198")
+    val cat = s"gq198_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString) // retain=2: the tag is the only pin
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(s"CALL $cat.system.create_tag('ev', 'clean', 1)")
+      (0 to 2).foreach { i => // churn past the retention window
+        wh.overwrite(ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .localCheckpoint(true), "ev")
+      }
+      spark.sql(
+        s"""SELECT 'tagged' AS snap, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev VERSION AS OF 'clean' GROUP BY event_type
+           |UNION ALL
+           |SELECT 'current', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM $cat.ev GROUP BY event_type
+           |ORDER BY snap, event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2523,6 +2561,19 @@ object Queries {
         |WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the tagged snapshot (pinned past the retention window by the tag
+    // alone) must equal the clean-subset aggregate; the current state
+    // (the last churn overwrite) rides in the same statement
+    "q198_tags" ->
+      """SELECT 'tagged' AS snap, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'current', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events WHERE event_id % 3 = 2 GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3011,6 +3062,7 @@ object Queries {
     "q195_catalog_streaming" -> (q195CatalogStreaming _),
     "q196_rollback" -> (q196Rollback _),
     "q197_hour_grain" -> (q197HourGrain _),
+    "q198_tags" -> (q198Tags _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
