@@ -786,14 +786,21 @@ object Tables {
       require(tag.nonEmpty && !tag.forall(_.isDigit),
         s"tag '$tag' must be non-empty and non-numeric (numbers are versions)")
       val key = s"$TagPropPrefix$tag"
-      val props = TableProps.read(this, name)
-      require(!props.contains(key),
-        s"tag '$tag' already exists on '$name' (-> v${props(key)}); " +
-          "drop it first to retag")
-      require(listVersions(name).contains(version),
-        s"'$name' has no retained published version $version " +
-          s"(retained: ${listVersions(name).mkString(", ")})")
-      TableProps.write(this, name, props + (key -> version.toString))
+      // UNDER THE COMMIT LOCK: retention GC (publishStage) and explicit
+      // expiry read the tag set while holding it — validating and
+      // writing the prop outside would let a concurrent commit's GC miss
+      // the new tag and delete the version mid-tagging (validated, then
+      // gone). The lock makes validate+pin atomic against both sweeps.
+      withCommitLock(name) {
+        val props = TableProps.read(this, name)
+        require(!props.contains(key),
+          s"tag '$tag' already exists on '$name' (-> v${props(key)}); " +
+            "drop it first to retag")
+        require(listVersions(name).contains(version),
+          s"'$name' has no retained published version $version " +
+            s"(retained: ${listVersions(name).mkString(", ")})")
+        TableProps.write(this, name, props + (key -> version.toString))
+      }
     }
 
     /** Drop a tag: the pinned version re-enters the normal retention
