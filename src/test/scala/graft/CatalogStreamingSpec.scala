@@ -62,6 +62,36 @@ class CatalogStreamingSpec extends SparkTestBase {
       == Seq(1L, 2L, 3L, 4L), "restart must ingest exactly the new batch")
   }
 
+  test("readStream.table tails an HOUR-grain changelog: nested partitions stream with their layout columns") {
+    val root = tmpDir("cstr-hour")
+    val wh = Warehouse(root)
+    val cat = register(root)
+    wh.declareTimePartition("ev", "ts", granularity = "hour")
+    wh.appendBatch(Seq(
+      (1L, ts("2024-01-01 05:00:00")), (2L, ts("2024-01-01 18:00:00")))
+      .toDF("id", "ts"), "ev", 0L)
+    val ckpt = tmpDir("cstr-hour-ckpt")
+    val sink = tmpDir("cstr-hour-sink")
+    def run(): Unit = {
+      val q = spark.readStream.table(s"$cat.ev")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q); q.stop()
+    }
+    run()
+    val got = spark.read.parquet(sink)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(got.columns.contains("p_hour"),
+      "the hour layout's columns stream exactly as batch SQL serves them")
+    // a new batch lands; restart ingests exactly it
+    wh.appendBatch(Seq((3L, ts("2024-01-02 05:00:00"))).toDF("id", "ts"),
+      "ev", 1L)
+    run()
+    assert(spark.read.parquet(sink).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("readStream.table refuses a versioned snapshot table, naming the feed-view mechanism") {
     val root = tmpDir("cstr-refuse")
     val wh = Warehouse(root)
