@@ -896,6 +896,10 @@ object Maintenance {
             // left by a breaker that crashed mid-break (review finding);
             // `.vN.discardM` is a stage discard whose delete was cut short
             n.startsWith(s"$name.ptr") || n.startsWith(s"$name.commitlock") ||
+              // per-epoch staging of a CRASHED streaming query (a clean
+              // stop aborts its own dir; a killed JVM cannot) — the age
+              // guard keeps live streams' in-flight epochs safe
+              n.startsWith(s"$name.streamepoch_") ||
               n.matches(java.util.regex.Pattern.quote(name) +
                 "\\.v\\d+\\.discard\\d+") ||
               // a `.vN.stage` sibling whose version dir is GONE is debris

@@ -129,6 +129,24 @@ class Round13OpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 1000042L))
   }
 
+  test("a crashed streaming query's epoch staging is age-guarded orphan work; fresh in-flight epochs survive") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("orph-epoch"))
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "t")
+    // a killed JVM's leftover per-epoch staging dir
+    val crashed = Paths.get(s"${wh.tablePath("t")}.streamepoch_deadbeef_7")
+    Files.createDirectories(crashed)
+    Files.writeString(crashed.resolve("part-00000-x.parquet"), "torn")
+    // fresh: the age guard protects a LIVE stream's in-flight epoch
+    assert(!Maintenance.removeOrphans(wh, "t", olderThanMs = 60000L)
+      .exists(_.contains("streamepoch")))
+    assert(Files.isDirectory(crashed))
+    // aged out: swept
+    val swept = Maintenance.removeOrphans(wh, "t", olderThanMs = 0L)
+    assert(swept.exists(_.contains("streamepoch_deadbeef_7")), s"swept: $swept")
+    assert(!Files.exists(crashed))
+  }
+
   test("day derivation is pinned to UTC: writer and reader sessions in other timezones agree with the layout") {
     val wh = Warehouse(tmpDir("tz-utc"))
     wh.declareTimePartition("ev", "ts")
