@@ -170,6 +170,8 @@ object ZoneMap {
           .collect()
           .map(r => r.getString(0) ->
             bloomKeys.indices.map(i => sizeFor(r.getLong(i + 1))))
+        if (perFile.isEmpty) stats // zero files: nothing to bloom or join
+        else {
         val buckets = perFile.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
         val frames = buckets.toSeq.map { case (bitsVec, files) =>
           val bloomAggs = bloomKeys.zipWithIndex.flatMap { case (k, i) => Seq(
@@ -182,6 +184,7 @@ object ZoneMap {
             .agg(bloomAggs.head, bloomAggs.tail: _*)
         }
         stats.join(frames.reduce(_ unionByName _), "_abs")
+        }
       }
     withBlooms
       .withColumn("file", expr(s"substring(_abs, ${root.length + 2})"))
