@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.GraftCatalog
+
+/** Cross-process streaming-ingest role for
+  * `tools/verify_streaming_concurrent.py`: drives REAL
+  * `writeStream.toTable` epochs against a shared warehouse while an
+  * INDEPENDENT maintenance JVM compacts the same table — the
+  * scheduled-maintenance-plus-continuous-ingest deployment, where every
+  * epoch commit must CAS-survive a rival compaction's pointer swaps.
+  * Exits 0 after `epochs` committed micro-batches; the python driver
+  * verifies the final snapshot with DuckDB (exact id set — zero lost
+  * updates, zero duplicates).
+  *
+  * Args: whDir epochs rowsPerEpoch
+  */
+object StreamingIngestMain {
+  def main(args: Array[String]): Unit = {
+    val Array(whDir, epochsS, rowsS) = args.take(3)
+    val (epochs, rowsPerEpoch) = (epochsS.toInt, rowsS.toLong)
+    val spark = Harness.session("graft-streaming-ingest")
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gsi", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsi.warehouse", whDir)
+    if (!spark.catalog.tableExists("gsi.sink"))
+      spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE)")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Long]
+    val q = source.toDS()
+      .select($"value".as("id"), ($"value" % 97 / 4.0).as("v"))
+      .repartition(4)
+      .writeStream
+      .option("checkpointLocation", s"$whDir/_ckpt_gsi")
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable("gsi.sink")
+
+    var next = 0L
+    (1 to epochs).foreach { i =>
+      source.addData(next until (next + rowsPerEpoch))
+      next += rowsPerEpoch
+      q.processAllAvailable()
+      println(s"[stream] epoch $i committed (${next} rows total)")
+    }
+    q.stop()
+    spark.stop()
+  }
+}
