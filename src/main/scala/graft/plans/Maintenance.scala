@@ -563,6 +563,10 @@ object Maintenance {
     migrateTimeGranularity(spark, wh, table)
     val partCols = timeLayoutCols(wh, table)
     val path = wh.snapshotPath(table)
+    // a just-created (SQL) time-partitioned table has no batches yet —
+    // nothing to merge, and an empty-dir read cannot infer a schema
+    if (graft.sources.Tables.listFilesExcluding(path, None)
+        .forall(!_.endsWith(".parquet"))) return
     val df = spark.read.option("basePath", path).option("mergeSchema", "true")
       .parquet(path)
       .repartition(partCols.map(col): _*)
