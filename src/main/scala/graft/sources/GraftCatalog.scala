@@ -472,12 +472,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         requireEvolvable(t, "DROP COLUMN")
         SchemaEvolution.declareDrop(wh, t, dc.fieldNames()(0))
         rewriteNormalized(t)
+      // ADD COLUMN: one COW rewrite appending the (nullable) column —
+      // plain parquet has no field-ID metadata edit, so materializing
+      // NULLs into the current snapshot is the honest equivalent (same
+      // rationale as RENAME's rewrite); history versions keep their own
+      // narrower schema, and every fold path already merges additive
+      // evolution. Defaults/positions would need a metadata layer the
+      // substrate does not have — refused explicitly, not ignored.
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "graft columns are top-level; nested adds are not supported")
+        require(ac.isNullable,
+          "ADD COLUMN must be nullable: existing rows have no value for it")
+        require(ac.defaultValue() == null,
+          "column DEFAULTs need a metadata layer plain parquet lacks; " +
+            "add the column nullable and backfill with UPDATE")
+        require(ac.position() == null,
+          "column position is cosmetic; graft appends new columns")
+        requireEvolvable(t, "ADD COLUMN")
+        val colName = ac.fieldNames()(0)
+        wh.retryingConflicts(maxAttempts = 10) {
+          val expected = wh.currentVersion(t)
+          val cur = wh.read(spark, t, mergeSchema = true)
+          require(!cur.columns.exists(_.equalsIgnoreCase(colName)),
+            s"column '$colName' already exists on '$t'")
+          val widened = cur.withColumn(colName,
+            org.apache.spark.sql.functions.lit(null).cast(ac.dataType()))
+          wh.commit(t, expectCurrent = expected)(p => widened.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+        }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
           "numeric widening is structural (write the widened rows; reads " +
-          "merge int->long/float->double), new columns arrive by writing " +
-          "them (mergeSchema), and key columns are protected by the " +
-          "evolution registry")
+          "merge int->long/float->double), and key columns are protected " +
+          "by the evolution registry")
     }
     loadTable(ident)
   }

@@ -246,9 +246,24 @@ class GraftSqlWriteSpec extends SparkTestBase {
       spark.sql("ALTER TABLE w8.t RENAME COLUMN id TO pk")
     }
     assert(e.getMessage.contains("keyed on it"))
-    // add/retype changes refuse toward the structural paths
+    // ADD COLUMN: one COW rewrite appends a nullable column (round 13);
+    // existing rows read NULL, history keeps its narrower schema, and a
+    // backfill UPDATE composes
+    val beforeAdd = wh.currentVersion("t").get
+    spark.sql("ALTER TABLE w8.t ADD COLUMN extra INT")
+    assert(spark.sql("SELECT * FROM w8.t").schema.fieldNames.toSeq ==
+      Seq("id", "label", "extra"))
+    assert(spark.sql("SELECT extra FROM w8.t WHERE id = 1").head.isNullAt(0))
+    assert(spark.sql(s"SELECT * FROM w8.t VERSION AS OF $beforeAdd")
+      .schema.fieldNames.toSeq == Seq("id", "label"))
+    spark.sql("UPDATE w8.t SET extra = 7 WHERE id = 1")
+    assert(spark.sql("SELECT extra FROM w8.t WHERE id = 1").head.getInt(0) == 7)
+    // non-nullable adds refuse (existing rows have no value); duplicates refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE w8.t ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE w8.t ADD COLUMN bad INT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE w8.t ADD COLUMN extra STRING")
     }
   }
 
