@@ -439,9 +439,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * the new shape immediately. Plain parquet has no Iceberg field IDs —
     * the metadata-only rename is not expressible; the registry + one COW
     * rewrite of the current version is the honest equivalent (history
-    * versions keep their bytes and rejoin through the registry). Other
-    * schema changes (add/retype) refuse toward the structural-widening
-    * path.
+    * versions keep their bytes and rejoin through the registry).
+    * `ADD COLUMN` appends a nullable column by the same one-rewrite
+    * move; retype changes refuse toward the structural-widening path.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = resolved(ident)
