@@ -1065,6 +1065,41 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** The ADD COLUMN lifecycle under the oracle gate (q199): CTAS a
+    * subset of events, `ALTER TABLE ADD COLUMN` (one COW rewrite
+    * appending NULLs), backfill part of it with a file-granular UPDATE,
+    * and aggregate — the oracle models the same column as a CASE
+    * expression over the raw events, so the rewrite, the NULL semantics
+    * of unbackfilled rows, and the UPDATE's COW grouping must all agree
+    * to the hash. History is pinned too: the pre-ALTER snapshot's row
+    * count rides in the output.
+    */
+  def q199AddColumn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ac_q199")
+    val cat = s"gq199_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 4)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+        .filter(pmod(col("event_id"), lit(2)) === 0)
+      wh.overwrite(ev.localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "4")
+      spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN flag INT")
+      spark.sql(s"UPDATE $cat.ev SET flag = 1 WHERE event_type = 'click'")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(flag) AS n_flagged,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF 1) AS n_pre_alter
+           |FROM $cat.ev
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2574,6 +2609,17 @@ object Queries {
         |FROM events WHERE event_id % 3 = 2 GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
 
+    // the ADDed column (COW NULL rewrite + partial UPDATE backfill) must
+    // equal a CASE model over the raw rows; the pre-ALTER snapshot's
+    // count pins the retained history
+    "q199_add_column" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_flagged,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_pre_alter
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3063,6 +3109,7 @@ object Queries {
     "q196_rollback" -> (q196Rollback _),
     "q197_hour_grain" -> (q197HourGrain _),
     "q198_tags" -> (q198Tags _),
+    "q199_add_column" -> (q199AddColumn _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
