@@ -595,11 +595,24 @@ object Maintenance {
     * stages into a hidden `_mig_` sibling (invisible to every scan),
     * then two atomic renames swap it in; the only residual is a
     * sub-millisecond absence window per day dir, the same documented
-    * class as the commit path's one-time legacy migration. A crash
-    * leaves either the intact old day plus a dead `_mig_` stage (healed
-    * by the next run) or a `_trash_` leftover (deleted by the next
-    * run); replayed micro-batches stay idempotent because a replay
-    * after the flip rewrites its own (day, hour, batch) partitions.
+    * class as the commit path's one-time legacy migration. Crash states
+    * and their heals — enumerated by where in the two-rename swap the
+    * crash fell:
+    *
+    *  - before the first rename: intact old day + a dead `_mig_` stage.
+    *    Heal: delete the stage, re-stage below.
+    *  - BETWEEN the renames: the day dir is ABSENT and its only copies
+    *    live in `_trash_<day>` (the intact old-spec dir) and `_mig_<day>`
+    *    (the staged new-spec copy). Heal: ROLL BACK — move the trash
+    *    back into place (one atomic rename; the trash IS the old day,
+    *    provably complete), then delete the stage and re-migrate. An
+    *    unconditional debris delete here destroyed both copies of a
+    *    committed day (advice finding).
+    *  - after the second rename: new-spec day in place + a `_trash_`
+    *    leftover. Heal: delete the trash (the day dir supersedes it).
+    *
+    * Replayed micro-batches stay idempotent because a replay after the
+    * flip rewrites its own (day, hour, batch) partitions.
     * @return number of day dirs migrated
     */
   def migrateTimeGranularity(spark: SparkSession, wh: Warehouse,
@@ -613,8 +626,10 @@ object Maintenance {
     val base = wh.snapshotPath(table)
     val baseP = Paths.get(base)
     if (!Files.isDirectory(baseP)) return 0
-    // heal crashed leftovers first: a dead _mig_ stage re-stages below,
-    // a _trash_ leftover is an already-swapped old day
+    // heal crashed leftovers first — see the crash-state enumeration in
+    // the docstring. Order matters: a _trash_ whose day dir is ABSENT is
+    // the between-renames state where trash+stage hold the ONLY copies
+    // of that day; the trash rolls BACK into place before any delete.
     locally {
       val s = Files.list(baseP)
       val debris =
@@ -623,7 +638,16 @@ object Maintenance {
           n.startsWith("_mig_") || n.startsWith("_trash_")
         }.toList
         finally s.close()
-      debris.foreach(graft.sources.Tables.deleteRecursively)
+      debris.filter(_.getFileName.toString.startsWith("_trash_")).foreach { tr =>
+        val day = tr.resolveSibling(
+          tr.getFileName.toString.stripPrefix("_trash_"))
+        if (!Files.exists(day, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.move(tr, day, StandardCopyOption.ATOMIC_MOVE)
+      }
+      // what remains is safe to drop: dead _mig_ stages (their day dir
+      // survived or was just rolled back) and superseded _trash_ dirs
+      debris.filter(Files.exists(_, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        .foreach(graft.sources.Tables.deleteRecursively)
     }
     val (dayEra, _) = wh.classifyDayDirs(base)
     dayEra.foreach { dayDir =>

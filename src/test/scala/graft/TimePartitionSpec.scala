@@ -351,4 +351,54 @@ class TimePartitionSpec extends SparkTestBase {
     assert(wh.readTimePruned(spark, spec.changelogTable,
       fromTs = Some(ts("2024-01-03 00:00:00"))).count() == 1)
   }
+
+  test("migration heal: a crash BETWEEN the swap renames rolls the day back, loses nothing") {
+    import java.nio.file.StandardCopyOption
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-heal"))
+    wh.declareTimePartition("log", "ts")
+    val rows = Seq(
+      (1L, ts("2024-01-01 05:10:00")),
+      (2L, ts("2024-01-01 18:10:00")))
+    wh.appendBatch(rows.toDF("id", "ts"), "log", 0L)
+    wh.evolveTimeGranularity("log")
+    // simulate the exact between-renames crash state: the day dir moved
+    // to _trash_, a complete _mig_ stage exists, the second rename never
+    // ran — the ONLY copies of day 2024-01-01 are the trash and the stage
+    val base = Paths.get(wh.tablePath("log"))
+    val day = base.resolve("p_day=2024-01-01")
+    val mig = base.resolve("_mig_p_day=2024-01-01")
+    val trash = base.resolve("_trash_p_day=2024-01-01")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      val s = Files.list(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach { p =>
+          if (Files.isDirectory(p)) copyTree(p, dst.resolve(p.getFileName.toString))
+          else Files.copy(p, dst.resolve(p.getFileName.toString))
+        }
+      } finally s.close()
+    }
+    copyTree(day, mig) // stands in for a (complete) staged new-spec copy
+    Files.move(day, trash, StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(day))
+    // the next migration run must heal by ROLLING BACK the trash, then
+    // re-migrate that day — not delete the only surviving copies
+    val migrated = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(migrated == 1, s"the rolled-back day must re-migrate, got $migrated")
+    assert(!Files.exists(mig) && !Files.exists(trash), "debris cleared")
+    assert(Files.isDirectory(day.resolve(
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 05:00:00"))}")),
+      "the healed day is hour-grain")
+    assert(wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L), "no row lost across the heal")
+    // the other crash states keep their heals: dead _mig_ with an intact
+    // day deletes; superseded _trash_ with an intact day deletes
+    copyTree(day, mig)
+    copyTree(day, trash)
+    assert(Maintenance.migrateTimeGranularity(spark, wh, "log") == 0)
+    assert(!Files.exists(mig) && !Files.exists(trash))
+    assert(wh.read(spark, "log").count() == 2)
+  }
 }
