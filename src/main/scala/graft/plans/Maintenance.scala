@@ -519,28 +519,12 @@ object Maintenance {
     * first — a copy-from-path inside the commit callback was a silent
     * no-op for exactly that first-compaction case (advice finding).
     */
-  private def readRootMarkers(from: String): Seq[(String, Array[Byte])] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val src = Paths.get(from)
-    if (!Files.isDirectory(src)) return Seq.empty
-    val s = Files.list(src)
-    try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(_.getFileName.toString.startsWith("_"))
-      .filterNot(p => Set("_SUCCESS", graft.sources.Tables.PublishedMarker)
-        .contains(p.getFileName.toString))
-      .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
-      .toSeq
-    finally s.close()
-  }
+  private def readRootMarkers(from: String): Seq[(String, Array[Byte])] =
+    graft.sources.Tables.readRootMarkers(from) // shared: every rewriter carries
 
   /** Carry captured markers into a staged rewrite (see [[readRootMarkers]]). */
   private def writeRootMarkers(markers: Seq[(String, Array[Byte])],
-      to: String): Unit =
-    markers.foreach { case (name, bytes) =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(to).resolve(name), bytes)
-    }
+      to: String): Unit = graft.sources.Tables.writeRootMarkers(markers, to)
 
   /** In-place small-file merge of a hidden-time-partitioned append table:
     * every (p_day, p_batch) partition coalesces to one file via a hash

@@ -95,6 +95,11 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
           Tables.io.linkOrCopy(java.nio.file.Paths.get(base, rel),
             stage.resolve(rel))
         }
+        // root markers carry UNCONDITIONALLY (not just excluded files):
+        // they hold cross-commit contracts — a streaming epoch marker
+        // dropped by a MERGE landing inside the epoch's replay window
+        // lets the replayed epoch double-append (advice finding)
+        Tables.writeRootMarkers(Tables.readRootMarkers(base), stage.toString)
       }
       // a version dir with ZERO parquet files is unreadable (no footer to
       // infer from); a rewrite whose plan collapsed to zero tasks (or

@@ -493,13 +493,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val colName = ac.fieldNames()(0)
         wh.retryingConflicts(maxAttempts = 10) {
           val expected = wh.currentVersion(t)
+          // root markers (streaming epoch positions, cursors) must ride
+          // every snapshot rewrite — captured before commit (legacy
+          // migration moves the dir aside inside it)
+          val markers = Tables.readRootMarkers(wh.snapshotPath(t))
           val cur = wh.read(spark, t, mergeSchema = true)
           require(!cur.columns.exists(_.equalsIgnoreCase(colName)),
             s"column '$colName' already exists on '$t'")
           val widened = cur.withColumn(colName,
             org.apache.spark.sql.functions.lit(null).cast(ac.dataType()))
-          wh.commit(t, expectCurrent = expected)(p => widened.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+          wh.commit(t, expectCurrent = expected) { p =>
+            widened.write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+            Tables.writeRootMarkers(markers, p)
+          }
         }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
@@ -526,10 +533,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def rewriteNormalized(t: String): Unit =
     wh.retryingConflicts(maxAttempts = 10) {
       val expected = wh.currentVersion(t)
+      val markers = Tables.readRootMarkers(wh.snapshotPath(t))
       val normalized = SchemaEvolution.normalize(
         wh.read(spark, t, mergeSchema = true), wh, t)
-      wh.commit(t, expectCurrent = expected)(p =>
-        normalized.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+      wh.commit(t, expectCurrent = expected) { p =>
+        normalized.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+        Tables.writeRootMarkers(markers, p)
+      }
     }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -629,8 +640,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               wh.read(spark, target, mergeSchema = true), changes, cfg)
           else graft.operators.Cdc.fold(changes, cfg)
         val pinned = stored.localCheckpoint(true)
-        wh.commit(target, expectCurrent = expected)(p => pinned.write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+        val markers = Tables.readRootMarkers(wh.snapshotPath(target))
+        wh.commit(target, expectCurrent = expected) { p =>
+          pinned.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+          Tables.writeRootMarkers(markers, p)
+        }
         Seq(row(target, pinned.count()))
       }
     },
@@ -1110,11 +1125,13 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // let the CAS pass while the survivors were read from the OLD
       // snapshot, silently discarding the rival's rows (lost update)
       val expected = wh.currentVersion(tableName)
+      val markers = Tables.readRootMarkers(wh.snapshotPath(tableName))
       val survivors = wh.read(spark, tableName, mergeSchema = true)
         .filter(not(coalesce(pred, lit(false))))
-      wh.commit(tableName, expectCurrent = expected) {
-        staged => survivors.write
+      wh.commit(tableName, expectCurrent = expected) { staged =>
+        survivors.write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+        Tables.writeRootMarkers(markers, staged)
       }
     }
   }

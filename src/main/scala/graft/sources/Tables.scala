@@ -598,8 +598,16 @@ object Tables {
     }
 
     /** Overwrite via an atomic versioned commit (see [[commit]]). */
-    def overwrite(df: DataFrame, name: String): Unit =
-      commit(name)(path => df.write.mode(SaveMode.Overwrite).parquet(path))
+    def overwrite(df: DataFrame, name: String): Unit = {
+      // root markers ride every snapshot rewrite (stream replay
+      // positions, cursors) — overwrite replaces DATA, not the table's
+      // cross-commit contracts
+      val markers = Tables.readRootMarkers(snapshotPath(name))
+      commit(name) { path =>
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+        Tables.writeRootMarkers(markers, path)
+      }
+    }
     def append(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
 
@@ -1225,6 +1233,41 @@ object Tables {
     * parquet scans.
     */
   private[graft] val PublishedMarker = "_published"
+
+  /** Root-level `_`-prefixed marker FILES (not dirs) of a snapshot,
+    * excluding the write/commit machinery's own, read INTO MEMORY (they
+    * are cursor-sized). These hold CROSS-COMMIT contracts — streaming
+    * epoch positions (`_stream_epoch_*`), IVM batch ids, feed cursors —
+    * so every committer that REWRITES the snapshot must carry them
+    * forward: a SQL UPDATE/DELETE/MERGE/ALTER landing between a
+    * streaming epoch's commit and its checkpoint write would otherwise
+    * drop the epoch marker, and the crashed stream's replayed epoch
+    * would double-append (advice finding). Capture BEFORE `commit` when
+    * the table may be legacy (the commit migrates the real dir aside).
+    */
+  private[graft] def readRootMarkers(from: String): Seq[(String, Array[Byte])] = {
+    val src = Paths.get(from)
+    if (!Files.isDirectory(src)) return Seq.empty
+    val s = Files.list(src)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(_.getFileName.toString.startsWith("_"))
+      .filterNot(p => Set("_SUCCESS", PublishedMarker)
+        .contains(p.getFileName.toString))
+      .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
+      .toSeq
+    finally s.close()
+  }
+
+  /** Carry captured markers into a staged rewrite (see
+    * [[readRootMarkers]]). Write AFTER the stage's parquet write — an
+    * Overwrite-mode write recreates the directory.
+    */
+  private[graft] def writeRootMarkers(markers: Seq[(String, Array[Byte])],
+      to: String): Unit =
+    markers.foreach { case (name, bytes) =>
+      Files.write(Paths.get(to).resolve(name), bytes)
+    }
 
   /** Hidden time partitioning (the Iceberg `days(ts)` partition transform
     * expressed on plain parquet): the table prop naming the timestamp

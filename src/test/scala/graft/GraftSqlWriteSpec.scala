@@ -327,4 +327,49 @@ class GraftSqlWriteSpec extends SparkTestBase {
       .map(_.getLong(0)).toSeq
     assert(got == (0L until 8L), s"lost update: $got")
   }
+
+  test("every snapshot rewrite carries root markers (stream replay protection survives UPDATE/MERGE/DELETE/ALTER/OVERWRITE/merge_changes)") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("sqlw-markers")
+    val wh = Warehouse(root, retain = 8)
+    register("wmk", root)
+    spark.sql("CREATE TABLE wmk.t (id BIGINT, ts STRING, v STRING)")
+    spark.sql("INSERT INTO wmk.t VALUES (1, '2024-01-01', 'a'), (2, '2024-01-01', 'b')")
+    // a registered stream's replay position, exactly as GraftStreamingWrite
+    // stamps it — plus a second cross-commit marker
+    val marker = "_stream_epoch_q-test"
+    Files.writeString(Paths.get(wh.snapshotPath("t"), marker), "7")
+    Files.writeString(Paths.get(wh.snapshotPath("t"), "_custom_cursor"), "c1")
+    def markerValue: Option[String] = {
+      val p = Paths.get(wh.snapshotPath("t"), marker)
+      if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    }
+    // group-based COW (MERGE/UPDATE ride GraftCowBatchWrite)
+    spark.sql("UPDATE wmk.t SET v = 'a2' WHERE id = 1")
+    assert(markerValue.contains("7"), "UPDATE dropped the epoch marker")
+    Seq((2L, "2024-01-02", "b2")).toDF("id", "ts", "v")
+      .createOrReplaceTempView("mchg")
+    spark.sql("MERGE INTO wmk.t USING mchg ON wmk.t.id = mchg.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(markerValue.contains("7"), "MERGE dropped the epoch marker")
+    // deleteWhere rewrite
+    spark.sql("DELETE FROM wmk.t WHERE id = 2")
+    assert(markerValue.contains("7"), "DELETE dropped the epoch marker")
+    // ALTER rewrites (ADD COLUMN + RENAME's normalize rewrite)
+    spark.sql("ALTER TABLE wmk.t ADD COLUMN extra STRING")
+    assert(markerValue.contains("7"), "ADD COLUMN dropped the epoch marker")
+    spark.sql("ALTER TABLE wmk.t RENAME COLUMN extra TO extra2")
+    assert(markerValue.contains("7"), "RENAME rewrite dropped the epoch marker")
+    // INSERT OVERWRITE replaces data, not cross-commit contracts
+    spark.sql("INSERT OVERWRITE wmk.t VALUES (9, '2024-01-09', 'z', 'e')")
+    assert(markerValue.contains("7"), "OVERWRITE dropped the epoch marker")
+    // merge_changes fold
+    Seq((9L, "2024-01-10", "z2", "e2", "U")).toDF("id", "ts", "v", "extra2", "op")
+      .write.parquet(s"$root/chg_src")
+    spark.sql("CALL wmk.system.merge_changes('chg_src', 't', 'id', 'ts')")
+    assert(markerValue.contains("7"), "merge_changes dropped the epoch marker")
+    assert(Files.exists(Paths.get(wh.snapshotPath("t"), "_custom_cursor")),
+      "second marker must ride along")
+    assert(spark.sql("SELECT v FROM wmk.t WHERE id = 9").head.getString(0) == "z2")
+  }
 }
