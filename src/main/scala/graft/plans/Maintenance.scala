@@ -655,9 +655,12 @@ object Maintenance {
       // dir's spec flip atomic (sub-ms absence window, the same
       // documented class as the commit path's legacy migration)
       val stage = dayDir.resolveSibling(s"_mig_${dayDir.getFileName}")
-      spark.read.option("basePath", base).option("mergeSchema", "true")
+      val dayDf = spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
         .parquet(oldBatches.map(_.toString): _*)
-        .withColumn(PartHourCol, graft.sources.Tables.hourOfTimeCol(col(tc)))
+      dayDf
+        .withColumn(PartHourCol, graft.sources.Tables.hourOfTimeCol(col(tc),
+          dayDf.schema(dayDf.schema.fieldIndex(tc)).dataType))
         .drop(PartDayCol) // the dir name IS the day; never in the files
         .repartition(col(PartHourCol), col(PartBatchCol))
         .write.mode(SaveMode.Overwrite)

@@ -633,15 +633,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // old overwrite path was last-wins; advice finding)
       wh.retryingConflicts(maxAttempts = 10) {
         val expected = wh.currentVersion(target)
+        // expected=None performs no compare — a FIRST merge must demand
+        // the target still absent at publish, or two concurrent first
+        // merges are last-wins (advice finding)
+        val targetExists = wh.exists(target)
         val changes = wh.read(spark, source, mergeSchema = true)
         val stored =
-          if (wh.exists(target))
+          if (targetExists)
             graft.operators.Cdc.applyBatch(
               wh.read(spark, target, mergeSchema = true), changes, cfg)
           else graft.operators.Cdc.fold(changes, cfg)
         val pinned = stored.localCheckpoint(true)
         val markers = Tables.readRootMarkers(wh.snapshotPath(target))
-        wh.commit(target, expectCurrent = expected) { p =>
+        wh.commit(target, expectCurrent = expected,
+          expectAbsent = expected.isEmpty && !targetExists) { p =>
           pinned.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
           Tables.writeRootMarkers(markers, p)

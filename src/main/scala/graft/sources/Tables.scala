@@ -219,7 +219,8 @@ object Tables {
       * this engine does. A `write` that throws has its stage deleted
       * immediately (no orphan).
       */
-    def commit(name: String, expectCurrent: Option[Long] = None)
+    def commit(name: String, expectCurrent: Option[Long] = None,
+        expectAbsent: Boolean = false)
         (write: String => Unit): Unit = {
       require(!name.contains("/"),
         s"commit is table-level; '$name' looks like a subdirectory")
@@ -228,7 +229,7 @@ object Tables {
       val versionDir = allocateStage(name)
       try write(versionDir.toString)
       catch { case t: Throwable => discardStage(versionDir); throw t }
-      publishStage(name, versionDir, expectCurrent, legacyMoved)
+      publishStage(name, versionDir, expectCurrent, legacyMoved, expectAbsent)
     }
 
     /** Legacy real-dir layout: move it aside FIRST (becomes a retained
@@ -313,7 +314,8 @@ object Tables {
       * tabular.py:69-70); the lock file is the offline stand-in.
       */
     private[sources] def publishStage(name: String, versionDir: Path,
-        expectCurrent: Option[Long], legacyMoved: Boolean): Unit = {
+        expectCurrent: Option[Long], legacyMoved: Boolean,
+        expectAbsent: Boolean = false): Unit = {
       val table = Paths.get(tablePath(name))
       val next = {
         val m = versionPattern(name).matcher(versionDir.getFileName.toString)
@@ -333,6 +335,20 @@ object Tables {
             discardStage(versionDir)
             throw new java.util.ConcurrentModificationException(
               s"$name moved from v$e to ${cur.fold("none")(v => s"v$v")} during rewrite")
+          }
+        }
+        // expectCurrent=None means "no compare" — a committer whose read
+        // observed NO table must instead demand it STILL does not exist,
+        // or two concurrent first-writers are last-wins (advice finding:
+        // merge_changes' first fold). Checked under the same lock, so
+        // this is a real CAS arm, not a check-then-act.
+        if (expectAbsent) {
+          val cur = currentVersion(name)
+          if (cur.isDefined) {
+            discardStage(versionDir)
+            throw new java.util.ConcurrentModificationException(
+              s"$name was created (v${cur.get}) by a rival during a " +
+                "create-expecting commit")
           }
         }
         // capture the pre-swap current target: if it is unmarked (a crash
@@ -907,6 +923,20 @@ object Tables {
             s"'$grain' granularity requires the UTC derivation zone " +
               "(declareTimePartition since the zone prop); legacy " +
               "session-zone layouts are day-grain only")
+          // derivations are TYPE-aware so every supported time-column
+          // type is zone-free on the write side (the read side's literal
+          // conversions assume exactly these rules — advice finding)
+          val tcType = df.schema(df.schema.fieldIndex(tc)).dataType
+          if (zone.contains("UTC")) tcType match {
+            case org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"time partition column '$tc' of '$name' has type $other; " +
+                "supported: TIMESTAMP, DATE, TIMESTAMP_NTZ, STRING " +
+                "(zone-free day derivation is undefined otherwise)")
+          }
           // layout per grain (all derivations UTC-exact for zone tables):
           //  day:   p_day=<date>/p_batch
           //  hour:  p_day=<date>/p_hour=<hours-since-epoch>/p_batch —
@@ -922,11 +952,11 @@ object Tables {
           }
           var out = df
           if (partCols.contains(PartDayCol))
-            out = out.withColumn(PartDayCol, dayOfTimeCol(c, zone))
+            out = out.withColumn(PartDayCol, dayOfTimeCol(c, tcType, zone))
           if (partCols.contains(PartHourCol))
-            out = out.withColumn(PartHourCol, hourOfTimeCol(c))
+            out = out.withColumn(PartHourCol, hourOfTimeCol(c, tcType))
           if (partCols.contains(PartMonthCol))
-            out = out.withColumn(PartMonthCol, monthOfTimeCol(c, zone))
+            out = out.withColumn(PartMonthCol, monthOfTimeCol(c, tcType, zone))
           out.withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
             .write.mode(SaveMode.Overwrite)
@@ -1117,7 +1147,11 @@ object Tables {
               .flatMap(childDirs(_, s"$PartHourCol="))
             (scan(hourLeafs, withHour = true),
               scan(dayLeafs, withHour = false)) match {
-              case (Some(h), Some(d)) => h.unionByName(d)
+              // allowMissingColumns: additive schema evolution present in
+              // only ONE era (mergeSchema is per-era) must union as NULLs,
+              // not throw (advice finding)
+              case (Some(h), Some(d)) =>
+                h.unionByName(d, allowMissingColumns = true)
               case (Some(h), None) => h
               case (None, Some(d)) => d
               case (None, None) => // nothing in range: schema-stable empty
@@ -1280,24 +1314,51 @@ object Tables {
     */
   val TimePartitionZoneProp = "partition.time-zone"
 
-  /** `p_day` derivation for one timestamp column: exact UTC epoch-day
-    * arithmetic when the table declares the UTC zone (zone-independent —
-    * `unix_micros` reads the stored instant directly, floor-division by
-    * a day of micros never consults any session zone), or the legacy
-    * session-zone `to_date` for pre-zone-prop tables. Integer-exact:
-    * the pmod subtraction makes the division exact for all instants,
-    * including pre-1970.
+  /** `p_day` derivation for one time column, TYPE-AWARE and zone-free
+    * for every supported type when the table declares the UTC zone
+    * (the legacy session-zone `to_date` serves pre-zone-prop tables):
+    *
+    *  - TIMESTAMP: exact UTC epoch-day arithmetic — `unix_micros` reads
+    *    the stored instant directly; floor-division by a day of micros
+    *    never consults any session zone. Integer-exact: the pmod
+    *    subtraction makes the division exact for all instants,
+    *    including pre-1970.
+    *  - DATE: the value IS the day — identity, no cast. (The old
+    *    `cast("timestamp")` route converted local midnight through the
+    *    SESSION zone, so an eastern-zone writer landed the previous UTC
+    *    day while the read side assumed UTC — silent mis-pruning;
+    *    advice finding.)
+    *  - TIMESTAMP_NTZ: the LOCAL date of the local datetime (Spark's
+    *    NTZ→DATE cast is zone-free by definition) — exactly what
+    *    [[HiddenDayBounds.derive]] computes for an NTZ literal.
+    *  - STRING: parsed as a LOCAL datetime (`to_timestamp_ntz` — no
+    *    session zone; a zone suffix in the text is NOT honored), then
+    *    the NTZ rule. Unparseable values derive NULL and land in the
+    *    default partition, same as before.
+    *
+    * Anything else refuses loudly at [[Warehouse.appendBatch]].
     */
   private[graft] def dayOfTimeCol(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
       zone: Option[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     zone match {
       case Some(z) =>
         require(z == "UTC",
           s"only UTC day derivation is supported (Iceberg's days()); got $z")
-        val us = unix_micros(c.cast("timestamp"))
-        val day = lit(86400000000L)
-        date_from_unix_date(((us - pmod(us, day)) / day).cast("int"))
+        dt match {
+          case TimestampType =>
+            val us = unix_micros(c)
+            val day = lit(86400000000L)
+            date_from_unix_date(((us - pmod(us, day)) / day).cast("int"))
+          case DateType => c
+          case TimestampNTZType => c.cast(DateType)
+          case StringType => to_timestamp_ntz(c).cast(DateType)
+          case other => throw new IllegalArgumentException(
+            s"time partitioning supports TIMESTAMP/DATE/TIMESTAMP_NTZ/" +
+              s"STRING time columns; got $other")
+        }
       case None => to_date(c)
     }
   }
@@ -1326,23 +1387,43 @@ object Tables {
   val TagPropPrefix = "tag."
   private[sources] val TimeGranularities = Set("day", "hour", "month")
 
-  /** `p_hour` derivation: exact UTC floor-division of the instant's
-    * micros — hours since epoch, zone-free by construction.
+  /** `p_hour` derivation: hours since epoch, zone-free per type —
+    * exact UTC floor-division of the instant's micros for TIMESTAMP;
+    * `local_epoch_day * 24 + local_hour` for NTZ/STRING (equal to the
+    * floor-division of the LOCAL micros, matching
+    * [[HiddenDayBounds.deriveIndexed]]'s literal rule); `day * 24` for
+    * DATE (local midnight).
     */
-  private[graft] def hourOfTimeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def hourOfTimeCol(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val us = unix_micros(c.cast("timestamp"))
-    val hour = lit(3600000000L)
-    ((us - pmod(us, hour)) / hour).cast("long")
+    import org.apache.spark.sql.types._
+    val epoch = lit("1970-01-01").cast(DateType)
+    def localIdx(ntz: org.apache.spark.sql.Column) =
+      datediff(ntz.cast(DateType), epoch).cast("long") * 24 + hour(ntz)
+    dt match {
+      case TimestampType =>
+        val us = unix_micros(c)
+        val hr = lit(3600000000L)
+        ((us - pmod(us, hr)) / hr).cast("long")
+      case DateType => datediff(c, epoch).cast("long") * 24
+      case TimestampNTZType => localIdx(c)
+      case StringType => localIdx(to_timestamp_ntz(c))
+      case other => throw new IllegalArgumentException(
+        s"time partitioning supports TIMESTAMP/DATE/TIMESTAMP_NTZ/" +
+          s"STRING time columns; got $other")
+    }
   }
 
   /** `p_month` derivation: calendar months since epoch of the UTC day
     * (`months_between` on DATEs is zone-free and calendar-exact).
     */
   private[graft] def monthOfTimeCol(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
       zone: Option[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    floor(months_between(dayOfTimeCol(c, zone), lit("1970-01-01"))).cast("int")
+    floor(months_between(dayOfTimeCol(c, dt, zone), lit("1970-01-01")))
+      .cast("int")
   }
 
   /** Scala-side hour index of an instant (read-bound derivation). */

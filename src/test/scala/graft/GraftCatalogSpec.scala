@@ -335,4 +335,27 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("CALL g4.system.expire_consumed_hops('feed', 0)")
       .count() == 0)
   }
+
+  test("two concurrent FIRST merge_changes on one absent target both land (expect-absent CAS, not last-wins)") {
+    import spark.implicits._
+    val root = tmpDir("cat-firstmerge")
+    register("g9", root)
+    Seq((1L, "2024-01-01", "a", "I"), (2L, "2024-01-01", "b", "I"))
+      .toDF("id", "ts", "v", "op").write.parquet(s"$root/src_a")
+    Seq((11L, "2024-01-01", "x", "I"), (12L, "2024-01-01", "y", "I"))
+      .toDF("id", "ts", "v", "op").write.parquet(s"$root/src_b")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("src_a", "src_b").map { s =>
+      new Thread(() => {
+        try spark.sql(s"CALL g9.system.merge_changes('$s', 'm', 'id', 'ts')")
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"merge must retry conflicts internally: ${errs}")
+    val ids = spark.sql("SELECT id FROM g9.m").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L, 12L),
+      s"a first merge was lost (last-wins): $ids")
+  }
 }

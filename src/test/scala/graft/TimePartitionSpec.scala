@@ -352,6 +352,80 @@ class TimePartitionSpec extends SparkTestBase {
       fromTs = Some(ts("2024-01-03 00:00:00"))).count() == 1)
   }
 
+  test("zone-free derivation: DATE/NTZ/STRING time columns land their LOCAL day under any session zone") {
+    import spark.implicits._
+    // +14: the zone where the old cast("timestamp") route shifted local
+    // midnight to the PREVIOUS UTC day — the read side assumes UTC, so
+    // the derived day conjunct pruned a dir holding matching rows
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try {
+      // DATE column: p_day IS the date, identity
+      val whD = Warehouse(tmpDir("tp-zf-date"))
+      whD.declareTimePartition("log", "d")
+      whD.appendBatch(Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+        .toDF("id", "d"), "log", 0L)
+      assert(Files.isDirectory(Paths.get(whD.tablePath("log"),
+        "p_day=2024-01-01")), "DATE must derive its own day, not the " +
+        "session-shifted instant's")
+      // STRING column at hour grain: local datetime, zone suffix ignored
+      val whS = Warehouse(tmpDir("tp-zf-str"))
+      whS.declareTimePartition("log", "ts", granularity = "hour")
+      whS.appendBatch(Seq((1L, "2024-01-01 05:00:00")).toDF("id", "ts"),
+        "log", 0L)
+      val idx = Tables.hourIndexOf(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T05:00:00Z")))
+      assert(Files.isDirectory(Paths.get(whS.tablePath("log"),
+        "p_day=2024-01-01", s"p_hour=$idx")),
+        "STRING must derive the LOCAL day/hour (treated as UTC wall clock)")
+      // NTZ column: the local date of the local datetime
+      val whN = Warehouse(tmpDir("tp-zf-ntz"))
+      whN.declareTimePartition("log", "ts")
+      whN.appendBatch(
+        Seq(1L).toDF("id").withColumn("ts",
+          to_timestamp_ntz(lit("2024-01-01 05:00:00"))), "log", 0L)
+      assert(Files.isDirectory(Paths.get(whN.tablePath("log"),
+        "p_day=2024-01-01")))
+      // and the SQL face's derived-day pruning agrees with the layout —
+      // an NTZ literal bound resolves to the same local day
+      val cat = "tpzf"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        Paths.get(whN.tablePath("log")).getParent.toString)
+      assert(spark.sql(s"SELECT id FROM $cat.log WHERE ts >= " +
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00'").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+      // unsupported time-column types refuse loudly
+      val whB = Warehouse(tmpDir("tp-zf-bad"))
+      whB.declareTimePartition("log", "t")
+      val e = intercept[IllegalArgumentException] {
+        whB.appendBatch(Seq((1L, 42L)).toDF("id", "t"), "log", 0L)
+      }
+      assert(e.getMessage.contains("zone-free day derivation"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
+  test("mid-evolution mixed-tree read unions additive evolution across eras as NULLs") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-mix-evo"))
+    wh.declareTimePartition("log", "ts")
+    wh.appendBatch(Seq((1L, ts("2024-01-01 05:00:00")))
+      .toDF("id", "ts"), "log", 0L)
+    wh.evolveTimeGranularity("log")
+    // the hour-era batch carries an ADDITIVE column the day era lacks
+    wh.appendBatch(Seq((2L, ts("2024-01-02 06:00:00"), "x"))
+      .toDF("id", "ts", "extra"), "log", 1L)
+    val got = wh.readTimePruned(spark, "log",
+      fromTs = Some(ts("2024-01-01 00:00:00")),
+      toTs = Some(ts("2024-01-02 23:59:59")))
+    assert(got.columns.contains("extra"))
+    val rows = got.select("id", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, None), (2L, Some("x"))),
+      s"day-era rows must serve the evolved column as NULL: ${rows}")
+  }
+
   test("migration heal: a crash BETWEEN the swap renames rolls the day back, loses nothing") {
     import java.nio.file.StandardCopyOption
     import spark.implicits._

@@ -102,6 +102,28 @@ class WarehouseSpec extends SparkTestBase {
     assert(emails(1L).isEmpty && emails(2L).contains("b@x.com"))
   }
 
+  test("expectAbsent commit arm: a rival creating the table mid-commit is a conflict, not last-wins") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("wh-absent"))
+    // the committer observed NO table; a rival lands first
+    wh.overwrite(Seq((1L, "rival")).toDF("id", "s").localCheckpoint(true), "t")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      wh.commit("t", expectCurrent = None, expectAbsent = true) { p =>
+        Seq((2L, "loser")).toDF("id", "s").write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      }
+    }
+    assert(e.getMessage.contains("created"))
+    // the rival's rows survive untouched
+    assert(wh.read(spark, "t").select("s").head.getString(0) == "rival")
+    // and with the table genuinely absent the arm publishes normally
+    wh.commit("u", expectCurrent = None, expectAbsent = true) { p =>
+      Seq((3L, "first")).toDF("id", "s").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+    assert(wh.read(spark, "u").count() == 1)
+  }
+
   test("commit rejects subdirectory paths; appendBatch stays in place") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("wh-batch"))
