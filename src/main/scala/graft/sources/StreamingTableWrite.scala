@@ -156,7 +156,11 @@ private[sources] object GraftStreamingWrite {
   * partitioned — one extra read+write of the EPOCH's bytes, the price
   * of the partitioned layout, O(epoch) like everything else here.
   * Single-stream-per-table, the same contract as the ingest pipeline's
-  * changelog: two lineages would collide on batch ids.
+  * changelog: two lineages would collide on batch ids — ENFORCED, not
+  * just documented: the first commit stamps the query's persistent id
+  * into [[Tables.StreamWriterProp]] under the commit lock, and a commit
+  * from any other lineage refuses loudly, naming the prop to clear for
+  * an explicit handover (the registered stream itself is unaffected).
   */
 private[sources] class GraftAppendBatchStreamingWrite(wh: Warehouse,
     table: String, timeCol: String, schema: StructType, queryId: String)
@@ -184,6 +188,7 @@ private[sources] class GraftAppendBatchStreamingWrite(wh: Warehouse,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    claimWriterSlot()
     val committed = messages.collect { case CowFileCommit(f) => f }
     val epoch = epochDir(epochId)
     if (committed.nonEmpty) {
@@ -192,6 +197,29 @@ private[sources] class GraftAppendBatchStreamingWrite(wh: Warehouse,
       wh.appendBatch(df, table, epochId)
     }
     Tables.deleteRecursively(epoch)
+  }
+
+  /** Stamp this lineage's persistent queryId as the table's ONE
+    * streaming writer (first commit wins, under the commit lock so two
+    * racing first commits serialize); any other lineage refuses loudly.
+    * Idempotent and cheap (one sidecar read per epoch).
+    */
+  private def claimWriterSlot(): Unit = wh.withCommitLock(table) {
+    import graft.sources.Tables.{StreamWriterProp, TableProps}
+    val props = TableProps.read(wh, table)
+    props.get(StreamWriterProp) match {
+      case Some(owner) if owner != queryId =>
+        throw new IllegalStateException(
+          s"table '$table' already has a registered streaming writer " +
+            s"(query $owner); epochs land as p_batch=<epoch> partitions " +
+            "with no lineage identity, so a second stream would silently " +
+            "overwrite the registered stream's epochs. To hand over, stop " +
+            s"the registered stream and clear the '$StreamWriterProp' " +
+            "table property (ALTER TABLE ... UNSET TBLPROPERTIES)")
+      case Some(_) => ()
+      case None =>
+        TableProps.write(wh, table, props + (StreamWriterProp -> queryId))
+    }
   }
 
   override def abort(epochId: Long,

@@ -448,7 +448,7 @@ object Tables {
       * protect), so a breaker can at worst race a STALLED-not-crashed
       * holder, which then fails its own delete harmlessly (deleteIfExists).
       */
-    private def withCommitLock[T](name: String)(body: => T): T = {
+    private[sources] def withCommitLock[T](name: String)(body: => T): T = {
       val lock = Paths.get(s"${tablePath(name)}.commitlock")
       val deadline = System.nanoTime() + CommitLockTimeoutMs * 1000000L
       // ownership token: release must delete only ITS OWN lock — a
@@ -1381,6 +1381,15 @@ object Tables {
   val PartMonthCol = "p_month"
   /** Declared time granularity (`day` default / `hour` / `month`). */
   val TimeGranularityProp = "partition.time-granularity"
+  /** The persistent queryId of THE registered streaming writer of a
+    * time-partitioned table ([[GraftAppendBatchStreamingWrite]] stamps
+    * it at its first commit). Epochs land as `p_batch=<epoch>` dirs with
+    * no writer identity in the path, so two lineages would silently
+    * dynamic-overwrite each other's epochs — the prop turns that silent
+    * loss into a loud refusal. Hand over by clearing the prop
+    * (`ALTER TABLE t UNSET TBLPROPERTIES ('stream.writer.query-id')`).
+    */
+  val StreamWriterProp = "stream.writer.query-id"
   /** Tag props: `tag.<name> = <version>` — named, GC-pinned snapshot
     * refs ([[Warehouse.createTag]]).
     */

@@ -235,6 +235,56 @@ class CatalogStreamingSpec extends SparkTestBase {
       "streamed time-partitioned data must prune from ts-only SQL filters")
   }
 
+  test("single-stream contract ENFORCED on time-partitioned streaming writes: second lineage refuses naming the prop; handover via UNSET") {
+    val root = tmpDir("cstr-single")
+    val wh = Warehouse(root)
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val src = tmpDir("cstr-single-src")
+    val ckptA = tmpDir("cstr-single-ckptA")
+    Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts")
+      .write.mode("append").parquet(src)
+    def run(ckpt: String, from: String = src): Unit = {
+      val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(from)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.ev")
+      drain(q); q.stop()
+    }
+    run(ckptA)
+    val owner = graft.sources.Tables.TableProps.read(wh, "ev")
+      .get(graft.sources.Tables.StreamWriterProp)
+    assert(owner.isDefined, "first commit must register the writer lineage")
+    // a SECOND lineage (fresh checkpoint = fresh persistent queryId) must
+    // refuse loudly — its epoch ids would dynamic-overwrite A's epochs
+    Seq((2L, ts("2024-01-02 10:00:00"))).toDF("id", "ts")
+      .write.mode("append").parquet(src)
+    val e = intercept[Exception] { run(tmpDir("cstr-single-ckptB")) }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains(graft.sources.Tables.StreamWriterProp),
+      s"the refusal must name the prop to clear: $msg")
+    // the REGISTERED stream is unaffected (same checkpoint, same queryId)
+    run(ckptA)
+    assert(spark.sql(s"SELECT id FROM $cat.ev ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // explicit handover: clear the prop, a new lineage may take over
+    // (fed from its own source position — a fresh checkpoint re-reads
+    // everything, which is the handover procedure's documented caveat)
+    spark.sql(s"ALTER TABLE $cat.ev UNSET TBLPROPERTIES " +
+      s"('${graft.sources.Tables.StreamWriterProp}')")
+    val srcC = tmpDir("cstr-single-srcC")
+    Seq((3L, ts("2024-01-03 10:00:00"))).toDF("id", "ts")
+      .write.mode("append").parquet(srcC)
+    run(tmpDir("cstr-single-ckptC"), from = srcC)
+    assert(spark.sql(s"SELECT id FROM $cat.ev ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    val newOwner = graft.sources.Tables.TableProps.read(wh, "ev")
+      .get(graft.sources.Tables.StreamWriterProp)
+    assert(newOwner.isDefined && newOwner != owner,
+      "the handed-over slot must re-register the new lineage")
+  }
+
   test("the feed view streams: emit_changelog hops arrive through readStream.table") {
     val root = tmpDir("cstr-feed")
     val wh = Warehouse(root, retain = 8)
