@@ -1100,6 +1100,67 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** The FULL lifecycle on the OBJECT-STORE IO under the oracle gate
+    * (q200, round-13 verdict item 1): every commit in this query — the
+    * initial snapshot, the fast-append INSERT, the sort-order cluster
+    * rewrite, MERGE INTO's copy-on-write, and the roll-forward rollback —
+    * runs on [[graft.sources.ObjectStoreIO]]'s primitive set: exclusivity
+    * is conditional PUT, the table pointer is a metadata OBJECT (no
+    * symlink), carries are copies (no hard links), discards delete in
+    * place (no rename). The oracle models the post-MERGE state (served
+    * via `VERSION AS OF`) and the post-rollback current state over the
+    * raw rows — the substrate swap must be hash-invisible.
+    */
+  def q200ObjectStoreLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_os_q200")
+    val cat = s"gq200_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8,
+      io = graft.sources.ObjectStoreIO)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      // v1: the even half — a conditional-PUT-committed first snapshot
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.conf.set(s"spark.sql.catalog.$cat.io", "objectstore")
+      // fast append (the odd half): the carry is CopyObject, not links
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .createOrReplaceTempView(s"src_$cat")
+      spark.sql(s"INSERT INTO $cat.ev SELECT * FROM src_$cat")
+      // cluster: sort-order rewrite + manifest on the object-store tree
+      graft.plans.Maintenance.cluster(spark, wh, "ev",
+        Seq("event_id"), targetFiles = 4)
+      val vPreMerge = wh.currentVersion("ev").get
+      // MERGE: double every click's value (file-granular COW groups)
+      ev.filter(col("event_type") === "click").select("event_id")
+        .createOrReplaceTempView(s"clicks_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.ev t
+           |USING clicks_$cat s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = t.value * 2""".stripMargin)
+      val vMerge = wh.currentVersion("ev").get
+      // rollback: the merge was "bad" — roll forward to the pre-merge
+      // snapshot; the merged state stays readable as history
+      spark.sql(s"CALL $cat.system.rollback_to_version('ev', $vPreMerge)")
+        .collect()
+      spark.sql(
+        s"""SELECT 'merged' AS snap, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ev VERSION AS OF $vMerge GROUP BY event_type
+           |UNION ALL
+           |SELECT 'current', event_type, count(*),
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM $cat.ev GROUP BY event_type
+           |ORDER BY snap, event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2620,6 +2681,21 @@ object Queries {
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the whole lifecycle (append -> cluster -> MERGE -> rollback) on
+    // the object-store primitive set: the merged snapshot (history) is
+    // the CASE model, the rolled-back current state the plain aggregate
+    "q200_objectstore_lifecycle" ->
+      """SELECT 'merged' AS snap, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'current', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3110,6 +3186,7 @@ object Queries {
     "q197_hour_grain" -> (q197HourGrain _),
     "q198_tags" -> (q198Tags _),
     "q199_add_column" -> (q199AddColumn _),
+    "q200_objectstore_lifecycle" -> (q200ObjectStoreLifecycle _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

@@ -352,7 +352,7 @@ object Maintenance {
         spark.read.parquet(outAbs: _*), Seq(dim),
         if (bloomMode) bloomKeys else Nil, bits, hashes)
       untouched.foreach(rel =>
-        linkOrCopy(Paths.get(s"$path/$rel"), Paths.get(s"$staged/$rel")))
+        linkOrCopy(wh, Paths.get(s"$path/$rel"), Paths.get(s"$staged/$rel")))
       ZoneMap.writeManifest(carried.unionByName(newRows), staged,
         spreadBlooms = bloomMode)
       writeRootMarkers(markers, staged)
@@ -364,9 +364,9 @@ object Maintenance {
     * (same filesystem: a hard link; a filesystem that refuses gets a
     * plain copy — correctness identical, cost O(bytes)).
     */
-  private def linkOrCopy(src: java.nio.file.Path,
+  private def linkOrCopy(wh: Warehouse, src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit =
-    graft.sources.Tables.io.linkOrCopy(src, dst)
+    wh.io.linkOrCopy(src, dst)
 
   val ProjectionSourceProp = "projection.source"
   val ProjectionStampProp = "projection.source-stamp"
@@ -398,7 +398,8 @@ object Maintenance {
     */
   def sourceStamp(wh: Warehouse, table: String): Option[String] =
     if (MorMirror.storedConfig(wh, table).isDefined) {
-      val base = Warehouse(wh.tablePath(table)).currentVersion("base")
+      val base = Warehouse(wh.tablePath(table), io = wh.io)
+        .currentVersion("base")
         .getOrElse(-1L)
       Some(s"mor:$base:${MorMirror.foldHorizon(wh, table)}:" +
         s"${MorMirror.pendingDeltas(wh, table)}")
@@ -673,7 +674,7 @@ object Maintenance {
           val fn = p.getFileName.toString
           if (Files.isDirectory(p)) linkTree(p, dst.resolve(fn))
           else if (!fn.startsWith("_") && !fn.startsWith("."))
-            graft.sources.Tables.io.linkOrCopy(p, dst.resolve(fn))
+            wh.io.linkOrCopy(p, dst.resolve(fn))
         } finally s.close()
       }
       hourDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))
@@ -936,7 +937,7 @@ object Maintenance {
     }
     sweepIn(wh, table)
     if (MorMirror.storedConfig(wh, table).isDefined) {
-      val nested = Warehouse(wh.tablePath(table))
+      val nested = Warehouse(wh.tablePath(table), io = wh.io)
       sweepIn(nested, "base")
       // crashed delta publications (the atomic rename never happened)
       val dd = Paths.get(wh.tablePath(table), "deltas")

@@ -110,7 +110,7 @@ object MorMirror {
     else None
 
   private def nested(wh: Warehouse, name: String): Warehouse =
-    Warehouse(wh.tablePath(name))
+    Warehouse(wh.tablePath(name), io = wh.io) // inherit the IO substrate
 
   private def withBucket(df: DataFrame, keyCol: String, n: Int): DataFrame =
     df.withColumn(PartitionedMirror.BucketCol,
@@ -180,7 +180,7 @@ object MorMirror {
       // while the old table is still intact.
       val stageP = Paths.get(stagePath(wh, name))
       graft.sources.Tables.deleteRecursively(stageP)
-      val sw = Warehouse(stageP.toString)
+      val sw = Warehouse(stageP.toString, io = wh.io)
       sw.commit(BaseTable) { path =>
         staged.write.mode(SaveMode.Overwrite)
           .partitionBy(PartitionedMirror.BucketCol).parquet(path)

@@ -440,10 +440,36 @@ object ZoneMap {
     * `bloomOnly` preserves [[lookupRead]]'s historical contract (no
     * bloom declared = full scan).
     */
+  /** Probe-key ceiling for [[keyedSurvivors]] — above it, narrowing
+    * degrades (correctly) to whole-snapshot rather than planning an
+    * expression whose size tracks the matched set.
+    */
+  private val MaxProbeKeys = 50000
+
+  /** OR of `cols` as a BALANCED tree: Column→Expression conversion and
+    * most tree walks recurse per level, so a `reduce(_ || _)` chain over
+    * a runtime-sized key set overflowed the stack at ~10k terms (q200's
+    * MERGE at sf0.01). Depth is now log2(n).
+    */
+  private def orBalanced(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    var level = cols.toIndexedSeq
+    while (level.size > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => a || b
+        case Seq(a) => a
+      }.toIndexedSeq
+    level.head
+  }
+
   def keyedSurvivors(spark: SparkSession, dataPath: String, keyCol: String,
       keys: Seq[Any], keyTypeHint: Option[org.apache.spark.sql.types.DataType] = None,
       bloomOnly: Boolean = false): Option[Seq[String]] = {
     if (keys.isEmpty || !hasManifest(spark, dataPath)) return None
+    // a probe expression carries one term per key: bounded, or the
+    // planning cost (and expression size) would track the MATCHED SET.
+    // Past the cap the conservative answer is "no narrowing" — the COW
+    // falls back to whole-snapshot groups, which is always correct.
+    if (keys.size > MaxProbeKeys) return None
     graft.functions.GraftFunctions.register(spark)
     val m = manifest(spark, dataPath)
     val hasBloom = m.columns.contains(s"bloom_$keyCol")
@@ -462,7 +488,7 @@ object ZoneMap {
         val nh = nhRow(0).getInt(0)
         val keyType = keyTypeHint.getOrElse(
           spark.read.parquet(dataPath).schema(keyCol).dataType)
-        keys.map { v =>
+        orBalanced(keys.map { v =>
           // a key that cannot cast to the column type hashes to null and
           // the probe returns null; such a key matches NO row (isin
           // semantics), so its contribution is false — without the
@@ -470,12 +496,11 @@ object ZoneMap {
           coalesce(call_function("bloom_might_contain",
             col(s"bloom_$keyCol"),
             xxhash64(lit(v).cast(keyType)), lit(nh)), lit(false))
-        }.reduce(_ || _)
+        })
       } else {
         // range probe, keep-conservative: a file with null stats survives
         val (mn, mx) = (col(s"min_$keyCol"), col(s"max_$keyCol"))
-        val anyKey = keys.map(v => mn <= lit(v) && mx >= lit(v))
-          .reduce(_ || _)
+        val anyKey = orBalanced(keys.map(v => mn <= lit(v) && mx >= lit(v)))
         mn.isNull || mx.isNull || anyKey
       }
     val plan = m.select(col("file"), probes.as("_keep"))

@@ -92,7 +92,7 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
       // files-only incremental contract does not cover replacements).
       baseDir.foreach { base =>
         carryFiles().foreach { rel =>
-          Tables.io.linkOrCopy(java.nio.file.Paths.get(base, rel),
+          wh.io.linkOrCopy(java.nio.file.Paths.get(base, rel),
             stage.resolve(rel))
         }
         // root markers carry UNCONDITIONALLY (not just excluded files):

@@ -94,7 +94,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse must point at a graft warehouse root"))
     val retain = Option(options.get("retain")).map(_.toInt)
-    wh = retain.map(r => Warehouse(root, retain = r)).getOrElse(Warehouse(root))
+    // io=objectstore runs this catalog's commit protocol on the
+    // object-store primitive set (conditional-PUT CAS, pointer objects,
+    // no rename/links — see WarehouseIO); default follows the fleet env
+    val io = Option(options.get("io")) match {
+      case Some("objectstore") => ObjectStoreIO
+      case Some("local") => LocalWarehouseIO
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.io must be 'local' or 'objectstore', got '$other'")
+      case None => Tables.io
+    }
+    wh = Warehouse(root, retain = retain.getOrElse(2), io = io)
   }
 
   override def name(): String = catalogName

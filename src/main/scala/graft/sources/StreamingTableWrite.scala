@@ -81,7 +81,7 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
         val stage = wh.allocateStage(table)
         try {
           committed.foreach { f =>
-            Tables.io.linkOrCopy(epoch.resolve(f), stage.resolve(f))
+            wh.io.linkOrCopy(epoch.resolve(f), stage.resolve(f))
           }
           if (!truncate) wh.carryPreviousInto(table, stage)
           // a snapshot with zero parquet files is unreadable (no footer):

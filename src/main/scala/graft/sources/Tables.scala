@@ -20,9 +20,13 @@ object Tables {
 
   /** The commit protocol's filesystem primitives — THE substitution
     * point for an object-store deployment (see [[WarehouseIO]] and
-    * SCALE.md §"Object-store commit mapping"). Local by default.
+    * SCALE.md §"Object-store commit mapping"). Local by default;
+    * `GRAFT_WAREHOUSE_IO=objectstore` flips the fleet default (how the
+    * cross-process checkers parameterize), and each [[Warehouse]] can
+    * pick explicitly. Code paths holding a Warehouse must use `wh.io`;
+    * this value is only the default for paths with no table in hand.
     */
-  private[graft] val io: WarehouseIO = LocalWarehouseIO
+  private[graft] val io: WarehouseIO = WarehouseIO.fromEnv()
 
   /** List parquet files under `dir` (recursively), excluding paths that match
     * `excludeGlob` — the exact `**&#47;...`-style semantics of the reference's
@@ -116,11 +120,15 @@ object Tables {
     * ([[graft.plans.MirrorChangelog]]) work across more than one commit —
     * the capability the reference's users get from Iceberg's snapshot log.
     */
-  final case class Warehouse(root: String, retain: Int = 2) {
+  final case class Warehouse(root: String, retain: Int = 2,
+      io: WarehouseIO = Tables.io) {
     require(retain >= 1, s"retain must keep at least the current version, got $retain")
     def tablePath(name: String): String = s"$root/$name"
     def exists(name: String): Boolean = {
-      val p = Paths.get(tablePath(name))
+      // resolve through the pointer seam: a symlink pointer FOLLOWS via
+      // isDirectory, but an object-store pointer OBJECT does not — both
+      // resolve explicitly here
+      val p = Paths.get(snapshotPath(name))
       if (!Files.isDirectory(p)) return false
       val stream = Files.list(p)
       try stream.iterator().asScala.exists(f =>
@@ -153,9 +161,10 @@ object Tables {
       */
     def snapshotPath(name: String): String = {
       val p = Paths.get(tablePath(name))
-      if (Files.isSymbolicLink(p))
-        p.getParent.resolve(Files.readSymbolicLink(p)).toString
-      else tablePath(name)
+      io.readPointer(p) match {
+        case Some(target) => p.getParent.resolve(target).toString
+        case None => tablePath(name)
+      }
     }
 
     /** Version number the table pointer currently publishes (None for
@@ -163,10 +172,10 @@ object Tables {
       */
     def currentVersion(name: String): Option[Long] = {
       val p = Paths.get(tablePath(name))
-      if (!Files.isSymbolicLink(p)) return None
-      val m = versionPattern(name).matcher(
-        Files.readSymbolicLink(p).getFileName.toString)
-      if (m.matches()) Some(m.group(1).toLong) else None
+      io.readPointer(p).flatMap { target =>
+        val m = versionPattern(name).matcher(target.getFileName.toString)
+        if (m.matches()) Some(m.group(1).toLong) else None
+      }
     }
 
     /** Dissolve a versioned (pointer) layout back to a plain path — the
@@ -178,7 +187,7 @@ object Tables {
       */
     def dissolveVersioned(name: String): Unit = {
       val p = Paths.get(tablePath(name))
-      if (Files.isSymbolicLink(p)) Files.delete(p)
+      io.deletePointerIfExists(p)
       versions(name).foreach { case (_, dir) => deleteRecursively(dir) }
     }
 
@@ -242,10 +251,10 @@ object Tables {
     private[sources] def migrateLegacy(name: String): Boolean = {
       val table = Paths.get(tablePath(name))
       if (Files.exists(table, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-          !Files.isSymbolicLink(table)) {
+          !io.isPointer(table)) {
         val slot = versions(name).lastOption.map(_._1 + 1).getOrElse(0L)
         val dest = Paths.get(s"${tablePath(name)}.v$slot")
-        Files.move(table, dest)
+        io.adoptLegacyDir(table, dest)
         // the legacy dir WAS the published table — mark it so normal
         // retention GC applies to it
         Files.writeString(dest.resolve(PublishedMarker), "")
@@ -420,25 +429,16 @@ object Tables {
       }
     }
 
-    /** Discard an abandoned stage by atomic RENAME first, recursive
-      * delete second. A plain in-place recursive delete frees the
-      * version NUMBER the instant the directory unlinks while the
-      * child-walk may still be running — a rival allocating the reused
-      * number then races the tail of the walk, which deletes the
-      * rival's fresh `_temporary` out from under its write (caught by
-      * ConcurrentCommitSpec under the published-marker GC). The rename
-      * vacates the number atomically with nothing left behind at it.
+    /** Discard an abandoned stage ([[WarehouseIO.discardDir]] — each IO
+      * impl vacates the version number its own safe way; the rationale
+      * lives with the impls).
       */
-    private[sources] def discardStage(versionDir: Path): Unit = {
-      val trash = versionDir.resolveSibling(
-        s"${versionDir.getFileName}.discard${System.nanoTime()}")
-      try {
-        io.atomicMove(versionDir, trash)
-        deleteRecursively(trash)
-      } catch {
-        case _: java.io.IOException => deleteRecursively(versionDir)
-      } finally Files.deleteIfExists(stageMarkerPath(versionDir))
-    }
+    private[sources] def discardStage(versionDir: Path): Unit =
+      // the IO impl vacates the number its own safe way (rename-first on
+      // POSIX, in-place delete on object stores); the allocation MARKER
+      // owns the number until it is deleted LAST, either way
+      try io.discardDir(versionDir)
+      finally Files.deleteIfExists(stageMarkerPath(versionDir))
 
     /** Serialize the pointer swap across processes. The lock file is
       * created O_EXCL; a holder crashing between create and delete would
@@ -473,19 +473,11 @@ object Tables {
                 System.currentTimeMillis() - CommitLockStaleMs
               catch { case _: java.io.IOException => false } // holder just released
             if (stale) {
-              // break by atomic RENAME, never by delete: with delete, two
-              // waiters could both judge the lock stale, waiter A delete +
-              // re-create it, and waiter B's delete then remove A's FRESH
-              // lock — two committers inside the critical section at once
-              // (review finding). Rename succeeds for exactly ONE breaker;
-              // everyone else sees FileNotFound and loops back to the
-              // create race.
-              try io.atomicMove(lock,
-                lock.resolveSibling(
-                  s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"))
-              catch { case _: java.io.IOException => () } // another breaker won
-              Files.deleteIfExists(lock.resolveSibling(
-                s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}"))
+              // at-most-one-breaker per lock incarnation — the mechanism
+              // is per-IO ([[WarehouseIO.breakStaleLock]]: atomic rename
+              // aside on POSIX, a conditional-PUT break token on object
+              // stores); losers loop back to the create race either way
+              io.breakStaleLock(lock)
             }
             else if (System.nanoTime() > deadline)
               throw new IllegalStateException(
@@ -862,7 +854,7 @@ object Tables {
       val existed = exists(name) || versions(name).nonEmpty
       withCommitLock(name) {
         val p = Paths.get(tablePath(name))
-        if (Files.isSymbolicLink(p)) Files.delete(p)
+        if (io.isPointer(p)) io.deletePointerIfExists(p)
         else if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           deleteRecursively(p)
         versions(name).foreach { case (_, d) =>
@@ -1461,7 +1453,7 @@ object Tables {
     * deliberately much longer than the stale threshold so a waiter always
     * gets to break a crashed holder's lock before giving up.
     */
-  private val CommitLockStaleMs = 30000L
+  private[sources] val CommitLockStaleMs = 30000L
   private val CommitLockTimeoutMs = 120000L
 
   /** Recursive delete that never follows symlinks (a version-pointer link

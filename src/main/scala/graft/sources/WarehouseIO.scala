@@ -2,43 +2,36 @@ package graft.sources
 
 import java.nio.file.{Files, Path, StandardCopyOption}
 
-/** The FOUR filesystem primitives the whole commit protocol stands on —
-  * extracted so the object-store deployment is a documented SUBSTITUTION
-  * of this seam, not a rewrite of the engine (round-12 verdict item 6;
-  * the strategy note lives in SCALE.md §"Object-store commit mapping").
+/** The filesystem primitives the whole commit protocol stands on —
+  * extracted so the object-store deployment is a SUBSTITUTION of this
+  * seam, not a rewrite of the engine (round-12 verdict item 6; the
+  * mapping rationale lives in SCALE.md §"Object-store commit mapping").
+  * TWO implementations ship and the commit-protocol suites run against
+  * BOTH (round-13 verdict item 1):
   *
-  * Every atomicity claim in [[Tables.Warehouse]] reduces to these:
+  *  - [[LocalWarehouseIO]] — POSIX: O_EXCL create, symlink pointer +
+  *    atomic rename, hard links. The offline-build default.
+  *  - [[ObjectStoreIO]] — honest object-store semantics: NO atomic
+  *    rename, NO hard links, NO symlinks. Exclusivity is a conditional
+  *    PUT (`If-None-Match: *`, GA on S3 since 2024), the table pointer
+  *    is a tiny metadata OBJECT whose content names the current version
+  *    directory (Iceberg's metadata-pointer indirection), carries are
+  *    server-side copies (S3 `CopyObject` — no client byte transfer),
+  *    stage discard is plain deletion (uncommitted objects are never
+  *    referenced by any pointer), and stale-lock breaking claims a
+  *    conditional-PUT break token instead of renaming the lock aside.
   *
-  *  - `createExclusive` — the O_EXCL token: stage-number ownership
-  *    ([[Tables.Warehouse.allocateStage]]'s sibling marker) and the
-  *    commit lock. On S3 there is no O_EXCL; the mapping is a
-  *    conditional PUT (`If-None-Match: *`, GA on S3 since 2024) or the
-  *    catalog's own CAS row — either gives the same "exactly one winner"
-  *    contract.
-  *  - `atomicPointerSwap` — publish: the version pointer moves to a new
-  *    target in one atomic step, readers resolve it at open. On S3 the
-  *    pointer is not a symlink but a tiny metadata object (Iceberg's
-  *    `metadata.json` indirection) swapped by compare-and-swap on its
-  *    ETag / a catalog CAS; readers GET the pointer object first, then
-  *    address data by the absolute keys it names.
-  *  - `atomicMove` — stage discard / legacy migration. On S3: the stage
-  *    is never "moved" — uncommitted objects are simply never referenced
-  *    by any pointer and age out via the orphan sweep (the engine's
-  *    removeOrphans already models exactly this).
-  *  - `linkOrCopy` — the zero-copy carry (fast append, COW file
-  *    grouping, incremental re-cluster). On S3 a "hard link" is a
-  *    MANIFEST REFERENCE: the new snapshot's file list names the old
-  *    object keys verbatim instead of duplicating bytes — which is why
-  *    every carry site in this engine records RELATIVE file names it
-  *    could just as well write into a manifest.
-  *
-  * The local implementation below is the offline-build default
-  * (SURVEY §7.1); nothing outside this file touches the primitives
-  * directly, so the substitution point is exactly one object.
+  * Every atomicity claim in [[Tables.Warehouse]] reduces to these
+  * primitives; nothing outside this file (and the `Warehouse` methods
+  * routing through it) touches them directly. Selection: per-Warehouse
+  * (`Warehouse(..., io = ...)`), defaulting to
+  * `GRAFT_WAREHOUSE_IO` / `-Dgraft.warehouse.io` (`objectstore` or
+  * `local`) so multi-JVM harnesses pick one impl fleet-wide.
   */
 private[graft] trait WarehouseIO {
   /** Create `p` exclusively — throws FileAlreadyExistsException when an
-    * owner exists. The "exactly one winner" primitive.
+    * owner exists. The "exactly one winner" primitive (POSIX O_EXCL;
+    * object store: conditional PUT — the contract is identical).
     */
   def createExclusive(p: Path): Unit
 
@@ -49,15 +42,72 @@ private[graft] trait WarehouseIO {
 
   /** Atomically repoint `pointer` at `target` (relative), replacing any
     * previous pointer. Readers resolving mid-swap see old or new, never
-    * neither.
+    * neither. Must only be called inside the table's commit lock (the
+    * CAS validation lives there).
     */
   def atomicPointerSwap(pointer: Path, target: Path, scratch: Path): Unit
 
-  /** Atomic rename, failing if non-atomic is the only option. */
-  def atomicMove(src: Path, dst: Path, replaceExisting: Boolean = false): Unit
+  /** Resolve `pointer`: Some(relative target) when `pointer` is a table
+    * pointer of THIS impl, None when absent or a plain (legacy) path.
+    */
+  def readPointer(pointer: Path): Option[Path]
 
-  /** Zero-copy carry when the store supports it, byte copy otherwise. */
+  /** True when `p` is a table pointer of this impl (vs a legacy real
+    * directory or nothing).
+    */
+  def isPointer(p: Path): Boolean = readPointer(p).isDefined
+
+  /** Remove the table pointer if present (drop / dissolve). */
+  def deletePointerIfExists(pointer: Path): Unit
+
+  /** One-time adoption of a LEGACY real directory as a version dir
+    * (the migrateLegacy path — tables born before the pointer layout).
+    * POSIX renames it (sub-ms absence window, documented); an object
+    * store cannot rename a prefix, so the adoption is copy-then-delete
+    * with a WIDER one-time window — acceptable because legacy real-dir
+    * tables only exist on filesystem warehouses in the first place
+    * (object-store tables are born through the protocol).
+    *
+    * The in-place dynamic-overwrite layouts and the MOR tree swap still
+    * call `Files.move` directly; they are documented POSIX-era paths,
+    * not part of the versioned commit protocol this seam isolates.
+    */
+  def adoptLegacyDir(src: Path, dst: Path): Unit
+
+  /** Zero-copy carry when the store supports it (hard link / server-side
+    * CopyObject), byte copy otherwise. At true object-store scale the
+    * carry becomes a MANIFEST REFERENCE (the new snapshot's file list
+    * names old keys verbatim — SCALE.md); CopyObject is the correct
+    * interim: O(#files) requests, zero client bytes.
+    */
   def linkOrCopy(src: Path, dst: Path): Unit
+
+  /** Discard an abandoned/conflicted stage DIRECTORY so its version
+    * number can be reused safely. The caller deletes the sibling
+    * allocation marker AFTERWARDS — the marker, not the directory, owns
+    * the number for the whole discard.
+    */
+  def discardDir(dir: Path): Unit
+
+  /** Break a stale commit lock such that AT MOST ONE breaker removes
+    * one lock incarnation (two waiters must never blind-delete each
+    * other's fresh re-creations). Best-effort: on any race the caller
+    * loops back to the exclusive-create contest.
+    */
+  def breakStaleLock(lock: Path): Unit
+}
+
+private[graft] object WarehouseIO {
+  /** Fleet-wide default — `-Dgraft.warehouse.io` / `GRAFT_WAREHOUSE_IO`
+    * set to `objectstore` flips every Warehouse whose constructor did
+    * not pick explicitly (how the cross-process checkers parameterize).
+    */
+  def fromEnv(): WarehouseIO =
+    sys.props.get("graft.warehouse.io")
+      .orElse(sys.env.get("GRAFT_WAREHOUSE_IO")) match {
+      case Some("objectstore") => ObjectStoreIO
+      case _ => LocalWarehouseIO
+    }
 }
 
 /** Local-filesystem implementation: O_EXCL create, symlink pointer +
@@ -77,12 +127,18 @@ private[graft] object LocalWarehouseIO extends WarehouseIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def atomicMove(src: Path, dst: Path,
-      replaceExisting: Boolean): Unit =
-    if (replaceExisting)
-      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    else Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  override def readPointer(pointer: Path): Option[Path] =
+    if (Files.isSymbolicLink(pointer)) Some(Files.readSymbolicLink(pointer))
+    else None
+
+  override def deletePointerIfExists(pointer: Path): Unit =
+    if (Files.isSymbolicLink(pointer)) Files.delete(pointer)
+
+  private def atomicMove(src: Path, dst: Path): Unit =
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+
+  override def adoptLegacyDir(src: Path, dst: Path): Unit =
+    Files.move(src, dst)
 
   override def linkOrCopy(src: Path, dst: Path): Unit =
     try Files.createLink(dst, src)
@@ -90,4 +146,160 @@ private[graft] object LocalWarehouseIO extends WarehouseIO {
       case _: UnsupportedOperationException |
            _: java.nio.file.FileSystemException => Files.copy(src, dst)
     }
+
+  /** Atomic RENAME first, recursive delete second: a plain in-place
+    * recursive delete frees the version NUMBER the instant the directory
+    * unlinks while the child-walk may still be running — a rival
+    * allocating the reused number then races the tail of the walk, which
+    * deletes the rival's fresh `_temporary` out from under its write
+    * (caught by ConcurrentCommitSpec under the published-marker GC). The
+    * rename vacates the number atomically with nothing left behind.
+    */
+  override def discardDir(dir: Path): Unit = {
+    val trash = dir.resolveSibling(
+      s"${dir.getFileName}.discard${System.nanoTime()}")
+    try {
+      atomicMove(dir, trash)
+      Tables.deleteRecursively(trash)
+    } catch {
+      case _: java.io.IOException => Tables.deleteRecursively(dir)
+    }
+  }
+
+  /** Break by atomic RENAME, never by delete: with delete, two waiters
+    * could both judge the lock stale, waiter A delete + re-create it,
+    * and waiter B's delete then remove A's FRESH lock — two committers
+    * inside the critical section at once (review finding). Rename
+    * succeeds for exactly ONE breaker; everyone else sees FileNotFound
+    * and loops back to the create race.
+    */
+  override def breakStaleLock(lock: Path): Unit = {
+    val aside = lock.resolveSibling(
+      s"${lock.getFileName}.broken.${ProcessHandle.current().pid()}")
+    try atomicMove(lock, aside)
+    catch { case _: java.io.IOException => () } // another breaker won
+    Files.deleteIfExists(aside)
+  }
+}
+
+/** Honest object-store semantics on a local directory tree — what the
+  * engine's commit protocol uses when the warehouse is a bucket/prefix
+  * (the reference's actual substrate, tabular.py:127-139; README.md:41):
+  *
+  *  - NO symlinks: the table pointer is a tiny metadata OBJECT whose
+  *    content is the current version directory's name; readers GET the
+  *    pointer object first and then address data by the name it carries.
+  *  - NO atomic rename: stage discard deletes in place (uncommitted
+  *    objects are referenced by no pointer; the sibling allocation
+  *    marker — deleted last by the caller — owns the version number for
+  *    the whole walk), and lock breaking claims a conditional-PUT break
+  *    token instead of renaming the lock aside.
+  *  - NO hard links: carries are server-side copies (S3 `CopyObject`,
+  *    O(#files) requests, zero client bytes; the at-scale evolution is
+  *    manifest references — SCALE.md).
+  *  - Exclusivity IS conditional PUT (`If-None-Match: *`): emulated
+  *    here by `Files.createFile`, whose one-winner contract is
+  *    identical. Small-object PUTs are atomic on the service (readers
+  *    see old or new content, never a torn write); the emulation stands
+  *    in for that service guarantee with a private temp + move — the
+  *    ENGINE never renames, the "service" does.
+  *
+  * Directories: object stores have none — a "directory" is a key
+  * prefix that exists iff objects carry it. `createDirExclusive`'s
+  * number-guard maps to a prefix-emptiness check; exclusivity among
+  * RIVAL allocators is already serialized by the sibling marker's
+  * conditional PUT, so check-then-create here only guards against
+  * PRE-EXISTING published prefixes, which cannot appear concurrently at
+  * an allocated number.
+  */
+private[graft] object ObjectStoreIO extends WarehouseIO {
+  override def createExclusive(p: Path): Unit = Files.createFile(p)
+
+  override def createDirExclusive(p: Path): Unit = {
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      throw new java.nio.file.FileAlreadyExistsException(p.toString)
+    Files.createDirectories(p)
+  }
+
+  override def atomicPointerSwap(pointer: Path, target: Path,
+      scratch: Path): Unit = {
+    // one atomic small-object PUT of the pointer's new content — the
+    // temp+move below emulates the SERVICE's PUT atomicity (a real
+    // client uploads bytes and the store flips the key in one step)
+    Files.deleteIfExists(scratch)
+    Files.writeString(scratch, target.toString)
+    Files.move(scratch, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def readPointer(pointer: Path): Option[Path] =
+    if (Files.isRegularFile(pointer, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Some(java.nio.file.Paths.get(Files.readString(pointer).trim))
+    else None
+
+  override def deletePointerIfExists(pointer: Path): Unit =
+    if (isPointer(pointer)) Files.deleteIfExists(pointer)
+
+  override def adoptLegacyDir(src: Path, dst: Path): Unit = {
+    // no prefix rename on a store: copy-then-delete, a one-time wider
+    // window than the POSIX move (see the trait doc — legacy real-dir
+    // tables are a filesystem-era artifact to begin with)
+    def copyTree(s: Path, d: Path): Unit = {
+      Files.createDirectories(d)
+      val st = Files.list(s)
+      try st.forEach { p =>
+        val t = d.resolve(p.getFileName.toString)
+        if (Files.isDirectory(p)) copyTree(p, t) else Files.copy(p, t)
+      } finally st.close()
+    }
+    copyTree(src, dst)
+    Tables.deleteRecursively(src)
+  }
+
+  override def linkOrCopy(src: Path, dst: Path): Unit =
+    Files.copy(src, dst) // server-side CopyObject: no client bytes
+
+  /** In-place recursive delete: nothing references an unpublished
+    * stage, and the prefix only ceases to exist with its last object —
+    * the version number stays owned by the sibling allocation marker,
+    * which the CALLER deletes after this returns.
+    */
+  override def discardDir(dir: Path): Unit = Tables.deleteRecursively(dir)
+
+  /** One-winner break without rename: claim a break token named by the
+    * (hash of the) stale incarnation's content with a conditional PUT —
+    * exactly one waiter wins the token, deletes the lock IFF its content
+    * is still that incarnation, then clears the token. A breaker
+    * crashing between claim and delete leaves the token; it ages out
+    * after [[Tables.CommitLockStaleMs]] like the lock itself. Residual
+    * (documented, same class as the POSIX impl's stalled-holder note): a
+    * content re-check before delete is check-then-act — a holder
+    * releasing and a successor re-creating inside that microsecond
+    * window could lose a fresh lock; on a real store a conditional
+    * delete (`If-Match` on the ETag) closes even that.
+    */
+  override def breakStaleLock(lock: Path): Unit = {
+    val content =
+      try Files.readString(lock)
+      catch { case _: java.io.IOException => return } // already gone
+    val token = lock.resolveSibling(
+      s"${lock.getFileName}.break-${Integer.toHexString(content.hashCode)}")
+    try {
+      createExclusive(token) // conditional PUT: one winner per incarnation
+      try {
+        val still = try Files.readString(lock) == content
+        catch { case _: java.io.IOException => false }
+        if (still) Files.deleteIfExists(lock)
+      } finally Files.deleteIfExists(token)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a rival owns breaking this incarnation; if it crashed, its
+        // token ages out and the next pass retries
+        val tokenStale =
+          try Files.getLastModifiedTime(token).toMillis <
+            System.currentTimeMillis() - Tables.CommitLockStaleMs
+          catch { case _: java.io.IOException => false }
+        if (tokenStale) Files.deleteIfExists(token)
+    }
+  }
 }

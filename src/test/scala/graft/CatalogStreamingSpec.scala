@@ -16,16 +16,25 @@ import graft.sources.Tables.Warehouse
   * ingest into NAMED tables — this is where the engine's streaming face
   * and its SQL face meet.
   */
-class CatalogStreamingSpec extends SparkTestBase {
+abstract class CatalogStreamingBehavior(ioImpl: graft.sources.WarehouseIO,
+    ioName: String) extends SparkTestBase {
   import spark.implicits._
+
+  /** Parameterized over the IO substrate: the streaming-through-catalog
+    * contract (epoch exactly-once, replay, refusals) must hold on POSIX
+    * and on object-store primitives alike (round-13 verdict item 1).
+    */
+  protected def Wh(root: String, retain: Int = 2): Warehouse =
+    Warehouse(root, retain, ioImpl)
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def register(root: String): String = {
-    val name = s"cstr${seq.incrementAndGet()}"
+    val name = s"cstr$ioName${seq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
     spark.conf.set(s"spark.sql.catalog.$name.retain", "8")
+    spark.conf.set(s"spark.sql.catalog.$name.io", ioName)
     name
   }
 
@@ -33,7 +42,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("readStream.table tails a time-partitioned changelog; restart ingests only new batches") {
     val root = tmpDir("cstr-read")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     wh.declareTimePartition("ev", "ts")
     wh.appendBatch(Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")))
@@ -64,7 +73,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("readStream.table tails an HOUR-grain changelog: nested partitions stream with their layout columns") {
     val root = tmpDir("cstr-hour")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     wh.declareTimePartition("ev", "ts", granularity = "hour")
     wh.appendBatch(Seq(
@@ -94,7 +103,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("readStream.table refuses a versioned snapshot table, naming the feed-view mechanism") {
     val root = tmpDir("cstr-refuse")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "t")
     val e = intercept[Exception] {
@@ -112,7 +121,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("writeStream.toTable commits every micro-batch as a snapshot; replayed epochs are exactly-once") {
     val root = tmpDir("cstr-write")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     spark.sql(s"CREATE TABLE $cat.sink_t (id BIGINT, s STRING)")
     val src = tmpDir("cstr-write-src")
@@ -181,7 +190,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("writeStream.toTable into a time-partitioned table: epochs land as batches, replay-exact, pruning intact") {
     val root = tmpDir("cstr-tp")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts))")
@@ -237,7 +246,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("single-stream contract ENFORCED on time-partitioned streaming writes: second lineage refuses naming the prop; handover via UNSET") {
     val root = tmpDir("cstr-single")
-    val wh = Warehouse(root)
+    val wh = Wh(root)
     val cat = register(root)
     spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts))")
@@ -287,7 +296,7 @@ class CatalogStreamingSpec extends SparkTestBase {
 
   test("the feed view streams: emit_changelog hops arrive through readStream.table") {
     val root = tmpDir("cstr-feed")
-    val wh = Warehouse(root, retain = 8)
+    val wh = Wh(root, retain = 8)
     val cat = register(root)
     import graft.plans.MirrorChangelog
     wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "m")
@@ -320,3 +329,10 @@ class CatalogStreamingSpec extends SparkTestBase {
       s"the new hop's delete must arrive exactly once: $ops2")
   }
 }
+
+class CatalogStreamingSpec
+  extends CatalogStreamingBehavior(graft.sources.LocalWarehouseIO, "local")
+
+/** The SAME streaming-through-catalog suite on object-store primitives. */
+class CatalogStreamingObjectStoreSpec
+  extends CatalogStreamingBehavior(graft.sources.ObjectStoreIO, "objectstore")

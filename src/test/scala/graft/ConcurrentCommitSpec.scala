@@ -21,7 +21,16 @@ import graft.sources.Tables.Warehouse
   * re-commit — the Iceberg commit protocol under the reference's
   * `table.transaction()`, tabular.py:69-70) with zero lost updates.
   */
-class ConcurrentCommitSpec extends SparkTestBase {
+abstract class ConcurrentCommitBehavior(ioImpl: graft.sources.WarehouseIO)
+  extends SparkTestBase {
+
+  /** Every warehouse in these specs rides the parameterized IO impl —
+    * the SAME protocol suite must hold on POSIX primitives and on the
+    * object-store primitive set (conditional-PUT CAS, pointer objects,
+    * no rename/no links — [[graft.sources.ObjectStoreIO]]).
+    */
+  protected def Wh(root: String, retain: Int = 2): Warehouse =
+    Warehouse(root, retain, ioImpl)
 
   private val cfg = CdcConfig("id", "ts")
 
@@ -35,11 +44,11 @@ class ConcurrentCommitSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
   test("compaction conflict-retries a rival commit landed in its window (deterministic)") {
-    val wh = Warehouse(tmpDir("cc-retry"))
+    val wh = Wh(tmpDir("cc-retry"))
     MorMirror.initialize(wh, "m",
       Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, 8)
     MorMirror.appendDelta(wh, "m", changes((2L, "b", "I", "t2")), batchId = 1)
-    val nw = Warehouse(wh.tablePath("m"))
+    val nw = Wh(wh.tablePath("m"))
     val v0 = nw.currentVersion("base").get
     var fired = 0
     // rival: lands between the compaction's fold and its commit — a
@@ -71,8 +80,8 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("ingest thread + compaction thread on independent Warehouse instances: zero lost updates") {
     val path = tmpDir("cc-race")
-    val whIngest = Warehouse(path)
-    val whMaint = Warehouse(path)
+    val whIngest = Wh(path)
+    val whMaint = Wh(path)
     MorMirror.initialize(whIngest, "m",
       Cdc.fold(changes((0L, "seed", "I", "t0")), cfg), cfg, 8)
     val K = 12
@@ -121,8 +130,8 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("flat mirror: concurrent rewrites never lose a stream overwrite") {
     val path = tmpDir("cc-flat")
-    val whIngest = Warehouse(path)
-    val whMaint = Warehouse(path)
+    val whIngest = Wh(path)
+    val whMaint = Wh(path)
     import spark.implicits._
     whIngest.overwrite(Seq((1L, "s1")).toDF("id", "name"), "t")
     val K = 8
@@ -160,8 +169,8 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("simultaneous committers get exclusive stage dirs (allocation is O_EXCL)") {
     val path = tmpDir("cc-alloc")
-    val wh1 = Warehouse(path)
-    val wh2 = Warehouse(path)
+    val wh1 = Wh(path)
+    val wh2 = Wh(path)
     import spark.implicits._
     wh1.overwrite(Seq((0L, "seed")).toDF("id", "name"), "t")
     val staged = new ConcurrentLinkedQueue[String]()
@@ -191,7 +200,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("retention GC never deletes a rival's unpublished stage, even once overtaken") {
     import spark.implicits._
-    val wh = Warehouse(tmpDir("cc-stage-keep"))
+    val wh = Wh(tmpDir("cc-stage-keep"))
     wh.overwrite(Seq((1L, "v1")).toDF("id", "name"), "t")
     wh.overwrite(Seq((2L, "v2")).toDF("id", "name"), "t")
     // a slow rival allocated v3 and is STILL writing (no published marker)
@@ -224,7 +233,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("allocation survives Spark's Overwrite delete window: a rival never reuses an in-flight stage number") {
     import spark.implicits._
-    val wh = Warehouse(tmpDir("cc-clobber"), retain = 8)
+    val wh = Wh(tmpDir("cc-clobber"), retain = 8)
     wh.overwrite(Seq((0L, "seed")).toDF("id", "name"), "t") // v1
     var myStage: Long = -1
     var rivalVersion: Long = -1
@@ -237,7 +246,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
       // two writers interleave into one stage (the breaker-storm flake)
       graft.sources.Tables.deleteRecursively(p)
       val rival = new Thread(() =>
-        Warehouse(wh.root, retain = 8).overwrite(
+        Wh(wh.root, retain = 8).overwrite(
           Seq((1L, "rival")).toDF("id", "name"), "t"))
       rival.start(); rival.join(60000)
       assert(!rival.isAlive, "rival must complete")
@@ -259,7 +268,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
 
   test("a stale lock with a breaker storm admits exactly one committer chain (no lost update)") {
     import spark.implicits._
-    val wh = Warehouse(tmpDir("cc-lockstorm"))
+    val wh = Wh(tmpDir("cc-lockstorm"))
     wh.overwrite(Seq((0L, "seed")).toDF("id", "name"), "t")
     val lock = Paths.get(s"${wh.tablePath("t")}.commitlock")
     Files.createFile(lock) // crashed holder
@@ -272,7 +281,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
     @volatile var failure: Option[Throwable] = None
     val threads = (1 to 8).map { i =>
       new Thread(() => {
-        try Warehouse(wh.root).overwrite(
+        try Wh(wh.root).overwrite(
           Seq((i.toLong, s"w$i")).toDF("id", "name"), "t")
         catch { case t: Throwable => failure = Some(t) }
       })
@@ -286,7 +295,7 @@ class ConcurrentCommitSpec extends SparkTestBase {
   }
 
   test("a crashed holder's stale commit lock is broken; a released lock leaves no file") {
-    val wh = Warehouse(tmpDir("cc-lock"))
+    val wh = Wh(tmpDir("cc-lock"))
     import spark.implicits._
     wh.overwrite(Seq((1L, "v1")).toDF("id", "name"), "t")
     val lock = Paths.get(s"${wh.tablePath("t")}.commitlock")
@@ -299,3 +308,15 @@ class ConcurrentCommitSpec extends SparkTestBase {
     assert(!Files.exists(lock), "the lock must be released after the commit")
   }
 }
+
+/** The commit protocol on POSIX primitives (the offline default). */
+class ConcurrentCommitSpec
+  extends ConcurrentCommitBehavior(graft.sources.LocalWarehouseIO)
+
+/** The SAME commit-protocol suite on honest object-store semantics:
+  * conditional-PUT exclusivity, a pointer OBJECT instead of a symlink,
+  * in-place stage discard (no rename), break tokens (no rename), copies
+  * (no hard links) — round-13 verdict item 1.
+  */
+class ConcurrentCommitObjectStoreSpec
+  extends ConcurrentCommitBehavior(graft.sources.ObjectStoreIO)

@@ -9,7 +9,12 @@ sides). The final snapshot is then read OUTSIDE the JVMs by DuckDB: the
 id set must be exactly 0..N-1 — zero lost updates (an epoch a compaction
 clobbered) and zero duplicates (an epoch applied twice). Dev tool only.
 
-Usage: python3 tools/verify_streaming_concurrent.py [epochs] [rowsPerEpoch]
+Runs the WHOLE drill twice: once on the POSIX WarehouseIO and once on
+the object-store primitive set (GRAFT_WAREHOUSE_IO=objectstore in every
+launched JVM: conditional-PUT CAS, pointer objects, no rename/links).
+
+Usage: python3 tools/verify_streaming_concurrent.py [epochs] [rowsPerEpoch] [io]
+       io: local | objectstore | both (default both)
 """
 import os
 import shutil
@@ -21,6 +26,8 @@ import duckdb
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+IO_MODES = ([sys.argv[3]] if len(sys.argv) > 3 and sys.argv[3] != "both"
+            else ["local", "objectstore"])
 BASE = "/tmp/graft_streaming_concurrent"
 WH = f"{BASE}/wh"
 REPO = "/root/repo"
@@ -46,22 +53,35 @@ def java_cmd(main, *args):
              main] + list(args))
 
 
-def main():
+def resolve_pointer(path):
+    """The table pointer per IO impl: a symlink (local) or a tiny pointer
+    FILE whose content names the version dir (objectstore)."""
+    if os.path.islink(path):
+        return os.path.realpath(path)
+    if os.path.isfile(path):
+        with open(path) as f:
+            return os.path.join(os.path.dirname(path), f.read().strip())
+    return path
+
+
+def run_one(io_mode):
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(WH)
     if not os.path.isdir(f"{REPO}/target/scala-2.13/classes/graft"):
         subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True)
 
-    print(f"== stream JVM ({EPOCHS} epochs x {ROWS} rows) vs maintenance JVMs ==")
+    io_env = dict(os.environ, GRAFT_WAREHOUSE_IO=io_mode)
+    print(f"== [{io_mode}] stream JVM ({EPOCHS} epochs x {ROWS} rows) vs maintenance JVMs ==")
     stream = subprocess.Popen(
         java_cmd("graft.StreamingIngestMain", WH, str(EPOCHS), str(ROWS)),
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=io_env)
 
     # maintenance ticks while the stream runs: each is a REAL separate JVM
     # compacting the sink table; the stream's epoch commits must CAS-retry
     # over its pointer swaps (and vice versa)
     compactions = 0
-    env = dict(os.environ, GRAFT_COMPACT_TARGET_FILES="8",
+    env = dict(io_env, GRAFT_COMPACT_TARGET_FILES="8",
                SPARK_GRAFT_CPUS="8")
     while stream.poll() is None:
         time.sleep(4)
@@ -84,7 +104,7 @@ def main():
     assert compactions >= 1, "the stream outran every maintenance tick; rerun"
 
     # independent verification: resolve the pointer, read the snapshot
-    snap = os.path.realpath(f"{WH}/sink")
+    snap = resolve_pointer(f"{WH}/sink")
     con = duckdb.connect()
     got = con.sql(
         f"SELECT count(*) AS n, count(DISTINCT id) AS d, "
@@ -95,9 +115,14 @@ def main():
     assert n == want and d == want and lo == 0 and hi == want - 1, (
         f"lost updates or duplicates: n={n} distinct={d} lo={lo} hi={hi} "
         f"want={want}")
-    print(f"PASS: {n} rows, exact id set 0..{want - 1} through "
+    print(f"PASS [{io_mode}]: {n} rows, exact id set 0..{want - 1} through "
           f"{epochs_done} streamed epochs and {compactions} concurrent "
           f"compaction JVMs (zero lost updates, zero duplicates)")
+
+
+def main():
+    for io_mode in IO_MODES:
+        run_one(io_mode)
 
 
 if __name__ == "__main__":
