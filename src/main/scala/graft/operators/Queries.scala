@@ -1161,6 +1161,53 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** `ALTER COLUMN TYPE` promotion under the oracle gate (q201): CTAS
+    * with an INT column, promote it to BIGINT via DDL (metadata-only —
+    * a registry entry, zero rewrites, history files keep their narrow
+    * bytes), INSERT values only a BIGINT can hold, and aggregate over
+    * the mixed-width history — the oracle models the same arithmetic
+    * over the raw rows, so the promotion, the native narrow-file
+    * promotion in the scan, and the wide insert must all agree to the
+    * hash. The pre-promotion snapshot's row count pins retained history.
+    */
+  def q201TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tw_q201")
+    val cat = s"gq201_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 4)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "4")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .createOrReplaceTempView(s"even_$cat")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .createOrReplaceTempView(s"odd_$cat")
+      spark.sql(
+        s"""CREATE TABLE $cat.ev AS
+           |SELECT event_id, event_type,
+           |  CAST(FLOOR(value * 100) AS INT) AS cents
+           |FROM even_$cat""".stripMargin)
+      val vPre = wh.currentVersion("ev").get // the narrow CTAS snapshot
+      spark.sql(s"ALTER TABLE $cat.ev ALTER COLUMN cents TYPE BIGINT")
+      // values past INT range: only a genuinely wide write can hold them
+      spark.sql(
+        s"""INSERT INTO $cat.ev
+           |SELECT event_id, event_type,
+           |  CAST(FLOOR(value * 100) AS BIGINT) + 3000000000
+           |FROM odd_$cat""".stripMargin)
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS total_cents,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vPre) AS n_pre_widen
+           |FROM $cat.ev
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2696,6 +2743,19 @@ object Queries {
         |FROM events GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
 
+    // the metadata-only int->bigint promotion + the wide insert must
+    // equal one plain mixed-arithmetic aggregate over the raw rows; the
+    // pre-promotion snapshot's count pins history
+    "q201_type_widening" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0
+        |                THEN CAST(FLOOR(value * 100) AS BIGINT)
+        |                ELSE CAST(FLOOR(value * 100) AS BIGINT) + 3000000000
+        |           END) AS BIGINT) AS total_cents,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_pre_widen
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3187,6 +3247,7 @@ object Queries {
     "q198_tags" -> (q198Tags _),
     "q199_add_column" -> (q199AddColumn _),
     "q200_objectstore_lifecycle" -> (q200ObjectStoreLifecycle _),
+    "q201_type_widening" -> (q201TypeWidening _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

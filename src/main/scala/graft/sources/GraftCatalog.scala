@@ -236,10 +236,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (wh.timePartitionCol(t).isEmpty) opts.put("recursiveFileLookup", "true")
     // a just-created empty table has no footers to infer from: serve the
     // declared schema recorded at CREATE TABLE time
+    // declared type PROMOTIONS (ALTER COLUMN TYPE — metadata-only, the
+    // Iceberg int->long/float->double) must override footer inference:
+    // the scan requests the WIDE schema and narrow files promote
+    // natively. Eager inference here is amortized by the per-version
+    // resolution cache (promotions only apply to pointer layouts).
+    val widens = SchemaEvolution.declaredWidens(wh, t)
     val declared =
-      if (hasParquetFiles(path)) None
-      else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)
+      if (hasParquetFiles(path)) {
+        if (widens.isEmpty) None
+        else Some(SchemaEvolution.applyWidens(
+          SchemaEvolution.readTableWidened(spark, path).schema, widens))
+      } else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)
         .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .map(SchemaEvolution.applyWidens(_, widens))
     ParquetTable(t, spark, new CaseInsensitiveStringMap(opts), Seq(path),
       declared, classOf[ParquetFileFormat])
   }
@@ -507,7 +517,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           // every snapshot rewrite — captured before commit (legacy
           // migration moves the dir aside inside it)
           val markers = Tables.readRootMarkers(wh.snapshotPath(t))
-          val cur = wh.read(spark, t, mergeSchema = true)
+          // widened read: a promoted table's version dir mixes widths
+          val cur = SchemaEvolution.readTableWidened(spark, wh.snapshotPath(t))
           require(!cur.columns.exists(_.equalsIgnoreCase(colName)),
             s"column '$colName' already exists on '$t'")
           val widened = cur.withColumn(colName,
@@ -518,13 +529,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             Tables.writeRootMarkers(markers, p)
           }
         }
+      // ALTER COLUMN TYPE: the Iceberg metadata-only promotion —
+      // int->bigint / float->double declare a widen in the evolution
+      // registry; NO data rewrites (history keeps its narrow bytes) and
+      // the resolved schema serves wide (narrow files promote natively
+      // in the scan). Anything else still refuses below.
+      case uc: TableChange.UpdateColumnType
+          if uc.fieldNames.length == 1 && widensTo(t, uc).isDefined =>
+        requireEvolvable(t, "ALTER COLUMN TYPE")
+        val (colName, target) = widensTo(t, uc).get
+        SchemaEvolution.declareWiden(wh, t, colName, target)
+        // an EMPTY table's declared-at-CREATE schema is authoritative —
+        // promote it in place so the first write already lands wide
+        TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp).foreach { j =>
+          val widened = SchemaEvolution.applyWidens(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            Map(colName -> target))
+          TableProps.write(wh, t, TableProps.read(wh, t) +
+            (GraftCatalog.SqlSchemaProp -> widened.json))
+        }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported: " +
-          "numeric widening is structural (write the widened rows; reads " +
-          "merge int->long/float->double), and key columns are protected " +
+          "only int->bigint/float->double promote (ALTER COLUMN TYPE — " +
+          "metadata-only, lossless), and key columns are protected " +
           "by the evolution registry")
     }
     loadTable(ident)
+  }
+
+  /** The (column, target) of a LOSSLESS type promotion, or None when
+    * the requested retype is not one (the refusal path).
+    */
+  private def widensTo(t: String,
+      uc: TableChange.UpdateColumnType): Option[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val colName = uc.fieldNames()(0)
+    val cur = currentSchemaOf(t).fields
+      .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+    (cur, uc.newDataType()) match {
+      case (Some(ByteType | ShortType | IntegerType), LongType) =>
+        Some((colName, LongType))
+      case (Some(FloatType), DoubleType) => Some((colName, DoubleType))
+      case _ => None
+    }
+  }
+
+  /** The table's CURRENT resolved schema (footer-inferred under declared
+    * evolutions, or the declared-at-CREATE schema for an empty table).
+    */
+  private def currentSchemaOf(t: String): org.apache.spark.sql.types.StructType = {
+    val path = wh.snapshotPath(t)
+    val widens = SchemaEvolution.declaredWidens(wh, t)
+    if (hasParquetFiles(path))
+      SchemaEvolution.applyWidens(
+        SchemaEvolution.readTableWidened(spark, path).schema, widens)
+    else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(SchemaEvolution.applyWidens(_, widens))
+      .getOrElse(org.apache.spark.sql.types.StructType(Nil))
   }
 
   private def requireEvolvable(t: String, what: String): Unit =
@@ -545,7 +609,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val expected = wh.currentVersion(t)
       val markers = Tables.readRootMarkers(wh.snapshotPath(t))
       val normalized = SchemaEvolution.normalize(
-        wh.read(spark, t, mergeSchema = true), wh, t)
+        SchemaEvolution.readTableWidened(spark, wh.snapshotPath(t)), wh, t)
       wh.commit(t, expectCurrent = expected) { p =>
         normalized.write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
@@ -651,7 +715,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val stored =
           if (targetExists)
             graft.operators.Cdc.applyBatch(
-              wh.read(spark, target, mergeSchema = true), changes, cfg)
+              SchemaEvolution.readTableWidened(spark, wh.snapshotPath(target)),
+              changes, cfg)
           else graft.operators.Cdc.fold(changes, cfg)
         val pinned = stored.localCheckpoint(true)
         val markers = Tables.readRootMarkers(wh.snapshotPath(target))
@@ -1141,7 +1206,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // snapshot, silently discarding the rival's rows (lost update)
       val expected = wh.currentVersion(tableName)
       val markers = Tables.readRootMarkers(wh.snapshotPath(tableName))
-      val survivors = wh.read(spark, tableName, mergeSchema = true)
+      val survivors = SchemaEvolution
+        .readTableWidened(spark, wh.snapshotPath(tableName))
         .filter(not(coalesce(pred, lit(false))))
       wh.commit(tableName, expectCurrent = expected) { staged =>
         survivors.write

@@ -118,6 +118,60 @@ object SchemaEvolution {
     TableProps.read(wh, table).keySet
       .filter(_.startsWith(DropPrefix)).map(_.stripPrefix(DropPrefix))
 
+  private def widenKey(c: String) = s"schema.widen.$c"
+  private val WidenPrefix = "schema.widen."
+
+  /** Declare column `c` PROMOTED to `target` — the Iceberg metadata-only
+    * type promotion (int->long, float->double; nothing else), expressed
+    * as a registry entry: no data rewrites, history files keep their
+    * narrow bytes, and the SQL face serves the widened schema (Spark 4's
+    * parquet reader promotes narrow files to a wider REQUESTED schema
+    * natively — the structural contract [[readWidened]] already rides).
+    * Layout-keyed columns refuse: bucket routing hashes the key's BYTES,
+    * and `hash(1: int) != hash(1L)`.
+    */
+  def declareWiden(wh: Warehouse, table: String, c: String,
+      target: DataType): Unit = {
+    require(target == LongType || target == DoubleType,
+      s"only int->bigint and float->double promote losslessly; got $target")
+    protectedColumns(wh, table).foreach { case (k, v) =>
+      require(v != c,
+        s"cannot retype the CDC $k ('$v') — bucket layouts hash its bytes")
+    }
+    val props = TableProps.read(wh, table)
+    TableProps.write(wh, table,
+      props + (widenKey(c) -> target.typeName))
+  }
+
+  /** Declared type promotions (column -> widened type). */
+  def declaredWidens(wh: Warehouse, table: String): Map[String, DataType] =
+    TableProps.read(wh, table).collect {
+      case (k, v) if k.startsWith(WidenPrefix) =>
+        k.stripPrefix(WidenPrefix) -> (v match {
+          case "long" | "bigint" => LongType
+          case "double" => DoubleType
+          case other => throw new IllegalStateException(
+            s"unparseable widen declaration '$other' for '$k'")
+        })
+    }
+
+  /** Serve `schema` under the declared promotions — the read-side half
+    * of [[declareWiden]] (the scan requests the wide type; narrow files
+    * promote natively).
+    */
+  def applyWidens(schema: StructType, widens: Map[String, DataType]): StructType =
+    if (widens.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      widens.get(f.name) match {
+        case Some(LongType) if f.dataType == IntegerType ||
+            f.dataType == ShortType || f.dataType == ByteType =>
+          f.copy(dataType = LongType)
+        case Some(DoubleType) if f.dataType == FloatType =>
+          f.copy(dataType = DoubleType)
+        case _ => f // already wide (post-promotion files), or absent
+      }
+    })
+
   /** Resolve a frame (possibly read from files written under old names)
     * to the CURRENT schema: renamed columns rejoin their history (when a
     * mergeSchema-style union surfaced BOTH the old and new name, the new
@@ -268,8 +322,26 @@ object SchemaEvolution {
     } else if (subdirs.nonEmpty) {
       readWidened(spark, subdirs.map(_.toString))
     } else {
-      spark.read.option("recursiveFileLookup", "true")
+      // a FLAT version dir can itself be mixed-width: a fast append
+      // lands wide files NEXT TO the carried narrow ones after an
+      // ALTER COLUMN TYPE promotion. Per-FILE inference (bounded by the
+      // version's file count) merges with widening and the one explicit
+      // schema promotes every narrow file natively.
+      try spark.read.option("recursiveFileLookup", "true")
         .option("mergeSchema", "true").parquet(root)
+      catch {
+        case e: org.apache.spark.SparkException
+            if Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+          val s = Files.walk(rootP.toRealPath())
+          val files =
+            try s.iterator().asScala.filter { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+            }.map(_.toString).toSeq
+            finally s.close()
+          spark.read.schema(inferWidened(spark, files))
+            .option("recursiveFileLookup", "true").parquet(root)
+      }
     }
   }
 

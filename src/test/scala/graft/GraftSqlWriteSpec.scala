@@ -328,6 +328,44 @@ class GraftSqlWriteSpec extends SparkTestBase {
     assert(got == (0L until 8L), s"lost update: $got")
   }
 
+  test("ALTER COLUMN TYPE promotes int->bigint metadata-only: history keeps narrow bytes; non-promotions refuse") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("sqlw-widen")
+    val wh = Warehouse(root, retain = 8)
+    register("wty", root)
+    spark.sql("CREATE TABLE wty.t AS SELECT CAST(id AS INT) AS id, " +
+      "CAST(id * 10 AS INT) AS n FROM range(5)")
+    spark.sql("ALTER TABLE wty.t ALTER COLUMN n TYPE BIGINT")
+    // resolved schema serves wide IMMEDIATELY (before any wide file)
+    assert(spark.table("wty.t").schema("n").dataType == LongType)
+    // the promotion wrote NO data: v1's files keep their narrow bytes
+    val v1 = wh.currentVersion("t").get
+    assert(spark.read.parquet(s"$root/t.v$v1").schema("n").dataType
+      == IntegerType, "promotion must not rewrite history files")
+    // a wide insert lands next to the narrow files; reads promote
+    spark.sql("INSERT INTO wty.t VALUES (100, 3000000000)")
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM wty.t")
+      .head.getLong(0) == 100L + 3000000000L)
+    // mixed-width rewrites still work (deleteWhere's widened read)
+    spark.sql("DELETE FROM wty.t WHERE id = 0")
+    assert(spark.sql("SELECT count(*) FROM wty.t").head.getLong(0) == 5)
+    // lossy retypes keep refusing with the promotion rule named
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE wty.t ALTER COLUMN id TYPE STRING")
+    }
+    assert(e.getMessage.contains("int->bigint"), e.getMessage)
+    // layout-keyed columns refuse (bucket routing hashes the key bytes)
+    spark.sql("ALTER TABLE wty.t SET TBLPROPERTIES ('cdc.key-column'='id')")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE wty.t ALTER COLUMN id TYPE BIGINT")
+    }
+    assert(e2.getMessage.contains("cdc.key-column"), e2.getMessage)
+    // an EMPTY table promotes its declared schema in place
+    spark.sql("CREATE TABLE wty.e (a INT, b FLOAT)")
+    spark.sql("ALTER TABLE wty.e ALTER COLUMN b TYPE DOUBLE")
+    assert(spark.table("wty.e").schema("b").dataType == DoubleType)
+  }
+
   test("every snapshot rewrite carries root markers (stream replay protection survives UPDATE/MERGE/DELETE/ALTER/OVERWRITE/merge_changes)") {
     import java.nio.file.{Files, Paths}
     val root = tmpDir("sqlw-markers")
