@@ -43,6 +43,10 @@ object Maintenance {
       compactTimePartitioned(spark, wh, table)
       return
     }
+    // pending equality-delete sidecars (merge-on-read DELETE) fold FIRST
+    // as their own committed rewrite — the flat rewrite below reads raw
+    // files and would resurrect the deleted keys
+    graft.sources.EqDeletes.fold(spark, wh, table)
     // pin the current snapshot (resolved version dir): a stream commit
     // landing mid-rewrite must not swap files out from under the read;
     // the commit below is conditional on this version still being
@@ -118,6 +122,9 @@ object Maintenance {
       manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(dims.nonEmpty, "cluster needs at least one dimension")
+    // fold pending eq-delete sidecars first: the sort rewrite renames
+    // every file, which would orphan their censuses
+    graft.sources.EqDeletes.fold(spark, wh, table)
     if (MorMirror.storedConfig(wh, table).isDefined)
       throw new UnsupportedOperationException(
         s"'$table' is merge-on-read: its base layout is the key-bucket " +
@@ -266,6 +273,7 @@ object Maintenance {
       dims: Seq[String], bloomKeys: Seq[String] = Nil): Boolean = {
     if (dims.size != 1 || MorMirror.storedConfig(wh, table).isDefined)
       return false
+    graft.sources.EqDeletes.fold(spark, wh, table) // censuses die on rename
     var handled = false
     wh.retryingConflicts() {
       handled = attemptIncrementalCluster(spark, wh, table, dims.head, bloomKeys)

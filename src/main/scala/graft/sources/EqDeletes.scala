@@ -1,0 +1,348 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables.{TableProps, Warehouse}
+
+/** Merge-on-read SQL DELETE (Iceberg's equality-delete files on plain
+  * parquet — round-13 verdict item 4): a table that declares
+  * `write.delete.mode = merge-on-read` turns `DELETE FROM ... WHERE`
+  * into an O(deleted-keys) commit instead of a copy-on-write file
+  * rewrite — the new version HARD-LINKS every base data file and adds
+  * one sidecar under `_eqdeletes/`:
+  *
+  *   _eqdeletes/d<nanos>-<uuid>/keys.parquet   the matched KEY values
+  *   _eqdeletes/d<nanos>-<uuid>/census.txt     the data files it applies to
+  *
+  * SEMANTICS — keyed, like everything in this engine: the table's
+  * declared key (`cdc.key-column`) identifies rows, and the delete
+  * removes every row whose key matched the predicate (exact when the
+  * key is unique — the keyed-mirror contract; the mode refuses tables
+  * that declare no key). The CENSUS scopes each sidecar to the data
+  * files that existed when it committed — Iceberg's sequence-number
+  * rule expressed on names: a key re-INSERTED after the delete lands in
+  * a NEW file outside the census and is NOT re-deleted.
+  *
+  * READ SIDE ([[EqDeleteScanBuilder]]): the catalog scan splits the
+  * file set by applicable-sidecar signature — unaffected files keep the
+  * stock vectorized scan untouched; affected groups re-plan through the
+  * same `ParquetTable` machinery (filters re-pushed, columns pruned
+  * plus the key) and their readers drop rows whose key is in the
+  * group's deleted-key set (row-based until folded, the Iceberg
+  * eq-delete read tax). Aggregate pushdown is NOT offered while
+  * sidecars are pending — a footer-credited count would count deleted
+  * rows.
+  *
+  * `CALL compact` (and cluster, via [[fold]]) FOLDS pending sidecars:
+  * one committed rewrite of the AFFECTED files minus their deleted
+  * keys, everything else carried by link — cost tracks the touched
+  * region, and the folded version serves plain scans again.
+  */
+private[graft] object EqDeletes {
+
+  /** `copy-on-write` (default, absent) or `merge-on-read`. */
+  val ModeProp = "write.delete.mode"
+  /** The key column the eq-deletes identify rows by. */
+  val KeyProp = "cdc.key-column"
+  val Dir = "_eqdeletes"
+
+  /** Above this many matched keys a COW rewrite is the better plan (and
+    * the sidecar's broadcast fold would stop being "small side").
+    */
+  val MaxKeys = 1000000L
+
+  def morEnabled(props: Map[String, String]): Boolean =
+    props.get(ModeProp).contains("merge-on-read")
+
+  final case class Sidecar(dir: Path, census: Set[String]) {
+    def keysPath: String = dir.resolve("keys.parquet").toString
+  }
+
+  /** Pending sidecars of a snapshot dir, oldest first. */
+  def pending(snapshotDir: String): Seq[Sidecar] = {
+    val root = Paths.get(snapshotDir, Dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { d =>
+        val census = Files.readAllLines(d.resolve("census.txt"))
+          .asScala.filter(_.nonEmpty).toSet
+        Sidecar(d, census)
+      }
+    finally s.close()
+  }
+
+  /** Write one sidecar into a STAGED version dir. `keys` is a one-column
+    * frame of the matched key values (non-null); `census` the relative
+    * data-file names the delete applies to.
+    */
+  def write(stagedDir: String, keys: DataFrame, census: Seq[String]): Unit = {
+    val d = Paths.get(stagedDir, Dir,
+      s"d${System.nanoTime()}-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(d)
+    keys.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(d.resolve("keys.parquet").toString)
+    Files.write(d.resolve("census.txt"),
+      census.sorted.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** The folded view of a snapshot — every pending sidecar applied as a
+    * broadcast LEFT ANTI join scoped to its census (the fold's own read;
+    * catalog SCANS use the reader-level filter instead).
+    */
+  def foldedRead(spark: SparkSession, snapshotDir: String,
+      keyCol: String): DataFrame = {
+    val sidecars = pending(snapshotDir)
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
+    val base = SchemaEvolution.readTableWidened(spark, snapshotDir)
+    if (sidecars.isEmpty) return base
+    bySignature(all, sidecars).map { case (files, applicable) =>
+      val df = spark.read.schema(base.schema)
+        .parquet(files.map(f => s"$snapshotDir/$f"): _*)
+      applicable.foldLeft(df) { (acc, sc) =>
+        acc.join(broadcast(spark.read.parquet(sc.keysPath)
+          .toDF(keyCol).dropDuplicates(keyCol)),
+          Seq(keyCol), "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Group the snapshot's data files by WHICH sidecars apply to each —
+    * per-signature scans keep a re-inserted key alive (its new file is
+    * outside the older sidecar's census).
+    */
+  def bySignature(allFiles: Seq[String], sidecars: Seq[Sidecar])
+      : Seq[(Seq[String], Seq[Sidecar])] =
+    allFiles.groupBy(f => sidecars.filter(_.census.contains(f)))
+      .toSeq.map { case (applicable, files) => (files, applicable) }
+      .sortBy(_._1.headOption.getOrElse(""))
+
+  /** Fold every pending sidecar into one committed rewrite: affected
+    * files rewrite minus their deleted keys, unaffected files carry by
+    * link, sidecars do not carry — the folded version is a plain
+    * snapshot again. Returns true when a fold committed.
+    */
+  def fold(spark: SparkSession, wh: Warehouse, table: String): Boolean = {
+    if (pending(wh.snapshotPath(table)).isEmpty) return false
+    val keyCol = TableProps.read(wh, table).getOrElse(KeyProp,
+      throw new IllegalStateException(
+        s"'$table' has pending equality deletes but no '$KeyProp'"))
+    wh.retryingConflicts() {
+      val expect = wh.currentVersion(table)
+      val snap = wh.snapshotPath(table)
+      val sidecars = pending(snap)
+      if (sidecars.nonEmpty) {
+        val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        val groups = bySignature(all, sidecars)
+        val untouched = groups.collect { case (fs, a) if a.isEmpty => fs }.flatten
+        val affected = groups.filter(_._2.nonEmpty)
+        val schema = SchemaEvolution.readTableWidened(spark, snap).schema
+        val survivors = affected.map { case (files, applicable) =>
+          val df = spark.read.schema(schema)
+            .parquet(files.map(f => s"$snap/$f"): _*)
+          applicable.foldLeft(df) { (acc, sc) =>
+            acc.join(broadcast(spark.read.parquet(sc.keysPath)
+              .toDF(keyCol).dropDuplicates(keyCol)),
+              Seq(keyCol), "left_anti")
+          }
+        }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(_.localCheckpoint(true))
+        val markers = Tables.readRootMarkers(snap)
+        wh.commit(table, expectCurrent = expect) { staged =>
+          survivors.foreach(_.write.mode(SaveMode.Overwrite).parquet(staged))
+          untouched.foreach { f =>
+            wh.io.linkOrCopy(Paths.get(snap, f), Paths.get(staged, f))
+          }
+          // a version dir needs at least one footer to serve its schema
+          if (survivors.isEmpty && untouched.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema).repartition(1).write
+              .mode(SaveMode.Append).parquet(staged)
+          Tables.writeRootMarkers(markers, staged)
+          // no _zonemap carry: rewritten names invalidate the census
+        }
+      }
+    }
+    true
+  }
+
+  /** Load a signature group's deleted keys (union over its applicable
+    * sidecars) in CATALYST INTERNAL form, ready for per-row probes.
+    */
+  def internalKeySet(spark: SparkSession, applicable: Seq[Sidecar],
+      keyType: org.apache.spark.sql.types.DataType): java.util.HashSet[Any] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
+    val set = new java.util.HashSet[Any]()
+    applicable.foreach { sc =>
+      spark.read.parquet(sc.keysPath).collect().foreach { r =>
+        if (!r.isNullAt(0)) set.add(conv(r.get(0)))
+      }
+    }
+    set
+  }
+
+  /** The reader-level key filter of one affected group — serialized to
+    * executors with its (bounded, ≤ [[MaxKeys]]) deleted-key set in
+    * CATALYST internal form (UTF8String/Long/...), probed per row.
+    */
+  final class FilteringReaderFactory(
+      inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      keyIdx: Int, keyType: org.apache.spark.sql.types.DataType,
+      deleted: java.util.HashSet[Any])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+    // row-based on purpose: eq-deletes filter per row (the Iceberg
+    // read tax until compact folds)
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val in = inner.createReader(p)
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (in.next()) {
+            val r = in.get()
+            val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+            if (k == null || !deleted.contains(k)) { current = r; return true }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = in.close()
+      }
+    }
+  }
+}
+
+/** The catalog scan of a snapshot with PENDING equality deletes (see
+  * [[EqDeletes]]): files split by applicable-sidecar signature, each
+  * group re-planned through the stock `ParquetTable` machinery with the
+  * recorded filters re-pushed and columns pruned PLUS the key column
+  * (the reader needs it to probe; the Project Spark keeps above a V2
+  * scan drops the extra column for free). Affected groups read row-based
+  * with the per-row key filter; the no-sidecar group keeps the stock
+  * vectorized path untouched. No aggregate pushdown — a footer-credited
+  * count would count deleted rows.
+  */
+private[sources] class EqDeleteScanBuilder(tableName: String,
+    baseDir: String, tableSchema: StructType, keyCol: String,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    sidecars: Seq[EqDeletes.Sidecar])
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+
+  private var recorded: Seq[Expression] = Nil
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    recorded = filters
+    filters // all residual upstream; re-pushed into each group's builder
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    // pruned schema PLUS the key, in table order (uniform across groups)
+    val wanted = required.fieldNames.toSet + keyCol
+    val pruned = StructType(tableSchema.fields.filter(f => wanted(f.name)))
+    val keyType = tableSchema(keyCol).dataType
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, baseDir)
+    val groups = EqDeletes.bySignature(all, sidecars)
+    val built = groups.map { case (files, applicable) =>
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("mergeSchema", "true")
+      val sb = ParquetTable(tableName, spark,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+        files.map(f => s"$baseDir/$f"), Some(tableSchema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+      sb.pushFilters(recorded)
+      sb.pruneColumns(pruned)
+      val scan = sb.build()
+      val deleted =
+        if (applicable.isEmpty) None
+        else Some(EqDeletes.internalKeySet(spark, applicable, keyType))
+      (scan, deleted)
+    }
+    val readSchema = built.headOption.map(_._1.readSchema()).getOrElse(pruned)
+    new EqDeleteScan(tableName, built, readSchema,
+      readSchema.fieldIndex(keyCol), keyType)
+  }
+}
+
+private class EqDeleteScan(tableName: String,
+    groups: Seq[(org.apache.spark.sql.connector.read.Scan, Option[java.util.HashSet[Any]])],
+    schema: StructType, keyIdx: Int,
+    keyType: org.apache.spark.sql.types.DataType)
+  extends org.apache.spark.sql.connector.read.Scan {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType = schema
+  override def description(): String = {
+    val affected = groups.count(_._2.isDefined)
+    s"EqDeleteScan($tableName, ${groups.size} groups, $affected filtered)"
+  }
+
+  override def toBatch: Batch = new Batch {
+    private lazy val batches = groups.map { case (s, del) => (s.toBatch, del) }
+    override def planInputPartitions(): Array[InputPartition] =
+      batches.zipWithIndex.flatMap { case ((b, _), gi) =>
+        b.planInputPartitions().map(p => EqDeleteGroupedPartition(gi, p))
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val factories = batches.map { case (b, del) =>
+        val f = b.createReaderFactory()
+        del.fold(f)(ks =>
+          new EqDeletes.FilteringReaderFactory(f, keyIdx, keyType, ks))
+      }
+      new EqDeleteCompositeFactory(factories.toArray)
+    }
+  }
+}
+
+private case class EqDeleteGroupedPartition(group: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private class EqDeleteCompositeFactory(
+    factories: Array[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read._
+  private def of(p: InputPartition) = {
+    val gp = p.asInstanceOf[EqDeleteGroupedPartition]
+    (factories(gp.group), gp.inner)
+  }
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (f, in) = of(p); f.createReader(in)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, in) = of(p); f.createColumnarReader(in)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, in) = of(p); f.supportColumnarReads(in)
+  }
+}

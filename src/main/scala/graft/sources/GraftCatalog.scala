@@ -607,6 +607,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def rewriteNormalized(t: String): Unit =
     wh.retryingConflicts(maxAttempts = 10) {
       val expected = wh.currentVersion(t)
+      require(EqDeletes.pending(wh.snapshotPath(t)).isEmpty,
+        s"'$t' has pending equality deletes; CALL " +
+          s"$catalogName.system.compact('$t') before ALTER")
       val markers = Tables.readRootMarkers(wh.snapshotPath(t))
       val normalized = SchemaEvolution.normalize(
         SchemaEvolution.readTableWidened(spark, wh.snapshotPath(t)), wh, t)
@@ -711,6 +714,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // the target still absent at publish, or two concurrent first
         // merges are last-wins (advice finding)
         val targetExists = wh.exists(target)
+        require(EqDeletes.pending(wh.snapshotPath(target)).isEmpty,
+          s"'$target' has pending equality deletes; CALL " +
+            s"$catalogName.system.compact('$target') before merging")
         val changes = wh.read(spark, source, mergeSchema = true)
         val stored =
           if (targetExists)
@@ -1115,7 +1121,18 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       provider = Some("parquet"))
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // PENDING equality deletes (merge-on-read DELETE sidecars) fold at
+    // read time — unconditional on session wiring, same discipline as
+    // hidden-day pruning (time-partitioned tables never carry sidecars,
+    // so the two faces are disjoint)
+    val sidecars = EqDeletes.pending(delegate.paths.head)
+    if (sidecars.nonEmpty)
+      return new EqDeleteScanBuilder(tableName, delegate.paths.head,
+        schema(), TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
+          throw new IllegalStateException(
+            s"'$tableName' has pending equality deletes but no " +
+              s"'${EqDeletes.KeyProp}'")), options, sidecars)
     hiddenTimeColumn match {
       // derive the implied p_day conjuncts at PUSHDOWN time — pruning is
       // unconditional on session wiring (round-12 verdict item 3); only
@@ -1128,6 +1145,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           wh.timeGranularity(tableName), delegate.fileIndex.partitionSchema)
       case None => delegate.newScanBuilder(options)
     }
+  }
 
   private def refused: String = policy.left.getOrElse("")
   private def requireWritable(op: String): Unit = policy match {
@@ -1195,6 +1213,63 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE")
+    if (EqDeletes.morEnabled(TableProps.read(wh, tableName)) &&
+        morDelete(filters)) return
+    cowDelete(filters)
+  }
+
+  /** Merge-on-read DELETE: commit an O(deleted-keys) equality-delete
+    * sidecar over hard-linked base files instead of rewriting them (see
+    * [[EqDeletes]]). Returns false to fall back to the COW rewrite when
+    * the matched key set is past [[EqDeletes.MaxKeys]] (a rewrite IS
+    * the better plan there) or the table has no versioned pointer.
+    */
+  private def morDelete(filters: Array[Filter]): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val spark = SparkSession.active
+    val keyCol = TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
+      throw new UnsupportedOperationException(
+        s"'$tableName' declares ${EqDeletes.ModeProp}=merge-on-read but " +
+          s"no ${EqDeletes.KeyProp}: equality deletes identify rows by " +
+          "the table's key"))
+    val pred = filters.map(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    var applied = true
+    wh.retryingConflicts(maxAttempts = 10) {
+      val expected = wh.currentVersion(tableName).getOrElse(
+        throw new UnsupportedOperationException(
+          s"merge-on-read DELETE needs '$tableName' in the versioned " +
+            "pointer layout"))
+      val snap = wh.snapshotPath(tableName)
+      // match against the FOLDED view: earlier pending deletes respected
+      val matched = EqDeletes.foldedRead(spark, snap, keyCol)
+        .filter(coalesce(pred, lit(false)))
+        .select(col(keyCol)).filter(col(keyCol).isNotNull)
+        .dropDuplicates(keyCol).localCheckpoint(true)
+      val n = matched.count()
+      if (n == 0) applied = true // nothing matched: the delete is a no-op
+      else if (n > EqDeletes.MaxKeys) applied = false // COW is the plan
+      else {
+        val census = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
+          wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
+          // the carried zone-map manifest would overcount deleted rows —
+          // drop it; the next cluster (which folds first) rebuilds
+          val zm = java.nio.file.Paths.get(staged, "_zonemap")
+          if (java.nio.file.Files.isDirectory(zm))
+            Tables.deleteRecursively(zm)
+          EqDeletes.write(staged, matched, census)
+        }
+        applied = true
+      }
+    }
+    applied
+  }
+
+  /** Copy-on-write DELETE (the default): survivors rewrite as a new
+    * version behind the commit CAS.
+    */
+  private def cowDelete(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val pred = filters.map(GraftTable.filterToColumn)
@@ -1205,10 +1280,16 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // let the CAS pass while the survivors were read from the OLD
       // snapshot, silently discarding the rival's rows (lost update)
       val expected = wh.currentVersion(tableName)
-      val markers = Tables.readRootMarkers(wh.snapshotPath(tableName))
-      val survivors = SchemaEvolution
-        .readTableWidened(spark, wh.snapshotPath(tableName))
-        .filter(not(coalesce(pred, lit(false))))
+      val snap = wh.snapshotPath(tableName)
+      val markers = Tables.readRootMarkers(snap)
+      // FOLDED base when sidecars are pending (the huge-delete fallback
+      // from morDelete): a raw read would resurrect the deleted keys
+      val base =
+        if (EqDeletes.pending(snap).nonEmpty)
+          EqDeletes.foldedRead(spark, snap,
+            TableProps.read(wh, tableName)(EqDeletes.KeyProp))
+        else SchemaEvolution.readTableWidened(spark, snap)
+      val survivors = base.filter(not(coalesce(pred, lit(false))))
       wh.commit(tableName, expectCurrent = expected) { staged =>
         survivors.write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
@@ -1240,6 +1321,12 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
+    // the group scan reads RAW files; pending eq-delete sidecars would
+    // resurrect their keys through the rewrite — fold first, loudly
+    require(EqDeletes.pending(wh.snapshotPath(tableName)).isEmpty,
+      s"'$tableName' has pending equality deletes (merge-on-read " +
+        s"DELETE sidecars); CALL <catalog>.system.compact('$tableName') " +
+        "to fold them before UPDATE/MERGE")
     val expected = wh.currentVersion(tableName)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {

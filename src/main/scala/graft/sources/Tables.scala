@@ -726,6 +726,22 @@ object Tables {
           .foreach(p => linkOrCopy(p, dst.resolve(p.getFileName.toString)))
         finally zs.close()
       }
+      // pending equality-delete sidecars (merge-on-read DELETE) are part
+      // of the snapshot's LOGICAL content — dropping them on an append
+      // or roll-forward would resurrect deleted rows. Their censuses
+      // stay valid because data files carry under their own names.
+      val eq = prev.resolve(EqDeletes.Dir)
+      if (Files.isDirectory(eq)) {
+        def carryTree(src: Path, dst: Path): Unit = {
+          Files.createDirectories(dst)
+          val es = Files.list(src)
+          try es.iterator().asScala.foreach { p =>
+            val t = dst.resolve(p.getFileName.toString)
+            if (Files.isDirectory(p)) carryTree(p, t) else linkOrCopy(p, t)
+          } finally es.close()
+        }
+        carryTree(eq, staged.resolve(EqDeletes.Dir))
+      }
     }
 
     /** Restore a retained snapshot as the CURRENT table state — the
