@@ -305,6 +305,18 @@ private class EqDeleteScan(tableName: String,
     s"EqDeleteScan($tableName, ${groups.size} groups, $affected filtered)"
   }
 
+  /** Uniformly row-based while sidecars are pending: affected groups
+    * MUST read row-by-row (the key probe), and Spark 4's
+    * `DataSourceV2ScanExecBase.supportsColumnar` refuses a scan whose
+    * partitions mix row-based and columnar ("Cannot mix row-based and
+    * columnar input partitions") — the default PARTITION_DEFINED mode
+    * would crash every post-delete SELECT the moment an append lands a
+    * file outside all censuses (unaffected → columnar) next to affected
+    * ones. The read tax ends when `CALL compact` folds the sidecars.
+    */
+  override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
+
   override def toBatch: Batch = new Batch {
     private lazy val batches = groups.map { case (s, del) => (s.toBatch, del) }
     override def planInputPartitions(): Array[InputPartition] =
@@ -339,10 +351,7 @@ private class EqDeleteCompositeFactory(
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val (f, in) = of(p); f.createReader(in)
   }
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (f, in) = of(p); f.createColumnarReader(in)
-  }
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (f, in) = of(p); f.supportColumnarReads(in)
-  }
+  // uniformly row-based (EqDeleteScan.columnarSupportMode=UNSUPPORTED):
+  // a per-partition answer here would re-open the mixed-mode crash
+  override def supportColumnarReads(p: InputPartition): Boolean = false
 }

@@ -1242,12 +1242,19 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             "pointer layout"))
       val snap = wh.snapshotPath(tableName)
       // match against the FOLDED view: earlier pending deletes respected
-      val matched = EqDeletes.foldedRead(spark, snap, keyCol)
+      val matchedRows = EqDeletes.foldedRead(spark, snap, keyCol)
         .filter(coalesce(pred, lit(false)))
-        .select(col(keyCol)).filter(col(keyCol).isNotNull)
-        .dropDuplicates(keyCol).localCheckpoint(true)
+        .select(col(keyCol)).localCheckpoint(true)
+      // a matched row with a NULL key cannot be identified by an
+      // equality-delete sidecar (the reader filter deliberately keeps
+      // null-key rows) — retaining it would silently diverge from the
+      // COW result for the same predicate; COW is the honest plan
+      val nullMatched = matchedRows.filter(col(keyCol).isNull).count()
+      val matched = matchedRows.filter(col(keyCol).isNotNull)
+        .dropDuplicates(keyCol)
       val n = matched.count()
-      if (n == 0) applied = true // nothing matched: the delete is a no-op
+      if (nullMatched > 0) applied = false // NULL keys: COW deletes them
+      else if (n == 0) applied = true // nothing matched: delete is a no-op
       else if (n > EqDeletes.MaxKeys) applied = false // COW is the plan
       else {
         val census = graft.plans.ZoneMap.dataFileCensus(spark, snap)
@@ -1322,11 +1329,21 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
     // the group scan reads RAW files; pending eq-delete sidecars would
-    // resurrect their keys through the rewrite — fold first, loudly
-    require(EqDeletes.pending(wh.snapshotPath(tableName)).isEmpty,
+    // resurrect their keys through the rewrite — fold first, loudly.
+    // DELETE defers the check into the group scan's build: Spark's
+    // RewriteDeleteFromTable constructs this operation for EVERY SQL
+    // DELETE at analysis, and only the optimizer's metadata-only rule
+    // (which runs BEFORE scan planning) decides whether deleteWhere —
+    // whose MOR/folded paths handle sidecars correctly — takes over.
+    // An eager throw here would refuse the stacked merge-on-read
+    // DELETE that never touches this scan.
+    val morPending = EqDeletes.pending(wh.snapshotPath(tableName)).nonEmpty
+    def refusePending(): Unit = require(!morPending,
       s"'$tableName' has pending equality deletes (merge-on-read " +
         s"DELETE sidecars); CALL <catalog>.system.compact('$tableName') " +
-        "to fold them before UPDATE/MERGE")
+        "to fold them before a group-based rewrite")
+    if (info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      refusePending()
     val expected = wh.currentVersion(tableName)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
@@ -1362,6 +1379,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             }
             override def pushedFilters(): Array[Filter] = Array.empty
             override def build(): Scan = {
+              refusePending() // a DELETE that reached the group scan
               // static selection (UPDATE/DELETE literal predicates);
               // runtime narrowing (MERGE matched keys) arrives through
               // the scan's SupportsRuntimeV2Filtering face
