@@ -1208,6 +1208,74 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Merge-on-read SQL DELETE under the oracle gate (q202, round-14
+    * verdict item 1): a MOR-mode table takes two stacked `DELETE FROM`s
+    * as O(deleted-keys) equality-delete sidecars over hard-linked base
+    * files — the query REQUIRES the first delete rewrote zero data
+    * files (the census proof) — with the deleted keys re-INSERTed
+    * between them (new files outside the first sidecar's census, so the
+    * delete must not reapply: Iceberg's sequence-number rule on names,
+    * the v2 eq-delete semantics the reference's mirror inherits via
+    * tabular.py:69-70). The aggregate is taken TWICE: once with
+    * sidecars pending (the per-signature reader-filter scan) and once
+    * after `CALL compact` folds them back to a plain snapshot — both
+    * phases must hash-equal the oracle's one model, and the pre-delete
+    * snapshot's count pins retained history through the fold.
+    */
+  def q202MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor_q202")
+    val cat = s"gq202_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      Tables.TableProps.write(wh, "ev", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "event_id"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      val vPre = wh.currentVersion("ev").get
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+      // the O(deleted-keys) census proof: one sidecar, ZERO data files
+      // rewritten — every base file carried into the new version by name
+      require(EqDeletes.pending(wh.snapshotPath("ev")).size == 1 &&
+        graft.plans.ZoneMap.dataFileCensus(spark, wh.snapshotPath("ev"))
+          .toSet == preFiles,
+        "merge-on-read DELETE must carry base files, not rewrite them")
+      // re-insert every deleted key: a new file OUTSIDE the census
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), lit("restored").as("event_type"),
+          col("value"))
+        .createOrReplaceTempView(s"restored_$cat")
+      spark.sql(s"INSERT INTO $cat.ev SELECT * FROM restored_$cat")
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'view'") // stacked
+      require(EqDeletes.pending(wh.snapshotPath("ev")).size == 2,
+        "the second delete must stack a second sidecar")
+      def agg(phase: String) = spark.sql(
+        s"""SELECT '$phase' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vPre)
+           |    AS n_pre_delete
+           |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      val pending = agg("pending").localCheckpoint(true)
+      spark.sql(s"CALL $cat.system.compact('ev', 4)").collect()
+      require(EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+        "compact must fold every pending sidecar")
+      pending.unionByName(agg("folded"))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -2756,6 +2824,29 @@ object Queries {
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // stacked merge-on-read deletes + the re-inserted keys (census rule)
+    // reduce to one closed-form model over the raw rows: the even half
+    // minus clicks minus views, plus the clicks back as 'restored' —
+    // identical for the pending (sidecar-filtered) and folded phases
+    "q202_mor_delete" ->
+      """WITH finalv AS MATERIALIZED (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type NOT IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT 'restored' AS event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type = 'click')
+        |SELECT 'folded' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_pre_delete
+        |FROM finalv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'pending', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |FROM finalv GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3248,6 +3339,7 @@ object Queries {
     "q199_add_column" -> (q199AddColumn _),
     "q200_objectstore_lifecycle" -> (q200ObjectStoreLifecycle _),
     "q201_type_widening" -> (q201TypeWidening _),
+    "q202_mor_delete" -> (q202MorDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
