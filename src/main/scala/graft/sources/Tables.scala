@@ -160,10 +160,57 @@ object Tables {
       * plain table path for legacy/non-versioned layouts.
       */
     def snapshotPath(name: String): String = {
+      verifySubstrate(stamp = false)
       val p = Paths.get(tablePath(name))
       io.readPointer(p) match {
         case Some(target) => p.getParent.resolve(target).toString
         case None => tablePath(name)
+      }
+    }
+
+    /** Fail fast when this Warehouse's configured [[WarehouseIO]]
+      * disagrees with the substrate the warehouse was COMMITTED under —
+      * a mismatched impl does not merely misread: LocalWarehouseIO sees
+      * an object-store pointer OBJECT as a legacy real dir and
+      * migrateLegacy corrupts the table by moving the pointer aside.
+      * The `_warehouse_io` root marker is stamped by the first commit
+      * (exclusively — concurrent first committers converge on one
+      * winner's stamp, which both then verify) and checked once per
+      * Warehouse instance on the first pointer resolution or commit.
+      */
+    @volatile private var substrateReadOk = false // read-path memo
+    @volatile private var substrateStamped = false // commit-path memo
+    private def verifySubstrate(stamp: Boolean): Unit = {
+      if (if (stamp) substrateStamped else substrateReadOk) return
+      val marker = Paths.get(root, SubstrateMarker)
+      // an empty read is a rival mid-stamp (create won, content not yet
+      // written) — treat as no claim yet; the next check re-reads
+      def recorded: Option[String] =
+        try Some(Files.readString(marker).trim).filter(_.nonEmpty)
+        catch { case _: java.io.IOException => None }
+      def mismatch(s: String): Nothing = throw new IllegalStateException(
+        s"warehouse '$root' was committed under the '$s' IO substrate " +
+          s"but this session is configured for '${io.name}' — a " +
+          "mismatched impl misreads table pointers and would corrupt " +
+          "the layout; set GRAFT_WAREHOUSE_IO / -Dgraft.warehouse.io " +
+          "(or the Warehouse constructor) to match")
+      recorded match {
+        case Some(s) if s != io.name => mismatch(s)
+        case Some(_) => substrateReadOk = true; substrateStamped = true
+        case None if stamp =>
+          try { io.createExclusive(marker); Files.writeString(marker, io.name) }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          // re-read: a rival may have stamped first — its substrate must
+          // match; an empty re-read (rival mid-stamp) retries next commit
+          recorded match {
+            case Some(s) if s != io.name => mismatch(s)
+            case Some(_) => substrateReadOk = true; substrateStamped = true
+            case None => ()
+          }
+        // unstamped (pre-marker or read-only): no claim yet — memoize so
+        // the hot pointer-resolution path pays no per-call stat; the
+        // first commit through THIS instance still stamps (own flag)
+        case None => substrateReadOk = true
       }
     }
 
@@ -234,6 +281,7 @@ object Tables {
       require(!name.contains("/"),
         s"commit is table-level; '$name' looks like a subdirectory")
       Files.createDirectories(Paths.get(root))
+      verifySubstrate(stamp = true)
       val legacyMoved = migrateLegacy(name)
       val versionDir = allocateStage(name)
       try write(versionDir.toString)
@@ -296,6 +344,7 @@ object Tables {
       require(!name.contains("/"),
         s"allocation is table-level; '$name' looks like a subdirectory")
       Files.createDirectories(Paths.get(root))
+      verifySubstrate(stamp = true) // external writes stamp/verify too
       var next = versions(name).lastOption.map(_._1 + 1).getOrElse(1L)
       var versionDir: Path = null
       while (versionDir == null) {
@@ -1275,6 +1324,10 @@ object Tables {
     * parquet scans.
     */
   private[graft] val PublishedMarker = "_published"
+  /** Warehouse-root record of the [[WarehouseIO]] substrate the
+    * warehouse was first committed under — see Warehouse.verifySubstrate.
+    */
+  private[graft] val SubstrateMarker = "_warehouse_io"
 
   /** Root-level `_`-prefixed marker FILES (not dirs) of a snapshot,
     * excluding the write/commit machinery's own, read INTO MEMORY (they

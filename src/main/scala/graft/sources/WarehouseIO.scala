@@ -29,6 +29,16 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * `local`) so multi-JVM harnesses pick one impl fleet-wide.
   */
 private[graft] trait WarehouseIO {
+  /** Stable substrate name, stamped into the warehouse-root
+    * `_warehouse_io` marker on first commit and verified on open — a
+    * LocalWarehouseIO session reading an object-store warehouse would
+    * otherwise see every pointer OBJECT as a legacy real dir (readPointer
+    * checks symlinks) and migrateLegacy would move the pointer aside as
+    * a "version dir", corrupting the table; the reverse misreads the
+    * same way (advice r14).
+    */
+  def name: String
+
   /** Create `p` exclusively — throws FileAlreadyExistsException when an
     * owner exists. The "exactly one winner" primitive (POSIX O_EXCL;
     * object store: conditional PUT — the contract is identical).
@@ -114,6 +124,8 @@ private[graft] object WarehouseIO {
   * ATOMIC_MOVE, hard links.
   */
 private[graft] object LocalWarehouseIO extends WarehouseIO {
+  override val name: String = "local"
+
   override def createExclusive(p: Path): Unit = Files.createFile(p)
 
   override def createDirExclusive(p: Path): Unit = Files.createDirectory(p)
@@ -213,6 +225,8 @@ private[graft] object LocalWarehouseIO extends WarehouseIO {
   * an allocated number.
   */
 private[graft] object ObjectStoreIO extends WarehouseIO {
+  override val name: String = "objectstore"
+
   override def createExclusive(p: Path): Unit = Files.createFile(p)
 
   override def createDirExclusive(p: Path): Unit = {

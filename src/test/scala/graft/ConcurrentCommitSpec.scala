@@ -307,6 +307,35 @@ abstract class ConcurrentCommitBehavior(ioImpl: graft.sources.WarehouseIO)
     assert(wh.read(spark, "t").select("name").as[String].collect().toSeq == Seq("v2"))
     assert(!Files.exists(lock), "the lock must be released after the commit")
   }
+
+  test("the first commit stamps the IO substrate at warehouse root; a mismatched impl fails fast instead of corrupting pointers") {
+    import spark.implicits._
+    import graft.sources.{LocalWarehouseIO, ObjectStoreIO, Tables => T}
+    val root = tmpDir("cc-substrate")
+    val wh = Wh(root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "name"), "t")
+    val marker = Files.readString(
+      java.nio.file.Paths.get(root, T.SubstrateMarker)).trim
+    assert(marker == ioImpl.name)
+    // same impl: re-open reads and commits normally
+    val again = Wh(root)
+    assert(again.read(spark, "t").count() == 1)
+    again.overwrite(Seq((2L, "b")).toDF("id", "name"), "t")
+    // the OTHER impl: the pointer seam would misread (a pointer OBJECT
+    // looks like a legacy dir to the symlink impl and vice versa) —
+    // both the read resolution and the commit must refuse loudly
+    val other =
+      if (ioImpl == LocalWarehouseIO) ObjectStoreIO else LocalWarehouseIO
+    val mismatched = Warehouse(root, 2, other)
+    val eRead = intercept[IllegalStateException] { mismatched.snapshotPath("t") }
+    assert(eRead.getMessage.contains(ioImpl.name), eRead.getMessage)
+    intercept[IllegalStateException] {
+      mismatched.overwrite(Seq((3L, "c")).toDF("id", "name"), "t")
+    }
+    // the refusal left the layout intact for the right impl
+    assert(Wh(root).read(spark, "t")
+      .select("name").as[String].collect().toSeq == Seq("b"))
+  }
 }
 
 /** The commit protocol on POSIX primitives (the offline default). */
