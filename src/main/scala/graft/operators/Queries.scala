@@ -1118,8 +1118,14 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8,
       io = graft.sources.ObjectStoreIO)
     try {
+      // a THIRD of the table exercises every lifecycle stage at a third
+      // of the local emulation's copy tax (each carry is a full byte
+      // copy standing in for S3 CopyObject, which moves zero client
+      // bytes — the slice trims the stand-in's cost, not the proof)
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      // v1: the even half — a conditional-PUT-committed first snapshot
+        .filter(pmod(col("event_id"), lit(3)) === 0)
+      // v1: the even half of the slice — a conditional-PUT-committed
+      // first snapshot
       wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
         .localCheckpoint(true), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
@@ -2804,11 +2810,11 @@ object Queries {
         |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value * 2
         |                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_value
-        |FROM events GROUP BY event_type
+        |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
         |UNION ALL
         |SELECT 'current', event_type, count(*),
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |FROM events GROUP BY event_type
+        |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
 
     // the metadata-only int->bigint promotion + the wide insert must

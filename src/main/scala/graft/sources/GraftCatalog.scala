@@ -319,11 +319,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = resolved(ident)
+    // a BRANCH name serves its head snapshot — the audit face of
+    // write-audit-publish: branch commits are invisible to plain reads
+    // (main's pointer gates publication) but fully readable here
+    if (version.toLongOption.isEmpty && wh.branches(t).contains(version))
+      return mkTable(t, wh.branchSnapshotDir(t, version).toString,
+        Left(s"'$t' VERSION AS OF '$version' is the branch audit read; " +
+          s"branch writes go through spark.graft.wap.branch"))
     val v = version.toLongOption
       .orElse(wh.tags(t).get(version))
       .getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a version number nor a tag of '$t' " +
-          s"(tags: ${wh.tags(t).keys.toSeq.sorted.mkString(", ")})"))
+        s"'$version' is neither a version number, a tag, nor a branch " +
+          s"of '$t' (tags: ${wh.tags(t).keys.toSeq.sorted.mkString(", ")}; " +
+          s"branches: ${wh.branches(t).keys.toSeq.sorted.mkString(", ")})"))
     val dir = wh.publishedVersions(t).collectFirst { case (`v`, p) => p }
       .getOrElse(throw new NoSuchTableException(ident))
     mkTable(t, dir.toString,
@@ -474,11 +482,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(!s.property.startsWith(Tables.TagPropPrefix),
           "tags pin retained versions and must validate against the " +
             s"snapshot log — CALL $catalogName.system.create_tag instead")
+        require(!s.property.startsWith(Tables.BranchPropPrefix),
+          "branch refs are commit-lock-managed state — CALL " +
+            s"$catalogName.system.create_branch/fast_forward/drop_branch")
         TableProps.write(wh, t, TableProps.read(wh, t) + (s.property -> s.value))
       case r: TableChange.RemoveProperty =>
         require(r.property != Tables.TimePartitionProp,
           s"${Tables.TimePartitionProp} is the table's physical layout " +
             "— declared at CREATE time, immutable after")
+        // the scan path trusts the ABSENCE of the MOR prop to skip the
+        // pending-sidecar probe — unsetting it with sidecars live in ANY
+        // retained version (time travel pins old snapshots, which keep
+        // their sidecars after a fold) would silently resurrect every
+        // deleted key on the next read of that snapshot
+        require(r.property != EqDeletes.ModeProp ||
+          wh.publishedVersions(t).forall { case (_, dir) =>
+            EqDeletes.pending(dir.toString).isEmpty
+          },
+          s"'$t' has equality-delete sidecars in retained history; CALL " +
+            s"$catalogName.system.compact('$t') and expire the " +
+            s"sidecar-bearing snapshots before unsetting ${EqDeletes.ModeProp}")
         TableProps.write(wh, t, TableProps.read(wh, t) - r.property)
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames.length == 1,
@@ -933,6 +956,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       wh.tags(str(in, 0)).toSeq.sortBy(_._1).map { case (tg, v) => row(tg, v) }
     },
 
+    procedure("create_branch",
+      "Fork BRANCH at TABLE's current version (write-audit-publish: " +
+        "INSERTs land on it under spark.graft.wap.branch, audit via " +
+        "VERSION AS OF '<branch>', publish with fast_forward)",
+      Seq(param("table", StringType), param("branch", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("branch", StringType),
+        StructField("forked_at", LongType)))) { in =>
+      val (t, b) = (str(in, 0), str(in, 1))
+      evictTable(t)
+      Seq(row(t, b, wh.createBranch(t, b)))
+    },
+
+    procedure("fast_forward",
+      "Publish BRANCH into main with one pointer CAS (refused when main " +
+        "moved since the fork — not fast-forwardable)",
+      Seq(param("table", StringType), param("branch", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("branch", StringType),
+        StructField("main_at", LongType)))) { in =>
+      val (t, b) = (str(in, 0), str(in, 1))
+      evictTable(t) // main's resolution changes under the reader
+      Seq(row(t, b, wh.fastForward(t, b)))
+    },
+
+    procedure("drop_branch",
+      "Drop BRANCH from TABLE: its unmerged versions re-enter the " +
+        "normal retention window",
+      Seq(param("table", StringType), param("branch", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("existed", BooleanType)))) { in =>
+      Seq(row(str(in, 0), wh.dropBranch(str(in, 0), str(in, 1))))
+    },
+
+    procedure("branches",
+      "Branches of TABLE with their head and fork-base versions",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("branch", StringType),
+        StructField("head", LongType),
+        StructField("base", LongType)))) { in =>
+      wh.branches(str(in, 0)).toSeq.sortBy(_._1).map {
+        case (b, (h, base)) => row(b, h, base)
+      }
+    },
+
     // The snapshot log as rows — what VERSION AS OF / TIMESTAMP AS OF
     // resolve against.
     procedure("snapshots",
@@ -1125,8 +1193,13 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     // PENDING equality deletes (merge-on-read DELETE sidecars) fold at
     // read time — unconditional on session wiring, same discipline as
     // hidden-day pruning (time-partitioned tables never carry sidecars,
-    // so the two faces are disjoint)
-    val sidecars = EqDeletes.pending(delegate.paths.head)
+    // so the two faces are disjoint). The probe is gated on the cached
+    // MOR prop: sidecars only ever exist under it (morDelete checks it
+    // first, and UNSET refuses while any are pending), so the common
+    // non-MOR scan pays a map lookup, not a per-scan directory stat.
+    val sidecars =
+      if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
+      else EqDeletes.pending(delegate.paths.head)
     if (sidecars.nonEmpty)
       return new EqDeleteScanBuilder(tableName, delegate.paths.head,
         schema(), TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
@@ -1167,12 +1240,26 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           requireWritable("write") // batch face: time-partitioned refuses
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              if (replace || overwrite) wh.overwrite(data, tableName)
-              // a generous retry budget: SQL INSERTs are external writers
-              // with no coordination, so N-way contention where every
-              // rival wins once each is NORMAL, not pathological
-              else wh.retryingConflicts(maxAttempts = 10) {
-                wh.appendVersioned(data, tableName)
+              GraftTable.wapBranch match {
+                // write-audit-publish: the session conf routes the append
+                // onto the branch's own ref — main's pointer never moves
+                // until CALL fast_forward publishes the audited head
+                case Some(b) =>
+                  require(!(replace || overwrite),
+                    s"INSERT OVERWRITE onto WAP branch '$b' is not " +
+                      "supported: branch ingest is append-shaped; " +
+                      "audit, then fast_forward or drop the branch")
+                  wh.retryingConflicts(maxAttempts = 10) {
+                    wh.appendToBranch(data, tableName, b)
+                  }
+                case None =>
+                  if (replace || overwrite) wh.overwrite(data, tableName)
+                  // a generous retry budget: SQL INSERTs are external
+                  // writers with no coordination, so N-way contention
+                  // where every rival wins once each is NORMAL
+                  else wh.retryingConflicts(maxAttempts = 10) {
+                    wh.appendVersioned(data, tableName)
+                  }
               }
           }
         }
@@ -1185,6 +1272,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           * by the layout's own dynamic-overwrite contract).
           */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          GraftTable.refuseWap("streaming write")
           streamPolicy.left.foreach(reason =>
             throw new UnsupportedOperationException(
               s"streaming write to '$tableName' refused: $reason"))
@@ -1213,6 +1301,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE")
+    GraftTable.refuseWap("DELETE")
     if (EqDeletes.morEnabled(TableProps.read(wh, tableName)) &&
         morDelete(filters)) return
     cowDelete(filters)
@@ -1328,6 +1417,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
+    GraftTable.refuseWap(info.command.toString)
     // the group scan reads RAW files; pending eq-delete sidecars would
     // resurrect their keys through the rewrite — fold first, loudly.
     // DELETE defers the check into the group scan's build: Spark's
@@ -1417,6 +1507,23 @@ private[sources] object GraftTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.{sources => f}
+
+  /** The session's write-audit-publish branch (`spark.graft.wap.branch`,
+    * the Iceberg `spark.wap.branch` pattern): when set, SQL INSERTs land
+    * on that branch's ref and every other write face refuses loudly —
+    * a DELETE/MERGE silently hitting MAIN while the session believes it
+    * is staging on a branch would be the worst kind of publish.
+    */
+  private[sources] def wapBranch: Option[String] =
+    Option(SparkSession.active)
+      .map(_.conf.get("spark.graft.wap.branch", ""))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private[sources] def refuseWap(op: String): Unit =
+    wapBranch.foreach(b => throw new UnsupportedOperationException(
+      s"$op under spark.graft.wap.branch='$b' is not supported: only " +
+        "INSERT appends land on the branch; unset the conf (or audit " +
+        "and fast_forward) before row-level/streaming writes"))
 
   /** Conservative file-group selection for a row-level rewrite: the
     * recorded (NOT pushed) condition translates conjunct-wise into

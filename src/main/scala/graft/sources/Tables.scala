@@ -463,18 +463,29 @@ object Tables {
         // itself, leaving the pointer dangling (caught by the
         // breaker-storm spec)
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
-        val tagged = taggedVersions(name)
+        // tags AND branch heads pin by name (the Iceberg ref contract):
+        // retention never ages them out; drop_tag / drop_branch releases
+        val tagged = taggedVersions(name) ++ branchHeadVersions(name)
         versions(name)
           .filter { case (v, p) =>
             Files.exists(p.resolve(PublishedMarker)) &&
               p.getFileName.toString != curName &&
-              // a TAGGED snapshot is pinned by name (the Iceberg tag
-              // contract): retention never ages it out; drop_tag
-              // releases it back to the normal window
               !tagged.contains(v)
           }
           .dropRight(retain - 1)
           .foreach { case (_, p) => deleteRecursively(p) }
+        // branch debris: a BRANCH-marked dir whose version no active
+        // branch can still reach — not in any (base, head] window and
+        // never promoted to main — lost its ref (drop_branch, or a
+        // superseded head). The window is a safe superset: another
+        // branch's numeric range shields a dir at worst one sweep longer.
+        val windows = branches(name).values
+        versions(name).foreach { case (v, p) =>
+          if (Files.exists(p.resolve(BranchMarker)) &&
+              !Files.exists(p.resolve(PublishedMarker)) &&
+              !windows.exists { case (head, base) => v > base && v <= head })
+            deleteRecursively(p)
+        }
       }
     }
 
@@ -590,6 +601,11 @@ object Tables {
         dir.toAbsolutePath.normalize.toString ==
           Paths.get(snapshotPath(name)).toAbsolutePath.normalize.toString ||
         (!Files.exists(stageMarkerPath(dir)) &&
+          // a BRANCH-committed dir is definitively not pre-marker
+          // history: it stays out of main until fast_forward stamps it
+          // (without this, main overtaking a branch's version numbers
+          // would grandfather the branch's dirs into main history)
+          !Files.exists(dir.resolve(BranchMarker)) &&
           // _SUCCESS: a COMPLETED pre-marker Spark write — a stage
           // crashed under pre-upgrade code is half-written without it
           // and must never be served as a snapshot (advice finding)
@@ -633,7 +649,11 @@ object Tables {
       */
     private[graft] def unpublishedStages(name: String): Seq[Path] =
       versions(name).collect {
-        case (v, p) if !isPublishedDir(name, v, p) => p
+        // BRANCH-committed dirs are durable refs, not crashed stages —
+        // the orphan sweep must never age out a live branch's history
+        // (the branch-debris sweep in publishStage owns their GC)
+        case (v, p) if !isPublishedDir(name, v, p) &&
+          !Files.exists(p.resolve(BranchMarker)) => p
       }
 
     /** Time-travel read of a specific retained version. Fails loudly when
@@ -754,42 +774,64 @@ object Tables {
           }
         } finally s.close()
       }
-      carryData(prev, "")
-      // root markers (_ivm_batch_id, _feed_cursor, ... — everything the
-      // compaction paths carry); publication/_SUCCESS excluded
-      val s = Files.list(prev)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filter(_.getFileName.toString.startsWith("_"))
-        .filterNot(p => Set("_SUCCESS", PublishedMarker)
-          .contains(p.getFileName.toString))
-        .foreach(p => Files.copy(p, staged.resolve(p.getFileName.toString),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-      finally s.close()
-      val zm = prev.resolve("_zonemap")
-      if (manifestSafe && Files.isDirectory(zm)) {
-        val dst = staged.resolve("_zonemap")
+      def carryTree(src: Path, dst: Path): Unit = {
         Files.createDirectories(dst)
-        val zs = Files.list(zm)
-        try zs.iterator().asScala.filter(Files.isRegularFile(_))
-          .foreach(p => linkOrCopy(p, dst.resolve(p.getFileName.toString)))
-        finally zs.close()
+        val es = Files.list(src)
+        try es.iterator().asScala.foreach { p =>
+          val t = dst.resolve(p.getFileName.toString)
+          if (Files.isDirectory(p)) carryTree(p, t) else linkOrCopy(p, t)
+        } finally es.close()
       }
-      // pending equality-delete sidecars (merge-on-read DELETE) are part
-      // of the snapshot's LOGICAL content — dropping them on an append
-      // or roll-forward would resurrect deleted rows. Their censuses
-      // stay valid because data files carry under their own names.
-      val eq = prev.resolve(EqDeletes.Dir)
-      if (Files.isDirectory(eq)) {
-        def carryTree(src: Path, dst: Path): Unit = {
-          Files.createDirectories(dst)
-          val es = Files.list(src)
-          try es.iterator().asScala.foreach { p =>
-            val t = dst.resolve(p.getFileName.toString)
-            if (Files.isDirectory(p)) carryTree(p, t) else linkOrCopy(p, t)
-          } finally es.close()
+      // ONE listing of the previous root dispatches every carry class
+      // (data walked first — the zone-map manifest only carries when no
+      // collision renamed a data file out from under its census):
+      //  - plain names: data files/dirs, hard-link under their own names
+      //  - `_<marker>` files: root markers (_ivm_batch_id, _feed_cursor,
+      //    streaming epochs) copy byte-for-byte; publication/_SUCCESS
+      //    excluded — publication is the commit's own act on the new dir
+      //  - `_zonemap`: per-file stats stay valid because data files
+      //    carry under their own names
+      //  - `_eqdeletes`: pending merge-on-read sidecars are part of the
+      //    snapshot's LOGICAL content — dropping them on an append or
+      //    roll-forward would resurrect deleted rows; censuses stay
+      //    valid for the same reason the manifest does
+      val entries = {
+        val s = Files.list(prev)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+      // data first (manifestSafe must be decided before _zonemap carries)
+      entries.foreach { p =>
+        val fn = p.getFileName.toString
+        if (fn.startsWith("_") || fn.startsWith(".")) ()
+        else if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          Files.createDirectories(staged.resolve(fn))
+          carryData(p, s"$fn/")
+        } else {
+          val dst = staged.resolve(fn)
+          if (Files.exists(dst)) {
+            linkOrCopy(p, staged.resolve(s"carried-${System.nanoTime()}-$fn"))
+            manifestSafe = false
+          } else linkOrCopy(p, dst)
         }
-        carryTree(eq, staged.resolve(EqDeletes.Dir))
+      }
+      entries.foreach { p =>
+        val fn = p.getFileName.toString
+        if (fn == "_zonemap" && Files.isDirectory(p)) {
+          if (manifestSafe) {
+            val dst = staged.resolve("_zonemap")
+            Files.createDirectories(dst)
+            val zs = Files.list(p)
+            try zs.iterator().asScala.filter(Files.isRegularFile(_))
+              .foreach(f => linkOrCopy(f, dst.resolve(f.getFileName.toString)))
+            finally zs.close()
+          }
+        } else if (fn == EqDeletes.Dir && Files.isDirectory(p))
+          carryTree(p, staged.resolve(EqDeletes.Dir))
+        else if (fn.startsWith("_") && fn != "_SUCCESS" &&
+            fn != PublishedMarker && fn != BranchMarker &&
+            Files.isRegularFile(p))
+          Files.copy(p, staged.resolve(fn),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
 
@@ -906,6 +948,180 @@ object Tables {
     private def taggedVersions(name: String): Set[Long] =
       tags(name).values.toSet
 
+    // ------------------------------------------------------------------
+    // Branches — write-audit-publish (Iceberg branch refs re-expressed
+    // on the props sidecar; the reference's substrate inherits them from
+    // the same v2 spec as tags, tabular.py:69-70). A branch is a named
+    // MUTABLE ref: `branch.<name>.head` is the version it serves,
+    // `branch.<name>.base` the MAIN version it forked from (the
+    // fast-forward ancestry witness). Branch commits allocate stage dirs
+    // from the table's one version sequence (numbers are global; refs
+    // select), carry from the BRANCH head, stamp the published marker,
+    // and CAS the head prop under the table's commit lock — the same
+    // optimistic concurrency as the main pointer, on the same lock.
+    // Branch-committed versions stay OUT of main's history
+    // (isPublishedDir gates on the main pointer) until fast_forward
+    // publishes them with one pointer CAS; retention GC pins every
+    // branch HEAD exactly like a tag.
+    // ------------------------------------------------------------------
+
+    private def branchHeadKey(b: String) = s"$BranchPropPrefix$b.head"
+    private def branchBaseKey(b: String) = s"$BranchPropPrefix$b.base"
+
+    /** All branches of `name`: branch -> (head version, fork base). */
+    def branches(name: String): Map[String, (Long, Long)] = {
+      val props = TableProps.read(this, name)
+      props.collect {
+        case (k, v) if k.startsWith(BranchPropPrefix) && k.endsWith(".head") =>
+          val b = k.drop(BranchPropPrefix.length).dropRight(".head".length)
+          b -> (v.toLong, props(branchBaseKey(b)).toLong)
+      }
+    }
+
+    private[graft] def branchHeadVersions(name: String): Set[Long] =
+      branches(name).values.map(_._1).toSet
+
+    /** Fork a branch at the current MAIN version. Validate+record runs
+      * under the commit lock for the same reason create_tag does: the
+      * retention sweep reads the pinned set while holding it.
+      */
+    def createBranch(name: String, branch: String): Long = {
+      require(branch.nonEmpty && !branch.forall(_.isDigit) &&
+        !branch.contains(".") && !branch.contains("/"),
+        s"branch '$branch' must be non-empty, non-numeric, and dot/slash-free")
+      withCommitLock(name) {
+        val props = TableProps.read(this, name)
+        require(!props.contains(branchHeadKey(branch)),
+          s"branch '$branch' already exists on '$name' " +
+            s"(-> v${props(branchHeadKey(branch))})")
+        val cur = currentVersion(name).getOrElse(
+          throw new IllegalStateException(
+            s"'$name' is not a versioned table; branches need the " +
+              "pointer layout"))
+        TableProps.write(this, name, props +
+          (branchHeadKey(branch) -> cur.toString) +
+          (branchBaseKey(branch) -> cur.toString))
+        cur
+      }
+    }
+
+    /** Drop a branch ref. Its unmerged versions lose their pin and age
+      * out under normal retention (still readable until then).
+      */
+    def dropBranch(name: String, branch: String): Boolean =
+      withCommitLock(name) {
+        val props = TableProps.read(this, name)
+        if (!props.contains(branchHeadKey(branch))) false
+        else {
+          TableProps.write(this, name,
+            props - branchHeadKey(branch) - branchBaseKey(branch))
+          true
+        }
+      }
+
+    /** Version dir a branch currently serves (readable even though main
+      * does not publish it yet — the AUDIT face of write-audit-publish).
+      */
+    def branchSnapshotDir(name: String, branch: String): Path = {
+      val (head, _) = branches(name).getOrElse(branch,
+        throw new NoSuchElementException(
+          s"'$name' has no branch '$branch' " +
+            s"(branches: ${branches(name).keys.toSeq.sorted.mkString(", ")})"))
+      val dir = Paths.get(s"${tablePath(name)}.v$head")
+      require(Files.isDirectory(dir) &&
+        (Files.exists(dir.resolve(PublishedMarker)) ||
+          Files.exists(dir.resolve(BranchMarker))),
+        s"branch '$branch' of '$name' points at missing/unstamped v$head")
+      dir
+    }
+
+    /** Atomic versioned APPEND onto a branch: stage from the table's one
+      * version sequence, carry the BRANCH head's files (zero-copy), CAS
+      * the head prop. The write-audit-publish ingest face.
+      */
+    def appendToBranch(df: DataFrame, name: String, branch: String): Unit = {
+      val expectHead = branches(name).getOrElse(branch,
+        throw new NoSuchElementException(
+          s"'$name' has no branch '$branch'"))._1
+      val headDir = branchSnapshotDir(name, branch)
+      val versionDir = allocateStage(name)
+      try {
+        df.write.mode(SaveMode.Overwrite).parquet(versionDir.toString)
+        carryVersionInto(headDir, versionDir)
+      } catch { case t: Throwable => discardStage(versionDir); throw t }
+      val next = {
+        val m = versionPattern(name).matcher(versionDir.getFileName.toString)
+        require(m.matches()); m.group(1).toLong
+      }
+      withCommitLock(name) {
+        val props = TableProps.read(this, name)
+        val head = props.get(branchHeadKey(branch)).map(_.toLong)
+        if (head != Some(expectHead)) {
+          discardStage(versionDir)
+          throw new java.util.ConcurrentModificationException(
+            s"branch '$branch' of '$name' moved from v$expectHead to " +
+              s"${head.fold("dropped")(v => s"v$v")} during the append")
+        }
+        // the BRANCH marker, not `_published`: main's history, carries,
+        // and retention reason over `_published` — a branch commit is
+        // durable and pinned but invisible to main until fast_forward
+        Files.writeString(versionDir.resolve(BranchMarker), branch)
+        Files.deleteIfExists(stageMarkerPath(versionDir))
+        TableProps.write(this, name,
+          props + (branchHeadKey(branch) -> next.toString))
+        // no retention sweep here: branch commits never unpin main
+        // history; main's own commits sweep, with branch heads pinned
+      }
+    }
+
+    /** Publish a branch into main with ONE pointer CAS — legal only when
+      * main has not moved since the fork (the recorded base IS the
+      * ancestry witness: branch history is linear on top of it, so main
+      * == base means every branch version descends from main's current).
+      * The branch stays, re-based at its own head (Iceberg semantics).
+      * @return the new main version (the branch head)
+      */
+    def fastForward(name: String, branch: String): Long =
+      withCommitLock(name) {
+        val props = TableProps.read(this, name)
+        val head = props.getOrElse(branchHeadKey(branch),
+          throw new NoSuchElementException(
+            s"'$name' has no branch '$branch'")).toLong
+        val base = props(branchBaseKey(branch)).toLong
+        val cur = currentVersion(name)
+        require(cur.contains(base),
+          s"fast_forward('$name', '$branch') is not fast-forwardable: " +
+            s"main moved from the fork base v$base to " +
+            s"${cur.fold("none")(v => s"v$v")}; rebase the branch " +
+            "(drop + re-create + re-apply) or merge manually")
+        if (head != base) {
+          val headDir = Paths.get(s"${tablePath(name)}.v$head")
+          require(Files.isDirectory(headDir),
+            s"branch '$branch' head v$head is missing")
+          // THIS branch's commits join main history (Iceberg ancestry:
+          // the audited intermediates stay readable as snapshots until
+          // retention ages them out) — promote the branch marker to
+          // `_published` on exactly the dirs this branch stamped; their
+          // publish stamp is NOW, when they became visible to main
+          versions(name).foreach { case (v, p) =>
+            val bm = p.resolve(BranchMarker)
+            val owned =
+              try v > base && v <= head && Files.readString(bm) == branch
+              catch { case _: java.io.IOException => false }
+            if (owned) {
+              Files.writeString(p.resolve(PublishedMarker), "")
+              Files.deleteIfExists(bm)
+            }
+          }
+          io.atomicPointerSwap(Paths.get(tablePath(name)),
+            headDir.getFileName,
+            scratch = Paths.get(s"${tablePath(name)}.ptr$head"))
+        }
+        TableProps.write(this, name,
+          props + (branchBaseKey(branch) -> head.toString))
+        head
+      }
+
     /** Drop `name` entirely: pointer (or legacy dir), every retained
       * version, staged/discard debris, pointer temps, and the `_metadata`
       * sidecar. Serialized against committers by the commit lock; a
@@ -1014,8 +1230,18 @@ object Tables {
             out = out.withColumn(PartHourCol, hourOfTimeCol(c, tcType))
           if (partCols.contains(PartMonthCol))
             out = out.withColumn(PartMonthCol, monthOfTimeCol(c, tcType, zone))
+          // co-locate each (day[, hour], batch) partition's rows into ONE
+          // task before the dynamic overwrite: without this, every input
+          // task holding rows of a partition writes its own file there —
+          // an epoch spread over T tasks × P time partitions fans out to
+          // T×P small files (the hour grain multiplies P 24-fold), which
+          // at changelog scale is a file-count explosion the downstream
+          // pruned readers pay on every listing. One shuffle of exactly
+          // the epoch's rows buys one file per partition dir per epoch
+          // (AQE coalesces the near-empty hash buckets).
           out.withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
+            .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partCols: _*)
@@ -1324,6 +1550,11 @@ object Tables {
     * parquet scans.
     */
   private[graft] val PublishedMarker = "_published"
+  /** Branch-scoped publication marker (content = the owning branch's
+    * name): a branch commit is durable and protected but NOT main
+    * history — `_published` stays absent until fast_forward stamps it.
+    */
+  private[graft] val BranchMarker = "_published_branch"
   /** Warehouse-root record of the [[WarehouseIO]] substrate the
     * warehouse was first committed under — see Warehouse.verifySubstrate.
     */
@@ -1455,6 +1686,7 @@ object Tables {
     * refs ([[Warehouse.createTag]]).
     */
   val TagPropPrefix = "tag."
+  val BranchPropPrefix = "branch."
   private[sources] val TimeGranularities = Set("day", "hour", "month")
 
   /** `p_hour` derivation: hours since epoch, zone-free per type —
@@ -1567,21 +1799,48 @@ object Tables {
       Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cache.remove(p) // next read re-validates against the new mtime/size
     }
+
+    /** Mtime+size-validated read cache: one publish consults the props
+      * sidecar many times (time-partition layout checks, cdc config,
+      * MOR mode, clustering declaration — each call site reads
+      * independently), and the scan path consults it per resolution.
+      * The cache turns each repeat into one stat; a cross-process
+      * writer's atomic replace changes mtime/size and invalidates. An
+      * mtime-granularity collision (same millisecond, same byte count)
+      * is the documented residual — props writes are rare,
+      * human-driven DDL, not a data path.
+      */
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Path,
+        (java.nio.file.attribute.FileTime, Long, Map[String, String])]()
 
     def read(wh: Warehouse, table: String): Map[String, String] = {
       val p = propsPath(wh, table)
-      if (!Files.exists(p)) return Map.empty
+      val attrs =
+        try Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        catch { case _: java.io.IOException =>
+          cache.remove(p); return Map.empty
+        }
+      val cached = cache.get(p)
+      if (cached != null && cached._1 == attrs.lastModifiedTime() &&
+          cached._2 == attrs.size()) return cached._3
       val s = Files.readString(p)
       // flat string->string object; fields were written escaped
-      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      val parsed = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
         .findAllMatchIn(s)
         .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+      cache.put(p, (attrs.lastModifiedTime(), attrs.size(), parsed))
+      parsed
     }
 
     /** Remove the sidecar entirely (table drop). */
-    def delete(wh: Warehouse, table: String): Unit =
+    def delete(wh: Warehouse, table: String): Unit = {
+      cache.remove(propsPath(wh, table))
       Files.deleteIfExists(propsPath(wh, table))
+    }
 
     private def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }

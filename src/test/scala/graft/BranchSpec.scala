@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, Tables}
+import graft.sources.Tables.Warehouse
+
+/** Branches / write-audit-publish (round-14 verdict item 4): a branch is
+  * a named mutable ref forked from main — `spark.graft.wap.branch`
+  * routes SQL INSERTs onto it, `VERSION AS OF '<branch>'` is the audit
+  * read, `CALL fast_forward` publishes the audited head into main with
+  * ONE pointer CAS, and retention GC pins branch heads exactly like
+  * tags. The Iceberg branch-ref semantics (same v2 spec the reference's
+  * substrate inherits, tabular.py:69-70) on the props sidecar.
+  */
+class BranchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def fixture(retain: Int = 8): (String, Warehouse) = {
+    val root = tmpDir("branch")
+    val wh = Warehouse(root, retain)
+    wh.overwrite(Seq((1L, "base1"), (2L, "base2")).toDF("id", "s")
+      .localCheckpoint(true), "t")
+    val cat = s"br${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", retain.toString)
+    (cat, wh)
+  }
+
+  private def onBranch[T](b: String)(body: => T): T = {
+    spark.conf.set("spark.graft.wap.branch", b)
+    try body finally spark.conf.unset("spark.graft.wap.branch")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("WAP round trip: branch writes invisible to main, audited via the branch read, published by one fast_forward CAS") {
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'audit')").collect()
+    val vMain = wh.currentVersion("t").get
+    // two staged appends (the bad-then-fixed ingest shape)
+    Seq((3L, "ing3")).toDF("id", "s").createOrReplaceTempView(s"b1_$seq")
+    Seq((4L, "ing4")).toDF("id", "s").createOrReplaceTempView(s"b2_$seq")
+    onBranch("audit") {
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM b1_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM b2_$seq")
+    }
+    // main: untouched — pointer never moved, plain reads see the base
+    assert(wh.currentVersion("t").contains(vMain))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L))
+    // audit read: the branch head serves base + both staged batches
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'audit'")) ==
+      Set(1L, 2L, 3L, 4L))
+    // branch snapshots are NOT main history yet
+    val preSnaps = spark.sql(s"CALL $cat.system.snapshots('t')")
+      .collect().map(_.getLong(0)).toSet
+    assert(preSnaps == Set(vMain))
+    // publish: one CAS; main serves the audited head
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .collect().head
+    assert(ff.getLong(2) == vMain + 2, "two branch commits on top of base")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 3L, 4L))
+    assert(wh.currentVersion("t").contains(vMain + 2))
+    // the branch re-based at its own head: a second ff is a no-op hop
+    val again = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .collect().head
+    assert(again.getLong(2) == vMain + 2)
+    // the intermediate branch version joined main's history (ancestry),
+    // readable for forensics
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF ${vMain + 1}"))
+      == Set(1L, 2L, 3L))
+  }
+
+  test("fast_forward refuses when main moved since the fork (not fast-forwardable)") {
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'b')").collect()
+    Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"d_$seq")
+    onBranch("b") { spark.sql(s"INSERT INTO $cat.t SELECT * FROM d_$seq") }
+    // main diverges
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"m_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM m_$seq")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'b')").collect()
+    }
+    assert(e.getMessage.contains("not fast-forwardable"), e.getMessage)
+    // both lines of history intact
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 9L))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'b'")) ==
+      Set(1L, 2L, 3L))
+    assert(wh.dropBranch("t", "b"))
+  }
+
+  test("retention GC pins branch heads like tags; drop_branch releases them") {
+    val (cat, wh) = fixture(retain = 2)
+    spark.sql(s"CALL $cat.system.create_branch('t', 'keep')").collect()
+    Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"k_$seq")
+    onBranch("keep") { spark.sql(s"INSERT INTO $cat.t SELECT * FROM k_$seq") }
+    val head = wh.branches("t")("keep")._1
+    // churn main far past the retention window
+    (1 to 4).foreach { i =>
+      wh.overwrite(Seq((100L + i, s"churn$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    // the branch head survived every sweep and still audits exactly
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"${wh.tablePath("t")}.v$head")))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'keep'")) ==
+      Set(1L, 2L, 3L))
+    // dropping the branch releases the pin: the next commits age it out
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'keep')").collect()
+    (1 to 3).foreach { i =>
+      wh.overwrite(Seq((200L + i, s"post$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"${wh.tablePath("t")}.v$head")),
+      "an unpinned branch head re-enters the retention window")
+  }
+
+  test("the WAP conf fences every non-append write face; branch props refuse direct ALTER") {
+    val (cat, _) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'w')").collect()
+    onBranch("w") {
+      val e1 = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.t WHERE id = 1")
+      }
+      assert(e1.getMessage.contains("wap.branch"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.t SET s = 'x' WHERE id = 1")
+      }
+      assert(e2.getMessage.contains("wap.branch"), e2.getMessage)
+      Seq((5L, "x")).toDF("id", "s").createOrReplaceTempView(s"o_$seq")
+      val e3 = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM o_$seq")
+      }
+      assert(e3.getMessage.contains("append"), e3.getMessage)
+    }
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('branch.x.head'='1')")
+    }
+    assert(e4.getMessage.contains("create_branch"), e4.getMessage)
+    // unknown branch in VERSION AS OF names both namespaces
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e5.getMessage.contains("branches:"), e5.getMessage)
+  }
+
+  test("concurrent branch appends CAS on the head: the loser retries and both rows land") {
+    val (_, wh) = fixture()
+    wh.createBranch("t", "c")
+    val df1 = Seq((10L, "p")).toDF("id", "s").localCheckpoint(true)
+    val df2 = Seq((11L, "q")).toDF("id", "s").localCheckpoint(true)
+    // interleave: both observe the same head; the second publish must
+    // conflict and retry, not lose the first
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(df1, df2).map(df => pool.submit(new Runnable {
+        def run(): Unit = wh.retryingConflicts(maxAttempts = 10) {
+          wh.appendToBranch(df, "t", "c")
+        }
+      }))
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val snap = wh.branchSnapshotDir("t", "c")
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(snap.toString).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 10L, 11L))
+  }
+}

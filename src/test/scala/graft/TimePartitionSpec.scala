@@ -96,8 +96,19 @@ class TimePartitionSpec extends SparkTestBase {
     import spark.implicits._
     val wh = Warehouse(tmpDir("tp-compact"))
     wh.declareTimePartition("log", "ts")
-    // a wide shuffle writes many part files per partition
-    wh.appendBatch(rows(9).toDF("id", "ts", "etype").repartition(8), "log", 0L)
+    // appendBatch now co-locates each partition into one file, so build
+    // the multi-file-per-partition state compaction exists for the way
+    // it arises in the wild: a LEGACY table written before the
+    // co-location fix (simulated with a direct partitioned write)
+    rows(9).toDF("id", "ts", "etype")
+      .withColumn("p_day", to_date(col("ts")))
+      .withColumn("p_batch", lit(0L))
+      .repartition(8)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("p_day", "p_batch").parquet(wh.tablePath("log"))
+    // the simulation detail the real layout never has: drop the local
+    // FS checksum crumb so the dir census below sees only the layout
+    Files.deleteIfExists(Paths.get(wh.tablePath("log"), "._SUCCESS.crc"))
     def partFiles(rel: String): Int = {
       import scala.jdk.CollectionConverters._
       val d = Paths.get(wh.tablePath("log"), rel)
@@ -112,7 +123,7 @@ class TimePartitionSpec extends SparkTestBase {
     assert(partFiles("p_day=2024-01-01/p_batch=0") == 1,
       "compaction coalesces within the partition")
     assert(dirNames(wh.tablePath("log")).forall(_.startsWith("p_day=")),
-      "the day layout must survive compaction")
+      s"the day layout must survive compaction: ${dirNames(wh.tablePath("log"))}")
     assert(wh.read(spark, "log").collect().map(_.toSeq).toSet == before)
     // time pruning still works post-compact
     assert(wh.readTimePruned(spark, "log",
@@ -190,6 +201,37 @@ class TimePartitionSpec extends SparkTestBase {
     // replay idempotence survives the hour grain
     wh.appendBatch(data.toDF("id", "ts"), "log", 0L)
     assert(wh.read(spark, "log").count() == 4)
+  }
+
+  test("epoch write fan-out: a many-task epoch lands ONE data file per (day,hour,batch) dir") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-fanout"))
+    wh.declareTimePartition("log", "ts", granularity = "hour")
+    // an epoch spread over 16 input tasks and 6 (day,hour) partitions:
+    // without the pre-write co-location each dir would collect up to 16
+    // files (input tasks × partitions — the fan-out the changelog's
+    // pruned readers pay on every listing)
+    val data = (0 until 600).map(i =>
+      (i.toLong, ts(f"2024-01-0${1 + i % 2} 0${i % 3}:10:00")))
+    wh.appendBatch(data.toDF("id", "ts").repartition(16), "log", 0L)
+    import scala.jdk.CollectionConverters._
+    val st = Files.walk(Paths.get(wh.tablePath("log")))
+    val perDir =
+      try st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq.groupBy(_.getParent.toString)
+      finally st.close()
+    assert(perDir.size == 6, s"6 (day,hour) partitions: ${perDir.keys}")
+    perDir.foreach { case (dir, files) =>
+      assert(files.size == 1, s"$dir holds ${files.size} files; the " +
+        "epoch write must co-locate each partition into one file")
+    }
+    assert(wh.read(spark, "log").count() == 600)
+    // replay keeps the contract (same files rewritten, not duplicated)
+    wh.appendBatch(data.toDF("id", "ts").repartition(16), "log", 0L)
+    assert(wh.read(spark, "log").count() == 600)
   }
 
   test("months(ts) grain: p_month/p_batch layout, month-index pruning exact") {
