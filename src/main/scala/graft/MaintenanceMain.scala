@@ -80,6 +80,9 @@ object MaintenanceMain {
         // allocation markers and transient `.vN.discardM` trash dirs
         .filterNot(_.matches(".*\\.v\\d+(\\..*)?$"))
         .filterNot(_.matches(".*\\.(ptr\\d+|commitlock|morstage)(\\..*)?$"))
+        // transient per-epoch staging (streaming epochs, object-store
+        // appendBatch commits) is machinery, not a table
+        .filterNot(_.matches(".*\\.(streamepoch|epochstage)_.*"))
         .toSeq.sorted
     } finally s.close()
   }

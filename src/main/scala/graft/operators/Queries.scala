@@ -932,16 +932,31 @@ object Queries {
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
       spark.sql(s"CREATE TABLE $cat.ev_mirror " +
         "(event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)")
-      val q = spark.readStream.table(s"$cat.ev_log")
-        .drop(graft.sources.Tables.PartDayCol, graft.sources.Tables.PartBatchCol)
-        .writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .toTable(s"$cat.ev_mirror")
-      q.awaitTermination()
+      def stream(widened: Boolean): Unit = {
+        val in = spark.readStream.table(s"$cat.ev_log")
+          .drop(graft.sources.Tables.PartDayCol, graft.sources.Tables.PartBatchCol)
+        val out = if (widened)
+          in.withColumn("src_parity", lit(1)) else in
+        val q = out.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.ev_mirror")
+        q.awaitTermination()
+      }
+      stream(widened = false)
+      // MID-STREAM schema evolution (round-14 verdict item 5): widen the
+      // sink between epochs, land a correction feed (every click,
+      // re-ingested), restart — pre-evolution rows read NULL for the new
+      // column, the post-evolution epoch carries it, and the epoch
+      // markers survive the ALTER's COW rewrite (replay stays exact)
+      spark.sql(s"ALTER TABLE $cat.ev_mirror ADD COLUMN src_parity INT")
+      wh.appendBatch(ev.filter(col("event_type") === "click"),
+        "ev_log", batchId = 2L)
+      stream(widened = true)
       spark.sql(
         s"""SELECT event_type, count(*) AS n_events,
-           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |  count(src_parity) AS n_evolved
            |FROM $cat.ev_mirror
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
         .localCheckpoint(true) // pin rows before the scratch files vanish
@@ -1277,6 +1292,72 @@ object Queries {
       require(EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
         "compact must fold every pending sidecar")
       pending.unionByName(agg("folded"))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
+  /** Branches / write-audit-publish under the oracle gate (q203,
+    * round-14 verdict item 4): a branch forks at main's current
+    * snapshot, two staged INSERTs land on it under
+    * `spark.graft.wap.branch` (the bad-then-fixed ingest shape: an
+    * incomplete batch, audited, then the missing remainder), the audit
+    * read (`VERSION AS OF 'ingest'`) aggregates the STAGED state while
+    * a scalar subquery proves main never moved during the audit, and
+    * `CALL fast_forward` publishes the audited head with one pointer
+    * CAS — the post-publish aggregate must equal the oracle's model of
+    * the full set. Branch refs are the Iceberg branch semantics
+    * (tabular.py:69-70's v2 substrate) on the props sidecar.
+    */
+  def q203BranchWap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_br_q203")
+    val cat = s"gq203_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(s"CALL $cat.system.create_branch('ev', 'ingest')").collect()
+      val vMain = wh.currentVersion("ev").get
+      val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      odd.filter(col("event_type") =!= "error")
+        .createOrReplaceTempView(s"batch1_$cat")
+      odd.filter(col("event_type") === "error")
+        .createOrReplaceTempView(s"batch2_$cat")
+      spark.conf.set("spark.graft.wap.branch", "ingest")
+      val staged =
+        try {
+          spark.sql(s"INSERT INTO $cat.ev SELECT * FROM batch1_$cat")
+          // the AUDIT: branch read aggregates the staged state; main's
+          // row count rides along to prove the pointer never moved
+          val df = spark.sql(
+            s"""SELECT 'staged' AS phase, event_type, count(*) AS n_events,
+               |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               |    AS total_value,
+               |  (SELECT count(*) FROM $cat.ev) AS n_main_during_audit
+               |FROM $cat.ev VERSION AS OF 'ingest'
+               |GROUP BY event_type""".stripMargin).localCheckpoint(true)
+          // the fix: the audit found batch1 incomplete — stage the rest
+          spark.sql(s"INSERT INTO $cat.ev SELECT * FROM batch2_$cat")
+          df
+        } finally spark.conf.unset("spark.graft.wap.branch")
+      require(wh.currentVersion("ev").contains(vMain),
+        "branch staging must never move main's pointer")
+      spark.sql(s"CALL $cat.system.fast_forward('ev', 'ingest')").collect()
+      require(wh.currentVersion("ev").contains(vMain + 2),
+        "fast_forward publishes the branch head: one hop, two commits")
+      staged.unionByName(spark.sql(
+        s"""SELECT 'current' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vMain)
+           |    AS n_main_during_audit
+           |FROM $cat.ev GROUP BY event_type""".stripMargin))
         .orderBy("phase", "event_type")
         .localCheckpoint(true) // pin rows before the scratch files vanish
     } finally deleteDir(tmp)
@@ -2762,10 +2843,20 @@ object Queries {
     // the streamed-through-catalog mirror must equal the plain aggregate
     // over the whole source: file-stream tailing, epoch snapshot commits
     // and the batch read-back compose to an identity
+    // the mirror is every event from the pre-evolution epochs (NULL for
+    // the added column) plus the post-evolution correction feed (every
+    // click, re-ingested with the column set) — count(src_parity) per
+    // group proves exactly the evolved epoch carries it
     "q195_catalog_streaming" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events
+      """WITH mirror AS MATERIALIZED (
+        |  SELECT event_type, value, NULL AS src_parity FROM events
+        |  UNION ALL
+        |  SELECT event_type, value, 1 AS src_parity FROM events
+        |  WHERE event_type = 'click')
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(src_parity) AS n_evolved
+        |FROM mirror
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // after the rollback the PLAIN read serves exactly the clean half;
@@ -2851,6 +2942,28 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
         |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
         |FROM finalv GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
+    // the write-audit-publish lifecycle reduces to two models over the
+    // raw rows: the staged phase (main's even half + the non-error odd
+    // half, read through the branch) and the current phase (everything,
+    // after one fast-forward CAS); main's pinned count rides both
+    "q203_branch_wap" ->
+      """WITH staged AS MATERIALIZED (
+        |  SELECT event_type, value FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type <> 'error')
+        |SELECT 'current' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_main_during_audit
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'staged', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |FROM staged GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
     // the hour-grain layout + two-level hidden pruning must equal the
@@ -3346,6 +3459,7 @@ object Queries {
     "q200_objectstore_lifecycle" -> (q200ObjectStoreLifecycle _),
     "q201_type_widening" -> (q201TypeWidening _),
     "q202_mor_delete" -> (q202MorDelete _),
+    "q203_branch_wap" -> (q203BranchWap _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

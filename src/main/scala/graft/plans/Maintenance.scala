@@ -924,6 +924,10 @@ object Maintenance {
               // stop aborts its own dir; a killed JVM cannot) — the age
               // guard keeps live streams' in-flight epochs safe
               n.startsWith(s"$name.streamepoch_") ||
+              // the object-store epoch commit's private staging prefix
+              // (appendBatch): deleted in-line on success, debris only
+              // when the writer crashed mid-epoch
+              n.startsWith(s"$name.epochstage_") ||
               n.matches(java.util.regex.Pattern.quote(name) +
                 "\\.v\\d+\\.discard\\d+") ||
               // a `.vN.stage` sibling whose version dir is GONE is debris

@@ -1231,21 +1231,65 @@ object Tables {
           if (partCols.contains(PartMonthCol))
             out = out.withColumn(PartMonthCol, monthOfTimeCol(c, tcType, zone))
           // co-locate each (day[, hour], batch) partition's rows into ONE
-          // task before the dynamic overwrite: without this, every input
-          // task holding rows of a partition writes its own file there —
-          // an epoch spread over T tasks × P time partitions fans out to
+          // task before the write: without this, every input task
+          // holding rows of a partition writes its own file there — an
+          // epoch spread over T tasks × P time partitions fans out to
           // T×P small files (the hour grain multiplies P 24-fold), which
           // at changelog scale is a file-count explosion the downstream
           // pruned readers pay on every listing. One shuffle of exactly
           // the epoch's rows buys one file per partition dir per epoch
           // (AQE coalesces the near-empty hash buckets).
-          out.withColumn(PartBatchCol,
+          val colocated = out.withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
             .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partCols: _*)
-            .parquet(tablePath(name))
+          io match {
+            case ObjectStoreIO =>
+              // OBJECT-STORE epoch commit (no rename): Spark's dynamic
+              // partition overwrite publishes by per-partition RENAME, a
+              // primitive the store does not have. Instead: stage the
+              // epoch under a PRIVATE prefix (uncommitted objects, never
+              // referenced), then per (..., p_batch=<id>) partition —
+              // the batch id in the path makes every final prefix
+              // epoch-scoped — DELETE the prefix's prior objects (a
+              // crashed attempt's partial epoch; replay is the healer
+              // because the checkpoint only commits after this returns)
+              // and CopyObject the staged files in. A reader can see a
+              // partially-committed epoch for the copy's duration —
+              // exactly the window the POSIX path's per-partition
+              // renames already have across partitions; the feed
+              // contract (epoch dirs are the consumer unit, tailed by
+              // checkpointed file tracking) is unchanged.
+              val staging = Paths.get(s"${tablePath(name)}.epochstage_" +
+                s"${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
+              try {
+                colocated.write.mode(SaveMode.Overwrite)
+                  .partitionBy(partCols: _*).parquet(staging.toString)
+                def partDirs(dir: Path, rel: String,
+                    acc: scala.collection.mutable.Map[String, Seq[Path]]): Unit = {
+                  val s = Files.list(dir)
+                  try s.iterator().asScala.foreach { p =>
+                    val fn = p.getFileName.toString
+                    if (fn.startsWith("_") || fn.startsWith(".")) ()
+                    else if (Files.isDirectory(p)) partDirs(p, s"$rel$fn/", acc)
+                    else acc(rel) = acc.getOrElse(rel, Seq.empty) :+ p
+                  } finally s.close()
+                }
+                val staged = scala.collection.mutable.Map[String, Seq[Path]]()
+                partDirs(staging, "", staged)
+                staged.foreach { case (rel, files) =>
+                  val finalDir = Paths.get(tablePath(name), rel)
+                  if (Files.isDirectory(finalDir)) deleteRecursively(finalDir)
+                  Files.createDirectories(finalDir)
+                  files.foreach(f =>
+                    io.linkOrCopy(f, finalDir.resolve(f.getFileName.toString)))
+                }
+              } finally deleteRecursively(staging)
+            case _ =>
+              colocated.write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partCols: _*)
+                .parquet(tablePath(name))
+          }
           // replay across a day->hour flip: a PRE-flip batch replayed
           // now lands hour-grain above, but its day-era dirs (direct
           // p_batch=<id>) are different partition paths the dynamic

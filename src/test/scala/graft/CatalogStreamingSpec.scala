@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.Tables.Warehouse
@@ -327,6 +328,61 @@ abstract class CatalogStreamingBehavior(ioImpl: graft.sources.WarehouseIO,
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(ops2.count(_ == ("delete", 2L)) == 1,
       s"the new hop's delete must arrive exactly once: $ops2")
+  }
+
+  test("mid-stream ALTER TABLE ADD COLUMN: the stream restarts with the widened schema, old epochs read NULL, replay stays exactly-once across the rewrite") {
+    val root = tmpDir("cstr-evolve")
+    val wh = Wh(root)
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.sink_e (id BIGINT, s STRING)")
+    val src = tmpDir("cstr-evolve-src")
+    val ckpt = tmpDir("cstr-evolve-ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("append").parquet(src)
+    def run(widened: Boolean): Unit = {
+      val in = spark.readStream.schema("id BIGINT, s STRING").parquet(src)
+      val out = if (widened) in.withColumn("flag",
+        (col("id") % 2).cast("int")) else in
+      val q = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.sink_e")
+      drain(q); q.stop()
+    }
+    run(widened = false)
+    // EVOLVE between epochs: the COW rewrite materializes NULLs and
+    // must carry the stream's epoch marker (T4: markers ride every
+    // snapshot rewrite) — or the next epoch would double-append
+    spark.sql(s"ALTER TABLE $cat.sink_e ADD COLUMN flag INT")
+    Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+      .write.mode("append").parquet(src)
+    run(widened = true)
+    val got = spark.sql(s"SELECT id, flag FROM $cat.sink_e ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(got == Seq((1L, -1), (2L, -1), (3L, 1), (4L, 0)),
+      s"old epochs NULL, new epochs valued: $got")
+    // replay the widened epoch (crash between sink and checkpoint
+    // commit): the epoch marker survived the ALTER rewrite, so the
+    // re-apply is a no-op
+    val commits = Paths.get(ckpt, "commits")
+    val last = {
+      val s = Files.list(commits)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally s.close()
+    }
+    Files.delete(last)
+    run(widened = true)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sink_e").head.getLong(0)
+      == 4L, "a replayed post-evolution epoch must not double-append")
+    // history: the pre-evolution snapshot still reads its narrow schema
+    val preAlter = spark.sql(s"CALL $cat.system.snapshots('sink_e')")
+      .collect().map(_.getLong(0)).min
+    assert(spark.sql(
+      s"SELECT * FROM $cat.sink_e VERSION AS OF $preAlter").columns.toSeq
+      == Seq("id", "s"))
   }
 }
 
