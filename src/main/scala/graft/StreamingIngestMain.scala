@@ -15,23 +15,41 @@ import graft.sources.GraftCatalog
   * verifies the final snapshot with DuckDB (exact id set — zero lost
   * updates, zero duplicates).
   *
-  * Args: whDir epochs rowsPerEpoch
+  * Args: whDir epochs rowsPerEpoch [layout]
+  *   layout: `flat` (default — versioned snapshot sink) or `timed`
+  *   (hidden `days(ts)` partitioning — epochs land as the layout's own
+  *   `p_day/p_batch` units; on the object-store substrate this drives
+  *   the delete-then-CopyObject epoch commit instead of Spark's
+  *   rename-based dynamic overwrite).
   */
 object StreamingIngestMain {
   def main(args: Array[String]): Unit = {
     val Array(whDir, epochsS, rowsS) = args.take(3)
     val (epochs, rowsPerEpoch) = (epochsS.toInt, rowsS.toLong)
+    val layout = args.lift(3).getOrElse("flat")
     val spark = Harness.session("graft-streaming-ingest")
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.gsi", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsi.warehouse", whDir)
-    if (!spark.catalog.tableExists("gsi.sink"))
-      spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE)")
+    if (!spark.catalog.tableExists("gsi.sink")) {
+      if (layout == "timed")
+        spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE, " +
+          "ts TIMESTAMP) PARTITIONED BY (days(ts))")
+      else spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE)")
+    }
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Long]
-    val q = source.toDS()
+    val base = source.toDS()
       .select($"value".as("id"), ($"value" % 97 / 4.0).as("v"))
+    val shaped =
+      if (layout == "timed")
+        // ids spread over ~3 UTC days so every epoch spans partitions
+        base.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_seconds(org.apache.spark.sql.functions.lit(1704067200L) +
+            ($"id" % 72) * 3600))
+      else base
+    val q = shaped
       .repartition(4)
       .writeStream
       .option("checkpointLocation", s"$whDir/_ckpt_gsi")

@@ -64,16 +64,17 @@ def resolve_pointer(path):
     return path
 
 
-def run_one(io_mode):
+def run_one(io_mode, layout="flat"):
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(WH)
     if not os.path.isdir(f"{REPO}/target/scala-2.13/classes/graft"):
         subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True)
 
     io_env = dict(os.environ, GRAFT_WAREHOUSE_IO=io_mode)
-    print(f"== [{io_mode}] stream JVM ({EPOCHS} epochs x {ROWS} rows) vs maintenance JVMs ==")
+    print(f"== [{io_mode}/{layout}] stream JVM ({EPOCHS} epochs x {ROWS} rows) vs maintenance JVMs ==")
     stream = subprocess.Popen(
-        java_cmd("graft.StreamingIngestMain", WH, str(EPOCHS), str(ROWS)),
+        java_cmd("graft.StreamingIngestMain", WH, str(EPOCHS), str(ROWS),
+                 layout),
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=io_env)
 
@@ -103,26 +104,34 @@ def run_one(io_mode):
     epochs_done = out.count("epoch ")
     assert compactions >= 1, "the stream outran every maintenance tick; rerun"
 
-    # independent verification: resolve the pointer, read the snapshot
-    snap = resolve_pointer(f"{WH}/sink")
+    # independent verification: resolve the pointer (flat) or walk the
+    # in-place partition tree (timed), read OUTSIDE every JVM
+    if layout == "timed":
+        glob = f"{WH}/sink/**/*.parquet"
+    else:
+        snap = resolve_pointer(f"{WH}/sink")
+        glob = f"{snap}/*.parquet"
     con = duckdb.connect()
     got = con.sql(
         f"SELECT count(*) AS n, count(DISTINCT id) AS d, "
         f"min(id) AS lo, max(id) AS hi "
-        f"FROM read_parquet('{snap}/*.parquet')").fetchone()
+        f"FROM read_parquet('{glob}')").fetchone()
     n, d, lo, hi = got
     want = EPOCHS * ROWS
     assert n == want and d == want and lo == 0 and hi == want - 1, (
         f"lost updates or duplicates: n={n} distinct={d} lo={lo} hi={hi} "
         f"want={want}")
-    print(f"PASS [{io_mode}]: {n} rows, exact id set 0..{want - 1} through "
-          f"{epochs_done} streamed epochs and {compactions} concurrent "
-          f"compaction JVMs (zero lost updates, zero duplicates)")
+    print(f"PASS [{io_mode}/{layout}]: {n} rows, exact id set 0..{want - 1} "
+          f"through {epochs_done} streamed epochs and {compactions} "
+          f"concurrent compaction JVMs (zero lost updates, zero duplicates)")
 
 
 def main():
     for io_mode in IO_MODES:
         run_one(io_mode)
+    # the time-partitioned layout's own epoch commit, on the substrate
+    # where it diverges from Spark's rename-based dynamic overwrite
+    run_one("objectstore", layout="timed")
 
 
 if __name__ == "__main__":
