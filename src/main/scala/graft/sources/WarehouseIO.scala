@@ -280,17 +280,37 @@ private[graft] object ObjectStoreIO extends WarehouseIO {
     */
   override def discardDir(dir: Path): Unit = Tables.deleteRecursively(dir)
 
-  /** One-winner break without rename: claim a break token named by the
-    * (hash of the) stale incarnation's content with a conditional PUT —
-    * exactly one waiter wins the token, deletes the lock IFF its content
-    * is still that incarnation, then clears the token. A breaker
-    * crashing between claim and delete leaves the token; it ages out
-    * after [[Tables.CommitLockStaleMs]] like the lock itself. Residual
-    * (documented, same class as the POSIX impl's stalled-holder note): a
-    * content re-check before delete is check-then-act — a holder
-    * releasing and a successor re-creating inside that microsecond
-    * window could lose a fresh lock; on a real store a conditional
-    * delete (`If-Match` on the ETag) closes even that.
+  /** Test seam: fired between the break token claim and the conditional
+    * delete — the spec uses it to interleave a holder turnover
+    * deterministically (same pattern as MorMirror.beforeBaseCommit).
+    */
+  private[graft] var beforeConditionalDelete: () => Unit = () => ()
+
+  /** One-winner break without rename visible to the PROTOCOL: claim a
+    * break token named by the (hash of the) stale incarnation's content
+    * with a conditional PUT — exactly one waiter wins the token — then
+    * delete the lock IFF it still IS that incarnation. The conditional
+    * delete is S3's `DeleteObject If-Match: <etag>` (GA alongside the
+    * conditional PUT this impl already leans on); the local stand-in
+    * emulates ITS server-side atomicity with displace-inspect-settle —
+    * one atomic move claims whatever the path holds, the content is
+    * inspected off-path, a mismatched (fresh) incarnation is moved
+    * straight back — exactly as [[atomicPointerSwap]]'s temp+move
+    * stands in for the service's atomic PUT: the engine's commit
+    * protocol never relies on client rename; the SERVICE primitive does
+    * the atomic step. A breaker crashing between claim and delete
+    * leaves the token; it ages out after [[Tables.CommitLockStaleMs]]
+    * like the lock itself.
+    *
+    * Residual (documented; spec-pinned in ConcurrentCommitSpec): the
+    * restore of a displaced FRESH lock fails only when a holder
+    * turnover lands before the displacement AND a third waiter creates
+    * the lock inside the displacement's two-syscall window — a
+    * three-party coincidence, strictly narrower than the old
+    * check-then-act (one turnover inside the recheck→delete window lost
+    * a fresh lock silently). On that coincidence the displaced holder
+    * runs unprotected for its microseconds-long validate+swap region;
+    * a real store's If-Match delete has no such window at all.
     */
   override def breakStaleLock(lock: Path): Unit = {
     val content =
@@ -301,9 +321,25 @@ private[graft] object ObjectStoreIO extends WarehouseIO {
     try {
       createExclusive(token) // conditional PUT: one winner per incarnation
       try {
-        val still = try Files.readString(lock) == content
-        catch { case _: java.io.IOException => false }
-        if (still) Files.deleteIfExists(lock)
+        beforeConditionalDelete()
+        // conditional DELETE (If-Match emulation): displace atomically,
+        // inspect off-path, settle — delete on match, restore otherwise
+        val probe = lock.resolveSibling(s"${lock.getFileName}.ifmatch." +
+          s"${ProcessHandle.current().pid()}.${System.nanoTime()}")
+        try Files.move(lock, probe, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => return } // already gone
+        val displaced =
+          try Files.readString(probe)
+          catch { case _: java.io.IOException => "" }
+        if (displaced == content) Files.deleteIfExists(probe) // matched
+        else {
+          // a FRESH incarnation was displaced — put it straight back;
+          // the restore can only fail on the documented three-party
+          // coincidence, in which case the probe is surrendered (the
+          // path has a live rival lock; two locks must never coexist)
+          try Files.move(probe, lock, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => Files.deleteIfExists(probe) }
+        }
       } finally Files.deleteIfExists(token)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
