@@ -80,6 +80,17 @@ object MorMirror {
     */
   private val DeltaSpecMarker = "_spec"
 
+  /** Publication marker INSIDE a delta dir — a `batch_<id>` prefix
+    * without it is an uncommitted write in flight (or a crashed one)
+    * and is invisible to every listing. On POSIX the atomic
+    * staging-rename makes visibility and completeness coincide anyway
+    * (the marker rides in the staged dir, so visible implies marked);
+    * on the object store there IS no rename — the conditional PUT of
+    * this marker is the publication, Iceberg's commit-file discipline
+    * at delta granularity.
+    */
+  private val DeltaCommittedMarker = "_delta_committed"
+
   /** The bucket spec of the CURRENT base version's data (falls back to
     * the stored write spec for pre-marker tables, which never resized).
     */
@@ -408,19 +419,41 @@ object MorMirror {
     TableProps.write(nw, BaseTable,
       TableProps.read(nw, BaseTable) + (LastDeltaProp -> batchId.toString))
     val target = Paths.get(s"${wh.tablePath(name)}/$DeltasDir/batch_$batchId")
-    if (!Files.exists(target)) {
-      val tmp = Paths.get(
-        s"${wh.tablePath(name)}/$DeltasDir/.batch_$batchId.staging")
-      graft.sources.Tables.deleteRecursively(tmp)
-      withBucket(folded, cfg.keyCol, buckets)
-        .repartition(col(PartitionedMirror.BucketCol))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // the delta's bucket SPEC rides inside the dir it describes, so
-      // the atomic publish below makes data+spec visible together — what
-      // keeps a batch racing a concurrent resize readable (storedState
-      // maps each delta group's spec to the base's)
-      Files.writeString(tmp.resolve(DeltaSpecMarker), buckets.toString)
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (!Files.exists(target.resolve(DeltaCommittedMarker))) wh.io match {
+      case graft.sources.ObjectStoreIO =>
+        // no rename on the store: write the delta's objects UNDER THE
+        // FINAL prefix (invisible — every listing requires the marker),
+        // spec first, then one conditional PUT of the committed marker
+        // IS the publication. A crashed attempt leaves an unmarked
+        // prefix; this very replay deletes and rewrites it (the
+        // checkpoint only commits after appendDelta returns).
+        graft.sources.Tables.deleteRecursively(target)
+        withBucket(folded, cfg.keyCol, buckets)
+          .repartition(col(PartitionedMirror.BucketCol))
+          .write.mode(SaveMode.Overwrite).parquet(target.toString)
+        Files.writeString(target.resolve(DeltaSpecMarker), buckets.toString)
+        wh.io.createExclusive(target.resolve(DeltaCommittedMarker))
+      case _ if Files.isDirectory(target) =>
+        // a PRE-MARKER visible target (published by the rename-only
+        // protocol) is complete by rename-construction — adopt it with
+        // the marker rather than rewriting (lazy stamp, the same
+        // upgrade pattern as _published's grandfathering)
+        Files.writeString(target.resolve(DeltaCommittedMarker), "")
+      case _ =>
+        val tmp = Paths.get(
+          s"${wh.tablePath(name)}/$DeltasDir/.batch_$batchId.staging")
+        graft.sources.Tables.deleteRecursively(tmp)
+        withBucket(folded, cfg.keyCol, buckets)
+          .repartition(col(PartitionedMirror.BucketCol))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // the delta's bucket SPEC and committed marker ride inside the
+        // dir they describe, so the atomic publish below makes
+        // data+spec+publication visible together — what keeps a batch
+        // racing a concurrent resize readable (storedState maps each
+        // delta group's spec to the base's)
+        Files.writeString(tmp.resolve(DeltaSpecMarker), buckets.toString)
+        Files.writeString(tmp.resolve(DeltaCommittedMarker), "")
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -464,7 +497,16 @@ object MorMirror {
     if (!Files.isDirectory(d)) return Seq.empty
     val s = Files.list(d)
     try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("batch_"))
+      .filter(p => p.getFileName.toString.startsWith("batch_") &&
+        // committed deltas only: an unmarked prefix is a write in
+        // flight (object-store direct write) or a crashed attempt —
+        // folding it would stamp a horizon that hides its missing rows
+        // forever. Upgrade note: a warehouse written by the pre-marker
+        // rename-only protocol adopts markers via the replay path (the
+        // last in-flight batch) — older retained deltas there need a
+        // one-time stamp, which no warehouse in this environment
+        // predates.
+        Files.exists(p.resolve(DeltaCommittedMarker)))
       .toSeq.sortBy(deltaId)
     finally s.close()
   }

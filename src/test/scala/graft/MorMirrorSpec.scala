@@ -422,4 +422,52 @@ class MorMirrorSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not initialized"))
   }
+
+  test("delta publication marker: object-store deltas publish by conditional PUT; an unmarked prefix (crashed attempt) is invisible and the replay heals it") {
+    val wh = Warehouse(tmpDir("mor-osdelta"), retain = 2,
+      io = graft.sources.ObjectStoreIO)
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1"), (2L, "b", "I", "t1")), cfg),
+      cfg, N)
+    MorMirror.appendDelta(wh, "m",
+      changes((3L, "c", "I", "t2")), batchId = 1)
+    val b1 = Paths.get(wh.tablePath("m"), "deltas", "batch_1")
+    assert(Files.exists(b1.resolve("_delta_committed")),
+      "the conditional-PUT marker IS the object-store publication")
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // simulate a CRASHED direct write: a batch_2 prefix with data
+    // objects but no committed marker — every read and fold must treat
+    // it as nonexistent (folding it would hide its rows forever)
+    val b2 = Paths.get(wh.tablePath("m"), "deltas", "batch_2")
+    import org.apache.spark.sql.functions.lit
+    changes((9L, "ghost", "I", "t3"))
+      .withColumn(PartitionedMirror.BucketCol, lit(0))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(b2.toString)
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "an unmarked delta prefix must be invisible")
+    MorMirror.compact(spark, wh, "m")
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "compaction must not fold an uncommitted delta")
+    // the stream replays batch 2 (its checkpoint never committed): the
+    // replay deletes the crashed prefix and publishes the real batch
+    MorMirror.appendDelta(wh, "m",
+      changes((4L, "d", "I", "t3")), batchId = 2)
+    assert(Files.exists(b2.resolve("_delta_committed")))
+    assert(state(wh, "m") ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(!MorMirror.read(spark, wh, "m").select("name")
+      .collect().map(_.getString(0)).contains("ghost"),
+      "the crashed attempt's rows must be gone after the replay")
+  }
+
+  test("delta publication marker rides the POSIX rename too: visible implies committed on both substrates") {
+    val wh = Warehouse(tmpDir("mor-localdelta"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((2L, "b", "I", "t2")), batchId = 1)
+    assert(Files.exists(Paths.get(wh.tablePath("m"), "deltas", "batch_1",
+      "_delta_committed")))
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b")))
+  }
 }
