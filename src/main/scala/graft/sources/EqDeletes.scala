@@ -130,6 +130,12 @@ private[graft] object EqDeletes {
     * link, sidecars do not carry — the folded version is a plain
     * snapshot again. Returns true when a fold committed.
     */
+  /** Test seam: fired between the fold's snapshot read and its commit —
+    * the spec uses it to land a rival commit deterministically inside
+    * the conflict window (same pattern as MorMirror.beforeBaseCommit).
+    */
+  private[graft] var beforeFoldCommit: () => Unit = () => ()
+
   def fold(spark: SparkSession, wh: Warehouse, table: String): Boolean = {
     if (pending(wh.snapshotPath(table)).isEmpty) return false
     val keyCol = TableProps.read(wh, table).getOrElse(KeyProp,
@@ -156,6 +162,7 @@ private[graft] object EqDeletes {
         }.reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.localCheckpoint(true))
         val markers = Tables.readRootMarkers(snap)
+        beforeFoldCommit()
         wh.commit(table, expectCurrent = expect) { staged =>
           survivors.foreach(_.write.mode(SaveMode.Overwrite).parquet(staged))
           untouched.foreach { f =>

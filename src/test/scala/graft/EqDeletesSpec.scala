@@ -215,6 +215,31 @@ class EqDeletesSpec extends SparkTestBase {
       .head.getDouble(0) == 0.0)
   }
 
+  test("fold conflict-retries a rival commit landed inside its window: the rival's rows survive, the sidecars still fold") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    var fired = 0
+    EqDeletes.beforeFoldCommit = () => {
+      if (fired == 0) {
+        fired += 1
+        // a rival INSERT lands between the fold's read and its commit —
+        // its fast-append carries the pending sidecar into the new
+        // version, so the retry must re-read BOTH the rows and the
+        // sidecar set from the moved snapshot
+        Seq((500L, "rival", 500.0)).toDF("id", "grp", "v")
+          .createOrReplaceTempView(s"rival_$cat")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM rival_$cat")
+      }
+    }
+    try assert(EqDeletes.fold(spark, wh, "t"))
+    finally EqDeletes.beforeFoldCommit = () => ()
+    assert(fired == 1, "the rival must have landed inside the window")
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    val expect = base.filterNot(_._2 == "del").toSet + ((500L, "rival", 500.0))
+    assert(visible(cat) == expect,
+      "the retry must keep the rival's row AND apply the delete")
+  }
+
   test("a matched set past MaxKeys falls back to the COW rewrite") {
     val root = tmpDir("eqdel-max")
     val wh = Warehouse(root, retain = 4)

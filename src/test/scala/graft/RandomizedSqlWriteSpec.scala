@@ -41,7 +41,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
       s"divergence after $step:\n table=${got.take(20)}...\n model=${want.take(20)}...")
   }
 
-  protected def run(seed: Int, withEvolution: Boolean = false): Unit = {
+  protected def run(seed: Int, withEvolution: Boolean = false,
+      mor: Boolean = false): Unit = {
     val rng = new Random(seed)
     val root = tmpDir(s"sqlw-fuzz-$seed")
     val wh = Warehouse(root, retain = 4)
@@ -64,6 +65,17 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     seedRows.foreach { case (i, g, x) => model(i) = (g, x) }
     graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
       bloomKeys = Seq("id"), targetFiles = Some(4))
+    // MOR mode: translatable deletes become equality-delete sidecars;
+    // every read between a delete and the next compact exercises the
+    // per-signature sidecar scan against the model
+    if (mor) spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read', 'cdc.key-column'='id')")
+    // group-based rewrites (UPDATE/MERGE/untranslatable DELETE) refuse
+    // while sidecars pend — fold first, exactly as an operator would
+    def foldIfPending(): Unit =
+      if (mor && graft.sources.EqDeletes
+          .pending(wh.snapshotPath("t")).nonEmpty)
+        spark.sql(s"CALL $cat.system.compact('t', 4)").collect()
 
     // per-version model snapshots: what the ROLLBACK arm restores; every
     // committed version maps to the model state it held
@@ -87,27 +99,30 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           "the pre-rename snapshot must keep its own schema")
         check(cat, model, s"seed=$seed rename", grpCol)
       }
-      rng.nextInt(10) match {
+      rng.nextInt(if (mor) 11 else 10) match {
         case 0 | 1 => // INSERT fresh rows
           val rows = freshRows(1 + rng.nextInt(4))
           spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(rows)}")
           rows.foreach { case (i, g, x) => model(i) = (g, x) }
         case 2 => // UPDATE by group
+          foldIfPending()
           val g = grps(rng.nextInt(grps.size))
           spark.sql(s"UPDATE $cat.t SET x = x + 0.25 WHERE $grpCol = '$g'")
           model.mapValuesInPlace { case (_, (mg, mx)) =>
             if (mg == g) (mg, mx + 0.25) else (mg, mx) }
-        case 3 => // pushable DELETE (range)
+        case 3 => // pushable DELETE (range; a MOR sidecar in mor mode)
           val lo = rng.nextInt(nextId.toInt + 1).toLong
           val hi = lo + rng.nextInt(10)
           spark.sql(s"DELETE FROM $cat.t WHERE id BETWEEN $lo AND $hi")
           model.filterInPlace { case (i, _) => i < lo || i > hi }
-        case 4 => // rewrite-flavor DELETE (modulo)
+        case 4 => // rewrite-flavor DELETE (modulo: group-based even in mor)
+          foldIfPending()
           val m = 2 + rng.nextInt(5)
           val r = rng.nextInt(m)
           spark.sql(s"DELETE FROM $cat.t WHERE id % $m = $r AND x > 4.0")
           model.filterInPlace { case (i, (_, x)) => !(i % m == r && x > 4.0) }
         case 5 => // MERGE: update some existing, delete some, insert fresh
+          foldIfPending()
           val existing = rng.shuffle(model.keys.toSeq).take(3)
           val fresh = freshRows(2)
           val src = existing.map(i => (i, grps(rng.nextInt(grps.size)),
@@ -155,6 +170,17 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
         case 9 => // explicit snapshot expiry mid-stream: data unchanged
           spark.sql(
             s"CALL $cat.system.expire_snapshots('t', ${2 + rng.nextInt(3)})")
+        case 10 => // (mor only) re-INSERT a previously deleted id — the
+          // census rule must keep it alive past the older sidecars
+          val deleted = (0L until nextId).filterNot(model.contains)
+          if (deleted.nonEmpty) {
+            val id = deleted(rng.nextInt(deleted.size))
+            val g = grps(rng.nextInt(grps.size))
+            val x = rng.nextInt(64) * 0.25
+            spark.sql(s"INSERT INTO $cat.t VALUES ($id, '$g', " +
+              s"CAST($x AS DOUBLE))")
+            model(id) = (g, x)
+          }
       }
       snapshot()
       if (step % 4 == 0) check(cat, model, s"seed=$seed step=$step", grpCol)
@@ -168,4 +194,10 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     run(41, withEvolution = true)
   }
   test("random SQL mutation stream equals the golden model (seed 97)") { run(97) }
+  test("random SQL mutation stream on a MERGE-ON-READ table (seed 13): sidecar scans, re-inserted keys, fold ticks all equal the model") {
+    run(13, mor = true)
+  }
+  test("random SQL mutation stream on a MERGE-ON-READ table (seed 61)") {
+    run(61, mor = true)
+  }
 }
