@@ -150,6 +150,67 @@ class BranchSpec extends SparkTestBase {
     assert(e5.getMessage.contains("branches:"), e5.getMessage)
   }
 
+  test("randomized branch lifecycle equals a two-ref golden model (seed 19)") {
+    import scala.collection.mutable
+    import scala.util.Random
+    val rng = new Random(19)
+    val (cat, wh) = fixture()
+    val main = mutable.Map[Long, String](1L -> "base1", 2L -> "base2")
+    var branch: Option[mutable.Map[Long, String]] = None
+    var nextId = 10L
+    def checkRefs(step: Int): Unit = {
+      val gotMain = spark.sql(s"SELECT id, s FROM $cat.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(gotMain == main.toMap, s"main diverged at step $step")
+      branch.foreach { bm =>
+        val gotBr = spark.sql(
+          s"SELECT id, s FROM $cat.t VERSION AS OF 'wip'").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toMap
+        assert(gotBr == bm.toMap, s"branch diverged at step $step")
+      }
+    }
+    (1 to 30).foreach { step =>
+      rng.nextInt(6) match {
+        case 0 => // main insert — only legal while no branch diverges
+          // (a diverged branch would stop being fast-forwardable; the
+          // model mirrors the WAP discipline: publish before main moves)
+          if (branch.isEmpty) {
+            val id = nextId; nextId += 1
+            Seq((id, s"m$id")).toDF("id", "s")
+              .createOrReplaceTempView(s"bm_$seq")
+            spark.sql(s"INSERT INTO $cat.t SELECT * FROM bm_$seq")
+            main(id) = s"m$id"
+          }
+        case 1 => // fork (when none)
+          if (branch.isEmpty) {
+            spark.sql(s"CALL $cat.system.create_branch('t', 'wip')").collect()
+            branch = Some(mutable.Map.empty ++ main)
+          }
+        case 2 | 3 => // stage an insert on the branch
+          branch.foreach { bm =>
+            val id = nextId; nextId += 1
+            Seq((id, s"b$id")).toDF("id", "s")
+              .createOrReplaceTempView(s"bb_$seq")
+            onBranch("wip") {
+              spark.sql(s"INSERT INTO $cat.t SELECT * FROM bb_$seq")
+            }
+            bm(id) = s"b$id"
+          }
+        case 4 => // publish: one CAS, branch re-based
+          branch.foreach { bm =>
+            spark.sql(s"CALL $cat.system.fast_forward('t', 'wip')").collect()
+            main.clear(); main ++= bm
+          }
+        case 5 => // abandon the branch: staged work discarded
+          if (branch.isDefined) {
+            spark.sql(s"CALL $cat.system.drop_branch('t', 'wip')").collect()
+            branch = None
+          }
+      }
+      checkRefs(step)
+    }
+  }
+
   test("concurrent branch appends CAS on the head: the loser retries and both rows land") {
     val (_, wh) = fixture()
     wh.createBranch("t", "c")
