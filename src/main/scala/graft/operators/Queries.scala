@@ -1297,6 +1297,77 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Merge-on-read UPDATE / MERGE INTO under the oracle gate (q204,
+    * round 15): Spark's delta-based row-level writes on the
+    * equality-delete substrate ([[graft.sources.MorDeltaOperation]]) —
+    * an UPDATE and a three-arm MERGE each commit O(changed rows) (one
+    * sidecar of matched keys + one fast-appended file of
+    * reinserted/inserted rows; the query REQUIRES zero base-file
+    * rewrites across both), the aggregate is taken with the sidecar
+    * stack pending (per-signature reader-filter scan) and again after
+    * `CALL compact` folds — both phases must hash-equal the oracle's
+    * one closed-form model. Iceberg v2's MOR write path
+    * (tabular.py:69-70's substrate) on plain parquet.
+    */
+  def q204MorUpdateMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mu_q204")
+    val cat = s"gq204_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      Tables.TableProps.write(wh, "ev", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "event_id"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      val vPre = wh.currentVersion("ev").get
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      // delta UPDATE: every click doubles — matched keys to a sidecar,
+      // reinserted rows to one new file, base files carried by name
+      spark.sql(s"UPDATE $cat.ev SET value = value * 2 " +
+        "WHERE event_type = 'click'")
+      // delta MERGE stacking over the pending sidecar: even views get
+      // +10 (matched), odd errors insert (not matched)
+      ev.filter((pmod(col("event_id"), lit(2)) === 0 &&
+          col("event_type") === "view") ||
+        (pmod(col("event_id"), lit(2)) === 1 &&
+          col("event_type") === "error"))
+        .createOrReplaceTempView(s"msrc_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.ev t USING msrc_$cat s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = t.value + 10
+           |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+           |  VALUES (s.event_id, s.event_type, s.value)""".stripMargin)
+      val snap = wh.snapshotPath("ev")
+      require(EqDeletes.pending(snap).size == 2 &&
+        preFiles.subsetOf(graft.plans.ZoneMap
+          .dataFileCensus(spark, snap).toSet),
+        "delta writes must stack sidecars and never rewrite base files")
+      def agg(phase: String) = spark.sql(
+        s"""SELECT '$phase' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vPre)
+           |    AS n_pre_rewrite
+           |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      val pending = agg("pending").localCheckpoint(true)
+      spark.sql(s"CALL $cat.system.compact('ev', 4)").collect()
+      require(EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+        "compact must fold the delta sidecars")
+      pending.unionByName(agg("folded"))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -2944,6 +3015,31 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the delta UPDATE (clicks doubled) + delta MERGE (views +10,
+    // odd errors inserted) reduce to one closed-form model — identical
+    // for the pending (stacked-sidecar scan) and folded phases
+    "q204_mor_update_merge" ->
+      """WITH finalv AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'click' THEN value * 2
+        |         WHEN event_type = 'view' THEN value + 10
+        |         ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type = 'error')
+        |SELECT 'folded' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_pre_rewrite
+        |FROM finalv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'pending', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |FROM finalv GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
     // the write-audit-publish lifecycle reduces to two models over the
     // raw rows: the staged phase (main's even half + the non-error odd
     // half, read through the branch) and the current phase (everything,
@@ -3460,6 +3556,7 @@ object Queries {
     "q201_type_widening" -> (q201TypeWidening _),
     "q202_mor_delete" -> (q202MorDelete _),
     "q203_branch_wap" -> (q203BranchWap _),
+    "q204_mor_update_merge" -> (q204MorUpdateMerge _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

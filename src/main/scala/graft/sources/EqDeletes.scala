@@ -60,6 +60,53 @@ private[graft] object EqDeletes {
   def morEnabled(props: Map[String, String]): Boolean =
     props.get(ModeProp).contains("merge-on-read")
 
+  private val nullFreeVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Verify the snapshot holds NO NULL keys — the merge-on-read
+    * contract (the key column reports REQUIRED; Iceberg's
+    * identifier-field rule). Cost is one parquet FOOTER walk (null
+    * counts are column-chunk statistics — no data pages), cached per
+    * version dir because snapshots are immutable; a file without
+    * usable stats falls back to one Spark count. Enforced when the
+    * mode is DECLARED and before every delta write: a NULL key under a
+    * non-nullable schema would not fail loudly — codegen elides the
+    * null check and reads garbage, which is silent corruption.
+    */
+  def requireNullFreeKeys(spark: SparkSession, snapshotDir: String,
+      keyCol: String, context: String): Unit = {
+    if (nullFreeVerified.contains(snapshotDir)) return
+    val files = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
+    val conf = spark.sessionState.newHadoopConf()
+    var statsNulls = 0L
+    var statsUsable = true
+    files.iterator.takeWhile(_ => statsUsable && statsNulls == 0L)
+      .foreach { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$snapshotDir/$rel"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) statsUsable = false
+              else statsNulls += st.getNumNulls
+            case None => statsNulls += b.getRowCount // pre-key era: all null
+          }
+        } finally r.close()
+      }
+    val nulls =
+      if (statsUsable) statsNulls
+      else spark.read.parquet(files.map(f => s"$snapshotDir/$f"): _*)
+        .filter(org.apache.spark.sql.functions.col(keyCol).isNull).count()
+    if (nulls > 0) throw new UnsupportedOperationException(
+      s"$context: $nulls row(s) carry a NULL '$keyCol' — merge-on-read " +
+        "declares the key REQUIRED (equality deletes and delta writes " +
+        "identify rows by it). Repair or delete the NULL-key rows first")
+    nullFreeVerified.add(snapshotDir)
+  }
+
   final case class Sidecar(dir: Path, census: Set[String]) {
     def keysPath: String = dir.resolve("keys.parquet").toString
   }

@@ -479,6 +479,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(s.property != Tables.TimePartitionProp,
           s"${Tables.TimePartitionProp} is the table's physical layout " +
             "— declared at CREATE time, immutable after")
+        // declaring merge-on-read promotes the key to REQUIRED — refuse
+        // when the declared key is missing or existing data violates it
+        // (a NULL key under the non-nullable schema corrupts silently)
+        if (s.property == EqDeletes.ModeProp && s.value == "merge-on-read") {
+          val keyCol = changes.collectFirst {
+            case k: TableChange.SetProperty
+              if k.property == EqDeletes.KeyProp => k.value
+          }.orElse(TableProps.read(wh, t).get(EqDeletes.KeyProp))
+            .getOrElse(throw new UnsupportedOperationException(
+              s"merge-on-read on '$t' needs ${EqDeletes.KeyProp} " +
+                "(set it in the same ALTER)"))
+          EqDeletes.requireNullFreeKeys(spark, wh.snapshotPath(t), keyCol,
+            s"cannot declare ${EqDeletes.ModeProp}=merge-on-read on '$t'")
+        }
         require(!s.property.startsWith(Tables.TagPropPrefix),
           "tags pin retained versions and must validate against the " +
             s"snapshot log — CALL $catalogName.system.create_tag instead")
@@ -1116,7 +1130,24 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   with org.apache.spark.sql.GraftV1FallbackTable {
 
   override def name(): String = tableName
-  override def schema(): StructType = delegate.schema
+  /** A merge-on-read table's key column reports REQUIRED (the Iceberg
+    * identifier-field contract): every row-identity mechanism — the
+    * equality-delete sidecars and Spark's delta-write rowId validation
+    * (`NULLABLE_ROW_ID_ATTRIBUTES`) — is undefined for NULL keys. Data
+    * violating the declaration still cannot corrupt silently: morDelete
+    * falls back to COW on matched NULL keys and the delta writer
+    * refuses them loudly.
+    */
+  override def schema(): StructType = {
+    val base = delegate.schema
+    val props = TableProps.read(wh, tableName)
+    if (!EqDeletes.morEnabled(props)) base
+    else props.get(EqDeletes.KeyProp).filter(k =>
+      base.fieldNames.contains(k)).fold(base) { k =>
+      StructType(base.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f))
+    }
+  }
   /** Declared hidden-time-partition column (drives
     * [[DeriveHiddenDayFilters]]' transform-aware day pruning). */
   private[sources] lazy val hiddenTimeColumn: Option[String] =
@@ -1418,6 +1449,42 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
     GraftTable.refuseWap(info.command.toString)
+    // merge-on-read UPDATE / MERGE: a DELTA-BASED operation
+    // ([[MorDeltaOperation]]) — O(changed rows) sidecar + fast-append
+    // commit instead of the whole-group COW rewrite below. DELETE stays
+    // on the deleteWhere path (metadata-only, with its own MOR arm and
+    // COW fallbacks); pending sidecars are fine here — deltas STACK by
+    // the census rule, and the operation's scan reads through them.
+    val morProps = TableProps.read(wh, tableName)
+    if (EqDeletes.morEnabled(morProps) &&
+        info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
+      val keyCol = morProps.getOrElse(EqDeletes.KeyProp,
+        throw new UnsupportedOperationException(
+          s"'$tableName' declares ${EqDeletes.ModeProp}=merge-on-read " +
+            s"but no ${EqDeletes.KeyProp}: delta writes identify rows " +
+            "by the table's key"))
+      val deltaExpected = wh.currentVersion(tableName)
+      val pinned = delegate.paths.head
+      // expert-path defense (TableProps.write bypasses the DDL guard):
+      // a NULL key under the required-key schema corrupts silently, so
+      // verify the pinned snapshot before planning — footer-stat cheap,
+      // cached per immutable version dir
+      EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCol,
+        s"merge-on-read ${info.command} on '$tableName'")
+      return new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation = new MorDeltaOperation(
+          wh, tableName, GraftTable.this.schema(), keyCol, info.command,
+          pinned,
+          opts => {
+            val sidecars = EqDeletes.pending(pinned)
+            if (sidecars.nonEmpty)
+              new EqDeleteScanBuilder(tableName, pinned,
+                GraftTable.this.schema(), keyCol, opts, sidecars)
+            else delegate.newScanBuilder(opts)
+          },
+          deltaExpected)
+      }
+    }
     // the group scan reads RAW files; pending eq-delete sidecars would
     // resurrect their keys through the rewrite — fold first, loudly.
     // DELETE defers the check into the group scan's build: Spark's

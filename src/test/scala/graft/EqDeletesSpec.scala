@@ -198,21 +198,100 @@ class EqDeletesSpec extends SparkTestBase {
     assert(got == Set(("keep", 1.0), ("keep", 4.0)))
   }
 
-  test("a no-op delete commits nothing; UPDATE/MERGE refuse while sidecars are pending; compact unblocks them") {
+  test("a no-op delete and a no-op update commit nothing (no version bump)") {
     val (cat, wh) = morFixture(base)
     val v0 = wh.currentVersion("t")
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'absent'")
     assert(wh.currentVersion("t") == v0, "no matches, no new version")
     assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE grp = 'absent'")
+    assert(wh.currentVersion("t") == v0, "a no-op update commits nothing")
+  }
+
+  test("merge-on-read UPDATE is a DELTA write: O(changed) sidecar + reinserted rows, stacking over pending delete sidecars") {
+    val (cat, wh) = morFixture(base)
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE grp = 'keep'")
-    }
-    assert(e.getMessage.contains("pending equality deletes"), e.getMessage)
+    val preFiles = dataFiles(wh.snapshotPath("t"))
+    // UPDATE while the delete sidecar pends: the delta write STACKS a
+    // second sidecar (old keys) + one new data file (updated rows) —
+    // no base file rewrites, no fold-first requirement
+    spark.sql(s"UPDATE $cat.t SET v = v + 100.0 WHERE id <= 5")
+    val snap = wh.snapshotPath("t")
+    assert(EqDeletes.pending(snap).size == 2, "the update stacks a sidecar")
+    assert(preFiles.subsetOf(dataFiles(snap)),
+      "every pre-update data file must carry by name (no rewrites)")
+    assert((dataFiles(snap) -- preFiles).nonEmpty,
+      "the reinserted rows land in a new file outside every census")
+    val expect = base.filterNot(_._2 == "del").map {
+      case (i, g, v) if i <= 5 => (i, g, v + 100.0)
+      case r => r
+    }.toSet
+    assert(visible(cat) == expect)
+    // updated-by-key rows survive a later compact fold identically
     spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
-    spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE id = 1")
-    assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 1")
-      .head.getDouble(0) == 0.0)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(visible(cat) == expect)
+  }
+
+  test("merge-on-read MERGE INTO is a DELTA write: matched updates/deletes become sidecar records, unmatched rows a fast append") {
+    val (cat, wh) = morFixture(base)
+    val preFiles = dataFiles(wh.snapshotPath("t"))
+    Seq((1L, "upd", 1000.0, false), (2L, "x", 0.0, true),
+      (200L, "new", 200.0, false))
+      .toDF("id", "grp", "v", "is_del")
+      .createOrReplaceTempView(s"msrc_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING msrc_$cat s ON t.id = s.id
+         |WHEN MATCHED AND s.is_del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET grp = s.grp, v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, grp, v)
+         |  VALUES (s.id, s.grp, s.v)""".stripMargin)
+    val snap = wh.snapshotPath("t")
+    assert(EqDeletes.pending(snap).size == 1,
+      "one sidecar holds the matched update+delete keys")
+    assert(preFiles.subsetOf(dataFiles(snap)),
+      "the merge must not rewrite base files")
+    val expect = (base.toSet -
+      ((1L, if (1 % 3 == 0) "del" else "keep", 1.0)) -
+      ((2L, if (2 % 3 == 0) "del" else "keep", 2.0))) +
+      ((1L, "upd", 1000.0)) + ((200L, "new", 200.0))
+    assert(visible(cat) == expect)
+    // a NULL-key matched rewrite refuses loudly (a sidecar cannot
+    // identify it) — the matched set here is key-joined so the case
+    // needs an UPDATE with a predicate instead
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(visible(cat) == expect)
+  }
+
+  test("a merge-on-read UPDATE matching a NULL-key row refuses loudly and leaves the table untouched") {
+    val root = tmpDir("eqdel-nullupd")
+    val wh = Warehouse(root, retain = 8)
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L), "g", 1.0),
+        org.apache.spark.sql.Row(null, "g", 2.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    wh.overwrite(rows.localCheckpoint(true), "t")
+    TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read", EqDeletes.KeyProp -> "id"))
+    val cat = s"eqd${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    val v0 = wh.currentVersion("t")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t SET v = 9.0 WHERE grp = 'g'")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("NULL"), msg.take(300))
+    assert(wh.currentVersion("t") == v0, "the refusal must not publish")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 2L)
   }
 
   test("fold conflict-retries a rival commit landed inside its window: the rival's rows survive, the sidecars still fold") {

@@ -104,8 +104,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           val rows = freshRows(1 + rng.nextInt(4))
           spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(rows)}")
           rows.foreach { case (i, g, x) => model(i) = (g, x) }
-        case 2 => // UPDATE by group
-          foldIfPending()
+        case 2 => // UPDATE by group (a DELTA write in mor mode — stacks
+          // a sidecar over pending deletes, no fold required)
           val g = grps(rng.nextInt(grps.size))
           spark.sql(s"UPDATE $cat.t SET x = x + 0.25 WHERE $grpCol = '$g'")
           model.mapValuesInPlace { case (_, (mg, mx)) =>
@@ -121,8 +121,8 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           val r = rng.nextInt(m)
           spark.sql(s"DELETE FROM $cat.t WHERE id % $m = $r AND x > 4.0")
           model.filterInPlace { case (i, (_, x)) => !(i % m == r && x > 4.0) }
-        case 5 => // MERGE: update some existing, delete some, insert fresh
-          foldIfPending()
+        case 5 => // MERGE: update some existing, delete some, insert
+          // fresh (a DELTA write in mor mode — stacks like the UPDATE)
           val existing = rng.shuffle(model.keys.toSeq).take(3)
           val fresh = freshRows(2)
           val src = existing.map(i => (i, grps(rng.nextInt(grps.size)),
