@@ -1239,9 +1239,16 @@ object Tables {
           // pruned readers pay on every listing. One shuffle of exactly
           // the epoch's rows buys one file per partition dir per epoch
           // (AQE coalesces the near-empty hash buckets).
+          // EXPLICIT partition count: a column-only repartition is
+          // AQE-coalescable, and a small epoch would collapse to ONE
+          // task writing every partition file serially — the pinned
+          // count keeps the write parallel while the hash still
+          // co-locates each partition into exactly one task
           val colocated = out.withColumn(PartBatchCol,
               org.apache.spark.sql.functions.lit(batchId))
-            .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+            .repartition(
+              df.sparkSession.sessionState.conf.numShufflePartitions,
+              partCols.map(org.apache.spark.sql.functions.col): _*)
           io match {
             case ObjectStoreIO =>
               // OBJECT-STORE epoch commit (no rename): Spark's dynamic
