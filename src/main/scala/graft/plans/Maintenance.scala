@@ -564,10 +564,17 @@ object Maintenance {
       .parquet(path)
       .repartition(partCols.map(col): _*)
       .localCheckpoint(true) // materialize BEFORE overwriting the same dirs
-    df.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(path)
+    wh.io match {
+      // no rename on the store: the same staged delete-then-CopyObject
+      // per-partition replace the epoch commit uses
+      case graft.sources.ObjectStoreIO =>
+        wh.partitionedOverwriteNoRename(df, table, partCols)
+      case _ =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(path)
+    }
   }
 
   /** The hidden-time layout's partition columns per declared grain. */

@@ -1251,46 +1251,7 @@ object Tables {
               partCols.map(org.apache.spark.sql.functions.col): _*)
           io match {
             case ObjectStoreIO =>
-              // OBJECT-STORE epoch commit (no rename): Spark's dynamic
-              // partition overwrite publishes by per-partition RENAME, a
-              // primitive the store does not have. Instead: stage the
-              // epoch under a PRIVATE prefix (uncommitted objects, never
-              // referenced), then per (..., p_batch=<id>) partition —
-              // the batch id in the path makes every final prefix
-              // epoch-scoped — DELETE the prefix's prior objects (a
-              // crashed attempt's partial epoch; replay is the healer
-              // because the checkpoint only commits after this returns)
-              // and CopyObject the staged files in. A reader can see a
-              // partially-committed epoch for the copy's duration —
-              // exactly the window the POSIX path's per-partition
-              // renames already have across partitions; the feed
-              // contract (epoch dirs are the consumer unit, tailed by
-              // checkpointed file tracking) is unchanged.
-              val staging = Paths.get(s"${tablePath(name)}.epochstage_" +
-                s"${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
-              try {
-                colocated.write.mode(SaveMode.Overwrite)
-                  .partitionBy(partCols: _*).parquet(staging.toString)
-                def partDirs(dir: Path, rel: String,
-                    acc: scala.collection.mutable.Map[String, Seq[Path]]): Unit = {
-                  val s = Files.list(dir)
-                  try s.iterator().asScala.foreach { p =>
-                    val fn = p.getFileName.toString
-                    if (fn.startsWith("_") || fn.startsWith(".")) ()
-                    else if (Files.isDirectory(p)) partDirs(p, s"$rel$fn/", acc)
-                    else acc(rel) = acc.getOrElse(rel, Seq.empty) :+ p
-                  } finally s.close()
-                }
-                val staged = scala.collection.mutable.Map[String, Seq[Path]]()
-                partDirs(staging, "", staged)
-                staged.foreach { case (rel, files) =>
-                  val finalDir = Paths.get(tablePath(name), rel)
-                  if (Files.isDirectory(finalDir)) deleteRecursively(finalDir)
-                  Files.createDirectories(finalDir)
-                  files.foreach(f =>
-                    io.linkOrCopy(f, finalDir.resolve(f.getFileName.toString)))
-                }
-              } finally deleteRecursively(staging)
+              partitionedOverwriteNoRename(colocated, name, partCols)
             case _ =>
               colocated.write.mode(SaveMode.Overwrite)
                 .option("partitionOverwriteMode", "dynamic")
@@ -1315,6 +1276,49 @@ object Tables {
           df.write.mode(SaveMode.Overwrite)
             .parquet(s"${tablePath(name)}/batch_$batchId")
       }
+
+    /** OBJECT-STORE dynamic partition overwrite (no rename): Spark's
+      * own dynamic mode publishes by per-partition RENAME, a primitive
+      * the store does not have. Instead: stage the output under a
+      * PRIVATE prefix (uncommitted objects, referenced by nothing),
+      * then per staged partition DELETE the final prefix's prior
+      * objects and CopyObject the staged files in. Used by the
+      * streaming epoch commit (where the batch id in the path makes
+      * every final prefix epoch-scoped and checkpoint replay heals a
+      * crashed half-commit) and by the in-place time-partitioned
+      * compaction (same per-partition replace the POSIX path does by
+      * rename). A reader can see a partially-replaced partition for the
+      * copy's duration — the same window the rename path already has
+      * ACROSS partitions.
+      */
+    private[graft] def partitionedOverwriteNoRename(out: DataFrame,
+        name: String, partCols: Seq[String]): Unit = {
+      val staging = Paths.get(s"${tablePath(name)}.epochstage_" +
+        s"${System.nanoTime()}_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        out.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*).parquet(staging.toString)
+        def partDirs(dir: Path, rel: String,
+            acc: scala.collection.mutable.Map[String, Seq[Path]]): Unit = {
+          val s = Files.list(dir)
+          try s.iterator().asScala.foreach { p =>
+            val fn = p.getFileName.toString
+            if (fn.startsWith("_") || fn.startsWith(".")) ()
+            else if (Files.isDirectory(p)) partDirs(p, s"$rel$fn/", acc)
+            else acc(rel) = acc.getOrElse(rel, Seq.empty) :+ p
+          } finally s.close()
+        }
+        val staged = scala.collection.mutable.Map[String, Seq[Path]]()
+        partDirs(staging, "", staged)
+        staged.foreach { case (rel, files) =>
+          val finalDir = Paths.get(tablePath(name), rel)
+          if (Files.isDirectory(finalDir)) deleteRecursively(finalDir)
+          Files.createDirectories(finalDir)
+          files.foreach(f =>
+            io.linkOrCopy(f, finalDir.resolve(f.getFileName.toString)))
+        }
+      } finally deleteRecursively(staging)
+    }
 
     /** Declare hidden time partitioning for an append-batch table: every
       * subsequent [[appendBatch]] lays out `p_day=to_date(timeCol)` day
