@@ -811,10 +811,16 @@ object Maintenance {
     val kept = old.filter(!coalesce(
       col(graft.DmsEnvelope.OpCol) === graft.DmsEnvelope.Delete &&
         col(cfg.tsCol) < lit(horizon), lit(false))).localCheckpoint(true)
-    kept.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(path)
+    wh.io match {
+      // no rename on the store (the shared staged-replace commit)
+      case graft.sources.ObjectStoreIO =>
+        wh.partitionedOverwriteNoRename(kept, table, partCols)
+      case _ =>
+        kept.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(path)
+    }
     // partitions that lost every row: metadata-sized collect (distinct
     // partition tuples of the expired span), then explicit deletes — a
     // dynamic overwrite never touches a partition absent from its output
