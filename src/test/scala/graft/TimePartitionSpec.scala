@@ -170,6 +170,50 @@ class TimePartitionSpec extends SparkTestBase {
     assert(wh.read(spark, "log").count() == 3)
   }
 
+  test("OBJECT-STORE expiry + compaction: the rename-free per-partition replace keeps the same contract (expired days rewritten, in-horizon untouched)") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-expire-os"), retain = 2,
+      io = graft.sources.ObjectStoreIO)
+    wh.declareTimePartition("log", "ts")
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "D"),
+      (2L, ts("2024-01-01 11:00:00"), "I"),
+      (3L, ts("2024-01-02 10:00:00"), "D"),
+      (4L, ts("2024-01-05 10:00:00"), "D"),
+      (5L, ts("2024-01-05 11:00:00"), "U"))
+    wh.appendBatch(data.toDF("id", "ts", "op"), "log", 0L)
+    import scala.jdk.CollectionConverters._
+    def filesUnder(rel: String): Set[String] = {
+      val d = Paths.get(wh.tablePath("log"), rel)
+      if (!Files.isDirectory(d)) return Set.empty
+      val w = Files.walk(d)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val freshBefore = filesUnder("p_day=2024-01-05")
+    Maintenance.expireTombstones(spark, wh, "log",
+      graft.CdcConfig("id", "ts"), horizon = "2024-01-03 00:00:00")
+    assert(wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 4L, 5L))
+    assert(!Files.isDirectory(
+      Paths.get(wh.tablePath("log"), "p_day=2024-01-02")))
+    assert(filesUnder("p_day=2024-01-05") == freshBefore,
+      "in-horizon partitions must not be replaced")
+    // the rename-free in-place compaction serves the same rows after
+    Maintenance.compact(spark, wh, "log", targetFiles = 1)
+    assert(wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 4L, 5L))
+    // no staging debris left behind
+    val root = Paths.get(wh.tablePath("log")).getParent
+    val s = Files.list(root)
+    val debris =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("epochstage")).toSeq
+      finally s.close()
+    assert(debris.isEmpty, debris.toString)
+  }
+
   test("hours(ts) grain: p_day/p_hour/p_batch layout, hour-index PartitionFilters, exact bounds") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("tp-hour"))
