@@ -887,11 +887,13 @@ object Tables {
       require(keepLast >= 1, s"keepLast must retain the current version, got $keepLast")
       withCommitLock(name) {
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
-        val tagged = taggedVersions(name)
+        // tags AND branch heads pin (a fast-forwarded branch can point
+        // at a _published version); drop_tag / drop_branch releases
+        val tagged = taggedVersions(name) ++ branchHeadVersions(name)
         val expirable = versions(name)
           .filter { case (v, p) => isPublishedDir(name, v, p) &&
             p.getFileName.toString != curName &&
-            !tagged.contains(v) } // tags pin; drop_tag releases
+            !tagged.contains(v) }
         val doomed = expirable.dropRight(keepLast - 1)
         doomed.foreach { case (_, p) => deleteRecursively(p) }
         doomed.map(_._1)

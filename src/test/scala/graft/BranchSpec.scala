@@ -121,6 +121,26 @@ class BranchSpec extends SparkTestBase {
       "an unpinned branch head re-enters the retention window")
   }
 
+  test("explicit snapshot expiry skips a fast-forwarded branch head (published + still referenced)") {
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'pin')").collect()
+    Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"p_$seq")
+    onBranch("pin") { spark.sql(s"INSERT INTO $cat.t SELECT * FROM p_$seq") }
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'pin')").collect()
+    val head = wh.branches("t")("pin")._1 // now _published AND referenced
+    // main moves past the head; aggressive expiry must still keep it
+    (1 to 3).foreach { i =>
+      wh.overwrite(Seq((100L + i, s"m$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    spark.sql(s"CALL $cat.system.expire_snapshots('t', 1)").collect()
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"${wh.tablePath("t")}.v$head")),
+      "an expired branch head would break every branch read")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'pin'")) ==
+      Set(1L, 2L, 3L))
+  }
+
   test("the WAP conf fences every non-append write face; branch props refuse direct ALTER") {
     val (cat, _) = fixture()
     spark.sql(s"CALL $cat.system.create_branch('t', 'w')").collect()
