@@ -141,13 +141,21 @@ object PartitionedMirror {
     val merged = Cdc.applyBatch(mirrorTouched, ch.drop(BucketCol), cfg)
     val out = withBucket(merged, cfg, buckets).localCheckpoint(true)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(wh.tablePath(name))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    wh.io match {
+      // no rename on the store: the shared staged delete-then-CopyObject
+      // per-bucket replace (same touched-buckets-only semantics — the
+      // staging holds exactly the touched buckets' merged state)
+      case graft.sources.ObjectStoreIO =>
+        wh.partitionedOverwriteNoRename(out, name, Seq(BucketCol))
+      case _ =>
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try out.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(wh.tablePath(name))
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
     }
   }
 }

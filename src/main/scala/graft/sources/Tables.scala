@@ -1305,7 +1305,11 @@ object Tables {
           val s = Files.list(dir)
           try s.iterator().asScala.foreach { p =>
             val fn = p.getFileName.toString
-            if (fn.startsWith("_") || fn.startsWith(".")) ()
+            // a `col=value` DIRECTORY is a partition even when the
+            // column name starts with an underscore (the mirror's
+            // `__bucket=K`) — only metadata files/dirs are skipped
+            val isPartDir = Files.isDirectory(p) && fn.contains("=")
+            if (!isPartDir && (fn.startsWith("_") || fn.startsWith("."))) ()
             else if (Files.isDirectory(p)) partDirs(p, s"$rel$fn/", acc)
             else acc(rel) = acc.getOrElse(rel, Seq.empty) :+ p
           } finally s.close()

@@ -65,6 +65,46 @@ class PartitionedMirrorSpec extends SparkTestBase {
     }
   }
 
+  test("OBJECT-STORE partitioned merge: the rename-free per-bucket replace keeps the contract (state exact, untouched buckets byte-identical, replay idempotent)") {
+    val wh = Warehouse(tmpDir("pmirror-os"), retain = 2,
+      io = graft.sources.ObjectStoreIO)
+    val initial = changes(
+      (1L, "a", "I", "t1"), (2L, "b", "I", "t1"), (3L, "c", "I", "t1"),
+      (4L, "d", "I", "t1"), (5L, "e", "I", "t1"), (6L, "f", "I", "t1"))
+    PartitionedMirror.initialize(wh, "m", Cdc.fold(initial, cfg), cfg, N)
+    import scala.jdk.CollectionConverters._
+    def bucketFiles: Map[String, Set[String]] =
+      Files.list(Paths.get(wh.tablePath("m"))).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(PartitionedMirror.BucketCol))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala.map(_.getFileName.toString).toSet)
+        .toMap
+    val before = bucketFiles
+    val batch = changes((1L, "a2", "U", "t2"), (2L, "b", "D", "t2"))
+    PartitionedMirror.applyBatch(spark, wh, "m", batch, cfg, N)
+    val flat = Cdc.currentState(Cdc.applyBatch(Cdc.fold(initial, cfg), batch, cfg))
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(wh, "m") == flat)
+    val touched = Set(1L, 2L).map(id =>
+      s"${PartitionedMirror.BucketCol}=" + batch.sparkSession.range(1).select(
+        pmod(hash(lit(id)), lit(N))).collect()(0).getInt(0))
+    before.foreach { case (bucket, files) =>
+      if (!touched.contains(bucket))
+        assert(bucketFiles(bucket) == files, s"untouched $bucket was rewritten")
+    }
+    // replay of the same batch converges (latest-wins re-merge)
+    PartitionedMirror.applyBatch(spark, wh, "m", batch, cfg, N)
+    assert(state(wh, "m") == flat)
+    // no staging debris
+    val root = Paths.get(wh.tablePath("m")).getParent
+    val s = Files.list(root)
+    val debris =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("epochstage")).toSeq
+      finally s.close()
+    assert(debris.isEmpty, debris.toString)
+  }
+
   test("partial bucket overwrite + replay converges (dynamic overwrite is per-bucket, not atomic)") {
     import scala.jdk.CollectionConverters._
     val wh = Warehouse(tmpDir("pmirror-crash"))
