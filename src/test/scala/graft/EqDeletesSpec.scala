@@ -319,6 +319,34 @@ class EqDeletesSpec extends SparkTestBase {
       "the retry must keep the rival's row AND apply the delete")
   }
 
+  test("branches x sidecars: a branch forked past a MOR delete carries the sidecars; a WAP re-insert lands outside the census; fast-forward publishes both") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    // re-insert a deleted key ON THE BRANCH: the branch commit carries
+    // the sidecar (it is the snapshot's logical content) and the new
+    // file sits outside its census — the branch audit read sees the key
+    // back while main still serves the deleted view
+    Seq((3L, "fixed", 3.5)).toDF("id", "grp", "v")
+      .createOrReplaceTempView(s"fix_$cat")
+    spark.conf.set("spark.graft.wap.branch", "fix")
+    try spark.sql(s"INSERT INTO $cat.t SELECT * FROM fix_$cat")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    val branchRead = spark.sql(
+      s"SELECT id, grp, v FROM $cat.t VERSION AS OF 'fix'").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expectBranch = base.filterNot(_._2 == "del").toSet + ((3L, "fixed", 3.5))
+    assert(branchRead == expectBranch,
+      "the branch head must apply the carried sidecars AND show the re-insert")
+    assert(visible(cat) == base.filterNot(_._2 == "del").toSet,
+      "main must still serve the plain deleted view")
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'fix')").collect()
+    assert(visible(cat) == expectBranch)
+    // compact folds the published head's sidecars like any other
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(visible(cat) == expectBranch)
+  }
+
   test("a matched set past MaxKeys falls back to the COW rewrite") {
     val root = tmpDir("eqdel-max")
     val wh = Warehouse(root, retain = 4)
