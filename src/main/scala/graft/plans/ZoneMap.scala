@@ -485,14 +485,18 @@ object ZoneMap {
     // arithmetic. Hash parity with the build side is exact: the same
     // Literal-cast + XxHash64(seed 42) the bloom_build aggregate hashed.
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, XxHash64}
     val keyType = keyTypeHint.getOrElse(
       spark.read.parquet(dataPath).schema(keyCol).dataType)
-    // a key that cannot represent as the column type matches NO row
-    // (isin semantics) — it simply contributes no probe
+    // EXACT scan-path cast semantics (spec-pinned): under ANSI an
+    // uncastable key throws CAST_INVALID_INPUT at planning, exactly as
+    // the plain isin filter would; with ANSI off it casts to null and
+    // contributes no probe (such a key matches no row)
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val mode = if (spark.sessionState.conf.ansiEnabled) EvalMode.ANSI
+      else EvalMode.LEGACY
     val catKeys: Seq[Any] = keys.flatMap { v =>
-      try Option(CatalystTypeConverters.createToCatalystConverter(keyType)(v))
-      catch { case _: Exception => None }
+      Option(Cast(Literal.create(v), keyType, tz, mode).eval(null))
     }
     val plan: Seq[(String, Boolean)] =
       if (hasBloom) {
