@@ -987,6 +987,27 @@ object Maintenance {
         }.toSeq.foreach(sweep)
       finally walk.close()
     }
+    // crashed per-partition replaces (a `_replacing` manifest left by a
+    // killed partitionedOverwriteNoRename): settle them — roll forward
+    // when the copy completed, roll back otherwise. The SAME age guard
+    // as sweep: a LIVE replace keeps touching its partition dir, and
+    // healing under a live writer would delete files it just copied.
+    // Depth 4 covers the deepest layout (p_day/p_hour/p_batch/_replacing).
+    if (Files.isDirectory(tableP)) {
+      val walk = Files.walk(tableP, 4)
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString ==
+          graft.sources.Tables.ReplacingManifest)
+        .toSeq
+        .foreach { mf =>
+          val part = mf.getParent
+          if (now - newestMtime(part) > olderThanMs) {
+            deleted += mf.toString
+            wh.healReplacing(part)
+          }
+        }
+      finally walk.close()
+    }
     deleted.toSeq
   }
 }

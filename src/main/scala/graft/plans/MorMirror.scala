@@ -497,16 +497,26 @@ object MorMirror {
     if (!Files.isDirectory(d)) return Seq.empty
     val s = Files.list(d)
     try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("batch_") &&
+      .filter { p =>
+        val visible = p.getFileName.toString.startsWith("batch_")
         // committed deltas only: an unmarked prefix is a write in
         // flight (object-store direct write) or a crashed attempt —
         // folding it would stamp a horizon that hides its missing rows
-        // forever. Upgrade note: a warehouse written by the pre-marker
-        // rename-only protocol adopts markers via the replay path (the
-        // last in-flight batch) — older retained deltas there need a
-        // one-time stamp, which no warehouse in this environment
-        // predates.
-        Files.exists(p.resolve(DeltaCommittedMarker)))
+        // forever. Pre-marker upgrade (advice finding, round 16): under
+        // a RENAME substrate a visible batch_ dir is complete by
+        // rename-construction, so an unmarked one can only be history
+        // written by the rename-only protocol — adopt it with a
+        // one-time stamp here (the replay path stamps only the single
+        // in-flight batch; older retained deltas would otherwise fall
+        // invisible and a fold would hide their rows forever).
+        // _SUCCESS-gated like _published's grandfathering; never on
+        // ObjectStoreIO, where unmarked means in-flight.
+        if (visible && !Files.exists(p.resolve(DeltaCommittedMarker)) &&
+            wh.io != graft.sources.ObjectStoreIO &&
+            Files.exists(p.resolve("_SUCCESS")))
+          Files.writeString(p.resolve(DeltaCommittedMarker), "")
+        visible && Files.exists(p.resolve(DeltaCommittedMarker))
+      }
       .toSeq.sortBy(deltaId)
     finally s.close()
   }

@@ -75,7 +75,12 @@ private[graft] object EqDeletes {
     */
   def requireNullFreeKeys(spark: SparkSession, snapshotDir: String,
       keyCol: String, context: String): Unit = {
-    if (nullFreeVerified.contains(snapshotDir)) return
+    // memo key includes the KEY COLUMN, not just the snapshot: re-keying
+    // a table (unset MOR, change cdc.key-column, re-declare) must
+    // re-verify — a pass recorded for column A says nothing about
+    // column B's nulls (advice finding, round 16)
+    val memoKey = s"$snapshotDir#$keyCol"
+    if (nullFreeVerified.contains(memoKey)) return
     val files = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
     val conf = spark.sessionState.newHadoopConf()
     var statsNulls = 0L
@@ -104,7 +109,7 @@ private[graft] object EqDeletes {
       s"$context: $nulls row(s) carry a NULL '$keyCol' — merge-on-read " +
         "declares the key REQUIRED (equality deletes and delta writes " +
         "identify rows by it). Repair or delete the NULL-key rows first")
-    nullFreeVerified.add(snapshotDir)
+    nullFreeVerified.add(memoKey)
   }
 
   final case class Sidecar(dir: Path, census: Set[String]) {
@@ -293,7 +298,8 @@ private[graft] object EqDeletes {
 private[sources] class EqDeleteScanBuilder(tableName: String,
     baseDir: String, tableSchema: StructType, keyCol: String,
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-    sidecars: Seq[EqDeletes.Sidecar])
+    sidecars: Seq[EqDeletes.Sidecar],
+    filesOverride: Option[Seq[String]] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

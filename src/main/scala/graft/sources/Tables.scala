@@ -448,10 +448,15 @@ object Tables {
         // permanently publish garbage as history (advice finding) — the
         // age-guarded orphan sweep owns it instead. Every legitimately
         // published pre-marker dir was a completed Spark write and
-        // carries _SUCCESS.
+        // carries _SUCCESS. BranchMarker dirs are excluded: a branch
+        // append dir also has no published marker, no stage sibling, and
+        // a _SUCCESS — stamping it here would publish unaudited staged
+        // branch data into main history the moment any main commit lands
+        // at a higher version (advice finding, round 16).
         versions(name).foreach { case (v, p) =>
           if (v <= next && Files.isDirectory(p) &&
               !Files.exists(p.resolve(PublishedMarker)) &&
+              !Files.exists(p.resolve(BranchMarker)) &&
               !Files.exists(stageMarkerPath(p)) &&
               Files.exists(p.resolve("_SUCCESS")))
             Files.writeString(p.resolve(PublishedMarker), "")
@@ -1091,7 +1096,13 @@ object Tables {
             s"'$name' has no branch '$branch'")).toLong
         val base = props(branchBaseKey(branch)).toLong
         val cur = currentVersion(name)
-        require(cur.contains(base),
+        // replay: a prior fast_forward crashed between its pointer swap
+        // and the marker promotion / prop write — main already points at
+        // THIS branch's head dir (version numbers are unique across the
+        // shared sequence, so cur==head can mean nothing else). Re-running
+        // completes the promotion instead of refusing.
+        val replay = head != base && cur.contains(head)
+        require(cur.contains(base) || replay,
           s"fast_forward('$name', '$branch') is not fast-forwardable: " +
             s"main moved from the fork base v$base to " +
             s"${cur.fold("none")(v => s"v$v")}; rebase the branch " +
@@ -1100,11 +1111,23 @@ object Tables {
           val headDir = Paths.get(s"${tablePath(name)}.v$head")
           require(Files.isDirectory(headDir),
             s"branch '$branch' head v$head is missing")
+          if (!replay)
+            io.atomicPointerSwap(Paths.get(tablePath(name)),
+              headDir.getFileName,
+              scratch = Paths.get(s"${tablePath(name)}.ptr$head"))
           // THIS branch's commits join main history (Iceberg ancestry:
           // the audited intermediates stay readable as snapshots until
           // retention ages them out) — promote the branch marker to
           // `_published` on exactly the dirs this branch stamped; their
-          // publish stamp is NOW, when they became visible to main
+          // publish stamp is NOW, when they became visible to main.
+          // Promotion runs AFTER the swap (the swap-then-stamp discipline
+          // publishStage follows — advice finding): a crash before the
+          // swap must never leave branch versions stamped as published
+          // main history while the pointer still serves the base. The
+          // converse crash (swap done, promotion pending) hides the
+          // intermediates from time travel until the replay above heals
+          // them; the head itself is served via the pointer-target clause
+          // of isPublishedDir throughout.
           versions(name).foreach { case (v, p) =>
             val bm = p.resolve(BranchMarker)
             val owned =
@@ -1115,9 +1138,6 @@ object Tables {
               Files.deleteIfExists(bm)
             }
           }
-          io.atomicPointerSwap(Paths.get(tablePath(name)),
-            headDir.getFileName,
-            scratch = Paths.get(s"${tablePath(name)}.ptr$head"))
         }
         TableProps.write(this, name,
           props + (branchBaseKey(branch) -> head.toString))
@@ -1292,6 +1312,22 @@ object Tables {
       * rename). A reader can see a partially-replaced partition for the
       * copy's duration — the same window the rename path already has
       * ACROSS partitions.
+      *
+      * Crash safety (advice finding, round 16): the old delete-dir-then-
+      * copy order had a zero-copy window — a crash after the delete
+      * destroyed the partition AND its staged replacement (the finally
+      * swept staging, and removeOrphans would age-sweep it otherwise),
+      * permanent loss for the compaction/expiry/mirror callers that have
+      * no checkpoint replay. Replaced with a per-partition manifest
+      * protocol that never leaves the partition empty: (1) PUT a
+      * `_replacing` manifest listing the incoming file names, (2) copy
+      * new files IN (old files untouched — staged part names carry task
+      * UUIDs, collision-free), (3) delete old files, (4) delete the
+      * manifest. Any later toucher ([[healReplacing]]) rolls a crashed
+      * replace forward (all listed files present → finish deleting old)
+      * or back (copy incomplete → delete the partial new files, keep
+      * old). Both crash states are well-formed; staging can then be
+      * swept unconditionally — it is never the only copy of anything.
       */
     private[graft] def partitionedOverwriteNoRename(out: DataFrame,
         name: String, partCols: Seq[String]): Unit = {
@@ -1318,12 +1354,49 @@ object Tables {
         partDirs(staging, "", staged)
         staged.foreach { case (rel, files) =>
           val finalDir = Paths.get(tablePath(name), rel)
-          if (Files.isDirectory(finalDir)) deleteRecursively(finalDir)
           Files.createDirectories(finalDir)
+          // a manifest already here is a CRASHED prior replace of this
+          // partition — settle it before layering a new one on top
+          healReplacing(finalDir)
+          val newNames = files.map(_.getFileName.toString)
+          Files.writeString(finalDir.resolve(ReplacingManifest),
+            newNames.mkString("\n"))
           files.foreach(f =>
             io.linkOrCopy(f, finalDir.resolve(f.getFileName.toString)))
+          val keep = newNames.toSet
+          val s = Files.list(finalDir)
+          val old = try s.iterator().asScala.filter { p =>
+            val fn = p.getFileName.toString
+            !keep(fn) && !fn.startsWith("_") && !fn.startsWith(".")
+          }.toVector finally s.close()
+          old.foreach(deleteRecursively)
+          Files.deleteIfExists(finalDir.resolve(ReplacingManifest))
         }
       } finally deleteRecursively(staging)
+    }
+
+    /** Settle a crashed [[partitionedOverwriteNoRename]] of ONE partition
+      * dir. No manifest → nothing to do. All manifest-listed files
+      * present → the copy completed: roll FORWARD (the new files are
+      * authoritative; finish deleting the old ones). Any listed file
+      * missing → the copy crashed mid-way: roll BACK (delete the partial
+      * new files; the untouched old files keep serving). Idempotent and
+      * safe to call on any partition dir at any time.
+      */
+    private[graft] def healReplacing(dir: Path): Unit = {
+      val mf = dir.resolve(ReplacingManifest)
+      if (!Files.exists(mf)) return
+      val listed = Files.readAllLines(mf).asScala.filter(_.nonEmpty).toSet
+      val s = Files.list(dir)
+      val entries = try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+        .toSet finally s.close()
+      if (listed.subsetOf(entries))
+        (entries -- listed).foreach(fn => deleteRecursively(dir.resolve(fn)))
+      else
+        listed.intersect(entries)
+          .foreach(fn => deleteRecursively(dir.resolve(fn)))
+      Files.delete(mf)
     }
 
     /** Declare hidden time partitioning for an append-batch table: every
@@ -1620,6 +1693,14 @@ object Tables {
     * warehouse was first committed under — see Warehouse.verifySubstrate.
     */
   private[graft] val SubstrateMarker = "_warehouse_io"
+  /** Per-partition replace manifest (content = the incoming file names,
+    * one per line): present only while a
+    * [[Warehouse.partitionedOverwriteNoRename]] of that partition is
+    * in flight; a crashed replace is settled by
+    * [[Warehouse.healReplacing]] (roll forward when the copy completed,
+    * roll back otherwise) so the partition is never left empty or mixed.
+    */
+  private[graft] val ReplacingManifest = "_replacing"
 
   /** Root-level `_`-prefixed marker FILES (not dirs) of a snapshot,
     * excluding the write/commit machinery's own, read INTO MEMORY (they

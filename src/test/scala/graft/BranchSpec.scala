@@ -253,4 +253,63 @@ class BranchSpec extends SparkTestBase {
       .parquet(snap.toString).select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 10L, 11L))
   }
+
+  test("a main commit after an unpublished branch commit never grandfathers the branch version into main history") {
+    import java.nio.file.{Files, Paths}
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'g')").collect()
+    Seq((3L, "staged")).toDF("id", "s").createOrReplaceTempView(s"g_$seq")
+    onBranch("g") { spark.sql(s"INSERT INTO $cat.t SELECT * FROM g_$seq") }
+    val brHead = wh.branches("t")("g")._1
+    // main commits at a HIGHER version — its durable-grandfather pass
+    // must skip the branch dir, which is indistinguishable from
+    // pre-marker history (has _SUCCESS, no _published, no .stage
+    // sibling) except by its BranchMarker (advice finding, round 16)
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"gm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM gm_$seq")
+    assert(!wh.listVersions("t").contains(brHead),
+      "unpublished branch version leaked into main snapshots")
+    val dir = Paths.get(s"${wh.tablePath("t")}.v$brHead")
+    assert(!Files.exists(dir.resolve(Tables.PublishedMarker)),
+      "the grandfather loop stamped a branch dir as published")
+    assert(Files.exists(dir.resolve(Tables.BranchMarker)))
+    // main serves only its own history; the branch still audits exactly
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 9L))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'g'")) ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("fast_forward replay heals a crash between the pointer swap and the marker promotion") {
+    import java.nio.file.{Files, Paths}
+    val (cat, wh) = fixture()
+    wh.createBranch("t", "r")
+    wh.appendToBranch(Seq((3L, "x")).toDF("id", "s")
+      .localCheckpoint(true), "t", "r")
+    wh.appendToBranch(Seq((4L, "y")).toDF("id", "s")
+      .localCheckpoint(true), "t", "r")
+    val (head, base) = wh.branches("t")("r")
+    // simulate the crash window: the pointer swap landed, the marker
+    // promotion and the branch-base prop write did not
+    val headDir = Paths.get(s"${wh.tablePath("t")}.v$head")
+    wh.io.atomicPointerSwap(Paths.get(wh.tablePath("t")),
+      headDir.getFileName,
+      scratch = Paths.get(s"${wh.tablePath("t")}.ptr$head"))
+    // the head is already served via the pointer-target clause; the
+    // intermediates stay hidden until healed
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 3L, 4L))
+    assert(Files.exists(headDir.resolve(Tables.BranchMarker)))
+    // the re-run detects main==head as its own crashed swap and
+    // completes the promotion instead of refusing (main "moved" to head)
+    assert(wh.fastForward("t", "r") == head)
+    assert(!Files.exists(headDir.resolve(Tables.BranchMarker)))
+    assert(Files.exists(headDir.resolve(Tables.PublishedMarker)))
+    // the audited intermediate joined main history
+    assert(wh.listVersions("t").contains(head - 1))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF ${head - 1}"))
+      == Set(1L, 2L, 3L))
+    // branch re-based at its own head; a plain re-run is the no-op hop
+    assert(wh.branches("t")("r") == (head, head))
+    assert(wh.fastForward("t", "r") == head)
+    assert(base < head) // the fixture really exercised a multi-commit fork
+  }
 }

@@ -364,4 +364,24 @@ class EqDeletesSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
       n - EqDeletes.MaxKeys - 1)
   }
+
+  test("requireNullFreeKeys memoizes per (snapshot, key column): re-keying a table re-verifies") {
+    import spark.implicits._
+    val root = tmpDir("eqdel-rekey")
+    val wh = Warehouse(root, retain = 4)
+    // column `a` is null-free; column `b` carries a NULL — the exact
+    // re-key scenario the memo must not blind itself to (advice
+    // finding: a per-dir memo recorded for `a` silently passed `b`)
+    wh.overwrite(Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Option.empty[Long]))
+      .toDF("a", "b"), "rk")
+    val dir = wh.snapshotPath("rk")
+    EqDeletes.requireNullFreeKeys(spark, dir, "a", "rekey-test")
+    val e = intercept[UnsupportedOperationException] {
+      EqDeletes.requireNullFreeKeys(spark, dir, "b", "rekey-test")
+    }
+    assert(e.getMessage.contains("NULL 'b'"), e.getMessage)
+    // and the verified column stays memoized (no throw, no re-walk crash)
+    EqDeletes.requireNullFreeKeys(spark, dir, "a", "rekey-test")
+  }
 }

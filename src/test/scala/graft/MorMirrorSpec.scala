@@ -470,4 +470,25 @@ class MorMirrorSpec extends SparkTestBase {
       "_delta_committed")))
     assert(state(wh, "m") == Set((1L, "a"), (2L, "b")))
   }
+
+  test("pre-marker rename-published deltas are adopted on listing, not silently hidden from folds") {
+    val wh = Warehouse(tmpDir("mor-adopt"))
+    MorMirror.initialize(wh, "m",
+      Cdc.fold(changes((1L, "a", "I", "t1")), cfg), cfg, N)
+    MorMirror.appendDelta(wh, "m", changes((2L, "b", "I", "t2")), batchId = 1)
+    MorMirror.appendDelta(wh, "m", changes((3L, "c", "I", "t3")), batchId = 2)
+    // simulate a warehouse written by the rename-only protocol: an OLDER
+    // retained delta has no committed marker (the replay path would only
+    // stamp the last in-flight batch — advice finding, round 16)
+    val b1 = Paths.get(wh.tablePath("m"), "deltas", "batch_1")
+    Files.delete(b1.resolve("_delta_committed"))
+    // a read must adopt (re-stamp) it — rename-visible implies complete
+    // under POSIX — instead of serving state with batch 1's rows missing
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Files.exists(b1.resolve("_delta_committed")),
+      "the one-time adoption stamp must be durable")
+    // and a compaction folds ALL three batches, not a horizon past b1
+    MorMirror.compact(spark, wh, "m")
+    assert(state(wh, "m") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }

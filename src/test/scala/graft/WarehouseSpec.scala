@@ -135,4 +135,59 @@ class WarehouseSpec extends SparkTestBase {
     assert(!Files.isSymbolicLink(Paths.get(wh.tablePath("c"))))
     assert(wh.read(spark, "c").count() == 2)
   }
+
+  test("healReplacing rolls a COMPLETED crashed partition replace forward (new files authoritative, old swept)") {
+    val wh = Warehouse(tmpDir("wh-heal-fwd"))
+    val part = Paths.get(wh.root, "t", "p_day=2024-01-01")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("old-1.parquet"), "OLD1")
+    Files.writeString(part.resolve("old-2.parquet"), "OLD2")
+    Files.writeString(part.resolve("new-a.parquet"), "NEWA")
+    Files.writeString(part.resolve("new-b.parquet"), "NEWB")
+    Files.writeString(part.resolve("_SUCCESS"), "")
+    // crash happened AFTER the copy, BEFORE the old-file delete
+    Files.writeString(part.resolve(graft.sources.Tables.ReplacingManifest),
+      "new-a.parquet\nnew-b.parquet")
+    wh.healReplacing(part)
+    assert(entries(part.toString) == Set("new-a.parquet", "new-b.parquet",
+      "_SUCCESS"), "roll-forward keeps exactly the manifest-listed files")
+  }
+
+  test("healReplacing rolls an INCOMPLETE crashed partition replace back (old files keep serving)") {
+    val wh = Warehouse(tmpDir("wh-heal-back"))
+    val part = Paths.get(wh.root, "t", "p_day=2024-01-02")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("old-1.parquet"), "OLD1")
+    Files.writeString(part.resolve("new-a.parquet"), "NEWA")
+    // crash happened MID-copy: new-b never landed
+    Files.writeString(part.resolve(graft.sources.Tables.ReplacingManifest),
+      "new-a.parquet\nnew-b.parquet")
+    wh.healReplacing(part)
+    assert(entries(part.toString) == Set("old-1.parquet"),
+      "roll-back deletes the partial new files and keeps the old ones")
+  }
+
+  test("partitionedOverwriteNoRename replaces touched partitions exactly and settles its manifest protocol on success") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = Warehouse(tmpDir("wh-replace"))
+    val tdir = Paths.get(wh.tablePath("t"))
+    wh.partitionedOverwriteNoRename(
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "p"), "t", Seq("p"))
+    val before = spark.read.parquet(tdir.toString)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(before == Set(1L, 2L, 3L))
+    // replace partition d1 only; d2 untouched (dynamic semantics)
+    wh.partitionedOverwriteNoRename(
+      Seq((10L, "d1")).toDF("id", "p"), "t", Seq("p"))
+    val after = spark.read.parquet(tdir.toString)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(10L, 3L))
+    // protocol debris fully settled
+    val walk = Files.walk(tdir)
+    val manifests = try walk.iterator().asScala.count(
+      _.getFileName.toString == graft.sources.Tables.ReplacingManifest)
+      finally walk.close()
+    assert(manifests == 0, "a successful replace must delete its manifests")
+  }
 }
