@@ -84,6 +84,108 @@ object DeltaStress {
     println(s"""{"rows":$n,"updated":${n / 100},""" +
       s""""cow":{"sec":${f"$cowSec%.2f"},"files_written":$cowFiles,"bytes_written":$cowBytes},""" +
       s""""mor_delta":{"sec":${f"$morSec%.2f"},"files_written":$morFiles,"bytes_written":$morBytes}}""")
+
+    // DELTA-MERGE runtime target narrowing (round-15 verdict item 3):
+    // a point-MERGE on a clustered MOR table must read ~the files its
+    // matched keys live in, not the table — the WriteDelta dynamic-
+    // pruning rule + the runtime-filterable target scan, measured.
+    {
+      val root = Files.createTempDirectory("graft_dstress_merge").toString
+      val wh = Warehouse(root, retain = 2)
+      val cat = "dsn"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      wh.overwrite(spark.range(n).select(col("id"),
+        (col("id") % 97).cast("double").as("v"),
+        concat(lit("payload-"), col("id")).as("s"))
+        .repartition(16), "t")
+      graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
+        bloomKeys = Seq("id"), targetFiles = Some(16))
+      graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 16,
+        bloomKeys = Seq("id"))
+      Tables.TableProps.write(wh, "t",
+        Tables.TableProps.read(wh, "t") +
+          (EqDeletes.ModeProp -> "merge-on-read") +
+          (EqDeletes.KeyProp -> "id"))
+      graft.sources.MorDeltaOperation.lastScanSelection = None
+      // 100 matched keys from one clustered neighborhood
+      spark.range(500, 600).select(col("id"), lit(-1.0).as("v"))
+        .createOrReplaceTempView("dsn_src")
+      val t0 = System.nanoTime()
+      spark.sql(s"""MERGE INTO $cat.t t USING dsn_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sel = graft.sources.MorDeltaOperation.lastScanSelection
+      val got = spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE v = -1.0").head.getLong(0)
+      require(got == 100, s"expected 100 merged rows, got $got")
+      Tables.deleteRecursively(Paths.get(root))
+      println(s"""{"delta_merge_narrowing":{"rows":$n,"data_files":16,""" +
+        s""""matched_keys":100,"sec":${f"$sec%.2f"},""" +
+        s""""target_files_scanned":${sel.fold(16)(_.size)}}}""")
+    }
+
+    // READ-SIDE tax (round-15 verdict items 1+5): full-scan wall time
+    // with pending sidecars, vs the clean vectorized baseline. With the
+    // plan-level split ([[graft.sources.SplitEqDeleteScans]], active via
+    // Harness's extensions wiring) the tax must track AFFECTED bytes —
+    // sidecars whose censuses touch one of 16 files should cost ~1/16 of
+    // a whole-table devectorization. Then the DEBT CURVE: scan time at
+    // 1/4/16/64 STACKED sidecars (each adds a per-row HashSet probe
+    // chain on affected files), the measurement behind the
+    // `write.delete.fold-every` default.
+    {
+      val root = Files.createTempDirectory("graft_dstress_read").toString
+      val wh = Warehouse(root, retain = 2)
+      val cat = "dsr"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      wh.overwrite(spark.range(n).select(col("id"),
+        (col("id") % 97).cast("double").as("v"),
+        concat(lit("payload-"), col("id")).as("s"))
+        .repartition(16), "t")
+      graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
+        bloomKeys = Seq("id"), targetFiles = Some(16))
+      graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 16,
+        bloomKeys = Seq("id"))
+      Tables.TableProps.write(wh, "t",
+        Tables.TableProps.read(wh, "t") +
+          (EqDeletes.ModeProp -> "merge-on-read") +
+          (EqDeletes.KeyProp -> "id"))
+      def scanSec(reps: Int = 3): Double =
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          spark.sql(s"SELECT sum(v), count(s) FROM $cat.t").collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      def affectedFiles(): Int = {
+        val snap = wh.snapshotPath("t")
+        val pend = EqDeletes.pending(snap)
+        val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        all.count(f => pend.exists(_.census.contains(f)))
+      }
+      val clean = scanSec()
+      val curve = scala.collection.mutable.ArrayBuffer[(Int, Double, Int)]()
+      var committed = 0
+      // stacked tiny deletes: each hits a narrow id range (the table is
+      // clustered by id, so each census names ~1 file); checkpoints at
+      // 1/4/16/64 pending
+      Seq(1, 4, 16, 64).foreach { k =>
+        while (committed < k) {
+          val lo = committed * 1000
+          spark.sql(
+            s"DELETE FROM $cat.t WHERE id >= $lo AND id < ${lo + 500}")
+          committed += 1
+        }
+        curve += ((k, scanSec(), affectedFiles()))
+      }
+      Tables.deleteRecursively(Paths.get(root))
+      val pts = curve.map { case (k, s, af) =>
+        s"""{"pending":$k,"scan_sec":${f"$s%.2f"},"affected_files":$af}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"read_side":{"rows":$n,"data_files":16,""" +
+        s""""clean_scan_sec":${f"$clean%.2f"},"curve":$pts}}""")
+    }
     spark.stop()
   }
 }

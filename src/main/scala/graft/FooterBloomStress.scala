@@ -155,6 +155,7 @@ object FooterBloomStress {
     val keysC: Seq[Long] = Seq(7L, 123457L, 1234567L, satRows - 3)
     def survivorsTotal(): Int = keysC.map { k =>
       ZoneMap.keyedSurvivors(spark, satPath, "id", Seq(k),
+        keyTypeHint = Some(org.apache.spark.sql.types.LongType),
         bloomOnly = true).get.size
     }.sum
     // yesterday's fixed sizing, forced via the ceiling clamp

@@ -157,6 +157,20 @@ object MaintenanceMain {
           case None => layout == "mor" ||
             Maintenance.dataFiles(spark, wh, table).size > targetFiles
         }
+        // pending equality-delete sidecars past the declared fold
+        // budget fold on their OWN trigger: the freshness/file-count
+        // guards above say nothing about read debt (a pure delete
+        // changes no file names, so the manifest stays "fresh" while
+        // every affected-file read stacks another per-row probe chain)
+        val props = TableProps.read(wh, table)
+        val foldEvery = props.get(graft.sources.EqDeletes.FoldEveryProp)
+          .map(_.toInt).getOrElse(graft.sources.EqDeletes.DefaultFoldEvery)
+        val pendingDeletes =
+          if (graft.sources.EqDeletes.morEnabled(props))
+            graft.sources.EqDeletes.pending(wh.snapshotPath(table)).size
+          else 0
+        val foldedNow = pendingDeletes >= foldEvery && foldEvery > 0 &&
+          graft.sources.EqDeletes.fold(spark, wh, table)
         var clusterMode = "none"
         if (needsCompact) declared match {
           case Some((dims, bloomKeys, declaredFiles)) =>
@@ -191,6 +205,9 @@ object MaintenanceMain {
         println(s"[maintenance] table=$table layout=$layout " +
           s"${if (declared.isDefined) "clustered" else "compacted"}=$needsCompact " +
           (if (declared.isDefined && needsCompact) s"mode=$clusterMode " else "") +
+          (if (pendingDeletes > 0 || foldedNow)
+            s"sidecars_folded=$foldedNow (pending=$pendingDeletes/$foldEvery) "
+          else "") +
           s"expired=${tombstoneHorizon.isDefined && cfg.isDefined} " +
           s"orphans_swept=${swept.size}")
         }

@@ -32,7 +32,7 @@ object StreamingIngestMain {
     spark.conf.set("spark.sql.catalog.gsi", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsi.warehouse", whDir)
     if (!spark.catalog.tableExists("gsi.sink")) {
-      if (layout == "timed")
+      if (layout.startsWith("timed"))
         spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE, " +
           "ts TIMESTAMP) PARTITIONED BY (days(ts))")
       else spark.sql("CREATE TABLE gsi.sink (id BIGINT, v DOUBLE)")
@@ -43,7 +43,7 @@ object StreamingIngestMain {
     val base = source.toDS()
       .select($"value".as("id"), ($"value" % 97 / 4.0).as("v"))
     val shaped =
-      if (layout == "timed")
+      if (layout.startsWith("timed"))
         // ids spread over ~3 UTC days so every epoch spans partitions
         base.withColumn("ts", org.apache.spark.sql.functions
           .timestamp_seconds(org.apache.spark.sql.functions.lit(1704067200L) +
@@ -62,6 +62,13 @@ object StreamingIngestMain {
       next += rowsPerEpoch
       q.processAllAvailable()
       println(s"[stream] epoch $i committed (${next} rows total)")
+      // timed-evolve drill: flip the layout to hour grain MID-STREAM —
+      // later epochs land hour-partitioned while the concurrent
+      // maintenance JVMs migrate the day-era days (the rename-free
+      // manifest flip on the object-store substrate); the final census
+      // must still be exact
+      if (layout == "timed-evolve" && i == epochs / 2)
+        graft.sources.Tables.Warehouse(whDir).evolveTimeGranularity("sink")
     }
     q.stop()
     spark.stop()

@@ -127,6 +127,14 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.sources.DeriveHiddenDayFilters
+    // delta-MERGE runtime target narrowing (the WriteDelta analog of
+    // Spark's ReplaceData-only group filtering) — needs the LAST batch:
+    // it matches the post-pushdown DataSourceV2ScanRelation shape
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.DeltaRuntimeGroupFiltering))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.DeltaRuntimeGroupFiltering
   }
 
   /** Builder for `multi_substr_count(text, array('p', ...))` — the

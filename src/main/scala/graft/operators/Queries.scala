@@ -1434,6 +1434,85 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** WAP branch DML under the oracle gate (q205, round-16 verdict item
+    * 2): the FULL write surface routes onto a branch — a merge-on-read
+    * table forks, then under `spark.graft.wap.branch` a delta MERGE
+    * (matched view rows +100, unmatched odd errors insert) and a
+    * sidecar DELETE (clicks) both commit to the BRANCH head while a
+    * scalar subquery proves main's snapshot never moved; fast_forward
+    * publishes the audited head (sidecars ride), `CALL compact` folds
+    * them, and both the staged audit and the post-publish state must
+    * hash-equal the oracle's closed-form model. The reference's mirror
+    * is maintained by exactly these upserts/deletes (tabular.py:58-64)
+    * — auditing them before publication is WAP's point.
+    */
+  def q205BranchDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bd_q205")
+    val cat = s"gq205_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      Tables.TableProps.write(wh, "ev", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "event_id"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(s"CALL $cat.system.create_branch('ev', 'fix')").collect()
+      val vMain = wh.currentVersion("ev").get
+      ev.filter((pmod(col("event_id"), lit(2)) === 0 &&
+          col("event_type") === "view") ||
+        (pmod(col("event_id"), lit(2)) === 1 &&
+          col("event_type") === "error"))
+        .createOrReplaceTempView(s"fixsrc_$cat")
+      spark.conf.set("spark.graft.wap.branch", "fix")
+      val staged =
+        try {
+          // delta MERGE onto the branch: O(changed) sidecar + fast
+          // append on the BRANCH head, never a base rewrite
+          spark.sql(
+            s"""MERGE INTO $cat.ev t USING fixsrc_$cat s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET value = t.value + 100
+               |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+               |  VALUES (s.event_id, s.event_type, s.value)""".stripMargin)
+          // sidecar DELETE stacks on the branch head
+          spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+          require(wh.currentVersion("ev").contains(vMain) &&
+            EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+            "branch DML must never move main or land sidecars on it")
+          require(EqDeletes.pending(
+            wh.branchSnapshotDir("ev", "fix").toString).size == 2,
+            "MERGE delta + DELETE sidecar stack on the branch head")
+          spark.sql(
+            s"""SELECT 'staged' AS phase, event_type, count(*) AS n_events,
+               |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               |    AS total_value,
+               |  (SELECT count(*) FROM $cat.ev) AS n_main_during_audit
+               |FROM $cat.ev VERSION AS OF 'fix'
+               |GROUP BY event_type""".stripMargin).localCheckpoint(true)
+        } finally spark.conf.unset("spark.graft.wap.branch")
+      spark.sql(s"CALL $cat.system.fast_forward('ev', 'fix')").collect()
+      spark.sql(s"CALL $cat.system.compact('ev', 4)").collect()
+      require(EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+        "compact must fold the published sidecars")
+      staged.unionByName(spark.sql(
+        s"""SELECT 'current' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vMain)
+           |    AS n_main_during_audit
+           |FROM $cat.ev GROUP BY event_type""".stripMargin))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** The manifest-credited count under the oracle gate (q194): lineitem
     * clusters by quantity into a scratch warehouse, then THREE
     * `CALL count_fast` interval counts — one fully manifest-contained,
@@ -3062,6 +3141,32 @@ object Queries {
         |FROM staged GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // branch-routed DML reduces to ONE model applied twice: the staged
+    // audit (read through the branch while main is provably pinned at
+    // the even half) and the published state (after one fast-forward
+    // CAS + fold) are the SAME rows — (evens minus clicks, views +100)
+    // plus the odd errors the MERGE inserted
+    "q205_branch_dml" ->
+      """WITH staged AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'view' THEN value + 100
+        |         ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 0 AND event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type = 'error')
+        |SELECT 'current' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_main_during_audit
+        |FROM staged GROUP BY event_type
+        |UNION ALL
+        |SELECT 'staged', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |FROM staged GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3557,6 +3662,7 @@ object Queries {
     "q202_mor_delete" -> (q202MorDelete _),
     "q203_branch_wap" -> (q203BranchWap _),
     "q204_mor_update_merge" -> (q204MorUpdateMerge _),
+    "q205_branch_dml" -> (q205BranchDml _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),

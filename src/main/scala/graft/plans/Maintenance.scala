@@ -649,6 +649,19 @@ object Maintenance {
       debris.filter(Files.exists(_, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         .foreach(graft.sources.Tables.deleteRecursively)
     }
+    // object-store manifest heal: a `_migrating` manifest inside a day
+    // dir is a crashed rename-free flip — settle it (roll forward when
+    // every new-spec file landed, roll back otherwise) before the
+    // census, so the replay-duplicate guard below never trips on a
+    // half-flipped day. The next maintenance tick re-runs this whole
+    // method, which is the migration's replay heal.
+    locally {
+      val s = Files.list(baseP)
+      val days = try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith(s"$PartDayCol=") &&
+          Files.isDirectory(p)).toList finally s.close()
+      days.foreach(healDayMigration)
+    }
     val (dayEra, _) = wh.classifyDayDirs(base)
     dayEra.foreach { dayDir =>
       val oldBatches = wh.childDirs(dayDir, s"$PartBatchCol=")
@@ -693,12 +706,98 @@ object Maintenance {
         } finally s.close()
       }
       hourDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))
-      val trash = dayDir.resolveSibling(s"_trash_${dayDir.getFileName}")
-      Files.move(dayDir, trash, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(stage, dayDir, StandardCopyOption.ATOMIC_MOVE)
-      graft.sources.Tables.deleteRecursively(trash)
+      wh.io match {
+        case graft.sources.ObjectStoreIO =>
+          // RENAME-FREE flip (round-15 verdict item 4): the store has no
+          // move, so the staged new-spec files COPY into the live day
+          // dir under a `_migrating` manifest — (1) census the staged
+          // tree, keeping only paths NOT already present (the linked
+          // hour-era children land at identical paths and must never be
+          // rolled back as "new"), (2) PUT the manifest naming the new
+          // paths and the old-spec batch dirs, (3) copy new files in,
+          // (4) delete the old batch dirs, (5) delete manifest + stage.
+          // A crash at any point is settled by [[healDayMigration]] on
+          // the next tick: all new files present → finish the old-dir
+          // delete; any missing → delete the partial new files and the
+          // old spec keeps serving. READ WINDOW (documented, admin-op):
+          // while the copy runs, the straddling-day reader serves both
+          // specs, so rows of the in-flight day can duplicate until the
+          // flip settles — the POSIX path's sub-ms absence window traded
+          // for a copy-length duplicate window; run the migration in a
+          // maintenance window if readers cannot tolerate it.
+          def relFiles(dir: java.nio.file.Path): Seq[String] = {
+            val w = Files.walk(dir)
+            try w.iterator().asScala
+              .filter(p => Files.isRegularFile(p))
+              .map(p => dir.relativize(p).toString)
+              .filterNot(r => r.split('/').exists(seg =>
+                seg.startsWith("_") || seg.startsWith(".")))
+              .toList
+            finally w.close()
+          }
+          val newPaths = relFiles(stage)
+            .filterNot(rel => Files.exists(dayDir.resolve(rel)))
+          Files.writeString(dayDir.resolve(MigratingManifest),
+            (newPaths.map("N " + _) ++
+              oldBatches.map(b => "O " + b.getFileName)).mkString("\n"))
+          newPaths.foreach { rel =>
+            val dst = dayDir.resolve(rel)
+            Files.createDirectories(dst.getParent)
+            wh.io.linkOrCopy(stage.resolve(rel), dst)
+          }
+          oldBatches.foreach(graft.sources.Tables.deleteRecursively)
+          Files.delete(dayDir.resolve(MigratingManifest))
+          graft.sources.Tables.deleteRecursively(stage)
+        case _ =>
+          val trash = dayDir.resolveSibling(s"_trash_${dayDir.getFileName}")
+          Files.move(dayDir, trash, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(stage, dayDir, StandardCopyOption.ATOMIC_MOVE)
+          graft.sources.Tables.deleteRecursively(trash)
+      }
     }
     dayEra.size
+  }
+
+  /** Day-dir manifest of an in-flight rename-free grain flip (object
+    * store): `N <relpath>` lines name the new-spec files being copied
+    * in, `O <dirname>` lines the old-spec batch dirs to delete after.
+    */
+  private[plans] val MigratingManifest = "_migrating"
+
+  /** Settle a crashed rename-free day flip. All `N` files present →
+    * roll FORWARD (finish deleting the `O` dirs); any missing → roll
+    * BACK (delete the partial new files + now-empty hour dirs; the old
+    * spec keeps serving and the next migration re-stages). Idempotent.
+    */
+  private[plans] def healDayMigration(dayDir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val mf = dayDir.resolve(MigratingManifest)
+    if (!Files.exists(mf)) return
+    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+    val newPaths = lines.filter(_.startsWith("N ")).map(_.drop(2)).toSeq
+    val oldDirs = lines.filter(_.startsWith("O ")).map(_.drop(2)).toSeq
+    if (newPaths.forall(r => Files.exists(dayDir.resolve(r)))) {
+      oldDirs.foreach(d =>
+        graft.sources.Tables.deleteRecursively(dayDir.resolve(d)))
+    } else {
+      newPaths.foreach(r => Files.deleteIfExists(dayDir.resolve(r)))
+      // prune hour dirs the partial copy created and left empty — a
+      // reader classifying by structure must not see a hollow new spec
+      def emptyTree(p: java.nio.file.Path): Boolean = {
+        val s = Files.list(p)
+        try s.iterator().asScala.forall(c =>
+          Files.isDirectory(c) && emptyTree(c))
+        finally s.close()
+      }
+      val s = Files.list(dayDir)
+      val hours = try s.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString
+          .startsWith(s"${graft.sources.Tables.PartHourCol}=")).toList
+        finally s.close()
+      hours.filter(emptyTree).foreach(graft.sources.Tables.deleteRecursively)
+    }
+    Files.delete(mf)
   }
 
   /** Tombstone GC: drop delete markers whose ts is older than `horizon`

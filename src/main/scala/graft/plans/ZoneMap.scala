@@ -326,6 +326,15 @@ object ZoneMap {
   def countFast(spark: SparkSession, dataPath: String,
       bounds: Seq[Bound]): Long = {
     require(bounds.nonEmpty, "countFast needs at least one bound")
+    // a sidecar-bearing snapshot (pending merge-on-read deletes) lies to
+    // BOTH branches here: manifest `rows` overcount the deleted keys and
+    // the raw fallback scan resurrects them — refuse loudly (the manifest
+    // now survives pure-delete commits precisely because min/max/bloom
+    // stay conservative; exact row counts do not)
+    require(graft.sources.EqDeletes.pending(dataPath).isEmpty,
+      s"countFast on $dataPath refused: pending equality-delete sidecars " +
+        "make both manifest row counts and raw scans overcount. CALL " +
+        "compact to fold them first")
     val rowPred = bounds.map(_.rowPredicate).reduce(_ && _)
     def full = spark.read.parquet(dataPath).filter(rowPred).count()
     if (!hasManifest(spark, dataPath)) return full
@@ -416,6 +425,12 @@ object ZoneMap {
   def lookupRead(spark: SparkSession, dataPath: String, keyCol: String,
       keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "lookupRead needs at least one key")
+    // raw file reads would resurrect pending merge-on-read deletes —
+    // the catalog scan (which probes sidecars) is the read path for
+    // those snapshots; this selective-fetch API refuses them loudly
+    require(graft.sources.EqDeletes.pending(dataPath).isEmpty,
+      s"lookupRead on $dataPath refused: pending equality-delete " +
+        "sidecars would be ignored by the raw read. CALL compact first")
     val table = spark.read.parquet(dataPath)
     val keyType = table.schema(keyCol).dataType
     val rowPred = col(keyCol).isin(keys: _*)
@@ -442,9 +457,11 @@ object ZoneMap {
     */
   /** Probe-key ceiling for [[keyedSurvivors]] — above it, narrowing
     * degrades (correctly) to whole-snapshot rather than planning an
-    * expression whose size tracks the matched set.
+    * expression whose size tracks the matched set. Shared with the
+    * sidecar-census narrowing in morDelete/MorDeltaWrite (callers skip
+    * the driver-side key collect entirely past it).
     */
-  private val MaxProbeKeys = 50000
+  private[graft] val MaxProbeKeys = 50000
 
   /** OR of `cols` as a BALANCED tree: Column→Expression conversion and
     * most tree walks recurse per level, so a `reduce(_ || _)` chain over
@@ -486,8 +503,20 @@ object ZoneMap {
     // Literal-cast + XxHash64(seed 42) the bloom_build aggregate hashed.
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, XxHash64}
-    val keyType = keyTypeHint.getOrElse(
-      spark.read.parquet(dataPath).schema(keyCol).dataType)
+    // key type: the caller's hint, else the manifest's own min_ column
+    // (same type as the data column by construction) — NEVER a schema
+    // inference over the data path: this probe sits on the MERGE hot
+    // path and a `spark.read.parquet(dataPath)` here is a footer-listing
+    // job per probe (round-15 advice). Bloom-only manifests carry no
+    // typed stats column, so there the hint is required.
+    val keyType = keyTypeHint
+      .orElse(manifest(spark, dataPath).schema.fields
+        .find(_.name == s"min_$keyCol").map(_.dataType))
+      .getOrElse(throw new IllegalArgumentException(
+        s"keyedSurvivors($dataPath, $keyCol) needs keyTypeHint: the " +
+          "manifest carries no min_/max_ stats to derive the key type " +
+          "from, and probing a bloom with a mis-typed literal would " +
+          "hash differently than the build"))
     // EXACT scan-path cast semantics (spec-pinned): under ANSI an
     // uncastable key throws CAST_INVALID_INPUT at planning, exactly as
     // the plain isin filter would; with ANSI off it casts to null and
@@ -498,38 +527,47 @@ object ZoneMap {
     val catKeys: Seq[Any] = keys.flatMap { v =>
       Option(Cast(Literal.create(v), keyType, tz, mode).eval(null))
     }
-    val plan: Seq[(String, Boolean)] =
-      if (hasBloom) {
-        val rows = m.select(col("file"), col(s"bloom_$keyCol"),
-          col(s"bloomhashes_$keyCol")).collect()
-        if (rows.isEmpty) return None
-        val hashes = catKeys.map(v =>
-          XxHash64(Seq(Literal(v, keyType)), 42L)
-            .eval(null).asInstanceOf[Long]).toArray
-        rows.toSeq.map { r =>
-          val bits = r.get(1).asInstanceOf[Array[Byte]]
-          val nh = r.getInt(2)
-          // null/absent bits: keep-conservative (no evidence to skip on)
-          val keep = bits == null ||
-            hashes.exists(h => graft.functions.Bloom.mightContain(bits, h, nh))
-          (r.getString(0), keep)
+    // INTERSECT every available evidence class, never prefer one: each
+    // probe is keep-conservative, so ANDing them only ever drops files
+    // both prove key-free. The old bloom-first preference lost badly on
+    // multi-key probes — at ~1% FPP per key per file, a 500-key range
+    // delete kept P = 1-(0.99^500) ≈ 99% of files through the bloom
+    // alone, while the min/max interval kept exactly the one file the
+    // range lives in (measured: DeltaStress read-side, round 16).
+    val wantedCols = Seq(col("file")) ++
+      (if (hasBloom) Seq(col(s"bloom_$keyCol"), col(s"bloomhashes_$keyCol"))
+       else Nil) ++
+      (if (hasMinMax) Seq(col(s"min_$keyCol"), col(s"max_$keyCol")) else Nil)
+    val rows = m.select(wantedCols: _*).collect()
+    if (rows.isEmpty) return None
+    val hashes =
+      if (hasBloom) catKeys.map(v =>
+        XxHash64(Seq(Literal(v, keyType)), 42L)
+          .eval(null).asInstanceOf[Long]).toArray
+      else Array.empty[Long]
+    val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
+    val plan: Seq[(String, Boolean)] = rows.toSeq.map { r =>
+      var idx = 1
+      val bloomKeep = if (hasBloom) {
+        val bits = r.get(idx).asInstanceOf[Array[Byte]]
+        val nh = r.getInt(idx + 1)
+        idx += 2
+        // null/absent bits: keep-conservative (no evidence to skip on)
+        bits == null ||
+          hashes.exists(h => graft.functions.Bloom.mightContain(bits, h, nh))
+      } else true
+      val rangeKeep = if (hasMinMax && !bloomOnly) {
+        // range probe, keep-conservative: null stats survive
+        r.isNullAt(idx) || r.isNullAt(idx + 1) || {
+          val (mn, mx) = (conv(r.get(idx)), conv(r.get(idx + 1)))
+          catKeys.exists(v =>
+            ordering.lteq(mn, v) && ordering.lteq(v, mx))
         }
-      } else {
-        val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(keyType)
-        val rows = m.select(col("file"), col(s"min_$keyCol"),
-          col(s"max_$keyCol")).collect()
-        val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
-        rows.toSeq.map { r =>
-          // range probe, keep-conservative: null stats survive
-          val keep = r.isNullAt(1) || r.isNullAt(2) || {
-            val (mn, mx) = (conv(r.get(1)), conv(r.get(2)))
-            catKeys.exists(v =>
-              ordering.lteq(mn, v) && ordering.lteq(v, mx))
-          }
-          (r.getString(0), keep)
-        }
-      }
+      } else true
+      (r.getString(0), bloomKeep && rangeKeep)
+    }
     if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
       logStale(dataPath)
       return None

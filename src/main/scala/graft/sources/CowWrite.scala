@@ -47,7 +47,8 @@ import graft.sources.Tables.Warehouse
 private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
     schema: StructType, expectCurrent: Option[Long],
     baseDir: Option[String] = None,
-    carryFiles: () => Seq[String] = () => Nil) extends Write {
+    carryFiles: () => Seq[String] = () => Nil,
+    branch: Option[(String, Long)] = None) extends Write {
   self =>
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -118,7 +119,15 @@ private[sources] class GraftCowBatchWrite(wh: Warehouse, table: String,
           .repartition(1).write
           .mode(org.apache.spark.sql.SaveMode.Append).parquet(stage.toString)
       }
-      wh.publishStage(table, stage, expectCurrent, legacyMoved)
+      branch match {
+        // write-audit-publish routing: the rewrite commits as the
+        // branch's new head (CAS on the recorded head prop) — main's
+        // pointer never moves until CALL fast_forward
+        case Some((b, expectHead)) =>
+          wh.publishStageToBranch(table, stage, b, expectHead)
+        case None =>
+          wh.publishStage(table, stage, expectCurrent, legacyMoved)
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Plan-level split for snapshots with PENDING equality deletes (round-15
+  * verdict item 1): one tiny sidecar must not devectorize a whole-table
+  * scan.
+  *
+  * The single-Scan shape cannot express the split — affected files need
+  * per-row key probes (row-based readers) while unaffected files want the
+  * stock vectorized parquet path, and Spark 4's
+  * `DataSourceV2ScanExecBase.supportsColumnar` refuses one scan whose
+  * partitions mix the two modes. So the split happens a level UP, in the
+  * logical plan: this rule rewrites
+  *
+  *   DataSourceV2Relation(GraftTable with pending sidecars)
+  *
+  * into
+  *
+  *   Project(original attr ids,
+  *     Union(DataSourceV2Relation(stock ParquetTable over UNAFFECTED files),
+  *           DataSourceV2Relation(affected-only eq-delete table)))
+  *
+  * The unaffected side is a plain `ParquetTable`, so every stock
+  * optimization applies untouched — vectorized (ColumnarToRow) reads,
+  * filter/column pushdown, footer-credited aggregate pushdown (correct
+  * here: deleted keys live only in affected files' censuses). The
+  * affected side keeps [[EqDeleteScanBuilder]]'s row-based key-probe
+  * readers, now scoped to exactly the files a sidecar census names — the
+  * Iceberg read-tax shape: cost tracks affected bytes, not table bytes.
+  *
+  * Filters and projections reach both sides through the normal operator
+  * optimizations (PushProjectionThroughUnion / predicate pushdown run in
+  * the same fixed-point batch as this rule, before V2 scan pushdown).
+  *
+  * WRITE targets are exempt: a command's target relation must stay a
+  * relation for the V2 write machinery, so relations referenced as
+  * `table` by any command node are collected first and skipped. (Row-level
+  * DML targets are additionally invisible here — they wrap the table in
+  * Spark's RowLevelOperationTable, which this rule does not match.)
+  *
+  * Deployed via `graft.GraftExtensions` (injectOptimizerRule). Without
+  * the extension the scan stays the round-15 uniformly-row-based shape —
+  * correct, just unsplit.
+  */
+private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // identity set of command-target relations (INSERT/OVERWRITE/DELETE
+    // faces): rewriting those would hand the write planner a Union
+    val targets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case c: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        targets.add(c.table)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        targets.add(d.table)
+      case _ => ()
+    }
+    plan.transformUp {
+      case rel: DataSourceV2Relation if !targets.contains(rel) &&
+          rel.table.isInstanceOf[GraftTable] =>
+        rel.table.asInstanceOf[GraftTable].eqDeleteSplit() match {
+          case Some((unaffected, affected, sidecars, keyCol, baseDir)) =>
+            val spark = SparkSession.active
+            val opts = new java.util.HashMap[String, String]()
+            opts.put("mergeSchema", "true")
+            val schema = rel.table.schema()
+            val clean = ParquetTable(rel.table.name(), spark,
+              new CaseInsensitiveStringMap(opts),
+              unaffected.map(f => s"$baseDir/$f"), Some(schema),
+              classOf[ParquetFileFormat])
+            val dirty = new EqDeleteAffectedTable(rel.table.name(), baseDir,
+              schema, keyCol, affected, sidecars)
+            val union = Union(Seq(
+              DataSourceV2Relation.create(clean, None, None, rel.options),
+              DataSourceV2Relation.create(dirty, None, None, rel.options)))
+            // restore the ORIGINAL attribute ids so parent references
+            // survive the rewrite
+            Project(rel.output.zip(union.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            }, union)
+          case None => rel
+        }
+    }
+  }
+}
+
+/** The affected-files-only face of a pending-sidecar snapshot: reads plan
+  * through [[EqDeleteScanBuilder]] scoped to exactly the files some
+  * sidecar census names. Exists only inside [[SplitEqDeleteScans]]'
+  * rewritten plans — never registered in a catalog, never written to.
+  */
+private[sources] class EqDeleteAffectedTable(tableName: String,
+    baseDir: String, tableSchema: StructType, keyCol: String,
+    files: Seq[String], sidecars: Seq[EqDeletes.Sidecar])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"$tableName (eq-delete pending)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EqDeleteScanBuilder(tableName, baseDir, tableSchema, keyCol,
+      options, sidecars, Some(files))
+}

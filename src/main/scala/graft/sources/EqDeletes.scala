@@ -57,6 +57,29 @@ private[graft] object EqDeletes {
     */
   val MaxKeys = 1000000L
 
+  /** Maintenance fold trigger (the I1 `morCompactEvery` analog for the
+    * SQL MOR path): when a table's PENDING sidecar count reaches this
+    * prop's value, the scheduled tick ([[graft.MaintenanceMain]]) folds
+    * them even when every other compaction guard (file-count budget,
+    * zone-map freshness) would skip — each pending sidecar adds a
+    * per-row HashSet probe to affected-file reads, and nothing else
+    * bounds that stack.
+    */
+  val FoldEveryProp = "write.delete.fold-every"
+
+  /** Default fold trigger. The measured read-debt curve (graft.
+    * DeltaStress read_side, SCALE.md round-16) is FLAT once censuses
+    * narrow and key sets batch-load — 64 pending sidecars read at
+    * 0.18 s vs 0.10 s clean on the 2M-row fixture, because affected
+    * groups merge their stacked key sets into one probe HashSet. The
+    * trigger therefore bounds the *metadata* accumulation instead:
+    * every DELETE pays a foldedRead over the stack to compute its
+    * matched set, every scan re-groups by census signature, and the
+    * driver key-set cache holds one entry per pending sidecar. 16
+    * keeps all three O(small) while folding at O(deletes/16) frequency.
+    */
+  val DefaultFoldEvery = 16
+
   def morEnabled(props: Map[String, String]): Boolean =
     props.get(ModeProp).contains("merge-on-read")
 
@@ -234,20 +257,72 @@ private[graft] object EqDeletes {
     true
   }
 
+  /** Per-sidecar deleted-key sets in CATALYST INTERNAL form, cached by
+    * sidecar dir (immutable once committed): the first scan after a
+    * stack of deletes loads every still-uncached set in ONE Spark job
+    * (the per-sidecar `spark.read.collect` shape paid one full job —
+    * scheduler overhead, not I/O — per sidecar per scan; 64 pending
+    * sidecars made every table scan a 64-job planning storm, measured
+    * in DeltaStress round 16). Bounded: sets past [[CacheableKeys]]
+    * are rebuilt per scan instead of cached.
+    */
+  private val keySetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[Any]]()
+  private val CacheableKeys = 100000
+
+  private[sources] def clearKeySetCache(): Unit = keySetCache.clear()
+
   /** Load a signature group's deleted keys (union over its applicable
     * sidecars) in CATALYST INTERNAL form, ready for per-row probes.
     */
   def internalKeySet(spark: SparkSession, applicable: Seq[Sidecar],
       keyType: org.apache.spark.sql.types.DataType): java.util.HashSet[Any] = {
-    import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
+    val perSidecar = internalKeySets(spark, applicable, keyType)
     val set = new java.util.HashSet[Any]()
-    applicable.foreach { sc =>
-      spark.read.parquet(sc.keysPath).collect().foreach { r =>
-        if (!r.isNullAt(0)) set.add(conv(r.get(0)))
-      }
-    }
+    perSidecar.values.foreach(set.addAll)
     set
+  }
+
+  /** Per-sidecar key sets for `sidecars`, loading all cache misses in
+    * one batched read.
+    */
+  def internalKeySets(spark: SparkSession, sidecars: Seq[Sidecar],
+      keyType: org.apache.spark.sql.types.DataType)
+      : Map[String, java.util.HashSet[Any]] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.functions.input_file_name
+    val misses = sidecars.filter(sc =>
+      !keySetCache.containsKey(sc.dir.toString))
+    if (misses.nonEmpty) {
+      val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
+      // sidecar dir NAMES (d<nanos>-<uuid>) are globally unique — the
+      // part-file path inside keys.parquet/ maps back through them
+      val byName = misses.map(sc =>
+        sc.dir.getFileName.toString -> sc.dir.toString).toMap
+      val fresh = new scala.collection.mutable.HashMap[String, java.util.HashSet[Any]]()
+      misses.foreach(sc => fresh(sc.dir.toString) = new java.util.HashSet[Any]())
+      spark.read.parquet(misses.map(_.keysPath): _*)
+        .select(input_file_name(), org.apache.spark.sql.functions.col("*"))
+        .collect().foreach { r =>
+        r.getString(0).split('/').collectFirst {
+          case s if byName.contains(s) => byName(s)
+        }.foreach { dir =>
+          if (!r.isNullAt(1)) fresh(dir).add(conv(r.get(1)))
+        }
+      }
+      // crude bound on ENTRY count too (folded sidecars leave stale
+      // entries behind): past it, start over rather than grow forever
+      if (keySetCache.size > 256) keySetCache.clear()
+      fresh.foreach { case (dir, set) =>
+        if (set.size <= CacheableKeys) keySetCache.put(dir, set)
+      }
+      // serve this call from the freshly built sets (large ones too)
+      return sidecars.map(sc => sc.dir.toString ->
+        fresh.getOrElse(sc.dir.toString,
+          keySetCache.get(sc.dir.toString))).toMap
+    }
+    sidecars.map(sc =>
+      sc.dir.toString -> keySetCache.get(sc.dir.toString)).toMap
   }
 
   /** The reader-level key filter of one affected group — serialized to
@@ -328,8 +403,16 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
     val wanted = required.fieldNames.toSet + keyCol
     val pruned = StructType(tableSchema.fields.filter(f => wanted(f.name)))
     val keyType = tableSchema(keyCol).dataType
-    val all = graft.plans.ZoneMap.dataFileCensus(spark, baseDir)
+    // an explicit file list comes from [[SplitEqDeleteScans]]' plan-level
+    // split (this builder then serves ONLY the affected files; the
+    // unaffected ones ride a stock columnar relation unioned beside it)
+    val all = filesOverride.getOrElse(
+      graft.plans.ZoneMap.dataFileCensus(spark, baseDir))
     val groups = EqDeletes.bySignature(all, sidecars)
+    // warm every sidecar's key set in ONE batched read before the group
+    // loop — per-group loading would pay one Spark job per cache-missing
+    // group (a 64-sidecar stack made every scan a job storm)
+    EqDeletes.internalKeySets(spark, sidecars, keyType)
     val built = groups.map { case (files, applicable) =>
       val opts = new java.util.HashMap[String, String]()
       opts.put("mergeSchema", "true")

@@ -47,11 +47,20 @@ import graft.sources.Tables.Warehouse
   * [[EqDeletes.MaxKeys]] (the read tax would stop being "broadcast
   * small side") both abort the statement with the remedial CALL named.
   */
+private[graft] object MorDeltaOperation {
+  /** Test seam: the last runtime-narrowed file selection a delta
+    * MERGE's target scan settled on (None = no narrowing ran). Written
+    * by the scan's selection callback, read by specs/stress harnesses.
+    */
+  @volatile private[graft] var lastScanSelection: Option[Seq[String]] = None
+}
+
 private[sources] class MorDeltaOperation(wh: Warehouse, table: String,
     tableSchema: StructType, keyCol: String,
     cmd: RowLevelOperation.Command, pinnedDir: String,
     scanBuilderFor: CaseInsensitiveStringMap => ScanBuilder,
-    expected: Option[Long])
+    expected: Option[Long],
+    branch: Option[(String, Long)] = None)
   extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -75,13 +84,15 @@ private[sources] class MorDeltaOperation(wh: Warehouse, table: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new MorDeltaWrite(wh, table, tableSchema, keyCol, pinnedDir, expected)
+        new MorDeltaWrite(wh, table, tableSchema, keyCol, pinnedDir,
+          expected, branch)
     }
 }
 
 private class MorDeltaWrite(wh: Warehouse, table: String,
     schema: StructType, keyCol: String, pinnedDir: String,
-    expected: Option[Long]) extends DeltaWrite {
+    expected: Option[Long],
+    branch: Option[(String, Long)] = None) extends DeltaWrite {
 
   private val keySchema = StructType(Seq(
     StructField(keyCol, schema(keyCol).dataType, nullable = false)))
@@ -156,12 +167,38 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
       prune(sidecarDir.resolve("keys.parquet"), keyCommitted)
       // the census is the PINNED snapshot's file set — captured before
       // the carry so the new data files stay outside it (a reinserted
-      // key's row is visible past its own delete record)
-      val census = graft.plans.ZoneMap
-        .dataFileCensus(SparkSession.active, pinnedDir)
-      wh.carryPreviousInto(table, stage)
+      // key's row is visible past its own delete record) — NARROWED to
+      // the files that can contain a deleted key when the snapshot
+      // carries zone-map evidence for the key column (keep-conservative
+      // bloom/min-max probe, so exclusion is proof of absence): the
+      // read-side split then keeps every other file vectorized
+      val spark = SparkSession.active
+      val all = graft.plans.ZoneMap.dataFileCensus(spark, pinnedDir)
+      val census =
+        if (nKeys == 0 || nKeys > graft.plans.ZoneMap.MaxProbeKeys) all
+        else {
+          val keys = spark.read.schema(keySchema)
+            .parquet(sidecarDir.resolve("keys.parquet").toString)
+            .collect().map(_.get(0)).toIndexedSeq
+          graft.plans.ZoneMap.keyedSurvivors(spark, pinnedDir, keyCol,
+            keys, keyTypeHint = Some(keySchema.head.dataType))
+            .getOrElse(all)
+        }
+      // carry source: on MAIN the freshest published version below the
+      // stage (the pinned snapshot unless a rival landed — the CAS then
+      // fails and the stage discards); on a BRANCH the pinned branch
+      // HEAD (carryPreviousInto reasons over published main history,
+      // which a branch commit is not part of)
+      branch match {
+        case Some(_) => wh.carryVersionInto(
+          java.nio.file.Paths.get(pinnedDir), stage)
+        case None => wh.carryPreviousInto(table, stage)
+      }
       if (nKeys > 0) {
-        // a carried zone-map manifest would overcount the deleted keys
+        // a carried zone-map manifest turns STALE here regardless (this
+        // commit adds data files the census never saw), and its `rows`
+        // would overcount the deleted keys — drop it; the next cluster
+        // (which folds first) rebuilds
         val zm = stage.resolve("_zonemap")
         if (java.nio.file.Files.isDirectory(zm))
           Tables.deleteRecursively(zm)
@@ -178,7 +215,14 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
         }
         if (empty) java.nio.file.Files.delete(eq)
       }
-      wh.publishStage(table, stage, expected, legacyMoved)
+      branch match {
+        // write-audit-publish routing: the delta commits as the
+        // branch's new head; main's pointer never moves
+        case Some((b, expectHead)) =>
+          wh.publishStageToBranch(table, stage, b, expectHead)
+        case None =>
+          wh.publishStage(table, stage, expected, legacyMoved)
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

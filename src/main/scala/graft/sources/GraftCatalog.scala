@@ -390,6 +390,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             StructField("size_bytes", LongType, nullable = false),
             StructField("record_count", LongType, nullable = false))),
           () => GraftCatalog.fileCensus(spark, wh.snapshotPath(t))))
+        // the Iceberg `refs` metadata-table shape: every named ref —
+        // main, branches (head + fork base), tag pins — as rows, so a
+        // WAP audit never has to spelunk the props sidecar. `base` is
+        // NULL for main and tags (only branches record ancestry).
+        case "refs" => Some(GraftCatalog.localTable(s"$t.refs",
+          StructType(Seq(StructField("name", StringType, nullable = false),
+            StructField("type", StringType, nullable = false),
+            StructField("version", LongType, nullable = false),
+            StructField("base", LongType))),
+          () => {
+            val main = wh.currentVersion(t).map(v =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString("main"),
+                UTF8String.fromString("BRANCH"), v, null)): InternalRow).toSeq
+            val branches = wh.branches(t).toSeq.sortBy(_._1).map {
+              case (b, (head, base)) =>
+                new GenericInternalRow(Array[Any](UTF8String.fromString(b),
+                  UTF8String.fromString("BRANCH"), head, base)): InternalRow
+            }
+            val tags = wh.tags(t).toSeq.sortBy(_._1).map { case (tag, v) =>
+              new GenericInternalRow(Array[Any](UTF8String.fromString(tag),
+                UTF8String.fromString("TAG"), v, null)): InternalRow
+            }
+            main ++ branches ++ tags
+          }))
         case _ => None
       }
     }
@@ -1220,23 +1245,51 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       provider = Some("parquet"))
   }
 
+  /** Pending equality-delete sidecars of the served snapshot. Gated on
+    * the cached MOR prop: sidecars only ever exist under it (morDelete
+    * checks it first, and UNSET refuses while any are pending), so the
+    * common non-MOR path pays a map lookup, not a directory stat.
+    */
+  private[sources] def eqDeletePending: Seq[EqDeletes.Sidecar] =
+    if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
+    else EqDeletes.pending(delegate.paths.head)
+
+  private def eqDeleteKeyCol: String =
+    TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
+      throw new IllegalStateException(
+        s"'$tableName' has pending equality deletes but no " +
+          s"'${EqDeletes.KeyProp}'"))
+
+  /** The [[SplitEqDeleteScans]] seam: when sidecars pend AND the census
+    * splits into both unaffected and affected files, return
+    * (unaffectedFiles, affectedFiles, sidecars, keyCol, snapshotDir) so
+    * the rule can plan the unaffected side as a stock columnar relation.
+    * None = nothing to split (no sidecars, or every file on one side) —
+    * the single-scan shape stands.
+    */
+  private[sources] def eqDeleteSplit(): Option[(Seq[String], Seq[String],
+      Seq[EqDeletes.Sidecar], String, String)] = {
+    val sidecars = eqDeletePending
+    if (sidecars.isEmpty) return None
+    val baseDir = delegate.paths.head
+    val all = graft.plans.ZoneMap.dataFileCensus(
+      org.apache.spark.sql.SparkSession.active, baseDir)
+    val groups = EqDeletes.bySignature(all, sidecars)
+    val unaffected = groups.collect { case (fs, a) if a.isEmpty => fs }.flatten
+    val affected = groups.collect { case (fs, a) if a.nonEmpty => fs }.flatten
+    if (unaffected.isEmpty || affected.isEmpty) None
+    else Some((unaffected, affected, sidecars, eqDeleteKeyCol, baseDir))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // PENDING equality deletes (merge-on-read DELETE sidecars) fold at
     // read time — unconditional on session wiring, same discipline as
     // hidden-day pruning (time-partitioned tables never carry sidecars,
-    // so the two faces are disjoint). The probe is gated on the cached
-    // MOR prop: sidecars only ever exist under it (morDelete checks it
-    // first, and UNSET refuses while any are pending), so the common
-    // non-MOR scan pays a map lookup, not a per-scan directory stat.
-    val sidecars =
-      if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
-      else EqDeletes.pending(delegate.paths.head)
+    // so the two faces are disjoint).
+    val sidecars = eqDeletePending
     if (sidecars.nonEmpty)
       return new EqDeleteScanBuilder(tableName, delegate.paths.head,
-        schema(), TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
-          throw new IllegalStateException(
-            s"'$tableName' has pending equality deletes but no " +
-              s"'${EqDeletes.KeyProp}'")), options, sidecars)
+        schema(), eqDeleteKeyCol, options, sidecars)
     hiddenTimeColumn match {
       // derive the implied p_day conjuncts at PUSHDOWN time — pruning is
       // unconditional on session wiring (round-12 verdict item 3); only
@@ -1332,10 +1385,101 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE")
-    GraftTable.refuseWap("DELETE")
-    if (EqDeletes.morEnabled(TableProps.read(wh, tableName)) &&
-        morDelete(filters)) return
-    cowDelete(filters)
+    GraftTable.wapBranch match {
+      // write-audit-publish: the delete commits as the BRANCH's new head
+      // (MOR sidecar over linked head files when declared, COW survivor
+      // rewrite otherwise) — main's pointer never moves
+      case Some(b) => branchDelete(b, filters)
+      case None =>
+        if (EqDeletes.morEnabled(TableProps.read(wh, tableName)) &&
+            morDelete(filters)) return
+        cowDelete(filters)
+    }
+  }
+
+  /** Branch-routed DELETE (the WAP DML face): reads the branch HEAD
+    * (folded when it carries sidecars), commits via the branch-head CAS.
+    * Same plan split as main: merge-on-read tables get the O(keys)
+    * sidecar (census narrowed through the head's zone-map evidence),
+    * with NULL-key/MaxKeys fallbacks to the COW survivor rewrite; a
+    * delete matching nothing commits nothing.
+    */
+  private def branchDelete(branch: String, filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val spark = SparkSession.active
+    val pred = filters.map(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val props = TableProps.read(wh, tableName)
+    val morKey =
+      if (EqDeletes.morEnabled(props)) props.get(EqDeletes.KeyProp) else None
+    wh.retryingConflicts(maxAttempts = 10) {
+      val expectHead = wh.branches(tableName).getOrElse(branch,
+        throw new NoSuchElementException(
+          s"'$tableName' has no branch '$branch'"))._1
+      val headDir = wh.branchSnapshotDir(tableName, branch)
+      val head = headDir.toString
+      val base =
+        if (EqDeletes.pending(head).nonEmpty)
+          EqDeletes.foldedRead(spark, head, props(EqDeletes.KeyProp))
+        else SchemaEvolution.readTableWidened(spark, head)
+      val sidecarSettled = morKey.exists { k =>
+        val matchedRows = base.filter(coalesce(pred, lit(false)))
+          .select(col(k)).localCheckpoint(true)
+        val nullMatched = matchedRows.filter(col(k).isNull).count()
+        val matched = matchedRows.filter(col(k).isNotNull).dropDuplicates(k)
+        val n = matched.count()
+        if (nullMatched > 0 || n > EqDeletes.MaxKeys) false // COW below
+        else if (n == 0) true // no-op: commit nothing
+        else {
+          val all = graft.plans.ZoneMap.dataFileCensus(spark, head)
+          val census =
+            if (n > graft.plans.ZoneMap.MaxProbeKeys) all
+            else graft.plans.ZoneMap.keyedSurvivors(spark, head, k,
+              matched.collect().map(_.get(0)).toIndexedSeq,
+              keyTypeHint = Some(schema()(k).dataType)).getOrElse(all)
+          val staged = wh.allocateStage(tableName)
+          try {
+            wh.carryVersionInto(headDir, staged)
+            EqDeletes.write(staged.toString, matched, census)
+          } catch { case t: Throwable =>
+            wh.discardStage(staged); throw t
+          }
+          wh.publishStageToBranch(tableName, staged, branch, expectHead)
+          true
+        }
+      }
+      if (!sidecarSettled) {
+        // matched-nothing guard (parity with the MOR no-op discipline):
+        // a predicate matching zero head rows must not bump the branch
+        if (base.filter(coalesce(pred, lit(false))).limit(1).count() == 0L)
+          return
+        val markers = Tables.readRootMarkers(head)
+        val survivors = base.filter(not(coalesce(pred, lit(false))))
+        val staged = wh.allocateStage(tableName)
+        try {
+          survivors.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(staged.toString)
+          // a version dir needs at least one footer to serve its schema
+          val hasFiles = {
+            val s = java.nio.file.Files.list(staged)
+            try s.iterator().asScala.exists(
+              _.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+          if (!hasFiles)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              base.schema).repartition(1).write
+              .mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(staged.toString)
+          Tables.writeRootMarkers(markers, staged.toString)
+        } catch { case t: Throwable =>
+          wh.discardStage(staged); throw t
+        }
+        wh.publishStageToBranch(tableName, staged, branch, expectHead)
+      }
+    }
   }
 
   /** Merge-on-read DELETE: commit an O(deleted-keys) equality-delete
@@ -1377,14 +1521,29 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       else if (n == 0) applied = true // nothing matched: delete is a no-op
       else if (n > EqDeletes.MaxKeys) applied = false // COW is the plan
       else {
-        val census = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        // CENSUS NARROWING (round-15 verdict item 1): scope the sidecar
+        // to the files that CAN contain a matched key, via the zone-map
+        // evidence (bloom or min/max on the key — keep-conservative, so
+        // exclusion is proof of absence). With the plan-level scan split
+        // the read tax then tracks affected bytes: one point-delete on a
+        // clustered 100 TB table devectorizes ~one file, not the table.
+        // No manifest / stale / past the probe cap → full census (always
+        // correct, just unsplit).
+        val census =
+          if (n > graft.plans.ZoneMap.MaxProbeKeys) all
+          else {
+            val keys = matched.collect().map(_.get(0)).toIndexedSeq
+            graft.plans.ZoneMap.keyedSurvivors(spark, snap, keyCol, keys,
+              keyTypeHint = Some(schema()(keyCol).dataType)).getOrElse(all)
+          }
         wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
           wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
-          // the carried zone-map manifest would overcount deleted rows —
-          // drop it; the next cluster (which folds first) rebuilds
-          val zm = java.nio.file.Paths.get(staged, "_zonemap")
-          if (java.nio.file.Files.isDirectory(zm))
-            Tables.deleteRecursively(zm)
+          // the zone-map manifest CARRIES: a pure delete changes no file
+          // names, so the per-file min/max/bloom evidence stays exactly
+          // valid (and keeps narrowing STACKED deletes). Only its `rows`
+          // overcount now — countFast refuses sidecar-bearing snapshots
+          // for precisely that reason.
           EqDeletes.write(staged, matched, census)
         }
         applied = true
@@ -1448,7 +1607,19 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    GraftTable.refuseWap(info.command.toString)
+    // write-audit-publish routing: under `spark.graft.wap.branch` the
+    // operation READS the branch head and COMMITS via the branch-head
+    // CAS — main's pointer never moves until CALL fast_forward.
+    // (branchName, expectedHead, headDir) captured at PLAN time, the
+    // same binding discipline as the main-path `expected` below.
+    val branchCtx: Option[(String, Long, String)] =
+      GraftTable.wapBranch.map { b =>
+        val head = wh.branches(tableName).getOrElse(b,
+          throw new NoSuchElementException(
+            s"'$tableName' has no branch '$b'"))._1
+        (b, head, wh.branchSnapshotDir(tableName, b).toString)
+      }
+    val branchPublish = branchCtx.map { case (b, h, _) => (b, h) }
     // merge-on-read UPDATE / MERGE: a DELTA-BASED operation
     // ([[MorDeltaOperation]]) — O(changed rows) sidecar + fast-append
     // commit instead of the whole-group COW rewrite below. DELETE stays
@@ -1464,13 +1635,29 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             s"but no ${EqDeletes.KeyProp}: delta writes identify rows " +
             "by the table's key"))
       val deltaExpected = wh.currentVersion(tableName)
-      val pinned = delegate.paths.head
+      val pinned = branchCtx.map(_._3).getOrElse(delegate.paths.head)
       // expert-path defense (TableProps.write bypasses the DDL guard):
       // a NULL key under the required-key schema corrupts silently, so
       // verify the pinned snapshot before planning — footer-stat cheap,
       // cached per immutable version dir
       EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCol,
         s"merge-on-read ${info.command} on '$tableName'")
+      // runtime target narrowing for delta MERGE: Spark's own row-level
+      // group filtering matches only ReplaceData, so the engine's
+      // [[DeltaRuntimeGroupFiltering]] (registered here, post-pushdown
+      // batch) plans the source's matched keys as a dynamic-pruning
+      // subquery on the target scan — which must therefore be the
+      // runtime-filterable file-granular [[GroupCowScan]], not the
+      // stock parquet scan. UPDATE keeps the stock scan: its predicate
+      // narrows STATICALLY through ordinary pushdown.
+      val sparkActive = SparkSession.active
+      if (!sparkActive.experimental.extraOptimizations
+          .contains(DeltaRuntimeGroupFiltering))
+        sparkActive.experimental.extraOptimizations =
+          sparkActive.experimental.extraOptimizations :+
+            DeltaRuntimeGroupFiltering
+      val isMerge = info.command ==
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
       return new RowLevelOperationBuilder {
         override def build(): RowLevelOperation = new MorDeltaOperation(
           wh, tableName, GraftTable.this.schema(), keyCol, info.command,
@@ -1480,9 +1667,18 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             if (sidecars.nonEmpty)
               new EqDeleteScanBuilder(tableName, pinned,
                 GraftTable.this.schema(), keyCol, opts, sidecars)
+            else if (isMerge)
+              new ScanBuilder {
+                override def build(): Scan = new GroupCowScan(tableName,
+                  pinned, GraftTable.this.schema(), opts, None,
+                  sel => MorDeltaOperation.lastScanSelection = sel)
+              }
+            else if (branchCtx.isDefined)
+              GraftTable.parquetTableOver(tableName, pinned,
+                GraftTable.this.schema()).newScanBuilder(opts)
             else delegate.newScanBuilder(opts)
           },
-          deltaExpected)
+          deltaExpected, branchPublish)
       }
     }
     // the group scan reads RAW files; pending eq-delete sidecars would
@@ -1494,7 +1690,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     // whose MOR/folded paths handle sidecars correctly — takes over.
     // An eager throw here would refuse the stacked merge-on-read
     // DELETE that never touches this scan.
-    val morPending = EqDeletes.pending(wh.snapshotPath(tableName)).nonEmpty
+    val cowPinned = branchCtx.map(_._3).getOrElse(delegate.paths.head)
+    val morPending = EqDeletes.pending(cowPinned).nonEmpty
     def refusePending(): Unit = require(!morPending,
       s"'$tableName' has pending equality deletes (merge-on-read " +
         s"DELETE sidecars); CALL <catalog>.system.compact('$tableName') " +
@@ -1541,8 +1738,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
               // runtime narrowing (MERGE matched keys) arrives through
               // the scan's SupportsRuntimeV2Filtering face
               scannedRel = GraftTable.selectCowGroups(
-                SparkSession.active, delegate.paths.head, recorded)
-              new GroupCowScan(tableName, delegate.paths.head,
+                SparkSession.active, cowPinned, recorded)
+              new GroupCowScan(tableName, cowPinned,
                 GraftTable.this.schema(), options, scannedRel,
                 sel => scannedRel = sel)
             }
@@ -1556,14 +1753,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           new WriteBuilder {
             override def build(): org.apache.spark.sql.connector.write.Write =
               new GraftCowBatchWrite(wh, tableName, GraftTable.this.schema(),
-                expected, Some(delegate.paths.head),
+                expected, Some(cowPinned),
                 () => scannedRel match {
                   case Some(scanned) =>
                     val all = graft.plans.ZoneMap.dataFileCensus(
-                      SparkSession.active, delegate.paths.head)
+                      SparkSession.active, cowPinned)
                     (all.toSet -- scanned.toSet).toSeq.sorted
                   case None => Nil
-                })
+                }, branchPublish)
           }
       }
     }
@@ -1588,9 +1785,24 @@ private[sources] object GraftTable {
 
   private[sources] def refuseWap(op: String): Unit =
     wapBranch.foreach(b => throw new UnsupportedOperationException(
-      s"$op under spark.graft.wap.branch='$b' is not supported: only " +
-        "INSERT appends land on the branch; unset the conf (or audit " +
-        "and fast_forward) before row-level/streaming writes"))
+      s"$op under spark.graft.wap.branch='$b' is not supported: INSERT/" +
+        "DELETE/UPDATE/MERGE route onto the branch, but this face does " +
+        "not; unset the conf (or audit and fast_forward) first"))
+
+  /** A stock parquet table over one snapshot dir — the branch-head scan
+    * face for row-level operations (the table's own `delegate` is pinned
+    * to MAIN's snapshot).
+    */
+  private[sources] def parquetTableOver(name: String, dir: String,
+      schema: StructType): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("mergeSchema", "true")
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name, SparkSession.active,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+      Seq(dir), Some(schema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+  }
 
   /** Conservative file-group selection for a row-level rewrite: the
     * recorded (NOT pushed) condition translates conjunct-wise into

@@ -758,7 +758,7 @@ object Tables {
       * byte-for-byte. `_SUCCESS` and [[Tables.PublishedMarker]] are NOT
       * carried — publication is the commit's own act on the new dir.
       */
-    private def carryVersionInto(prev: Path, staged: Path): Unit = {
+    private[graft] def carryVersionInto(prev: Path, staged: Path): Unit = {
       def linkOrCopy(src: Path, dst: Path): Unit = io.linkOrCopy(src, dst)
       var manifestSafe = true
       def carryData(dir: Path, rel: String): Unit = {
@@ -1056,6 +1056,19 @@ object Tables {
         df.write.mode(SaveMode.Overwrite).parquet(versionDir.toString)
         carryVersionInto(headDir, versionDir)
       } catch { case t: Throwable => discardStage(versionDir); throw t }
+      publishStageToBranch(name, versionDir, branch, expectHead)
+    }
+
+    /** Publish an externally-staged version dir as the new HEAD of
+      * `branch` — one CAS on the recorded head prop, the branch analog
+      * of [[publishStage]]. The stage must already hold the branch's
+      * full post-commit content (the caller carried/wrote it); on CAS
+      * failure the stage is discarded and the conflict thrown for
+      * [[retryingConflicts]]. The write-audit-publish DML face
+      * (branch-routed DELETE/UPDATE/MERGE) commits through here.
+      */
+    private[graft] def publishStageToBranch(name: String, versionDir: Path,
+        branch: String, expectHead: Long): Unit = {
       val next = {
         val m = versionPattern(name).matcher(versionDir.getFileName.toString)
         require(m.matches()); m.group(1).toLong
@@ -1067,7 +1080,7 @@ object Tables {
           discardStage(versionDir)
           throw new java.util.ConcurrentModificationException(
             s"branch '$branch' of '$name' moved from v$expectHead to " +
-              s"${head.fold("dropped")(v => s"v$v")} during the append")
+              s"${head.fold("dropped")(v => s"v$v")} during the commit")
         }
         // the BRANCH marker, not `_published`: main's history, carries,
         // and retention reason over `_published` — a branch commit is

@@ -141,23 +141,22 @@ class BranchSpec extends SparkTestBase {
       Set(1L, 2L, 3L))
   }
 
-  test("the WAP conf fences every non-append write face; branch props refuse direct ALTER") {
+  test("the WAP conf fences the faces that do NOT route (overwrite, streaming); branch props refuse direct ALTER") {
     val (cat, _) = fixture()
     spark.sql(s"CALL $cat.system.create_branch('t', 'w')").collect()
     onBranch("w") {
-      val e1 = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.t WHERE id = 1")
-      }
-      assert(e1.getMessage.contains("wap.branch"), e1.getMessage)
-      val e2 = intercept[Exception] {
-        spark.sql(s"UPDATE $cat.t SET s = 'x' WHERE id = 1")
-      }
-      assert(e2.getMessage.contains("wap.branch"), e2.getMessage)
       Seq((5L, "x")).toDF("id", "s").createOrReplaceTempView(s"o_$seq")
       val e3 = intercept[Exception] {
         spark.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM o_$seq")
       }
       assert(e3.getMessage.contains("append"), e3.getMessage)
+      // a DML against an UNKNOWN branch refuses loudly, never hits main
+      val e6 = intercept[Exception] {
+        spark.conf.set("spark.graft.wap.branch", "ghost")
+        try spark.sql(s"DELETE FROM $cat.t WHERE id = 1")
+        finally spark.conf.set("spark.graft.wap.branch", "w")
+      }
+      assert(e6.getMessage.contains("ghost"), e6.getMessage)
     }
     val e4 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('branch.x.head'='1')")
@@ -168,6 +167,57 @@ class BranchSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
     }
     assert(e5.getMessage.contains("branches:"), e5.getMessage)
+  }
+
+  test("WAP DML routing: COW DELETE + UPDATE commit to the branch head; main provably pinned; fast_forward publishes the audited state") {
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'dml')").collect()
+    val vMain = wh.currentVersion("t").get
+    Seq((3L, "staged")).toDF("id", "s").createOrReplaceTempView(s"dm_$seq")
+    onBranch("dml") {
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM dm_$seq")
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 1")
+      spark.sql(s"UPDATE $cat.t SET s = 'fixed' WHERE id = 2")
+      // a no-op delete on the branch commits nothing
+      val headBefore = wh.branches("t")("dml")._1
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 999")
+      assert(wh.branches("t")("dml")._1 == headBefore,
+        "matched-nothing branch delete must not bump the head")
+    }
+    // main: pointer never moved, content untouched
+    assert(wh.currentVersion("t").contains(vMain))
+    assert(spark.sql(s"SELECT id, s FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "base1"), (2L, "base2")))
+    // the audit read serves the post-DML branch state
+    val audited = spark.sql(s"SELECT id, s FROM $cat.t VERSION AS OF 'dml'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(audited == Set((2L, "fixed"), (3L, "staged")))
+    // publish: main serves exactly the audited state
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'dml')").collect()
+    assert(spark.sql(s"SELECT id, s FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == audited)
+  }
+
+  test("WAP DML routing: concurrent branch DML CAS-retries on the head (loser re-reads, both effects land)") {
+    val (cat, wh) = fixture()
+    wh.createBranch("t", "cc")
+    // two rival deletes from two threads: each targets its own row; the
+    // loser must retry against the winner's head, not lose it
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    // ONE conf set around both threads (the conf is session-scoped; a
+    // per-thread set/unset would strip it under the rival mid-flight)
+    onBranch("cc") {
+      val fs = Seq(1L, 2L).map(id => pool.submit(new Runnable {
+        def run(): Unit = spark.sql(s"DELETE FROM $cat.t WHERE id = $id")
+      }))
+      try fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      finally pool.shutdownNow()
+    }
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'cc'"))
+      == Set.empty[Long])
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L))
   }
 
   test("randomized branch lifecycle equals a two-ref golden model (seed 19)") {

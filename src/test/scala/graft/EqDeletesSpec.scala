@@ -83,7 +83,7 @@ class EqDeletesSpec extends SparkTestBase {
     assert(plan.contains("EqDeleteScan"), plan.take(400))
   }
 
-  test("re-inserted key survives the census boundary, and the post-append mixed scan plans row-based (no columnar-mix crash)") {
+  test("re-inserted key survives the census boundary, and the post-append scan splits: unaffected files vectorized, affected row-probed") {
     val (cat, wh) = morFixture(base)
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
     // re-insert key 3 (it was deleted) plus a brand-new key 100: their
@@ -101,11 +101,38 @@ class EqDeletesSpec extends SparkTestBase {
     assert(got == expect)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) ==
       expect.size.toLong)
-    // two signature groups, exactly one filtered
+    // the plan-level split (round-15 verdict item 1): the sidecar-free
+    // file serves through the STOCK VECTORIZED path (ColumnarToRow over
+    // a plain ParquetScan) unioned with the row-based key-probe scan
+    // over exactly the affected (census-named) files — one tiny sidecar
+    // no longer devectorizes the whole table
     val plan = spark.sql(s"SELECT * FROM $cat.t")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("2 groups, 1 filtered"), plan.take(400))
+    assert(plan.contains("Union"), plan.take(600))
+    assert(plan.contains("ColumnarToRow"),
+      s"unaffected files must keep the vectorized path\n${plan.take(600)}")
+    assert(plan.contains("EqDeleteScan(t, 1 groups, 1 filtered)"),
+      s"affected side must carry ONLY census files\n${plan.take(600)}")
     assert(EqDeletes.pending(wh.snapshotPath("t")).size == 1)
+  }
+
+  test("the split keeps Catalyst pushdown on the clean side: filters reach the parquet scan, columns prune, answers match the unsplit fold") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    Seq((3L, "back", 3.5), (100L, "new", 100.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView(s"insp_$cat")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM insp_$cat")
+    val q = spark.sql(s"SELECT v FROM $cat.t WHERE id >= 100")
+    val plan = q.queryExecution.executedPlan.toString
+    // the stock side really is stock: the predicate lands in the footer-
+    // pruning PushedFilters of the clean ParquetScan
+    assert(plan.contains("ColumnarToRow"), plan.take(600))
+    assert(plan.contains("GreaterThanOrEqual(id,100)"),
+      s"filter must reach the clean parquet scan\n${plan.take(800)}")
+    assert(q.collect().map(_.getDouble(0)).toSet == Set(100.0))
+    // deleted keys stay deleted THROUGH the predicate path too
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'del'")
+      .head.getLong(0) == 0L)
   }
 
   test("stacked deletes: the second sidecar applies to re-inserted keys, the first does not; foldedRead cross-checks the reader filter") {
@@ -137,10 +164,28 @@ class EqDeletesSpec extends SparkTestBase {
     assert(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(wh.snapshotPath("t"), "_zonemap")))
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
-    // ...and the delete commit DROPPED the carried manifest: its row
-    // counts would overcount the deleted keys
-    assert(!java.nio.file.Files.isDirectory(
+    // ...the delete commit CARRIES the manifest (a pure delete changes
+    // no file names — the min/max/bloom evidence stays exactly valid and
+    // keeps narrowing stacked deletes); the rows-exactness loss is
+    // fenced where it matters (countFast refuses pending sidecars)
+    assert(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(wh.snapshotPath("t"), "_zonemap")))
+    // a POINT delete narrows its census via the carried manifest: the
+    // matched key lives in one of the two id-clustered files, so the
+    // stacked sidecar names a strict subset of the snapshot
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 2")
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, wh.snapshotPath("t"))
+    val sc = EqDeletes.pending(wh.snapshotPath("t"))
+    assert(sc.size == 2)
+    assert(sc.last.census.subsetOf(all.toSet))
+    assert(sc.last.census.size < all.size,
+      s"point-delete census must narrow below the ${all.size}-file " +
+        s"snapshot (got ${sc.last.census.size})")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.ZoneMap.countFast(spark, wh.snapshotPath("t"),
+        Seq(graft.plans.ZoneMap.Bound("id", Some(0L), Some(100L))))
+    }
+    assert(e.getMessage.contains("pending equality-delete"), e.getMessage)
     val before = visible(cat)
     spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
     assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
@@ -363,6 +408,104 @@ class EqDeletesSpec extends SparkTestBase {
       "past MaxKeys the rewrite IS the plan")
     assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
       n - EqDeletes.MaxKeys - 1)
+  }
+
+  test("WAP DML routing: MOR MERGE and sidecar DELETE commit deltas to the branch head; main pinned; fast_forward publishes") {
+    val (cat, wh) = morFixture(base)
+    wh.createBranch("t", "audit")
+    val vMain = wh.currentVersion("t").get
+    def onBranch[T](body: => T): T = {
+      spark.conf.set("spark.graft.wap.branch", "audit")
+      try body finally spark.conf.unset("spark.graft.wap.branch")
+    }
+    Seq((1L, "fixed", -1.0), (100L, "new", 100.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView(s"src_$cat")
+    onBranch {
+      // delta MERGE: matched update (id=1) + unmatched insert (id=100)
+      spark.sql(
+        s"""MERGE INTO $cat.t USING src_$cat AS s ON $cat.t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // sidecar DELETE stacks on the branch head
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 6")
+    }
+    // main: pointer pinned, content untouched, NO pending sidecars
+    assert(wh.currentVersion("t").contains(vMain))
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty,
+      "branch-routed deltas must not land sidecars on main's snapshot")
+    assert(visible(cat) == base.toSet)
+    // the branch head carries the delta sidecars and serves the result
+    val headDir = wh.branchSnapshotDir("t", "audit").toString
+    assert(EqDeletes.pending(headDir).size == 2,
+      "MERGE delta + DELETE sidecar stack on the branch head")
+    val audited = spark.sql(
+      s"SELECT id, grp, v FROM $cat.t VERSION AS OF 'audit'").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expect = (base.toSet -
+      ((1L, "keep", 1.0)) - ((6L, "del", 6.0))) +
+      ((1L, "fixed", -1.0)) + ((100L, "new", 100.0))
+    assert(audited == expect)
+    // publish: main serves exactly the audited state (sidecars ride)
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')").collect()
+    assert(visible(cat) == expect)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 2)
+    // and compact folds them back to a plain snapshot
+    spark.sql(s"CALL $cat.system.compact('t', 4)").collect()
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(visible(cat) == expect)
+  }
+
+  test("delta MERGE narrows its target scan at runtime: matched keys prune to the files that can hold them") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("eqdel-narrow")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") * 1.0).as("v")).localCheckpoint(true), "t")
+    // range-clustered by id into 10 files with per-file id blooms —
+    // the evidence the runtime dynamic-pruning subquery probes
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 10,
+      bloomKeys = Seq("id"))
+    TableProps.write(wh, "t", TableProps.read(wh, "t") + (
+      EqDeletes.ModeProp -> "merge-on-read") + (EqDeletes.KeyProp -> "id"))
+    val cat = s"eqd${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    graft.sources.MorDeltaOperation.lastScanSelection = None
+    Seq((101L, -1.0), (102L, -2.0), (107L, -3.0)).toDF("id", "v")
+      .createOrReplaceTempView(s"nsrc_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING nsrc_$cat s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    // correctness: exactly those three rows changed, through the delta
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1000)
+    assert(spark.sql(
+      s"SELECT CAST(sum(v) AS LONG) FROM $cat.t WHERE id IN (101,102,107)")
+      .head.getLong(0) == -6)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 1,
+      "a delta MERGE commits a sidecar, not a rewrite")
+    // the narrowing fired: the target scan settled on ~1 of 10 files
+    val sel = graft.sources.MorDeltaOperation.lastScanSelection
+    assert(sel.exists(_.size <= 2),
+      s"delta MERGE target scan must runtime-narrow (selection: $sel)")
+  }
+
+  test("write.delete.fold-every: the maintenance tick folds at the declared pending count, not before") {
+    val (cat, wh) = morFixture(base)
+    TableProps.write(wh, "t", TableProps.read(wh, "t") +
+      (EqDeletes.FoldEveryProp -> "2"))
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 5")
+    // 1 pending < fold-every=2: the tick leaves the sidecar alone (the
+    // table is also within the file budget, so nothing else folds it)
+    assert(MaintenanceMain.run(spark, wh, Seq("t"), targetFiles = 10,
+      tombstoneHorizon = None, orphanAgeMs = 3600000L).isEmpty)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 1)
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 6")
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 2)
+    // 2 pending >= fold-every=2: the tick folds on its own trigger
+    assert(MaintenanceMain.run(spark, wh, Seq("t"), targetFiles = 10,
+      tombstoneHorizon = None, orphanAgeMs = 3600000L).isEmpty)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(visible(cat) == base.filterNot(r => r._1 == 5L || r._1 == 6L).toSet)
   }
 
   test("requireNullFreeKeys memoizes per (snapshot, key column): re-keying a table re-verifies") {

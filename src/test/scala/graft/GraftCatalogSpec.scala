@@ -146,11 +146,12 @@ class GraftCatalogSpec extends SparkTestBase {
     val root = tmpDir("cat-sbprune")
     val wh = Warehouse(root)
     register("g6", root)
-    // this session has NO GraftExtensions (SparkTestBase builds plain);
-    // the pruning must come from the scan builder's pushFilters derivation
-    assert(!spark.sessionState.planner.strategies.exists(
-      _.getClass.getName.contains("AsOfJoinStrategy")) ||
-      spark.conf.getOption("spark.sql.extensions").isEmpty)
+    // the session carries GraftExtensions (the standard wiring), so the
+    // injected pre-pushdown rule is EXCLUDED for this test — the pruning
+    // below must come from the scan builder's pushFilters derivation
+    // alone, which is what makes it unconditional on session wiring
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.sources.DeriveHiddenDayFilters")
     wh.declareTimePartition("ev", "ts")
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
@@ -182,6 +183,7 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect().isEmpty)
     // maintenance on the empty layout is a no-op, never an inference error
     spark.sql("CALL g6.system.compact('empty_tp', 2)").collect()
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   test("CALL rollback_to_version restores an old snapshot as current (roll-forward); expire_snapshots trims history") {
@@ -357,5 +359,33 @@ class GraftCatalogSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 11L, 12L),
       s"a first merge was lost (last-wins): $ids")
+  }
+
+  test("t.refs metadata table surfaces main, live branches (head+base) and tag pins; agrees with CALL branches") {
+    val root = tmpDir("cat-refs")
+    val wh = Warehouse(root, retain = 8)
+    register("g10", root)
+    wh.overwrite(Seq((1L, "a")).toDF("id", "s").localCheckpoint(true), "t")
+    val vMain = wh.currentVersion("t").get
+    spark.sql(s"CALL g10.system.create_tag('t', 'golden', $vMain)").collect()
+    spark.sql("CALL g10.system.create_branch('t', 'wip')").collect()
+    spark.conf.set("spark.graft.wap.branch", "wip")
+    try {
+      Seq((2L, "b")).toDF("id", "s").createOrReplaceTempView("refs_src")
+      spark.sql("INSERT INTO g10.t SELECT * FROM refs_src")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    val refs = spark.sql("SELECT name, type, version, base FROM g10.t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val (head, base) = wh.branches("t")("wip")
+    assert(refs == Set(
+      ("main", "BRANCH", vMain, -1L),
+      ("wip", "BRANCH", head, base),
+      ("golden", "TAG", vMain, -1L)), refs.toString)
+    assert(head == vMain + 1 && base == vMain)
+    // agreement with the procedure face
+    val viaCall = spark.sql("CALL g10.system.branches('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCall == Set(("wip", head, base)))
   }
 }

@@ -431,12 +431,21 @@ class PlanContractSpec extends SparkTestBase {
       val want = {
         spark.experimental.extraOptimizations =
           prior.filterNot(_ == graft.functions.RewriteMaxByToLatestRow)
+        // the session ALSO injects the rule via GraftExtensions (the
+        // standard deployment wiring) — the injected copy is disabled
+        // through the optimizer's exclusion conf, which extraOptimizations
+        // filtering cannot reach
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          "graft.functions.RewriteMaxByToLatestRow")
         try {
           val fresh = naive()
           assert(!plan(fresh).contains("latest_row"), "oracle run must not be rewritten")
           fresh.collect().map(_.toString).sorted.toSeq
-        } finally spark.experimental.extraOptimizations =
-          prior :+ graft.functions.RewriteMaxByToLatestRow
+        } finally {
+          spark.conf.unset("spark.sql.optimizer.excludedRules")
+          spark.experimental.extraOptimizations =
+            prior :+ graft.functions.RewriteMaxByToLatestRow
+        }
       }
       assert(naive().collect().map(_.toString).sorted.toSeq == want)
       // primitive payloads stay on the plain hash-agg fast path

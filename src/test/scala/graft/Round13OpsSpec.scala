@@ -120,6 +120,7 @@ class Round13OpsSpec extends SparkTestBase {
     // opens none (modulo the ~1% FPP, impossible at these densities)
     def survivors(key: Long) =
       ZoneMap.keyedSurvivors(spark, dir, "k", Seq(key),
+        keyTypeHint = Some(org.apache.spark.sql.types.LongType),
         bloomOnly = true).get
     assert(survivors(42L).size == 1)
     assert(survivors(1000042L).size == 1)

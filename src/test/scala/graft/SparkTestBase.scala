@@ -45,6 +45,10 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // the standard deployment wiring: injected rules (hidden-day pruning,
+    // eq-delete scan split) and strategies are active in specs exactly as
+    // they are in a production session
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     // Spark 4.1's checkpoint-file checksum manager reproducibly starved its
     // worker threads while committing flatMapGroupsWithState state on
     // local[4] (round-2 judge: 2/2 hangs in EventStreamsSpec TTL test).

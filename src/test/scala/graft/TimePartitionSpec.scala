@@ -561,4 +561,133 @@ class TimePartitionSpec extends SparkTestBase {
     assert(!Files.exists(mig) && !Files.exists(trash))
     assert(wh.read(spark, "log").count() == 2)
   }
+
+  test("OBJECT-STORE grain migration: rename-free manifest flip, crash states heal forward and backward") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val wh = Tables.Warehouse(tmpDir("tp-mig-os"), retain = 2,
+      io = graft.sources.ObjectStoreIO)
+    wh.declareTimePartition("log", "ts")
+    wh.appendBatch(Seq(
+      (1L, ts("2024-01-01 05:10:00")),
+      (2L, ts("2024-01-01 18:10:00")),
+      (3L, ts("2024-01-02 07:00:00"))).toDF("id", "ts"), "log", 0L)
+    wh.evolveTimeGranularity("log")
+    // hour-era data lands beside the day-era days (a straddling table)
+    wh.appendBatch(Seq((4L, ts("2024-01-01 09:30:00"))).toDF("id", "ts"),
+      "log", 1L)
+    val migrated = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(migrated == 2, s"both day-era days must flip, got $migrated")
+    val base = Paths.get(wh.tablePath("log"))
+    val day1 = base.resolve("p_day=2024-01-01")
+    assert(Files.isDirectory(day1.resolve(
+      s"p_hour=${Tables.hourIndexOf(ts("2024-01-01 05:00:00"))}")))
+    assert(wh.childDirs(day1, "p_batch=").isEmpty,
+      "the old spec's direct batch dirs must be gone after the flip")
+    assert(wh.read(spark, "log").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // no manifest/stage debris
+    val s0 = Files.list(base)
+    val leftover = try s0.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("_mig_") || n.startsWith("_trash_"))
+      .toList finally s0.close()
+    assert(leftover.isEmpty, leftover.toString)
+    assert(!Files.exists(day1.resolve("_migrating")))
+
+    // CRASH STATE 1 (roll back): a manifest names new files that never
+    // all landed — heal must delete the partial copy and keep the old
+    // spec serving; here day1 is ALREADY hour-grain, so simulate on a
+    // fresh day-era day
+    wh.appendBatch(Seq((5L, ts("2023-12-30 11:00:00"))).toDF("id", "ts"),
+      "log", 2L) // post-evolution appends are hour-grain; craft day-era
+    val oldDay = base.resolve("p_day=2023-12-25")
+    Files.createDirectories(oldDay.resolve("p_batch=99"))
+    Seq((9L, ts("2023-12-25 03:00:00"))).toDF("id", "ts")
+      .write.mode("overwrite").parquet(oldDay.resolve("p_batch=99").toString)
+    // a partial new-spec copy: one real file + one listed-but-missing
+    val hourDir = oldDay.resolve("p_hour=3").resolve("p_batch=99")
+    Files.createDirectories(hourDir)
+    Files.writeString(hourDir.resolve("part-partial.parquet"), "not-all")
+    Files.writeString(oldDay.resolve("_migrating"),
+      "N p_hour=3/p_batch=99/part-partial.parquet\n" +
+        "N p_hour=3/p_batch=99/part-missing.parquet\n" +
+        "O p_batch=99")
+    val migrated2 = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(migrated2 == 1,
+      "the rolled-back day must re-migrate in the same pass")
+    assert(!Files.exists(oldDay.resolve("_migrating")))
+    assert(wh.childDirs(oldDay, "p_batch=").isEmpty,
+      "after the re-migration the day is hour-grain")
+    assert(wh.read(spark, "log").filter("id = 9").count() == 1,
+      "the rolled-back day's rows survive the heal + re-migration")
+
+    // CRASH STATE 2 (roll forward): every new file landed, the old dirs
+    // and manifest remained — heal finishes the delete
+    val fwdDay = base.resolve("p_day=2023-12-26")
+    val fwdOld = fwdDay.resolve("p_batch=77")
+    Files.createDirectories(fwdOld)
+    Seq((11L, ts("2023-12-26 05:00:00"))).toDF("id", "ts")
+      .write.mode("overwrite").parquet(fwdOld.toString)
+    val fwdNewDir = fwdDay.resolve("p_hour=5").resolve("p_batch=77")
+    Seq((11L, ts("2023-12-26 05:00:00"))).toDF("id", "ts")
+      .drop("nothing")
+      .write.mode("overwrite").parquet(fwdNewDir.toString)
+    val newRel = {
+      val w = Files.walk(fwdNewDir)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => fwdDay.relativize(p).toString)
+        .filterNot(r => r.split('/').exists(x =>
+          x.startsWith("_") || x.startsWith(".")))
+        .toList
+      finally w.close()
+    }
+    Files.writeString(fwdDay.resolve("_migrating"),
+      (newRel.map("N " + _) :+ "O p_batch=77").mkString("\n"))
+    Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(!Files.exists(fwdDay.resolve("_migrating")))
+    assert(!Files.isDirectory(fwdOld), "roll-forward deletes the old spec")
+    assert(wh.read(spark, "log").filter("id = 11").count() == 1)
+  }
+
+  test("OBJECT-STORE flat->MOR adoption: rename-free copy with the base pointer last; a crashed copy re-runs to completion") {
+    import spark.implicits._
+    val wh = Tables.Warehouse(tmpDir("tp-morad-os"), retain = 4,
+      io = graft.sources.ObjectStoreIO)
+    // a flat VERSIONED table (pointer OBJECT on this substrate)
+    wh.overwrite(Seq((1L, "a", "I", "t1"), (2L, "b", "I", "t1"))
+      .toDF("id", "name", "op", "ts").localCheckpoint(true), "m")
+    assert(wh.io.isPointer(Paths.get(wh.tablePath("m"))))
+    val cfg = graft.CdcConfig("id", "ts")
+    graft.plans.MorMirror.initialize(wh, "m",
+      wh.read(spark, "m"), cfg, nBuckets = 4)
+    // adopted: the table path is a real MOR tree now, old versions gone
+    assert(Files.isDirectory(Paths.get(wh.tablePath("m"))))
+    assert(graft.plans.MorMirror.storedConfig(wh, "m").isDefined)
+    graft.plans.MorMirror.appendDelta(wh, "m",
+      Seq((3L, "c", "I", "t2")).toDF("id", "name", "op", "ts"), batchId = 1)
+    assert(graft.plans.MorMirror.read(spark, wh, "m")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // crashed-copy heal: rebuild the crash shape — a COMPLETE stage, the
+    // final tree only partially copied (no nested base pointer yet)
+    val tableP = Paths.get(wh.tablePath("m"))
+    val stageP = Paths.get(s"${wh.tablePath("m")}.morstage")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.createDirectories(dst)
+      val s = Files.list(src)
+      try s.iterator().asScala.foreach { p =>
+        if (Files.isDirectory(p)) copyTree(p, dst.resolve(p.getFileName.toString))
+        else Files.copy(p, dst.resolve(p.getFileName.toString))
+      } finally s.close()
+    }
+    copyTree(tableP, stageP)
+    Files.writeString(stageP.resolve("_stage_complete"), "")
+    // simulate "crash mid-copy": final tree lost its commit point
+    Files.delete(tableP.resolve("base"))
+    assert(graft.plans.MorMirror.recoverMigration(wh, "m"),
+      "a complete stage with a pointer-less final tree must re-copy")
+    assert(!Files.exists(stageP))
+    assert(graft.plans.MorMirror.read(spark, wh, "m")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
 }

@@ -380,4 +380,20 @@ class ZoneMapSpec extends SparkTestBase {
     assert(Files.exists(carried) && new String(Files.readAllBytes(carried)) == "7",
       "the rewrite must carry replay-cursor markers exactly like compact does")
   }
+
+  test("keyedSurvivors never schema-infers the data path: manifest stats derive the key type, a statless probe without a hint refuses") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("zm-keytype"))
+    wh.overwrite((1L to 1000L).map(i => (i, i * 2)).toDF("id", "w")
+      .repartition(4).localCheckpoint(true), "t")
+    Maintenance.cluster(spark, wh, "t", Seq("id"), targetFiles = 4)
+    val path = wh.snapshotPath("t")
+    // hintless probe on a statted column: the manifest's own min_ column
+    // provides the type (no spark.read over the data path)
+    val s1 = ZoneMap.keyedSurvivors(spark, path, "id", Seq(5L))
+    assert(s1.isDefined && s1.get.size == 1)
+    // an UNSTATTED column short-circuits to None (no narrowing) before
+    // any type derivation — never a guess, never a data-path read
+    assert(ZoneMap.keyedSurvivors(spark, path, "w", Seq(10L)).isEmpty)
+  }
 }

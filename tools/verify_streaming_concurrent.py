@@ -106,7 +106,7 @@ def run_one(io_mode, layout="flat"):
 
     # independent verification: resolve the pointer (flat) or walk the
     # in-place partition tree (timed), read OUTSIDE every JVM
-    if layout == "timed":
+    if layout.startswith("timed"):
         glob = f"{WH}/sink/**/*.parquet"
     else:
         snap = resolve_pointer(f"{WH}/sink")
@@ -132,6 +132,11 @@ def main():
     # the time-partitioned layout's own epoch commit, on the substrate
     # where it diverges from Spark's rename-based dynamic overwrite
     run_one("objectstore", layout="timed")
+    # mid-stream day->hour grain evolution: the stream flips the spec at
+    # the halfway epoch while the concurrent maintenance JVMs migrate
+    # day-era days through the RENAME-FREE manifest flip — exactness of
+    # the final census proves the flip loses nothing under concurrency
+    run_one("objectstore", layout="timed-evolve")
 
 
 if __name__ == "__main__":
