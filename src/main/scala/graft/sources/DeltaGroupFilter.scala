@@ -45,12 +45,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   */
 private[graft] object DeltaRuntimeGroupFiltering extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // idempotence under the fixed-point batch: a delta query already
-    // carrying a dynamic-pruning subquery is done
-    case w: WriteDelta if !w.query.exists(_.expressions.exists(
-        _.exists(_.isInstanceOf[DynamicPruningSubquery]))) =>
-      w.copy(query = narrowQuery(w.query))
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast path: almost no plan is a delta write — one instanceOf beats
+    // a transformDown allocation per query in the last optimizer batch
+    if (!plan.isInstanceOf[WriteDelta]) return plan
+    plan.transformDown {
+      // idempotence under the fixed-point batch: a delta query already
+      // carrying a dynamic-pruning subquery is done
+      case w: WriteDelta if !w.query.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[DynamicPruningSubquery]))) =>
+        w.copy(query = narrowQuery(w.query))
+    }
   }
 
   private def narrowQuery(query: LogicalPlan): LogicalPlan =

@@ -56,6 +56,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast path: the rule runs in the fixpoint operator batch on EVERY
+    // query — plans without a graft catalog relation (most of any mixed
+    // workload) exit on one traversal
+    val hasGraft = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case _ => false
+    }
+    if (!hasGraft) return plan
     // identity set of command-target relations (INSERT/OVERWRITE/DELETE
     // faces): rewriting those would hand the write planner a Union
     val targets = java.util.Collections.newSetFromMap(

@@ -1325,16 +1325,28 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
               GraftTable.wapBranch match {
-                // write-audit-publish: the session conf routes the append
+                // write-audit-publish: the session conf routes the write
                 // onto the branch's own ref — main's pointer never moves
-                // until CALL fast_forward publishes the audited head
+                // until CALL fast_forward publishes the audited head.
+                // OVERWRITE stages the full replacement content (no
+                // carry) and CASes the branch head, the same
+                // one-commit-one-CAS shape as the append.
                 case Some(b) =>
-                  require(!(replace || overwrite),
-                    s"INSERT OVERWRITE onto WAP branch '$b' is not " +
-                      "supported: branch ingest is append-shaped; " +
-                      "audit, then fast_forward or drop the branch")
                   wh.retryingConflicts(maxAttempts = 10) {
-                    wh.appendToBranch(data, tableName, b)
+                    if (replace || overwrite) {
+                      val expectHead = wh.branches(tableName).getOrElse(b,
+                        throw new NoSuchElementException(
+                          s"'$tableName' has no branch '$b'"))._1
+                      val staged = wh.allocateStage(tableName)
+                      try data.write
+                        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                        .parquet(staged.toString)
+                      catch { case t: Throwable =>
+                        wh.discardStage(staged); throw t
+                      }
+                      wh.publishStageToBranch(tableName, staged, b,
+                        expectHead)
+                    } else wh.appendToBranch(data, tableName, b)
                   }
                 case None =>
                   if (replace || overwrite) wh.overwrite(data, tableName)
@@ -1785,9 +1797,10 @@ private[sources] object GraftTable {
 
   private[sources] def refuseWap(op: String): Unit =
     wapBranch.foreach(b => throw new UnsupportedOperationException(
-      s"$op under spark.graft.wap.branch='$b' is not supported: INSERT/" +
-        "DELETE/UPDATE/MERGE route onto the branch, but this face does " +
-        "not; unset the conf (or audit and fast_forward) first"))
+      s"$op under spark.graft.wap.branch='$b' is not supported: batch " +
+        "INSERT/OVERWRITE/DELETE/UPDATE/MERGE route onto the branch, " +
+        "but this face does not; unset the conf (or audit and " +
+        "fast_forward) first"))
 
   /** A stock parquet table over one snapshot dir — the branch-head scan
     * face for row-level operations (the table's own `delegate` is pinned

@@ -141,15 +141,18 @@ class BranchSpec extends SparkTestBase {
       Set(1L, 2L, 3L))
   }
 
-  test("the WAP conf fences the faces that do NOT route (overwrite, streaming); branch props refuse direct ALTER") {
-    val (cat, _) = fixture()
+  test("INSERT OVERWRITE routes onto the branch too; unknown-branch DML refuses; branch props refuse direct ALTER") {
+    val (cat, wh) = fixture()
     spark.sql(s"CALL $cat.system.create_branch('t', 'w')").collect()
+    val vMain = wh.currentVersion("t").get
     onBranch("w") {
       Seq((5L, "x")).toDF("id", "s").createOrReplaceTempView(s"o_$seq")
-      val e3 = intercept[Exception] {
-        spark.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM o_$seq")
-      }
-      assert(e3.getMessage.contains("append"), e3.getMessage)
+      // OVERWRITE replaces the BRANCH content; main provably pinned
+      spark.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM o_$seq")
+      assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 'w'"))
+        == Set(5L))
+      assert(wh.currentVersion("t").contains(vMain))
+      assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L))
       // a DML against an UNKNOWN branch refuses loudly, never hits main
       val e6 = intercept[Exception] {
         spark.conf.set("spark.graft.wap.branch", "ghost")
@@ -158,6 +161,9 @@ class BranchSpec extends SparkTestBase {
       }
       assert(e6.getMessage.contains("ghost"), e6.getMessage)
     }
+    // the audited replacement publishes exactly
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'w')").collect()
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(5L))
     val e4 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('branch.x.head'='1')")
     }
@@ -220,7 +226,7 @@ class BranchSpec extends SparkTestBase {
     assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L))
   }
 
-  test("randomized branch lifecycle equals a two-ref golden model (seed 19)") {
+  test("randomized branch lifecycle (inserts + DML + publish/abandon) equals a two-ref golden model (seed 19)") {
     import scala.collection.mutable
     import scala.util.Random
     val rng = new Random(19)
@@ -240,7 +246,7 @@ class BranchSpec extends SparkTestBase {
       }
     }
     (1 to 30).foreach { step =>
-      rng.nextInt(6) match {
+      rng.nextInt(8) match {
         case 0 => // main insert — only legal while no branch diverges
           // (a diverged branch would stop being fast-forwardable; the
           // model mirrors the WAP discipline: publish before main moves)
@@ -275,6 +281,27 @@ class BranchSpec extends SparkTestBase {
           if (branch.isDefined) {
             spark.sql(s"CALL $cat.system.drop_branch('t', 'wip')").collect()
             branch = None
+          }
+        case 6 => // stage a DELETE on the branch (round-16 DML routing)
+          branch.foreach { bm =>
+            if (bm.nonEmpty) {
+              val victim = bm.keys.minBy(k => (rng.nextInt(1000), k))
+              onBranch("wip") {
+                spark.sql(s"DELETE FROM $cat.t WHERE id = $victim")
+              }
+              bm -= victim
+            }
+          }
+        case 7 => // stage an UPDATE on the branch
+          branch.foreach { bm =>
+            if (bm.nonEmpty) {
+              val victim = bm.keys.minBy(k => (rng.nextInt(1000), k))
+              onBranch("wip") {
+                spark.sql(
+                  s"UPDATE $cat.t SET s = 'u$victim' WHERE id = $victim")
+              }
+              bm(victim) = s"u$victim"
+            }
           }
       }
       checkRefs(step)
