@@ -179,12 +179,22 @@ object DeltaStress {
         }
         curve += ((k, scanSec(), affectedFiles()))
       }
+      // worst case: a delete whose keys SPREAD across every file (the
+      // min/max census keeps all 16) — the whole table pays the
+      // key-probe path; with the vectorized decode under the row
+      // interface this should sit near the clean scan, not multiples
+      val spread = (0 until 16).map(i => i * (n / 16) + 63)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (${spread.mkString(",")})")
+      val allAffected = scanSec()
+      val afAll = affectedFiles()
       Tables.deleteRecursively(Paths.get(root))
       val pts = curve.map { case (k, s, af) =>
         s"""{"pending":$k,"scan_sec":${f"$s%.2f"},"affected_files":$af}"""
       }.mkString("[", ",", "]")
       println(s"""{"read_side":{"rows":$n,"data_files":16,""" +
-        s""""clean_scan_sec":${f"$clean%.2f"},"curve":$pts}}""")
+        s""""clean_scan_sec":${f"$clean%.2f"},"curve":$pts,""" +
+        s""""all_affected":{"scan_sec":${f"$allAffected%.2f"},""" +
+        s""""affected_files":$afAll}}}""")
     }
     spark.stop()
   }

@@ -337,24 +337,59 @@ private[graft] object EqDeletes {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
-    // row-based on purpose: eq-deletes filter per row (the Iceberg
-    // read tax until compact folds)
+    // the SCAN interface stays row-based (eq-deletes filter per row —
+    // the Iceberg read tax until compact folds), but the DECODING does
+    // not have to be: see createReader
     override def supportColumnarReads(p: InputPartition): Boolean = false
 
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-      val in = inner.createReader(p)
-      new PartitionReader[InternalRow] {
-        private var current: InternalRow = _
-        override def next(): Boolean = {
-          while (in.next()) {
-            val r = in.get()
-            val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
-            if (k == null || !deleted.contains(k)) { current = r; return true }
+      // VECTORIZED DECODE under the row interface (round 16): when the
+      // stock factory can serve ColumnarBatches (vectorized reader on,
+      // atomic schema), decode through it and probe rows off
+      // `rowIterator()` — parquet pages decompress through the
+      // vectorized column readers instead of parquet-mr's per-record
+      // assembly, and each emitted row is a live batch view consumed
+      // one-at-a-time by the exec's projection (never buffered). The
+      // Iceberg shape: delete files apply per row while the decode
+      // stays columnar.
+      if (inner.supportColumnarReads(p)) {
+        val in = inner.createColumnarReader(p)
+        new PartitionReader[InternalRow] {
+          private var it: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (true) {
+              while (it.hasNext) {
+                val r = it.next()
+                val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+                if (k == null || !deleted.contains(k)) {
+                  current = r; return true
+                }
+              }
+              if (!in.next()) return false
+              it = in.get().rowIterator()
+            }
+            false
           }
-          false
+          override def get(): InternalRow = current
+          override def close(): Unit = in.close()
         }
-        override def get(): InternalRow = current
-        override def close(): Unit = in.close()
+      } else {
+        val in = inner.createReader(p)
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (in.next()) {
+              val r = in.get()
+              val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+              if (k == null || !deleted.contains(k)) { current = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = in.close()
+        }
       }
     }
   }

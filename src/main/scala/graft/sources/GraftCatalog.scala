@@ -1580,18 +1580,58 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       val expected = wh.currentVersion(tableName)
       val snap = wh.snapshotPath(tableName)
       val markers = Tables.readRootMarkers(snap)
-      // FOLDED base when sidecars are pending (the huge-delete fallback
-      // from morDelete): a raw read would resurrect the deleted keys
-      val base =
-        if (EqDeletes.pending(snap).nonEmpty)
-          EqDeletes.foldedRead(spark, snap,
-            TableProps.read(wh, tableName)(EqDeletes.KeyProp))
-        else SchemaEvolution.readTableWidened(spark, snap)
-      val survivors = base.filter(not(coalesce(pred, lit(false))))
-      wh.commit(tableName, expectCurrent = expected) { staged =>
-        survivors.write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
-        Tables.writeRootMarkers(markers, staged)
+      // FILE-GRANULAR groups (round 16): on a clustered table whose
+      // zone-map stats bound the predicate, only the files that CAN
+      // contain a match rewrite — everything else carries as a hard
+      // link, the same per-file COW the row-level UPDATE path does. A
+      // point DELETE on a 100 TB table stops costing a table rewrite.
+      // Keep-conservative: an unbounded predicate, a stale/missing
+      // manifest, pending sidecars (the folded read below owns those),
+      // or a nested (bucketed) layout all fall back to the full rewrite.
+      val sidecarsPending = EqDeletes.pending(snap).nonEmpty
+      val census =
+        if (sidecarsPending) Nil
+        else graft.plans.ZoneMap.dataFileCensus(spark, snap)
+      val affectedOpt =
+        if (sidecarsPending || census.exists(_.contains("/"))) None
+        else GraftTable.selectCowGroups(spark, snap, filters)
+          .filter(_.size < census.size)
+      affectedOpt match {
+        case Some(affected) if affected.isEmpty =>
+          // the stats PROVE no row matches: the delete is a no-op and
+          // commits nothing (no version bump — the morDelete discipline)
+          ()
+        case Some(affected) =>
+          val schema = SchemaEvolution.readTableWidened(spark, snap).schema
+          val survivors = spark.read.schema(schema)
+            .parquet(affected.map(f => s"$snap/$f"): _*)
+            .filter(not(coalesce(pred, lit(false))))
+          val carried = census.toSet -- affected.toSet
+          wh.commit(tableName, expectCurrent = expected) { staged =>
+            survivors.write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+            carried.foreach(f => wh.io.linkOrCopy(
+              java.nio.file.Paths.get(snap, f),
+              java.nio.file.Paths.get(staged, f)))
+            // no manifest carry: the rewritten affected files invalidate
+            // their census rows (same contract as the row-level COW)
+            Tables.writeRootMarkers(markers, staged)
+          }
+        case None =>
+          // FOLDED base when sidecars are pending (the huge-delete
+          // fallback from morDelete): a raw read would resurrect the
+          // deleted keys
+          val base =
+            if (sidecarsPending)
+              EqDeletes.foldedRead(spark, snap,
+                TableProps.read(wh, tableName)(EqDeletes.KeyProp))
+            else SchemaEvolution.readTableWidened(spark, snap)
+          val survivors = base.filter(not(coalesce(pred, lit(false))))
+          wh.commit(tableName, expectCurrent = expected) { staged =>
+            survivors.write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+            Tables.writeRootMarkers(markers, staged)
+          }
       }
     }
   }

@@ -410,4 +410,57 @@ class GraftSqlWriteSpec extends SparkTestBase {
       "second marker must ride along")
     assert(spark.sql("SELECT v FROM wmk.t WHERE id = 9").head.getString(0) == "z2")
   }
+
+  test("FILE-GRANULAR COW DELETE: only files whose stats admit a match rewrite, the rest carry as links; a provably-no-match delete commits nothing") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("sql-fgdel")
+    val wh = Warehouse(root, retain = 8)
+    register("fgd", root)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") * 1.0).as("x")).localCheckpoint(true), "t")
+    // range-clustered by id into 10 files: the delete predicate's
+    // min/max bounds select ~1 file
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 10)
+    val before = wh.currentVersion("t").get
+    val baseNames = {
+      val s = Files.list(Paths.get(s"$root/t.v$before"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    assert(baseNames.size >= 8)
+    // stats prove absence -> the delete is a NO-OP, no version bump
+    // (checked FIRST: a granular rewrite below stales the manifest, and
+    // a stale census correctly falls back to the full-rewrite path)
+    spark.sql("DELETE FROM fgd.t WHERE id >= 5000")
+    assert(wh.currentVersion("t").contains(before),
+      "a provably-no-match delete must not commit")
+    spark.sql("DELETE FROM fgd.t WHERE id >= 100 AND id <= 120")
+    assert(spark.sql("SELECT count(*) FROM fgd.t").head.getLong(0) == 979)
+    assert(spark.sql(
+      "SELECT count(*) FROM fgd.t WHERE id BETWEEN 100 AND 120")
+      .head.getLong(0) == 0)
+    // the unmatched id-range files carried as hard links under their names
+    val cur = wh.currentVersion("t").get
+    var carried = 0; var fresh = 0
+    val s2 = Files.list(Paths.get(s"$root/t.v$cur"))
+    try s2.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val links = Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Integer].intValue()
+        if (baseNames.contains(n) && links > 1) carried += 1 else fresh += 1
+      }
+    } finally s2.close()
+    assert(carried >= baseNames.size - 2,
+      s"file-granular delete must carry unmatched files: " +
+        s"carried=$carried fresh=$fresh of ${baseNames.size}")
+    // and null semantics survive the granular path: NULL predicate rows
+    // are survivors (x IS NULL never true here, so nothing deletes)
+    spark.sql("DELETE FROM fgd.t WHERE x > CAST(NULL AS DOUBLE)")
+    assert(spark.sql("SELECT count(*) FROM fgd.t").head.getLong(0) == 979)
+  }
 }
