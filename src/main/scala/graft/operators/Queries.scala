@@ -1627,6 +1627,56 @@ object Queries {
     }
   }
 
+  /** File-granular COW DELETE under the oracle gate (q206, round 16):
+    * an id-clustered copy-on-write table takes a range DELETE whose
+    * zone-map bounds admit only a slice of its files — the query
+    * REQUIRES that most base files carried into the new version under
+    * their own names (hard links, the per-file COW census proof) and
+    * that a stats-proven no-match DELETE committed no version at all —
+    * then the aggregate must hash-equal the oracle's plain predicate
+    * algebra. The write-amplification contract at 100 TB: a point
+    * delete's cost tracks the matched region on EVERY DML face.
+    */
+  def q206FileGranularDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fgd_q206")
+    val cat = s"gq206_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      wh.overwrite(events(spark, dir)
+        .select("event_id", "event_type", "value")
+        .localCheckpoint(true), "ev")
+      graft.plans.Maintenance.cluster(spark, wh, "ev",
+        Seq("event_id"), targetFiles = 8)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      val vPre = wh.currentVersion("ev").get
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      // stats prove no match: must commit NOTHING (no version bump)
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_id < -1000000")
+      require(wh.currentVersion("ev").contains(vPre),
+        "a stats-proven no-match DELETE must not commit")
+      spark.sql(
+        s"DELETE FROM $cat.ev WHERE event_id BETWEEN 1000 AND 2999")
+      val postFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      val carried = preFiles.intersect(postFiles).size
+      require(carried >= preFiles.size - 3,
+        s"file-granular DELETE must carry unmatched files by name: " +
+          s"carried $carried of ${preFiles.size}")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vPre)
+           |    AS n_pre_delete
+           |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** `MERGE INTO` under the driver's oracle gate (q192): a mirror CTAS'd
     * from the even-keyed events slice, then ONE literal `MERGE INTO`
     * statement applies a deterministic change batch — deletes where
@@ -3167,6 +3217,16 @@ object Queries {
         |FROM staged GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the file-granular COW DELETE (carry census required in the Spark
+    // harness) reduces to plain predicate algebra over the raw rows
+    "q206_file_granular_delete" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events) AS n_pre_delete
+        |FROM events
+        |WHERE event_id NOT BETWEEN 1000 AND 2999
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the hour-grain layout + two-level hidden pruning must equal the
     // plain sub-day time-range aggregate on the un-partitioned source
     "q197_hour_grain" ->
@@ -3663,6 +3723,7 @@ object Queries {
     "q203_branch_wap" -> (q203BranchWap _),
     "q204_mor_update_merge" -> (q204MorUpdateMerge _),
     "q205_branch_dml" -> (q205BranchDml _),
+    "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
     "q188_mirror_projection" -> (q188MirrorProjection _),
     "q166_market_share" -> (q166MarketShare _),
