@@ -1461,17 +1461,38 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         }
       }
       if (!sidecarSettled) {
-        // matched-nothing guard (parity with the MOR no-op discipline):
-        // a predicate matching zero head rows must not bump the branch
-        if (base.filter(coalesce(pred, lit(false))).limit(1).count() == 0L)
+        // FILE-GRANULAR on the branch too (the main deleteWhere shape):
+        // stats-admitted head files rewrite minus matched rows, the rest
+        // hard-link from the head; a stats-proven no-match or a
+        // matched-nothing predicate commits nothing
+        val census = graft.plans.ZoneMap.dataFileCensus(spark, head)
+        val affectedOpt =
+          if (EqDeletes.pending(head).nonEmpty ||
+              census.exists(_.contains("/"))) None
+          else GraftTable.selectCowGroups(spark, head, filters)
+            .filter(_.size < census.size)
+        if (affectedOpt.exists(_.isEmpty)) return // proven no match
+        if (affectedOpt.isEmpty &&
+            base.filter(coalesce(pred, lit(false))).limit(1).count() == 0L)
           return
         val markers = Tables.readRootMarkers(head)
-        val survivors = base.filter(not(coalesce(pred, lit(false))))
+        val (survivors, carried) = affectedOpt match {
+          case Some(affected) =>
+            (spark.read.schema(base.schema)
+              .parquet(affected.map(f => s"$head/$f"): _*)
+              .filter(not(coalesce(pred, lit(false)))),
+              (census.toSet -- affected.toSet).toSeq)
+          case None =>
+            (base.filter(not(coalesce(pred, lit(false)))), Nil)
+        }
         val staged = wh.allocateStage(tableName)
         try {
           survivors.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(staged.toString)
+          carried.foreach(f => wh.io.linkOrCopy(
+            java.nio.file.Paths.get(head, f),
+            staged.resolve(f)))
           // a version dir needs at least one footer to serve its schema
           val hasFiles = {
             val s = java.nio.file.Files.list(staged)

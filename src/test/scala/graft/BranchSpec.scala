@@ -205,6 +205,55 @@ class BranchSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet == audited)
   }
 
+  test("WAP DML routing: branch COW DELETE is file-granular — unmatched head files carry as links; a stats-proven no-match commits nothing") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("branch-fgdel")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite(spark.range(1000).select(col("id"),
+      (col("id") * 1.0).as("x")).localCheckpoint(true), "t")
+    graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), 10)
+    val cat = s"bfg${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    wh.createBranch("t", "g")
+    val headBefore = wh.branches("t")("g")._1
+    val baseNames = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(s"$root/t.v$headBefore"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet finally s.close()
+    }
+    assert(baseNames.size >= 8)
+    onBranch("g") {
+      // stats prove absence: nothing commits, the head stays
+      spark.sql(s"DELETE FROM $cat.t WHERE id > 100000")
+      assert(wh.branches("t")("g")._1 == headBefore,
+        "a proven-no-match branch delete must not bump the head")
+      spark.sql(s"DELETE FROM $cat.t WHERE id >= 100 AND id <= 120")
+    }
+    val head = wh.branches("t")("g")._1
+    assert(head > headBefore)
+    var carried = 0; var fresh = 0
+    val s2 = Files.list(Paths.get(s"$root/t.v$head"))
+    try s2.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val links = Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Integer].intValue()
+        if (baseNames.contains(n) && links > 1) carried += 1 else fresh += 1
+      }
+    } finally s2.close()
+    assert(carried >= baseNames.size - 2,
+      s"branch file-granular delete must carry: carried=$carried " +
+        s"fresh=$fresh of ${baseNames.size}")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF 'g'").head.getLong(0)
+      == 979L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+      == 1000L, "main pinned")
+  }
+
   test("WAP DML routing: concurrent branch DML CAS-retries on the head (loser re-reads, both effects land)") {
     val (cat, wh) = fixture()
     wh.createBranch("t", "cc")
