@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -573,6 +575,76 @@ object ZoneMap {
       return None
     }
     Some(plan.collect { case (f, true) => f })
+  }
+
+  /** Footer-stats survivor probe — the MANIFEST-LESS fallback for
+    * sidecar-census narrowing: one driver-side parquet FOOTER read per
+    * file (column-chunk min/max, no data pages — the same cost class as
+    * the null-key verification walk), keep-conservative per block. None
+    * when the file count exceeds `maxFiles` (a remote footer walk per
+    * DELETE is the wrong trade past ~1k files — declared clustering's
+    * manifest is the scale path), the key count exceeds the probe cap,
+    * or any footer's stats are unusable for the key's type (unsupported
+    * logical types, truncated stats → no narrowing, never a guess).
+    * Comparison semantics match Spark's own parquet filter pushdown:
+    * numerics widen through Number, strings compare as binary
+    * lexicographic (parquet's STRING order == UTF8String's).
+    */
+  def footerSurvivors(spark: SparkSession, dataPath: String,
+      keyCol: String, keys: Seq[Any],
+      keyType: org.apache.spark.sql.types.DataType,
+      maxFiles: Int = 1024): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types._
+    if (keys.isEmpty || keys.size > MaxProbeKeys) return None
+    val files = listDataFiles(spark, dataPath)
+    if (files.isEmpty || files.size > maxFiles) return None
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val mode = if (spark.sessionState.conf.ansiEnabled) EvalMode.ANSI
+      else EvalMode.LEGACY
+    val catKeys: Seq[Any] = keys.flatMap { v =>
+      Option(Cast(Literal.create(v), keyType, tz, mode).eval(null))
+    }
+    if (catKeys.isEmpty) return Some(Nil) // every key casts to null: no match
+    val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    // parquet statistics value -> catalyst value of the KEY's type;
+    // None = unsupported pairing (probe aborts, conservative)
+    def toCat(v: AnyRef): Option[Any] = (v, keyType) match {
+      case (n: java.lang.Number, LongType) => Some(n.longValue)
+      case (n: java.lang.Number, IntegerType) => Some(n.intValue)
+      case (n: java.lang.Number, ShortType) => Some(n.shortValue)
+      case (n: java.lang.Number, DoubleType) => Some(n.doubleValue)
+      case (n: java.lang.Number, FloatType) => Some(n.floatValue)
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes))
+      case _ => None
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val keep = scala.collection.mutable.ArrayBuffer[String]()
+    files.foreach { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dataPath/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileKeeps =
+        try r.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) true
+              else (toCat(st.genericGetMin.asInstanceOf[AnyRef]),
+                  toCat(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(mn), Some(mx)) =>
+                  catKeys.exists(v =>
+                    ordering.lteq(mn, v) && ordering.lteq(v, mx))
+                case _ => return None // unsupported stats type: abort whole probe
+              }
+            case None => true // pre-key-era block: conservative keep
+          }
+        } finally r.close()
+      if (fileKeeps) keep += rel
+    }
+    Some(keep.toSeq)
   }
 
   /** Columns the manifest carries file-skipping evidence for (interval

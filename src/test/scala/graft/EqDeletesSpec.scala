@@ -508,6 +508,43 @@ class EqDeletesSpec extends SparkTestBase {
     assert(visible(cat) == base.filterNot(r => r._1 == 5L || r._1 == 6L).toSet)
   }
 
+  test("footer-stats census narrowing: an UNCLUSTERED table's point delete scopes its sidecar via parquet min/max, no manifest needed") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("eqdel-footer")
+    val wh = Warehouse(root, retain = 8)
+    // range-partitioned files but NO zone-map manifest: the only
+    // evidence is the parquet footers' own column min/max
+    wh.overwrite(spark.range(600)
+      .select(col("id"), (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(3, col("id")).localCheckpoint(true), "t")
+    TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read", EqDeletes.KeyProp -> "id"))
+    val cat = s"eqd${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, wh.snapshotPath("t"))
+    assert(all.size == 3)
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 42")
+    val sc = EqDeletes.pending(wh.snapshotPath("t"))
+    assert(sc.size == 1)
+    assert(sc.head.census.size == 1,
+      s"footer min/max must scope the census to ONE range file, " +
+        s"got ${sc.head.census.size} of ${all.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 599L)
+    // string keys take the binary-lexicographic comparison path
+    wh.overwrite(spark.range(100)
+      .selectExpr("concat('k', lpad(CAST(id AS STRING), 3, '0')) AS k",
+        "id AS n")
+      .repartitionByRange(2, col("k")).localCheckpoint(true), "s")
+    TableProps.write(wh, "s", Map(
+      EqDeletes.ModeProp -> "merge-on-read", EqDeletes.KeyProp -> "k"))
+    spark.sql(s"DELETE FROM $cat.s WHERE k = 'k007'")
+    val scS = EqDeletes.pending(wh.snapshotPath("s"))
+    assert(scS.size == 1 && scS.head.census.size == 1,
+      s"string-key footer narrowing: ${scS.head.census}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.s").head.getLong(0) == 99L)
+  }
+
   test("requireNullFreeKeys memoizes per (snapshot, key column): re-keying a table re-verifies") {
     import spark.implicits._
     val root = tmpDir("eqdel-rekey")
