@@ -616,7 +616,8 @@ object Maintenance {
     * @return number of day dirs migrated
     */
   def migrateTimeGranularity(spark: SparkSession, wh: Warehouse,
-      table: String): Int = {
+      table: String,
+      healOlderThanMs: Long = 10L * 60 * 1000): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.col
@@ -660,7 +661,25 @@ object Maintenance {
       val days = try s.iterator().asScala.filter(p =>
         p.getFileName.toString.startsWith(s"$PartDayCol=") &&
           Files.isDirectory(p)).toList finally s.close()
-      days.foreach(healDayMigration)
+      // AGE-GUARDED (advice finding): a RIVAL maintenance process may be
+      // mid-copy on this very day — its manifest is fresh and it keeps
+      // touching the dir; healing now would roll back files it just
+      // copied, and the rival would then delete the old batch dirs,
+      // losing the day. Same olderThanMs discipline as the `_replacing`
+      // heal in removeOrphans: only a manifest whose day dir has gone
+      // QUIET for healOlderThanMs is a genuine crash. A young manifest
+      // refuses loudly instead of guessing.
+      val now = System.currentTimeMillis()
+      days.filter(d => Files.exists(d.resolve(MigratingManifest)))
+        .foreach { d =>
+          if (now - newestMtime(d) > healOlderThanMs) healDayMigration(d)
+          else throw new IllegalStateException(
+            s"$table/${d.getFileName}: a rename-free grain flip is in " +
+              s"flight or crashed < ${healOlderThanMs} ms ago " +
+              "(_migrating manifest still fresh); healing now could " +
+              "roll back a live rival's copy — retry once it settles " +
+              "or ages out")
+        }
     }
     val (dayEra, _) = wh.classifyDayDirs(base)
     dayEra.foreach { dayDir =>
@@ -763,6 +782,31 @@ object Maintenance {
     * in, `O <dirname>` lines the old-spec batch dirs to delete after.
     */
   private[plans] val MigratingManifest = "_migrating"
+
+  /** Newest mtime anywhere under `p` — the liveness signal every heal
+    * and sweep shares: an ACTIVE writer keeps touching its tree, so a
+    * tree quiet for longer than the guard is a genuine crash.
+    */
+  private[plans] def newestMtime(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // a DANGLING symlink (temp pointer whose stage is gone) carries no
+    // recoverable meaning — "infinitely old", swept on sight. MinValue/2,
+    // NOT MinValue: `now - Long.MinValue` overflows negative and would
+    // make the link immortal instead (review finding)
+    if (Files.isSymbolicLink(p) && !Files.exists(p)) return Long.MinValue / 2
+    val self =
+      try Files.getLastModifiedTime(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue } // vanished: treat as fresh
+    if (!Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) self
+    else {
+      val s = Files.list(p)
+      try (Iterator(self) ++ s.iterator().asScala.map(newestMtime))
+        .foldLeft(Long.MinValue)(math.max)
+      finally s.close()
+    }
+  }
 
   /** Settle a crashed rename-free day flip. All `N` files present →
     * roll FORWARD (finish deleting the `O` dirs); any missing → roll
@@ -994,24 +1038,6 @@ object Maintenance {
     val now = System.currentTimeMillis()
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
 
-    def newestMtime(p: Path): Long = {
-      // a DANGLING symlink (temp pointer whose stage is gone) carries no
-      // recoverable meaning — "infinitely old", swept on sight. MinValue/2,
-      // NOT MinValue: `now - Long.MinValue` overflows negative and would
-      // make the link immortal instead (review finding)
-      if (Files.isSymbolicLink(p) && !Files.exists(p)) return Long.MinValue / 2
-      val self =
-        try Files.getLastModifiedTime(p,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
-        catch { case _: java.io.IOException => Long.MaxValue } // vanished: treat as fresh
-      if (!Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) self
-      else {
-        val s = Files.list(p)
-        try (Iterator(self) ++ s.iterator().asScala.map(newestMtime))
-          .foldLeft(Long.MinValue)(math.max)
-        finally s.close()
-      }
-    }
     def sweep(p: Path): Unit =
       if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
           now - newestMtime(p) > olderThanMs) {

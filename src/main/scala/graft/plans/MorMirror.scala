@@ -291,10 +291,15 @@ object MorMirror {
     * LAST (in that order reversed — props, then pointer): the pointer is
     * the commit point, and until it lands every open of the half-copied
     * tree fails loudly instead of serving partial state. Skips paths
-    * already present, so a crashed copy re-runs to completion.
+    * already present AND size-complete, so a crashed copy re-runs to
+    * completion: the local substrate's simulated CopyObject is not
+    * atomic, and a crash mid-file leaves a TRUNCATED destination the
+    * resume must re-copy, not serve (advice finding).
     */
   private def copyStageIn(wh: Warehouse, stage: Path, table: Path): Unit = {
     Files.createDirectories(table)
+    def settled(src: Path, dst: Path): Boolean =
+      Files.exists(dst) && Files.size(dst) == Files.size(src)
     def copyTree(src: Path, dst: Path, skip: String => Boolean): Unit = {
       Files.createDirectories(dst)
       val s = Files.list(src)
@@ -304,7 +309,10 @@ object MorMirror {
           val t = dst.resolve(fn)
           if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
             copyTree(p, t, _ => false)
-          else if (!Files.exists(t)) wh.io.linkOrCopy(p, t)
+          else if (!settled(p, t)) {
+            Files.deleteIfExists(t)
+            wh.io.linkOrCopy(p, t)
+          }
         }
       } finally s.close()
     }
@@ -316,9 +324,10 @@ object MorMirror {
       copyTree(meta, table.resolve(metadataName), _ => false)
     val ptr = stage.resolve(BaseTable)
     if (Files.isRegularFile(ptr, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        !Files.exists(table.resolve(BaseTable),
-          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        !settled(ptr, table.resolve(BaseTable))) {
+      Files.deleteIfExists(table.resolve(BaseTable))
       wh.io.linkOrCopy(ptr, table.resolve(BaseTable))
+    }
   }
 
   def recoverMigration(wh: Warehouse, name: String): Boolean = {

@@ -312,8 +312,13 @@ private[graft] object EqDeletes {
       : Map[String, java.util.HashSet[Any]] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.functions.input_file_name
-    val misses = sidecars.filter(sc =>
-      !keySetCache.containsKey(sc.dir.toString))
+    // snapshot hits via get (one atomic read per sidecar — containsKey
+    // then get raced with a concurrent clear and could serve null); a
+    // set evicted between the two calls just degrades to a miss
+    val hits = sidecars.flatMap { sc =>
+      Option(keySetCache.get(sc.dir.toString)).map(sc.dir.toString -> _)
+    }.toMap
+    val misses = sidecars.filterNot(sc => hits.contains(sc.dir.toString))
     if (misses.nonEmpty) {
       val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
       // sidecar dir NAMES (d<nanos>-<uuid>) are globally unique — the
@@ -332,18 +337,19 @@ private[graft] object EqDeletes {
         }
       }
       // crude bound on ENTRY count too (folded sidecars leave stale
-      // entries behind): past it, start over rather than grow forever
+      // entries behind): past it, start over rather than grow forever.
+      // This call's hit sets were snapshotted above, so the clear can
+      // never null out the map we return.
       if (keySetCache.size > 256) keySetCache.clear()
       fresh.foreach { case (dir, set) =>
         if (set.size <= CacheableKeys) keySetCache.put(dir, set)
       }
       // serve this call from the freshly built sets (large ones too)
+      // plus the pre-captured hits — never back through the cache
       return sidecars.map(sc => sc.dir.toString ->
-        fresh.getOrElse(sc.dir.toString,
-          keySetCache.get(sc.dir.toString))).toMap
+        fresh.getOrElse(sc.dir.toString, hits(sc.dir.toString))).toMap
     }
-    sidecars.map(sc =>
-      sc.dir.toString -> keySetCache.get(sc.dir.toString)).toMap
+    hits
   }
 
   /** The reader-level key filter of one affected group — serialized to

@@ -1337,11 +1337,20 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
                       val expectHead = wh.branches(tableName).getOrElse(b,
                         throw new NoSuchElementException(
                           s"'$tableName' has no branch '$b'"))._1
+                      // root markers (stream-epoch replay positions,
+                      // substrate/layout markers) must survive the
+                      // overwrite like they do on main (wh.overwrite) —
+                      // a fast-forwarded snapshot that lost its epoch
+                      // markers would re-ingest replayed epochs
+                      val markers = Tables.readRootMarkers(
+                        wh.branchSnapshotDir(tableName, b).toString)
                       val staged = wh.allocateStage(tableName)
-                      try data.write
-                        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-                        .parquet(staged.toString)
-                      catch { case t: Throwable =>
+                      try {
+                        data.write
+                          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                          .parquet(staged.toString)
+                        Tables.writeRootMarkers(markers, staged.toString)
+                      } catch { case t: Throwable =>
                         wh.discardStage(staged); throw t
                       }
                       wh.publishStageToBranch(tableName, staged, b,

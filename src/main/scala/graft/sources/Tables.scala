@@ -381,6 +381,11 @@ object Tables {
         m.group(1).toLong
       }
       withCommitLock(name) {
+        // settle any crashed fast_forward before moving the pointer —
+        // once main commits on top of a half-promoted branch head, the
+        // journal's base-vs-elsewhere dichotomy is the ONLY thing that
+        // can still tell a completed swap from one that never ran
+        settleFastForwards(name, TableProps.read(this, name))
         // optimistic concurrency for offline rewrites (compaction/GC):
         // the swap only publishes if the version the rewriter read is
         // still the current one — a stream commit that landed mid-rewrite
@@ -974,6 +979,57 @@ object Tables {
 
     private def branchHeadKey(b: String) = s"$BranchPropPrefix$b.head"
     private def branchBaseKey(b: String) = s"$BranchPropPrefix$b.base"
+    // idempotent fast-forward journal: written BEFORE the pointer swap,
+    // cleared by the final prop write — its presence means a crashed
+    // fast_forward whose promotion/props may be incomplete
+    private def ffPendingKey(b: String) = s"$BranchPropPrefix$b.ff-pending"
+
+    /** Settle crashed fast_forwards (advice finding): the old replay
+      * clause healed only while main still POINTED at the branch head —
+      * a main commit landing first stranded the branch's intermediate
+      * versions as BranchMarker'd forever (hidden from time travel) with
+      * stale branch props. The journal makes recovery unambiguous under
+      * any later pointer position: main still at the fork base → the
+      * swap never ran, the fast_forward never took effect, drop the
+      * journal; main anywhere else → the swap ran (the pointer can only
+      * have left the base through our swap — settlement runs before
+      * every other swap on this lock), so complete the marker promotion
+      * and re-base the branch. Idempotent; MUST run under the commit
+      * lock. Called at the top of every [[publishStage]] and
+      * [[fastForward]] — the only two pointer-swap sites.
+      * @return the settled props
+      */
+    private def settleFastForwards(name: String,
+        props0: Map[String, String]): Map[String, String] = {
+      var props = props0
+      props0.keys.toSeq
+        .filter(k => k.startsWith(BranchPropPrefix) &&
+          k.endsWith(".ff-pending"))
+        .foreach { k =>
+          val b = k.drop(BranchPropPrefix.length)
+            .dropRight(".ff-pending".length)
+          val parts = props(k).split(':')
+          val (base, head) = (parts(0).toLong, parts(1).toLong)
+          val cur = currentVersion(name)
+          if (cur.contains(base) && base != head) {
+            props = props - k // swap never ran: the ff never took effect
+          } else {
+            versions(name).foreach { case (v, p) =>
+              val bm = p.resolve(BranchMarker)
+              val owned =
+                try v > base && v <= head && Files.readString(bm) == b
+                catch { case _: java.io.IOException => false }
+              if (owned) {
+                Files.writeString(p.resolve(PublishedMarker), "")
+                Files.deleteIfExists(bm)
+              }
+            }
+            props = props - k + (branchBaseKey(b) -> head.toString)
+          }
+          TableProps.write(this, name, props)
+        }
+      props
+    }
 
     /** All branches of `name`: branch -> (head version, fork base). */
     def branches(name: String): Map[String, (Long, Long)] = {
@@ -1017,7 +1073,9 @@ object Tables {
       */
     def dropBranch(name: String, branch: String): Boolean =
       withCommitLock(name) {
-        val props = TableProps.read(this, name)
+        // settle first: dropping a branch mid-crashed-fast_forward must
+        // not orphan the journal (its promotion work would be lost)
+        val props = settleFastForwards(name, TableProps.read(this, name))
         if (!props.contains(branchHeadKey(branch))) false
         else {
           TableProps.write(this, name,
@@ -1103,19 +1161,15 @@ object Tables {
       */
     def fastForward(name: String, branch: String): Long =
       withCommitLock(name) {
-        val props = TableProps.read(this, name)
+        // settle any crashed fast_forward FIRST — including this
+        // branch's own, which makes the re-run a clean no-op below
+        val props = settleFastForwards(name, TableProps.read(this, name))
         val head = props.getOrElse(branchHeadKey(branch),
           throw new NoSuchElementException(
             s"'$name' has no branch '$branch'")).toLong
         val base = props(branchBaseKey(branch)).toLong
         val cur = currentVersion(name)
-        // replay: a prior fast_forward crashed between its pointer swap
-        // and the marker promotion / prop write — main already points at
-        // THIS branch's head dir (version numbers are unique across the
-        // shared sequence, so cur==head can mean nothing else). Re-running
-        // completes the promotion instead of refusing.
-        val replay = head != base && cur.contains(head)
-        require(cur.contains(base) || replay,
+        require(cur.contains(base),
           s"fast_forward('$name', '$branch') is not fast-forwardable: " +
             s"main moved from the fork base v$base to " +
             s"${cur.fold("none")(v => s"v$v")}; rebase the branch " +
@@ -1124,10 +1178,17 @@ object Tables {
           val headDir = Paths.get(s"${tablePath(name)}.v$head")
           require(Files.isDirectory(headDir),
             s"branch '$branch' head v$head is missing")
-          if (!replay)
-            io.atomicPointerSwap(Paths.get(tablePath(name)),
-              headDir.getFileName,
-              scratch = Paths.get(s"${tablePath(name)}.ptr$head"))
+          // journal the intent BEFORE the swap (idempotent recovery —
+          // advice finding): a crash anywhere between the swap and the
+          // final prop write is settled by the next publishStage /
+          // fast_forward on this table, wherever main's pointer has
+          // moved by then — the old replay clause healed only while
+          // main still pointed at the branch head.
+          TableProps.write(this, name,
+            props + (ffPendingKey(branch) -> s"$base:$head"))
+          io.atomicPointerSwap(Paths.get(tablePath(name)),
+            headDir.getFileName,
+            scratch = Paths.get(s"${tablePath(name)}.ptr$head"))
           // THIS branch's commits join main history (Iceberg ancestry:
           // the audited intermediates stay readable as snapshots until
           // retention ages them out) — promote the branch marker to
@@ -1138,8 +1199,8 @@ object Tables {
           // swap must never leave branch versions stamped as published
           // main history while the pointer still serves the base. The
           // converse crash (swap done, promotion pending) hides the
-          // intermediates from time travel until the replay above heals
-          // them; the head itself is served via the pointer-target clause
+          // intermediates from time travel until the journal settles;
+          // the head itself is served via the pointer-target clause
           // of isPublishedDir throughout.
           versions(name).foreach { case (v, p) =>
             val bm = p.resolve(BranchMarker)
@@ -1153,7 +1214,8 @@ object Tables {
           }
         }
         TableProps.write(this, name,
-          props + (branchBaseKey(branch) -> head.toString))
+          props - ffPendingKey(branch) +
+            (branchBaseKey(branch) -> head.toString))
         head
       }
 

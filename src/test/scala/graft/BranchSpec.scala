@@ -405,6 +405,21 @@ class BranchSpec extends SparkTestBase {
       Set(1L, 2L, 3L))
   }
 
+  /** Simulate fast_forward's crash window: journal written, pointer
+    * swapped, promotion + final prop write never ran.
+    */
+  private def crashAfterSwap(wh: Tables.Warehouse, branch: String): Long = {
+    import java.nio.file.Paths
+    val (head, base) = wh.branches("t")(branch)
+    Tables.TableProps.write(wh, "t", Tables.TableProps.read(wh, "t") +
+      (s"${Tables.BranchPropPrefix}$branch.ff-pending" -> s"$base:$head"))
+    val headDir = Paths.get(s"${wh.tablePath("t")}.v$head")
+    wh.io.atomicPointerSwap(Paths.get(wh.tablePath("t")),
+      headDir.getFileName,
+      scratch = Paths.get(s"${wh.tablePath("t")}.ptr$head"))
+    head
+  }
+
   test("fast_forward replay heals a crash between the pointer swap and the marker promotion") {
     import java.nio.file.{Files, Paths}
     val (cat, wh) = fixture()
@@ -413,19 +428,16 @@ class BranchSpec extends SparkTestBase {
       .localCheckpoint(true), "t", "r")
     wh.appendToBranch(Seq((4L, "y")).toDF("id", "s")
       .localCheckpoint(true), "t", "r")
-    val (head, base) = wh.branches("t")("r")
-    // simulate the crash window: the pointer swap landed, the marker
+    val (_, base) = wh.branches("t")("r")
+    // the crash window: journal + pointer swap landed, the marker
     // promotion and the branch-base prop write did not
+    val head = crashAfterSwap(wh, "r")
     val headDir = Paths.get(s"${wh.tablePath("t")}.v$head")
-    wh.io.atomicPointerSwap(Paths.get(wh.tablePath("t")),
-      headDir.getFileName,
-      scratch = Paths.get(s"${wh.tablePath("t")}.ptr$head"))
     // the head is already served via the pointer-target clause; the
     // intermediates stay hidden until healed
     assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 3L, 4L))
     assert(Files.exists(headDir.resolve(Tables.BranchMarker)))
-    // the re-run detects main==head as its own crashed swap and
-    // completes the promotion instead of refusing (main "moved" to head)
+    // the re-run settles its own journal and completes the promotion
     assert(wh.fastForward("t", "r") == head)
     assert(!Files.exists(headDir.resolve(Tables.BranchMarker)))
     assert(Files.exists(headDir.resolve(Tables.PublishedMarker)))
@@ -437,5 +449,62 @@ class BranchSpec extends SparkTestBase {
     assert(wh.branches("t")("r") == (head, head))
     assert(wh.fastForward("t", "r") == head)
     assert(base < head) // the fixture really exercised a multi-commit fork
+    assert(!Tables.TableProps.read(wh, "t").keys
+      .exists(_.endsWith(".ff-pending")), "journal settled")
+  }
+
+  test("a main commit after a crashed fast_forward settles the journal: the stranded intermediates still join main history") {
+    import java.nio.file.{Files, Paths}
+    val (cat, wh) = fixture()
+    wh.createBranch("t", "s2")
+    wh.appendToBranch(Seq((3L, "x")).toDF("id", "s")
+      .localCheckpoint(true), "t", "s2")
+    wh.appendToBranch(Seq((4L, "y")).toDF("id", "s")
+      .localCheckpoint(true), "t", "s2")
+    val head = crashAfterSwap(wh, "s2")
+    // a MAIN commit lands BEFORE any fast_forward re-run — the advice
+    // scenario: main now matches neither base nor head, so the old
+    // replay clause refused forever and the intermediates stayed
+    // BranchMarker'd (hidden from time travel) with stale branch props
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"sm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM sm_$seq")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) ==
+      Set(1L, 2L, 3L, 4L, 9L))
+    // the commit's settlement promoted the branch's lineage
+    val headDir = Paths.get(s"${wh.tablePath("t")}.v$head")
+    assert(!Files.exists(headDir.resolve(Tables.BranchMarker)))
+    assert(Files.exists(headDir.resolve(Tables.PublishedMarker)))
+    assert(wh.listVersions("t").contains(head - 1),
+      "the audited intermediate joined main history via settlement")
+    assert(wh.branches("t")("s2") == (head, head), "branch re-based")
+    assert(!Tables.TableProps.read(wh, "t").keys
+      .exists(_.endsWith(".ff-pending")), "journal settled")
+    // and a later fast_forward of the re-based branch works normally
+    wh.appendToBranch(Seq((5L, "z")).toDF("id", "s")
+      .localCheckpoint(true), "t", "s2")
+    intercept[IllegalArgumentException] { wh.fastForward("t", "s2") }
+    () // main moved past the re-base: correctly not fast-forwardable
+  }
+
+  test("a crash BEFORE the pointer swap leaves no trace: the journal is dropped and the fast_forward never took effect") {
+    val (cat, wh) = fixture()
+    wh.createBranch("t", "s3")
+    wh.appendToBranch(Seq((3L, "x")).toDF("id", "s")
+      .localCheckpoint(true), "t", "s3")
+    val (head, base) = wh.branches("t")("s3")
+    // journal written, swap never ran (pointer still at the fork base)
+    Tables.TableProps.write(wh, "t", Tables.TableProps.read(wh, "t") +
+      (s"${Tables.BranchPropPrefix}s3.ff-pending" -> s"$base:$head"))
+    // main commit settles: journal dropped, branch intact, main history
+    // untouched by the branch
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"s3m_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM s3m_$seq")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 9L))
+    assert(!Tables.TableProps.read(wh, "t").keys
+      .exists(_.endsWith(".ff-pending")), "journal dropped")
+    assert(wh.branches("t")("s3") == (head, base),
+      "the never-effective fast_forward left the branch exactly as forked")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 's3'")) ==
+      Set(1L, 2L, 3L))
   }
 }

@@ -564,4 +564,43 @@ class EqDeletesSpec extends SparkTestBase {
     // and the verified column stays memoized (no throw, no re-walk crash)
     EqDeletes.requireNullFreeKeys(spark, dir, "a", "rekey-test")
   }
+
+  test("internalKeySets survives a cache-bound clear on a mixed hit+miss call (advice finding: hits mapped to null after clear)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val root = Paths.get(tmpDir("eqdel-cache"))
+    // one prototype keys.parquet, hard-copied under 258 unique sidecar
+    // dir names (the loader maps part files back through the dir name)
+    val proto = root.resolve("proto")
+    Seq(42L).toDF("k").coalesce(1).write.parquet(proto.toString)
+    val partFile = {
+      val s = Files.list(proto)
+      try s.iterator().asScala.filter(_.getFileName.toString
+        .endsWith(".parquet")).next()
+      finally s.close()
+    }
+    val sidecars = (0 until 258).map { i =>
+      val d = root.resolve(f"d$i%04d-cachespec")
+      Files.createDirectories(d.resolve("keys.parquet"))
+      Files.copy(partFile, d.resolve("keys.parquet").resolve("part-0.parquet"))
+      EqDeletes.Sidecar(d, Set.empty)
+    }
+    // bulk-load 257 sets: the cache is now past its 256-entry bound, so
+    // the NEXT miss-bearing call will clear() it
+    val bulk = EqDeletes.internalKeySets(spark, sidecars.take(257), LongType)
+    assert(bulk.size == 257 && bulk.values.forall(_.size == 1))
+    // mixed call: one cached HIT + one MISS — the clear() fires while
+    // the hit is being served; before the fix the hit came back null
+    // and internalKeySet NPE'd on addAll
+    val mixed = EqDeletes.internalKeySets(spark,
+      Seq(sidecars(0), sidecars(257)), LongType)
+    assert(mixed.size == 2, s"got ${mixed.size} entries")
+    assert(mixed.values.forall(s => s != null && s.size == 1),
+      "a cache hit was wiped by the bound clear and served as null")
+    val merged = EqDeletes.internalKeySet(spark,
+      Seq(sidecars(0), sidecars(257)), LongType)
+    assert(merged.size == 1 && merged.contains(42L))
+  }
 }

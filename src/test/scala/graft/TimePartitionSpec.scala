@@ -612,7 +612,18 @@ class TimePartitionSpec extends SparkTestBase {
       "N p_hour=3/p_batch=99/part-partial.parquet\n" +
         "N p_hour=3/p_batch=99/part-missing.parquet\n" +
         "O p_batch=99")
-    val migrated2 = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    // a FRESH manifest refuses (a live rival may be mid-copy; healing
+    // would roll back files it just wrote — advice finding): the default
+    // age guard sees the just-written manifest as possibly-live
+    val live = intercept[IllegalStateException] {
+      Maintenance.migrateTimeGranularity(spark, wh, "log")
+    }
+    assert(live.getMessage.contains("_migrating"))
+    assert(Files.exists(oldDay.resolve("_migrating")),
+      "a refused heal must leave the in-flight state untouched")
+    // aged out (healOlderThanMs = -1 treats any mtime as quiet) → heal
+    val migrated2 = Maintenance.migrateTimeGranularity(spark, wh, "log",
+      healOlderThanMs = -1L)
     assert(migrated2 == 1,
       "the rolled-back day must re-migrate in the same pass")
     assert(!Files.exists(oldDay.resolve("_migrating")))
@@ -643,7 +654,8 @@ class TimePartitionSpec extends SparkTestBase {
     }
     Files.writeString(fwdDay.resolve("_migrating"),
       (newRel.map("N " + _) :+ "O p_batch=77").mkString("\n"))
-    Maintenance.migrateTimeGranularity(spark, wh, "log")
+    Maintenance.migrateTimeGranularity(spark, wh, "log",
+      healOlderThanMs = -1L)
     assert(!Files.exists(fwdDay.resolve("_migrating")))
     assert(!Files.isDirectory(fwdOld), "roll-forward deletes the old spec")
     assert(wh.read(spark, "log").filter("id = 11").count() == 1)
@@ -682,11 +694,25 @@ class TimePartitionSpec extends SparkTestBase {
     }
     copyTree(tableP, stageP)
     Files.writeString(stageP.resolve("_stage_complete"), "")
-    // simulate "crash mid-copy": final tree lost its commit point
+    // simulate "crash mid-copy": final tree lost its commit point, AND
+    // one data file is TRUNCATED (the substrate's simulated CopyObject
+    // is not atomic — advice finding: a resume that trusts bare
+    // existence would serve the truncated file)
     Files.delete(tableP.resolve("base"))
+    val truncated = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(tableP)
+      try w.iterator().asScala.find(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          Files.size(p) > 8).get
+      finally w.close()
+    }
+    Files.write(truncated, Array[Byte](1, 2, 3))
     assert(graft.plans.MorMirror.recoverMigration(wh, "m"),
       "a complete stage with a pointer-less final tree must re-copy")
     assert(!Files.exists(stageP))
+    assert(Files.size(truncated) > 3,
+      "the truncated destination was re-copied, not trusted")
     assert(graft.plans.MorMirror.read(spark, wh, "m")
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
