@@ -1368,6 +1368,109 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** COMPOSITE-key merge-on-read DML under the oracle gate (q207,
+    * round-16 verdict item 1): `cdc.key-column = l_orderkey,l_linenumber`
+    * — lineitem's natural compound PK, the common DMS junction/fact
+    * shape that could not declare merge-on-read before round 17. The
+    * lifecycle: a sidecar DELETE whose matched tuples share components
+    * with thousands of live rows (any single-column shortcut in the key
+    * plumbing over-deletes), a re-INSERT of half the deleted pairs (the
+    * census rule on tuples), and a delta MERGE keyed on BOTH columns
+    * stacking over the pending sidecars — aggregated with sidecars
+    * pending and again after `CALL compact` folds, both phases
+    * hash-equal to the oracle's one closed-form model. Iceberg's
+    * identifier-fields rule (a LIST, not a column) on plain parquet;
+    * the reference's key is configurable, not shaped
+    * (tabular.py:44-45,62).
+    */
+  def q207MorCompositeKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ck_q207")
+    val cat = s"gq207_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      // the synthetic lineitem is not PK-clean — derive a keyed seed by
+      // deterministic per-tuple aggregation (the oracle mirrors it)
+      def keyed(df: DataFrame): DataFrame = df
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("l_quantity"),
+          min(col("l_returnflag")).as("l_returnflag"))
+      val raw = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      val li = keyed(raw.filter(pmod(col("l_orderkey"), lit(4)) === 0))
+        .localCheckpoint(true)
+      wh.overwrite(li.repartition(4).localCheckpoint(true), "li")
+      Tables.TableProps.write(wh, "li", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "l_orderkey,l_linenumber"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      val vPre = wh.currentVersion("li").get
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("li")).toSet
+      // sidecar DELETE on the compound key: matched (orderkey, linenumber)
+      // tuples share their orderkeys with live lines of other numbers
+      spark.sql(s"DELETE FROM $cat.li WHERE l_returnflag = 'R'")
+      require(EqDeletes.pending(wh.snapshotPath("li")).size == 1 &&
+        graft.plans.ZoneMap.dataFileCensus(spark, wh.snapshotPath("li"))
+          .toSet == preFiles,
+        "composite merge-on-read DELETE must carry base files, not rewrite")
+      // the sidecar really holds TUPLES (both key columns)
+      require(spark.read.parquet(
+        EqDeletes.pending(wh.snapshotPath("li")).head.keysPath)
+        .columns.toSeq == Seq("l_orderkey", "l_linenumber"),
+        "the sidecar key frame must carry the full compound key")
+      // re-insert HALF the deleted pairs (orderkey % 8 == 0) restamped:
+      // their file lands outside the census, so the tuples stay visible
+      li.filter(pmod(col("l_orderkey"), lit(8)) === 0 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 1000).as("l_quantity"),
+          lit("X").as("l_returnflag"))
+        .createOrReplaceTempView(s"restored_$cat")
+      spark.sql(s"INSERT INTO $cat.li SELECT * FROM restored_$cat")
+      // delta MERGE keyed on BOTH columns, stacking over the pending
+      // sidecar: matched 'N' lines get +100 quantity, the (keyed)
+      // orderkey%4==2 slice — outside the table — inserts
+      li.filter(col("l_returnflag") === "N")
+        .unionByName(keyed(
+          raw.filter(pmod(col("l_orderkey"), lit(4)) === 2)))
+        .createOrReplaceTempView(s"cmsrc_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.li t USING cmsrc_$cat s
+           |ON t.l_orderkey = s.l_orderkey
+           |  AND t.l_linenumber = s.l_linenumber
+           |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + 100
+           |WHEN NOT MATCHED THEN INSERT
+           |  (l_orderkey, l_linenumber, l_quantity, l_returnflag)
+           |  VALUES (s.l_orderkey, s.l_linenumber, s.l_quantity,
+           |    s.l_returnflag)""".stripMargin)
+      val snap = wh.snapshotPath("li")
+      require(EqDeletes.pending(snap).size == 2 &&
+        preFiles.subsetOf(graft.plans.ZoneMap
+          .dataFileCensus(spark, snap).toSet),
+        "the composite delta MERGE must stack a sidecar over carried files")
+      def agg(phase: String) = spark.sql(
+        s"""SELECT '$phase' AS phase, l_returnflag, count(*) AS n_rows,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_qty,
+           |  (SELECT count(*) FROM $cat.li VERSION AS OF $vPre)
+           |    AS n_pre_delete
+           |FROM $cat.li GROUP BY l_returnflag""".stripMargin)
+      val pending = agg("pending").localCheckpoint(true)
+      spark.sql(s"CALL $cat.system.compact('li', 4)").collect()
+      require(EqDeletes.pending(wh.snapshotPath("li")).isEmpty,
+        "compact must fold the composite sidecars")
+      pending.unionByName(agg("folded"))
+        .orderBy("phase", "l_returnflag")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -3169,6 +3272,44 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the COMPOSITE-key MOR lifecycle reduces to one closed-form model:
+    // the orderkey%4==0 slice minus its 'R' lines (tuple-keyed sidecar),
+    // 'N' lines +100 (delta MERGE matched), the orderkey%8==0 'R' lines
+    // back as 'X' +1000 (re-insert outside the census), plus the
+    // orderkey%4==2 slice (MERGE inserts) — identical for the pending
+    // (stacked tuple-sidecar scan) and folded phases
+    "q207_mor_composite_key" ->
+      """WITH seed AS MATERIALIZED (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity,
+        |    min(l_returnflag) AS l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
+        |ins AS MATERIALIZED (
+        |  SELECT min(l_quantity) AS l_quantity,
+        |    min(l_returnflag) AS l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 4 = 2
+        |  GROUP BY l_orderkey, l_linenumber),
+        |finalv AS MATERIALIZED (
+        |  SELECT l_returnflag,
+        |    l_quantity + CASE WHEN l_returnflag = 'N' THEN 100 ELSE 0 END
+        |      AS l_quantity
+        |  FROM seed WHERE l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT 'X' AS l_returnflag, l_quantity + 1000 FROM seed
+        |  WHERE l_orderkey % 8 = 0 AND l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity FROM ins)
+        |SELECT 'folded' AS phase, l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  (SELECT count(*) FROM seed) AS n_pre_delete
+        |FROM finalv GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'pending', l_returnflag, count(*),
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM seed)
+        |FROM finalv GROUP BY l_returnflag
+        |ORDER BY phase, l_returnflag""".stripMargin,
+
     // the write-audit-publish lifecycle reduces to two models over the
     // raw rows: the staged phase (main's even half + the non-error odd
     // half, read through the branch) and the current phase (everything,
@@ -3722,6 +3863,7 @@ object Queries {
     "q202_mor_delete" -> (q202MorDelete _),
     "q203_branch_wap" -> (q203BranchWap _),
     "q204_mor_update_merge" -> (q204MorUpdateMerge _),
+    "q207_mor_composite_key" -> (q207MorCompositeKey _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -79,7 +79,7 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
       case rel: DataSourceV2Relation if !targets.contains(rel) &&
           rel.table.isInstanceOf[GraftTable] =>
         rel.table.asInstanceOf[GraftTable].eqDeleteSplit() match {
-          case Some((unaffected, affected, sidecars, keyCol, baseDir)) =>
+          case Some((unaffected, affected, sidecars, keyCols, baseDir)) =>
             val spark = SparkSession.active
             val opts = new java.util.HashMap[String, String]()
             opts.put("mergeSchema", "true")
@@ -89,7 +89,7 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
               unaffected.map(f => s"$baseDir/$f"), Some(schema),
               classOf[ParquetFileFormat])
             val dirty = new EqDeleteAffectedTable(rel.table.name(), baseDir,
-              schema, keyCol, affected, sidecars)
+              schema, keyCols, affected, sidecars)
             val union = Union(Seq(
               DataSourceV2Relation.create(clean, None, None, rel.options),
               DataSourceV2Relation.create(dirty, None, None, rel.options)))
@@ -110,7 +110,7 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
   * rewritten plans — never registered in a catalog, never written to.
   */
 private[sources] class EqDeleteAffectedTable(tableName: String,
-    baseDir: String, tableSchema: StructType, keyCol: String,
+    baseDir: String, tableSchema: StructType, keyCols: Seq[String],
     files: Seq[String], sidecars: Seq[EqDeletes.Sidecar])
   extends Table with SupportsRead {
 
@@ -119,6 +119,6 @@ private[sources] class EqDeleteAffectedTable(tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EqDeleteScanBuilder(tableName, baseDir, tableSchema, keyCol,
+    new EqDeleteScanBuilder(tableName, baseDir, tableSchema, keyCols,
       options, sidecars, Some(files))
 }

@@ -48,9 +48,20 @@ private[graft] object EqDeletes {
 
   /** `copy-on-write` (default, absent) or `merge-on-read`. */
   val ModeProp = "write.delete.mode"
-  /** The key column the eq-deletes identify rows by. */
+  /** The key column(s) the eq-deletes identify rows by — COMPOSITE keys
+    * declare a comma-separated list (`cdc.key-column = a,b`), the
+    * Iceberg identifier-fields rule: compound-PK source tables (the
+    * common DMS junction/fact shape) get merge-on-read too. The
+    * reference leaves the key configurable, not shaped
+    * (tabular.py:44-45,62).
+    */
   val KeyProp = "cdc.key-column"
   val Dir = "_eqdeletes"
+
+  /** Parse the declared key columns (round 17: N ≥ 1). */
+  def keyColsOf(props: Map[String, String]): Option[Seq[String]] =
+    props.get(KeyProp).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
 
   /** Above this many matched keys a COW rewrite is the better plan (and
     * the sidecar's broadcast fold would stop being "small side").
@@ -97,6 +108,10 @@ private[graft] object EqDeletes {
     * null check and reads garbage, which is silent corruption.
     */
   def requireNullFreeKeys(spark: SparkSession, snapshotDir: String,
+      keyCols: Seq[String], context: String): Unit =
+    keyCols.foreach(requireNullFreeKey(spark, snapshotDir, _, context))
+
+  private def requireNullFreeKey(spark: SparkSession, snapshotDir: String,
       keyCol: String, context: String): Unit = {
     // memo key includes the KEY COLUMN, not just the snapshot: re-keying
     // a table (unset MOR, change cdc.key-column, re-declare) must
@@ -143,20 +158,32 @@ private[graft] object EqDeletes {
     * contain a deleted key — zone-map evidence first (bloom ∧ min/max,
     * keep-conservative), parquet FOOTER min/max as the manifest-less
     * fallback (driver-side, file-count-capped), the whole census last
-    * (always correct, just unsplit). `keys` is only forced under the
+    * (always correct, just unsplit). `keyRows` is only forced under the
     * probe cap.
+    *
+    * COMPOSITE keys narrow by PER-COLUMN INTERSECTION: a file survives
+    * only when, for every key column with evidence, it can hold at
+    * least one of that column's matched component values — a superset
+    * of the files holding a matched tuple (keep-conservative, exact for
+    * N = 1). A column without evidence constrains nothing.
     */
   def narrowedCensus(spark: SparkSession, snapshotDir: String,
-      keyCol: String, keyType: org.apache.spark.sql.types.DataType,
-      keys: => IndexedSeq[Any], nKeys: Long,
+      keyCols: Seq[String],
+      keyTypes: Seq[org.apache.spark.sql.types.DataType],
+      keyRows: => Seq[Seq[Any]], nKeys: Long,
       all: Seq[String]): Seq[String] =
     if (nKeys <= 0 || nKeys > graft.plans.ZoneMap.MaxProbeKeys) all
     else {
-      val k = keys
-      graft.plans.ZoneMap.keyedSurvivors(spark, snapshotDir, keyCol, k,
-        keyTypeHint = Some(keyType))
-        .orElse(graft.plans.ZoneMap.footerSurvivors(spark, snapshotDir,
-          keyCol, k, keyType))
+      val rows = keyRows
+      val perCol = keyCols.zipWithIndex.map { case (c, i) =>
+        val values = rows.map(_(i)).distinct.toIndexedSeq
+        graft.plans.ZoneMap.keyedSurvivors(spark, snapshotDir, c, values,
+          keyTypeHint = Some(keyTypes(i)))
+          .orElse(graft.plans.ZoneMap.footerSurvivors(spark, snapshotDir,
+            c, values, keyTypes(i)))
+      }
+      perCol.flatten
+        .reduceOption((a, b) => (a.toSet intersect b.toSet).toSeq)
         .getOrElse(all)
     }
 
@@ -192,10 +219,12 @@ private[graft] object EqDeletes {
 
   /** The folded view of a snapshot — every pending sidecar applied as a
     * broadcast LEFT ANTI join scoped to its census (the fold's own read;
-    * catalog SCANS use the reader-level filter instead).
+    * catalog SCANS use the reader-level filter instead). Composite keys
+    * anti-join on every key column (the stored key frame's columns are
+    * positional in declared order).
     */
   def foldedRead(spark: SparkSession, snapshotDir: String,
-      keyCol: String): DataFrame = {
+      keyCols: Seq[String]): DataFrame = {
     val sidecars = pending(snapshotDir)
     val all = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
     val base = SchemaEvolution.readTableWidened(spark, snapshotDir)
@@ -205,8 +234,8 @@ private[graft] object EqDeletes {
         .parquet(files.map(f => s"$snapshotDir/$f"): _*)
       applicable.foldLeft(df) { (acc, sc) =>
         acc.join(broadcast(spark.read.parquet(sc.keysPath)
-          .toDF(keyCol).dropDuplicates(keyCol)),
-          Seq(keyCol), "left_anti")
+          .toDF(keyCols: _*).dropDuplicates(keyCols)),
+          keyCols, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -234,7 +263,7 @@ private[graft] object EqDeletes {
 
   def fold(spark: SparkSession, wh: Warehouse, table: String): Boolean = {
     if (pending(wh.snapshotPath(table)).isEmpty) return false
-    val keyCol = TableProps.read(wh, table).getOrElse(KeyProp,
+    val keyCols = keyColsOf(TableProps.read(wh, table)).getOrElse(
       throw new IllegalStateException(
         s"'$table' has pending equality deletes but no '$KeyProp'"))
     wh.retryingConflicts() {
@@ -252,8 +281,8 @@ private[graft] object EqDeletes {
             .parquet(files.map(f => s"$snap/$f"): _*)
           applicable.foldLeft(df) { (acc, sc) =>
             acc.join(broadcast(spark.read.parquet(sc.keysPath)
-              .toDF(keyCol).dropDuplicates(keyCol)),
-              Seq(keyCol), "left_anti")
+              .toDF(keyCols: _*).dropDuplicates(keyCols)),
+              keyCols, "left_anti")
           }
         }.reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.localCheckpoint(true))
@@ -295,10 +324,13 @@ private[graft] object EqDeletes {
 
   /** Load a signature group's deleted keys (union over its applicable
     * sidecars) in CATALYST INTERNAL form, ready for per-row probes.
+    * Composite keys probe as `List[Any]` of the components in declared
+    * order (structural equality); single keys stay the raw value.
     */
   def internalKeySet(spark: SparkSession, applicable: Seq[Sidecar],
-      keyType: org.apache.spark.sql.types.DataType): java.util.HashSet[Any] = {
-    val perSidecar = internalKeySets(spark, applicable, keyType)
+      keyTypes: Seq[org.apache.spark.sql.types.DataType])
+      : java.util.HashSet[Any] = {
+    val perSidecar = internalKeySets(spark, applicable, keyTypes)
     val set = new java.util.HashSet[Any]()
     perSidecar.values.foreach(set.addAll)
     set
@@ -308,7 +340,7 @@ private[graft] object EqDeletes {
     * one batched read.
     */
   def internalKeySets(spark: SparkSession, sidecars: Seq[Sidecar],
-      keyType: org.apache.spark.sql.types.DataType)
+      keyTypes: Seq[org.apache.spark.sql.types.DataType])
       : Map[String, java.util.HashSet[Any]] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.functions.input_file_name
@@ -320,7 +352,8 @@ private[graft] object EqDeletes {
     }.toMap
     val misses = sidecars.filterNot(sc => hits.contains(sc.dir.toString))
     if (misses.nonEmpty) {
-      val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
+      val convs = keyTypes.map(
+        CatalystTypeConverters.createToCatalystConverter).toArray
       // sidecar dir NAMES (d<nanos>-<uuid>) are globally unique — the
       // part-file path inside keys.parquet/ maps back through them
       val byName = misses.map(sc =>
@@ -333,7 +366,12 @@ private[graft] object EqDeletes {
         r.getString(0).split('/').collectFirst {
           case s if byName.contains(s) => byName(s)
         }.foreach { dir =>
-          if (!r.isNullAt(1)) fresh(dir).add(conv(r.get(1)))
+          // stored keys are non-null by the write contract; a null
+          // component (legacy/corrupt) can never match a row probe
+          val nulls = convs.indices.exists(i => r.isNullAt(i + 1))
+          if (!nulls) fresh(dir).add(
+            if (convs.length == 1) convs(0)(r.get(1))
+            else convs.indices.map(i => convs(i)(r.get(i + 1))).toList)
         }
       }
       // crude bound on ENTRY count too (folded sidecars leave stale
@@ -355,14 +393,26 @@ private[graft] object EqDeletes {
   /** The reader-level key filter of one affected group — serialized to
     * executors with its (bounded, ≤ [[MaxKeys]]) deleted-key set in
     * CATALYST internal form (UTF8String/Long/...), probed per row.
+    * Composite keys probe a List of the components (any-NULL component
+    * keeps the row — SQL equality can never have matched it).
     */
   final class FilteringReaderFactory(
       inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
-      keyIdx: Int, keyType: org.apache.spark.sql.types.DataType,
+      keyIdxs: Array[Int],
+      keyTypes: Array[org.apache.spark.sql.types.DataType],
       deleted: java.util.HashSet[Any])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+    /** The row's probe element — null when any component is NULL (keep). */
+    private def keyOf(r: InternalRow): Any =
+      if (keyIdxs.length == 1) {
+        if (r.isNullAt(keyIdxs(0))) null else r.get(keyIdxs(0), keyTypes(0))
+      } else {
+        if (keyIdxs.indices.exists(i => r.isNullAt(keyIdxs(i)))) null
+        else keyIdxs.indices.map(i => r.get(keyIdxs(i), keyTypes(i))).toList
+      }
 
     // the SCAN interface stays row-based (eq-deletes filter per row —
     // the Iceberg read tax until compact folds), but the DECODING does
@@ -389,7 +439,7 @@ private[graft] object EqDeletes {
             while (true) {
               while (it.hasNext) {
                 val r = it.next()
-                val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+                val k = keyOf(r)
                 if (k == null || !deleted.contains(k)) {
                   current = r; return true
                 }
@@ -409,7 +459,7 @@ private[graft] object EqDeletes {
           override def next(): Boolean = {
             while (in.next()) {
               val r = in.get()
-              val k = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyType)
+              val k = keyOf(r)
               if (k == null || !deleted.contains(k)) { current = r; return true }
             }
             false
@@ -433,7 +483,7 @@ private[graft] object EqDeletes {
   * count would count deleted rows.
   */
 private[sources] class EqDeleteScanBuilder(tableName: String,
-    baseDir: String, tableSchema: StructType, keyCol: String,
+    baseDir: String, tableSchema: StructType, keyCols: Seq[String],
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     sidecars: Seq[EqDeletes.Sidecar],
     filesOverride: Option[Seq[String]] = None)
@@ -461,10 +511,11 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    // pruned schema PLUS the key, in table order (uniform across groups)
-    val wanted = required.fieldNames.toSet + keyCol
+    // pruned schema PLUS the key columns, in table order (uniform across
+    // groups)
+    val wanted = required.fieldNames.toSet ++ keyCols
     val pruned = StructType(tableSchema.fields.filter(f => wanted(f.name)))
-    val keyType = tableSchema(keyCol).dataType
+    val keyTypes = keyCols.map(tableSchema(_).dataType)
     // an explicit file list comes from [[SplitEqDeleteScans]]' plan-level
     // split (this builder then serves ONLY the affected files; the
     // unaffected ones ride a stock columnar relation unioned beside it)
@@ -474,7 +525,7 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
     // warm every sidecar's key set in ONE batched read before the group
     // loop — per-group loading would pay one Spark job per cache-missing
     // group (a 64-sidecar stack made every scan a job storm)
-    EqDeletes.internalKeySets(spark, sidecars, keyType)
+    EqDeletes.internalKeySets(spark, sidecars, keyTypes)
     val built = groups.map { case (files, applicable) =>
       val opts = new java.util.HashMap[String, String]()
       opts.put("mergeSchema", "true")
@@ -488,19 +539,19 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
       val scan = sb.build()
       val deleted =
         if (applicable.isEmpty) None
-        else Some(EqDeletes.internalKeySet(spark, applicable, keyType))
+        else Some(EqDeletes.internalKeySet(spark, applicable, keyTypes))
       (scan, deleted)
     }
     val readSchema = built.headOption.map(_._1.readSchema()).getOrElse(pruned)
     new EqDeleteScan(tableName, built, readSchema,
-      readSchema.fieldIndex(keyCol), keyType)
+      keyCols.map(readSchema.fieldIndex).toArray, keyTypes.toArray)
   }
 }
 
 private class EqDeleteScan(tableName: String,
     groups: Seq[(org.apache.spark.sql.connector.read.Scan, Option[java.util.HashSet[Any]])],
-    schema: StructType, keyIdx: Int,
-    keyType: org.apache.spark.sql.types.DataType)
+    schema: StructType, keyIdxs: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType])
   extends org.apache.spark.sql.connector.read.Scan {
   import org.apache.spark.sql.connector.read._
 
@@ -532,7 +583,7 @@ private class EqDeleteScan(tableName: String,
       val factories = batches.map { case (b, del) =>
         val f = b.createReaderFactory()
         del.fold(f)(ks =>
-          new EqDeletes.FilteringReaderFactory(f, keyIdx, keyType, ks))
+          new EqDeletes.FilteringReaderFactory(f, keyIdxs, keyTypes, ks))
       }
       new EqDeleteCompositeFactory(factories.toArray)
     }

@@ -56,7 +56,7 @@ private[graft] object MorDeltaOperation {
 }
 
 private[sources] class MorDeltaOperation(wh: Warehouse, table: String,
-    tableSchema: StructType, keyCol: String,
+    tableSchema: StructType, keyCols: Seq[String],
     cmd: RowLevelOperation.Command, pinnedDir: String,
     scanBuilderFor: CaseInsensitiveStringMap => ScanBuilder,
     expected: Option[Long],
@@ -65,13 +65,14 @@ private[sources] class MorDeltaOperation(wh: Warehouse, table: String,
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
-    s"MorDeltaOperation($table, $cmd, key=$keyCol)"
+    s"MorDeltaOperation($table, $cmd, key=${keyCols.mkString(",")})"
 
-  /** The table's declared key IS the row identity — the same contract
-    * every keyed path in this engine holds (exact when unique).
+  /** The table's declared key (possibly COMPOSITE — Iceberg identifier
+    * fields) IS the row identity — the same contract every keyed path
+    * in this engine holds (exact when unique).
     */
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(keyCol))
+    keyCols.map(Expressions.column).toArray
 
   /** Updates split into DELETE + REINSERT: the sidecar removes the old
     * row by key, the reinserted row lands outside the census.
@@ -84,18 +85,18 @@ private[sources] class MorDeltaOperation(wh: Warehouse, table: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new MorDeltaWrite(wh, table, tableSchema, keyCol, pinnedDir,
+        new MorDeltaWrite(wh, table, tableSchema, keyCols, pinnedDir,
           expected, branch)
     }
 }
 
 private class MorDeltaWrite(wh: Warehouse, table: String,
-    schema: StructType, keyCol: String, pinnedDir: String,
+    schema: StructType, keyCols: Seq[String], pinnedDir: String,
     expected: Option[Long],
     branch: Option[(String, Long)] = None) extends DeltaWrite {
 
-  private val keySchema = StructType(Seq(
-    StructField(keyCol, schema(keyCol).dataType, nullable = false)))
+  private val keySchema = StructType(keyCols.map(c =>
+    StructField(c, schema(c).dataType, nullable = false)))
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private var stage: java.nio.file.Path = _
@@ -132,8 +133,9 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
         wh.discardStage(stage)
         throw new UnsupportedOperationException(
           s"merge-on-read ${table} rewrite matched $nullDeletes row(s) " +
-            s"with a NULL '$keyCol': an equality-delete sidecar cannot " +
-            "identify them. Repair the keys, or UNSET " +
+            s"with a NULL key component " +
+            s"('${keyCols.mkString("','")}'): an equality-delete " +
+            "sidecar cannot identify them. Repair the keys, or UNSET " +
             s"${EqDeletes.ModeProp} (after CALL compact) for a " +
             "copy-on-write rewrite")
       }
@@ -174,11 +176,11 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
       // read-side split then keeps every other file vectorized
       val spark = SparkSession.active
       val all = graft.plans.ZoneMap.dataFileCensus(spark, pinnedDir)
-      val census = EqDeletes.narrowedCensus(spark, pinnedDir, keyCol,
-        keySchema.head.dataType,
+      val census = EqDeletes.narrowedCensus(spark, pinnedDir, keyCols,
+        keySchema.map(_.dataType),
         spark.read.schema(keySchema)
           .parquet(sidecarDir.resolve("keys.parquet").toString)
-          .collect().map(_.get(0)).toIndexedSeq,
+          .collect().map(r => keyCols.indices.map(r.get)).toIndexedSeq,
         nKeys, all)
       // carry source: on MAIN the freshest published version below the
       // stage (the pinned snapshot unless a rival landed — the CAS then
@@ -267,7 +269,9 @@ private class MorDeltaWriterFactory(stageDir: String, keysDir: String,
       override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
         insert(row)
       override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-        if (id.isNullAt(0)) { nullDeletes += 1; return }
+        // ANY null component disqualifies the row id (SQL equality on
+        // the sidecar could never re-match it)
+        if (keySchema.indices.exists(id.isNullAt)) { nullDeletes += 1; return }
         if (keyWriter == null)
           keyWriter = keyFactory.newInstance(
             s"$keysDir/$keyName", keySchema, ctx("key"))

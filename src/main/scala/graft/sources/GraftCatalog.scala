@@ -508,14 +508,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // when the declared key is missing or existing data violates it
         // (a NULL key under the non-nullable schema corrupts silently)
         if (s.property == EqDeletes.ModeProp && s.value == "merge-on-read") {
-          val keyCol = changes.collectFirst {
+          val declared = changes.collectFirst {
             case k: TableChange.SetProperty
               if k.property == EqDeletes.KeyProp => k.value
           }.orElse(TableProps.read(wh, t).get(EqDeletes.KeyProp))
             .getOrElse(throw new UnsupportedOperationException(
               s"merge-on-read on '$t' needs ${EqDeletes.KeyProp} " +
                 "(set it in the same ALTER)"))
-          EqDeletes.requireNullFreeKeys(spark, wh.snapshotPath(t), keyCol,
+          val keyCols = EqDeletes.keyColsOf(
+            Map(EqDeletes.KeyProp -> declared)).get
+          // every declared component must exist — a typo'd column would
+          // otherwise surface as "all rows NULL" from the footer walk
+          val fields = loadTable(ident).schema().fieldNames.toSet
+          val missing = keyCols.filterNot(fields)
+          require(missing.isEmpty,
+            s"merge-on-read key column(s) ${missing.mkString(", ")} do " +
+              s"not exist on '$t'")
+          EqDeletes.requireNullFreeKeys(spark, wh.snapshotPath(t), keyCols,
             s"cannot declare ${EqDeletes.ModeProp}=merge-on-read on '$t'")
         }
         require(!s.property.startsWith(Tables.TagPropPrefix),
@@ -1167,11 +1176,12 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val base = delegate.schema
     val props = TableProps.read(wh, tableName)
     if (!EqDeletes.morEnabled(props)) base
-    else props.get(EqDeletes.KeyProp).filter(k =>
-      base.fieldNames.contains(k)).fold(base) { k =>
-      StructType(base.fields.map(f =>
-        if (f.name == k) f.copy(nullable = false) else f))
-    }
+    else EqDeletes.keyColsOf(props)
+      .map(_.filter(base.fieldNames.contains)).filter(_.nonEmpty)
+      .fold(base) { ks =>
+        StructType(base.fields.map(f =>
+          if (ks.contains(f.name)) f.copy(nullable = false) else f))
+      }
   }
   /** Declared hidden-time-partition column (drives
     * [[DeriveHiddenDayFilters]]' transform-aware day pruning). */
@@ -1254,21 +1264,21 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
     else EqDeletes.pending(delegate.paths.head)
 
-  private def eqDeleteKeyCol: String =
-    TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
+  private def eqDeleteKeyCols: Seq[String] =
+    EqDeletes.keyColsOf(TableProps.read(wh, tableName)).getOrElse(
       throw new IllegalStateException(
         s"'$tableName' has pending equality deletes but no " +
           s"'${EqDeletes.KeyProp}'"))
 
   /** The [[SplitEqDeleteScans]] seam: when sidecars pend AND the census
     * splits into both unaffected and affected files, return
-    * (unaffectedFiles, affectedFiles, sidecars, keyCol, snapshotDir) so
+    * (unaffectedFiles, affectedFiles, sidecars, keyCols, snapshotDir) so
     * the rule can plan the unaffected side as a stock columnar relation.
     * None = nothing to split (no sidecars, or every file on one side) —
     * the single-scan shape stands.
     */
   private[sources] def eqDeleteSplit(): Option[(Seq[String], Seq[String],
-      Seq[EqDeletes.Sidecar], String, String)] = {
+      Seq[EqDeletes.Sidecar], Seq[String], String)] = {
     val sidecars = eqDeletePending
     if (sidecars.isEmpty) return None
     val baseDir = delegate.paths.head
@@ -1278,7 +1288,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val unaffected = groups.collect { case (fs, a) if a.isEmpty => fs }.flatten
     val affected = groups.collect { case (fs, a) if a.nonEmpty => fs }.flatten
     if (unaffected.isEmpty || affected.isEmpty) None
-    else Some((unaffected, affected, sidecars, eqDeleteKeyCol, baseDir))
+    else Some((unaffected, affected, sidecars, eqDeleteKeyCols, baseDir))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1289,7 +1299,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val sidecars = eqDeletePending
     if (sidecars.nonEmpty)
       return new EqDeleteScanBuilder(tableName, delegate.paths.head,
-        schema(), eqDeleteKeyCol, options, sidecars)
+        schema(), eqDeleteKeyCols, options, sidecars)
     hiddenTimeColumn match {
       // derive the implied p_day conjuncts at PUSHDOWN time — pruning is
       // unconditional on session wiring (round-12 verdict item 3); only
@@ -1431,8 +1441,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val pred = filters.map(GraftTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val props = TableProps.read(wh, tableName)
-    val morKey =
-      if (EqDeletes.morEnabled(props)) props.get(EqDeletes.KeyProp) else None
+    val morKeys =
+      if (EqDeletes.morEnabled(props)) EqDeletes.keyColsOf(props) else None
     wh.retryingConflicts(maxAttempts = 10) {
       val expectHead = wh.branches(tableName).getOrElse(branch,
         throw new NoSuchElementException(
@@ -1441,21 +1451,24 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       val head = headDir.toString
       val base =
         if (EqDeletes.pending(head).nonEmpty)
-          EqDeletes.foldedRead(spark, head, props(EqDeletes.KeyProp))
+          EqDeletes.foldedRead(spark, head,
+            EqDeletes.keyColsOf(props).get)
         else SchemaEvolution.readTableWidened(spark, head)
-      val sidecarSettled = morKey.exists { k =>
+      val sidecarSettled = morKeys.exists { ks =>
         val matchedRows = base.filter(coalesce(pred, lit(false)))
-          .select(col(k)).localCheckpoint(true)
-        val nullMatched = matchedRows.filter(col(k).isNull).count()
-        val matched = matchedRows.filter(col(k).isNotNull).dropDuplicates(k)
+          .select(ks.map(col): _*).localCheckpoint(true)
+        val anyNull = ks.map(c => col(c).isNull).reduce(_ || _)
+        val nullMatched = matchedRows.filter(anyNull).count()
+        val matched = matchedRows.filter(!anyNull).dropDuplicates(ks)
         val n = matched.count()
         if (nullMatched > 0 || n > EqDeletes.MaxKeys) false // COW below
         else if (n == 0) true // no-op: commit nothing
         else {
           val all = graft.plans.ZoneMap.dataFileCensus(spark, head)
-          val census = EqDeletes.narrowedCensus(spark, head, k,
-            schema()(k).dataType,
-            matched.collect().map(_.get(0)).toIndexedSeq, n, all)
+          val census = EqDeletes.narrowedCensus(spark, head, ks,
+            ks.map(schema()(_).dataType),
+            matched.collect().map(r => ks.indices.map(r.get)).toIndexedSeq,
+            n, all)
           val staged = wh.allocateStage(tableName)
           try {
             wh.carryVersionInto(headDir, staged)
@@ -1531,8 +1544,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   private def morDelete(filters: Array[Filter]): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val spark = SparkSession.active
-    val keyCol = TableProps.read(wh, tableName).getOrElse(EqDeletes.KeyProp,
-      throw new UnsupportedOperationException(
+    val keyCols = EqDeletes.keyColsOf(TableProps.read(wh, tableName))
+      .getOrElse(throw new UnsupportedOperationException(
         s"'$tableName' declares ${EqDeletes.ModeProp}=merge-on-read but " +
           s"no ${EqDeletes.KeyProp}: equality deletes identify rows by " +
           "the table's key"))
@@ -1546,16 +1559,18 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             "pointer layout"))
       val snap = wh.snapshotPath(tableName)
       // match against the FOLDED view: earlier pending deletes respected
-      val matchedRows = EqDeletes.foldedRead(spark, snap, keyCol)
+      val matchedRows = EqDeletes.foldedRead(spark, snap, keyCols)
         .filter(coalesce(pred, lit(false)))
-        .select(col(keyCol)).localCheckpoint(true)
-      // a matched row with a NULL key cannot be identified by an
-      // equality-delete sidecar (the reader filter deliberately keeps
-      // null-key rows) — retaining it would silently diverge from the
-      // COW result for the same predicate; COW is the honest plan
-      val nullMatched = matchedRows.filter(col(keyCol).isNull).count()
-      val matched = matchedRows.filter(col(keyCol).isNotNull)
-        .dropDuplicates(keyCol)
+        .select(keyCols.map(col): _*).localCheckpoint(true)
+      // a matched row with a NULL key (any component) cannot be
+      // identified by an equality-delete sidecar (the reader filter
+      // deliberately keeps null-key rows) — retaining it would silently
+      // diverge from the COW result for the same predicate; COW is the
+      // honest plan
+      val anyNull = keyCols.map(c => col(c).isNull).reduce(_ || _)
+      val nullMatched = matchedRows.filter(anyNull).count()
+      val matched = matchedRows.filter(!anyNull)
+        .dropDuplicates(keyCols)
       val n = matched.count()
       if (nullMatched > 0) applied = false // NULL keys: COW deletes them
       else if (n == 0) applied = true // nothing matched: delete is a no-op
@@ -1567,9 +1582,10 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         // matched key — exclusion is proof of absence, so the plan-level
         // scan split's read tax tracks affected bytes: one point-delete
         // on a 100 TB table devectorizes ~one file, not the table.
-        val census = EqDeletes.narrowedCensus(spark, snap, keyCol,
-          schema()(keyCol).dataType,
-          matched.collect().map(_.get(0)).toIndexedSeq, n, all)
+        val census = EqDeletes.narrowedCensus(spark, snap, keyCols,
+          keyCols.map(schema()(_).dataType),
+          matched.collect().map(r => keyCols.indices.map(r.get)).toIndexedSeq,
+          n, all)
         wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
           wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
           // the zone-map manifest CARRIES: a pure delete changes no file
@@ -1645,7 +1661,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           val base =
             if (sidecarsPending)
               EqDeletes.foldedRead(spark, snap,
-                TableProps.read(wh, tableName)(EqDeletes.KeyProp))
+                EqDeletes.keyColsOf(TableProps.read(wh, tableName)).get)
             else SchemaEvolution.readTableWidened(spark, snap)
           val survivors = base.filter(not(coalesce(pred, lit(false))))
           wh.commit(tableName, expectCurrent = expected) { staged =>
@@ -1702,7 +1718,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     val morProps = TableProps.read(wh, tableName)
     if (EqDeletes.morEnabled(morProps) &&
         info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
-      val keyCol = morProps.getOrElse(EqDeletes.KeyProp,
+      val keyCols = EqDeletes.keyColsOf(morProps).getOrElse(
         throw new UnsupportedOperationException(
           s"'$tableName' declares ${EqDeletes.ModeProp}=merge-on-read " +
             s"but no ${EqDeletes.KeyProp}: delta writes identify rows " +
@@ -1713,7 +1729,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // a NULL key under the required-key schema corrupts silently, so
       // verify the pinned snapshot before planning — footer-stat cheap,
       // cached per immutable version dir
-      EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCol,
+      EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCols,
         s"merge-on-read ${info.command} on '$tableName'")
       // runtime target narrowing for delta MERGE: Spark's own row-level
       // group filtering matches only ReplaceData, so the engine's
@@ -1733,13 +1749,13 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
       return new RowLevelOperationBuilder {
         override def build(): RowLevelOperation = new MorDeltaOperation(
-          wh, tableName, GraftTable.this.schema(), keyCol, info.command,
+          wh, tableName, GraftTable.this.schema(), keyCols, info.command,
           pinned,
           opts => {
             val sidecars = EqDeletes.pending(pinned)
             if (sidecars.nonEmpty)
               new EqDeleteScanBuilder(tableName, pinned,
-                GraftTable.this.schema(), keyCol, opts, sidecars)
+                GraftTable.this.schema(), keyCols, opts, sidecars)
             else if (isMerge)
               new ScanBuilder {
                 override def build(): Scan = new GroupCowScan(tableName,

@@ -71,7 +71,7 @@ class EqDeletesSpec extends SparkTestBase {
     // the read tax pays off correctly: SQL scan == foldedRead == model
     val expect = base.filterNot(_._2 == "del").toSet
     assert(visible(cat) == expect)
-    assert(EqDeletes.foldedRead(spark, snap, "id")
+    assert(EqDeletes.foldedRead(spark, snap, Seq("id"))
       .select("id", "grp", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == expect)
     // aggregate pushdown is suppressed: a footer-credited count would
@@ -150,7 +150,7 @@ class EqDeletesSpec extends SparkTestBase {
       ((3L, "back", 3.5)) + ((6L, "back", 6.5)) + ((100L, "new", 100.0))) --
       Set((3L, "back", 3.5), (10L, "keep", 10.0))
     assert(visible(cat) == expect)
-    assert(EqDeletes.foldedRead(spark, snap, "id")
+    assert(EqDeletes.foldedRead(spark, snap, Seq("id"))
       .select("id", "grp", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == expect)
   }
@@ -556,13 +556,164 @@ class EqDeletesSpec extends SparkTestBase {
       (1L, Some(10L)), (2L, Some(20L)), (3L, Option.empty[Long]))
       .toDF("a", "b"), "rk")
     val dir = wh.snapshotPath("rk")
-    EqDeletes.requireNullFreeKeys(spark, dir, "a", "rekey-test")
+    EqDeletes.requireNullFreeKeys(spark, dir, Seq("a"), "rekey-test")
     val e = intercept[UnsupportedOperationException] {
-      EqDeletes.requireNullFreeKeys(spark, dir, "b", "rekey-test")
+      EqDeletes.requireNullFreeKeys(spark, dir, Seq("b"), "rekey-test")
     }
     assert(e.getMessage.contains("NULL 'b'"), e.getMessage)
     // and the verified column stays memoized (no throw, no re-walk crash)
-    EqDeletes.requireNullFreeKeys(spark, dir, "a", "rekey-test")
+    EqDeletes.requireNullFreeKeys(spark, dir, Seq("a"), "rekey-test")
+  }
+
+  // ------------------------------------------------------------------
+  // COMPOSITE keys (round 17): `cdc.key-column = sid,oid` — the Iceberg
+  // identifier-fields rule; compound-PK source tables (the common DMS
+  // junction/fact shape) get merge-on-read too.
+  // ------------------------------------------------------------------
+
+  /** (sid, oid, v): a junction-table shape where NEITHER column alone
+    * identifies a row — every single-column shortcut in the key plumbing
+    * would over-delete here.
+    */
+  private def compositeFixture(rows: Seq[(Long, Long, Double)])
+      : (String, Warehouse) = {
+    val root = tmpDir("eqdel-comp")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite(rows.toDF("sid", "oid", "v").repartition(3)
+      .localCheckpoint(true), "t")
+    TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read",
+      EqDeletes.KeyProp -> "sid,oid"))
+    val cat = s"eqd${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    (cat, wh)
+  }
+
+  private def visibleComp(cat: String): Set[(Long, Long, Double)] =
+    spark.sql(s"SELECT sid, oid, v FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // 4 sids x 5 oids: deleting (sid=1) rows must never touch sid=2 rows
+  // that SHARE an oid, and vice versa — the tuple-identity contract
+  private val compBase: Seq[(Long, Long, Double)] =
+    for (s <- 1L to 4L; o <- 1L to 5L) yield (s, o, s * 10.0 + o)
+
+  test("COMPOSITE-key MOR DELETE: the sidecar holds (sid,oid) tuples; rows sharing one component survive; re-inserted pairs outlive the census") {
+    val (cat, wh) = compositeFixture(compBase)
+    val v1Files = dataFiles(wh.snapshotPath("t"))
+    // delete two specific tuples — their components appear in MANY other
+    // live rows
+    spark.sql(s"DELETE FROM $cat.t WHERE (sid = 1 AND oid = 2) OR (sid = 2 AND oid = 3)")
+    val snap = wh.snapshotPath("t")
+    val sidecars = EqDeletes.pending(snap)
+    assert(sidecars.size == 1)
+    val keyRows = spark.read.parquet(sidecars.head.keysPath)
+      .select("sid", "oid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyRows == Set((1L, 2L), (2L, 3L)),
+      s"the sidecar stores full tuples, got $keyRows")
+    assert(dataFiles(snap) == v1Files,
+      "a composite merge-on-read delete must not rewrite data files")
+    val expect = compBase.filterNot(r =>
+      (r._1, r._2) == (1L, 2L) || (r._1, r._2) == (2L, 3L)).toSet
+    assert(visibleComp(cat) == expect,
+      "rows sharing sid=1 or oid=2 with the deleted tuple must survive")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) ==
+      expect.size.toLong)
+    assert(EqDeletes.foldedRead(spark, snap, Seq("sid", "oid"))
+      .select("sid", "oid", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == expect)
+
+    // re-insert one deleted tuple: the new file is outside the census
+    Seq((1L, 2L, 999.0)).toDF("sid", "oid", "v")
+      .createOrReplaceTempView(s"cins_$cat")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cins_$cat")
+    assert(visibleComp(cat) == expect + ((1L, 2L, 999.0)))
+
+    // fold: pending empties, the composite anti-join agrees
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(visibleComp(cat) == expect + ((1L, 2L, 999.0)))
+  }
+
+  test("COMPOSITE-key delta UPDATE and MERGE stack sidecars of full tuples; compact folds; a NULL component refuses") {
+    val (cat, wh) = compositeFixture(compBase)
+    spark.sql(s"DELETE FROM $cat.t WHERE sid = 1 AND oid = 1")
+    val preFiles = dataFiles(wh.snapshotPath("t"))
+    // delta UPDATE stacks over the pending delete sidecar
+    spark.sql(s"UPDATE $cat.t SET v = v + 100.0 WHERE oid = 4")
+    val snap = wh.snapshotPath("t")
+    assert(EqDeletes.pending(snap).size == 2, "the update stacks a sidecar")
+    assert(preFiles.subsetOf(dataFiles(snap)),
+      "every pre-update file carries by name (no rewrites)")
+    var model = compBase.filterNot(r => (r._1, r._2) == (1L, 1L)).map {
+      case (s, o, v) if o == 4L => (s, o, v + 100.0)
+      case r => r
+    }.toSet
+    assert(visibleComp(cat) == model)
+    // three-arm MERGE keyed on BOTH columns
+    Seq((2L, 2L, 0.0, true), (3L, 3L, 7777.0, false), (9L, 9L, 99.0, false))
+      .toDF("sid", "oid", "v", "is_del")
+      .createOrReplaceTempView(s"cmsrc_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING cmsrc_$cat s
+         |ON t.sid = s.sid AND t.oid = s.oid
+         |WHEN MATCHED AND s.is_del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (sid, oid, v)
+         |  VALUES (s.sid, s.oid, s.v)""".stripMargin)
+    model = model.filterNot(r => (r._1, r._2) == (2L, 2L))
+      .map { case (s, o, _) if (s, o) == ((3L, 3L)) => (s, o, 7777.0)
+             case r => r } + ((9L, 9L, 99.0))
+    assert(visibleComp(cat) == model)
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 3)
+    // pending == folded
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(visibleComp(cat) == model)
+  }
+
+  test("COMPOSITE-key NULL in ONE component: DELETE falls back to COW (parity), delta UPDATE refuses loudly") {
+    val root = tmpDir("eqdel-compnull")
+    val wh = Warehouse(root, retain = 8)
+    import org.apache.spark.sql.types._
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(1L), 1.0),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(2L), null, 2.0)),
+      StructType(Seq(StructField("sid", LongType),
+        StructField("oid", LongType), StructField("v", DoubleType))))
+    wh.overwrite(rows.localCheckpoint(true), "t")
+    TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read",
+      EqDeletes.KeyProp -> "sid,oid"))
+    val cat = s"eqd${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    // DELETE matching the null-component row: COW fallback still deletes
+    spark.sql(s"DELETE FROM $cat.t WHERE v = 2.0")
+    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty,
+      "a NULL key component cannot ride a sidecar — COW rewrote instead")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1L)
+    // re-seed a null-component row (direct append — the expert path the
+    // DDL guard cannot see); a delta UPDATE matching it refuses loudly
+    wh.appendVersioned(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        java.lang.Long.valueOf(3L), null, 3.0)),
+      StructType(Seq(StructField("sid", LongType),
+        StructField("oid", LongType), StructField("v", DoubleType))))
+      .localCheckpoint(true), "t")
+    val v0 = wh.currentVersion("t")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t SET v = 9.0 WHERE v = 3.0")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("NULL"), msg.take(300))
+    assert(wh.currentVersion("t") == v0, "the refusal must not publish")
   }
 
   test("internalKeySets survives a cache-bound clear on a mixed hit+miss call (advice finding: hits mapped to null after clear)") {
@@ -589,18 +740,18 @@ class EqDeletesSpec extends SparkTestBase {
     }
     // bulk-load 257 sets: the cache is now past its 256-entry bound, so
     // the NEXT miss-bearing call will clear() it
-    val bulk = EqDeletes.internalKeySets(spark, sidecars.take(257), LongType)
+    val bulk = EqDeletes.internalKeySets(spark, sidecars.take(257), Seq(LongType))
     assert(bulk.size == 257 && bulk.values.forall(_.size == 1))
     // mixed call: one cached HIT + one MISS — the clear() fires while
     // the hit is being served; before the fix the hit came back null
     // and internalKeySet NPE'd on addAll
     val mixed = EqDeletes.internalKeySets(spark,
-      Seq(sidecars(0), sidecars(257)), LongType)
+      Seq(sidecars(0), sidecars(257)), Seq(LongType))
     assert(mixed.size == 2, s"got ${mixed.size} entries")
     assert(mixed.values.forall(s => s != null && s.size == 1),
       "a cache hit was wiped by the bound clear and served as null")
     val merged = EqDeletes.internalKeySet(spark,
-      Seq(sidecars(0), sidecars(257)), LongType)
+      Seq(sidecars(0), sidecars(257)), Seq(LongType))
     assert(merged.size == 1 && merged.contains(42L))
   }
 }
