@@ -13,12 +13,19 @@ import graft.sources.GraftCatalog
   * the pointer, the props sidecar, or the grandfather/retention sweeps
   * another process could run.
   *
-  * Args: whDir [pauseMs]
+  * STREAM mode (round 17): the staged commits are real
+  * `writeStream.toTable` EPOCHS under the WAP conf — three AvailableNow
+  * runs over a growing source dir share one checkpoint, each epoch
+  * CASes the branch head while main stays pinned, and the one
+  * fast_forward publishes all of them with their replay markers.
+  *
+  * Args: whDir [pauseMs] [dml|stream]
   */
 object BranchWapMain {
   def main(args: Array[String]): Unit = {
     val whDir = args(0)
     val pauseMs = args.lift(1).map(_.toLong).getOrElse(400L)
+    val mode = args.lift(2).getOrElse("dml")
     val spark = Harness.session("graft-branch-wap")
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.bw", classOf[GraftCatalog].getName)
@@ -34,17 +41,38 @@ object BranchWapMain {
     spark.sql("CALL bw.system.create_branch('sink', 'fix')").collect()
     spark.conf.set("spark.graft.wap.branch", "fix")
     try {
-      (1000L until 2000L).map(i => (i, 2.0)).toDF("id", "v")
-        .createOrReplaceTempView("staged_rows")
-      spark.sql("INSERT INTO bw.sink SELECT * FROM staged_rows")
-      println("[wap] staged insert committed"); Console.flush()
-      Thread.sleep(pauseMs) // window for the auditor to catch a leak
-      spark.sql("DELETE FROM bw.sink WHERE id >= 1000 AND id < 1100")
-      println("[wap] staged delete committed"); Console.flush()
-      Thread.sleep(pauseMs)
-      spark.sql("UPDATE bw.sink SET v = -1.0 WHERE id >= 1100 AND id < 1200")
-      println("[wap] staged update committed"); Console.flush()
-      Thread.sleep(pauseMs)
+      if (mode == "stream") {
+        val src = java.nio.file.Files
+          .createTempDirectory("wap_stream_src").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("wap_stream_ckpt").toString
+        (0 until 3).foreach { b =>
+          (1000L + b * 300L until 1000L + (b + 1) * 300L)
+            .map(i => (i, 2.0)).toDF("id", "v")
+            .write.mode("append").parquet(src)
+          val q = spark.readStream.schema("id BIGINT, v DOUBLE")
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("bw.sink")
+          q.awaitTermination()
+          println(s"[wap] staged stream epoch $b committed")
+          Console.flush()
+          Thread.sleep(pauseMs) // window for the auditor to catch a leak
+        }
+      } else {
+        (1000L until 2000L).map(i => (i, 2.0)).toDF("id", "v")
+          .createOrReplaceTempView("staged_rows")
+        spark.sql("INSERT INTO bw.sink SELECT * FROM staged_rows")
+        println("[wap] staged insert committed"); Console.flush()
+        Thread.sleep(pauseMs) // window for the auditor to catch a leak
+        spark.sql("DELETE FROM bw.sink WHERE id >= 1000 AND id < 1100")
+        println("[wap] staged delete committed"); Console.flush()
+        Thread.sleep(pauseMs)
+        spark.sql("UPDATE bw.sink SET v = -1.0 WHERE id >= 1100 AND id < 1200")
+        println("[wap] staged update committed"); Console.flush()
+        Thread.sleep(pauseMs)
+      }
     } finally spark.conf.unset("spark.graft.wap.branch")
     spark.sql("CALL bw.system.fast_forward('sink', 'fix')").collect()
     println("[wap] PUBLISHED")

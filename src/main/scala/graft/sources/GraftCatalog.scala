@@ -1387,10 +1387,30 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           * by the layout's own dynamic-overwrite contract).
           */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-          GraftTable.refuseWap("streaming write")
           streamPolicy.left.foreach(reason =>
             throw new UnsupportedOperationException(
               s"streaming write to '$tableName' refused: $reason"))
+          // write-audit-publish (round 17): under the WAP conf the
+          // stream's epochs commit to the BRANCH head — stage a day of
+          // ingest, audit it, fast_forward publishes every epoch with
+          // its replay markers. Captured at stream-build time (the WAP
+          // binding discipline); unknown branches refuse loudly, and a
+          // time-partitioned table refuses (its in-place layout has no
+          // branch refs — branches need the versioned pointer).
+          val wapBranch = GraftTable.wapBranch
+          wapBranch.foreach { b =>
+            if (hiddenTimeColumn.isDefined)
+              throw new UnsupportedOperationException(
+                s"streaming write to time-partitioned '$tableName' under " +
+                  s"spark.graft.wap.branch refused: the in-place " +
+                  "partition layout has no branch refs (branches need " +
+                  "the versioned pointer layout)")
+            if (!wh.branches(tableName).contains(b))
+              throw new NoSuchElementException(
+                s"'$tableName' has no branch '$b' " +
+                  "(spark.graft.wap.branch routing): CALL " +
+                  "<catalog>.system.create_branch first")
+          }
           hiddenTimeColumn match {
             case Some(tc) if !replace =>
               new GraftAppendBatchStreamingWrite(wh, tableName, tc,
@@ -1401,7 +1421,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
                 "partitions; use append mode (the layout is an append log)")
             case None =>
               new GraftStreamingWrite(wh, tableName, info.schema(),
-                info.queryId(), replace)
+                info.queryId(), replace, wapBranch)
           }
         }
       }
@@ -1862,22 +1882,16 @@ private[sources] object GraftTable {
   import org.apache.spark.sql.{sources => f}
 
   /** The session's write-audit-publish branch (`spark.graft.wap.branch`,
-    * the Iceberg `spark.wap.branch` pattern): when set, SQL INSERTs land
-    * on that branch's ref and every other write face refuses loudly —
-    * a DELETE/MERGE silently hitting MAIN while the session believes it
-    * is staging on a branch would be the worst kind of publish.
+    * the Iceberg `spark.wap.branch` pattern): when set, every write face
+    * — SQL INSERT/OVERWRITE/DELETE/UPDATE/MERGE and (round 17) streaming
+    * epochs — lands on that branch's ref; a write silently hitting MAIN
+    * while the session believes it is staging on a branch would be the
+    * worst kind of publish, so faces that cannot route refuse loudly.
     */
   private[sources] def wapBranch: Option[String] =
     Option(SparkSession.active)
       .map(_.conf.get("spark.graft.wap.branch", ""))
       .map(_.trim).filter(_.nonEmpty)
-
-  private[sources] def refuseWap(op: String): Unit =
-    wapBranch.foreach(b => throw new UnsupportedOperationException(
-      s"$op under spark.graft.wap.branch='$b' is not supported: batch " +
-        "INSERT/OVERWRITE/DELETE/UPDATE/MERGE route onto the branch, " +
-        "but this face does not; unset the conf (or audit and " +
-        "fast_forward) first"))
 
   /** A stock parquet table over one snapshot dir — the branch-head scan
     * face for row-level operations (the table's own `delegate` is pinned

@@ -50,9 +50,22 @@ import graft.sources.Tables.Warehouse
   *
   * Complete-mode (`truncate`) epochs overwrite instead of carrying —
   * each epoch IS the table.
+  *
+  * WRITE-AUDIT-PUBLISH (round 17): under `spark.graft.wap.branch` the
+  * whole lifecycle re-targets the BRANCH ref — epochs carry from the
+  * branch HEAD and publish via the branch-head CAS
+  * ([[Warehouse.publishStageToBranch]]), the `_stream_epoch_<queryId>`
+  * marker rides the head dir (stamped into each staged epoch, carried
+  * by the branch carry), and replay idempotence reads the marker FROM
+  * THE HEAD — main's pointer never moves while a day of ingest stages
+  * for audit, and one `CALL fast_forward` publishes every staged epoch
+  * with its markers intact (exactly-once holds across the promotion:
+  * the head dir IS the published dir). The branch is captured at
+  * stream-build time — the binding discipline of every WAP face.
   */
 private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
-    schema: StructType, queryId: String, truncate: Boolean)
+    schema: StructType, queryId: String, truncate: Boolean,
+    branch: Option[String] = None)
   extends StreamingWrite {
 
   private def epochDir(epochId: Long): Path =
@@ -75,15 +88,32 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
     val committed = messages.collect { case CowFileCommit(f) => f }.toSet
     val epoch = epochDir(epochId)
     wh.retryingConflicts(maxAttempts = 10) {
-      if (!alreadyApplied(epochId)) {
+      // the epoch's carry source + replay witness: main's current
+      // snapshot, or the branch HEAD under write-audit-publish
+      val readFrom = branch match {
+        case Some(b) => wh.branchSnapshotDir(table, b).toString
+        case None => wh.snapshotPath(table)
+      }
+      if (!alreadyApplied(readFrom, epochId)) {
         val expected = wh.currentVersion(table)
-        val legacyMoved = wh.migrateLegacy(table)
+        val expectHead = branch.map(b => wh.branches(table)(b)._1)
+        val legacyMoved =
+          if (branch.isEmpty) wh.migrateLegacy(table) else false
         val stage = wh.allocateStage(table)
         try {
           committed.foreach { f =>
             wh.io.linkOrCopy(epoch.resolve(f), stage.resolve(f))
           }
-          if (!truncate) wh.carryPreviousInto(table, stage)
+          if (!truncate) branch match {
+            case Some(_) =>
+              wh.carryVersionInto(Paths.get(readFrom), stage)
+            case None => wh.carryPreviousInto(table, stage)
+          } else if (branch.isDefined)
+            // complete mode replaces content but the head's root markers
+            // (other streams' replay positions) must survive, same as
+            // the branch INSERT OVERWRITE contract
+            Tables.writeRootMarkers(
+              Tables.readRootMarkers(readFrom), stage.toString)
           // a snapshot with zero parquet files is unreadable (no footer):
           // an empty first/complete epoch still publishes a schema-bearing
           // version, same as CREATE TABLE
@@ -102,7 +132,12 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
           Files.writeString(
             stage.resolve(GraftStreamingWrite.markerName(queryId)),
             epochId.toString)
-          wh.publishStage(table, stage, expected, legacyMoved)
+          branch match {
+            case Some(b) =>
+              wh.publishStageToBranch(table, stage, b, expectHead.get)
+            case None =>
+              wh.publishStage(table, stage, expected, legacyMoved)
+          }
         } catch {
           case t: Throwable =>
             if (!t.isInstanceOf[java.util.ConcurrentModificationException])
@@ -114,12 +149,12 @@ private[sources] class GraftStreamingWrite(wh: Warehouse, table: String,
     Tables.deleteRecursively(epoch)
   }
 
-  /** True when the CURRENT snapshot already absorbed this epoch of THIS
-    * query lineage (the replay window between our commit and the
-    * checkpoint commit).
+  /** True when the served snapshot (main's current, or the branch head
+    * under WAP) already absorbed this epoch of THIS query lineage (the
+    * replay window between our commit and the checkpoint commit).
     */
-  private def alreadyApplied(epochId: Long): Boolean = {
-    val marker = Paths.get(wh.snapshotPath(table),
+  private def alreadyApplied(servedDir: String, epochId: Long): Boolean = {
+    val marker = Paths.get(servedDir,
       GraftStreamingWrite.markerName(queryId))
     if (!Files.exists(marker)) return false
     Files.readString(marker).trim.toLongOption.exists(_ >= epochId)

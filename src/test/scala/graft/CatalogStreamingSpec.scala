@@ -189,6 +189,90 @@ abstract class CatalogStreamingBehavior(ioImpl: graft.sources.WarehouseIO,
       s"a schema without the time column must refuse loudly: $msg")
   }
 
+  test("WAP streaming: epochs commit to the branch head while main is pinned; replayed epochs no-op on the branch; fast_forward publishes exactly-once") {
+    val root = tmpDir("cstr-wap")
+    val wh = Wh(root)
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.wt (id BIGINT, s STRING)")
+    Seq((1L, "seed")).toDF("id", "s").createOrReplaceTempView(s"wseed_$cat")
+    spark.sql(s"INSERT INTO $cat.wt SELECT * FROM wseed_$cat")
+    spark.sql(s"CALL $cat.system.create_branch('wt', 'ingest')").collect()
+    val vMain = wh.currentVersion("wt").get
+    val src = tmpDir("cstr-wap-src")
+    val ckpt = tmpDir("cstr-wap-ckpt")
+    def run(): Unit = {
+      spark.conf.set("spark.graft.wap.branch", "ingest")
+      try {
+        val q = spark.readStream.schema("id BIGINT, s STRING").parquet(src)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.wt")
+        drain(q); q.stop()
+      } finally spark.conf.unset("spark.graft.wap.branch")
+    }
+    def mainIds = spark.sql(s"SELECT id FROM $cat.wt ORDER BY id")
+      .as[Long].collect().toSeq
+    def branchIds = spark.sql(
+      s"SELECT id FROM $cat.wt VERSION AS OF 'ingest' ORDER BY id")
+      .as[Long].collect().toSeq
+    Seq((2L, "a"), (3L, "b")).toDF("id", "s")
+      .write.mode("append").parquet(src)
+    run()
+    // the staged epoch is invisible to main — the pointer never moved
+    assert(wh.currentVersion("wt").contains(vMain),
+      "a WAP streaming epoch must never move main's pointer")
+    assert(mainIds == Seq(1L))
+    assert(branchIds == Seq(1L, 2L, 3L), "the branch head serves the epoch")
+    // REPLAY on the branch: drop the last checkpoint commit (crash
+    // between the branch CAS and the checkpoint commit) — the epoch
+    // marker rides the branch HEAD, so the re-run is a no-op
+    val commits = Paths.get(ckpt, "commits")
+    def dropLastCommit(): Unit = {
+      val s = Files.list(commits)
+      val last = try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally s.close()
+      Files.delete(last)
+    }
+    dropLastCommit()
+    run()
+    assert(branchIds == Seq(1L, 2L, 3L),
+      "a replayed epoch must not double-append on the branch")
+    assert(mainIds == Seq(1L))
+    // a second epoch stages on top
+    Seq((4L, "c")).toDF("id", "s").write.mode("append").parquet(src)
+    run()
+    assert(branchIds == Seq(1L, 2L, 3L, 4L))
+    assert(mainIds == Seq(1L))
+    // audit passed: ONE fast_forward CAS publishes every staged epoch
+    spark.sql(s"CALL $cat.system.fast_forward('wt', 'ingest')").collect()
+    assert(mainIds == Seq(1L, 2L, 3L, 4L))
+    // exactly-once HOLDS ACROSS THE PROMOTION: the epoch markers rode
+    // the head dir into main history, so a replay after publish no-ops
+    dropLastCommit()
+    run()
+    assert(mainIds == Seq(1L, 2L, 3L, 4L),
+      "a replayed epoch after fast_forward must not double-append")
+    assert(branchIds == Seq(1L, 2L, 3L, 4L))
+    // an unknown branch refuses loudly before any epoch runs
+    spark.conf.set("spark.graft.wap.branch", "nope")
+    try {
+      val e = intercept[Exception] {
+        val q = spark.readStream.schema("id BIGINT, s STRING").parquet(src)
+          .writeStream
+          .option("checkpointLocation", tmpDir("cstr-wap-ckpt2"))
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.wt")
+        drain(q); q.stop()
+      }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(msg.contains("no branch 'nope'"), msg.take(300))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+  }
+
   test("writeStream.toTable into a time-partitioned table: epochs land as batches, replay-exact, pruning intact") {
     val root = tmpDir("cstr-tp")
     val wh = Wh(root)

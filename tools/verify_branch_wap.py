@@ -70,18 +70,19 @@ def main_state(wh):
         con.close()
 
 
-def run_one(io_mode):
+def run_one(io_mode, mode="dml"):
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(BASE)
     wh = f"{BASE}/wh"
     os.makedirs(wh)
     env = dict(os.environ, GRAFT_WAREHOUSE_IO=io_mode)
-    print(f"== [{io_mode}] writer JVM stages branch DML; "
+    print(f"== [{io_mode}/{mode}] writer JVM stages branch {mode} commits; "
           f"this process audits main via DuckDB ==")
-    writer = subprocess.Popen(java_cmd("graft.BranchWapMain", wh, "600"),
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.DEVNULL,
-                              text=True, env=env)
+    writer = subprocess.Popen(
+        java_cmd("graft.BranchWapMain", wh, "600", mode),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True, env=env)
     published = False
     seeded = False
     polls = 0
@@ -107,15 +108,24 @@ def run_one(io_mode):
     assert writer.returncode == 0, (
         f"writer JVM exited {writer.returncode}\n" + "\n".join(out_lines[-20:]))
     assert polls >= 3, f"auditor barely ran ({polls} polls); raise pauseMs"
-    # published model: seed(0..999,v=1) + staged(1100..1999) where
-    # 1100..1199 have v=-1 and 1200..1999 v=2; 1000..1099 deleted
-    st = main_state(wh)
-    n, d, lo, hi, sv = st
-    want_n = 1000 + 900
-    want_sum = 1000 * 1.0 + 100 * (-1.0) + 800 * 2.0
-    assert (n, d, lo, hi) == (want_n, want_n, 0, 1999), f"published: {st}"
+    if mode == "stream":
+        # published model: seed(0..999,v=1) + three streamed epochs of
+        # 300 rows each (1000..1899, v=2)
+        st = main_state(wh)
+        n, d, lo, hi, sv = st
+        want_n = 1000 + 900
+        want_sum = 1000 * 1.0 + 900 * 2.0
+        assert (n, d, lo, hi) == (want_n, want_n, 0, 1899), f"published: {st}"
+    else:
+        # published model: seed(0..999,v=1) + staged(1100..1999) where
+        # 1100..1199 have v=-1 and 1200..1999 v=2; 1000..1099 deleted
+        st = main_state(wh)
+        n, d, lo, hi, sv = st
+        want_n = 1000 + 900
+        want_sum = 1000 * 1.0 + 100 * (-1.0) + 800 * 2.0
+        assert (n, d, lo, hi) == (want_n, want_n, 0, 1999), f"published: {st}"
     assert abs(sv - want_sum) < 1e-6, f"published sum: {sv} want {want_sum}"
-    print(f"PASS [{io_mode}]: main served exactly the seed through "
+    print(f"PASS [{io_mode}/{mode}]: main served exactly the seed through "
           f"{polls} mid-audit polls; one fast_forward published the "
           f"exact staged model ({want_n} rows)")
 
@@ -125,6 +135,10 @@ def main():
         subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True)
     for io_mode in IO_MODES:
         run_one(io_mode)
+    # streaming epochs staged on the branch (round 17): real
+    # writeStream.toTable commits under the WAP conf, audited from
+    # outside, published by one fast_forward
+    run_one("objectstore", mode="stream")
     print("\nALL PASS")
 
 
