@@ -104,6 +104,88 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
   }
 }
 
+/** The POST-pushdown twin of [[SplitEqDeleteScans]] (round 17, the
+  * round-12 I15 discipline): the split must be UNCONDITIONAL on session
+  * wiring. A session that registered the catalog at runtime (no
+  * `GraftExtensions`) has no pre-pushdown injection point, so this rule
+  * rides `spark.experimental.extraOptimizations` (self-registered by
+  * [[GraftCatalog.initialize]] — any session that can resolve a graft
+  * table has it before its first query optimizes) and rewrites the
+  * ALREADY-PUSHED-DOWN scan relation:
+  *
+  *   DataSourceV2ScanRelation(GraftTable, EqDeleteScan over the WHOLE census)
+  *
+  * into the same Union shape — a fresh stock `ParquetTable` scan over
+  * the unaffected files (the recorded filters re-pushed into its footer
+  * pruning, columns pruned identically) beside an affected-only
+  * [[EqDeleteScanBuilder]] scan. The residual Filter Spark kept above
+  * the relation (this builder pushes nothing) still re-applies every
+  * predicate, so re-pushing here only restores ROW-GROUP SKIPPING and
+  * vectorized decode, never changes semantics.
+  *
+  * When `GraftExtensions` IS loaded, [[SplitEqDeleteScans]] already
+  * split the relation pre-pushdown (strictly better: the clean side
+  * keeps aggregate pushdown too) and no whole-census [[EqDeleteScan]]
+  * survives to here — `splitSpec` is None on affected-only scans, so
+  * the two rules compose idempotently. Row-level DML target scans are
+  * excluded by the GraftTable match (their relation wraps Spark's
+  * RowLevelOperationTable).
+  */
+private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, FileScanBuilder}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast path: the rule runs in the (fixed-point) user batch on every
+    // query — exit on one traversal unless a splittable scan exists
+    val hasSplittable = plan.exists {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case s: EqDeleteScan => s.splitSpec.isDefined
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!hasSplittable) return plan
+    plan.transformUp {
+      case r: DataSourceV2ScanRelation
+          if r.relation.table.isInstanceOf[GraftTable] &&
+            r.scan.isInstanceOf[EqDeleteScan] &&
+            r.scan.asInstanceOf[EqDeleteScan].splitSpec.isDefined =>
+        val spec = r.scan.asInstanceOf[EqDeleteScan].splitSpec.get
+        val spark = SparkSession.active
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("mergeSchema", "true")
+        val cleanSb = ParquetTable(spec.tableName, spark,
+          new CaseInsensitiveStringMap(opts),
+          spec.unaffected.map(f => s"${spec.baseDir}/$f"),
+          Some(spec.tableSchema), classOf[ParquetFileFormat])
+          .newScanBuilder(spec.options).asInstanceOf[FileScanBuilder]
+        cleanSb.pushFilters(spec.recorded)
+        cleanSb.pruneColumns(spec.pruned)
+        val dirtySb = new EqDeleteScanBuilder(spec.tableName, spec.baseDir,
+          spec.tableSchema, spec.keyCols, spec.options, spec.sidecars,
+          Some(spec.affected))
+        dirtySb.pushFilters(spec.recorded)
+        dirtySb.pruneColumns(spec.pruned)
+        def attrsOf(s: Scan): Seq[AttributeReference] =
+          s.readSchema().fields.toSeq.map(f =>
+            AttributeReference(f.name, f.dataType, f.nullable)())
+        val cleanScan = cleanSb.build()
+        val dirtyScan = dirtySb.build()
+        val cleanRel = r.copy(scan = cleanScan, output = attrsOf(cleanScan))
+        val dirtyRel = r.copy(scan = dirtyScan, output = attrsOf(dirtyScan))
+        val union = Union(Seq(cleanRel, dirtyRel))
+        // restore the ORIGINAL attribute ids so parent references
+        // survive the rewrite
+        Project(r.output.zip(union.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }, union)
+    }
+  }
+}
+
 /** The affected-files-only face of a pending-sidecar snapshot: reads plan
   * through [[EqDeleteScanBuilder]] scoped to exactly the files some
   * sidecar census names. Exists only inside [[SplitEqDeleteScans]]'

@@ -522,6 +522,18 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
     val all = filesOverride.getOrElse(
       graft.plans.ZoneMap.dataFileCensus(spark, baseDir))
     val groups = EqDeletes.bySignature(all, sidecars)
+    // when this builder still serves the WHOLE census (no session
+    // extension split the relation pre-pushdown) and the census has
+    // both clean and affected files, record everything the POST-pushdown
+    // twin rule ([[SplitEqDeleteScanRelations]]) needs to restore the
+    // Union shape — the round-16 split, unconditional on session wiring
+    val splitSpec = if (filesOverride.isDefined) None else {
+      val unaffected = groups.collect { case (fs, a) if a.isEmpty => fs }.flatten
+      val affected = groups.collect { case (fs, a) if a.nonEmpty => fs }.flatten
+      if (unaffected.isEmpty || affected.isEmpty) None
+      else Some(EqDeleteSplitSpec(tableName, baseDir, tableSchema, keyCols,
+        options, sidecars, recorded, pruned, unaffected, affected))
+    }
     // warm every sidecar's key set in ONE batched read before the group
     // loop — per-group loading would pay one Spark job per cache-missing
     // group (a 64-sidecar stack made every scan a job storm)
@@ -544,14 +556,28 @@ private[sources] class EqDeleteScanBuilder(tableName: String,
     }
     val readSchema = built.headOption.map(_._1.readSchema()).getOrElse(pruned)
     new EqDeleteScan(tableName, built, readSchema,
-      keyCols.map(readSchema.fieldIndex).toArray, keyTypes.toArray)
+      keyCols.map(readSchema.fieldIndex).toArray, keyTypes.toArray,
+      splitSpec)
   }
 }
 
-private class EqDeleteScan(tableName: String,
+/** Everything [[SplitEqDeleteScanRelations]] needs to re-plan a built
+  * whole-census eq-delete scan as Union(stock clean scan, affected-only
+  * eq-delete scan) AFTER pushdown already ran: the recorded filters and
+  * pruned schema replay into each side's fresh builder.
+  */
+private[sources] final case class EqDeleteSplitSpec(tableName: String,
+    baseDir: String, tableSchema: StructType, keyCols: Seq[String],
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    sidecars: Seq[EqDeletes.Sidecar],
+    recorded: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    pruned: StructType, unaffected: Seq[String], affected: Seq[String])
+
+private[sources] class EqDeleteScan(tableName: String,
     groups: Seq[(org.apache.spark.sql.connector.read.Scan, Option[java.util.HashSet[Any]])],
     schema: StructType, keyIdxs: Array[Int],
-    keyTypes: Array[org.apache.spark.sql.types.DataType])
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    private[sources] val splitSpec: Option[EqDeleteSplitSpec] = None)
   extends org.apache.spark.sql.connector.read.Scan {
   import org.apache.spark.sql.connector.read._
 

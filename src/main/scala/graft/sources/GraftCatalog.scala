@@ -105,6 +105,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case None => Tables.io
     }
     wh = Warehouse(root, retain = retain.getOrElse(2), io = io)
+    // the pending-sidecar plan split must be UNCONDITIONAL on session
+    // wiring (the I15 discipline): a runtime-registered catalog has no
+    // GraftExtensions injection point, so its post-pushdown twin rides
+    // extraOptimizations — registered HERE, before any query against
+    // this catalog can optimize. Idempotent; no-op when the extension's
+    // pre-pushdown rule already split the relation.
+    scala.util.Try(SparkSession.active).foreach { s =>
+      if (!s.experimental.extraOptimizations
+          .contains(SplitEqDeleteScanRelations))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SplitEqDeleteScanRelations
+    }
   }
 
   override def name(): String = catalogName

@@ -326,6 +326,17 @@ def main():
     print(f"PASS run4: schema evolution end-to-end "
           f"(changelog+mirror+catalog, {len(b7)} evolved rows)")
 
+    # no-extensions arm (round 17): a fresh JVM with a runtime-registered
+    # catalog must read pending MOR sidecars through the vectorized Union
+    # split — the plan split is unconditional on session wiring
+    r = subprocess.run(
+        ["sbt", "-batch", "runMain graft.RuntimeCatalogCheck"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0 and "[runtime-catalog-check] PASS" in r.stdout, (
+        f"FAIL: RuntimeCatalogCheck\n{r.stdout[-2000:]}\n{r.stderr[-1000:]}")
+    print("PASS run5: un-extended session splits pending-sidecar scans "
+          "(RuntimeCatalogCheck fresh JVM)")
+
     print(f"\nALL PASS (seed={SEED})")
     CATALOG.stop()
 
