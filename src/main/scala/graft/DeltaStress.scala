@@ -196,6 +196,64 @@ object DeltaStress {
         s""""all_affected":{"scan_sec":${f"$allAffected%.2f"},""" +
         s""""affected_files":$afAll}}}""")
     }
+
+    // keyedSurvivors PROBE COST at the caps (round-16 watch item): the
+    // driver-side probe is O(files × keys) bloom bit tests at its worst
+    // — 2048 manifest rows × the 50k key cap with every key IN RANGE but
+    // ABSENT (the range probe keeps every file, each bloom scans the
+    // full key list). The round-17 guards: range-before-bloom ordering
+    // and a parallel per-file loop past a work budget. Linear in files,
+    // so the 10k-file cap extrapolates at ~5× the printed figure.
+    {
+      val root = Files.createTempDirectory("graft_dstress_probe").toString
+      val wh = Warehouse(root, retain = 2)
+      val files = 2048
+      // even ids only: odd probes are in-range but absent everywhere
+      wh.overwrite(spark.range(n).select((col("id") * 2).as("id"),
+        (col("id") % 97).cast("double").as("v"))
+        .repartition(16), "t")
+      graft.plans.Maintenance.declareClustering(wh, "t", Seq("id"),
+        bloomKeys = Seq("id"), targetFiles = Some(files))
+      graft.plans.Maintenance.cluster(spark, wh, "t", Seq("id"), files,
+        bloomKeys = Seq("id"))
+      // in-range odd keys, uniformly spread: the RANGE evidence keeps
+      // every file, so every file pays its bloom — the saturation shape
+      // (50k foreign probes against ~1k-key blooms false-positive with
+      // near-certainty per file; the documented degrade-to-whole-table)
+      val step = math.max(1L, n * 2 / 50000 / 2) * 2
+      val keys: Seq[Any] = (0 until 50000).map(i =>
+        java.lang.Long.valueOf(i * step + 1))
+      def probeSec(ks: Seq[Any]): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val s = graft.plans.ZoneMap.keyedSurvivors(spark,
+          wh.snapshotPath("t"), "id", ks,
+          Some(org.apache.spark.sql.types.LongType))
+        ((System.nanoTime() - t0) / 1e9, s.fold(-1)(_.size))
+      }
+      probeSec(keys.take(10)) // warm the manifest read
+      val (worstSec, worstKept) = probeSec(keys)
+      // the round-17 bound: even the at-caps saturation probe stays
+      // sub-second on the driver (range-first ordering + parallel rows)
+      require(worstSec < 1.0,
+        f"at-caps probe took $worstSec%.2f s (bound: 1 s)")
+      // OUT-of-range keys: the binary-search range probe excludes every
+      // file before any bloom runs — the cheap-evidence-first ordering
+      val outKeys: Seq[Any] = (0 until 50000).map(i =>
+        java.lang.Long.valueOf(n * 2 + 1 + i * 2L))
+      val (outSec, outKept) = probeSec(outKeys)
+      require(outKept == 0, s"out-of-range keys kept $outKept files")
+      // the common case: 1000 PRESENT keys from one clustered region
+      val present: Seq[Any] = (0 until 1000).map(i =>
+        java.lang.Long.valueOf(i * 2L))
+      val (typSec, typKept) = probeSec(present)
+      Tables.deleteRecursively(Paths.get(root))
+      println(s"""{"probe_cost":{"manifest_files":$files,""" +
+        s""""saturated_keys":50000,"saturated_sec":${f"$worstSec%.3f"},""" +
+        s""""saturated_survivors":$worstKept,""" +
+        s""""outofrange_sec":${f"$outSec%.3f"},""" +
+        s""""present_keys":1000,"present_sec":${f"$typSec%.3f"},""" +
+        s""""present_survivors":$typKept}}""")
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,42 @@ object MirrorChangelog {
       n(wh.readVersion(spark, name, toV, mergeSchema = true)), keyCol)
   }
 
+  /** Branch audit changelog (round 17): the row-level diff a
+    * `fast_forward(branch)` WOULD apply to main — "what does this branch
+    * change?", the audit question write-audit-publish exists to answer.
+    * Both sides read their LOGICAL content: the fork-base version from
+    * main's retained history, the branch head through any pending
+    * equality-delete sidecars ([[graft.sources.EqDeletes.foldedRead]] —
+    * an audit that resurrected sidecar-deleted keys would approve the
+    * wrong publish). Same full-outer kernel as [[diff]]: delta-sized
+    * output, before/after images, `_change_type` rows.
+    */
+  def branchDiff(spark: SparkSession, wh: Warehouse, name: String,
+      branch: String, keyCol: String): DataFrame = {
+    import graft.sources.{EqDeletes, SchemaEvolution}
+    import graft.sources.Tables.TableProps
+    val (_, base) = wh.branches(name).getOrElse(branch,
+      throw new NoSuchElementException(
+        s"'$name' has no branch '$branch'"))
+    val headDir = wh.branchSnapshotDir(name, branch).toString
+    val props = TableProps.read(wh, name)
+    def logical(dir: String): DataFrame =
+      if (EqDeletes.pending(dir).nonEmpty)
+        EqDeletes.foldedRead(spark, dir, EqDeletes.keyColsOf(props)
+          .getOrElse(throw new IllegalStateException(
+            s"'$name' carries equality-delete sidecars but no " +
+              s"'${EqDeletes.KeyProp}'")))
+      else SchemaEvolution.readTableWidened(spark, dir)
+    val n = SchemaEvolution.normalize(_: DataFrame, wh, name)
+    val baseDir = wh.publishedVersions(name).collectFirst {
+      case (v, dir) if v == base => dir.toString
+    }.getOrElse(throw new NoSuchElementException(
+      s"branchDiff('$name', '$branch'): fork base v$base is no longer " +
+        "retained (aged out of main history); Warehouse(root, retain = " +
+        "k) must outlast the audit window"))
+    diff(n(logical(baseDir)), n(logical(headDir)), keyCol)
+  }
+
   /** Durable consumer cursor: the last mirror version whose diff was
     * emitted into the view table.
     */

@@ -496,6 +496,7 @@ object ZoneMap {
     lazy val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     lazy val mode = if (spark.sessionState.conf.ansiEnabled) EvalMode.ANSI
       else EvalMode.LEGACY
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     keys.flatMap { v =>
       (v, keyType) match {
         case (l: java.lang.Long, LongType) => Some(l.longValue)
@@ -506,6 +507,21 @@ object ZoneMap {
           Some(org.apache.spark.unsafe.types.UTF8String.fromString(st))
         case (u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
           Some(u)
+        // timestamp/date keys (round-16 watch item: the Cast slow path
+        // cost ~250 µs/key — ~12 s at the probe cap for a
+        // timestamp-keyed table); external AND catalyst-internal
+        // runtime shapes both fast-path
+        case (t: java.sql.Timestamp, TimestampType) =>
+          Some(DateTimeUtils.fromJavaTimestamp(t))
+        case (i: java.time.Instant, TimestampType) =>
+          Some(DateTimeUtils.instantToMicros(i))
+        case (d: java.sql.Date, DateType) =>
+          Some(DateTimeUtils.fromJavaDate(d))
+        case (ld: java.time.LocalDate, DateType) =>
+          Some(DateTimeUtils.localDateToDays(ld))
+        // a bare Long/Integer under a time type is NOT fast-pathed: the
+        // Cast semantics there are seconds→micros / unsupported, not
+        // identity — the slow path keeps the scan-path contract exact
         case (null, _) => None
         case _ => Option(Cast(Literal.create(v), keyType, tz, mode).eval(null))
       }
@@ -592,6 +608,12 @@ object ZoneMap {
             XXH64.hashLong(l.longValue, 42L)
           case (i: java.lang.Integer, org.apache.spark.sql.types.IntegerType) =>
             XXH64.hashInt(i.intValue, 42L)
+          // post-cast time keys are internal micros/days — XxHash64's own
+          // dispatch for TimestampType/DateType is hashLong/hashInt
+          case (l: java.lang.Long, org.apache.spark.sql.types.TimestampType) =>
+            XXH64.hashLong(l.longValue, 42L)
+          case (i: java.lang.Integer, org.apache.spark.sql.types.DateType) =>
+            XXH64.hashInt(i.intValue, 42L)
           case (u: org.apache.spark.unsafe.types.UTF8String,
               org.apache.spark.sql.types.StringType) =>
             XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
@@ -605,24 +627,38 @@ object ZoneMap {
       .getInterpretedOrdering(keyType)
     val sortedKeys = catKeys.toIndexedSeq.sorted(ordering)
     val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
-    val plan: Seq[(String, Boolean)] = rows.toSeq.map { r =>
-      var idx = 1
-      val bloomKeep = if (hasBloom) {
-        val bits = r.get(idx).asInstanceOf[Array[Byte]]
-        val nh = r.getInt(idx + 1)
-        idx += 2
+    def probe(r: org.apache.spark.sql.Row): (String, Boolean) = {
+      val rangeIdx = if (hasBloom) 3 else 1
+      // CHEAP evidence first (round-16 watch item: at both caps the
+      // bloom probe is O(keys) bit tests PER FILE — 50k × 10k ≈ 500M —
+      // while the range probe is one binary search): a file the range
+      // already excludes never touches its bloom, and on a clustered
+      // table that is almost every file
+      val rangeKeep = if (hasMinMax && !bloomOnly) {
+        // range probe, keep-conservative: null stats survive
+        r.isNullAt(rangeIdx) || r.isNullAt(rangeIdx + 1) ||
+          anyKeyInRange(sortedKeys, ordering,
+            conv(r.get(rangeIdx)), conv(r.get(rangeIdx + 1)))
+      } else true
+      val bloomKeep = rangeKeep && (if (hasBloom) {
+        val bits = r.get(1).asInstanceOf[Array[Byte]]
+        val nh = r.getInt(2)
         // null/absent bits: keep-conservative (no evidence to skip on)
         bits == null ||
           hashes.exists(h => graft.functions.Bloom.mightContain(bits, h, nh))
-      } else true
-      val rangeKeep = if (hasMinMax && !bloomOnly) {
-        // range probe, keep-conservative: null stats survive
-        r.isNullAt(idx) || r.isNullAt(idx + 1) ||
-          anyKeyInRange(sortedKeys, ordering,
-            conv(r.get(idx)), conv(r.get(idx + 1)))
-      } else true
-      (r.getString(0), bloomKeep && rangeKeep)
+      } else true)
+      (r.getString(0), rangeKeep && bloomKeep)
     }
+    // parallelize past a work budget: the worst case (unclustered table,
+    // every file range-survives, no key present) is files × keys bloom
+    // bit tests on the driver — chunk it over the driver's cores
+    val work = rows.length.toLong * math.max(1L, hashes.length.toLong)
+    val plan: Seq[(String, Boolean)] =
+      if (work <= 4000000L) rows.toSeq.map(probe)
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        rows.toSeq.par.map(probe).seq
+      }
     if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
       logStale(dataPath)
       return None

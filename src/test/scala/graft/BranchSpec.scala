@@ -405,6 +405,53 @@ class BranchSpec extends SparkTestBase {
       Set(1L, 2L, 3L))
   }
 
+  test("branchDiff: the audit changelog equals exactly the DML the branch staged, through pending MOR sidecars") {
+    import graft.plans.MirrorChangelog
+    val root = tmpDir("branch-diff")
+    val wh = Warehouse(root, 8)
+    wh.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(2).localCheckpoint(true), "t")
+    Tables.TableProps.write(wh, "t", Map(
+      graft.sources.EqDeletes.ModeProp -> "merge-on-read",
+      graft.sources.EqDeletes.KeyProp -> "id"))
+    val cat = s"br${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    // a fresh fork diffs empty
+    assert(MirrorChangelog.branchDiff(spark, wh, "t", "fix", "id")
+      .count() == 0L, "base == head must diff empty")
+    onBranch("fix") {
+      Seq((11L, "new")).toDF("id", "s").createOrReplaceTempView(s"bd_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM bd_$seq")
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 3") // MOR sidecar
+      spark.sql(s"UPDATE $cat.t SET s = 'upd' WHERE id = 7") // delta
+    }
+    // the head still carries its sidecars — the diff reads THROUGH them
+    assert(graft.sources.EqDeletes.pending(
+      wh.branchSnapshotDir("t", "fix").toString).nonEmpty)
+    val d = MirrorChangelog.branchDiff(spark, wh, "t", "fix", "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"),
+        r.getAs[String](MirrorChangelog.ChangeTypeCol))).toSet
+    assert(d == Set(
+      (11L, "new", MirrorChangelog.Insert),
+      (3L, "v3", MirrorChangelog.Delete),
+      (7L, "v7", MirrorChangelog.UpdateBefore),
+      (7L, "upd", MirrorChangelog.UpdateAfter)),
+      s"audit diff must be exactly the staged DML, got $d")
+    // main is untouched; publishing applies exactly the diff
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == (1L to 10L).toSet)
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'fix')").collect()
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) ==
+      ((1L to 10L).toSet - 3L) + 11L)
+    // unknown branch refuses loudly
+    intercept[NoSuchElementException] {
+      MirrorChangelog.branchDiff(spark, wh, "t", "nope", "id")
+    }
+    ()
+  }
+
   /** Simulate fast_forward's crash window: journal written, pointer
     * swapped, promotion + final prop write never ran.
     */
