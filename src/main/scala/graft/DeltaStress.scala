@@ -197,6 +197,66 @@ object DeltaStress {
         s""""affected_files":$afAll}}}""")
     }
 
+    // POSITIONAL deletes (round-16 verdict item 4): a predicate DELETE
+    // whose matched set exceeds MaxKeys commits (file, ordinal)
+    // tombstones instead of a COW rewrite — commit bytes track the
+    // CHANGED rows (8 B per tombstone), not the surviving table. The
+    // same delete measured through both plans. Needs n comfortably past
+    // the MaxKeys trigger.
+    if (n > EqDeletes.MaxKeys * 3 / 2) {
+      def bigDelete(mor: Boolean): (Double, Long, Long) = {
+        val root = Files.createTempDirectory(
+          s"graft_dstress_pos_${if (mor) "mor" else "cow"}").toString
+        val wh = Warehouse(root, retain = 2)
+        val cat = s"dsp${if (mor) "m" else "c"}"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+        wh.overwrite(spark.range(n).select(col("id"),
+          (col("id") % 97).cast("double").as("v"),
+          concat(lit("payload-"), col("id")).as("s"))
+          .repartition(16), "t")
+        if (mor) Tables.TableProps.write(wh, "t", Map(
+          EqDeletes.ModeProp -> "merge-on-read",
+          EqDeletes.KeyProp -> "id"))
+        val matched = graft.sources.EqDeletes.MaxKeys + n / 10
+        val t0 = System.nanoTime()
+        spark.sql(s"DELETE FROM $cat.t WHERE id < $matched")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // commit footprint: bytes genuinely written into the new version
+        // (tombstone .pos arrays on the MOR path; rewritten parquet on
+        // COW — hard-linked carries excluded by their shared inode)
+        val snap = Paths.get(wh.snapshotPath("t"))
+        val prevInodes = {
+          val w = Files.walk(Paths.get(root))
+          try w.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              !p.startsWith(snap))
+            .map(p => Files.getAttribute(p, "unix:ino").toString).toSet
+          finally w.close()
+        }
+        val w = Files.walk(snap)
+        val bytes = try w.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filter(p => !prevInodes.contains(
+            Files.getAttribute(p, "unix:ino").toString))
+          .map(Files.size).sum
+        finally w.close()
+        val got = spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+        require(got == n - matched, s"want ${n - matched} rows, got $got")
+        if (mor) require(
+          graft.sources.PosDeletes.pending(wh.snapshotPath("t")).size == 1,
+          "the oversize matched set must route positionally")
+        Tables.deleteRecursively(Paths.get(root))
+        (sec, matched, bytes)
+      }
+      val (cowSec, matched, cowBytes) = bigDelete(mor = false)
+      val (posSec, _, posBytes) = bigDelete(mor = true)
+      println(s"""{"positional_delete":{"rows":$n,"matched":$matched,""" +
+        s""""cow":{"sec":${f"$cowSec%.2f"},"bytes_written":$cowBytes},""" +
+        s""""positional":{"sec":${f"$posSec%.2f"},"bytes_written":$posBytes}}}""")
+    }
+
     // keyedSurvivors PROBE COST at the caps (round-16 watch item): the
     // driver-side probe is O(files × keys) bloom bit tests at its worst
     // — 2048 manifest rows × the 50k key cap with every key IN RANGE but

@@ -167,7 +167,8 @@ object MaintenanceMain {
           .map(_.toInt).getOrElse(graft.sources.EqDeletes.DefaultFoldEvery)
         val pendingDeletes =
           if (graft.sources.EqDeletes.morEnabled(props))
-            graft.sources.EqDeletes.pending(wh.snapshotPath(table)).size
+            graft.sources.EqDeletes.pending(wh.snapshotPath(table)).size +
+              graft.sources.PosDeletes.pending(wh.snapshotPath(table)).size
           else 0
         val foldedNow = pendingDeletes >= foldEvery && foldEvery > 0 &&
           graft.sources.EqDeletes.fold(spark, wh, table)

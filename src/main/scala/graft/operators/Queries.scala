@@ -1471,6 +1471,72 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** POSITIONAL merge-on-read deletes under the oracle gate (q208,
+    * round-16 verdict item 4): `(file, row ordinal)` tombstones — the
+    * Iceberg v2 position-delete representation — carry the deletes an
+    * EQUALITY sidecar cannot: here, predicate matches that include
+    * NULL-key rows (every tenth event id is NULLed in the seed). Two
+    * stacked positional DELETEs commit O(changed) sidecars over
+    * hard-linked base files (the harness REQUIRES zero equality
+    * sidecars, zero data-file rewrites), the aggregate is taken with
+    * the tombstones pending (per-task ordinal probe through the plan
+    * split) and again after `CALL compact` folds them — both phases
+    * hash-equal the oracle's one closed-form model.
+    */
+  def q208PositionalDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, PosDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pd_q208")
+    val cat = s"gq208_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val seed = events(spark, dir)
+        .filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(
+          when(pmod(col("event_id"), lit(10)) === 0, lit(null))
+            .otherwise(col("event_id")).as("event_id"),
+          col("event_type"), col("value"))
+      wh.overwrite(seed.repartition(4).localCheckpoint(true), "ev")
+      // the EXPERT path (TableProps.write): the DDL guard would refuse
+      // declaring MOR over NULL keys — positional tombstones are
+      // precisely the representation that serves such rows
+      Tables.TableProps.write(wh, "ev", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "event_id"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      val vPre = wh.currentVersion("ev").get
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+      require(PosDeletes.pending(wh.snapshotPath("ev")).size == 1 &&
+        EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+        "a NULL-key match must commit a positional sidecar, never an " +
+          "equality one")
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'view'") // stacked
+      require(PosDeletes.pending(wh.snapshotPath("ev")).size == 2 &&
+        graft.plans.ZoneMap.dataFileCensus(spark, wh.snapshotPath("ev"))
+          .toSet == preFiles,
+        "stacked positional deletes must carry base files, not rewrite")
+      def agg(phase: String) = spark.sql(
+        s"""SELECT '$phase' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF $vPre)
+           |    AS n_pre_delete
+           |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      val pending = agg("pending").localCheckpoint(true)
+      spark.sql(s"CALL $cat.system.compact('ev', 4)").collect()
+      require(!EqDeletes.anyPending(wh.snapshotPath("ev")),
+        "compact must fold the positional tombstones")
+      pending.unionByName(agg("folded"))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -3310,6 +3376,27 @@ object Queries {
         |FROM finalv GROUP BY l_returnflag
         |ORDER BY phase, l_returnflag""".stripMargin,
 
+    // two stacked POSITIONAL deletes (clicks, then views — the seed
+    // NULLs every tenth event id, so equality sidecars cannot carry the
+    // match) reduce to plain predicate algebra — identical for the
+    // pending (per-task ordinal probe) and folded phases; the per-type
+    // counts prove the NULL-key rows deleted with their types
+    "q208_positional_delete" ->
+      """WITH finalv AS MATERIALIZED (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type NOT IN ('click', 'view'))
+        |SELECT 'folded' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_pre_delete
+        |FROM finalv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'pending', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |FROM finalv GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
     // the write-audit-publish lifecycle reduces to two models over the
     // raw rows: the staged phase (main's even half + the non-error odd
     // half, read through the branch) and the current phase (everything,
@@ -3864,6 +3951,7 @@ object Queries {
     "q203_branch_wap" -> (q203BranchWap _),
     "q204_mor_update_merge" -> (q204MorUpdateMerge _),
     "q207_mor_composite_key" -> (q207MorCompositeKey _),
+    "q208_positional_delete" -> (q208PositionalDelete _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -110,11 +110,8 @@ object MirrorChangelog {
     val headDir = wh.branchSnapshotDir(name, branch).toString
     val props = TableProps.read(wh, name)
     def logical(dir: String): DataFrame =
-      if (EqDeletes.pending(dir).nonEmpty)
-        EqDeletes.foldedRead(spark, dir, EqDeletes.keyColsOf(props)
-          .getOrElse(throw new IllegalStateException(
-            s"'$name' carries equality-delete sidecars but no " +
-              s"'${EqDeletes.KeyProp}'")))
+      if (EqDeletes.anyPending(dir))
+        EqDeletes.logicalMorRead(spark, dir, props)
       else SchemaEvolution.readTableWidened(spark, dir)
     val n = SchemaEvolution.normalize(_: DataFrame, wh, name)
     val baseDir = wh.publishedVersions(name).collectFirst {

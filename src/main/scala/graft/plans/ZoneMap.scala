@@ -333,10 +333,10 @@ object ZoneMap {
     // the raw fallback scan resurrects them — refuse loudly (the manifest
     // now survives pure-delete commits precisely because min/max/bloom
     // stay conservative; exact row counts do not)
-    require(graft.sources.EqDeletes.pending(dataPath).isEmpty,
-      s"countFast on $dataPath refused: pending equality-delete sidecars " +
-        "make both manifest row counts and raw scans overcount. CALL " +
-        "compact to fold them first")
+    require(!graft.sources.EqDeletes.anyPending(dataPath),
+      s"countFast on $dataPath refused: pending merge-on-read sidecars " +
+        "(equality or positional) make both manifest row counts and raw " +
+        "scans overcount. CALL compact to fold them first")
     val rowPred = bounds.map(_.rowPredicate).reduce(_ && _)
     def full = spark.read.parquet(dataPath).filter(rowPred).count()
     if (!hasManifest(spark, dataPath)) return full
@@ -430,9 +430,10 @@ object ZoneMap {
     // raw file reads would resurrect pending merge-on-read deletes —
     // the catalog scan (which probes sidecars) is the read path for
     // those snapshots; this selective-fetch API refuses them loudly
-    require(graft.sources.EqDeletes.pending(dataPath).isEmpty,
-      s"lookupRead on $dataPath refused: pending equality-delete " +
-        "sidecars would be ignored by the raw read. CALL compact first")
+    require(!graft.sources.EqDeletes.anyPending(dataPath),
+      s"lookupRead on $dataPath refused: pending merge-on-read " +
+        "sidecars (equality or positional) would be ignored by the raw " +
+        "read. CALL compact first")
     val table = spark.read.parquet(dataPath)
     val keyType = table.schema(keyCol).dataType
     val rowPred = col(keyCol).isin(keys: _*)

@@ -76,6 +76,15 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
       case _ => ()
     }
     plan.transformUp {
+      // POSITIONAL tombstones pending (round 17): the whole relation
+      // splices to [[GraftTable.posDeleteLogical]] — clean files
+      // vectorized, tombstoned files through the per-task ordinal probe,
+      // equality sidecars composed beneath
+      case rel: DataSourceV2Relation if !targets.contains(rel) &&
+          rel.table.isInstanceOf[GraftTable] &&
+          rel.table.asInstanceOf[GraftTable].posDeletePending.nonEmpty =>
+        SplitEqDeleteScans.spliceLogical(rel.output,
+          rel.table.asInstanceOf[GraftTable].posDeleteLogical().get)
       case rel: DataSourceV2Relation if !targets.contains(rel) &&
           rel.table.isInstanceOf[GraftTable] =>
         rel.table.asInstanceOf[GraftTable].eqDeleteSplit() match {
@@ -101,6 +110,23 @@ private[graft] object SplitEqDeleteScans extends Rule[LogicalPlan] {
           case None => rel
         }
     }
+  }
+
+  /** Splice a DataFrame's plan in place of a relation, preserving the
+    * relation's attribute ids for parent references. The OPTIMIZED plan
+    * is spliced (a nested, independent optimization — the subtree holds
+    * only stock V1 parquet relations, so no rule of ours re-enters):
+    * an analyzed plan still carries pre-optimizer nodes (ResolvedHint,
+    * Deduplicate) that the parent query's remaining batches would never
+    * replace when the splice happens mid- or post-optimization.
+    */
+  private[sources] def spliceLogical(
+      relOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      df: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val plan = df.queryExecution.optimizedPlan
+    Project(relOutput.zip(plan.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }, plan)
   }
 }
 
@@ -143,12 +169,21 @@ private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
     val hasSplittable = plan.exists {
       case r: DataSourceV2ScanRelation => r.scan match {
         case s: EqDeleteScan => s.splitSpec.isDefined
+        case _: PosDeletePendingScan => true
         case _ => false
       }
       case _ => false
     }
     if (!hasSplittable) return plan
     plan.transformUp {
+      // POSITIONAL tombstones: the marker scan from an un-extended
+      // session's pushdown — splice the logical read (the pre-pushdown
+      // rule does the same when GraftExtensions is loaded)
+      case r: DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[PosDeletePendingScan] =>
+        SplitEqDeleteScans.spliceLogical(r.output,
+          r.scan.asInstanceOf[PosDeletePendingScan].table
+            .posDeleteLogical().get)
       case r: DataSourceV2ScanRelation
           if r.relation.table.isInstanceOf[GraftTable] &&
             r.scan.isInstanceOf[EqDeleteScan] &&
@@ -184,6 +219,29 @@ private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
         }, union)
     }
   }
+}
+
+/** Marker scan for a snapshot with pending POSITIONAL deletes
+  * ([[PosDeletes]]): pushdown produces it, and one of the split rules
+  * (pre-pushdown via GraftExtensions, post-pushdown via the catalog's
+  * extraOptimizations registration) splices the logical tombstone-probe
+  * read in its place BEFORE execution. Reaching toBatch means a session
+  * carries neither rule — refuse loudly rather than resurrect
+  * tombstoned rows through a raw scan.
+  */
+private[sources] class PosDeletePendingScan(
+    private[sources] val table: GraftTable)
+  extends org.apache.spark.sql.connector.read.Scan {
+  override def readSchema(): StructType = table.schema()
+  override def description(): String =
+    s"PosDeletePendingScan(${table.name()})"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalStateException(
+      s"'${table.name()}' carries pending POSITIONAL delete sidecars " +
+        "and this session has neither graft.GraftExtensions nor the " +
+        "catalog-registered plan rewrite — a raw scan would resurrect " +
+        "tombstoned rows. Register the catalog (or the extension), or " +
+        "CALL <catalog>.system.compact to fold the sidecars")
 }
 
 /** The affected-files-only face of a pending-sidecar snapshot: reads plan

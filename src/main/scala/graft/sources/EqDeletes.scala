@@ -187,6 +187,30 @@ private[graft] object EqDeletes {
         .getOrElse(all)
     }
 
+  /** Any pending merge-on-read sidecar — equality OR positional
+    * ([[PosDeletes]]): the gate every raw-read/rewrite path checks.
+    */
+  def anyPending(snapshotDir: String): Boolean =
+    pending(snapshotDir).nonEmpty ||
+      PosDeletes.pending(snapshotDir).nonEmpty
+
+  /** The snapshot's LOGICAL content through BOTH sidecar kinds —
+    * positional tombstones probed per task, equality sidecars applied
+    * census-scoped. The one read every DML matching / folded fallback
+    * path shares.
+    */
+  def logicalMorRead(spark: SparkSession, snapshotDir: String,
+      props: Map[String, String]): DataFrame =
+    if (PosDeletes.pending(snapshotDir).nonEmpty)
+      PosDeletes.logicalRead(spark, snapshotDir,
+        SchemaEvolution.readTableWidened(spark, snapshotDir).schema,
+        keyColsOf(props))
+    else keyColsOf(props) match {
+      case Some(ks) if pending(snapshotDir).nonEmpty =>
+        foldedRead(spark, snapshotDir, ks)
+      case _ => SchemaEvolution.readTableWidened(spark, snapshotDir)
+    }
+
   /** Pending sidecars of a snapshot dir, oldest first. */
   def pending(snapshotDir: String): Seq[Sidecar] = {
     val root = Paths.get(snapshotDir, Dir)
@@ -262,30 +286,30 @@ private[graft] object EqDeletes {
   private[graft] var beforeFoldCommit: () => Unit = () => ()
 
   def fold(spark: SparkSession, wh: Warehouse, table: String): Boolean = {
-    if (pending(wh.snapshotPath(table)).isEmpty) return false
-    val keyCols = keyColsOf(TableProps.read(wh, table)).getOrElse(
-      throw new IllegalStateException(
-        s"'$table' has pending equality deletes but no '$KeyProp'"))
+    if (!anyPending(wh.snapshotPath(table))) return false
+    val props = TableProps.read(wh, table)
+    val keyColsOpt = keyColsOf(props)
+    require(pending(wh.snapshotPath(table)).isEmpty || keyColsOpt.isDefined,
+      s"'$table' has pending equality deletes but no '$KeyProp'")
     wh.retryingConflicts() {
       val expect = wh.currentVersion(table)
       val snap = wh.snapshotPath(table)
       val sidecars = pending(snap)
-      if (sidecars.nonEmpty) {
+      val posDirs = PosDeletes.pending(snap)
+      if (sidecars.nonEmpty || posDirs.nonEmpty) {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+        // a file folds when ANY sidecar kind touches it: named in an
+        // equality census, or carrying positional tombstones
+        val posAffected = PosDeletes.affectedFiles(snap)
         val groups = bySignature(all, sidecars)
-        val untouched = groups.collect { case (fs, a) if a.isEmpty => fs }.flatten
-        val affected = groups.filter(_._2.nonEmpty)
+        val untouched = groups.collect { case (fs, a) if a.isEmpty => fs }
+          .flatten.filterNot(posAffected)
+        val affected = all.filterNot(untouched.toSet)
         val schema = SchemaEvolution.readTableWidened(spark, snap).schema
-        val survivors = affected.map { case (files, applicable) =>
-          val df = spark.read.schema(schema)
-            .parquet(files.map(f => s"$snap/$f"): _*)
-          applicable.foldLeft(df) { (acc, sc) =>
-            acc.join(broadcast(spark.read.parquet(sc.keysPath)
-              .toDF(keyCols: _*).dropDuplicates(keyCols)),
-              keyCols, "left_anti")
-          }
-        }.reduceOption(_.unionByName(_, allowMissingColumns = true))
-          .map(_.localCheckpoint(true))
+        val survivors =
+          if (affected.isEmpty) None
+          else Some(PosDeletes.logicalRead(spark, snap, schema, keyColsOpt,
+            filesSubset = Some(affected)).localCheckpoint(true))
         val markers = Tables.readRootMarkers(snap)
         beforeFoldCommit()
         wh.commit(table, expectCurrent = expect) { staged =>
@@ -300,7 +324,8 @@ private[graft] object EqDeletes {
               schema).repartition(1).write
               .mode(SaveMode.Append).parquet(staged)
           Tables.writeRootMarkers(markers, staged)
-          // no _zonemap carry: rewritten names invalidate the census
+          // neither sidecar kind carries (the fold consumed them); no
+          // _zonemap carry: rewritten names invalidate the census
         }
       }
     }

@@ -557,11 +557,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // deleted key on the next read of that snapshot
         require(r.property != EqDeletes.ModeProp ||
           wh.publishedVersions(t).forall { case (_, dir) =>
-            EqDeletes.pending(dir.toString).isEmpty
+            !EqDeletes.anyPending(dir.toString)
           },
-          s"'$t' has equality-delete sidecars in retained history; CALL " +
-            s"$catalogName.system.compact('$t') and expire the " +
-            s"sidecar-bearing snapshots before unsetting ${EqDeletes.ModeProp}")
+          s"'$t' has merge-on-read sidecars (equality or positional) in " +
+            s"retained history; CALL $catalogName.system.compact('$t') " +
+            "and expire the sidecar-bearing snapshots before unsetting " +
+            s"${EqDeletes.ModeProp}")
         TableProps.write(wh, t, TableProps.read(wh, t) - r.property)
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames.length == 1,
@@ -690,8 +691,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def rewriteNormalized(t: String): Unit =
     wh.retryingConflicts(maxAttempts = 10) {
       val expected = wh.currentVersion(t)
-      require(EqDeletes.pending(wh.snapshotPath(t)).isEmpty,
-        s"'$t' has pending equality deletes; CALL " +
+      require(!EqDeletes.anyPending(wh.snapshotPath(t)),
+        s"'$t' has pending merge-on-read sidecars; CALL " +
           s"$catalogName.system.compact('$t') before ALTER")
       val markers = Tables.readRootMarkers(wh.snapshotPath(t))
       val normalized = SchemaEvolution.normalize(
@@ -797,8 +798,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // the target still absent at publish, or two concurrent first
         // merges are last-wins (advice finding)
         val targetExists = wh.exists(target)
-        require(EqDeletes.pending(wh.snapshotPath(target)).isEmpty,
-          s"'$target' has pending equality deletes; CALL " +
+        require(!EqDeletes.anyPending(wh.snapshotPath(target)),
+          s"'$target' has pending merge-on-read sidecars; CALL " +
             s"$catalogName.system.compact('$target') before merging")
         val changes = wh.read(spark, source, mergeSchema = true)
         val stored =
@@ -1282,6 +1283,23 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         s"'$tableName' has pending equality deletes but no " +
           s"'${EqDeletes.KeyProp}'"))
 
+  /** Pending POSITIONAL delete sidecars ([[PosDeletes]]) of the served
+    * snapshot — gated on the MOR prop like [[eqDeletePending]].
+    */
+  private[sources] def posDeletePending: Seq[java.nio.file.Path] =
+    if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
+    else PosDeletes.pending(delegate.paths.head)
+
+  /** The LOGICAL read of a posdelete-bearing snapshot (tombstones probed
+    * per task, equality sidecars composed) — the plan the split rules
+    * splice in place of this table's relation.
+    */
+  private[sources] def posDeleteLogical(): Option[DataFrame] =
+    if (posDeletePending.isEmpty) None
+    else Some(PosDeletes.logicalRead(SparkSession.active,
+      delegate.paths.head, delegate.schema,
+      EqDeletes.keyColsOf(TableProps.read(wh, tableName))))
+
   /** The [[SplitEqDeleteScans]] seam: when sidecars pend AND the census
     * splits into both unaffected and affected files, return
     * (unaffectedFiles, affectedFiles, sidecars, keyCols, snapshotDir) so
@@ -1304,6 +1322,16 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // PENDING positional deletes read through the LOGICAL rewrite (the
+    // split rules splice [[posDeleteLogical]] in place of this
+    // relation); the marker scan below exists so a session that somehow
+    // carries NEITHER rule fails loudly instead of resurrecting
+    // tombstoned rows through a raw scan
+    if (posDeletePending.nonEmpty)
+      return new ScanBuilder {
+        override def build(): Scan =
+          new PosDeletePendingScan(GraftTable.this)
+      }
     // PENDING equality deletes (merge-on-read DELETE sidecars) fold at
     // read time — unconditional on session wiring, same discipline as
     // hidden-day pruning (time-partitioned tables never carry sidecars,
@@ -1482,9 +1510,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       val headDir = wh.branchSnapshotDir(tableName, branch)
       val head = headDir.toString
       val base =
-        if (EqDeletes.pending(head).nonEmpty)
-          EqDeletes.foldedRead(spark, head,
-            EqDeletes.keyColsOf(props).get)
+        if (EqDeletes.anyPending(head))
+          EqDeletes.logicalMorRead(spark, head, props)
         else SchemaEvolution.readTableWidened(spark, head)
       val sidecarSettled = morKeys.exists { ks =>
         val matchedRows = base.filter(coalesce(pred, lit(false)))
@@ -1519,7 +1546,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         // matched-nothing predicate commits nothing
         val census = graft.plans.ZoneMap.dataFileCensus(spark, head)
         val affectedOpt =
-          if (EqDeletes.pending(head).nonEmpty ||
+          if (EqDeletes.anyPending(head) ||
               census.exists(_.contains("/"))) None
           else GraftTable.selectCowGroups(spark, head, filters)
             .filter(_.size < census.size)
@@ -1576,7 +1603,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   private def morDelete(filters: Array[Filter]): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val spark = SparkSession.active
-    val keyCols = EqDeletes.keyColsOf(TableProps.read(wh, tableName))
+    val props = TableProps.read(wh, tableName)
+    val keyCols = EqDeletes.keyColsOf(props)
       .getOrElse(throw new UnsupportedOperationException(
         s"'$tableName' declares ${EqDeletes.ModeProp}=merge-on-read but " +
           s"no ${EqDeletes.KeyProp}: equality deletes identify rows by " +
@@ -1590,23 +1618,26 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           s"merge-on-read DELETE needs '$tableName' in the versioned " +
             "pointer layout"))
       val snap = wh.snapshotPath(tableName)
-      // match against the FOLDED view: earlier pending deletes respected
-      val matchedRows = EqDeletes.foldedRead(spark, snap, keyCols)
+      // match against the LOGICAL view: earlier pending deletes (both
+      // sidecar kinds) respected
+      val matchedRows = EqDeletes.logicalMorRead(spark, snap, props)
         .filter(coalesce(pred, lit(false)))
         .select(keyCols.map(col): _*).localCheckpoint(true)
       // a matched row with a NULL key (any component) cannot be
       // identified by an equality-delete sidecar (the reader filter
-      // deliberately keeps null-key rows) — retaining it would silently
-      // diverge from the COW result for the same predicate; COW is the
-      // honest plan
+      // deliberately keeps null-key rows), and a matched set past
+      // MaxKeys stops being a broadcastable fold side — both route to
+      // the POSITIONAL sidecar ([[PosDeletes]]): (file, ordinal)
+      // tombstones keep the commit O(changed) where the old fallback
+      // paid a COW rewrite of the table
       val anyNull = keyCols.map(c => col(c).isNull).reduce(_ || _)
       val nullMatched = matchedRows.filter(anyNull).count()
       val matched = matchedRows.filter(!anyNull)
         .dropDuplicates(keyCols)
       val n = matched.count()
-      if (nullMatched > 0) applied = false // NULL keys: COW deletes them
+      if (nullMatched > 0 || n > EqDeletes.MaxKeys)
+        applied = posDelete(spark, snap, expected, pred)
       else if (n == 0) applied = true // nothing matched: delete is a no-op
-      else if (n > EqDeletes.MaxKeys) applied = false // COW is the plan
       else {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
         // CENSUS NARROWING (round-15 verdict item 1, round-16 footer
@@ -1633,6 +1664,39 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     applied
   }
 
+  /** POSITIONAL-delete commit (Iceberg v2 position deletes — round 17):
+    * the matched rows' `(file, row ordinal)` tombstones land as one
+    * [[PosDeletes]] sidecar over hard-linked base files — O(changed)
+    * commit bytes for the two shapes an equality sidecar cannot carry
+    * (matched set past MaxKeys; NULL key components). Positions come
+    * from a RAW scan of the census files (parquet's native
+    * `_metadata.row_index`): a row already hidden by a pending sidecar
+    * that matches the predicate is re-tombstoned harmlessly. Returns
+    * false (→ the COW rewrite) on a nested (bucketed) layout, whose
+    * file names the flat ordinal keying cannot address.
+    */
+  private def posDelete(spark: SparkSession, snap: String, expected: Long,
+      pred: org.apache.spark.sql.Column): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
+    if (all.exists(_.contains("/"))) return false // nested: COW owns it
+    val schema = SchemaEvolution.readTableWidened(spark, snap).schema
+    val positions = spark.read.schema(schema)
+      .parquet(all.map(f => s"$snap/$f"): _*)
+      .filter(coalesce(pred, lit(false)))
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
+        col("_metadata.row_index").as("pos"))
+    wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
+      wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
+      // the zone-map manifest CARRIES (no file names change; min/max/
+      // bloom stay conservative) — countFast refuses sidecar-bearing
+      // snapshots, same contract as the equality path
+      PosDeletes.write(spark, staged, positions)
+    }
+    true
+  }
+
   /** Copy-on-write DELETE (the default): survivors rewrite as a new
     * version behind the commit CAS.
     */
@@ -1657,7 +1721,7 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // Keep-conservative: an unbounded predicate, a stale/missing
       // manifest, pending sidecars (the folded read below owns those),
       // or a nested (bucketed) layout all fall back to the full rewrite.
-      val sidecarsPending = EqDeletes.pending(snap).nonEmpty
+      val sidecarsPending = EqDeletes.anyPending(snap)
       val census =
         if (sidecarsPending) Nil
         else graft.plans.ZoneMap.dataFileCensus(spark, snap)
@@ -1692,8 +1756,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           // deleted keys
           val base =
             if (sidecarsPending)
-              EqDeletes.foldedRead(spark, snap,
-                EqDeletes.keyColsOf(TableProps.read(wh, tableName)).get)
+              EqDeletes.logicalMorRead(spark, snap,
+                TableProps.read(wh, tableName))
             else SchemaEvolution.readTableWidened(spark, snap)
           val survivors = base.filter(not(coalesce(pred, lit(false))))
           wh.commit(tableName, expectCurrent = expected) { staged =>
@@ -1757,6 +1821,15 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             "by the table's key"))
       val deltaExpected = wh.currentVersion(tableName)
       val pinned = branchCtx.map(_._3).getOrElse(delegate.paths.head)
+      // POSITIONAL tombstones pending: the delta scan kinds below read
+      // raw files (equality sidecars apply per row; ordinals do not) —
+      // a delta write over a pos-bearing snapshot would treat tombstoned
+      // rows as live. Fold first, loudly (positional sidecars come from
+      // huge deletes; a fold was due anyway).
+      require(PosDeletes.pending(pinned).isEmpty,
+        s"'$tableName' has pending POSITIONAL delete sidecars; CALL " +
+          s"<catalog>.system.compact('$tableName') to fold them " +
+          s"before a delta ${info.command}")
       // expert-path defense (TableProps.write bypasses the DDL guard):
       // a NULL key under the required-key schema corrupts silently, so
       // verify the pinned snapshot before planning — footer-stat cheap,
@@ -1812,10 +1885,10 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     // An eager throw here would refuse the stacked merge-on-read
     // DELETE that never touches this scan.
     val cowPinned = branchCtx.map(_._3).getOrElse(delegate.paths.head)
-    val morPending = EqDeletes.pending(cowPinned).nonEmpty
+    val morPending = EqDeletes.anyPending(cowPinned)
     def refusePending(): Unit = require(!morPending,
-      s"'$tableName' has pending equality deletes (merge-on-read " +
-        s"DELETE sidecars); CALL <catalog>.system.compact('$tableName') " +
+      s"'$tableName' has pending merge-on-read sidecars (equality or " +
+        s"positional); CALL <catalog>.system.compact('$tableName') " +
         "to fold them before a group-based rewrite")
     if (info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
       refusePending()

@@ -837,6 +837,11 @@ object Tables {
           }
         } else if (fn == EqDeletes.Dir && Files.isDirectory(p))
           carryTree(p, staged.resolve(EqDeletes.Dir))
+        else if (fn == PosDeletes.Dir && Files.isDirectory(p))
+          // positional tombstones are snapshot content exactly like the
+          // equality sidecars: data files carry under their own names,
+          // so every (file, ordinal) stays valid
+          carryTree(p, staged.resolve(PosDeletes.Dir))
         else if (fn.startsWith("_") && fn != "_SUCCESS" &&
             fn != PublishedMarker && fn != BranchMarker &&
             Files.isRegularFile(p))

@@ -185,7 +185,7 @@ class EqDeletesSpec extends SparkTestBase {
       graft.plans.ZoneMap.countFast(spark, wh.snapshotPath("t"),
         Seq(graft.plans.ZoneMap.Bound("id", Some(0L), Some(100L))))
     }
-    assert(e.getMessage.contains("pending equality-delete"), e.getMessage)
+    assert(e.getMessage.contains("pending merge-on-read sidecars"), e.getMessage)
     val before = visible(cat)
     spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
     assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty)
@@ -233,14 +233,30 @@ class EqDeletesSpec extends SparkTestBase {
     val cat = s"eqd${seq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    val preFiles = dataFiles(wh.snapshotPath("t"))
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
-    // no sidecar can identify a NULL-key row — the engine must have
-    // taken the COW path and deleted BOTH matched rows, like COW would
-    assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty,
-      "NULL-key match must fall back to copy-on-write")
+    // no EQUALITY sidecar can identify a NULL-key row — round 17 routes
+    // the match to a POSITIONAL sidecar ((file, ordinal) tombstones):
+    // both matched rows delete, base files still carry by name
+    val snap = wh.snapshotPath("t")
+    assert(EqDeletes.pending(snap).isEmpty,
+      "a NULL-key match must never ride an equality sidecar")
+    assert(graft.sources.PosDeletes.pending(snap).size == 1,
+      "NULL-key match routes to the positional sidecar")
+    assert(dataFiles(snap) == preFiles,
+      "a positional delete must not rewrite data files")
     val got = spark.sql(s"SELECT grp, v FROM $cat.t").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(got == Set(("keep", 1.0), ("keep", 4.0)))
+    // count + filtered reads agree through the tombstone probe
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'del'")
+      .head.getLong(0) == 0L)
+    // fold: the tombstoned files rewrite, pending empties, rows exact
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(graft.sources.PosDeletes.pending(wh.snapshotPath("t")).isEmpty)
+    assert(spark.sql(s"SELECT grp, v FROM $cat.t").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet == got)
   }
 
   test("a no-op delete and a no-op update commit nothing (no version bump)") {
@@ -392,22 +408,97 @@ class EqDeletesSpec extends SparkTestBase {
     assert(visible(cat) == expectBranch)
   }
 
-  test("a matched set past MaxKeys falls back to the COW rewrite") {
+  test("a matched set past MaxKeys commits a POSITIONAL sidecar: O(changed) bytes, base files carried, fold restores the plain snapshot") {
+    import graft.sources.PosDeletes
     val root = tmpDir("eqdel-max")
     val wh = Warehouse(root, retain = 4)
     val n = EqDeletes.MaxKeys + 100000L
-    wh.overwrite(spark.range(n).selectExpr("id", "id % 7 AS grp"), "big")
+    wh.overwrite(spark.range(n).selectExpr("id", "id % 7 AS grp")
+      .repartition(4), "big")
     TableProps.write(wh, "big", Map(
       EqDeletes.ModeProp -> "merge-on-read", EqDeletes.KeyProp -> "id"))
     val cat = s"eqd${seq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
-    // > MaxKeys matched ids: the sidecar would stop being "small side"
+    val preFiles = dataFiles(wh.snapshotPath("big"))
+    // > MaxKeys matched ids: enumerated keys would stop being a
+    // broadcastable fold side — (file, ordinal) tombstones take over
+    // (Iceberg's position-delete file; round-16 verdict item 4)
     spark.sql(s"DELETE FROM $cat.big WHERE id < ${EqDeletes.MaxKeys + 1}")
-    assert(EqDeletes.pending(wh.snapshotPath("big")).isEmpty,
-      "past MaxKeys the rewrite IS the plan")
+    val snap = wh.snapshotPath("big")
+    assert(EqDeletes.pending(snap).isEmpty,
+      "past MaxKeys the keys never enumerate into an equality sidecar")
+    assert(PosDeletes.pending(snap).size == 1,
+      "past MaxKeys the positional sidecar IS the plan")
+    assert(dataFiles(snap) == preFiles,
+      "the positional commit must carry base files, not rewrite them")
+    val expect = n - EqDeletes.MaxKeys - 1
     assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
-      n - EqDeletes.MaxKeys - 1)
+      expect)
+    // filters + projections work through the probe; tombstoned rows are
+    // invisible to every predicate
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.big WHERE id <= ${EqDeletes.MaxKeys}")
+      .head.getLong(0) == 0L)
+    // a new INSERT lands outside every tombstone's file
+    spark.range(5).selectExpr("id", "id % 7 AS grp")
+      .createOrReplaceTempView(s"pins_$cat")
+    spark.sql(s"INSERT INTO $cat.big SELECT * FROM pins_$cat")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
+      expect + 5)
+    // fold consumes the tombstones: plain snapshot, same answer
+    spark.sql(s"CALL $cat.system.compact('big', 4)").collect()
+    assert(PosDeletes.pending(wh.snapshotPath("big")).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
+      expect + 5)
+  }
+
+  test("positional tombstones stack over pending equality sidecars; time travel keeps every phase; delta writes refuse until folded") {
+    import graft.sources.PosDeletes
+    val (cat, wh) = morFixture(base)
+    // phase 1: a normal equality sidecar
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    val v1 = wh.currentVersion("t").get
+    // phase 2: a NULL-free match that ROUTES positionally (force the
+    // positional path via a null-key row so the fallback triggers)
+    wh.appendVersioned(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        null, "null-grp", 777.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .localCheckpoint(true), "t")
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'null-grp' OR v = 1.0")
+    val snap = wh.snapshotPath("t")
+    assert(EqDeletes.pending(snap).size == 1, "the eq sidecar carried")
+    assert(PosDeletes.pending(snap).size == 1, "the pos sidecar stacked")
+    val expect = base.filterNot(_._2 == "del").filterNot(_._3 == 1.0).toSet
+    assert(visible(cat) == expect)
+    // time travel: the eq-only snapshot still serves its own view
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF $v1").head.getLong(0) ==
+      base.count(_._2 != "del").toLong)
+    // a delta UPDATE over pending POSITIONAL tombstones refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE grp = 'keep'")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("POSITIONAL"), msg.take(300))
+    // fold consumes BOTH kinds in one commit
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(!EqDeletes.anyPending(wh.snapshotPath("t")))
+    assert(visible(cat) == expect)
+    // and the delta write works again
+    spark.sql(s"UPDATE $cat.t SET v = v + 0.5 WHERE v = 2.0")
+    assert(visible(cat) == expect.map {
+      case (i, g, 2.0) => (i, g, 2.5)
+      case r => r
+    })
   }
 
   test("WAP DML routing: MOR MERGE and sidecar DELETE commit deltas to the branch head; main pinned; fast_forward publishes") {
@@ -675,7 +766,7 @@ class EqDeletesSpec extends SparkTestBase {
     assert(visibleComp(cat) == model)
   }
 
-  test("COMPOSITE-key NULL in ONE component: DELETE falls back to COW (parity), delta UPDATE refuses loudly") {
+  test("COMPOSITE-key NULL in ONE component: DELETE routes to the positional sidecar, delta UPDATE refuses loudly") {
     val root = tmpDir("eqdel-compnull")
     val wh = Warehouse(root, retain = 8)
     import org.apache.spark.sql.types._
@@ -693,10 +784,14 @@ class EqDeletesSpec extends SparkTestBase {
     val cat = s"eqd${seq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
-    // DELETE matching the null-component row: COW fallback still deletes
+    // DELETE matching the null-component row: routes to the POSITIONAL
+    // sidecar (an equality sidecar cannot identify it), still deletes
     spark.sql(s"DELETE FROM $cat.t WHERE v = 2.0")
     assert(EqDeletes.pending(wh.snapshotPath("t")).isEmpty,
-      "a NULL key component cannot ride a sidecar — COW rewrote instead")
+      "a NULL key component cannot ride an equality sidecar")
+    assert(graft.sources.PosDeletes.pending(wh.snapshotPath("t")).size == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1L)
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1L)
     // re-seed a null-component row (direct append — the expert path the
     // DDL guard cannot see); a delta UPDATE matching it refuses loudly
