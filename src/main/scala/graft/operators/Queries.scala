@@ -1399,7 +1399,7 @@ object Queries {
       val raw = t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_returnflag"))
-      val li = keyed(raw.filter(pmod(col("l_orderkey"), lit(4)) === 0))
+      val li = keyed(raw.filter(pmod(col("l_orderkey"), lit(8)) === 0))
         .localCheckpoint(true)
       wh.overwrite(li.repartition(4).localCheckpoint(true), "li")
       Tables.TableProps.write(wh, "li", Map(
@@ -1426,7 +1426,7 @@ object Queries {
         "the sidecar key frame must carry the full compound key")
       // re-insert HALF the deleted pairs (orderkey % 8 == 0) restamped:
       // their file lands outside the census, so the tuples stay visible
-      li.filter(pmod(col("l_orderkey"), lit(8)) === 0 &&
+      li.filter(pmod(col("l_orderkey"), lit(16)) === 0 &&
           col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_quantity") + 1000).as("l_quantity"),
@@ -1435,10 +1435,10 @@ object Queries {
       spark.sql(s"INSERT INTO $cat.li SELECT * FROM restored_$cat")
       // delta MERGE keyed on BOTH columns, stacking over the pending
       // sidecar: matched 'N' lines get +100 quantity, the (keyed)
-      // orderkey%4==2 slice — outside the table — inserts
+      // orderkey%20==2 slice — outside the table — inserts
       li.filter(col("l_returnflag") === "N")
         .unionByName(keyed(
-          raw.filter(pmod(col("l_orderkey"), lit(4)) === 2)))
+          raw.filter(pmod(col("l_orderkey"), lit(20)) === 2)))
         .createOrReplaceTempView(s"cmsrc_$cat")
       spark.sql(
         s"""MERGE INTO $cat.li t USING cmsrc_$cat s
@@ -3348,11 +3348,11 @@ object Queries {
       """WITH seed AS MATERIALIZED (
         |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity,
         |    min(l_returnflag) AS l_returnflag
-        |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1, 2),
         |ins AS MATERIALIZED (
         |  SELECT min(l_quantity) AS l_quantity,
         |    min(l_returnflag) AS l_returnflag
-        |  FROM lineitem WHERE l_orderkey % 4 = 2
+        |  FROM lineitem WHERE l_orderkey % 20 = 2
         |  GROUP BY l_orderkey, l_linenumber),
         |finalv AS MATERIALIZED (
         |  SELECT l_returnflag,
@@ -3361,7 +3361,7 @@ object Queries {
         |  FROM seed WHERE l_returnflag <> 'R'
         |  UNION ALL
         |  SELECT 'X' AS l_returnflag, l_quantity + 1000 FROM seed
-        |  WHERE l_orderkey % 8 = 0 AND l_returnflag = 'R'
+        |  WHERE l_orderkey % 16 = 0 AND l_returnflag = 'R'
         |  UNION ALL
         |  SELECT l_returnflag, l_quantity FROM ins)
         |SELECT 'folded' AS phase, l_returnflag, count(*) AS n_rows,

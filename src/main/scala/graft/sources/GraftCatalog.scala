@@ -1177,13 +1177,17 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   with org.apache.spark.sql.GraftV1FallbackTable {
 
   override def name(): String = tableName
-  /** A merge-on-read table's key column reports REQUIRED (the Iceberg
+  /** A merge-on-read table's key column(s) report REQUIRED (the Iceberg
     * identifier-field contract): every row-identity mechanism — the
     * equality-delete sidecars and Spark's delta-write rowId validation
     * (`NULLABLE_ROW_ID_ATTRIBUTES`) — is undefined for NULL keys. Data
-    * violating the declaration still cannot corrupt silently: morDelete
-    * falls back to COW on matched NULL keys and the delta writer
-    * refuses them loudly.
+    * violating the declaration (the expert TableProps path; the DDL
+    * guard refuses it) still cannot corrupt silently: morDelete routes
+    * NULL-key matches to POSITIONAL tombstones (the remedial tool —
+    * "delete the NULL-key rows" works) and the delta writer refuses
+    * them loudly. Known limit of the violated state: Catalyst trusts
+    * the declared non-nullability, so `count(key)` / `key IS NULL`
+    * constant-fold over the violating rows until they are repaired.
     */
   override def schema(): StructType = {
     val base = delegate.schema
