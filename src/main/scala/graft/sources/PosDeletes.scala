@@ -80,14 +80,19 @@ private[graft] object PosDeletes {
       .sortWithinPartitions("file", "pos")
       .mapPartitions { rows =>
         // rows arrive grouped by file and sorted by pos; stream each
-        // file's ordinals straight into its .pos array
+        // file's ordinals straight into its .pos array. The tmp name is
+        // ATTEMPT-unique (a speculative/retried task racing the same
+        // partition must never interleave into one tmp); the landing
+        // move is atomic-replace and the content deterministic, so
+        // whichever attempt lands last is byte-identical.
+        val attempt = java.util.UUID.randomUUID().toString
         var current: String = null
         var out: java.io.DataOutputStream = null
         var n = 0L
+        def tmpOf(f: String) = Paths.get(dir, s".$f.pos.$attempt.tmp")
         def close(): Unit = if (out != null) {
           out.close()
-          val tmp = Paths.get(dir, s".$current.pos.tmp")
-          Files.move(tmp, Paths.get(dir, s"$current.pos"),
+          Files.move(tmpOf(current), Paths.get(dir, s"$current.pos"),
             StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
           out = null
@@ -99,7 +104,7 @@ private[graft] object PosDeletes {
             current = f
             out = new java.io.DataOutputStream(
               new java.io.BufferedOutputStream(
-                Files.newOutputStream(Paths.get(dir, s".$current.pos.tmp"))))
+                Files.newOutputStream(tmpOf(current))))
           }
           out.writeLong(r.getLong(1))
           n += 1
@@ -122,8 +127,15 @@ private[graft] object PosDeletes {
   private val posCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private[sources] def clearPosCache(): Unit = posCache.clear()
+  /** Entry bound: folded sidecars leave stale entries behind on
+    * long-lived executors — past it, start over rather than grow
+    * forever (the keySetCache discipline; a cleared live entry just
+    * re-reads its .pos file).
+    */
+  private val MaxCachedEntries = 1024
 
-  private def ordinalsOf(sidecarDir: String, file: String): Array[Long] =
+  private def ordinalsOf(sidecarDir: String, file: String): Array[Long] = {
+    if (posCache.size > MaxCachedEntries) posCache.clear()
     posCache.computeIfAbsent(s"$sidecarDir/$file", { _ =>
       val p = Paths.get(sidecarDir, s"$file.pos")
       if (!Files.exists(p)) Array.emptyLongArray
@@ -136,6 +148,7 @@ private[graft] object PosDeletes {
         out // written sorted
       }
     })
+  }
 
   private def deletedAt(sidecarDirs: Seq[String], file: String,
       pos: Long): Boolean =
