@@ -42,7 +42,7 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
   }
 
   protected def run(seed: Int, withEvolution: Boolean = false,
-      mor: Boolean = false): Unit = {
+      mor: Boolean = false, keyCols: String = "id"): Unit = {
     val rng = new Random(seed)
     val root = tmpDir(s"sqlw-fuzz-$seed")
     val wh = Warehouse(root, retain = 4)
@@ -68,8 +68,12 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
     // MOR mode: translatable deletes become equality-delete sidecars;
     // every read between a delete and the next compact exercises the
     // per-signature sidecar scan against the model
+    // COMPOSITE keys (round 17): 'id,grp' — an UPDATE that rewrites grp
+    // CHANGES the row's identity, so the delta write must delete the OLD
+    // tuple and reinsert under the new one; the model (keyed by the
+    // still-unique id) is blind to the mechanism and catches any drift
     if (mor) spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
-      "'write.delete.mode'='merge-on-read', 'cdc.key-column'='id')")
+      s"'write.delete.mode'='merge-on-read', 'cdc.key-column'='$keyCols')")
     // group-based rewrites (UPDATE/MERGE/untranslatable DELETE) refuse
     // while sidecars pend — fold first, exactly as an operator would
     def foldIfPending(): Unit =
@@ -199,5 +203,11 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
   }
   test("random SQL mutation stream on a MERGE-ON-READ table (seed 61)") {
     run(61, mor = true)
+  }
+  test("random SQL mutation stream on a COMPOSITE-key (id,grp) MERGE-ON-READ table (seed 29): tuple sidecars, identity-changing updates, fold ticks all equal the model") {
+    run(29, mor = true, keyCols = "id,grp")
+  }
+  test("random SQL mutation stream on a COMPOSITE-key MERGE-ON-READ table (seed 83)") {
+    run(83, mor = true, keyCols = "id,grp")
   }
 }
