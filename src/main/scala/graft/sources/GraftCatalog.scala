@@ -1495,9 +1495,11 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
   /** Branch-routed DELETE (the WAP DML face): reads the branch HEAD
     * (folded when it carries sidecars), commits via the branch-head CAS.
     * Same plan split as main: merge-on-read tables get the O(keys)
-    * sidecar (census narrowed through the head's zone-map evidence),
-    * with NULL-key/MaxKeys fallbacks to the COW survivor rewrite; a
-    * delete matching nothing commits nothing.
+    * equality sidecar (census narrowed through the head's zone-map
+    * evidence), NULL-key/MaxKeys matches take the POSITIONAL sidecar
+    * (round 17 — same O(changed) contract as main), nested layouts
+    * fall back to the COW survivor rewrite; a delete matching nothing
+    * commits nothing.
     */
   private def branchDelete(branch: String, filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
@@ -1524,7 +1526,34 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
         val nullMatched = matchedRows.filter(anyNull).count()
         val matched = matchedRows.filter(!anyNull).dropDuplicates(ks)
         val n = matched.count()
-        if (nullMatched > 0 || n > EqDeletes.MaxKeys) false // COW below
+        if (nullMatched > 0 || n > EqDeletes.MaxKeys) {
+          // NULL key components / oversize matched sets take the
+          // POSITIONAL sidecar on the branch exactly as on main (round
+          // 17 — the branch face kept paying a COW rewrite); a nested
+          // layout falls through to the COW arm below
+          val all = graft.plans.ZoneMap.dataFileCensus(spark, head)
+          if (all.exists(_.contains("/"))) false
+          else {
+            val rowSchema =
+              SchemaEvolution.readTableWidened(spark, head).schema
+            import org.apache.spark.sql.functions.{element_at, split}
+            val positions = spark.read.schema(rowSchema)
+              .parquet(all.map(f => s"$head/$f"): _*)
+              .filter(coalesce(pred, lit(false)))
+              .select(element_at(
+                split(col("_metadata.file_path"), "/"), -1).as("file"),
+                col("_metadata.row_index").as("pos"))
+            val staged = wh.allocateStage(tableName)
+            try {
+              wh.carryVersionInto(headDir, staged)
+              PosDeletes.write(spark, staged.toString, positions)
+            } catch { case t: Throwable =>
+              wh.discardStage(staged); throw t
+            }
+            wh.publishStageToBranch(tableName, staged, branch, expectHead)
+            true
+          }
+        }
         else if (n == 0) true // no-op: commit nothing
         else {
           val all = graft.plans.ZoneMap.dataFileCensus(spark, head)

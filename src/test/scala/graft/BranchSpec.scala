@@ -452,6 +452,51 @@ class BranchSpec extends SparkTestBase {
     ()
   }
 
+  test("branch DML routes NULL-key matches to a POSITIONAL sidecar on the branch head; main pinned; fast_forward publishes; compact folds") {
+    import graft.sources.{EqDeletes, PosDeletes}
+    val root = tmpDir("branch-pos")
+    val wh = Warehouse(root, 8)
+    import org.apache.spark.sql.types._
+    // id 3 is NULL-keyed: an equality sidecar cannot identify it
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L), "keep", 1.0),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(2L), "del", 2.0),
+        org.apache.spark.sql.Row(null, "del", 3.0)),
+      StructType(Seq(StructField("id", LongType),
+        StructField("grp", StringType), StructField("v", DoubleType))))
+    wh.overwrite(rows.localCheckpoint(true), "t")
+    Tables.TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read",
+      EqDeletes.KeyProp -> "id"))
+    val cat = s"br${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'px')").collect()
+    val vMain = wh.currentVersion("t").get
+    onBranch("px") { spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'") }
+    // the positional sidecar lives on the BRANCH head; main untouched
+    assert(wh.currentVersion("t").contains(vMain))
+    val head = wh.branchSnapshotDir("t", "px").toString
+    assert(PosDeletes.pending(head).size == 1,
+      "NULL-key branch delete must stage a positional sidecar")
+    assert(EqDeletes.pending(head).isEmpty)
+    assert(PosDeletes.pending(wh.snapshotPath("t")).isEmpty,
+      "main must not see the staged tombstones")
+    // audit read through the tombstones; main serves all three rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'px'")
+      .head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 3L)
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'px')").collect()
+    assert(spark.sql(s"SELECT grp, v FROM $cat.t").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("keep", 1.0)))
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(!EqDeletes.anyPending(wh.snapshotPath("t")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 1L)
+  }
+
   /** Simulate fast_forward's crash window: journal written, pointer
     * swapped, promotion + final prop write never ran.
     */
