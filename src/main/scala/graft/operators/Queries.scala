@@ -1537,6 +1537,58 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Branch audit changelog under the oracle gate (q209, round 17):
+    * `CALL branch_diff` materializes the row-level changes a
+    * `fast_forward` WOULD apply to main — the audit question
+    * write-audit-publish exists to answer — into a queryable view with
+    * Delta-CDF-style `_change_type` rows (insert / delete /
+    * update_before / update_after, before+after images). The branch
+    * stages one INSERT + one DELETE + one UPDATE; the view's per-type
+    * aggregate must equal the oracle's closed-form model of exactly
+    * that DML, while a scalar subquery proves main never moved.
+    */
+  def q209BranchAuditDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bd_q209")
+    val cat = s"gq209_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(s"CALL $cat.system.create_branch('ev', 'fix')").collect()
+      val vMain = wh.currentVersion("ev").get
+      ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+          col("event_type") === "error")
+        .createOrReplaceTempView(s"bsrc_$cat")
+      spark.conf.set("spark.graft.wap.branch", "fix")
+      try {
+        spark.sql(s"INSERT INTO $cat.ev SELECT * FROM bsrc_$cat")
+        spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+        spark.sql(s"UPDATE $cat.ev SET value = value + 100 " +
+          "WHERE event_type = 'view'")
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      require(wh.currentVersion("ev").contains(vMain),
+        "staged branch DML must never move main's pointer")
+      spark.sql(s"CALL $cat.system.branch_diff('ev', 'fix', " +
+        "'event_id', 'ev_audit')").collect()
+      spark.sql(
+        s"""SELECT _change_type AS change_type, event_type,
+           |  count(*) AS n_rows,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value,
+           |  (SELECT count(*) FROM $cat.ev) AS n_main_during_audit
+           |FROM $cat.ev_audit
+           |GROUP BY _change_type, event_type
+           |ORDER BY change_type, event_type""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -3397,6 +3449,31 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the branch AUDIT changelog reduces to four closed-form slices of
+    // the raw rows: inserts = the staged odd errors, deletes = main's
+    // even clicks (original values), update_before/update_after = the
+    // even views at value / value+100; main's pinned count rides along
+    "q209_branch_audit_diff" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT 'insert' AS change_type, event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type = 'error'
+        |  UNION ALL
+        |  SELECT 'delete', event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'update_before', event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type = 'view'
+        |  UNION ALL
+        |  SELECT 'update_after', event_type, value + 100 FROM events
+        |  WHERE event_id % 2 = 0 AND event_type = 'view')
+        |SELECT change_type, event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+        |    AS n_main_during_audit
+        |FROM d GROUP BY change_type, event_type
+        |ORDER BY change_type, event_type""".stripMargin,
+
     // the write-audit-publish lifecycle reduces to two models over the
     // raw rows: the staged phase (main's even half + the non-error odd
     // half, read through the branch) and the current phase (everything,
@@ -3952,6 +4029,7 @@ object Queries {
     "q204_mor_update_merge" -> (q204MorUpdateMerge _),
     "q207_mor_composite_key" -> (q207MorCompositeKey _),
     "q208_positional_delete" -> (q208PositionalDelete _),
+    "q209_branch_audit_diff" -> (q209BranchAuditDiff _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -917,6 +917,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .map { case (f, t) => row(f, t) }
     },
 
+    // the write-audit-publish AUDIT face (round 17): the row-level
+    // changes fast_forward WOULD apply to main, materialized into a
+    // queryable view table (delta-sized; before/after images) — the
+    // returned rows are the per-change-type census
+    procedure("branch_diff",
+      "Audit changelog of BRANCH vs its fork base (what would " +
+        "fast_forward change?) written into view table VIEW; returns " +
+        "per-change-type row counts",
+      Seq(param("table", StringType), param("branch", StringType),
+        param("key_col", StringType), param("view", StringType)),
+      StructType(Seq(StructField("change_type", StringType),
+        StructField("n_rows", LongType)))) { in =>
+      val d = MirrorChangelog.branchDiff(spark, wh, str(in, 0),
+        str(in, 1), str(in, 2)).localCheckpoint(true)
+      wh.overwrite(d, str(in, 3))
+      d.groupBy(MirrorChangelog.ChangeTypeCol).count()
+        .orderBy(MirrorChangelog.ChangeTypeCol)
+        .collect().map(r => row(r.getString(0), r.getLong(1))).toSeq
+    },
+
     // The manifest-credited exact interval count (Snowflake-style
     // pruning+metadata count): files whose stats PROVE containment
     // contribute their manifest row counts without opening; only
