@@ -22,6 +22,19 @@ package graft
 final case class CdcConfig(keyCol: String, tsCol: String) {
   require(keyCol.nonEmpty, "cdc.key-column must be a non-empty string")
   require(tsCol.nonEmpty, "cdc.ts-column must be a non-empty string")
+  /** COMPOSITE keys (round 17): `cdc.key-column = a,b` declares a
+    * multi-column row identity — Iceberg's identifier FIELDS are a
+    * list, and compound-PK source tables (the common DMS junction/fact
+    * shape) need the mirror keyed on the full tuple. `keyCol` stays the
+    * stored property value; every fold/bucket/join consumer keys on
+    * [[keyCols]]. Single-column configs are unchanged (`keyCols.head ==
+    * keyCol`), so existing layouts keep their bucket mapping.
+    */
+  def keyCols: Seq[String] = {
+    val ks = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(ks.nonEmpty, "cdc.key-column must name at least one column")
+    ks
+  }
 }
 
 /** The DMS changelog envelope columns appended to every change record

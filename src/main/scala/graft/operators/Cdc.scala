@@ -10,7 +10,8 @@ import graft.{CdcConfig, DmsEnvelope => E}
   * Semantics pinned by the reference (behavior declared at tabular.py:39-64,
   * record shape + expected final state defined by
   * generate_sample_dms_parquet.py):
-  *   - latest record per `keyCol`, ordered by `tsCol`, wins (tabular.py:47-49)
+  *   - latest record per key (possibly COMPOSITE — [[CdcConfig.keyCols]]),
+  *     ordered by `tsCol`, wins (tabular.py:47-49)
   *   - op `I`/`U` upserts the row, `D` removes it
   *     (generate_sample_dms_parquet.py:16-55)
   *   - late/out-of-order records with an older ts than the stored mirror row
@@ -86,7 +87,8 @@ object Cdc {
     graft.functions.GraftFunctions.register(changes.sparkSession)
     val df = withIngestSeq(changes)
     val payload = struct(df.columns.map(col): _*)
-    df.groupBy(col(cfg.keyCol).as("__k"))
+    df.groupBy(cfg.keyCols.zipWithIndex
+        .map { case (c, i) => col(c).as(s"__k$i") }: _*)
       .agg(call_function("latest_row", payload, orderingStruct(cfg, df.columns))
         .as("__latest"))
       .select(df.columns.map(c => col(s"__latest.`$c`")): _*)
@@ -157,7 +159,8 @@ object Cdc {
     val all = mirrorAsChanges.unionByName(incoming)
     val payload = struct(all.columns.map(col): _*)
     val ordering = struct(col(cfg.tsCol), col(pri), col(SeqCol))
-    all.groupBy(col(cfg.keyCol).as("__k"))
+    all.groupBy(cfg.keyCols.zipWithIndex
+        .map { case (c, i) => col(c).as(s"__k$i") }: _*)
       .agg(call_function("latest_row", payload, ordering).as("__latest"))
       .select(all.columns.map(c => col(s"__latest.`$c`")): _*)
       .drop(pri)

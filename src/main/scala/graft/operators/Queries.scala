@@ -2302,6 +2302,44 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** COMPOSITE-key CDC mirror lifecycle under the oracle gate (q210,
+    * round 17): the whole fold keyed on (user_id, event_type) —
+    * `cdc.key-column = user_id,event_type`, the compound-PK DMS shape —
+    * driven through the MERGE-ON-READ mirror: initialize from one
+    * slice, three O(delta) delta batches whose buckets hash the FULL
+    * tuple, read back through the bucket-pruned fold. An 'error' change
+    * tombstones only its own (user, error) key; other types' latest
+    * event per (user, type) wins. Same DuckDB closed form as q18's with
+    * the two-column window partition.
+    */
+  def q210MorCompositeMirror(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MorMirror
+    import graft.sources.Tables.Warehouse
+    val cfg = CdcConfig(keyCol = "user_id,event_type", tsCol = "event_id")
+    val ch = events(spark, dir)
+      .withColumn("op", when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")))
+      .select("user_id", "event_id", "event_type", "value", "op")
+      .withColumn("_b", pmod(col("event_id"), lit(4)).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor_q210")
+    val wh = Warehouse(tmp.toString)
+    try {
+      MorMirror.initialize(wh, "mirror",
+        Cdc.fold(ch.filter(col("_b") === 0).drop("_b"), cfg), cfg,
+        nBuckets = 16)
+      (1 to 3).foreach { b =>
+        MorMirror.appendDelta(wh, "mirror",
+          ch.filter(col("_b") === b).drop("_b"), batchId = b.toLong)
+      }
+      MorMirror.read(spark, wh, "mirror")
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** Changelog OF the mirror ([[graft.plans.MirrorChangelog]]): the
     * row-level diff between two mirror snapshots — version N = the fold of
     * changes up to the median event id, version M = the fold of all — as
@@ -3022,6 +3060,19 @@ object Queries {
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // the composite-key fold: latest event per (user, type) tuple, the
+    // 'error' type tombstoning only its own key — q18's model with a
+    // two-column window partition, served through the MOR mirror whose
+    // buckets hash the full tuple
+    "q210_mor_composite_mirror" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q164_mirror_changelog" ->
       """WITH o AS (
@@ -3991,6 +4042,7 @@ object Queries {
     "q17_cdc_latest_per_key" -> (q17CdcLatestPerKey _),
     "q18_cdc_fold" -> (q18CdcFold _),
     "q163_mor_mirror" -> (q163MorMirror _),
+    "q210_mor_composite_mirror" -> (q210MorCompositeMirror _),
     "q164_mirror_changelog" -> (q164MirrorChangelog _),
     "q173_mixed_seed_fold" -> (q173MixedSeedFold _),
     "q174_schema_evolution" -> (q174SchemaEvolution _),

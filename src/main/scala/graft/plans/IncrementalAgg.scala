@@ -52,9 +52,9 @@ object IncrementalAgg {
     */
   def applyDelta(agg: DataFrame, mirrorBefore: DataFrame, changes: DataFrame,
       cfg: CdcConfig, spec: Spec): DataFrame = {
-    val touched = changes.select(col(cfg.keyCol)).distinct()
+    val touched = changes.select(cfg.keyCols.map(col): _*).distinct()
     // key lookup, not a scan: only rows whose key appears in the batch
-    val before = mirrorBefore.join(touched, Seq(cfg.keyCol), "left_semi")
+    val before = mirrorBefore.join(touched, cfg.keyCols, "left_semi")
     val after = Cdc.applyBatch(before, changes, cfg)
     val minus = gv(Cdc.currentState(before), spec).groupBy(col("g"))
       .agg((-count(lit(1))).as("dn"), (-sum(col("v"))).as("ds"))

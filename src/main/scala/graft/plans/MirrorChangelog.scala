@@ -34,28 +34,35 @@ object MirrorChangelog {
   val UpdateBefore = "update_before"
   val UpdateAfter = "update_after"
 
-  /** Row-level diff `newV − oldV` keyed by `keyCol`. Additive schema
-    * evolution is tolerated: columns of `newV` missing from `oldV` join in
-    * as typed nulls on the before-image (the mirror's own evolution
-    * contract); columns dropped from `newV` are dropped from the diff.
-    * Struct equality in Spark is null-safe field-wise, so a null column
-    * equal on both sides does not fabricate an update.
+  /** Row-level diff `newV − oldV` keyed by `keyCol` — a COMPOSITE key
+    * declares a comma-separated list (`a,b`), the [[graft.CdcConfig]]
+    * convention, and the full-outer join keys on every component.
+    * Additive schema evolution is tolerated: columns of `newV` missing
+    * from `oldV` join in as typed nulls on the before-image (the
+    * mirror's own evolution contract); columns dropped from `newV` are
+    * dropped from the diff. Struct equality in Spark is null-safe
+    * field-wise, so a null column equal on both sides does not
+    * fabricate an update.
     */
   def diff(oldV: DataFrame, newV: DataFrame, keyCol: String): DataFrame = {
+    val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val cols = newV.columns.toSeq
-    require(cols.contains(keyCol), s"key column '$keyCol' missing from new snapshot")
+    keys.foreach(k => require(cols.contains(k),
+      s"key column '$k' missing from new snapshot"))
     val oldAligned = cols.foldLeft(oldV.select(
         oldV.columns.filter(cols.contains).map(col): _*)) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(newV.schema(c).dataType))
     }
-    val o = oldAligned.select(col(keyCol).as("_k"),
-      struct(cols.map(col): _*).as("_before"))
-    val n = newV.select(col(keyCol).as("_k"),
-      struct(cols.map(col): _*).as("_after"))
+    val kAliases = keys.zipWithIndex.map { case (k, i) => s"_k$i" }
+    def keyed(df: DataFrame, img: String) = df.select(
+      keys.zip(kAliases).map { case (k, a) => col(k).as(a) } :+
+        struct(cols.map(col): _*).as(img): _*)
+    val o = keyed(oldAligned, "_before")
+    val n = keyed(newV, "_after")
     val rowType = (tpe: String, img: org.apache.spark.sql.Column) =>
       struct(lit(tpe).as(ChangeTypeCol), img.as("_row"))
-    o.join(n, Seq("_k"), "full_outer")
+    o.join(n, kAliases, "full_outer")
       .select(explode(
         when(col("_before").isNull, array(rowType(Insert, col("_after"))))
           .when(col("_after").isNull, array(rowType(Delete, col("_before"))))

@@ -123,9 +123,12 @@ object MorMirror {
   private def nested(wh: Warehouse, name: String): Warehouse =
     Warehouse(wh.tablePath(name), io = wh.io) // inherit the IO substrate
 
-  private def withBucket(df: DataFrame, keyCol: String, n: Int): DataFrame =
+  // hash() is variadic: a single-column key hashes exactly as before, so
+  // existing stored layouts keep their bucket mapping; composite keys
+  // bucket on the full tuple
+  private def withBucket(df: DataFrame, cfg: CdcConfig, n: Int): DataFrame =
     df.withColumn(PartitionedMirror.BucketCol,
-      pmod(hash(col(keyCol)), lit(n)))
+      pmod(hash(cfg.keyCols.map(col): _*), lit(n)))
 
   /** Stored layout config; None until [[initialize]] ran. */
   def storedConfig(wh: Warehouse, name: String): Option[(CdcConfig, Int)] = {
@@ -151,7 +154,7 @@ object MorMirror {
     // unionByName fills typed nulls, which order below every real change
     val st = if (state.columns.contains(graft.DmsEnvelope.OpCol)) state
              else state.withColumn(graft.DmsEnvelope.OpCol, lit(graft.DmsEnvelope.Update))
-    val staged = withBucket(st, cfg.keyCol, nBuckets).localCheckpoint(true)
+    val staged = withBucket(st, cfg, nBuckets).localCheckpoint(true)
     // Record the seed's highest ingest seq (one bounded agg over the
     // already-materialized checkpoint): later deltas must carry a seq
     // BAND at or above it, else an equal-ts tie would resolve to the
@@ -502,7 +505,7 @@ object MorMirror {
         // prefix; this very replay deletes and rewrites it (the
         // checkpoint only commits after appendDelta returns).
         graft.sources.Tables.deleteRecursively(target)
-        withBucket(folded, cfg.keyCol, buckets)
+        withBucket(folded, cfg, buckets)
           .repartition(col(PartitionedMirror.BucketCol))
           .write.mode(SaveMode.Overwrite).parquet(target.toString)
         Files.writeString(target.resolve(DeltaSpecMarker), buckets.toString)
@@ -517,7 +520,7 @@ object MorMirror {
         val tmp = Paths.get(
           s"${wh.tablePath(name)}/$DeltasDir/.batch_$batchId.staging")
         graft.sources.Tables.deleteRecursively(tmp)
-        withBucket(folded, cfg.keyCol, buckets)
+        withBucket(folded, cfg, buckets)
           .repartition(col(PartitionedMirror.BucketCol))
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         // the delta's bucket SPEC and committed marker ride inside the
@@ -686,7 +689,7 @@ object MorMirror {
       throw new IllegalStateException(
         s"MOR mirror '$name' not initialized — no stored layout props"))
     val kb = PartitionedMirror.BucketCol
-    val touched = withBucket(changes, cfg.keyCol, buckets)
+    val touched = withBucket(changes, cfg, buckets)
       .select(kb).distinct().collect().map(_.getInt(0)).sorted
     // spec-aware pruning (bucket-layout evolution): the incoming batch's
     // touched set is under the WRITE spec; the base filter maps it to the
@@ -937,7 +940,7 @@ object MorMirror {
         val (cfg, buckets) = storedConfig(wh, name).get
         val horizon = pinned.map(deltaId).max
         val merged = storedState(spark, wh, name, pinned).drop(kb)
-        val staged = withBucket(merged, cfg.keyCol, buckets).localCheckpoint(true)
+        val staged = withBucket(merged, cfg, buckets).localCheckpoint(true)
         beforeBaseCommit()
         nw.commit(BaseTable, expectCurrent = expect) { path =>
           staged.write.mode(SaveMode.Overwrite).partitionBy(kb).parquet(path)

@@ -32,8 +32,11 @@ object PartitionedMirror {
     */
   val BucketsProp = "mirror.buckets"
 
+  // hash() is variadic: single-column keys hash exactly as before
+  // (stored layouts keep their bucket mapping); composite keys bucket
+  // on the full tuple
   private def withBucket(df: DataFrame, cfg: CdcConfig, nBuckets: Int): DataFrame =
-    df.withColumn(BucketCol, pmod(hash(col(cfg.keyCol)), lit(nBuckets)))
+    df.withColumn(BucketCol, pmod(hash(cfg.keyCols.map(col): _*), lit(nBuckets)))
 
   /** Bucket count the stored layout was written with (None = not bucketed
     * yet / legacy).

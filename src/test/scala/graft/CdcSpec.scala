@@ -149,4 +149,30 @@ class CdcSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(out === Set((1L, "b"), (2L, "c")))
   }
+
+  test("COMPOSITE key (cdc.key-column = sid,oid): the fold keys the full tuple — rows sharing one component are distinct identities") {
+    val cfg2 = CdcConfig("sid,oid", "transact_seq")
+    val df = Seq(
+      // (1,1) inserted then updated; (1,2) and (2,1) share components
+      // with it and must stay independent; (1,2) deleted; (2,2) deleted
+      // then re-inserted with a newer seq
+      (1L, 1L, "a", 10L, "I"), (1L, 2L, "b", 10L, "I"),
+      (2L, 1L, "c", 10L, "I"), (2L, 2L, "d", 10L, "I"),
+      (1L, 1L, "a2", 20L, "U"), (1L, 2L, "x", 20L, "D"),
+      (2L, 2L, "x", 20L, "D"), (2L, 2L, "d2", 30L, "I")
+    ).toDF("sid", "oid", "name", "transact_seq", "op")
+    val out = Cdc.applyAll(df, cfg2).select("sid", "oid", "name")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((1L, 1L, "a2"), (2L, 1L, "c"), (2L, 2L, "d2")))
+    // cross-batch order-insensitivity holds per TUPLE: a late batch
+    // older than the stored (1,1) row loses; a newer delete of (2,1)
+    // wins — neither touches the other tuples
+    val mirror = Cdc.fold(df, cfg2)
+    val late = Seq((1L, 1L, "stale", 15L, "U"), (2L, 1L, "x", 40L, "D"))
+      .toDF("sid", "oid", "name", "transact_seq", "op")
+    val merged = Cdc.currentState(Cdc.applyBatch(mirror, late, cfg2))
+      .select("sid", "oid", "name")
+      .as[(Long, Long, String)].collect().toSet
+    assert(merged === Set((1L, 1L, "a2"), (2L, 2L, "d2")))
+  }
 }
