@@ -30,8 +30,17 @@ final case class CdcConfig(keyCol: String, tsCol: String) {
     * [[keyCols]]. Single-column configs are unchanged (`keyCols.head ==
     * keyCol`), so existing layouts keep their bucket mapping.
     */
-  def keyCols: Seq[String] = {
-    val ks = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  def keyCols: Seq[String] = CdcConfig.parseKeyCols(keyCol)
+}
+
+object CdcConfig {
+  /** THE parser of the `cdc.key-column` comma list — every surface that
+    * accepts the property value (the fold, the equality-delete DML, the
+    * changelog diff) parses through here so the syntax can never
+    * diverge.
+    */
+  def parseKeyCols(declared: String): Seq[String] = {
+    val ks = declared.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(ks.nonEmpty, "cdc.key-column must name at least one column")
     ks
   }

@@ -45,7 +45,7 @@ object MirrorChangelog {
     * fabricate an update.
     */
   def diff(oldV: DataFrame, newV: DataFrame, keyCol: String): DataFrame = {
-    val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = graft.CdcConfig.parseKeyCols(keyCol)
     val cols = newV.columns.toSeq
     keys.foreach(k => require(cols.contains(k),
       s"key column '$k' missing from new snapshot"))

@@ -58,10 +58,12 @@ private[graft] object EqDeletes {
   val KeyProp = "cdc.key-column"
   val Dir = "_eqdeletes"
 
-  /** Parse the declared key columns (round 17: N ≥ 1). */
+  /** Parse the declared key columns (round 17: N ≥ 1) — the shared
+    * [[graft.CdcConfig.parseKeyCols]] syntax.
+    */
   def keyColsOf(props: Map[String, String]): Option[Seq[String]] =
-    props.get(KeyProp).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    props.get(KeyProp).map(_.trim).filter(_.nonEmpty)
+      .map(graft.CdcConfig.parseKeyCols)
 
   /** Above this many matched keys a COW rewrite is the better plan (and
     * the sidecar's broadcast fold would stop being "small side").
@@ -205,11 +207,16 @@ private[graft] object EqDeletes {
       PosDeletes.logicalRead(spark, snapshotDir,
         SchemaEvolution.readTableWidened(spark, snapshotDir).schema,
         keyColsOf(props))
-    else keyColsOf(props) match {
-      case Some(ks) if pending(snapshotDir).nonEmpty =>
-        foldedRead(spark, snapshotDir, ks)
-      case _ => SchemaEvolution.readTableWidened(spark, snapshotDir)
-    }
+    else if (pending(snapshotDir).nonEmpty)
+      // LOUD when the key declaration is gone but sidecars pend (the
+      // pre-round-17 contract): a silent raw read would resurrect every
+      // sidecar-deleted row through the DML matching / audit paths
+      foldedRead(spark, snapshotDir, keyColsOf(props).getOrElse(
+        throw new IllegalStateException(
+          s"$snapshotDir carries pending equality-delete sidecars but " +
+            s"no '$KeyProp' is declared — the sidecar key frames are " +
+            "bound to the declared key; restore the property")))
+    else SchemaEvolution.readTableWidened(spark, snapshotDir)
 
   /** Pending sidecars of a snapshot dir, oldest first. */
   def pending(snapshotDir: String): Seq[Sidecar] = {

@@ -111,12 +111,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // extraOptimizations — registered HERE, before any query against
     // this catalog can optimize. Idempotent; no-op when the extension's
     // pre-pushdown rule already split the relation.
-    scala.util.Try(SparkSession.active).foreach { s =>
-      if (!s.experimental.extraOptimizations
-          .contains(SplitEqDeleteScanRelations))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ SplitEqDeleteScanRelations
-    }
+    scala.util.Try(SparkSession.active).foreach(
+      GraftCatalog.registerExtraRule(_, SplitEqDeleteScanRelations))
   }
 
   override def name(): String = catalogName
@@ -539,6 +535,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           EqDeletes.requireNullFreeKeys(spark, wh.snapshotPath(t), keyCols,
             s"cannot declare ${EqDeletes.ModeProp}=merge-on-read on '$t'")
         }
+        // RE-KEYING while equality sidecars pend would rebind the stored
+        // key frames to different columns — foldedRead renames the
+        // sidecar frame POSITIONALLY to the declared names, so a
+        // same-arity re-key silently deletes wrong rows (review finding)
+        if (s.property == EqDeletes.KeyProp &&
+            !TableProps.read(wh, t).get(EqDeletes.KeyProp).contains(s.value))
+          require(wh.publishedVersions(t).forall { case (_, dir) =>
+            EqDeletes.pending(dir.toString).isEmpty
+          }, s"'$t' has equality-delete sidecars in retained history " +
+            "bound to the current key declaration; CALL " +
+            s"$catalogName.system.compact('$t') and expire the " +
+            "sidecar-bearing snapshots before re-keying")
         require(!s.property.startsWith(Tables.TagPropPrefix),
           "tags pin retained versions and must validate against the " +
             s"snapshot log — CALL $catalogName.system.create_tag instead")
@@ -929,9 +937,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         param("key_col", StringType), param("view", StringType)),
       StructType(Seq(StructField("change_type", StringType),
         StructField("n_rows", LongType)))) { in =>
-      val d = MirrorChangelog.branchDiff(spark, wh, str(in, 0),
+      val (srcT, view) = (str(in, 0), str(in, 3))
+      // the view overwrites: refuse names that would clobber real data
+      // (including the audited table itself) — only a fresh name or a
+      // prior branch_diff view (self-marked) may be replaced
+      require(view != srcT,
+        s"branch_diff view '$view' must not be the audited table")
+      require(!wh.exists(view) ||
+        TableProps.read(wh, view).contains(GraftCatalog.AuditViewProp),
+        s"'$view' already exists and is not a branch_diff view; " +
+          "overwriting it would destroy its data — pick a fresh name")
+      val d = MirrorChangelog.branchDiff(spark, wh, srcT,
         str(in, 1), str(in, 2)).localCheckpoint(true)
-      wh.overwrite(d, str(in, 3))
+      wh.overwrite(d, view)
+      TableProps.write(wh, view,
+        TableProps.read(wh, view) + (GraftCatalog.AuditViewProp -> srcT))
       d.groupBy(MirrorChangelog.ChangeTypeCol).count()
         .orderBy(MirrorChangelog.ChangeTypeCol)
         .collect().map(r => row(r.getString(0), r.getLong(1))).toSeq
@@ -1102,6 +1122,28 @@ object GraftCatalog {
     * version-pointer cache amortizes). Spec-facing.
     */
   private[graft] val tableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Marks a table as a `branch_diff` audit view (value = the audited
+    * table) — the ONLY kind of existing table the procedure will
+    * overwrite (review finding: an unguarded overwrite could clobber a
+    * real table, including the audited one).
+    */
+  private[sources] val AuditViewProp = "audit.branch-diff-source"
+
+  /** Idempotent, SYNCHRONIZED registration into
+    * `spark.experimental.extraOptimizations` — the field is a plain var,
+    * so two catalogs initializing concurrently on one session would
+    * read-modify-write each other's rule away (review finding).
+    */
+  private val extraRulesLock = new Object
+  private[sources] def registerExtraRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    extraRulesLock.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
 
   /** Declared-schema sidecar prop: serves a just-created table's schema
     * until its first data file exists (parquet has no footer to infer
@@ -1551,27 +1593,18 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           // POSITIONAL sidecar on the branch exactly as on main (round
           // 17 — the branch face kept paying a COW rewrite); a nested
           // layout falls through to the COW arm below
-          val all = graft.plans.ZoneMap.dataFileCensus(spark, head)
-          if (all.exists(_.contains("/"))) false
-          else {
-            val rowSchema =
-              SchemaEvolution.readTableWidened(spark, head).schema
-            import org.apache.spark.sql.functions.{element_at, split}
-            val positions = spark.read.schema(rowSchema)
-              .parquet(all.map(f => s"$head/$f"): _*)
-              .filter(coalesce(pred, lit(false)))
-              .select(element_at(
-                split(col("_metadata.file_path"), "/"), -1).as("file"),
-                col("_metadata.row_index").as("pos"))
-            val staged = wh.allocateStage(tableName)
-            try {
-              wh.carryVersionInto(headDir, staged)
-              PosDeletes.write(spark, staged.toString, positions)
-            } catch { case t: Throwable =>
-              wh.discardStage(staged); throw t
-            }
-            wh.publishStageToBranch(tableName, staged, branch, expectHead)
-            true
+          PosDeletes.matchedPositions(spark, head, pred) match {
+            case None => false // nested layout: COW arm below
+            case Some(positions) =>
+              val staged = wh.allocateStage(tableName)
+              try {
+                wh.carryVersionInto(headDir, staged)
+                PosDeletes.write(spark, staged.toString, positions)
+              } catch { case t: Throwable =>
+                wh.discardStage(staged); throw t
+              }
+              wh.publishStageToBranch(tableName, staged, branch, expectHead)
+              true
           }
         }
         else if (n == 0) true // no-op: commit nothing
@@ -1730,16 +1763,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     */
   private def posDelete(spark: SparkSession, snap: String, expected: Long,
       pred: org.apache.spark.sql.Column): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
-    val all = graft.plans.ZoneMap.dataFileCensus(spark, snap)
-    if (all.exists(_.contains("/"))) return false // nested: COW owns it
-    val schema = SchemaEvolution.readTableWidened(spark, snap).schema
-    val positions = spark.read.schema(schema)
-      .parquet(all.map(f => s"$snap/$f"): _*)
-      .filter(coalesce(pred, lit(false)))
-      .select(
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
-        col("_metadata.row_index").as("pos"))
+    val positions = PosDeletes.matchedPositions(spark, snap, pred)
+      .getOrElse(return false) // nested layout: COW owns it
     wh.commit(tableName, expectCurrent = Some(expected)) { staged =>
       wh.carryPreviousInto(tableName, java.nio.file.Paths.get(staged))
       // the zone-map manifest CARRIES (no file names change; min/max/
@@ -1897,12 +1922,8 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
       // runtime-filterable file-granular [[GroupCowScan]], not the
       // stock parquet scan. UPDATE keeps the stock scan: its predicate
       // narrows STATICALLY through ordinary pushdown.
-      val sparkActive = SparkSession.active
-      if (!sparkActive.experimental.extraOptimizations
-          .contains(DeltaRuntimeGroupFiltering))
-        sparkActive.experimental.extraOptimizations =
-          sparkActive.experimental.extraOptimizations :+
-            DeltaRuntimeGroupFiltering
+      GraftCatalog.registerExtraRule(SparkSession.active,
+        DeltaRuntimeGroupFiltering)
       val isMerge = info.command ==
         org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
       return new RowLevelOperationBuilder {

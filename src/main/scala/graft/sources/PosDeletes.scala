@@ -117,7 +117,34 @@ private[graft] object PosDeletes {
         Iterator.single(last)
       }(org.apache.spark.sql.Encoders.scalaLong)
       .collect()
+    // sweep attempt debris: a failed/speculative-loser attempt leaves its
+    // .tmp behind, and the version carry would hard-link it into every
+    // later snapshot forever (review finding). All tasks are done here.
+    val leftovers = Files.list(d)
+    try leftovers.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp"))
+      .toList.foreach(Files.deleteIfExists(_))
+    finally leftovers.close()
     counts.sum
+  }
+
+  /** The matched `(file, pos)` frame of a raw census scan — shared by
+    * the main and branch positional-delete arms (their COMMIT shapes
+    * differ; the position derivation must never). None when the layout
+    * is nested (the flat ordinal keying cannot address it — COW owns
+    * those).
+    */
+  def matchedPositions(spark: SparkSession, snapshotDir: String,
+      pred: org.apache.spark.sql.Column): Option[DataFrame] = {
+    val all = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
+    if (all.exists(_.contains("/"))) return None
+    val schema = SchemaEvolution.readTableWidened(spark, snapshotDir).schema
+    Some(spark.read.schema(schema)
+      .parquet(all.map(f => s"$snapshotDir/$f"): _*)
+      .filter(coalesce(pred, lit(false)))
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
+        col("_metadata.row_index").as("pos")))
   }
 
   // ------------------------------------------------------------------

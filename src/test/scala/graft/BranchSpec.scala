@@ -449,7 +449,40 @@ class BranchSpec extends SparkTestBase {
     intercept[NoSuchElementException] {
       MirrorChangelog.branchDiff(spark, wh, "t", "nope", "id")
     }
-    ()
+    // the SQL face materializes into a view; clobber guards (review
+    // finding): the audited table itself and any pre-existing NON-view
+    // table refuse; a prior branch_diff view re-overwrites fine
+    spark.sql(s"CALL $cat.system.create_branch('t', 'f2')").collect()
+    onBranch("f2") {
+      Seq((12L, "n2")).toDF("id", "s").createOrReplaceTempView(s"bd2_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM bd2_$seq")
+    }
+    val selfClobber = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.branch_diff('t', 'f2', 'id', 't')")
+        .collect()
+    }
+    assert(Iterator.iterate(selfClobber: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" ").contains("audited table"))
+    wh.overwrite(Seq((1L, "real")).toDF("id", "s")
+      .localCheckpoint(true), "precious")
+    val clobber = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.system.branch_diff('t', 'f2', 'id', 'precious')")
+        .collect()
+    }
+    assert(Iterator.iterate(clobber: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" ").contains("not a branch_diff view"))
+    val counts = spark.sql(
+      s"CALL $cat.system.branch_diff('t', 'f2', 'id', 'audit_v')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts == Set(("insert", 1L)))
+    // re-running over its own prior view is the refresh path
+    val counts2 = spark.sql(
+      s"CALL $cat.system.branch_diff('t', 'f2', 'id', 'audit_v')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts2 == counts)
   }
 
   test("branch DML routes NULL-key matches to a POSITIONAL sidecar on the branch head; main pinned; fast_forward publishes; compact folds") {

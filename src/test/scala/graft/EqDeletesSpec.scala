@@ -811,6 +811,39 @@ class EqDeletesSpec extends SparkTestBase {
     assert(wh.currentVersion("t") == v0, "the refusal must not publish")
   }
 
+  test("re-keying refuses while equality sidecars pend (the stored key frames are bound to the declared key); unset-key reads fail loudly") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    // ALTER SET cdc.key-column to a DIFFERENT column while a sidecar
+    // pends: the sidecar's key frame holds id values — rebinding would
+    // anti-join them against v (review finding: positional rename)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES('cdc.key-column'='v')")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("re-keying"), msg.take(300))
+    // re-DECLARING the same key is fine (idempotent config management)
+    spark.sql(
+      s"ALTER TABLE $cat.t SET TBLPROPERTIES('cdc.key-column'='id')")
+    // a key declaration REMOVED out-of-band (expert TableProps path)
+    // with sidecars pending: the logical read refuses instead of
+    // silently resurrecting the deleted rows (review finding)
+    TableProps.write(wh, "t",
+      TableProps.read(wh, "t") - EqDeletes.KeyProp)
+    val e2 = intercept[IllegalStateException] {
+      EqDeletes.logicalMorRead(spark, wh.snapshotPath("t"),
+        TableProps.read(wh, "t")).count()
+    }
+    assert(e2.getMessage.contains("bound to the declared key"))
+    // restore + fold: everything serves again
+    TableProps.write(wh, "t",
+      TableProps.read(wh, "t") + (EqDeletes.KeyProp -> "id"))
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    assert(visible(cat) == base.filterNot(_._2 == "del").toSet)
+  }
+
   test("internalKeySets survives a cache-bound clear on a mixed hit+miss call (advice finding: hits mapped to null after clear)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
