@@ -259,15 +259,15 @@ object DeltaStress {
 
     // keyedSurvivors PROBE COST at the caps (round-16 watch item): the
     // driver-side probe is O(files × keys) bloom bit tests at its worst
-    // — 2048 manifest rows × the 50k key cap with every key IN RANGE but
-    // ABSENT (the range probe keeps every file, each bloom scans the
-    // full key list). The round-17 guards: range-before-bloom ordering
-    // and a parallel per-file loop past a work budget. Linear in files,
-    // so the 10k-file cap extrapolates at ~5× the printed figure.
+    // — the FULL ManifestBloomMaxFiles manifest × the 50k key cap with
+    // every key IN RANGE but ABSENT (the range probe keeps every file,
+    // each bloom scans the full key list). The round-17 guards:
+    // range-before-bloom ordering and a parallel per-file loop past a
+    // work budget.
     {
       val root = Files.createTempDirectory("graft_dstress_probe").toString
       val wh = Warehouse(root, retain = 2)
-      val files = 2048
+      val files = graft.plans.ZoneMap.ManifestBloomMaxFiles
       // even ids only: odd probes are in-range but absent everywhere
       wh.overwrite(spark.range(n).select((col("id") * 2).as("id"),
         (col("id") % 97).cast("double").as("v"))

@@ -628,37 +628,47 @@ object ZoneMap {
       .getInterpretedOrdering(keyType)
     val sortedKeys = catKeys.toIndexedSeq.sorted(ordering)
     val conv = CatalystTypeConverters.createToCatalystConverter(keyType)
-    def probe(r: org.apache.spark.sql.Row): (String, Boolean) = {
-      val rangeIdx = if (hasBloom) 3 else 1
-      // CHEAP evidence first (round-16 watch item: at both caps the
-      // bloom probe is O(keys) bit tests PER FILE — 50k × 10k ≈ 500M —
-      // while the range probe is one binary search): a file the range
-      // already excludes never touches its bloom, and on a clustered
-      // table that is almost every file
-      val rangeKeep = if (hasMinMax && !bloomOnly) {
+    // TWO passes, cheap evidence first (round-16 watch item: at both
+    // caps the bloom probe is O(keys) bit tests PER FILE — 50k × 10k ≈
+    // 500M — while the range probe is one binary search per file).
+    val rangeIdx = if (hasBloom) 3 else 1
+    def rangeKeep(r: org.apache.spark.sql.Row): Boolean =
+      if (hasMinMax && !bloomOnly) {
         // range probe, keep-conservative: null stats survive
         r.isNullAt(rangeIdx) || r.isNullAt(rangeIdx + 1) ||
           anyKeyInRange(sortedKeys, ordering,
             conv(r.get(rangeIdx)), conv(r.get(rangeIdx + 1)))
       } else true
-      val bloomKeep = rangeKeep && (if (hasBloom) {
+    def bloomKeep(r: org.apache.spark.sql.Row): Boolean =
+      if (hasBloom) {
         val bits = r.get(1).asInstanceOf[Array[Byte]]
         val nh = r.getInt(2)
         // null/absent bits: keep-conservative (no evidence to skip on)
         bits == null ||
           hashes.exists(h => graft.functions.Bloom.mightContain(bits, h, nh))
-      } else true)
-      (r.getString(0), rangeKeep && bloomKeep)
-    }
-    // parallelize past a work budget: the worst case (unclustered table,
-    // every file range-survives, no key present) is files × keys bloom
-    // bit tests on the driver — chunk it over the driver's cores
-    val work = rows.length.toLong * math.max(1L, hashes.length.toLong)
+      } else true
+    val ranged: Seq[(org.apache.spark.sql.Row, Boolean)] =
+      rows.toSeq.map(r => (r, rangeKeep(r)))
+    // bloom pass only for range survivors, BUDGETED (round 17): past
+    // ~150M key×file bit-test products the probe would sit on the DML
+    // hot path for seconds, and at that shape the blooms are saturated
+    // anyway (a 50k-key probe false-positives per file with
+    // near-certainty — measured: skipping changes nothing but the
+    // time). Skipping bloom evidence is keep-conservative by
+    // construction. The loop parallelizes past a smaller budget.
+    val survivorsByRange = ranged.count(_._2)
+    val bloomWork = survivorsByRange.toLong *
+      math.max(1L, hashes.length.toLong)
     val plan: Seq[(String, Boolean)] =
-      if (work <= 4000000L) rows.toSeq.map(probe)
+      if (!hasBloom || bloomWork > 150000000L)
+        ranged.map { case (r, keep) => (r.getString(0), keep) }
+      else if (bloomWork <= 4000000L)
+        ranged.map { case (r, keep) =>
+          (r.getString(0), keep && bloomKeep(r)) }
       else {
         import scala.collection.parallel.CollectionConverters._
-        rows.toSeq.par.map(probe).seq
+        ranged.par.map { case (r, keep) =>
+          (r.getString(0), keep && bloomKeep(r)) }.seq
       }
     if (plan.map(_._1).sorted != listDataFiles(spark, dataPath).sorted) {
       logStale(dataPath)
