@@ -423,6 +423,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             }
             main ++ branches ++ tags
           }))
+        // the Iceberg `delete_files` metadata-table shape (round 17):
+        // every PENDING merge-on-read sidecar of the current snapshot —
+        // equality (key-frame records, census width) and positional
+        // (tombstone ordinals, touched files) — so an operator can see
+        // the read debt `CALL compact` would fold without spelunking
+        // `_eqdeletes`/`_posdeletes`. Planning-scale: one row per
+        // pending sidecar, counts from footers/byte sizes, no data read.
+        case "delete_files" => Some(GraftCatalog.localTable(
+          s"$t.delete_files",
+          StructType(Seq(StructField("sidecar", StringType, nullable = false),
+            StructField("kind", StringType, nullable = false),
+            StructField("records", LongType, nullable = false),
+            StructField("applies_to_files", LongType, nullable = false))),
+          () => {
+            val snap = wh.snapshotPath(t)
+            val eq = EqDeletes.pending(snap).map { sc =>
+              val keys = spark.read.parquet(sc.keysPath).count()
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(sc.dir.getFileName.toString),
+                UTF8String.fromString("equality"), keys,
+                sc.census.size.toLong)): InternalRow
+            }
+            val pos = PosDeletes.pending(snap).map { d =>
+              import scala.jdk.CollectionConverters._
+              val s = java.nio.file.Files.list(d)
+              val posFiles = try s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".pos")).toList
+                finally s.close()
+              val tombstones = posFiles
+                .map(java.nio.file.Files.size(_) / 8).sum
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(d.getFileName.toString),
+                UTF8String.fromString("positional"), tombstones,
+                posFiles.size.toLong)): InternalRow
+            }
+            eq ++ pos
+          }))
         case _ => None
       }
     }

@@ -482,6 +482,15 @@ class EqDeletesSpec extends SparkTestBase {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.t VERSION AS OF $v1").head.getLong(0) ==
       base.count(_._2 != "del").toLong)
+    // the delete_files metadata table surfaces BOTH pending kinds with
+    // their record counts (the Iceberg metadata-table shape) — the
+    // operator view of the read debt CALL compact would fold
+    val df = spark.sql(
+      s"SELECT kind, records FROM $cat.t.delete_files ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(df.length == 2, df.toSeq)
+    assert(df(0)._1 == "equality" && df(0)._2 == 20L, df.toSeq)
+    assert(df(1)._1 == "positional" && df(1)._2 == 2L, df.toSeq)
     // a delta UPDATE over pending POSITIONAL tombstones refuses loudly
     val e = intercept[Exception] {
       spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE grp = 'keep'")
