@@ -1537,6 +1537,95 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Delta UPDATE + MERGE stacking over pending POSITIONAL tombstones
+    * under the oracle gate (q211, round 18 — the round-17 verdict's top
+    * item): the reference's mirror is CONTINUOUSLY merged
+    * (tabular.py:58-64), so "DML between folds" is the normal state —
+    * one oversized/NULL-key DELETE must not freeze the write surface
+    * until a compact. The lifecycle: a positional DELETE (NULL-key
+    * matches force the ordinal route), then a delta UPDATE and a delta
+    * MERGE whose target scans read the LOGICAL rows through the
+    * tombstones ([[graft.sources.PosDeltaTargetScan]] spliced by the
+    * catalog-registered rule); the harness REQUIRES the tombstones
+    * carry, the equality sidecars stack beside them, and base files
+    * never rewrite. The aggregate with everything pending hash-equals
+    * the post-compact aggregate and the oracle's closed-form model.
+    */
+  def q211DeltaOverPositional(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{EqDeletes, PosDeletes, Tables}
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dp_q211")
+    val cat = s"gq211_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      // NULL keys land ONLY on (a tenth of the) clicks: a MOR table's
+      // schema marks the key REQUIRED, so a `key IS NULL` predicate
+      // constant-folds — the delete below reaches the null rows through
+      // the type predicate instead, and clearing ALL of them in phase 1
+      // leaves the logical content null-free for the deltas
+      val seed = events(spark, dir)
+        .filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(
+          when(pmod(col("event_id"), lit(10)) === 0 &&
+              col("event_type") === "click", lit(null))
+            .otherwise(col("event_id")).as("event_id"),
+          col("event_type"), col("value"))
+      wh.overwrite(seed.repartition(4).localCheckpoint(true), "ev")
+      Tables.TableProps.write(wh, "ev", Map(
+        EqDeletes.ModeProp -> "merge-on-read",
+        EqDeletes.KeyProp -> "event_id"))
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      val preFiles = graft.plans.ZoneMap
+        .dataFileCensus(spark, wh.snapshotPath("ev")).toSet
+      // phase 1 — the oversized-shape DELETE: NULL-key matches force the
+      // positional sidecar (and clear the live-null surface for deltas)
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+      require(PosDeletes.pending(wh.snapshotPath("ev")).size == 1 &&
+        EqDeletes.pending(wh.snapshotPath("ev")).isEmpty,
+        "the NULL-key match must route positionally")
+      // phase 2 — delta UPDATE stacks OVER the pending tombstones
+      spark.sql(s"UPDATE $cat.ev SET value = value + 50 " +
+        "WHERE event_type = 'view'")
+      // phase 3 — delta MERGE: matched purchases double, odd errors insert
+      events(spark, dir).select("event_id", "event_type", "value")
+        .filter((pmod(col("event_id"), lit(2)) === 0 &&
+            col("event_type") === "purchase") ||
+          (pmod(col("event_id"), lit(2)) === 1 &&
+            col("event_type") === "error"))
+        .withColumn("value",
+          when(col("event_type") === "purchase", col("value") * 2)
+            .otherwise(col("value")))
+        .createOrReplaceTempView(s"dsrc_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.ev t USING dsrc_$cat s ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val snap = wh.snapshotPath("ev")
+      require(PosDeletes.pending(snap).size == 1,
+        "the positional sidecar must carry under both delta commits")
+      require(EqDeletes.pending(snap).size == 2,
+        "UPDATE and MERGE must each stack one equality sidecar")
+      require(preFiles.subsetOf(graft.plans.ZoneMap
+          .dataFileCensus(spark, snap).toSet),
+        "deltas over tombstones must never rewrite base files")
+      def agg(phase: String) = spark.sql(
+        s"""SELECT '$phase' AS phase, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value
+           |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      val pending = agg("pending").localCheckpoint(true)
+      spark.sql(s"CALL $cat.system.compact('ev', 4)").collect()
+      require(!EqDeletes.anyPending(wh.snapshotPath("ev")),
+        "compact must fold both sidecar kinds")
+      pending.unionByName(agg("folded"))
+        .orderBy("phase", "event_type")
+        .localCheckpoint(true) // pin rows before the scratch files vanish
+    } finally deleteDir(tmp)
+  }
+
   /** Branch audit changelog under the oracle gate (q209, round 17):
     * `CALL branch_diff` materializes the row-level changes a
     * `fast_forward` WOULD apply to main — the audit question
@@ -3500,6 +3589,30 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // deltas stacked over positional tombstones reduce to ONE model
+    // applied to both phases: evens minus clicks (the NULLed keys were
+    // all clicks), views +50 (delta UPDATE), purchases doubled (delta
+    // MERGE matched arm), plus the odd errors the MERGE inserted
+    "q211_delta_over_positional" ->
+      """WITH finalv AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'view' THEN value + 50
+        |         WHEN event_type = 'purchase' THEN value * 2
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 2 = 0 AND event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type = 'error')
+        |SELECT 'folded' AS phase, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM finalv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'pending', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM finalv GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+
     // the branch AUDIT changelog reduces to four closed-form slices of
     // the raw rows: inserts = the staged odd errors, deletes = main's
     // even clicks (original values), update_before/update_after = the
@@ -4082,6 +4195,7 @@ object Queries {
     "q207_mor_composite_key" -> (q207MorCompositeKey _),
     "q208_positional_delete" -> (q208PositionalDelete _),
     "q209_branch_audit_diff" -> (q209BranchAuditDiff _),
+    "q211_delta_over_positional" -> (q211DeltaOverPositional _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

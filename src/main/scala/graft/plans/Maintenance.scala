@@ -656,6 +656,7 @@ object Maintenance {
     // census, so the replay-duplicate guard below never trips on a
     // half-flipped day. The next maintenance tick re-runs this whole
     // method, which is the migration's replay heal.
+    val skippedYoung = scala.collection.mutable.Set.empty[String]
     locally {
       val s = Files.list(baseP)
       val days = try s.iterator().asScala.filter(p =>
@@ -673,15 +674,24 @@ object Maintenance {
       days.filter(d => Files.exists(d.resolve(MigratingManifest)))
         .foreach { d =>
           if (now - newestMtime(d) > healOlderThanMs) healDayMigration(d)
-          else throw new IllegalStateException(
-            s"$table/${d.getFileName}: a rename-free grain flip is in " +
-              s"flight or crashed < ${healOlderThanMs} ms ago " +
-              "(_migrating manifest still fresh); healing now could " +
-              "roll back a live rival's copy — retry once it settles " +
-              "or ages out")
+          else {
+            // a rival may be mid-flip on THIS day — leave it entirely
+            // alone (heal it on a later pass once it settles or ages
+            // out), but keep making progress on every other day: a
+            // throw here blocked healing AND migration of all quiet
+            // days behind one crashed-but-young day (advice finding)
+            skippedYoung += d.getFileName.toString
+            System.err.println(s"[graft] $table/${d.getFileName}: " +
+              s"_migrating manifest fresher than ${healOlderThanMs} ms " +
+              "— a rename-free grain flip may be live; skipping this " +
+              "day this pass")
+          }
         }
     }
-    val (dayEra, _) = wh.classifyDayDirs(base)
+    val (dayEraAll, _) = wh.classifyDayDirs(base)
+    // never touch a day whose flip may be live (skipped above)
+    val dayEra = dayEraAll.filterNot(d =>
+      skippedYoung.contains(d.getFileName.toString))
     dayEra.foreach { dayDir =>
       val oldBatches = wh.childDirs(dayDir, s"$PartBatchCol=")
       val hourDirs = wh.childDirs(dayDir, s"$PartHourCol=")

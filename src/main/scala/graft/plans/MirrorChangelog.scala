@@ -116,6 +116,24 @@ object MirrorChangelog {
         s"'$name' has no branch '$branch'"))
     val headDir = wh.branchSnapshotDir(name, branch).toString
     val props = TableProps.read(wh, name)
+    // the audit key defaults to the table's DECLARED key (an audit keyed
+    // on the wrong/non-unique column silently join-multiplies the
+    // changelog an operator approves a publish on — advice finding);
+    // an explicit key must exist in the table's current schema, which
+    // BOTH sides normalize to before the diff
+    val effKey = Option(keyCol).map(_.trim).filter(_.nonEmpty)
+      .orElse(props.get(EqDeletes.KeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"branchDiff('$name', '$branch'): no key_col passed and the " +
+          s"table declares no '${EqDeletes.KeyProp}' — pass the row " +
+          "identity explicitly"))
+    val schemaCols = SchemaEvolution.readTableWidened(spark,
+      wh.snapshotPath(name)).schema.fieldNames.toSet
+    graft.CdcConfig.parseKeyCols(effKey).foreach(k =>
+      require(schemaCols.contains(k),
+        s"branchDiff('$name', '$branch'): key column '$k' is not in the " +
+          s"table schema (${schemaCols.toSeq.sorted.mkString(", ")}) — a " +
+          "mistyped key would fabricate a join-multiplied audit"))
     def logical(dir: String): DataFrame =
       if (EqDeletes.anyPending(dir))
         EqDeletes.logicalMorRead(spark, dir, props)
@@ -127,7 +145,7 @@ object MirrorChangelog {
       s"branchDiff('$name', '$branch'): fork base v$base is no longer " +
         "retained (aged out of main history); Warehouse(root, retain = " +
         "k) must outlast the audit window"))
-    diff(n(logical(baseDir)), n(logical(headDir)), keyCol)
+    diff(n(logical(baseDir)), n(logical(headDir)), effKey)
   }
 
   /** Durable consumer cursor: the last mirror version whose diff was

@@ -170,6 +170,7 @@ private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
       case r: DataSourceV2ScanRelation => r.scan match {
         case s: EqDeleteScan => s.splitSpec.isDefined
         case _: PosDeletePendingScan => true
+        case _: PosDeltaTargetScan => true
         case _ => false
       }
       case _ => false
@@ -184,6 +185,14 @@ private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
         SplitEqDeleteScans.spliceLogical(r.output,
           r.scan.asInstanceOf[PosDeletePendingScan].table
             .posDeleteLogical().get)
+      // a row-level DELTA operation's target scan over a pos-bearing
+      // snapshot (round 18): same splice, pinned-dir-explicit (the
+      // target may be a branch head, and the relation wraps Spark's
+      // RowLevelOperationTable — the GraftTable matches can't see it)
+      case r: DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[PosDeltaTargetScan] =>
+        SplitEqDeleteScans.spliceLogical(r.output,
+          r.scan.asInstanceOf[PosDeltaTargetScan].logical())
       case r: DataSourceV2ScanRelation
           if r.relation.table.isInstanceOf[GraftTable] &&
             r.scan.isInstanceOf[EqDeleteScan] &&
@@ -242,6 +251,33 @@ private[sources] class PosDeletePendingScan(
         "catalog-registered plan rewrite — a raw scan would resurrect " +
         "tombstoned rows. Register the catalog (or the extension), or " +
         "CALL <catalog>.system.compact to fold the sidecars")
+}
+
+/** The delta-DML twin of [[PosDeletePendingScan]] (round 18): the target
+  * scan of a merge-on-read UPDATE / MERGE whose PINNED snapshot (main or
+  * a WAP branch head) carries pending positional tombstones. The delta
+  * write stacks over them — the operation must see the LOGICAL rows, or
+  * tombstoned rows would re-match as live — so the post-pushdown rule
+  * splices [[PosDeletes.logicalRead]] (equality sidecars composed
+  * beneath) in place of this scan. Pinned-dir-explicit because the
+  * row-level relation wraps Spark's RowLevelOperationTable and may
+  * target a branch head, not the served main snapshot.
+  */
+private[sources] class PosDeltaTargetScan(tableName: String,
+    snapshotDir: String, tableSchema: StructType, keyCols: Seq[String])
+  extends org.apache.spark.sql.connector.read.Scan {
+  def logical(): org.apache.spark.sql.DataFrame =
+    PosDeletes.logicalRead(SparkSession.active, snapshotDir, tableSchema,
+      Some(keyCols))
+  override def readSchema(): StructType = tableSchema
+  override def description(): String =
+    s"PosDeltaTargetScan($tableName, $snapshotDir)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalStateException(
+      s"'$tableName' carries pending POSITIONAL delete sidecars and " +
+        "this session lacks the catalog-registered plan rewrite — a " +
+        "raw delta-target scan would treat tombstoned rows as live. " +
+        "Register the catalog, or CALL <catalog>.system.compact first")
 }
 
 /** The affected-files-only face of a pending-sidecar snapshot: reads plan

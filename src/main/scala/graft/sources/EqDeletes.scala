@@ -113,6 +113,29 @@ private[graft] object EqDeletes {
       keyCols: Seq[String], context: String): Unit =
     keyCols.foreach(requireNullFreeKey(spark, snapshotDir, _, context))
 
+  /** The LOGICAL-content variant of [[requireNullFreeKeys]] for
+    * snapshots with pending POSITIONAL tombstones (round 18): footer
+    * null counts include rows the tombstones already hide — the normal
+    * repair for NULL keys IS a positional `DELETE WHERE key IS NULL`,
+    * after which the physical files still hold the nulls but the
+    * logical content is null-free. One probe-filtered scan, memoized
+    * per immutable (snapshot, keys) like the footer check.
+    */
+  def requireNullFreeKeysLogical(spark: SparkSession, snapshotDir: String,
+      props: Map[String, String], keyCols: Seq[String],
+      context: String): Unit = {
+    val memoKey = s"$snapshotDir#logical#${keyCols.mkString(",")}"
+    if (nullFreeVerified.contains(memoKey)) return
+    val nulls = logicalMorRead(spark, snapshotDir, props)
+      .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+    if (nulls > 0) throw new UnsupportedOperationException(
+      s"$context: $nulls LIVE row(s) carry a NULL key component " +
+        s"('${keyCols.mkString("','")}') — merge-on-read declares the " +
+        "key REQUIRED. Delete or repair the NULL-key rows first " +
+        "(a predicate DELETE routes them to a positional sidecar)")
+    nullFreeVerified.add(memoKey)
+  }
+
   private def requireNullFreeKey(spark: SparkSession, snapshotDir: String,
       keyCol: String, context: String): Unit = {
     // memo key includes the KEY COLUMN, not just the snapshot: re-keying

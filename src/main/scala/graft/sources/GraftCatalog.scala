@@ -969,7 +969,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     procedure("branch_diff",
       "Audit changelog of BRANCH vs its fork base (what would " +
         "fast_forward change?) written into view table VIEW; returns " +
-        "per-change-type row counts",
+        "per-change-type row counts. KEY_COL '' selects the table's " +
+        "declared cdc.key-column; explicit keys must exist in the schema",
       Seq(param("table", StringType), param("branch", StringType),
         param("key_col", StringType), param("view", StringType)),
       StructType(Seq(StructField("change_type", StringType),
@@ -1936,21 +1937,28 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
             "by the table's key"))
       val deltaExpected = wh.currentVersion(tableName)
       val pinned = branchCtx.map(_._3).getOrElse(delegate.paths.head)
-      // POSITIONAL tombstones pending: the delta scan kinds below read
-      // raw files (equality sidecars apply per row; ordinals do not) —
-      // a delta write over a pos-bearing snapshot would treat tombstoned
-      // rows as live. Fold first, loudly (positional sidecars come from
-      // huge deletes; a fold was due anyway).
-      require(PosDeletes.pending(pinned).isEmpty,
-        s"'$tableName' has pending POSITIONAL delete sidecars; CALL " +
-          s"<catalog>.system.compact('$tableName') to fold them " +
-          s"before a delta ${info.command}")
+      // POSITIONAL tombstones pending (round 18 — deltas STACK over
+      // them, same census rule as equality): the operation's scan routes
+      // through [[PosDeletes.logicalRead]] (the [[PosDeltaTargetScan]]
+      // marker spliced by the catalog-registered rule), so tombstoned
+      // rows never re-match as live; the new equality sidecar stays
+      // census-scoped to the pinned snapshot and ordinals stay valid
+      // because carried files keep their names. The pre-round-18 refusal
+      // froze the write surface after one oversized DELETE until a fold.
+      val posPending = PosDeletes.pending(pinned).nonEmpty
       // expert-path defense (TableProps.write bypasses the DDL guard):
       // a NULL key under the required-key schema corrupts silently, so
       // verify the pinned snapshot before planning — footer-stat cheap,
-      // cached per immutable version dir
-      EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCols,
-        s"merge-on-read ${info.command} on '$tableName'")
+      // cached per immutable version dir. With positional tombstones
+      // pending the footer counts include rows already deleted (the
+      // NULL-key repair path IS a positional DELETE), so the check runs
+      // against the LOGICAL content instead.
+      if (posPending)
+        EqDeletes.requireNullFreeKeysLogical(SparkSession.active, pinned,
+          morProps, keyCols, s"merge-on-read ${info.command} on '$tableName'")
+      else
+        EqDeletes.requireNullFreeKeys(SparkSession.active, pinned, keyCols,
+          s"merge-on-read ${info.command} on '$tableName'")
       // runtime target narrowing for delta MERGE: Spark's own row-level
       // group filtering matches only ReplaceData, so the engine's
       // [[DeltaRuntimeGroupFiltering]] (registered here, post-pushdown
@@ -1969,7 +1977,14 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
           pinned,
           opts => {
             val sidecars = EqDeletes.pending(pinned)
-            if (sidecars.nonEmpty)
+            if (posPending)
+              // both sidecar kinds read through the logical splice
+              // (equality composes beneath the ordinal probe)
+              new ScanBuilder {
+                override def build(): Scan = new PosDeltaTargetScan(
+                  tableName, pinned, GraftTable.this.schema(), keyCols)
+              }
+            else if (sidecars.nonEmpty)
               new EqDeleteScanBuilder(tableName, pinned,
                 GraftTable.this.schema(), keyCols, opts, sidecars)
             else if (isMerge)

@@ -788,8 +788,17 @@ object Tables {
         Files.createDirectories(dst)
         val es = Files.list(src)
         try es.iterator().asScala.foreach { p =>
-          val t = dst.resolve(p.getFileName.toString)
-          if (Files.isDirectory(p)) carryTree(p, t) else linkOrCopy(p, t)
+          val fn = p.getFileName.toString
+          // skip write-attempt debris (dot-prefixed / .tmp): a zombie
+          // speculative task can land a .tmp AFTER the writer's own
+          // sweep, and carrying it would hard-link the debris into every
+          // later snapshot forever (advice finding). Readers key on the
+          // committed names only, so the skip is content-neutral.
+          if (fn.startsWith(".") || fn.endsWith(".tmp")) ()
+          else {
+            val t = dst.resolve(fn)
+            if (Files.isDirectory(p)) carryTree(p, t) else linkOrCopy(p, t)
+          }
         } finally es.close()
       }
       // ONE listing of the previous root dispatches every carry class

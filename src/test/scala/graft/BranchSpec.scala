@@ -483,6 +483,22 @@ class BranchSpec extends SparkTestBase {
       s"CALL $cat.system.branch_diff('t', 'f2', 'id', 'audit_v')")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(counts2 == counts)
+    // key_col '' defaults to the table's DECLARED cdc.key-column
+    // (advice finding: an unvalidated caller key silently
+    // join-multiplies the audit an operator approves on)
+    val countsDefault = spark.sql(
+      s"CALL $cat.system.branch_diff('t', 'f2', '', 'audit_v')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(countsDefault == counts)
+    // a key column outside the schema refuses loudly
+    val badKey = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.system.branch_diff('t', 'f2', 'nope_col', 'audit_v')")
+        .collect()
+    }
+    assert(Iterator.iterate(badKey: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" ").contains("not in the table schema"))
   }
 
   test("branch DML routes NULL-key matches to a POSITIONAL sidecar on the branch head; main pinned; fast_forward publishes; compact folds") {

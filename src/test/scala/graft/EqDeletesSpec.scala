@@ -440,12 +440,28 @@ class EqDeletesSpec extends SparkTestBase {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.big WHERE id <= ${EqDeletes.MaxKeys}")
       .head.getLong(0) == 0L)
+    // plant zombie write-attempt debris in the pending sidecar dir: a
+    // speculative task can land a .tmp AFTER the writer's own sweep, and
+    // the version carry must NOT immortalize it (advice finding)
+    java.nio.file.Files.writeString(
+      PosDeletes.pending(snap).head.resolve(".zombie.pos.attempt1.tmp"),
+      "debris")
     // a new INSERT lands outside every tombstone's file
     spark.range(5).selectExpr("id", "id % 7 AS grp")
       .createOrReplaceTempView(s"pins_$cat")
     spark.sql(s"INSERT INTO $cat.big SELECT * FROM pins_$cat")
     assert(spark.sql(s"SELECT count(*) FROM $cat.big").head.getLong(0) ==
       expect + 5)
+    // the carried sidecar dir dropped the debris, kept the .pos files
+    val carried = PosDeletes.pending(wh.snapshotPath("big")).head
+    val names = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(carried)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(names.nonEmpty && names.forall(_.endsWith(".pos")),
+      s"carryTree must skip .tmp/dot debris, carried: $names")
     // fold consumes the tombstones: plain snapshot, same answer
     spark.sql(s"CALL $cat.system.compact('big', 4)").collect()
     assert(PosDeletes.pending(wh.snapshotPath("big")).isEmpty)
@@ -453,7 +469,7 @@ class EqDeletesSpec extends SparkTestBase {
       expect + 5)
   }
 
-  test("positional tombstones stack over pending equality sidecars; time travel keeps every phase; delta writes refuse until folded") {
+  test("positional tombstones stack over pending equality sidecars; time travel keeps every phase; delta writes stack over them (live NULL keys still refuse)") {
     import graft.sources.PosDeletes
     val (cat, wh) = morFixture(base)
     // phase 1: a normal equality sidecar
@@ -491,23 +507,96 @@ class EqDeletesSpec extends SparkTestBase {
     assert(df.length == 2, df.toSeq)
     assert(df(0)._1 == "equality" && df(0)._2 == 20L, df.toSeq)
     assert(df(1)._1 == "positional" && df(1)._2 == 2L, df.toSeq)
-    // a delta UPDATE over pending POSITIONAL tombstones refuses loudly
+    // a delta UPDATE over pending POSITIONAL tombstones STACKS (round
+    // 18): the target scan splices the LOGICAL read, so tombstoned rows
+    // (including the NULL-key one) never re-match as live, and the new
+    // equality sidecar lands census-scoped beside the carried tombstones
+    spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE v = 2.0")
+    val snap2 = wh.snapshotPath("t")
+    assert(PosDeletes.pending(snap2).size == 1,
+      "the positional sidecar carries under the delta commit")
+    assert(EqDeletes.pending(snap2).size == 2,
+      "the delta's equality sidecar stacks beside the carried one")
+    val expect2 = expect.map {
+      case (i, g, 2.0) => (i, g, 0.0)
+      case r => r
+    }
+    assert(visible(cat) == expect2)
+    // the tombstoned NULL-key row stays deleted through the keyed
+    // delta (the logical null check passes because the only nulls are
+    // already tombstoned)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'null-grp'")
+      .head.getLong(0) == 0L)
+    // a LIVE NULL-key row still refuses the delta loudly — only
+    // tombstoned nulls are forgiven
+    wh.appendVersioned(spark.sql(
+      "SELECT CAST(null AS BIGINT) id, 'null2' grp, " +
+        "CAST(888.0 AS DOUBLE) v"), "t")
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE grp = 'keep'")
+      spark.sql(s"UPDATE $cat.t SET v = -1.0 WHERE grp = 'keep'")
     }
     val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
-    assert(msg.contains("POSITIONAL"), msg.take(300))
+    assert(msg.contains("NULL"), msg.take(300))
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'null2'")
     // fold consumes BOTH kinds in one commit
     spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
     assert(!EqDeletes.anyPending(wh.snapshotPath("t")))
-    assert(visible(cat) == expect)
-    // and the delta write works again
-    spark.sql(s"UPDATE $cat.t SET v = v + 0.5 WHERE v = 2.0")
-    assert(visible(cat) == expect.map {
-      case (i, g, 2.0) => (i, g, 2.5)
+    assert(visible(cat) == expect2)
+    // and the delta write still works on the folded snapshot
+    spark.sql(s"UPDATE $cat.t SET v = v + 0.5 WHERE v = 0.0")
+    assert(visible(cat) == expect2.map {
+      case (i, g, 0.0) => (i, g, 0.5)
       case r => r
     })
+  }
+
+  test("delta MERGE stacks over positional tombstones: re-inserted keys land outside the ordinals, a second positional DELETE scopes to the stacked state, fold == pending") {
+    import graft.sources.PosDeletes
+    val (cat, wh) = morFixture(base)
+    // a NULL-key row forces the positional route for the first DELETE
+    wh.appendVersioned(spark.sql(
+      "SELECT CAST(null AS BIGINT) id, 'ng' grp, CAST(7.0 AS DOUBLE) v"),
+      "t")
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'ng' OR id <= 5")
+    val snap1 = wh.snapshotPath("t")
+    assert(PosDeletes.pending(snap1).size == 1 &&
+      EqDeletes.pending(snap1).isEmpty, "the delete routed positionally")
+    // MERGE over the pos-bearing snapshot: re-insert tombstoned key 3,
+    // update live key 7, insert fresh key 300
+    Seq((3L, "back", 3.5), (7L, "upd", 70.0), (300L, "new", 300.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView(s"pmrg_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING pmrg_$cat s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET grp = s.grp, v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap2 = wh.snapshotPath("t")
+    assert(PosDeletes.pending(snap2).size == 1,
+      "tombstones carry under the delta commit")
+    assert(EqDeletes.pending(snap2).size == 1,
+      "the MERGE's equality sidecar stacks beside them")
+    // key 3 was TOMBSTONED, so the MERGE saw it as absent → INSERT arm;
+    // its new row lands in a file no ordinal names and stays visible
+    val expect = (base.toSet.filterNot(_._1 <= 5) -
+      ((7L, "keep", 7.0))) +
+      ((3L, "back", 3.5)) + ((7L, "upd", 70.0)) + ((300L, "new", 300.0))
+    assert(visible(cat) == expect)
+    // ordinal scoping under the stacked state: a SECOND positional
+    // DELETE (forced via a fresh NULL-key row) matches rows in both old
+    // and new files; its ordinals are scoped per named file, so nothing
+    // else moves
+    wh.appendVersioned(spark.sql(
+      "SELECT CAST(null AS BIGINT) id, 'ng2' grp, CAST(8.0 AS DOUBLE) v"),
+      "t")
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'ng2' OR id = 300 OR id = 9")
+    val snap3 = wh.snapshotPath("t")
+    assert(PosDeletes.pending(snap3).size == 2, "the second sidecar stacked")
+    val expect2 = expect - ((300L, "new", 300.0)) - ((9L, "del", 9.0))
+    assert(visible(cat) == expect2)
+    // pending == folded
+    spark.sql(s"CALL $cat.system.compact('t', 3)").collect()
+    assert(!EqDeletes.anyPending(wh.snapshotPath("t")))
+    assert(visible(cat) == expect2)
   }
 
   test("WAP DML routing: MOR MERGE and sidecar DELETE commit deltas to the branch head; main pinned; fast_forward publishes") {

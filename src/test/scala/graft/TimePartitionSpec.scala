@@ -612,15 +612,25 @@ class TimePartitionSpec extends SparkTestBase {
       "N p_hour=3/p_batch=99/part-partial.parquet\n" +
         "N p_hour=3/p_batch=99/part-missing.parquet\n" +
         "O p_batch=99")
-    // a FRESH manifest refuses (a live rival may be mid-copy; healing
-    // would roll back files it just wrote — advice finding): the default
-    // age guard sees the just-written manifest as possibly-live
-    val live = intercept[IllegalStateException] {
-      Maintenance.migrateTimeGranularity(spark, wh, "log")
-    }
-    assert(live.getMessage.contains("_migrating"))
+    // a FRESH manifest SKIPS that day (a live rival may be mid-copy;
+    // healing would roll back files it just wrote) — while every OTHER
+    // quiet day-era day still migrates in the same pass (advice finding:
+    // the old throw blocked healing and migration of all days behind
+    // one crashed-but-young day)
+    val quietDay = base.resolve("p_day=2023-12-24")
+    Files.createDirectories(quietDay.resolve("p_batch=88"))
+    Seq((8L, ts("2023-12-24 02:00:00"))).toDF("id", "ts")
+      .write.mode("overwrite").parquet(quietDay.resolve("p_batch=88").toString)
+    val migratedSkip = Maintenance.migrateTimeGranularity(spark, wh, "log")
+    assert(migratedSkip == 1,
+      s"the quiet day behind the young manifest must still migrate, " +
+        s"got $migratedSkip")
+    assert(wh.childDirs(quietDay, "p_batch=").isEmpty,
+      "the quiet day flipped to hour grain")
     assert(Files.exists(oldDay.resolve("_migrating")),
-      "a refused heal must leave the in-flight state untouched")
+      "a skipped heal must leave the in-flight state untouched")
+    assert(wh.childDirs(oldDay, "p_batch=").nonEmpty,
+      "the young-manifest day is entirely untouched")
     // aged out (healOlderThanMs = -1 treats any mtime as quiet) → heal
     val migrated2 = Maintenance.migrateTimeGranularity(spark, wh, "log",
       healOlderThanMs = -1L)
