@@ -1626,6 +1626,66 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Diverged-branch cherrypick under the oracle gate (q212, round 18):
+    * `fast_forward` refuses once main moved past the fork — `CALL
+    * cherrypick` is the remedy, replaying the branch's row-level audit
+    * diff (insert / delete / before+after images) onto CURRENT main as
+    * ONE staged CAS commit, refusing on key-level conflicts. The
+    * harness stages an INSERT + UPDATE on the branch, diverges main
+    * with a DELETE, proves fast_forward refuses, cherrypicks, and
+    * REQUIRES the ref rebased (head = base = published version, diff
+    * empty). The merged aggregate hash-equals the oracle's closed-form
+    * union of both sides' changes.
+    */
+  def q212CherrypickDiverged(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MirrorChangelog
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp_q212")
+    val cat = s"gq212_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .repartition(4).localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(s"CALL $cat.system.create_branch('ev', 'fix')").collect()
+      ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+          col("event_type") === "error")
+        .createOrReplaceTempView(s"cpsrc_$cat")
+      spark.conf.set("spark.graft.wap.branch", "fix")
+      try {
+        spark.sql(s"INSERT INTO $cat.ev SELECT * FROM cpsrc_$cat")
+        spark.sql(s"UPDATE $cat.ev SET value = value + 100 " +
+          "WHERE event_type = 'view'")
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      // main DIVERGES: the branch is no longer fast-forwardable
+      spark.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+      val ffRefused =
+        try { spark.sql(s"CALL $cat.system.fast_forward('ev', 'fix')")
+          .collect(); false }
+        catch { case _: Exception => true }
+      require(ffRefused, "a diverged branch must refuse fast_forward")
+      spark.sql(s"CALL $cat.system.cherrypick('ev', 'fix', 'event_id')")
+        .collect()
+      require(MirrorChangelog.branchDiff(spark, wh, "ev", "fix",
+          "event_id").count() == 0L,
+        "the cherry-picked branch must rebase to the merged state")
+      val (head, base) = wh.branches("ev")("fix")
+      require(head == wh.currentVersion("ev").get && base == head,
+        "rebase must re-point head and base to the published version")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value
+           |FROM $cat.ev GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branch audit changelog under the oracle gate (q209, round 17):
     * `CALL branch_diff` materializes the row-level changes a
     * `fast_forward` WOULD apply to main — the audit question
@@ -3613,6 +3673,25 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the cherry-picked merge reduces to one closed-form union: main's
+    // divergent DELETE (clicks gone) composed with the branch's staged
+    // INSERT (odd errors) and UPDATE (views +100)
+    "q212_cherrypick_diverged" ->
+      """WITH merged AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'view' THEN value + 100
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 2 = 0 AND event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_type = 'error')
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM merged GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // the branch AUDIT changelog reduces to four closed-form slices of
     // the raw rows: inserts = the staged odd errors, deletes = main's
     // even clicks (original values), update_before/update_after = the
@@ -4196,6 +4275,7 @@ object Queries {
     "q208_positional_delete" -> (q208PositionalDelete _),
     "q209_branch_audit_diff" -> (q209BranchAuditDiff _),
     "q211_delta_over_positional" -> (q211DeltaOverPositional _),
+    "q212_cherrypick_diverged" -> (q212CherrypickDiverged _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

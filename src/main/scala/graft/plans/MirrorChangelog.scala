@@ -116,24 +116,8 @@ object MirrorChangelog {
         s"'$name' has no branch '$branch'"))
     val headDir = wh.branchSnapshotDir(name, branch).toString
     val props = TableProps.read(wh, name)
-    // the audit key defaults to the table's DECLARED key (an audit keyed
-    // on the wrong/non-unique column silently join-multiplies the
-    // changelog an operator approves a publish on — advice finding);
-    // an explicit key must exist in the table's current schema, which
-    // BOTH sides normalize to before the diff
-    val effKey = Option(keyCol).map(_.trim).filter(_.nonEmpty)
-      .orElse(props.get(EqDeletes.KeyProp))
-      .getOrElse(throw new IllegalArgumentException(
-        s"branchDiff('$name', '$branch'): no key_col passed and the " +
-          s"table declares no '${EqDeletes.KeyProp}' — pass the row " +
-          "identity explicitly"))
-    val schemaCols = SchemaEvolution.readTableWidened(spark,
-      wh.snapshotPath(name)).schema.fieldNames.toSet
-    graft.CdcConfig.parseKeyCols(effKey).foreach(k =>
-      require(schemaCols.contains(k),
-        s"branchDiff('$name', '$branch'): key column '$k' is not in the " +
-          s"table schema (${schemaCols.toSeq.sorted.mkString(", ")}) — a " +
-          "mistyped key would fabricate a join-multiplied audit"))
+    val effKey = resolveAuditKey(spark, wh, name,
+      s"branchDiff('$name', '$branch')", keyCol)
     def logical(dir: String): DataFrame =
       if (EqDeletes.anyPending(dir))
         EqDeletes.logicalMorRead(spark, dir, props)
@@ -146,6 +130,179 @@ object MirrorChangelog {
         "retained (aged out of main history); Warehouse(root, retain = " +
         "k) must outlast the audit window"))
     diff(n(logical(baseDir)), n(logical(headDir)), effKey)
+  }
+
+  /** Resolve + validate the row-identity key for an audit operation:
+    * empty/blank defaults to the table's DECLARED `cdc.key-column` (an
+    * audit keyed on the wrong/non-unique column silently join-multiplies
+    * the changelog an operator approves a publish on — advice finding);
+    * an explicit key must exist in the table's current schema, which
+    * both diff sides normalize to.
+    */
+  private def resolveAuditKey(spark: SparkSession, wh: Warehouse,
+      name: String, context: String, keyCol: String): String = {
+    import graft.sources.{EqDeletes, SchemaEvolution}
+    import graft.sources.Tables.TableProps
+    val effKey = Option(keyCol).map(_.trim).filter(_.nonEmpty)
+      .orElse(TableProps.read(wh, name).get(EqDeletes.KeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$context: no key_col passed and the table declares no " +
+          s"'${EqDeletes.KeyProp}' — pass the row identity explicitly"))
+    val schemaCols = SchemaEvolution.readTableWidened(spark,
+      wh.snapshotPath(name)).schema.fieldNames.toSet
+    graft.CdcConfig.parseKeyCols(effKey).foreach(k =>
+      require(schemaCols.contains(k),
+        s"$context: key column '$k' is not in the table schema " +
+          s"(${schemaCols.toSeq.sorted.mkString(", ")}) — a mistyped " +
+          "key would fabricate a join-multiplied audit"))
+    effKey
+  }
+
+  /** `CALL cherrypick` (round 18 — the diverged-branch remedy
+    * `fast_forward` refuses): replay the branch's row-level changes —
+    * exactly the [[branchDiff]] output — onto CURRENT main as ONE
+    * staged CAS commit, Iceberg's `cherrypick_snapshot` expressed at
+    * row granularity (this engine's audit-diff kernel makes the
+    * row-level variant exact where Iceberg's file-level replay
+    * refuses more).
+    *
+    * CONFLICTS refuse loudly: a key changed on BOTH sides since the
+    * fork (insert/delete/update on main ∩ touched on the branch) names
+    * sample keys — replaying either image would silently drop the
+    * other side's change. NULL row identities refuse too (a NULL key
+    * can never re-match its own change row through the apply joins).
+    *
+    * APPLY SHAPE — the engine's own DML discipline, O(changed) where
+    * declared: on a merge-on-read table whose declared key IS the
+    * audit key (bounded by [[EqDeletes.MaxKeys]], flat layout), the
+    * commit is one equality sidecar over the touched keys (census =
+    * current files, zone-map narrowed) plus an appended file of the
+    * insert/update-after images — base files never rewrite. Otherwise
+    * one COW rewrite of the merged state. Both publish behind the
+    * pointer CAS against the version observed at plan time; root
+    * markers (streaming epochs, substrate stamps) carry.
+    *
+    * After publishing, the branch ref REBASES to the published version
+    * (head = base = new main): its changes are merged, the old pins
+    * release, and a later fast_forward/cherrypick of new branch work
+    * starts from the merged state. A crash between publish and rebase
+    * leaves the branch diverged with its changes already on main — the
+    * next cherrypick then refuses (every branch key now conflicts) and
+    * `drop_branch` is the named remedy.
+    *
+    * @return per-change-type applied row counts and the new version
+    */
+  def cherrypick(spark: SparkSession, wh: Warehouse, name: String,
+      branch: String, keyCol: String): (Seq[(String, Long)], Long) = {
+    import graft.sources.{EqDeletes, SchemaEvolution, Tables}
+    import graft.sources.Tables.TableProps
+    val effKey = resolveAuditKey(spark, wh, name,
+      s"cherrypick('$name', '$branch')", keyCol)
+    val keys = graft.CdcConfig.parseKeyCols(effKey)
+    var outCensus: Seq[(String, Long)] = Nil
+    var outVersion = -1L
+    wh.retryingConflicts() {
+      val expect = wh.currentVersion(name).getOrElse(
+        throw new IllegalStateException(
+          s"'$name' is not a versioned table; cherrypick needs the " +
+            "pointer layout"))
+      val props = TableProps.read(wh, name)
+      val curDir = wh.snapshotPath(name)
+      // the branch's row-level changes (base → head, both sides logical)
+      val bd = branchDiff(spark, wh, name, branch, effKey)
+        .localCheckpoint(true)
+      val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+      require(bd.filter(anyNullKey).isEmpty,
+        s"cherrypick('$name', '$branch'): the branch changed row(s) " +
+          "with a NULL key component — a NULL identity cannot re-match " +
+          "through the apply; repair the keys on the branch first")
+      val touched = bd.select(keys.map(col): _*).dropDuplicates(keys)
+        .localCheckpoint(true)
+      val nTouched = touched.count()
+      val (_, base) = wh.branches(name)(branch)
+      if (nTouched == 0) {
+        // an empty diff still rebases the ref (the branch is trivially
+        // merged); no new version commits
+        wh.rebaseBranch(name, branch, expect)
+        outCensus = Nil
+        outVersion = expect
+      } else {
+      // main's changes since the fork, read LOGICALLY on both sides
+      // (raw reads would miss sidecar-deleted keys and mis-clear a
+      // genuine conflict); the fork base is retained because a live
+      // branch pins it
+      val baseDir = wh.publishedVersions(name).collectFirst {
+        case (v, dir) if v == base => dir.toString
+      }.getOrElse(throw new NoSuchElementException(
+        s"cherrypick('$name', '$branch'): fork base v$base is no " +
+          "longer retained"))
+      def logical(dir: String) =
+        if (EqDeletes.anyPending(dir))
+          EqDeletes.logicalMorRead(spark, dir, props)
+        else SchemaEvolution.readTableWidened(spark, dir)
+      val n = SchemaEvolution.normalize(_: org.apache.spark.sql.DataFrame,
+        wh, name)
+      val mainCur = n(logical(curDir))
+      val mainChanged = diff(n(logical(baseDir)), mainCur, effKey)
+        .filter(!anyNullKey)
+        .select(keys.map(col): _*).dropDuplicates(keys)
+      val conflicts = touched.join(mainChanged, keys, "inner")
+        .limit(10).collect()
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          s"cherrypick('$name', '$branch') refused: both main and the " +
+            s"branch changed key(s) " +
+            conflicts.map(_.toSeq.mkString("(", ",", ")"))
+              .mkString("[", ", ", "]") +
+            " since the fork — resolve on the branch and retry, or " +
+            "drop the branch")
+      val additions = bd
+        .filter(col(ChangeTypeCol).isin(Insert, UpdateAfter))
+        .drop(ChangeTypeCol).localCheckpoint(true)
+      val markers = Tables.readRootMarkers(curDir)
+      // O(changed) sidecar apply when the engine's MOR DML discipline
+      // allows it; one COW rewrite of the merged state otherwise
+      val keyTypes = keys.map(c => mainCur.schema(c).dataType)
+      val flat = !graft.plans.ZoneMap.dataFileCensus(spark, curDir)
+        .exists(_.contains("/"))
+      val sidecarable = EqDeletes.morEnabled(props) &&
+        EqDeletes.keyColsOf(props).contains(keys) &&
+        nTouched <= EqDeletes.MaxKeys && flat
+      if (sidecarable) {
+        val all = graft.plans.ZoneMap.dataFileCensus(spark, curDir)
+        val census = EqDeletes.narrowedCensus(spark, curDir, keys,
+          keyTypes,
+          touched.collect().map(r => keys.indices.map(r.get)).toIndexedSeq,
+          nTouched, all)
+        wh.commit(name, expectCurrent = Some(expect)) { staged =>
+          wh.carryPreviousInto(name, java.nio.file.Paths.get(staged))
+          // the carried manifest turns stale (this commit adds files
+          // outside the census and deletes rows) — drop it, the next
+          // cluster rebuilds (the MorDeltaWrite discipline)
+          val zm = java.nio.file.Paths.get(staged, "_zonemap")
+          if (java.nio.file.Files.isDirectory(zm))
+            Tables.deleteRecursively(zm)
+          EqDeletes.write(staged, touched, census)
+          additions.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(staged)
+        }
+      } else {
+        val survivors = mainCur.join(touched, keys, "left_anti")
+        val merged = survivors.unionByName(additions)
+        wh.commit(name, expectCurrent = Some(expect)) { staged =>
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(staged)
+          Tables.writeRootMarkers(markers, staged)
+        }
+      }
+      outVersion = wh.currentVersion(name).get
+      wh.rebaseBranch(name, branch, outVersion)
+      outCensus = bd.groupBy(ChangeTypeCol).count()
+        .orderBy(ChangeTypeCol).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+    }
+    (outCensus, outVersion)
   }
 
   /** Durable consumer cursor: the last mirror version whose diff was

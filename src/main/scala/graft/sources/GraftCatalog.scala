@@ -995,6 +995,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .collect().map(r => row(r.getString(0), r.getLong(1))).toSeq
     },
 
+    // the diverged-branch remedy fast_forward refuses (round 18):
+    // row-level replay of the branch's audit diff onto current main as
+    // one staged CAS commit, refusing on key-level conflicts
+    procedure("cherrypick",
+      "Replay BRANCH's row-level changes (vs its fork base) onto " +
+        "CURRENT main as one staged commit — the diverged-branch " +
+        "remedy; refuses when both sides changed a key. KEY_COL '' " +
+        "selects the declared cdc.key-column. The branch ref rebases " +
+        "to the published version",
+      Seq(param("table", StringType), param("branch", StringType),
+        paramDefault("key_col", StringType, "''")),
+      StructType(Seq(StructField("change_type", StringType),
+        StructField("n_rows", LongType),
+        StructField("new_version", LongType)))) { in =>
+      val (census, newV) = MirrorChangelog.cherrypick(spark, wh,
+        str(in, 0), str(in, 1), str(in, 2))
+      census.map { case (t, c) => row(t, c, newV) }
+    },
+
     // The manifest-credited exact interval count (Snowflake-style
     // pruning+metadata count): files whose stats PROVE containment
     // contribute their manifest row counts without opening; only

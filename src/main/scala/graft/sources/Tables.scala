@@ -473,9 +473,10 @@ object Tables {
         // itself, leaving the pointer dangling (caught by the
         // breaker-storm spec)
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
-        // tags AND branch heads pin by name (the Iceberg ref contract):
-        // retention never ages them out; drop_tag / drop_branch releases
-        val tagged = taggedVersions(name) ++ branchHeadVersions(name)
+        // tags AND branch heads + fork bases pin by name (the Iceberg
+        // ref contract: refs pin their reachable snapshots): retention
+        // never ages them out; drop_tag / drop_branch releases
+        val tagged = taggedVersions(name) ++ branchPinnedVersions(name)
         versions(name)
           .filter { case (v, p) =>
             Files.exists(p.resolve(PublishedMarker)) &&
@@ -744,7 +745,7 @@ object Tables {
       * one into the stage — [[appendVersioned]]'s append half, exposed
       * for externally-staged appends (the catalog's streaming write).
       */
-    private[sources] def carryPreviousInto(name: String, stagedP: Path): Unit = {
+    private[graft] def carryPreviousInto(name: String, stagedP: Path): Unit = {
       val m = versionPattern(name).matcher(stagedP.getFileName.toString)
       require(m.matches(), s"stage dir $stagedP outside the version layout")
       val next = m.group(1).toLong
@@ -911,9 +912,10 @@ object Tables {
       require(keepLast >= 1, s"keepLast must retain the current version, got $keepLast")
       withCommitLock(name) {
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
-        // tags AND branch heads pin (a fast-forwarded branch can point
-        // at a _published version); drop_tag / drop_branch releases
-        val tagged = taggedVersions(name) ++ branchHeadVersions(name)
+        // tags AND branch heads + fork bases pin (a fast-forwarded
+        // branch can point at a _published version; a live branch's
+        // base is its ancestry witness); drop_tag / drop_branch releases
+        val tagged = taggedVersions(name) ++ branchPinnedVersions(name)
         val expirable = versions(name)
           .filter { case (v, p) => isPublishedDir(name, v, p) &&
             p.getFileName.toString != curName &&
@@ -1058,6 +1060,18 @@ object Tables {
     private[graft] def branchHeadVersions(name: String): Set[Long] =
       branches(name).values.map(_._1).toSet
 
+    /** Versions a LIVE branch pins: its head AND its fork base (round
+      * 18 — the Iceberg refs-pin-reachable-snapshots rule). The base is
+      * the branch's ancestry witness: `branchDiff` and divergence
+      * detection read it from main's retained history, so retention and
+      * explicit expiry must not age it out while the branch lives;
+      * `drop_branch` releases both pins.
+      */
+    private[graft] def branchPinnedVersions(name: String): Set[Long] =
+      branches(name).values.flatMap { case (head, base) =>
+        Seq(head, base)
+      }.toSet
+
     /** Fork a branch at the current MAIN version. Validate+record runs
       * under the commit lock for the same reason create_tag does: the
       * retention sweep reads the pinned set while holding it.
@@ -1080,6 +1094,23 @@ object Tables {
           (branchBaseKey(branch) -> cur.toString))
         cur
       }
+    }
+
+    /** Re-point a branch's head AND base to `version` (the
+      * post-cherrypick rebase: the branch's changes are merged into
+      * main, the old head/base pins release, and new branch work forks
+      * from the merged state). Under the commit lock for the same
+      * reason create_branch is: the retention sweep reads the pinned
+      * set while holding it.
+      */
+    private[graft] def rebaseBranch(name: String, branch: String,
+        version: Long): Unit = withCommitLock(name) {
+      val props = TableProps.read(this, name)
+      require(props.contains(branchHeadKey(branch)),
+        s"'$name' has no branch '$branch' to rebase")
+      TableProps.write(this, name, props +
+        (branchHeadKey(branch) -> version.toString) +
+        (branchBaseKey(branch) -> version.toString))
     }
 
     /** Drop a branch ref. Its unmerged versions lose their pin and age

@@ -121,6 +121,41 @@ class BranchSpec extends SparkTestBase {
       "an unpinned branch head re-enters the retention window")
   }
 
+  test("a live branch pins its fork BASE against retention and explicit expiry: branchDiff keeps its ancestry witness past the window; drop_branch releases it") {
+    import graft.plans.MirrorChangelog
+    val (cat, wh) = fixture(retain = 2)
+    val base = wh.currentVersion("t").get
+    spark.sql(s"CALL $cat.system.create_branch('t', 'audit')").collect()
+    Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"fb_$seq")
+    onBranch("audit") {
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM fb_$seq")
+    }
+    def baseDir = java.nio.file.Paths.get(s"${wh.tablePath("t")}.v$base")
+    // churn main far past the retention window, then expire aggressively
+    (1 to 4).foreach { i =>
+      wh.overwrite(Seq((100L + i, s"churn$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    spark.sql(s"CALL $cat.system.expire_snapshots('t', 1)").collect()
+    assert(java.nio.file.Files.isDirectory(baseDir),
+      "the live branch's fork base must survive retention + expiry")
+    // the audit diff still has its ancestry witness: exactly the one
+    // staged insert, computed base-vs-head PAST the retention window
+    val d = MirrorChangelog.branchDiff(spark, wh, "t", "audit", "id")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String](MirrorChangelog.ChangeTypeCol))).toSet
+    assert(d == Set((3L, MirrorChangelog.Insert)),
+      s"diff past the retention window must still be exact, got $d")
+    // dropping the branch releases the base pin: it ages out normally
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'audit')").collect()
+    (1 to 3).foreach { i =>
+      wh.overwrite(Seq((200L + i, s"post$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+    }
+    assert(!java.nio.file.Files.isDirectory(baseDir),
+      "an unpinned fork base re-enters the retention window")
+  }
+
   test("explicit snapshot expiry skips a fast-forwarded branch head (published + still referenced)") {
     val (cat, wh) = fixture()
     spark.sql(s"CALL $cat.system.create_branch('t', 'pin')").collect()
@@ -499,6 +534,95 @@ class BranchSpec extends SparkTestBase {
     assert(Iterator.iterate(badKey: Throwable)(_.getCause)
       .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
       .mkString(" ").contains("not in the table schema"))
+  }
+
+  test("cherrypick replays a diverged branch onto current main: non-conflicting publishes + rebases the ref, a both-sides key refuses naming it") {
+    import graft.plans.MirrorChangelog
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    onBranch("fix") {
+      Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"cp_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM cp_$seq")
+      spark.sql(s"UPDATE $cat.t SET s = 'fixed' WHERE id = 2")
+    }
+    // main diverges — fast_forward refuses, cherrypick is the remedy
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"cpm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cpm_$seq")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'fix')").collect()
+    }
+    val out = spark.sql(s"CALL $cat.system.cherrypick('t', 'fix', 'id')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("insert", 1L), ("update_before", 1L),
+      ("update_after", 1L)), out.toString)
+    // main serves the merged state: its own divergent insert survives,
+    // the branch's insert + update both applied
+    val got = spark.sql(s"SELECT id, s FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "base1"), (2L, "fixed"), (3L, "br"),
+      (9L, "main")), got.toString)
+    // the ref rebased to the published version: merged, diff empty
+    val (head, fbase) = wh.branches("t")("fix")
+    assert(head == wh.currentVersion("t").get && fbase == head,
+      s"rebase must re-point head+base, got ($head, $fbase)")
+    assert(MirrorChangelog.branchDiff(spark, wh, "t", "fix", "id")
+      .count() == 0L)
+    // CONFLICT: branch updates key 9, main deletes it — refuse, name it
+    spark.sql(s"CALL $cat.system.create_branch('t', 'bad')").collect()
+    onBranch("bad") {
+      spark.sql(s"UPDATE $cat.t SET s = 'clash' WHERE id = 9")
+    }
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 9")
+    val vPre = wh.currentVersion("t").get
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherrypick('t', 'bad', 'id')").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("both main and the branch") && msg.contains("9"),
+      msg.take(300))
+    assert(wh.currentVersion("t").contains(vPre),
+      "a refused cherrypick must publish nothing")
+  }
+
+  test("cherrypick on a merge-on-read table applies as ONE equality sidecar + appended images: base files never rewrite") {
+    import graft.sources.EqDeletes
+    val root = tmpDir("branch-cpmor")
+    val wh = Warehouse(root, 8)
+    wh.overwrite((1L to 12L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(3).localCheckpoint(true), "t")
+    Tables.TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read",
+      EqDeletes.KeyProp -> "id"))
+    val cat = s"br${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    onBranch("fix") {
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 4") // MOR sidecar
+      spark.sql(s"UPDATE $cat.t SET s = 'upd' WHERE id = 7") // delta
+    }
+    // main diverges with its own MOR delete (pending sidecar at apply)
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 11")
+    val preFiles = graft.plans.ZoneMap
+      .dataFileCensus(spark, wh.snapshotPath("t")).toSet
+    spark.sql(s"CALL $cat.system.cherrypick('t', 'fix', '')").collect()
+    val snap = wh.snapshotPath("t")
+    assert(preFiles.subsetOf(graft.plans.ZoneMap
+        .dataFileCensus(spark, snap).toSet),
+      "the MOR cherrypick must carry base files, not rewrite them")
+    assert(EqDeletes.pending(snap).size == 2,
+      "main's pending sidecar carries + cherrypick adds exactly one")
+    val got = spark.sql(s"SELECT id, s FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (1L to 12L).filterNot(i => i == 4 || i == 11)
+      .map(i => (i, if (i == 7) "upd" else s"v$i")).toSet
+    assert(got == expect, got.toString)
+    // fold == pending
+    spark.sql(s"CALL $cat.system.compact('t', 3)").collect()
+    assert(spark.sql(s"SELECT id, s FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
   test("branch DML routes NULL-key matches to a POSITIONAL sidecar on the branch head; main pinned; fast_forward publishes; compact folds") {
