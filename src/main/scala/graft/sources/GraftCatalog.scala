@@ -460,6 +460,89 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             }
             eq ++ pos
           }))
+        // the Iceberg `history` metadata-table shape (round 18): the
+        // snapshot lineage in PUBLISH-STAMP order — which the rollback
+        // story needs, because this engine's rollback is a roll-forward
+        // (a new version whose content links an old one's) and the
+        // append-only version log alone cannot say so. `operation`
+        // distinguishes plain commits, `rollback(vX)` (the
+        // RollbackMarker lineage), and `fast_forward` promotions (a
+        // branch-marked dir later stamped published); `parent` is the
+        // previously-current RETAINED version (null past the retention
+        // horizon, the Iceberg contract).
+        case "history" => Some(GraftCatalog.localTable(s"$t.history",
+          StructType(Seq(StructField("version", LongType, nullable = false),
+            StructField("made_current_at", TimestampType),
+            StructField("parent", LongType),
+            StructField("operation", StringType, nullable = false),
+            StructField("is_current", BooleanType, nullable = false))),
+          () => {
+            val cur = wh.currentVersion(t)
+            val vs = wh.publishedVersions(t)
+              .map { case (v, p) => (v, p, wh.publishTimeMillis(p)) }
+              .sortBy { case (v, _, ms) => (ms, v) }
+            vs.zipWithIndex.map { case ((v, p, ms), i) =>
+              val parent: Any =
+                if (i == 0) null else java.lang.Long.valueOf(vs(i - 1)._1)
+              val rb = p.resolve(Tables.RollbackMarker)
+              val pm = p.resolve(Tables.PromotedMarker)
+              val op =
+                if (java.nio.file.Files.exists(rb))
+                  s"rollback(v${java.nio.file.Files.readString(rb).trim})"
+                else if (java.nio.file.Files.exists(pm))
+                  s"fast_forward(" +
+                    s"${java.nio.file.Files.readString(pm).trim})"
+                else "commit"
+              new GenericInternalRow(Array[Any](v, ms * 1000L, parent,
+                UTF8String.fromString(op),
+                cur.contains(v))): InternalRow
+            }
+          }))
+        // the Iceberg `partitions` metadata-table shape (round 18): the
+        // per-partition file/row/byte census, answered from listings +
+        // parquet FOOTERS only (the delete_files discipline — planning
+        // scale, no data pages). Hidden-time layouts report their
+        // declared grain (day, or day/hour), the bucketed MOR base its
+        // `_kb=` buckets, a flat snapshot one unpartitioned row.
+        case "partitions" => Some(GraftCatalog.localTable(s"$t.partitions",
+          StructType(Seq(StructField("partition", StringType, nullable = false),
+            StructField("file_count", LongType, nullable = false),
+            StructField("record_count", LongType, nullable = false),
+            StructField("size_bytes", LongType, nullable = false))),
+          () => {
+            def row(part: String,
+                dirs: Seq[java.nio.file.Path]): InternalRow = {
+              val (files, records, bytes) =
+                GraftCatalog.dirFooterStats(spark, dirs)
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(part), files, records, bytes))
+            }
+            if (wh.timePartitionCol(t).isDefined) {
+              val base = java.nio.file.Paths.get(wh.tablePath(t))
+              val days = wh.childDirs(base, s"${Tables.PartDayCol}=")
+              if (wh.timeGranularity(t) == "hour")
+                days.flatMap { d =>
+                  val hours = wh.childDirs(d, s"${Tables.PartHourCol}=")
+                  // day-era batches (pre-evolution straddlers) report at
+                  // day grain beside the hour rows
+                  val dayEra = wh.childDirs(d, s"${Tables.PartBatchCol}=")
+                  hours.sortBy(_.getFileName.toString).map(h => row(
+                    s"${d.getFileName}/${h.getFileName}", Seq(h))) ++
+                    (if (dayEra.nonEmpty)
+                       Seq(row(s"${d.getFileName}", dayEra))
+                     else Nil)
+                }
+              else days.map(d => row(d.getFileName.toString, Seq(d)))
+            } else {
+              val snap = java.nio.file.Paths.get(wh.snapshotPath(t))
+              val buckets = wh.childDirs(snap,
+                s"${graft.plans.PartitionedMirror.BucketCol}=")
+              if (buckets.nonEmpty)
+                buckets.sortBy(_.getFileName.toString)
+                  .map(b => row(b.getFileName.toString, Seq(b)))
+              else Seq(row("<unpartitioned>", Seq(snap)))
+            }
+          }))
         case _ => None
       }
     }
@@ -1259,6 +1342,37 @@ object GraftCatalog {
       new GenericInternalRow(Array[Any](UTF8String.fromString(f.toString),
         java.nio.file.Files.size(f), n)): InternalRow
     }.toList.sortBy(_.getUTF8String(0).toString)
+  }
+
+  /** (file count, footer record count, bytes) of the data files under
+    * `dirs` — the `t.partitions` census (same exclusion contract as
+    * [[fileCensus]]; footers only, no data pages; parallel walk).
+    */
+  private[sources] def dirFooterStats(spark: SparkSession,
+      dirs: Seq[java.nio.file.Path]): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = dirs.flatMap { d =>
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filterNot(f => d.relativize(f).iterator().asScala.exists(
+            c => c.toString.startsWith("_") || c.toString.startsWith(".")))
+          .toList
+        finally s.close()
+      }
+    }
+    import scala.collection.parallel.CollectionConverters._
+    val perFile = files.par.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      (n, java.nio.file.Files.size(f))
+    }.toList
+    (files.size.toLong, perFile.map(_._1).sum, perFile.map(_._2).sum)
   }
 }
 

@@ -854,6 +854,7 @@ object Tables {
           carryTree(p, staged.resolve(PosDeletes.Dir))
         else if (fn.startsWith("_") && fn != "_SUCCESS" &&
             fn != PublishedMarker && fn != BranchMarker &&
+            fn != RollbackMarker && fn != PromotedMarker && // version-local lineage, never carries
             Files.isRegularFile(p))
           Files.copy(p, staged.resolve(fn),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -894,6 +895,12 @@ object Tables {
       commit(name, expectCurrent = Some(cur)) { staged =>
         val stagedP = Paths.get(staged)
         carryVersionInto(src, stagedP)
+        // lineage for `t.history`: this version is a rollback, and its
+        // SOURCE is otherwise invisible in the append-only log (written
+        // after the carry so a source that was itself a rollback never
+        // leaks its own marker in)
+        Files.writeString(stagedP.resolve(RollbackMarker),
+          version.toString)
         val m = versionPattern(name).matcher(stagedP.getFileName.toString)
         require(m.matches(), s"stage dir $staged outside the version layout")
         rolled = m.group(1).toLong
@@ -1037,6 +1044,9 @@ object Tables {
                 catch { case _: java.io.IOException => false }
               if (owned) {
                 Files.writeString(p.resolve(PublishedMarker), "")
+                // keep the branch provenance for t.history (the marker
+                // itself must go: it means "not main history")
+                Files.writeString(p.resolve(PromotedMarker), b)
                 Files.deleteIfExists(bm)
               }
             }
@@ -1254,6 +1264,9 @@ object Tables {
               catch { case _: java.io.IOException => false }
             if (owned) {
               Files.writeString(p.resolve(PublishedMarker), "")
+              // keep the branch provenance for t.history (the marker
+              // itself must go: it means "not main history")
+              Files.writeString(p.resolve(PromotedMarker), branch)
               Files.deleteIfExists(bm)
             }
           }
@@ -1809,6 +1822,19 @@ object Tables {
     * history — `_published` stays absent until fast_forward stamps it.
     */
   private[graft] val BranchMarker = "_published_branch"
+  /** Lineage marker of a roll-forward rollback (content = the restored
+    * source version): `t.history` reads it to surface the rollback
+    * story, which the append-only log otherwise hides. Version-LOCAL —
+    * excluded from every marker carry (a later commit is not a
+    * rollback just because its parent was).
+    */
+  private[graft] val RollbackMarker = "_rolled_back_from"
+  /** Lineage marker of a fast_forward promotion (content = the branch
+    * name whose staged commit this version was): `t.history` reads it —
+    * promotion otherwise erases the branch provenance with the
+    * BranchMarker. Version-local like [[RollbackMarker]].
+    */
+  private[graft] val PromotedMarker = "_promoted_from"
   /** Warehouse-root record of the [[WarehouseIO]] substrate the
     * warehouse was first committed under — see Warehouse.verifySubstrate.
     */
@@ -1840,7 +1866,7 @@ object Tables {
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .filter(_.getFileName.toString.startsWith("_"))
-      .filterNot(p => Set("_SUCCESS", PublishedMarker)
+      .filterNot(p => Set("_SUCCESS", PublishedMarker, RollbackMarker, PromotedMarker)
         .contains(p.getFileName.toString))
       .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
       .toSeq

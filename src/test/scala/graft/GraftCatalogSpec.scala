@@ -361,6 +361,83 @@ class GraftCatalogSpec extends SparkTestBase {
       s"a first merge was lost (last-wins): $ids")
   }
 
+  test("t.history surfaces the lineage: stamp-ordered parents, rollback(vX) provenance, fast_forward promotions, is_current") {
+    val root = tmpDir("cat-hist")
+    val wh = Warehouse(root, retain = 8)
+    register("gh1", root)
+    // the catalog's own warehouse must retain the whole lineage too
+    spark.conf.set("spark.sql.catalog.gh1.retain", "8")
+    (1 to 3).foreach { v =>
+      wh.overwrite(Seq((v.toLong, s"state$v")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+      Thread.sleep(15) // distinct publish stamps
+    }
+    spark.sql("CALL gh1.system.rollback_to_version('t', 1)").collect()
+    Thread.sleep(15)
+    spark.sql("CALL gh1.system.create_branch('t', 'fix')").collect()
+    Seq((9L, "br")).toDF("id", "s").createOrReplaceTempView("hist_src")
+    spark.conf.set("spark.graft.wap.branch", "fix")
+    try spark.sql("INSERT INTO gh1.t SELECT * FROM hist_src")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    spark.sql("CALL gh1.system.fast_forward('t', 'fix')").collect()
+    val h = spark.sql(
+      "SELECT version, parent, operation, is_current FROM gh1.t.history " +
+        "ORDER BY made_current_at, version").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2), r.getBoolean(3)))
+    assert(h.toSeq == Seq(
+      (1L, -1L, "commit", false),
+      (2L, 1L, "commit", false),
+      (3L, 2L, "commit", false),
+      (4L, 3L, "rollback(v1)", false),
+      (5L, 4L, "fast_forward(fix)", true)), h.toSeq.toString)
+    // the rollback provenance is version-LOCAL: the post-rollback commit
+    // (v5) reports its own operation, not an inherited rollback marker
+    assert(h.count(_._3.startsWith("rollback")) == 1)
+  }
+
+  test("t.partitions reports the per-partition footer census: flat snapshots, day grain, and hour-grain straddlers — no data read") {
+    val root = tmpDir("cat-parts")
+    val wh = Warehouse(root, retain = 8)
+    register("gp1", root)
+    // flat versioned table: one unpartitioned row
+    wh.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(3).localCheckpoint(true), "flat")
+    val flat = spark.sql(
+      "SELECT partition, file_count, record_count FROM gp1.flat.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(flat.toSeq == Seq(("<unpartitioned>", 3L, 20L)), flat.toSeq)
+    // hidden-day table: one row per day with exact footer counts
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    wh.declareTimePartition("log", "ts")
+    wh.appendBatch(Seq((1L, ts("2024-01-01 05:00:00")),
+      (2L, ts("2024-01-01 06:00:00"))).toDF("id", "ts"), "log", 0L)
+    wh.appendBatch(Seq((3L, ts("2024-01-02 07:00:00"))).toDF("id", "ts"),
+      "log", 1L)
+    val days = spark.sql(
+      "SELECT partition, record_count FROM gp1.log.partitions " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(days.toSeq == Seq(("p_day=2024-01-01", 2L),
+      ("p_day=2024-01-02", 1L)), days.toSeq)
+    // hour-grain evolution: new batches report day/hour rows, the
+    // pre-evolution day-era batch stays a day-grain row beside them
+    wh.evolveTimeGranularity("log")
+    wh.appendBatch(Seq((4L, ts("2024-01-03 09:10:00")),
+      (5L, ts("2024-01-03 11:00:00"))).toDF("id", "ts"), "log", 2L)
+    val hours = spark.sql(
+      "SELECT partition, record_count FROM gp1.log.partitions " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (h9, h11) = (Tables.hourIndexOf(ts("2024-01-03 09:10:00")),
+      Tables.hourIndexOf(ts("2024-01-03 11:00:00")))
+    assert(hours.toSeq == Seq(
+      ("p_day=2024-01-01", 2L), ("p_day=2024-01-02", 1L),
+      (s"p_day=2024-01-03/p_hour=$h9", 1L),
+      (s"p_day=2024-01-03/p_hour=$h11", 1L)), hours.toSeq)
+  }
+
   test("t.refs metadata table surfaces main, live branches (head+base) and tag pins; agrees with CALL branches") {
     val root = tmpDir("cat-refs")
     val wh = Warehouse(root, retain = 8)
