@@ -88,13 +88,31 @@ object MirrorChangelog {
     */
   def between(spark: SparkSession, wh: Warehouse, name: String,
       fromV: Long, toV: Long, keyCol: String): DataFrame = {
+    import graft.sources.{EqDeletes, SchemaEvolution}
+    import graft.sources.Tables.TableProps
+    // each side reads its LOGICAL content (round 18): a version with
+    // pending merge-on-read sidecars — equality or positional — diffs
+    // by what it SERVES, not its raw files. A raw read here reported a
+    // MOR delete's rows as unchanged at the delete hop and then as
+    // vanishing at the FOLD hop, which is the wrong version for every
+    // incremental consumer (and made emit_changelog ≠ emit-after-compact)
+    val props = TableProps.read(wh, name)
+    def logical(v: Long): DataFrame = {
+      val dir = wh.publishedVersions(name).collectFirst {
+        case (`v`, p) => p.toString
+      }
+      dir match {
+        case Some(d) if EqDeletes.anyPending(d) =>
+          EqDeletes.logicalMorRead(spark, d, props)
+        case _ => wh.readVersion(spark, name, v, mergeSchema = true)
+      }
+    }
     // normalize BOTH snapshots to the current schema before diffing: a
     // version written before a declared rename would otherwise make every
     // row of the renamed column look updated (old name dropped from the
     // diff, new name null on the before-image)
     val n = graft.sources.SchemaEvolution.normalize(_: DataFrame, wh, name)
-    diff(n(wh.readVersion(spark, name, fromV, mergeSchema = true)),
-      n(wh.readVersion(spark, name, toV, mergeSchema = true)), keyCol)
+    diff(n(logical(fromV)), n(logical(toV)), keyCol)
   }
 
   /** Branch audit changelog (round 17): the row-level diff a

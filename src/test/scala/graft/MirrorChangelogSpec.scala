@@ -136,6 +136,61 @@ class MirrorChangelogSpec extends SparkTestBase {
       "the emitted feed must reproduce the mirror from the consumer's origin")
   }
 
+  test("emitPending reads LOGICAL content through pending MOR sidecars: the delete hop carries the deletions, the fold hop is empty") {
+    import spark.implicits._
+    import graft.sources.{EqDeletes, GraftCatalog, PosDeletes, Tables}
+    val root = tmpDir("chlog-mor")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(2).localCheckpoint(true), "m") // v1
+    Tables.TableProps.write(wh, "m", Map(
+      EqDeletes.ModeProp -> "merge-on-read", EqDeletes.KeyProp -> "id"))
+    val cat = "mcfeed"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_ch", "id").isEmpty)
+    // v2: a MOR DELETE — the snapshot carries a pending equality sidecar
+    spark.sql(s"DELETE FROM $cat.m WHERE id <= 3")
+    assert(EqDeletes.pending(wh.snapshotPath("m")).nonEmpty)
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_ch", "id") ==
+      Seq((1L, 2L)))
+    def hop(v: Long): Set[(Long, String)] =
+      wh.read(spark, "m_ch", mergeSchema = true)
+        .filter(col("_to_version") === v)
+        .select("id", ChangeTypeCol).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getString(1))).toSet
+    assert(hop(2L) == Set((1L, Delete), (2L, Delete), (3L, Delete)),
+      "the delete hop must diff the LOGICAL content (a raw read of the " +
+        "sidecar-bearing snapshot would emit nothing here)")
+    // fold (compact = fold + rewrite commits) — logical content is
+    // identical at every hop, so they must all be EMPTY (the pre-fix
+    // raw read reported the deletions HERE, one version late for every
+    // incremental consumer)
+    spark.sql(s"CALL $cat.system.compact('m', 2)").collect()
+    assert(EqDeletes.pending(wh.snapshotPath("m")).isEmpty)
+    val foldHops = MirrorChangelog.emitPending(spark, wh, "m", "m_ch", "id")
+    assert(foldHops.nonEmpty && foldHops.head._1 == 2L)
+    foldHops.foreach { case (_, to) =>
+      assert(hop(to).isEmpty,
+        s"emit over the fold must be empty (hop -> v$to): " +
+          "emit-with-pending == emit-after-compact")
+    }
+    // and the POSITIONAL kind: a NULL-key delete routes ordinally, its
+    // hop still carries exactly the logical deletions
+    wh.appendVersioned(spark.sql(
+      "SELECT CAST(null AS BIGINT) id, 'ng' s"), "m")
+    spark.sql(s"DELETE FROM $cat.m WHERE s = 'ng' OR id = 9")
+    assert(PosDeletes.pending(wh.snapshotPath("m")).nonEmpty)
+    val posHops = MirrorChangelog.emitPending(spark, wh, "m", "m_ch", "id")
+    assert(posHops.size == 2, posHops.toString)
+    assert(hop(posHops.head._2) == Set((-1L, Insert)))
+    assert(hop(posHops.last._2) == Set((-1L, Delete), (9L, Delete)),
+      "the positional hop must carry the logical deletions, got " +
+        s"${hop(posHops.last._2)}")
+  }
+
   test("emitPending fails loudly when the cursor's snapshot was GC'd (retention too shallow)") {
     val wh = Warehouse(tmpDir("chlog-gc"), retain = 2)
     wh.overwrite(snap((1L, "a", 1.0)), "t") // v1
