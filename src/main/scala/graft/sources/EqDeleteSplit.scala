@@ -193,9 +193,17 @@ private[graft] object SplitEqDeleteScanRelations extends Rule[LogicalPlan] {
           if r.scan.isInstanceOf[PosDeltaTargetScan] =>
         SplitEqDeleteScans.spliceLogical(r.output,
           r.scan.asInstanceOf[PosDeltaTargetScan].logical())
+      // matches on the SCAN type alone (round 18): an [[EqDeleteScan]]
+      // only this engine builds — for plain reads the relation's table
+      // is the GraftTable, for row-level DELTA targets it's Spark's
+      // RowLevelOperationTable wrapper, and the split is equally valid
+      // there (the WriteDelta query reads the Union through the
+      // id-preserving Project, the same splice the positional marker
+      // already proves). Pre-18 the delta target stayed whole-census
+      // row-based — one point-delete sidecar devectorized every
+      // subsequent UPDATE/MERGE of the table.
       case r: DataSourceV2ScanRelation
-          if r.relation.table.isInstanceOf[GraftTable] &&
-            r.scan.isInstanceOf[EqDeleteScan] &&
+          if r.scan.isInstanceOf[EqDeleteScan] &&
             r.scan.asInstanceOf[EqDeleteScan].splitSpec.isDefined =>
         val spec = r.scan.asInstanceOf[EqDeleteScan].splitSpec.get
         val spark = SparkSession.active

@@ -135,6 +135,32 @@ class EqDeletesSpec extends SparkTestBase {
       .head.getLong(0) == 0L)
   }
 
+  test("a DELTA target scan splits too (round 18): the UPDATE's plan keeps clean files vectorized beside the affected-only probe scan") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    // an INSERT outside every census gives the snapshot a CLEAN file
+    Seq((100L, "new", 100.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView(s"dsp_$cat")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM dsp_$cat")
+    // EXPLAIN the delta UPDATE: pre-18 the target stayed one
+    // whole-census row-based EqDeleteScan (the RowLevelOperationTable
+    // wrapper hid it from the split rule) — one point-delete sidecar
+    // devectorized every later UPDATE/MERGE of the table
+    val plan = spark.sql(
+      s"EXPLAIN FORMATTED UPDATE $cat.t SET v = v + 1 WHERE grp = 'keep'")
+      .head.getString(0)
+    assert(plan.contains("ColumnarToRow"),
+      s"the clean side of a delta target must stay vectorized\n" +
+        plan.take(1200))
+    assert(plan.contains("EqDeleteScan") && plan.contains("Union"),
+      s"the affected side keeps the probe scan beside it\n${plan.take(1200)}")
+    // and the operation itself is still exact through the split
+    spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE grp = 'keep'")
+    val expect = (base.filterNot(_._2 == "del")
+      .map { case (i, g, v) => (i, g, v + 1) }.toSet) + ((100L, "new", 100.0))
+    assert(visible(cat) == expect)
+  }
+
   test("stacked deletes: the second sidecar applies to re-inserted keys, the first does not; foldedRead cross-checks the reader filter") {
     val (cat, wh) = morFixture(base)
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
