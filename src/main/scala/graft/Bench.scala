@@ -48,6 +48,16 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
+      } finally {
+        // drop the finished query's persisted blocks (60 queries
+        // localCheckpoint to pin rows past their scratch warehouses —
+        // round 17/18 measured the accumulated block-manager weight as
+        // a ~0.15 s systematic drift on every scan-heavy query running
+        // AFTER the lifecycle block). Queries share artifacts via /tmp
+        // FILES (ArtifactCache), never via persisted RDDs, so the drop
+        // is measurement hygiene, not a semantics change.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) =>

@@ -261,7 +261,15 @@ object MirrorChangelog {
       val n = SchemaEvolution.normalize(_: org.apache.spark.sql.DataFrame,
         wh, name)
       val mainCur = n(logical(curDir))
-      val mainChanged = diff(n(logical(baseDir)), mainCur, effKey)
+      // conflict detection costs O(branch changes), not a full-table
+      // diff: only branch-TOUCHED keys can conflict, so both main
+      // sides semi-filter to them before the diff kernel runs (touched
+      // is checkpointed and usually small — AQE broadcasts the probe
+      // and the base/current scans never shuffle whole)
+      def touchedOnly(df: org.apache.spark.sql.DataFrame) =
+        df.join(touched, keys, "left_semi")
+      val mainChanged = diff(touchedOnly(n(logical(baseDir))),
+          touchedOnly(mainCur), effKey)
         .filter(!anyNullKey)
         .select(keys.map(col): _*).dropDuplicates(keys)
       val conflicts = touched.join(mainChanged, keys, "inner")
