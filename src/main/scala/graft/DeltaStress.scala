@@ -204,7 +204,8 @@ object DeltaStress {
     // same delete measured through both plans. Needs n comfortably past
     // the MaxKeys trigger.
     if (n > EqDeletes.MaxKeys * 3 / 2) {
-      def bigDelete(mor: Boolean): (Double, Long, Long) = {
+      def bigDelete(mor: Boolean)
+          : (Double, Long, Long, Double, Long, Long) = {
         val root = Files.createTempDirectory(
           s"graft_dstress_pos_${if (mor) "mor" else "cow"}").toString
         val wh = Warehouse(root, retain = 2)
@@ -247,14 +248,52 @@ object DeltaStress {
         if (mor) require(
           graft.sources.PosDeletes.pending(wh.snapshotPath("t")).size == 1,
           "the oversize matched set must route positionally")
+        // round 18 (I30): a delta UPDATE stacks OVER the pending
+        // tombstones — its commit must stay O(changed rows) while every
+        // base file and the tombstone arrays carry by link (new bytes
+        // measured by inode novelty, same discipline as above)
+        var updSec = 0.0
+        var updBytes = 0L
+        var updRows = 0L
+        if (mor) {
+          val preInodes = {
+            val w = Files.walk(Paths.get(root))
+            try w.iterator().asScala.filter(Files.isRegularFile(_))
+              .map(p => Files.getAttribute(p, "unix:ino").toString).toSet
+            finally w.close()
+          }
+          updRows = (matched until n).count(_ % 1000 == 0).toLong
+          val t1 = System.nanoTime()
+          spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE id % 1000 = 0")
+          updSec = (System.nanoTime() - t1) / 1e9
+          val snap2 = Paths.get(wh.snapshotPath("t"))
+          val w2 = Files.walk(snap2)
+          updBytes = try w2.iterator().asScala
+            .filter(Files.isRegularFile(_))
+            .filter(p => !preInodes.contains(
+              Files.getAttribute(p, "unix:ino").toString))
+            .map(Files.size).sum
+          finally w2.close()
+          require(
+            graft.sources.PosDeletes.pending(snap2.toString).size == 1 &&
+              graft.sources.EqDeletes.pending(snap2.toString).size == 1,
+            "the delta must stack beside the carried tombstones")
+          val got2 = spark.sql(s"SELECT count(*) FROM $cat.t")
+            .head.getLong(0)
+          require(got2 == n - matched,
+            s"delta-over-positional count drift: $got2")
+        }
         Tables.deleteRecursively(Paths.get(root))
-        (sec, matched, bytes)
+        (sec, matched, bytes, updSec, updBytes, updRows)
       }
-      val (cowSec, matched, cowBytes) = bigDelete(mor = false)
-      val (posSec, _, posBytes) = bigDelete(mor = true)
+      val (cowSec, matched, cowBytes, _, _, _) = bigDelete(mor = false)
+      val (posSec, _, posBytes, updSec, updBytes, updRows) =
+        bigDelete(mor = true)
       println(s"""{"positional_delete":{"rows":$n,"matched":$matched,""" +
         s""""cow":{"sec":${f"$cowSec%.2f"},"bytes_written":$cowBytes},""" +
-        s""""positional":{"sec":${f"$posSec%.2f"},"bytes_written":$posBytes}}}""")
+        s""""positional":{"sec":${f"$posSec%.2f"},"bytes_written":$posBytes},""" +
+        s""""delta_over_positional":{"sec":${f"$updSec%.2f"},""" +
+        s""""updated_rows":$updRows,"bytes_written":$updBytes}}}""")
     }
 
     // keyedSurvivors PROBE COST at the caps (round-16 watch item): the

@@ -625,6 +625,53 @@ class BranchSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("cherrypick keys COMPOSITE tuples: per-component overlap is no conflict, a both-sides TUPLE refuses; the MOR apply sidecars the full tuple") {
+    import graft.sources.EqDeletes
+    val root = tmpDir("branch-cpcomp")
+    val wh = Warehouse(root, 8)
+    wh.overwrite((1L to 4L).flatMap(s => (1L to 3L).map(o =>
+      (s, o, s"v$s-$o"))).toDF("sid", "oid", "x")
+      .repartition(2).localCheckpoint(true), "t")
+    Tables.TableProps.write(wh, "t", Map(
+      EqDeletes.ModeProp -> "merge-on-read",
+      EqDeletes.KeyProp -> "sid,oid"))
+    val cat = s"br${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    onBranch("fix") {
+      // branch touches tuple (1,1); main will touch (1,2) — they SHARE
+      // component sid=1, which must NOT conflict (tuple identity)
+      spark.sql(s"UPDATE $cat.t SET x = 'br' WHERE sid = 1 AND oid = 1")
+    }
+    spark.sql(s"DELETE FROM $cat.t WHERE sid = 1 AND oid = 2")
+    val out = spark.sql(s"CALL $cat.system.cherrypick('t', 'fix', '')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("update_before", 1L), ("update_after", 1L)),
+      out.toString)
+    val got = spark.sql(s"SELECT sid, oid, x FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = (1L to 4L).flatMap(s => (1L to 3L).map(o =>
+      (s, o, s"v$s-$o"))).toSet - ((1L, 2L, "v1-2")) -
+      ((1L, 1L, "v1-1")) + ((1L, 1L, "br"))
+    assert(got == expect, got.toString)
+    // the MOR apply stacked ONE tuple sidecar over main's pending one
+    assert(EqDeletes.pending(wh.snapshotPath("t")).size == 2)
+    // a genuine tuple conflict refuses: branch and main both touch (2,1)
+    spark.sql(s"CALL $cat.system.create_branch('t', 'bad')").collect()
+    onBranch("bad") {
+      spark.sql(s"UPDATE $cat.t SET x = 'clash' WHERE sid = 2 AND oid = 1")
+    }
+    spark.sql(s"UPDATE $cat.t SET x = 'main' WHERE sid = 2 AND oid = 1")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherrypick('t', 'bad', '')").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      .contains("both main and the branch"))
+  }
+
   test("branch DML routes NULL-key matches to a POSITIONAL sidecar on the branch head; main pinned; fast_forward publishes; compact folds") {
     import graft.sources.{EqDeletes, PosDeletes}
     val root = tmpDir("branch-pos")
