@@ -74,8 +74,14 @@ object BranchWapMain {
         Thread.sleep(pauseMs)
       }
     } finally spark.conf.unset("spark.graft.wap.branch")
-    spark.sql("CALL bw.system.fast_forward('sink', 'fix')").collect()
+    // announce BEFORE the swap: the auditor must stop treating polls as
+    // mid-audit once publication is even POSSIBLE — the pointer swap can
+    // beat the stdout pipe, and a poll landing in that gap read the
+    // (legitimate) published state as a "leak" (observed flake)
     println("[wap] PUBLISHED")
+    Console.flush()
+    spark.sql("CALL bw.system.fast_forward('sink', 'fix')").collect()
+    println("[wap] PUBLISH_DONE")
     Console.flush()
     spark.stop()
   }

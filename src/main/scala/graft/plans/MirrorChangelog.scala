@@ -210,6 +210,12 @@ object MirrorChangelog {
     *
     * @return per-change-type applied row counts and the new version
     */
+  /** Test seam: fired between the cherrypick's publish and the branch
+    * rebase — the spec uses it to crash deterministically inside the
+    * journal's recovery window (the beforeFoldCommit pattern).
+    */
+  private[graft] var beforeCherrypickRebase: () => Unit = () => ()
+
   def cherrypick(spark: SparkSession, wh: Warehouse, name: String,
       branch: String, keyCol: String): (Seq[(String, Long)], Long) = {
     import graft.sources.{EqDeletes, SchemaEvolution, Tables}
@@ -219,6 +225,10 @@ object MirrorChangelog {
     val keys = graft.CdcConfig.parseKeyCols(effKey)
     var outCensus: Seq[(String, Long)] = Nil
     var outVersion = -1L
+    // settle any crashed journal FIRST: a prior attempt that published
+    // but never rebased heals here (marker-identified), so this run's
+    // diff is computed against the healed refs (usually empty → no-op)
+    wh.settleBranchJournals(name)
     wh.retryingConflicts() {
       val expect = wh.currentVersion(name).getOrElse(
         throw new IllegalStateException(
@@ -294,6 +304,16 @@ object MirrorChangelog {
       val sidecarable = EqDeletes.morEnabled(props) &&
         EqDeletes.keyColsOf(props).contains(keys) &&
         nTouched <= EqDeletes.MaxKeys && flat
+      // journal the attempt BEFORE the publish (the ff-pending
+      // discipline): a crash anywhere between here and the rebase
+      // settles exactly — the staged commit identifies itself with a
+      // version-local CherrypickMarker, so settlement knows whether the
+      // publish landed (→ rebase there) or not (→ drop the journal)
+      wh.writeCherrypickJournal(name, branch, expect)
+      def stamp(staged: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(staged)
+            .resolve(Tables.CherrypickMarker), branch)
       if (sidecarable) {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, curDir)
         val census = EqDeletes.narrowedCensus(spark, curDir, keys,
@@ -311,6 +331,7 @@ object MirrorChangelog {
           EqDeletes.write(staged, touched, census)
           additions.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(staged)
+          stamp(staged)
         }
       } else {
         val survivors = mainCur.join(touched, keys, "left_anti")
@@ -319,9 +340,11 @@ object MirrorChangelog {
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(staged)
           Tables.writeRootMarkers(markers, staged)
+          stamp(staged)
         }
       }
       outVersion = wh.currentVersion(name).get
+      beforeCherrypickRebase()
       wh.rebaseBranch(name, branch, outVersion)
       outCensus = bd.groupBy(ChangeTypeCol).count()
         .orderBy(ChangeTypeCol).collect()

@@ -486,12 +486,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 if (i == 0) null else java.lang.Long.valueOf(vs(i - 1)._1)
               val rb = p.resolve(Tables.RollbackMarker)
               val pm = p.resolve(Tables.PromotedMarker)
+              val cm = p.resolve(Tables.CherrypickMarker)
               val op =
                 if (java.nio.file.Files.exists(rb))
                   s"rollback(v${java.nio.file.Files.readString(rb).trim})"
                 else if (java.nio.file.Files.exists(pm))
                   s"fast_forward(" +
                     s"${java.nio.file.Files.readString(pm).trim})"
+                else if (java.nio.file.Files.exists(cm))
+                  s"cherrypick(" +
+                    s"${java.nio.file.Files.readString(cm).trim})"
                 else "commit"
               new GenericInternalRow(Array[Any](v, ms * 1000L, parent,
                 UTF8String.fromString(op),

@@ -854,7 +854,8 @@ object Tables {
           carryTree(p, staged.resolve(PosDeletes.Dir))
         else if (fn.startsWith("_") && fn != "_SUCCESS" &&
             fn != PublishedMarker && fn != BranchMarker &&
-            fn != RollbackMarker && fn != PromotedMarker && // version-local lineage, never carries
+            fn != RollbackMarker && fn != PromotedMarker &&
+            fn != CherrypickMarker && // version-local lineage, never carries
             Files.isRegularFile(p))
           Files.copy(p, staged.resolve(fn),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -1006,6 +1007,33 @@ object Tables {
     // cleared by the final prop write — its presence means a crashed
     // fast_forward whose promotion/props may be incomplete
     private def ffPendingKey(b: String) = s"$BranchPropPrefix$b.ff-pending"
+    // idempotent cherrypick journal (round 18): written BEFORE the
+    // apply commit, cleared by the post-publish rebase — its presence
+    // means a cherrypick whose publish/rebase may be incomplete. The
+    // value is the plan-time expected current version; the published
+    // apply commit identifies itself with a version-local
+    // [[Tables.CherrypickMarker]], which makes settlement exact.
+    private def cpPendingKey(b: String) = s"$BranchPropPrefix$b.cp-pending"
+
+    /** Record a cherrypick journal for `branch` (see [[cpPendingKey]]).
+      * Under the commit lock like every branch-prop write.
+      */
+    private[graft] def writeCherrypickJournal(name: String, branch: String,
+        expect: Long): Unit = withCommitLock(name) {
+      TableProps.write(this, name,
+        TableProps.read(this, name) + (cpPendingKey(branch) -> expect.toString))
+    }
+
+    /** Settle any crashed fast_forward / cherrypick journals now (the
+      * same settlement every pointer swap runs) — called by cherrypick
+      * before planning so a prior crash heals first and the re-run sees
+      * the healed (usually empty) diff.
+      */
+    private[graft] def settleBranchJournals(name: String): Unit =
+      withCommitLock(name) {
+        settleFastForwards(name, TableProps.read(this, name))
+        ()
+      }
 
     /** Settle crashed fast_forwards (advice finding): the old replay
       * clause healed only while main still POINTED at the branch head —
@@ -1053,6 +1081,50 @@ object Tables {
             props = props - k + (branchBaseKey(b) -> head.toString)
           }
           TableProps.write(this, name, props)
+        }
+      // crashed CHERRYPICKS (round 18): the journal names the plan-time
+      // expected version E; the apply commit (expectCurrent = E) either
+      // landed — in which case EXACTLY one published version > E carries
+      // this branch's CherrypickMarker (written inside the staged
+      // commit, atomic with publication) and the branch rebases there —
+      // or it never published (the CAS bound guarantees no silent
+      // partial state) and the journal simply drops. A branch dropped
+      // mid-crash only drops its journal (never resurrects).
+      props.keys.toSeq
+        .filter(k => k.startsWith(BranchPropPrefix) &&
+          k.endsWith(".cp-pending"))
+        .foreach { k =>
+          val b = k.drop(BranchPropPrefix.length)
+            .dropRight(".cp-pending".length)
+          val expect = props(k).toLong
+          val landed = publishedVersions(name).collectFirst {
+            case (v, p) if v > expect && {
+              val m = p.resolve(CherrypickMarker)
+              try Files.readString(m).trim == b
+              catch { case _: java.io.IOException => false }
+            } => v
+          }
+          landed match {
+            case Some(v) =>
+              // the apply PUBLISHED (the marker is proof): complete the
+              // rebase — a dropped branch only clears its journal
+              props =
+                if (props.contains(branchHeadKey(b)))
+                  props - k + (branchHeadKey(b) -> v.toString) +
+                    (branchBaseKey(b) -> v.toString)
+                else props - k
+              TableProps.write(this, name, props)
+            case None if currentVersion(name).contains(expect) =>
+              // main still AT the journaled version and nothing landed:
+              // the owning cherrypick may be in flight right now (its
+              // own publish runs this very settlement first) — leave
+              // it; a crashed-pre-publish journal clears one commit
+              // later, when the pointer has provably moved past it
+              ()
+            case None =>
+              props = props - k // never published (the CAS bound)
+              TableProps.write(this, name, props)
+          }
         }
       props
     }
@@ -1118,7 +1190,7 @@ object Tables {
       val props = TableProps.read(this, name)
       require(props.contains(branchHeadKey(branch)),
         s"'$name' has no branch '$branch' to rebase")
-      TableProps.write(this, name, props +
+      TableProps.write(this, name, props - cpPendingKey(branch) +
         (branchHeadKey(branch) -> version.toString) +
         (branchBaseKey(branch) -> version.toString))
     }
@@ -1835,6 +1907,13 @@ object Tables {
     * BranchMarker. Version-local like [[RollbackMarker]].
     */
   private[graft] val PromotedMarker = "_promoted_from"
+  /** Identity marker of a cherrypick's apply commit (content = the
+    * branch name): written inside the staged commit, so journal
+    * settlement can decide EXACTLY whether a crashed cherrypick
+    * published before the rebase. `t.history` reads it as provenance.
+    * Version-local like [[RollbackMarker]].
+    */
+  private[graft] val CherrypickMarker = "_cherrypicked_from"
   /** Warehouse-root record of the [[WarehouseIO]] substrate the
     * warehouse was first committed under — see Warehouse.verifySubstrate.
     */
@@ -1866,7 +1945,8 @@ object Tables {
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .filter(_.getFileName.toString.startsWith("_"))
-      .filterNot(p => Set("_SUCCESS", PublishedMarker, RollbackMarker, PromotedMarker)
+      .filterNot(p => Set("_SUCCESS", PublishedMarker, RollbackMarker, PromotedMarker,
+        CherrypickMarker)
         .contains(p.getFileName.toString))
       .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
       .toSeq

@@ -625,6 +625,62 @@ class BranchSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("a crash between cherrypick publish and rebase settles from the journal: the marker'd version rebases the ref; a pre-publish crash just drops it") {
+    import graft.plans.MirrorChangelog
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    onBranch("fix") {
+      Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"cj_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM cj_$seq")
+    }
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"cjm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cjm_$seq")
+    // CRASH inside the recovery window: published, never rebased
+    MirrorChangelog.beforeCherrypickRebase =
+      () => throw new RuntimeException("crash before rebase")
+    try intercept[RuntimeException] {
+      MirrorChangelog.cherrypick(spark, wh, "t", "fix", "id")
+    } finally MirrorChangelog.beforeCherrypickRebase = () => ()
+    // the apply PUBLISHED (main serves the merged state) but the ref is
+    // stranded diverged behind a journal
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) == Set(1L, 2L, 3L, 9L))
+    val strandedHead = wh.branches("t")("fix")._1
+    assert(strandedHead != wh.currentVersion("t").get,
+      "the crash left the ref un-rebased")
+    // ANY later commit settles the journal (the swap-site settlement):
+    // the marker'd version rebases the ref
+    Seq((10L, "later")).toDF("id", "s").createOrReplaceTempView(s"cjl_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cjl_$seq")
+    val (head, fbase) = wh.branches("t")("fix")
+    assert(fbase == head && head == wh.currentVersion("t").get - 1,
+      s"settlement must rebase the ref to the marker'd apply commit, " +
+        s"got ($head, $fbase)")
+    // a re-run cherrypick is now a clean no-op-ish replay: its diff is
+    // empty against the rebased ref (the branch is merged)
+    val (census, _) = MirrorChangelog.cherrypick(spark, wh, "t", "fix", "id")
+    assert(census.isEmpty, census.toString)
+    // the lineage is queryable: the apply commit reports its provenance
+    assert(spark.sql(s"SELECT operation FROM $cat.t.history").collect()
+      .map(_.getString(0)).contains("cherrypick(fix)"))
+    // PRE-publish crash: a journal with no marker'd commit just drops
+    // on the next settlement, refs untouched
+    spark.sql(s"CALL $cat.system.create_branch('t', 'b2')").collect()
+    val refsBefore = wh.branches("t")("b2")
+    wh.writeCherrypickJournal("t", "b2", wh.currentVersion("t").get)
+    // heal is two-phase for the pre-publish case: the FIRST commit's
+    // settlement must leave the journal (expect == current is exactly
+    // what an in-flight cherrypick looks like); the SECOND — pointer
+    // provably past it, no marker — drops it
+    Seq((11L, "post")).toDF("id", "s").createOrReplaceTempView(s"cjp_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cjp_$seq")
+    Seq((12L, "post2")).toDF("id", "s").createOrReplaceTempView(s"cjq_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cjq_$seq")
+    assert(wh.branches("t")("b2") == refsBefore,
+      "a journal without a landed apply must never move the ref")
+    assert(!Tables.TableProps.read(wh, "t").contains("branch.b2.cp-pending"),
+      "the stale journal drops once the pointer provably moved past it")
+  }
+
   test("cherrypick keys COMPOSITE tuples: per-component overlap is no conflict, a both-sides TUPLE refuses; the MOR apply sidecars the full tuple") {
     import graft.sources.EqDeletes
     val root = tmpDir("branch-cpcomp")
