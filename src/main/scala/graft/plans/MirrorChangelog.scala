@@ -310,10 +310,31 @@ object MirrorChangelog {
       // version-local CherrypickMarker, so settlement knows whether the
       // publish landed (→ rebase there) or not (→ drop the journal)
       wh.writeCherrypickJournal(name, branch, expect)
-      def stamp(staged: String): Unit =
+      // the branch's STREAM-EPOCH replay positions move WITH its rows:
+      // a stream that staged epochs onto the branch had those rows
+      // replayed onto main by this very commit, and the rebased ref
+      // serves the published version — losing the `_stream_epoch_*`
+      // markers would re-ingest the last epoch on a checkpoint replay
+      // (duplicates). Merge per query id by MAX with main's own marker
+      // (both sides' rows are in the merged content).
+      val headMarkers = Tables.readRootMarkers(
+        wh.branchSnapshotDir(name, branch).toString)
+      def stamp(staged: String): Unit = {
+        val pfx = "_stream_epoch_"
+        val mainEpochs = Tables.readRootMarkers(curDir)
+          .filter(_._1.startsWith(pfx)).toMap.map { case (k, v) =>
+            k -> new String(v, "UTF-8").trim.toLongOption
+          }
+        headMarkers.filter(_._1.startsWith(pfx)).foreach { case (n, bytes) =>
+          val merged = (new String(bytes, "UTF-8").trim.toLongOption ++
+            mainEpochs.getOrElse(n, None)).maxOption
+          merged.foreach(v => java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(staged, n), v.toString))
+        }
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(staged)
             .resolve(Tables.CherrypickMarker), branch)
+      }
       if (sidecarable) {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, curDir)
         val census = EqDeletes.narrowedCensus(spark, curDir, keys,

@@ -625,6 +625,38 @@ class BranchSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("cherrypick adopts the branch's stream-epoch markers (max-merged with main's): a replayed epoch on the rebased ref stays absorbed") {
+    import graft.plans.MirrorChangelog
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'ing')").collect()
+    onBranch("ing") {
+      Seq((3L, "epoch")).toDF("id", "s").createOrReplaceTempView(s"sm_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM sm_$seq")
+    }
+    // the branch head carries a stream's replay position; main carries a
+    // LOWER position for the same query and its own other-stream marker
+    java.nio.file.Files.writeString(
+      wh.branchSnapshotDir("t", "ing").resolve("_stream_epoch_q1"), "5")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      wh.snapshotPath("t"), "_stream_epoch_q1"), "3")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      wh.snapshotPath("t"), "_stream_epoch_q2"), "7")
+    // main diverges → cherrypick is the publish path
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"smm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM smm_$seq")
+    MirrorChangelog.cherrypick(spark, wh, "t", "ing", "id")
+    val snap = java.nio.file.Paths.get(wh.snapshotPath("t"))
+    assert(java.nio.file.Files.readString(
+      snap.resolve("_stream_epoch_q1")).trim == "5",
+      "the branch's replay position must ride the apply (max-merged)")
+    assert(java.nio.file.Files.readString(
+      snap.resolve("_stream_epoch_q2")).trim == "7",
+      "main's own stream marker survives the apply")
+    // the rebased ref serves the published version: the stream resuming
+    // on the branch reads its absorbed position from there
+    assert(wh.branches("t")("ing")._1 == wh.currentVersion("t").get)
+  }
+
   test("a crash between cherrypick publish and rebase settles from the journal: the marker'd version rebases the ref; a pre-publish crash just drops it") {
     import graft.plans.MirrorChangelog
     val (cat, wh) = fixture()
