@@ -482,8 +482,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               .map { case (v, p) => (v, p, wh.publishTimeMillis(p)) }
               .sortBy { case (v, _, ms) => (ms, v) }
             vs.zipWithIndex.map { case ((v, p, ms), i) =>
+              // STORED parent when the snapshot recorded one (exact —
+              // the version current at its swap; promoted chains record
+              // their branch ancestry); stamp-order derivation only for
+              // grandfathered pre-marker history. A stored parent that
+              // aged out of retention reports null (the Iceberg
+              // contract), never a mis-attributed survivor.
+              val stored = p.resolve(Tables.ParentMarker)
               val parent: Any =
-                if (i == 0) null else java.lang.Long.valueOf(vs(i - 1)._1)
+                if (java.nio.file.Files.exists(stored)) {
+                  val sp = java.nio.file.Files.readString(stored)
+                    .trim.toLong
+                  if (vs.exists(_._1 == sp)) java.lang.Long.valueOf(sp)
+                  else null
+                }
+                else if (i == 0) null
+                else java.lang.Long.valueOf(vs(i - 1)._1)
               val rb = p.resolve(Tables.RollbackMarker)
               val pm = p.resolve(Tables.PromotedMarker)
               val cm = p.resolve(Tables.CherrypickMarker)

@@ -419,6 +419,11 @@ object Tables {
         // by pre-marker code), it gets its stamp NOW — lazy migration
         val prevTarget = currentVersion(name)
           .map(v => Paths.get(s"${tablePath(name)}.v$v"))
+        // exact lineage for t.history: the version current at swap time
+        // IS this snapshot's parent (stamped before the swap, under the
+        // lock; version-local, never carried)
+        currentVersion(name).foreach(v =>
+          Files.writeString(versionDir.resolve(ParentMarker), v.toString))
         io.atomicPointerSwap(table, versionDir.getFileName,
           scratch = Paths.get(s"${tablePath(name)}.ptr$next"))
         // stamp PUBLICATION — AFTER the swap, so a marked dir was
@@ -855,7 +860,7 @@ object Tables {
         else if (fn.startsWith("_") && fn != "_SUCCESS" &&
             fn != PublishedMarker && fn != BranchMarker &&
             fn != RollbackMarker && fn != PromotedMarker &&
-            fn != CherrypickMarker && // version-local lineage, never carries
+            fn != CherrypickMarker && fn != ParentMarker && // version-local lineage, never carries
             Files.isRegularFile(p))
           Files.copy(p, staged.resolve(fn),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -1065,18 +1070,21 @@ object Tables {
           if (cur.contains(base) && base != head) {
             props = props - k // swap never ran: the ff never took effect
           } else {
-            versions(name).foreach { case (v, p) =>
-              val bm = p.resolve(BranchMarker)
-              val owned =
-                try v > base && v <= head && Files.readString(bm) == b
-                catch { case _: java.io.IOException => false }
-              if (owned) {
-                Files.writeString(p.resolve(PublishedMarker), "")
-                // keep the branch provenance for t.history (the marker
-                // itself must go: it means "not main history")
-                Files.writeString(p.resolve(PromotedMarker), b)
-                Files.deleteIfExists(bm)
-              }
+            val ownedChain = versions(name).filter { case (v, p) =>
+              try v > base && v <= head &&
+                Files.readString(p.resolve(BranchMarker)) == b
+              catch { case _: java.io.IOException => false }
+            }
+            ownedChain.zipWithIndex.foreach { case ((v, p), i) =>
+              Files.writeString(p.resolve(PublishedMarker), "")
+              // keep the branch provenance for t.history (the marker
+              // itself must go: it means "not main history"); parent =
+              // the previous version of the promoted chain (the fork
+              // base for its first commit)
+              Files.writeString(p.resolve(PromotedMarker), b)
+              Files.writeString(p.resolve(ParentMarker),
+                (if (i == 0) base else ownedChain(i - 1)._1).toString)
+              Files.deleteIfExists(p.resolve(BranchMarker))
             }
             props = props - k + (branchBaseKey(b) -> head.toString)
           }
@@ -1329,18 +1337,21 @@ object Tables {
           // intermediates from time travel until the journal settles;
           // the head itself is served via the pointer-target clause
           // of isPublishedDir throughout.
-          versions(name).foreach { case (v, p) =>
-            val bm = p.resolve(BranchMarker)
-            val owned =
-              try v > base && v <= head && Files.readString(bm) == branch
-              catch { case _: java.io.IOException => false }
-            if (owned) {
-              Files.writeString(p.resolve(PublishedMarker), "")
-              // keep the branch provenance for t.history (the marker
-              // itself must go: it means "not main history")
-              Files.writeString(p.resolve(PromotedMarker), branch)
-              Files.deleteIfExists(bm)
-            }
+          val ownedChain = versions(name).filter { case (v, p) =>
+            try v > base && v <= head &&
+              Files.readString(p.resolve(BranchMarker)) == branch
+            catch { case _: java.io.IOException => false }
+          }
+          ownedChain.zipWithIndex.foreach { case ((v, p), i) =>
+            Files.writeString(p.resolve(PublishedMarker), "")
+            // keep the branch provenance for t.history (the marker
+            // itself must go: it means "not main history"); parent =
+            // the previous version of the promoted chain (the fork
+            // base for its first commit)
+            Files.writeString(p.resolve(PromotedMarker), branch)
+            Files.writeString(p.resolve(ParentMarker),
+              (if (i == 0) base else ownedChain(i - 1)._1).toString)
+            Files.deleteIfExists(p.resolve(BranchMarker))
           }
         }
         TableProps.write(this, name,
@@ -1914,6 +1925,13 @@ object Tables {
     * Version-local like [[RollbackMarker]].
     */
   private[graft] val CherrypickMarker = "_cherrypicked_from"
+  /** Stored parent version of a published snapshot (content = the
+    * version that was current when this one published): written at the
+    * pointer-swap / promotion sites, read by `t.history` — a DERIVED
+    * parent (previous retained by stamp order) mis-attributes across
+    * expiry gaps; the stored one is exact. Version-local.
+    */
+  private[graft] val ParentMarker = "_parent_version"
   /** Warehouse-root record of the [[WarehouseIO]] substrate the
     * warehouse was first committed under — see Warehouse.verifySubstrate.
     */
@@ -1946,7 +1964,7 @@ object Tables {
       .filter(p => Files.isRegularFile(p))
       .filter(_.getFileName.toString.startsWith("_"))
       .filterNot(p => Set("_SUCCESS", PublishedMarker, RollbackMarker, PromotedMarker,
-        CherrypickMarker)
+        CherrypickMarker, ParentMarker)
         .contains(p.getFileName.toString))
       .map(p => (p.getFileName.toString, Files.readAllBytes(p)))
       .toSeq

@@ -395,6 +395,15 @@ class GraftCatalogSpec extends SparkTestBase {
     // the rollback provenance is version-LOCAL: the post-rollback commit
     // (v5) reports its own operation, not an inherited rollback marker
     assert(h.count(_._3.startsWith("rollback")) == 1)
+    // expiry gaps never mis-attribute: v4's true parent (v3) ages out →
+    // parent reports NULL (the stored lineage refuses to claim a
+    // surviving earlier version), while v5's retained parent stands
+    spark.sql("CALL gh1.system.expire_snapshots('t', 2)").collect()
+    val h2 = spark.sql(
+      "SELECT version, parent FROM gh1.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(h2.toSeq == Seq((4L, -1L), (5L, 4L)), h2.toSeq.toString)
   }
 
   test("t.partitions reports the per-partition footer census: flat snapshots, day grain, and hour-grain straddlers — no data read") {
