@@ -1686,6 +1686,80 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** `t.history` under the oracle gate (q213, round 18): the snapshot
+    * lineage metadata table — stored parents, rollback / fast_forward
+    * provenance, is_current — over a deterministic lifecycle (three
+    * commits, one rollback, one branch publish). The oracle is the
+    * closed-form lineage itself (a VALUES model): the engine's
+    * append-only roll-forward design makes every row derivable by hand.
+    */
+  def q213MetadataHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_q213")
+    val cat = s"gq213_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      (1 to 3).foreach { k =>
+        wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < k)
+          .localCheckpoint(true), "ev")
+      }
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(s"CALL $cat.system.rollback_to_version('ev', 1)").collect()
+      spark.sql(s"CALL $cat.system.create_branch('ev', 'fix')").collect()
+      ev.filter(pmod(col("event_id"), lit(4)) === 3 &&
+          col("event_type") === "error")
+        .createOrReplaceTempView(s"mh_$cat")
+      spark.conf.set("spark.graft.wap.branch", "fix")
+      try spark.sql(s"INSERT INTO $cat.ev SELECT * FROM mh_$cat")
+      finally spark.conf.unset("spark.graft.wap.branch")
+      spark.sql(s"CALL $cat.system.fast_forward('ev', 'fix')").collect()
+      spark.sql(
+        s"""SELECT version, parent, operation, is_current,
+           |  (SELECT count(*) FROM $cat.ev VERSION AS OF 4)
+           |    AS n_at_rollback
+           |FROM $cat.ev.history ORDER BY version""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
+  /** `t.partitions` under the oracle gate (q214, round 18): the
+    * per-partition census metadata table of a hidden-day-partitioned
+    * changelog — one row per day dir, record counts from parquet
+    * footers only. The oracle is the same census computed relationally:
+    * GROUP BY the UTC day of the seeded slice.
+    */
+  def q214MetadataPartitions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mp_q214")
+    val cat = s"gq214_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      wh.declareTimePartition("ev", "ts")
+      // the events loader normalizes ts to epoch-micros (ts_us); the
+      // day layout wants the timestamp back
+      val ev = events(spark, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("event_id", "ts", "value")
+        .filter(pmod(col("event_id"), lit(2)) === 0)
+      // two batches: the census must aggregate per DAY across batch dirs
+      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .localCheckpoint(true), "ev", 0L)
+      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 2)
+        .localCheckpoint(true), "ev", 1L)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.sql(
+        s"""SELECT partition, record_count
+           |FROM $cat.ev.partitions ORDER BY partition""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branch audit changelog under the oracle gate (q209, round 17):
     * `CALL branch_diff` materializes the row-level changes a
     * `fast_forward` WOULD apply to main — the audit question
@@ -3673,6 +3747,32 @@ object Queries {
         |FROM finalv GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
 
+    // the history metadata table's lineage is fully closed-form: the
+    // append-only roll-forward design makes every (version, parent,
+    // operation) row derivable by hand from the staged lifecycle
+    "q213_metadata_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'commit', false,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 = 0)),
+        |  (2, 1, 'commit', false,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 = 0)),
+        |  (3, 2, 'commit', false,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 = 0)),
+        |  (4, 3, 'rollback(v1)', false,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 = 0)),
+        |  (5, 4, 'fast_forward(fix)', true,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 = 0)))
+        |  AS t(version, parent, operation, is_current, n_at_rollback)
+        |ORDER BY version""".stripMargin,
+
+    // the partitions metadata table's census == the relational census:
+    // per-UTC-day row counts of the seeded slice
+    "q214_metadata_partitions" ->
+      """SELECT 'p_day=' || strftime(ts, '%Y-%m-%d') AS partition,
+        |  count(*) AS record_count
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+
     // the cherry-picked merge reduces to one closed-form union: main's
     // divergent DELETE (clicks gone) composed with the branch's staged
     // INSERT (odd errors) and UPDATE (views +100)
@@ -4276,6 +4376,8 @@ object Queries {
     "q209_branch_audit_diff" -> (q209BranchAuditDiff _),
     "q211_delta_over_positional" -> (q211DeltaOverPositional _),
     "q212_cherrypick_diverged" -> (q212CherrypickDiverged _),
+    "q213_metadata_history" -> (q213MetadataHistory _),
+    "q214_metadata_partitions" -> (q214MetadataPartitions _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),
