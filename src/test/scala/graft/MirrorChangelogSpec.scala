@@ -191,6 +191,51 @@ class MirrorChangelogSpec extends SparkTestBase {
         s"${hop(posHops.last._2)}")
   }
 
+  test("the feed view is STREAM-TAILABLE: a stock file stream absorbs each emitted hop exactly once across restarts (the documented streaming-read remedy)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("chlog-tail")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite(snap((1L, "a", 1.0), (2L, "b", 2.0)), "m") // v1
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id").isEmpty)
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0)), "m") // v2
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id") ==
+      Seq((1L, 2L)))
+    val feedDir = wh.tablePath("m_feed")
+    val schema = wh.read(spark, "m_feed", mergeSchema = true).schema
+    val ckpt = tmpDir("chlog-tail-ckpt")
+    val outDir = tmpDir("chlog-tail-out")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(feedDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    def tailed: Set[(Long, String, Long)] =
+      spark.read.schema(schema).parquet(outDir)
+        .selectExpr("id", ChangeTypeCol, "_to_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val hop2 = Set(
+      (1L, UpdateBefore, 2L), (1L, UpdateAfter, 2L),
+      (2L, Delete, 2L), (3L, Insert, 2L))
+    assert(tailed == hop2, tailed.toString)
+    // a later hop lands; a RESTARTED stream (same checkpoint) absorbs
+    // ONLY the new hop — the feed's per-hop subdirs are a plain file
+    // source, so exactly-once rides the stock checkpoint
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)), "m")
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id") ==
+      Seq((2L, 3L)))
+    drain()
+    assert(tailed == hop2 + ((4L, Insert, 3L)),
+      s"the restart must absorb exactly the new hop, got $tailed")
+  }
+
   test("emitPending fails loudly when the cursor's snapshot was GC'd (retention too shallow)") {
     val wh = Warehouse(tmpDir("chlog-gc"), retain = 2)
     wh.overwrite(snap((1L, "a", 1.0)), "t") // v1
