@@ -1438,7 +1438,7 @@ object Queries {
       // orderkey%20==2 slice — outside the table — inserts
       li.filter(col("l_returnflag") === "N")
         .unionByName(keyed(
-          raw.filter(pmod(col("l_orderkey"), lit(20)) === 2)))
+          raw.filter(pmod(col("l_orderkey"), lit(40)) === 2)))
         .createOrReplaceTempView(s"cmsrc_$cat")
       spark.sql(
         s"""MERGE INTO $cat.li t USING cmsrc_$cat s
@@ -3668,7 +3668,8 @@ object Queries {
     // the orderkey%4==0 slice minus its 'R' lines (tuple-keyed sidecar),
     // 'N' lines +100 (delta MERGE matched), the orderkey%8==0 'R' lines
     // back as 'X' +1000 (re-insert outside the census), plus the
-    // orderkey%4==2 slice (MERGE inserts) — identical for the pending
+    // orderkey%40==2 slice (MERGE inserts, trimmed per the r17 verdict's
+    // headroom note) — identical for the pending
     // (stacked tuple-sidecar scan) and folded phases
     "q207_mor_composite_key" ->
       """WITH seed AS MATERIALIZED (
@@ -3678,7 +3679,7 @@ object Queries {
         |ins AS MATERIALIZED (
         |  SELECT min(l_quantity) AS l_quantity,
         |    min(l_returnflag) AS l_returnflag
-        |  FROM lineitem WHERE l_orderkey % 20 = 2
+        |  FROM lineitem WHERE l_orderkey % 40 = 2
         |  GROUP BY l_orderkey, l_linenumber),
         |finalv AS MATERIALIZED (
         |  SELECT l_returnflag,
