@@ -1435,7 +1435,7 @@ object Queries {
       spark.sql(s"INSERT INTO $cat.li SELECT * FROM restored_$cat")
       // delta MERGE keyed on BOTH columns, stacking over the pending
       // sidecar: matched 'N' lines get +100 quantity, the (keyed)
-      // orderkey%20==2 slice — outside the table — inserts
+      // orderkey%40==2 slice — outside the table — inserts
       li.filter(col("l_returnflag") === "N")
         .unionByName(keyed(
           raw.filter(pmod(col("l_orderkey"), lit(40)) === 2)))

@@ -203,10 +203,16 @@ object MirrorChangelog {
     * After publishing, the branch ref REBASES to the published version
     * (head = base = new main): its changes are merged, the old pins
     * release, and a later fast_forward/cherrypick of new branch work
-    * starts from the merged state. A crash between publish and rebase
-    * leaves the branch diverged with its changes already on main — the
-    * next cherrypick then refuses (every branch key now conflicts) and
-    * `drop_branch` is the named remedy.
+    * starts from the merged state. The publish→rebase window is
+    * JOURNALED (`cp-pending` written before the commit, the staged dir
+    * identifies itself with a [[graft.sources.Tables.CherrypickMarker]]):
+    * a crash AFTER the publish self-heals at the next journal
+    * settlement — the marker (or a pointer provably moved past the
+    * expected version) proves the apply landed and the branch rebases
+    * there; a crash BEFORE the publish just drops the journal and the
+    * branch is untouched. No operator remedy is needed for the crash
+    * window itself; `drop_branch` remains only the remedy for a
+    * genuinely conflicting branch.
     *
     * @return per-change-type applied row counts and the new version
     */
@@ -335,7 +341,13 @@ object MirrorChangelog {
           java.nio.file.Paths.get(staged)
             .resolve(Tables.CherrypickMarker), branch)
       }
-      if (sidecarable) {
+      // rebase to the version THIS apply committed (commit returns the
+      // staged dir's own number) — re-reading currentVersion here would
+      // adopt a rival commit that landed in the window and re-point the
+      // ref (and the reported new_version) past the cherrypick's own
+      // apply, diverging from what journal settlement picks via the
+      // CherrypickMarker (advice finding)
+      outVersion = if (sidecarable) {
         val all = graft.plans.ZoneMap.dataFileCensus(spark, curDir)
         val census = EqDeletes.narrowedCensus(spark, curDir, keys,
           keyTypes,
@@ -364,7 +376,6 @@ object MirrorChangelog {
           stamp(staged)
         }
       }
-      outVersion = wh.currentVersion(name).get
       beforeCherrypickRebase()
       wh.rebaseBranch(name, branch, outVersion)
       outCensus = bd.groupBy(ChangeTypeCol).count()

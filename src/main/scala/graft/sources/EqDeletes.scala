@@ -177,7 +177,26 @@ private[graft] object EqDeletes {
 
   final case class Sidecar(dir: Path, census: Set[String]) {
     def keysPath: String = dir.resolve("keys.parquet").toString
+    /** The key signature this sidecar was WRITTEN under (declared order,
+      * one column per line in `keycols.txt`) — the columns its stored
+      * key frame identifies rows by. `None` for sidecars written before
+      * round 19 recorded it; readers fall back to the call-time declared
+      * key, which the catalog's re-key guard keeps identical while any
+      * sidecar pends in retained history (advice finding: `between()`
+      * reads historical sidecars, and an API-level re-key must not
+      * rebind an old frame to different columns).
+      */
+    def storedKeyCols: Option[Seq[String]] = {
+      val f = dir.resolve(KeyColsFile)
+      if (Files.isRegularFile(f))
+        Some(Files.readAllLines(f).asScala.map(_.trim)
+          .filter(_.nonEmpty).toSeq)
+      else None
+    }
   }
+
+  /** Per-sidecar key-signature file (see [[Sidecar.storedKeyCols]]). */
+  val KeyColsFile = "keycols.txt"
 
   /** Census narrowing for a new sidecar: scope it to the files that CAN
     * contain a deleted key — zone-map evidence first (bloom ∧ min/max,
@@ -257,9 +276,12 @@ private[graft] object EqDeletes {
     finally s.close()
   }
 
-  /** Write one sidecar into a STAGED version dir. `keys` is a one-column
-    * frame of the matched key values (non-null); `census` the relative
-    * data-file names the delete applies to.
+  /** Write one sidecar into a STAGED version dir. `keys` is a frame of
+    * the matched key values (non-null, columns in declared key order);
+    * `census` the relative data-file names the delete applies to. The
+    * key signature (the frame's own column names) is recorded in
+    * `keycols.txt` so a historical read never rebinds the frame to a
+    * later key declaration ([[Sidecar.storedKeyCols]]).
     */
   def write(stagedDir: String, keys: DataFrame, census: Seq[String]): Unit = {
     val d = Paths.get(stagedDir, Dir,
@@ -267,6 +289,8 @@ private[graft] object EqDeletes {
     Files.createDirectories(d)
     keys.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("keys.parquet").toString)
+    Files.write(d.resolve(KeyColsFile),
+      keys.columns.mkString("\n").getBytes("UTF-8"))
     Files.write(d.resolve("census.txt"),
       census.sorted.mkString("\n").getBytes("UTF-8"))
   }
@@ -274,8 +298,12 @@ private[graft] object EqDeletes {
   /** The folded view of a snapshot — every pending sidecar applied as a
     * broadcast LEFT ANTI join scoped to its census (the fold's own read;
     * catalog SCANS use the reader-level filter instead). Composite keys
-    * anti-join on every key column (the stored key frame's columns are
-    * positional in declared order).
+    * anti-join on every key column. Each sidecar joins on the key
+    * signature it was WRITTEN under ([[Sidecar.storedKeyCols]]) — a
+    * historical version's sidecar must delete by ITS key columns even
+    * if the table was since re-keyed (advice finding); `keyCols` is the
+    * fallback for pre-signature sidecars, whose frames are positional
+    * in declared order.
     */
   def foldedRead(spark: SparkSession, snapshotDir: String,
       keyCols: Seq[String]): DataFrame = {
@@ -287,9 +315,10 @@ private[graft] object EqDeletes {
       val df = spark.read.schema(base.schema)
         .parquet(files.map(f => s"$snapshotDir/$f"): _*)
       applicable.foldLeft(df) { (acc, sc) =>
+        val kc = sc.storedKeyCols.getOrElse(keyCols)
         acc.join(broadcast(spark.read.parquet(sc.keysPath)
-          .toDF(keyCols: _*).dropDuplicates(keyCols)),
-          keyCols, "left_anti")
+          .toDF(kc: _*).dropDuplicates(kc)),
+          kc, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

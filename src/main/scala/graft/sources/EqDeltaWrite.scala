@@ -202,6 +202,11 @@ private class MorDeltaWrite(wh: Warehouse, table: String,
           Tables.deleteRecursively(zm)
         java.nio.file.Files.write(sidecarDir.resolve("census.txt"),
           census.sorted.mkString("\n").getBytes("UTF-8"))
+        // key signature: pin the frame's identity columns at write time
+        // (see EqDeletes.Sidecar.storedKeyCols)
+        java.nio.file.Files.write(
+          sidecarDir.resolve(EqDeletes.KeyColsFile),
+          keyCols.mkString("\n").getBytes("UTF-8"))
       } else {
         // pure-insert delta (a MERGE with only NOT MATCHED rows): a
         // plain fast append, no sidecar

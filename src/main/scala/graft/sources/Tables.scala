@@ -274,10 +274,16 @@ object Tables {
       * parquet writes into it must use Overwrite mode, as every caller in
       * this engine does. A `write` that throws has its stage deleted
       * immediately (no orphan).
+      *
+      * @return the version number THIS commit published (from the staged
+      *         dir's own name) — not `currentVersion` re-read afterwards,
+      *         which a rival commit landing in between could have moved
+      *         past it (advice finding: cherrypick's rebase needs its own
+      *         apply version, exactly the one journal settlement picks)
       */
     def commit(name: String, expectCurrent: Option[Long] = None,
         expectAbsent: Boolean = false)
-        (write: String => Unit): Unit = {
+        (write: String => Unit): Long = {
       require(!name.contains("/"),
         s"commit is table-level; '$name' looks like a subdirectory")
       Files.createDirectories(Paths.get(root))
@@ -287,6 +293,9 @@ object Tables {
       try write(versionDir.toString)
       catch { case t: Throwable => discardStage(versionDir); throw t }
       publishStage(name, versionDir, expectCurrent, legacyMoved, expectAbsent)
+      val m = versionPattern(name).matcher(versionDir.getFileName.toString)
+      require(m.matches(), s"$versionDir is not a stage of '$name'")
+      m.group(1).toLong
     }
 
     /** Legacy real-dir layout: move it aside FIRST (becomes a retained
@@ -919,9 +928,18 @@ object Tables {
       * never the current pointer target (whatever its number — rollback
       * and out-of-order publishes both make "current" independent of
       * "newest"). Serialized with committers by the commit lock.
+      *
+      * `olderThanMs` adds Iceberg's PRIMARY expiry axis (round-19
+      * verdict item 3): when set, a version expires only if its publish
+      * stamp — the same stamp `t.history.made_current_at` surfaces — is
+      * strictly before that epoch-millis cutoff. keepLast stays the
+      * retained FLOOR (a bursty commit rate can't age out the newest
+      * `keepLast` even when they're all past the cutoff); tags, branch
+      * pins, and the current pointer keep overriding both axes.
       * @return the version numbers deleted
       */
-    def expireSnapshots(name: String, keepLast: Int): Seq[Long] = {
+    def expireSnapshots(name: String, keepLast: Int,
+        olderThanMs: Option[Long] = None): Seq[Long] = {
       require(keepLast >= 1, s"keepLast must retain the current version, got $keepLast")
       withCommitLock(name) {
         val curName = Paths.get(snapshotPath(name)).getFileName.toString
@@ -934,6 +952,8 @@ object Tables {
             p.getFileName.toString != curName &&
             !tagged.contains(v) }
         val doomed = expirable.dropRight(keepLast - 1)
+          .filter { case (_, p) =>
+            olderThanMs.forall(cut => publishTimeMillis(p) < cut) }
         doomed.foreach { case (_, p) => deleteRecursively(p) }
         doomed.map(_._1)
       }

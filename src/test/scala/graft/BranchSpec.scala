@@ -713,6 +713,42 @@ class BranchSpec extends SparkTestBase {
       "the stale journal drops once the pointer provably moved past it")
   }
 
+  test("a rival commit inside the publish->rebase window never steals the cherrypick's version: the ref rebases to the apply commit itself (advice finding)") {
+    import graft.plans.MirrorChangelog
+    val (cat, wh) = fixture()
+    spark.sql(s"CALL $cat.system.create_branch('t', 'fix')").collect()
+    onBranch("fix") {
+      Seq((3L, "br")).toDF("id", "s").createOrReplaceTempView(s"rv_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM rv_$seq")
+    }
+    // main diverges so fast_forward refuses and cherrypick applies
+    Seq((9L, "main")).toDF("id", "s").createOrReplaceTempView(s"rvm_$seq")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM rvm_$seq")
+    // land a RIVAL commit between the cherrypick's publish and its
+    // rebase: the returned new_version and the rebased ref must be the
+    // cherrypick's OWN apply commit (wh.commit's return), never the
+    // rival currentVersion re-read after the fact
+    MirrorChangelog.beforeCherrypickRebase = () => {
+      Seq((42L, "rival")).toDF("id", "s")
+        .createOrReplaceTempView(s"rvr_$seq")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM rvr_$seq")
+    }
+    val (_, applied) = try {
+      MirrorChangelog.cherrypick(spark, wh, "t", "fix", "id")
+    } finally MirrorChangelog.beforeCherrypickRebase = () => ()
+    val rivalV = wh.currentVersion("t").get
+    assert(applied == rivalV - 1,
+      s"cherrypick reported v$applied; its own apply commit is " +
+        s"v${rivalV - 1} (the rival took v$rivalV)")
+    val (head, fbase) = wh.branches("t")("fix")
+    assert(head == applied && fbase == applied,
+      s"the ref must rebase to the apply commit v$applied, got " +
+        s"($head, $fbase)")
+    // nothing lost on either side: branch row, main row, rival row
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t")) ==
+      Set(1L, 2L, 3L, 9L, 42L))
+  }
+
   test("cherrypick keys COMPOSITE tuples: per-component overlap is no conflict, a both-sides TUPLE refuses; the MOR apply sidecars the full tuple") {
     import graft.sources.EqDeletes
     val root = tmpDir("branch-cpcomp")

@@ -968,6 +968,44 @@ class EqDeletesSpec extends SparkTestBase {
     assert(visible(cat) == base.filterNot(_._2 == "del").toSet)
   }
 
+  test("sidecars record their key signature; a historical read applies the WRITTEN key even after an API-level re-key (advice finding)") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    // a delta UPDATE stacks a second sidecar through the DeltaWrite path
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000 WHERE id = 2")
+    val snap = wh.snapshotPath("t")
+    val sidecars = EqDeletes.pending(snap)
+    assert(sidecars.size == 2)
+    // BOTH write paths (catalog sidecar DELETE, MorDeltaWrite) pin the
+    // signature the frame was written under
+    assert(sidecars.forall(_.storedKeyCols == Some(Seq("id"))),
+      sidecars.map(_.storedKeyCols).toString)
+
+    // API-level re-key (TableProps.write bypasses the catalog's ALTER
+    // guard — the expert path the guard can't see): the historical
+    // sidecars must keep deleting by 'id', never rebind to 'grp'
+    TableProps.write(wh, "t",
+      TableProps.read(wh, "t") + (EqDeletes.KeyProp -> "grp"))
+    val expect = base.filterNot(_._2 == "del")
+      .map { case (i, g, v) => (i, g, if (i == 2) v + 1000 else v) }.toSet
+    def served(df: DataFrame) = df.select("id", "grp", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // foldedRead under the NEW declared key: stored signatures win
+    assert(served(EqDeletes.foldedRead(spark, snap, Seq("grp"))) == expect,
+      "a re-key rebound historical sidecar frames to the wrong columns")
+    // the shared logical read (between()/branchDiff/cherrypick hops all
+    // route through it) serves the same content
+    assert(served(EqDeletes.logicalMorRead(spark, snap,
+      TableProps.read(wh, "t"))) == expect)
+    // pre-signature sidecars still fall back to the declared key: strip
+    // the marker files and restore the declaration
+    sidecars.foreach(sc => java.nio.file.Files.deleteIfExists(
+      sc.dir.resolve(EqDeletes.KeyColsFile)))
+    TableProps.write(wh, "t",
+      TableProps.read(wh, "t") + (EqDeletes.KeyProp -> "id"))
+    assert(served(EqDeletes.foldedRead(spark, snap, Seq("id"))) == expect)
+  }
+
   test("internalKeySets survives a cache-bound clear on a mixed hit+miss call (advice finding: hits mapped to null after clear)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

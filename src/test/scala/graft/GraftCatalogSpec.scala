@@ -235,6 +235,60 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("age-based expire_snapshots: only versions published before OLDER_THAN_MS drop; keep_last stays the floor; tags and current always survive") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cat-age-expiry")
+    val wh = Warehouse(root, retain = 8)
+    register("gae", root)
+    spark.conf.set("spark.sql.catalog.gae.retain", "8")
+    (1 to 4).foreach { i =>
+      wh.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .localCheckpoint(true), "t")
+      Thread.sleep(10)
+    }
+    // v1..v4 retained, v4 current. Backdate v1/v2's publish stamps one
+    // hour (the stamp t.history surfaces is the marker mtime); v3 stays
+    // recent; tag v1 so the pin overrides the age axis
+    def backdate(v: Long): Unit = {
+      val dir = wh.publishedVersions("t").collectFirst {
+        case (`v`, p) => p }.get
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L)
+      Files.setLastModifiedTime(dir.resolve(Tables.PublishedMarker), old)
+    }
+    backdate(1L); backdate(2L)
+    spark.sql("CALL gae.system.create_tag('t', 'keepme', 1)").collect()
+    // cutoff 30 min ago, floor keep_last=1: v2 is the only drop — v1 is
+    // tagged, v3 is too recent, v4 is current
+    val cutoff = System.currentTimeMillis() - 1800 * 1000L
+    val expired = spark.sql(
+      s"CALL gae.system.expire_snapshots('t', 1, ${cutoff}L)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expired == Seq(2L), s"expired: $expired")
+    assert(wh.listVersions("t") == Seq(1L, 3L, 4L), wh.listVersions("t"))
+    // keep_last floor beats the age axis: backdate EVERYTHING, ask for
+    // floor 3 — nothing can drop (current + tag + the floor cover all)
+    Seq(3L, 4L).foreach(backdate)
+    val none = spark.sql(
+      s"CALL gae.system.expire_snapshots('t', 3, ${cutoff}L)")
+      .collect()
+    assert(none.isEmpty, none.toSeq)
+    // floor 1 with a future-proof cutoff: v3 drops, tag + current hold
+    val all = spark.sql(
+      s"CALL gae.system.expire_snapshots('t', 1, " +
+        s"${System.currentTimeMillis() + 1000}L)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(3L), s"expired: $all")
+    assert(wh.listVersions("t") == Seq(1L, 4L))
+    // the omitted default (0) keeps the pure count semantics: no age
+    // filter, keep_last=1 leaves only pins + current
+    assert(spark.sql("CALL gae.system.expire_snapshots('t', 1)")
+      .collect().isEmpty) // v1 tagged, v4 current — nothing expirable
+    assert(spark.sql("SELECT s FROM gae.t").head.getString(0) == "v4")
+    assert(spark.sql("SELECT s FROM gae.t VERSION AS OF 'keepme'")
+      .head.getString(0) == "v1")
+  }
+
   test("loadTable caches per version pointer: one census walk per VERSION, evicted by commits and DDL") {
     val root = tmpDir("cat-cache")
     val wh = Warehouse(root)
@@ -445,6 +499,51 @@ class GraftCatalogSpec extends SparkTestBase {
       ("p_day=2024-01-01", 2L), ("p_day=2024-01-02", 1L),
       (s"p_day=2024-01-03/p_hour=$h9", 1L),
       (s"p_day=2024-01-03/p_hour=$h11", 1L)), hours.toSeq)
+  }
+
+  test("t.partitions serves a FRESH clustered census from the zone-map manifest (zero footer opens); stale manifests fall back to footers exactly") {
+    val root = tmpDir("cat-parts-manifest")
+    val wh = Warehouse(root, retain = 8)
+    register("gpm", root)
+    wh.overwrite((1L to 60L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(3).localCheckpoint(true), "t")
+    Maintenance.declareClustering(wh, "t", Seq("id"), targetFiles = Some(4))
+    assert(spark.sql("CALL gpm.system.cluster('t')").head.getString(1)
+      == "full")
+    def parts() = spark.sql(
+      "SELECT partition, file_count, record_count FROM gpm.t.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val fresh = parts()
+    assert(fresh.size == 1 && fresh.head._3 == 60L, fresh)
+    val nFiles = fresh.head._2
+    // PROVE the fresh path reads the manifest, not footers: doctor the
+    // manifest's per-file `rows` (+5 each, census untouched) — a
+    // manifest-served census reflects the doctored sum, a footer walk
+    // could not
+    val snap = wh.snapshotPath("t")
+    val doctored = ZoneMap.manifest(spark, snap)
+      .withColumn("rows", col("rows") + lit(5L)).localCheckpoint(true)
+    doctored.coalesce(1).write.mode("overwrite")
+      .parquet(s"$snap/${ZoneMap.ManifestDir}")
+    val lied = parts()
+    assert(lied.head._3 == 60L + 5L * nFiles,
+      s"fresh t.partitions must serve from the manifest: $lied")
+    // STALE manifest (an append lands files outside its census): the
+    // census must fall back to the exact footer walk — the doctored
+    // numbers vanish, the appended rows count
+    spark.sql("INSERT INTO gpm.t VALUES (100, 'x'), (101, 'y')")
+    val stale = parts()
+    assert(stale.head._3 == 62L,
+      s"stale manifest must footer-walk to the exact census: $stale")
+    // a FULL re-cluster rebuilds the manifest from the data (an
+    // INCREMENTAL one would carry the doctored rows — carried manifest
+    // entries are trusted by design): fresh again and TRUE
+    Maintenance.cluster(wh = wh, spark = spark, table = "t",
+      dims = Seq("id"), targetFiles = 4)
+    val reclustered = parts()
+    assert(reclustered.head._3 == 62L, reclustered)
+    assert(ZoneMap.isFresh(spark, wh.snapshotPath("t")))
   }
 
   test("t.refs metadata table surfaces main, live branches (head+base) and tag pins; agrees with CALL branches") {

@@ -171,9 +171,17 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
             spark.sql(s"CALL $cat.system.rollback_to_version('t', $v)")
             model.clear(); model ++= history(v)
           }
-        case 9 => // explicit snapshot expiry mid-stream: data unchanged
-          spark.sql(
-            s"CALL $cat.system.expire_snapshots('t', ${2 + rng.nextInt(3)})")
+        case 9 => // explicit snapshot expiry mid-stream: data unchanged.
+          // Randomly exercise the age axis too: a cutoff in the past is
+          // a no-op (everything is younger), a future one defers to the
+          // keep_last floor — current data survives either way
+          val age = rng.nextInt(3) match {
+            case 0 => ""
+            case 1 => s", ${System.currentTimeMillis() - 3600 * 1000L}"
+            case _ => s", ${System.currentTimeMillis() + 1000L}"
+          }
+          spark.sql(s"CALL $cat.system.expire_snapshots('t', " +
+            s"${2 + rng.nextInt(3)}$age)")
         case 10 => // (mor only) re-INSERT a previously deleted id — the
           // census rule must keep it alive past the older sidecars
           val deleted = (0L until nextId).filterNot(model.contains)
