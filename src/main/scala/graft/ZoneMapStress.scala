@@ -134,6 +134,38 @@ object ZoneMapStress {
     val n1d = spark.read.parquet(wh.snapshotPath("fact1d")).count()
     assert(n1d == n + nPlant, s"incremental recluster lost rows: $n1d")
 
+    // --- 2-dim (z-order) incremental (round 19): an in-bounds 0.1%
+    // append splices under the STORED scaling instead of paying the
+    // full z rewrite (tCluster above is exactly that full-rewrite cost)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val stagePlant = s"$base/plant2d"
+      spark.range(nPlant).select((col("id") + 2L * n).as("id"),
+          (lit(40000L) + pmod(col("id"), lit(500))).as("x"),
+          (lit(70000L) + pmod(col("id"), lit(500))).as("y"),
+          (col("id") % 97).cast("double").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stagePlant)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stagePlant))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(path, "planted-2d.parquet"))
+    }
+    val filesBefore2d = ZoneMap.dataFileCensus(spark, path).toSet
+    val (incOk2d, tIncremental2d) = timed {
+      Maintenance.clusterIncremental(spark, wh, "fact", Seq("x", "y"),
+        bloomKeys = Seq("id"))
+    }
+    assert(incOk2d, "an in-bounds z append must take the incremental path")
+    val p2d = wh.snapshotPath("fact")
+    val n2d = spark.read.parquet(p2d).count()
+    assert(n2d == n + nPlant, s"z incremental recluster lost rows: $n2d")
+    val carried2d =
+      (filesBefore2d intersect ZoneMap.dataFileCensus(spark, p2d).toSet).size
+    val (aPruned2d, _) = timed { agg(ZoneMap.read(spark, p2d, bounds)) }
+    assert(aPruned2d._1 >= aPruned._1,
+      s"post-splice box read lost rows: $aPruned2d vs $aPruned")
+
     println(s"""{"metric":"zonemap_stress","rows":$n,"files":$files,""" +
       s""""box_rows":${aPruned._1},""" +
       s""""write_s":${f"$tWrite%.2f"},"cluster_s":${f"$tCluster%.2f"},""" +
@@ -146,7 +178,9 @@ object ZoneMapStress {
       s""""count_scan_s":${f"$tCntScan%.2f"},""" +
       s""""count_fast_s":${f"$tCntFast%.2f"},""" +
       s""""cluster_1d_s":${f"$tCluster1d%.2f"},""" +
-      s""""incremental_recluster_s":${f"$tIncremental%.2f"}}""")
+      s""""incremental_recluster_s":${f"$tIncremental%.2f"},""" +
+      s""""incremental_recluster_2d_s":${f"$tIncremental2d%.2f"},""" +
+      s""""carried_files_2d":$carried2d}""")
     graft.sources.Tables.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
   }

@@ -1,5 +1,9 @@
 package graft.plans
 
+import java.nio.file.Paths
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 import graft.sources.Tables.Warehouse
@@ -182,6 +186,7 @@ object Maintenance {
       bloomBits: Int,
       manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    var zScaling: Option[Seq[(String, Double, Double)]] = None
     val ordering: org.apache.spark.sql.Column =
       if (dims.size == 1) col(dims.head)
       else {
@@ -200,16 +205,13 @@ object Maintenance {
             org.apache.spark.sql.functions.min(col(d)).cast("double"),
             org.apache.spark.sql.functions.max(col(d)).cast("double"))).tail): _*)
           .collect()(0)
-        val mask = (1L << bits) - 1
-        val scaled = dims.zipWithIndex.map { case (d, i) =>
+        val bounds = dims.zipWithIndex.map { case (d, i) =>
           // all-null dim: no stats, no locality to keep
           def at(j: Int) = if (st.isNullAt(j)) 0.0 else st.getDouble(j)
-          val (lo, hi) = (at(2 * i), at(2 * i + 1))
-          if (hi <= lo) lit(0L)
-          else ((col(d).cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
-            .cast("long")
+          (d, at(2 * i), at(2 * i + 1))
         }
-        ZOrder.zValue(scaled, bits)
+        zScaling = Some(bounds)
+        zOrderColumn(bounds, bits)
       }
     val zc = "_graft_cluster_key"
     val base = df.withColumn(zc, ordering)
@@ -232,6 +234,73 @@ object Maintenance {
     writer.parquet(staged)
     ZoneMap.buildAndSave(spark, staged, dims,
       if (targetFiles <= manifestBloomMaxFiles) bloomKeys else Nil, bloomBits)
+    // persist the z-order scaling next to the manifest (round-19 verdict
+    // item 2): an incremental re-cluster can only splice new files into
+    // the existing layout when their Morton codes are COMPARABLE — i.e.
+    // computed under the SAME min-max scaling this full rewrite used
+    zScaling.foreach(b => writeZScaling(staged, bits, b))
+  }
+
+  /** `_zonemap/_scaling`: the min-max scaling a multi-dim (z-order)
+    * cluster rewrote under — `bits` plus the per-dim (lo, hi) in
+    * declared order. Underscore-prefixed so every parquet listing
+    * ignores it; carried with the manifest by the same file-level carry.
+    */
+  private[plans] val ZScalingFile = "_scaling"
+
+  private[plans] def writeZScaling(dataPath: String, bits: Int,
+      bounds: Seq[(String, Double, Double)]): Unit = {
+    val lines = s"bits=$bits" +: bounds.map { case (d, lo, hi) =>
+      s"dim=$d\tlo=$lo\thi=$hi"
+    }
+    java.nio.file.Files.write(
+      Paths.get(dataPath, ZoneMap.ManifestDir, ZScalingFile),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[plans] def readZScaling(dataPath: String)
+      : Option[(Int, Seq[(String, Double, Double)])] = {
+    val f = Paths.get(dataPath, ZoneMap.ManifestDir, ZScalingFile)
+    if (!java.nio.file.Files.isRegularFile(f)) return None
+    try {
+      val lines = java.nio.file.Files.readAllLines(f).asScala
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val bits = lines.head.stripPrefix("bits=").toInt
+      val bounds = lines.tail.map { l =>
+        val kv = l.split("\t").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        (kv("dim"), kv("lo").toDouble, kv("hi").toDouble)
+      }
+      Some((bits, bounds))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The z-order ordering column under a FIXED scaling — shared by the
+    * full rewrite (which derives the scaling) and the incremental splice
+    * (which reuses the stored one, keeping codes comparable).
+    */
+  private def zOrderColumn(bounds: Seq[(String, Double, Double)],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val mask = (1L << bits) - 1
+    val scaled = bounds.map { case (d, lo, hi) =>
+      if (hi <= lo) lit(0L)
+      else ((col(d).cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
+        .cast("long")
+    }
+    ZOrder.zValue(scaled, bits)
+  }
+
+  /** Driver-side twin of [[zOrderColumn]] for one point (a manifest
+    * corner): scale each coordinate exactly as the Column does, then
+    * [[ZOrder.zScalar]].
+    */
+  private def zOfCorner(vals: Seq[Double],
+      bounds: Seq[(String, Double, Double)], bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    ZOrder.zScalar(bounds.zip(vals).map { case ((_, lo, hi), v) =>
+      if (hi <= lo) 0L
+      else ((v - lo) / (hi - lo) * mask.toDouble).toLong
+    }, bits)
   }
 
   /** Incremental re-cluster — the Iceberg `rewrite_data_files` file-filter
@@ -247,15 +316,19 @@ object Maintenance {
     *
     * Scope guards — each `false` return means "take the full
     * [[cluster]] path", never "skip maintenance":
-    *  - single-dim clustering only (a z-order rewrite re-derives its
-    *    min-max scaling from global stats; splicing files sorted under a
-    *    DIFFERENT scaling would silently degrade locality);
     *  - versioned tables only (the legacy-directory migration belongs to
     *    the full path);
     *  - no files removed since the manifest (a deletion invalidates
     *    carried stats wholesale);
     *  - added files must match the table schema, and the manifest must
-    *    carry the exact stats/bloom columns this rewrite extends.
+    *    carry the exact stats/bloom columns this rewrite extends;
+    *  - multi-dim (z-order) layouts additionally need the STORED
+    *    min-max scaling (`_zonemap/_scaling`, written by every full
+    *    z-order rewrite) and the appended data to FIT INSIDE it —
+    *    Morton codes are only comparable under one scaling, so an
+    *    append that extends any dim's range falls back loudly to the
+    *    full rewrite, which re-derives the scaling (round-19 verdict
+    *    item 2: pre-19 every z-ordered append paid the full rewrite).
     *
     * The rewrite region's output may still overlap an untouched file
     * when an overlapping file's own span was wide — stats stay exact and
@@ -271,25 +344,33 @@ object Maintenance {
     */
   def clusterIncremental(spark: SparkSession, wh: Warehouse, table: String,
       dims: Seq[String], bloomKeys: Seq[String] = Nil): Boolean = {
-    if (dims.size != 1 || MorMirror.storedConfig(wh, table).isDefined)
+    if (dims.isEmpty || MorMirror.storedConfig(wh, table).isDefined)
       return false
     graft.sources.EqDeletes.fold(spark, wh, table) // censuses die on rename
     var handled = false
     wh.retryingConflicts() {
-      handled = attemptIncrementalCluster(spark, wh, table, dims.head, bloomKeys)
+      handled = attemptIncrementalCluster(spark, wh, table, dims, bloomKeys)
     }
     handled
   }
 
   private def attemptIncrementalCluster(spark: SparkSession, wh: Warehouse,
-      table: String, dim: String, bloomKeys: Seq[String]): Boolean = {
-    import java.nio.file.Paths
+      table: String, dims: Seq[String], bloomKeys: Seq[String]): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
     val expect = wh.currentVersion(table)
     if (expect.isEmpty) return false
     val path = wh.snapshotPath(table)
     if (isBucketPartitioned(spark, path)) return false
     if (!ZoneMap.hasManifest(spark, path)) return false
+    // z-order (multi-dim): the stored scaling is the comparability
+    // contract — absent (pre-19 manifest) or mismatched dims → full path
+    val zInfo: Option[(Int, Seq[(String, Double, Double)])] =
+      if (dims.size == 1) None
+      else readZScaling(path) match {
+        case Some((bits, bounds)) if bounds.map(_._1) == dims =>
+          Some((bits, bounds))
+        case _ => return false
+      }
     val m = ZoneMap.manifest(spark, path).localCheckpoint(true)
     val mCols = m.columns.toSet
     // the manifest must carry exactly the stats/bloom schema the merged
@@ -299,27 +380,74 @@ object Maintenance {
       mCols.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
     val bloomMode = manifestBlooms.nonEmpty
     if (bloomMode && manifestBlooms != bloomKeys.toSet) return false
-    if (!Set("file", "rows", s"min_$dim", s"max_$dim", s"nulls_$dim")
-        .subsetOf(mCols)) return false
+    if (!(Set("file", "rows") ++ dims.flatMap(d =>
+        Seq(s"min_$d", s"max_$d", s"nulls_$d"))).subsetOf(mCols))
+      return false
     val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
     val disk = ZoneMap.listDataFiles(spark, path).toSet
     if ((manifestFiles -- disk).nonEmpty) return false
     val added = (disk -- manifestFiles).toSeq.sorted
     if (added.isEmpty) return true // census matches: already fresh
     val newData = spark.read.parquet(added.map(f => s"$path/$f"): _*)
-    if (!newData.columns.contains(dim)) return false
+    if (dims.exists(!newData.columns.contains(_))) return false
     val untouchedSample = (disk -- added).headOption
     if (untouchedSample.exists(f =>
         spark.read.parquet(s"$path/$f").schema != newData.schema)) return false
-    // the disorder region: [min, max] of the added files on the cluster
-    // dim, plus every existing file whose range intersects it (all-null
-    // added files have no range and splice next to nothing)
-    val r = newData.agg(min(col(dim)), max(col(dim))).collect()(0)
-    val overlapFiles: Set[String] =
-      if (r.isNullAt(0)) Set.empty
-      else m.filter(coalesce(!(col(s"max_$dim") < lit(r.get(0)) ||
-          col(s"min_$dim") > lit(r.get(1))), lit(false)))
-        .select("file").collect().map(_.getString(0)).toSet
+    // the disorder region + every existing file that intersects it:
+    //  - 1-dim: [min, max] of the added files on the cluster dim,
+    //    intersected with each file's stored range (all-null added files
+    //    have no range and splice next to nothing);
+    //  - z-order: [minZ, maxZ] of the added ROWS under the STORED
+    //    scaling, intersected with each file's conservative z-range from
+    //    its manifest corners (Morton is monotone per coordinate, so a
+    //    stats box's z-min/z-max sit at its all-lo/all-hi corners); a
+    //    NULL corner stat (all-null dim in that file) rewrites
+    //    conservatively. First, the containment guard: added data outside
+    //    the stored bounds makes codes incomparable → full path.
+    val overlapFiles: Set[String] = zInfo match {
+      case None =>
+        val dim = dims.head
+        val r = newData.agg(min(col(dim)), max(col(dim))).collect()(0)
+        if (r.isNullAt(0)) Set.empty
+        else m.filter(coalesce(!(col(s"max_$dim") < lit(r.get(0)) ||
+            col(s"min_$dim") > lit(r.get(1))), lit(false)))
+          .select("file").collect().map(_.getString(0)).toSet
+      case Some((zBits, bounds)) =>
+        val stats = newData.agg(
+          min(col(dims.head).cast("double")),
+          (dims.flatMap(d => Seq(min(col(d).cast("double")),
+            max(col(d).cast("double")))).tail): _*).collect()(0)
+        val inBounds = dims.indices.forall { i =>
+          stats.isNullAt(2 * i) || {
+            val (_, lo, hi) = bounds(i)
+            stats.getDouble(2 * i) >= lo && stats.getDouble(2 * i + 1) <= hi
+          }
+        }
+        if (!inBounds) return false
+        if (dims.indices.forall(i => stats.isNullAt(2 * i))) Set.empty
+        else {
+          val zc = zOrderColumn(bounds, zBits)
+          val zr = newData.agg(min(zc), max(zc)).collect()(0)
+          if (zr.isNullAt(0)) Set.empty
+          else {
+            val (zLo, zHi) = (zr.getLong(0), zr.getLong(1))
+            m.select(col("file") +: dims.flatMap(d =>
+              Seq(col(s"min_$d").cast("double"),
+                col(s"max_$d").cast("double"))): _*)
+              .collect().filter { r =>
+                val anyNull = dims.indices.exists(i =>
+                  r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+                anyNull || {
+                  val fLo = zOfCorner(
+                    dims.indices.map(i => r.getDouble(1 + 2 * i)), bounds, zBits)
+                  val fHi = zOfCorner(
+                    dims.indices.map(i => r.getDouble(2 + 2 * i)), bounds, zBits)
+                  !(fHi < zLo || fLo > zHi)
+                }
+              }.map(_.getString(0)).toSet
+          }
+        }
+    }
     val rewriteRel = added.toSet ++ overlapFiles
     val untouched = (disk -- rewriteRel).toSeq.sorted
     // keep the table's established rows-per-file grain for the region
@@ -340,9 +468,16 @@ object Maintenance {
       else (ZoneMap.DefaultBloomBitsCeiling, 5)
     val markers = readRootMarkers(path)
     val carried = m.filter(col("file").isInCollection(untouched))
+    val sortCol = zInfo match {
+      case None => col(dims.head)
+      case Some((zBits, bounds)) => zOrderColumn(bounds, zBits)
+    }
     wh.commit(table, expectCurrent = expect) { staged =>
-      val base = data.repartitionByRange(outFiles, col(dim))
-        .sortWithinPartitions(col(dim))
+      val zc = "_graft_cluster_key"
+      val base = data.withColumn(zc, sortCol)
+        .repartitionByRange(outFiles, col(zc))
+        .sortWithinPartitions(col(zc))
+        .drop(zc)
         .write.mode(SaveMode.Overwrite)
       val writer =
         if (bloomKeys.isEmpty) base
@@ -357,12 +492,16 @@ object Maintenance {
       // census the rewrite outputs BEFORE the carried links land
       val outAbs = ZoneMap.listDataFiles(spark, staged).map(f => s"$staged/$f")
       val newRows = ZoneMap.statsRows(spark, staged,
-        spark.read.parquet(outAbs: _*), Seq(dim),
+        spark.read.parquet(outAbs: _*), dims,
         if (bloomMode) bloomKeys else Nil, bits, hashes)
       untouched.foreach(rel =>
         linkOrCopy(wh, Paths.get(s"$path/$rel"), Paths.get(s"$staged/$rel")))
       ZoneMap.writeManifest(carried.unionByName(newRows), staged,
         spreadBlooms = bloomMode)
+      // the scaling carries verbatim: this splice wrote UNDER it, so the
+      // next append keeps the comparability contract
+      zInfo.foreach { case (zBits, bounds) =>
+        writeZScaling(staged, zBits, bounds) }
       writeRootMarkers(markers, staged)
     }
     true

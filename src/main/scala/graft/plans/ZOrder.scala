@@ -37,6 +37,30 @@ object ZOrder {
     parts.reduce(_ + _)
   }
 
+  /** Driver-side scalar twin of [[zValue]] — the SAME interleave over
+    * already-scaled longs, used by the incremental z-order re-cluster to
+    * derive a file's conservative z-range from its manifest min/max
+    * corners (the Morton code is monotone in each coordinate, so a
+    * box's z-minimum is at the all-lo corner and its z-maximum at the
+    * all-hi corner).
+    */
+  def zScalar(vals: Seq[Long], bits: Int): Long = {
+    require(vals.nonEmpty && bits * vals.size <= 63,
+      s"${vals.size} vals x $bits bits must fit a long")
+    val n = vals.size
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < n) {
+        z |= ((vals(i) >> b) & 1L) << (b * n + i)
+        i += 1
+      }
+      b += 1
+    }
+    z
+  }
+
   /** Write `df` into `files` files clustered by the z-value of `dims`:
     * range-partition on z (each file owns a contiguous z interval), sort
     * within partitions so row groups inherit the locality too. The z

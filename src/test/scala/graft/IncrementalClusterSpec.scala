@@ -103,7 +103,9 @@ class IncrementalClusterSpec extends SparkTestBase {
     // fresh census: handled (true) with NO new version
     assert(Maintenance.clusterIncremental(spark, wh, "t", Seq("d")))
     assert(wh.currentVersion("t") == v, "a fresh census must not commit")
-    // multi-dim: immediate full-path signal
+    // multi-dim with NO stored scaling (this table clustered 1-dim, so
+    // no `_scaling` was written): immediate full-path signal — z codes
+    // are only comparable under a recorded scaling
     assert(!Maintenance.clusterIncremental(spark, wh, "t", Seq("d", "id")))
     // schema drift in the planted file: full-path signal
     plant(Seq((1L, 2L, "x")).toDF("id", "d", "extra"), path, "planted-ev.parquet")
@@ -151,6 +153,73 @@ class IncrementalClusterSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq ==
       wh.read(spark, "t").filter(col("id").isin(keys: _*))
         .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("z-order incremental: an in-bounds append splices by its z-range under the STORED scaling; a range-extending one falls back to the full rewrite") {
+    val wh = Warehouse(tmpDir("ic-zorder"))
+    val df = spark.range(100000).select(col("id"),
+      pmod(col("id") * 37, lit(1000)).as("x"),
+      pmod(col("id") * 53, lit(1000)).as("y"))
+    wh.overwrite(df.repartition(8), "t")
+    Maintenance.cluster(spark, wh, "t", Seq("x", "y"), targetFiles = 16)
+    val v0path = wh.snapshotPath("t")
+    // every full z-order rewrite persists its min-max scaling beside the
+    // manifest — the comparability contract incremental splices need
+    assert(Files.isRegularFile(
+      Paths.get(v0path, ZoneMap.ManifestDir, "_scaling")))
+    val before = dataFiles(v0path)
+    assert(before.size == 16)
+    // an in-bounds patch: a tight (x, y) box well inside [0, 1000)^2
+    plant((0 until 100).map(i => (1000000L + i, 450L + i % 11, 455L + i % 7))
+      .toDF("id", "x", "y"), v0path, "planted-z.parquet")
+    assert(!ZoneMap.isFresh(spark, v0path))
+    val expected = wh.read(spark, "t").collect().map(_.toString).toSeq.sorted
+
+    assert(Maintenance.clusterIncremental(spark, wh, "t", Seq("x", "y")),
+      "an in-bounds z-order append must take the incremental path")
+    val v1path = wh.snapshotPath("t")
+    val after = dataFiles(v1path)
+    val carried = before intersect after
+    assert(carried.nonEmpty, "the splice must carry untouched files")
+    assert((before -- after).size <= before.size / 2,
+      s"a tight patch must not rewrite most of the table: " +
+        s"rewrote ${(before -- after).size} of ${before.size}")
+    assert(!after.contains("planted-z.parquet"),
+      "the planted file must be absorbed into the z region")
+    // content exact, census fresh, 2-dim box pruning exact and effective
+    assert(wh.read(spark, "t").collect().map(_.toString).toSeq.sorted
+      == expected)
+    assert(ZoneMap.isFresh(spark, v1path))
+    val bounds = Seq(Bound.between("x", 440L, 470L),
+      Bound.between("y", 440L, 470L))
+    assert(ZoneMap.read(spark, v1path, bounds).collect().map(_.toString)
+      .sorted.toSeq ==
+      wh.read(spark, "t")
+        .filter(col("x").between(440L, 470L) &&
+          col("y").between(440L, 470L))
+        .collect().map(_.toString).sorted.toSeq)
+    val (kept, total) = ZoneMap.pruneStats(spark, v1path, bounds)
+    assert(kept < total, "the merged manifest must still prune both dims")
+    // the scaling carried with the splice
+    assert(Files.isRegularFile(
+      Paths.get(v1path, ZoneMap.ManifestDir, "_scaling")))
+
+    // OUT-OF-BOUNDS append (x past the stored hi): Morton codes under a
+    // re-derived scaling would not be comparable — loud full-path signal
+    plant(Seq((3000000L, 2000L, 500L)).toDF("id", "x", "y"), v1path,
+      "planted-oob.parquet")
+    assert(!Maintenance.clusterIncremental(spark, wh, "t", Seq("x", "y")),
+      "a range-extending append must fall back to the full rewrite")
+    // the full rewrite re-derives the scaling over the new range
+    Maintenance.cluster(spark, wh, "t", Seq("x", "y"), targetFiles = 16)
+    val v2path = wh.snapshotPath("t")
+    assert(ZoneMap.isFresh(spark, v2path))
+    assert(wh.read(spark, "t").filter(col("x") === 2000L).count() == 1L)
+    // and the NEXT in-bounds append splices again under the new scaling
+    plant(Seq((4000000L, 900L, 900L)).toDF("id", "x", "y"), v2path,
+      "planted-z2.parquet")
+    assert(Maintenance.clusterIncremental(spark, wh, "t", Seq("x", "y")))
+    assert(ZoneMap.isFresh(spark, wh.snapshotPath("t")))
   }
 
   test("the maintenance tick takes the incremental path for append-only staleness") {
