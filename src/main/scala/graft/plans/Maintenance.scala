@@ -761,7 +761,14 @@ object Maintenance {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.col
     import graft.sources.Tables.{PartBatchCol, PartDayCol, PartHourCol}
-    if (wh.timeGranularity(table) != "hour") return 0
+    val grain = wh.timeGranularity(table)
+    // both directions (round-19 verdict item 5): grain=hour migrates
+    // day-era dirs by SPLITTING their batches under p_hour; grain=day
+    // migrates hour-era dirs by MERGING the hour dirs back into the
+    // day's p_batch layout (cooling data). Same staged two-rename /
+    // rename-free flip, same heals, same replay-duplicate guard.
+    if (grain != "hour" && grain != "day") return 0
+    val toHour = grain == "hour"
     val tc = wh.timePartitionCol(table).getOrElse(return 0)
     val base = wh.snapshotPath(table)
     val baseP = Paths.get(base)
@@ -827,42 +834,61 @@ object Maintenance {
           }
         }
     }
-    val (dayEraAll, _) = wh.classifyDayDirs(base)
-    // never touch a day whose flip may be live (skipped above)
-    val dayEra = dayEraAll.filterNot(d =>
-      skippedYoung.contains(d.getFileName.toString))
-    dayEra.foreach { dayDir =>
-      val oldBatches = wh.childDirs(dayDir, s"$PartBatchCol=")
+    val (dayEraAll, hourEraAll) = wh.classifyDayDirs(base)
+    // the dirs still in the OLD spec for the declared grain — never a
+    // day whose flip may be live (skipped above)
+    val toMigrate = (if (toHour) dayEraAll else hourEraAll)
+      .filterNot(d => skippedYoung.contains(d.getFileName.toString))
+    toMigrate.foreach { dayDir =>
+      val dayBatches = wh.childDirs(dayDir, s"$PartBatchCol=")
       val hourDirs = wh.childDirs(dayDir, s"$PartHourCol=")
       // a batch id present in BOTH specs of one day is a half-healed
       // replay duplicate (appendBatch's delete-after-write window) —
       // the next replay heals it; migrating now would have to pick a
       // copy, so refuse loudly instead of guessing
-      val oldIds = oldBatches.map(_.getFileName.toString).toSet
-      val newIds = hourDirs.flatMap(wh.childDirs(_, s"$PartBatchCol="))
+      val dayIds = dayBatches.map(_.getFileName.toString).toSet
+      val hourIds = hourDirs.flatMap(wh.childDirs(_, s"$PartBatchCol="))
         .map(_.getFileName.toString).toSet
-      val both = oldIds.intersect(newIds)
+      val both = dayIds.intersect(hourIds)
       require(both.isEmpty,
         s"$table/${dayDir.getFileName}: batches ${both.mkString(", ")} " +
           "exist under BOTH specs (an un-healed replay window); re-run " +
           "the ingest replay before migrating")
-      // stage the WHOLE day under the new spec: the old-era batches
-      // rewrite hour-partitioned, the already-hour-era children carry as
-      // zero-copy hard links — then one two-rename swap makes the day
-      // dir's spec flip atomic (sub-ms absence window, the same
-      // documented class as the commit path's legacy migration)
+      // stage the WHOLE day under the declared spec: the old-era
+      // children rewrite into the new layout, the already-new-era
+      // children carry as zero-copy hard links — then one two-rename
+      // swap makes the day dir's spec flip atomic (sub-ms absence
+      // window, the same documented class as the commit path's legacy
+      // migration)
+      val (oldBatches, carryDirs) =
+        if (toHour) (dayBatches, hourDirs) else (hourDirs, dayBatches)
       val stage = dayDir.resolveSibling(s"_mig_${dayDir.getFileName}")
-      val dayDf = spark.read.option("basePath", base)
-        .option("mergeSchema", "true")
-        .parquet(oldBatches.map(_.toString): _*)
-      dayDf
-        .withColumn(PartHourCol, graft.sources.Tables.hourOfTimeCol(col(tc),
-          dayDf.schema(dayDf.schema.fieldIndex(tc)).dataType))
-        .drop(PartDayCol) // the dir name IS the day; never in the files
-        .repartition(col(PartHourCol), col(PartBatchCol))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(PartHourCol, PartBatchCol)
-        .parquet(stage.toString)
+      if (toHour) {
+        val dayDf = spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(dayBatches.map(_.toString): _*)
+        dayDf
+          .withColumn(PartHourCol, graft.sources.Tables.hourOfTimeCol(col(tc),
+            dayDf.schema(dayDf.schema.fieldIndex(tc)).dataType))
+          .drop(PartDayCol) // the dir name IS the day; never in the files
+          .repartition(col(PartHourCol), col(PartBatchCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(PartHourCol, PartBatchCol)
+          .parquet(stage.toString)
+      } else {
+        // hour->day merge: the hour LEAF batches re-lay under p_batch
+        // alone (the dir name stays the day; the hour derivation is
+        // recomputable from the declared column, nothing is lost)
+        val hourLeafs = hourDirs.flatMap(wh.childDirs(_, s"$PartBatchCol="))
+        spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(hourLeafs.map(_.toString): _*)
+          .drop(PartDayCol, PartHourCol)
+          .repartition(col(PartBatchCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(PartBatchCol)
+          .parquet(stage.toString)
+      }
       def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
         Files.createDirectories(dst)
         val s = Files.list(src)
@@ -873,7 +899,7 @@ object Maintenance {
             wh.io.linkOrCopy(p, dst.resolve(fn))
         } finally s.close()
       }
-      hourDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))
+      carryDirs.foreach(hd => linkTree(hd, stage.resolve(hd.getFileName.toString)))
       wh.io match {
         case graft.sources.ObjectStoreIO =>
           // RENAME-FREE flip (round-15 verdict item 4): the store has no
@@ -923,7 +949,7 @@ object Maintenance {
           graft.sources.Tables.deleteRecursively(trash)
       }
     }
-    dayEra.size
+    toMigrate.size
   }
 
   /** Day-dir manifest of an in-flight rename-free grain flip (object
@@ -975,8 +1001,10 @@ object Maintenance {
         graft.sources.Tables.deleteRecursively(dayDir.resolve(d)))
     } else {
       newPaths.foreach(r => Files.deleteIfExists(dayDir.resolve(r)))
-      // prune hour dirs the partial copy created and left empty — a
-      // reader classifying by structure must not see a hollow new spec
+      // prune partition dirs the partial copy created and left empty —
+      // a reader classifying by structure must not see a hollow new
+      // spec (p_hour= dirs for a day->hour flip, p_batch= dirs for an
+      // hour->day merge)
       def emptyTree(p: java.nio.file.Path): Boolean = {
         val s = Files.list(p)
         try s.iterator().asScala.forall(c =>
@@ -984,11 +1012,14 @@ object Maintenance {
         finally s.close()
       }
       val s = Files.list(dayDir)
-      val hours = try s.iterator().asScala.filter(p =>
-        Files.isDirectory(p) && p.getFileName.toString
-          .startsWith(s"${graft.sources.Tables.PartHourCol}=")).toList
+      val specDirs = try s.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          n.startsWith(s"${graft.sources.Tables.PartHourCol}=") ||
+            n.startsWith(s"${graft.sources.Tables.PartBatchCol}=")
+        }).toList
         finally s.close()
-      hours.filter(emptyTree).foreach(graft.sources.Tables.deleteRecursively)
+      specDirs.filter(emptyTree).foreach(graft.sources.Tables.deleteRecursively)
     }
     Files.delete(mf)
   }

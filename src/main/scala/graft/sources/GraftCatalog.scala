@@ -221,19 +221,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }.toLeft(())
 
   private def mkParquet(t: String, path: String): ParquetTable = {
-    // a MID-EVOLUTION hour-grain tree has two partition schemas at once;
-    // unified discovery cannot serve it — refuse with the migration
-    // mechanism named (readTimePruned handles mixed exactly; SQL serves
-    // again once the background rewrite catches up)
-    if (wh.timeGranularity(t) == "hour") {
-      val (dayEra, hourEra) = wh.classifyDayDirs(path)
-      if (dayEra.nonEmpty && hourEra.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"'$t' is mid day->hour spec evolution (${dayEra.size} day dirs " +
-            s"still in the old spec): SQL serves a single partition " +
-            s"schema. CALL $catalogName.system.migrate_time_granularity" +
-            s"('$t') to finish the rewrite, or read through " +
-            "Warehouse.readTimePruned meanwhile.")
+    // a MID-EVOLUTION tree (either direction) has two partition schemas
+    // at once; unified discovery cannot serve it — refuse with the
+    // migration mechanism named (readTimePruned handles mixed exactly;
+    // SQL serves again once the background rewrite catches up)
+    locally {
+      val grain = wh.timeGranularity(t)
+      if (grain == "hour" || grain == "day") {
+        val (dayEra, hourEra) = wh.classifyDayDirs(path)
+        val oldSpec = if (grain == "hour") dayEra else hourEra
+        if (dayEra.nonEmpty && hourEra.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"'$t' is mid spec evolution to $grain grain " +
+              s"(${oldSpec.size} day dirs still in the old spec): SQL " +
+              s"serves a single partition schema. CALL $catalogName" +
+              s".system.migrate_time_granularity('$t') to finish the " +
+              "rewrite, or read through Warehouse.readTimePruned " +
+              "meanwhile.")
+      }
     }
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)

@@ -364,6 +364,87 @@ class TimePartitionSpec extends SparkTestBase {
     assert(wh.read(spark, "log").count() == 5)
   }
 
+  test("hour->day downshift: metadata-only flip, mixed reads exact, migration MERGES hour dirs into p_batch, round-trips back to hour through live appends") {
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("tp-downshift"))
+    wh.declareTimePartition("log", "ts", granularity = "hour")
+    val hot = Seq(
+      (1L, ts("2024-02-01 05:10:00")),
+      (2L, ts("2024-02-01 18:10:00")),
+      (3L, ts("2024-02-02 05:10:00")))
+    wh.appendBatch(hot.toDF("id", "ts"), "log", 0L)
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-02-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-02-01 05:00:00"))}",
+      "p_batch=0")), "hour-grain batches land p_day/p_hour/p_batch")
+    // the DOWNSHIFT is metadata-only: hour-era days keep their recorded
+    // spec, new batches land day-grain (a day can straddle both)
+    wh.evolveTimeGranularity("log", "day")
+    wh.appendBatch(Seq(
+      (4L, ts("2024-02-02 06:10:00")), // day 2 straddles both specs
+      (5L, ts("2024-02-03 05:10:00"))).toDF("id", "ts"), "log", 1L)
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-02-03", "p_batch=1")),
+      "post-downshift batches land day-grain")
+    def prunedIds(from: String, to: String): Set[Long] =
+      wh.readTimePruned(spark, "log",
+        fromTs = Some(ts(from)), toTs = Some(ts(to)))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(prunedIds("2024-02-01 00:00:00", "2024-02-03 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L))
+    assert(prunedIds("2024-02-02 00:00:00", "2024-02-02 23:59:59")
+      == Set(3L, 4L), "a straddling day must read both eras")
+    // SQL mid-downshift: refuse loudly, naming the migration
+    val cat = "tpds1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Paths.get(wh.tablePath("log")).getParent.toString)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.log").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("migrate_time_granularity"))),
+      s"mid-downshift SQL must name the migration: ${e.getMessage}")
+    // the background rewrite MERGES the hour-era days back to p_batch
+    val migrated = spark.sql(
+      s"CALL $cat.system.migrate_time_granularity('log')").head.getInt(1)
+    assert(migrated == 2, s"two hour-era dirs expected, migrated $migrated")
+    assert(Maintenance.migrateTimeGranularity(spark, wh, "log") == 0,
+      "downshift migration is idempotent")
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-02-01", "p_batch=0")), "merged day serves p_batch")
+    assert(wh.childDirs(Paths.get(wh.tablePath("log"), "p_day=2024-02-01"),
+      "p_hour=").isEmpty, "no hour dirs survive the merge")
+    assert(prunedIds("2024-02-01 00:00:00", "2024-02-03 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L), "migration must not change results")
+    assert(prunedIds("2024-02-01 06:00:00", "2024-02-02 06:59:00")
+      == Set(2L, 3L, 4L), "sub-day bounds stay exact on the residual")
+    // post-migration the SQL face serves the pure day tree again
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.log")
+      .head.getLong(0) == 5L)
+    // a REPLAYED pre-downshift batch overwrites its own (day, batch)
+    // partitions under the new spec — still idempotent
+    wh.appendBatch(hot.toDF("id", "ts"), "log", 0L)
+    assert(wh.read(spark, "log").count() == 5)
+    // ROUND-TRIP: back to hour grain through a live append — the same
+    // machinery splits the day-era dirs again
+    wh.evolveTimeGranularity("log", "hour")
+    wh.appendBatch(Seq((6L, ts("2024-02-04 09:10:00")))
+      .toDF("id", "ts"), "log", 2L)
+    assert(prunedIds("2024-02-01 00:00:00", "2024-02-04 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Maintenance.migrateTimeGranularity(spark, wh, "log") == 3,
+      "three day-era dirs split back to hour grain")
+    assert(prunedIds("2024-02-01 00:00:00", "2024-02-04 23:59:59")
+      == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Files.isDirectory(Paths.get(wh.tablePath("log"),
+      "p_day=2024-02-01",
+      s"p_hour=${Tables.hourIndexOf(ts("2024-02-01 05:00:00"))}",
+      "p_batch=0")))
+  }
+
   test("hour-grain tombstone expiry rewrites only expired days; hour dirs swept per tuple") {
     import spark.implicits._
     val wh = Warehouse(tmpDir("tp-hour-exp"))
