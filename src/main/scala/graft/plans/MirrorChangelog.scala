@@ -576,6 +576,55 @@ object MirrorChangelog {
       TableProps.read(wh, viewTable) + (consumerProp(id) -> cursor.toString))
   }
 
+  /** True when `viewTable` is a materialized feed view (it carries the
+    * emission cursor [[emitPending]] maintains) — the registration
+    * guard: a consumer registered on a non-feed table would never gate
+    * anything and its lag could never be read back.
+    */
+  def isFeedView(wh: Warehouse, viewTable: String): Boolean =
+    graft.sources.Tables.TableProps.read(wh, viewTable).contains(CursorProp)
+
+  /** Observable per-consumer lag of a feed view (round-19 verdict item
+    * 7 — the "dead consumer blocks retention LOUDLY" contract, readable
+    * from SQL as `CALL consumers(t)` / the `t.consumers` metadata
+    * table): for each registered consumer, its absorbed-through cursor,
+    * how many RETAINED hops sit above it (`hops_behind` — a healthy
+    * consumer hovers near 0; a dead one grows without bound), and
+    * whether it is the retention laggard (`blocking_retention`: its
+    * cursor is the minimum and un-swept hops are piling above it — the
+    * operator remedy is reviving the consumer or dropping its
+    * registration). One props read + one planning-scale listing.
+    */
+  def consumerStates(wh: Warehouse, viewTable: String)
+      : Seq[(String, Long, Long, Boolean)] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Tables.TableProps
+    val ConsumerPat = "consumer\\.(.+)\\.cursor".r
+    val cursors = TableProps.read(wh, viewTable).collect {
+      case (ConsumerPat(id), v) => id -> v.toLong
+    }.toSeq.sortBy(_._1)
+    if (cursors.isEmpty) return Seq.empty
+    val dir = Paths.get(wh.tablePath(viewTable))
+    val BatchPat = "batch_(\\d+)".r
+    val hops: Seq[Long] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.flatMap(p =>
+          p.getFileName.toString match {
+            case BatchPat(v) => Some(v.toLong)
+            case _ => None
+          }).toList
+        finally s.close()
+      }
+    val minCur = cursors.map(_._2).min
+    cursors.map { case (id, cur) =>
+      val behind = hops.count(_ > cur).toLong
+      (id, cur, behind, cur == minCur && hops.exists(_ > cur))
+    }
+  }
+
   /** Time-bounded feed retention (round-11 verdict item 7): a feed view
     * table must never be compacted (its `batch_<v>` subdirs are the
     * consumer contract), so with a slow consumer it grows unboundedly.

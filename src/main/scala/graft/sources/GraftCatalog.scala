@@ -566,6 +566,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               else Seq(row("<unpartitioned>", Seq(snap)))
             }
           }))
+        // the feed-consumer lag view (round 19): same rows as
+        // `CALL consumers(t)` — see
+        // [[graft.plans.MirrorChangelog.consumerStates]]. Empty for a
+        // table with no registered consumers (incl. non-feed tables).
+        case "consumers" => Some(GraftCatalog.localTable(s"$t.consumers",
+          StructType(Seq(StructField("consumer", StringType, nullable = false),
+            StructField("cursor", LongType, nullable = false),
+            StructField("hops_behind", LongType, nullable = false),
+            StructField("blocking_retention", BooleanType, nullable = false))),
+          () => graft.plans.MirrorChangelog.consumerStates(wh, t).map {
+            case (id, cur, behind, blocking) =>
+              new GenericInternalRow(Array[Any](UTF8String.fromString(id),
+                cur, behind, blocking)): InternalRow
+          }))
         case _ => None
       }
     }
@@ -1053,6 +1067,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         paramDefault("older_than_ms", LongType, (24L * 3600 * 1000).toString)),
       StructType(Seq(StructField("deleted_hop", StringType)))) { in =>
       MirrorChangelog.expireConsumedHops(wh, str(in, 0), in.getLong(1)).map(row(_))
+    },
+
+    // the feed-consumer operator surface (round 19): registration and
+    // lag are SQL-visible, so the "dead consumer blocks retention
+    // LOUDLY" contract is observable without spelunking the props
+    // sidecar. Also readable as the `<view>.consumers` metadata table.
+    procedure("register_consumer",
+      "Register (or advance) consumer ID's durably-absorbed cursor on " +
+        "feed view TABLE; retention only sweeps hops EVERY registered " +
+        "consumer is past. Write it AFTER the consumer's own state " +
+        "commit (a stale-low cursor is safe; a stale-high one drops " +
+        "hops). Remove a dead consumer by UNSETting its " +
+        "consumer.<id>.cursor property",
+      Seq(param("table", StringType), param("id", StringType),
+        param("cursor", LongType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("id", StringType),
+        StructField("cursor", LongType)))) { in =>
+      val (t, id, cur) = (str(in, 0), str(in, 1), in.getLong(2))
+      require(MirrorChangelog.isFeedView(wh, t),
+        s"'$t' is not a changelog feed view (no emission cursor): a " +
+          "consumer registered here would never gate retention. Feed " +
+          s"views are written by CALL $catalogName.system.emit_changelog")
+      require(id.nonEmpty, "consumer id must be non-empty")
+      MirrorChangelog.registerConsumer(wh, t, id, cur)
+      Seq(row(t, id, cur))
+    },
+
+    procedure("consumers",
+      "Per-consumer lag of feed view TABLE: absorbed-through cursor, " +
+        "retained hops above it, and whether this consumer is the " +
+        "retention laggard (its cursor is the minimum with hops piling " +
+        "above — revive it or drop its registration)",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("consumer", StringType),
+        StructField("cursor", LongType),
+        StructField("hops_behind", LongType),
+        StructField("blocking_retention", BooleanType)))) { in =>
+      MirrorChangelog.consumerStates(wh, str(in, 0)).map {
+        case (id, cur, behind, blocking) => row(id, cur, behind, blocking)
+      }
     },
 
     // The changelog FEED face: emit pending snapshot diffs of `source`

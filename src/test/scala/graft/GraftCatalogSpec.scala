@@ -390,6 +390,31 @@ class GraftCatalogSpec extends SparkTestBase {
     // nothing consumed -> nothing sweepable, even aged
     assert(spark.sql("CALL g4.system.expire_consumed_hops('feed', 0)")
       .count() == 0)
+    // no registrations yet: the lag view is empty, not a guess
+    assert(spark.sql("CALL g4.system.consumers('feed')").count() == 0)
+    // SQL registration (round 19): the consumer gates retention and its
+    // lag is visible; a non-feed table refuses the registration loudly
+    spark.sql("CALL g4.system.register_consumer('feed', 'etl', 1)")
+    val lag = spark.sql("SELECT consumer, cursor, hops_behind, " +
+      "blocking_retention FROM g4.feed.consumers").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(lag == Seq(("etl", 1L, 1L, true)),
+      s"one un-absorbed hop above cursor 1 must show as the laggard: $lag")
+    // absorbed through v2: the hop sweeps once aged, lag drops to zero
+    spark.sql("CALL g4.system.register_consumer('feed', 'etl', 2)")
+    assert(spark.sql("SELECT blocking_retention FROM g4.feed.consumers")
+      .head.getBoolean(0) == false)
+    val e = intercept[Exception] {
+      spark.sql("CALL g4.system.register_consumer('m', 'etl', 1)").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("not a changelog feed view"))), e.getMessage)
+    val swept = spark.sql("CALL g4.system.expire_consumed_hops('feed', 0)")
+      .collect().map(_.getString(0))
+    assert(swept.length == 1 && swept.head.endsWith("batch_2"),
+      s"the absorbed hop must sweep: ${swept.toSeq}")
   }
 
   test("two concurrent FIRST merge_changes on one absent target both land (expect-absent CAS, not last-wins)") {

@@ -186,6 +186,24 @@ class Round12OpsSpec extends SparkTestBase {
     ageAll()
     assert(MirrorChangelog.expireConsumedHops(wh, "feed", 60000L).isEmpty,
       "a lagging consumer's unconsumed hops must survive retention")
+    // the SQL face (round 19): the lag is observable — agg2 is the
+    // retention laggard with 2 retained hops above its cursor, agg1 is
+    // current; CALL consumers() and the metadata table agree
+    val cat = "r12c1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Paths.get(wh.tablePath("feed")).getParent.toString)
+    def lagRows(src: String): Seq[(String, Long, Boolean)] =
+      spark.sql(src).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
+        .sortBy(_._1)
+    val viaCall = lagRows(s"CALL $cat.system.consumers('feed')")
+    assert(viaCall == Seq(("agg1", 0L, false), ("agg2", 2L, true)),
+      s"the laggard must be visible from SQL: $viaCall")
+    assert(lagRows(s"SELECT consumer, cursor, hops_behind, " +
+      s"blocking_retention FROM $cat.feed.consumers") == viaCall,
+      "the metadata table and the procedure must agree")
     // agg2 catches up; a NEW hop lands, consumed by both but FRESH
     MirrorChangelog.maintainAggregate(spark, wh, "m", "feed", "agg2", "id", spec)
     commit((3L, "c", 5.0), (2L, "b", 3.0)) // v4
@@ -205,6 +223,10 @@ class Round12OpsSpec extends SparkTestBase {
     val a1 = wh.read(spark, "agg1").collect().map(_.toSeq).toSet
     val a2 = wh.read(spark, "agg2").collect().map(_.toSeq).toSet
     assert(a1 == a2, "both consumers converge to the same state")
+    // post-convergence: nobody lags, nobody blocks
+    assert(lagRows(s"CALL $cat.system.consumers('feed')")
+      .forall { case (_, behind, blocking) => behind == 0L && !blocking },
+      "converged consumers must report zero lag")
   }
 
   test("first compaction of a LEGACY directory table carries its marker files (capture-before-migrate)") {
