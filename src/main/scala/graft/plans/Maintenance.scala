@@ -456,6 +456,25 @@ object Maintenance {
     val data = spark.read.parquet(rewriteRel.toSeq.sorted
       .map(f => s"$path/$f"): _*).localCheckpoint(true)
     val rewriteRows = data.count()
+    if (rewriteRows == 0L) {
+      // the added files hold ZERO rows (an empty append's part-file
+      // debris): rewriting them would emit an empty output whose
+      // manifest row statsRows cannot census (no rows to group), leaving
+      // the manifest permanently stale. Drop the debris instead: commit
+      // the untouched files + the carried manifest verbatim — content
+      // identical, census fresh again.
+      val markers0 = readRootMarkers(path)
+      val carried0 = m.filter(col("file").isInCollection(untouched))
+      wh.commit(table, expectCurrent = expect) { staged =>
+        untouched.foreach(rel =>
+          linkOrCopy(wh, Paths.get(s"$path/$rel"), Paths.get(s"$staged/$rel")))
+        ZoneMap.writeManifest(carried0, staged, spreadBlooms = bloomMode)
+        zInfo.foreach { case (zBits, bounds) =>
+          writeZScaling(staged, zBits, bounds) }
+        writeRootMarkers(markers0, staged)
+      }
+      return true
+    }
     val outFiles = math.max(1L, (rewriteRows + grain - 1) / grain).toInt
     // the HASH COUNT must match the carried rows (one probe literal per
     // manifest); bits are per-file NDV-adaptive, so mixed sizes across

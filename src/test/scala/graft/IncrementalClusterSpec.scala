@@ -155,6 +155,27 @@ class IncrementalClusterSpec extends SparkTestBase {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("a ZERO-ROW appended file is dropped as debris: the splice commits untouched files + manifest verbatim, census fresh, content unchanged") {
+    val wh = Warehouse(tmpDir("ic-empty"))
+    mkClustered(wh)
+    val v0path = wh.snapshotPath("t")
+    val expected = wh.read(spark, "t").count()
+    // an empty append (a writer committed a batch that matched nothing):
+    // its single part file holds zero rows, so a rewrite of it would
+    // emit an output statsRows cannot census — the splice must DROP it
+    plant(Seq.empty[(Long, Long)].toDF("id", "d"), v0path,
+      "planted-empty.parquet")
+    assert(!ZoneMap.isFresh(spark, v0path))
+    assert(Maintenance.clusterIncremental(spark, wh, "t", Seq("d")),
+      "an empty append must still take (and finish) the cheap path")
+    val v1path = wh.snapshotPath("t")
+    assert(v1path != v0path, "the debris drop commits a new version")
+    assert(ZoneMap.isFresh(spark, v1path),
+      "the manifest must match the census after the debris drop")
+    assert(!dataFiles(v1path).contains("planted-empty.parquet"))
+    assert(wh.read(spark, "t").count() == expected)
+  }
+
   test("z-order incremental: an in-bounds append splices by its z-range under the STORED scaling; a range-extending one falls back to the full rewrite") {
     val wh = Warehouse(tmpDir("ic-zorder"))
     val df = spark.range(100000).select(col("id"),
