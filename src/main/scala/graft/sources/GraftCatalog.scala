@@ -540,7 +540,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(part), files, records, bytes))
             }
-            if (wh.timePartitionCol(t).isDefined) {
+            if (wh.timePartitionCol(t).isDefined &&
+                wh.timeGranularity(t) == "month") {
+              // month grain: one row per p_month=<months-since-epoch>
+              // dir (pre-19 this fell through the day listing and the
+              // census came back EMPTY for month layouts)
+              val base = java.nio.file.Paths.get(wh.tablePath(t))
+              wh.childDirs(base, s"${Tables.PartMonthCol}=")
+                .sortBy(_.getFileName.toString)
+                .map(m => row(m.getFileName.toString, Seq(m)))
+            } else if (wh.timePartitionCol(t).isDefined) {
               val base = java.nio.file.Paths.get(wh.tablePath(t))
               val days = wh.childDirs(base, s"${Tables.PartDayCol}=")
               if (wh.timeGranularity(t) == "hour")
@@ -1021,11 +1030,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       Seq(row(t, mode))
     },
 
-    // The background rewrite of a day->hour spec evolution, as SQL: the
-    // mid-flip refusal in table resolution names exactly this call.
+    // Time-grain spec evolution, as SQL (round 19 — was API-only): the
+    // metadata-only flip; days keep their recorded spec until the
+    // background rewrite below migrates them.
+    procedure("evolve_time_granularity",
+      "Flip a time-partitioned changelog's declared grain (day<->hour, " +
+        "metadata-only); existing days keep their recorded spec until " +
+        "migrate_time_granularity rewrites them",
+      Seq(param("table", StringType), param("target", StringType)),
+      StructType(Seq(StructField("table", StringType),
+        StructField("granularity", StringType)))) { in =>
+      val (t, target) = (str(in, 0), str(in, 1))
+      wh.evolveTimeGranularity(t, target)
+      evictTable(t) // the cached table serves the old grain's layout
+      Seq(row(t, target))
+    },
+
+    // The background rewrite of a grain evolution, as SQL: the mid-flip
+    // refusal in table resolution names exactly this call. Dispatches
+    // on the DECLARED grain (day->hour splits, hour->day merges).
     procedure("migrate_time_granularity",
-      "Rewrite a day->hour-evolved changelog's remaining day-era dirs " +
-        "into the hour spec (day-dir-atomic, churn-proportional)",
+      "Rewrite a grain-evolved changelog's remaining old-spec day dirs " +
+        "into the declared spec (day-dir-atomic, churn-proportional; " +
+        "day->hour splits batches under p_hour, hour->day merges them " +
+        "back into p_batch)",
       Seq(param("table", StringType)),
       StructType(Seq(StructField("table", StringType),
         StructField("days_migrated", IntegerType)))) { in =>

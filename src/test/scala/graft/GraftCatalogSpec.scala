@@ -524,6 +524,20 @@ class GraftCatalogSpec extends SparkTestBase {
       ("p_day=2024-01-01", 2L), ("p_day=2024-01-02", 1L),
       (s"p_day=2024-01-03/p_hour=$h9", 1L),
       (s"p_day=2024-01-03/p_hour=$h11", 1L)), hours.toSeq)
+    // MONTH grain: one census row per p_month dir (pre-r19 the month
+    // layout fell through the day listing and reported an EMPTY census)
+    wh.declareTimePartition("mlog", "ts", granularity = "month")
+    wh.appendBatch(Seq((1L, ts("2024-01-05 01:00:00")),
+      (2L, ts("2024-01-20 01:00:00")),
+      (3L, ts("2024-02-02 01:00:00"))).toDF("id", "ts"), "mlog", 0L)
+    val months = spark.sql(
+      "SELECT partition, record_count FROM gp1.mlog.partitions " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (m1, m2) = (Tables.monthIndexOf(ts("2024-01-05 00:00:00")),
+      Tables.monthIndexOf(ts("2024-02-02 00:00:00")))
+    assert(months.toSeq == Seq(
+      (s"p_month=$m1", 2L), (s"p_month=$m2", 1L)), months.toSeq)
   }
 
   test("t.partitions serves a FRESH clustered census from the zone-map manifest (zero footer opens); stale manifests fall back to footers exactly") {

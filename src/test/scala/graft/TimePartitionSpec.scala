@@ -429,8 +429,12 @@ class TimePartitionSpec extends SparkTestBase {
     wh.appendBatch(hot.toDF("id", "ts"), "log", 0L)
     assert(wh.read(spark, "log").count() == 5)
     // ROUND-TRIP: back to hour grain through a live append — the same
-    // machinery splits the day-era dirs again
-    wh.evolveTimeGranularity("log", "hour")
+    // machinery splits the day-era dirs again. The flip rides the SQL
+    // face this time (round 19: evolve_time_granularity procedure)
+    assert(spark.sql(
+      s"CALL $cat.system.evolve_time_granularity('log', 'hour')")
+      .head.getString(1) == "hour")
+    assert(wh.timeGranularity("log") == "hour")
     wh.appendBatch(Seq((6L, ts("2024-02-04 09:10:00")))
       .toDF("id", "ts"), "log", 2L)
     assert(prunedIds("2024-02-01 00:00:00", "2024-02-04 23:59:59")
