@@ -103,6 +103,30 @@ class RandomizedSqlWriteSpec extends SparkTestBase {
           "the pre-rename snapshot must keep its own schema")
         check(cat, model, s"seed=$seed rename", grpCol)
       }
+      // deterministic branch + CHERRYPICK block (round 19) at fixed
+      // steps (so the seeds' random streams stay identical): fork,
+      // stage an INSERT + identity-stable UPDATE of branch-only ids
+      // under WAP, publish with CALL cherrypick (never a genuine
+      // conflict — fresh ids), drop the branch. The golden model is
+      // blind to the replay mechanism (sidecar apply on MOR layouts,
+      // COW otherwise) and catches any drift it introduces.
+      if (step == 8 || step == 18) {
+        val b = s"fz$step"
+        spark.sql(s"CALL $cat.system.create_branch('t', '$b')").collect()
+        val rows = freshRows(2 + rng.nextInt(3))
+        spark.conf.set("spark.graft.wap.branch", b)
+        try {
+          spark.sql(s"INSERT INTO $cat.t VALUES ${valuesSql(rows)}")
+          spark.sql(
+            s"UPDATE $cat.t SET x = x + 0.25 WHERE id = ${rows.head._1}")
+        } finally spark.conf.unset("spark.graft.wap.branch")
+        spark.sql(s"CALL $cat.system.cherrypick('t', '$b', 'id')").collect()
+        spark.sql(s"CALL $cat.system.drop_branch('t', '$b')").collect()
+        rows.zipWithIndex.foreach { case ((i, g, x), ix) =>
+          model(i) = (g, if (ix == 0) x + 0.25 else x) }
+        snapshot()
+        check(cat, model, s"seed=$seed cherrypick step=$step", grpCol)
+      }
       rng.nextInt(if (mor) 11 else 10) match {
         case 0 | 1 => // INSERT fresh rows
           val rows = freshRows(1 + rng.nextInt(4))
