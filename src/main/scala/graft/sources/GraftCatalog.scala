@@ -1426,7 +1426,10 @@ object GraftCatalog {
   /** One row per data file under `path`: absolute path, bytes, footer
     * record count (exact, no data pages read). Hidden components
     * (`_zonemap`, markers) are excluded — same listing contract as the
-    * reads.
+    * reads. Record counts are MANIFEST-SERVED when a fresh `_zonemap`
+    * covers the census exactly (the same zero-footer discipline as
+    * `t.partitions` — round 19); a stale/absent manifest footer-walks
+    * in parallel.
     */
   private[sources] def fileCensus(spark: SparkSession,
       path: String): Seq[InternalRow] = {
@@ -1442,18 +1445,45 @@ object GraftCatalog {
           c => c.toString.startsWith("_") || c.toString.startsWith(".")))
         .toList
       finally s.close()
-    // footer reads are ~1ms each but the census is O(files): at the
-    // documented 1e5-file ceiling a serial walk is minutes of driver
-    // time, a parallel one is seconds (footers only — no data pages)
-    import scala.collection.parallel.CollectionConverters._
-    files.par.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toString), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try r.getRecordCount finally r.close()
+    val counts: Map[String, Long] =
+      manifestPerFileCounts(spark, p, files).getOrElse {
+        // footer reads are ~1ms each but the census is O(files): at the
+        // documented 1e5-file ceiling a serial walk is minutes of driver
+        // time, a parallel one is seconds (footers only — no data pages)
+        import scala.collection.parallel.CollectionConverters._
+        files.par.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          f.toString -> (try r.getRecordCount finally r.close())
+        }.toList.toMap
+      }
+    files.map { f =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(f.toString),
-        java.nio.file.Files.size(f), n)): InternalRow
-    }.toList.sortBy(_.getUTF8String(0).toString)
+        java.nio.file.Files.size(f), counts(f.toString))): InternalRow
+    }.sortBy(_.getUTF8String(0).toString)
+  }
+
+  /** Per-file record counts keyed by ABSOLUTE path when `d`'s
+    * `_zonemap` manifest covers exactly the walked files — None
+    * otherwise (the caller footer-walks; a mismatch must degrade to
+    * exact, never to a wrong count).
+    */
+  private def manifestPerFileCounts(spark: SparkSession,
+      d: java.nio.file.Path, files: Seq[java.nio.file.Path])
+      : Option[Map[String, Long]] = {
+    val zm = d.resolve(graft.plans.ZoneMap.ManifestDir)
+    if (!java.nio.file.Files.isDirectory(zm)) return None
+    try {
+      val m = graft.plans.ZoneMap.manifest(spark, d.toString)
+        .select("file", "rows").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rel = files.map(f =>
+        f -> d.relativize(f).iterator().asScala.mkString("/")).toMap
+      if (m.keySet == rel.values.toSet)
+        Some(files.map(f => f.toString -> m(rel(f))).toMap)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** (file count, footer record count, bytes) of the data files under
@@ -1506,24 +1536,13 @@ object GraftCatalog {
   }
 
   /** Total manifest `rows` for `d` when its `_zonemap` covers EXACTLY
-    * the walked data files (relative names) — None on absent/stale
-    * manifests or any read failure (the caller footer-walks; a census
-    * mismatch must degrade to exact, never to a wrong count).
+    * the walked data files — None on absent/stale manifests or any read
+    * failure (the caller footer-walks; a census mismatch must degrade
+    * to exact, never to a wrong count).
     */
   private def manifestRecordCounts(spark: SparkSession,
-      d: java.nio.file.Path, files: Seq[java.nio.file.Path]): Option[Long] = {
-    val zm = d.resolve(graft.plans.ZoneMap.ManifestDir)
-    if (!java.nio.file.Files.isDirectory(zm)) return None
-    try {
-      val m = graft.plans.ZoneMap.manifest(spark, d.toString)
-        .select("file", "rows").collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-      val walked = files.map(f =>
-        d.relativize(f).iterator().asScala.mkString("/")).sorted
-      if (m.map(_._1).sorted.toSeq == walked) Some(m.map(_._2).sum)
-      else None
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+      d: java.nio.file.Path, files: Seq[java.nio.file.Path]): Option[Long] =
+    manifestPerFileCounts(spark, d, files).map(_.values.sum)
 }
 
 /** A warehouse table served through the catalog: reads delegate to the

@@ -568,6 +568,13 @@ class GraftCatalogSpec extends SparkTestBase {
     val lied = parts()
     assert(lied.head._3 == 60L + 5L * nFiles,
       s"fresh t.partitions must serve from the manifest: $lied")
+    // t.files rides the same manifest-served discipline (zero footers
+    // on a fresh manifest): the doctored rows surface per file too
+    val liedFiles = spark.sql(
+      "SELECT record_count FROM gpm.t.files").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(liedFiles.sum == 60L + 5L * nFiles && liedFiles.size == nFiles,
+      s"fresh t.files must serve from the manifest: $liedFiles")
     // STALE manifest (an append lands files outside its census): the
     // census must fall back to the exact footer walk — the doctored
     // numbers vanish, the appended rows count
@@ -575,6 +582,9 @@ class GraftCatalogSpec extends SparkTestBase {
     val stale = parts()
     assert(stale.head._3 == 62L,
       s"stale manifest must footer-walk to the exact census: $stale")
+    assert(spark.sql("SELECT sum(record_count) FROM gpm.t.files")
+      .head.getLong(0) == 62L,
+      "stale t.files must footer-walk to the exact census too")
     // a FULL re-cluster rebuilds the manifest from the data (an
     // INCREMENTAL one would carry the doctored rows — carried manifest
     // entries are trusted by design): fresh again and TRUE
