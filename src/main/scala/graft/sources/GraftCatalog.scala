@@ -1683,11 +1683,30 @@ private[sources] class GraftTable(wh: Warehouse, tableName: String,
     if (!EqDeletes.morEnabled(TableProps.read(wh, tableName))) Seq.empty
     else EqDeletes.pending(delegate.paths.head)
 
-  private def eqDeleteKeyCols: Seq[String] =
-    EqDeletes.keyColsOf(TableProps.read(wh, tableName)).getOrElse(
-      throw new IllegalStateException(
+  private def eqDeleteKeyCols: Seq[String] = {
+    val declared = EqDeletes.keyColsOf(TableProps.read(wh, tableName))
+      .getOrElse(throw new IllegalStateException(
         s"'$tableName' has pending equality deletes but no " +
           s"'${EqDeletes.KeyProp}'"))
+    // defense-in-depth for API-level re-keys (advice finding, round 19):
+    // the reader-level filter probes sidecar key frames by the DECLARED
+    // columns, so a sidecar WRITTEN under a different signature would
+    // silently delete by the wrong columns. The ALTER path already
+    // refuses re-keying over pending sidecars; this guard catches the
+    // raw-TableProps bypass at scan time, loudly.
+    val mismatched = eqDeletePending.flatMap(sc =>
+      sc.storedKeyCols.filter(_ != declared)
+        .map(k => s"${sc.dir.getFileName} (written under " +
+          s"'${k.mkString(",")}')"))
+    if (mismatched.nonEmpty) throw new IllegalStateException(
+      s"'$tableName' declares '${EqDeletes.KeyProp}'=" +
+        s"'${declared.mkString(",")}' but pending equality sidecar(s) " +
+        s"${mismatched.mkString("[", "; ", "]")} are bound to a " +
+        "different key — a scan probing them by the declared columns " +
+        "would delete the wrong rows. CALL compact to fold them, then " +
+        "re-key")
+    declared
+  }
 
   /** Pending POSITIONAL delete sidecars ([[PosDeletes]]) of the served
     * snapshot — gated on the MOR prop like [[eqDeletePending]].

@@ -997,6 +997,16 @@ class EqDeletesSpec extends SparkTestBase {
     // route through it) serves the same content
     assert(served(EqDeletes.logicalMorRead(spark, snap,
       TableProps.read(wh, "t"))) == expect)
+    // the catalog SCAN path probes frames by the DECLARED columns and
+    // cannot rebind — it must refuse the mismatch loudly (scan-time
+    // defense for the raw-TableProps bypass the ALTER guard can't see)
+    val eScan = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.t").collect()
+    }
+    assert(Iterator.iterate(eScan: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x => Option(x.getMessage)
+        .exists(_.contains("bound to a different key"))),
+      s"the scan must refuse the signature mismatch: ${eScan.getMessage}")
     // pre-signature sidecars still fall back to the declared key: strip
     // the marker files and restore the declaration
     sidecars.foreach(sc => java.nio.file.Files.deleteIfExists(
