@@ -163,8 +163,12 @@ object ZoneMapStress {
     val carried2d =
       (filesBefore2d intersect ZoneMap.dataFileCensus(spark, p2d).toSet).size
     val (aPruned2d, _) = timed { agg(ZoneMap.read(spark, p2d, bounds)) }
-    assert(aPruned2d._1 >= aPruned._1,
-      s"post-splice box read lost rows: $aPruned2d vs $aPruned")
+    // the planted rows lie strictly inside the read bounds, so the box
+    // read must gain EXACTLY nPlant — >= would let a splice that
+    // duplicated or dropped planted rows inside the box pass (advice)
+    assert(aPruned2d._1 == aPruned._1 + nPlant,
+      s"post-splice box read must gain exactly $nPlant planted rows: " +
+        s"${aPruned2d._1} vs ${aPruned._1}")
 
     println(s"""{"metric":"zonemap_stress","rows":$n,"files":$files,""" +
       s""""box_rows":${aPruned._1},""" +

@@ -1913,7 +1913,8 @@ object Queries {
         .localCheckpoint(true), "m") // v3
       spark.sql(s"CALL $cat.system.emit_changelog('m', 'feed', 'event_id')")
         .collect()
-      // 'etl' absorbed through v2 only (the laggard); 'audit' is current
+      // 'etl' absorbed through v1 only (the laggard, 2 hops behind);
+      // 'audit' is current at v3
       spark.sql(s"CALL $cat.system.register_consumer('feed', 'etl', 1)")
         .collect()
       spark.sql(s"CALL $cat.system.register_consumer('feed', 'audit', 3)")

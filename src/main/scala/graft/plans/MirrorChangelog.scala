@@ -584,6 +584,17 @@ object MirrorChangelog {
   def isFeedView(wh: Warehouse, viewTable: String): Boolean =
     graft.sources.Tables.TableProps.read(wh, viewTable).contains(CursorProp)
 
+  /** The feed view's emission cursor: the last mirror version whose hop
+    * [[emitPending]] has materialized. A consumer can never have absorbed
+    * past it — the upper bound [[graft.sources.GraftCatalog]]'s
+    * `register_consumer` enforces (a typo'd stale-HIGH cursor would
+    * silently mark unemitted hops as absorbed and let retention drop
+    * hops no consumer saw).
+    */
+  def emissionCursor(wh: Warehouse, viewTable: String): Option[Long] =
+    graft.sources.Tables.TableProps.read(wh, viewTable)
+      .get(CursorProp).map(_.toLong)
+
   /** Observable per-consumer lag of a feed view (round-19 verdict item
     * 7 — the "dead consumer blocks retention LOUDLY" contract, readable
     * from SQL as `CALL consumers(t)` / the `t.consumers` metadata

@@ -1119,6 +1119,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "consumer registered here would never gate retention. Feed " +
           s"views are written by CALL $catalogName.system.emit_changelog")
       require(id.nonEmpty, "consumer id must be non-empty")
+      // upper bound: nothing above the feed's emission cursor has been
+      // materialized, so nothing above it can have been absorbed — a
+      // typo'd stale-HIGH cursor here would silently mark unemitted hops
+      // as consumed and let retention drop hops no consumer ever saw.
+      // The stale-LOW direction stays legal (it is the safe one).
+      val emitted = MirrorChangelog.emissionCursor(wh, t).get
+      require(cur <= emitted,
+        s"cursor $cur is above feed '$t''s emission cursor $emitted — " +
+          "nothing past the emission cursor exists to absorb. A " +
+          "stale-HIGH registration would let retention drop hops no " +
+          "consumer saw; register the version the consumer has DURABLY " +
+          "absorbed (stale-low is safe)")
       MirrorChangelog.registerConsumer(wh, t, id, cur)
       Seq(row(t, id, cur))
     },

@@ -411,6 +411,20 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(
         _.contains("not a changelog feed view"))), e.getMessage)
+    // stale-HIGH guard (round 20, advice): a cursor above the feed's
+    // emission cursor would silently mark unemitted hops as absorbed
+    // and let retention drop hops no consumer saw — refused loudly
+    val eHigh = intercept[Exception] {
+      spark.sql("CALL g4.system.register_consumer('feed', 'etl', 99)")
+        .collect()
+    }
+    assert(Iterator.iterate(eHigh: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x => Option(x.getMessage).exists(
+        _.contains("above feed 'feed''s emission cursor"))),
+      eHigh.getMessage)
+    assert(spark.sql("SELECT cursor FROM g4.feed.consumers")
+      .head.getLong(0) == 2L,
+      "a refused stale-HIGH registration must not move the cursor")
     val swept = spark.sql("CALL g4.system.expire_consumed_hops('feed', 0)")
       .collect().map(_.getString(0))
     assert(swept.length == 1 && swept.head.endsWith("batch_2"),
