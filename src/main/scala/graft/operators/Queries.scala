@@ -1979,6 +1979,70 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Checkpoint-coupled feed-consumer auto-advance under the oracle
+    * gate (q218, round 20): the same staged feed lifecycle as q216
+    * (emit at v1 = cursor only; two commits; emit = hops batch_2 +
+    * batch_3), but consumer 'tail' absorbs the feed through
+    * [[graft.plans.MirrorChangelog.tailAsConsumer]] — a stock file
+    * stream whose retention cursor advances AFTER each durable
+    * absorption with ZERO manual `register_consumer` CALLs — while
+    * 'etl' is a hand-registered laggard at v1. The consumers metadata
+    * table must show the auto consumer current at the emission cursor
+    * and the absorbed row census must equal exactly the two hops'
+    * insert rows (ids with event_id % 4 IN (1, 2) — unchanged keys
+    * emit nothing, so each hop is delta-sized).
+    */
+  def q218AutoConsumer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MirrorChangelog
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ac_q218")
+    val cat = s"gq218_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .localCheckpoint(true), "m") // v1
+      MirrorChangelog.emitPending(spark, wh, "m", "feed", "event_id")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 2)
+        .localCheckpoint(true), "m") // v2
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 3)
+        .localCheckpoint(true), "m") // v3
+      val hops = MirrorChangelog.emitPending(spark, wh, "m", "feed",
+        "event_id")
+      require(hops == Seq((1L, 2L), (2L, 3L)), s"staged hops: $hops")
+      // the auto consumer: durable idempotent absorption (overwrite
+      // keyed by stream batch id), cursor advanced by the helper only
+      val outDir = s"$tmp/absorbed"
+      val q = MirrorChangelog.tailAsConsumer(spark, wh, "feed", "tail",
+        s"$tmp/ckpt") { (b, batchId) =>
+        b.write.mode("overwrite").parquet(s"$outDir/b_$batchId")
+      }
+      q.awaitTermination(120000)
+      val preStates = MirrorChangelog.consumerStates(wh, "feed")
+      require(preStates.map(_._1) == Seq("tail"),
+        s"only the auto consumer may be registered yet: $preStates")
+      val tailCur = preStates
+        .collectFirst { case ("tail", cur, _, _) => cur }.get
+      require(MirrorChangelog.emissionCursor(wh, "feed").contains(tailCur),
+        s"auto-advanced cursor $tailCur must equal the emission cursor")
+      MirrorChangelog.registerConsumer(wh, "feed", "etl", 1L)
+      val absorbed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(outDir).count()
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(
+        s"""SELECT consumer, cursor, hops_behind, blocking_retention
+           |FROM $cat.feed.consumers""".stripMargin)
+        .withColumn("absorbed_rows",
+          when(col("consumer") === "tail", lit(absorbed))
+            .otherwise(lit(null).cast("long")))
+        .orderBy("consumer")
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -3981,6 +4045,19 @@ object Queries {
         |  AS t(consumer, cursor, hops_behind, blocking_retention)
         |ORDER BY consumer""".stripMargin,
 
+    // the auto-advanced consumer lands exactly at the emission cursor
+    // (v3) with zero lag; the manual laggard mirrors q216; the absorbed
+    // census is the two hops' insert rows (unchanged keys emit nothing)
+    "q218_auto_consumer" ->
+      """SELECT * FROM (VALUES
+        |  ('etl', CAST(1 AS BIGINT), CAST(2 AS BIGINT), true,
+        |    CAST(NULL AS BIGINT)),
+        |  ('tail', CAST(3 AS BIGINT), CAST(0 AS BIGINT), false,
+        |    (SELECT count(*) FROM events WHERE event_id % 4 IN (1, 2))))
+        |  AS t(consumer, cursor, hops_behind, blocking_retention,
+        |       absorbed_rows)
+        |ORDER BY consumer""".stripMargin,
+
     // age-based expiry's surviving lineage is closed-form: v2 (backdated,
     // untagged) expires; v1 (tag), v3 (young), v4 (current) survive with
     // their staged row counts
@@ -4603,6 +4680,7 @@ object Queries {
     "q215_zorder_incremental" -> (q215ZorderIncremental _),
     "q216_feed_consumers" -> (q216FeedConsumers _),
     "q217_age_expiry" -> (q217AgeExpiry _),
+    "q218_auto_consumer" -> (q218AutoConsumer _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -576,6 +576,92 @@ object MirrorChangelog {
       TableProps.read(wh, viewTable) + (consumerProp(id) -> cursor.toString))
   }
 
+  /** Monotone arm of [[registerConsumer]], the auto-advance path's
+    * write: never regresses a stored cursor. A replayed micro-batch
+    * after a crash-restart re-registers the same hop it already
+    * registered, and a registration that already moved higher (a
+    * manual CALL, a faster sibling writer) is never undone — regressing
+    * would resurrect hops retention already swept as "unabsorbed".
+    * Returns the effective stored cursor.
+    */
+  def advanceConsumer(wh: Warehouse, viewTable: String, id: String,
+      cursor: Long): Long = {
+    import graft.sources.Tables.TableProps
+    val stored = TableProps.read(wh, viewTable)
+      .get(consumerProp(id)).map(_.toLong)
+    val eff = math.max(stored.getOrElse(Long.MinValue), cursor)
+    if (!stored.contains(eff)) registerConsumer(wh, viewTable, id, eff)
+    eff
+  }
+
+  /** Checkpoint-coupled feed consumer (round-20): tail feed view
+    * `viewTable` as the stock file stream ([[emitPending]]'s per-hop
+    * `batch_<v>` subdirs are plain parquet, so exactly-once delivery
+    * rides the stream checkpoint) and advance consumer `id`'s retention
+    * cursor AUTOMATICALLY: after `absorb` returns for each micro-batch,
+    * the cursor advances to the highest absorbed hop
+    * (`max(_to_version)` over the batch). A stock streaming consumer
+    * thus gates [[expireConsumedHops]] retention BY CONSTRUCTION —
+    * nothing depends on an operator remembering `CALL register_consumer`
+    * after every absorption, forever (the reference's managed service
+    * owns this bookkeeping itself: `README.md:9-10`, continuous merge
+    * implies consumption tracking).
+    *
+    * Crash discipline — the stale-LOW contract the registration doc
+    * mandates, enforced by WRITE ORDER (cursor strictly after absorb):
+    *  - crash inside `absorb`: cursor untouched (stale-LOW); retention
+    *    keeps the hop; the restarted stream re-delivers the batch from
+    *    the checkpoint;
+    *  - crash between `absorb` and the advance: same stale-LOW
+    *    re-delivery;
+    *  - crash after the advance, before the stream's checkpoint commit:
+    *    the batch re-delivers, `absorb` re-runs, and the monotone
+    *    [[advanceConsumer]] re-registers the same cursor.
+    * In every interleaving the registered cursor never exceeds a hop
+    * `absorb` has durably returned from. The symmetric caller contract
+    * (the standard foreachBatch exactly-once recipe): `absorb` must be
+    * durable on return and idempotent under batch re-delivery — key its
+    * writes by the supplied batch id.
+    *
+    * Blocks until the stream STARTS; returns the query handle (use
+    * `Trigger.AvailableNow()` + `awaitTermination` for drain-style
+    * absorption, a processing-time trigger for a resident tail).
+    */
+  def tailAsConsumer(spark: SparkSession, wh: Warehouse, viewTable: String,
+      id: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      absorb: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(isFeedView(wh, viewTable),
+      s"'$viewTable' is not a changelog feed view (no emission cursor) " +
+        "— tail the feed emit_changelog materializes")
+    require(id.nonEmpty, "consumer id must be non-empty")
+    // schema from the materialized hops (includes _to_version); a feed
+    // with an emission cursor but zero hops yet has no files to infer
+    // from — wh.read fails loudly there, and the remedy is emitting the
+    // first hop before attaching the consumer
+    val schema = wh.read(spark, viewTable, mergeSchema = true).schema
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(wh.tablePath(viewTable))
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val b = df.persist()
+        try {
+          absorb(b, batchId)
+          // cursor strictly AFTER the absorb returned (stale-LOW order)
+          val mx = b.agg(max(col("_to_version"))).collect()(0)
+          if (!mx.isNullAt(0))
+            advanceConsumer(wh, viewTable, id, mx.getLong(0))
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** True when `viewTable` is a materialized feed view (it carries the
     * emission cursor [[emitPending]] maintains) — the registration
     * guard: a consumer registered on a non-feed table would never gate

@@ -236,6 +236,79 @@ class MirrorChangelogSpec extends SparkTestBase {
       s"the restart must absorb exactly the new hop, got $tailed")
   }
 
+  test("tailAsConsumer auto-advances the retention cursor exactly with absorbed hops: never ahead, crash-healed, zero manual CALLs") {
+    val root = tmpDir("chlog-auto")
+    val wh = Warehouse(root, retain = 8)
+    wh.overwrite(snap((1L, "a", 1.0), (2L, "b", 2.0)), "m") // v1
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id").isEmpty)
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0)), "m") // v2
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id") ==
+      Seq((1L, 2L)))
+    val ckpt = tmpDir("chlog-auto-ckpt")
+    val outDir = tmpDir("chlog-auto-out")
+    def cursorOf: Option[Long] =
+      MirrorChangelog.consumerStates(wh, "m_feed")
+        .collectFirst { case ("tail", c, _, _) => c }
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // absorb is durable + idempotent (overwrite keyed by stream batch
+    // id) — the standard foreachBatch exactly-once recipe the helper's
+    // contract mandates
+    def drain(failFirst: Boolean): Unit = {
+      val q = MirrorChangelog.tailAsConsumer(spark, wh, "m_feed", "tail",
+        ckpt) { (b, batchId) =>
+        b.write.mode("overwrite").parquet(s"$outDir/b_$batchId")
+        if (failFirst && failOnce.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected crash between absorb and advance")
+      }
+      try { q.awaitTermination(120000); () }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    // crash AFTER the durable absorb, BEFORE the advance: the cursor
+    // must stay stale-LOW (unregistered — never ahead of a hop the
+    // consumer has not provably absorbed)
+    drain(failFirst = true)
+    assert(cursorOf.isEmpty,
+      "a crash before the advance must leave the cursor stale-LOW")
+    // the restarted stream re-delivers the batch from the checkpoint;
+    // the idempotent absorb re-lands the same bytes and the cursor
+    // advances to exactly the absorbed hop
+    drain(failFirst = false)
+    assert(cursorOf.contains(2L), s"cursor after heal: $cursorOf")
+    // two more hops; the restarted tail absorbs ONLY them and the
+    // cursor follows to the new emission cursor — still zero CALLs
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)),
+      "m") // v3
+    wh.overwrite(snap((1L, "a2", 1.0), (3L, "c", 3.0), (4L, "d", 4.0),
+      (5L, "e", 5.0)), "m") // v4
+    assert(MirrorChangelog.emitPending(spark, wh, "m", "m_feed", "id") ==
+      Seq((2L, 3L), (3L, 4L)))
+    drain(failFirst = false)
+    assert(cursorOf.contains(4L), s"cursor after second drain: $cursorOf")
+    assert(MirrorChangelog.emissionCursor(wh, "m_feed").contains(4L))
+    val absorbed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+    assert(absorbed.select("_to_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L),
+      "every hop absorbed exactly once across the crash-restart")
+    assert(absorbed.count() == 6L,
+      "hop2 = 4 change rows (update pair + delete + insert), " +
+        "hop3/hop4 = 1 insert each; re-delivery must not double rows")
+    // retention now gates BY CONSTRUCTION: the auto-registered consumer
+    // is the only registration, and every absorbed-and-aged hop sweeps
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.walk(
+      java.nio.file.Paths.get(wh.tablePath("m_feed"))).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    val swept = MirrorChangelog.expireConsumedHops(wh, "m_feed", 60000L)
+    assert(swept.map(_.split("/").last).toSet ==
+      Set("batch_2", "batch_3", "batch_4"),
+      s"absorbed+aged hops must sweep with zero manual CALLs: $swept")
+  }
+
   test("emitPending fails loudly when the cursor's snapshot was GC'd (retention too shallow)") {
     val wh = Warehouse(tmpDir("chlog-gc"), retain = 2)
     wh.overwrite(snap((1L, "a", 1.0)), "t") // v1
