@@ -32,7 +32,10 @@ import graft.sources.Tables.{TableProps, Warehouse}
   * tables, and are excluded; every included table's layout
   * self-describes, so maintenance needs no per-table config).
   * Exits non-zero when any table's maintenance failed.
-  * Env: GRAFT_COMPACT_TARGET_FILES (default 8),
+  * Env: GRAFT_COMPACT_TARGET_FILES (set = pin a file count; unset =
+  *        size-targeted bin-packing, the 100 TB-correct default — the
+  *        count derives from data volume),
+  *      GRAFT_COMPACT_TARGET_BYTES (default 512 MB, the bin-pack grain),
   *      GRAFT_TOMBSTONE_HORIZON (no default — expiry skipped unless set),
   *      GRAFT_ORPHAN_AGE_MS (default 24h).
   */
@@ -52,11 +55,18 @@ object MaintenanceMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val tables = if (args.length > 1) args.drop(1).toSeq else discover(wh)
+    // explicit GRAFT_COMPACT_TARGET_FILES pins a count (the pre-20
+    // behavior every drill sets); unset → size-targeted bin-packing
+    val pinnedFiles = sys.env.get("GRAFT_COMPACT_TARGET_FILES").map(_.toInt)
     val failed = run(spark, wh, tables,
-      targetFiles = sys.env.get("GRAFT_COMPACT_TARGET_FILES").map(_.toInt).getOrElse(8),
+      targetFiles = pinnedFiles.getOrElse(8),
       tombstoneHorizon = sys.env.get("GRAFT_TOMBSTONE_HORIZON"),
       orphanAgeMs = sys.env.get("GRAFT_ORPHAN_AGE_MS").map(_.toLong)
-        .getOrElse(24L * 3600 * 1000))
+        .getOrElse(24L * 3600 * 1000),
+      targetBytes =
+        if (pinnedFiles.isDefined) None
+        else Some(sys.env.get("GRAFT_COMPACT_TARGET_BYTES").map(_.toLong)
+          .getOrElse(Maintenance.DefaultTargetBytes)))
     spark.stop()
     // a scheduled job must not report success when tables failed — the
     // orchestrator's alert is the operator's only signal
@@ -93,7 +103,7 @@ object MaintenanceMain {
     */
   def run(spark: SparkSession, wh: Warehouse, tables: Seq[String],
       targetFiles: Int, tombstoneHorizon: Option[String],
-      orphanAgeMs: Long): Seq[String] = {
+      orphanAgeMs: Long, targetBytes: Option[Long] = None): Seq[String] = {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     tables.foreach { table =>
       try {
@@ -154,7 +164,10 @@ object MaintenanceMain {
         val needsCompact = declared match {
           case Some(_) =>
             !graft.plans.ZoneMap.isFresh(spark, wh.snapshotPath(table))
-          case None => layout == "mor" ||
+          // size-targeted mode self-guards (compactToSize no-ops on an
+          // already-packed layout without a new version) — the file-
+          // count gate only applies to an explicitly pinned count
+          case None => layout == "mor" || targetBytes.isDefined ||
             Maintenance.dataFiles(spark, wh, table).size > targetFiles
         }
         // pending equality-delete sidecars past the declared fold
@@ -186,7 +199,14 @@ object MaintenanceMain {
                   declaredFiles.getOrElse(targetFiles), bloomKeys = bloomKeys)
                 "full"
               }
-          case None => Maintenance.compact(spark, wh, table, targetFiles)
+          case None => targetBytes match {
+            case Some(tb) =>
+              clusterMode =
+                if (Maintenance.compactToSize(spark, wh, table, tb))
+                  "binpack"
+                else "packed" // already at grain — no new version
+            case None => Maintenance.compact(spark, wh, table, targetFiles)
+          }
         }
         // tombstone expiry needs the table's CDC config: MOR self-
         // describes (nested props); flat/COW tables record it in the
@@ -205,7 +225,8 @@ object MaintenanceMain {
         val swept = Maintenance.removeOrphans(wh, table, orphanAgeMs)
         println(s"[maintenance] table=$table layout=$layout " +
           s"${if (declared.isDefined) "clustered" else "compacted"}=$needsCompact " +
-          (if (declared.isDefined && needsCompact) s"mode=$clusterMode " else "") +
+          (if ((declared.isDefined || targetBytes.isDefined) && needsCompact)
+            s"mode=$clusterMode " else "") +
           (if (pendingDeletes > 0 || foldedNow)
             s"sidecars_folded=$foldedNow (pending=$pendingDeletes/$foldEvery) "
           else "") +

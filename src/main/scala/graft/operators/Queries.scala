@@ -2043,6 +2043,84 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** Size-targeted bin-packing compaction under the oracle gate (q219,
+    * round 20): six equal appends land six sub-grain files;
+    * `CALL compact(t, 0, target_bytes)` with target = half the volume
+    * must pack them into exactly TWO files (count derived from volume,
+    * not declared); two further misfit appends then repack
+    * churn-proportionally — the two at-grain files carry BY NAME, only
+    * the misfits rewrite. The REQUIREs pin the physical contract; the
+    * oracle pins that the packed table still serves exactly the source
+    * rows.
+    */
+  def q219SizeCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sc_q219")
+    val cat = s"gq219_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 12)
+    def census(path: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString)
+        .filter(n => n.endsWith(".parquet") &&
+          !n.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        .toSet
+    }
+    try {
+      // ~256 incompressible bytes of padding per row so data bytes
+      // dominate parquet footer overhead at every SF — byte-banding
+      // cannot discriminate file roles when structure outweighs data
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+        .withColumn("pad", concat((0 until 4).map(k =>
+          sha2(concat(col("event_id").cast("string"), lit(s"#$k")), 256)): _*))
+      (0 until 6).foreach(i =>
+        wh.appendVersioned(ev.filter(pmod(col("event_id"), lit(8)) === i)
+          .coalesce(1).localCheckpoint(true), "ev"))
+      val p0 = wh.snapshotPath("ev")
+      val files0 = census(p0)
+      require(files0.size == 6, s"six staged appends: $files0")
+      val total = files0.toSeq
+        .map(f => java.nio.file.Files.size(
+          java.nio.file.Paths.get(p0, f))).sum
+      val target = (total + 1) / 2
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "12")
+      val r1 = spark.sql(s"CALL $cat.system.compact('ev', 0, ${target}L)")
+        .collect().head
+      require(r1.getLong(1) == 6L && r1.getLong(2) == 2L,
+        s"bytes mode must pack 6 -> 2 (count from volume): $r1")
+      val pPacked = wh.snapshotPath("ev")
+      val packed = census(pPacked)
+      // phase-2 grain from the PACKED files themselves: packing sheds
+      // per-file footer overhead, so at tiny SFs the outputs land below
+      // the pre-pack-derived band — the carry contract is "at grain
+      // stays", so the grain is what the packed layout actually is
+      val target2 = packed.toSeq.map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(pPacked, f))).max
+      // two misfit appends, then the churn-proportional repack: the
+      // at-grain pair carries by NAME, only the misfits rewrite
+      (6 until 8).foreach(i =>
+        wh.appendVersioned(ev.filter(pmod(col("event_id"), lit(8)) === i)
+          .coalesce(1).localCheckpoint(true), "ev"))
+      spark.sql(s"CALL $cat.system.compact('ev', 0, ${target2}L)").collect()
+      val after = census(wh.snapshotPath("ev"))
+      require(packed.subsetOf(after),
+        s"right-sized files must carry by name: $packed vs $after")
+      require(after.size == 3, s"2 carried + 1 packed expected: $after")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value
+           |FROM $cat.ev GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -4058,6 +4136,15 @@ object Queries {
         |       absorbed_rows)
         |ORDER BY consumer""".stripMargin,
 
+    // the size-compacted table must serve exactly the source rows — the
+    // pack/carry physics are REQUIREd in the harness, the content here
+    "q219_size_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // age-based expiry's surviving lineage is closed-form: v2 (backdated,
     // untagged) expires; v1 (tag), v3 (young), v4 (current) survive with
     // their staged row counts
@@ -4681,6 +4768,7 @@ object Queries {
     "q216_feed_consumers" -> (q216FeedConsumers _),
     "q217_age_expiry" -> (q217AgeExpiry _),
     "q218_auto_consumer" -> (q218AutoConsumer _),
+    "q219_size_compact" -> (q219SizeCompact _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -101,6 +101,136 @@ object Maintenance {
     }
   }
 
+  /** Iceberg's `write.target-file-size-bytes` default (512 MB): the
+    * size-targeted compaction grain when none is declared.
+    */
+  val DefaultTargetBytes: Long = 512L * 1024 * 1024
+
+  /** Size-targeted bin-packing compaction (round 20) — the engine's
+    * `rewrite_data_files(strategy => binpack)`: at 100 TB the right file
+    * COUNT is derived from data volume, not declared, so this targets
+    * BYTES (Iceberg's 512 MB default) and derives the count. Files
+    * already within [0.75×, 1.25×] of `targetBytes` hard-link into the
+    * staged version verbatim (the incremental-recluster carry
+    * discipline — right-sized data never rewrites, so steady-state cost
+    * tracks CHURN, not table size); everything else (small-file debris,
+    * oversized files) rewrites into `ceil(repackBytes / targetBytes)`
+    * outputs. No-ops WITHOUT a new version when repacking cannot improve
+    * the layout (every misfit file already sits alone in its own bin).
+    *
+    * Layout dispatch matches [[compact]]: merge-on-read → delta fold,
+    * hidden-time-partitioned → in-place per-partition merge,
+    * key-bucketed → per-bucket rewrite (the bucket modulus, not bytes,
+    * is that layout's grain — one file per bucket). As with [[compact]],
+    * a `_zonemap` manifest is NOT carried through a flat repack (reads
+    * degrade to the census fallback until the next declared-clustering
+    * tick); the maintenance tick routes declared-clustered tables to the
+    * sort-order rewrite instead of here.
+    *
+    * @return true when a rewrite/fold landed; false = already packed
+    */
+  def compactToSize(spark: SparkSession, wh: Warehouse, table: String,
+      targetBytes: Long = DefaultTargetBytes): Boolean = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    if (MorMirror.storedConfig(wh, table).isDefined) {
+      MorMirror.compact(spark, wh, table)
+      return true
+    }
+    if (wh.timePartitionCol(table).isDefined &&
+        wh.currentVersion(table).isEmpty) {
+      compactTimePartitioned(spark, wh, table)
+      return true
+    }
+    if (isBucketPartitioned(spark, wh.snapshotPath(table))) {
+      val p = new org.apache.hadoop.fs.Path(wh.snapshotPath(table))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buckets = fs.listStatus(p).count(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${PartitionedMirror.BucketCol}="))
+      compact(spark, wh, table, math.max(1, buckets))
+      return true
+    }
+    // pending sidecars fold FIRST (their own committed rewrite) — the
+    // flat repack below reads raw files and would resurrect deleted keys
+    graft.sources.EqDeletes.fold(spark, wh, table)
+    if (wh.currentVersion(table).isEmpty) {
+      // legacy real-directory table: the commit migrates the directory
+      // aside, so carried hard-links from the old path would dangle —
+      // first compaction migrates everything through the count path,
+      // with the count DERIVED from the data volume
+      val census = sizedCensus(spark, wh.snapshotPath(table))
+      if (census.isEmpty) return false
+      val n = math.max(1L,
+        (census.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+      compact(spark, wh, table, n)
+      return true
+    }
+    var did = false
+    wh.retryingConflicts() {
+      did = attemptSizeCompact(spark, wh, table, targetBytes)
+    }
+    did
+  }
+
+  /** Recursive data-file census WITH sizes (batch subdirs included;
+    * metadata — `_zonemap`, markers, `_SUCCESS`, hidden dirs — excluded).
+    * Planning-scale: one recursive listing, no footers opened.
+    */
+  private def sizedCensus(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val qualRoot = fs.makeQualified(p).toString
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(qualRoot)
+        .stripPrefix("/")
+      if (!rel.split('/').exists(s =>
+          s.startsWith("_") || s.startsWith(".")))
+        buf += ((rel, st.getLen))
+    }
+    buf.toSeq.sortBy(_._1)
+  }
+
+  private def attemptSizeCompact(spark: SparkSession, wh: Warehouse,
+      table: String, targetBytes: Long): Boolean = {
+    val expect = wh.currentVersion(table)
+    val path = wh.snapshotPath(table)
+    val files = sizedCensus(spark, path)
+    if (files.isEmpty) return false
+    val (lo, hi) = (targetBytes * 3 / 4, targetBytes * 5 / 4)
+    val (keep, repack) = files.partition { case (_, len) =>
+      len >= lo && len <= hi
+    }
+    if (repack.isEmpty) return false
+    val repackBytes = repack.map(_._2).sum
+    val outFiles =
+      math.max(1L, (repackBytes + targetBytes - 1) / targetBytes).toInt
+    // every misfit already alone in its own bin and nothing oversized to
+    // split: a rewrite would reproduce the same grain — leave the
+    // version alone (at scale an unconditional rewrite is a
+    // full-warehouse pass per cron tick)
+    if (repack.size <= outFiles && repack.forall(_._2 <= hi)) return false
+    // materialize BEFORE the commit (legacy-directory migration moves
+    // the old path aside); widened read — repacked files may straddle
+    // additive evolution or a numeric widening
+    val df = graft.sources.SchemaEvolution.readWidened(spark,
+      repack.map { case (rel, _) => s"$path/$rel" }).localCheckpoint(true)
+    val markers = readRootMarkers(path)
+    wh.commit(table, expectCurrent = expect) { staged =>
+      df.repartition(outFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+      keep.foreach { case (rel, _) =>
+        val dst = Paths.get(s"$staged/$rel")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        linkOrCopy(wh, Paths.get(s"$path/$rel"), dst)
+      }
+      writeRootMarkers(markers, staged)
+    }
+    true
+  }
+
   /** Clustered rewrite + zone-map manifest — the engine's
     * `rewrite_data_files(sort_order)` (Iceberg ships sort-order rewrites
     * for the same reason: min/max stats only prune when values cluster).

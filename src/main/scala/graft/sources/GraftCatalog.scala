@@ -996,15 +996,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
     procedure("compact",
       "Layout-aware compaction (MOR delta fold / flat-bucketed rewrite / " +
-        "time-partitioned in-place merge)",
+        "time-partitioned in-place merge). target_files > 0 pins a file " +
+        "count; otherwise bin-packs to target_bytes (Iceberg's 512 MB " +
+        "default) — right-sized files carry by hard link, the count " +
+        "derives from data volume",
       Seq(param("table", StringType),
-        paramDefault("target_files", IntegerType, "8")),
+        paramDefault("target_files", IntegerType, "0"),
+        paramDefault("target_bytes", LongType,
+          graft.plans.Maintenance.DefaultTargetBytes.toString)),
       StructType(Seq(StructField("table", StringType),
         StructField("files_before", LongType),
         StructField("files_after", LongType)))) { in =>
       val t = str(in, 0)
       val before = Maintenance.dataFiles(spark, wh, t).size.toLong
-      Maintenance.compact(spark, wh, t, in.getInt(1))
+      val n = in.getInt(1)
+      if (n > 0) Maintenance.compact(spark, wh, t, n)
+      else Maintenance.compactToSize(spark, wh, t, in.getLong(2))
       Seq(row(t, before, Maintenance.dataFiles(spark, wh, t).size.toLong))
     },
 
