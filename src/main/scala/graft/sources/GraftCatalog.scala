@@ -2566,12 +2566,13 @@ private class GroupCowScan(tableName: String, baseDir: String,
     tableSchema: StructType, options: CaseInsensitiveStringMap,
     initial: Option[Seq[String]],
     onSelection: Option[Seq[String]] => Unit)
-  extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
 
   private var selected: Option[Seq[String]] = initial
-  @volatile private var cached: Batch = _
+  @volatile private var cached: Scan = _
   @volatile private var dirty = true
 
   override def readSchema(): StructType = tableSchema
@@ -2580,7 +2581,7 @@ private class GroupCowScan(tableName: String, baseDir: String,
 
   private def spark = SparkSession.active
 
-  private def underlying(): Batch = synchronized {
+  private def underlying(): Scan = synchronized {
     if (dirty || cached == null) {
       val opts = new java.util.HashMap[String, String]()
       opts.put("mergeSchema", "true")
@@ -2592,17 +2593,35 @@ private class GroupCowScan(tableName: String, baseDir: String,
       // with the declared schema plans zero partitions
       cached = ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(opts), paths, Some(tableSchema),
-        classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+        classOf[ParquetFileFormat]).newScanBuilder(options).build()
       dirty = false
     }
     cached
   }
 
+  /** Forward the wrapped file scan's (pruning-prorated) size estimate —
+    * without it the relation reports `spark.sql.defaultSizeInBytes`
+    * (effectively infinite) and a dimension-sized catalog table can
+    * never sit on the broadcast side of a join (round 20).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    underlying() match {
+      case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        r.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      underlying().planInputPartitions()
+      underlying().toBatch.planInputPartitions()
     override def createReaderFactory(): PartitionReaderFactory =
-      underlying().createReaderFactory()
+      underlying().toBatch.createReaderFactory()
   }
 
   /** Runtime-filterable attributes: exactly the columns the manifest

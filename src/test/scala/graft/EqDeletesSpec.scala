@@ -161,6 +161,43 @@ class EqDeletesSpec extends SparkTestBase {
     assert(visible(cat) == expect)
   }
 
+  test("sidecar-pending scans report statistics: a dimension-sized MOR table still broadcasts, estimate within 2x of folded (round 20)") {
+    val (cat, wh) = morFixture(base)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
+    assert(EqDeletes.pending(wh.snapshotPath("t")).nonEmpty)
+    def relBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.sum
+    val pend = relBytes(spark.sql(s"SELECT * FROM $cat.t"))
+    // a real estimate, not the defaultSizeInBytes infinity fallback
+    assert(pend > 0 && pend < 10L * 1024 * 1024,
+      s"pending-sidecar relation must report a file-scale estimate: $pend")
+    // the 60-row dimension sits on the BROADCAST side of a join whose
+    // probe side is above the (lowered) threshold — pre-20 it planned
+    // as sort-merge until CALL compact folded the sidecars
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val big = spark.range(0, 500000)
+        .selectExpr("id % 60 + 1 AS id", "id AS k")
+      big.createOrReplaceTempView(s"big_$cat")
+      val j = spark.sql(
+        s"SELECT sum(b.k) FROM big_$cat b JOIN $cat.t t ON b.id = t.id")
+      j.collect()
+      val exec = j.queryExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin"),
+        s"sidecar-pending dimension must broadcast:\n${exec.take(1200)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // folding must land within the same trust tier (within 2x)
+    spark.sql(s"CALL $cat.system.compact('t', 2)").collect()
+    val folded = relBytes(spark.sql(s"SELECT * FROM $cat.t"))
+    assert(folded > 0 && pend <= folded * 2 && folded <= pend * 2,
+      s"pending estimate $pend vs folded $folded out of the 2x band")
+  }
+
   test("stacked deletes: the second sidecar applies to re-inserted keys, the first does not; foldedRead cross-checks the reader filter") {
     val (cat, wh) = morFixture(base)
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'del'")
