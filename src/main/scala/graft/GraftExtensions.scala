@@ -74,5 +74,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // whole-operator surface (§2.10(c)): the as-of join's logical node
     // plans through its dedicated streaming-merge exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL views over GraftCatalog's ViewCatalog face (round 20): stock
+    // Spark 4.1 has the SPI but no analyzer/exec wiring for it, so the
+    // DDL rewrites at parse time and SELECTs substitute via a
+    // resolution rule — the Iceberg extension pattern (GraftViewSql)
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.sources.ResolveGraftViews(session))
   }
 }

@@ -2121,6 +2121,50 @@ object Queries {
     } finally deleteDir(tmp)
   }
 
+  /** SQL views under the oracle gate (q220, round 20): a view created
+    * over a HALF-staged table must serve the FULL table after the
+    * mirror moves — a view is stored SQL text resolved against the
+    * current snapshot, not a materialization. The REQUIREs pin the DDL
+    * surface (SHOW VIEWS lists it; time travel through the view is
+    * refused naming the mechanism); the oracle pins the content read
+    * through the view.
+    */
+  def q220SqlView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vw_q220")
+    val cat = s"gq220_${catalogSeq.incrementAndGet()}"
+    val wh = Warehouse(tmp.toString, retain = 8)
+    try {
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .localCheckpoint(true), "ev")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.retain", "8")
+      spark.sql(
+        s"""CREATE VIEW $cat.by_type AS
+           |SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_value
+           |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      require(spark.sql(s"SHOW VIEWS IN $cat").collect()
+        .exists(_.getString(1) == "by_type"),
+        "SHOW VIEWS must list the created view")
+      // not a materialization: the table moves, the view follows
+      wh.overwrite(ev.localCheckpoint(true), "ev")
+      val eTt = scala.util.Try(
+        spark.sql(s"SELECT * FROM $cat.by_type VERSION AS OF 1").collect())
+      require(eTt.isFailure && Iterator.iterate(eTt.failed.get)(_.getCause)
+        .takeWhile(_ != null).exists(x => Option(x.getMessage).exists(
+          _.contains("no snapshot lineage"))),
+        s"view time travel must refuse by mechanism: $eTt")
+      spark.sql(
+        s"SELECT * FROM $cat.by_type ORDER BY event_type")
+        .localCheckpoint(true)
+    } finally deleteDir(tmp)
+  }
+
   /** Branches / write-audit-publish under the oracle gate (q203,
     * round-14 verdict item 4): a branch forks at main's current
     * snapshot, two staged INSERTs land on it under
@@ -4145,6 +4189,15 @@ object Queries {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // the view reads the CURRENT snapshot (the full staged table) — the
+    // DDL physics are REQUIREd in the harness, the content here
+    "q220_sql_view" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // age-based expiry's surviving lineage is closed-form: v2 (backdated,
     // untagged) expires; v1 (tag), v3 (young), v4 (current) survive with
     // their staged row counts
@@ -4769,6 +4822,7 @@ object Queries {
     "q217_age_expiry" -> (q217AgeExpiry _),
     "q218_auto_consumer" -> (q218AutoConsumer _),
     "q219_size_compact" -> (q219SizeCompact _),
+    "q220_sql_view" -> (q220SqlView _),
     "q205_branch_dml" -> (q205BranchDml _),
     "q206_file_granular_delete" -> (q206FileGranularDelete _),
     "q187_bloom_lookup" -> (q187BloomLookup _),

@@ -78,7 +78,8 @@ import graft.sources.Tables.{TableProps, Warehouse}
   * publish stamps) and `graft.t.files` (data-file census: path, bytes,
   * footer row count).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var wh: Warehouse = _
@@ -331,6 +332,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * `CALL <cat>.system.create_tag`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    refuseViewTimeTravel(ident)
     val t = resolved(ident)
     // a BRANCH name serves its head snapshot — the audit face of
     // write-audit-publish: branch commits are invisible to plain reads
@@ -360,6 +362,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * higher version — the one the pointer ended on.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    refuseViewTimeTravel(ident)
     val t = resolved(ident)
     val asOfMillis = timestamp / 1000L
     val dir = wh.publishedVersions(t)
@@ -598,6 +601,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (!isDataNs(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a table shadowing a VIEW would silently change what the name
+    // serves (same one-name-one-thing guard as createView)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val t = ident.name
     evictTable(t) // a re-created name must never serve the dropped table
     require(!t.contains("/") && !t.startsWith("_") && !t.startsWith("."),
@@ -890,6 +897,147 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "RENAME TABLE is not supported: version dirs, props, and feed " +
         "cursors all key on the table name; rename is a catalog-level " +
         "migration, not a pointer move")
+
+  // ------------------------------------------------------------------
+  // SQL views (round 20): Spark 4's ViewCatalog over the props-sidecar
+  // substrate — `CREATE VIEW graft.v AS SELECT ...` stores the SQL text
+  // (plus its resolution context and analyzed schema) in
+  // `_metadata/<name>.view.json`; resolution re-analyzes the text in
+  // that context, so a view always serves the CURRENT underlying
+  // snapshots. A feed "view" is a different thing — a TABLE with an
+  // emission cursor — and keeps its name-collision guard below.
+  // ------------------------------------------------------------------
+
+  private val ViewSqlKey = "view.sql"
+  private val ViewSep = "\u001F" // unit separator: never in identifiers
+  private val ViewNull = "\u0000" // per-element null sentinel (comments)
+  private def viewPropsName(view: String) = s"$view.view"
+
+  private def viewStored(ident: Identifier): Map[String, String] =
+    if (!isDataNs(ident.namespace)) Map.empty
+    else TableProps.read(wh, viewPropsName(ident.name))
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewStored(ident).contains(ViewSqlKey)
+
+  /** Time-travel refusal for views, by mechanism: a view is stored SQL
+    * text with NO snapshot lineage of its own — `VERSION AS OF` /
+    * `TIMESTAMP AS OF` pin published version dirs, which a view does
+    * not have. The remedy is time-travelling the TABLES inside the
+    * view's query.
+    */
+  private def refuseViewTimeTravel(ident: Identifier): Unit =
+    if (viewExists(ident)) throw new UnsupportedOperationException(
+      s"time travel through view '${ident.name}' is not supported: a " +
+        "view is stored SQL text with no snapshot lineage (nothing to " +
+        "pin). Time-travel the underlying tables inside the view query " +
+        "instead (VERSION AS OF / TIMESTAMP AS OF on them)")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!isDataNs(ns)) throw new NoSuchNamespaceException(ns)
+    val dir = java.nio.file.Paths.get(wh.root, "_metadata")
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".view.json") =>
+        Identifier.of(ns, n.stripSuffix(".view.json")) }
+      .toArray.sortBy(_.name)
+    finally s.close()
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewStored(ident)
+    if (!p.contains(ViewSqlKey))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    def arr(key: String): Array[String] = p.get(key) match {
+      case None | Some("") => Array.empty
+      case Some(v) => v.split(ViewSep, -1)
+    }
+    val viewIdent = ident
+    new View {
+      override def name(): String = viewIdent.name
+      override def query(): String = p(ViewSqlKey)
+      override def currentCatalog(): String =
+        p.getOrElse("view.catalog", catalogName)
+      override def currentNamespace(): Array[String] = arr("view.namespace")
+      override def schema(): StructType =
+        p.get("view.schema").map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(new StructType())
+      override def queryColumnNames(): Array[String] = arr("view.query-cols")
+      override def columnAliases(): Array[String] = arr("view.aliases")
+      override def columnComments(): Array[String] =
+        arr("view.comments").map(c => if (c == ViewNull) null else c)
+      override def properties(): JMap[String, String] =
+        p.collect { case (k, v) if k.startsWith("view.prop.") =>
+          k.stripPrefix("view.prop.") -> v }.asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (!isDataNs(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val v = ident.name
+    require(!v.contains("/") && !v.startsWith("_") && !v.startsWith("."),
+      s"illegal graft view name '$v'")
+    // one namespace, one resolution order: a name must mean ONE thing —
+    // a view shadowing a table (or a feed-view TABLE) would silently
+    // change every existing query against it
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    def join(a: Array[String]): Option[String] =
+      if (a == null || a.isEmpty) None else Some(a.mkString(ViewSep))
+    val stored = Map(ViewSqlKey -> info.sql,
+      "view.catalog" -> info.currentCatalog) ++
+      join(info.currentNamespace).map("view.namespace" -> _) ++
+      Option(info.schema).map(s => "view.schema" -> s.json) ++
+      join(info.queryColumnNames).map("view.query-cols" -> _) ++
+      join(info.columnAliases).map("view.aliases" -> _) ++
+      join(Option(info.columnComments).map(_.map(c =>
+        if (c == null) ViewNull else c)).orNull).map("view.comments" -> _) ++
+      Option(info.properties).map(_.asScala).getOrElse(Map.empty)
+        .map { case (k, s) => s"view.prop.$k" -> s }
+    TableProps.write(wh, viewPropsName(v), stored)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val before = viewStored(ident)
+    if (!before.contains(ViewSqlKey))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val after = changes.foldLeft(before) {
+      case (p, set: ViewChange.SetProperty) =>
+        p + (s"view.prop.${set.property}" -> set.value)
+      case (p, rm: ViewChange.RemoveProperty) =>
+        p - s"view.prop.${rm.property}"
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change $other: a graft view's QUERY is " +
+          "immutable — CREATE OR REPLACE VIEW to change it")
+    }
+    TableProps.write(wh, viewPropsName(ident.name), after)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && {
+      TableProps.delete(wh, viewPropsName(ident.name))
+      true
+    }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (!isDataNs(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    TableProps.write(wh, viewPropsName(newIdent.name), viewStored(oldIdent))
+    TableProps.delete(wh, viewPropsName(oldIdent.name))
+  }
 
   // ------------------------------------------------------------------
   // procedures: CALL graft.system.<name>(...)

@@ -431,6 +431,71 @@ class GraftCatalogSpec extends SparkTestBase {
       s"the absorbed hop must sweep: ${swept.toSeq}")
   }
 
+  test("SQL views: create/select/replace/alter/rename/drop lifecycle; one-name-one-thing guards; time travel refused by mechanism") {
+    val root = tmpDir("cat-views")
+    val wh = Warehouse(root, retain = 4)
+    register("gv1", root)
+    wh.overwrite(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "s", "v").localCheckpoint(true), "t")
+    spark.sql(
+      "CREATE VIEW gv1.daily AS SELECT s, sum(v) AS sv FROM gv1.t GROUP BY s")
+    def rows: Seq[(String, Double)] =
+      spark.sql("SELECT s, sv FROM gv1.daily ORDER BY s").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("a", 3.0), ("b", 3.0)))
+    // stored SQL text, not a materialization: the view serves the
+    // CURRENT snapshot after the table moves
+    wh.overwrite(Seq((1L, "a", 10.0), (2L, "b", 2.0))
+      .toDF("id", "s", "v").localCheckpoint(true), "t")
+    assert(rows == Seq(("a", 10.0), ("b", 2.0)))
+    // one name means one thing — in both directions
+    val eTv = intercept[Exception] {
+      spark.sql("CREATE VIEW gv1.t AS SELECT 1 AS one").collect()
+    }
+    assert(Iterator.iterate(eTv: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.contains("already exists"))), eTv.getMessage)
+    val eVt = intercept[Exception] {
+      spark.sql("CREATE TABLE gv1.daily (x BIGINT)").collect()
+    }
+    assert(Iterator.iterate(eVt: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.contains("already exists"))), eVt.getMessage)
+    // time travel through a view: refused naming the mechanism
+    val eTt = intercept[Exception] {
+      spark.sql("SELECT * FROM gv1.daily VERSION AS OF 1").collect()
+    }
+    assert(Iterator.iterate(eTt: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("no snapshot lineage"))), eTt.getMessage)
+    // replace swaps the stored query atomically-enough for DDL
+    spark.sql(
+      "CREATE OR REPLACE VIEW gv1.daily AS SELECT count(*) AS n FROM gv1.t")
+    assert(spark.sql("SELECT n FROM gv1.daily").head.getLong(0) == 2L)
+    // property surface via ALTER VIEW
+    spark.sql("ALTER VIEW gv1.daily SET TBLPROPERTIES ('team' = 'ingest')")
+    assert(spark.sql("SHOW TBLPROPERTIES gv1.daily").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "ingest"))
+    spark.sql("ALTER VIEW gv1.daily UNSET TBLPROPERTIES ('team')")
+    assert(!spark.sql("SHOW TBLPROPERTIES gv1.daily").collect()
+      .exists(r => r.getString(0) == "team"))
+    // rename, then the old name is free and the new one serves
+    spark.sql("ALTER VIEW gv1.daily RENAME TO gv1.daily2")
+    assert(spark.sql("SELECT n FROM gv1.daily2").head.getLong(0) == 2L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gv1.daily").collect()
+    }
+    // SHOW VIEWS lists it; DROP removes it
+    assert(spark.sql("SHOW VIEWS IN gv1").collect()
+      .map(_.getString(1)).contains("daily2"))
+    spark.sql("DROP VIEW gv1.daily2")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gv1.daily2").collect()
+    }
+    // the data table never flinched
+    assert(spark.sql("SELECT count(*) FROM gv1.t").head.getLong(0) == 2L)
+  }
+
   test("two concurrent FIRST merge_changes on one absent target both land (expect-absent CAS, not last-wins)") {
     import spark.implicits._
     val root = tmpDir("cat-firstmerge")
