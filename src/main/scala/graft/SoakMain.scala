@@ -32,17 +32,20 @@ import graft.sources.GraftCatalog
   */
 object SoakMain {
   private val Reserved = 10000000L
+  private val Reserved2 = 20000000L
 
   def main(args: Array[String]): Unit = args(0) match {
     case "ingest" => ingest(args(1), args(2).toInt, args(3).toLong,
-      args.lift(4).map(_.toLong).getOrElse(0L))
+      args.lift(4).map(_.toLong).getOrElse(0L),
+      mor = args.lift(5).contains("mor"))
     case "branch" => branch(args(1), args(2).toInt)
+    case "mordml" => mordml(args(1), args(2).toInt)
     case "expire" => expire(args(1))
     case other => sys.error(s"unknown soak role '$other'")
   }
 
   private def ingest(whDir: String, epochs: Int, rowsPerEpoch: Long,
-      pauseMs: Long): Unit = {
+      pauseMs: Long, mor: Boolean = false): Unit = {
     val spark = Harness.session("graft-soak-ingest")
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.gsk", classOf[GraftCatalog].getName)
@@ -52,6 +55,11 @@ object SoakMain {
     spark.sql("CREATE TABLE gsk.soak (id BIGINT, v DOUBLE)")
     spark.sql("ALTER TABLE gsk.soak SET TBLPROPERTIES(" +
       "'cdc.key-column'='id')")
+    // merge-on-read soak mode (round 20): DELETE writes equality
+    // sidecars and UPDATE/MERGE write delta files — the rival
+    // maintenance JVM's ticks then FOLD them mid-stream
+    if (mor) spark.sql("ALTER TABLE gsk.soak SET TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read')")
     graft.plans.Maintenance.declareClustering(wh, "soak", Seq("id"),
       targetFiles = Some(8))
     println("[soak] SEEDED")
@@ -120,6 +128,64 @@ object SoakMain {
         }
       }
       println(s"[soak] round $r published (ids $lo..${hi - 1})")
+      Console.flush()
+    }
+    spark.stop()
+  }
+
+  /** Merge-on-read DML role (round-20 verdict item 4): per round r over
+    * the reserved range `Reserved2 + r*1000`, against the LIVE main —
+    * INSERT 1000 rows at v=1.0, delta-MERGE the lower 500 to v=4.0
+    * (new data file + equality sidecar retracting the old images), and
+    * sidecar-DELETE the top 200 — while the stream appends epochs and
+    * the maintenance JVM's ticks fold the sidecars. Every op pins the
+    * current snapshot and CAS-commits, so a loss to a rival commit
+    * surfaces as a conflict and retries like an operator would (the
+    * ops are idempotent under re-run: same keys, same images).
+    * Expected model per round: 500 rows v=4.0, 300 rows v=1.0, 200
+    * absent.
+    */
+  private def mordml(whDir: String, rounds: Int): Unit = {
+    val spark = Harness.session("graft-soak-mordml")
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gsk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsk.warehouse", whDir)
+    spark.conf.set("spark.sql.catalog.gsk.retain", "8")
+    def retrying(label: String, round: Int)(op: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { op; done = true }
+        catch {
+          case e: Exception if attempts < 12 =>
+            attempts += 1
+            Thread.sleep(250)
+            System.err.println(s"[soak] mor $label round $round retry " +
+              s"$attempts: ${String.valueOf(e.getMessage).take(140)}")
+        }
+      }
+    }
+    (0 until rounds).foreach { r =>
+      val lo = Reserved2 + r.toLong * 1000L
+      val mid = lo + 500L
+      val delLo = lo + 800L
+      val hi = lo + 1000L
+      retrying("insert", r) {
+        (lo until hi).map(i => (i, 1.0)).toDF("id", "v")
+          .createOrReplaceTempView(s"mor_stage_$r")
+        spark.sql(s"INSERT INTO gsk.soak SELECT * FROM mor_stage_$r")
+      }
+      retrying("merge", r) {
+        (lo until mid).map(i => (i, 4.0)).toDF("id", "v")
+          .createOrReplaceTempView(s"mor_upd_$r")
+        spark.sql(s"MERGE INTO gsk.soak t USING mor_upd_$r s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+      }
+      retrying("delete", r) {
+        spark.sql(s"DELETE FROM gsk.soak WHERE id >= $delLo AND id < $hi")
+      }
+      println(s"[soak] mor round $r landed (ids $lo..${hi - 1}: " +
+        "500 updated, 200 deleted)")
       Console.flush()
     }
     spark.stop()

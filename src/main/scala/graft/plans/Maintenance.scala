@@ -15,6 +15,33 @@ import graft.sources.Tables.Warehouse
   */
 object Maintenance {
 
+  /** Inside a rewrite's optimistic-retry attempt, AFTER pinning the
+    * snapshot: every rewrite path folds pending sidecars at ENTRY, but
+    * a merge-on-read DML that commits a fresh sidecar between that fold
+    * and the attempt's pin makes the pinned snapshot's raw files NOT
+    * the logical content — a raw rewrite would resurrect the retracted
+    * images / deleted keys and silently DROP the sidecar (round-20
+    * soak finding: the objectstore interleave lost exactly one delta
+    * MERGE's retractions this way). Fold the straggler and throw
+    * conflict-shaped so `retryingConflicts` re-attempts on the folded
+    * snapshot.
+    */
+  /** Test seam: fired at the top of each rewrite retry attempt, between
+    * the caller's entry fold and the attempt's snapshot pin — the exact
+    * window a rival merge-on-read DML can land a sidecar in (the
+    * round-20 soak race). Production: no-op.
+    */
+  private[graft] var beforeRewritePin: () => Unit = () => ()
+
+  private def guardPendingSidecars(spark: SparkSession, wh: Warehouse,
+      table: String, path: String): Unit =
+    if (graft.sources.EqDeletes.anyPending(path)) {
+      graft.sources.EqDeletes.fold(spark, wh, table)
+      throw new java.util.ConcurrentModificationException(
+        s"merge-on-read sidecars landed on '$table' during rewrite " +
+          "planning; folded — retrying on the folded snapshot")
+    }
+
   /** True when `path` holds a key-bucket-partitioned layout (`_kb=N/`
     * subdirectories). Partition discovery and `recursiveFileLookup` are
     * mutually exclusive in Spark, so the layout decides how to read.
@@ -59,8 +86,10 @@ object Maintenance {
     // version and re-applies, so a shared-warehouse deployment (ingest
     // JVM + scheduled maintenance JVM) needs no external serialization
     wh.retryingConflicts() {
+      beforeRewritePin()
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
+      guardPendingSidecars(spark, wh, table, path)
       // A bucket-partitioned mirror must be read via partition discovery
       // (recursiveFileLookup disables it and would silently flatten the
       // layout); flat/batch-subdir tables need the recursive lookup.
@@ -196,8 +225,10 @@ object Maintenance {
 
   private def attemptSizeCompact(spark: SparkSession, wh: Warehouse,
       table: String, targetBytes: Long): Boolean = {
+    beforeRewritePin()
     val expect = wh.currentVersion(table)
     val path = wh.snapshotPath(table)
+    guardPendingSidecars(spark, wh, table, path)
     val files = sizedCensus(spark, path)
     if (files.isEmpty) return false
     val (lo, hi) = (targetBytes * 3 / 4, targetBytes * 5 / 4)
@@ -264,8 +295,10 @@ object Maintenance {
         s"'$table' is merge-on-read: its base layout is the key-bucket " +
           "merge contract. Cluster a materialized projection instead.")
     wh.retryingConflicts() {
+      beforeRewritePin()
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
+      guardPendingSidecars(spark, wh, table, path)
       if (isBucketPartitioned(spark, path))
         throw new UnsupportedOperationException(
           s"'$table' is key-bucket-partitioned (upsert layout). " +
@@ -487,9 +520,11 @@ object Maintenance {
   private def attemptIncrementalCluster(spark: SparkSession, wh: Warehouse,
       table: String, dims: Seq[String], bloomKeys: Seq[String]): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
+    beforeRewritePin()
     val expect = wh.currentVersion(table)
     if (expect.isEmpty) return false
     val path = wh.snapshotPath(table)
+    guardPendingSidecars(spark, wh, table, path)
     if (isBucketPartitioned(spark, path)) return false
     if (!ZoneMap.hasManifest(spark, path)) return false
     // z-order (multi-dim): the stored scaling is the comparability
@@ -1202,6 +1237,7 @@ object Maintenance {
     wh.retryingConflicts() {
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
+      guardPendingSidecars(spark, wh, table, path)
       // widened read: bucket/batch dirs may straddle additive evolution
       // (single-footer inference would drop the evolved column) or a
       // numeric widening (mergeSchema refuses mixed widths)

@@ -20,8 +20,19 @@ cherrypick round its 1000 reserved ids (10_000_000+r*1000..) with
 v=3.0 on the lower half and v=2.0 on the upper - zero lost updates,
 zero duplicates, zero cross-contamination. Runs on BOTH IO substrates.
 
-Usage: python3 tools/verify_soak.py [epochs] [rowsPerEpoch] [rounds] [io]
-       io: local | objectstore | both (default both)
+The round-20 MOR mode soaks the merge-on-read DML surface instead of
+the branch role: the table declares write.delete.mode=merge-on-read
+and the DML JVM issues, per round over 20_000_000+r*1000, an INSERT
+(1000 rows v=1.0), a delta MERGE (lower 500 -> v=4.0: new data file +
+equality sidecar retracting the old images), and a sidecar DELETE
+(top 200) against the LIVE main, while maintenance ticks fold the
+sidecars mid-stream. The audit additionally requires every sidecar
+folded (the raw-parquet read is only the logical content then) and
+models the updated/deleted slices exactly.
+
+Usage: python3 tools/verify_soak.py [epochs] [rowsPerEpoch] [rounds] [io] [mode]
+       io:   local | objectstore | both (default both)
+       mode: cow | mor | both (default both)
 """
 import os
 import shutil
@@ -36,10 +47,13 @@ ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
 ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 IO_MODES = ([sys.argv[4]] if len(sys.argv) > 4 and sys.argv[4] != "both"
             else ["local", "objectstore"])
+DML_MODES = ([sys.argv[5]] if len(sys.argv) > 5 and sys.argv[5] != "both"
+             else ["cow", "mor"])
 BASE = "/tmp/graft_soak"
 WH = f"{BASE}/wh"
 REPO = "/root/repo"
 RESERVED = 10_000_000
+RESERVED2 = 20_000_000
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -85,26 +99,30 @@ def wait_for(proc, needle, timeout=240):
             raise SystemExit(f"timed out waiting for '{needle}'")
 
 
-def run_one(io_mode):
+def run_one(io_mode, dml_mode="cow"):
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(WH)
     if not os.path.isdir(f"{REPO}/target/scala-2.13/classes/graft"):
         subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True)
     env = dict(os.environ, GRAFT_WAREHOUSE_IO=io_mode, SPARK_GRAFT_CPUS="8")
 
-    print(f"== [{io_mode}] soak: {EPOCHS}x{ROWS} stream rows, "
-          f"{ROUNDS} cherrypick rounds, maintenance+expiry ticks ==")
+    print(f"== [{io_mode}/{dml_mode}] soak: {EPOCHS}x{ROWS} stream rows, "
+          f"{ROUNDS} {'mor-dml' if dml_mode == 'mor' else 'cherrypick'} "
+          f"rounds, maintenance+expiry ticks ==")
     # 4s between epochs: the stream must stay live across the branch
     # JVM's warm-up and several maintenance/expiry ticks — the
     # interleave IS the drill
+    ingest_args = ["ingest", WH, str(EPOCHS), str(ROWS), "4000"]
+    if dml_mode == "mor":
+        ingest_args.append("mor")
     ingest = subprocess.Popen(
-        java_cmd("graft.SoakMain", "ingest", WH, str(EPOCHS), str(ROWS),
-                 "4000"),
+        java_cmd("graft.SoakMain", *ingest_args),
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=env)
     wait_for(ingest, "SEEDED")
+    dml_role = "mordml" if dml_mode == "mor" else "branch"
     branch = subprocess.Popen(
-        java_cmd("graft.SoakMain", "branch", WH, str(ROUNDS)),
+        java_cmd("graft.SoakMain", dml_role, WH, str(ROUNDS)),
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=env)
 
@@ -152,7 +170,7 @@ def run_one(io_mode):
         expiries += 1
         print(f"[tick] maintenance {ticks} ok / {lost_ticks} lost, "
               f"expiry {expiries} done")
-    for name, p in (("ingest", ingest), ("branch", branch)):
+    for name, p in (("ingest", ingest), (dml_role, branch)):
         out, _ = p.communicate(timeout=120)
         if out:
             sys.stdout.write(out)
@@ -163,14 +181,31 @@ def run_one(io_mode):
     maintenance_tick(final=True)
     assert ticks >= 1, "no maintenance tick ever succeeded; rerun"
 
-    # independent audit: DuckDB reads the final snapshot outside any JVM
+    # independent audit: DuckDB reads the final snapshot outside any JVM.
+    # In MOR mode the raw data files are the LOGICAL content only once
+    # every sidecar/delta is folded — the final tick's cluster folds
+    # first; require the fold actually landed (one extra tick heals a
+    # sidecar that raced in behind the final tick)
     snap = resolve_pointer(f"{WH}/soak")
+    if dml_mode == "mor":
+        def pending_sidecars():
+            out = []
+            for d in ("_eqdeletes", "_posdeletes"):
+                p = os.path.join(resolve_pointer(f"{WH}/soak"), d)
+                if os.path.isdir(p):
+                    out += [os.path.join(d, x) for x in os.listdir(p)]
+            return out
+        if pending_sidecars():
+            maintenance_tick(final=True)
+            snap = resolve_pointer(f"{WH}/soak")
+        assert not pending_sidecars(), (
+            f"sidecars survived the final fold: {pending_sidecars()}")
     con = duckdb.connect()
     rel = f"read_parquet('{snap}/*.parquet')"
     want_stream = EPOCHS * ROWS
     n, d = con.sql(
         f"SELECT count(*), count(DISTINCT id) FROM {rel}").fetchone()
-    want_total = want_stream + ROUNDS * 1000
+    want_total = want_stream + ROUNDS * (800 if dml_mode == "mor" else 1000)
     assert n == want_total and d == want_total, (
         f"lost updates or duplicates: n={n} distinct={d} want={want_total}")
     sn, slo, shi, sbad = con.sql(
@@ -180,24 +215,43 @@ def run_one(io_mode):
     assert (sn, slo, shi, sbad) == (want_stream, 0, want_stream - 1, 0), (
         f"stream rows wrong: n={sn} lo={slo} hi={shi} badv={sbad}")
     for r in range(ROUNDS):
-        lo = RESERVED + r * 1000
-        mid, hi = lo + 500, lo + 1000
-        rn, upd, ins = con.sql(
-            f"SELECT count(*), "
-            f"sum(CASE WHEN id < {mid} AND v = 3.0 THEN 1 ELSE 0 END), "
-            f"sum(CASE WHEN id >= {mid} AND v = 2.0 THEN 1 ELSE 0 END) "
-            f"FROM {rel} WHERE id >= {lo} AND id < {hi}").fetchone()
-        assert (rn, upd, ins) == (1000, 500, 500), (
-            f"round {r} content wrong: n={rn} updated={upd} inserted={ins}")
-    print(f"PASS [{io_mode}]: {n} rows exact ({want_stream} streamed + "
-          f"{ROUNDS * 1000} cherrypicked, updates applied) through "
-          f"{ticks} maintenance ticks and {expiries} expiry ticks "
+        if dml_mode == "mor":
+            lo = RESERVED2 + r * 1000
+            mid, dlo, hi = lo + 500, lo + 800, lo + 1000
+            rn, upd, kept, ghosts = con.sql(
+                f"SELECT count(*), "
+                f"sum(CASE WHEN id < {mid} AND v = 4.0 THEN 1 ELSE 0 END), "
+                f"sum(CASE WHEN id >= {mid} AND id < {dlo} "
+                f"    AND v = 1.0 THEN 1 ELSE 0 END), "
+                f"sum(CASE WHEN id >= {dlo} THEN 1 ELSE 0 END) "
+                f"FROM {rel} WHERE id >= {lo} AND id < {hi}").fetchone()
+            assert (rn, upd, kept, ghosts) == (800, 500, 300, 0), (
+                f"mor round {r} content wrong: n={rn} updated={upd} "
+                f"kept={kept} deleted-resurrected={ghosts}")
+        else:
+            lo = RESERVED + r * 1000
+            mid, hi = lo + 500, lo + 1000
+            rn, upd, ins = con.sql(
+                f"SELECT count(*), "
+                f"sum(CASE WHEN id < {mid} AND v = 3.0 THEN 1 ELSE 0 END), "
+                f"sum(CASE WHEN id >= {mid} AND v = 2.0 THEN 1 ELSE 0 END) "
+                f"FROM {rel} WHERE id >= {lo} AND id < {hi}").fetchone()
+            assert (rn, upd, ins) == (1000, 500, 500), (
+                f"round {r} content wrong: n={rn} updated={upd} "
+                f"inserted={ins}")
+    per_round = 800 if dml_mode == "mor" else 1000
+    verb = "mor-dml'd" if dml_mode == "mor" else "cherrypicked"
+    print(f"PASS [{io_mode}/{dml_mode}]: {n} rows exact "
+          f"({want_stream} streamed + {ROUNDS * per_round} {verb}, "
+          f"updates applied, deletes held) through {ticks} maintenance "
+          f"ticks and {expiries} expiry ticks "
           f"(zero lost updates, zero duplicates)")
 
 
 def main():
     for io_mode in IO_MODES:
-        run_one(io_mode)
+        for dml_mode in DML_MODES:
+            run_one(io_mode, dml_mode)
 
 
 if __name__ == "__main__":
