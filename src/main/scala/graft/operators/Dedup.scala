@@ -963,9 +963,7 @@ object Dedup {
     val bloom = probe.agg(expr(
       s"bloom_build(xxhash64(wh), $bloomBits, ${ScaleOps.BloomHashes})").as("bf"))
     val idx = windowsOf(tok.filter(!isNew), k)
-      .join(broadcast(bloom))
-      .filter(expr(
-        s"bloom_might_contain(bf, xxhash64(wh), ${ScaleOps.BloomHashes})"))
+      .filter(ScaleOps.bloomProbe(bloom, xxhash64(col("wh"))))
       .select("wh").distinct()
     val dup = probe.join(idx, Seq("wh")).select("doc_id", "i")
     spanStatsFromDup(dup, newTok, k).orderBy(col("doc_id"))
