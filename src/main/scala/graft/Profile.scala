@@ -39,8 +39,8 @@ object Profile {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        val site = j.stageInfos.headOption.map(_.name.takeWhile(_ != '\n'))
+          .getOrElse("")
         open.synchronized { open(j.jobId) = Job(j.jobId, System.nanoTime(), desc, site) }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
@@ -64,14 +64,29 @@ object Profile {
     val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     @volatile var sampling = true
     val sampler = new Thread(() => {
+      // all-thread mode (SPARK_GRAFT_PROFILE_ALL=1) also catches work on
+      // the AQE/broadcast pools while main blocks, but getAllStackTraces
+      // is heavy enough to skew the run — default samples main only
+      val allThreads = sys.env.get("SPARK_GRAFT_PROFILE_ALL").contains("1")
       while (sampling) {
         val ts = System.nanoTime()
-        val st = mainThread.getStackTrace
-        // full top-12 app-relevant frames, joined — histogram below
-        val key = st.iterator.map(_.toString)
-          .filter(f => f.contains("graft.") || f.contains("org.apache.spark"))
-          .take(6).mkString(" <- ")
-        if (key.nonEmpty) samples.add((ts, key))
+        import scala.jdk.CollectionConverters._
+        val stacks: Iterator[(String, Array[StackTraceElement])] =
+          if (allThreads)
+            Thread.getAllStackTraces.asScala.iterator.collect {
+              case (t, st) if t.getState == Thread.State.RUNNABLE &&
+                  !t.getName.startsWith("Executor task launch") &&
+                  !t.getName.contains("dispatcher") &&
+                  !t.getName.contains("netty") &&
+                  !t.getName.contains("heartbeat") => (s"[${t.getName}] ", st)
+            }
+          else Iterator(("", mainThread.getStackTrace))
+        stacks.foreach { case (tag, st) =>
+          val key = st.iterator.map(_.toString)
+            .filter(f => f.contains("graft.") || f.contains("org.apache.spark"))
+            .take(6).mkString(" <- ")
+          if (key.nonEmpty) samples.add((ts, tag + key))
+        }
         Thread.sleep(10)
       }
     })
@@ -90,6 +105,12 @@ object Profile {
     done.sortBy(-_._2).take(40).foreach { case (j, d) =>
       println(f"  job ${j.id}%4d $d%7.3f s  ${j.site}%-40s ${j.desc.take(80)}")
     }
+    println("-- jobs grouped by callsite --")
+    done.groupBy(_._1.site).map { case (s, js) =>
+      (s, js.size, js.map(_._2).sum)
+    }.toSeq.sortBy(-_._3).foreach { case (s, n, t) =>
+      println(f"  n=$n%3d sum=$t%7.3f s  $s")
+    }
     println("-- slowest stages --")
     stageTimes.sortBy(-_._3).take(25).foreach { case (id, nm, d, nt) =>
       println(f"  stage $id%4d $d%7.3f s tasks=$nt%4d  ${nm.take(100)}")
@@ -107,10 +128,13 @@ object Profile {
     println(f"union of job intervals=$covered%.2f s; uncovered=${tTotal - covered}%.2f s")
     def inJob(ts: Long) = merged.exists { case (a, b) => ts >= a && ts <= b }
     val idleSamples = samples.asScala.toSeq.filterNot(s => inJob(s._1))
-    println(s"-- driver main-thread samples OUTSIDE job intervals (10 ms each, n=${idleSamples.size}) --")
-    idleSamples.map(_._2).groupBy(identity).view.mapValues(_.size).toSeq
-      .sortBy(-_._2).take(30).foreach { case (k, n) =>
-        println(f"  $n%4d  ${k.take(420)}")
+    println(s"-- RUNNABLE driver-side thread samples OUTSIDE job intervals (10 ms each, n=${idleSamples.size}) --")
+    // histogram on the DEEPEST app frame (first in the filtered stack) so
+    // call-path noise does not fragment the buckets
+    idleSamples.map(_._2).groupBy(s => s.split(" <- ").take(2).mkString(" <- "))
+      .view.mapValues(_.size).toSeq
+      .sortBy(-_._2).take(35).foreach { case (k, n) =>
+        println(f"  $n%4d  ${k.take(320)}")
       }
     spark.stop()
   }

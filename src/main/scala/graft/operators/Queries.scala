@@ -979,9 +979,8 @@ object Queries {
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
       val clean = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-      wh.overwrite(clean.localCheckpoint(true), "ev")
-      wh.overwrite(ev.withColumn("value", col("value") * 3)
-        .localCheckpoint(true), "ev") // the bad write
+      wh.overwrite(clean, "ev")
+      wh.overwrite(ev.withColumn("value", col("value") * 3), "ev") // the bad write
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1057,15 +1056,13 @@ object Queries {
     val wh = Warehouse(tmp.toString) // retain=2: the tag is the only pin
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
       spark.sql(s"CALL $cat.system.create_tag('ev', 'clean', 1)")
       (0 to 2).foreach { i => // churn past the retention window
-        wh.overwrite(ev.filter(pmod(col("event_id"), lit(3)) === i)
-          .localCheckpoint(true), "ev")
+        wh.overwrite(ev.filter(pmod(col("event_id"), lit(3)) === i), "ev")
       }
       spark.sql(
         s"""SELECT 'tagged' AS snap, event_type, count(*) AS n_events,
@@ -1097,7 +1094,7 @@ object Queries {
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
         .filter(pmod(col("event_id"), lit(2)) === 0)
-      wh.overwrite(ev.localCheckpoint(true), "ev")
+      wh.overwrite(ev, "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1141,8 +1138,7 @@ object Queries {
         .filter(pmod(col("event_id"), lit(3)) === 0)
       // v1: the even half of the slice — a conditional-PUT-committed
       // first snapshot
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1251,8 +1247,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       Tables.TableProps.write(wh, "ev", Map(
         EqDeletes.ModeProp -> "merge-on-read",
         EqDeletes.KeyProp -> "event_id"))
@@ -1317,8 +1312,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       Tables.TableProps.write(wh, "ev", Map(
         EqDeletes.ModeProp -> "merge-on-read",
         EqDeletes.KeyProp -> "event_id"))
@@ -1401,7 +1395,7 @@ object Queries {
           col("l_quantity"), col("l_returnflag"))
       val li = keyed(raw.filter(pmod(col("l_orderkey"), lit(8)) === 0))
         .localCheckpoint(true)
-      wh.overwrite(li.repartition(4).localCheckpoint(true), "li")
+      wh.overwrite(li.repartition(4), "li")
       Tables.TableProps.write(wh, "li", Map(
         EqDeletes.ModeProp -> "merge-on-read",
         EqDeletes.KeyProp -> "l_orderkey,l_linenumber"))
@@ -1496,7 +1490,7 @@ object Queries {
           when(pmod(col("event_id"), lit(10)) === 0, lit(null))
             .otherwise(col("event_id")).as("event_id"),
           col("event_type"), col("value"))
-      wh.overwrite(seed.repartition(4).localCheckpoint(true), "ev")
+      wh.overwrite(seed.repartition(4), "ev")
       // the EXPERT path (TableProps.write): the DDL guard would refuse
       // declaring MOR over NULL keys — positional tombstones are
       // precisely the representation that serves such rows
@@ -1570,7 +1564,7 @@ object Queries {
               col("event_type") === "click", lit(null))
             .otherwise(col("event_id")).as("event_id"),
           col("event_type"), col("value"))
-      wh.overwrite(seed.repartition(4).localCheckpoint(true), "ev")
+      wh.overwrite(seed.repartition(4), "ev")
       Tables.TableProps.write(wh, "ev", Map(
         EqDeletes.ModeProp -> "merge-on-read",
         EqDeletes.KeyProp -> "event_id"))
@@ -1646,7 +1640,7 @@ object Queries {
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
       wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .repartition(4).localCheckpoint(true), "ev")
+        .repartition(4), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1701,8 +1695,7 @@ object Queries {
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
       (1 to 3).foreach { k =>
-        wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < k)
-          .localCheckpoint(true), "ev")
+        wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < k), "ev")
       }
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -1746,10 +1739,8 @@ object Queries {
         .select("event_id", "ts", "value")
         .filter(pmod(col("event_id"), lit(2)) === 0)
       // two batches: the census must aggregate per DAY across batch dirs
-      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 0)
-        .localCheckpoint(true), "ev", 0L)
-      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 2)
-        .localCheckpoint(true), "ev", 1L)
+      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 0), "ev", 0L)
+      wh.appendBatch(ev.filter(pmod(col("event_id"), lit(4)) === 2), "ev", 1L)
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1777,8 +1768,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1897,8 +1887,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) === 0)
-        .localCheckpoint(true), "m") // v1
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) === 0), "m") // v1
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -1907,10 +1896,8 @@ object Queries {
       // more commits emit hops batch_2 and batch_3
       spark.sql(s"CALL $cat.system.emit_changelog('m', 'feed', 'event_id')")
         .collect()
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 2)
-        .localCheckpoint(true), "m") // v2
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 3)
-        .localCheckpoint(true), "m") // v3
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 2), "m") // v2
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 3), "m") // v3
       spark.sql(s"CALL $cat.system.emit_changelog('m', 'feed', 'event_id')")
         .collect()
       // 'etl' absorbed through v1 only (the laggard, 2 hops behind);
@@ -1942,8 +1929,7 @@ object Queries {
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
       (1 to 4).foreach { k =>
-        wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < k)
-          .localCheckpoint(true), "ev")
+        wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < k), "ev")
       }
       def backdate(v: Long): Unit = {
         val dirP = wh.publishedVersions("ev").collectFirst {
@@ -2000,13 +1986,10 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) === 0)
-        .localCheckpoint(true), "m") // v1
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) === 0), "m") // v1
       MirrorChangelog.emitPending(spark, wh, "m", "feed", "event_id")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 2)
-        .localCheckpoint(true), "m") // v2
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 3)
-        .localCheckpoint(true), "m") // v3
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 2), "m") // v2
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(4)) < 3), "m") // v3
       val hops = MirrorChangelog.emitPending(spark, wh, "m", "feed",
         "event_id")
       require(hops == Seq((1L, 2L), (2L, 3L)), s"staged hops: $hops")
@@ -2077,7 +2060,7 @@ object Queries {
           sha2(concat(col("event_id").cast("string"), lit(s"#$k")), 256)): _*))
       (0 until 6).foreach(i =>
         wh.appendVersioned(ev.filter(pmod(col("event_id"), lit(8)) === i)
-          .coalesce(1).localCheckpoint(true), "ev"))
+          .coalesce(1), "ev"))
       val p0 = wh.snapshotPath("ev")
       val files0 = census(p0)
       require(files0.size == 6, s"six staged appends: $files0")
@@ -2105,7 +2088,7 @@ object Queries {
       // at-grain pair carries by NAME, only the misfits rewrite
       (6 until 8).foreach(i =>
         wh.appendVersioned(ev.filter(pmod(col("event_id"), lit(8)) === i)
-          .coalesce(1).localCheckpoint(true), "ev"))
+          .coalesce(1), "ev"))
       spark.sql(s"CALL $cat.system.compact('ev', 0, ${target2}L)").collect()
       val after = census(wh.snapshotPath("ev"))
       require(packed.subsetOf(after),
@@ -2136,8 +2119,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -2152,7 +2134,7 @@ object Queries {
         .exists(_.getString(1) == "by_type"),
         "SHOW VIEWS must list the created view")
       // not a materialization: the table moves, the view follows
-      wh.overwrite(ev.localCheckpoint(true), "ev")
+      wh.overwrite(ev, "ev")
       val eTt = scala.util.Try(
         spark.sql(s"SELECT * FROM $cat.by_type VERSION AS OF 1").collect())
       require(eTt.isFailure && Iterator.iterate(eTt.failed.get)(_.getCause)
@@ -2184,8 +2166,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -2251,8 +2232,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
       Tables.TableProps.write(wh, "ev", Map(
         EqDeletes.ModeProp -> "merge-on-read",
         EqDeletes.KeyProp -> "event_id"))
@@ -2324,8 +2304,7 @@ object Queries {
     val wh = Warehouse(tmp.toString)
     try {
       wh.overwrite(t(spark, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .localCheckpoint(true), "li")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"), "li")
       graft.plans.Maintenance.cluster(spark, wh, "li",
         Seq("l_quantity"), targetFiles = 8)
       spark.conf.set(s"spark.sql.catalog.$cat",
@@ -2363,9 +2342,8 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 4)
     try {
       val ev = events(spark, dir).select("event_id", "event_type", "value")
-      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .localCheckpoint(true), "ev")
-      wh.overwrite(ev.localCheckpoint(true), "ev")
+      wh.overwrite(ev.filter(pmod(col("event_id"), lit(2)) === 0), "ev")
+      wh.overwrite(ev, "ev")
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
@@ -2441,8 +2419,7 @@ object Queries {
     val wh = Warehouse(tmp.toString, retain = 8)
     try {
       wh.overwrite(events(spark, dir)
-        .select("event_id", "event_type", "value")
-        .localCheckpoint(true), "ev")
+        .select("event_id", "event_type", "value"), "ev")
       graft.plans.Maintenance.cluster(spark, wh, "ev",
         Seq("event_id"), targetFiles = 8)
       spark.conf.set(s"spark.sql.catalog.$cat",

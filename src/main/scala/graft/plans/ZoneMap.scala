@@ -677,6 +677,83 @@ object ZoneMap {
     Some(plan.collect { case (f, true) => f })
   }
 
+  /** Compact per-column-chunk footer statistics, extracted once and
+    * cached JVM-wide by (path, size): data files are IMMUTABLE under the
+    * rename-free publish discipline (a rewrite lands under a new name),
+    * so the footer is a pure function of the (path, size) pair — every
+    * DML's census-narrowing probe and null-key verification walk over a
+    * carried file reuses the first read instead of re-opening the footer.
+    */
+  final case class ChunkStats(statsPresent: Boolean, isEmpty: Boolean,
+      hasNonNull: Boolean, numNullsSet: Boolean, numNulls: Long,
+      min: AnyRef, max: AnyRef)
+  final case class BlockStats(rowCount: Long, cols: Map[String, ChunkStats])
+  final case class FooterStats(records: Long, blocks: Seq[BlockStats])
+
+  private val FooterMemoMax = 8192
+  private val footerMemo =
+    new java.util.LinkedHashMap[(String, Long), FooterStats](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), FooterStats]): Boolean =
+        size() > FooterMemoMax
+    }
+
+  /** LOCAL paths bypass Hadoop's RawLocalFileSystem entirely: its
+    * per-file status checks fork an external `readlink` from this
+    * large-heap JVM (the round-2 checkpoint-manager finding), turning a
+    * microsecond footer open into ~a second — parquet's own
+    * LocalInputFile reads through java.nio.
+    */
+  private[graft] def footerInputFile(full: String,
+      conf: => org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.io.InputFile =
+    if (!full.contains("://") || full.startsWith("file:"))
+      new org.apache.parquet.io.LocalInputFile(
+        java.nio.file.Paths.get(full.stripPrefix("file:")))
+    else org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(full), conf)
+
+  /** The cached footer summary of one data file (see [[FooterStats]]). */
+  private[graft] def footerStats(full: String,
+      conf: => org.apache.hadoop.conf.Configuration): FooterStats = {
+    val size =
+      if (!full.contains("://") || full.startsWith("file:"))
+        try java.nio.file.Files.size(
+          java.nio.file.Paths.get(full.stripPrefix("file:")))
+        catch { case _: java.io.IOException => -1L }
+      else -1L // remote: no cheap size probe — skip the memo, read through
+    val key = (full, size)
+    if (size >= 0L) {
+      val hit = footerMemo.synchronized(footerMemo.get(key))
+      if (hit != null) return hit
+    }
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      footerInputFile(full, conf))
+    val out =
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.map { b =>
+          val cols = b.getColumns.asScala.map { c =>
+            val st = c.getStatistics
+            c.getPath.toDotString -> (
+              if (st == null)
+                ChunkStats(statsPresent = false, isEmpty = true,
+                  hasNonNull = false, numNullsSet = false, 0L, null, null)
+              else ChunkStats(statsPresent = true, st.isEmpty,
+                st.hasNonNullValue, st.isNumNullsSet,
+                if (st.isNumNullsSet) st.getNumNulls else 0L,
+                if (st.hasNonNullValue) st.genericGetMin.asInstanceOf[AnyRef]
+                else null,
+                if (st.hasNonNullValue) st.genericGetMax.asInstanceOf[AnyRef]
+                else null))
+          }.toMap
+          BlockStats(b.getRowCount, cols)
+        }.toSeq
+        FooterStats(r.getRecordCount, blocks)
+      } finally r.close()
+    if (size >= 0L) footerMemo.synchronized { footerMemo.put(key, out); () }
+    out
+  }
+
   /** Footer-stats survivor probe — the MANIFEST-LESS fallback for
     * sidecar-census narrowing: one driver-side parquet FOOTER read per
     * file (column-chunk min/max, no data pages — the same cost class as
@@ -716,38 +793,22 @@ object ZoneMap {
         Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes))
       case _ => None
     }
-    // LOCAL paths bypass Hadoop's RawLocalFileSystem entirely: its
-    // per-file status checks fork an external `readlink` from this
-    // large-heap JVM (the round-2 checkpoint-manager finding), turning
-    // a microsecond footer open into ~a second — parquet's own
-    // LocalInputFile reads through java.nio
     lazy val conf = spark.sessionState.newHadoopConf()
-    def inputFile(rel: String): org.apache.parquet.io.InputFile = {
-      val full = s"$dataPath/$rel"
-      if (!full.contains("://") || full.startsWith("file:"))
-        new org.apache.parquet.io.LocalInputFile(
-          java.nio.file.Paths.get(full.stripPrefix("file:")))
-      else org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(full), conf)
-    }
     val keep = scala.collection.mutable.ArrayBuffer[String]()
     files.foreach { rel =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile(rel))
       val fileKeeps =
-        try r.getFooter.getBlocks.asScala.exists { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-            case Some(c) =>
-              val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) true
-              else (toCat(st.genericGetMin.asInstanceOf[AnyRef]),
-                  toCat(st.genericGetMax.asInstanceOf[AnyRef])) match {
+        footerStats(s"$dataPath/$rel", conf).blocks.exists { b =>
+          b.cols.get(keyCol) match {
+            case Some(st) =>
+              if (!st.statsPresent || st.isEmpty || !st.hasNonNull) true
+              else (toCat(st.min), toCat(st.max)) match {
                 case (Some(mn), Some(mx)) =>
                   anyKeyInRange(sortedKeys, ordering, mn, mx)
                 case _ => return None // unsupported stats type: abort whole probe
               }
             case None => true // pre-key-era block: conservative keep
           }
-        } finally r.close()
+        }
       if (fileKeeps) keep += rel
     }
     Some(keep.toSeq)

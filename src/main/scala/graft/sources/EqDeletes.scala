@@ -145,24 +145,20 @@ private[graft] object EqDeletes {
     val memoKey = s"$snapshotDir#$keyCol"
     if (nullFreeVerified.contains(memoKey)) return
     val files = graft.plans.ZoneMap.dataFileCensus(spark, snapshotDir)
-    val conf = spark.sessionState.newHadoopConf()
+    lazy val conf = spark.sessionState.newHadoopConf()
     var statsNulls = 0L
     var statsUsable = true
     files.iterator.takeWhile(_ => statsUsable && statsNulls == 0L)
       .foreach { rel =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$snapshotDir/$rel"), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.forEach { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol) match {
-            case Some(c) =>
-              val st = c.getStatistics
-              if (st == null || !st.isNumNullsSet) statsUsable = false
-              else statsNulls += st.getNumNulls
-            case None => statsNulls += b.getRowCount // pre-key era: all null
+        graft.plans.ZoneMap.footerStats(s"$snapshotDir/$rel", conf)
+          .blocks.foreach { b =>
+            b.cols.get(keyCol) match {
+              case Some(st) =>
+                if (!st.statsPresent || !st.numNullsSet) statsUsable = false
+                else statsNulls += st.numNulls
+              case None => statsNulls += b.rowCount // pre-key era: all null
+            }
           }
-        } finally r.close()
       }
     val nulls =
       if (statsUsable) statsNulls

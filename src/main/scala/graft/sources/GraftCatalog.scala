@@ -247,25 +247,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a hidden-time-partitioned changelog serves with partition DISCOVERY
     // (p_day/p_batch queryable, day filters prune as PartitionFilters);
     // every other layout reads recursively (batch subdirs, flat versions)
-    if (wh.timePartitionCol(t).isEmpty) opts.put("recursiveFileLookup", "true")
+    val recursive = wh.timePartitionCol(t).isEmpty
+    if (recursive) opts.put("recursiveFileLookup", "true")
     // a just-created empty table has no footers to infer from: serve the
     // declared schema recorded at CREATE TABLE time
     // declared type PROMOTIONS (ALTER COLUMN TYPE — metadata-only, the
     // Iceberg int->long/float->double) must override footer inference:
     // the scan requests the WIDE schema and narrow files promote
     // natively. Eager inference here is amortized by the per-version
-    // resolution cache (promotions only apply to pointer layouts).
+    // resolution cache (promotions only apply to pointer layouts) AND the
+    // census-keyed schema memo: a commit that only hard-link-carries the
+    // same data files (sidecar DML, props, time travel back to a cached
+    // set) reuses the inferred schema instead of re-running the
+    // footer-merge job. Recursive-lookup layouts only — partition
+    // discovery keeps the plain path.
     val widens = SchemaEvolution.declaredWidens(wh, t)
-    val declared =
-      if (hasParquetFiles(path)) {
+    val census =
+      if (recursive) GraftCatalog.schemaCensus(path) else None
+    val memoKey: Option[AnyRef] = census.map { c =>
+      (wh.root, t,
+        widens.toSeq.map { case (k, v) => s"$k:$v" }.sorted.mkString(","),
+        GraftCatalog.schemaConfFp(spark), c)
+    }
+    val memoHit = memoKey.flatMap(GraftCatalog.schemaMemoGet)
+    val declared = memoHit.orElse {
+      if (census.fold(hasParquetFiles(path))(_.nonEmpty)) {
         if (widens.isEmpty) None
         else Some(SchemaEvolution.applyWidens(
           SchemaEvolution.readTableWidened(spark, path).schema, widens))
       } else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)
         .map(DataType.fromJson(_).asInstanceOf[StructType])
         .map(SchemaEvolution.applyWidens(_, widens))
-    ParquetTable(t, spark, new CaseInsensitiveStringMap(opts), Seq(path),
-      declared, classOf[ParquetFileFormat])
+    }
+    val pt = ParquetTable(t, spark, new CaseInsensitiveStringMap(opts),
+      Seq(path), declared, classOf[ParquetFileFormat])
+    if (memoHit.isEmpty && census.exists(_.nonEmpty))
+      memoKey.foreach(k => GraftCatalog.schemaMemoPut(k, pt.schema))
+    pt
   }
 
   private def hasParquetFiles(path: String): Boolean = {
@@ -1570,6 +1588,66 @@ object GraftCatalog {
     */
   val SqlSchemaProp = "sql.schema"
 
+  /** JVM-wide schema memo for FLAT (recursive-lookup) snapshot layouts,
+    * keyed by the snapshot's DATA-FILE CENSUS (relative path + size) plus
+    * the widen-declaration and inference-conf fingerprints. Published
+    * version dirs are immutable and sidecar-only commits hard-link the
+    * SAME data files, so successive versions often share a census — the
+    * footer-merge inference (one Spark job per VERSION since the round-12
+    * pointer cache) collapses to one per DISTINCT FILE SET. The memo never
+    * caches RESULTS, only the schema the same inference would recompute
+    * from the identical immutable files. Bounded LRU; oversized censuses
+    * skip the memo rather than hold multi-thousand-entry keys.
+    */
+  private val SchemaMemoMax = 512
+  private val schemaMemo =
+    new java.util.LinkedHashMap[AnyRef, StructType](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, StructType]): Boolean =
+        size() > SchemaMemoMax
+    }
+  private[sources] def schemaMemoGet(k: AnyRef): Option[StructType] =
+    schemaMemo.synchronized(Option(schemaMemo.get(k)))
+  private[sources] def schemaMemoPut(k: AnyRef, s: StructType): Unit =
+    schemaMemo.synchronized { schemaMemo.put(k, s); () }
+
+  /** Census cap: beyond this many files the memo key itself gets heavy —
+    * skip memoization (inference still runs, exactly as before). */
+  private val SchemaMemoMaxFiles = 1024
+
+  /** Sorted (relative path, size) census of the snapshot's VISIBLE data
+    * files — the same visibility rules as `hasParquetFiles`. None when the
+    * dir is missing or the census exceeds [[SchemaMemoMaxFiles]]. */
+  private[sources] def schemaCensus(path: String): Option[Seq[(String, Long)]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return Some(Seq.empty)
+    val s = java.nio.file.Files.walk(p)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val nm = f.getFileName.toString
+        if (nm.endsWith(".parquet") && !nm.startsWith("_") &&
+            !nm.startsWith(".") &&
+            !p.relativize(f).iterator().asScala.exists(
+              c => c.toString.startsWith("_") || c.toString.startsWith("."))) {
+          if (out.size >= SchemaMemoMaxFiles) return None
+          out += ((p.relativize(f).toString, java.nio.file.Files.size(f)))
+        }
+      }
+      Some(out.sortBy(_._1).toSeq)
+    } finally s.close()
+  }
+
+  /** The session-conf axes parquet schema inference depends on. */
+  private[sources] def schemaConfFp(spark: SparkSession): String =
+    Seq("spark.sql.caseSensitive", "spark.sql.parquet.binaryAsString",
+      "spark.sql.parquet.int96AsTimestamp",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.parquet.fieldId.read.enabled")
+      .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
+
   /** A planning-scale metadata table: rows computed at scan-build time,
     * served via LocalScan (the procedures' result mechanism).
     */
@@ -1619,10 +1697,7 @@ object GraftCatalog {
         // time, a parallel one is seconds (footers only — no data pages)
         import scala.collection.parallel.CollectionConverters._
         files.par.map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          f.toString -> (try r.getRecordCount finally r.close())
+          f.toString -> graft.plans.ZoneMap.footerStats(f.toString, conf).records
         }.toList.toMap
       }
     files.map { f =>
@@ -1689,12 +1764,8 @@ object GraftCatalog {
           case Some(records) => (files.size.toLong, records, bytes)
           case None =>
             import scala.collection.parallel.CollectionConverters._
-            val records = files.par.map { f =>
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getRecordCount finally r.close()
-            }.sum
+            val records = files.par.map(f =>
+              graft.plans.ZoneMap.footerStats(f.toString, conf).records).sum
             (files.size.toLong, records, bytes)
         }
       }
