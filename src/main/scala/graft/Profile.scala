@@ -47,13 +47,16 @@ object Profile {
         open.synchronized { open.remove(j.jobId) }.foreach { jb =>
           val now = System.nanoTime()
           intervals.add((jb.t0, now))
-          done += ((jb, (now - jb.t0) / 1e9)) }
+          // guarded: the main thread reads these buffers after the bus
+          // drains; unsynchronized appends could tear (advice finding)
+          done.synchronized { done += ((jb, (now - jb.t0) / 1e9)); () } }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
         val dur = (for {
           a <- info.completionTime; b <- info.submissionTime
         } yield (a - b) / 1e3).getOrElse(-1.0)
-        stageTimes += ((info.stageId, info.name, dur, info.numTasks))
+        stageTimes.synchronized {
+          stageTimes += ((info.stageId, info.name, dur, info.numTasks)); () }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -98,7 +101,17 @@ object Profile {
     df.count()
     val tTotal = (System.nanoTime() - t0) / 1e9
     sampling = false
-    Thread.sleep(1500) // let the async listener bus drain
+    // drain the async listener bus deterministically (advice finding:
+    // a fixed sleep can miss late job/stage events under load).
+    // listenerBus is private[spark] — reflection, with the old sleep as
+    // the fallback (dev tool; never on a query path)
+    try {
+      val m = spark.sparkContext.getClass.getMethod("listenerBus")
+      val bus = m.invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
+      ()
+    } catch { case _: Throwable => Thread.sleep(1500) }
     println(f"===== $qname total=$tTotal%.2f s (construction=$tPlan%.2f s)")
     val jobSum = done.map(_._2).sum
     println(f"jobs=${done.size} sum=$jobSum%.2f s (gap=${tTotal - jobSum}%.2f s driver-side)")

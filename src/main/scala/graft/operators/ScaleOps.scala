@@ -537,7 +537,13 @@ object ScaleOps {
     */
   private[graft] def bloomProbe(bloomAgg: DataFrame, hash: org.apache.spark.sql.Column,
       hashes: Int = BloomHashes): org.apache.spark.sql.Column =
-    call_function("bloom_might_contain", bloomAgg.scalar(), hash, lit(hashes))
+    // the one-row bitset is pinned BEFORE .scalar(): constraint
+    // propagation can host the subquery at several plan sites (3 in the
+    // committed q74 plan) and ReuseSubquery does not always collapse
+    // them — each copy would re-run the whole bloom-build pipeline
+    // (advice finding). Checkpointed, every copy scans one cached row.
+    call_function("bloom_might_contain",
+      bloomAgg.localCheckpoint(true).scalar(), hash, lit(hashes))
 
   /** Explicit runtime-filter join (the 100 TB join-pruning pattern, made
     * first-class): build a [[graft.functions.BloomBuild]] filter over the

@@ -288,26 +288,54 @@ object TextAnalysis {
     */
   def q28RollingHash(spark: SparkSession, dir: String): DataFrame =
     Queries.t(spark, dir, "documents")
-      .withColumn("codes", expr(
-        // empty-text guard: sequence(1, 0) would generate a DESCENDING
-        // [1, 0] (Spark defaults step to -1), not an empty array
-        """CASE WHEN length(text) > 0 THEN
-          |  transform(sequence(1, length(text)),
-          |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))
-          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
-      .withColumn("full_hash",
-        expr("aggregate(codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"))
-      .withColumn("min_gram_hash", expr(
-        // docs shorter than the gram width have no gram hash (NULL) — and
-        // the guard matters: sequence(1, n) with n < 1 would generate a
-        // DESCENDING sequence (default step -1) and crash slice()
-        """CASE WHEN size(codes) >= 8 THEN
-          |  array_min(transform(sequence(1, size(codes) - 7),
-          |    i -> aggregate(slice(codes, i, 8), 0L,
-          |         (acc, x) -> (acc * 31 + x) % 1000000007)))
-          |ELSE NULL END""".stripMargin))
-      .select(col("doc_id"), col("full_hash"), col("min_gram_hash"),
-        size(col("codes")).cast("long").as("n_chars"))
+      // ONE O(n) pass per document (round 21): the pre-r21 shape
+      // materialized the per-char code array once per consumer (the
+      // projection collapse inlines it into full_hash, min_gram_hash AND
+      // n_chars) and re-hashed every 8-gram from scratch — O(8n) gram
+      // work on ~8 bytes/char of materialized array, the q28 32-core
+      // anti-scaling cliff. This fold keeps the EXACT recurrences:
+      //   full:  h' = (h*31 + x) mod p, seeded 0 (unchanged arithmetic);
+      //   gram:  the window hash SLIDES — H(c[i-7..i]) =
+      //          (H(c[i-8..i-1])*31 + c[i] - c[i-8]*31^8) mod p, with
+      //          891031477 = 31^8 mod 1000000007 and pmod for the
+      //          subtraction; for the first 8 chars (no outgoing char)
+      //          the plain fold branch applies, so every window value is
+      //          bit-identical to the slice-rehash it replaces. The last
+      //          8 codes ride in scalar accumulator fields (no per-char
+      //          array allocation); inline() evaluates the aggregate
+      //          ONCE per row (a struct column selected twice would be
+      //          re-evaluated by projection collapse).
+      .select(col("doc_id"),
+        expr(
+          """inline(array(CASE WHEN length(text) > 0 THEN
+            |  aggregate(
+            |    transform(sequence(1, length(text)),
+            |              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+            |    named_struct(
+            |      'full', 0L, 'win', 0L, 'mg', CAST(NULL AS BIGINT), 'n', 0L,
+            |      'p1', 0L, 'p2', 0L, 'p3', 0L, 'p4', 0L,
+            |      'p5', 0L, 'p6', 0L, 'p7', 0L, 'p8', 0L),
+            |    (acc, x) -> named_struct(
+            |      'full', (acc.full * 31 + x) % 1000000007,
+            |      'win', CASE WHEN acc.n < 8
+            |        THEN (acc.win * 31 + x) % 1000000007
+            |        ELSE pmod(acc.win * 31 + x - acc.p1 * 891031477, 1000000007) END,
+            |      'mg', CASE WHEN acc.n >= 7 THEN
+            |        least(coalesce(acc.mg, 9223372036854775807L),
+            |          CASE WHEN acc.n < 8
+            |            THEN (acc.win * 31 + x) % 1000000007
+            |            ELSE pmod(acc.win * 31 + x - acc.p1 * 891031477, 1000000007) END)
+            |        ELSE CAST(NULL AS BIGINT) END,
+            |      'n', acc.n + 1L,
+            |      'p1', acc.p2, 'p2', acc.p3, 'p3', acc.p4, 'p4', acc.p5,
+            |      'p5', acc.p6, 'p6', acc.p7, 'p7', acc.p8, 'p8', x),
+            |    acc -> named_struct(
+            |      'full_hash', acc.full, 'min_gram_hash', acc.mg))
+            |ELSE named_struct(
+            |  'full_hash', 0L, 'min_gram_hash', CAST(NULL AS BIGINT))
+            |END))""".stripMargin),
+        when(length(col("text")) > 0, length(col("text")))
+          .otherwise(0).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
   /** TF-IDF term scoring: top-3 terms per document (first 50 docs) by

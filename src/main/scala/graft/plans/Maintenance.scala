@@ -74,10 +74,6 @@ object Maintenance {
       compactTimePartitioned(spark, wh, table)
       return
     }
-    // pending equality-delete sidecars (merge-on-read DELETE) fold FIRST
-    // as their own committed rewrite — the flat rewrite below reads raw
-    // files and would resurrect the deleted keys
-    graft.sources.EqDeletes.fold(spark, wh, table)
     // pin the current snapshot (resolved version dir): a stream commit
     // landing mid-rewrite must not swap files out from under the read;
     // the commit below is conditional on this version still being
@@ -89,18 +85,48 @@ object Maintenance {
       beforeRewritePin()
       val expect = wh.currentVersion(table)
       val path = wh.snapshotPath(table)
-      guardPendingSidecars(spark, wh, table, path)
       // A bucket-partitioned mirror must be read via partition discovery
       // (recursiveFileLookup disables it and would silently flatten the
       // layout); flat/batch-subdir tables need the recursive lookup.
       val bucketed = isBucketPartitioned(spark, path)
+      // pending sidecars (equality AND positional) are served by the
+      // LOGICAL read and consumed by this very rewrite in ONE commit —
+      // the pre-r21 fold-then-rewrite shape paid two full read+write
+      // passes (plus two localCheckpoint materializations) per compact.
+      // A sidecar landing mid-attempt moves the pointer, the CAS fails,
+      // and the retry reads it through the same logical view — the
+      // round-20 fold-straggler race class cannot drop it. Bucketed
+      // layouts never carry sidecars (the sidecar writer refuses nested
+      // layouts), so the raw partition-discovery read stays exact.
+      val pendingAny = graft.sources.EqDeletes.anyPending(path)
+      if (pendingAny && bucketed) {
+        // defensive: the sidecar writer refuses nested layouts, so this
+        // combination cannot be produced by the engine — but if a hand-
+        // placed sidecar exists, fold it rather than resurrect its keys
+        graft.sources.EqDeletes.fold(spark, wh, table)
+        throw new java.util.ConcurrentModificationException(
+          s"folded unexpected sidecars on bucketed '$table'; retrying")
+      }
+      val raw =
+        if (pendingAny) {
+          val props = graft.sources.Tables.TableProps.read(wh, table)
+          graft.sources.PosDeletes.logicalRead(spark, path,
+            graft.sources.SchemaEvolution.readTableWidened(spark, path).schema,
+            graft.sources.EqDeletes.keyColsOf(props))
+        } else graft.sources.SchemaEvolution.readTableWidened(spark, path)
       // widened read: batch/bucket dirs may straddle a numeric widening
       // (mergeSchema refuses mixed widths) on top of additive evolution.
-      // materialize BEFORE the commit: for a legacy (real-directory)
-      // table the commit migrates the directory aside first, so a lazy
-      // read through the old path would execute against moved files
-      val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
-        .localCheckpoint(true)
+      // materialize BEFORE the commit ONLY for a legacy (real-directory)
+      // table, whose commit migrates the directory aside before the
+      // callback runs — a lazy read through the old path would execute
+      // against moved files. A versioned (pointer) layout reads an
+      // IMMUTABLE published version dir: the write streams straight from
+      // it with no extra materialization pass, and the rare rival-GC
+      // vanishing-snapshot failure is conflict-shaped (isSnapshotRace)
+      // and retried by retryingConflicts.
+      val df =
+        if (wh.currentVersion(table).isEmpty) raw.localCheckpoint(true)
+        else raw
       // capture markers NOW — the commit may migrate a legacy directory
       // aside before the callback runs (see readRootMarkers)
       val markers = readRootMarkers(path)
@@ -244,11 +270,15 @@ object Maintenance {
     // version alone (at scale an unconditional rewrite is a
     // full-warehouse pass per cron tick)
     if (repack.size <= outFiles && repack.forall(_._2 <= hi)) return false
-    // materialize BEFORE the commit (legacy-directory migration moves
-    // the old path aside); widened read — repacked files may straddle
-    // additive evolution or a numeric widening
+    // widened read — repacked files may straddle additive evolution or a
+    // numeric widening. No materialization: this attempt only runs on
+    // VERSIONED layouts (compactToSize routes legacy dirs through the
+    // count path, whose commit is the one that migrates the directory
+    // aside), so the write streams from an immutable published version
+    // dir; a rival-GC vanishing-snapshot failure is conflict-shaped and
+    // retried by retryingConflicts.
     val df = graft.sources.SchemaEvolution.readWidened(spark,
-      repack.map { case (rel, _) => s"$path/$rel" }).localCheckpoint(true)
+      repack.map { case (rel, _) => s"$path/$rel" })
     val markers = readRootMarkers(path)
     wh.commit(table, expectCurrent = expect) { staged =>
       df.repartition(outFiles).write.mode(SaveMode.Overwrite).parquet(staged)
@@ -303,6 +333,12 @@ object Maintenance {
         throw new UnsupportedOperationException(
           s"'$table' is key-bucket-partitioned (upsert layout). " +
             "Cluster a materialized projection instead.")
+      // the clustered rewrite consumes df 3-4 times (emptiness probe,
+      // stats agg, repartitionByRange's range-sampling pass — which
+      // re-evaluates the z-order bit-interleave expression — and the
+      // write): materializing once beats re-scanning, measured on q215
+      // (2.4 s checkpointed vs 3.4 s lazy). Legacy layouts additionally
+      // NEED it (the commit migrates the real directory aside).
       val df = graft.sources.SchemaEvolution.readTableWidened(spark, path)
         .localCheckpoint(true)
       val missing = dims.filterNot(df.columns.contains)
@@ -348,8 +384,24 @@ object Maintenance {
       targetFiles: Int, bits: Int, bloomKeys: Seq[String],
       bloomBits: Int,
       manifestBloomMaxFiles: Int = ZoneMap.ManifestBloomMaxFiles): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     var zScaling: Option[Seq[(String, Double, Double)]] = None
+    // ONE stats pass computes everything the rewrite needs up front:
+    // the row count (bloom ndv sizing) and, multi-dim, the min/max
+    // bounds — pre-r21 this was up to two separate full actions on an
+    // un-materialized df (plus the caller's isEmpty probe)
+    val needBounds = dims.size > 1
+    val needCount = bloomKeys.nonEmpty
+    val stats: Option[org.apache.spark.sql.Row] =
+      if (!needBounds && !needCount) None
+      else {
+        val aggCols = Seq(count(lit(1)).cast("long").as("_n")) ++
+          (if (needBounds) dims.flatMap(d => Seq(
+            org.apache.spark.sql.functions.min(col(d)).cast("double"),
+            org.apache.spark.sql.functions.max(col(d)).cast("double")))
+          else Nil)
+        Some(df.agg(aggCols.head, aggCols.tail: _*).collect()(0))
+      }
     val ordering: org.apache.spark.sql.Column =
       if (dims.size == 1) col(dims.head)
       else {
@@ -361,17 +413,12 @@ object Maintenance {
         }
         // min-max scale each dim into the bit domain so the interleave
         // preserves locality for ANY numeric range (raw low-bit masking
-        // would scatter values wider than 2^bits); one 1-row agg
-        val st = df.agg(
-          org.apache.spark.sql.functions.min(col(dims.head)).cast("double"),
-          (dims.flatMap(d => Seq(
-            org.apache.spark.sql.functions.min(col(d)).cast("double"),
-            org.apache.spark.sql.functions.max(col(d)).cast("double"))).tail): _*)
-          .collect()(0)
+        // would scatter values wider than 2^bits)
+        val st = stats.get
         val bounds = dims.zipWithIndex.map { case (d, i) =>
           // all-null dim: no stats, no locality to keep
           def at(j: Int) = if (st.isNullAt(j)) 0.0 else st.getDouble(j)
-          (d, at(2 * i), at(2 * i + 1))
+          (d, at(1 + 2 * i), at(1 + 2 * i + 1))
         }
         zScaling = Some(bounds)
         zOrderColumn(bounds, bits)
@@ -388,7 +435,8 @@ object Maintenance {
         // expected distinct keys per file: row count is an upper bound
         // (over-sizing only wastes footer bytes, never correctness);
         // floored so tiny rewrites still get a usable filter
-        val ndvPerFile = math.max(1024L, df.count() / math.max(1, targetFiles))
+        val ndvPerFile =
+          math.max(1024L, stats.get.getLong(0) / math.max(1, targetFiles))
         bloomKeys.foldLeft(base) { (w, k) =>
           w.option(s"parquet.bloom.filter.enabled#$k", "true")
             .option(s"parquet.bloom.filter.expected.ndv#$k", ndvPerFile.toString)

@@ -691,10 +691,15 @@ object ZoneMap {
   final case class FooterStats(records: Long, blocks: Seq[BlockStats])
 
   private val FooterMemoMax = 8192
+  // keyed (path, size, mtime): the rename-free publish discipline makes
+  // (path, size) identify immutable content, but mtime hardens the memo
+  // against an out-of-band in-place rewrite landing at the same size
+  // (advice finding) — readAttributes returns both in the one stat call
+  // the size probe already paid
   private val footerMemo =
-    new java.util.LinkedHashMap[(String, Long), FooterStats](256, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long), FooterStats](256, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), FooterStats]): Boolean =
+          e: java.util.Map.Entry[(String, Long, Long), FooterStats]): Boolean =
         size() > FooterMemoMax
     }
 
@@ -716,13 +721,17 @@ object ZoneMap {
   /** The cached footer summary of one data file (see [[FooterStats]]). */
   private[graft] def footerStats(full: String,
       conf: => org.apache.hadoop.conf.Configuration): FooterStats = {
-    val size =
+    val (size, mtime) =
       if (!full.contains("://") || full.startsWith("file:"))
-        try java.nio.file.Files.size(
-          java.nio.file.Paths.get(full.stripPrefix("file:")))
-        catch { case _: java.io.IOException => -1L }
-      else -1L // remote: no cheap size probe — skip the memo, read through
-    val key = (full, size)
+        try {
+          val attrs = java.nio.file.Files.readAttributes(
+            java.nio.file.Paths.get(full.stripPrefix("file:")),
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (attrs.size(), attrs.lastModifiedTime().toMillis)
+        }
+        catch { case _: java.io.IOException => (-1L, -1L) }
+      else (-1L, -1L) // remote: no cheap stat — skip the memo, read through
+    val key = (full, size, mtime)
     if (size >= 0L) {
       val hit = footerMemo.synchronized(footerMemo.get(key))
       if (hit != null) return hit

@@ -312,8 +312,10 @@ private[graft] object EqDeletes {
         .parquet(files.map(f => s"$snapshotDir/$f"): _*)
       applicable.foldLeft(df) { (acc, sc) =>
         val kc = sc.storedKeyCols.getOrElse(keyCols)
+        // no dropDuplicates: LEFT ANTI only tests existence — deduping
+        // cost an aggregate+exchange stage per sidecar per fold
         acc.join(broadcast(spark.read.parquet(sc.keysPath)
-          .toDF(kc: _*).dropDuplicates(kc)),
+          .toDF(kc: _*)),
           kc, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -361,10 +363,15 @@ private[graft] object EqDeletes {
           .flatten.filterNot(posAffected)
         val affected = all.filterNot(untouched.toSet)
         val schema = SchemaEvolution.readTableWidened(spark, snap).schema
+        // lazy: the staged write streams survivors straight from the
+        // PINNED snapshot's immutable files (merge-on-read tables are
+        // always versioned) — no localCheckpoint materialization pass.
+        // A rival-GC vanishing-snapshot failure mid-write is conflict-
+        // shaped (isSnapshotRace) and retried by retryingConflicts.
         val survivors =
           if (affected.isEmpty) None
           else Some(PosDeletes.logicalRead(spark, snap, schema, keyColsOpt,
-            filesSubset = Some(affected)).localCheckpoint(true))
+            filesSubset = Some(affected)))
         val markers = Tables.readRootMarkers(snap)
         beforeFoldCommit()
         wh.commit(table, expectCurrent = expect) { staged =>

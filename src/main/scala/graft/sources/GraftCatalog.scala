@@ -262,8 +262,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // footer-merge job. Recursive-lookup layouts only — partition
     // discovery keeps the plain path.
     val widens = SchemaEvolution.declaredWidens(wh, t)
-    val census =
-      if (recursive) GraftCatalog.schemaCensus(path) else None
+    // partition-discovery layouts memo too (round 21): their schema —
+    // footer-merged data columns plus the dir-name-derived partition
+    // columns — is a pure function of the same (file census, confs) key;
+    // an in-place changelog resolving between appends hits the memo
+    // instead of re-running the footer-merge inference job per query
+    val census = GraftCatalog.schemaCensus(path)
     val memoKey: Option[AnyRef] = census.map { c =>
       (wh.root, t,
         widens.toSeq.map { case (k, v) => s"$k:$v" }.sorted.mkString(","),
@@ -1621,6 +1625,16 @@ object GraftCatalog {
   private[sources] def schemaCensus(path: String): Option[Seq[(String, Long)]] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(p)) return Some(Seq.empty)
+    // a concurrent retention GC deleting a version mid-walk throws from
+    // the walk or the per-file size stat — degrade to the un-memoized
+    // path (advice finding), exactly like the >1024-file case
+    try schemaCensusWalk(p)
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException =>
+      None }
+  }
+
+  private def schemaCensusWalk(p: java.nio.file.Path)
+      : Option[Seq[(String, Long)]] = {
     val s = java.nio.file.Files.walk(p)
     try {
       val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
@@ -1640,12 +1654,20 @@ object GraftCatalog {
     } finally s.close()
   }
 
-  /** The session-conf axes parquet schema inference depends on. */
+  /** The session-conf axes parquet schema inference depends on —
+    * including (advice finding) mergeSchema and the datetime-rebase
+    * modes, and (round 21, partition-discovery memoization) partition
+    * column type inference.
+    */
   private[sources] def schemaConfFp(spark: SparkSession): String =
     Seq("spark.sql.caseSensitive", "spark.sql.parquet.binaryAsString",
       "spark.sql.parquet.int96AsTimestamp",
       "spark.sql.parquet.inferTimestampNTZ.enabled",
-      "spark.sql.parquet.fieldId.read.enabled")
+      "spark.sql.parquet.fieldId.read.enabled",
+      "spark.sql.parquet.mergeSchema",
+      "spark.sql.parquet.datetimeRebaseModeInRead",
+      "spark.sql.parquet.int96RebaseModeInRead",
+      "spark.sql.sources.partitionColumnTypeInference.enabled")
       .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
 
   /** A planning-scale metadata table: rows computed at scan-build time,

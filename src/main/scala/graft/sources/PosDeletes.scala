@@ -211,8 +211,11 @@ private[graft] object PosDeletes {
         EqDeletes.bySignature(files, eq).map { case (fs, applicable) =>
           val part = df.filter(col("_gf_file").isin(fs: _*))
           applicable.foldLeft(part) { (acc, sc) =>
+            // no dropDuplicates: LEFT ANTI only tests existence, so
+            // duplicate build-side keys change nothing — deduping cost
+            // an aggregate+exchange stage per sidecar per scan
             acc.join(spark.read.parquet(sc.keysPath)
-              .toDF(ks: _*).dropDuplicates(ks), ks, "left_anti")
+              .toDF(ks: _*), ks, "left_anti")
           }
         }.reduce(_.unionByName(_))
       }
