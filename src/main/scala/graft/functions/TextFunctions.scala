@@ -143,3 +143,97 @@ object Md5Prefix64 {
     (v << 4) | ((d(7) & 0xF0L) >>> 4)
   }
 }
+
+/** Native Catalyst expression for q28's polynomial rolling-hash kernel:
+  * `rolling_hash_stats(text)` returns
+  * `struct<full_hash BIGINT, min_gram_hash BIGINT, n_chars BIGINT>` in one
+  * tight pass over the string's code points — the whole-document hash
+  * h = fold((acc*31 + code) mod p), the MINIMUM 8-codepoint-gram rolling
+  * hash (winnowing min-fingerprint; NULL below 8 code points), and the
+  * code-point count.
+  *
+  * Why it exists: the SQL formulation (kept verbatim in the oracle)
+  * materializes a BIGINT code array per document — once per consuming
+  * column after projection collapse — and re-folds every 8-gram from
+  * scratch through the interpreted higher-order-function evaluator:
+  * O(9n) interpreted lambda dispatches plus ~24 bytes/char of transient
+  * arrays per row, measured as the q28 32-core anti-scaling cliff
+  * (allocation pressure scales with concurrent tasks). Here: one loop,
+  * four longs and an 8-slot ring buffer, zero per-char allocation.
+  *
+  * SEMANTICS GUARD — must equal the SQL exactly:
+  *  - iteration is per CODE POINT (Spark's `length`/`substring`/`ascii`
+  *    all operate on code points, surrogate pairs included);
+  *  - the gram hash slides: H(c[i-7..i]) = (H(c[i-8..i-1])*31 + c[i]
+  *    - c[i-8]*31^8) mod p with 31^8 mod 1000000007 = 891031477 and
+  *    floor-mod for the subtraction — every window value is the same
+  *    residue in [0, p) the slice-refold produces;
+  *  - NULL/empty text yields (0, NULL, 0), the fold-over-empty-array
+  *    seeds of the SQL shape (never a NULL row).
+  * CodegenFallback like [[MultiSubstrCount]]: the eval is one primitive
+  * loop; fusing it into generated Java buys nothing measurable.
+  */
+case class RollingHashStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash_stats requires STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("full_hash",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("min_gram_hash",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "rolling_hash_stats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) RollingHashStats.empty
+    else RollingHashStats.compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashStats =
+    copy(child = newChild)
+}
+
+object RollingHashStats {
+  private val P = 1000000007L
+  private val Pow8 = 891031477L // 31^8 mod P
+
+  private[functions] def empty =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, null, 0L))
+
+  private[functions] def compute(u: UTF8String): Any = {
+    val s = u.toString
+    val len = s.length
+    if (len == 0) return empty
+    var full = 0L
+    var win = 0L
+    var mg = Long.MaxValue
+    var n = 0L // code points processed
+    val ring = new Array[Long](8) // ring(j % 8) holds code point j-8
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      full = (full * 31L + cp) % P
+      if (n < 8L) win = (win * 31L + cp) % P
+      else {
+        val x = (win * 31L + cp - ring((n % 8L).toInt) * Pow8) % P
+        win = if (x < 0L) x + P else x
+      }
+      ring((n % 8L).toInt) = cp
+      n += 1L
+      if (n >= 8L && win < mg) mg = win
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](full, if (n >= 8L) java.lang.Long.valueOf(mg) else null, n))
+  }
+}

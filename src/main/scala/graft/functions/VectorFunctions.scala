@@ -113,6 +113,10 @@ object GraftFunctions {
       HeavyHittersName, heavyHittersBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "multi_substr_count", multiSubstrCountBuilder _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash_stats",
+      (children: Seq[Expression]) => RollingHashStats(children(0)),
+      "built-in")
     // the plan-quality rule travels WITH the functions: without it a
     // session the engine did not build (the driver's Verify/Bench
     // harnesses) plans struct-payload max_by as SortAggregate — measured

@@ -27,8 +27,18 @@ import graft.CdcConfig
   */
 object Queries {
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // explicit footer schema (round 21): a bare read.parquet runs one
+    // schema-inference JOB per call, and the suite constructs hundreds
+    // of input reads — the driver-side shortcut serves the identical
+    // schema from the (memoized) footer; heterogeneous/unreadable
+    // layouts fall back to the inferring read unchanged
+    val p = s"$dir/$name.parquet"
+    graft.sources.SchemaEvolution.uniformFooterSchema(spark, p) match {
+      case Some(s) => spark.read.schema(s).parquet(p)
+      case None => spark.read.parquet(p)
+    }
+  }
 
   /** events.ts arrives at whatever precision the generator wrote — parquet
     * TIMESTAMP(NANOS) (Spark refuses by default; read as epoch-nano long via

@@ -286,57 +286,23 @@ object TextAnalysis {
     * arithmetic — identical in both engines (Spark's 0-seeded fold equals
     * DuckDB's first-element-seeded list_reduce for this recurrence).
     */
-  def q28RollingHash(spark: SparkSession, dir: String): DataFrame =
+  def q28RollingHash(spark: SparkSession, dir: String): DataFrame = {
+    // ONE native pass per document (round 21): the pre-r21 SQL shape
+    // (kept verbatim in the oracle) materialized the per-char code array
+    // once per consuming column (projection collapse inlines it into
+    // full_hash, min_gram_hash AND n_chars) and re-folded every 8-gram
+    // from scratch through the interpreted higher-order-function
+    // evaluator — the q28 32-core anti-scaling cliff (allocation
+    // pressure scales with concurrent tasks). [[graft.functions.
+    // RollingHashStats]] computes the identical residues in one tight
+    // code-point loop; inline() surfaces the struct's fields as columns
+    // with a single evaluation per row.
+    graft.functions.GraftFunctions.register(spark)
     Queries.t(spark, dir, "documents")
-      // ONE O(n) pass per document (round 21): the pre-r21 shape
-      // materialized the per-char code array once per consumer (the
-      // projection collapse inlines it into full_hash, min_gram_hash AND
-      // n_chars) and re-hashed every 8-gram from scratch — O(8n) gram
-      // work on ~8 bytes/char of materialized array, the q28 32-core
-      // anti-scaling cliff. This fold keeps the EXACT recurrences:
-      //   full:  h' = (h*31 + x) mod p, seeded 0 (unchanged arithmetic);
-      //   gram:  the window hash SLIDES — H(c[i-7..i]) =
-      //          (H(c[i-8..i-1])*31 + c[i] - c[i-8]*31^8) mod p, with
-      //          891031477 = 31^8 mod 1000000007 and pmod for the
-      //          subtraction; for the first 8 chars (no outgoing char)
-      //          the plain fold branch applies, so every window value is
-      //          bit-identical to the slice-rehash it replaces. The last
-      //          8 codes ride in scalar accumulator fields (no per-char
-      //          array allocation); inline() evaluates the aggregate
-      //          ONCE per row (a struct column selected twice would be
-      //          re-evaluated by projection collapse).
       .select(col("doc_id"),
-        expr(
-          """inline(array(CASE WHEN length(text) > 0 THEN
-            |  aggregate(
-            |    transform(sequence(1, length(text)),
-            |              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-            |    named_struct(
-            |      'full', 0L, 'win', 0L, 'mg', CAST(NULL AS BIGINT), 'n', 0L,
-            |      'p1', 0L, 'p2', 0L, 'p3', 0L, 'p4', 0L,
-            |      'p5', 0L, 'p6', 0L, 'p7', 0L, 'p8', 0L),
-            |    (acc, x) -> named_struct(
-            |      'full', (acc.full * 31 + x) % 1000000007,
-            |      'win', CASE WHEN acc.n < 8
-            |        THEN (acc.win * 31 + x) % 1000000007
-            |        ELSE pmod(acc.win * 31 + x - acc.p1 * 891031477, 1000000007) END,
-            |      'mg', CASE WHEN acc.n >= 7 THEN
-            |        least(coalesce(acc.mg, 9223372036854775807L),
-            |          CASE WHEN acc.n < 8
-            |            THEN (acc.win * 31 + x) % 1000000007
-            |            ELSE pmod(acc.win * 31 + x - acc.p1 * 891031477, 1000000007) END)
-            |        ELSE CAST(NULL AS BIGINT) END,
-            |      'n', acc.n + 1L,
-            |      'p1', acc.p2, 'p2', acc.p3, 'p3', acc.p4, 'p4', acc.p5,
-            |      'p5', acc.p6, 'p6', acc.p7, 'p7', acc.p8, 'p8', x),
-            |    acc -> named_struct(
-            |      'full_hash', acc.full, 'min_gram_hash', acc.mg))
-            |ELSE named_struct(
-            |  'full_hash', 0L, 'min_gram_hash', CAST(NULL AS BIGINT))
-            |END))""".stripMargin),
-        when(length(col("text")) > 0, length(col("text")))
-          .otherwise(0).cast("long").as("n_chars"))
+        expr("inline(array(rolling_hash_stats(text)))"))
       .orderBy(col("doc_id"))
+  }
 
   /** TF-IDF term scoring: top-3 terms per document (first 50 docs) by
     * tf * ln((N+1)/(df+1)), rounded to 6 decimals for cross-engine rank

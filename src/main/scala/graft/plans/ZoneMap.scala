@@ -218,9 +218,19 @@ object ZoneMap {
         col(s"bloomhashes_$key"))
       .head(1).headOption.map(r => (r.getInt(0), r.getInt(1)))
 
-  /** The manifest as a DataFrame (planning-time metadata, not row data). */
-  def manifest(spark: SparkSession, dataPath: String): DataFrame =
-    spark.read.parquet(s"$dataPath/$ManifestDir")
+  /** The manifest as a DataFrame (planning-time metadata, not row data).
+    * Schema served driver-side from the (memoized) footer when the
+    * manifest's files agree — a bare read.parquet ran one inference JOB
+    * per manifest consultation (count-fast, lookup, splice staleness
+    * checks each consult it several times per statement).
+    */
+  def manifest(spark: SparkSession, dataPath: String): DataFrame = {
+    val p = s"$dataPath/$ManifestDir"
+    graft.sources.SchemaEvolution.uniformFooterSchema(spark, p) match {
+      case Some(s) => spark.read.schema(s).parquet(p)
+      case None => spark.read.parquet(p)
+    }
+  }
 
   private[plans] def hasManifest(spark: SparkSession, dataPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dataPath, ManifestDir)
@@ -688,7 +698,11 @@ object ZoneMap {
       hasNonNull: Boolean, numNullsSet: Boolean, numNulls: Long,
       min: AnyRef, max: AnyRef)
   final case class BlockStats(rowCount: Long, cols: Map[String, ChunkStats])
-  final case class FooterStats(records: Long, blocks: Seq[BlockStats])
+  /** `schemaStr` is the footer's parquet MessageType rendered by its own
+    * toString — canonical and re-parseable (MessageTypeParser), kept so
+    * driver-side schema shortcuts need no second footer open. */
+  final case class FooterStats(records: Long, blocks: Seq[BlockStats],
+      schemaStr: String)
 
   private val FooterMemoMax = 8192
   // keyed (path, size, mtime): the rename-free publish discipline makes
@@ -757,7 +771,8 @@ object ZoneMap {
           }.toMap
           BlockStats(b.getRowCount, cols)
         }.toSeq
-        FooterStats(r.getRecordCount, blocks)
+        FooterStats(r.getRecordCount, blocks,
+          r.getFooter.getFileMetaData.getSchema.toString)
       } finally r.close()
     if (size >= 0L) footerMemo.synchronized { footerMemo.put(key, out); () }
     out

@@ -256,6 +256,20 @@ private[graft] object EqDeletes {
             "bound to the declared key; restore the property")))
     else SchemaEvolution.readTableWidened(spark, snapshotDir)
 
+  /** One sidecar's key frame with its schema served DRIVER-SIDE from the
+    * (memoized) footer instead of a per-construction Spark inference job
+    * — a stack of k pending sidecars read by a fold/logical plan paid k
+    * inference jobs per statement before round 21. Falls back to the
+    * inferring read when the footer shortcut declines (multi-schema or
+    * unreadable — cannot happen for frames this engine writes).
+    */
+  private[sources] def readKeyFrame(spark: SparkSession,
+      sc: Sidecar): DataFrame =
+    SchemaEvolution.uniformFooterSchema(spark, sc.keysPath) match {
+      case Some(s) => spark.read.schema(s).parquet(sc.keysPath)
+      case None => spark.read.parquet(sc.keysPath)
+    }
+
   /** Pending sidecars of a snapshot dir, oldest first. */
   def pending(snapshotDir: String): Seq[Sidecar] = {
     val root = Paths.get(snapshotDir, Dir)
@@ -314,7 +328,7 @@ private[graft] object EqDeletes {
         val kc = sc.storedKeyCols.getOrElse(keyCols)
         // no dropDuplicates: LEFT ANTI only tests existence — deduping
         // cost an aggregate+exchange stage per sidecar per fold
-        acc.join(broadcast(spark.read.parquet(sc.keysPath)
+        acc.join(broadcast(readKeyFrame(spark, sc)
           .toDF(kc: _*)),
           kc, "left_anti")
       }

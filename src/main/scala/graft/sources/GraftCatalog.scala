@@ -276,7 +276,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val memoHit = memoKey.flatMap(GraftCatalog.schemaMemoGet)
     val declared = memoHit.orElse {
       if (census.fold(hasParquetFiles(path))(_.nonEmpty)) {
-        if (widens.isEmpty) None
+        if (widens.isEmpty)
+          // memo miss on a flat layout: when every footer agrees, the
+          // schema is computed DRIVER-SIDE (memoized footer opens, no
+          // Spark inference job — round 21); partition-discovery
+          // layouts and heterogeneous dirs decline to the normal
+          // ParquetTable inference
+          (if (recursive)
+            SchemaEvolution.uniformFooterSchema(spark, path, census)
+          else None)
         else Some(SchemaEvolution.applyWidens(
           SchemaEvolution.readTableWidened(spark, path).schema, widens))
       } else TableProps.read(wh, t).get(GraftCatalog.SqlSchemaProp)

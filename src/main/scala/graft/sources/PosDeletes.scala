@@ -213,8 +213,10 @@ private[graft] object PosDeletes {
           applicable.foldLeft(part) { (acc, sc) =>
             // no dropDuplicates: LEFT ANTI only tests existence, so
             // duplicate build-side keys change nothing — deduping cost
-            // an aggregate+exchange stage per sidecar per scan
-            acc.join(spark.read.parquet(sc.keysPath)
+            // an aggregate+exchange stage per sidecar per scan.
+            // explicit footer schema: a bare read.parquet runs one
+            // schema-inference JOB per sidecar per plan construction
+            acc.join(EqDeletes.readKeyFrame(spark, sc)
               .toDF(ks: _*), ks, "left_anti")
           }
         }.reduce(_.unionByName(_))

@@ -273,7 +273,66 @@ object SchemaEvolution {
     * across buckets) and keeps partition discovery; a flat/batch-subdir
     * layout infers per immediate subdir.
     */
+  /** Driver-side uniform-footer schema shortcut (round 21): when a flat
+    * layout's ≤64 visible data files all carry the SAME parquet schema,
+    * the inference Spark would run as a distributed footer-merge JOB is
+    * computed on the driver instead — the same
+    * ParquetToSparkSchemaConverter Spark's own inference uses, nullable-
+    * relaxed exactly as both the V1 read path and V2 ParquetTable relax
+    * it (probed empirically; identical StructType by construction, since
+    * merging N identical schemas is that schema). Declines — returning
+    * None, caller infers as before — on: census unavailable/oversized,
+    * empty dirs, partition-dir layouts (`=` components add discovered
+    * columns), heterogeneous footers (evolution straddles), or any read
+    * failure. Footer opens ride the [[graft.plans.ZoneMap.footerStats]]
+    * memo, so repeated resolutions of the same immutable snapshot cost
+    * zero I/O.
+    */
+  private val UniformSchemaMaxFiles = 64
+  def uniformFooterSchema(spark: SparkSession, path: String,
+      censusOpt: Option[Seq[(String, Long)]] = None): Option[StructType] = {
+    // a plain single-file table (the testdata layout) is its own census
+    val fileCensus: Option[Seq[(String, Long)]] =
+      if (censusOpt.isDefined) None
+      else try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isRegularFile(p))
+          Some(Seq(("", java.nio.file.Files.size(p))))
+        else None
+      } catch { case _: java.io.IOException => None }
+    val census = censusOpt.orElse(fileCensus)
+      .orElse(GraftCatalog.schemaCensus(path))
+      .getOrElse(return None)
+    if (census.isEmpty || census.size > UniformSchemaMaxFiles) return None
+    if (census.exists(_._1.contains("="))) return None
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      // parallel first-touch: the memo makes repeats free, but a cold
+      // snapshot pays one footer open per file — read them like
+      // fileCensus does (footers only, no data pages)
+      import scala.collection.parallel.CollectionConverters._
+      val schemas = census.par.map { case (rel, _) =>
+        graft.plans.ZoneMap.footerStats(
+          if (rel.isEmpty) path else s"$path/$rel", conf).schemaStr
+      }.toSet.seq
+      if (schemas.size != 1) return None
+      val msg = org.apache.parquet.schema.MessageTypeParser
+        .parseMessageType(schemas.head)
+      val converted = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+      Some(StructType(converted.map(f => f.copy(nullable = true))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def readTableWidened(spark: SparkSession, root: String): DataFrame = {
+    // driver-side shortcut first: a uniform flat snapshot reads under its
+    // footer schema with NO inference job (identical result — see
+    // uniformFooterSchema; heterogeneous/bucketed layouts decline and
+    // take the paths below unchanged)
+    uniformFooterSchema(spark, root).foreach { s =>
+      return spark.read.schema(s)
+        .option("recursiveFileLookup", "true").parquet(root)
+    }
     // FAST PATH: resolve the layout and try one plain mergeSchema read —
     // the pre-evolution behavior, byte-identical cost. Only a width
     // conflict falls through to the per-group widened merge below.

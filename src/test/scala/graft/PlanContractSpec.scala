@@ -470,8 +470,26 @@ class PlanContractSpec extends SparkTestBase {
   test("q74: owned bloom filter builds map-side-combined; the probe prunes the fact before its join") {
     val df = graft.operators.ScaleOps.q74BloomPruneJoin(spark, dir)
     val p = plan(df)
-    assert(p.contains("partial_bloom_build"),
-      s"bloom build must be a partial+final aggregate (one bitset per partition crosses the wire):\n${p.take(2000)}")
+    // round 21: the one-row bitset is PINNED (localCheckpoint) before
+    // .scalar(), so constraint-propagated subquery copies scan the one
+    // cached row instead of each re-running the whole bloom-build
+    // pipeline (advice finding) — the plan must show the subquery over
+    // the materialized relation, NOT a live bloom_build aggregate
+    assert(p.contains("bloom_might_contain(Subquery"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD[bf"),
+      s"the bloom bitset subquery must scan the pinned one-row result:\n${p.take(2000)}")
+    assert(!p.contains("partial_bloom_build"),
+      "the bloom build must run ONCE at construction, not inside the query plan per subquery copy")
+    // the build itself stays a partial+final aggregate (one bitset per
+    // partition crosses the wire) — asserted on the build's own shape
+    val dim = graft.operators.Queries.t(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val buildPlan = plan(dim.agg(
+      org.apache.spark.sql.functions.expr(
+        "bloom_build(xxhash64(o_orderkey), 65536, 5)").as("bf")))
+    assert(buildPlan.contains("partial_bloom_build"),
+      s"bloom build must be a partial+final aggregate:\n${buildPlan.take(2000)}")
     assert(p.contains("bloom_might_contain"), p.take(2000))
     // the probe must run BELOW the exact orderkey join: in the plan tree the
     // filter line is deeper than the last join line
