@@ -476,8 +476,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             StructField("applies_to_files", LongType, nullable = false))),
           () => {
             val snap = wh.snapshotPath(t)
+            val hconf = spark.sessionState.newHadoopConf()
             val eq = EqDeletes.pending(snap).map { sc =>
-              val keys = spark.read.parquet(sc.keysPath).count()
+              // footer record counts (memoized, sidecars immutable) —
+              // the "no data read" promise; the old spark.read.count
+              // paid one Spark JOB per pending sidecar
+              val kd = java.nio.file.Paths.get(sc.keysPath)
+              val s = java.nio.file.Files.list(kd)
+              val keys =
+                try {
+                  import scala.jdk.CollectionConverters._
+                  s.iterator().asScala
+                    .filter(_.getFileName.toString.endsWith(".parquet"))
+                    .map(f => graft.plans.ZoneMap
+                      .footerStats(f.toString, hconf).records)
+                    .sum
+                } finally s.close()
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(sc.dir.getFileName.toString),
                 UTF8String.fromString("equality"), keys,

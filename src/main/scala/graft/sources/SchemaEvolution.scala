@@ -245,6 +245,14 @@ object SchemaEvolution {
   def readWidened(spark: SparkSession, groups: Seq[String],
       recursive: Boolean = true): DataFrame = {
     require(groups.nonEmpty, "no paths to read")
+    // uniform shortcut across ALL groups (round 21): when every group
+    // resolves to the same single footer schema, read under it with no
+    // inference job — identical to mergeSchema over identical schemas
+    val perGroup = groups.map(g => uniformFooterSchema(spark, g))
+    if (perGroup.forall(_.isDefined) && perGroup.flatten.distinct.size == 1)
+      return spark.read.schema(perGroup.head.get)
+        .option("recursiveFileLookup", recursive.toString)
+        .parquet(groups: _*)
     // FAST PATH first: plain mergeSchema handles the overwhelmingly
     // common cases (uniform schema, additive columns, renames — which
     // merge as distinct names) with one distributed footer pass;

@@ -148,13 +148,24 @@ object Tables {
       * version is retained (current + one previous, see [[commit]] GC).
       */
     def read(spark: SparkSession, name: String,
-        mergeSchema: Boolean = false): DataFrame =
-      spark.read.option("recursiveFileLookup", "true")
-        // mergeSchema for multi-batch layouts that may straddle a schema
-        // evolution (the changelog); versioned single-write tables are
-        // uniform and skip the extra footer reads
-        .option("mergeSchema", mergeSchema.toString)
-        .parquet(snapshotPath(name))
+        mergeSchema: Boolean = false): DataFrame = {
+      val p = snapshotPath(name)
+      // uniform-footer shortcut (round 21): identical schema served
+      // driver-side, no inference job; heterogeneous layouts decline
+      // and take the inferring read below unchanged
+      SchemaEvolution.uniformFooterSchema(spark, p) match {
+        case Some(s) =>
+          spark.read.schema(s).option("recursiveFileLookup", "true")
+            .parquet(p)
+        case None =>
+          spark.read.option("recursiveFileLookup", "true")
+            // mergeSchema for multi-batch layouts that may straddle a
+            // schema evolution (the changelog); versioned single-write
+            // tables are uniform and skip the extra footer reads
+            .option("mergeSchema", mergeSchema.toString)
+            .parquet(p)
+      }
+    }
 
     /** Current version directory of `name` (symlink resolved), or the
       * plain table path for legacy/non-versioned layouts.
@@ -694,9 +705,17 @@ object Tables {
         .getOrElse(throw new NoSuchElementException(
           s"$name has no retained version $version (published only) " +
             s"(retained: ${listVersions(name).mkString(", ")}; retain=$retain)"))
-      spark.read.option("recursiveFileLookup", "true")
-        .option("mergeSchema", mergeSchema.toString)
-        .parquet(p.toString)
+      // uniform-footer shortcut — see [[read]]; a retained version dir
+      // is immutable, so the memoized footers make re-reads free
+      SchemaEvolution.uniformFooterSchema(spark, p.toString) match {
+        case Some(s) =>
+          spark.read.schema(s).option("recursiveFileLookup", "true")
+            .parquet(p.toString)
+        case None =>
+          spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", mergeSchema.toString)
+            .parquet(p.toString)
+      }
     }
 
     /** Overwrite via an atomic versioned commit (see [[commit]]). */
