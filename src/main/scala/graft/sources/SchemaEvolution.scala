@@ -297,6 +297,26 @@ object SchemaEvolution {
     * zero I/O.
     */
   private val UniformSchemaMaxFiles = 64
+
+  /** Per-(path, census) memo of the uniformity DECISION: the footer
+    * schema string when uniform, None when not — so a heterogeneous
+    * (evolution-straddling) dir declines once per distinct file set
+    * instead of re-reading its footers on every resolution. The value
+    * is conf-independent (raw parquet MessageType text); conversion to
+    * a StructType happens per call under the live SQLConf. Same
+    * immutability contract as the r20 schema memo: published version
+    * dirs are rename-free, and the footer memo's mtime key guards the
+    * underlying reads.
+    */
+  private val UniformMemoMax = 1024
+  private val uniformMemo =
+    new java.util.LinkedHashMap[(String, Seq[(String, Long)]), Option[String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[(String, Long)]), Option[String]])
+          : Boolean = size() > UniformMemoMax
+    }
+
   def uniformFooterSchema(spark: SparkSession, path: String,
       censusOpt: Option[Seq[(String, Long)]] = None): Option[StructType] = {
     // a plain single-file table (the testdata layout) is its own census
@@ -314,21 +334,31 @@ object SchemaEvolution {
     if (census.isEmpty || census.size > UniformSchemaMaxFiles) return None
     if (census.exists(_._1.contains("="))) return None
     try {
-      val conf = spark.sessionState.newHadoopConf()
-      // parallel first-touch: the memo makes repeats free, but a cold
-      // snapshot pays one footer open per file — read them like
-      // fileCensus does (footers only, no data pages)
-      import scala.collection.parallel.CollectionConverters._
-      val schemas = census.par.map { case (rel, _) =>
-        graft.plans.ZoneMap.footerStats(
-          if (rel.isEmpty) path else s"$path/$rel", conf).schemaStr
-      }.toSet.seq
-      if (schemas.size != 1) return None
-      val msg = org.apache.parquet.schema.MessageTypeParser
-        .parseMessageType(schemas.head)
-      val converted = new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
-      Some(StructType(converted.map(f => f.copy(nullable = true))))
+      val memoKey = (path, census)
+      val decided: Option[String] =
+        uniformMemo.synchronized(Option(uniformMemo.get(memoKey))) match {
+          case Some(d) => d
+          case None =>
+            val conf = spark.sessionState.newHadoopConf()
+            // parallel first-touch: the memo makes repeats free, but a
+            // cold snapshot pays one footer open per file — read them
+            // like fileCensus does (footers only, no data pages)
+            import scala.collection.parallel.CollectionConverters._
+            val schemas = census.par.map { case (rel, _) =>
+              graft.plans.ZoneMap.footerStats(
+                if (rel.isEmpty) path else s"$path/$rel", conf).schemaStr
+            }.toSet.seq
+            val d = if (schemas.size == 1) Some(schemas.head) else None
+            uniformMemo.synchronized { uniformMemo.put(memoKey, d); () }
+            d
+        }
+      decided.map { schemaStr =>
+        val msg = org.apache.parquet.schema.MessageTypeParser
+          .parseMessageType(schemaStr)
+        val converted = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+        StructType(converted.map(f => f.copy(nullable = true)))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
